@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle compare (SURVEY.md §5.1).
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, registers the sfDir parquet tables
+as DuckDB views, runs each oracle SQL, and compares against the Spark
+parquet dump <verifyOutDir>/<name>/ with columns sorted by name —
+the same shape the driver hashes. Exact match required (doubles are
+round(,4) on both sides by construction).
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "tzinfo") and getattr(v, "tzinfo", None) is not None:
+        return v.tz_localize(None) if hasattr(v, "tz_localize") else v
+    if hasattr(v, "tolist"):  # numpy array (list column)
+        return tuple(norm(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(sqls.items()):
+        try:
+            oracle = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        try:
+            spark = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: spark dump unreadable: {e}")
+            n_fail += 1
+            continue
+        o = oracle[sorted(oracle.columns)]
+        s = spark[sorted(spark.columns)]
+        if list(o.columns) != list(s.columns):
+            print(f"FAIL {name}: columns oracle={list(o.columns)} spark={list(s.columns)}")
+            n_fail += 1
+            continue
+        if len(o) != len(s):
+            print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}")
+            n_fail += 1
+            continue
+        ov = [[norm(v) for v in row] for row in o.itertuples(index=False)]
+        sv = [[norm(v) for v in row] for row in s.itertuples(index=False)]
+        if ov != sv:
+            bad = next((i, a, b) for i, (a, b) in enumerate(zip(ov, sv)) if a != b)
+            print(f"FAIL {name}: first diff at row {bad[0]}:\n  oracle={bad[1]}\n  spark ={bad[2]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(o)} rows)")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(sqls)} total")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,13 +1,551 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M}
+import graft.functions.{ScalarOps => F}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (binding declaration).
+  *
+  * Every key in `queries` has a matching DuckDB oracle in `oracleSql`
+  * except the two declared non-oracle ops (`q_agg_approx_distinct`,
+  * `q_dedup_minhash` — approximate / order-of-ops-sensitive; both are
+  * property-tested in the scalatest suite instead).
+  *
+  * Determinism contract (SURVEY.md §2.10): every query ends in a total
+  * order on a unique key list; aggregated doubles are round(x,4) on BOTH
+  * sides; oracle SQL spells NULLS FIRST explicitly; `events.ts` (ns
+  * parquet) is always cast to µs (`ts::TIMESTAMP` / Spark's TimestampType)
+  * before use; no maps in output; integer SUMs in DuckDB are cast back to
+  * BIGINT (DuckDB widens to HUGEINT).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    R.aggPricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 scans
+    "q_scan_project" -> (R.scanProject _),
+    "q_scan_filter" -> (R.scanFilter _),
+    "q_scan_multifile" -> (R.scanMultifile _),
+    // §2.2 predicates
+    "q_filter_compound" -> (R.filterCompound _),
+    "q_case_when" -> (R.caseWhen _),
+    // §2.3 joins
+    "q_join_inner" -> (J.joinInner _),
+    "q_join_broadcast" -> (J.joinBroadcast _),
+    "q_join_multiway" -> (J.joinMultiway _),
+    "q_join_left" -> (J.joinLeft _),
+    "q_join_full" -> (J.joinFull _),
+    "q_join_semi" -> (J.joinSemi _),
+    "q_join_anti" -> (J.joinAnti _),
+    "q_join_range" -> (J.joinRange _),
+    "q_join_asof" -> (J.joinAsof _),
+    "q_join_theta" -> (J.joinTheta _),
+    // §2.4 aggregations
+    "q_agg_pricing" -> (R.aggPricing _),
+    "q_agg_distinct" -> (R.aggDistinct _),
+    "q_agg_approx_distinct" -> (R.aggApproxDistinct _),
+    "q_agg_having" -> (R.aggHaving _),
+    "q_agg_rollup" -> (R.aggRollup _),
+    "q_agg_cube" -> (R.aggCube _),
+    "q_agg_grouping_sets" -> (R.aggGroupingSets _),
+    "q_udaf_geomean" -> (F.udafGeomean _),
+    // §2.5 windows
+    "q_window_rank" -> (W.windowRank _),
+    "q_window_running" -> (W.windowRunning _),
+    "q_window_range_frame" -> (W.windowRangeFrame _),
+    "q_window_lag" -> (W.windowLag _),
+    "q_topk_per_group" -> (W.topkPerGroup _),
+    // §2.6 sort/limit/set ops
+    "q_sort_limit" -> (R.sortLimit _),
+    "q_union_all" -> (R.unionAll _),
+    "q_union_distinct" -> (R.unionDistinct _),
+    "q_intersect" -> (R.intersect _),
+    "q_except" -> (R.exceptOp _),
+    // §2.7 scalar fns + UDx
+    "q_string_funcs" -> (F.stringFuncs _),
+    "q_date_funcs" -> (F.dateFuncs _),
+    "q_math_funcs" -> (F.mathFuncs _),
+    "q_json_funcs" -> (F.jsonFuncs _),
+    "q_array_funcs" -> (F.arrayFuncs _),
+    "q_explode" -> (F.explodeTokens _),
+    "q_map_funcs" -> (F.mapFuncs _),
+    "q_udf_scalar" -> (F.udfScalar _),
+    // §2.8 LLM-pipeline ops
+    "q_dedup_exact" -> (L.dedupExact _),
+    "q_dedup_minhash" -> (L.dedupMinhash _),
+    "q_dedup_simhash" -> (L.dedupSimhash _),
+    "q_dedup_ngram" -> (L.dedupNgram _),
+    "q_dedup_embcos" -> (L.dedupEmbcos _),
+    "q_similarity_topk" -> (L.similarityTopk _),
+    "q_similarity_lsh" -> (L.similarityLsh _),
+    "q_embedding_centroid" -> (L.embeddingCentroid _),
+    "q_text_stats" -> (L.textStats _),
+    "q_text_quality" -> (L.textQuality _),
+    "q_token_count" -> (L.tokenCount _),
+    "q_fingerprint" -> (L.fingerprint _),
+    "q_lang_id" -> (L.langId _),
+    "q_multimodal_meta" -> (M.multimodalMeta _),
+    // §2.9 sessionization + time windows (batch forms)
+    "q_sessionize" -> (W.sessionize _),
+    "q_window_tumbling" -> (W.windowTumbling _),
+    "q_window_sliding" -> (W.windowSliding _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted: q_agg_approx_distinct,
+    * q_dedup_minhash (non-oracle by design). */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+         round(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+                CAST(l_shipdate AS DATE) AS ship_date
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 40
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_scan_multifile" ->
+      """SELECT CAST(year(ts) AS INT) AS yr, count(*) AS n
+         FROM (SELECT o_orderdate AS ts FROM orders
+               UNION ALL SELECT ts::TIMESTAMP AS ts FROM events) t
+         GROUP BY 1 ORDER BY 1""",
+    "q_filter_compound" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM orders
+         WHERE o_orderstatus IN ('O','F') AND o_totalprice > 1000.0
+           AND o_orderpriority NOT LIKE '1-%' AND o_orderpriority IS NOT NULL
+         ORDER BY o_orderkey""",
+    "q_case_when" ->
+      """SELECT CASE WHEN l_discount < 0.02 THEN 'low'
+                     WHEN l_discount < 0.06 THEN 'mid'
+                     ELSE 'high' END AS disc_bucket,
+                count(*) AS n, round(sum(l_extendedprice), 4) AS sum_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_join_inner" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue,
+                count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_join_broadcast" ->
+      """SELECT p_brand,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+                       JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_join_multiway" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+                round(coalesce(sum(o_totalprice), 0.0), 4) AS total
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_join_full" ->
+      """SELECT category, count(*) AS n
+         FROM (SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                           WHEN o.o_custkey IS NULL THEN 'cust_only'
+                           ELSE 'both' END AS category
+               FROM customer c
+               FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o
+                 ON c.c_custkey = o.o_custkey) t
+         GROUP BY 1 ORDER BY 1""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_join_range" ->
+      """SELECT e1.user_id, count(*) AS n_pairs
+         FROM events e1 JOIN events e2
+           ON e1.user_id = e2.user_id
+          AND e2.ts::TIMESTAMP > e1.ts::TIMESTAMP
+          AND e2.ts::TIMESTAMP <= e1.ts::TIMESTAMP + INTERVAL 1 HOUR
+         GROUP BY 1 ORDER BY 1""",
+    "q_join_asof" ->
+      """SELECT event_id, user_id, prev_event_id, prev_event_type
+         FROM (SELECT event_id, user_id, event_type,
+                      lag(event_id) OVER w AS prev_event_id,
+                      lag(event_type) OVER w AS prev_event_type
+               FROM events
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts::TIMESTAMP, event_id)) t
+         WHERE event_type = 'purchase' ORDER BY event_id""",
+    "q_join_theta" ->
+      """SELECT p1.p_brand, count(*) AS n_pairs
+         FROM part p1 JOIN part p2
+           ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+         GROUP BY 1 ORDER BY 1""",
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 4) AS sum_qty,
+                round(sum(l_extendedprice), 4) AS sum_base_price,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+                round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                round(avg(l_discount), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_agg_having" ->
+      """SELECT c_nationkey, count(*) AS n_cust FROM customer
+         GROUP BY 1 HAVING count(*) > 60 ORDER BY 1""",
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name,
+                CAST(grouping(r_name) AS INT) AS g_r,
+                CAST(grouping(n_name) AS INT) AS g_n,
+                count(*) AS n_cust, round(sum(c_acctbal), 4) AS acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q_agg_cube" ->
+      """SELECT event_type,
+                CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
+                count(*) AS n, round(sum(value), 4) AS val
+         FROM events GROUP BY CUBE(event_type, day)
+         ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""",
+    "q_agg_grouping_sets" ->
+      """SELECT event_type,
+                CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
+                count(*) AS n, round(sum(value), 4) AS val
+         FROM events GROUP BY GROUPING SETS ((event_type), (day), ())
+         ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""",
+    "q_udaf_geomean" ->
+      """SELECT l_returnflag,
+                round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(rn AS INT) AS rn, CAST(rk AS INT) AS rk,
+                CAST(drk AS INT) AS drk
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER w AS rn, rank() OVER w AS rk,
+                      dense_rank() OVER w AS drk
+               FROM orders
+               WINDOW w AS (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey)) t
+         WHERE rn = 1 ORDER BY o_custkey""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running,
+                round(avg(o_totalprice) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_window_range_frame" ->
+      """SELECT event_id,
+                round(sum(value) OVER
+                  (PARTITION BY event_type ORDER BY ts_sec
+                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 4) AS day_sum
+         FROM (SELECT event_id, event_type, value,
+                      epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec FROM events) t
+         ORDER BY event_id""",
+    "q_window_lag" ->
+      """SELECT event_id, user_id, gap_sec, next_type
+         FROM (SELECT event_id, user_id,
+                      ts_sec - lag(ts_sec) OVER w AS gap_sec,
+                      lead(event_type) OVER w AS next_type
+               FROM (SELECT *, epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec
+                     FROM events) a
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts::TIMESTAMP, event_id)) b
+         ORDER BY event_id""",
+    "q_topk_per_group" ->
+      """SELECT p_brand, p_partkey, revenue, CAST(rn AS INT) AS rn
+         FROM (SELECT p_brand, p_partkey, revenue,
+                      row_number() OVER (PARTITION BY p_brand
+                                         ORDER BY revenue DESC, p_partkey) AS rn
+               FROM (SELECT p_brand, p_partkey,
+                            round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     GROUP BY 1, 2) a) b
+         WHERE rn <= 3 ORDER BY p_brand, rn""",
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_union_all" ->
+      """SELECT nationkey, count(*) AS n
+         FROM (SELECT c_nationkey AS nationkey FROM customer
+               UNION ALL SELECT s_nationkey FROM supplier) t
+         GROUP BY 1 ORDER BY 1""",
+    "q_union_distinct" ->
+      """SELECT DISTINCT nationkey
+         FROM (SELECT c_nationkey AS nationkey FROM customer
+               UNION ALL SELECT s_nationkey FROM supplier) t
+         ORDER BY nationkey""",
+    "q_intersect" ->
+      """SELECT nationkey
+         FROM (SELECT c_nationkey AS nationkey FROM customer
+               INTERSECT SELECT s_nationkey FROM supplier) t
+         ORDER BY 1""",
+    "q_except" ->
+      """SELECT nationkey
+         FROM (SELECT c_nationkey AS nationkey FROM customer
+               EXCEPT SELECT s_nationkey FROM supplier) t
+         ORDER BY 1""",
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+                substr(p_type, 1, 4) AS type4,
+                concat_ws('|', p_brand, p_type) AS brand_type,
+                CAST(length(p_name) AS INT) AS name_len,
+                regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+         FROM part WHERE p_name LIKE '%e%' ORDER BY p_partkey""",
+    "q_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(quarter(o_orderdate) AS INT) AS qtr,
+                CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                CAST(datediff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+                CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+         FROM orders ORDER BY o_orderkey""",
+    "q_math_funcs" ->
+      """SELECT l_returnflag,
+                round(avg(sqrt(l_extendedprice)), 4) AS avg_sqrt_price,
+                round(avg(pow(l_discount, 2)), 4) AS avg_disc_sq,
+                round(avg(ln(l_extendedprice + 1)), 4) AS avg_ln_price,
+                round(abs(min(l_quantity - 10)), 4) AS abs_min_qty,
+                round(sum(round(l_tax, 2)), 4) AS sum_round_tax
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_json_funcs" ->
+      """SELECT event_type, round(avg(k), 4) AS avg_k, count(*) AS n,
+                min(k) AS min_k, max(k) AS max_k
+         FROM (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS INT) AS k
+               FROM events) t
+         GROUP BY 1 ORDER BY 1""",
+    "q_array_funcs" ->
+      """SELECT label, count(*) AS n, min(dim) AS min_dim, max(dim) AS max_dim,
+                round(avg(l2), 4) AS avg_l2, round(avg(e1), 4) AS avg_e1
+         FROM (SELECT label, CAST(len(embedding) AS INT) AS dim,
+                      sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) AS l2,
+                      CAST(embedding[1] AS DOUBLE) AS e1
+               FROM embeddings) t
+         GROUP BY 1 ORDER BY 1""",
+    "q_explode" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+         WHERE length(token) > 0
+         GROUP BY 1 ORDER BY n DESC, token LIMIT 20""",
+    "q_map_funcs" ->
+      """SELECT list(event_type ORDER BY event_type) AS ks,
+                list(n ORDER BY event_type) AS vs
+         FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1) t""",
+    "q_udf_scalar" ->
+      """SELECT band, count(*) AS n
+         FROM (SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                           WHEN o_totalprice < 200000 THEN 'mid'
+                           ELSE 'high' END AS band FROM orders) t
+         GROUP BY 1 ORDER BY 1""",
+    "q_dedup_exact" ->
+      """SELECT lang, count(*) AS n_docs
+         FROM (SELECT lang, row_number() OVER
+                 (PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id) AS rn
+               FROM documents) t
+         WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+    "q_dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, tok
+                       FROM (SELECT doc_id,
+                                    unnest(string_split(text, ' ')) AS tok
+                             FROM documents) t0
+                       WHERE length(tok) > 0),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+                  FROM toks),
+            contrib AS (SELECT doc_id, i,
+                               ((hv >> CAST(i AS INT)) & 1) * 2 - 1 AS c
+                        FROM h, range(0, 32) t(i)),
+            bits AS (SELECT doc_id, i,
+                            CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS b
+                     FROM contrib GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(sum(b * (1::BIGINT << CAST(i AS INT))) AS BIGINT) AS simhash
+         FROM bits GROUP BY 1 ORDER BY 1""",
+    "q_dedup_ngram" ->
+      """WITH base AS (SELECT doc_id, lang, source,
+                              string_split(text, ' ') AS toks FROM documents),
+            ng AS (SELECT doc_id, lang, source,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
+                   FROM base),
+            nz AS (SELECT doc_id, lang, source, ngs, len(ngs) AS nsz
+                   FROM ng WHERE len(ngs) > 0),
+            ex AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
+            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                             count(*) AS inter
+                      FROM ex a JOIN ex b
+                        ON a.lang = b.lang AND a.source = b.source
+                       AND a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+         SELECT d1, d2,
+                round(CAST(inter AS DOUBLE) / (s1.nsz + s2.nsz - inter), 4) AS jaccard
+         FROM inter JOIN nz s1 ON s1.doc_id = d1 JOIN nz s2 ON s2.doc_id = d2
+         ORDER BY jaccard DESC, d1, d2 LIMIT 20""",
+    "q_dedup_embcos" ->
+      """SELECT label, v1, v2, sim
+         FROM (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+                      round(list_dot_product(a.v, b.v) /
+                            (sqrt(list_dot_product(a.v, a.v)) *
+                             sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+               FROM (SELECT label, vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings) a
+               JOIN (SELECT label, vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings) b
+                 ON a.label = b.label AND a.vec_id < b.vec_id) t
+         ORDER BY sim DESC, v1, v2 LIMIT 20""",
+    "q_similarity_topk" ->
+      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM em WHERE vec_id < 10),
+            sims AS (SELECT q_id, vec_id AS n_id,
+                            round(list_dot_product(qv, v) /
+                                  (sqrt(list_dot_product(qv, qv)) *
+                                   sqrt(list_dot_product(v, v))), 4) AS sim
+                     FROM em, q WHERE vec_id <> q_id),
+            rk AS (SELECT q_id, n_id, sim,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, n_id) AS INT) AS rn
+                   FROM sims)
+         SELECT q_id, n_id, sim, rn FROM rk WHERE rn <= 5 ORDER BY q_id, rn""",
+    "q_similarity_lsh" ->
+      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            bk AS (SELECT vec_id, v,
+                          (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END +
+                           CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+                           CASE WHEN v[3] > 0 THEN 4 ELSE 0 END +
+                           CASE WHEN v[4] > 0 THEN 8 ELSE 0 END +
+                           CASE WHEN v[5] > 0 THEN 16 ELSE 0 END +
+                           CASE WHEN v[6] > 0 THEN 32 ELSE 0 END +
+                           CASE WHEN v[7] > 0 THEN 64 ELSE 0 END +
+                           CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+                   FROM em),
+            q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb
+                  FROM bk WHERE vec_id < 10),
+            sims AS (SELECT q_id, vec_id AS n_id,
+                            round(list_dot_product(qv, v) /
+                                  (sqrt(list_dot_product(qv, qv)) *
+                                   sqrt(list_dot_product(v, v))), 4) AS sim
+                     FROM bk JOIN q ON bucket = qb AND vec_id <> q_id),
+            rk AS (SELECT q_id, n_id, sim,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, n_id) AS INT) AS rn
+                   FROM sims)
+         SELECT q_id, n_id, sim, rn FROM rk WHERE rn <= 3 ORDER BY q_id, rn""",
+    "q_embedding_centroid" ->
+      """SELECT label, CAST(i AS INT) AS pos,
+                round(avg(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 4) AS c
+         FROM embeddings, range(0, 64) t(i)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_text_stats" ->
+      """WITH base AS (SELECT lang, count(*) AS n_docs,
+                              round(avg(n_chars), 4) AS avg_chars,
+                              round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+                       FROM documents GROUP BY 1),
+            vocab AS (SELECT lang, count(DISTINCT tok) AS n_vocab
+                      FROM (SELECT lang,
+                                   unnest(string_split(text, ' ')) AS tok
+                            FROM documents) t
+                      WHERE length(tok) > 0 GROUP BY 1)
+         SELECT base.lang AS lang, n_docs, avg_chars, avg_tokens, n_vocab
+         FROM base JOIN vocab ON base.lang = vocab.lang ORDER BY lang""",
+    "q_text_quality" ->
+      """SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+                round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio,
+                round(round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) *
+                      least(1.0, len(toks) / 50.0), 4) AS quality
+         FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents) t
+         ORDER BY doc_id""",
+    "q_token_count" ->
+      """SELECT lang,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+                CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))) AS BIGINT) AS re_tokens
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_fingerprint" ->
+      """SELECT doc_id,
+                list_min(list_transform(range(1, len(toks) - 1),
+                  i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS fp
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+         WHERE len(toks) >= 3 ORDER BY doc_id""",
+    "q_lang_id" ->
+      """SELECT lang, pred_lang, count(*) AS n
+         FROM (SELECT lang,
+                      CASE WHEN rr > 0.02 THEN 'zh'
+                           WHEN vr > 0.40 THEN 'es'
+                           WHEN vr > 0.36 THEN 'fr'
+                           WHEN vr > 0.32 THEN 'en'
+                           ELSE 'de' END AS pred_lang
+               FROM (SELECT lang,
+                            CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+                              / length(text) AS vr,
+                            CAST(length(text) - length(regexp_replace(text, '[zxq]', '', 'g')) AS DOUBLE)
+                              / length(text) AS rr
+                     FROM documents) a) b
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_multimodal_meta" ->
+      """SELECT kind, count(*) AS n,
+                CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+                round(avg(width), 4) AS avg_width,
+                round(avg(height), 4) AS avg_height
+         FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                           WHEN doc_id % 3 = 1 THEN 'audio'
+                           ELSE 'video' END AS kind,
+                      CAST(octet_length(encode(text)) AS INT) AS byte_len,
+                      64 + CAST(octet_length(encode(text)) AS INT) % 640 AS width,
+                      64 + (CAST(octet_length(encode(text)) AS INT) * 7) % 480 AS height
+               FROM documents) t
+         GROUP BY 1 ORDER BY 1""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g)
+         SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+                count(*) AS n_events, round(sum(value), 4) AS session_value
+         FROM sids GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_window_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
+                event_type, count(*) AS n, round(sum(value), 4) AS val
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_window_sliding" ->
+      """WITH w0 AS (SELECT (epoch_us(ts::TIMESTAMP)//1000000)//1800*1800 AS w_start,
+                            event_type, value FROM events),
+            both_w AS (SELECT w_start, event_type, value FROM w0
+                       UNION ALL
+                       SELECT w_start - 1800, event_type, value FROM w0)
+         SELECT w_start, event_type, count(*) AS n, round(sum(value), 4) AS val
+         FROM both_w GROUP BY 1, 2 ORDER BY 1, 2"""
+  )
 }

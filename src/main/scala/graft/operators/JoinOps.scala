@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{Fin, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Every required join flavor (SURVEY.md §2.3).
+  *
+  * Scale notes (100 TB):
+  *  - fact⋈fact joins (orders⋈lineitem) shuffle on the join key — at
+  *    scale both sides would be bucketed on the key so the shuffle is
+  *    avoided entirely; AQE handles skew (OptimizeSkewedJoin).
+  *  - dimension joins are pinned to broadcast (`broadcast()` hint) — a
+  *    1000-executor cluster ships the dim once per executor, no shuffle.
+  *  - the range/theta joins keep an equi key (user_id / brand) so Spark
+  *    plans a shuffled equi-join with a residual inequality filter, NOT a
+  *    cartesian product — the only formulation that survives 100×.
+  */
+object JoinOps {
+  import Fin._
+
+  /** q_join_inner — shuffle equi-join on custkey, revenue per segment. */
+  def joinInner(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    ord(
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(r4(sum(col("o_totalprice"))).as("revenue"), count(lit(1)).as("n_orders")),
+      col("c_mktsegment"))
+  }
+
+  /** q_join_broadcast — fact ⋈ two broadcast dims, no fact shuffle
+    * before the aggregation. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    val sup = Tables.supplier(s, d)
+    ord(
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("p_brand"))
+        .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue")),
+      col("p_brand"))
+  }
+
+  /** q_join_multiway — TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with
+    * selective filters on both ends, top-10 orders by revenue. */
+  def joinMultiway(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q_join_left — dimensions without facts must survive (GA reports
+    * show zero-hit dimensions). */
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    ord(
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             r4(coalesce(sum(col("o_totalprice")), lit(0.0))).as("total")),
+      col("c_custkey"))
+  }
+
+  /** q_join_full — full outer with both-null accounting. */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"))
+    val o = Tables.orders(s, d).select(col("o_custkey")).distinct()
+    val j = c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+    ord(
+      j.select(
+          when(col("c_custkey").isNull, "order_only")
+            .when(col("o_custkey").isNull, "cust_only")
+            .otherwise("both").as("category"))
+        .groupBy(col("category")).agg(count(lit(1)).as("n")),
+      col("category"))
+  }
+
+  /** q_join_semi — EXISTS as left_semi (no row multiplication). */
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    ord(
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")),
+      col("c_custkey"))
+  }
+
+  /** q_join_anti — NOT EXISTS as left_anti. */
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    ord(
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+      col("c_custkey"))
+  }
+
+  /** q_join_range — attribution-window self-join: pairs of events of the
+    * same user within (t, t+1h]. Equi key on user_id keeps this a
+    * shuffled equi-join with a residual range filter — never cartesian. */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val e1 = e.select(col("user_id"), col("ts").as("ts1"))
+    val e2 = e.select(col("user_id").as("user_id2"), col("ts").as("ts2"))
+    ord(
+      e1.join(e2,
+          e1("user_id") === e2("user_id2") &&
+          e2("ts2") > e1("ts1") &&
+          e2("ts2") <= e1("ts1") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs")),
+      col("user_id"))
+  }
+
+  /** q_join_asof — last-touch attribution: for each purchase, the
+    * immediately preceding event (strictly earlier) of the same user.
+    *
+    * Spark has no native as-of join; the scalable formulation is a single
+    * window pass over (user_id) ordered by (ts, event_id) — one shuffle
+    * on user_id, no self-join. Strictness: `lag(1)` = latest event with
+    * (ts, event_id) strictly before the current row, matching the
+    * oracle's identical LAG formulation (SURVEY.md §7.2 item 2).
+    */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ord(
+      e.select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+               lag(col("event_id"), 1).over(w).as("prev_event_id"),
+               lag(col("event_type"), 1).over(w).as("prev_event_type"))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+                col("prev_event_id"), col("prev_event_type")),
+      col("event_id"))
+  }
+
+  /** q_join_theta — same-brand part pairs with p1.p_size < p2.p_size.
+    * Formulated as an equi-join on brand + residual inequality (NOT a
+    * nested-loop over the cross product) so it scales with per-brand
+    * group size, not |part|². */
+  def joinTheta(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val p1 = p.select(col("p_brand"), col("p_size").as("size1"))
+    val p2 = p.select(col("p_brand").as("brand2"), col("p_size").as("size2"))
+    ord(
+      p1.join(p2, p1("p_brand") === p2("brand2") && col("size1") < col("size2"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_pairs")),
+      col("p_brand"))
+  }
+}

@@ -1,0 +1,299 @@
+package graft.operators
+
+import graft.{Fin, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.8 + the round
+  * brief): deduplication (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard / embedding-cosine), similarity search (brute-force +
+  * LSH-bucketed), and text analysis (stats / quality / token counting /
+  * fingerprinting / language-ID heuristic).
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup = one shuffle on the content hash; the winner rule
+  *    (min doc_id) is deterministic so re-runs are idempotent — the
+  *    Spark-native form of the reference's hash-id idempotent appends.
+  *  - MinHash/SimHash/LSH exist precisely because all-pairs comparison
+  *    is quadratic: candidates come from an equi-join on bucket keys
+  *    (linear-ish), never from a cross join.
+  *  - brute-force cosine top-k is only legal because the query side is
+  *    tiny and broadcast; the LSH variant is the scale path.
+  *  - all hashing is seed-free + deterministic (md5/sha2/xxhash64 with
+  *    constant salts): no Math.random anywhere (SURVEY.md §7.2 item 4).
+  */
+object LlmOps {
+  import Fin._
+
+  // ---------------------------------------------------------------- dedup
+
+  /** q_dedup_exact — normalize → sha256 → keep min doc_id per hash →
+    * survivors per lang. */
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    ord(
+      docs.withColumn("h", sha2(lower(trim(col("text"))), 256))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs")),
+      col("lang"))
+  }
+
+  /** Word 5-gram shingles of a token-array column (empty when < 5 tokens). */
+  private def shingles5(tokens: Column): Column =
+    when(size(tokens) >= 5,
+      transform(sequence(lit(0), size(tokens) - 5),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(5)))))
+      .otherwise(array())
+
+  /** q_dedup_minhash — 32-permutation MinHash over word 5-gram shingles,
+    * banded 8×4 into LSH buckets; emits candidate near-dup pairs.
+    * Non-oracle (order-of-ops-sensitive); property-tested in the suite:
+    * planted near-duplicates collide, disjoint texts don't. */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sh = docs
+      .select(col("doc_id"), shingles5(split(col("text"), " ")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // minhash_j = min over shingles of xxhash64(shingle, j); constant
+    // "permutation" seeds j = 0..31 (deterministic across runs).
+    val mh = sh.select(col("doc_id"),
+      transform(sequence(lit(0), lit(31)),
+        j => array_min(transform(col("sh"), t => xxhash64(t, j)))).as("mh"))
+    // 8 bands × 4 rows: band signature = hash of the 4-minhash slice.
+    val banded = mh.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(7)),
+          b => struct(b.as("band"), xxhash64(slice(col("mh"), b * 4 + 1, lit(4)), b).as("sig"))))
+          .as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val l = banded.select(col("band"), col("sig"), col("doc_id").as("d1"))
+    val r = banded.select(col("band").as("band2"), col("sig").as("sig2"), col("doc_id").as("d2"))
+    ord(
+      l.join(r, l("band") === r("band2") && l("sig") === r("sig2") && col("d1") < col("d2"))
+        .select(col("d1"), col("d2")).distinct(),
+      col("d1"), col("d2"))
+  }
+
+  /** q_dedup_simhash — 32-bit SimHash per document from md5-derived token
+    * hashes (md5 is identical across engines, so this IS oracle-checkable:
+    * the DuckDB SQL mirrors the bit arithmetic exactly). */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      // 32-bit hash from the first 8 hex chars of md5(token)
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val contrib = toks
+      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(31))).as("i"))
+      .withColumn("c", expr("(shiftright(hv, CAST(i AS INT)) & 1) * 2 - 1"))
+    val bits = contrib.groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("c")).as("s"))
+      .withColumn("b", when(col("s") > 0, 1L).otherwise(0L))
+    ord(
+      bits.groupBy(col("doc_id"))
+        .agg(sum(expr("b * shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).as("simhash")),
+      col("doc_id"))
+  }
+
+  /** Distinct word 3-grams per document. */
+  private def ngrams3(tokens: Column): Column =
+    when(size(tokens) >= 3,
+      array_distinct(transform(sequence(lit(0), size(tokens) - 3),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(3))))))
+      .otherwise(array())
+
+  /** q_dedup_ngram — word-3-gram Jaccard similarity between document
+    * pairs within the same (lang, source) block; top-20 pairs.
+    * Blocking keeps the pair space linear-ish — the all-pairs form would
+    * be quadratic at 100 TB. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ng = docs.select(col("doc_id"), col("lang"), col("source"),
+        ngrams3(split(col("text"), " ")).as("ng"))
+      .filter(size(col("ng")) > 0)
+    val sizes = ng.select(col("doc_id"), size(col("ng")).as("nsz"))
+    val ex = ng.select(col("doc_id"), col("lang"), col("source"),
+      explode(col("ng")).as("g"))
+    val l = ex.select(col("lang"), col("source"), col("g"), col("doc_id").as("d1"))
+    val r = ex.select(col("lang").as("lang2"), col("source").as("source2"),
+      col("g").as("g2"), col("doc_id").as("d2"))
+    val inter = l.join(r,
+        l("lang") === r("lang2") && l("source") === r("source2") &&
+        l("g") === r("g2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    val s1 = sizes.select(col("doc_id").as("d1"), col("nsz").as("n1"))
+    val s2 = sizes.select(col("doc_id").as("d2"), col("nsz").as("n2"))
+    inter.join(s1, "d1").join(s2, "d2")
+      .withColumn("jaccard",
+        r4(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))))
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(20)
+  }
+
+  /** Cosine similarity of two double-array columns, computed with the
+    * exact same association order both engines use:
+    * dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))). */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** q_dedup_embcos — embedding-cosine near-duplicate pairs within each
+    * label block; global top-20 most-similar pairs. */
+  def dedupEmbcos(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val a = em.select(col("label"), col("vec_id").as("v1"), col("v").as("va"))
+    val b = em.select(col("label").as("label2"), col("vec_id").as("v2"), col("v").as("vb"))
+    a.join(b, a("label") === b("label2") && col("v1") < col("v2"))
+      .select(col("label"), col("v1"), col("v2"),
+              r4(cosine(col("va"), col("vb"))).as("sim"))
+      .orderBy(col("sim").desc, col("v1"), col("v2"))
+      .limit(20)
+  }
+
+  // ----------------------------------------------------- similarity search
+
+  /** q_similarity_topk — brute-force cosine top-5 for the first 10 query
+    * vectors. The 10-row query side is broadcast; correct ONLY because
+    * it is tiny — the 100 TB path is q_similarity_lsh (SURVEY.md §7.5). */
+  def similarityTopk(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val j = em.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+              r4(cosine(col("qv"), col("v"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    ord(
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5),
+      col("q_id"), col("rn"))
+  }
+
+  /** Sign-pattern LSH bucket from the first 8 vector components
+    * (random-hyperplane LSH with axis-aligned planes — deterministic and
+    * expressible identically in both engines). */
+  private def signBucket(vecD: Column): Column =
+    (0 until 8).map(i =>
+      when(element_at(vecD, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** q_similarity_lsh — the scale path: queries join candidates only
+    * within their LSH bucket (equi-join on bucket id), then exact cosine
+    * re-rank top-3. Recall is approximate by design. */
+  def similarityLsh(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", signBucket(col("v")))
+    val q = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
+    val j = em.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+              r4(cosine(col("qv"), col("v"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    ord(
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3),
+      col("q_id"), col("rn"))
+  }
+
+  /** q_embedding_centroid — per-label 64-dim centroid as
+    * (label, pos, component) rows via posexplode. */
+  def embeddingCentroid(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+    ord(
+      em.select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(r4(avg(col("x"))).as("c")),
+      col("label"), col("pos"))
+  }
+
+  // ----------------------------------------------------------- text analysis
+
+  /** q_text_stats — per-language corpus stats incl. distinct vocabulary. */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           r4(avg(col("n_chars"))).as("avg_chars"),
+           r4(avg(size(split(col("text"), " ")))).as("avg_tokens"))
+    val vocab = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("n_vocab"))
+    ord(base.join(vocab, "lang"), col("lang"))
+  }
+
+  /** q_text_quality — per-document quality score from token statistics
+    * (pure arithmetic — no transcendental fns whose libm ulps could
+    * differ across engines). */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = split(col("text"), " ")
+    ord(
+      docs.select(col("doc_id"), col("lang"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_uniq"))
+        .withColumn("uniq_ratio", r4(col("n_uniq").cast("double") / col("n_tokens")))
+        .withColumn("quality",
+          r4(col("uniq_ratio") * least(lit(1.0), col("n_tokens").cast("double") / 50.0))),
+      col("doc_id"))
+  }
+
+  /** q_token_count — whitespace tokenization vs a BPE-ish regex
+    * tokenizer ([a-z]+ | digits | other), aggregated per language. */
+  def tokenCount(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    ord(
+      docs.select(col("lang"),
+          size(split(col("text"), " ")).as("ws"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("re"))
+        .groupBy(col("lang"))
+        .agg(sum(col("ws")).as("ws_tokens"), sum(col("re")).as("re_tokens")),
+      col("lang"))
+  }
+
+  /** q_fingerprint — document fingerprint = lexicographic min of
+    * md5(word-3-gram) (a MinHash-style rolling fingerprint; md5 hex is
+    * byte-identical across engines so string-min is oracle-stable). */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ng = ngrams3(split(col("text"), " "))
+    ord(
+      docs.select(col("doc_id"),
+          array_min(transform(ng, g => md5(g))).as("fp"))
+        .filter(col("fp").isNotNull),
+      col("doc_id"))
+  }
+
+  /** q_lang_id — character-frequency language-ID heuristic: vowel and
+    * rare-letter ratios bucketed to a prediction, emitted as a
+    * (actual, predicted) confusion matrix. The thresholds are arbitrary
+    * but deterministic — the mechanism (per-char n-gram profile scoring)
+    * is what scales. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nchars = length(col("text"))
+    val vowels = (nchars - length(regexp_replace(col("text"), "[aeiou]", ""))).cast("double")
+    val rares = (nchars - length(regexp_replace(col("text"), "[zxq]", ""))).cast("double")
+    val vr = vowels / nchars
+    val rr = rares / nchars
+    val pred = when(rr > 0.02, "zh")
+      .when(vr > 0.40, "es")
+      .when(vr > 0.36, "fr")
+      .when(vr > 0.32, "en")
+      .otherwise("de")
+    ord(
+      docs.select(col("lang"), pred.as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n")),
+      col("lang"), col("pred_lang"))
+  }
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.{Fin, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scans, projections, filters, aggregations, set ops
+  * (SURVEY.md §2.1, §2.2, §2.4, §2.6).
+  *
+  * Scale notes (100 TB): every query here is a single scan →
+  * (optional) partial/final hash aggregate. Filters sit directly on raw
+  * columns so parquet row-group stats + predicate pushdown engage
+  * (`PushedFilters` in explain); projections are narrow so the vectorized
+  * reader prunes columns. No query collects to the driver.
+  */
+object RelationalOps {
+  import Fin._
+
+  /** q_scan_project — declared-column scan + computed expression.
+    * The GA-extraction analogue: read exactly the declared columns. */
+  def scanProject(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    ord(
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"),
+        r4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")),
+      col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q_scan_filter — date-range + categorical + numeric-range predicates,
+    * all pushable to the parquet scan (GA day-split extraction). */
+  def scanFilter(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    ord(
+      li.filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+          col("l_returnflag") === "R" &&
+          col("l_quantity").between(10, 40))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_returnflag"),
+                // emit DATE, not raw timestamp: parquet timestamp annotations
+                // (isAdjustedToUTC) differ between Spark and DuckDB output
+                col("l_shipdate").cast("date").as("ship_date")),
+      col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q_scan_multifile — two heterogeneous scans unioned to a common shape
+    * (GA multi-report ingest), counted per year. */
+  def scanMultifile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("id"), col("o_orderdate").as("ts"))
+    val e = Tables.events(s, d)
+      .select(col("event_id").as("id"), col("ts"))
+    ord(
+      o.unionByName(e)
+        .groupBy(year(col("ts")).as("yr"))
+        .agg(count(lit(1)).as("n")),
+      col("yr"))
+  }
+
+  /** q_filter_compound — boolean algebra with IN / LIKE / null-safety. */
+  def filterCompound(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    ord(
+      o.filter(
+          col("o_orderstatus").isin("O", "F") &&
+          col("o_totalprice") > 1000.0 &&
+          !col("o_orderpriority").like("1-%") &&
+          col("o_orderpriority").isNotNull)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+                col("o_totalprice"), col("o_orderpriority")),
+      col("o_orderkey"))
+  }
+
+  /** q_case_when — derived dimension via 3-way CASE (GA type coercion /
+    * bucketing), aggregated. */
+  def caseWhen(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bucket = when(col("l_discount") < 0.02, "low")
+      .when(col("l_discount") < 0.06, "mid")
+      .otherwise("high")
+    ord(
+      li.select(bucket.as("disc_bucket"), col("l_extendedprice"))
+        .groupBy(col("disc_bucket"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("l_extendedprice"))).as("sum_price")),
+      col("disc_bucket"))
+  }
+
+  /** q_agg_pricing — FLAGSHIP: TPC-H Q1-shaped pricing summary
+    * (metrics grouped by dimensions — the core GA report semantic).
+    * Plan: parquet scan (pushed date filter) → partial hash agg →
+    * shuffle on 2 low-cardinality keys → final hash agg; fully
+    * whole-stage-codegen'd, no driver-side work. */
+  def aggPricing(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    ord(
+      li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r4(sum(col("l_quantity"))).as("sum_qty"),
+          r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r4(sum(discPrice)).as("sum_disc_price"),
+          r4(sum(discPrice * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+          r4(avg(col("l_quantity"))).as("avg_qty"),
+          r4(avg(col("l_extendedprice"))).as("avg_price"),
+          r4(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q_agg_distinct — exact distinct users per event_type (GA "unique
+    * users"). Expands to a two-phase agg; see aggApproxDistinct for the
+    * 100 TB-scale variant. */
+  def aggDistinct(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    ord(
+      e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n")),
+      col("event_type"))
+  }
+
+  /** q_agg_approx_distinct — HLL++ sketch distinct (non-oracle; asserted
+    * vs exact within 5% in the test suite). At 100 TB this is the only
+    * viable distinct-count: fixed-size sketch, single shuffle of
+    * sketches, no expand. */
+  def aggApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    ord(
+      e.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users")),
+      col("event_type"))
+  }
+
+  /** q_agg_having — post-aggregation filter. */
+  def aggHaving(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    ord(
+      c.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+        .where(col("n_cust") > 60),
+      col("c_nationkey"))
+  }
+
+  /** q_agg_rollup — report subtotal rows (GA totals) over the
+    * region→nation dimension hierarchy; grouping() flags projected. */
+  def aggRollup(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    val joined = c
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+    ord(
+      joined.rollup(col("r_name"), col("n_name"))
+        .agg(
+          grouping(col("r_name")).cast("int").as("g_r"),
+          grouping(col("n_name")).cast("int").as("g_n"),
+          count(lit(1)).as("n_cust"),
+          r4(sum(col("c_acctbal"))).as("acctbal")),
+      asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  /** q_agg_cube — full cube over (event_type, day). */
+  def aggCube(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    ord(
+      e.select(col("event_type"),
+               date_trunc("day", col("ts")).cast("date").as("day"),
+               col("value"))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("val")),
+      asc_nulls_first("event_type"), asc_nulls_first("day"))
+  }
+
+  /** q_agg_grouping_sets — explicit sets via SQL (the SQL entry surface). */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select(col("event_type"),
+              date_trunc("day", col("ts")).cast("date").as("day"),
+              col("value"))
+      .createOrReplaceTempView("graft_events_gs")
+    s.sql("""
+      SELECT event_type, day, count(1) AS n, round(sum(value), 4) AS val
+      FROM graft_events_gs
+      GROUP BY GROUPING SETS ((event_type), (day), ())
+      ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
+    """)
+  }
+
+  /** q_sort_limit — global top-k: TakeOrderedAndProject, no full sort of
+    * the 100 TB table (per-partition top-k then merge on driver). */
+  def sortLimit(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** q_union_all — bag union, counted per key. */
+  def unionAll(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    ord(
+      c.unionByName(sup).groupBy(col("nationkey")).agg(count(lit(1)).as("n")),
+      col("nationkey"))
+  }
+
+  /** q_union_distinct — set union. */
+  def unionDistinct(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    ord(c.unionByName(sup).distinct(), col("nationkey"))
+  }
+
+  /** q_intersect — set intersection. */
+  def intersect(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    ord(c.intersect(sup), col("nationkey"))
+  }
+
+  /** q_except — set difference. */
+  def exceptOp(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    ord(c.except(sup), col("nationkey"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.{Fin, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions, sessionization, time-bucketed windows
+  * (SURVEY.md §2.5, §2.9 batch forms).
+  *
+  * Scale notes (100 TB): every window here partitions by a real key
+  * (customer / user / event_type) — one shuffle on the partition key,
+  * then a per-partition sort; no global windows (a `Window.orderBy`
+  * without partitionBy would serialize the world onto one task and is
+  * banned engine-wide). Sessionization is the flagship GA semantic:
+  * a single shuffle on user_id + linear scan per user — the same shape
+  * Structured Streaming's session_window uses incrementally
+  * (graft.streaming.StreamingOps).
+  */
+object WindowOps {
+  import Fin._
+
+  /** q_window_rank — row_number/rank/dense_rank per customer, top-1 by
+    * totalprice (tie-broken on o_orderkey so the hash-compare is stable). */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord(
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+               row_number().over(w).as("rn"),
+               rank().over(w).as("rk"),
+               dense_rank().over(w).as("drk"))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                col("rn"), col("rk"), col("drk")),
+      col("o_custkey"))
+  }
+
+  /** q_window_running — running sum + 3-row moving average per customer
+    * (GA cumulative metrics). */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    ord(
+      o.select(col("o_custkey"), col("o_orderkey"),
+               r4(sum(col("o_totalprice"))
+                 .over(w.rowsBetween(Window.unboundedPreceding, 0))).as("running"),
+               r4(avg(col("o_totalprice"))
+                 .over(w.rowsBetween(-2, 0))).as("mavg3")),
+      col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** q_window_range_frame — RANGE frame of 1 day preceding, ordered by
+    * integral epoch seconds for cross-engine frame parity. */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_sec"))
+      .rangeBetween(-86400, 0)
+    ord(
+      e.select(col("event_id"), col("event_type"), col("value"),
+               epochSec(col("ts")).as("ts_sec"))
+        .select(col("event_id"), r4(sum(col("value")).over(w)).as("day_sum")),
+      col("event_id"))
+  }
+
+  /** q_window_lag — gap to previous event + next event type per user
+    * (the sessionization input signal). */
+  def windowLag(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ord(
+      e.select(col("event_id"), col("user_id"), col("ts"),
+               epochSec(col("ts")).as("ts_sec"), col("event_type"))
+        .withColumn("gap_sec", col("ts_sec") - lag(col("ts_sec"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("gap_sec"), col("next_type")),
+      col("event_id"))
+  }
+
+  /** q_topk_per_group — top-3 parts by revenue within each brand.
+    * Ordering uses the ROUNDED revenue (both engines agree to 4dp) with
+    * p_partkey tie-break, so ulp-level sum differences can't flip ranks. */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    val rev = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    ord(
+      rev.select(col("p_brand"), col("p_partkey"), col("revenue"),
+                 row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3),
+      col("p_brand"), col("rn"))
+  }
+
+  /** q_sessionize — FLAGSHIP #2: 30-min-inactivity sessions per user.
+    * gap > 1800s (strict) starts a new session; session id = running
+    * count of session-start flags. One shuffle on user_id, two window
+    * passes, one aggregation — linear at any scale. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = e
+      .select(col("user_id"), col("event_id"), col("value"),
+              epochSec(col("ts")).as("ts_sec"), col("ts"))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    ord(
+      withGap.groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts_sec")).as("start_sec"),
+             max(col("ts_sec")).as("end_sec"),
+             count(lit(1)).as("n_events"),
+             r4(sum(col("value"))).as("session_value")),
+      col("user_id"), col("sid"))
+  }
+
+  /** q_window_tumbling — 1-day tumbling windows × event_type (batch form
+    * of the streaming aggregation in graft.streaming). */
+  def windowTumbling(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    ord(
+      e.groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+                col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("val")),
+      col("day"), col("event_type"))
+  }
+
+  /** q_window_sliding — 1-hour windows sliding 30 min. Uses Spark's
+    * `window()` generator; each event lands in exactly two windows.
+    * Emitted as epoch seconds (integral) for oracle parity. */
+  def windowSliding(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    ord(
+      e.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("val"))
+        .select(epochSec(col("window.start")).as("w_start"),
+                col("event_type"), col("n"), col("val")),
+      col("w_start"), col("event_type"))
+  }
+}
