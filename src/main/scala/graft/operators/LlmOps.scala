@@ -48,20 +48,37 @@ object LlmOps {
         i => concat_ws(" ", slice(tokens, i + 1, lit(5)))))
       .otherwise(array())
 
+  /** splitmix64 finalizer — fixed, seed-free constants for the MinHash
+    * "permutation" family (SURVEY.md §7.2 item 4: no Math.random). */
+  private def splitmix64(j: Long): Long = {
+    var z = j + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** q_dedup_minhash — 32-permutation MinHash over word 5-gram shingles,
     * banded 8×4 into LSH buckets; emits candidate near-dup pairs.
     * Non-oracle (order-of-ops-sensitive); property-tested in the suite:
-    * planted near-duplicates collide, disjoint texts don't. */
+    * planted near-duplicates collide, disjoint texts don't.
+    *
+    * Perf shape: each shingle is hashed ONCE (xxhash64), then the 32
+    * permutations are XOR-with-constant over those longs. The hashed
+    * array is materialized behind a repartition barrier — without it,
+    * Catalyst's projection collapse would inline the shingle construction
+    * into every band/perm reference (measured 25× slowdown at sf0.01). */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val sh = docs
+    val hs = docs
       .select(col("doc_id"), shingles5(split(col("text"), " ")).as("sh"))
       .filter(size(col("sh")) > 0)
-    // minhash_j = min over shingles of xxhash64(shingle, j); constant
-    // "permutation" seeds j = 0..31 (deterministic across runs).
-    val mh = sh.select(col("doc_id"),
-      transform(sequence(lit(0), lit(31)),
-        j => array_min(transform(col("sh"), t => xxhash64(t, j)))).as("mh"))
+      .select(col("doc_id"), transform(col("sh"), t => xxhash64(t)).as("hs"))
+      .repartition(col("doc_id")) // materialization barrier (see scaladoc)
+    // minhash_j = min over shingle-hashes of (h XOR c_j)
+    val perms = (0 until 32).map { j =>
+      array_min(transform(col("hs"), h => h.bitwiseXOR(lit(splitmix64(j)))))
+    }
+    val mh = hs.select(col("doc_id"), array(perms: _*).as("mh"))
     // 8 bands × 4 rows: band signature = hash of the 4-minhash slice.
     val banded = mh.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(7)),
@@ -111,10 +128,16 @@ object LlmOps {
     * be quadratic at 100 TB. */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // repartition = exchange barrier: the ngram arrays are built once and
+    // the shuffle output is REUSED by both self-join branches + the size
+    // lookups (ReuseExchange) — without it every branch re-derives the
+    // ngrams from raw text (measured ~4× the work at sf0.1).
     val ng = docs.select(col("doc_id"), col("lang"), col("source"),
         ngrams3(split(col("text"), " ")).as("ng"))
       .filter(size(col("ng")) > 0)
-    val sizes = ng.select(col("doc_id"), size(col("ng")).as("nsz"))
+      .withColumn("nsz", size(col("ng")))
+      .repartition(col("doc_id"))
+    val sizes = ng.select(col("doc_id"), col("nsz"))
     val ex = ng.select(col("doc_id"), col("lang"), col("source"),
       explode(col("ng")).as("g"))
     val l = ex.select(col("lang"), col("source"), col("g"), col("doc_id").as("d1"))
@@ -134,25 +157,33 @@ object LlmOps {
       .limit(20)
   }
 
-  /** Cosine similarity of two double-array columns, computed with the
-    * exact same association order both engines use:
-    * dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))). */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  /** dot(a,b) with left-to-right accumulation in f64 — the same
+    * association order DuckDB's list_dot_product uses. */
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity: dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))). */
+  private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+
+  /** Cosine with precomputed norms (sqrt(dot(v,v)) carried as a column):
+    * mathematically identical to `cosine`, but the O(pairs) join does one
+    * dot per pair instead of three — the form that survives scale. */
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   /** q_dedup_embcos — embedding-cosine near-duplicate pairs within each
     * label block; global top-20 most-similar pairs. */
   def dedupEmbcos(s: SparkSession, d: String): DataFrame = {
     val em = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    val a = em.select(col("label"), col("vec_id").as("v1"), col("v").as("va"))
-    val b = em.select(col("label").as("label2"), col("vec_id").as("v2"), col("v").as("vb"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .repartition(col("label")) // materialize v+nrm once, not per pair
+    val a = em.select(col("label"), col("vec_id").as("v1"), col("v").as("va"), col("nrm").as("na"))
+    val b = em.select(col("label").as("label2"), col("vec_id").as("v2"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, a("label") === b("label2") && col("v1") < col("v2"))
       .select(col("label"), col("v1"), col("v2"),
-              r4(cosine(col("va"), col("vb"))).as("sim"))
+              r4(cosinePre(col("va"), col("vb"), col("na"), col("nb"))).as("sim"))
       .orderBy(col("sim").desc, col("v1"), col("v2"))
       .limit(20)
   }
@@ -165,11 +196,12 @@ object LlmOps {
   def similarityTopk(s: SparkSession, d: String): DataFrame = {
     val em = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val q = em.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val j = em.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-              r4(cosine(col("qv"), col("v"))).as("sim"))
+              r4(cosinePre(col("qv"), col("v"), col("qn"), col("nrm"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     ord(
       j.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5),
@@ -191,11 +223,13 @@ object LlmOps {
     val em = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bucket", signBucket(col("v")))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val q = em.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("bucket").as("qb"), col("nrm").as("qn"))
     val j = em.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-              r4(cosine(col("qv"), col("v"))).as("sim"))
+              r4(cosinePre(col("qv"), col("v"), col("qn"), col("nrm"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     ord(
       j.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3),

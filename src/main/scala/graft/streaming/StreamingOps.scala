@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9): the Spark-native form
+  * of the reference's incremental high-water-mark sync — watermarks
+  * replace the "max loaded timestamp" bookkeeping, checkpoints replace
+  * the idempotent re-load hash, `dropDuplicatesWithinWatermark` replaces
+  * the synthetic row-id dedup.
+  *
+  * These are test-driven only (no DuckDB oracle can run a stream): the
+  * scalatest suite asserts streaming output == the batch §2.9 queries on
+  * the same data, plus watermark late-data semantics.
+  *
+  * 100 TB note: all three are keyed stateful ops — state is partitioned
+  * by (window/session, key) and bounded by the watermark, so state size
+  * is O(active windows × keys), not O(stream length).
+  */
+object StreamingOps {
+  /** Streaming fixture schema: µs timestamps (what Spark itself writes);
+    * the batch `events` table differs only in its ns physical encoding. */
+  val eventsMicros: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet event slices. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsMicros).parquet(dir)
+
+  /** Tumbling 1-day counts — streaming form of q_window_tumbling. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("val"))
+      .select(col("window.start").cast("date").as("day"), col("event_type"),
+              col("n"), col("val"))
+
+  /** 30-min-inactivity sessions — streaming form of q_sessionize.
+    * NOTE boundary semantics: session_window treats a gap of EXACTLY the
+    * gap duration as a new session ([t, t+30m) windows don't overlap),
+    * while the batch query uses gap > 30min. Equal on any data without
+    * exact-1800.000000s gaps (true of the µs-random test events). */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("session_value"))
+      .select(col("session_window.start").as("start"), col("user_id"),
+              col("n_events"), col("session_value"))
+
+  /** Idempotent ingest: duplicate event_ids arriving within the
+    * watermark horizon are dropped — the reference's hash-id dedup,
+    * Spark-native. */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{WindowOps, JoinOps, LlmOps}
+
+/** Handcrafted edge-case fixtures (SURVEY.md §5.2): session boundaries,
+  * as-of strictness, dedup winner determinism. */
+class OperatorEdgeSpec extends AnyFunSuite {
+  import TestBase._
+
+  test("sessionize: gap == 1800s stays in session, > 1800s splits; singleton user") {
+    val dir = tmpDir("sess")
+    val t0 = 1700000000L
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      eventRow(1, t0, 1, "view", 1.0),
+      eventRow(2, t0 + 1800, 1, "view", 2.0),  // exactly 30 min: same session
+      eventRow(3, t0 + 1800 + 1801, 1, "view", 3.0), // 1801s gap: new session
+      eventRow(4, t0, 2, "view", 5.0)          // singleton user
+    ))
+    val out = WindowOps.sessionize(spark, dir).collect()
+    val u1 = out.filter(_.getLong(0) == 1).map(r => (r.getLong(1), r.getLong(4)))
+    assert(u1.toSeq == Seq((1L, 2L), (2L, 1L)), s"got ${u1.toSeq}")
+    val u2 = out.filter(_.getLong(0) == 2)
+    assert(u2.length == 1 && u2.head.getLong(4) == 1)
+    // invariant: every event lands in exactly one session
+    assert(out.map(_.getLong(4)).sum == 4)
+  }
+
+  test("asof: purchase with no prior event gets null; immediate predecessor wins") {
+    val dir = tmpDir("asof")
+    val t0 = 1700000000L
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      eventRow(10, t0, 1, "purchase", 1.0),       // first event: no prior
+      eventRow(11, t0 + 10, 1, "click", 1.0),
+      eventRow(12, t0 + 20, 1, "view", 1.0),
+      eventRow(13, t0 + 30, 1, "purchase", 1.0)   // prior = 12 (view)
+    ))
+    val out = JoinOps.joinAsof(spark, dir).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(10).isNullAt(2), "first purchase must have null prev")
+    assert(byId(13).getLong(2) == 12 && byId(13).getString(3) == "view")
+  }
+
+  test("dedup exact: min doc_id survives among normalized duplicates; idempotent counts") {
+    val dir = tmpDir("dedup")
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(5L, "Hello World  ", "en", "s0", 13L),
+      Row(3L, "  hello world", "en", "s0", 13L), // same after lower+trim? no: inner spaces differ
+      Row(7L, "hello world", "en", "s0", 11L),   // dup of 3 after trim+lower? "hello world" vs "  hello world"→"hello world": yes
+      Row(9L, "unique text", "fr", "s1", 11L)
+    ))
+    val out = LlmOps.dedupExact(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "hello world" (3,7 dup → 1 survivor), "Hello World  "→"hello world  "? lower(trim)
+    // trim removes outer spaces: "Hello World  " → "hello world" too ⇒ 5,3,7 all dup
+    assert(out("en") == 1 && out("fr") == 1, s"got $out")
+  }
+
+  test("minhash: planted near-duplicates collide, disjoint texts do not") {
+    val dir = tmpDir("mh")
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val disjoint = (1 to 60).map(i => s"other$i").mkString(" ")
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, base, "en", "s0", base.length.toLong),
+      Row(2L, nearDup, "en", "s0", nearDup.length.toLong),
+      Row(3L, disjoint, "en", "s0", disjoint.length.toLong)
+    ))
+    val pairs = collectSet(LlmOps.dedupMinhash(spark, dir))
+    assert(pairs.contains(Seq(1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p.contains(3L)), s"disjoint doc bucketed: $pairs")
+  }
+
+  test("minhash is deterministic across runs") {
+    val a = collectSet(LlmOps.dedupMinhash(spark, sf0001))
+    val b = collectSet(LlmOps.dedupMinhash(spark, sf0001))
+    assert(a == b)
+  }
+
+  test("approx distinct within 5% of exact") {
+    val approx = graft.operators.RelationalOps.aggApproxDistinct(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.operators.RelationalOps.aggDistinct(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.05, s"$k: approx=$ap exact=$ex")
+    }
+  }
+
+  test("sort_limit: deterministic under ties (tie-break on key)") {
+    val out1 = graft.operators.RelationalOps.sortLimit(spark, sf0001).collect().toSeq
+    val out2 = graft.operators.RelationalOps.sortLimit(spark, sf0001).collect().toSeq
+    assert(out1 == out2 && out1.size == 10)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+
+/** Streaming == batch equivalence + watermark semantics (SURVEY.md §5.4).
+  * Drives Structured Streaming over per-slice parquet dirs with an
+  * availableNow-style synchronous drain into a memory sink.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestBase._
+
+  /** Write the sf0.001 events (µs form) into n parquet slices. */
+  private def sliceEvents(n: Int): String = {
+    val dir = tmpDir("stream_src")
+    val ev = Tables.events(spark, sf0001)
+    ev.withColumn("slice", (col("event_id") % n).cast("int"))
+      .repartition(col("slice"))
+      .write.mode("overwrite").partitionBy("slice").parquet(dir)
+    dir
+  }
+
+  private def runToMemory(out: DataFrame, name: String,
+                          mode: String): DataFrame = {
+    val q = out.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("streaming tumbling window == batch aggregation") {
+    val src = sliceEvents(4)
+    val stream = StreamingOps.readEventStream(spark, src)
+      .drop("slice")
+    val got = runToMemory(StreamingOps.tumblingCounts(stream),
+      "t_tumbling", "complete")
+    val want = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("val"))
+    assert(collectSet(got) == collectSet(want))
+  }
+
+  test("streaming session_window == batch sessionize (session count + event totals)") {
+    val src = sliceEvents(3)
+    val stream = StreamingOps.readEventStream(spark, src).drop("slice")
+    val got = runToMemory(StreamingOps.sessionAgg(stream), "t_sessions", "complete")
+    val batch = graft.operators.WindowOps.sessionize(spark, sf0001)
+    // same number of sessions per user and same total event count
+    val gotPerUser = got.groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+      sum(col("n_events")).as("n_ev"))
+    val wantPerUser = batch.groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+      sum(col("n_events")).as("n_ev"))
+    assert(collectSet(gotPerUser) == collectSet(wantPerUser))
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed events") {
+    val dir = tmpDir("dup_src")
+    val t0 = 1700000000L
+    val rows = Seq(
+      Row(1L, new java.sql.Timestamp(t0 * 1000L), 1L, "view", 1.0, "{}"),
+      Row(1L, new java.sql.Timestamp(t0 * 1000L), 1L, "view", 1.0, "{}"), // replay
+      Row(2L, new java.sql.Timestamp((t0 + 60) * 1000L), 1L, "click", 2.0, "{}")
+    )
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        StreamingOps.eventsMicros)
+      .write.mode("overwrite").parquet(dir)
+    val stream = StreamingOps.readEventStream(spark, dir)
+    val got = runToMemory(StreamingOps.dedupedStream(stream), "t_dedup", "append")
+    assert(got.count() == 2, "replayed event_id must be dropped")
+  }
+
+  test("late data beyond the watermark is dropped from append-mode aggregation") {
+    val dir = tmpDir("late_src")
+    val t0 = 1700000000L // batch 1: events up to t0+3h, watermark → t0+2h
+    val b1 = Seq(
+      Row(1L, new java.sql.Timestamp(t0 * 1000L), 1L, "view", 1.0, "{}"),
+      Row(2L, new java.sql.Timestamp((t0 + 3 * 3600) * 1000L), 1L, "view", 1.0, "{}"))
+    // batch 2: an event 2 days EARLIER than the watermark — must be dropped
+    val b2 = Seq(
+      Row(3L, new java.sql.Timestamp((t0 - 2 * 86400) * 1000L), 1L, "view", 9.0, "{}"))
+    def write(rows: Seq[Row], f: String): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        StreamingOps.eventsMicros).write.mode("append").parquet(dir)
+    write(b1, "b1")
+    val agg = StreamingOps.tumblingCounts(
+      StreamingOps.readEventStream(spark, dir))
+    // single long-lived query: watermark from micro-batch 1 (t0+3h - 1h)
+    // must drop the far-late event arriving in micro-batch 2
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("t_late").start()
+    q.processAllAvailable()
+    write(b2, "b2")
+    q.processAllAvailable()
+    q.stop()
+    val lateRows = spark.table("t_late").filter(col("val") === 9.0).count()
+    assert(lateRows == 0, "late event beyond watermark must be dropped")
+  }
+}
