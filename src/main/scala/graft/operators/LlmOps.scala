@@ -166,24 +166,25 @@ object LlmOps {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Cosine with precomputed norms (sqrt(dot(v,v)) carried as a column):
-    * mathematically identical to `cosine`, but the O(pairs) join does one
-    * dot per pair instead of three — the form that survives scale. */
-  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
-    dot(a, b) / (na * nb)
+  /** Codegen'd single-pass cosine (graft.functions.CosineSimilarity) —
+    * used on every O(pairs) similarity join; bit-compatible with the
+    * HOF/oracle formulation. */
+  private def cosineFast(s: SparkSession, a: Column, b: Column): Column = {
+    graft.functions.CosineSimilarity.register(s)
+    call_function("cosine_sim", a, b)
+  }
 
   /** q_dedup_embcos — embedding-cosine near-duplicate pairs within each
     * label block; global top-20 most-similar pairs. */
   def dedupEmbcos(s: SparkSession, d: String): DataFrame = {
     val em = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .repartition(col("label")) // materialize v+nrm once, not per pair
-    val a = em.select(col("label"), col("vec_id").as("v1"), col("v").as("va"), col("nrm").as("na"))
-    val b = em.select(col("label").as("label2"), col("vec_id").as("v2"), col("v").as("vb"), col("nrm").as("nb"))
+      .repartition(col("label")) // co-locate the per-label blocks
+    val a = em.select(col("label"), col("vec_id").as("v1"), col("v").as("va"))
+    val b = em.select(col("label").as("label2"), col("vec_id").as("v2"), col("v").as("vb"))
     a.join(b, a("label") === b("label2") && col("v1") < col("v2"))
       .select(col("label"), col("v1"), col("v2"),
-              r4(cosinePre(col("va"), col("vb"), col("na"), col("nb"))).as("sim"))
+              r4(cosineFast(s, col("va"), col("vb"))).as("sim"))
       .orderBy(col("sim").desc, col("v1"), col("v2"))
       .limit(20)
   }
@@ -196,12 +197,11 @@ object LlmOps {
   def similarityTopk(s: SparkSession, d: String): DataFrame = {
     val em = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val q = em.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val j = em.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-              r4(cosinePre(col("qv"), col("v"), col("qn"), col("nrm"))).as("sim"))
+              r4(cosineFast(s, col("qv"), col("v"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     ord(
       j.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5),
@@ -223,13 +223,11 @@ object LlmOps {
     val em = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bucket", signBucket(col("v")))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val q = em.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-              col("bucket").as("qb"), col("nrm").as("qn"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
     val j = em.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-              r4(cosinePre(col("qv"), col("v"), col("qn"), col("nrm"))).as("sim"))
+              r4(cosineFast(s, col("qv"), col("v"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     ord(
       j.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3),

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (the "is this the plan you'd want at 100 TB"
+  * gate): predicate pushdown reaches the parquet scan, column pruning
+  * narrows ReadSchema, broadcast hints pin BroadcastHashJoin, the
+  * flagship aggregation is whole-stage-codegen'd, and a date-partitioned
+  * layout prunes partitions (SURVEY.md §4).
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestBase._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_scan_filter pushes predicates into the parquet scan") {
+    val p = plan(graft.operators.RelationalOps.scanFilter(spark, sf0001))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), "returnflag filter not pushed:\n" + p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity"), "quantity range not pushed:\n" + p)
+  }
+
+  test("q_scan_project prunes columns at the scan (ReadSchema narrow)") {
+    val p = plan(graft.operators.RelationalOps.scanProject(spark, sf0001))
+    val read = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_discount"))
+    assert(!read.contains("l_shipdate") && !read.contains("l_returnflag"),
+      "scan reads columns the query never uses: " + read)
+  }
+
+  test("q_join_broadcast pins BroadcastHashJoin for both dims") {
+    val p = plan(graft.operators.JoinOps.joinBroadcast(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to SMJ:\n" + p)
+  }
+
+  test("q_agg_pricing: flagship is whole-stage-codegen'd partial+final hash agg") {
+    val df = graft.operators.RelationalOps.aggPricing(spark, sf0001)
+    val cg = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen"), cg.take(500))
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expected partial+final agg:\n" + p)
+  }
+
+  test("q_similarity_topk broadcasts the tiny query side") {
+    val p = plan(graft.operators.LlmOps.similarityTopk(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("date-partitioned layout prunes partitions under a year filter") {
+    val dir = tmpDir("part_layout")
+    Tables.orders(spark, sf0001)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("o_year") === 1996)
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters:"), p)
+    assert(p.contains("(o_year = 1996)") || p.contains("o_year#"), p)
+    // runtime proof: only the 1996 partition's rows are scanned
+    val n1996 = pruned.count()
+    val total = spark.read.parquet(dir).count()
+    assert(n1996 > 0 && n1996 < total)
+  }
+}
