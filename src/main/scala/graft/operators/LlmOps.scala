@@ -133,7 +133,9 @@ object LlmOps {
     // lookups (ReuseExchange) — without it every branch re-derives the
     // ngrams from raw text (measured ~4× the work at sf0.1).
     val ng = docs.select(col("doc_id"), col("lang"), col("source"),
-        ngrams3(split(col("text"), " ")).as("ng"))
+        // shuffle 8-byte ngram hashes, not ngram strings (collision odds
+        // ~n²/2⁶⁴ — immaterial; xxhash64 is deterministic)
+        transform(ngrams3(split(col("text"), " ")), g => xxhash64(g)).as("ng"))
       .filter(size(col("ng")) > 0)
       .withColumn("nsz", size(col("ng")))
       .repartition(col("doc_id"))
