@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.operators.{LlmOps, WindowOps}
+
+/** Algebraic laws (SURVEY.md §5.3) over generated fixtures:
+  * dedup idempotency, sessionization invariants, union additivity.
+  * Sample counts are small — each sample runs real Spark jobs. */
+object PropertySpec extends Properties("graft") {
+  import TestBase._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private val word = Gen.oneOf("join", "filter", "window", "group", "scan",
+    "sort", "hash", "merge", "read", "write")
+  private val text = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  property("exact dedup survivors == distinct normalized texts, and is idempotent") =
+    forAll(Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, text))) { texts =>
+      val dir = tmpDir("prop_dedup")
+      val rows = texts.zipWithIndex.map { case (t, i) =>
+        Row(i.toLong, t, "en", "s0", t.length.toLong)
+      }
+      writeTable(dir, "documents", documentsSchema, rows)
+      val out = LlmOps.dedupExact(spark, dir).collect()
+      val survivors = out.map(_.getLong(1)).sum
+      val expected = texts.map(_.toLowerCase.trim).distinct.size
+      // idempotency: running dedup on already-unique texts keeps them all
+      val dir2 = tmpDir("prop_dedup2")
+      val uniq = texts.map(_.toLowerCase.trim).distinct.zipWithIndex
+        .map { case (t, i) => Row(i.toLong, t, "en", "s0", t.length.toLong) }
+      writeTable(dir2, "documents", documentsSchema, uniq)
+      val survivors2 = LlmOps.dedupExact(spark, dir2).collect().map(_.getLong(1)).sum
+      survivors == expected && survivors2 == expected
+    }
+
+  private val eventsGen: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 30)
+    rows <- Gen.listOfN(n, for {
+      user <- Gen.chooseNum(1L, 3L)
+      off <- Gen.chooseNum(0L, 20000L)
+    } yield (user, off))
+  } yield rows.zipWithIndex.map { case ((u, o), i) => (i.toLong, u, 1700000000L + o) }
+
+  property("sessionize: events partition exactly into sessions; session spans respect the gap") =
+    forAll(eventsGen) { evs =>
+      val dir = tmpDir("prop_sess")
+      writeTable(dir, "events", eventsNsSchema,
+        evs.map { case (id, u, ts) => eventRow(id, ts, u, "view", 1.0) })
+      val sessions = WindowOps.sessionize(spark, dir).collect()
+      val totalEvents = sessions.map(_.getLong(4)).sum
+      // per (user, session): start <= end; sessions of one user don't overlap
+      val byUser = sessions.groupBy(_.getLong(0))
+      val ordered = byUser.forall { case (_, ss) =>
+        val sorted = ss.sortBy(_.getLong(1))
+        sorted.forall(r => r.getLong(2) <= r.getLong(3)) &&
+          sorted.sliding(2).forall {
+            case Array(a, b) => b.getLong(2) - a.getLong(3) > 1800
+            case _ => true
+          }
+      }
+      totalEvents == evs.size && ordered
+    }
+
+  property("union-all count additivity over generated key sets") =
+    forAll(Gen.listOf(Gen.chooseNum(0, 5)), Gen.listOf(Gen.chooseNum(0, 5))) { (a, b) =>
+      import spark.implicits._
+      val da = a.toDF("k"); val db = b.toDF("k")
+      da.unionByName(db).count() == a.size + b.size
+    }
+}
