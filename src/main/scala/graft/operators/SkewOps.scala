@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (SURVEY.md §7.5 / the 100 TB brief).
+  *
+  * AQE's OptimizeSkewedJoin splits oversized shuffle partitions at
+  * runtime and is the first line of defense (enabled by default).
+  * These manual forms cover the cases AQE cannot fix:
+  *  - a single group key so hot that even one partition of it spills
+  *    (salted two-phase aggregation);
+  *  - a broadcast-ineligible dim joined on a skewed fact key
+  *    (salt-replicated join).
+  *
+  * Salting is deterministic here (hash of a stable row key, not rand()):
+  * re-runs produce identical partitioning, keeping the engine's
+  * idempotency contract.
+  */
+object SkewOps {
+
+  /** Deterministic salt in [0, salts) from a stable row key. */
+  def saltCol(stableKey: Column, salts: Int): Column =
+    pmod(xxhash64(stableKey), lit(salts.toLong)).cast("int")
+
+  /** Two-phase aggregation for skewed keys: partial aggregate on
+    * (key, salt) spreads a hot key over `salts` reducers, then a final
+    * merge on key. Works for any algebraic aggregate passed as
+    * (partialAgg, mergeAgg) column builders. */
+  def saltedSumCount(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      stableKey: String,
+      salts: Int = 16): DataFrame = {
+    df.withColumn("_salt", saltCol(col(stableKey), salts))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n"))
+  }
+
+  /** Skewed-fact ⋈ small-dim equi-join without broadcast: the fact side
+    * gets a deterministic salt, the dim side is replicated `salts`
+    * times, and the join key becomes (key, salt) — a hot key now lands
+    * on `salts` reducers instead of one. Dim replication cost is
+    * |dim| × salts, so keep the dim small (else broadcast was the
+    * answer anyway). */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      factStableKey: String,
+      salts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_salt", saltCol(col(factStableKey), salts))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
+}
