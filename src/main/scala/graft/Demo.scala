@@ -52,6 +52,13 @@ object Demo {
         dateBucket = Some("week")))
     println(s"[demo] weekly report over the sink:")
     report.show(30, truncate = false)
+
+    // skew path: hot-key aggregation via deterministic salting
+    val salted = graft.operators.SkewOps.saltedSumCount(
+      events, key = "event_type", valueCol = "value",
+      stableKey = "event_id", salts = 8)
+    println(s"[demo] salted hot-key aggregation:")
+    salted.orderBy(col("event_type")).show(10, truncate = false)
     spark.stop()
   }
 }
