@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M}
+import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M, ReportShapeOps => P}
 import graft.functions.{ScalarOps => F}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding declaration).
@@ -91,7 +91,13 @@ object SparkEntry {
     // §2.9 sessionization + time windows (batch forms)
     "q_sessionize" -> (W.sessionize _),
     "q_window_tumbling" -> (W.windowTumbling _),
-    "q_window_sliding" -> (W.windowSliding _)
+    "q_window_sliding" -> (W.windowSliding _),
+    // report shaping (r1 additions)
+    "q_pivot" -> (P.pivotEvents _),
+    "q_unpivot" -> (P.unpivotSummary _),
+    "q_percentile" -> (P.percentiles _),
+    "q_ntile_first_last" -> (P.ntileFirstLast _),
+    "q_stats_agg" -> (P.statsAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -546,6 +552,51 @@ object SparkEntry {
                        UNION ALL
                        SELECT w_start - 1800, event_type, value FROM w0)
          SELECT w_start, event_type, count(*) AS n, round(sum(value), 4) AS val
-         FROM both_w GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM both_w GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_pivot" ->
+      """SELECT user_id,
+                round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+                round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+                round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+                round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+                round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+                              round(sum(l_quantity), 4) AS sum_qty,
+                              round(sum(l_extendedprice), 4) AS sum_price,
+                              round(avg(l_discount), 4) AS avg_disc
+                       FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, metric, value FROM (
+           SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+           UNION ALL
+           SELECT l_returnflag, 'sum_price', sum_price FROM wide
+           UNION ALL
+           SELECT l_returnflag, 'avg_disc', avg_disc FROM wide) t
+         ORDER BY l_returnflag, metric""",
+    "q_percentile" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_ntile_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                first_value(o_orderkey) OVER wf AS first_ok,
+                last_value(o_orderkey) OVER wf AS last_ok
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey),
+                wf AS (PARTITION BY o_custkey
+                       ORDER BY o_totalprice, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""",
+    "q_stats_agg" ->
+      """SELECT event_type,
+                round(stddev_samp(value), 4) AS sd_value,
+                round(var_samp(value), 4) AS var_value,
+                round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+                round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_vu
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

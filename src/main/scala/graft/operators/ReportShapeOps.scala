@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{Fin, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Report-shaping operators: pivot/unpivot (the wide↔long reshapes every
+  * BI layer over GA-style data needs), percentiles, ntile/first/last
+  * windows, and statistical aggregates (SURVEY.md §2 additions, r1).
+  */
+object ReportShapeOps {
+  import Fin._
+
+  /** Event types pinned for the pivot — an explicit value list keeps the
+    * output schema static (no extra distinct-scan, deterministic column
+    * order; at 100 TB an implicit pivot would scan once just to discover
+    * columns). */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q_pivot — wide per-user report: one column per event_type. Users
+    * without a type get NULL (sum over empty set), matching the oracle's
+    * ELSE-less CASE. */
+  def pivotEvents(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    ord(
+      e.groupBy(col("user_id"))
+        .pivot("event_type", EventTypes)
+        .agg(r4(sum(col("value")))),
+      col("user_id"))
+  }
+
+  /** q_unpivot — long form of a per-flag summary via stack() (the
+    * Generator-based melt). */
+  def unpivotSummary(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val wide = li.groupBy(col("l_returnflag"))
+      .agg(r4(sum(col("l_quantity"))).as("sum_qty"),
+           r4(sum(col("l_extendedprice"))).as("sum_price"),
+           r4(avg(col("l_discount"))).as("avg_disc"))
+    ord(
+      wide.select(col("l_returnflag"),
+        expr("stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, 'avg_disc', avg_disc) AS (metric, value)")),
+      col("l_returnflag"), col("metric"))
+  }
+
+  /** q_percentile — exact interpolated percentiles per group (median +
+    * p90). NOTE at 100 TB the exact form needs a full sort per group;
+    * approx_percentile is the scale path (same API shape). */
+  def percentiles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    ord(
+      li.groupBy(col("l_returnflag"))
+        .agg(r4(expr("percentile(l_extendedprice, 0.5)")).as("median_price"),
+             r4(expr("percentile(l_extendedprice, 0.9)")).as("p90_price")),
+      col("l_returnflag"))
+  }
+
+  /** q_ntile_first_last — quartile assignment + per-partition first/last
+    * (full frame for last_value — the default frame would be a bug). */
+  def ntileFirstLast(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ord(
+      o.select(col("o_orderkey"), col("o_custkey"),
+               ntile(4).over(w).as("quartile"),
+               first(col("o_orderkey")).over(full).as("first_ok"),
+               last(col("o_orderkey")).over(full).as("last_ok")),
+      col("o_orderkey"))
+  }
+
+  /** q_stats_agg — sample stddev/variance, correlation, covariance per
+    * event_type (all algebraic — single-pass partial aggregates). */
+  def statsAgg(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val uid = col("user_id").cast("double")
+    ord(
+      e.groupBy(col("event_type"))
+        .agg(r4(stddev_samp(col("value"))).as("sd_value"),
+             r4(var_samp(col("value"))).as("var_value"),
+             r4(corr(col("value"), uid)).as("corr_vu"),
+             r4(covar_samp(col("value"), uid)).as("cov_vu")),
+      col("event_type"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.DataSources
+
+/** CSV/JSON/ORC round trips are lossless against the parquet source,
+  * and the flagship aggregation computes identical results over every
+  * format (format-independence of the engine). */
+class SourcesSpec extends AnyFunSuite {
+  import TestBase._
+
+  test("orders round-trips through csv, json, and orc losslessly") {
+    val orders = Tables.orders(spark, sf0001)
+    val base = collectSet(orders)
+
+    val csvDir = tmpDir("src_csv")
+    DataSources.writeCsv(orders, csvDir)
+    assert(collectSet(DataSources.readCsv(spark, csvDir, Schemas.orders)) == base, "csv")
+
+    val jsonDir = tmpDir("src_json")
+    DataSources.writeJson(orders, jsonDir)
+    assert(collectSet(DataSources.readJson(spark, jsonDir, Schemas.orders)) == base, "json")
+
+    val orcDir = tmpDir("src_orc")
+    DataSources.writeOrc(orders, orcDir)
+    assert(collectSet(DataSources.readOrc(spark, orcDir, Schemas.orders)) == base, "orc")
+  }
+
+  test("flagship aggregation is format-independent") {
+    val li = Tables.lineitem(spark, sf0001)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      collectSet(df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("q"),
+             count(lit(1)).as("n")))
+    val want = agg(li)
+    val orcDir = tmpDir("src_orc_li")
+    DataSources.writeOrc(li, orcDir)
+    assert(agg(DataSources.readOrc(spark, orcDir, Schemas.lineitem)) == want)
+    val csvDir = tmpDir("src_csv_li")
+    DataSources.writeCsv(li, csvDir)
+    assert(agg(DataSources.readCsv(spark, csvDir, Schemas.lineitem)) == want)
+  }
+
+  test("FAILFAST surfaces malformed csv rows instead of nulling them") {
+    val dir = tmpDir("src_bad")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "bad.csv"),
+      "o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority\n1,2,O,notanumber,2024-01-01T00:00:00.000000Z,1-URGENT\n".getBytes)
+    val ex = intercept[Exception] {
+      DataSources.readCsv(spark, dir, Schemas.orders).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("malformed") ||
+      ex.getCause != null, s"expected a parse failure, got: ${ex.getMessage}")
+  }
+}
