@@ -60,4 +60,40 @@ object StreamingOps {
   def dedupedStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Input/state/output records for the custom-state operator. */
+  case class UserEvent(user_id: Long, ts_sec: Long, value: Double)
+  case class UserProfile(n_events: Long, total_value: Double, last_seen_sec: Long)
+  case class ProfileUpdate(user_id: Long, n_events: Long,
+                           total_value: Double, last_seen_sec: Long)
+
+  /** Custom arbitrary-state operator via mapGroupsWithState: maintain an
+    * incrementally-updated per-user profile (event count, value total,
+    * last-seen) — the GA "user dimension table", kept fresh without
+    * recomputing history. State is one small record per active user,
+    * partitioned by user_id across executors.
+    *
+    * (flatMapGroupsWithState is the same API surface with multi-row
+    * output; session_window in sessionAgg covers the session case with
+    * engine-managed state, which is preferred when it fits.) */
+  def userProfileState(spark: SparkSession, events: DataFrame)
+      : org.apache.spark.sql.Dataset[ProfileUpdate] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.functions.unix_timestamp
+    events
+      .select($"user_id", unix_timestamp($"ts").as("ts_sec"), $"value")
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[UserEvent], state: GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(UserProfile(0L, 0.0, Long.MinValue))
+          val next = evs.foldLeft(prev) { (p, e) =>
+            UserProfile(p.n_events + 1, p.total_value + e.value,
+              math.max(p.last_seen_sec, e.ts_sec))
+          }
+          state.update(next)
+          ProfileUpdate(user, next.n_events, next.total_value, next.last_seen_sec)
+      }
+  }
 }

@@ -57,6 +57,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(collectSet(gotPerUser) == collectSet(wantPerUser))
   }
 
+  test("mapGroupsWithState user profiles converge to the batch aggregate") {
+    val src = sliceEvents(4)
+    val stream = StreamingOps.readEventStream(spark, src).drop("slice")
+    val updates = StreamingOps.userProfileState(spark, stream).toDF()
+    val q = updates.writeStream.outputMode("update")
+      .format("memory").queryName("t_profiles")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // latest update per user == batch profile
+    val got = spark.table("t_profiles")
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"))
+    val want = Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    assert(collectSet(got) == collectSet(want))
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed events") {
     val dir = tmpDir("dup_src")
     val t0 = 1700000000L
