@@ -61,8 +61,10 @@ object StreamingOps {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Input/state/output records for the custom-state operator. */
-  case class UserEvent(user_id: Long, ts_sec: Long, value: Double)
+  /** Input/state/output records for the custom-state operator. The raw
+    * `ts` rides along because the watermark annotation must reach the
+    * stateful operator for EventTimeTimeout to work. */
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserProfile(n_events: Long, total_value: Double, last_seen_sec: Long)
   case class ProfileUpdate(user_id: Long, n_events: Long,
                            total_value: Double, last_seen_sec: Long)
@@ -70,30 +72,42 @@ object StreamingOps {
   /** Custom arbitrary-state operator via mapGroupsWithState: maintain an
     * incrementally-updated per-user profile (event count, value total,
     * last-seen) — the GA "user dimension table", kept fresh without
-    * recomputing history. State is one small record per active user,
-    * partitioned by user_id across executors.
+    * recomputing history. State is one small record per ACTIVE user:
+    * users idle past `idleEvictAfter` of event time are evicted via
+    * EventTimeTimeout as the watermark advances, so state size is
+    * O(active users), not O(users ever seen).
     *
     * (flatMapGroupsWithState is the same API surface with multi-row
     * output; session_window in sessionAgg covers the session case with
     * engine-managed state, which is preferred when it fits.) */
-  def userProfileState(spark: SparkSession, events: DataFrame)
+  def userProfileState(spark: SparkSession, events: DataFrame,
+                       idleEvictAfterSec: Long = 30 * 86400L)
       : org.apache.spark.sql.Dataset[ProfileUpdate] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    import org.apache.spark.sql.functions.unix_timestamp
     events
-      .select($"user_id", unix_timestamp($"ts").as("ts_sec"), $"value")
+      .withWatermark("ts", "1 hour")
+      .select($"user_id", $"ts", $"value")
       .as[UserEvent]
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
         (user: Long, evs: Iterator[UserEvent], state: GroupState[UserProfile]) =>
-          val prev = state.getOption.getOrElse(UserProfile(0L, 0.0, Long.MinValue))
-          val next = evs.foldLeft(prev) { (p, e) =>
-            UserProfile(p.n_events + 1, p.total_value + e.value,
-              math.max(p.last_seen_sec, e.ts_sec))
+          if (state.hasTimedOut) {
+            // idle past the eviction horizon: emit the final profile and
+            // drop the state record
+            val last = state.get
+            state.remove()
+            ProfileUpdate(user, last.n_events, last.total_value, last.last_seen_sec)
+          } else {
+            val prev = state.getOption.getOrElse(UserProfile(0L, 0.0, Long.MinValue))
+            val next = evs.foldLeft(prev) { (p, e) =>
+              UserProfile(p.n_events + 1, p.total_value + e.value,
+                math.max(p.last_seen_sec, e.ts.getTime / 1000L))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp((next.last_seen_sec + idleEvictAfterSec) * 1000L)
+            ProfileUpdate(user, next.n_events, next.total_value, next.last_seen_sec)
           }
-          state.update(next)
-          ProfileUpdate(user, next.n_events, next.total_value, next.last_seen_sec)
       }
   }
 }

@@ -61,16 +61,18 @@ class StreamingSpec extends AnyFunSuite {
     val src = sliceEvents(4)
     val stream = StreamingOps.readEventStream(spark, src).drop("slice")
     val updates = StreamingOps.userProfileState(spark, stream).toDF()
-    val q = updates.writeStream.outputMode("update")
-      .format("memory").queryName("t_profiles")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    // latest update per user == batch profile
+    runToMemory(updates, "t_profiles", "update")
+    // latest update per user == batch profile, on ALL profile fields
     val got = spark.table("t_profiles")
       .groupBy("user_id")
-      .agg(max(col("n_events")).as("n_events"))
+      .agg(max(col("n_events")).as("n_events"),
+           round(max(col("total_value")), 4).as("total_value"),
+           max(col("last_seen_sec")).as("last_seen_sec"))
     val want = Tables.events(spark, sf0001)
-      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("total_value"),
+           max(unix_timestamp(col("ts"))).as("last_seen_sec"))
     assert(collectSet(got) == collectSet(want))
   }
 
