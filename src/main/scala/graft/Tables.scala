@@ -13,10 +13,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (date-partitioned layout, SURVEY.md §7.5) with no query changes.
   */
 object Tables {
+  /** Deliberate session side effect: the driver harness builds its own
+    * SparkSession (Verify/Bench) that this library cannot configure up
+    * front, so the two confs every query depends on are pinned at first
+    * read (guarded — no churn on repeat calls). µs parquet output makes
+    * driver-side DuckDB compares see the same timestamp unit the oracle
+    * emits. */
+  private def ensureConf(spark: SparkSession, key: String, value: String): Unit =
+    if (!spark.conf.getOption(key).contains(value)) spark.conf.set(key, value)
+
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // µs parquet output so driver-side pyarrow/duckdb compares see the
-    // same physical unit as the DuckDB oracle's result timestamps.
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    ensureConf(spark, "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.read.schema(Schemas.all(name)).parquet(s"$dir/$name.parquet")
   }
 
@@ -32,7 +39,7 @@ object Tables {
     * (`DIV`, not `/` — a double division would lose precision at 1.7e18)
     * to µs TimestampType, identical to DuckDB's `ts::TIMESTAMP`. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureConf(s, "spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     read(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

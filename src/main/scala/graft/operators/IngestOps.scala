@@ -24,7 +24,10 @@ object IngestOps {
   /** Deterministic synthetic row id from the identifying columns —
     * idempotent re-loads dedup on it (the reference's hash id). */
   def rowId(keyCols: Seq[String]) =
-    sha2(concat_ws("", keyCols.map(col): _*), 256)
+    // JSON of a NAMED struct, not concatenation: this can never merge
+    // adjacent values and it preserves NULLs (concat_ws drops them),
+    // so distinct key tuples cannot collide
+    sha2(to_json(struct(keyCols.map(col): _*)), 256)
 
   /** Append to `sinkDir` only source rows that are (a) newer than the
     * sink's high-water mark minus `overlapSlackSec` and (b) not already
@@ -38,9 +41,11 @@ object IngestOps {
       keyCols: Seq[String],
       overlapSlackSec: Long = 3600): Long = {
     val src = source.withColumn("row_id", rowId(keyCols))
-    val sinkExists = new java.io.File(sinkDir).exists() &&
-      new java.io.File(sinkDir).listFiles() != null &&
-      new java.io.File(sinkDir).listFiles().nonEmpty
+    // filesystem-agnostic existence check (java.io.File would always say
+    // "no" for hdfs:// or s3a:// sinks and silently re-append everything)
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sinkExists = fs.exists(sinkPath) && fs.listStatus(sinkPath).nonEmpty
     val fresh =
       if (!sinkExists) src
       else {
@@ -57,9 +62,14 @@ object IngestOps {
           candidates.join(recentIds, Seq("row_id"), "left_anti")
         }
       }
-    val n = fresh.count()
-    if (n > 0)
-      fresh.write.mode(SaveMode.Append).parquet(sinkDir)
-    n
+    // persist: count + write would otherwise each re-run the full
+    // source-scan + sink-scan + anti-join plan
+    fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0)
+        fresh.write.mode(SaveMode.Append).parquet(sinkDir)
+      n
+    } finally fresh.unpersist()
   }
 }

@@ -159,15 +159,6 @@ object LlmOps {
       .limit(20)
   }
 
-  /** dot(a,b) with left-to-right accumulation in f64 — the same
-    * association order DuckDB's list_dot_product uses. */
-  private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-
-  /** Cosine similarity: dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))). */
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-
   /** Codegen'd single-pass cosine (graft.functions.CosineSimilarity) —
     * used on every O(pairs) similarity join; bit-compatible with the
     * HOF/oracle formulation. */

@@ -25,8 +25,9 @@ object SkewOps {
 
   /** Two-phase aggregation for skewed keys: partial aggregate on
     * (key, salt) spreads a hot key over `salts` reducers, then a final
-    * merge on key. Works for any algebraic aggregate passed as
-    * (partialAgg, mergeAgg) column builders. */
+    * merge on key. This instance computes sum + count (the pattern
+    * generalizes to any algebraic aggregate whose partials merge —
+    * sum/count/min/max — by swapping the two agg stages). */
   def saltedSumCount(
       df: DataFrame,
       key: String,

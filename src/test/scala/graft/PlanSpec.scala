@@ -58,8 +58,10 @@ class PlanSpec extends AnyFunSuite {
       .write.mode("overwrite").partitionBy("o_year").parquet(dir)
     val pruned = spark.read.parquet(dir).filter(col("o_year") === 1996)
     val p = plan(pruned)
-    assert(p.contains("PartitionFilters:"), p)
-    assert(p.contains("(o_year = 1996)") || p.contains("o_year#"), p)
+    // the filter must appear on the PartitionFilters line itself — a
+    // looser contains() would match any plan referencing the column
+    val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("o_year"), "o_year not in PartitionFilters: " + p)
     // runtime proof: only the 1996 partition's rows are scanned
     val n1996 = pruned.count()
     val total = spark.read.parquet(dir).count()

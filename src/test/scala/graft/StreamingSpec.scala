@@ -62,12 +62,16 @@ class StreamingSpec extends AnyFunSuite {
     val stream = StreamingOps.readEventStream(spark, src).drop("slice")
     val updates = StreamingOps.userProfileState(spark, stream).toDF()
     runToMemory(updates, "t_profiles", "update")
-    // latest update per user == batch profile, on ALL profile fields
+    // latest update per user == batch profile, on ALL profile fields.
+    // "latest" = the update with max n_events (monotonic); max over the
+    // struct orders by it, so this stays correct even with negative
+    // event values where total_value is non-monotonic.
     val got = spark.table("t_profiles")
       .groupBy("user_id")
-      .agg(max(col("n_events")).as("n_events"),
-           round(max(col("total_value")), 4).as("total_value"),
-           max(col("last_seen_sec")).as("last_seen_sec"))
+      .agg(max(struct(col("n_events"), col("total_value"), col("last_seen_sec"))).as("p"))
+      .select(col("user_id"), col("p.n_events").as("n_events"),
+              round(col("p.total_value"), 4).as("total_value"),
+              col("p.last_seen_sec").as("last_seen_sec"))
     val want = Tables.events(spark, sf0001)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
