@@ -81,6 +81,7 @@ object SparkEntry {
     "q_dedup_embcos" -> (L.dedupEmbcos _),
     "q_similarity_topk" -> (L.similarityTopk _),
     "q_similarity_lsh" -> (L.similarityLsh _),
+    "q_similarity_ivf" -> (L.similarityIvf _),
     "q_embedding_centroid" -> (L.embeddingCentroid _),
     "q_text_stats" -> (L.textStats _),
     "q_text_quality" -> (L.textQuality _),
@@ -454,6 +455,31 @@ object SparkEntry {
                                   (sqrt(list_dot_product(qv, qv)) *
                                    sqrt(list_dot_product(v, v))), 4) AS sim
                      FROM bk JOIN q ON bucket = qb AND vec_id <> q_id),
+            rk AS (SELECT q_id, n_id, sim,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, n_id) AS INT) AS rn
+                   FROM sims)
+         SELECT q_id, n_id, sim, rn FROM rk WHERE rn <= 3 ORDER BY q_id, rn""",
+    "q_similarity_ivf" ->
+      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS c_id, v AS cv FROM em WHERE vec_id < 8),
+            scored AS (SELECT e.vec_id, e.v, c.c_id,
+                              round(list_dot_product(e.v, c.cv) /
+                                    (sqrt(list_dot_product(e.v, e.v)) *
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) AS csim
+                       FROM em e, cent c),
+            assigned AS (SELECT vec_id, v, c_id
+                         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, c_id) AS rn FROM scored) t
+                         WHERE rn = 1),
+            q AS (SELECT vec_id AS q_id, v AS qv, c_id AS qc
+                  FROM assigned WHERE vec_id < 10),
+            sims AS (SELECT q_id, a.vec_id AS n_id,
+                            round(list_dot_product(qv, a.v) /
+                                  (sqrt(list_dot_product(qv, qv)) *
+                                   sqrt(list_dot_product(a.v, a.v))), 4) AS sim
+                     FROM assigned a JOIN q
+                       ON a.c_id = qc AND a.vec_id <> q_id),
             rk AS (SELECT q_id, n_id, sim,
                           CAST(row_number() OVER (PARTITION BY q_id
                             ORDER BY sim DESC, n_id) AS INT) AS rn

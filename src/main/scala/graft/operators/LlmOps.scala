@@ -227,6 +227,42 @@ object LlmOps {
       col("q_id"), col("rn"))
   }
 
+  /** q_similarity_ivf — IVF-style ANN: a coarse codebook of 8 centroids
+    * (deterministically the first 8 vectors — a k-means codebook would
+    * drop in unchanged), every vector assigned to its nearest centroid
+    * (argmax cosine, ties by centroid id), queries probe their own cell
+    * (nprobe=1) and exact-rerank top-3 inside it.
+    *
+    * Scale shape: assignment is a broadcast join against k centroids
+    * (O(N·k), embarrassingly parallel); search touches only ~N/k
+    * candidates per query instead of N. Recall improves with nprobe —
+    * kept at 1 here for a deterministic oracle. */
+  def similarityIvf(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = em.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("c_id"))
+    val assigned = em.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("c_id"),
+              r4(cosineFast(s, col("v"), col("cv"))).as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c_id").as("qc"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    ord(
+      assigned.join(broadcast(q),
+          col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+                r4(cosineFast(s, col("qv"), col("v"))).as("sim"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 3),
+      col("q_id"), col("rn"))
+  }
+
   /** q_embedding_centroid — per-label 64-dim centroid as
     * (label, pos, component) rows via posexplode. */
   def embeddingCentroid(s: SparkSession, d: String): DataFrame = {
