@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-hashing expressions for the dedup operators.
+  *
+  * The declarative formulation (nested `transform`/`array_min` over
+  * shingle arrays) evaluates interpreted Catalyst lambdas per element
+  * and allocates intermediate arrays per permutation; these expressions
+  * do the whole per-document computation in one tight loop. Hash values
+  * are IDENTICAL to the declarative version (xxhash64 seed 42 over the
+  * shingle bytes, XOR-splitmix64 permutations), so results don't change
+  * — only the evaluation cost.
+  *
+  * CodegenFallback is deliberate: the per-row work (hundreds of hashes)
+  * dwarfs the boxing overhead, and it keeps the implementation a plain
+  * Scala loop.
+  */
+private[functions] object TextHash {
+  final val Seed = 42L
+
+  def splitmix64(j: Long): Long = {
+    var z = j + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def hashUtf8(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), Seed)
+
+  /** Hashes of all n-grams (tokens joined by single spaces), in order. */
+  def ngramHashes(text: UTF8String, n: Int): Array[Long] = {
+    val tokens = text.toString.split(" ", -1)
+    if (tokens.length < n) return Array.emptyLongArray
+    val out = new Array[Long](tokens.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= tokens.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(tokens(i + k))
+        k += 1
+      }
+      out(i) = hashUtf8(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    out
+  }
+}
+
+/** minhash_sig(text): 32-permutation MinHash signature over word
+  * 5-gram shingles, or NULL when the document has < 5 tokens. */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = TextHash.ngramHashes(input.asInstanceOf[UTF8String], 5)
+    if (hs.isEmpty) return null
+    val sig = new Array[Long](32)
+    var j = 0
+    while (j < 32) {
+      val c = TextHash.splitmix64(j.toLong)
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = hs(i) ^ c
+        if (v < mn) mn = v
+        i += 1
+      }
+      sig(j) = mn
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
+}
+
+/** ngram_hashes(text): DISTINCT hashed word 3-grams (order of first
+  * occurrence), or NULL when the document has < 3 tokens. */
+case class NgramHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = TextHash.ngramHashes(input.asInstanceOf[UTF8String], 3)
+    if (hs.isEmpty) return null
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < hs.length) { seen.add(hs(i)); i += 1 }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NgramHashes = copy(c)
+}
+
+object TextHashExprs {
+  /** Register minhash_sig + ngram_hashes in the session registry. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_hashes", exprs => NgramHashes(exprs.head), "built-in")
+  }
+}

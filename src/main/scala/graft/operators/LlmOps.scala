@@ -41,44 +41,24 @@ object LlmOps {
       col("lang"))
   }
 
-  /** Word 5-gram shingles of a token-array column (empty when < 5 tokens). */
-  private def shingles5(tokens: Column): Column =
-    when(size(tokens) >= 5,
-      transform(sequence(lit(0), size(tokens) - 5),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(5)))))
-      .otherwise(array())
-
-  /** splitmix64 finalizer — fixed, seed-free constants for the MinHash
-    * "permutation" family (SURVEY.md §7.2 item 4: no Math.random). */
-  private def splitmix64(j: Long): Long = {
-    var z = j + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   /** q_dedup_minhash — 32-permutation MinHash over word 5-gram shingles,
     * banded 8×4 into LSH buckets; emits candidate near-dup pairs.
     * Non-oracle (order-of-ops-sensitive); property-tested in the suite:
     * planted near-duplicates collide, disjoint texts don't.
     *
-    * Perf shape: each shingle is hashed ONCE (xxhash64), then the 32
-    * permutations are XOR-with-constant over those longs. The hashed
-    * array is materialized behind a repartition barrier — without it,
-    * Catalyst's projection collapse would inline the shingle construction
-    * into every band/perm reference (measured 25× slowdown at sf0.01). */
+    * Perf shape: the whole signature is computed by the single-pass
+    * MinHashSig expression (graft.functions.TextHashExprs) — one
+    * compiled loop per document instead of nested interpreted lambdas.
+    * The signature is still materialized behind a repartition barrier so
+    * Catalyst's projection collapse cannot inline it into every band
+    * reference (measured 25× slowdown without it at sf0.01). */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextHashExprs.register(s)
     val docs = Tables.documents(s, d)
-    val hs = docs
-      .select(col("doc_id"), shingles5(split(col("text"), " ")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), transform(col("sh"), t => xxhash64(t)).as("hs"))
+    val mh = docs
+      .select(col("doc_id"), call_function("minhash_sig", col("text")).as("mh"))
+      .filter(col("mh").isNotNull)
       .repartition(col("doc_id")) // materialization barrier (see scaladoc)
-    // minhash_j = min over shingle-hashes of (h XOR c_j)
-    val perms = (0 until 32).map { j =>
-      array_min(transform(col("hs"), h => h.bitwiseXOR(lit(splitmix64(j)))))
-    }
-    val mh = hs.select(col("doc_id"), array(perms: _*).as("mh"))
     // 8 bands × 4 rows: band signature = hash of the 4-minhash slice.
     val banded = mh.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(7)),
@@ -132,11 +112,12 @@ object LlmOps {
     // the shuffle output is REUSED by both self-join branches + the size
     // lookups (ReuseExchange) — without it every branch re-derives the
     // ngrams from raw text (measured ~4× the work at sf0.1).
+    graft.functions.TextHashExprs.register(s)
     val ng = docs.select(col("doc_id"), col("lang"), col("source"),
-        // shuffle 8-byte ngram hashes, not ngram strings (collision odds
-        // ~n²/2⁶⁴ — immaterial; xxhash64 is deterministic)
-        transform(ngrams3(split(col("text"), " ")), g => xxhash64(g)).as("ng"))
-      .filter(size(col("ng")) > 0)
+        // distinct 8-byte ngram hashes from the single-pass NgramHashes
+        // expression (collision odds ~n²/2⁶⁴ — immaterial; deterministic)
+        call_function("ngram_hashes", col("text")).as("ng"))
+      .filter(col("ng").isNotNull)
       .withColumn("nsz", size(col("ng")))
       .repartition(col("doc_id"))
     val sizes = ng.select(col("doc_id"), col("nsz"))
