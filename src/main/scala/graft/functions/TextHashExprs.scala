@@ -120,12 +120,64 @@ case class NgramHashes(child: Expression)
   override protected def withNewChildInternal(c: Expression): NgramHashes = copy(c)
 }
 
+/** min_md5_ngram(text): lexicographic minimum of md5-hex over all word
+  * 3-grams — the document fingerprint — or NULL when < 3 tokens.
+  * Byte-identical to min(md5(ngram)) computed declaratively or by the
+  * DuckDB oracle (md5 hex is engine-independent). */
+case class MinMd5Ngram(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_md5_ngram"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"min_md5_ngram expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (tokens.length < 3) return null
+    val md = MinMd5Ngram.digest.get()
+    val hex = "0123456789abcdef"
+    var best: String = null
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= tokens.length - 3) {
+      sb.setLength(0)
+      sb.append(tokens(i)).append(' ').append(tokens(i + 1))
+        .append(' ').append(tokens(i + 2))
+      md.reset()
+      val dg = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = new Array[Char](32)
+      var k = 0
+      while (k < 16) {
+        out(2 * k) = hex.charAt((dg(k) >> 4) & 0xf)
+        out(2 * k + 1) = hex.charAt(dg(k) & 0xf)
+        k += 1
+      }
+      val h = new String(out)
+      if (best == null || h.compareTo(best) < 0) best = h
+      i += 1
+    }
+    UTF8String.fromString(best)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinMd5Ngram = copy(c)
+}
+
+object MinMd5Ngram {
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+}
+
 object TextHashExprs {
-  /** Register minhash_sig + ngram_hashes in the session registry. */
+  /** Register the text-hash expressions in the session registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_hashes", exprs => NgramHashes(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_md5_ngram", exprs => MinMd5Ngram(exprs.head), "built-in")
   }
 }

@@ -95,13 +95,6 @@ object LlmOps {
       col("doc_id"))
   }
 
-  /** Distinct word 3-grams per document. */
-  private def ngrams3(tokens: Column): Column =
-    when(size(tokens) >= 3,
-      array_distinct(transform(sequence(lit(0), size(tokens) - 3),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(3))))))
-      .otherwise(array())
-
   /** q_dedup_ngram — word-3-gram Jaccard similarity between document
     * pairs within the same (lang, source) block; top-20 pairs.
     * Blocking keeps the pair space linear-ish — the all-pairs form would
@@ -306,11 +299,11 @@ object LlmOps {
     * md5(word-3-gram) (a MinHash-style rolling fingerprint; md5 hex is
     * byte-identical across engines so string-min is oracle-stable). */
   def fingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextHashExprs.register(s)
     val docs = Tables.documents(s, d)
-    val ng = ngrams3(split(col("text"), " "))
     ord(
       docs.select(col("doc_id"),
-          array_min(transform(ng, g => md5(g))).as("fp"))
+          call_function("min_md5_ngram", col("text")).as("fp"))
         .filter(col("fp").isNotNull),
       col("doc_id"))
   }
