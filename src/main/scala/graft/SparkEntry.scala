@@ -442,11 +442,7 @@ object SparkEntry {
                           (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END +
                            CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
                            CASE WHEN v[3] > 0 THEN 4 ELSE 0 END +
-                           CASE WHEN v[4] > 0 THEN 8 ELSE 0 END +
-                           CASE WHEN v[5] > 0 THEN 16 ELSE 0 END +
-                           CASE WHEN v[6] > 0 THEN 32 ELSE 0 END +
-                           CASE WHEN v[7] > 0 THEN 64 ELSE 0 END +
-                           CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+                           CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
                    FROM em),
             q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb
                   FROM bk WHERE vec_id < 10),

@@ -175,11 +175,15 @@ object LlmOps {
       col("q_id"), col("rn"))
   }
 
-  /** Sign-pattern LSH bucket from the first 8 vector components
+  /** Sign-pattern LSH bucket from the first 4 vector components
     * (random-hyperplane LSH with axis-aligned planes — deterministic and
-    * expressible identically in both engines). */
+    * expressible identically in both engines). 4 bits = 16 buckets:
+    * measured recall vs brute force collapses with finer buckets at the
+    * test cardinalities (8 bits / 256 buckets → ~2 vectors per bucket →
+    * near-random candidates); at production scale the bit count grows
+    * with ~log2(N / target-bucket-size). */
   private def signBucket(vecD: Column): Column =
-    (0 until 8).map(i =>
+    (0 until 4).map(i =>
       when(element_at(vecD, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
