@@ -63,6 +63,9 @@ case class MinHashSig(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  // can return null for a NON-null input (< n tokens): must declare it,
+  // or IsNotNull filters on the output constant-fold away
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -98,6 +101,9 @@ case class NgramHashes(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ngram_hashes"
+  // can return null for a NON-null input (< n tokens): must declare it,
+  // or IsNotNull filters on the output constant-fold away
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -128,6 +134,9 @@ case class MinMd5Ngram(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
   override def prettyName: String = "min_md5_ngram"
+  // can return null for a NON-null input (< n tokens): must declare it,
+  // or IsNotNull filters on the output constant-fold away
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -138,8 +147,9 @@ case class MinMd5Ngram(child: Expression)
     val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     if (tokens.length < 3) return null
     val md = MinMd5Ngram.digest.get()
-    val hex = "0123456789abcdef"
-    var best: String = null
+    // lowercase-hex order == unsigned-byte order of the raw digest, so
+    // compare digests directly and hex-encode only the winner
+    var best: Array[Byte] = null
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i <= tokens.length - 3) {
@@ -148,18 +158,18 @@ case class MinMd5Ngram(child: Expression)
         .append(' ').append(tokens(i + 2))
       md.reset()
       val dg = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val out = new Array[Char](32)
-      var k = 0
-      while (k < 16) {
-        out(2 * k) = hex.charAt((dg(k) >> 4) & 0xf)
-        out(2 * k + 1) = hex.charAt(dg(k) & 0xf)
-        k += 1
-      }
-      val h = new String(out)
-      if (best == null || h.compareTo(best) < 0) best = h
+      if (best == null || MinMd5Ngram.unsignedLt(dg, best)) best = dg
       i += 1
     }
-    UTF8String.fromString(best)
+    val hex = "0123456789abcdef"
+    val out = new Array[Char](32)
+    var k = 0
+    while (k < 16) {
+      out(2 * k) = hex.charAt((best(k) >> 4) & 0xf)
+      out(2 * k + 1) = hex.charAt(best(k) & 0xf)
+      k += 1
+    }
+    UTF8String.fromString(new String(out))
   }
 
   override protected def withNewChildInternal(c: Expression): MinMd5Ngram = copy(c)
@@ -168,6 +178,17 @@ case class MinMd5Ngram(child: Expression)
 object MinMd5Ngram {
   private val digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
+
+  private[functions] def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
 }
 
 object TextHashExprs {

@@ -37,7 +37,7 @@ class AnnRecallSpec extends AnyFunSuite {
     // structural guarantees (robust to the random embedding geometry):
     // every approximate neighbor list is deduped, excludes self, and at
     // least one query's candidates intersect the brute-force truth
-    (lsh ++ ivf).foreach { case (q, ns) =>
+    (lsh.toSeq ++ ivf.toSeq).foreach { case (q, ns) =>
       assert(!ns.contains(q), s"query $q returned itself")
       assert(ns.distinct == ns, s"query $q returned duplicates")
     }
