@@ -49,6 +49,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: spark dump unreadable: {e}")
             n_fail += 1
             continue
+        # The driver's checker sorts rows with pandas and dies on top-level
+        # array columns (unhashable numpy.ndarray) — reject them here too so
+        # the local mirror is exactly as strict as the real gate.
+        arr_cols = [c for c in spark.columns
+                    if spark[c].map(lambda v: hasattr(v, "tolist")
+                                    or isinstance(v, (list, tuple))).any()]
+        if arr_cols:
+            print(f"FAIL {name}: top-level array columns {arr_cols} "
+                  "(driver checker cannot hash these — emit scalar rows)")
+            n_fail += 1
+            continue
         o = oracle[sorted(oracle.columns)]
         s = spark[sorted(spark.columns)]
         if list(o.columns) != list(s.columns):

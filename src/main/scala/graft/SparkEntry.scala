@@ -97,13 +97,16 @@ object SparkEntry {
     "q_pivot" -> (P.pivotEvents _),
     "q_unpivot" -> (P.unpivotSummary _),
     "q_percentile" -> (P.percentiles _),
+    "q_percentile_approx" -> (P.percentilesApprox _),
     "q_ntile_first_last" -> (P.ntileFirstLast _),
     "q_stats_agg" -> (P.statsAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted: q_agg_approx_distinct,
-    * q_dedup_minhash (non-oracle by design). */
+    * q_dedup_minhash, q_percentile_approx (non-oracle by design —
+    * approximate / sketch-based; each is tolerance-checked in the
+    * scalatest suite instead). */
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
@@ -358,9 +361,10 @@ object SparkEntry {
          WHERE length(token) > 0
          GROUP BY 1 ORDER BY n DESC, token LIMIT 20""",
     "q_map_funcs" ->
-      """SELECT list(event_type ORDER BY event_type) AS ks,
-                list(n ORDER BY event_type) AS vs
-         FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1) t""",
+      """SELECT CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT) AS pos,
+                event_type AS k, n
+         FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1) t
+         ORDER BY pos""",
     "q_udf_scalar" ->
       """SELECT band, count(*) AS n
          FROM (SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
@@ -398,9 +402,12 @@ object SparkEntry {
                           list_distinct(list_transform(range(1, len(toks) - 1),
                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
                    FROM base),
-            nz AS (SELECT doc_id, lang, source, ngs, len(ngs) AS nsz
+            nz AS (SELECT doc_id, lang, source, ngs
                    FROM ng WHERE len(ngs) > 0),
-            ex AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
+            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
+            df AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
+            ex AS (SELECT ex0.* FROM ex0 JOIN df USING (g) WHERE df <= 100),
+            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
             inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
                              count(*) AS inter
                       FROM ex a JOIN ex b
@@ -409,7 +416,7 @@ object SparkEntry {
                       GROUP BY 1, 2)
          SELECT d1, d2,
                 round(CAST(inter AS DOUBLE) / (s1.nsz + s2.nsz - inter), 4) AS jaccard
-         FROM inter JOIN nz s1 ON s1.doc_id = d1 JOIN nz s2 ON s2.doc_id = d2
+         FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
          ORDER BY jaccard DESC, d1, d2 LIMIT 20""",
     "q_dedup_embcos" ->
       """SELECT label, v1, v2, sim
@@ -438,19 +445,23 @@ object SparkEntry {
          SELECT q_id, n_id, sim, rn FROM rk WHERE rn <= 5 ORDER BY q_id, rn""",
     "q_similarity_lsh" ->
       """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            bk AS (SELECT vec_id, v,
-                          (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END +
-                           CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
-                           CASE WHEN v[3] > 0 THEN 4 ELSE 0 END +
-                           CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
-                   FROM em),
-            q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb
-                  FROM bk WHERE vec_id < 10),
-            sims AS (SELECT q_id, vec_id AS n_id,
-                            round(list_dot_product(qv, v) /
-                                  (sqrt(list_dot_product(qv, qv)) *
-                                   sqrt(list_dot_product(v, v))), 4) AS sim
-                     FROM bk JOIN q ON bucket = qb AND vec_id <> q_id),
+            tb AS (SELECT vec_id, t,
+                          (CASE WHEN v[CAST(t*4+1 AS INT)] > 0 THEN 1 ELSE 0 END +
+                           CASE WHEN v[CAST(t*4+2 AS INT)] > 0 THEN 2 ELSE 0 END +
+                           CASE WHEN v[CAST(t*4+3 AS INT)] > 0 THEN 4 ELSE 0 END +
+                           CASE WHEN v[CAST(t*4+4 AS INT)] > 0 THEN 8 ELSE 0 END) AS bucket
+                   FROM em, range(0, 8) r(t)),
+            q AS (SELECT vec_id AS q_id, t AS qt, bucket AS qbk
+                  FROM tb WHERE vec_id < 10),
+            cand AS (SELECT DISTINCT q_id, tb.vec_id AS n_id
+                     FROM tb JOIN q ON tb.t = qt AND tb.bucket = qbk
+                                   AND tb.vec_id <> q_id),
+            sims AS (SELECT q_id, n_id,
+                            round(list_dot_product(qe.v, ne.v) /
+                                  (sqrt(list_dot_product(qe.v, qe.v)) *
+                                   sqrt(list_dot_product(ne.v, ne.v))), 4) AS sim
+                     FROM cand JOIN em qe ON qe.vec_id = q_id
+                               JOIN em ne ON ne.vec_id = n_id),
             rk AS (SELECT q_id, n_id, sim,
                           CAST(row_number() OVER (PARTITION BY q_id
                             ORDER BY sim DESC, n_id) AS INT) AS rn

@@ -106,16 +106,21 @@ object ScalarOps {
       .limit(20)
   }
 
-  /** q_map_funcs — MapType construction; emitted as aligned sorted
-    * key/value arrays (maps themselves don't hash-compare across
-    * engines — SURVEY.md §2.10 rule 5). */
+  /** q_map_funcs — MapType construction round trip: groupBy → sorted
+    * entries → `map_from_entries` → `posexplode` back to scalar
+    * (pos, k, n) rows. The map is real (MapType in the plan); the OUTPUT
+    * is scalar-only because top-level array/map columns can't be
+    * hash-compared across engines (SURVEY.md §2.10 rule 5 — and the
+    * driver's checker rejects them outright). */
   def mapFuncs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     val counts = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val m = map_from_entries(
       sort_array(collect_list(struct(col("event_type"), col("n")))))
-    counts.agg(m.as("m"))
-      .select(map_keys(col("m")).as("ks"), map_values(col("m")).as("vs"))
+    ord(
+      counts.agg(m.as("m"))
+        .select(posexplode(col("m")).as(Seq("pos", "k", "n"))),
+      col("pos"))
   }
 
   /** q_udf_scalar — the deliberate black-box UDF row (price banding).

@@ -109,15 +109,27 @@ object JoinOps {
   }
 
   /** q_join_range — attribution-window self-join: pairs of events of the
-    * same user within (t, t+1h]. Equi key on user_id keeps this a
-    * shuffled equi-join with a residual range filter — never cartesian. */
+    * same user within (t, t+1h].
+    *
+    * The join key is (user_id, hour_bucket), not bare user_id: a raw
+    * user_id equi-join gives a power user with 10⁶ events ~10¹²
+    * candidate pairs before the residual filter. Bucketing time into
+    * 1-hour cells and probing each left row against its own and the next
+    * cell (left side exploded ×2) bounds candidates to events actually
+    * within ±1h of each other — any (t1, t2] pair with t2 ≤ t1+1h has
+    * bucket(t2) ∈ {bucket(t1), bucket(t1)+1}, and the two probe keys are
+    * distinct so no pair is double-counted. Same answer, same oracle. */
   def joinRange(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
+    val hb1 = floor(col("ts1").cast("long") / 3600)
     val e1 = e.select(col("user_id"), col("ts").as("ts1"))
+      .withColumn("hb", explode(array(hb1, hb1 + 1)))
     val e2 = e.select(col("user_id").as("user_id2"), col("ts").as("ts2"))
+      .withColumn("hb2", floor(col("ts2").cast("long") / 3600))
     ord(
       e1.join(e2,
           e1("user_id") === e2("user_id2") &&
+          col("hb") === col("hb2") &&
           e2("ts2") > e1("ts1") &&
           e2("ts2") <= e1("ts1") + expr("INTERVAL 1 HOUR"))
         .groupBy(col("user_id"))

@@ -29,14 +29,14 @@ object LlmOps {
   // ---------------------------------------------------------------- dedup
 
   /** q_dedup_exact — normalize → sha256 → keep min doc_id per hash →
-    * survivors per lang. */
+    * survivors per lang. `min_by(lang, doc_id)` picks the winner's lang
+    * in the same partial-aggregable shuffle on the hash — no window sort
+    * and no join-back (the window formulation sorted every partition). */
   def dedupExact(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     ord(
       docs.withColumn("h", sha2(lower(trim(col("text"))), 256))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("h")).agg(min_by(col("lang"), col("doc_id")).as("lang"))
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs")),
       col("lang"))
   }
@@ -95,11 +95,27 @@ object LlmOps {
       col("doc_id"))
   }
 
+  /** Document-frequency cap for q_dedup_ngram: a gram present in more
+    * than this many documents is dropped before the inverted-index
+    * self-join. A stop-word 3-gram at web scale sits in ~every document,
+    * so its join key alone contributes O(df²) candidate pairs — AQE can
+    * re-split the skewed partition but cannot shrink the pair count.
+    * High-df grams carry ~no Jaccard signal, so dropping them bounds the
+    * per-key work at a negligible quality cost (standard practice in
+    * MinHash/shingling pipelines). */
+  val NgramMaxDf = 100
+
   /** q_dedup_ngram — word-3-gram Jaccard similarity between document
     * pairs within the same (lang, source) block; top-20 pairs.
     * Blocking keeps the pair space linear-ish — the all-pairs form would
-    * be quadratic at 100 TB. */
-  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    * be quadratic at 100 TB — and the df cap (NgramMaxDf) bounds the
+    * remaining hot-key risk. Jaccard is computed over the FILTERED gram
+    * sets (sizes recomputed post-cap) so it stays an exact set
+    * similarity, mirrored exactly in the DuckDB oracle. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    dedupNgram(s, d, NgramMaxDf)
+
+  def dedupNgram(s: SparkSession, d: String, maxDf: Int): DataFrame = {
     val docs = Tables.documents(s, d)
     // repartition = exchange barrier: the ngram arrays are built once and
     // the shuffle output is REUSED by both self-join branches + the size
@@ -111,11 +127,17 @@ object LlmOps {
         // expression (collision odds ~n²/2⁶⁴ — immaterial; deterministic)
         call_function("ngram_hashes", col("text")).as("ng"))
       .filter(col("ng").isNotNull)
-      .withColumn("nsz", size(col("ng")))
       .repartition(col("doc_id"))
-    val sizes = ng.select(col("doc_id"), col("nsz"))
-    val ex = ng.select(col("doc_id"), col("lang"), col("source"),
+    val ex0 = ng.select(col("doc_id"), col("lang"), col("source"),
       explode(col("ng")).as("g"))
+    // grams are distinct per doc, so count(*) per gram = document
+    // frequency; the hot set is tiny (only ubiquitous grams) and joins
+    // back as a broadcast anti-join.
+    val hot = ex0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("g"))
+    val ex = ex0.join(broadcast(hot), Seq("g"), "left_anti")
+      .repartition(col("doc_id"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsz"))
     val l = ex.select(col("lang"), col("source"), col("g"), col("doc_id").as("d1"))
     val r = ex.select(col("lang").as("lang2"), col("source").as("source2"),
       col("g").as("g2"), col("doc_id").as("d2"))
@@ -175,29 +197,44 @@ object LlmOps {
       col("q_id"), col("rn"))
   }
 
-  /** Sign-pattern LSH bucket from the first 4 vector components
-    * (random-hyperplane LSH with axis-aligned planes — deterministic and
-    * expressible identically in both engines). 4 bits = 16 buckets:
-    * measured recall vs brute force collapses with finer buckets at the
-    * test cardinalities (8 bits / 256 buckets → ~2 vectors per bucket →
-    * near-random candidates); at production scale the bit count grows
-    * with ~log2(N / target-bucket-size). */
-  private def signBucket(vecD: Column): Column =
-    (0 until 4).map(i =>
-      when(element_at(vecD, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
-      .reduce(_ + _)
+  /** Number of independent LSH tables for q_similarity_lsh. A single
+    * sign-LSH table measured recall@3 of only 0.23 vs brute force (an
+    * unlucky hyperplane loses a true neighbor forever); with L tables a
+    * neighbor is missed only if it hashes apart in ALL of them, so
+    * recall ≈ 1-(1-p⁴)^L climbs fast while candidates stay bucketed. */
+  val LshTables = 8
 
-  /** q_similarity_lsh — the scale path: queries join candidates only
-    * within their LSH bucket (equi-join on bucket id), then exact cosine
-    * re-rank top-3. Recall is approximate by design. */
+  /** q_similarity_lsh — multi-table sign LSH, the ANN scale path:
+    * L=8 deterministic 4-bit tables (table t takes the sign pattern of
+    * components 4t+1..4t+4 — axis-aligned hyperplanes, expressible
+    * identically in DuckDB). Candidates are the UNION over tables of
+    * same-bucket vectors (equi-join on (table, bucket) — never
+    * all-pairs), deduped, then exact-cosine re-ranked top-3.
+    *
+    * Scale shape: the table explode is map-side ×8; each join key
+    * (t, bucket) still carries ~N/16 vectors; the dedup is a shuffle on
+    * (q_id, n_id) — all linear in N·L. */
   def similarityLsh(s: SparkSession, d: String): DataFrame = {
     val em = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bucket", signBucket(col("v")))
-    val q = em.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
-    val j = em.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
+    val bucket = (0 until 4).map(i =>
+      when(expr(s"element_at(v, t * 4 + ${i + 1})") > 0, lit(1 << i))
+        .otherwise(lit(0))).reduce(_ + _)
+    val bk = em.select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(LshTables - 1))).as("t"))
+      .withColumn("bucket", bucket)
+      .select(col("vec_id"), col("t"), col("bucket"))
+    val qb = bk.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("t").as("qt"), col("bucket").as("qbk"))
+    val cand = bk.join(broadcast(qb),
+        col("t") === col("qt") && col("bucket") === col("qbk") &&
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    val qv = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id2"), col("v").as("qv"))
+    val j = cand.join(em, cand("n_id") === em("vec_id"))
+      .join(broadcast(qv), col("q_id") === col("q_id2"))
+      .select(col("q_id"), col("n_id"),
               r4(cosineFast(s, col("qv"), col("v"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     ord(

@@ -56,6 +56,20 @@ object ReportShapeOps {
       col("l_returnflag"))
   }
 
+  /** q_percentile_approx — the 100 TB path for q_percentile: a mergeable
+    * quantile sketch (approx_percentile, Greenwald-Khanna style) instead
+    * of the per-group full sort the exact form needs. Non-oracle (sketch
+    * internals are engine-specific); the suite asserts the result within
+    * 1% of the exact percentiles (pattern of q_agg_approx_distinct). */
+  def percentilesApprox(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    ord(
+      li.groupBy(col("l_returnflag"))
+        .agg(r4(expr("approx_percentile(l_extendedprice, 0.5, 10000)")).as("median_price"),
+             r4(expr("approx_percentile(l_extendedprice, 0.9, 10000)")).as("p90_price")),
+      col("l_returnflag"))
+  }
+
   /** q_ntile_first_last — quartile assignment + per-partition first/last
     * (full frame for last_value — the default frame would be a bug). */
   def ntileFirstLast(s: SparkSession, d: String): DataFrame = {

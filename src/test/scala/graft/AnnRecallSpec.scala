@@ -35,14 +35,16 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"IVF precision-vs-brute-top5: $ivfR%.2f over ${ivf.size} queries")
 
     // structural guarantees (robust to the random embedding geometry):
-    // every approximate neighbor list is deduped, excludes self, and at
-    // least one query's candidates intersect the brute-force truth
+    // every approximate neighbor list is deduped and excludes self
     (lsh.toSeq ++ ivf.toSeq).foreach { case (q, ns) =>
       assert(!ns.contains(q), s"query $q returned itself")
       assert(ns.distinct == ns, s"query $q returned duplicates")
     }
     assert(lsh.nonEmpty && ivf.nonEmpty, "approximate paths returned nothing")
-    assert(lshR > 0.0 || ivfR > 0.0,
-      "neither approximate path overlaps brute-force truth at all")
+    // quality bars: single-table sign-LSH measured 0.23 here; the
+    // multi-table union (8 tables × 4 bits) must clear 0.6, and IVF
+    // stays the high-recall path.
+    assert(lshR >= 0.6, f"multi-table LSH recall@3 $lshR%.2f < 0.6")
+    assert(ivfR >= 0.6, f"IVF recall@3 $ivfR%.2f < 0.6")
   }
 }

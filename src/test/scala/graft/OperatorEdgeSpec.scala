@@ -89,6 +89,18 @@ class OperatorEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentile within 1% of exact") {
+    val approx = graft.operators.ReportShapeOps.percentilesApprox(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.operators.ReportShapeOps.percentiles(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (m, p90)) =>
+      val (am, ap90) = approx(k)
+      assert(math.abs(am - m) / m <= 0.01, s"$k median: approx=$am exact=$m")
+      assert(math.abs(ap90 - p90) / p90 <= 0.01, s"$k p90: approx=$ap90 exact=$p90")
+    }
+  }
+
   test("sort_limit: deterministic under ties (tie-break on key)") {
     val out1 = graft.operators.RelationalOps.sortLimit(spark, sf0001).collect().toSeq
     val out2 = graft.operators.RelationalOps.sortLimit(spark, sf0001).collect().toSeq

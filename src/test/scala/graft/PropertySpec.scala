@@ -65,6 +65,31 @@ object PropertySpec extends Properties("graft") {
       totalEvents == evs.size && ordered
     }
 
+  property("ngram dedup: a ubiquitous gram does not explode the pair count") =
+    forAll(Gen.chooseNum(10, 20)) { n =>
+      val dir = tmpDir("prop_ngram")
+      // every doc shares the planted phrase (a hot 3-gram in each);
+      // docs 0 and 1 are near-duplicates of each other; the rest are
+      // pairwise-distinct junk.
+      val shared = "alpha beta gamma delta"
+      val rows = (0 until n).map { i =>
+        val body =
+          if (i == 1) s"dup one two three four five six seven $shared"
+          else if (i == 0) s"dup one two three four five six eight $shared"
+          else s"junk${i}a junk${i}b junk${i}c junk${i}d junk${i}e $shared"
+        Row(i.toLong, body, "en", "s0", body.length.toLong)
+      }
+      writeTable(dir, "documents", documentsSchema, rows)
+      // maxDf = 5 << n: the shared grams are dropped before the
+      // self-join, so the only surviving pairs come from genuinely
+      // shared rare grams — NOT the O(n²) hot-key explosion (every one
+      // of the C(n,2) pairs shares the planted grams).
+      val pairs = LlmOps.dedupNgram(spark, dir, 5).collect()
+      val allPairs = n.toLong * (n - 1) / 2
+      pairs.length < allPairs / 2 &&
+        pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    }
+
   property("union-all count additivity over generated key sets") =
     forAll(Gen.listOf(Gen.chooseNum(0, 5)), Gen.listOf(Gen.chooseNum(0, 5))) { (a, b) =>
       import spark.implicits._

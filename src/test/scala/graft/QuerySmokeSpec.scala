@@ -27,7 +27,8 @@ class QuerySmokeSpec extends AnyFunSuite {
 
   test("only the declared non-oracle queries lack oracle SQL") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_agg_approx_distinct", "q_dedup_minhash"),
+    assert(noOracle == Set("q_agg_approx_distinct", "q_dedup_minhash",
+                           "q_percentile_approx"),
       s"unexpected non-oracle set: $noOracle")
   }
 }
