@@ -29,6 +29,7 @@ object SparkEntry {
     "q_scan_project" -> (R.scanProject _),
     "q_scan_filter" -> (R.scanFilter _),
     "q_scan_multifile" -> (R.scanMultifile _),
+    "q_scan_partitioned" -> (R.scanPartitioned _),
     // §2.2 predicates
     "q_filter_compound" -> (R.filterCompound _),
     "q_case_when" -> (R.caseWhen _),
@@ -125,6 +126,13 @@ object SparkEntry {
          FROM (SELECT o_orderdate AS ts FROM orders
                UNION ALL SELECT ts::TIMESTAMP AS ts FROM events) t
          GROUP BY 1 ORDER BY 1""",
+    "q_scan_partitioned" ->
+      """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
+                event_type, count(*) AS n, round(sum(value), 4) AS val
+         FROM events
+         WHERE CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
+               BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_filter_compound" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
          FROM orders

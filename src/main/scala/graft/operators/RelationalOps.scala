@@ -60,6 +60,35 @@ object RelationalOps {
       col("yr"))
   }
 
+  /** Materialize (once per sfDir, guarded) the day-partitioned copy of
+    * events that q_scan_partitioned reads — the sink half of the
+    * day-split layout (SURVEY.md §7.5). */
+  def partitionedEventsDir(s: SparkSession, d: String): String = synchronized {
+    val dest = "/tmp/graft_events_byday_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    val ok = new org.apache.hadoop.fs.Path(dest + "/_SUCCESS")
+    val fs = ok.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ok))
+      graft.sources.DataSources.writeDatePartitioned(Tables.events(s, d), "ts", dest)
+    dest
+  }
+
+  /** q_scan_partitioned — the day-split layout end to end: events
+    * materialized `partitionBy(day)`, then a 3-day range query whose
+    * filter lands on the PARTITION column — Spark prunes the directory
+    * listing to 3 of 30 day-directories before opening a single file
+    * (PartitionFilters in explain; asserted in PlanSpec). At 100 TB this
+    * is the difference between scanning 3 days and scanning the decade.
+    * The oracle runs the same day-range on the unpartitioned table. */
+  def scanPartitioned(s: SparkSession, d: String): DataFrame = {
+    val byday = graft.sources.DataSources
+      .readDatePartitioned(s, partitionedEventsDir(s, d))
+      .filter(col("day").between(lit("2024-01-10"), lit("2024-01-12")))
+    ord(
+      byday.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("val")),
+      col("day"), col("event_type"))
+  }
+
   /** q_filter_compound — boolean algebra with IN / LIKE / null-safety. */
   def filterCompound(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)

@@ -44,4 +44,42 @@ object DataSources {
 
   def readOrc(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(dir)
+
+  /** Date-partitioned parquet sink — the day-split layout (one directory
+    * per day derived from `tsCol`). At 100 TB this is THE fact-table
+    * layout: a day-range query prunes the directory listing down to the
+    * selected partitions before any file is opened (PartitionFilters),
+    * and incremental loads append whole new day directories
+    * idempotently. */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, to_date}
+    df.withColumn("day", to_date(col(tsCol)))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+  }
+
+  /** Companion reader; `day` comes back as a DateType partition column,
+    * so filters on it prune directories, not rows. */
+  def readDatePartitioned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  private val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  /** JDBC sink (embedded Derby by default — the offline stand-in for the
+    * reference's SQL-database sink). `numPartitions=1` for embedded
+    * Derby only: a real RDBMS takes the default parallel writers. */
+  def writeJdbc(df: DataFrame, url: String, table: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", DerbyDriver)
+      .save()
+
+  /** JDBC source; schema comes from the database's own metadata. */
+  def readJdbc(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", DerbyDriver)
+      .load()
 }

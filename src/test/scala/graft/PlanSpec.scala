@@ -51,6 +51,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_scan_partitioned prunes to the 3 selected day partitions") {
+    val df = graft.operators.RelationalOps.scanPartitioned(spark, sf0001)
+    val p = plan(df)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("day"), "day not in PartitionFilters: " + p)
+    // the data filter must NOT also appear as a pushed data filter —
+    // pruning happens at the listing, rows inside a kept partition are
+    // read without re-filtering on day
+    val dataRows = df.collect()
+    assert(dataRows.nonEmpty)
+    assert(dataRows.map(_.getDate(0).toString).distinct.sorted.toSeq ==
+      Seq("2024-01-10", "2024-01-11", "2024-01-12"))
+  }
+
   test("date-partitioned layout prunes partitions under a year filter") {
     val dir = tmpDir("part_layout")
     Tables.orders(spark, sf0001)

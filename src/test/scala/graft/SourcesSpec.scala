@@ -42,6 +42,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(agg(DataSources.readCsv(spark, csvDir, Schemas.lineitem)) == want)
   }
 
+  test("nation and orders round-trip through an embedded-Derby JDBC sink") {
+    val url = s"jdbc:derby:${tmpDir("src_derby")}/db;create=true"
+    val nation = Tables.nation(spark, sf0001)
+    DataSources.writeJdbc(nation, url, "nation")
+    assert(collectSet(DataSources.readJdbc(spark, url, "nation")) ==
+      collectSet(nation), "nation")
+    // timestamps + doubles survive too (Derby TIMESTAMP holds micros)
+    val orders = Tables.orders(spark, sf0001).limit(100)
+    DataSources.writeJdbc(orders, url, "orders_rt")
+    assert(collectSet(DataSources.readJdbc(spark, url, "orders_rt")) ==
+      collectSet(orders), "orders")
+  }
+
+  test("date-partitioned write produces day directories readable as DateType") {
+    val dir = tmpDir("src_byday")
+    DataSources.writeDatePartitioned(Tables.events(spark, sf0001), "ts", dir)
+    val back = DataSources.readDatePartitioned(spark, dir)
+    assert(back.schema("day").dataType.typeName == "date")
+    assert(back.count() == Tables.events(spark, sf0001).count())
+  }
+
   test("FAILFAST surfaces malformed csv rows instead of nulling them") {
     val dir = tmpDir("src_bad")
     java.nio.file.Files.write(
