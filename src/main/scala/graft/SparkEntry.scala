@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M, ReportShapeOps => P}
+import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M, ReportShapeOps => P, CurationOps => C}
 import graft.functions.{ScalarOps => F}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding declaration).
@@ -90,6 +90,11 @@ object SparkEntry {
     "q_fingerprint" -> (L.fingerprint _),
     "q_lang_id" -> (L.langId _),
     "q_multimodal_meta" -> (M.multimodalMeta _),
+    // §2.8c corpus curation
+    "q_text_filter" -> (C.textFilter _),
+    "q_pii_redact" -> (C.piiRedact _),
+    "q_sample_stratified" -> (C.sampleStratified _),
+    "q_dedup_cluster" -> (C.dedupCluster _),
     // §2.9 sessionization + time windows (batch forms)
     "q_sessionize" -> (W.sessionize _),
     "q_window_tumbling" -> (W.windowTumbling _),
@@ -565,6 +570,68 @@ object SparkEntry {
                       64 + (CAST(octet_length(encode(text)) AS INT) * 7) % 480 AS height
                FROM documents) t
          GROUP BY 1 ORDER BY 1""",
+    "q_text_filter" ->
+      """SELECT doc_id, lang, n_tokens, mean_tok_len, uniq_ratio, stop_ratio,
+                CAST((n_tokens BETWEEN 10 AND 5000)
+                     AND (mean_tok_len BETWEEN 2.0 AND 12.0)
+                     AND uniq_ratio > 0.2
+                     AND stop_ratio < 0.3 AS INT) AS keep
+         FROM (SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
+                      round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                            / len(toks), 4) AS mean_tok_len,
+                      round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / len(toks), 4) AS uniq_ratio,
+                      round(CAST(len(list_filter(toks,
+                              t -> t IN ('the', 'a'))) AS DOUBLE)
+                            / len(toks), 4) AS stop_ratio
+               FROM (SELECT doc_id, lang, text,
+                            string_split(text, ' ') AS toks
+                     FROM documents) t0) t1
+         ORDER BY doc_id""",
+    "q_pii_redact" ->
+      """SELECT event_id,
+                CAST(len(regexp_extract_all(props, '[0-9]+', 0)) AS INT) AS n_redact,
+                md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS red_hash
+         FROM events ORDER BY event_id""",
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, bucket
+         FROM (SELECT doc_id, lang,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 100 AS bucket
+               FROM documents) t
+         WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+         ORDER BY doc_id""",
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE
+            base AS (SELECT doc_id, lang, source,
+                            string_split(text, ' ') AS toks FROM documents),
+            ng AS (SELECT doc_id, lang, source,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
+                   FROM base),
+            nz AS (SELECT doc_id, lang, source, ngs FROM ng WHERE len(ngs) > 0),
+            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
+            dfreq AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
+            ex AS (SELECT ex0.* FROM ex0 JOIN dfreq USING (g) WHERE df <= 100),
+            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
+            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                      FROM ex a JOIN ex b
+                        ON a.lang = b.lang AND a.source = b.source
+                       AND a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT d1, d2
+                      FROM inter JOIN sz s1 ON s1.doc_id = d1
+                                 JOIN sz s2 ON s2.doc_id = d2
+                      WHERE round(CAST(inter AS DOUBLE)
+                                  / (s1.nsz + s2.nsz - inter), 4) >= 0.5),
+            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                      UNION ALL SELECT d2, d1 FROM pairs),
+            reach AS (SELECT doc_id AS v, doc_id AS r FROM documents
+                      UNION
+                      SELECT e.b AS v, reach.r AS r
+                      FROM reach JOIN edges e ON e.a = reach.v)
+         SELECT v AS doc_id, min(r) AS component
+         FROM reach GROUP BY 1 ORDER BY 1""",
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value,
                            epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.{Fin, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline (round brief:
+  * dedup / quality / sampling are first-class): rule-based quality
+  * filtering, PII-style redaction, deterministic stratified sampling,
+  * and connected-components dedup clustering.
+  *
+  * Scale notes (100 TB):
+  *  - filter / redact / sample are embarrassingly parallel map-side
+  *    passes — no shuffle at all (sample's hash predicate even pushes
+  *    into the scan's row-group iteration);
+  *  - clustering is the one iterative op: min-label propagation over
+  *    the near-dup pair graph, O(cluster diameter) joins. Near-dup
+  *    clusters are shallow (dup chains, not long paths), so the loop
+  *    converges in a handful of rounds; each round is one shuffle on
+  *    doc_id. Production-hardening for adversarial graphs would swap
+  *    in the large-star/small-star CC algorithm — same join shapes.
+  */
+object CurationOps {
+  import Fin._
+
+  /** q_text_filter — Gopher-style rule-based quality gate. Every rule is
+    * pure arithmetic over token statistics (no transcendentals): token
+    * count bounds, mean token length bounds, distinct-token ratio,
+    * stopword-dominance cap. Emits the per-doc feature vector plus the
+    * verdict so downstream stages can re-threshold without recomputing. */
+  def textFilter(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = split(col("text"), " ")
+    val nTokens = size(toks)
+    val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nTokens
+    val stopRatio = size(filter(toks, t => t === "the" || t === "a")).cast("double") / nTokens
+    ord(
+      docs.select(col("doc_id"), col("lang"),
+          nTokens.as("n_tokens"),
+          r4(meanLen).as("mean_tok_len"),
+          r4(uniqRatio).as("uniq_ratio"),
+          r4(stopRatio).as("stop_ratio"))
+        .withColumn("keep",
+          (col("n_tokens").between(10, 5000) &&
+           col("mean_tok_len").between(2.0, 12.0) &&
+           col("uniq_ratio") > 0.2 &&
+           col("stop_ratio") < 0.3).cast("int")),
+      col("doc_id"))
+  }
+
+  /** q_pii_redact — regex redaction with an audit trail: digit runs in
+    * the structured `props` payload (numeric IDs — the PII stand-in this
+    * synthetic corpus has) are replaced by a mask token; emits the
+    * redaction count and the md5 of the redacted payload so the oracle
+    * proves byte-identical redacted CONTENT, not just counts. The
+    * pattern is a parameter in spirit — swap in email/phone/SSN regexes
+    * unchanged. Map-side only; no shuffle. */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    ord(
+      e.select(col("event_id"),
+          size(expr("regexp_extract_all(props, '[0-9]+', 0)")).as("n_redact"),
+          md5(regexp_replace(col("props"), "[0-9]+", "#")).as("red_hash")),
+      col("event_id"))
+  }
+
+  /** q_sample_stratified — deterministic per-stratum sampling: keep a
+    * doc iff md5(doc_id) mod 100 falls under its language's rate
+    * (en kept at 20%, everything else at 50% — downsampling the
+    * dominant stratum is the standard data-mixing move). Hash-based
+    * gating means the sample is reproducible across runs, engines and
+    * cluster sizes — no RNG state, no seed coordination; at 100 TB the
+    * predicate evaluates inline in the scan. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val rate = when(col("lang") === "en", 20).otherwise(50)
+    ord(
+      docs.withColumn("bucket", bucket)
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("bucket")),
+      col("doc_id"))
+  }
+
+  /** Jaccard threshold above which an n-gram pair is a dedup edge. */
+  val ClusterMinJaccard = 0.5
+
+  /** q_dedup_cluster — pairs are not enough at scale: dedup must keep
+    * ONE doc per connected component of the near-dup graph (A~B, B~C ⇒
+    * drop two of three even if A≁C). Edges = n-gram Jaccard pairs ≥ 0.5;
+    * components via min-label propagation to a fixpoint: every doc
+    * starts as its own label, each round takes the min label over
+    * neighbors, convergence when no label changes. The fixpoint (min
+    * reachable doc_id) is unique, so the result is deterministic and
+    * independent of iteration order — the oracle computes the same
+    * components with a recursive CTE. Emits (doc_id, component) for
+    * every document; singletons are their own component. */
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = LlmOps.ngramPairs(s, d, LlmOps.NgramMaxDf)
+      .filter(col("jaccard") >= ClusterMinJaccard)
+      .select(col("d1"), col("d2"))
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist()
+    // localCheckpoint after every round: truncates the otherwise
+    // exponentially nesting lineage (mandatory for iterative algorithms)
+    // and severs the attribute sharing that would trip Spark's
+    // ambiguous-self-join detection once labels starts deriving from
+    // edges.
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint(true)
+    // labels only ever DECREASE under min-propagation, so
+    // sum(component) is a strictly decreasing convergence metric:
+    // equal sums ⟺ fixpoint. One scalar aggregate per round — no
+    // data ever reaches the driver.
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum(col("component"))).head.getLong(0)
+    var iter = 0
+    while (curSum != prevSum && iter < 20) {
+      val prop = labels.join(edges, labels("doc_id") === edges("d1"))
+        .select(edges("d2").as("doc_id"), col("component"))
+      val next = labels.select(col("doc_id"), col("component")).union(prop)
+        .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      labels = next
+      prevSum = curSum
+      curSum = labels.agg(sum(col("component"))).head.getLong(0)
+      iter += 1
+    }
+    edges.unpersist()
+    ord(labels, col("doc_id"))
+  }
+}

@@ -115,7 +115,15 @@ object LlmOps {
   def dedupNgram(s: SparkSession, d: String): DataFrame =
     dedupNgram(s, d, NgramMaxDf)
 
-  def dedupNgram(s: SparkSession, d: String, maxDf: Int): DataFrame = {
+  def dedupNgram(s: SparkSession, d: String, maxDf: Int): DataFrame =
+    ngramPairs(s, d, maxDf)
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(20)
+
+  /** All (d1, d2, jaccard) document pairs sharing ≥1 surviving gram —
+    * the unlimited pair stream dedupNgram tops and dedupCluster
+    * clusters. */
+  private[operators] def ngramPairs(s: SparkSession, d: String, maxDf: Int): DataFrame = {
     val docs = Tables.documents(s, d)
     // repartition = exchange barrier: the ngram arrays are built once and
     // the shuffle output is REUSED by both self-join branches + the size
@@ -151,8 +159,6 @@ object LlmOps {
       .withColumn("jaccard",
         r4(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))))
       .select(col("d1"), col("d2"), col("jaccard"))
-      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
-      .limit(20)
   }
 
   /** Codegen'd single-pass cosine (graft.functions.CosineSimilarity) —

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CurationOps
+
+/** Corpus-curation operators: transitive dedup clustering (the A~B~C
+  * chain must collapse even when A≁C directly), deterministic
+  * stratified sampling, and the quality-filter rules. */
+class CurationSpec extends AnyFunSuite {
+  import TestBase._
+
+  test("dedup_cluster: transitive near-dup chain collapses to one component") {
+    val dir = tmpDir("cur_cluster")
+    // A and B share most grams; B and C share most grams; A and C share
+    // fewer — the pair graph is a chain, the component must still be one.
+    val a = "one two three four five six seven eight nine ten alpha beta"
+    val b = "one two three four five six seven eight nine ten gamma delta"
+    val c = "zz yy three four five six seven eight nine ten gamma delta"
+    val lone = "totally different content with no overlap at all here now"
+    val rows = Seq(
+      Row(0L, a, "en", "s0", a.length.toLong),
+      Row(1L, b, "en", "s0", b.length.toLong),
+      Row(2L, c, "en", "s0", c.length.toLong),
+      Row(3L, lone, "en", "s0", lone.length.toLong))
+    writeTable(dir, "documents", documentsSchema, rows)
+    val comp = CurationOps.dedupCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L),
+      s"expected chain {0,1,2} + singleton {3}, got $comp")
+  }
+
+  test("dedup_cluster is idempotent-deterministic across runs") {
+    val x = CurationOps.dedupCluster(spark, sf0001).collect().toSeq
+    val y = CurationOps.dedupCluster(spark, sf0001).collect().toSeq
+    assert(x == y)
+  }
+
+  test("stratified sample: per-stratum rates within hash tolerance, reproducible") {
+    val s1 = CurationOps.sampleStratified(spark, sf0001).collect()
+    val s2 = CurationOps.sampleStratified(spark, sf0001).collect()
+    assert(s1.toSeq == s2.toSeq, "sample not reproducible")
+    assert(s1.forall(r =>
+      r.getLong(2) < (if (r.getString(1) == "en") 20 else 50)),
+      "a row leaked past its stratum's rate gate")
+  }
+
+  test("text_filter: every verdict matches its own emitted features") {
+    CurationOps.textFilter(spark, sf0001).collect().foreach { r =>
+      val (n, mean, uniq, stop) =
+        (r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val expect = n >= 10 && n <= 5000 && mean >= 2.0 && mean <= 12.0 &&
+        uniq > 0.2 && stop < 0.3
+      assert(r.getInt(6) == (if (expect) 1 else 0), s"verdict mismatch at $r")
+    }
+  }
+
+  test("pii_redact: redacted hash differs from raw where digits existed") {
+    val e = Tables.events(spark, sf0001)
+    import org.apache.spark.sql.functions._
+    val joined = CurationOps.piiRedact(spark, sf0001)
+      .join(e.select(col("event_id"), md5(col("props")).as("raw_hash")), "event_id")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val changed = r.getString(2) != r.getString(3)
+      assert(changed == (r.getInt(1) > 0),
+        s"hash changed iff digits redacted violated at $r")
+    }
+  }
+}
