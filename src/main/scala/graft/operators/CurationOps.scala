@@ -104,13 +104,19 @@ object CurationOps {
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist()
+    // Iterate ONLY over vertices that have at least one edge: isolated
+    // docs can never change label, and at 100 TB the duplicate subset is
+    // a small fraction of the corpus — propagating over all N rows per
+    // round would dominate the cost for no effect. Singletons re-attach
+    // at the end as their own component.
+    //
     // localCheckpoint after every round: truncates the otherwise
     // exponentially nesting lineage (mandatory for iterative algorithms)
     // and severs the attribute sharing that would trip Spark's
     // ambiguous-self-join detection once labels starts deriving from
     // edges.
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("component"))
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
       .localCheckpoint(true)
     // labels only ever DECREASE under min-propagation, so
     // sum(component) is a strictly decreasing convergence metric:
@@ -132,6 +138,12 @@ object CurationOps {
       iter += 1
     }
     edges.unpersist()
-    ord(labels, col("doc_id"))
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val clustered = labels.withColumnRenamed("doc_id", "doc_id_c")
+    ord(
+      docs.join(clustered, docs("doc_id") === clustered("doc_id_c"), "left")
+        .select(col("doc_id"),
+                coalesce(col("component"), col("doc_id")).as("component")),
+      col("doc_id"))
   }
 }
