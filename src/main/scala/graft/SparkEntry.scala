@@ -43,6 +43,7 @@ object SparkEntry {
     "q_join_anti" -> (J.joinAnti _),
     "q_join_range" -> (J.joinRange _),
     "q_join_asof" -> (J.joinAsof _),
+    "q_join_asof_stream" -> (J.joinAsofStream _),
     "q_join_theta" -> (J.joinTheta _),
     // §2.4 aggregations
     "q_agg_pricing" -> (R.aggPricing _),
@@ -209,6 +210,23 @@ object SparkEntry {
                WINDOW w AS (PARTITION BY user_id
                             ORDER BY ts::TIMESTAMP, event_id)) t
          WHERE event_type = 'purchase' ORDER BY event_id""",
+    "q_join_asof_stream" ->
+      """WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS tsu
+                    FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT event_id, user_id, ts::TIMESTAMP AS tsu
+                  FROM events WHERE event_type = 'click'),
+            u AS (SELECT user_id, tsu, 0 AS side, event_id,
+                         NULL::BIGINT AS click_id FROM p
+                  UNION ALL
+                  SELECT user_id, tsu, 1, NULL::BIGINT, event_id FROM c),
+            w AS (SELECT *, last_value(click_id IGNORE NULLS) OVER
+                    (PARTITION BY user_id
+                     ORDER BY tsu, side, coalesce(click_id, event_id)
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS prev_click
+                  FROM u)
+         SELECT event_id, user_id, prev_click
+         FROM w WHERE side = 0 ORDER BY event_id""",
     "q_join_theta" ->
       """SELECT p1.p_brand, count(*) AS n_pairs
          FROM part p1 JOIN part p2

@@ -159,6 +159,38 @@ object JoinOps {
       col("event_id"))
   }
 
+  /** q_join_asof_stream — GENERAL two-stream as-of join (joinAsof's lag
+    * trick only works when both sides are the same stream): for each
+    * purchase, the latest STRICTLY-earlier click of the same user.
+    *
+    * Union-tag formulation: tag both streams, union, one window pass
+    * per user ordered by (ts, side, id) with purchases sorting before
+    * same-ts clicks (strict '<' semantics), then
+    * `last(click_id, ignoreNulls)` over the preceding frame. ONE shuffle
+    * on user_id and ZERO joins — the merge-pass shape that survives
+    * 100 TB where a range-banded join would still pay candidate pairs.
+    * Ties among clicks at the same ts resolve to max event_id
+    * (deterministic; oracle mirrors the exact sort key). */
+  def joinAsofStream(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+              col("event_id"), lit(null).cast("long").as("click_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+              lit(null).cast("long").as("event_id"),
+              col("event_id").as("click_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), coalesce(col("click_id"), col("event_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord(
+      p.unionByName(c)
+        .withColumn("prev_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("side") === 0)
+        .select(col("event_id"), col("user_id"), col("prev_click")),
+      col("event_id"))
+  }
+
   /** q_join_theta — same-brand part pairs with p1.p_size < p2.p_size.
     * Formulated as an equi-join on brand + residual inequality (NOT a
     * nested-loop over the cross product) so it scales with per-brand

@@ -42,6 +42,22 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(byId(13).getLong(2) == 12 && byId(13).getString(3) == "view")
   }
 
+  test("asof_stream: strictly-earlier click wins; same-ts click excluded; none -> null") {
+    val dir = tmpDir("asof_stream")
+    val t0 = 1700000000L
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      eventRow(1, t0 + 100, 1, "click", 1.0),
+      eventRow(2, t0 + 200, 1, "purchase", 1.0), // prev = click 1
+      eventRow(3, t0 + 300, 1, "click", 1.0),
+      eventRow(4, t0 + 300, 1, "purchase", 1.0), // same-ts click 3 excluded -> still 1
+      eventRow(5, t0 + 100, 2, "purchase", 1.0)  // user 2 has no clicks -> null
+    ))
+    val out = JoinOps.joinAsofStream(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out == Map(2L -> Some(1L), 4L -> Some(1L), 5L -> None), s"got $out")
+  }
+
   test("dedup exact: min doc_id survives among normalized duplicates; idempotent counts") {
     val dir = tmpDir("dedup")
     writeTable(dir, "documents", documentsSchema, Seq(

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.ExplainMode
-import org.apache.spark.sql.types.MapType
+import org.apache.spark.sql.types.{ArrayType, MapType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Engine-wide plan guards over EVERY declared query: no cartesian
@@ -20,11 +20,14 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
-  test("no oracle-checked query outputs a map-typed column") {
+  test("no oracle-checked query outputs a map- or array-typed column") {
+    // the driver's checker sorts rows with pandas and cannot hash either
+    // kind — r1's only red row was exactly this (q_map_funcs arrays)
     SparkEntry.oracleSql.keys.foreach { name =>
       val schema = SparkEntry.queries(name)(spark, sf0001).schema
-      val maps = schema.fields.filter(_.dataType.isInstanceOf[MapType])
-      assert(maps.isEmpty, s"$name outputs map columns: ${maps.mkString(",")}")
+      val bad = schema.fields.filter(f =>
+        f.dataType.isInstanceOf[MapType] || f.dataType.isInstanceOf[ArrayType])
+      assert(bad.isEmpty, s"$name outputs non-scalar columns: ${bad.mkString(",")}")
     }
   }
 }
