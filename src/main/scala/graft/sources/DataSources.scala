@@ -53,7 +53,12 @@ object DataSources {
     * idempotently. */
   def writeDatePartitioned(df: DataFrame, tsCol: String, dir: String): Unit = {
     import org.apache.spark.sql.functions.{col, to_date}
+    // sortWithinPartitions(day, ts): rows land in their day-directory in
+    // ts order, so every parquet row group carries tight min/max ts
+    // stats — intra-day time-range predicates then skip row groups on
+    // top of the directory-level partition pruning.
     df.withColumn("day", to_date(col(tsCol)))
+      .sortWithinPartitions(col("day"), col(tsCol))
       .write.mode("overwrite").partitionBy("day").parquet(dir)
   }
 
