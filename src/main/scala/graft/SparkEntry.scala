@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M, ReportShapeOps => P, CurationOps => C}
+import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M, ReportShapeOps => P, CurationOps => C, ReportOps, SkewOps}
 import graft.functions.{ScalarOps => F}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding declaration).
@@ -106,7 +106,10 @@ object SparkEntry {
     "q_percentile" -> (P.percentiles _),
     "q_percentile_approx" -> (P.percentilesApprox _),
     "q_ntile_first_last" -> (P.ntileFirstLast _),
-    "q_stats_agg" -> (P.statsAgg _)
+    "q_stats_agg" -> (P.statsAgg _),
+    // declarative report surface + skew machinery (r2 promotions)
+    "q_report_declarative" -> (ReportOps.reportDeclarative _),
+    "q_agg_salted" -> (SkewOps.aggSalted _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -717,6 +720,18 @@ object SparkEntry {
                        ORDER BY o_totalprice, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    "q_report_declarative" ->
+      """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS period,
+                event_type, round(sum(value), 4) AS total_value,
+                count(event_id) AS n, count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05'
+           AND ts::TIMESTAMP < TIMESTAMP '2024-01-20'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_agg_salted" ->
+      """SELECT event_type, round(sum(value), 4) AS sum_value,
+                count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_stats_agg" ->
       """SELECT event_type,
                 round(stddev_samp(value), 4) AS sd_value,

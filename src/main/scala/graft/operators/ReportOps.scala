@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.SparkSession
+
 /** Declarative report API — the reference's user surface: declare
   * dimensions + metrics + a date range, get an unsampled report
   * (SURVEY.md §0: "declarative config of which GA dimensions/metrics to
@@ -59,4 +61,20 @@ object ReportOps {
       .agg(metricCol(spec.metrics.head), spec.metrics.tail.map(metricCol): _*)
       .orderBy(dims.map(col): _*)
   }
+
+  /** q_report_declarative — the reference's whole user surface as one
+    * driver-checked query: a ReportSpec (dimensions + metrics + date
+    * range + day bucket) compiled to filter → bucket → groupBy → agg.
+    * The oracle is the SQL a GA user would have written by hand —
+    * proving the declarative layer adds nothing and loses nothing. */
+  def reportDeclarative(s: SparkSession, d: String): DataFrame =
+    run(graft.Tables.events(s, d), ReportSpec(
+      dimensions = Seq("event_type"),
+      metrics = Seq(
+        Metric("sum", "value", "total_value"),
+        Metric("count", "event_id", "n"),
+        Metric("count_distinct", "user_id", "n_users")),
+      dateCol = "ts",
+      startDate = "2024-01-05",
+      endDate = "2024-01-20"))
 }

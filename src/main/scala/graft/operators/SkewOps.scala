@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.{Fin, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities (SURVEY.md §7.5 / the 100 TB brief).
@@ -57,5 +58,18 @@ object SkewOps {
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** q_agg_salted — the salted two-phase aggregation as a driver-checked
+    * query: sum+count of value per event_type with the hot key spread
+    * over 16 (key, salt) reducers before the final merge. The oracle is
+    * the plain unsalted GROUP BY — salting must be result-invisible,
+    * and that invariant is exactly what the hash check proves. */
+  def aggSalted(s: SparkSession, d: String): DataFrame = {
+    import Fin._
+    ord(
+      saltedSumCount(Tables.events(s, d), "event_type", "value", "event_id")
+        .select(col("event_type"), r4(col("sum_value")).as("sum_value"), col("n")),
+      col("event_type"))
   }
 }
