@@ -122,8 +122,12 @@ object CurationOps {
     // sum(component) is a strictly decreasing convergence metric:
     // equal sums ⟺ fixpoint. One scalar aggregate per round — no
     // data ever reaches the driver.
+    // coalesce: sum over an EMPTY label set (a corpus with no near-dup
+    // pairs at all) is null — without it the scalar read NPEs
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
     var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum(col("component"))).head.getLong(0)
+    var curSum = labelSum(labels)
     var iter = 0
     while (curSum != prevSum && iter < 20) {
       val prop = labels.join(edges, labels("doc_id") === edges("d1"))
@@ -134,7 +138,7 @@ object CurationOps {
       labels.unpersist()
       labels = next
       prevSum = curSum
-      curSum = labels.agg(sum(col("component"))).head.getLong(0)
+      curSum = labelSum(labels)
       iter += 1
     }
     edges.unpersist()

@@ -30,6 +30,18 @@ class CurationSpec extends AnyFunSuite {
       s"expected chain {0,1,2} + singleton {3}, got $comp")
   }
 
+  test("dedup_cluster: corpus with zero near-dup pairs = all singletons (no crash)") {
+    val dir = tmpDir("cur_nopairs")
+    val rows = (0 until 5).map { i =>
+      val t = s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g"
+      Row(i.toLong, t, "en", "s0", t.length.toLong)
+    }
+    writeTable(dir, "documents", documentsSchema, rows)
+    val comp = CurationOps.dedupCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == (0L until 5L).map(i => i -> i).toMap, s"got $comp")
+  }
+
   test("dedup_cluster is idempotent-deterministic across runs") {
     val x = CurationOps.dedupCluster(spark, sf0001).collect().toSeq
     val y = CurationOps.dedupCluster(spark, sf0001).collect().toSeq
