@@ -81,19 +81,30 @@ object WindowOps {
 
   /** q_topk_per_group — top-3 parts by revenue within each brand.
     * Ordering uses the ROUNDED revenue (both engines agree to 4dp) with
-    * p_partkey tie-break, so ulp-level sum differences can't flip ranks. */
+    * p_partkey tie-break, so ulp-level sum differences can't flip ranks.
+    *
+    * Implemented with the native `top_k_pairs` TypedImperativeAggregate
+    * (graft.functions.TopKAggregate), not a window: the window form
+    * shuffles and fully sorts EVERY (brand, part) row; the aggregate is
+    * partial-mergeable, so each map task ships at most k rows per brand
+    * and nothing is ever sorted — the only formulation that stays flat
+    * at 100 TB. TopKAggregateSpec proves it row-identical to the window
+    * form under adversarial repartitioning. */
   def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKAggregate.register(s)
     val li = Tables.lineitem(s, d)
     val p = Tables.part(s, d)
     val rev = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"))
       .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
-    val w = Window.partitionBy(col("p_brand"))
-      .orderBy(col("revenue").desc, col("p_partkey"))
     ord(
-      rev.select(col("p_brand"), col("p_partkey"), col("revenue"),
-                 row_number().over(w).as("rn"))
-        .filter(col("rn") <= 3),
+      rev.groupBy(col("p_brand"))
+        .agg(call_function("top_k_pairs",
+          col("revenue"), col("p_partkey"), lit(3)).as("tk"))
+        .select(col("p_brand"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("p_brand"), col("e.id").as("p_partkey"),
+                col("e.value").as("revenue"),
+                (col("pos") + 1).cast("int").as("rn")),
       col("p_brand"), col("rn"))
   }
 
