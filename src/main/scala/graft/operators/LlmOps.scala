@@ -186,6 +186,21 @@ object LlmOps {
 
   // ----------------------------------------------------- similarity search
 
+  /** Top-k re-rank of (q_id, n_id, sim) candidate rows via the native
+    * bounded `top_k_pairs` aggregate (graft.functions.TopKAggregate):
+    * partial-mergeable, so each map task ships ≤k candidates per query
+    * and nothing is sorted — the window row_number form shuffles + sorts
+    * every candidate. Preference (sim DESC, n_id ASC) matches the
+    * oracles' row_number ordering exactly. */
+  private def rerankTopK(s: SparkSession, cands: DataFrame, k: Int): DataFrame = {
+    graft.functions.TopKAggregate.register(s)
+    cands.groupBy(col("q_id"))
+      .agg(call_function("top_k_pairs", col("sim"), col("n_id"), lit(k)).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.id").as("n_id"), col("e.value").as("sim"),
+              (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** q_similarity_topk — brute-force cosine top-5 for the first 10 query
     * vectors. The 10-row query side is broadcast; correct ONLY because
     * it is tiny — the 100 TB path is q_similarity_lsh (SURVEY.md §7.5). */
@@ -197,10 +212,7 @@ object LlmOps {
     val j = em.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
               r4(cosineFast(s, col("qv"), col("v"))).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    ord(
-      j.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5),
-      col("q_id"), col("rn"))
+    ord(rerankTopK(s, j, 5), col("q_id"), col("rn"))
   }
 
   /** Number of independent LSH tables for q_similarity_lsh. A single
@@ -242,10 +254,7 @@ object LlmOps {
       .join(broadcast(qv), col("q_id") === col("q_id2"))
       .select(col("q_id"), col("n_id"),
               r4(cosineFast(s, col("qv"), col("v"))).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    ord(
-      j.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3),
-      col("q_id"), col("rn"))
+    ord(rerankTopK(s, j, 3), col("q_id"), col("rn"))
   }
 
   /** q_similarity_ivf — IVF-style ANN: a coarse codebook of 8 centroids
@@ -273,15 +282,11 @@ object LlmOps {
       .select(col("vec_id"), col("v"), col("c_id"))
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c_id").as("qc"))
-    val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    ord(
-      assigned.join(broadcast(q),
-          col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-                r4(cosineFast(s, col("qv"), col("v"))).as("sim"))
-        .withColumn("rn", row_number().over(wRank))
-        .filter(col("rn") <= 3),
-      col("q_id"), col("rn"))
+    val j = assigned.join(broadcast(q),
+        col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+              r4(cosineFast(s, col("qv"), col("v"))).as("sim"))
+    ord(rerankTopK(s, j, 3), col("q_id"), col("rn"))
   }
 
   /** q_embedding_centroid — per-label 64-dim centroid as
