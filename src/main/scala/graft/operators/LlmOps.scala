@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{Fin, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.8 + the round
@@ -272,13 +271,17 @@ object LlmOps {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cent = em.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("c_id"))
-    val assigned = em.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("c_id"),
+    // argmax assignment via the bounded aggregate (k=1): the window form
+    // shuffles + sorts all N×k scored rows; the aggregate reduces them
+    // map-side to one row per vector, then one N-row join regains v.
+    graft.functions.TopKAggregate.register(s)
+    val top1 = em.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
               r4(cosineFast(s, col("v"), col("cv"))).as("csim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(call_function("top_k_pairs", col("csim"), col("c_id"), lit(1)).as("tk"))
+      .select(col("vec_id").as("a_id"), col("tk").getItem(0).getField("id").as("c_id"))
+    val assigned = em.join(top1, em("vec_id") === top1("a_id"))
       .select(col("vec_id"), col("v"), col("c_id"))
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c_id").as("qc"))
