@@ -91,6 +91,7 @@ object SparkEntry {
     "q_fingerprint" -> (L.fingerprint _),
     "q_lang_id" -> (L.langId _),
     "q_multimodal_meta" -> (M.multimodalMeta _),
+    "q_multimodal_frames" -> (M.multimodalFrames _),
     // §2.8c corpus curation
     "q_text_filter" -> (C.textFilter _),
     "q_pii_redact" -> (C.piiRedact _),
@@ -591,6 +592,15 @@ object SparkEntry {
                       64 + (CAST(octet_length(encode(text)) AS INT) * 7) % 480 AS height
                FROM documents) t
          GROUP BY 1 ORDER BY 1""",
+    "q_multimodal_frames" ->
+      """WITH v AS (SELECT doc_id AS asset_id,
+                           CAST(octet_length(encode(text)) AS INT) AS n
+                    FROM documents WHERE doc_id % 3 = 2),
+            m AS (SELECT asset_id, n, 1 + (n % 10) AS frames FROM v)
+         SELECT asset_id,
+                CAST((frames + 1) // 2 AS BIGINT) AS n_sampled,
+                CAST(((frames + 1) // 2) * (n // frames) AS BIGINT) AS sampled_bytes
+         FROM m ORDER BY asset_id""",
     "q_text_filter" ->
       """SELECT doc_id, lang, n_tokens, mean_tok_len, uniq_ratio, stop_ratio,
                 CAST((n_tokens BETWEEN 10 AND 5000)

@@ -76,6 +76,54 @@ object MultimodalOps {
     }
   }
 
+  /** A resized asset: same bytes contract, new declared dimensions. */
+  case class Resized(asset_id: Long, width: Int, height: Int, media: Array[Byte])
+
+  /** Resize plumbing: partition-local, output bytes bounded by the
+    * target dims (stub: truncate/pad to w*h bytes — a real scaler slots
+    * in behind the same signature). The point at 100 TB: resize happens
+    * WHERE the bytes already are (no shuffle), and output size becomes a
+    * function of the target dims, not the source. */
+  def resized(s: SparkSession, d: String, w: Int, h: Int): Dataset[Resized] = {
+    import s.implicits._
+    assets(s, d).mapPartitions { it =>
+      it.map { a =>
+        val out = java.util.Arrays.copyOf(a.media, w * h)
+        Resized(a.asset_id, w, h, out)
+      }
+    }
+  }
+
+  /** One sampled frame of a video asset. */
+  case class Frame(asset_id: Long, idx: Int, n_bytes: Int)
+
+  /** Frame sampling: every `everyN`-th frame of each video, emitted as
+    * one row per sampled frame through the typed decode path. Frame
+    * payload size is byte_len/frames (integer division — deterministic
+    * stub for the per-frame slice a real demuxer would hand over). */
+  def frameSample(s: SparkSession, d: String, everyN: Int): Dataset[Frame] = {
+    import s.implicits._
+    decoded(s, d).filter(_.kind == "video").flatMap { m =>
+      val frameLen = m.byte_len / m.frames
+      (0 until m.frames by everyN).map(i => Frame(m.asset_id, i, frameLen))
+    }
+  }
+
+  /** q_multimodal_frames — frame sampling under the oracle gate, and
+    * with it the WHOLE typed pipeline it runs through (mapPartitions
+    * decode → filter → flatMap): per video asset, the count and total
+    * bytes of every-2nd-frame samples. The oracle mirrors the stub's
+    * integer arithmetic; a real codec changes the numbers, not the
+    * plan. */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame = {
+    ord(
+      frameSample(s, d, 2).toDF()
+        .groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+             sum(col("n_bytes")).as("sampled_bytes")),
+      col("asset_id"))
+  }
+
   /** q_multimodal_meta — oracle-checkable slice of the pipeline: the
     * metadata that is pure byte arithmetic (and therefore expressible in
     * DuckDB SQL too). The mapPartitions path is covered in the test

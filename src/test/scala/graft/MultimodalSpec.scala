@@ -24,6 +24,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("resize bounds every asset's bytes to the target dims, partition-locally") {
+    val out = MultimodalOps.resized(spark, sf0001, 32, 32).collect()
+    assert(out.length == 500)
+    assert(out.forall(r => r.media.length == 32 * 32 && r.width == 32 && r.height == 32))
+  }
+
+  test("frame sampling emits every 2nd frame with the stub's byte slice") {
+    val metas = MultimodalOps.decoded(spark, sf0001).collect()
+      .filter(_.kind == "video").map(m => m.asset_id -> m).toMap
+    val frames = MultimodalOps.frameSample(spark, sf0001, 2).collect()
+      .groupBy(_.asset_id)
+    assert(frames.keySet == metas.keySet)
+    frames.foreach { case (id, fs) =>
+      val m = metas(id)
+      assert(fs.length == (m.frames + 1) / 2, s"asset $id sampled ${fs.length}")
+      assert(fs.forall(_.n_bytes == m.byte_len / m.frames))
+      assert(fs.map(_.idx).sorted.toSeq == (0 until m.frames by 2).toSeq)
+    }
+  }
+
   test("mapPartitions metadata agrees with the SQL-expressible q_multimodal_meta slice") {
     import org.apache.spark.sql.functions._
     val fromPipeline = MultimodalOps.decoded(spark, sf0001)
