@@ -55,9 +55,15 @@ case class TopKPairs(
       TypeCheckResult.TypeCheckFailure("top_k_pairs k must be an int literal")
     else TypeCheckResult.TypeCheckSuccess
 
-  /** Strict preference order: higher value wins, then smaller id. */
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** Strict preference order: higher value wins, then smaller id.
+    * `Double.compare`, not `>`: NaN must order as the LARGEST double
+    * (matching Spark's descending sort, hence the window/oracle
+    * formulation) — with raw `>` every NaN comparison is false and the
+    * order stops being total, making results merge-order-dependent. */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: ArrayBuffer[(Double, Long)],
                      e: (Double, Long)): Unit = {
@@ -127,5 +133,11 @@ object TopKAggregate {
   /** Register top_k_pairs in the session registry. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "top_k_pairs", exprs => TopKPairs(exprs(0), exprs(1), exprs(2)), "built-in")
+      "top_k_pairs",
+      { exprs =>
+        require(exprs.length == 3,
+          s"top_k_pairs(value, id, k) takes 3 arguments, got ${exprs.length}")
+        TopKPairs(exprs(0), exprs(1), exprs(2))
+      },
+      "built-in")
 }

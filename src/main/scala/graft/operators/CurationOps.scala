@@ -129,18 +129,28 @@ object CurationOps {
     var prevSum = Long.MaxValue
     var curSum = labelSum(labels)
     var iter = 0
-    while (curSum != prevSum && iter < 20) {
+    // a label travels one hop per round, so the bound is the cluster
+    // DIAMETER; 64 covers any plausible near-dup chain. If it's ever
+    // hit, FAIL LOUDLY — a silently unconverged result would disagree
+    // with the oracle's full transitive closure on deep chains.
+    val maxIter = 64
+    while (curSum != prevSum && iter < maxIter) {
       val prop = labels.join(edges, labels("doc_id") === edges("d1"))
         .select(edges("d2").as("doc_id"), col("component"))
       val next = labels.select(col("doc_id"), col("component")).union(prop)
         .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      labels.unpersist()
+      // previous round's checkpoint blocks are freed by the
+      // ContextCleaner once `labels` is reassigned (Dataset.unpersist is
+      // a no-op for localCheckpoint RDDs — they bypass the CacheManager)
       labels = next
       prevSum = curSum
       curSum = labelSum(labels)
       iter += 1
     }
+    require(curSum == prevSum,
+      s"dedupCluster did not converge within $maxIter rounds - " +
+        "near-dup chain deeper than the iteration bound")
     edges.unpersist()
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val clustered = labels.withColumnRenamed("doc_id", "doc_id_c")

@@ -60,13 +60,29 @@ object RelationalOps {
       col("yr"))
   }
 
-  /** Materialize (once per sfDir, guarded) the day-partitioned copy of
-    * events that q_scan_partitioned reads — the sink half of the
-    * day-split layout (SURVEY.md §7.5). */
+  /** Materialize (once per source-state, guarded) the day-partitioned
+    * copy of events that q_scan_partitioned reads — the sink half of the
+    * day-split layout (SURVEY.md §7.5). The cache key includes a
+    * fingerprint of the SOURCE's file metadata (sizes + mtimes), so a
+    * regenerated events.parquet gets a fresh copy instead of silently
+    * serving stale data, and distinct source dirs can't collide. */
   def partitionedEventsDir(s: SparkSession, d: String): String = synchronized {
-    val dest = "/tmp/graft_events_byday_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val srcFs = src.getFileSystem(conf)
+    val fp = {
+      val st = srcFs.getFileStatus(src)
+      val parts =
+        if (st.isDirectory) srcFs.listStatus(src).toSeq.sortBy(_.getPath.getName)
+        else Seq(st)
+      val h = parts.foldLeft(17L)((acc, p) =>
+        acc * 1000003L + p.getLen * 31L + p.getModificationTime)
+      java.lang.Long.toHexString(h)
+    }
+    val dest = "/tmp/graft_events_byday_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + fp
     val ok = new org.apache.hadoop.fs.Path(dest + "/_SUCCESS")
-    val fs = ok.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = ok.getFileSystem(conf)
     if (!fs.exists(ok))
       graft.sources.DataSources.writeDatePartitioned(Tables.events(s, d), "ts", dest)
     dest

@@ -70,10 +70,15 @@ object DataSources {
   private val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
 
   /** JDBC sink (embedded Derby by default — the offline stand-in for the
-    * reference's SQL-database sink). `numPartitions=1` for embedded
-    * Derby only: a real RDBMS takes the default parallel writers. */
-  def writeJdbc(df: DataFrame, url: String, table: String): Unit =
-    df.coalesce(1).write.mode("overwrite")
+    * reference's SQL-database sink). Embedded Derby tolerates only one
+    * writer connection, hence `numPartitions = 1` default; a real RDBMS
+    * takes a higher writer count. `repartition`, NOT `coalesce`: a
+    * coalesce(1) would collapse the whole upstream computation into one
+    * task, while a repartition keeps it parallel and funnels only the
+    * final write. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                numPartitions: Int = 1): Unit =
+    df.repartition(numPartitions).write.mode("overwrite")
       .format("jdbc")
       .option("url", url)
       .option("dbtable", table)

@@ -56,9 +56,12 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(df)
     val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
     assert(pf.contains("day"), "day not in PartitionFilters: " + p)
-    // the data filter must NOT also appear as a pushed data filter —
-    // pruning happens at the listing, rows inside a kept partition are
+    // the day predicate must NOT also appear as a pushed DATA filter —
+    // pruning happens at the listing; rows inside a kept partition are
     // read without re-filtering on day
+    assert(p.linesIterator.filter(_.contains("PushedFilters:"))
+             .forall(!_.contains("day")),
+      "day leaked into PushedFilters (should be partition-only): " + p)
     val dataRows = df.collect()
     assert(dataRows.nonEmpty)
     assert(dataRows.map(_.getDate(0).toString).distinct.sorted.toSeq ==
