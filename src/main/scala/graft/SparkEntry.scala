@@ -97,6 +97,8 @@ object SparkEntry {
     "q_pii_redact" -> (C.piiRedact _),
     "q_sample_stratified" -> (C.sampleStratified _),
     "q_dedup_cluster" -> (C.dedupCluster _),
+    "q_corpus_mix" -> (C.corpusMix _),
+    "q_doc_length_histogram" -> (C.docLengthHistogram _),
     // §2.9 sessionization + time windows (batch forms)
     "q_sessionize" -> (W.sessionize _),
     "q_window_tumbling" -> (W.windowTumbling _),
@@ -624,6 +626,18 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(props, '[0-9]+', 0)) AS INT) AS n_redact,
                 md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS red_hash
          FROM events ORDER BY event_id""",
+    "q_corpus_mix" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS n_docs,
+                               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+                        FROM documents GROUP BY 1, 2),
+            t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM cells)
+         SELECT lang, source, n_docs, tokens,
+                round(CAST(tokens AS DOUBLE) / total_tokens, 4) AS share
+         FROM cells, t ORDER BY lang, source""",
+    "q_doc_length_histogram" ->
+      """SELECT CAST((len(string_split(text, ' ')) // 10) * 10 AS BIGINT) AS bucket,
+                count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang, bucket
          FROM (SELECT doc_id, lang,

@@ -84,6 +84,38 @@ object CurationOps {
       col("doc_id"))
   }
 
+  /** q_corpus_mix — the mixture report a data-mixing stage feeds from:
+    * per (lang, source) cell, document count, token count, and the
+    * cell's share of the corpus token budget. Two tiny aggregates; the
+    * corpus total joins back as a broadcast single row (NOT a global
+    * window — engine rule) so the shape is flat at any corpus size. */
+  def corpusMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " "))).as("tokens"))
+    val total = cells.agg(sum(col("tokens")).as("total_tokens"))
+    ord(
+      cells.crossJoin(broadcast(total))
+        .withColumn("share",
+          r4(col("tokens").cast("double") / col("total_tokens")))
+        .select(col("lang"), col("source"), col("n_docs"),
+                col("tokens"), col("share")),
+      col("lang"), col("source"))
+  }
+
+  /** q_doc_length_histogram — token-count histogram in width-10 buckets:
+    * the length-distribution profile that picks the q_text_filter
+    * bounds. Map-side bucket expression + one aggregate. */
+  def docLengthHistogram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nt = size(split(col("text"), " "))
+    ord(
+      docs.select((floor(nt / lit(10)) * 10).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs")),
+      col("bucket"))
+  }
+
   /** Jaccard threshold above which an n-gram pair is a dedup edge. */
   val ClusterMinJaccard = 0.5
 
