@@ -11,6 +11,7 @@ round(,4) on both sides by construction).
 """
 import json, sys, math
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -20,9 +21,13 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    if isinstance(v, np.generic):  # numpy scalar (int64, bool_, ...)
+        return norm(v.item())
     if hasattr(v, "tzinfo") and getattr(v, "tzinfo", None) is not None:
         return v.tz_localize(None) if hasattr(v, "tz_localize") else v
-    if hasattr(v, "tolist"):  # numpy array (list column)
+    # array detection BY TYPE, not hasattr(tolist): numpy scalars also
+    # expose .tolist(), so the attribute probe is pandas-version-fragile
+    if isinstance(v, np.ndarray):
         return tuple(norm(x) for x in v.tolist())
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
@@ -53,8 +58,8 @@ def main(sf_dir, out_dir):
         # array columns (unhashable numpy.ndarray) — reject them here too so
         # the local mirror is exactly as strict as the real gate.
         arr_cols = [c for c in spark.columns
-                    if spark[c].map(lambda v: hasattr(v, "tolist")
-                                    or isinstance(v, (list, tuple))).any()]
+                    if spark[c].map(lambda v: isinstance(
+                        v, (np.ndarray, list, tuple))).any()]
         if arr_cols:
             print(f"FAIL {name}: top-level array columns {arr_cols} "
                   "(driver checker cannot hash these — emit scalar rows)")

@@ -86,8 +86,14 @@ case class TopKPairs(
                       input: InternalRow): ArrayBuffer[(Double, Long)] = {
     val v = value.eval(input)
     val i = id.eval(input)
-    if (v != null && i != null)
-      insert(buf, (v.asInstanceOf[Double], i.asInstanceOf[Long]))
+    // Nulls are a contract violation, not data to skip: silently
+    // dropping them can lose a group's rightful top-k rows (or whole
+    // groups) with no signal. Callers must filter/coalesce nulls first.
+    if (v == null || i == null)
+      throw new IllegalArgumentException(
+        "top_k_pairs: null value/id input row - filter or coalesce nulls " +
+          "before aggregating (silently skipping would drop rows)")
+    insert(buf, (v.asInstanceOf[Double], i.asInstanceOf[Long]))
     buf
   }
 

@@ -142,48 +142,57 @@ object CurationOps {
     // round would dominate the cost for no effect. Singletons re-attach
     // at the end as their own component.
     //
-    // localCheckpoint after every round: truncates the otherwise
-    // exponentially nesting lineage (mandatory for iterative algorithms)
-    // and severs the attribute sharing that would trip Spark's
-    // ambiguous-self-join detection once labels starts deriving from
-    // edges.
-    var labels = edges.select(col("d1").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
-      .localCheckpoint(true)
+    // localCheckpoint each round: truncates the otherwise exponentially
+    // nesting lineage (mandatory for iterative algorithms) and severs
+    // the attribute sharing that would trip Spark's ambiguous-self-join
+    // detection once labels starts deriving from edges. The checkpoint
+    // is LAZY and the convergence aggregate below is what materializes
+    // it — fusing what used to be two jobs per round (eager-checkpoint
+    // materialization + a separate labelSum job, the r3 bench's top
+    // cost) into ONE job per round.
+    //
     // labels only ever DECREASE under min-propagation, so
     // sum(component) is a strictly decreasing convergence metric:
     // equal sums ⟺ fixpoint. One scalar aggregate per round — no
     // data ever reaches the driver.
     // coalesce: sum over an EMPTY label set (a corpus with no near-dup
     // pairs at all) is null — without it the scalar read NPEs
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
-    var prevSum = Long.MaxValue
-    var curSum = labelSum(labels)
-    var iter = 0
-    // a label travels one hop per round, so the bound is the cluster
-    // DIAMETER; 64 covers any plausible near-dup chain. If it's ever
-    // hit, FAIL LOUDLY — a silently unconverged result would disagree
-    // with the oracle's full transitive closure on deep chains.
-    val maxIter = 64
-    while (curSum != prevSum && iter < maxIter) {
-      val prop = labels.join(edges, labels("doc_id") === edges("d1"))
-        .select(edges("d2").as("doc_id"), col("component"))
-      val next = labels.select(col("doc_id"), col("component")).union(prop)
-        .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
-      // previous round's checkpoint blocks are freed by the
-      // ContextCleaner once `labels` is reassigned (Dataset.unpersist is
-      // a no-op for localCheckpoint RDDs — they bypass the CacheManager)
-      labels = next
-      prevSum = curSum
-      curSum = labelSum(labels)
-      iter += 1
+    def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
+      val cp = df.localCheckpoint(false)
+      (cp, cp.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0))
     }
-    require(curSum == prevSum,
-      s"dedupCluster did not converge within $maxIter rounds - " +
-        "near-dup chain deeper than the iteration bound")
-    edges.unpersist()
+    // edges must stay persisted for every propagation round; unpersist in
+    // finally so a non-convergence failure can't leak the cached RDD.
+    val labels = try {
+      var (cur, curSum) = checkpointWithSum(
+        edges.select(col("d1").as("doc_id")).distinct()
+          .withColumn("component", col("doc_id")))
+      var prevSum = Long.MaxValue
+      var iter = 0
+      // a label travels one hop per round, so the bound is the cluster
+      // DIAMETER; 64 covers any plausible near-dup chain. If it's ever
+      // hit, FAIL LOUDLY — a silently unconverged result would disagree
+      // with the oracle's full transitive closure on deep chains.
+      val maxIter = 64
+      while (curSum != prevSum && iter < maxIter) {
+        val prop = cur.join(edges, cur("doc_id") === edges("d1"))
+          .select(edges("d2").as("doc_id"), col("component"))
+        // previous round's checkpoint blocks are freed by the
+        // ContextCleaner once `cur` is reassigned (Dataset.unpersist is
+        // a no-op for localCheckpoint RDDs — they bypass the CacheManager)
+        val (next, nextSum) = checkpointWithSum(
+          cur.select(col("doc_id"), col("component")).union(prop)
+            .groupBy(col("doc_id")).agg(min(col("component")).as("component")))
+        cur = next
+        prevSum = curSum
+        curSum = nextSum
+        iter += 1
+      }
+      require(curSum == prevSum,
+        s"dedupCluster did not converge within $maxIter rounds - " +
+          "near-dup chain deeper than the iteration bound")
+      cur
+    } finally edges.unpersist()
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val clustered = labels.withColumnRenamed("doc_id", "doc_id_c")
     ord(

@@ -100,14 +100,23 @@ object MultimodalOps {
   /** Frame sampling: every `everyN`-th frame of each video, emitted as
     * one row per sampled frame through the typed decode path. Frame
     * payload size is byte_len/frames (integer division — deterministic
-    * stub for the per-frame slice a real demuxer would hand over). */
-  def frameSample(s: SparkSession, d: String, everyN: Int): Dataset[Frame] = {
-    import s.implicits._
-    decoded(s, d).filter(_.kind == "video").flatMap { m =>
+    * stub for the per-frame slice a real demuxer would hand over).
+    *
+    * Corrupt-asset guard: a real demuxer can report `frames <= 0` for a
+    * truncated/invalid container. Such assets yield ZERO frame rows
+    * (filtered before the byte_len/frames division) instead of killing
+    * the whole pipeline with an ArithmeticException. */
+  def sampleFrames(metas: Dataset[AssetMeta], everyN: Int): Dataset[Frame] = {
+    require(everyN > 0, s"frame sampling stride must be positive, got $everyN")
+    import metas.sparkSession.implicits._
+    metas.filter(m => m.kind == "video" && m.frames > 0).flatMap { m =>
       val frameLen = m.byte_len / m.frames
       (0 until m.frames by everyN).map(i => Frame(m.asset_id, i, frameLen))
     }
   }
+
+  def frameSample(s: SparkSession, d: String, everyN: Int): Dataset[Frame] =
+    sampleFrames(decoded(s, d), everyN)
 
   /** q_multimodal_frames — frame sampling under the oracle gate, and
     * with it the WHOLE typed pipeline it runs through (mapPartitions

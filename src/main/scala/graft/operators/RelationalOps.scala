@@ -65,7 +65,14 @@ object RelationalOps {
     * day-split layout (SURVEY.md §7.5). The cache key includes a
     * fingerprint of the SOURCE's file metadata (sizes + mtimes), so a
     * regenerated events.parquet gets a fresh copy instead of silently
-    * serving stale data, and distinct source dirs can't collide. */
+    * serving stale data, and distinct source dirs can't collide.
+    *
+    * Cross-JVM safety (Verify and Bench can run concurrently against the
+    * same /tmp): the copy is written to a JVM-unique temp dir and
+    * PUBLISHED with a single directory rename, so no other JVM can ever
+    * observe a half-written cache dir. Losing the publish race is fine —
+    * the winner's copy is byte-identical (same fingerprinted source).
+    * Stale fingerprints of the same source dir are pruned on publish. */
   def partitionedEventsDir(s: SparkSession, d: String): String = synchronized {
     val conf = s.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
@@ -79,12 +86,38 @@ object RelationalOps {
         acc * 1000003L + p.getLen * 31L + p.getModificationTime)
       java.lang.Long.toHexString(h)
     }
-    val dest = "/tmp/graft_events_byday_" +
-      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + fp
+    val prefix = "/tmp/graft_events_byday_" + d.replaceAll("[^A-Za-z0-9.]", "_") + "_"
+    val dest = prefix + fp
+    val destPath = new org.apache.hadoop.fs.Path(dest)
     val ok = new org.apache.hadoop.fs.Path(dest + "/_SUCCESS")
-    val fs = ok.getFileSystem(conf)
-    if (!fs.exists(ok))
-      graft.sources.DataSources.writeDatePartitioned(Tables.events(s, d), "ts", dest)
+    val fs = destPath.getFileSystem(conf)
+    if (!fs.exists(ok)) {
+      // dest without _SUCCESS = corpse of a pre-rename-era crashed write;
+      // atomic publishers below never leave one.
+      if (fs.exists(destPath)) fs.delete(destPath, true)
+      // distinct prefix for temp dirs so the stale-fingerprint prune can
+      // never touch another JVM's in-flight write
+      val tmp = new org.apache.hadoop.fs.Path(
+        "/tmp/graft_events_byday_tmp_" + java.util.UUID.randomUUID().toString)
+      graft.sources.DataSources.writeDatePartitioned(
+        Tables.events(s, d), "ts", tmp.toString)
+      if (fs.exists(destPath)) {
+        // another JVM published the identical copy while we wrote ours
+        fs.delete(tmp, true)
+      } else if (!fs.rename(tmp, destPath)) {
+        fs.delete(tmp, true)
+        require(fs.exists(ok), s"failed to publish day-partitioned cache at $dest")
+      }
+      // prune stale fingerprints of THIS source dir (exact prefix + hex
+      // fingerprint match — never other sources, never *_tmp_* dirs)
+      val parent = destPath.getParent
+      if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
+        val p = st.getPath.toUri.getPath
+        if (p != dest && p.startsWith(prefix) &&
+            p.substring(prefix.length).matches("[0-9a-f]+"))
+          fs.delete(st.getPath, true)
+      }
+    }
     dest
   }
 

@@ -44,6 +44,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("a corrupt asset (frames=0) yields zero frame rows, not a crash") {
+    import spark.implicits._
+    val metas = Seq(
+      MultimodalOps.AssetMeta(1L, "video", 100, 64, 64, 0, Array.fill(8)(0f)),
+      MultimodalOps.AssetMeta(2L, "video", 100, 64, 64, 4, Array.fill(8)(0f)),
+      MultimodalOps.AssetMeta(3L, "image", 100, 64, 64, 1, Array.fill(8)(0f))
+    ).toDS()
+    val frames = MultimodalOps.sampleFrames(metas, 2).collect()
+    assert(!frames.exists(_.asset_id == 1L), "corrupt asset must emit no frames")
+    assert(frames.filter(_.asset_id == 2L).map(_.idx).sorted.toSeq == Seq(0, 2))
+    assert(!frames.exists(_.asset_id == 3L), "non-video must emit no frames")
+  }
+
+  test("a non-positive sampling stride is rejected loudly") {
+    import spark.implicits._
+    val metas = Seq(
+      MultimodalOps.AssetMeta(1L, "video", 100, 64, 64, 4, Array.fill(8)(0f))).toDS()
+    val ex = intercept[IllegalArgumentException] {
+      MultimodalOps.sampleFrames(metas, 0)
+    }
+    assert(ex.getMessage.contains("stride"))
+  }
+
   test("mapPartitions metadata agrees with the SQL-expressible q_multimodal_meta slice") {
     import org.apache.spark.sql.functions._
     val fromPipeline = MultimodalOps.decoded(spark, sf0001)

@@ -72,6 +72,17 @@ class TopKAggregateSpec extends AnyFunSuite {
     assert(agg.size == win.size)
   }
 
+  test("null inputs fail loudly instead of silently dropping rows") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, Some(9.0)), ("a", 2L, None: Option[Double]))
+      .toDF("g", "id", "v")
+    val ex = intercept[Exception] { viaAggregate(df, 2).collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq() else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("top_k_pairs: null")),
+      s"expected loud null-contract failure, got: ${chain(ex).mkString(" | ")}")
+  }
+
   test("physical plan is ObjectHashAggregate, not Window+Sort") {
     val p = graft.operators.WindowOps.topkPerGroup(spark, sf0001)
       .queryExecution.executedPlan.toString
