@@ -505,16 +505,50 @@ object SparkEntry {
                    FROM sims)
          SELECT q_id, n_id, sim, rn FROM rk WHERE rn <= 3 ORDER BY q_id, rn""",
     "q_similarity_ivf" ->
+      // mirrors the 2 fixed Lloyd rounds: assign to argmax ROUNDED
+      // cosine (ties to smaller c_id), new centroid = per-dim
+      // round(avg, 4) — the same rounded arithmetic the Spark side uses,
+      // so the refined codebook is bit-identical across engines
       """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            cent AS (SELECT vec_id AS c_id, v AS cv FROM em WHERE vec_id < 8),
-            scored AS (SELECT e.vec_id, e.v, c.c_id,
+            cent0 AS (SELECT vec_id AS c_id, v AS cv FROM em WHERE vec_id < 8),
+            as0 AS (SELECT vec_id, v, c_id
+                    FROM (SELECT e.vec_id, e.v, c.c_id,
+                            row_number() OVER (PARTITION BY e.vec_id ORDER BY
                               round(list_dot_product(e.v, c.cv) /
                                     (sqrt(list_dot_product(e.v, e.v)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) AS csim
-                       FROM em e, cent c),
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                              c.c_id) AS rn
+                          FROM em e, cent0 c) t
+                    WHERE rn = 1),
+            cent1 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
+                      FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
+                                   round(avg(a.v[CAST(t.i AS INT) + 1]), 4) AS cx
+                            FROM as0 a, range(0, 64) t(i)
+                            GROUP BY 1, 2) g
+                      GROUP BY 1),
+            as1 AS (SELECT vec_id, v, c_id
+                    FROM (SELECT e.vec_id, e.v, c.c_id,
+                            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                              round(list_dot_product(e.v, c.cv) /
+                                    (sqrt(list_dot_product(e.v, e.v)) *
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                              c.c_id) AS rn
+                          FROM em e, cent1 c) t
+                    WHERE rn = 1),
+            cent2 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
+                      FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
+                                   round(avg(a.v[CAST(t.i AS INT) + 1]), 4) AS cx
+                            FROM as1 a, range(0, 64) t(i)
+                            GROUP BY 1, 2) g
+                      GROUP BY 1),
             assigned AS (SELECT vec_id, v, c_id
-                         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY csim DESC, c_id) AS rn FROM scored) t
+                         FROM (SELECT e.vec_id, e.v, c.c_id,
+                                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                                   round(list_dot_product(e.v, c.cv) /
+                                         (sqrt(list_dot_product(e.v, e.v)) *
+                                          sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                                   c.c_id) AS rn
+                               FROM em e, cent2 c) t
                          WHERE rn = 1),
             q AS (SELECT vec_id AS q_id, v AS qv, c_id AS qc
                   FROM assigned WHERE vec_id < 10),

@@ -256,24 +256,20 @@ object LlmOps {
     ord(rerankTopK(s, j, 3), col("q_id"), col("rn"))
   }
 
-  /** q_similarity_ivf — IVF-style ANN: a coarse codebook of 8 centroids
-    * (deterministically the first 8 vectors — a k-means codebook would
-    * drop in unchanged), every vector assigned to its nearest centroid
-    * (argmax cosine, ties by centroid id), queries probe their own cell
-    * (nprobe=1) and exact-rerank top-3 inside it.
-    *
-    * Scale shape: assignment is a broadcast join against k centroids
-    * (O(N·k), embarrassingly parallel); search touches only ~N/k
-    * candidates per query instead of N. Recall improves with nprobe —
-    * kept at 1 here for a deterministic oracle. */
-  def similarityIvf(s: SparkSession, d: String): DataFrame = {
-    val em = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cent = em.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    // argmax assignment via the bounded aggregate (k=1): the window form
-    // shuffles + sorts all N×k scored rows; the aggregate reduces them
-    // map-side to one row per vector, then one N-row join regains v.
+  /** Fixed Lloyd iteration count refining the IVF codebook: the
+    * codebook must be deterministic (no RNG, no convergence-dependent
+    * round count) so the whole pipeline stays oracle-reproducible. */
+  val IvfLloydIters = 2
+
+  /** Assign every vector of `em` to its nearest centroid in `cent`
+    * (argmax ROUNDED cosine, ties to the smaller c_id) via the bounded
+    * aggregate (k=1): the window form shuffles + sorts all N×k scored
+    * rows; the aggregate reduces them map-side to one row per vector,
+    * then one N-row join regains v. Rounding the similarity before the
+    * argmax makes the assignment invariant to cross-engine /
+    * cross-partitioning float-sum order — ties break on c_id, never on
+    * the 1e-16 tail of a dot product. */
+  private def assignCells(s: SparkSession, em: DataFrame, cent: DataFrame): DataFrame = {
     graft.functions.TopKAggregate.register(s)
     val top1 = em.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("c_id"),
@@ -281,12 +277,70 @@ object LlmOps {
       .groupBy(col("vec_id"))
       .agg(call_function("top_k_pairs", col("csim"), col("c_id"), lit(1)).as("tk"))
       .select(col("vec_id").as("a_id"), col("tk").getItem(0).getField("id").as("c_id"))
-    val assigned = em.join(top1, em("vec_id") === top1("a_id"))
+    em.join(top1, em("vec_id") === top1("a_id"))
       .select(col("vec_id"), col("v"), col("c_id"))
-    val q = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c_id").as("qc"))
-    val j = assigned.join(broadcast(q),
+  }
+
+  /** One Lloyd step: new centroid = per-dimension ROUNDED mean of the
+    * cell's vectors (r4 keeps the codebook bit-identical across engines
+    * and partitionings — same determinism rule as every aggregated
+    * double in the engine). Cells keep their original ids; an emptied
+    * cell simply drops out of the codebook (both engines' GROUP BY
+    * agree on that). Linear: one posexplode + two partial-aggregable
+    * shuffles, output is k rows. */
+  private def lloydStep(assigned: DataFrame): DataFrame =
+    assigned.select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(r4(avg(col("x"))).as("cx"))
+      .groupBy(col("c_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)")
+        .as("cv"))
+
+  /** q_similarity_ivf — IVF ANN with a real (if tiny) k-means codebook:
+    * 8 centroids seeded deterministically from the first 8 vectors,
+    * refined by `IvfLloydIters` fixed Lloyd rounds, every vector
+    * assigned to its nearest final centroid, queries probe their
+    * `nprobe` nearest cells and exact-rerank top-3 inside them. The
+    * oracle entry keeps nprobe=1; AnnRecallSpec measures the nprobe=2
+    * recall gain.
+    *
+    * Scale shape: each Lloyd round is one broadcast O(N·k) assignment
+    * plus one linear centroid aggregate, and the round count is FIXED —
+    * a constant number of linear passes builds the codebook (which is
+    * k rows, localCheckpoint'd so later stages reuse instead of
+    * recomputing it). Search touches only ~nprobe·N/k candidates per
+    * query instead of N. */
+  def similarityIvf(s: SparkSession, d: String): DataFrame =
+    similarityIvfProbe(s, d, nprobe = 1)
+
+  def similarityIvfProbe(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent0 = em.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    // localCheckpoint each refined codebook (k rows — trivial to hold):
+    // without it every downstream consumer would re-run the whole
+    // assign+mean lineage, tripling the passes over em.
+    val cent = (1 to IvfLloydIters).foldLeft(cent0) { (c, _) =>
+      lloydStep(assignCells(s, em, c)).localCheckpoint(true)
+    }
+    val assigned = assignCells(s, em, cent)
+    // queries probe their nprobe nearest cells (nprobe=1 ≡ the query's
+    // own cell — identical argmax as the assignment pass)
+    graft.functions.TopKAggregate.register(s)
+    val qcells = em.filter(col("vec_id") < 10).crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+              r4(cosineFast(s, col("v"), col("cv"))).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(call_function("top_k_pairs", col("csim"), col("c_id"), lit(nprobe)).as("tk"))
+      .select(col("vec_id").as("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as("qc"))
+    val qv = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id2"), col("v").as("qv"))
+    val j = assigned.join(broadcast(qcells),
         col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
+      .join(broadcast(qv), col("q_id") === col("q_id2"))
       .select(col("q_id"), col("vec_id").as("n_id"),
               r4(cosineFast(s, col("qv"), col("v"))).as("sim"))
     ord(rerankTopK(s, j, 3), col("q_id"), col("rn"))

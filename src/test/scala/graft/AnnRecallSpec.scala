@@ -17,18 +17,20 @@ class AnnRecallSpec extends AnyFunSuite {
         q -> rows.sortBy(_.getInt(3)).take(k).map(_.getLong(1)).toSeq
       }
 
+  private def recallVs(brute: Map[Long, Seq[Long]])(approx: Map[Long, Seq[Long]]): Double = {
+    val per = approx.toSeq.map { case (q, ns) =>
+      val truth = brute.getOrElse(q, Seq()).toSet
+      if (ns.isEmpty) 0.0 else ns.count(truth).toDouble / ns.size
+    }
+    if (per.isEmpty) 0.0 else per.sum / per.size
+  }
+
   test("LSH and IVF candidates overlap brute-force top-5 and are self-consistent") {
     val brute = topk(LlmOps.similarityTopk(spark, sf0001), 5)
     val lsh = topk(LlmOps.similarityLsh(spark, sf0001), 3)
     val ivf = topk(LlmOps.similarityIvf(spark, sf0001), 3)
 
-    def recall(approx: Map[Long, Seq[Long]]): Double = {
-      val per = approx.toSeq.map { case (q, ns) =>
-        val truth = brute.getOrElse(q, Seq()).toSet
-        if (ns.isEmpty) 0.0 else ns.count(truth).toDouble / ns.size
-      }
-      if (per.isEmpty) 0.0 else per.sum / per.size
-    }
+    val recall = recallVs(brute) _
     val lshR = recall(lsh)
     val ivfR = recall(ivf)
     info(f"LSH precision-vs-brute-top5: $lshR%.2f over ${lsh.size} queries")
@@ -46,5 +48,22 @@ class AnnRecallSpec extends AnyFunSuite {
     // stays the high-recall path.
     assert(lshR >= 0.6, f"multi-table LSH recall@3 $lshR%.2f < 0.6")
     assert(ivfR >= 0.6, f"IVF recall@3 $ivfR%.2f < 0.6")
+  }
+
+  test("Lloyd-refined IVF keeps a high recall floor; nprobe=2 widens the probe") {
+    val brute = topk(LlmOps.similarityTopk(spark, sf0001), 5)
+    val recall = recallVs(brute) _
+    val p1 = topk(LlmOps.similarityIvfProbe(spark, sf0001, 1), 3)
+    val p2 = topk(LlmOps.similarityIvfProbe(spark, sf0001, 2), 3)
+    val r1 = recall(p1)
+    val r2 = recall(p2)
+    info(f"IVF recall@3: nprobe=1 $r1%.2f, nprobe=2 $r2%.2f over ${p1.size} queries")
+    // the codebook refinement must not cost recall vs the r2-era 0.93
+    assert(r1 >= 0.9, f"IVF nprobe=1 recall@3 $r1%.2f < 0.9")
+    assert(r2 >= r1 - 0.05,
+      f"nprobe=2 recall $r2%.2f fell below nprobe=1 $r1%.2f - probe union broken")
+    // nprobe=2 must actually widen the candidate set: with 8 cells every
+    // query gets a second cell, so each query still returns a full top-3
+    assert(p2.values.forall(_.size == 3), "nprobe=2 returned short neighbor lists")
   }
 }
