@@ -94,6 +94,7 @@ object SparkEntry {
     "q_multimodal_frames" -> (M.multimodalFrames _),
     // §2.8c corpus curation
     "q_text_filter" -> (C.textFilter _),
+    "q_text_repetition" -> (C.textRepetition _),
     "q_pii_redact" -> (C.piiRedact _),
     "q_sample_stratified" -> (C.sampleStratified _),
     "q_dedup_cluster" -> (C.dedupCluster _),
@@ -655,6 +656,26 @@ object SparkEntry {
                             string_split(text, ' ') AS toks
                      FROM documents) t0) t1
          ORDER BY doc_id""",
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            bg AS (SELECT doc_id, unnest(list_transform(list_zip(toks, toks[2:]),
+                                         p -> p[1] || ' ' || p[2])) AS bigram
+                   FROM t),
+            bgs AS (SELECT doc_id, count(*) AS n_bg,
+                           count(DISTINCT bigram) AS n_bg_d
+                    FROM bg WHERE bigram IS NOT NULL GROUP BY 1),
+            tokc AS (SELECT doc_id, tok, count(*) AS c
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                           FROM documents) u
+                     GROUP BY 1, 2),
+            topf AS (SELECT doc_id, max(c) AS maxc, CAST(sum(c) AS BIGINT) AS n
+                     FROM tokc GROUP BY 1)
+         SELECT f.doc_id, CAST(f.n AS INT) AS n_tokens,
+                round(f.maxc::DOUBLE / f.n, 4) AS top_tok_frac,
+                round(coalesce((b.n_bg - b.n_bg_d)::DOUBLE / nullif(b.n_bg, 0),
+                               0.0), 4) AS dup_bigram_frac
+         FROM topf f LEFT JOIN bgs b ON f.doc_id = b.doc_id
+         ORDER BY f.doc_id""",
     "q_pii_redact" ->
       """SELECT event_id,
                 CAST(len(regexp_extract_all(props, '[0-9]+', 0)) AS INT) AS n_redact,

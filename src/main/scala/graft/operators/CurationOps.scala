@@ -116,6 +116,44 @@ object CurationOps {
       col("bucket"))
   }
 
+  /** q_text_repetition — Gopher-style intra-document repetition
+    * signals, the standard boilerplate/spam detector a quality pipeline
+    * runs beside q_text_filter: the fraction of tokens taken by the
+    * single most frequent token, and the fraction of duplicated
+    * 2-grams. High values mark templated or machine-looped text.
+    *
+    * Scale shape: bigram stats are pure map-side array arithmetic (no
+    * shuffle at all); the top-token fraction is one explode + two
+    * partial-aggregable shuffles on (doc_id, tok) then doc_id — linear
+    * in corpus token count, no windows. */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tokc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val topf = tokc.groupBy(col("doc_id"))
+      .agg(max(col("c")).as("maxc"), sum(col("c")).as("n"))
+    // adjacent-pair bigrams via 1-based element_at — mirrors the
+    // oracle's list_zip(toks, toks[2:]); guarded for <2 tokens because
+    // Spark's sequence(1, 0) would DESCEND, not return empty
+    val bgArr = when(size(col("toks")) >= 2,
+        expr("transform(sequence(1, size(toks) - 1), " +
+             "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+      .otherwise(array().cast("array<string>"))
+    val bgs = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), bgArr.as("bg"))
+      .select(col("doc_id"), size(col("bg")).as("n_bg"),
+              size(array_distinct(col("bg"))).as("n_bg_d"))
+    ord(
+      topf.join(bgs, "doc_id")
+        .select(col("doc_id"),
+                col("n").cast("int").as("n_tokens"),
+                r4(col("maxc").cast("double") / col("n")).as("top_tok_frac"),
+                r4(when(col("n_bg") === 0, lit(0.0))
+                  .otherwise((col("n_bg") - col("n_bg_d")).cast("double") / col("n_bg")))
+                  .as("dup_bigram_frac")),
+      col("doc_id"))
+  }
+
   /** Jaccard threshold above which an n-gram pair is a dedup edge. */
   val ClusterMinJaccard = 0.5
 
@@ -129,51 +167,51 @@ object CurationOps {
     * independent of iteration order — the oracle computes the same
     * components with a recursive CTE. Emits (doc_id, component) for
     * every document; singletons are their own component. */
-  def dedupCluster(s: SparkSession, d: String): DataFrame = {
-    val pairs = LlmOps.ngramPairs(s, d, LlmOps.NgramMaxDf)
-      .filter(col("jaccard") >= ClusterMinJaccard)
-      .select(col("d1"), col("d2"))
-    val edges = pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+  /** Connected components by min-label propagation over an edge list
+    * `(d1, d2)` (direction irrelevant — symmetrized internally).
+    * Returns `(doc_id, component = min reachable id)` for every vertex
+    * that appears in an edge; isolated vertices never appear (callers
+    * reattach them as their own component).
+    *
+    * O(cluster DIAMETER) rounds — the right default for near-dup graphs,
+    * whose clusters are shallow (dup chains, not long paths). For
+    * adversarial deep graphs use [[ccStars]], which is O(log²n) rounds
+    * regardless of diameter.
+    *
+    * localCheckpoint each round: truncates the otherwise exponentially
+    * nesting lineage (mandatory for iterative algorithms) and severs
+    * the attribute sharing that would trip Spark's ambiguous-self-join
+    * detection once labels starts deriving from edges. The checkpoint
+    * is LAZY and the convergence aggregate is what materializes it —
+    * one fused job per round (the eager-checkpoint + separate-labelSum
+    * formulation ran two, the r3 bench's top cost).
+    *
+    * labels only ever DECREASE under min-propagation, so
+    * sum(component) is a strictly decreasing convergence metric:
+    * equal sums ⟺ fixpoint. One scalar aggregate per round — no data
+    * ever reaches the driver. coalesce: sum over an EMPTY label set (a
+    * corpus with no near-dup pairs at all) is null — without it the
+    * scalar read NPEs. */
+  def ccMinLabel(edges0: DataFrame, maxIter: Int = 64): DataFrame = {
+    val edges = edges0.select(col("d1"), col("d2"))
+      .union(edges0.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist()
-    // Iterate ONLY over vertices that have at least one edge: isolated
-    // docs can never change label, and at 100 TB the duplicate subset is
-    // a small fraction of the corpus — propagating over all N rows per
-    // round would dominate the cost for no effect. Singletons re-attach
-    // at the end as their own component.
-    //
-    // localCheckpoint each round: truncates the otherwise exponentially
-    // nesting lineage (mandatory for iterative algorithms) and severs
-    // the attribute sharing that would trip Spark's ambiguous-self-join
-    // detection once labels starts deriving from edges. The checkpoint
-    // is LAZY and the convergence aggregate below is what materializes
-    // it — fusing what used to be two jobs per round (eager-checkpoint
-    // materialization + a separate labelSum job, the r3 bench's top
-    // cost) into ONE job per round.
-    //
-    // labels only ever DECREASE under min-propagation, so
-    // sum(component) is a strictly decreasing convergence metric:
-    // equal sums ⟺ fixpoint. One scalar aggregate per round — no
-    // data ever reaches the driver.
-    // coalesce: sum over an EMPTY label set (a corpus with no near-dup
-    // pairs at all) is null — without it the scalar read NPEs
     def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
       val cp = df.localCheckpoint(false)
       (cp, cp.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0))
     }
     // edges must stay persisted for every propagation round; unpersist in
     // finally so a non-convergence failure can't leak the cached RDD.
-    val labels = try {
+    try {
       var (cur, curSum) = checkpointWithSum(
         edges.select(col("d1").as("doc_id")).distinct()
           .withColumn("component", col("doc_id")))
       var prevSum = Long.MaxValue
       var iter = 0
       // a label travels one hop per round, so the bound is the cluster
-      // DIAMETER; 64 covers any plausible near-dup chain. If it's ever
-      // hit, FAIL LOUDLY — a silently unconverged result would disagree
-      // with the oracle's full transitive closure on deep chains.
-      val maxIter = 64
+      // DIAMETER. If it's ever hit, FAIL LOUDLY — a silently
+      // unconverged result would disagree with the oracle's full
+      // transitive closure on deep chains.
       while (curSum != prevSum && iter < maxIter) {
         val prop = cur.join(edges, cur("doc_id") === edges("d1"))
           .select(edges("d2").as("doc_id"), col("component"))
@@ -189,10 +227,88 @@ object CurationOps {
         iter += 1
       }
       require(curSum == prevSum,
-        s"dedupCluster did not converge within $maxIter rounds - " +
-          "near-dup chain deeper than the iteration bound")
+        s"ccMinLabel did not converge within $maxIter rounds - " +
+          "component diameter exceeds the iteration bound; use ccStars")
       cur
     } finally edges.unpersist()
+  }
+
+  /** Connected components via alternating large-star/small-star
+    * rewrites (the public MapReduce-CC algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * production answer for ADVERSARIAL graphs: round count is
+    * O(log² n) regardless of component diameter, where [[ccMinLabel]]
+    * needs O(diameter) rounds (a 1000-deep dup chain = 1000 shuffles).
+    *
+    * Per round: large-star rewires every neighbor LARGER than u to
+    * m(u) = min(Γ(u) ∪ {u}); small-star then rewires every neighbor
+    * ≤ u (keyed by the larger endpoint) to the minimum of that
+    * down-neighborhood. Both are one groupBy + one join on the edge
+    * list — the same shapes as the propagation loop, just applied to
+    * edges instead of labels. At the fixpoint the edge set is exactly
+    * the star set {(root, v)}, root = component minimum, so the output
+    * contract matches ccMinLabel row for row.
+    *
+    * Convergence = edge set unchanged (checked with exceptAll both
+    * ways — the potential argument in the paper guarantees progress, a
+    * scalar proxy does not prove set equality). Suite-checked
+    * equivalent to ccMinLabel; kept as the documented alternative path
+    * because near-dup graphs are shallow in practice and propagation
+    * is cheaper per round. */
+  def ccStars(edges0: DataFrame, maxIter: Int = 32): DataFrame = {
+    // canonical undirected, self-loop-free edge set (a < b)
+    var cur = edges0.select(
+        least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var done = cur.isEmpty
+    while (!done && iter < maxIter) {
+      // large-star: for each u, every neighbor v > u rewires to
+      // m(u) = min(Γ(u) ∪ {u}); m ≤ u < v keeps edges canonical
+      val sym = cur.select(col("a").as("u"), col("b").as("v"))
+        .union(cur.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+      // small-star: key each edge by its LARGER endpoint u; the down
+      // neighborhood Γ⁻(u) ∪ {u} all link to its minimum
+      val byBig = large.select(col("b").as("u"), col("a").as("v"))
+      val smins = byBig.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val smallNbr = byBig.join(smins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+      val smallSelf = smins.select(col("m").as("a"), col("u").as("b"))
+      val next = smallNbr.union(smallSelf).distinct().localCheckpoint(false)
+      // one job materializes next's checkpoint AND decides convergence
+      done = next.exceptAll(cur).union(cur.exceptAll(next)).isEmpty
+      cur = next
+      iter += 1
+    }
+    require(done, s"ccStars did not converge within $maxIter rounds")
+    // fixpoint edges are exactly (root, v): non-roots read off the b
+    // side; roots are a-side vertices that never appear as a b
+    val nonRoots = cur.select(col("b").as("doc_id"), col("a").as("component"))
+    val roots = cur.select(col("a")).distinct()
+      .join(cur.select(col("b").as("a")), Seq("a"), "left_anti")
+      .select(col("a").as("doc_id"), col("a").as("component"))
+    nonRoots.union(roots)
+  }
+
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = LlmOps.ngramPairs(s, d, LlmOps.NgramMaxDf)
+      .filter(col("jaccard") >= ClusterMinJaccard)
+      .select(col("d1"), col("d2"))
+    // Cluster ONLY vertices that have at least one edge: isolated docs
+    // can never change label, and at 100 TB the duplicate subset is a
+    // small fraction of the corpus — propagating over all N rows per
+    // round would dominate the cost for no effect. Singletons re-attach
+    // at the end as their own component.
+    val labels = ccMinLabel(pairs)
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val clustered = labels.withColumnRenamed("doc_id", "doc_id_c")
     ord(

@@ -48,6 +48,45 @@ class CurationSpec extends AnyFunSuite {
     assert(x == y)
   }
 
+  test("ccStars == ccMinLabel on a mixed random graph (components, chains, singleton edges)") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: cliques of 4, a 20-chain, stars
+    val edges = ((0 until 60).map(i => (i.toLong * 7 % 97, i.toLong * 31 % 97)) ++
+      (100L until 119L).map(i => (i, i + 1)) ++          // 20-node chain
+      (0 until 5).map(i => (200L, 201L + i))             // star
+    ).filter { case (a, b) => a != b }
+      .toDF("d1", "d2")
+    val byLabel = CurationOps.ccMinLabel(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byStars = CurationOps.ccStars(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byStars == byLabel,
+      s"stars=$byStars\nlabel=$byLabel")
+    assert(byLabel.values.forall(c => byLabel(c) == c), "component mins must be roots")
+  }
+
+  test("ccStars converges on a deep chain that exceeds the propagation bound") {
+    import spark.implicits._
+    // a 200-deep chain needs 200 propagation rounds (one hop per round)
+    // but only O(log) star rounds — exactly the adversarial case the
+    // alternative path exists for
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val ex = intercept[IllegalArgumentException] {
+      CurationOps.ccMinLabel(chain, maxIter = 64).collect()
+    }
+    assert(ex.getMessage.contains("ccMinLabel did not converge"))
+    val comp = CurationOps.ccStars(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 201 && comp.values.forall(_ == 0L),
+      s"chain must collapse to component 0, got ${comp.toSeq.sortBy(_._1).take(10)}...")
+  }
+
+  test("ccStars on an empty edge set returns no rows (no crash)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(CurationOps.ccStars(empty).collect().isEmpty)
+  }
+
   test("stratified sample: per-stratum rates within hash tolerance, reproducible") {
     val s1 = CurationOps.sampleStratified(spark, sf0001).collect()
     val s2 = CurationOps.sampleStratified(spark, sf0001).collect()
@@ -55,6 +94,23 @@ class CurationSpec extends AnyFunSuite {
     assert(s1.forall(r =>
       r.getLong(2) < (if (r.getString(1) == "en") 20 else 50)),
       "a row leaked past its stratum's rate gate")
+  }
+
+  test("text_repetition: hand-computed fractions on planted repetitive docs") {
+    val dir = tmpDir("cur_rep")
+    val looped = "spam spam spam spam ham"          // top 'spam' 4/5; bigrams: spam-spam x3, spam-ham -> dup (4-2)/4
+    val clean = "every word here is different"      // top 1/5, no dup bigrams
+    val single = "solo"                             // 1 token, 0 bigrams
+    val rows = Seq(
+      Row(0L, looped, "en", "s0", looped.length.toLong),
+      Row(1L, clean, "en", "s0", clean.length.toLong),
+      Row(2L, single, "en", "s0", single.length.toLong))
+    writeTable(dir, "documents", documentsSchema, rows)
+    val got = CurationOps.textRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((5, 0.8, 0.5)), s"looped doc: ${got(0L)}")
+    assert(got(1L) == ((5, 0.2, 0.0)), s"clean doc: ${got(1L)}")
+    assert(got(2L) == ((1, 1.0, 0.0)), s"single-token doc: ${got(2L)}")
   }
 
   test("text_filter: every verdict matches its own emitted features") {
