@@ -85,6 +85,7 @@ object SparkEntry {
     "q_similarity_lsh" -> (L.similarityLsh _),
     "q_similarity_ivf" -> (L.similarityIvf _),
     "q_embedding_centroid" -> (L.embeddingCentroid _),
+    "q_embedding_pq" -> (L.embeddingPq _),
     "q_text_stats" -> (L.textStats _),
     "q_text_quality" -> (L.textQuality _),
     "q_token_count" -> (L.tokenCount _),
@@ -564,6 +565,30 @@ object SparkEntry {
                             ORDER BY sim DESC, n_id) AS INT) AS rn
                    FROM sims)
          SELECT q_id, n_id, sim, rn FROM rk WHERE rn <= 3 ORDER BY q_id, rn""",
+    "q_embedding_pq" ->
+      // spherical product quantization: same rounded-cosine argmax +
+      // c_id tie-break determinism rule as the IVF oracle
+      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            sub AS (SELECT vec_id, CAST(i.sp AS INT) AS sp,
+                           v[(CAST(i.sp AS INT) * 16 + 1):(CAST(i.sp AS INT) * 16 + 16)] AS sv
+                    FROM em, range(0, 4) i(sp)),
+            cb AS (SELECT sp, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < 8),
+            scored AS (SELECT s.vec_id, s.sp, c.c_id,
+                              round(list_dot_product(s.sv, c.cv) /
+                                    (sqrt(list_dot_product(s.sv, s.sv)) *
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) AS cs
+                       FROM sub s JOIN cb c ON s.sp = c.sp),
+            enc AS (SELECT vec_id, sp, c_id AS code, cs
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sp
+                            ORDER BY cs DESC, c_id) AS rn FROM scored) t
+                    WHERE rn = 1)
+         SELECT vec_id,
+                CAST(max(CASE WHEN sp = 0 THEN code END) AS BIGINT) AS code0,
+                CAST(max(CASE WHEN sp = 1 THEN code END) AS BIGINT) AS code1,
+                CAST(max(CASE WHEN sp = 2 THEN code END) AS BIGINT) AS code2,
+                CAST(max(CASE WHEN sp = 3 THEN code END) AS BIGINT) AS code3,
+                round(sum(1.0 - cs), 4) AS q_err
+         FROM enc GROUP BY 1 ORDER BY 1""",
     "q_embedding_centroid" ->
       """SELECT label, CAST(i AS INT) AS pos,
                 round(avg(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 4) AS c

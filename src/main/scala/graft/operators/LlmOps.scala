@@ -346,6 +346,51 @@ object LlmOps {
     ord(rerankTopK(s, j, 3), col("q_id"), col("rn"))
   }
 
+  /** q_embedding_pq — product quantization, the standard embedding
+    * compression for ANN at scale: split each 64-dim vector into 4
+    * subvectors of 16 dims, quantize each against a per-subspace
+    * codebook of 8 codewords (seeded deterministically from the first 8
+    * vectors' subvectors), emit the 4 code ids plus the quantization
+    * error (mean of 1 - cosine to the chosen codeword — spherical PQ).
+    * 64 doubles become 4 small codes; at 100 TB that is the difference
+    * between scanning raw vectors and scanning a compressed index.
+    *
+    * Scale shape: subvector explode is map-side ×4; the codebook
+    * (4 subspaces × 8 codewords) broadcasts; assignment reduces via the
+    * bounded aggregate (k=1, map-side) — one linear pass, no windows.
+    * Assignment uses ROUNDED cosine with c_id tie-break, the same
+    * cross-engine determinism rule as the IVF codebook. */
+  def embeddingPq(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sub = em.select(col("vec_id"),
+      posexplode(expr("transform(sequence(0, 3), i -> slice(v, i * 16 + 1, 16))"))
+        .as(Seq("sp", "sv")))
+    val cb = sub.filter(col("vec_id") < 8)
+      .select(col("sp").as("csp"), col("vec_id").as("c_id"), col("sv").as("cv"))
+    graft.functions.TopKAggregate.register(s)
+    val enc = sub.join(broadcast(cb), col("sp") === col("csp"))
+      .select(col("vec_id"), col("sp"), col("c_id"),
+              r4(cosineFast(s, col("sv"), col("cv"))).as("cs"))
+      .groupBy(col("vec_id"), col("sp"))
+      .agg(call_function("top_k_pairs", col("cs"), col("c_id"), lit(1)).as("tk"))
+      .select(col("vec_id"), col("sp"),
+              col("tk").getItem(0).getField("id").as("code"),
+              col("tk").getItem(0).getField("value").as("cs"))
+    ord(
+      enc.groupBy(col("vec_id"))
+        .agg(max(when(col("sp") === 0, col("code"))).as("code0"),
+             max(when(col("sp") === 1, col("code"))).as("code1"),
+             max(when(col("sp") === 2, col("code"))).as("code2"),
+             max(when(col("sp") === 3, col("code"))).as("code3"),
+             // SUM, not avg: the sum of four 4-decimal values is itself
+             // a 4-decimal value, so r4 never lands on a .00005
+             // rounding boundary (avg/4 does, and the half-up tie then
+             // resolves differently per engine's float-noise direction)
+             r4(sum(lit(1.0) - col("cs"))).as("q_err")),
+      col("vec_id"))
+  }
+
   /** q_embedding_centroid — per-label 64-dim centroid as
     * (label, pos, component) rows via posexplode. */
   def embeddingCentroid(s: SparkSession, d: String): DataFrame = {

@@ -66,4 +66,27 @@ class AnnRecallSpec extends AnyFunSuite {
     // query gets a second cell, so each query still returns a full top-3
     assert(p2.values.forall(_.size == 3), "nprobe=2 returned short neighbor lists")
   }
+
+  test("product quantization: codewords encode to themselves with zero error") {
+    val rows = LlmOps.embeddingPq(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getLong(0) ->
+      ((Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)), r.getDouble(5)))).toMap
+    // every vector got a full 4-part code from the 8-codeword books
+    byId.values.foreach { case (codes, err) =>
+      assert(codes.forall(c => c >= 0 && c < 8), s"code out of range: $codes")
+      assert(err >= 0.0 && err <= 8.0, s"quantization error out of [0,8]: $err")
+    }
+    // the seed vectors ARE codewords: they must self-encode exactly
+    (0L until 8L).foreach { i =>
+      val (codes, err) = byId(i)
+      assert(codes == Seq(i, i, i, i), s"codeword $i encoded as $codes")
+      assert(err == 0.0, s"codeword $i has nonzero quantization error $err")
+    }
+    // quantization must be better than random: non-seed vectors should
+    // on average sit closer to their codeword than a full flip
+    // (q_err sums 4 subspace gaps, so the per-subspace mean is err/4)
+    val meanErr = byId.values.map(_._2 / 4).sum / byId.size
+    assert(meanErr < 1.0, f"mean spherical quantization error $meanErr%.3f >= 1.0")
+  }
 }
