@@ -51,6 +51,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_embedding_pq broadcasts the codebook and reduces via ObjectHashAggregate") {
+    val p = plan(graft.operators.LlmOps.embeddingPq(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), "codebook join not broadcast:\n" + p)
+    assert(p.contains("ObjectHashAggregate"), "argmax not on the bounded aggregate:\n" + p)
+    assert(!p.contains("Window"), "PQ encoding planned a window sort:\n" + p)
+  }
+
+  test("q_text_repetition runs without windows; bigram stats stay map-side") {
+    val p = plan(graft.operators.CurationOps.textRepetition(spark, sf0001))
+    assert(!p.contains("Window"), "repetition stats planned a window:\n" + p)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "per-doc join shape unexpected:\n" + p)
+  }
+
   test("q_scan_partitioned prunes to the 3 selected day partitions") {
     val df = graft.operators.RelationalOps.scanPartitioned(spark, sf0001)
     val p = plan(df)
