@@ -114,6 +114,8 @@ object SparkEntry {
     "q_stats_agg" -> (P.statsAgg _),
     // declarative report surface + skew machinery (r2 promotions)
     "q_report_declarative" -> (ReportOps.reportDeclarative _),
+    "q_cohort_retention" -> (ReportOps.cohortRetention _),
+    "q_funnel" -> (ReportOps.funnel _),
     "q_agg_salted" -> (SkewOps.aggSalted _)
   )
 
@@ -832,6 +834,32 @@ object SparkEntry {
          WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05'
            AND ts::TIMESTAMP < TIMESTAMP '2024-01-20'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_cohort_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS day
+                     FROM events),
+            c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+         SELECT c.cohort_day, CAST(ud.day - c.cohort_day AS INT) AS day_offset,
+                count(*) AS n_users
+         FROM ud JOIN c ON ud.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+            counts AS (
+              SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+              UNION ALL SELECT 2, 'click', count(*) FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
+            ent AS (SELECT n_users AS n_entered FROM counts WHERE step = 1)
+         SELECT step, event_type, n_users,
+                round(n_users::DOUBLE / n_entered, 4) AS conv
+         FROM counts, ent ORDER BY step""",
     "q_agg_salted" ->
       """SELECT event_type, round(sum(value), 4) AS sum_value,
                 count(*) AS n

@@ -77,4 +77,71 @@ object ReportOps {
       dateCol = "ts",
       startDate = "2024-01-05",
       endDate = "2024-01-20"))
+
+  /** q_cohort_retention — the GA retention matrix: users are cohorted
+    * by their first active day; each (cohort_day, day_offset) cell
+    * counts how many of that cohort were active offset days later.
+    *
+    * Scale shape: distinct (user, day) is one partial-aggregable
+    * shuffle; the cohort min is a per-user aggregate; the join is
+    * co-partitioned on user_id (exchange reuse with the previous
+    * aggregate); the final cell count is one more aggregate. Linear,
+    * window-free — the matrix itself is at most days² rows regardless
+    * of corpus size. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val ud = graft.Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ord(
+      ud.join(cohort, "user_id")
+        .select(col("cohort_day"),
+                datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        // ud is already distinct per (user, day), so a plain count is a
+        // distinct-user count — no second distinct shuffle needed
+        .agg(count(lit(1)).as("n_users")),
+      col("cohort_day"), col("day_offset"))
+  }
+
+  /** The q_funnel step sequence (GA goal funnel): first view, then
+    * first click AFTER that view, then first purchase AFTER that click. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** q_funnel — strictly-ordered funnel conversion: for each user, step
+    * n counts only if it happens after the user's step n-1 time. Emits
+    * one row per step with the users reaching it and the conversion
+    * fraction vs step 1.
+    *
+    * Scale shape: each step is filter → per-user min-aggregate →
+    * co-partitioned join on user_id; event_type filters prune each scan
+    * (pushed to parquet). No windows, no sequence explosion — state per
+    * step is one timestamp per surviving user. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val e = graft.Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+    def firstAfter(step: String, prev: Option[DataFrame]): DataFrame = {
+      val base = e.filter(col("event_type") === step)
+      val gated = prev match {
+        case Some(p) => base.join(p, "user_id").filter(col("ts") > col("t_prev"))
+        case None => base
+      }
+      gated.groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+    }
+    val steps = FunnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (name, _)) => Some(firstAfter(name, prev))
+    }.flatten
+    val counts = steps.zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("event_type"), col("n_users"))
+    }
+    val all = counts.reduce(_.unionByName(_))
+    val entered = counts.head.select(col("n_users").as("n_entered"))
+    ord(
+      all.crossJoin(broadcast(entered))
+        .select(col("step"), col("event_type"), col("n_users"),
+                r4(col("n_users").cast("double") / col("n_entered")).as("conv")),
+      col("step"))
+  }
 }

@@ -67,6 +67,49 @@ class IngestReportSpec extends AnyFunSuite {
     assert(monthly.count() == 1)
   }
 
+  test("funnel counts only strictly-ordered step sequences") {
+    val dir = tmpDir("funnel_fix")
+    val day = 86400L
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      // user 1: view -> click -> purchase, fully ordered: reaches step 3
+      eventRow(1, day * 1, 1L, "view", 1.0),
+      eventRow(2, day * 2, 1L, "click", 1.0),
+      eventRow(3, day * 3, 1L, "purchase", 1.0),
+      // user 2: click BEFORE its first view: stalls at step 1
+      eventRow(4, day * 2, 2L, "click", 1.0),
+      eventRow(5, day * 3, 2L, "view", 1.0),
+      // user 3: view -> click, no purchase: reaches step 2
+      eventRow(6, day * 1, 3L, "view", 1.0),
+      eventRow(7, day * 2, 3L, "click", 1.0),
+      // user 4: purchase BEFORE the click: reaches step 2 only
+      eventRow(8, day * 1, 4L, "view", 1.0),
+      eventRow(9, day * 2, 4L, "purchase", 1.0),
+      eventRow(10, day * 3, 4L, "click", 1.0)))
+    val got = ReportOps.funnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(1 -> ((4L, 1.0)), 2 -> ((3L, 0.75)), 3 -> ((1L, 0.25))),
+      s"got $got")
+  }
+
+  test("cohort retention cells count distinct users at each day offset") {
+    val dir = tmpDir("cohort_fix")
+    val day = 86400L
+    val d0 = 19723L * day // 2024-01-01 in epoch days * sec
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      // user 1 first seen day 0, returns day 1 (twice — still one cell
+      // hit) and day 3; user 2 first seen day 1 only
+      eventRow(1, d0, 1L, "view", 1.0),
+      eventRow(2, d0 + day, 1L, "click", 1.0),
+      eventRow(3, d0 + day + 3600, 1L, "view", 1.0),
+      eventRow(4, d0 + 3 * day, 1L, "view", 1.0),
+      eventRow(5, d0 + day, 2L, "view", 1.0)))
+    val got = ReportOps.cohortRetention(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 1) -> 1L, ("2024-01-01", 3) -> 1L,
+      ("2024-01-02", 0) -> 1L), s"got $got")
+  }
+
   test("unknown aggregation is rejected") {
     val ev = Tables.events(spark, sf0001)
     assertThrows[IllegalArgumentException] {
