@@ -139,10 +139,14 @@ object CurationOps {
         expr("transform(sequence(1, size(toks) - 1), " +
              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
       .otherwise(array().cast("array<string>"))
+    // n_bg is just max(n_tokens - 1, 0) — computing it arithmetically
+    // instead of as size(bg) leaves exactly ONE reference to the bigram
+    // HOF, so projection collapse can't inline (and re-evaluate) the
+    // array construction twice per row (the round-1 MinHash pitfall)
     val bgs = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), bgArr.as("bg"))
-      .select(col("doc_id"), size(col("bg")).as("n_bg"),
-              size(array_distinct(col("bg"))).as("n_bg_d"))
+      .select(col("doc_id"),
+              greatest(size(col("toks")) - 1, lit(0)).as("n_bg"),
+              size(array_distinct(bgArr)).as("n_bg_d"))
     ord(
       topf.join(bgs, "doc_id")
         .select(col("doc_id"),

@@ -326,16 +326,22 @@ object LlmOps {
       lloydStep(assignCells(s, em, c)).localCheckpoint(true)
     }
     val assigned = assignCells(s, em, cent)
-    // queries probe their nprobe nearest cells (nprobe=1 ≡ the query's
-    // own cell — identical argmax as the assignment pass)
+    // queries probe their nprobe nearest cells. For nprobe=1 the probe
+    // cell IS the query's assigned cell — read it off `assigned` rather
+    // than re-running the argmax pass over the embeddings scan.
     graft.functions.TopKAggregate.register(s)
-    val qcells = em.filter(col("vec_id") < 10).crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("c_id"),
-              r4(cosineFast(s, col("v"), col("cv"))).as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(call_function("top_k_pairs", col("csim"), col("c_id"), lit(nprobe)).as("tk"))
-      .select(col("vec_id").as("q_id"), explode(col("tk")).as("e"))
-      .select(col("q_id"), col("e.id").as("qc"))
+    val qcells =
+      if (nprobe == 1)
+        assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("c_id").as("qc"))
+      else
+        em.filter(col("vec_id") < 10).crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("c_id"),
+                  r4(cosineFast(s, col("v"), col("cv"))).as("csim"))
+          .groupBy(col("vec_id"))
+          .agg(call_function("top_k_pairs", col("csim"), col("c_id"), lit(nprobe)).as("tk"))
+          .select(col("vec_id").as("q_id"), explode(col("tk")).as("e"))
+          .select(col("q_id"), col("e.id").as("qc"))
     val qv = em.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id2"), col("v").as("qv"))
     val j = assigned.join(broadcast(qcells),
@@ -351,7 +357,8 @@ object LlmOps {
     * subvectors of 16 dims, quantize each against a per-subspace
     * codebook of 8 codewords (seeded deterministically from the first 8
     * vectors' subvectors), emit the 4 code ids plus the quantization
-    * error (mean of 1 - cosine to the chosen codeword — spherical PQ).
+    * error (1 - cosine to the chosen codeword, SUMMED across the 4
+    * subspaces — spherical PQ; divide by 4 for the per-subspace mean).
     * 64 doubles become 4 small codes; at 100 TB that is the difference
     * between scanning raw vectors and scanning a compressed index.
     *

@@ -92,21 +92,40 @@ object RelationalOps {
     val ok = new org.apache.hadoop.fs.Path(dest + "/_SUCCESS")
     val fs = destPath.getFileSystem(conf)
     if (!fs.exists(ok)) {
-      // dest without _SUCCESS = corpse of a pre-rename-era crashed write;
-      // atomic publishers below never leave one.
-      if (fs.exists(destPath)) fs.delete(destPath, true)
       // distinct prefix for temp dirs so the stale-fingerprint prune can
       // never touch another JVM's in-flight write
       val tmp = new org.apache.hadoop.fs.Path(
         "/tmp/graft_events_byday_tmp_" + java.util.UUID.randomUUID().toString)
       graft.sources.DataSources.writeDatePartitioned(
         Tables.events(s, d), "ts", tmp.toString)
-      if (fs.exists(destPath)) {
-        // another JVM published the identical copy while we wrote ours
-        fs.delete(tmp, true)
-      } else if (!fs.rename(tmp, destPath)) {
-        fs.delete(tmp, true)
-        require(fs.exists(ok), s"failed to publish day-partitioned cache at $dest")
+      // Publish with java.nio ATOMIC_MOVE, NOT Hadoop fs.rename: the
+      // local-fs rename falls back to FileUtil.copy when the target dir
+      // exists, which would nest our tree INSIDE a racer's published
+      // copy and poison the cache. ATOMIC_MOVE is rename(2): it either
+      // swaps atomically or throws — never copies, never nests.
+      def publish(): Boolean =
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(dest),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.io.IOException => false }
+      if (!publish()) {
+        if (fs.exists(ok)) {
+          // a concurrent JVM published the identical copy first; done
+          fs.delete(tmp, true)
+        } else {
+          // dest exists WITHOUT _SUCCESS: corpse of a pre-atomic-era
+          // crashed write (atomic publishers never leave one) — replace
+          // it. Deleting here is safe: a dir lacking _SUCCESS is never
+          // handed to readers.
+          fs.delete(destPath, true)
+          val won = publish()
+          if (!won) fs.delete(tmp, true)
+          require(won || fs.exists(ok),
+            s"failed to publish day-partitioned cache at $dest")
+        }
       }
       // prune stale fingerprints of THIS source dir (exact prefix + hex
       // fingerprint match — never other sources, never *_tmp_* dirs)

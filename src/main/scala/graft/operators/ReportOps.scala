@@ -121,6 +121,10 @@ object ReportOps {
   def funnel(s: SparkSession, d: String): DataFrame = {
     import graft.Fin._
     val e = graft.Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+    // each step frame (one timestamp per surviving user) is
+    // localCheckpoint'd so step n+1, the per-step count AND the entry
+    // count all reuse it — without this, step 3's lineage would nest
+    // steps 1-2 and the source would be re-scanned ~7× per funnel
     def firstAfter(step: String, prev: Option[DataFrame]): DataFrame = {
       val base = e.filter(col("event_type") === step)
       val gated = prev match {
@@ -128,6 +132,7 @@ object ReportOps {
         case None => base
       }
       gated.groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+        .localCheckpoint(true)
     }
     val steps = FunnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (name, _)) => Some(firstAfter(name, prev))

@@ -58,11 +58,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "PQ encoding planned a window sort:\n" + p)
   }
 
-  test("q_text_repetition runs without windows; bigram stats stay map-side") {
+  test("q_text_repetition runs without windows and evaluates the bigram HOF once") {
     val p = plan(graft.operators.CurationOps.textRepetition(spark, sf0001))
     assert(!p.contains("Window"), "repetition stats planned a window:\n" + p)
-    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
-      "per-doc join shape unexpected:\n" + p)
+    // n_bg is arithmetic (size - 1), so exactly one projection in the
+    // plan should build the bigram array — two would mean projection
+    // collapse re-inlined the HOF (the round-1 MinHash pitfall)
+    assert("array_distinct".r.findAllIn(p).length == 1,
+      "bigram array referenced more than once in the plan:\n" + p)
   }
 
   test("q_scan_partitioned prunes to the 3 selected day partitions") {
