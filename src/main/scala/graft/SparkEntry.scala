@@ -858,7 +858,8 @@ object SparkEntry {
               UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
             ent AS (SELECT n_users AS n_entered FROM counts WHERE step = 1)
          SELECT step, event_type, n_users,
-                round(n_users::DOUBLE / n_entered, 4) AS conv
+                CASE WHEN n_entered = 0 THEN 0.0
+                     ELSE round(n_users::DOUBLE / n_entered, 4) END AS conv
          FROM counts, ent ORDER BY step""",
     "q_agg_salted" ->
       """SELECT event_type, round(sum(value), 4) AS sum_value,

@@ -146,7 +146,11 @@ object ReportOps {
     ord(
       all.crossJoin(broadcast(entered))
         .select(col("step"), col("event_type"), col("n_users"),
-                r4(col("n_users").cast("double") / col("n_entered")).as("conv")),
+                // zero-entry guard: a corpus with no step-1 events must
+                // yield conv 0.0, not an engine-dependent 0/0
+                r4(when(col("n_entered") === 0, lit(0.0))
+                  .otherwise(col("n_users").cast("double") / col("n_entered")))
+                  .as("conv")),
       col("step"))
   }
 }

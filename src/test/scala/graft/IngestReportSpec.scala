@@ -91,6 +91,19 @@ class IngestReportSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("funnel on a corpus with no entry events yields zero counts, not 0/0") {
+    val dir = tmpDir("funnel_empty")
+    val day = 86400L
+    // clicks and purchases exist, but no views: every step must be 0
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      eventRow(1, day, 1L, "click", 1.0),
+      eventRow(2, day * 2, 1L, "purchase", 1.0)))
+    val got = ReportOps.funnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(1 -> ((0L, 0.0)), 2 -> ((0L, 0.0)), 3 -> ((0L, 0.0))),
+      s"got $got")
+  }
+
   test("cohort retention cells count distinct users at each day offset") {
     val dir = tmpDir("cohort_fix")
     val day = 86400L
