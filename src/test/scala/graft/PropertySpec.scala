@@ -90,6 +90,32 @@ object PropertySpec extends Properties("graft") {
         pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
     }
 
+  property("ccStars == ccMinLabel on random graphs, and both are true components") =
+    forAll(Gen.chooseNum(0, 40).flatMap(m => Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0L, 25L)
+      b <- Gen.chooseNum(0L, 25L)
+    } yield (a, b)))) { rawEdges =>
+      import spark.implicits._
+      val edges = rawEdges.filter { case (a, b) => a != b }
+      val df = edges.toDF("d1", "d2")
+      val byLabel = graft.operators.CurationOps.ccMinLabel(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byStars = graft.operators.CurationOps.ccStars(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference components via plain union-find on the driver
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(v => v -> find(v)).toMap
+      byLabel == want && byStars == want
+    }
+
   property("union-all count additivity over generated key sets") =
     forAll(Gen.listOf(Gen.chooseNum(0, 5)), Gen.listOf(Gen.chooseNum(0, 5))) { (a, b) =>
       import spark.implicits._
