@@ -103,6 +103,7 @@ object SparkEntry {
     "q_doc_length_histogram" -> (C.docLengthHistogram _),
     // §2.9 sessionization + time windows (batch forms)
     "q_sessionize" -> (W.sessionize _),
+    "q_session_metrics" -> (W.sessionMetrics _),
     "q_window_tumbling" -> (W.windowTumbling _),
     "q_window_sliding" -> (W.windowSliding _),
     // report shaping (r1 additions)
@@ -776,6 +777,31 @@ object SparkEntry {
          SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
                 count(*) AS n_events, round(sum(value), 4) AS session_value
          FROM sids GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_session_metrics" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g),
+            sess AS (SELECT user_id, sid, min(ts_sec) AS start_sec,
+                            max(ts_sec) AS end_sec, count(*) AS n_events
+                     FROM sids GROUP BY 1, 2)
+         SELECT DATE '1970-01-01' + CAST(start_sec // 86400 AS INT) AS day,
+                count(*) AS n_sessions,
+                round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*), 4) AS bounce_rate,
+                round(sum(end_sec - start_sec)::DOUBLE / count(*), 4)
+                  AS avg_duration_sec,
+                round(sum(n_events)::DOUBLE / count(*), 4) AS avg_events
+         FROM sess GROUP BY 1 ORDER BY 1""",
     "q_window_tumbling" ->
       """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
                 event_type, count(*) AS n, round(sum(value), 4) AS val

@@ -133,6 +133,32 @@ object WindowOps {
       col("user_id"), col("sid"))
   }
 
+  /** q_session_metrics — the GA session rollup on top of the flagship
+    * sessionization: per session-start day, session count, bounce rate
+    * (single-event sessions), average duration and events per session.
+    *
+    * Determinism: every ratio divides two EXACT integer aggregates once
+    * (integer sums are order-independent, so both engines divide
+    * identical doubles — the safe r4 pattern; averaging already-rounded
+    * doubles is not, see q_embedding_pq). Day = integer epoch-day
+    * arithmetic — no timezone dependence. One extra aggregate over the
+    * sessionize output; nothing new shuffles. */
+  def sessionMetrics(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionize(s, d)
+    ord(
+      sess.groupBy(date_add(lit("1970-01-01").cast("date"),
+          expr("CAST(start_sec DIV 86400 AS INT)")).as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(when(col("n_events") === 1, 1).otherwise(0)).as("nb"),
+             sum(col("end_sec") - col("start_sec")).as("dur"),
+             sum(col("n_events")).as("ev"))
+        .select(col("day"), col("n_sessions"),
+                r4(col("nb").cast("double") / col("n_sessions")).as("bounce_rate"),
+                r4(col("dur").cast("double") / col("n_sessions")).as("avg_duration_sec"),
+                r4(col("ev").cast("double") / col("n_sessions")).as("avg_events")),
+      col("day"))
+  }
+
   /** q_window_tumbling — 1-day tumbling windows × event_type (batch form
     * of the streaming aggregation in graft.streaming). */
   def windowTumbling(s: SparkSession, d: String): DataFrame = {

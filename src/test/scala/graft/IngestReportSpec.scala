@@ -123,6 +123,25 @@ class IngestReportSpec extends AnyFunSuite {
       ("2024-01-02", 0) -> 1L), s"got $got")
   }
 
+  test("session metrics: bounce rate and averages from hand-built sessions") {
+    val dir = tmpDir("sess_metrics")
+    val d0 = 19723L * 86400L // 2024-01-01
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      // user 1: two events 10s apart -> one 2-event session, duration 10
+      eventRow(1, d0 + 100, 1L, "view", 1.0),
+      eventRow(2, d0 + 110, 1L, "click", 1.0),
+      // user 2: one event -> a bounce (duration 0)
+      eventRow(3, d0 + 500, 2L, "view", 1.0)))
+    val got = graft.operators.WindowOps.sessionMetrics(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getDate(0).toString == "2024-01-01")
+    assert(r.getLong(1) == 2L, s"n_sessions: $r")
+    assert(r.getDouble(2) == 0.5, s"bounce_rate: $r")
+    assert(r.getDouble(3) == 5.0, s"avg_duration_sec: $r")
+    assert(r.getDouble(4) == 1.5, s"avg_events: $r")
+  }
+
   test("unknown aggregation is rejected") {
     val ev = Tables.events(spark, sf0001)
     assertThrows[IllegalArgumentException] {
