@@ -271,14 +271,18 @@ object LlmOps {
     * the 1e-16 tail of a dot product. */
   private def assignCells(s: SparkSession, em: DataFrame, cent: DataFrame): DataFrame = {
     graft.functions.TopKAggregate.register(s)
-    val top1 = em.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("c_id"),
+    // v rides through the aggregate via first() — every row of a vec_id
+    // group carries the identical vector, so first() is deterministic
+    // here and saves the join-back shuffle that regaining v would cost
+    // (one shuffle per assignment pass instead of two)
+    em.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("c_id"),
               r4(cosineFast(s, col("v"), col("cv"))).as("csim"))
       .groupBy(col("vec_id"))
-      .agg(call_function("top_k_pairs", col("csim"), col("c_id"), lit(1)).as("tk"))
-      .select(col("vec_id").as("a_id"), col("tk").getItem(0).getField("id").as("c_id"))
-    em.join(top1, em("vec_id") === top1("a_id"))
-      .select(col("vec_id"), col("v"), col("c_id"))
+      .agg(call_function("top_k_pairs", col("csim"), col("c_id"), lit(1)).as("tk"),
+           first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"),
+              col("tk").getItem(0).getField("id").as("c_id"))
   }
 
   /** One Lloyd step: new centroid = per-dimension ROUNDED mean of the
