@@ -122,4 +122,42 @@ class OperatorEdgeSpec extends AnyFunSuite {
     val out2 = graft.operators.RelationalOps.sortLimit(spark, sf0001).collect().toSeq
     assert(out1 == out2 && out1.size == 10)
   }
+
+  test("embedding_pq: a corpus smaller than the codebook still encodes (3 vectors)") {
+    val dir = tmpDir("pq_tiny")
+    // 3 nearly-orthogonal vectors: each must self-encode in every subspace
+    val rows = (0 until 3).map { i =>
+      val v = Array.tabulate(64)(j => if (j % 3 == i) 1.0f else 0.01f * (i + 1))
+      Row(i.toLong, v.toSeq, i)
+    }
+    writeTable(dir, "embeddings", embeddingsSchema, rows)
+    val out = LlmOps.embeddingPq(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)), r.getDouble(5)))).toMap
+    assert(out.size == 3)
+    (0L until 3L).foreach { i =>
+      val (codes, err) = out(i)
+      assert(codes == Seq(i, i, i, i), s"vector $i encoded as $codes")
+      assert(err == 0.0, s"vector $i err $err")
+    }
+  }
+
+  test("text_repetition: degenerate all-same-token document") {
+    val dir = tmpDir("rep_degen")
+    val t = "a a a a"   // top frac 1.0; bigrams 'a a' x3, distinct 1 -> dup 2/3
+    writeTable(dir, "documents", documentsSchema,
+      Seq(Row(0L, t, "en", "s0", t.length.toLong)))
+    val r = graft.operators.CurationOps.textRepetition(spark, dir).collect().head
+    assert(r.getInt(1) == 4 && r.getDouble(2) == 1.0 && r.getDouble(3) == 0.6667,
+      s"got $r")
+  }
+
+  test("cohort_retention: single user active on one day = one (day, 0) cell") {
+    val dir = tmpDir("cohort_single")
+    writeTable(dir, "events", eventsNsSchema,
+      Seq(eventRow(1, 19723L * 86400L, 7L, "view", 1.0)))
+    val out = graft.operators.ReportOps.cohortRetention(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getDate(0).toString == "2024-01-01" &&
+      out.head.getInt(1) == 0 && out.head.getLong(2) == 1L)
+  }
 }
