@@ -202,7 +202,7 @@ object CurationOps {
       .persist()
     def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
       val cp = df.localCheckpoint(false)
-      (cp, cp.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0))
+      (cp, cp.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0))
     }
     // edges must stay persisted for every propagation round; unpersist in
     // finally so a non-convergence failure can't leak the cached RDD.
