@@ -81,6 +81,15 @@ class CurationSpec extends AnyFunSuite {
       s"chain must collapse to component 0, got ${comp.toSeq.sortBy(_._1).take(10)}...")
   }
 
+  test("ccStars fails loudly when the round budget is exhausted") {
+    import spark.implicits._
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val ex = intercept[IllegalArgumentException] {
+      CurationOps.ccStars(chain, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("ccStars did not converge"))
+  }
+
   test("ccStars on an empty edge set returns no rows (no crash)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
