@@ -67,6 +67,22 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(p2.values.forall(_.size == 3), "nprobe=2 returned short neighbor lists")
   }
 
+  test("PQ-ADC search keeps a recall floor and is self-consistent") {
+    val brute = topk(LlmOps.similarityTopk(spark, sf0001), 5)
+    val pq = topk(LlmOps.similarityPq(spark, sf0001), 3)
+    val r = recallVs(brute)(pq)
+    info(f"PQ-ADC recall@3: $r%.2f over ${pq.size} queries")
+    pq.foreach { case (q, ns) =>
+      assert(!ns.contains(q), s"query $q returned itself")
+      assert(ns.distinct == ns, s"query $q returned duplicates")
+      assert(ns.size == 3, s"query $q returned short list $ns")
+    }
+    assert(pq.size == 10, s"expected 10 queries, got ${pq.size}")
+    // exact re-rank over a PqCandidates-wide ADC pool: the floor is
+    // 0.8; measured headroom documented in the info line above
+    assert(r >= 0.8, f"PQ-ADC recall@3 $r%.2f < 0.8")
+  }
+
   test("product quantization: codewords encode to themselves with zero error") {
     val rows = LlmOps.embeddingPq(spark, sf0001).collect()
     assert(rows.nonEmpty)
