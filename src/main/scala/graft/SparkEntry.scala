@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M, ReportShapeOps => P, CurationOps => C, ReportOps, SkewOps}
+import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M, ReportShapeOps => P, CurationOps => C, IngestOps, ReportOps, SkewOps}
 import graft.functions.{ScalarOps => F}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding declaration).
@@ -116,6 +116,7 @@ object SparkEntry {
     "q_ntile_first_last" -> (P.ntileFirstLast _),
     "q_stats_agg" -> (P.statsAgg _),
     // declarative report surface + skew machinery (r2 promotions)
+    "q_ingest_incremental" -> (IngestOps.ingestIncremental _),
     "q_report_declarative" -> (ReportOps.reportDeclarative _),
     "q_cohort_retention" -> (ReportOps.cohortRetention _),
     "q_funnel" -> (ReportOps.funnel _),
@@ -962,6 +963,30 @@ object SparkEntry {
                        ORDER BY o_totalprice, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    "q_ingest_incremental" ->
+      // one incremental-sync round: high-water mark from the pre-seeded
+      // sink (events before the cutoff), candidates newer than
+      // hwm − 1h slack, anti-join the sink's overlap window. The Spark
+      // side anti-joins on the synthetic sha256 row_id; the oracle uses
+      // the raw event_id — identical semantics (the id is an injective
+      // function of event_id)
+      """WITH src AS (SELECT event_id, ts::TIMESTAMP AS ts, event_type, value
+                      FROM events),
+            sink AS (SELECT * FROM src
+                     WHERE ts < TIMESTAMP '2024-01-21 00:00:00'),
+            hwm AS (SELECT max(ts) AS h FROM sink),
+            cand AS (SELECT s.* FROM src s, hwm
+                     WHERE s.ts > h - INTERVAL 1 HOUR),
+            fresh AS (SELECT c.* FROM cand c
+                      WHERE NOT EXISTS (SELECT 1 FROM sink k, hwm
+                                        WHERE k.ts > h - INTERVAL 1 HOUR
+                                          AND k.event_id = c.event_id))
+         SELECT event_type,
+                count(*) AS n_appended,
+                round(sum(value), 4) AS val_appended,
+                epoch_us(min(ts)) // 1000000 AS first_sec,
+                epoch_us(max(ts)) // 1000000 AS last_sec
+         FROM fresh GROUP BY 1 ORDER BY event_type""",
     "q_report_declarative" ->
       """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS period,
                 event_type, round(sum(value), 4) AS total_value,

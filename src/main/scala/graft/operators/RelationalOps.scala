@@ -60,85 +60,15 @@ object RelationalOps {
       col("yr"))
   }
 
-  /** Materialize (once per source-state, guarded) the day-partitioned
-    * copy of events that q_scan_partitioned reads — the sink half of the
-    * day-split layout (SURVEY.md §7.5). The cache key includes a
-    * fingerprint of the SOURCE's file metadata (sizes + mtimes), so a
-    * regenerated events.parquet gets a fresh copy instead of silently
-    * serving stale data, and distinct source dirs can't collide.
-    *
-    * Cross-JVM safety (Verify and Bench can run concurrently against the
-    * same /tmp): the copy is written to a JVM-unique temp dir and
-    * PUBLISHED with a single directory rename, so no other JVM can ever
-    * observe a half-written cache dir. Losing the publish race is fine —
-    * the winner's copy is byte-identical (same fingerprinted source).
-    * Stale fingerprints of the same source dir are pruned on publish. */
-  def partitionedEventsDir(s: SparkSession, d: String): String = synchronized {
-    val conf = s.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-    val srcFs = src.getFileSystem(conf)
-    val fp = {
-      val st = srcFs.getFileStatus(src)
-      val parts =
-        if (st.isDirectory) srcFs.listStatus(src).toSeq.sortBy(_.getPath.getName)
-        else Seq(st)
-      val h = parts.foldLeft(17L)((acc, p) =>
-        acc * 1000003L + p.getLen * 31L + p.getModificationTime)
-      java.lang.Long.toHexString(h)
+  /** Materialize (once per source-state) the day-partitioned copy of
+    * events that q_scan_partitioned reads — the sink half of the
+    * day-split layout (SURVEY.md §7.5). Fingerprinting, atomic publish,
+    * and stale-copy pruning live in [[graft.sources.CachedDir]]. */
+  def partitionedEventsDir(s: SparkSession, d: String): String =
+    graft.sources.CachedDir.materialize(s, d, "events.parquet", "events_byday") {
+      tmp => graft.sources.DataSources.writeDatePartitioned(
+        Tables.events(s, d), "ts", tmp)
     }
-    val prefix = "/tmp/graft_events_byday_" + d.replaceAll("[^A-Za-z0-9.]", "_") + "_"
-    val dest = prefix + fp
-    val destPath = new org.apache.hadoop.fs.Path(dest)
-    val ok = new org.apache.hadoop.fs.Path(dest + "/_SUCCESS")
-    val fs = destPath.getFileSystem(conf)
-    if (!fs.exists(ok)) {
-      // distinct prefix for temp dirs so the stale-fingerprint prune can
-      // never touch another JVM's in-flight write
-      val tmp = new org.apache.hadoop.fs.Path(
-        "/tmp/graft_events_byday_tmp_" + java.util.UUID.randomUUID().toString)
-      graft.sources.DataSources.writeDatePartitioned(
-        Tables.events(s, d), "ts", tmp.toString)
-      // Publish with java.nio ATOMIC_MOVE, NOT Hadoop fs.rename: the
-      // local-fs rename falls back to FileUtil.copy when the target dir
-      // exists, which would nest our tree INSIDE a racer's published
-      // copy and poison the cache. ATOMIC_MOVE is rename(2): it either
-      // swaps atomically or throws — never copies, never nests.
-      def publish(): Boolean =
-        try {
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(tmp.toUri.getPath),
-            java.nio.file.Paths.get(dest),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          true
-        } catch { case _: java.io.IOException => false }
-      if (!publish()) {
-        if (fs.exists(ok)) {
-          // a concurrent JVM published the identical copy first; done
-          fs.delete(tmp, true)
-        } else {
-          // dest exists WITHOUT _SUCCESS: corpse of a pre-atomic-era
-          // crashed write (atomic publishers never leave one) — replace
-          // it. Deleting here is safe: a dir lacking _SUCCESS is never
-          // handed to readers.
-          fs.delete(destPath, true)
-          val won = publish()
-          if (!won) fs.delete(tmp, true)
-          require(won || fs.exists(ok),
-            s"failed to publish day-partitioned cache at $dest")
-        }
-      }
-      // prune stale fingerprints of THIS source dir (exact prefix + hex
-      // fingerprint match — never other sources, never *_tmp_* dirs)
-      val parent = destPath.getParent
-      if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
-        val p = st.getPath.toUri.getPath
-        if (p != dest && p.startsWith(prefix) &&
-            p.substring(prefix.length).matches("[0-9a-f]+"))
-          fs.delete(st.getPath, true)
-      }
-    }
-    dest
-  }
 
   /** q_scan_partitioned — the day-split layout end to end: events
     * materialized `partitionBy(day)`, then a 3-day range query whose

@@ -34,6 +34,26 @@ class IngestReportSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).select("row_id").distinct().count() == ev.count())
   }
 
+  test("q_ingest_incremental summarizes exactly the not-yet-loaded tail") {
+    val got = IngestOps.ingestIncremental(spark, sf0001)
+    // the sink holds everything before the cutoff, so the appended batch
+    // must be exactly the events at/after it — computed independently
+    val want = Tables.events(spark, sf0001)
+      .filter(col("ts") >= lit(IngestOps.SinkCutoff).cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_appended"),
+           round(sum(col("value")), 4).as("val_appended"),
+           unix_timestamp(min(col("ts"))).as("first_sec"),
+           unix_timestamp(max(col("ts"))).as("last_sec"))
+    assert(collectSet(got) == collectSet(want))
+    assert(got.count() > 0, "incremental round found no backlog")
+    // idempotency seam: a sink already containing everything yields an
+    // empty fresh set
+    val all = Tables.events(spark, sf0001)
+      .withColumn("row_id", IngestOps.rowId(Seq("event_id")))
+    assert(IngestOps.freshRows(all, all, "ts", 3600L).isEmpty)
+  }
+
   test("declarative report equals the handwritten aggregation") {
     val ev = Tables.events(spark, sf0001)
     val spec = ReportSpec(
@@ -89,6 +109,30 @@ class IngestReportSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
     assert(got == Map(1 -> ((4L, 1.0)), 2 -> ((3L, 0.75)), 3 -> ((1L, 0.25))),
       s"got $got")
+  }
+
+  test("funnel runs fused: no per-step blocking jobs") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ReportOps.funnel(spark, sf0001).collect()
+      // onJobStart fires synchronously enough for a count (the listener
+      // bus is async, but every job STARTED before collect() returned)
+      Thread.sleep(500)
+      val jobs = counter.get()
+      info(s"funnel ran $jobs jobs")
+      // measured on this fixture (AQE splits stages into jobs): lazy
+      // step checkpoints = 10 jobs, eager = 13 (one extra blocking job
+      // per step). The bound sits between the two so a regression back
+      // to per-step blocking fails while AQE stage-count noise doesn't.
+      assert(jobs <= 11, s"funnel ran $jobs jobs - per-step blocking is back")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("funnel on a corpus with no entry events yields zero counts, not 0/0") {
