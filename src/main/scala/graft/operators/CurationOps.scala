@@ -230,12 +230,36 @@ object CurationOps {
         curSum = nextSum
         iter += 1
       }
-      require(curSum == prevSum,
-        s"ccMinLabel did not converge within $maxIter rounds - " +
-          "component diameter exceeds the iteration bound; use ccStars")
+      if (curSum != prevSum)
+        throw new CcNonConvergence(
+          s"ccMinLabel did not converge within $maxIter rounds - " +
+            "component diameter exceeds the iteration bound; use ccStars")
       cur
     } finally edges.unpersist()
   }
+
+  /** ccMinLabel exhausted its round budget: the graph has a component
+    * deeper than O(maxIter). Typed so [[cc]] can catch exactly this and
+    * nothing else. */
+  final class CcNonConvergence(msg: String) extends RuntimeException(msg)
+
+  /** Connected components with automatic algorithm selection: min-label
+    * propagation first (O(diameter) rounds — the cheap path for the
+    * shallow clusters near-dup graphs produce in practice), falling back
+    * to [[ccStars]] (O(log²n) rounds regardless of diameter) if a
+    * component turns out deeper than the round budget. Both compute the
+    * same unique fixpoint (component = min reachable id), so the
+    * fallback changes cost, never results — suite-checked on a chain
+    * deeper than the propagation budget. A ccStars failure still fails
+    * loudly: past its bound something is genuinely wrong. */
+  def cc(edges: DataFrame, maxIter: Int = 64): DataFrame =
+    try ccMinLabel(edges, maxIter)
+    catch {
+      case e: CcNonConvergence =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"falling back to ccStars: ${e.getMessage}")
+        ccStars(edges)
+    }
 
   /** Connected components via alternating large-star/small-star
     * rewrites (the public MapReduce-CC algorithm of Kiveris et al.,
@@ -312,7 +336,7 @@ object CurationOps {
     // small fraction of the corpus — propagating over all N rows per
     // round would dominate the cost for no effect. Singletons re-attach
     // at the end as their own component.
-    val labels = ccMinLabel(pairs)
+    val labels = cc(pairs)
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val clustered = labels.withColumnRenamed("doc_id", "doc_id_c")
     ord(

@@ -124,7 +124,11 @@ object ReportOps {
     // each step frame (one timestamp per surviving user) is
     // localCheckpoint'd so step n+1, the per-step count AND the entry
     // count all reuse it — without this, step 3's lineage would nest
-    // steps 1-2 and the source would be re-scanned ~7× per funnel
+    // steps 1-2 and the source would be re-scanned ~7× per funnel.
+    // LAZY: an eager checkpoint here ran one blocking job per step
+    // (serializing an N-step funnel into N driver round-trips); the
+    // lazy form materializes each step inside the first job that reads
+    // it — the dedupCluster fusion pattern.
     def firstAfter(step: String, prev: Option[DataFrame]): DataFrame = {
       val base = e.filter(col("event_type") === step)
       val gated = prev match {
@@ -132,7 +136,7 @@ object ReportOps {
         case None => base
       }
       gated.groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     val steps = FunnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (name, _)) => Some(firstAfter(name, prev))

@@ -71,7 +71,7 @@ class CurationSpec extends AnyFunSuite {
     // but only O(log) star rounds — exactly the adversarial case the
     // alternative path exists for
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[CurationOps.CcNonConvergence] {
       CurationOps.ccMinLabel(chain, maxIter = 64).collect()
     }
     assert(ex.getMessage.contains("ccMinLabel did not converge"))
@@ -79,6 +79,24 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size == 201 && comp.values.forall(_ == 0L),
       s"chain must collapse to component 0, got ${comp.toSeq.sortBy(_._1).take(10)}...")
+  }
+
+  test("cc auto-falls back to ccStars past the propagation round budget") {
+    import spark.implicits._
+    // same adversarial deep chain, but through the production entry
+    // point: no human re-run required — cc catches the typed
+    // non-convergence and reclusters with the star algorithm
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val comp = CurationOps.cc(chain, maxIter = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 201 && comp.values.forall(_ == 0L),
+      s"fallback must still collapse the chain to component 0, " +
+        s"got ${comp.toSeq.sortBy(_._1).take(10)}...")
+    // a shallow graph stays on the cheap path and agrees with ccStars
+    val shallow = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val viaCc = CurationOps.cc(shallow).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
   test("ccStars fails loudly when the round budget is exhausted") {
