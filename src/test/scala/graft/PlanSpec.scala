@@ -51,11 +51,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q_embedding_pq broadcasts the codebook and reduces via ObjectHashAggregate") {
-    val p = plan(graft.operators.LlmOps.embeddingPq(spark, sf0001))
+  test("PQ index build broadcasts the codebook and reduces via ObjectHashAggregate") {
+    // the encode moved into the build-once index (LlmOps.pqIndexDir);
+    // the plan contract guards the BUILD plan now
+    import org.apache.spark.sql.functions.col
+    val L = graft.operators.LlmOps
+    val em = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sub = L.pqSub(em)
+    val p = plan(L.pqEncode(spark, sub, L.pqCodebook(sub)))
     assert(p.contains("BroadcastHashJoin"), "codebook join not broadcast:\n" + p)
     assert(p.contains("ObjectHashAggregate"), "argmax not on the bounded aggregate:\n" + p)
     assert(!p.contains("Window"), "PQ encoding planned a window sort:\n" + p)
+  }
+
+  test("q_embedding_pq reads the persisted PQ index, not the raw vectors") {
+    val p = plan(graft.operators.LlmOps.embeddingPq(spark, sf0001))
+    assert(!p.contains("embeddings.parquet"),
+      "query re-derives codes from the source instead of the index:\n" + p)
+    assert(!p.contains("Window"), p)
   }
 
   test("q_text_repetition runs without windows and evaluates the bigram HOF once") {
