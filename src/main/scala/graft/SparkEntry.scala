@@ -85,6 +85,7 @@ object SparkEntry {
     "q_similarity_lsh" -> (L.similarityLsh _),
     "q_similarity_ivf" -> (L.similarityIvf _),
     "q_similarity_ivf2" -> (L.similarityIvf2 _),
+    "q_similarity_ivfpq" -> (L.similarityIvfPq _),
     "q_similarity_pq" -> (L.similarityPq _),
     "q_embedding_centroid" -> (L.embeddingCentroid _),
     "q_embedding_pq" -> (L.embeddingPq _),
@@ -633,6 +634,102 @@ object SparkEntry {
                      FROM assigned a
                        JOIN q2 ON a.c_id = q2.qc AND a.vec_id <> q2.q_id
                        JOIN qv ON qv.q_id = q2.q_id),
+            rk AS (SELECT q_id, n_id, sim,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, n_id) AS INT) AS rn
+                   FROM sims)
+         SELECT q_id, n_id, sim, rn FROM rk WHERE rn <= 3 ORDER BY q_id, rn""",
+    "q_similarity_ivfpq" ->
+      // the composed IVF-PQ index: IVF (2 Lloyd rounds) prunes to each
+      // query's 2 nearest cells, PQ-ADC scores the survivors from their
+      // codes, top-64 pool exact-cosine re-ranks — every CTE reuses the
+      // verified arithmetic of the q_similarity_ivf2 / q_similarity_pq
+      // oracles
+      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent0 AS (SELECT vec_id AS c_id, v AS cv FROM em WHERE vec_id < 8),
+            as0 AS (SELECT vec_id, v, c_id
+                    FROM (SELECT e.vec_id, e.v, c.c_id,
+                            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                              round(list_dot_product(e.v, c.cv) /
+                                    (sqrt(list_dot_product(e.v, e.v)) *
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                              c.c_id) AS rn
+                          FROM em e, cent0 c) t
+                    WHERE rn = 1),
+            cent1 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
+                      FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
+                                   round(avg(a.v[CAST(t.i AS INT) + 1]), 4) AS cx
+                            FROM as0 a, range(0, 64) t(i)
+                            GROUP BY 1, 2) g
+                      GROUP BY 1),
+            as1 AS (SELECT vec_id, v, c_id
+                    FROM (SELECT e.vec_id, e.v, c.c_id,
+                            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                              round(list_dot_product(e.v, c.cv) /
+                                    (sqrt(list_dot_product(e.v, e.v)) *
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                              c.c_id) AS rn
+                          FROM em e, cent1 c) t
+                    WHERE rn = 1),
+            cent2 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
+                      FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
+                                   round(avg(a.v[CAST(t.i AS INT) + 1]), 4) AS cx
+                            FROM as1 a, range(0, 64) t(i)
+                            GROUP BY 1, 2) g
+                      GROUP BY 1),
+            assigned AS (SELECT vec_id, v, c_id
+                         FROM (SELECT e.vec_id, e.v, c.c_id,
+                                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                                   round(list_dot_product(e.v, c.cv) /
+                                         (sqrt(list_dot_product(e.v, e.v)) *
+                                          sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                                   c.c_id) AS rn
+                               FROM em e, cent2 c) t
+                         WHERE rn = 1),
+            q2 AS (SELECT vec_id AS q_id, c_id AS qc
+                   FROM (SELECT e.vec_id, c.c_id,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                             round(list_dot_product(e.v, c.cv) /
+                                   (sqrt(list_dot_product(e.v, e.v)) *
+                                    sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                             c.c_id) AS rn
+                         FROM em e, cent2 c WHERE e.vec_id < 10) t
+                   WHERE rn <= 2),
+            sub AS (SELECT vec_id, CAST(i.sp AS INT) AS sp,
+                           v[(CAST(i.sp AS INT) * 16 + 1):(CAST(i.sp AS INT) * 16 + 16)] AS sv
+                    FROM em, range(0, 4) i(sp)),
+            cb AS (SELECT sp, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < 8),
+            scored AS (SELECT s.vec_id, s.sp, c.c_id,
+                              round(list_dot_product(s.sv, c.cv) /
+                                    (sqrt(list_dot_product(s.sv, s.sv)) *
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) AS cs
+                       FROM sub s JOIN cb c ON s.sp = c.sp),
+            enc AS (SELECT vec_id, sp, c_id AS code
+                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sp
+                            ORDER BY cs DESC, c_id) AS rn FROM scored) t
+                    WHERE rn = 1),
+            lut AS (SELECT vec_id AS q_id, sp, c_id AS code, cs AS ls
+                    FROM scored WHERE vec_id < 10),
+            cand AS (SELECT q2.q_id, a.vec_id AS n_id
+                     FROM assigned a
+                       JOIN q2 ON a.c_id = q2.qc AND a.vec_id <> q2.q_id),
+            adc AS (SELECT c.q_id, c.n_id, round(sum(l.ls), 4) AS adc
+                    FROM cand c
+                      JOIN enc e ON e.vec_id = c.n_id
+                      JOIN lut l ON l.sp = e.sp AND l.code = e.code
+                                AND l.q_id = c.q_id
+                    GROUP BY 1, 2),
+            pool AS (SELECT q_id, n_id
+                     FROM (SELECT q_id, n_id,
+                             row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc DESC, n_id) AS crn FROM adc) t
+                     WHERE crn <= 64),
+            sims AS (SELECT q_id, n_id,
+                            round(list_dot_product(qe.v, ne.v) /
+                                  (sqrt(list_dot_product(qe.v, qe.v)) *
+                                   sqrt(list_dot_product(ne.v, ne.v))), 4) AS sim
+                     FROM pool JOIN em qe ON qe.vec_id = q_id
+                               JOIN em ne ON ne.vec_id = n_id),
             rk AS (SELECT q_id, n_id, sim,
                           CAST(row_number() OVER (PARTITION BY q_id
                             ORDER BY sim DESC, n_id) AS INT) AS rn

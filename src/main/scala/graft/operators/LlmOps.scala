@@ -562,6 +562,73 @@ object LlmOps {
     ord(rerankTopK(s, j, 3), col("q_id"), col("rn"))
   }
 
+  /** q_similarity_ivfpq — the composed production ANN index (the
+    * FAISS IVF-PQ shape): IVF prunes the search to each query's 2
+    * nearest cells, PQ-ADC scores the surviving candidates from their
+    * 4 codes (no raw vectors touched), the top `PqCandidates` re-rank
+    * exact. Both halves read the PERSISTED indexes ([[ivfIndexDir]],
+    * [[pqIndexDir]]) — the query itself builds nothing.
+    *
+    * Scale math (N vectors, k cells): candidates per query drop from N
+    * (brute) to ~nprobe·N/k, each scored by 4 table lookups instead of
+    * a 64-dim dot product; raw vectors are read only for the ≤64-row
+    * re-rank set. This is the index layout that makes
+    * billion-vector ANN tractable, expressed as two broadcast joins +
+    * one partial-aggregable sum + the bounded top-k aggregate.
+    * Determinism: identical rules to q_similarity_pq (4-decimal ADC
+    * sums, id tie-breaks at both the pool and re-rank boundaries). */
+  def similarityIvfPq(s: SparkSession, d: String): DataFrame = {
+    val ivf = ivfIndexDir(s, d)
+    val pq = pqIndexDir(s, d)
+    val assigned = s.read.parquet(s"$ivf/assigned")
+    val cent = s.read.parquet(s"$ivf/cent")
+    val codes = s.read.parquet(s"$pq/codes")
+      .select(col("vec_id"), col("sp"), col("code"))
+    val cb = s.read.parquet(s"$pq/cb")
+    graft.functions.TopKAggregate.register(s)
+    // each query probes its 2 nearest IVF cells (the measured-recall-1.0
+    // setting from q_similarity_ivf2)
+    val qcells = assigned.filter(col("vec_id") < 10).select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+              r4(cosineFast(s, col("v"), col("cv"))).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(call_function("top_k_pairs", col("csim"), col("c_id"), lit(2)).as("tk"))
+      .select(col("vec_id").as("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as("qc"))
+    // raw-query ADC lookup table, keyed to avoid colliding with the
+    // candidate-side q_id
+    val lut = pqSub(assigned.filter(col("vec_id") < 10).select(col("vec_id"), col("v")))
+      .join(broadcast(cb), col("sp") === col("csp"))
+      .select(col("vec_id").as("lq_id"), col("sp").as("lsp"),
+              col("c_id").as("lcode"),
+              r4(cosineFast(s, col("sv"), col("cv"))).as("ls"))
+    // IVF pruning: candidates = vectors in a probed cell
+    val cand = assigned.join(broadcast(qcells),
+        col("c_id") === col("qc") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    // PQ-ADC scoring of the pruned set: 4 code rows per candidate, each
+    // resolved against the broadcast LUT, summed (4-decimal-safe)
+    val adc = cand.join(codes, col("n_id") === codes("vec_id"))
+      .join(broadcast(lut),
+        col("sp") === col("lsp") && col("code") === col("lcode") &&
+        col("q_id") === col("lq_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(r4(sum(col("ls"))).as("adc"))
+    val pool = adc.groupBy(col("q_id"))
+      .agg(call_function("top_k_pairs", col("adc"), col("n_id"),
+        lit(PqCandidates)).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as("n_id"))
+    val qv = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id2"), col("v").as("qv"))
+    val j = pool.join(assigned, pool("n_id") === assigned("vec_id"))
+      .join(broadcast(qv), col("q_id") === col("q_id2"))
+      .select(col("q_id"), col("n_id"),
+              r4(cosineFast(s, col("qv"), col("v"))).as("sim"))
+    ord(rerankTopK(s, j, 3), col("q_id"), col("rn"))
+  }
+
   /** q_embedding_centroid — per-label 64-dim centroid as
     * (label, pos, component) rows via posexplode. */
   def embeddingCentroid(s: SparkSession, d: String): DataFrame = {

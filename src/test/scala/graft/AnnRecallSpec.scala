@@ -83,6 +83,21 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.8, f"PQ-ADC recall@3 $r%.2f < 0.8")
   }
 
+  test("composed IVF-PQ index keeps a recall floor and is self-consistent") {
+    val brute = topk(LlmOps.similarityTopk(spark, sf0001), 5)
+    val ivfpq = topk(LlmOps.similarityIvfPq(spark, sf0001), 3)
+    val r = recallVs(brute)(ivfpq)
+    info(f"IVF-PQ recall@3: $r%.2f over ${ivfpq.size} queries")
+    ivfpq.foreach { case (q, ns) =>
+      assert(!ns.contains(q), s"query $q returned itself")
+      assert(ns.distinct == ns, s"query $q returned duplicates")
+    }
+    assert(ivfpq.size == 10, s"expected 10 queries, got ${ivfpq.size}")
+    // the composition can only lose what BOTH stages lose: IVF nprobe=2
+    // measured 1.00, PQ-ADC 0.97 — the floor stays at 0.8
+    assert(r >= 0.8, f"IVF-PQ recall@3 $r%.2f < 0.8")
+  }
+
   test("product quantization: codewords encode to themselves with zero error") {
     val rows = LlmOps.embeddingPq(spark, sf0001).collect()
     assert(rows.nonEmpty)
