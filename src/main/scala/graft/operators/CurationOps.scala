@@ -252,14 +252,19 @@ object CurationOps {
     * fallback changes cost, never results — suite-checked on a chain
     * deeper than the propagation budget. A ccStars failure still fails
     * loudly: past its bound something is genuinely wrong. */
-  def cc(edges: DataFrame, maxIter: Int = 64): DataFrame =
-    try ccMinLabel(edges, maxIter)
+  def cc(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    // persist the edge list across the attempt: on fallback ccStars
+    // must not re-derive it from its (possibly expensive) lineage —
+    // for dedupCluster that would re-run the whole n-gram pair join
+    val e = edges.persist()
+    try ccMinLabel(e, maxIter)
     catch {
-      case e: CcNonConvergence =>
+      case ex: CcNonConvergence =>
         org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"falling back to ccStars: ${e.getMessage}")
-        ccStars(edges)
-    }
+          .warn(s"falling back to ccStars: ${ex.getMessage}")
+        ccStars(e)
+    } finally e.unpersist()
+  }
 
   /** Connected components via alternating large-star/small-star
     * rewrites (the public MapReduce-CC algorithm of Kiveris et al.,
