@@ -118,6 +118,7 @@ object SparkEntry {
     "q_stats_agg" -> (P.statsAgg _),
     // declarative report surface + skew machinery (r2 promotions)
     "q_ingest_incremental" -> (IngestOps.ingestIncremental _),
+    "q_merge_upsert" -> (IngestOps.mergeUpsert _),
     "q_report_declarative" -> (ReportOps.reportDeclarative _),
     "q_cohort_retention" -> (ReportOps.cohortRetention _),
     "q_funnel" -> (ReportOps.funnel _),
@@ -1084,6 +1085,43 @@ object SparkEntry {
                 epoch_us(min(ts)) // 1000000 AS first_sec,
                 epoch_us(max(ts)) // 1000000 AS last_sec
          FROM fresh GROUP BY 1 ORDER BY event_type""",
+    "q_merge_upsert" ->
+      // latest-wins upsert: per-(user, event_type) current-state rows
+      // from before/after the cutoff; a delta key REPLACES its base row
+      // (ON DUPLICATE KEY UPDATE), others keep theirs. row_number
+      // (ts DESC, event_id DESC) mirrors max_by's (ts, event_id) struct
+      // preference
+      """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts, value,
+                           event_id
+                    FROM events),
+            bstate AS (SELECT user_id, event_type, ts, value
+                       FROM (SELECT *, row_number() OVER (
+                               PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                             FROM e WHERE ts < TIMESTAMP '2024-01-21 00:00:00') t
+                       WHERE rn = 1),
+            dstate AS (SELECT user_id, event_type, ts, value
+                       FROM (SELECT *, row_number() OVER (
+                               PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                             FROM e WHERE ts >= TIMESTAMP '2024-01-21 00:00:00') t
+                       WHERE rn = 1),
+            merged AS (SELECT coalesce(b.user_id, d.user_id) AS user_id,
+                              coalesce(b.event_type, d.event_type) AS event_type,
+                              CASE WHEN d.user_id IS NOT NULL THEN d.ts ELSE b.ts END AS ts,
+                              CASE WHEN d.user_id IS NOT NULL THEN d.value ELSE b.value END AS value,
+                              CASE WHEN d.user_id IS NULL THEN 'kept'
+                                   WHEN b.user_id IS NULL THEN 'inserted'
+                                   ELSE 'updated' END AS merge_status
+                       FROM bstate b FULL JOIN dstate d
+                         ON b.user_id = d.user_id AND b.event_type = d.event_type)
+         SELECT event_type,
+                count(*) AS n_keys,
+                CAST(sum(CASE WHEN merge_status = 'updated' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+                CAST(sum(CASE WHEN merge_status = 'inserted' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+                round(sum(value), 4) AS total_value,
+                epoch_us(max(ts)) // 1000000 AS last_sec
+         FROM merged GROUP BY 1 ORDER BY event_type""",
     "q_report_declarative" ->
       """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS period,
                 event_type, round(sum(value), 4) AS total_value,

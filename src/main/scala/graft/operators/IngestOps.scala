@@ -81,6 +81,39 @@ object IngestOps {
     } finally fresh.unpersist()
   }
 
+  /** Latest-wins upsert of `deltaState` into `baseState`, keyed by
+    * `keyCols` — the batch form of the reference's SQL-sink load step
+    * (ON DUPLICATE KEY UPDATE: a delta row REPLACES the base row of its
+    * key; keys absent from the delta keep their base row). Emits the
+    * merged snapshot plus a `merge_status` column
+    * (kept | updated | inserted) so callers can audit the round.
+    *
+    * Non-key columns must match between the two frames. One
+    * co-partitioned full-outer join on the key — the scale-canonical
+    * state-merge shape (both sides shuffle once on the same key; at
+    * 100 TB bucketing the sink on the key removes even that). */
+  def upsertSnapshot(baseState: DataFrame, deltaState: DataFrame,
+                     keyCols: Seq[String]): DataFrame = {
+    val valCols = baseState.columns.filterNot(keyCols.contains).toSeq
+    require(valCols.forall(deltaState.columns.contains),
+      s"delta is missing value columns: ${valCols.filterNot(deltaState.columns.contains)}")
+    // dedicated presence markers, NOT a value column's null-ness: value
+    // columns may be legitimately null, which would misclassify the row
+    // (and a null delta value must still OVERWRITE the base value)
+    val b = valCols.foldLeft(baseState)((df, c) => df.withColumnRenamed(c, s"b_$c"))
+      .withColumn("b_present", lit(true))
+    val dd = valCols.foldLeft(deltaState.select((keyCols ++ valCols).map(col): _*))(
+      (df, c) => df.withColumnRenamed(c, s"d_$c"))
+      .withColumn("d_present", lit(true))
+    b.join(dd, keyCols, "full")
+      .select(keyCols.map(col) ++
+        valCols.map(c => when(col("d_present").isNotNull, col(s"d_$c"))
+          .otherwise(col(s"b_$c")).as(c)) :+
+        when(col("d_present").isNull, lit("kept"))
+          .when(col("b_present").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("merge_status"): _*)
+  }
+
   /** Seed instant for the q_ingest_incremental sink fixture: events
     * strictly before this are "already loaded". Sits ~10 days before
     * the events table's end (2024-01-30), so one incremental round has
@@ -119,6 +152,44 @@ object IngestOps {
     * anti-join reads O(slack window) of the sink, never its history; the
     * source filter pushes down to the scan. Output is a per-type rollup
     * — one partial-aggregable shuffle. */
+  /** q_merge_upsert — the load half of the reference's sync as a
+    * driver-checked query: per-(user, event_type) "current state"
+    * snapshots from before/after the cutoff, the delta upserted into
+    * the base ([[upsertSnapshot]]), summarized per event type with the
+    * kept/updated/inserted audit counts.
+    *
+    * Each state snapshot is one partial-aggregable `max_by` on the key
+    * (latest row by (ts, event_id) — the id tie-break keeps equal-ts
+    * rows deterministic); the merge is the co-partitioned full join.
+    * No windows anywhere. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val e = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"),
+              col("value"), col("event_id"))
+    val cut = lit(SinkCutoff).cast("timestamp")
+    def latestState(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"), col("event_type"))
+        .agg(max_by(struct(col("ts"), col("value")),
+                    struct(col("ts"), col("event_id"))).as("st"))
+        .select(col("user_id"), col("event_type"),
+                col("st.ts").as("ts"), col("st.value").as("value"))
+    val merged = upsertSnapshot(
+      latestState(e.filter(col("ts") < cut)),
+      latestState(e.filter(col("ts") >= cut)),
+      Seq("user_id", "event_type"))
+    ord(
+      merged.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"),
+             sum(when(col("merge_status") === "updated", 1L).otherwise(0L))
+               .as("n_updated"),
+             sum(when(col("merge_status") === "inserted", 1L).otherwise(0L))
+               .as("n_inserted"),
+             r4(sum(col("value"))).as("total_value"),
+             epochSec(max(col("ts"))).as("last_sec")),
+      col("event_type"))
+  }
+
   def ingestIncremental(s: SparkSession, d: String): DataFrame = {
     import graft.Fin._
     val sink = s.read.parquet(ingestSinkDir(s, d))

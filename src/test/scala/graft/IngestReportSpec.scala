@@ -54,6 +54,28 @@ class IngestReportSpec extends AnyFunSuite {
     assert(IngestOps.freshRows(all, all, "ts", 3600L).isEmpty)
   }
 
+  test("upsertSnapshot: delta replaces, base keeps, null delta values overwrite") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("k", "g", "v")
+    val delta = Seq((2L, "a", 99.0), (4L, "b", 40.0))
+      .toDF("k", "g", "v")
+      // null delta value must still overwrite (ON DUPLICATE KEY UPDATE
+      // writes the new row verbatim, null included)
+      .union(Seq((3L, "b")).toDF("k", "g")
+        .withColumn("v", org.apache.spark.sql.functions.lit(null).cast("double")))
+    val got = IngestOps.upsertSnapshot(base, delta, Seq("k", "g"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2))), r.getString(3)))
+      .toMap
+    assert(got == Map(
+      (1L, "a") -> ((Some(10.0), "kept")),
+      (2L, "a") -> ((Some(99.0), "updated")),
+      (3L, "b") -> ((None, "updated")),
+      (4L, "b") -> ((Some(40.0), "inserted"))), s"got $got")
+  }
+
   test("declarative report equals the handwritten aggregation") {
     val ev = Tables.events(spark, sf0001)
     val spec = ReportSpec(
