@@ -119,6 +119,7 @@ object SparkEntry {
     // declarative report surface + skew machinery (r2 promotions)
     "q_ingest_incremental" -> (IngestOps.ingestIncremental _),
     "q_merge_upsert" -> (IngestOps.mergeUpsert _),
+    "q_scd2_history" -> (IngestOps.scd2History _),
     "q_report_declarative" -> (ReportOps.reportDeclarative _),
     "q_cohort_retention" -> (ReportOps.cohortRetention _),
     "q_funnel" -> (ReportOps.funnel _),
@@ -1122,6 +1123,28 @@ object SparkEntry {
                 round(sum(value), 4) AS total_value,
                 epoch_us(max(ts)) // 1000000 AS last_sec
          FROM merged GROUP BY 1 ORDER BY event_type""",
+    "q_scd2_history" ->
+      // SCD2 validity intervals of each user's event_type: change points
+      // via lag over (ts, event_id) — event_id breaks equal-ts ties —
+      // then lead/row_number over the SAME order for the interval close
+      // and the version number. valid_to of the current segment is NULL.
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type, event_id
+                    FROM events),
+            marked AS (SELECT *, lag(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                       FROM e),
+            seg AS (SELECT user_id, event_type, ts, event_id,
+                           epoch_us(ts) // 1000000 AS valid_from_sec
+                    FROM marked
+                    WHERE prev IS NULL OR prev <> event_type),
+            iv AS (SELECT user_id, event_type, valid_from_sec,
+                          lead(valid_from_sec) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_sec,
+                          CAST(row_number() OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS ver
+                   FROM seg)
+         SELECT user_id, event_type, valid_from_sec, valid_to_sec, ver
+         FROM iv ORDER BY user_id, ver""",
     "q_report_declarative" ->
       """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS period,
                 event_type, round(sum(value), 4) AS total_value,

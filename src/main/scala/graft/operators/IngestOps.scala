@@ -190,6 +190,37 @@ object IngestOps {
       col("event_type"))
   }
 
+  /** q_scd2_history — slowly-changing-dimension type-2 history, the
+    * warehouse-load companion of [[mergeUpsert]]: instead of keeping
+    * only each key's current state, keep every state INTERVAL. Tracks
+    * each user's event_type: consecutive equal values compress into one
+    * row with [valid_from, valid_to) epoch-second bounds; the current
+    * segment's valid_to is null; `ver` numbers a user's segments.
+    *
+    * Scale shape: one shuffle on user_id, then all three window passes
+    * (change detection, interval close, version number) run over the
+    * SAME (user_id, ts, event_id) sort — Spark plans one exchange + one
+    * sort, reused. No joins, no second shuffle. Determinism: ordering
+    * ties break on the unique event_id; interval bounds are integral
+    * epoch seconds. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seg = e.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val iv = seg
+      .withColumn("valid_from_sec", epochSec(col("ts")))
+      .withColumn("valid_to_sec", lead(col("valid_from_sec"), 1).over(w))
+      .withColumn("ver", row_number().over(w).cast("int"))
+    ord(
+      iv.select(col("user_id"), col("event_type"),
+                col("valid_from_sec"), col("valid_to_sec"), col("ver")),
+      col("user_id"), col("ver"))
+  }
+
   def ingestIncremental(s: SparkSession, d: String): DataFrame = {
     import graft.Fin._
     val sink = s.read.parquet(ingestSinkDir(s, d))

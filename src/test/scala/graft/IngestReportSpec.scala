@@ -76,6 +76,28 @@ class IngestReportSpec extends AnyFunSuite {
       (4L, "b") -> ((Some(40.0), "inserted"))), s"got $got")
   }
 
+  test("scd2 history compresses runs and leaves the current interval open") {
+    val dir = tmpDir("scd2_fix")
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      // user 1: view, view (compressed), click, view again (new segment)
+      eventRow(1, 100, 1L, "view", 1.0),
+      eventRow(2, 200, 1L, "view", 1.0),
+      eventRow(3, 300, 1L, "click", 1.0),
+      eventRow(4, 400, 1L, "view", 1.0),
+      // user 2: a single state — one open interval
+      eventRow(5, 150, 2L, "purchase", 1.0)))
+    val got = IngestOps.scd2History(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) ->
+        ((r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    assert(got == Map(
+      (1L, 1) -> (("view", 100L, Some(300L))),
+      (1L, 2) -> (("click", 300L, Some(400L))),
+      (1L, 3) -> (("view", 400L, None)),
+      (2L, 1) -> (("purchase", 150L, None))), s"got $got")
+  }
+
   test("declarative report equals the handwritten aggregation") {
     val ev = Tables.events(spark, sf0001)
     val spec = ReportSpec(
