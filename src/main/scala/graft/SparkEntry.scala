@@ -102,6 +102,7 @@ object SparkEntry {
     "q_pii_redact" -> (C.piiRedact _),
     "q_sample_stratified" -> (C.sampleStratified _),
     "q_dedup_cluster" -> (C.dedupCluster _),
+    "q_contamination" -> (C.contamination _),
     "q_corpus_mix" -> (C.corpusMix _),
     "q_doc_length_histogram" -> (C.docLengthHistogram _),
     // §2.9 sessionization + time windows (batch forms)
@@ -919,6 +920,32 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(props, '[0-9]+', 0)) AS INT) AS n_redact,
                 md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS red_hash
          FROM events ORDER BY event_id""",
+    "q_contamination" ->
+      // benchmark-contamination: fraction of each corpus doc's distinct
+      // 3-grams present in the benchmark set (doc_id < 50). The oracle
+      // compares raw string grams where Spark compares their int64
+      // hashes — counts agree absent hash collisions (q_dedup_ngram's
+      // documented contract)
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            ng AS (SELECT doc_id,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
+                   FROM base),
+            nz AS (SELECT doc_id, ngs FROM ng WHERE len(ngs) > 0),
+            bench AS (SELECT DISTINCT unnest(ngs) AS g FROM nz
+                      WHERE doc_id < 50),
+            corpus AS (SELECT doc_id, unnest(ngs) AS g FROM nz
+                       WHERE doc_id >= 50),
+            sz AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+            ov AS (SELECT c.doc_id, count(*) AS n_overlap
+                   FROM corpus c JOIN bench USING (g) GROUP BY 1)
+         SELECT sz.doc_id AS doc_id, n_grams,
+                CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+                round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / n_grams, 4)
+                  AS contamination
+         FROM sz LEFT JOIN ov ON sz.doc_id = ov.doc_id
+         ORDER BY doc_id""",
     "q_corpus_mix" ->
       """WITH cells AS (SELECT lang, source, count(*) AS n_docs,
                                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens

@@ -158,6 +158,51 @@ object CurationOps {
       col("doc_id"))
   }
 
+  /** Benchmark-set size for q_contamination: documents with
+    * doc_id < this are the held-out "benchmark" whose n-grams must not
+    * leak into training data. */
+  val ContaminationBenchDocs = 50
+
+  /** q_contamination — benchmark-contamination detection, the
+    * train/test-leak gate every LLM data pipeline needs: for each
+    * corpus document, the fraction of its distinct word-3-grams that
+    * also appear in the benchmark set. A doc quoting a benchmark item
+    * scores near 1; clean docs near 0.
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus
+    * (benchmarks are MBs; the corpus is the 100 TB side), so the
+    * membership probe is a BROADCAST semi-join against the corpus gram
+    * stream — no shuffle of the corpus side beyond the per-doc count
+    * aggregates. Grams are distinct per document (single-pass
+    * NgramHashes), so the joined row count IS the intersection size.
+    * The oracle compares raw string grams; hashes only need to be
+    * collision-free in practice (odds ~n²/2⁶⁴), same contract as
+    * q_dedup_ngram. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextHashExprs.register(s)
+    val docs = Tables.documents(s, d)
+    // exchange barrier: both the benchmark and corpus branches read the
+    // materialized gram arrays instead of re-running the HOF per branch
+    val ng = docs.select(col("doc_id"),
+        call_function("ngram_hashes", col("text")).as("ng"))
+      .filter(col("ng").isNotNull && size(col("ng")) > 0)
+      .repartition(col("doc_id"))
+    val bench = ng.filter(col("doc_id") < ContaminationBenchDocs)
+      .select(explode(col("ng")).as("g")).distinct()
+    val corpus = ng.filter(col("doc_id") >= ContaminationBenchDocs)
+      .select(col("doc_id"), explode(col("ng")).as("g"))
+    val sz = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val ov = corpus.join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    ord(
+      sz.join(ov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+                coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+                r4(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+                   col("n_grams")).as("contamination")),
+      col("doc_id"))
+  }
+
   /** Jaccard threshold above which an n-gram pair is a dedup edge. */
   val ClusterMinJaccard = 0.5
 

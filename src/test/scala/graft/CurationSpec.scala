@@ -30,6 +30,30 @@ class CurationSpec extends AnyFunSuite {
       s"expected chain {0,1,2} + singleton {3}, got $comp")
   }
 
+  test("contamination: a doc quoting the benchmark scores high, clean docs zero") {
+    val dir = tmpDir("cur_contam")
+    // benchmark = doc_id < 50; corpus doc 50 quotes benchmark text
+    // verbatim, doc 51 shares nothing
+    val benchText = "the quick brown fox jumps over the lazy dog today"
+    val leak = "prefix words then the quick brown fox jumps over the lazy dog today"
+    val clean = "completely unrelated sentence about distributed query engines"
+    val rows = Seq(
+      Row(0L, benchText, "en", "s0", benchText.length.toLong),
+      Row(50L, leak, "en", "s0", leak.length.toLong),
+      Row(51L, clean, "en", "s0", clean.length.toLong))
+    writeTable(dir, "documents", documentsSchema, rows)
+    val got = CurationOps.contamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(50L, 51L), s"got $got")
+    val (n50, ov50, c50) = got(50L)
+    // leak doc: 12 tokens -> 10 distinct 3-grams, 8 of them benchmark
+    // grams ("the quick brown" ... "the lazy dog today" tail)
+    assert(ov50 > 0 && c50 > 0.5, s"leak not detected: $got")
+    assert(ov50 <= n50)
+    assert(got(51L)._2 == 0L && got(51L)._3 == 0.0, s"clean doc flagged: $got")
+  }
+
   test("dedup_cluster: corpus with zero near-dup pairs = all singletons (no crash)") {
     val dir = tmpDir("cur_nopairs")
     val rows = (0 until 5).map { i =>
