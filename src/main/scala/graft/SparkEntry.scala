@@ -108,6 +108,7 @@ object SparkEntry {
     // §2.9 sessionization + time windows (batch forms)
     "q_sessionize" -> (W.sessionize _),
     "q_session_metrics" -> (W.sessionMetrics _),
+    "q_session_paths" -> (W.sessionPaths _),
     "q_window_tumbling" -> (W.windowTumbling _),
     "q_window_sliding" -> (W.windowSliding _),
     // report shaping (r1 additions)
@@ -117,12 +118,14 @@ object SparkEntry {
     "q_percentile_approx" -> (P.percentilesApprox _),
     "q_ntile_first_last" -> (P.ntileFirstLast _),
     "q_stats_agg" -> (P.statsAgg _),
+    "q_profile_nulls" -> (P.profileNulls _),
     // declarative report surface + skew machinery (r2 promotions)
     "q_ingest_incremental" -> (IngestOps.ingestIncremental _),
     "q_merge_upsert" -> (IngestOps.mergeUpsert _),
     "q_scd2_history" -> (IngestOps.scd2History _),
     "q_report_declarative" -> (ReportOps.reportDeclarative _),
     "q_cohort_retention" -> (ReportOps.cohortRetention _),
+    "q_new_returning" -> (ReportOps.newVsReturning _),
     "q_funnel" -> (ReportOps.funnel _),
     "q_agg_salted" -> (SkewOps.aggSalted _)
   )
@@ -1172,6 +1175,65 @@ object SparkEntry {
                    FROM seg)
          SELECT user_id, event_type, valid_from_sec, valid_to_sec, ver
          FROM iv ORDER BY user_id, ver""",
+    "q_session_paths" ->
+      // same sessionization CTEs as q_sessionize; landing/exit via
+      // first_value/last_value over (tsu, event_id) — the unique
+      // event_id makes the Spark min_by/max_by struct preference agree
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g),
+            fe AS (SELECT user_id, sid,
+                          first_value(event_type) OVER ws AS landing_type,
+                          last_value(event_type) OVER (
+                            PARTITION BY user_id, sid ORDER BY tsu, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS exit_type
+                   FROM sids
+                   WINDOW ws AS (PARTITION BY user_id, sid
+                                 ORDER BY tsu, event_id)),
+            sess AS (SELECT DISTINCT user_id, sid, landing_type, exit_type
+                     FROM fe)
+         SELECT landing_type, exit_type, count(*) AS n_sessions
+         FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_new_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS day
+                     FROM events),
+            c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+         SELECT ud.day AS day, count(*) AS n_active,
+                CAST(sum(CASE WHEN ud.day = c.cohort_day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN ud.day = c.cohort_day THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_returning
+         FROM ud JOIN c ON ud.user_id = c.user_id
+         GROUP BY 1 ORDER BY 1""",
+    "q_profile_nulls" ->
+      """WITH t AS (SELECT count(*) AS n_rows,
+                           count(user_id) AS nn_user_id,
+                           count(DISTINCT user_id) AS nd_user_id,
+                           count(event_type) AS nn_event_type,
+                           count(DISTINCT event_type) AS nd_event_type,
+                           count(value) AS nn_value,
+                           count(DISTINCT value) AS nd_value,
+                           count(props) AS nn_props,
+                           count(DISTINCT props) AS nd_props
+                    FROM events)
+         SELECT 'user_id' AS column_name, n_rows,
+                n_rows - nn_user_id AS n_nulls, nd_user_id AS n_distinct FROM t
+         UNION ALL SELECT 'event_type', n_rows, n_rows - nn_event_type,
+                          nd_event_type FROM t
+         UNION ALL SELECT 'value', n_rows, n_rows - nn_value, nd_value FROM t
+         UNION ALL SELECT 'props', n_rows, n_rows - nn_props, nd_props FROM t
+         ORDER BY column_name""",
     "q_report_declarative" ->
       """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS period,
                 event_type, round(sum(value), 4) AS total_value,

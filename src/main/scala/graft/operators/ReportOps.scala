@@ -105,6 +105,29 @@ object ReportOps {
       col("cohort_day"), col("day_offset"))
   }
 
+  /** q_new_returning — GA's audience split: per active day, how many
+    * distinct users are NEW (first-ever activity that day) vs
+    * RETURNING. Reuses the cohort machinery: distinct (user, day) is
+    * one partial-aggregable shuffle, the per-user first day a second,
+    * and the join is co-partitioned on user_id (exchange reuse with the
+    * cohort aggregate). Linear, window-free. */
+  def newVsReturning(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val ud = graft.Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ord(
+      ud.join(cohort, "user_id")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+             sum(when(col("day") === col("cohort_day"), 1L).otherwise(0L))
+               .as("n_new"),
+             sum(when(col("day") === col("cohort_day"), 0L).otherwise(1L))
+               .as("n_returning")),
+      col("day"))
+  }
+
   /** The q_funnel step sequence (GA goal funnel): first view, then
     * first click AFTER that view, then first purchase AFTER that click. */
   val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")

@@ -85,6 +85,29 @@ object ReportShapeOps {
       col("o_orderkey"))
   }
 
+  /** q_profile_nulls — the data-profiling pass every ETL runs before
+    * trusting a source: per column, row count, null count, distinct
+    * count. ONE aggregate job computes every column's counts
+    * (count(col) skips nulls; count_distinct partial-aggregates), then
+    * a `stack` generator reshapes the single wide row into one row per
+    * column — profiling N columns costs one scan regardless of N. */
+  def profileNulls(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val cols = Seq("user_id", "event_type", "value", "props")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")))
+    val wide = e.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(
+      s"stack(${cols.length}, ", ", ", ")")
+    ord(
+      wide.select(col("n_rows"),
+          expr(stackExpr).as(Seq("column_name", "n_notnull", "n_distinct")))
+        .select(col("column_name"), col("n_rows"),
+                (col("n_rows") - col("n_notnull")).as("n_nulls"),
+                col("n_distinct")),
+      col("column_name"))
+  }
+
   /** q_stats_agg — sample stddev/variance, correlation, covariance per
     * event_type (all algebraic — single-pass partial aggregates). */
   def statsAgg(s: SparkSession, d: String): DataFrame = {

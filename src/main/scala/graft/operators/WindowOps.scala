@@ -133,6 +133,39 @@ object WindowOps {
       col("user_id"), col("sid"))
   }
 
+  /** q_session_paths — GA's landing/exit report: per session, the first
+    * (landing) and last (exit) event type, rolled up to a count per
+    * (landing, exit) pair — where journeys start and where they die.
+    *
+    * Same sessionization shape as the flagship (one shuffle on user_id,
+    * two window passes); landing/exit come from `min_by`/`max_by` with
+    * a (ts, event_id) struct preference inside the per-session
+    * aggregate — no extra window pass, and the unique event_id makes
+    * equal-ts ties deterministic (the oracle's first_value/last_value
+    * over the same ordering agrees). */
+  def sessionPaths(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = e
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              epochSec(col("ts")).as("ts_sec"), col("ts"))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val sessions = withGap.groupBy(col("user_id"), col("sid"))
+      .agg(min_by(col("event_type"), struct(col("ts"), col("event_id")))
+             .as("landing_type"),
+           max_by(col("event_type"), struct(col("ts"), col("event_id")))
+             .as("exit_type"))
+    ord(
+      sessions.groupBy(col("landing_type"), col("exit_type"))
+        .agg(count(lit(1)).as("n_sessions")),
+      col("landing_type"), col("exit_type"))
+  }
+
   /** q_session_metrics — the GA session rollup on top of the flagship
     * sessionization: per session-start day, session count, bounce rate
     * (single-event sessions), average duration and events per session.

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{IngestOps, ReportOps}
@@ -228,6 +229,68 @@ class IngestReportSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 0.5, s"bounce_rate: $r")
     assert(r.getDouble(3) == 5.0, s"avg_duration_sec: $r")
     assert(r.getDouble(4) == 1.5, s"avg_events: $r")
+  }
+
+  test("session paths: landing/exit per session, equal-ts ties break on event_id") {
+    val dir = tmpDir("sess_paths")
+    val d0 = 19723L * 86400L // 2024-01-01
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      // user 1, session 1: view -> click; then a >30min gap opens
+      // session 2: purchase -> view
+      eventRow(1, d0 + 100, 1L, "view", 1.0),
+      eventRow(2, d0 + 200, 1L, "click", 1.0),
+      eventRow(3, d0 + 5000, 1L, "purchase", 1.0),
+      eventRow(4, d0 + 5100, 1L, "view", 1.0),
+      // user 2: a bounce — landing and exit are the same event
+      eventRow(5, d0 + 100, 2L, "view", 1.0),
+      // user 3: two events at the SAME ts — event_id must break the tie
+      eventRow(10, d0 + 100, 3L, "click", 1.0),
+      eventRow(11, d0 + 100, 3L, "purchase", 1.0)))
+    val got = graft.operators.WindowOps.sessionPaths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("click", "purchase") -> 1L,
+      ("purchase", "view") -> 1L,
+      ("view", "click") -> 1L,
+      ("view", "view") -> 1L), s"got $got")
+  }
+
+  test("new vs returning: first-ever day is new, repeat days return once") {
+    val dir = tmpDir("new_ret")
+    val day = 86400L
+    val d0 = 19723L * day // 2024-01-01
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      // user 1: day 0 (twice — one active day) and day 1
+      eventRow(1, d0 + 100, 1L, "view", 1.0),
+      eventRow(2, d0 + 200, 1L, "click", 1.0),
+      eventRow(3, d0 + day + 100, 1L, "view", 1.0),
+      // user 2: first seen day 1 only
+      eventRow(4, d0 + day + 100, 2L, "view", 1.0)))
+    val got = ReportOps.newVsReturning(spark, dir).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "2024-01-01" -> ((1L, 1L, 0L)),
+      "2024-01-02" -> ((2L, 1L, 1L))), s"got $got")
+  }
+
+  test("null profile counts rows, nulls, and distincts per column in one pass") {
+    val dir = tmpDir("prof_nulls")
+    val d0 = 19723L * 86400L
+    def ns(s: Long) = s * 1000000000L
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      Row(1L, ns(d0 + 100), 1L, "view", 1.0, """{"k": 1}"""),
+      Row(2L, ns(d0 + 200), 1L, "click", 2.0, null),
+      Row(3L, ns(d0 + 300), 2L, "view", null, """{"k": 1}"""),
+      Row(4L, ns(d0 + 400), 2L, "view", 1.0, """{"k": 2}""")))
+    val got = graft.operators.ReportShapeOps.profileNulls(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      "event_type" -> ((4L, 0L, 2L)),
+      "props" -> ((4L, 1L, 2L)),
+      "user_id" -> ((4L, 0L, 2L)),
+      "value" -> ((4L, 1L, 2L))), s"got $got")
   }
 
   test("unknown aggregation is rejected") {
