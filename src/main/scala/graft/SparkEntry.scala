@@ -105,10 +105,12 @@ object SparkEntry {
     "q_contamination" -> (C.contamination _),
     "q_corpus_mix" -> (C.corpusMix _),
     "q_doc_length_histogram" -> (C.docLengthHistogram _),
+    "q_shard_export" -> (C.shardExport _),
     // §2.9 sessionization + time windows (batch forms)
     "q_sessionize" -> (W.sessionize _),
     "q_session_metrics" -> (W.sessionMetrics _),
     "q_session_paths" -> (W.sessionPaths _),
+    "q_exit_rate" -> (W.exitRate _),
     "q_window_tumbling" -> (W.windowTumbling _),
     "q_window_sliding" -> (W.windowSliding _),
     // report shaping (r1 additions)
@@ -961,6 +963,15 @@ object SparkEntry {
       """SELECT CAST((len(string_split(text, ' ')) // 10) * 10 AS BIGINT) AS bucket,
                 count(*) AS n_docs
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_shard_export" ->
+      """WITH k AS (SELECT n_chars,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             AS skey
+                    FROM documents)
+         SELECT skey % 16 AS shard, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(skey) AS key_min, max(skey) AS key_max
+         FROM k GROUP BY 1 ORDER BY 1""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang, bucket
          FROM (SELECT doc_id, lang,
@@ -1205,6 +1216,40 @@ object SparkEntry {
                      FROM fe)
          SELECT landing_type, exit_type, count(*) AS n_sessions
          FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_exit_rate" ->
+      // same sessionization CTEs; exit = last event of the session,
+      // presence = distinct (session, type); rate divides two exact
+      // integer counts once (the hash-safe rounding pattern)
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g),
+            ex AS (SELECT user_id, sid,
+                          last_value(event_type) OVER (
+                            PARTITION BY user_id, sid ORDER BY tsu, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS exit_type
+                   FROM sids),
+            exits AS (SELECT DISTINCT user_id, sid, exit_type FROM ex),
+            present AS (SELECT DISTINCT user_id, sid, event_type FROM sids)
+         SELECT p.event_type AS event_type, count(*) AS n_sessions,
+                CAST(sum(CASE WHEN p.event_type = x.exit_type
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_exits,
+                round(CAST(sum(CASE WHEN p.event_type = x.exit_type
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 4) AS exit_rate
+         FROM present p JOIN exits x
+           ON p.user_id = x.user_id AND p.sid = x.sid
+         GROUP BY 1 ORDER BY 1""",
     "q_new_returning" ->
       """WITH ud AS (SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS day
                      FROM events),

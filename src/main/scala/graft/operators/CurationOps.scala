@@ -116,6 +116,30 @@ object CurationOps {
       col("bucket"))
   }
 
+  /** q_shard_export — the deterministic "global shuffle" that ends
+    * every training-data pipeline: each document gets a stable
+    * pseudo-random 64-bit key (md5 of doc_id — reproducible across
+    * runs, engines, and partitionings, unlike rand()), shard = key mod
+    * 16; emits per-shard doc/char counts plus the key range each shard
+    * covers (evenness check). At 100 TB the same key expression feeds
+    * `write.partitionBy(shard)` with an intra-shard sort on the key for
+    * a bit-stable shuffled export; this query is the audit of that
+    * layout. One partial-aggregable shuffle. */
+  def shardExport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val key = expr("conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)")
+      .cast("long")
+    ord(
+      docs.select(col("n_chars"), key.as("skey"))
+        .withColumn("shard", pmod(col("skey"), lit(16L)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"),
+             min(col("skey")).as("key_min"),
+             max(col("skey")).as("key_max")),
+      col("shard"))
+  }
+
   /** q_text_repetition — Gopher-style intra-document repetition
     * signals, the standard boilerplate/spam detector a quality pipeline
     * runs beside q_text_filter: the fraction of tokens taken by the

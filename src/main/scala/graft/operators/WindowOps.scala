@@ -108,24 +108,30 @@ object WindowOps {
       col("p_brand"), col("rn"))
   }
 
-  /** q_sessionize — FLAGSHIP #2: 30-min-inactivity sessions per user.
-    * gap > 1800s (strict) starts a new session; session id = running
-    * count of session-start flags. One shuffle on user_id, two window
-    * passes, one aggregation — linear at any scale. */
-  def sessionize(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
+  /** Shared sessionization prelude: 30-min-inactivity session ids per
+    * user (gap > 1800s strict starts a new session; sid = running count
+    * of session-start flags). One shuffle on user_id, two window passes
+    * over the same (ts, event_id) sort — linear at any scale. `keep`
+    * lists the extra event columns the caller's aggregate needs. */
+  private def sessionized(s: SparkSession, d: String,
+                          keep: org.apache.spark.sql.Column*): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val withGap = e
-      .select(col("user_id"), col("event_id"), col("value"),
-              epochSec(col("ts")).as("ts_sec"), col("ts"))
+    Tables.events(s, d)
+      .select(Seq(col("user_id"), col("event_id"),
+                  epochSec(col("ts")).as("ts_sec"), col("ts")) ++ keep: _*)
       .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
           .otherwise(0))
       .withColumn("sid",
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** q_sessionize — FLAGSHIP #2: 30-min-inactivity sessions per user;
+    * per session: start, end, event count, summed value. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
     ord(
-      withGap.groupBy(col("user_id"), col("sid"))
+      sessionized(s, d, col("value")).groupBy(col("user_id"), col("sid"))
         .agg(min(col("ts_sec")).as("start_sec"),
              max(col("ts_sec")).as("end_sec"),
              count(lit(1)).as("n_events"),
@@ -144,18 +150,8 @@ object WindowOps {
     * equal-ts ties deterministic (the oracle's first_value/last_value
     * over the same ordering agrees). */
   def sessionPaths(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val withGap = e
-      .select(col("user_id"), col("event_id"), col("event_type"),
-              epochSec(col("ts")).as("ts_sec"), col("ts"))
-      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
-          .otherwise(0))
-      .withColumn("sid",
-        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    val sessions = withGap.groupBy(col("user_id"), col("sid"))
+    val sessions = sessionized(s, d, col("event_type"))
+      .groupBy(col("user_id"), col("sid"))
       .agg(min_by(col("event_type"), struct(col("ts"), col("event_id")))
              .as("landing_type"),
            max_by(col("event_type"), struct(col("ts"), col("event_id")))
@@ -164,6 +160,35 @@ object WindowOps {
       sessions.groupBy(col("landing_type"), col("exit_type"))
         .agg(count(lit(1)).as("n_sessions")),
       col("landing_type"), col("exit_type"))
+  }
+
+  /** q_exit_rate — GA's exit-rate report: per event type, the number of
+    * sessions that contain it, the number that END on it, and the exit
+    * rate (exits / sessions containing — "how often is this page the
+    * last thing a visitor does").
+    *
+    * Scale shape: session exit via `max_by` inside the per-session
+    * aggregate (no third window pass); per-session presence is a
+    * distinct over (user, sid, type) — partial-aggregable; the
+    * presence-to-exit join is co-partitioned on (user_id, sid) (both
+    * sides derive from the same exchange). Exit rate divides two exact
+    * integer counts once — the hash-safe r4 pattern. */
+  def exitRate(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionized(s, d, col("event_type"))
+    val exits = sess.groupBy(col("user_id"), col("sid"))
+      .agg(max_by(col("event_type"), struct(col("ts"), col("event_id")))
+             .as("exit_type"))
+    val present = sess.select(col("user_id"), col("sid"), col("event_type"))
+      .distinct()
+    ord(
+      present.join(exits, Seq("user_id", "sid"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(when(col("event_type") === col("exit_type"), 1L).otherwise(0L))
+               .as("n_exits"))
+        .withColumn("exit_rate",
+          r4(col("n_exits").cast("double") / col("n_sessions"))),
+      col("event_type"))
   }
 
   /** q_session_metrics — the GA session rollup on top of the flagship

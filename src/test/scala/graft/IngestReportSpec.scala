@@ -255,6 +255,41 @@ class IngestReportSpec extends AnyFunSuite {
       ("view", "view") -> 1L), s"got $got")
   }
 
+  test("exit rate: sessions containing vs sessions ending on each type") {
+    val dir = tmpDir("exit_rate")
+    val d0 = 19723L * 86400L
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      // user 1, one session: view -> click -> view. view appears once
+      // (presence is per-session) and is the exit; click is not.
+      eventRow(1, d0 + 100, 1L, "view", 1.0),
+      eventRow(2, d0 + 200, 1L, "click", 1.0),
+      eventRow(3, d0 + 300, 1L, "view", 1.0),
+      // user 2, one session ending on click
+      eventRow(4, d0 + 100, 2L, "view", 1.0),
+      eventRow(5, d0 + 200, 2L, "click", 1.0)))
+    val got = graft.operators.WindowOps.exitRate(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      "click" -> ((2L, 1L, 0.5)),
+      "view" -> ((2L, 1L, 0.5))), s"got $got")
+  }
+
+  test("shard export: deterministic, partitioning-invariant, covers all docs") {
+    val a = graft.operators.CurationOps.shardExport(spark, sf0001)
+    val b = graft.operators.CurationOps.shardExport(spark, sf0001)
+    assert(collectSet(a) == collectSet(b))
+    val rows = a.collect()
+    // every doc lands in exactly one shard; key ranges nest inside
+    // the shard's residue class
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf0001).count())
+    rows.foreach { r =>
+      assert(r.getLong(3) % 16 == r.getLong(0), s"key_min residue: $r")
+      assert(r.getLong(4) % 16 == r.getLong(0), s"key_max residue: $r")
+      assert(r.getLong(3) <= r.getLong(4), s"range order: $r")
+    }
+  }
+
   test("new vs returning: first-ever day is new, repeat days return once") {
     val dir = tmpDir("new_ret")
     val day = 86400L
