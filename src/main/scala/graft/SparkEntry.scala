@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M, ReportShapeOps => P, CurationOps => C, IngestOps, ReportOps, SkewOps}
+import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M, ReportShapeOps => P, CurationOps => C, IngestOps, ReportOps, SkewOps, RetrievalOps, TimeSeriesOps, GraphOps}
 import graft.functions.{ScalarOps => F}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding declaration).
@@ -129,7 +129,16 @@ object SparkEntry {
     "q_cohort_retention" -> (ReportOps.cohortRetention _),
     "q_new_returning" -> (ReportOps.newVsReturning _),
     "q_funnel" -> (ReportOps.funnel _),
-    "q_agg_salted" -> (SkewOps.aggSalted _)
+    "q_agg_salted" -> (SkewOps.aggSalted _),
+    // retrieval / time-series / experiment / graph analytics (r6)
+    "q_tfidf" -> (RetrievalOps.tfidf _),
+    "q_bm25" -> (RetrievalOps.bm25 _),
+    "q_gap_fill" -> (TimeSeriesOps.gapFill _),
+    "q_anomaly" -> (TimeSeriesOps.anomaly _),
+    "q_ab_test" -> (TimeSeriesOps.abTest _),
+    "q_split_train" -> (C.splitTrain _),
+    "q_markov" -> (W.markovTransitions _),
+    "q_pagerank" -> (GraphOps.pageRank _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1324,6 +1333,167 @@ object SparkEntry {
                 round(var_samp(value), 4) AS var_value,
                 round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
                 round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_vu
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_tfidf" ->
+      """WITH tf AS (SELECT doc_id, tok, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                           FROM documents) t
+                     WHERE length(tok) > 0 GROUP BY 1, 2),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            sc AS (SELECT tf.doc_id, tf.tok,
+                          round(tf.tf * ln((1.0 + n.n) / (1.0 + df.df)), 4) AS s
+                   FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+         SELECT doc_id, tok AS top_tok, s AS tfidf
+         FROM (SELECT doc_id, tok, s,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY s DESC, tok) AS rn
+               FROM sc) z
+         WHERE rn = 1 ORDER BY doc_id""",
+    "q_bm25" ->
+      """WITH t AS (SELECT doc_id, tok
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                          FROM documents) x
+                    WHERE length(tok) > 0),
+            dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+            corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            tfq AS (SELECT doc_id, tok, count(*) AS tf FROM t
+                    WHERE tok IN ('spark', 'hash', 'dup') GROUP BY 1, 2),
+            dfq AS (SELECT tok, count(*) AS df FROM tfq GROUP BY 1),
+            sc AS (SELECT tfq.doc_id,
+                          ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
+                          (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS term_s
+                   FROM tfq JOIN dfq ON tfq.tok = dfq.tok
+                        JOIN dl ON tfq.doc_id = dl.doc_id
+                        CROSS JOIN corpus)
+         SELECT doc_id, round(sum(term_s), 4) AS bm25
+         FROM sc GROUP BY 1
+         ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "q_gap_fill" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hr,
+                           value FROM events),
+            hourly AS (SELECT event_type, hr, count(*) AS n,
+                              round(avg(value), 4) AS av
+                       FROM e GROUP BY 1, 2),
+            b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM e),
+            hours AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+                      FROM b),
+            types AS (SELECT DISTINCT event_type FROM e),
+            spine AS (SELECT event_type, hr FROM types CROSS JOIN hours)
+         SELECT s.event_type AS event_type, epoch_us(s.hr)//1000000 AS hr_sec,
+                CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+                h.av AS avg_value,
+                last_value(h.av IGNORE NULLS) OVER
+                  (PARTITION BY s.event_type ORDER BY s.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+         FROM spine s LEFT JOIN hourly h
+              ON s.event_type = h.event_type AND s.hr = h.hr
+         ORDER BY event_type, hr_sec""",
+    "q_anomaly" ->
+      """WITH daily AS (SELECT ts::TIMESTAMP::DATE AS day, count(*) AS n
+                        FROM events GROUP BY 1),
+            st AS (SELECT avg(n) AS mu, stddev_samp(n) AS sd FROM daily)
+         SELECT day, n AS n_events, round((n - mu) / sd, 4) AS z,
+                CASE WHEN abs(round((n - mu) / sd, 4)) > 1.5 THEN 1 ELSE 0 END
+                  AS is_anomaly
+         FROM daily, st ORDER BY day""",
+    "q_ab_test" ->
+      """WITH f AS (SELECT user_id,
+                           min(epoch_us(ts::TIMESTAMP)//1000000) AS first_sec,
+                           min(CASE WHEN event_type = 'purchase'
+                                    THEN epoch_us(ts::TIMESTAMP)//1000000 END)
+                             AS first_purch
+                    FROM events GROUP BY user_id),
+            u AS (SELECT user_id,
+                         CASE WHEN first_purch IS NOT NULL
+                                   AND first_purch - first_sec <= 86400
+                              THEN 1 ELSE 0 END AS conv,
+                         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                              THEN 'A' ELSE 'B' END AS variant
+                  FROM f),
+            a AS (SELECT
+                    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+                    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                    CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+                  FROM u),
+            r AS (SELECT *,
+                         CASE WHEN n_a = 0 THEN NULL ELSE conv_a / n_a END AS cra,
+                         CASE WHEN n_b = 0 THEN NULL ELSE conv_b / n_b END AS crb,
+                         (conv_a + conv_b) / (n_a + n_b) AS p
+                  FROM a)
+         SELECT n_a, conv_a, round(cra, 4) AS cr_a,
+                n_b, conv_b, round(crb, 4) AS cr_b,
+                round(cra - crb, 4) AS lift,
+                CASE WHEN p * (1.0 - p) = 0 THEN NULL
+                     ELSE round((cra - crb) /
+                                sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)), 4)
+                END AS z
+         FROM r""",
+    "q_split_train" ->
+      """SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+                count(DISTINCT lang) AS n_langs
+         FROM (SELECT doc_id, n_chars, lang,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS b
+               FROM documents) t
+         GROUP BY 1 ORDER BY 1""",
+    "q_markov" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     FROM g),
+            tr AS (SELECT event_type AS cur_type,
+                          lead(event_type) OVER
+                            (PARTITION BY user_id, sid
+                             ORDER BY tsu, event_id) AS next_type
+                   FROM sids),
+            cnt AS (SELECT cur_type, next_type, count(*) AS n FROM tr
+                    WHERE next_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT cur_type, CAST(sum(n) AS BIGINT) AS total
+                    FROM cnt GROUP BY 1)
+         SELECT cnt.cur_type AS cur_type, next_type, n,
+                round(n / total, 4) AS p
+         FROM cnt JOIN tot ON cnt.cur_type = tot.cur_type
+         ORDER BY cur_type, next_type""",
+    "q_pagerank" ->
+      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                               count(*) AS w
+                        FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        JOIN customer c ON o.o_custkey = c.c_custkey
+                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        GROUP BY 1, 2),
+            outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+                     FROM edges GROUP BY 1),
+            trans AS (SELECT e.src, e.dst, e.w / o.ow AS p
+                      FROM edges e JOIN outw o ON e.src = o.src),
+            nodes AS (SELECT n_nationkey AS v FROM nation),
+            ncnt AS (SELECT count(*) AS nc FROM nation),
+            p0 AS (SELECT v, 1.0 / nc AS pr FROM nodes CROSS JOIN ncnt),
+            c1 AS (SELECT t.dst, sum(p0.pr * t.p) AS in_pr
+                   FROM trans t JOIN p0 ON t.src = p0.v GROUP BY 1),
+            p1 AS (SELECT v, 0.15 / nc + 0.85 * coalesce(in_pr, 0.0) AS pr
+                   FROM nodes CROSS JOIN ncnt LEFT JOIN c1 ON v = c1.dst),
+            c2 AS (SELECT t.dst, sum(p1.pr * t.p) AS in_pr
+                   FROM trans t JOIN p1 ON t.src = p1.v GROUP BY 1),
+            p2 AS (SELECT v, 0.15 / nc + 0.85 * coalesce(in_pr, 0.0) AS pr
+                   FROM nodes CROSS JOIN ncnt LEFT JOIN c2 ON v = c2.dst),
+            c3 AS (SELECT t.dst, sum(p2.pr * t.p) AS in_pr
+                   FROM trans t JOIN p2 ON t.src = p2.v GROUP BY 1),
+            p3 AS (SELECT v, 0.15 / nc + 0.85 * coalesce(in_pr, 0.0) AS pr
+                   FROM nodes CROSS JOIN ncnt LEFT JOIN c3 ON v = c3.dst)
+         SELECT p3.v AS nationkey, n.n_name AS nation, round(p3.pr, 4) AS pagerank
+         FROM p3 JOIN nation n ON p3.v = n.n_nationkey
+         ORDER BY nationkey"""
   )
 }

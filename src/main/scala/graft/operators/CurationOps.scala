@@ -419,4 +419,26 @@ object CurationOps {
                 coalesce(col("component"), col("doc_id")).as("component")),
       col("doc_id"))
   }
+
+  /** q_split_train — deterministic train/val/test split of the corpus:
+    * md5(doc_id) mod 10 routes 80/10/10, reported as per-split document
+    * count, average length and language coverage. The split is a pure
+    * hash gate (same idiom as [[sampleStratified]]): reproducible across
+    * runs, engines, and cluster sizes, evaluated inline in the scan —
+    * the property a 100 TB corpus split must have, since re-shuffling
+    * train/test membership between pipeline runs leaks eval data. */
+  def splitTrain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10
+    val split = when(bucket < 8, "train").when(bucket === 8, "val")
+      .otherwise("test")
+    ord(
+      docs.withColumn("split", split)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             r4(avg(col("n_chars"))).as("avg_chars"),
+             countDistinct(col("lang")).as("n_langs")),
+      col("split"))
+  }
 }

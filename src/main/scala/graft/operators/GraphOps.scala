@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{Fin, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics beyond connected components (CurationOps): PageRank
+  * over a derived trade graph. Nodes are nations; a directed edge
+  * src → dst carries the number of lineitems a customer in `src` bought
+  * from a supplier in `dst` — a small dense graph derived from a large
+  * fact table, the classic "aggregate events into an entity graph, then
+  * rank" pipeline.
+  *
+  * Scale notes (100 TB):
+  *  - edge derivation is the expensive half and it is pure relational
+  *    work: fact-table joins against broadcast dimensions, then one
+  *    partial-aggregable shuffle on (src, dst) — edge count is bounded
+  *    by |nodes|², never by fact rows;
+  *  - each PageRank iteration is an edge×rank equi-join on src plus one
+  *    aggregate on dst — the same edge-join-iterate shape as
+  *    [[CurationOps.dedupCluster]]; the iteration count is FIXED (3),
+  *    so lineage stays shallow and no checkpoint is needed (an open
+  *    convergence loop would reuse dedupCluster's lazy-checkpoint
+  *    fusion);
+  *  - dangling mass uses the simple formulation (no redistribution),
+  *    mirrored exactly in the oracle.
+  */
+object GraphOps {
+  import Fin._
+
+  private val Damping = 0.85
+  // Spelled as a literal, NOT 1.0 - Damping: the subtraction lands one
+  // ulp away from the decimal literal 0.15 the oracle parses, and the
+  // base term feeds every iteration. Same-literal-same-double is the
+  // cross-engine rule.
+  private val Base = 0.15
+  private val Iters = 3
+
+  /** q_pagerank — 3 fixed PageRank iterations over the customer-nation →
+    * supplier-nation trade graph; emits every nation's rank. */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val nation = Tables.nation(s, d)
+    val edges = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // w/ow is an exact-integer ratio divided once — identical on both
+    // engines; it is NOT rounded because it feeds further arithmetic.
+    val trans = edges.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+    val nodes = nation.select(col("n_nationkey").as("v"))
+    val nCnt = nodes.agg(count(lit(1)).as("nc"))
+    var pr = nodes.crossJoin(broadcast(nCnt))
+      .select(col("v"), (lit(1.0) / col("nc")).as("pr"))
+    for (_ <- 1 to Iters) {
+      val contrib = trans.join(pr, trans("src") === pr("v"))
+        .groupBy(col("dst")).agg(sum(col("pr") * col("p")).as("in_pr"))
+      pr = nodes.crossJoin(broadcast(nCnt))
+        .join(contrib, col("v") === col("dst"), "left")
+        .select(col("v"),
+                (lit(Base) / col("nc") +
+                 lit(Damping) * coalesce(col("in_pr"), lit(0.0))).as("pr"))
+    }
+    ord(
+      pr.join(broadcast(nation), col("v") === col("n_nationkey"))
+        .select(col("v").as("nationkey"), col("n_name").as("nation"),
+                r4(col("pr")).as("pagerank")),
+      col("nationkey"))
+  }
+}

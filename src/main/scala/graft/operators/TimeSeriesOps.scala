@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{Fin, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series analytics over the events stream: spine-based gap filling
+  * with forward fill, z-score anomaly flagging, and a deterministic A/B
+  * experiment readout (SURVEY.md §2 — sessionized-analytics family).
+  *
+  * Scale notes (100 TB):
+  *  - the hourly rollup is one partial-aggregable shuffle on
+  *    (event_type, hour); the date spine is generated (sequence +
+  *    explode) from a 1-row bounds frame and broadcast-joined — rows =
+  *    |types| × |hours|, independent of event volume;
+  *  - forward fill is a window per series key (event_type), never a
+  *    global unpartitioned window; at 100 TB the series key set grows
+  *    (per metric/tenant) while each partition stays a bounded
+  *    time-ordered run;
+  *  - the A/B split is a deterministic md5 hash gate (same idiom as
+  *    q_sample_stratified) — re-runs assign identically, no RNG state;
+  *  - all flags/ratios follow the hash-safe determinism rules: compare
+  *    and divide on round(·,4) values or exact integer counts only.
+  */
+object TimeSeriesOps {
+  import Fin._
+
+  /** q_gap_fill — hourly event counts per type on a complete hour spine
+    * (missing hours surface as n_events = 0), with the per-type average
+    * value forward-filled across gaps (`last value IGNORE NULLS`). */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"), col("value"))
+    val hourly = e.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"), r4(avg(col("value"))).as("av"))
+    val hours = e.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("hr"))
+    val types = e.select(col("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(hours))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    ord(
+      spine.join(hourly, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), epochSec(col("hr")).as("hr_sec"),
+                coalesce(col("n"), lit(0L)).as("n_events"), col("av").as("avg_value"))
+        .withColumn("filled_avg", last(col("avg_value"), ignoreNulls = true).over(
+          Window.partitionBy(col("event_type")).orderBy(col("hr_sec")))),
+      col("event_type"), col("hr_sec"))
+  }
+
+  /** q_anomaly — daily event volume z-scores: every day scored against
+    * the corpus mean/stddev of daily counts, flagged when the ROUNDED
+    * |z| exceeds 1.5 (the threshold compares r4 values so the flag can
+    * never flip on cross-engine float noise). */
+  def anomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
+    ord(
+      daily.crossJoin(broadcast(stats))
+        .withColumn("z", r4((col("n") - col("mu")) / col("sd")))
+        .select(col("day"), col("n").as("n_events"), col("z"),
+                when(abs(col("z")) > 1.5, 1).otherwise(0).as("is_anomaly")),
+      col("day"))
+  }
+
+  /** q_ab_test — deterministic 50/50 user split (md5 hash parity), with
+    * time-to-convert conversion (first purchase within 24h of the
+    * user's first event — "did they buy on day one") per arm and the
+    * pooled two-proportion z statistic. One summary row; every double
+    * derives from exact integer counts via the same IEEE ops on both
+    * engines, rounded once; the z guard compares p·(1−p) to exact zero
+    * so a degenerate arm yields NULL identically on both sides. */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(epochSec(col("ts"))).as("first_sec"),
+           min(when(col("event_type") === "purchase", epochSec(col("ts"))))
+             .as("first_purch"))
+      .withColumn("conv",
+        when(col("first_purch").isNotNull &&
+             col("first_purch") - col("first_sec") <= 86400, 1).otherwise(0))
+      .withColumn("variant",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) % 2") === 0, "A")
+          .otherwise("B"))
+    val arms = users.agg(
+      sum(when(col("variant") === "A", 1).otherwise(0)).as("n_a"),
+      sum(when(col("variant") === "A", col("conv")).otherwise(0)).as("conv_a"),
+      sum(when(col("variant") === "B", 1).otherwise(0)).as("n_b"),
+      sum(when(col("variant") === "B", col("conv")).otherwise(0)).as("conv_b"))
+    // An empty arm (possible on a tiny or skew-filtered slice) yields
+    // NULL rates, never an ANSI divide-by-zero — mirrored in the oracle.
+    arms
+      .withColumn("cr_a",
+        when(col("n_a") === 0, lit(null)).otherwise(col("conv_a") / col("n_a")))
+      .withColumn("cr_b",
+        when(col("n_b") === 0, lit(null)).otherwise(col("conv_b") / col("n_b")))
+      .withColumn("p", (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")))
+      .select(col("n_a"), col("conv_a"), r4(col("cr_a")).as("cr_a"),
+              col("n_b"), col("conv_b"), r4(col("cr_b")).as("cr_b"),
+              r4(col("cr_a") - col("cr_b")).as("lift"),
+              when(col("p") * (lit(1.0) - col("p")) === 0.0, lit(null))
+                .otherwise(
+                  r4((col("cr_a") - col("cr_b")) /
+                     sqrt(col("p") * (lit(1.0) - col("p")) *
+                          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+                .as("z"))
+  }
+}

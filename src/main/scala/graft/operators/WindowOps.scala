@@ -240,4 +240,32 @@ object WindowOps {
                 col("event_type"), col("n"), col("val")),
       col("w_start"), col("event_type"))
   }
+
+  /** q_markov — first-order Markov transition matrix over in-session
+    * event sequences: for every (current, next) event-type pair, the
+    * transition count and P(next | current). GA's "behavior flow"
+    * report in matrix form, and the input a journey-simulation or
+    * next-event model trains on.
+    *
+    * Scale shape: one extra `lead` on the session window the flagship
+    * already computes (same (user_id) shuffle, same per-user sort —
+    * session boundaries guard the lead so transitions never cross
+    * sessions), then a partial-aggregable count on the tiny
+    * (cur, next) key space. The probability divides two exact integer
+    * counts once — hash-safe r4. */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = sessionized(s, d, col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("cur_type")).agg(sum(col("n")).as("total"))
+    ord(
+      trans.join(totals, "cur_type")
+        .select(col("cur_type"), col("next_type"), col("n"),
+                r4(col("n").cast("double") / col("total")).as("p")),
+      col("cur_type"), col("next_type"))
+  }
 }

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CurationOps, GraphOps, RetrievalOps, TimeSeriesOps, WindowOps}
+
+/** Semantics of the r6 analytics operators: TF-IDF / BM25 retrieval,
+  * gap-fill / anomaly / A-B time-series, train-split, Markov
+  * transitions, PageRank. Plan-shape guards come from PlanGuardSpec
+  * (which iterates every SparkEntry query); these tests pin the math on
+  * hand-built fixtures. */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  import TestBase._
+
+  test("tfidf: corpus-unique term beats common terms; ties break on min token") {
+    val dir = tmpDir("tfidf")
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, "common common zebra", "en", "s0", 19L),
+      Row(2L, "common common common", "en", "s0", 20L),
+      Row(3L, "common apple banana", "en", "s0", 19L)
+    ))
+    val out = RetrievalOps.tfidf(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "zebra")        // df=1 term dominates tf=2 common term
+    assert(out(2L) == "common")       // only term present
+    assert(out(3L) == "apple")        // apple/banana tie on score -> min token
+  }
+
+  test("bm25: more query-term occurrences rank higher; no-hit docs absent") {
+    val dir = tmpDir("bm25")
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, "dup dup dup pad pad pad pad pad", "en", "s0", 30L),
+      Row(2L, "dup pad pad pad pad pad pad pad", "en", "s0", 30L),
+      Row(3L, "pad pad pad pad pad pad pad pad", "en", "s0", 30L)
+    ))
+    val rows = RetrievalOps.bm25(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // ranked, doc 3 absent
+    assert(rows(0).getDouble(1) > rows(1).getDouble(1))
+  }
+
+  test("gap_fill: missing hour appears with n=0 and forward-filled average") {
+    val dir = tmpDir("gapfill")
+    // view events in hours 0 and 2 (epoch-aligned); hour 1 is a gap.
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      eventRow(1L, 0L, 1L, "view", 10.0),
+      eventRow(2L, 7200L, 1L, "view", 30.0)
+    ))
+    val out = TimeSeriesOps.gapFill(spark, dir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), Option(r.get(3)), r.getDouble(4))).toMap
+    assert(out.keySet == Set(0L, 3600L, 7200L))
+    assert(out(3600L) == ((0L, None, 10.0))) // gap: zero events, carried avg
+    assert(out(7200L)._1 == 1L && out(7200L)._3 == 30.0)
+  }
+
+  test("anomaly: an outlier day is flagged, normal days are not") {
+    val dir = tmpDir("anom")
+    // 5 days with 2 events each, 1 day with 12 -> |z| > 1.5 only there.
+    val rows = (0 until 5).flatMap { day =>
+      Seq(eventRow(day * 10L, day * 86400L, 1L, "view", 1.0),
+          eventRow(day * 10L + 1, day * 86400L + 60, 1L, "view", 1.0))
+    } ++ (0 until 12).map(i =>
+      eventRow(100L + i, 5 * 86400L + i * 60, 1L, "view", 1.0))
+    writeTable(dir, "events", eventsNsSchema, rows)
+    val out = TimeSeriesOps.anomaly(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(out(12L) == 1)
+    assert(out(2L) == 0)
+  }
+
+  test("ab_test: arm counts exact; degenerate p yields NULL z") {
+    val dir = tmpDir("ab")
+    // Every user converts instantly -> p = 1 -> z must be NULL, not a crash.
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      eventRow(1L, 0L, 1L, "purchase", 1.0),
+      eventRow(2L, 0L, 2L, "purchase", 1.0)
+    ))
+    val r = TimeSeriesOps.abTest(spark, dir).collect().head
+    assert(r.getLong(0) + r.getLong(3) == 2L) // n_a + n_b = users
+    assert(r.getLong(1) + r.getLong(4) == 2L) // all converted
+    assert(r.isNullAt(7), "z must be NULL when p*(1-p) == 0")
+  }
+
+  test("ab_test: late purchase (>24h after first event) does not convert") {
+    val dir = tmpDir("ab2")
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      eventRow(1L, 0L, 1L, "view", 1.0),
+      eventRow(2L, 100000L, 1L, "purchase", 1.0) // 27.8h later
+    ))
+    val r = TimeSeriesOps.abTest(spark, dir).collect().head
+    assert(r.getLong(1) + r.getLong(4) == 0L, "late purchase must not count")
+    // single user -> one arm is empty: its rate must be NULL, not a crash
+    assert(r.isNullAt(2) || r.isNullAt(5), "empty arm rate must be NULL")
+  }
+
+  test("split_train: partitions the corpus, deterministic across runs") {
+    val a = CurationOps.splitTrain(spark, sf0001).collect()
+    val b = CurationOps.splitTrain(spark, sf0001).collect()
+    assert(a.toSeq == b.toSeq)
+    val n = a.map(_.getLong(1)).sum
+    val total = Tables.documents(spark, sf0001).count()
+    assert(n == total, s"splits must partition: $n != $total")
+    assert(a.map(_.getString(0)).toSet == Set("train", "val", "test"))
+  }
+
+  test("markov: transitions stay inside sessions and probabilities sum to 1 per row") {
+    val dir = tmpDir("markov")
+    // user 1: view->click within one session; a >30min gap then view->purchase.
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      eventRow(1L, 0L, 1L, "view", 1.0),
+      eventRow(2L, 60L, 1L, "click", 1.0),
+      eventRow(3L, 60L + 2000L, 1L, "view", 1.0), // new session
+      eventRow(4L, 60L + 2060L, 1L, "purchase", 1.0)
+    ))
+    val out = TimeSeriesFixtures.asMap(WindowOps.markovTransitions(spark, dir))
+    // Both transitions leave 'view' (n=2 total), so each has p = 0.5; a
+    // click->view pair across the session gap must NOT appear.
+    assert(out == Map(("view", "click") -> (1L, 0.5), ("view", "purchase") -> (1L, 0.5)),
+      s"got $out")
+  }
+
+  test("markov: probabilities per cur_type sum to 1 on real data") {
+    val rows = WindowOps.markovTransitions(spark, sf0001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (cur, rs) =>
+      val p = rs.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 0.01, s"$cur transition mass $p")
+    }
+  }
+
+  test("pagerank: sink nation of a star trade graph ranks highest; base rank holds") {
+    val dir = tmpDir("pr")
+    writeTable(dir, "nation", Schemas.nation,
+      (0 to 2).map(i => Row(i, s"N$i", 0)))
+    writeTable(dir, "customer", Schemas.customer,
+      (0 to 2).map(i => Row(i.toLong, s"C$i", i, 0.0, "SEG")))
+    writeTable(dir, "supplier", Schemas.supplier,
+      (0 to 2).map(i => Row(i.toLong, s"S$i", i, 0.0)))
+    // customers in nations 0 and 1 each buy once from a supplier in nation 2.
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      Row(1L, 0L, "O", 1.0, java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "1"),
+      Row(2L, 1L, "O", 1.0, java.sql.Timestamp.valueOf("1995-01-02 00:00:00"), "1")))
+    writeTable(dir, "lineitem", Schemas.lineitem, Seq(
+      Row(1L, 1L, 2L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          java.sql.Timestamp.valueOf("1995-02-01 00:00:00")),
+      Row(2L, 1L, 2L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          java.sql.Timestamp.valueOf("1995-02-02 00:00:00"))))
+    val pr = GraphOps.pageRank(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(pr(2) > pr(0) && pr(2) > pr(1), s"sink must rank highest: $pr")
+    assert(pr(0) >= 0.15 / 3 - 1e-9) // sourceless node keeps the base rank
+    assert(pr.values.sum <= 1.0 + 1e-6) // dangling mass only leaks, never grows
+  }
+
+  test("pagerank: all 25 nations ranked on real data, mass bounded") {
+    val pr = GraphOps.pageRank(spark, sf0001).collect()
+    assert(pr.length == 25)
+    val s = pr.map(_.getDouble(2)).sum
+    assert(s > 0.5 && s <= 1.0 + 1e-6, s"total rank mass $s")
+  }
+}
+
+/** Small helpers shared by the r6 tests. */
+object TimeSeriesFixtures {
+  def asMap(df: org.apache.spark.sql.DataFrame): Map[(String, String), (Long, Double)] =
+    df.collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+}
