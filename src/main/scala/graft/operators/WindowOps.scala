@@ -108,17 +108,16 @@ object WindowOps {
       col("p_brand"), col("rn"))
   }
 
-  /** Shared sessionization prelude: 30-min-inactivity session ids per
-    * user (gap > 1800s strict starts a new session; sid = running count
-    * of session-start flags). One shuffle on user_id, two window passes
-    * over the same (ts, event_id) sort — linear at any scale. `keep`
-    * lists the extra event columns the caller's aggregate needs. */
-  private def sessionized(s: SparkSession, d: String,
-                          keep: org.apache.spark.sql.Column*): DataFrame = {
+  /** The sessionization computation itself: 30-min-inactivity session
+    * ids per user (gap > 1800s strict starts a new session; sid =
+    * running count of session-start flags). One shuffle on user_id, two
+    * window passes over the same (ts, event_id) sort — linear at any
+    * scale. */
+  private def sessionizeScan(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)
-      .select(Seq(col("user_id"), col("event_id"),
-                  epochSec(col("ts")).as("ts_sec"), col("ts")) ++ keep: _*)
+      .select(col("user_id"), col("event_id"), epochSec(col("ts")).as("ts_sec"),
+              col("ts"), col("event_type"), col("value"))
       .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
@@ -126,6 +125,36 @@ object WindowOps {
       .withColumn("sid",
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
+
+  private val SessionStoreTag = "session_store_v1"
+
+  /** Build-once sessionized event store, persisted as parquet via
+    * [[graft.sources.CachedDir]] (same pattern as the IVF/PQ indexes):
+    * the two window passes over the raw events run ONCE per corpus
+    * state; every session report (flagship rollup, metrics, paths,
+    * exit rate, Markov transitions) then reads the store. This is the
+    * reference engine's defining materialization — GA events are
+    * sessionized once into a warehouse table and every report derives
+    * from it — expressed Spark-first: at 100 TB the store would be a
+    * date-partitioned, user-bucketed table so downstream per-session
+    * aggregates shuffle nothing. */
+  def sessionStoreDir(s: SparkSession, d: String): String =
+    graft.sources.CachedDir.materialize(s, d, "events.parquet", SessionStoreTag) {
+      tmp =>
+        sessionizeScan(s, d)
+          .select(col("user_id"), col("sid"), col("event_id"), col("ts"),
+                  col("ts_sec"), col("event_type"), col("value"))
+          .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Shared sessionization prelude, read from the persisted store.
+    * `keep` lists the extra event columns the caller's aggregate needs
+    * (schema-pruned from the store scan). */
+  private def sessionized(s: SparkSession, d: String,
+                          keep: org.apache.spark.sql.Column*): DataFrame =
+    s.read.parquet(sessionStoreDir(s, d))
+      .select(Seq(col("user_id"), col("sid"), col("event_id"),
+                  col("ts_sec"), col("ts")) ++ keep: _*)
 
   /** q_sessionize — FLAGSHIP #2: 30-min-inactivity sessions per user;
     * per session: start, end, event count, summed value. */
@@ -167,21 +196,21 @@ object WindowOps {
     * rate (exits / sessions containing — "how often is this page the
     * last thing a visitor does").
     *
-    * Scale shape: session exit via `max_by` inside the per-session
-    * aggregate (no third window pass); per-session presence is a
-    * distinct over (user, sid, type) — partial-aggregable; the
-    * presence-to-exit join is co-partitioned on (user_id, sid) (both
-    * sides derive from the same exchange). Exit rate divides two exact
-    * integer counts once — the hash-safe r4 pattern. */
+    * Scale shape: ONE per-session aggregate computes both the exit type
+    * (`max_by` on a (ts, event_id) struct) and the distinct-type set
+    * (`collect_set`, bounded by the event-type vocabulary); exploding
+    * the set replaces the former distinct + co-partitioned join — one
+    * shuffle fewer, and nothing in the plan is proportional to session
+    * length afterwards. Exit rate divides two exact integer counts
+    * once — the hash-safe r4 pattern. */
   def exitRate(s: SparkSession, d: String): DataFrame = {
     val sess = sessionized(s, d, col("event_type"))
-    val exits = sess.groupBy(col("user_id"), col("sid"))
+      .groupBy(col("user_id"), col("sid"))
       .agg(max_by(col("event_type"), struct(col("ts"), col("event_id")))
-             .as("exit_type"))
-    val present = sess.select(col("user_id"), col("sid"), col("event_type"))
-      .distinct()
+             .as("exit_type"),
+           collect_set(col("event_type")).as("types"))
     ord(
-      present.join(exits, Seq("user_id", "sid"))
+      sess.select(col("exit_type"), explode(col("types")).as("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_sessions"),
              sum(when(col("event_type") === col("exit_type"), 1L).otherwise(0L))
