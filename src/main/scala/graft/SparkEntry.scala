@@ -138,7 +138,9 @@ object SparkEntry {
     "q_ab_test" -> (TimeSeriesOps.abTest _),
     "q_split_train" -> (C.splitTrain _),
     "q_markov" -> (W.markovTransitions _),
-    "q_pagerank" -> (GraphOps.pageRank _)
+    "q_pagerank" -> (GraphOps.pageRank _),
+    "q_rfm" -> (ReportOps.rfm _),
+    "q_attribution" -> (W.attribution _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1494,6 +1496,62 @@ object SparkEntry {
                    FROM nodes CROSS JOIN ncnt LEFT JOIN c3 ON v = c3.dst)
          SELECT p3.v AS nationkey, n.n_name AS nation, round(p3.pr, 4) AS pagerank
          FROM p3 JOIN nation n ON p3.v = n.n_nationkey
-         ORDER BY nationkey"""
+         ORDER BY nationkey""",
+    "q_rfm" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+                           CAST(epoch_us(ts::TIMESTAMP)//1000000 // 86400 AS INT)
+                             AS day
+                    FROM events),
+            mx AS (SELECT max(day) AS max_day FROM e),
+            u AS (SELECT user_id, max_day - max(day) AS recency,
+                         count(*) AS frequency, round(sum(value), 4) AS monetary
+                  FROM e CROSS JOIN mx WHERE event_type = 'purchase'
+                  GROUP BY user_id, max_day),
+            thr AS (SELECT quantile_cont(recency, 0.25) AS r25,
+                           quantile_cont(recency, 0.5) AS r50,
+                           quantile_cont(recency, 0.75) AS r75,
+                           quantile_cont(frequency, 0.25) AS f25,
+                           quantile_cont(frequency, 0.5) AS f50,
+                           quantile_cont(frequency, 0.75) AS f75,
+                           round(quantile_cont(monetary, 0.25), 4) AS m25,
+                           round(quantile_cont(monetary, 0.5), 4) AS m50,
+                           round(quantile_cont(monetary, 0.75), 4) AS m75
+                    FROM u)
+         SELECT user_id, recency, frequency, monetary,
+                CASE WHEN recency <= r25 THEN 1 WHEN recency <= r50 THEN 2
+                     WHEN recency <= r75 THEN 3 ELSE 4 END AS r_q,
+                CASE WHEN frequency <= f25 THEN 1 WHEN frequency <= f50 THEN 2
+                     WHEN frequency <= f75 THEN 3 ELSE 4 END AS f_q,
+                CASE WHEN monetary <= m25 THEN 1 WHEN monetary <= m50 THEN 2
+                     WHEN monetary <= m75 THEN 3 ELSE 4 END AS m_q
+         FROM u CROSS JOIN thr ORDER BY user_id""",
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     FROM g),
+            fe AS (SELECT user_id, sid, event_type, value,
+                          first_value(event_type) OVER
+                            (PARTITION BY user_id, sid ORDER BY tsu, event_id)
+                            AS landing_type
+                   FROM sids),
+            sess AS (SELECT user_id, sid, landing_type,
+                            sum(CASE WHEN event_type = 'purchase' THEN value
+                                     ELSE 0.0 END) AS rev,
+                            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                                          ELSE 0 END) AS BIGINT) AS n_purch
+                     FROM fe GROUP BY 1, 2, 3)
+         SELECT landing_type, count(*) AS n_sessions,
+                CAST(sum(n_purch) AS BIGINT) AS n_purchases,
+                round(sum(rev), 4) AS revenue
+         FROM sess GROUP BY 1 ORDER BY 1"""
   )
 }

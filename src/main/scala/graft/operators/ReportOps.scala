@@ -180,4 +180,51 @@ object ReportOps {
                   .as("conv")),
       col("step"))
   }
+
+  /** q_rfm — RFM segmentation, the classic CRM/GA audience cut: per
+    * user, Recency (days since last purchase, against the corpus max
+    * day), Frequency (purchase count) and Monetary (summed purchase
+    * value), each bucketed into quartiles against corpus-wide
+    * interpolated percentile thresholds.
+    *
+    * Scale shape: one partial-aggregable shuffle on user_id builds the
+    * per-user triple; the six thresholds are ONE extra 1-row aggregate
+    * cross-joined back via broadcast — NOT a global ntile window, which
+    * would funnel every user through a single partition. Bucketing
+    * compares exact integers (recency/frequency) or r4 values
+    * (monetary) against r4 thresholds, so quartile edges cannot flip on
+    * engine float noise. */
+  def rfm(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val e = graft.Tables.events(s, d)
+    val maxDay = e.agg(max(expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)"))
+      .as("max_day"))
+    val users = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)")).as("last_day"),
+           count(lit(1)).as("frequency"),
+           r4(sum(col("value"))).as("monetary"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"), (col("max_day") - col("last_day")).as("recency"),
+              col("frequency"), col("monetary"))
+    val thr = users.agg(
+      percentile(col("recency"), lit(0.25)).as("r25"),
+      percentile(col("recency"), lit(0.5)).as("r50"),
+      percentile(col("recency"), lit(0.75)).as("r75"),
+      percentile(col("frequency"), lit(0.25)).as("f25"),
+      percentile(col("frequency"), lit(0.5)).as("f50"),
+      percentile(col("frequency"), lit(0.75)).as("f75"),
+      r4(percentile(col("monetary"), lit(0.25))).as("m25"),
+      r4(percentile(col("monetary"), lit(0.5))).as("m50"),
+      r4(percentile(col("monetary"), lit(0.75))).as("m75"))
+    def q(v: Column, p25: Column, p50: Column, p75: Column): Column =
+      when(v <= p25, 1).when(v <= p50, 2).when(v <= p75, 3).otherwise(4)
+    ord(
+      users.crossJoin(broadcast(thr))
+        .select(col("user_id"), col("recency"), col("frequency"), col("monetary"),
+                q(col("recency"), col("r25"), col("r50"), col("r75")).as("r_q"),
+                q(col("frequency"), col("f25"), col("f50"), col("f75")).as("f_q"),
+                q(col("monetary"), col("m25"), col("m50"), col("m75")).as("m_q")),
+      col("user_id"))
+  }
 }

@@ -282,6 +282,31 @@ object WindowOps {
     * sessions), then a partial-aggregable count on the tiny
     * (cur, next) key space. The probability divides two exact integer
     * counts once — hash-safe r4. */
+  /** q_attribution — first-touch revenue attribution: each session's
+    * purchase revenue is credited to the session's landing event type
+    * (GA's acquisition-report credit model). One per-session aggregate
+    * over the session store computes the landing type (`min_by` on the
+    * (ts, event_id) struct) and the session's purchase revenue in the
+    * same pass; the rollup to channel is a second tiny aggregate.
+    * Revenue is summed RAW within the session and r4'd only at the
+    * final rollup — one rounding point, the hash-safe pattern. */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionized(s, d, col("event_type"), col("value"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min_by(col("event_type"), struct(col("ts"), col("event_id")))
+             .as("landing_type"),
+           sum(when(col("event_type") === "purchase", col("value"))
+                 .otherwise(lit(0.0))).as("rev"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .as("n_purch"))
+    ord(
+      sess.groupBy(col("landing_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(col("n_purch")).as("n_purchases"),
+             r4(sum(col("rev"))).as("revenue")),
+      col("landing_type"))
+  }
+
   def markovTransitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("sid"))
       .orderBy(col("ts"), col("event_id"))

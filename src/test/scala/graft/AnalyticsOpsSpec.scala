@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{CurationOps, GraphOps, RetrievalOps, TimeSeriesOps, WindowOps}
+import graft.operators.{CurationOps, GraphOps, ReportOps, RetrievalOps, TimeSeriesOps, WindowOps}
 
 /** Semantics of the r6 analytics operators: TF-IDF / BM25 retrieval,
   * gap-fill / anomaly / A-B time-series, train-split, Markov
@@ -148,6 +148,30 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(pr(2) > pr(0) && pr(2) > pr(1), s"sink must rank highest: $pr")
     assert(pr(0) >= 0.15 / 3 - 1e-9) // sourceless node keeps the base rank
     assert(pr.values.sum <= 1.0 + 1e-6) // dangling mass only leaks, never grows
+  }
+
+  test("attribution: revenue lands on the landing type of the purchase's session") {
+    val dir = tmpDir("attr")
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      eventRow(1L, 0L, 1L, "view", 5.0),        // session 1 lands on view
+      eventRow(2L, 60L, 1L, "purchase", 40.0),
+      eventRow(3L, 60L + 2000L, 1L, "click", 1.0), // session 2 lands on click
+      eventRow(4L, 60L + 2060L, 1L, "purchase", 60.0)
+    ))
+    val out = WindowOps.attribution(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map("view" -> (1L, 1L, 40.0), "click" -> (1L, 1L, 60.0)), s"got $out")
+  }
+
+  test("rfm: quartiles partition users; monotone in the underlying value") {
+    val rows = ReportOps.rfm(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // quartile must be monotone in recency: sort by recency, r_q never decreases
+    val byRec = rows.sortBy(r => (r.getInt(1), r.getLong(0)))
+    assert(byRec.sliding(2).forall(p => p(0).getInt(4) <= p(1).getInt(4)))
+    val byFreq = rows.sortBy(r => (r.getLong(2), r.getLong(0)))
+    assert(byFreq.sliding(2).forall(p => p(0).getInt(5) <= p(1).getInt(5)))
+    assert(rows.map(_.getInt(4)).distinct.sorted.forall(Set(1, 2, 3, 4)))
   }
 
   test("pagerank: all 25 nations ranked on real data, mass bounded") {
