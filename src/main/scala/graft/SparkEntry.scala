@@ -1374,9 +1374,14 @@ object SparkEntry {
     "q_gap_fill" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hr,
                            value FROM events),
-            hourly AS (SELECT event_type, hr, count(*) AS n,
-                              round(avg(value), 4) AS av
-                       FROM e GROUP BY 1, 2),
+            h0 AS (SELECT event_type, hr, count(*) AS n,
+                          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                            AS cents
+                   FROM e GROUP BY 1, 2),
+            hourly AS (SELECT event_type, hr, n,
+                              ((20000 * cents + 100 * n) // (200 * n)) / 10000.0
+                                AS av
+                       FROM h0),
             b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM e),
             hours AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
                       FROM b),

@@ -32,8 +32,18 @@ object TimeSeriesOps {
   def gapFill(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"), col("value"))
+    // avg(value) is a GUARANTEED .00005 rounding-tie factory: value is
+    // cent-precision, so cents/(100·n) lands exactly on x.xxxx5 and the
+    // engines' round() break that tie oppositely (Spark HALF_UP on the
+    // binary expansion, DuckDB on scaled floats). Fix: perform the
+    // half-up rounding IN INTEGER ARITHMETIC — round4(N/D) =
+    // (2·10⁴·N + D) div (2·D) — then divide by 10⁴ once; both engines
+    // then compute the identical double from identical integers.
     val hourly = e.groupBy(col("event_type"), col("hr"))
-      .agg(count(lit(1)).as("n"), r4(avg(col("value"))).as("av"))
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("av",
+        expr("(20000 * cents + 100 * n) DIV (200 * n)").cast("double") / lit(10000.0))
     val hours = e.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
       .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("hr"))
     val types = e.select(col("event_type")).distinct()
