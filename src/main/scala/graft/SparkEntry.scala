@@ -140,7 +140,13 @@ object SparkEntry {
     "q_markov" -> (W.markovTransitions _),
     "q_pagerank" -> (GraphOps.pageRank _),
     "q_rfm" -> (ReportOps.rfm _),
-    "q_attribution" -> (W.attribution _)
+    "q_attribution" -> (W.attribution _),
+    // basket/series/graph analytics widening (r6)
+    "q_moving_avg" -> (TimeSeriesOps.movingAvg _),
+    "q_time_to_convert" -> (TimeSeriesOps.timeToConvert _),
+    "q_ltv" -> (ReportOps.ltv _),
+    "q_graph_degree" -> (GraphOps.graphDegree _),
+    "q_triangles" -> (GraphOps.triangles _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1557,6 +1563,108 @@ object SparkEntry {
          SELECT landing_type, count(*) AS n_sessions,
                 CAST(sum(n_purch) AS BIGINT) AS n_purchases,
                 round(sum(rev), 4) AS revenue
-         FROM sess GROUP BY 1 ORDER BY 1"""
+         FROM sess GROUP BY 1 ORDER BY 1""",
+    "q_moving_avg" ->
+      """WITH daily AS (
+           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT) AS day_num,
+                  count(*) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM orders GROUP BY 1),
+         w AS (
+           SELECT day_num, n_orders, cents,
+                  CAST(sum(cents) OVER win AS BIGINT) AS c7,
+                  CAST(count(*) OVER win AS BIGINT) AS n7
+           FROM daily
+           WINDOW win AS (ORDER BY day_num
+                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT day_num, n_orders, CAST(cents AS DOUBLE)/100.0 AS revenue,
+                CAST((20000*c7 + 100*n7) // (200*n7) AS DOUBLE)/10000.0 AS ma7,
+                CAST(n7 AS INT) AS days_in_window
+         FROM w ORDER BY day_num""",
+    "q_time_to_convert" ->
+      """WITH u AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view'
+                           THEN epoch_us(ts::TIMESTAMP)//1000000 END) AS fv,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts::TIMESTAMP)//1000000 END) AS fp
+           FROM events GROUP BY 1)
+         SELECT (fp - fv) // 3600 AS hours_to_convert, count(*) AS n_users
+         FROM u WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+         GROUP BY 1 ORDER BY 1""",
+    "q_ltv" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+                           CAST(year(o_orderdate)*12 + month(o_orderdate) AS INT)
+                             AS mi,
+                           CAST(round(o_totalprice*100) AS BIGINT) AS cents
+                    FROM orders),
+            cohort AS (SELECT cust, min(mi) AS cm FROM o GROUP BY 1),
+            sizes AS (SELECT cm, count(*) AS cohort_size FROM cohort GROUP BY 1),
+            cells AS (SELECT c.cm, o.mi - c.cm AS month_age, count(*) AS n_orders,
+                             CAST(sum(o.cents) AS BIGINT) AS c
+                      FROM o JOIN cohort c ON o.cust = c.cust GROUP BY 1, 2),
+            cum AS (SELECT cm, month_age, n_orders, c,
+                           CAST(sum(c) OVER (PARTITION BY cm ORDER BY month_age
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS BIGINT) AS cumc
+                    FROM cells)
+         SELECT cm AS cohort_month, month_age, cohort_size, n_orders,
+                CAST(c AS DOUBLE)/100.0 AS revenue,
+                CAST(cumc AS DOUBLE)/100.0 AS cum_revenue,
+                CAST((20000*cumc + 100*cohort_size) // (200*cohort_size)
+                     AS DOUBLE)/10000.0 AS ltv_per_user
+         FROM cum JOIN sizes USING (cm) ORDER BY cohort_month, month_age""",
+    "q_graph_degree" ->
+      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                               count(*) AS w
+                        FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        JOIN customer c ON o.o_custkey = c.c_custkey
+                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        GROUP BY 1, 2),
+            outd AS (SELECT src, count(*) AS od, CAST(sum(w) AS BIGINT) AS ow
+                     FROM edges GROUP BY 1),
+            ind AS (SELECT dst, count(*) AS idg, CAST(sum(w) AS BIGINT) AS iw
+                    FROM edges GROUP BY 1)
+         SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+                CAST(coalesce(od, 0) AS BIGINT) AS out_degree,
+                CAST(coalesce(idg, 0) AS BIGINT) AS in_degree,
+                CAST(coalesce(ow, 0) AS BIGINT) AS out_weight,
+                CAST(coalesce(iw, 0) AS BIGINT) AS in_weight
+         FROM nation n LEFT JOIN outd ON n.n_nationkey = outd.src
+                       LEFT JOIN ind ON n.n_nationkey = ind.dst
+         ORDER BY nationkey""",
+    "q_triangles" ->
+      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                               count(*) AS w
+                        FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        JOIN customer c ON o.o_custkey = c.c_custkey
+                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        GROUP BY 1, 2),
+            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM edges WHERE src <> dst),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM und e1
+                    JOIN und e2 ON e1.b = e2.a
+                    JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
+            tpn AS (SELECT v, count(*) AS n_tri
+                    FROM (SELECT x AS v FROM tri UNION ALL
+                          SELECT y FROM tri UNION ALL
+                          SELECT z FROM tri) t GROUP BY 1),
+            deg AS (SELECT v, count(*) AS degree
+                    FROM (SELECT a AS v FROM und UNION ALL
+                          SELECT b FROM und) t GROUP BY 1)
+         SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+                CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+                CAST(coalesce(tpn.n_tri, 0) AS BIGINT) AS n_triangles,
+                CASE WHEN coalesce(deg.degree, 0) < 2 THEN 0.0
+                     ELSE round(2.0*coalesce(tpn.n_tri, 0) /
+                                (deg.degree*(deg.degree - 1)), 4) END
+                  AS clustering
+         FROM nation n LEFT JOIN deg ON n.n_nationkey = deg.v
+                       LEFT JOIN tpn ON n.n_nationkey = tpn.v
+         ORDER BY nationkey"""
   )
 }

@@ -36,16 +36,24 @@ object GraphOps {
   private val Base = 0.15
   private val Iters = 3
 
-  /** q_pagerank — 3 fixed PageRank iterations over the customer-nation →
-    * supplier-nation trade graph; emits every nation's rank. */
-  def pageRank(s: SparkSession, d: String): DataFrame = {
-    val nation = Tables.nation(s, d)
-    val edges = Tables.lineitem(s, d)
+  /** The weighted trade-graph edge derivation shared by every graph
+    * query: src = buyer's nation, dst = supplier's nation, w = lineitem
+    * count. Pure relational work — fact joins against broadcast
+    * dimensions, one partial-aggregable shuffle on (src, dst); the edge
+    * count is bounded by |nodes|², never by fact rows. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
+
+  /** q_pagerank — 3 fixed PageRank iterations over the customer-nation →
+    * supplier-nation trade graph; emits every nation's rank. */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val nation = Tables.nation(s, d)
+    val edges = tradeEdges(s, d)
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // w/ow is an exact-integer ratio divided once — identical on both
     // engines; it is NOT rounded because it feeds further arithmetic.
@@ -77,6 +85,74 @@ object GraphOps {
       pr.join(broadcast(nation), col("v") === col("n_nationkey"))
         .select(col("v").as("nationkey"), col("n_name").as("nation"),
                 r4(col("pr")).as("pagerank")),
+      col("nationkey"))
+  }
+
+  /** q_graph_degree — per-nation degree profile of the trade graph:
+    * out/in degree (distinct counterpart nations) and out/in weighted
+    * degree (lineitem volume). The basic "how connected is this
+    * entity" readout that precedes any ranking.
+    *
+    * Scale shape: after the shared edge derivation, two aggregates over
+    * a ≤|nodes|² frame plus broadcast left-joins onto the node list —
+    * every count is an exact integer. */
+  def graphDegree(s: SparkSession, d: String): DataFrame = {
+    val edges = tradeEdges(s, d)
+    val out = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("out_degree"), sum(col("w")).as("out_weight"))
+    val in = edges.groupBy(col("dst"))
+      .agg(count(lit(1)).as("in_degree"), sum(col("w")).as("in_weight"))
+    ord(
+      Tables.nation(s, d)
+        .join(broadcast(out), col("n_nationkey") === col("src"), "left")
+        .join(broadcast(in), col("n_nationkey") === col("dst"), "left")
+        .select(col("n_nationkey").as("nationkey"), col("n_name").as("nation"),
+                coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+                coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+                coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+                coalesce(col("in_weight"), lit(0L)).as("in_weight")),
+      col("nationkey"))
+  }
+
+  /** q_triangles — per-nation triangle count and local clustering
+    * coefficient over the UNDIRECTED trade graph (edge direction and
+    * self-loops dropped, pairs canonicalized a<b). Triangle counting is
+    * the standard cohesion metric; the a<b<c join enumeration counts
+    * each triangle exactly once.
+    *
+    * Scale shape: the graph is an entity graph (nations), so |V| is
+    * vocabulary-bounded and |E| ≤ |V|² — the three-way self-join is
+    * explicitly broadcast. On a billion-edge graph the same query would
+    * pre-filter by degree (or sample) before enumeration; the
+    * derivation from 100 TB of facts is the expensive half and stays
+    * one partial-aggregable shuffle. Determinism: 2T/(deg·(deg−1)) is
+    * an exact-integer ratio divided once, rounded once. */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val tri = und.as("e1")
+      .join(broadcast(und.as("e2")), col("e1.b") === col("e2.a"))
+      .join(broadcast(und.as("e3")),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val triPerNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    ord(
+      Tables.nation(s, d)
+        .join(broadcast(deg), col("n_nationkey") === deg("v"), "left")
+        .join(broadcast(triPerNode), col("n_nationkey") === triPerNode("v"), "left")
+        .select(col("n_nationkey").as("nationkey"), col("n_name").as("nation"),
+                coalesce(col("degree"), lit(0L)).as("degree"),
+                coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+                when(coalesce(col("degree"), lit(0L)) < 2, lit(0.0))
+                  .otherwise(r4(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+                                (col("degree") * (col("degree") - 1))))
+                  .as("clustering")),
       col("nationkey"))
   }
 }

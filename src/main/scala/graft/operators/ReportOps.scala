@@ -227,4 +227,45 @@ object ReportOps {
                 q(col("monetary"), col("m25"), col("m50"), col("m75")).as("m_q")),
       col("user_id"))
   }
+
+  /** q_ltv — cohort lifetime value: customers are grouped by their
+    * acquisition month (first order); each cohort's revenue is laid out
+    * by month-age and accumulated, yielding the classic LTV curve plus
+    * a per-user cumulative value.
+    *
+    * Scale shape: the cohort month is a per-customer aggregate; the
+    * join back is co-partitioned on custkey (exchange reuse with that
+    * aggregate); the (cohort, age) matrix is at most months² rows, so
+    * the running-sum window runs on a calendar-bounded frame, never the
+    * fact table. Determinism: revenue is exact integer cents end to
+    * end; the cumulative sum is an integer window sum; LTV-per-user
+    * divides with the integer half-up round4 trick (cents/(100·n) is
+    * the .00005 tie factory — see q_gap_fill). */
+  def ltv(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val o = graft.Tables.orders(s, d)
+      .select(col("o_custkey").as("cust"),
+              (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+                .as("mi"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val cohort = o.groupBy(col("cust")).agg(min(col("mi")).as("cm"))
+    val sizes = cohort.groupBy(col("cm")).agg(count(lit(1)).as("cohort_size"))
+    val cells = o.join(cohort, "cust")
+      .groupBy(col("cm"), (col("mi") - col("cm")).as("month_age"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cm")).orderBy(col("month_age"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ord(
+      cells
+        .withColumn("cum", sum(col("c")).over(w))
+        .join(sizes, "cm")
+        .select(col("cm").as("cohort_month"), col("month_age"),
+                col("cohort_size"), col("n_orders"),
+                (col("c").cast("double") / 100.0).as("revenue"),
+                (col("cum").cast("double") / 100.0).as("cum_revenue"),
+                (expr("(20000 * cum + 100 * cohort_size) DIV (200 * cohort_size)")
+                  .cast("double") / lit(10000.0)).as("ltv_per_user")),
+      col("cohort_month"), col("month_age"))
+  }
 }

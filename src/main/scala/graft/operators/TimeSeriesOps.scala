@@ -117,4 +117,65 @@ object TimeSeriesOps {
                           (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
                 .as("z"))
   }
+
+  /** q_moving_avg — 7-day trailing moving average of daily order
+    * revenue: per order day, the order count, the day's revenue, and
+    * the average daily revenue over the trailing 7-day window (days
+    * with no orders simply don't contribute — the frame is RANGE-based
+    * on the integer day number, so calendar gaps are honored).
+    *
+    * Scale shape: the window runs on the DAILY ROLLUP, not the fact
+    * table — one partial-aggregable shuffle reduces 100 TB of orders to
+    * ≤|calendar days| rows, and only that tiny frame passes through the
+    * unpartitioned range window (bounded by calendar cardinality, never
+    * data volume; a per-key series would partition the window by key).
+    * Determinism: revenue is summed in exact integer cents; the moving
+    * average is rounded IN INTEGER ARITHMETIC (the gap-fill
+    * round4(N/D) = (2·10⁴N + D) div 2D trick) because cents/(100·n)
+    * lands exactly on half-up ties that engines break oppositely. */
+  def movingAvg(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+        .as("day_num"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    ord(
+      daily
+        .withColumn("c7", sum(col("cents")).over(w))
+        .withColumn("n7", count(lit(1)).over(w))
+        .select(col("day_num"), col("n_orders"),
+                (col("cents").cast("double") / 100.0).as("revenue"),
+                (expr("(20000 * c7 + 100 * n7) DIV (200 * n7)").cast("double") /
+                  lit(10000.0)).as("ma7"),
+                col("n7").cast("int").as("days_in_window")),
+      col("day_num"))
+  }
+
+  /** q_time_to_convert — GA's "time lag" report: for every user whose
+    * first purchase is at or after their first view, the whole-hour lag
+    * between the two, bucketed into an hours histogram. (The
+    * strictly-ordered multi-step variant is q_funnel; this is the
+    * marketing-latency distribution.)
+    *
+    * Scale shape: ONE per-user aggregate computes both firsts
+    * (conditional mins over exact epoch seconds); the histogram is a
+    * second partial-aggregable shuffle on the tiny hour-bucket key.
+    * All arithmetic is integral — no float anywhere. */
+  def timeToConvert(s: SparkSession, d: String): DataFrame = {
+    val firsts = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", epochSec(col("ts"))))
+             .as("first_view"),
+           min(when(col("event_type") === "purchase", epochSec(col("ts"))))
+             .as("first_purch"))
+      .filter(col("first_view").isNotNull && col("first_purch").isNotNull &&
+              col("first_purch") >= col("first_view"))
+    ord(
+      firsts
+        .groupBy(expr("(first_purch - first_view) DIV 3600")
+          .as("hours_to_convert"))
+        .agg(count(lit(1)).as("n_users")),
+      col("hours_to_convert"))
+  }
 }
