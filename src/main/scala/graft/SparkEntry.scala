@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M, ReportShapeOps => P, CurationOps => C, IngestOps, ReportOps, SkewOps, RetrievalOps, TimeSeriesOps, GraphOps}
+import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M, ReportShapeOps => P, CurationOps => C, AffinityOps, IngestOps, ReportOps, SkewOps, RetrievalOps, TimeSeriesOps, GraphOps}
 import graft.functions.{ScalarOps => F}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding declaration).
@@ -146,7 +146,12 @@ object SparkEntry {
     "q_time_to_convert" -> (TimeSeriesOps.timeToConvert _),
     "q_ltv" -> (ReportOps.ltv _),
     "q_graph_degree" -> (GraphOps.graphDegree _),
-    "q_triangles" -> (GraphOps.triangles _)
+    "q_triangles" -> (GraphOps.triangles _),
+    "q_attribution_last" -> (W.attributionLast _),
+    "q_attribution_linear" -> (W.attributionLinear _),
+    "q_knn_classify" -> (L.knnClassify _),
+    "q_market_basket" -> (AffinityOps.marketBasket _),
+    "q_simjoin_prefix" -> (AffinityOps.simJoinPrefix _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1665,6 +1670,117 @@ object SparkEntry {
                   AS clustering
          FROM nation n LEFT JOIN deg ON n.n_nationkey = deg.v
                        LEFT JOIN tpn ON n.n_nationkey = tpn.v
-         ORDER BY nationkey"""
+         ORDER BY nationkey""",
+    "q_attribution_last" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     FROM g),
+            fe AS (SELECT user_id, sid, event_type, value,
+                          last_value(event_type) OVER
+                            (PARTITION BY user_id, sid ORDER BY tsu, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS exit_type
+                   FROM sids),
+            sess AS (SELECT user_id, sid, exit_type,
+                            sum(CASE WHEN event_type = 'purchase' THEN value
+                                     ELSE 0.0 END) AS rev,
+                            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                                          ELSE 0 END) AS BIGINT) AS n_purch
+                     FROM fe GROUP BY 1, 2, 3)
+         SELECT exit_type, count(*) AS n_sessions,
+                CAST(sum(n_purch) AS BIGINT) AS n_purchases,
+                round(sum(rev), 4) AS revenue
+         FROM sess GROUP BY 1 ORDER BY 1""",
+    "q_attribution_linear" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     FROM g),
+            sess AS (SELECT user_id, sid,
+                            sum(CASE WHEN event_type = 'purchase' THEN value
+                                     ELSE 0.0 END) AS rev,
+                            count(*) AS n_touch
+                     FROM sids GROUP BY 1, 2)
+         SELECT s.event_type, count(*) AS n_touches,
+                round(sum(ss.rev / ss.n_touch), 4) AS revenue
+         FROM sids s JOIN sess ss ON s.user_id = ss.user_id AND s.sid = ss.sid
+         GROUP BY 1 ORDER BY 1""",
+    "q_knn_classify" ->
+      """WITH em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+            q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv
+                  FROM em WHERE vec_id < 10),
+            sims AS (SELECT q_id, vec_id AS n_id, label,
+                            round(list_dot_product(qv, v) /
+                                  (sqrt(list_dot_product(qv, qv)) *
+                                   sqrt(list_dot_product(v, v))), 4) AS sim
+                     FROM em, q WHERE vec_id <> q_id),
+            rk AS (SELECT q_id, n_id, label,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, n_id) AS rn
+                   FROM sims),
+            votes AS (SELECT q_id, label, count(*) AS cnt
+                      FROM rk WHERE rn <= 3 GROUP BY 1, 2),
+            pred AS (SELECT q_id, label AS pred_label, cnt,
+                            row_number() OVER (PARTITION BY q_id
+                              ORDER BY cnt DESC, label) AS pr
+                     FROM votes)
+         SELECT p.q_id, q.true_label, p.pred_label,
+                CAST(p.cnt AS BIGINT) AS votes
+         FROM pred p JOIN q ON p.q_id = q.q_id
+         WHERE p.pr = 1 ORDER BY p.q_id""",
+    "q_market_basket" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+            n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+            bc AS (SELECT b, count(*) AS nb FROM ob GROUP BY 1),
+            pairs AS (SELECT x.b AS brand_a, y.b AS brand_b,
+                             count(*) AS n_ab
+                      FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+                      GROUP BY 1, 2)
+         SELECT p.brand_a, p.brand_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+                CAST(ba.nb AS BIGINT) AS n_a, CAST(bb.nb AS BIGINT) AS n_b,
+                round(p.n_ab / n.n_orders, 4) AS support,
+                round((n.n_orders * p.n_ab) / (ba.nb * bb.nb), 4) AS lift
+         FROM pairs p
+         JOIN bc ba ON p.brand_a = ba.b
+         JOIN bc bb ON p.brand_b = bb.b
+         CROSS JOIN n
+         ORDER BY p.brand_a, p.brand_b""",
+    "q_simjoin_prefix" ->
+      """WITH tk AS (SELECT DISTINCT doc_id, tok
+                     FROM (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS tok
+                           FROM documents) t
+                     WHERE length(tok) > 0),
+            sz AS (SELECT doc_id, count(*) AS m FROM tk GROUP BY 1),
+            p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                  FROM tk a JOIN tk b
+                    ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+         SELECT p.d1, p.d2, CAST(p.inter AS BIGINT) AS inter,
+                CAST(s1.m AS BIGINT) AS m1, CAST(s2.m AS BIGINT) AS m2,
+                round(p.inter / (s1.m + s2.m - p.inter), 4) AS jaccard
+         FROM p JOIN sz s1 ON p.d1 = s1.doc_id
+                JOIN sz s2 ON p.d2 = s2.doc_id
+         WHERE p.inter / (s1.m + s2.m - p.inter) >= 0.9
+         ORDER BY p.d1, p.d2"""
   )
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{Fin, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Co-occurrence affinity analytics: market-basket association mining
+  * over orders and a prefix-filtered set-similarity self-join over the
+  * document corpus (SURVEY.md §2.8 additions, r6).
+  *
+  * Scale notes (100 TB):
+  *  - market basket reduces the fact table to one distinct
+  *    (order, brand) shuffle; the pair self-join is co-partitioned on
+  *    the order key and its output is bounded by |vocabulary|² — per
+  *    basket the fan-out is quadratic only in the number of DISTINCT
+  *    brands in that basket (vocabulary-capped), never in lineitems;
+  *  - the similarity join is the standard prefix-filter (SSJoin/PPJoin
+  *    family): tokens are ordered globally by ascending document
+  *    frequency and only each document's first
+  *    |d| − ⌈τ·|d|⌉ + 1 rarest tokens generate candidate pairs — a
+  *    LOSSLESS filter for Jaccard ≥ τ, so the expensive exact
+  *    verification runs on candidates only. Candidate generation joins
+  *    on the RAREST tokens, which inherently bounds per-key fan-out
+  *    (a token with document frequency f produces ≤ f² pairs and the
+  *    prefix keeps low-f tokens); the df computation and the verify
+  *    join are partial-aggregable shuffles.
+  */
+object AffinityOps {
+  import Fin._
+
+  /** q_market_basket — brand-level association mining: for every pair
+    * of part brands co-occurring in an order, the co-occurrence count,
+    * per-brand counts, support and lift. Lift > 1 = brands bought
+    * together more than independence predicts — the classic
+    * "frequently bought together" signal.
+    *
+    * Determinism: support and lift are exact-integer ratios divided
+    * once and rounded once (the hash-safe rule). */
+  def marketBasket(s: SparkSession, d: String): DataFrame = {
+    val ob = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+    val n = ob.agg(count_distinct(col("ok")).as("n_orders"))
+    val bc = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+    val pairs = ob.as("x")
+      .join(ob.as("y"), col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+      .groupBy(col("x.b").as("brand_a"), col("y.b").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    ord(
+      pairs
+        .join(broadcast(bc.select(col("b").as("brand_a"), col("nb").as("n_a"))),
+              "brand_a")
+        .join(broadcast(bc.select(col("b").as("brand_b"), col("nb").as("n_b"))),
+              "brand_b")
+        .crossJoin(broadcast(n))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"),
+                col("n_a"), col("n_b"),
+                r4(col("n_ab").cast("double") / col("n_orders")).as("support"),
+                r4((col("n_orders") * col("n_ab")).cast("double") /
+                   (col("n_a") * col("n_b"))).as("lift")),
+      col("brand_a"), col("brand_b"))
+  }
+
+  /** Jaccard threshold for q_simjoin_prefix. 0.9 = near-duplicate
+    * territory: the synthetic corpus is template-generated and MOST
+    * pairs share >60% of their tokens, so a lower τ would make the
+    * result (and any algorithm's cost) inherently quadratic — at 0.9
+    * the prefix keeps ~10% of each document's tokens and prunes hard. */
+  private val Tau = 0.9
+
+  /** q_simjoin_prefix — prefix-filtered Jaccard set-similarity
+    * self-join over distinct word tokens: emits every document pair
+    * with token-Jaccard ≥ τ (0.6), found WITHOUT an all-pairs compare.
+    *
+    * Plan: (1) distinct (doc, token) + per-doc size + per-token df;
+    * (2) each doc keeps its |d| − ⌈τ·|d|⌉ + 1 tokens that are rarest
+    * under the global (df, token) order — any pair with J ≥ τ must
+    * share one of these prefix tokens (pigeonhole on the overlap bound
+    * |A∩B| ≥ τ/(1+τ)·(|A|+|B|)), so the filter is lossless; (3)
+    * candidates = equi-join on prefix tokens; (4) exact verification
+    * joins the candidates back to the full token sets and applies the
+    * threshold on the exact-integer intersection ratio (divided once —
+    * hash-safe, and identical in the oracle's all-pairs form). */
+  def simJoinPrefix(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+    val df = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // Per-doc rarity position under the global (df, tok) order; the
+    // window partitions by doc_id — never an unpartitioned sort.
+    val pos = t.join(df, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .join(sz, "doc_id")
+      .filter(col("pos") <= col("m") - ceil(lit(Tau) * col("m")) + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = pos.as("x")
+      .join(pos.as("y"),
+            col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val inter = cand
+      .join(t.as("ta"), col("d1") === col("ta.doc_id"))
+      .join(t.as("tb"),
+            col("d2") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    ord(
+      inter
+        .join(sz.select(col("doc_id").as("d1"), col("m").as("m1")), "d1")
+        .join(sz.select(col("doc_id").as("d2"), col("m").as("m2")), "d2")
+        .withColumn("j", col("inter").cast("double") /
+                         (col("m1") + col("m2") - col("inter")))
+        .filter(col("j") >= Tau)
+        .select(col("d1"), col("d2"), col("inter"), col("m1"), col("m2"),
+                r4(col("j")).as("jaccard")),
+      col("d1"), col("d2"))
+  }
+}

@@ -214,6 +214,42 @@ object LlmOps {
     ord(rerankTopK(s, j, 5), col("q_id"), col("rn"))
   }
 
+  /** q_knn_classify — k-NN label prediction (k=3): each query vector is
+    * assigned the majority label of its 3 nearest neighbors by cosine
+    * (self excluded), ties broken toward the smaller label — the
+    * standard embedding-space classifier used to propagate labels onto
+    * unlabeled corpus slices.
+    *
+    * Scale shape: same broadcast query side + bounded `top_k_pairs`
+    * re-rank as q_similarity_topk (≤k candidates per query cross the
+    * shuffle); the label lookup joins the ≤ 10·k winner rows
+    * (broadcast) back to the embeddings scan; the vote is a tiny
+    * aggregate with a `min_by` argmax on (−votes, label) — exact
+    * integers end to end, no float anywhere past the r4'd similarity. */
+  def knnClassify(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val q = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+              col("v").as("qv"))
+    val j = em.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+              r4(cosineFast(s, col("qv"), col("v"))).as("sim"))
+    val top = rerankTopK(s, j, 3)
+    val votes = em.select(col("vec_id").as("n_id"), col("label"))
+      .join(broadcast(top), "n_id")
+      .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("cnt"))
+    val pred = votes.groupBy(col("q_id"))
+      .agg(min_by(col("label"),
+                  struct((-col("cnt")).as("nc"), col("label").as("l")))
+             .as("pred_label"),
+           max(col("cnt")).as("votes"))
+    ord(
+      pred.join(broadcast(q.select(col("q_id"), col("true_label"))), "q_id")
+        .select(col("q_id"), col("true_label"), col("pred_label"), col("votes")),
+      col("q_id"))
+  }
+
   /** Number of independent LSH tables for q_similarity_lsh. A single
     * sign-LSH table measured recall@3 of only 0.23 vs brute force (an
     * unlucky hyperplane loses a true neighbor forever); with L tables a

@@ -307,6 +307,54 @@ object WindowOps {
       col("landing_type"))
   }
 
+  /** q_attribution_last — last-touch revenue attribution: the mirror of
+    * q_attribution with credit going to the session's EXIT event type
+    * (`max_by` on the same (ts, event_id) struct). Same single
+    * per-session aggregate + tiny rollup; same one-rounding-point
+    * revenue rule. */
+  def attributionLast(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionized(s, d, col("event_type"), col("value"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(max_by(col("event_type"), struct(col("ts"), col("event_id")))
+             .as("exit_type"),
+           sum(when(col("event_type") === "purchase", col("value"))
+                 .otherwise(lit(0.0))).as("rev"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .as("n_purch"))
+    ord(
+      sess.groupBy(col("exit_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(col("n_purch")).as("n_purchases"),
+             r4(sum(col("rev"))).as("revenue")),
+      col("exit_type"))
+  }
+
+  /** q_attribution_linear — linear (even-credit) multi-touch
+    * attribution: each session's purchase revenue is split equally
+    * across ALL the session's touches, and each touch credits its
+    * event type — the GA linear model between the first-touch and
+    * last-touch extremes.
+    *
+    * Scale shape: one per-session aggregate (revenue + touch count),
+    * then a join BACK to the session store co-partitioned on
+    * (user_id, sid) — exchange reuse with the aggregate, nothing
+    * re-shuffles — and a final tiny rollup on event type. Revenue is
+    * divided by the touch count per touch and summed RAW across
+    * sessions, rounded once at the end (the q_attribution rule). */
+  def attributionLinear(s: SparkSession, d: String): DataFrame = {
+    val ev = sessionized(s, d, col("event_type"), col("value"))
+    val sess = ev.groupBy(col("user_id"), col("sid"))
+      .agg(sum(when(col("event_type") === "purchase", col("value"))
+                 .otherwise(lit(0.0))).as("rev"),
+           count(lit(1)).as("n_touch"))
+    ord(
+      ev.join(sess, Seq("user_id", "sid"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+             r4(sum(col("rev") / col("n_touch"))).as("revenue")),
+      col("event_type"))
+  }
+
   def markovTransitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("sid"))
       .orderBy(col("ts"), col("event_id"))
