@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M, ReportShapeOps => P, CurationOps => C, AffinityOps, IngestOps, ReportOps, SkewOps, RetrievalOps, TimeSeriesOps, GraphOps}
+import graft.operators.{RelationalOps => R, JoinOps => J, WindowOps => W, LlmOps => L, MultimodalOps => M, ReportShapeOps => P, CurationOps => C, AffinityOps, IngestOps, LayoutOps, ReportOps, SkewOps, RetrievalOps, TimeSeriesOps, GraphOps}
 import graft.functions.{ScalarOps => F}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding declaration).
@@ -151,7 +151,11 @@ object SparkEntry {
     "q_attribution_linear" -> (W.attributionLinear _),
     "q_knn_classify" -> (L.knnClassify _),
     "q_market_basket" -> (AffinityOps.marketBasket _),
-    "q_simjoin_prefix" -> (AffinityOps.simJoinPrefix _)
+    "q_simjoin_prefix" -> (AffinityOps.simJoinPrefix _),
+    // layout + robust-stats + seasonality (r6)
+    "q_join_bucketed" -> (LayoutOps.joinBucketed _),
+    "q_winsorize" -> (P.winsorize _),
+    "q_autocorr" -> (TimeSeriesOps.autocorr _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1781,6 +1785,38 @@ object SparkEntry {
          FROM p JOIN sz s1 ON p.d1 = s1.doc_id
                 JOIN sz s2 ON p.d2 = s2.doc_id
          WHERE p.inter / (s1.m + s2.m - p.inter) >= 0.9
-         ORDER BY p.d1, p.d2"""
+         ORDER BY p.d1, p.d2""",
+    "q_join_bucketed" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_winsorize" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS p
+                     FROM lineitem),
+            thr AS (SELECT flag,
+                           round(quantile_cont(p, 0.05), 4) AS p05,
+                           round(quantile_cont(p, 0.95), 4) AS p95
+                    FROM li GROUP BY 1)
+         SELECT li.flag, count(*) AS n, thr.p05, thr.p95,
+                round(avg(p), 4) AS mean_raw,
+                round(avg(least(greatest(p, thr.p05), thr.p95)), 4)
+                  AS mean_winsorized
+         FROM li JOIN thr ON li.flag = thr.flag
+         GROUP BY li.flag, thr.p05, thr.p95
+         ORDER BY li.flag""",
+    "q_autocorr" ->
+      """WITH daily AS (
+           SELECT CAST((epoch_us(ts::TIMESTAMP)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  count(*) AS n
+           FROM events GROUP BY 1),
+         lags AS (SELECT CAST(range AS INT) AS lag_k FROM range(1, 4))
+         SELECT lag_k, count(*) AS n_pairs,
+                round(corr(CAST(a.n AS DOUBLE), CAST(b.n AS DOUBLE)), 4)
+                  AS autocorr
+         FROM daily a CROSS JOIN lags
+         JOIN daily b ON a.day_num = b.day_num + lag_k
+         GROUP BY lag_k ORDER BY lag_k"""
   )
 }

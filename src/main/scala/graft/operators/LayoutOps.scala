@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.{Fin, Schemas}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-layout operators: the bucketed co-located fact⋈fact join
+  * (SURVEY.md §7.5; README design rule 3 — "co-locate joins via
+  * bucketing").
+  *
+  * Scale notes (100 TB): a fact⋈fact equi-join is THE shuffle that
+  * dominates a warehouse — both sides are too big to broadcast, so every
+  * query re-partitions both on the join key. Bucketing pays that shuffle
+  * ONCE at write time: both tables are hash-clustered (and bucket-sorted)
+  * on the key into the same bucket count, and every subsequent join reads
+  * matching buckets side by side — zero exchanges before the join, at any
+  * data size. The layout cost amortizes across every downstream query,
+  * exactly like the reference's day-split layout amortizes date filters.
+  */
+object LayoutOps {
+  import Fin._
+
+  private val Buckets = 8
+
+  /** Publish a bucketed copy of `table` (hash-clustered + bucket-sorted
+    * on `key`) once per source state, and register it in this session's
+    * catalog. Returns the catalog table name.
+    *
+    * The files are produced by a bucketed `saveAsTable` into a temp
+    * location (bucket ids live in the file names), published with
+    * [[graft.sources.CachedDir]]'s fingerprint + ATOMIC_MOVE discipline,
+    * and re-registered as an external bucketed table over the published
+    * dir — so concurrent/later JVMs reuse the files and only replay the
+    * cheap DDL. The catalog name embeds the source fingerprint: a
+    * regenerated source gets a fresh table, never a stale mapping. */
+  private def bucketedTable(s: SparkSession, d: String, table: String,
+                            key: String): String = synchronized {
+    val dir = graft.sources.CachedDir.materialize(
+        s, d, s"$table.parquet", s"${table}_bucketed") { tmp =>
+      val build = s"graft_build_${table}_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      s.read.schema(Schemas.all(table)).parquet(s"$d/$table.parquet")
+        .write.mode("overwrite")
+        .bucketBy(Buckets, key).sortBy(key)
+        .option("path", tmp).format("parquet")
+        .saveAsTable(build)
+      // external table (explicit path): DROP unregisters the build name
+      // but leaves the files for CachedDir to publish
+      s.sql(s"DROP TABLE IF EXISTS $build")
+    }
+    val fp = dir.substring(dir.lastIndexOf('_') + 1)
+    val name = s"graft_${table}_b_$fp"
+    if (!s.catalog.tableExists(name)) {
+      s.sql(
+        s"""CREATE TABLE $name (${Schemas.all(table).toDDL})
+           |USING PARQUET
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS
+           |LOCATION '$dir'""".stripMargin)
+    }
+    name
+  }
+
+  /** q_join_bucketed — orders⋈lineitem revenue per order status, both
+    * sides read from bucketed tables clustered on the order key: the
+    * join consumes co-located buckets directly, with NO exchange between
+    * the scans and the SortMergeJoin (asserted in PlanSpec). The merge
+    * hint pins the plan shape — at real scale neither fact side is
+    * broadcastable, so the hint only makes the test honest at sf0.01.
+    * Result is identical to the plain shuffle join (the oracle). */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val o = s.table(bucketedTable(s, d, "orders", "o_orderkey"))
+    val li = s.table(bucketedTable(s, d, "lineitem", "l_orderkey"))
+    ord(
+      o.hint("merge")
+        .join(li.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+             r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+               .as("revenue")),
+      col("o_orderstatus"))
+  }
+}

@@ -121,4 +121,37 @@ object ReportShapeOps {
              r4(covar_samp(col("value"), uid)).as("cov_vu")),
       col("event_type"))
   }
+
+  /** q_winsorize — outlier-capped pricing stats, the robust-mean cleanup
+    * every metrics pipeline applies before trusting an average: per
+    * return flag, the p05/p95 thresholds of l_extendedprice, and the raw
+    * vs winsorized (clamped into [p05, p95]) means.
+    *
+    * Scale shape: thresholds come from one per-group aggregate; the
+    * clamp pass re-aggregates the fact rows after a join back on the
+    * SAME group key — co-partitioned, exchange reuse, no window. The
+    * exact interpolated percentile is the small-group path; at 100 TB
+    * groups the thresholds would come from approx_percentile (the
+    * q_percentile_approx path) with the identical clamp join.
+    * Determinism: thresholds are r4'd BEFORE the clamp compares against
+    * them, so both engines clamp against identical 4-decimal doubles
+    * (both interpolate quantiles with the same lower+(upper−lower)·frac
+    * formula — the q_rfm precedent); the clamped mean is r4'd once. */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("p"))
+    val thr = li.groupBy(col("flag"))
+      .agg(r4(percentile(col("p"), lit(0.05))).as("p05"),
+           r4(percentile(col("p"), lit(0.95))).as("p95"))
+    ord(
+      li.join(thr, "flag")
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+             first(col("p05")).as("p05"),
+             first(col("p95")).as("p95"),
+             r4(avg(col("p"))).as("mean_raw"),
+             r4(avg(least(greatest(col("p"), col("p05")), col("p95"))))
+               .as("mean_winsorized")),
+      col("flag"))
+  }
 }

@@ -152,6 +152,33 @@ object TimeSeriesOps {
       col("day_num"))
   }
 
+  /** q_autocorr — lag-k autocorrelation (k = 1, 2, 3) of the daily
+    * event-count series: the seasonality probe behind q_anomaly's
+    * threshold choice (a strong lag-7 says "compare to last week, not
+    * to the corpus mean").
+    *
+    * Scale shape: the series is the DAILY ROLLUP — one partial-
+    * aggregable shuffle reduces the stream to ≤|calendar days| rows;
+    * the lag alignment is a self-join on (day + k), co-partitioned and
+    * calendar-bounded, never a window over raw events. `corr` is an
+    * algebraic single-pass aggregate on both engines; the counts it
+    * sees are exact integers, so the r4'd result is stable. */
+  def autocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)").as("day_num"))
+      .agg(count(lit(1)).as("n"))
+    val lags = s.range(1, 4).select(col("id").cast("int").as("lag_k"))
+    ord(
+      daily.as("a")
+        .crossJoin(broadcast(lags))
+        .join(daily.as("b"), col("a.day_num") === col("b.day_num") + col("lag_k"))
+        .groupBy(col("lag_k"))
+        .agg(count(lit(1)).as("n_pairs"),
+             r4(corr(col("a.n").cast("double"), col("b.n").cast("double")))
+               .as("autocorr")),
+      col("lag_k"))
+  }
+
   /** q_time_to_convert — GA's "time lag" report: for every user whose
     * first purchase is at or after their first view, the whole-hour lag
     * between the two, bucketed into an hours histogram. (The

@@ -61,6 +61,34 @@ object StreamingOps {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks in the preceding hour — the attribution join run
+    * CONTINUOUSLY instead of as the batch q_join_range. Both sides carry
+    * watermarks and the join condition bounds the event-time distance,
+    * so the engine evicts buffered rows once the watermark passes the
+    * interval: state is O(events inside the 1-hour horizon), never
+    * O(stream length). Inner join ⇒ append-mode output as matches seal.
+    *
+    * 100 TB note: this is the streaming analogue of q_join_range's
+    * hour-bucketed equi-key — the watermark plays the bucket's role of
+    * bounding how much of each side must be kept around. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+              col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+              col("p_ts"), col("c_ts"), col("value"))
+  }
+
   /** Input/state/output records for the custom-state operator. The raw
     * `ts` rides along because the watermark annotation must reach the
     * stateful operator for EventTimeTimeout to work. */

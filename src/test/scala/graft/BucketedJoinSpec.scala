@@ -38,10 +38,14 @@ class BucketedJoinSpec extends AnyFunSuite {
 
     val plan = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
     // the join itself must consume bucketed scans directly: no Exchange
-    // between the two parquet scans and the SortMergeJoin
-    val joinSection = plan.split("HashAggregate").head
+    // between the two parquet scans and the join. In the printed tree
+    // the join's INPUTS appear below it, so the subtree after the join
+    // line must be exchange-free (the groupBy exchange sits above).
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
-    assert(!joinSection.contains("Exchange"),
+    val lines = plan.split("\n\n").head.linesIterator.toVector
+    val joinLine = lines.indexWhere(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(!lines.drop(joinLine + 1).exists(_.contains("Exchange")),
       "bucketed join still shuffles:\n" + plan)
 
     // and it computes the same result as the unbucketed join

@@ -82,6 +82,21 @@ class PlanSpec extends AnyFunSuite {
       "bigram array referenced more than once in the plan:\n" + p)
   }
 
+  test("q_join_bucketed: no exchange between the bucketed scans and the join") {
+    val p = plan(graft.operators.LayoutOps.joinBucketed(spark, sf0001))
+    assert(p.contains("SortMergeJoin"), p)
+    // the only legal exchange is the post-join groupBy(o_orderstatus),
+    // which sits ABOVE the join in the printed tree; the join's INPUTS
+    // (printed below it) must be exchange-free — the co-located bucketed
+    // scans feed the join directly.
+    val tree = p.split("\n\n").head // the tree sketch, before node details
+    val lines = tree.linesIterator.toVector
+    val joinLine = lines.indexWhere(_.contains("SortMergeJoin"))
+    assert(joinLine >= 0, p)
+    val exchangeInInputs = lines.drop(joinLine + 1).exists(_.contains("Exchange"))
+    assert(!exchangeInInputs, "bucketed join still shuffles its inputs:\n" + p)
+  }
+
   test("q_scan_partitioned prunes to the 3 selected day partitions") {
     val df = graft.operators.RelationalOps.scanPartitioned(spark, sf0001)
     val p = plan(df)

@@ -80,6 +80,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(collectSet(got) == collectSet(want))
   }
 
+  test("stream-stream interval join == batch range join") {
+    val src = sliceEvents(3)
+    // two independent file-source streams over the same slices — the
+    // general two-stream shape (a self-joined single stream also works)
+    val clicks = StreamingOps.readEventStream(spark, src).drop("slice")
+    val purchases = StreamingOps.readEventStream(spark, src).drop("slice")
+    val got = runToMemory(
+      StreamingOps.clickPurchaseJoin(clicks, purchases), "t_ssjoin", "append")
+    val ev = Tables.events(spark, sf0001)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("click_id"))
+    val want = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+              col("event_id").as("purchase_id"), col("value"))
+      .join(c, col("p_user") === col("c_user") &&
+               col("c_ts") <= col("p_ts") &&
+               col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+              col("p_ts"), col("c_ts"), col("value"))
+    assert(got.count() > 0, "interval join matched nothing — fixture too sparse")
+    assert(collectSet(got) == collectSet(want))
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed events") {
     val dir = tmpDir("dup_src")
     val t0 = 1700000000L
