@@ -155,7 +155,10 @@ object SparkEntry {
     // layout + robust-stats + seasonality (r6)
     "q_join_bucketed" -> (LayoutOps.joinBucketed _),
     "q_winsorize" -> (P.winsorize _),
-    "q_autocorr" -> (TimeSeriesOps.autocorr _)
+    "q_autocorr" -> (TimeSeriesOps.autocorr _),
+    "q_agg_incremental" -> (IngestOps.aggIncremental _),
+    "q_join_salted" -> (SkewOps.joinSalted _),
+    "q_schema_drift" -> (P.schemaDrift _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1788,7 +1791,9 @@ object SparkEntry {
          ORDER BY p.d1, p.d2""",
     "q_join_bucketed" ->
       """SELECT o_orderstatus, count(*) AS n_items,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                         (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+                     AS DOUBLE) / 1000000.0 AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY 1 ORDER BY 1""",
     "q_winsorize" ->
@@ -1817,6 +1822,74 @@ object SparkEntry {
                   AS autocorr
          FROM daily a CROSS JOIN lags
          JOIN daily b ON a.day_num = b.day_num + lag_k
-         GROUP BY lag_k ORDER BY lag_k"""
+         GROUP BY lag_k ORDER BY lag_k""",
+    "q_agg_incremental" ->
+      """WITH agg AS (
+           SELECT ts::TIMESTAMP::DATE AS day, event_type,
+                  count(*) AS n_events,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2)
+         SELECT day, event_type, n_events,
+                CAST(c AS DOUBLE)/100.0 AS total_value,
+                CAST((20000*c + 100*n_events) // (200*n_events) AS DOUBLE)/10000.0
+                  AS avg_value
+         FROM agg ORDER BY day, event_type""",
+    "q_join_salted" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue,
+                count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_schema_drift" ->
+      """WITH e AS (SELECT *,
+                           ts::TIMESTAMP < TIMESTAMP '2024-01-21 00:00:00' AS pre
+                    FROM events),
+            w AS (SELECT
+                    CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+                    CAST(sum(CASE WHEN NOT pre THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_post,
+                    count(CASE WHEN pre THEN user_id END) AS nn_pre_user_id,
+                    count(CASE WHEN NOT pre THEN user_id END) AS nn_post_user_id,
+                    count(DISTINCT CASE WHEN pre THEN user_id END) AS nd_pre_user_id,
+                    count(DISTINCT CASE WHEN NOT pre THEN user_id END)
+                      AS nd_post_user_id,
+                    count(CASE WHEN pre THEN event_type END) AS nn_pre_event_type,
+                    count(CASE WHEN NOT pre THEN event_type END)
+                      AS nn_post_event_type,
+                    count(DISTINCT CASE WHEN pre THEN event_type END)
+                      AS nd_pre_event_type,
+                    count(DISTINCT CASE WHEN NOT pre THEN event_type END)
+                      AS nd_post_event_type,
+                    count(CASE WHEN pre THEN value END) AS nn_pre_value,
+                    count(CASE WHEN NOT pre THEN value END) AS nn_post_value,
+                    count(DISTINCT CASE WHEN pre THEN value END) AS nd_pre_value,
+                    count(DISTINCT CASE WHEN NOT pre THEN value END)
+                      AS nd_post_value,
+                    count(CASE WHEN pre THEN props END) AS nn_pre_props,
+                    count(CASE WHEN NOT pre THEN props END) AS nn_post_props,
+                    count(DISTINCT CASE WHEN pre THEN props END) AS nd_pre_props,
+                    count(DISTINCT CASE WHEN NOT pre THEN props END)
+                      AS nd_post_props
+                  FROM e)
+         SELECT 'user_id' AS column_name,
+                n_pre - nn_pre_user_id AS nulls_pre,
+                n_post - nn_post_user_id AS nulls_post,
+                nd_pre_user_id AS nd_pre, nd_post_user_id AS nd_post,
+                round(CAST(n_post - nn_post_user_id AS DOUBLE)/n_post -
+                      CAST(n_pre - nn_pre_user_id AS DOUBLE)/n_pre, 4)
+                  AS null_rate_delta FROM w
+         UNION ALL SELECT 'event_type', n_pre - nn_pre_event_type,
+                n_post - nn_post_event_type, nd_pre_event_type,
+                nd_post_event_type,
+                round(CAST(n_post - nn_post_event_type AS DOUBLE)/n_post -
+                      CAST(n_pre - nn_pre_event_type AS DOUBLE)/n_pre, 4) FROM w
+         UNION ALL SELECT 'value', n_pre - nn_pre_value, n_post - nn_post_value,
+                nd_pre_value, nd_post_value,
+                round(CAST(n_post - nn_post_value AS DOUBLE)/n_post -
+                      CAST(n_pre - nn_pre_value AS DOUBLE)/n_pre, 4) FROM w
+         UNION ALL SELECT 'props', n_pre - nn_pre_props, n_post - nn_post_props,
+                nd_pre_props, nd_post_props,
+                round(CAST(n_post - nn_post_props AS DOUBLE)/n_post -
+                      CAST(n_pre - nn_pre_props AS DOUBLE)/n_pre, 4) FROM w
+         ORDER BY column_name"""
   )
 }

@@ -70,13 +70,19 @@ object LayoutOps {
   def joinBucketed(s: SparkSession, d: String): DataFrame = {
     val o = s.table(bucketedTable(s, d, "orders", "o_orderkey"))
     val li = s.table(bucketedTable(s, d, "lineitem", "l_orderkey"))
+    // revenue in exact integer 1e-6-dollar units: 3 status groups ×
+    // 200k+ rows each is enough float accumulation for the sum to drift
+    // past the 4th decimal at 1e10 magnitude, so round(·,4) cannot
+    // rescue a double sum here (at warehouse scale this is DECIMAL
+    // arithmetic; the integer form is its exact small-scale twin)
+    val revE6 = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(10000L) - round(col("l_discount") * 10000).cast("long"))
     ord(
       o.hint("merge")
         .join(li.hint("merge"), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"),
-             r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-               .as("revenue")),
+             (sum(revE6).cast("double") / lit(1000000.0)).as("revenue")),
       col("o_orderstatus"))
   }
 }

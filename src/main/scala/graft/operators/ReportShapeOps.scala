@@ -122,6 +122,46 @@ object ReportShapeOps {
       col("event_type"))
   }
 
+  /** q_schema_drift — source-drift detection, the profile every
+    * incremental ETL diffs before trusting a new extract: per column,
+    * row/null/distinct counts split into the already-loaded period
+    * (before the ingest cutoff) vs the fresh period, plus the null-rate
+    * delta — a column whose null rate jumps in the fresh slice is a
+    * breaking upstream change caught BEFORE the load.
+    *
+    * Scale shape: same one-wide-aggregate trick as q_profile_nulls —
+    * conditional aggregates compute both periods' counts for every
+    * column in a SINGLE scan (no per-period pass), then `stack`
+    * reshapes; null rates divide exact integers once, r4'd. */
+  def schemaDrift(s: SparkSession, d: String): DataFrame = {
+    val cut = lit(graft.operators.IngestOps.SinkCutoff).cast("timestamp")
+    val e = Tables.events(s, d).withColumn("_pre", col("ts") < cut)
+    val cols = Seq("user_id", "event_type", "value", "props")
+    val aggs =
+      sum(when(col("_pre"), 1L).otherwise(0L)).as("n_pre") +:
+      (sum(when(!col("_pre"), 1L).otherwise(0L)).as("n_post") +:
+        cols.flatMap(c => Seq(
+          count(when(col("_pre"), col(c))).as(s"nn_pre_$c"),
+          count(when(!col("_pre"), col(c))).as(s"nn_post_$c"),
+          countDistinct(when(col("_pre"), col(c))).as(s"nd_pre_$c"),
+          countDistinct(when(!col("_pre"), col(c))).as(s"nd_post_$c"))))
+    val wide = e.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c =>
+      s"'$c', nn_pre_$c, nn_post_$c, nd_pre_$c, nd_post_$c").mkString(
+      s"stack(${cols.length}, ", ", ", ")")
+    ord(
+      wide.select(col("n_pre"), col("n_post"), expr(stackExpr)
+          .as(Seq("column_name", "nn_pre", "nn_post", "nd_pre", "nd_post")))
+        .select(col("column_name"),
+                (col("n_pre") - col("nn_pre")).as("nulls_pre"),
+                (col("n_post") - col("nn_post")).as("nulls_post"),
+                col("nd_pre"), col("nd_post"),
+                r4((col("n_post") - col("nn_post")).cast("double") / col("n_post") -
+                   (col("n_pre") - col("nn_pre")).cast("double") / col("n_pre"))
+                  .as("null_rate_delta")),
+      col("column_name"))
+  }
+
   /** q_winsorize — outlier-capped pricing stats, the robust-mean cleanup
     * every metrics pipeline applies before trusting an average: per
     * return flag, the p05/p95 thresholds of l_extendedprice, and the raw

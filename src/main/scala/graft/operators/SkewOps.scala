@@ -72,4 +72,25 @@ object SkewOps {
         .select(col("event_type"), r4(col("sum_value")).as("sum_value"), col("n")),
       col("event_type"))
   }
+
+  /** q_join_salted — the salt-replicated JOIN as a driver-checked query:
+    * orders⋈customer revenue per market segment with the fact side
+    * salted on its unique order key and the dim replicated ×16, so a
+    * hot customer key lands on 16 reducers instead of one. This is the
+    * skew fix for a dim too big to broadcast; the oracle is the plain
+    * unsalted join — like q_agg_salted, the hash check proves the
+    * machinery result-invisible. */
+  def joinSalted(s: SparkSession, d: String): DataFrame = {
+    import Fin._
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"),
+              col("o_orderkey"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    ord(
+      saltedJoin(o, c, "c_custkey", "o_orderkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(r4(sum(col("o_totalprice"))).as("revenue"),
+             count(lit(1)).as("n_orders")),
+      col("c_mktsegment"))
+  }
 }

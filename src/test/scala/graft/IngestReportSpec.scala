@@ -328,6 +328,26 @@ class IngestReportSpec extends AnyFunSuite {
       "value" -> ((4L, 1L, 2L))), s"got $got")
   }
 
+  test("incremental report refresh equals the full recompute") {
+    val got = graft.operators.IngestOps.aggIncremental(spark, sf0001)
+    val want = Tables.events(spark, sf0001)
+      .groupBy(org.apache.spark.sql.functions.to_date(col("ts")).as("day"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(round(col("value") * 100).cast("long")).as("c"))
+      .select(col("day"), col("event_type"), col("n_events"),
+              (col("c").cast("double") / 100.0).as("total_value"),
+              (expr("(20000 * c + 100 * n_events) DIV (200 * n_events)")
+                .cast("double") / lit(10000.0)).as("avg_value"))
+    assert(collectSet(got) == collectSet(want))
+    // the standing report must genuinely predate the cutoff: every
+    // history day strictly below it, every delta-only day at/after it
+    val hist = spark.read.parquet(
+      graft.operators.IngestOps.historyReportDir(spark, sf0001))
+    val cutDay = java.sql.Date.valueOf("2024-01-21")
+    assert(hist.filter(col("day") >= lit(cutDay)).count() == 0)
+  }
+
   test("unknown aggregation is rejected") {
     val ev = Tables.events(spark, sf0001)
     assertThrows[IllegalArgumentException] {
