@@ -191,6 +191,49 @@ object MinMd5Ngram {
   }
 }
 
+/** intersect_size_sorted(a, b): |a ∩ b| for two SORTED long arrays via
+  * a zero-allocation merge scan. `array_intersect` builds a boxed hash
+  * set per row — at millions of candidate pairs (q_simjoin_prefix) that
+  * boxing dominates the whole query; the merge scan is ~50 long
+  * compares per pair. Inputs MUST be sorted ascending and distinct
+  * (both true of `sort_array(collect_set(...))`); result equals
+  * `size(array_intersect(a, b))` exactly. */
+case class IntersectSizeSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_size_sorted"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] &&
+        left.dataType.asInstanceOf[ArrayType].elementType == LongType &&
+        right.dataType.isInstanceOf[ArrayType] &&
+        right.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_size_sorted expects two array<bigint>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val xb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val na = xa.numElements()
+    val nb = xb.numElements()
+    var i = 0; var j = 0; var n = 0L
+    while (i < na && j < nb) {
+      val va = xa.getLong(i)
+      val vb = xb.getLong(j)
+      if (va == vb) { n += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): IntersectSizeSorted = copy(l, r)
+}
+
 object TextHashExprs {
   /** Register the text-hash expressions in the session registry. */
   def register(spark: SparkSession): Unit = {
@@ -200,5 +243,8 @@ object TextHashExprs {
       "ngram_hashes", exprs => NgramHashes(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "min_md5_ngram", exprs => MinMd5Ngram(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_size_sorted",
+      exprs => IntersectSizeSorted(exprs.head, exprs(1)), "built-in")
   }
 }

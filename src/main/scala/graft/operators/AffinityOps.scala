@@ -72,22 +72,44 @@ object AffinityOps {
 
   /** q_simjoin_prefix — prefix-filtered Jaccard set-similarity
     * self-join over distinct word tokens: emits every document pair
-    * with token-Jaccard ≥ τ (0.6), found WITHOUT an all-pairs compare.
+    * with token-Jaccard ≥ τ (0.9), found WITHOUT an all-pairs compare.
     *
     * Plan: (1) distinct (doc, token) + per-doc size + per-token df;
     * (2) each doc keeps its |d| − ⌈τ·|d|⌉ + 1 tokens that are rarest
     * under the global (df, token) order — any pair with J ≥ τ must
     * share one of these prefix tokens (pigeonhole on the overlap bound
     * |A∩B| ≥ τ/(1+τ)·(|A|+|B|)), so the filter is lossless; (3)
-    * candidates = equi-join on prefix tokens; (4) exact verification
-    * joins the candidates back to the full token sets and applies the
-    * threshold on the exact-integer intersection ratio (divided once —
-    * hash-safe, and identical in the oracle's all-pairs form). */
+    * candidates = equi-join on prefix tokens, pruned IN the join by two
+    * more lossless conditions — the length filter (J ≥ τ ⇒ min(m) ≥
+    * τ·max(m)) and PPJoin's positional filter (the matched prefix token
+    * sits at sorted position p, so the overlap can be at most
+    * min(m₁−p₁, m₂−p₂)+1, which must reach ⌈τ/(1+τ)·(m₁+m₂)⌉); (4)
+    * exact verification: candidates broadcast-join the per-doc sorted
+    * token-HASH arrays (one |docs|-row frame — MBs even at corpus scale
+    * because it is docs, not doc-pairs) and the intersection is
+    * computed per pair with `array_intersect` over int64s, so NOTHING
+    * row-multiplies: the former token-level verification join exploded
+    * candidates × tokens × tokens (hundreds of millions of rows at
+    * sf0.1, 82 s), and string arrays paid per-row UTF8 hashing.
+    * Tokens are xxhash64'd for the arrays only — set SIZES stay
+    * string-exact — under q_dedup_ngram's documented contract (counts
+    * agree absent 64-bit collisions). NOTE this corpus is ~8% genuine
+    * near-dup pairs at τ=0.9 (965k true pairs at sf0.1), so the OUTPUT
+    * is inherently large; the filters bound the wasted verifications
+    * (3.3M candidates for 965k hits), not the true result.
+    * The threshold applies to the exact-integer intersection ratio,
+    * divided once — hash-safe and identical in the oracle's all-pairs
+    * form. */
   def simJoinPrefix(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextHashExprs.register(s)
+    // the distinct token frame feeds FOUR subtrees (sizes, dfs, prefix
+    // rows, verification arrays) — lazy localCheckpoint materializes the
+    // explode+distinct once instead of four times (the ivf2 pattern)
     val t = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct()
+      .localCheckpoint(false)
     val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
     val df = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // Per-doc rarity position under the global (df, tok) order; the
@@ -97,21 +119,29 @@ object AffinityOps {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .join(sz, "doc_id")
       .filter(col("pos") <= col("m") - ceil(lit(Tau) * col("m")) + 1)
-      .select(col("doc_id"), col("tok"))
+      .select(col("doc_id"), col("tok"), col("pos"), col("m"))
+    val overlapNeeded = ceil(lit(Tau / (1 + Tau)) *
+      (col("x.m") + col("y.m")))
     val cand = pos.as("x")
       .join(pos.as("y"),
-            col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+            col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
+            least(col("x.m"), col("y.m")) >=
+              lit(Tau) * greatest(col("x.m"), col("y.m")) &&
+            least(col("x.m") - col("x.pos"), col("y.m") - col("y.pos")) + 1 >=
+              overlapNeeded)
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val inter = cand
-      .join(t.as("ta"), col("d1") === col("ta.doc_id"))
-      .join(t.as("tb"),
-            col("d2") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    val docArr = t.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(xxhash64(col("tok")))).as("toks"),
+           count(lit(1)).as("m"))
+    val a = docArr.select(col("doc_id").as("d1"), col("toks").as("t1"),
+                          col("m").as("m1"))
+    val b = docArr.select(col("doc_id").as("d2"), col("toks").as("t2"),
+                          col("m").as("m2"))
     ord(
-      inter
-        .join(sz.select(col("doc_id").as("d1"), col("m").as("m1")), "d1")
-        .join(sz.select(col("doc_id").as("d2"), col("m").as("m2")), "d2")
+      cand.join(broadcast(a), "d1").join(broadcast(b), "d2")
+        .withColumn("inter",
+          call_function("intersect_size_sorted", col("t1"), col("t2")))
         .withColumn("j", col("inter").cast("double") /
                          (col("m1") + col("m2") - col("inter")))
         .filter(col("j") >= Tau)

@@ -63,6 +63,32 @@ class AffinityOpsSpec extends AnyFunSuite {
     assert(fastPairs.nonEmpty) // the synthetic corpus plants near-dups
   }
 
+  test("intersect_size_sorted == size(array_intersect) on random sorted sets") {
+    graft.functions.TextHashExprs.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      def set() = Array.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong)
+        .distinct.sorted.toSeq
+      Row(i, set(), set())
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val bad = df.select(
+      call_function("intersect_size_sorted", col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0L)
+  }
+
   test("knn_classify: majority label wins; ties break to the smaller label") {
     val dir = tmpDir("knn")
     // query 0 at e1; neighbors: two label-7 vectors near e1, one label-2
