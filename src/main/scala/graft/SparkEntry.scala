@@ -158,7 +158,8 @@ object SparkEntry {
     "q_autocorr" -> (TimeSeriesOps.autocorr _),
     "q_agg_incremental" -> (IngestOps.aggIncremental _),
     "q_join_salted" -> (SkewOps.joinSalted _),
-    "q_schema_drift" -> (P.schemaDrift _)
+    "q_schema_drift" -> (P.schemaDrift _),
+    "q_cluster_embed" -> (L.clusterEmbed _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1890,6 +1891,31 @@ object SparkEntry {
                 nd_pre_props, nd_post_props,
                 round(CAST(n_post - nn_post_props AS DOUBLE)/n_post -
                       CAST(n_pre - nn_pre_props AS DOUBLE)/n_pre, 4) FROM w
-         ORDER BY column_name"""
+         ORDER BY column_name""",
+    "q_cluster_embed" ->
+      """WITH RECURSIVE
+            em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+            p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+                  FROM em a JOIN em b
+                    ON a.label = b.label AND a.vec_id < b.vec_id
+                  WHERE round(list_dot_product(a.v, b.v) /
+                              (sqrt(list_dot_product(a.v, a.v)) *
+                               sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35),
+            edges AS (SELECT d1 AS a, d2 AS b FROM p
+                      UNION ALL SELECT d2, d1 FROM p),
+            reach AS (SELECT vec_id AS v, vec_id AS r FROM embeddings
+                      UNION
+                      SELECT e.b AS v, reach.r AS r
+                      FROM reach JOIN edges e ON e.a = reach.v),
+            comp AS (SELECT v AS vec_id, min(r) AS cluster
+                     FROM reach GROUP BY 1),
+            sizes AS (SELECT cluster, count(*) AS cluster_size
+                      FROM comp GROUP BY 1)
+         SELECT c.vec_id, e.label, c.cluster,
+                CAST(s.cluster_size AS BIGINT) AS cluster_size
+         FROM comp c JOIN embeddings e ON c.vec_id = e.vec_id
+         JOIN sizes s ON c.cluster = s.cluster
+         ORDER BY c.vec_id"""
   )
 }

@@ -38,10 +38,14 @@ object AffinityOps {
     * Determinism: support and lift are exact-integer ratios divided
     * once and rounded once (the hash-safe rule). */
   def marketBasket(s: SparkSession, d: String): DataFrame = {
+    // the distinct basket frame feeds FOUR subtrees (total, per-brand
+    // counts, both sides of the pair join) — lazy localCheckpoint
+    // materializes the fact join + distinct once instead of four times
     val ob = Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
       .distinct()
+      .localCheckpoint(false)
     val n = ob.agg(count_distinct(col("ok")).as("n_orders"))
     val bc = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
     val pairs = ob.as("x")

@@ -53,7 +53,9 @@ object GraphOps {
     * supplier-nation trade graph; emits every nation's rank. */
   def pageRank(s: SparkSession, d: String): DataFrame = {
     val nation = Tables.nation(s, d)
-    val edges = tradeEdges(s, d)
+    // edges feed both the out-weight aggregate and the transition join —
+    // lazy localCheckpoint derives them from the fact tables once
+    val edges = tradeEdges(s, d).localCheckpoint(false)
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // w/ow is an exact-integer ratio divided once — identical on both
     // engines; it is NOT rounded because it feeds further arithmetic.
@@ -97,7 +99,8 @@ object GraphOps {
     * a ≤|nodes|² frame plus broadcast left-joins onto the node list —
     * every count is an exact integer. */
   def graphDegree(s: SparkSession, d: String): DataFrame = {
-    val edges = tradeEdges(s, d)
+    // two aggregates consume the same derived edges — derive once
+    val edges = tradeEdges(s, d).localCheckpoint(false)
     val out = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("out_degree"), sum(col("w")).as("out_weight"))
     val in = edges.groupBy(col("dst"))
@@ -128,10 +131,14 @@ object GraphOps {
     * one partial-aggregable shuffle. Determinism: 2T/(deg·(deg−1)) is
     * an exact-integer ratio divided once, rounded once. */
   def triangles(s: SparkSession, d: String): DataFrame = {
+    // the canonical edge set feeds three self-join branches and the
+    // degree aggregate — lazy localCheckpoint runs the fact-table edge
+    // derivation once instead of once per branch
     val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint(false)
     val tri = und.as("e1")
       .join(broadcast(und.as("e2")), col("e1.b") === col("e2.a"))
       .join(broadcast(und.as("e3")),

@@ -183,6 +183,54 @@ object LlmOps {
       .limit(20)
   }
 
+  /** Similarity threshold for q_cluster_embed edges. Chosen at the
+    * 99.9th percentile of the within-label pair-similarity distribution
+    * (probed: max 0.51, p999 0.373 at sf0.1) so the graph has real
+    * multi-vector components without being quadratic-dense; true
+    * near-DUP thresholds (≥0.9) would make every vector a singleton on
+    * this synthetic corpus. */
+  val EmbedClusterTheta = 0.35
+
+  /** q_cluster_embed — single-link similarity clustering of the
+    * embedding space: edges = label-blocked pairs with cosine ≥ θ,
+    * clusters = connected components, emitted as (vec_id, label,
+    * cluster, cluster_size). This is the corpus-organization op behind
+    * mixture balancing and semantic dedup — at a dedup threshold the
+    * same plan drops all but one vector per component.
+    *
+    * Scale shape: edge generation is the q_dedup_embcos block plan
+    * (co-partitioned label blocks + codegen cosine; LSH/IVF buckets
+    * replace label blocks at 100 TB); components via [[CurationOps.cc]]
+    * (edge-only propagation, auto ccStars fallback); singletons
+    * re-attach with a left join and sizes come from one co-partitioned
+    * aggregate. Determinism: the θ gate compares r4'd cosines (the
+    * q_dedup_cluster jaccard rule); component = min reachable vec_id is
+    * a unique fixpoint. */
+  def clusterEmbed(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+      .repartition(col("label"))
+    val a = em.select(col("label"), col("vec_id").as("v1"), col("v").as("va"))
+    val b = em.select(col("label").as("label2"), col("vec_id").as("v2"),
+                      col("v").as("vb"))
+    val pairs = a.join(b, a("label") === b("label2") && col("v1") < col("v2"))
+      .select(col("v1").as("d1"), col("v2").as("d2"),
+              r4(cosineFast(s, col("va"), col("vb"))).as("sim"))
+      .filter(col("sim") >= EmbedClusterTheta)
+      .select(col("d1"), col("d2"))
+    val labels = CurationOps.cc(pairs).withColumnRenamed("doc_id", "vid_c")
+    val comp = em.select(col("vec_id"), col("label"))
+      .join(labels, col("vec_id") === col("vid_c"), "left")
+      .select(col("vec_id"), col("label"),
+              coalesce(col("component"), col("vec_id")).as("cluster"))
+    val sizes = comp.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    ord(
+      comp.join(sizes, "cluster")
+        .select(col("vec_id"), col("label"), col("cluster"), col("cluster_size")),
+      col("vec_id"))
+  }
+
   // ----------------------------------------------------- similarity search
 
   /** Top-k re-rank of (q_id, n_id, sim) candidate rows via the native
