@@ -97,6 +97,70 @@ object StreamingOps {
   case class ProfileUpdate(user_id: Long, n_events: Long,
                            total_value: Double, last_seen_sec: Long)
 
+  /** Open-session state / sealed-session output for the
+    * flatMapGroupsWithState operator. */
+  case class OpenSession(startSec: Long, lastSec: Long, n: Long, total: Double)
+  case class SealedSession(user_id: Long, start_sec: Long, end_sec: Long,
+                           n_events: Long, session_value: Double)
+
+  /** Sealed-session emitter via flatMapGroupsWithState — the multi-row
+    * arbitrary-state surface (mapGroupsWithState emits exactly one row
+    * per group per batch; sessions need ZERO OR MORE): per user, an
+    * open session accumulates in state; a gap > 30 min inside a batch
+    * seals and EMITS the previous session immediately, and an idle user
+    * is sealed by EventTimeTimeout as the watermark passes lastSec +
+    * gap. Each emitted row is final (append mode) — this is the
+    * continuously-maintained form of the q_sessionize session store.
+    *
+    * State is one small record per OPEN session (O(active users)); the
+    * watermark bounds both state size and how long a session can stay
+    * open. Events inside a batch are event-time sorted before folding;
+    * ACROSS batches the watermark guarantees no event older than the
+    * horizon arrives, the same contract session_window relies on. */
+  def sealedSessions(spark: SparkSession, events: DataFrame,
+                     gapSec: Long = 1800L)
+      : org.apache.spark.sql.Dataset[SealedSession] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .withWatermark("ts", "1 hour")
+      .select($"user_id", $"ts", $"value")
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(SealedSession(user, st.startSec, st.lastSec, st.n, st.total))
+          } else {
+            val sorted = evs.toArray.sortBy(_.ts.getTime)
+            var sealedOut = List.empty[SealedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000L
+              cur = cur match {
+                case Some(st) if sec - st.lastSec > gapSec =>
+                  sealedOut ::= SealedSession(user, st.startSec, st.lastSec,
+                                              st.n, st.total)
+                  Some(OpenSession(sec, sec, 1L, e.value))
+                case Some(st) =>
+                  Some(OpenSession(st.startSec, math.max(st.lastSec, sec),
+                                   st.n + 1, st.total + e.value))
+                case None =>
+                  Some(OpenSession(sec, sec, 1L, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp((st.lastSec + gapSec) * 1000L)
+            }
+            sealedOut.reverse.iterator
+          }
+      }
+  }
+
   /** Custom arbitrary-state operator via mapGroupsWithState: maintain an
     * incrementally-updated per-user profile (event count, value total,
     * last-seen) — the GA "user dimension table", kept fresh without

@@ -80,6 +80,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(collectSet(got) == collectSet(want))
   }
 
+  test("flatMapGroupsWithState seals sessions identical to batch sessionize") {
+    // single-slice source: in-batch gap splitting must seal every
+    // session except each user's LAST; the final watermark-advancing
+    // batch of AvailableNow may ALSO seal last sessions idle past the
+    // horizon via EventTimeTimeout. Contract: everything emitted is an
+    // exact batch-sessionize row, and every non-last session is emitted.
+    val dir = tmpDir("seal_src")
+    Tables.events(spark, sf0001)
+      .write.mode("overwrite").parquet(dir)
+    val stream = StreamingOps.readEventStream(spark, dir)
+    val sealedDf = StreamingOps.sealedSessions(spark, stream).toDF()
+      .withColumn("session_value", round(col("session_value"), 4))
+    runToMemory(sealedDf, "t_sealed", "append")
+    val batch = graft.operators.WindowOps.sessionize(spark, sf0001)
+    val lastSid = batch.groupBy("user_id")
+      .agg(max(col("sid")).as("sid")).withColumn("open", lit(true))
+    val all = batch.select(col("user_id"), col("start_sec"), col("end_sec"),
+                           col("n_events"), col("session_value"))
+    val nonLast = batch.join(lastSid, Seq("user_id", "sid"), "left")
+      .filter(col("open").isNull)
+      .select(col("user_id"), col("start_sec"), col("end_sec"),
+              col("n_events"), col("session_value"))
+    val got = collectSet(spark.table("t_sealed"))
+    assert(got.nonEmpty, "no sessions sealed — fixture too sparse")
+    assert(got.subsetOf(collectSet(all)),
+      "emitted a session that batch sessionize does not contain")
+    assert(collectSet(nonLast).subsetOf(got),
+      "an in-batch-sealed session was not emitted")
+  }
+
   test("stream-stream interval join == batch range join") {
     val src = sliceEvents(3)
     // two independent file-source streams over the same slices — the
