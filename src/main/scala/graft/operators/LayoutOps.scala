@@ -23,42 +23,14 @@ object LayoutOps {
   private val Buckets = 8
 
   /** Publish a bucketed copy of `table` (hash-clustered + bucket-sorted
-    * on `key`) once per source state, and register it in this session's
-    * catalog. Returns the catalog table name.
-    *
-    * The files are produced by a bucketed `saveAsTable` into a temp
-    * location (bucket ids live in the file names), published with
-    * [[graft.sources.CachedDir]]'s fingerprint + ATOMIC_MOVE discipline,
-    * and re-registered as an external bucketed table over the published
-    * dir — so concurrent/later JVMs reuse the files and only replay the
-    * cheap DDL. The catalog name embeds the source fingerprint: a
-    * regenerated source gets a fresh table, never a stale mapping. */
+    * on `key`) once per source state via [[graft.sources.BucketedStore]]
+    * and return the catalog table name. */
   private def bucketedTable(s: SparkSession, d: String, table: String,
-                            key: String): String = synchronized {
-    val dir = graft.sources.CachedDir.materialize(
-        s, d, s"$table.parquet", s"${table}_bucketed") { tmp =>
-      val build = s"graft_build_${table}_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+                            key: String): String =
+    graft.sources.BucketedStore.table(
+        s, d, s"$table.parquet", s"${table}_bucketed", key, Buckets) {
       s.read.schema(Schemas.all(table)).parquet(s"$d/$table.parquet")
-        .write.mode("overwrite")
-        .bucketBy(Buckets, key).sortBy(key)
-        .option("path", tmp).format("parquet")
-        .saveAsTable(build)
-      // external table (explicit path): DROP unregisters the build name
-      // but leaves the files for CachedDir to publish
-      s.sql(s"DROP TABLE IF EXISTS $build")
     }
-    val fp = dir.substring(dir.lastIndexOf('_') + 1)
-    val name = s"graft_${table}_b_$fp"
-    if (!s.catalog.tableExists(name)) {
-      s.sql(
-        s"""CREATE TABLE $name (${Schemas.all(table).toDDL})
-           |USING PARQUET
-           |CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS
-           |LOCATION '$dir'""".stripMargin)
-    }
-    name
-  }
 
   /** q_join_bucketed — orders⋈lineitem revenue per order status, both
     * sides read from bucketed tables clustered on the order key: the

@@ -126,33 +126,39 @@ object WindowOps {
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
-  private val SessionStoreTag = "session_store_v1"
+  // v2: the store became a user-bucketed table — the tag bump retires
+  // v1 caches (unbucketed files must never be registered CLUSTERED BY)
+  private val SessionStoreTag = "session_store_v2"
 
-  /** Build-once sessionized event store, persisted as parquet via
-    * [[graft.sources.CachedDir]] (same pattern as the IVF/PQ indexes):
-    * the two window passes over the raw events run ONCE per corpus
-    * state; every session report (flagship rollup, metrics, paths,
-    * exit rate, Markov transitions) then reads the store. This is the
+  /** Build-once sessionized event store, persisted as a USER-BUCKETED
+    * table via [[graft.sources.BucketedStore]] (CachedDir fingerprint +
+    * ATOMIC_MOVE, plus hash-clustered layout): the two window passes
+    * over the raw events run ONCE per corpus state; every session
+    * report (flagship rollup, metrics, paths, exit rate, Markov
+    * transitions, attribution) then reads the store WITHOUT an
+    * exchange — HashPartitioning(user_id) satisfies every consumer's
+    * ClusteredDistribution because each groups/windows on
+    * (user_id, ...) with user_id in the clustering. This is the
     * reference engine's defining materialization — GA events are
     * sessionized once into a warehouse table and every report derives
-    * from it — expressed Spark-first: at 100 TB the store would be a
-    * date-partitioned, user-bucketed table so downstream per-session
-    * aggregates shuffle nothing. */
-  def sessionStoreDir(s: SparkSession, d: String): String =
-    graft.sources.CachedDir.materialize(s, d, "events.parquet", SessionStoreTag) {
-      tmp =>
+    * from it — with the 100 TB layout (user-bucketed; a production
+    * store would add date partitioning) actually built, not just
+    * described. */
+  def sessionStore(s: SparkSession, d: String): String =
+    graft.sources.BucketedStore.table(
+        s, d, "events.parquet", SessionStoreTag, "user_id") {
         sessionizeScan(s, d)
           .select(col("user_id"), col("sid"), col("event_id"), col("ts"),
                   col("ts_sec"), col("event_type"), col("value"))
-          .write.mode("overwrite").parquet(tmp)
     }
 
-  /** Shared sessionization prelude, read from the persisted store.
+  /** Shared sessionization prelude, read from the persisted bucketed
+    * store (exchange-free for every per-(user, session) consumer).
     * `keep` lists the extra event columns the caller's aggregate needs
     * (schema-pruned from the store scan). */
   private def sessionized(s: SparkSession, d: String,
                           keep: org.apache.spark.sql.Column*): DataFrame =
-    s.read.parquet(sessionStoreDir(s, d))
+    s.table(sessionStore(s, d))
       .select(Seq(col("user_id"), col("sid"), col("event_id"),
                   col("ts_sec"), col("ts")) ++ keep: _*)
 

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Once-per-source-state BUCKETED materialization: [[CachedDir]]'s
+  * fingerprint + ATOMIC_MOVE discipline, plus hash-clustered bucket
+  * layout and catalog registration.
+  *
+  * Why bucketing for a derived store: every consumer that joins,
+  * groups, or windows on the bucket key reads co-located buckets with
+  * NO exchange — `HashPartitioning(key)` satisfies any
+  * `ClusteredDistribution` whose clustering contains the key, so even
+  * compound aggregations like groupBy(user_id, sid) run shuffle-free
+  * on a user_id-bucketed store. The one-time layout cost amortizes
+  * across every downstream query — the same economics as the
+  * reference's day-split sink.
+  *
+  * The bucketed files are produced by `saveAsTable` into a temp
+  * location (bucket ids live in the file names), the build table is
+  * dropped (external — files stay), the dir is published atomically,
+  * and an external `CLUSTERED BY` table is registered over it. The
+  * catalog name embeds the source fingerprint, so a regenerated source
+  * gets a fresh table, never a stale mapping; later JVMs reuse the
+  * files and replay only the cheap DDL. */
+object BucketedStore {
+  def table(s: SparkSession, d: String, sourceFile: String, tag: String,
+            key: String, buckets: Int = 8)(build: => DataFrame): String =
+    synchronized {
+      val dir = CachedDir.materialize(s, d, sourceFile, tag) { tmp =>
+        val bn = s"graft_build_${tag}_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        build.write.mode("overwrite")
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", tmp).format("parquet")
+          .saveAsTable(bn)
+        s.sql(s"DROP TABLE IF EXISTS $bn")
+      }
+      val fp = dir.substring(dir.lastIndexOf('_') + 1)
+      val name = s"graft_${tag}_$fp"
+      if (!s.catalog.tableExists(name)) {
+        val ddl = s.read.parquet(dir).schema.toDDL
+        s.sql(
+          s"""CREATE TABLE $name ($ddl)
+             |USING PARQUET
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+             |LOCATION '$dir'""".stripMargin)
+      }
+      name
+    }
+}
