@@ -67,6 +67,62 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(2L) == 0)
   }
 
+  test("autocorr: alternating daily volume gives negative lag-1, positive lag-2") {
+    val dir = tmpDir("acorr")
+    // 8 days alternating 1 and 3 events/day
+    val rows = (0 until 8).flatMap { day =>
+      val n = if (day % 2 == 0) 1 else 3
+      (0 until n).map(i =>
+        eventRow(day * 10L + i, day * 86400L + i * 60, 1L, "view", 1.0))
+    }
+    writeTable(dir, "events", eventsNsSchema, rows)
+    val out = TimeSeriesOps.autocorr(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1) == ((7L, -1.0)), s"lag-1 of a perfect alternation: $out")
+    assert(out(2) == ((6L, 1.0)), s"lag-2 of a perfect alternation: $out")
+  }
+
+  test("winsorize: clamped mean is self-consistent and damps the outlier") {
+    val out = graft.operators.ReportShapeOps.winsorize(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p05, p95) = (r.getDouble(2), r.getDouble(3))
+      val (raw, win) = (r.getDouble(4), r.getDouble(5))
+      assert(p05 <= p95)
+      // the winsorized mean must live inside the clamp interval; the raw
+      // mean need not
+      assert(win >= p05 - 1e-9 && win <= p95 + 1e-9,
+        s"winsorized mean outside clamp: $r")
+    }
+  }
+
+  test("schema_drift: a column going null only in the fresh period is flagged") {
+    val dir = tmpDir("drift")
+    val cutSec = java.sql.Timestamp.valueOf("2024-01-21 00:00:00").getTime / 1000
+    val rows =
+      (0 until 4).map(i => eventRow(i.toLong, cutSec - 86400 + i * 60, 1L, "view", 1.0)) ++
+      (0 until 4).map(i => Row(100L + i, (cutSec + 3600 + i * 60) * 1000000000L,
+                               1L, "view", 1.0, null)) // props null post-cutoff
+    writeTable(dir, "events", eventsNsSchema, rows)
+    val out = graft.operators.ReportShapeOps.schemaDrift(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    assert(out("props") == ((0L, 4L, 1.0)), s"props drift not caught: $out")
+    assert(out("value") == ((0L, 0L, 0.0)))
+  }
+
+  test("join_salted equals the plain join (salting is result-invisible)") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.SkewOps.joinSalted(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+    val c = Tables.customer(spark, sf0001)
+    val want = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
+           count(lit(1)).as("n_orders"))
+    assert(collectSet(got) == collectSet(want))
+  }
+
   test("ab_test: arm counts exact; degenerate p yields NULL z") {
     val dir = tmpDir("ab")
     // Every user converts instantly -> p = 1 -> z must be NULL, not a crash.
