@@ -159,7 +159,8 @@ object SparkEntry {
     "q_agg_incremental" -> (IngestOps.aggIncremental _),
     "q_join_salted" -> (SkewOps.joinSalted _),
     "q_schema_drift" -> (P.schemaDrift _),
-    "q_cluster_embed" -> (L.clusterEmbed _)
+    "q_cluster_embed" -> (L.clusterEmbed _),
+    "q_lm_score" -> (L.lmScore _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1916,6 +1917,17 @@ object SparkEntry {
                 CAST(s.cluster_size AS BIGINT) AS cluster_size
          FROM comp c JOIN embeddings e ON c.vec_id = e.vec_id
          JOIN sizes s ON c.cluster = s.cluster
-         ORDER BY c.vec_id"""
+         ORDER BY c.vec_id""",
+    "q_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+            t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+            tf AS (SELECT tok, count(*) AS tf FROM t GROUP BY 1),
+            tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(-ln(tf / total)), 4) AS avg_neg_logp
+         FROM t JOIN tf USING (tok) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id"""
   )
 }

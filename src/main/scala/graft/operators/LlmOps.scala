@@ -183,6 +183,40 @@ object LlmOps {
       .limit(20)
   }
 
+  /** q_lm_score — unigram language-model scoring, the
+    * perplexity-proxy quality filter (the CCNet/Gopher recipe with the
+    * n-gram LM reduced to its unigram core): per document, the average
+    * negative log-probability of its tokens under the corpus unigram
+    * distribution. Boilerplate and TEMPLATED text score low (common
+    * tokens), lexically-unusual spam scores high — the standard
+    * third signal beside rule filters (q_text_filter) and repetition
+    * (q_text_repetition).
+    *
+    * Scale shape: the unigram table is vocabulary-sized and BROADCAST
+    * to the token stream — scoring is map-side + one partial-aggregable
+    * per-doc aggregate; the corpus total rides a broadcast 1-row frame.
+    * At open-web scale the raw vocabulary outgrows a broadcast; the
+    * production form caps it (top-K unigrams + one OOV bucket, the
+    * standard LM-filter vocabulary) so the broadcast stays MBs — the
+    * plan shape is unchanged. Determinism: p = tf/total
+    * divides two exact integers once (identical doubles both engines);
+    * ln() of identical doubles is identical on one host's libm (the
+    * q_udaf_geomean precedent); the per-doc avg is r4'd once. */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    ord(
+      toks.join(broadcast(tf), "tok")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+             r4(avg(-log(col("tf") / col("total")))).as("avg_neg_logp")),
+      col("doc_id"))
+  }
+
   /** Similarity threshold for q_cluster_embed edges. Chosen at the
     * 99.9th percentile of the within-label pair-similarity distribution
     * (probed: max 0.51, p999 0.373 at sf0.1) so the graph has real

@@ -82,6 +82,35 @@ class PlanSpec extends AnyFunSuite {
       "bigram array referenced more than once in the plan:\n" + p)
   }
 
+  test("runtime bloom filter injects on a selective fact join when thresholds allow") {
+    // the 100 TB runtime-filtering path: a selective dim predicate
+    // builds a bloom filter that prunes the fact scan before the
+    // shuffle. Size thresholds gate injection (the test data is KBs),
+    // so lower the application-side floor to demonstrate the plan.
+    val conf = spark.conf
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // bloom injection targets SHUFFLE joins (a broadcast join already
+    // prunes at the probe); the tiny fixture would broadcast
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = Tables.orders(spark, sf0001)
+        .filter(col("o_totalprice") > 200000.0) // selective creation side
+      val li = Tables.lineitem(spark, sf0001)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val p = plan(j)
+      assert(p.toLowerCase.contains("bloom"),
+        "no bloom filter injected on the fact side:\n" + p)
+    } finally {
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    }
+  }
+
   test("q_join_bucketed: no exchange between the bucketed scans and the join") {
     val p = plan(graft.operators.LayoutOps.joinBucketed(spark, sf0001))
     assert(p.contains("SortMergeJoin"), p)
