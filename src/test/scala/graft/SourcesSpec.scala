@@ -63,6 +63,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == Tables.events(spark, sf0001).count())
   }
 
+  test("parquet schema evolution: added column merges, old files read null") {
+    // the incremental-sink reality: a source adds a column mid-history.
+    // mergeSchema unions the footers; rows from pre-evolution files
+    // surface the new column as null instead of failing the read.
+    import spark.implicits._
+    val dir = tmpDir("src_evolve")
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val v2 = Seq((3L, "c", 9.5)).toDF("id", "name", "score")
+    v1.write.parquet(s"$dir/batch=1")
+    v2.write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet == Set("id", "name", "score", "batch"))
+    assert(merged.count() == 3)
+    assert(merged.filter(col("score").isNull).count() == 2)
+    assert(merged.filter(col("score") === 9.5).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("FAILFAST surfaces malformed csv rows instead of nulling them") {
     val dir = tmpDir("src_bad")
     java.nio.file.Files.write(
