@@ -160,7 +160,8 @@ object SparkEntry {
     "q_join_salted" -> (SkewOps.joinSalted _),
     "q_schema_drift" -> (P.schemaDrift _),
     "q_cluster_embed" -> (L.clusterEmbed _),
-    "q_lm_score" -> (L.lmScore _)
+    "q_lm_score" -> (L.lmScore _),
+    "q_pack_sequences" -> (C.packSequences _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1928,6 +1929,23 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_tokens,
                 round(avg(-ln(tf / total)), 4) AS avg_neg_logp
          FROM t JOIN tf USING (tok) CROSS JOIN tot
-         GROUP BY doc_id ORDER BY doc_id"""
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tokens,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             ::BIGINT % 8 AS shard
+                    FROM documents),
+            c AS (SELECT shard, doc_id, n_tokens,
+                         CAST(sum(n_tokens) OVER (PARTITION BY shard
+                                                  ORDER BY doc_id) AS BIGINT)
+                           AS cum
+                  FROM d)
+         SELECT shard, (cum - n_tokens) // 2048 AS bin,
+                count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                round(CAST(sum(n_tokens) AS DOUBLE) / 2048.0, 4) AS fill
+         FROM c GROUP BY 1, 2 ORDER BY shard, bin"""
   )
 }

@@ -420,6 +420,44 @@ object CurationOps {
       col("doc_id"))
   }
 
+  /** Token budget per packed training sequence (q_pack_sequences). */
+  val PackBudget = 2048L
+
+  /** q_pack_sequences — sequence packing, the batching step between a
+    * curated corpus and a pretraining run: documents are greedily
+    * packed into fixed token-budget bins (a doc belongs to the bin
+    * where its START offset lands, the no-backtracking streaming rule),
+    * reported per bin as doc count, token total, and fill ratio. Low
+    * fill = wasted compute; the report is how a pipeline tunes budget
+    * vs document-length distribution.
+    *
+    * Scale shape: packing is embarrassingly parallel ACROSS shards
+    * (deterministic hash shard, the q_shard_export key) and sequential
+    * only WITHIN one — a per-shard running sum over a window keyed and
+    * ordered deterministically; shard count scales with the cluster
+    * while each shard's window stays a bounded sorted run. All-integer
+    * arithmetic; the fill ratio divides exact integers once, r4'd. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val shard = pmod(
+      expr("conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)")
+        .cast("long"), lit(8L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    ord(
+      docs.withColumn("shard", shard)
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", expr(s"(cum - n_tokens) DIV $PackBudget"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("tokens"),
+             r4(sum(col("n_tokens")).cast("double") / lit(PackBudget.toDouble))
+               .as("fill")),
+      col("shard"), col("bin"))
+  }
+
   /** q_split_train — deterministic train/val/test split of the corpus:
     * md5(doc_id) mod 10 routes 80/10/10, reported as per-split document
     * count, average length and language coverage. The split is a pure
