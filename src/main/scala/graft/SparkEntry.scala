@@ -161,7 +161,9 @@ object SparkEntry {
     "q_schema_drift" -> (P.schemaDrift _),
     "q_cluster_embed" -> (L.clusterEmbed _),
     "q_lm_score" -> (L.lmScore _),
-    "q_pack_sequences" -> (C.packSequences _)
+    "q_pack_sequences" -> (C.packSequences _),
+    "q_join_asof_fwd" -> (J.joinAsofFwd _),
+    "q_debounce" -> (C.debounce _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1946,6 +1948,37 @@ object SparkEntry {
                 count(*) AS n_docs,
                 CAST(sum(n_tokens) AS BIGINT) AS tokens,
                 round(CAST(sum(n_tokens) AS DOUBLE) / 2048.0, 4) AS fill
-         FROM c GROUP BY 1, 2 ORDER BY shard, bin"""
+         FROM c GROUP BY 1, 2 ORDER BY shard, bin""",
+    "q_join_asof_fwd" ->
+      """WITH c AS (SELECT event_id, user_id, ts::TIMESTAMP AS tsu
+                    FROM events WHERE event_type = 'click'),
+            p AS (SELECT event_id, user_id, ts::TIMESTAMP AS tsu
+                  FROM events WHERE event_type = 'purchase'),
+            u AS (SELECT user_id, tsu, 0 AS side, NULL::BIGINT AS event_id,
+                         event_id AS click_id FROM c
+                  UNION ALL
+                  SELECT user_id, tsu, 1, event_id, NULL::BIGINT FROM p),
+            w AS (SELECT *, first_value(click_id IGNORE NULLS) OVER
+                    (PARTITION BY user_id
+                     ORDER BY tsu, side, coalesce(click_id, event_id)
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                    AS next_click
+                  FROM u)
+         SELECT event_id, user_id, next_click
+         FROM w WHERE side = 1 ORDER BY event_id""",
+    "q_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec
+                    FROM events),
+            f AS (SELECT *, lag(ts_sec, 1) OVER
+                    (PARTITION BY user_id, event_type
+                     ORDER BY ts_sec, event_id) AS prev_sec
+                  FROM e)
+         SELECT event_type,
+                CAST(sum(CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 5
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 5
+                              THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+         FROM f GROUP BY 1 ORDER BY 1"""
   )
 }

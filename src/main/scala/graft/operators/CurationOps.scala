@@ -420,6 +420,36 @@ object CurationOps {
       col("doc_id"))
   }
 
+  /** q_debounce — duplicate-hit debouncing, the telemetry cleanup the
+    * reference's hash-id dedup implies but can't express (equal rows
+    * milliseconds apart have DIFFERENT ids): collapse repeats of the
+    * same (user, event_type) within 5 seconds of the previous KEPT
+    * event... approximated the standard streaming way — within 5 s of
+    * the previous event of that key (no chained re-anchoring, which is
+    * inherently sequential); emits kept rows + per-type kept/dropped
+    * audit. One shuffle on (user, type), one lag pass — the
+    * dropDuplicatesWithinWatermark shape in batch form.
+    *
+    * Determinism: gap compares exact epoch seconds; equal-ts repeats
+    * order by event_id so the smallest id survives. */
+  def debounce(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val flagged = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              graft.Fin.epochSec(col("ts")).as("ts_sec"))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
+      .withColumn("kept",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 5, 1L)
+          .otherwise(0L))
+    ord(
+      flagged.groupBy(col("event_type"))
+        .agg(sum(col("kept")).as("n_kept"),
+             sum(lit(1L) - col("kept")).as("n_dropped")),
+      col("event_type"))
+  }
+
   /** Token budget per packed training sequence (q_pack_sequences). */
   val PackBudget = 2048L
 

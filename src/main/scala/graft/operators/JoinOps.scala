@@ -191,6 +191,38 @@ object JoinOps {
       col("event_id"))
   }
 
+  /** q_join_asof_fwd — FORWARD as-of join, the mirror of
+    * [[joinAsofStream]]: for each purchase, the EARLIEST strictly-later
+    * click of the same user (the "next touch after conversion" join —
+    * post-purchase behavior, re-engagement latency).
+    *
+    * Same union-tag merge pass, reflected: clicks tag side=0 so a
+    * same-ts click sorts BEFORE the purchase and stays OUT of the
+    * strictly-following frame ('>' semantics); `first(click_id,
+    * ignoreNulls)` over (1 FOLLOWING, UNBOUNDED FOLLOWING). Still ONE
+    * shuffle on user_id and ZERO joins. Ties among clicks at the same
+    * ts resolve to min event_id (the frame's first row; oracle mirrors
+    * the exact sort key). */
+  def joinAsofFwd(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+              lit(null).cast("long").as("event_id"),
+              col("event_id").as("click_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+              col("event_id"), lit(null).cast("long").as("click_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), coalesce(col("click_id"), col("event_id")))
+      .rowsBetween(1, Window.unboundedFollowing)
+    ord(
+      c.unionByName(p)
+        .withColumn("next_click", first(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("next_click")),
+      col("event_id"))
+  }
+
   /** q_join_theta — same-brand part pairs with p1.p_size < p2.p_size.
     * Formulated as an equi-join on brand + residual inequality (NOT a
     * nested-loop over the cross product) so it scales with per-brand
