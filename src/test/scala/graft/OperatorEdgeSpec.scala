@@ -151,6 +151,35 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"got $r")
   }
 
+  test("debounce: gap of exactly 5s drops, 6s keeps; first event always kept") {
+    val dir = tmpDir("debounce")
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      eventRow(1L, 1000L, 1L, "view", 1.0),
+      eventRow(2L, 1005L, 1L, "view", 1.0),  // gap == 5 -> dropped
+      eventRow(3L, 1011L, 1L, "view", 1.0),  // gap == 6 from prev ROW -> kept
+      eventRow(4L, 1000L, 1L, "click", 1.0)  // other type untouched
+    ))
+    val out = graft.operators.CurationOps.debounce(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("view") == ((2L, 1L)), s"got $out")
+    assert(out("click") == ((1L, 0L)))
+  }
+
+  test("pack_sequences: oversized doc claims its start bin; fill can exceed 1") {
+    val dir = tmpDir("pack")
+    def doc(id: Long, nTok: Int): Row =
+      Row(id, ("w " * nTok).trim, "en", "web", nTok.toLong * 2)
+    // one 5000-token doc (budget 2048): starts at offset 0 -> bin 0 of
+    // its shard, fill > 1; a following small doc lands where its own
+    // start offset says.
+    writeTable(dir, "documents", Schemas.documents, Seq(doc(1L, 5000), doc(2L, 100)))
+    val out = graft.operators.CurationOps.packSequences(spark, dir).collect()
+    assert(out.map(_.getLong(3)).sum == 5100L, "token mass must be conserved")
+    assert(out.forall(_.getLong(2) >= 1L))
+    val fills = out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(fills.exists(_._3 > 1.0), s"oversized doc must overflow its bin: ${fills.toSeq}")
+  }
+
   test("cohort_retention: single user active on one day = one (day, 0) cell") {
     val dir = tmpDir("cohort_single")
     writeTable(dir, "events", eventsNsSchema,
