@@ -265,9 +265,35 @@ object CurationOps {
     * ever reaches the driver. coalesce: sum over an EMPTY label set (a
     * corpus with no near-dup pairs at all) is null — without it the
     * scalar read NPEs. */
-  def ccMinLabel(edges0: DataFrame, maxIter: Int = 64): DataFrame = {
+  /** Default shuffle-partition count for the CC iteration loops. The
+    * frames inside the loop are edge-bearing vertices only — thousands
+    * of rows after the Jaccard filter even at sf0.1 — so running each
+    * round's join/groupBy/checkpoint at the session's ambient partition
+    * count (32 on the bench driver) pays ~10× fixed per-partition task
+    * and codegen overhead for zero parallelism gain; worse, that fixed
+    * cost MULTIPLIES with cluster width while the iterated data does
+    * not. [[cc]] sizes this from the measured edge count instead. */
+  val CcIterParts = 4
+
+  /** Run `body` with spark.sql.shuffle.partitions temporarily set to
+    * `n` — the partition-count lever for iterative loops whose frames
+    * are orders of magnitude smaller than the ambient data. Restores
+    * the previous value in finally; plans EXECUTED inside pick up `n`,
+    * frames already materialized (checkpointed) before the restore are
+    * unaffected. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  def ccMinLabel(edges0: DataFrame, maxIter: Int = 64,
+                 iterParts: Int = CcIterParts): DataFrame =
+      withShufflePartitions(edges0.sparkSession, iterParts) {
     val edges = edges0.select(col("d1"), col("d2"))
       .union(edges0.select(col("d2").as("d1"), col("d1").as("d2")))
+      .repartition(iterParts, col("d1"))
       .persist()
     def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
       val cp = df.localCheckpoint(false)
@@ -326,12 +352,21 @@ object CurationOps {
     // must not re-derive it from its (possibly expensive) lineage —
     // for dedupCluster that would re-run the whole n-gram pair join
     val e = edges.persist()
-    try ccMinLabel(e, maxIter)
+    // count() first: materializes the (possibly expensive) edge
+    // DERIVATION at the session's ambient parallelism — only the
+    // iteration runs reduced — and sizes the loop's partition count
+    // from the measured edge cardinality (~1M edges per partition;
+    // iterated frames are vertices ≤ 2·edges)
+    val n = e.count()
+    val parts = math.max(CcIterParts,
+      math.min(e.sparkSession.sparkContext.defaultParallelism,
+               (n / 1000000L).toInt + 1))
+    try ccMinLabel(e, maxIter, parts)
     catch {
       case ex: CcNonConvergence =>
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"falling back to ccStars: ${ex.getMessage}")
-        ccStars(e)
+        ccStars(e, iterParts = parts)
     } finally e.unpersist()
   }
 
