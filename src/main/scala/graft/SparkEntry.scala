@@ -23,8 +23,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     R.aggPricing(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Insertion-ordered (ListMap) ON PURPOSE: Bench and Verify iterate in
+    * map order, and the FIRST query executed pays the one-time JIT /
+    * codegen / session warm-up (~5 s) on top of its own cost. A hash Map
+    * hands that bill to an arbitrary real query each run; pinning the
+    * cheapest query (q_text_quality, ~0.06 s intrinsic) first makes the
+    * warm-up cost visible as exactly one line instead of noise. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = scala.collection.immutable.ListMap(
+    // JIT/warm-up absorber — keep the cheapest query first (see scaladoc)
+    "q_text_quality" -> (L.textQuality _),
     // §2.1 scans
     "q_scan_project" -> (R.scanProject _),
     "q_scan_filter" -> (R.scanFilter _),
@@ -90,9 +99,10 @@ object SparkEntry {
     "q_embedding_centroid" -> (L.embeddingCentroid _),
     "q_embedding_pq" -> (L.embeddingPq _),
     "q_text_stats" -> (L.textStats _),
-    "q_text_quality" -> (L.textQuality _),
+    // q_text_quality is pinned first in this map as the JIT absorber
     "q_token_count" -> (L.tokenCount _),
     "q_fingerprint" -> (L.fingerprint _),
+    "q_heavy_hitters" -> (L.heavyHitters _),
     "q_lang_id" -> (L.langId _),
     "q_multimodal_meta" -> (M.multimodalMeta _),
     "q_multimodal_frames" -> (M.multimodalFrames _),
@@ -149,6 +159,7 @@ object SparkEntry {
     "q_triangles" -> (GraphOps.triangles _),
     "q_attribution_last" -> (W.attributionLast _),
     "q_attribution_linear" -> (W.attributionLinear _),
+    "q_attribution_decay" -> (W.attributionDecay _),
     "q_knn_classify" -> (L.knnClassify _),
     "q_market_basket" -> (AffinityOps.marketBasket _),
     "q_simjoin_prefix" -> (AffinityOps.simJoinPrefix _),
@@ -879,6 +890,13 @@ object SparkEntry {
                   i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS fp
          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
          WHERE len(toks) >= 3 ORDER BY doc_id""",
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+            tf AS (SELECT tok, count(*) AS tf FROM t
+                   WHERE length(tok) > 0 GROUP BY 1),
+            top AS (SELECT tok, tf FROM tf ORDER BY tf DESC, tok LIMIT 50)
+         SELECT tok, tf FROM top ORDER BY tok""",
     "q_lang_id" ->
       """SELECT lang, pred_lang, count(*) AS n
          FROM (SELECT lang,
@@ -1734,6 +1752,35 @@ object SparkEntry {
                 round(sum(ss.rev / ss.n_touch), 4) AS revenue
          FROM sids s JOIN sess ss ON s.user_id = ss.user_id AND s.sid = ss.sid
          GROUP BY 1 ORDER BY 1""",
+    "q_attribution_decay" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     FROM g),
+            sess AS (SELECT user_id, sid,
+                            sum(CASE WHEN event_type = 'purchase' THEN value
+                                     ELSE 0.0 END) AS rev,
+                            max(ts_sec) AS end_sec
+                     FROM sids GROUP BY 1, 2),
+            evw AS (SELECT s.user_id, s.sid, s.event_type, ss.rev,
+                           pow(2.0, -floor((ss.end_sec - s.ts_sec) / 600.0))
+                             AS w
+                    FROM sids s
+                    JOIN sess ss ON s.user_id = ss.user_id AND s.sid = ss.sid),
+            ws AS (SELECT user_id, sid, sum(w) AS wsum
+                   FROM evw GROUP BY 1, 2)
+         SELECT e.event_type, count(*) AS n_touches,
+                round(sum(e.rev * e.w / w.wsum), 4) AS revenue
+         FROM evw e JOIN ws w ON e.user_id = w.user_id AND e.sid = w.sid
+         GROUP BY 1 ORDER BY 1""",
     "q_knn_classify" ->
       """WITH em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                      FROM embeddings),
@@ -1927,10 +1974,14 @@ object SparkEntry {
                       FROM documents),
             t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
             tf AS (SELECT tok, count(*) AS tf FROM t GROUP BY 1),
-            tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf)
+            tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total,
+                           greatest(2, CAST(ceil(sum(tf) * 1e-7) AS BIGINT))
+                             AS thr
+                    FROM tf),
+            v AS (SELECT tok, tf FROM tf CROSS JOIN tot WHERE tf >= thr)
          SELECT doc_id, count(*) AS n_tokens,
-                round(avg(-ln(tf / total)), 4) AS avg_neg_logp
-         FROM t JOIN tf USING (tok) CROSS JOIN tot
+                round(avg(-ln(coalesce(tf, thr) / total)), 4) AS avg_neg_logp
+         FROM t LEFT JOIN v USING (tok) CROSS JOIN tot
          GROUP BY doc_id ORDER BY doc_id""",
     "q_pack_sequences" ->
       """WITH d AS (SELECT doc_id,

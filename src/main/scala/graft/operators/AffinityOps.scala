@@ -88,9 +88,13 @@ object AffinityOps {
     * τ·max(m)) and PPJoin's positional filter (the matched prefix token
     * sits at sorted position p, so the overlap can be at most
     * min(m₁−p₁, m₂−p₂)+1, which must reach ⌈τ/(1+τ)·(m₁+m₂)⌉); (4)
-    * exact verification: candidates broadcast-join the per-doc sorted
-    * token-HASH arrays (one |docs|-row frame — MBs even at corpus scale
-    * because it is docs, not doc-pairs) and the intersection is
+    * exact verification: candidates SHUFFLE-join the per-doc sorted
+    * token-HASH arrays, co-partitioned on the doc key. The doc-array
+    * frame is corpus-sized (billions of docs × ~100 hashes = hundreds
+    * of GB at 100 TB), so it must never be broadcast; the candidate
+    * set is the small side after the prefix/length/positional filters,
+    * and AQE is still free to demote either join to a broadcast at
+    * small SFs where the MEASURED size permits. The intersection is
     * computed per pair with `array_intersect` over int64s, so NOTHING
     * row-multiplies: the former token-level verification join exploded
     * candidates × tokens × tokens (hundreds of millions of rows at
@@ -143,7 +147,7 @@ object AffinityOps {
     val b = docArr.select(col("doc_id").as("d2"), col("toks").as("t2"),
                           col("m").as("m2"))
     ord(
-      cand.join(broadcast(a), "d1").join(broadcast(b), "d2")
+      cand.join(a, "d1").join(b, "d2")
         .withColumn("inter",
           call_function("intersect_size_sorted", col("t1"), col("t2")))
         .withColumn("j", col("inter").cast("double") /

@@ -230,16 +230,32 @@ object CurationOps {
   /** Jaccard threshold above which an n-gram pair is a dedup edge. */
   val ClusterMinJaccard = 0.5
 
-  /** q_dedup_cluster — pairs are not enough at scale: dedup must keep
-    * ONE doc per connected component of the near-dup graph (A~B, B~C ⇒
-    * drop two of three even if A≁C). Edges = n-gram Jaccard pairs ≥ 0.5;
-    * components via min-label propagation to a fixpoint: every doc
-    * starts as its own label, each round takes the min label over
-    * neighbors, convergence when no label changes. The fixpoint (min
-    * reachable doc_id) is unique, so the result is deterministic and
-    * independent of iteration order — the oracle computes the same
-    * components with a recursive CTE. Emits (doc_id, component) for
-    * every document; singletons are their own component. */
+  /** Default shuffle-partition count for the CC iteration loops. The
+    * frames inside the loop are edge-bearing vertices only — thousands
+    * of rows after the Jaccard filter even at sf0.1 — so running each
+    * round's join/groupBy/checkpoint at the session's ambient partition
+    * count (32 on the bench driver) pays ~10× fixed per-partition task
+    * and codegen overhead for zero parallelism gain; worse, that fixed
+    * cost MULTIPLIES with cluster width while the iterated data does
+    * not. [[cc]] sizes this from the measured edge count instead. */
+  val CcIterParts = 4
+
+  /** Run `body` with spark.sql.shuffle.partitions temporarily set to
+    * `n` — the partition-count lever for iterative loops whose frames
+    * are orders of magnitude smaller than the ambient data. Restores
+    * the previous value in finally; plans EXECUTED inside pick up `n`,
+    * frames already materialized (checkpointed) before the restore are
+    * unaffected. Session-global and not reentrant-safe: concurrent
+    * queries on the same SparkSession during the body run at `n` too —
+    * acceptable for the single-threaded bench/verify harness, by
+    * design. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Connected components by min-label propagation over an edge list
     * `(d1, d2)` (direction irrelevant — symmetrized internally).
     * Returns `(doc_id, component = min reachable id)` for every vertex
@@ -265,29 +281,6 @@ object CurationOps {
     * ever reaches the driver. coalesce: sum over an EMPTY label set (a
     * corpus with no near-dup pairs at all) is null — without it the
     * scalar read NPEs. */
-  /** Default shuffle-partition count for the CC iteration loops. The
-    * frames inside the loop are edge-bearing vertices only — thousands
-    * of rows after the Jaccard filter even at sf0.1 — so running each
-    * round's join/groupBy/checkpoint at the session's ambient partition
-    * count (32 on the bench driver) pays ~10× fixed per-partition task
-    * and codegen overhead for zero parallelism gain; worse, that fixed
-    * cost MULTIPLIES with cluster width while the iterated data does
-    * not. [[cc]] sizes this from the measured edge count instead. */
-  val CcIterParts = 4
-
-  /** Run `body` with spark.sql.shuffle.partitions temporarily set to
-    * `n` — the partition-count lever for iterative loops whose frames
-    * are orders of magnitude smaller than the ambient data. Restores
-    * the previous value in finally; plans EXECUTED inside pick up `n`,
-    * frames already materialized (checkpointed) before the restore are
-    * unaffected. */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
-  }
-
   def ccMinLabel(edges0: DataFrame, maxIter: Int = 64,
                  iterParts: Int = CcIterParts): DataFrame =
       withShufflePartitions(edges0.sparkSession, iterParts) {
@@ -392,8 +385,12 @@ object CurationOps {
     * equivalent to ccMinLabel; kept as the documented alternative path
     * because near-dup graphs are shallow in practice and propagation
     * is cheaper per round. */
-  def ccStars(edges0: DataFrame, maxIter: Int = 32): DataFrame = {
-    // canonical undirected, self-loop-free edge set (a < b)
+  def ccStars(edges0: DataFrame, maxIter: Int = 32,
+              iterParts: Int = CcIterParts): DataFrame =
+      withShufflePartitions(edges0.sparkSession, iterParts) {
+    // canonical undirected, self-loop-free edge set (a < b); the
+    // distinct() shuffle lands it at iterParts partitions — every
+    // subsequent round's groupBy/join/distinct inherits the same count
     var cur = edges0.select(
         least(col("d1"), col("d2")).as("a"),
         greatest(col("d1"), col("d2")).as("b"))
@@ -436,6 +433,16 @@ object CurationOps {
     nonRoots.union(roots)
   }
 
+  /** q_dedup_cluster — pairs are not enough at scale: dedup must keep
+    * ONE doc per connected component of the near-dup graph (A~B, B~C ⇒
+    * drop two of three even if A≁C). Edges = n-gram Jaccard pairs ≥ 0.5;
+    * components via min-label propagation to a fixpoint: every doc
+    * starts as its own label, each round takes the min label over
+    * neighbors, convergence when no label changes. The fixpoint (min
+    * reachable doc_id) is unique, so the result is deterministic and
+    * independent of iteration order — the oracle computes the same
+    * components with a recursive CTE. Emits (doc_id, component) for
+    * every document; singletons are their own component. */
   def dedupCluster(s: SparkSession, d: String): DataFrame = {
     val pairs = LlmOps.ngramPairs(s, d, LlmOps.NgramMaxDf)
       .filter(col("jaccard") >= ClusterMinJaccard)

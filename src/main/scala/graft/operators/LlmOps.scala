@@ -192,30 +192,53 @@ object LlmOps {
     * third signal beside rule filters (q_text_filter) and repetition
     * (q_text_repetition).
     *
-    * Scale shape: the unigram table is vocabulary-sized and BROADCAST
-    * to the token stream — scoring is map-side + one partial-aggregable
-    * per-doc aggregate; the corpus total rides a broadcast 1-row frame.
-    * At open-web scale the raw vocabulary outgrows a broadcast; the
-    * production form caps it (top-K unigrams + one OOV bucket, the
-    * standard LM-filter vocabulary) so the broadcast stays MBs — the
-    * plan shape is unchanged. Determinism: p = tf/total
-    * divides two exact integers once (identical doubles both engines);
-    * ln() of identical doubles is identical on one host's libm (the
-    * q_udaf_geomean precedent); the per-doc avg is r4'd once. */
+    * Scale shape: the unigram table is df-FLOORED before it is
+    * broadcast — only tokens whose count clears
+    * max(LmScoreMinTf, ⌈total·LmScoreVocabFrac⌉) enter the vocabulary,
+    * so the broadcast is bounded at 1/LmScoreVocabFrac entries (≤10M)
+    * NO MATTER the corpus size: a token below a fixed fraction of the
+    * total mass cannot exist more than 1/frac times. Scoring is
+    * map-side + one partial-aggregable per-doc aggregate; the corpus
+    * total and the threshold ride a broadcast 1-row frame. Floored
+    * (out-of-vocabulary) tokens score the smoothed default probability
+    * thr/total — the highest probability a floored token could have,
+    * i.e. rare tokens are never over-penalized relative to the floor.
+    * Determinism: p = coalesce(tf, thr)/total divides two exact
+    * integers once (identical doubles both engines); ln() of identical
+    * doubles is identical on one host's libm (the q_udaf_geomean
+    * precedent); the per-doc avg is r4'd once. */
   def lmScore(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
     val total = tf.agg(sum(col("tf")).as("total"))
+      .withColumn("thr", greatest(lit(LmScoreMinTf),
+        ceil(col("total") * lit(LmScoreVocabFrac)).cast("long")))
+    // map-side prune of the vocabulary against the 1-row total frame;
+    // the surviving table is what gets broadcast to the token stream
+    val vocab = tf.crossJoin(broadcast(total))
+      .filter(col("tf") >= col("thr"))
+      .select(col("tok"), col("tf"))
     ord(
-      toks.join(broadcast(tf), "tok")
+      toks.join(broadcast(vocab), Seq("tok"), "left")
         .crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
-             r4(avg(-log(col("tf") / col("total")))).as("avg_neg_logp")),
+             r4(avg(-log(coalesce(col("tf"), col("thr")) / col("total"))))
+               .as("avg_neg_logp")),
       col("doc_id"))
   }
+
+  /** Absolute count floor for the q_lm_score vocabulary: tokens seen
+    * fewer than this many times score the smoothed default. */
+  val LmScoreMinTf = 2L
+
+  /** Fractional mass floor for the q_lm_score vocabulary. Bounds the
+    * broadcast at 1/frac = 10M entries at ANY corpus size — a token
+    * with tf < total·frac cannot have more than 1/frac peers above the
+    * bar. */
+  val LmScoreVocabFrac = 1e-7
 
   /** Similarity threshold for q_cluster_embed edges. Chosen at the
     * 99.9th percentile of the within-label pair-similarity distribution
@@ -803,6 +826,71 @@ object LlmOps {
         .groupBy(col("lang"))
         .agg(sum(col("ws")).as("ws_tokens"), sum(col("re")).as("re_tokens")),
       col("lang"))
+  }
+
+  /** Result size for q_heavy_hitters. */
+  val HeavyHittersK = 50
+
+  /** q_heavy_hitters — the top-K most frequent tokens in the corpus,
+    * the frequency companion to the cardinality (HLL) and quantile
+    * (KLL/GK) sketches already in the approx family.
+    *
+    * Scale shape: one partial-aggregable groupBy(token) shuffle —
+    * map-side combine collapses every task to its LOCAL vocabulary, so
+    * only (token, partial count) rows cross the wire — followed by
+    * TakeOrderedAndProject (per-partition top-K merged at the driver;
+    * no global sort ever materializes). When even the vocabulary-sized
+    * shuffle is too much (open-web token streams),
+    * [[heavyHittersApprox]] is the bounded-state path.
+    *
+    * Determinism: the K boundary breaks ties by token string, so the
+    * kept set and its order are unique. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    ord(tf.orderBy(col("tf").desc, col("tok")).limit(HeavyHittersK),
+        col("tok"))
+  }
+
+  /** Misra–Gries heavy-hitters sketch over the token stream: every
+    * input partition keeps at most `capacity` counters (new token with
+    * the table full ⇒ the classic decrement-all step, shedding zeroed
+    * counters), and the surviving per-partition counts merge by SUM.
+    * The merged estimate is a lower bound on the true count with
+    * underestimate ≤ Σ_p n_p/(capacity+1) ≤ n/(capacity+1) — the
+    * Misra–Gries guarantee survives the merge because each partition's
+    * error bound is independent. State is O(capacity) per task NO
+    * MATTER the vocabulary, which is the whole point: at open-web
+    * scale the exact form's vocabulary-sized shuffle disappears and
+    * only capacity·partitions candidate rows move.
+    *
+    * NOT oracle-gated (approximate by design); PropertySpec checks the
+    * error bound and top-k containment against [[heavyHitters]]. */
+  def heavyHittersApprox(s: SparkSession, d: String,
+                         k: Int = HeavyHittersK,
+                         capacity: Int = 4096): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .as[String]
+    val partial = toks.mapPartitions { it =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]
+      it.foreach { t =>
+        if (counts.contains(t) || counts.size < capacity)
+          counts.update(t, counts.getOrElse(t, 0L) + 1L)
+        else {
+          counts.mapValuesInPlace((_, v) => v - 1L)
+          counts.filterInPlace((_, v) => v > 0L)
+        }
+      }
+      counts.iterator
+    }.toDF("tok", "est")
+    ord(partial.groupBy(col("tok")).agg(sum(col("est")).as("est"))
+          .orderBy(col("est").desc, col("tok")).limit(k),
+        col("tok"))
   }
 
   /** q_fingerprint — document fingerprint = lexicographic min of

@@ -361,6 +361,51 @@ object WindowOps {
       col("event_type"))
   }
 
+  /** Half-life of q_attribution_decay's credit weights, in seconds.
+    * 10 min: within a 30-min-inactivity session a touch half an
+    * inactivity-timeout before the conversion still carries 2⁻³ of the
+    * credit of the final touch — the standard GA time-decay scale. */
+  val DecayHalflifeSec = 600L
+
+  /** q_attribution_decay — exponential time-decay multi-touch
+    * attribution, the fourth GA credit model next to first/last/linear:
+    * each touch in a converting session earns weight 2^(−⌊Δ/h⌋) where
+    * Δ = seconds from the touch to the session's final event (the
+    * conversion anchor) and h = [[DecayHalflifeSec]]; the session's
+    * purchase revenue splits proportionally to the weights and each
+    * touch credits its event type.
+    *
+    * Scale shape: identical to q_attribution_linear — one per-session
+    * aggregate (revenue + anchor), a join BACK to the session store
+    * co-partitioned on (user_id, sid), one co-partitioned weight-sum
+    * aggregate (exchange reuse all the way — the store is user-bucketed
+    * so nothing re-shuffles), and a final tiny rollup on event type.
+    *
+    * Determinism: the decay exponent is the INTEGER ⌊Δ/h⌋, so every
+    * weight is an exact power of two (libm pow is exact on those) —
+    * both engines sum the same exact dyadic multiset; revenue divides
+    * by the weight sum once per touch and is r4'd once at the rollup
+    * (the q_attribution rule). */
+  def attributionDecay(s: SparkSession, d: String): DataFrame = {
+    val ev = sessionized(s, d, col("event_type"), col("value"))
+    val sess = ev.groupBy(col("user_id"), col("sid"))
+      .agg(sum(when(col("event_type") === "purchase", col("value"))
+                 .otherwise(lit(0.0))).as("rev"),
+           max(col("ts_sec")).as("end_sec"))
+    val evw = ev.join(sess, Seq("user_id", "sid"))
+      .withColumn("w", pow(lit(2.0),
+        -floor((col("end_sec") - col("ts_sec")) /
+               lit(DecayHalflifeSec.toDouble))))
+    val wsum = evw.groupBy(col("user_id"), col("sid"))
+      .agg(sum(col("w")).as("wsum"))
+    ord(
+      evw.join(wsum, Seq("user_id", "sid"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+             r4(sum(col("rev") * col("w") / col("wsum"))).as("revenue")),
+      col("event_type"))
+  }
+
   def markovTransitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("sid"))
       .orderBy(col("ts"), col("event_id"))

@@ -116,6 +116,29 @@ object PropertySpec extends Properties("graft") {
       byLabel == want && byStars == want
     }
 
+  property("heavy hitters: MG sketch lower-bounds within n/(cap+1); exact when cap >= vocab") =
+    forAll(Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, text))) { texts =>
+      val dir = tmpDir("prop_hh")
+      writeTable(dir, "documents", documentsSchema,
+        texts.zipWithIndex.map { case (t, i) =>
+          Row(i.toLong, t, "en", "s0", t.length.toLong) })
+      val truth = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val n = truth.values.sum
+      val cap = 3 // << vocab (10 words) so the decrement step actually fires
+      val approx = LlmOps.heavyHittersApprox(spark, dir, k = 50, capacity = cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // Misra–Gries guarantees: never overestimates, and the undercount
+      // (including tokens shed entirely) is at most n/(capacity+1)
+      val lowerBound = approx.forall { case (t, est) => est <= truth(t) }
+      val errBound = truth.forall { case (t, c) =>
+        c - approx.getOrElse(t, 0L) <= n.toDouble / (cap + 1) }
+      // capacity >= vocabulary: no counter is ever evicted, counts exact
+      val wide = LlmOps.heavyHittersApprox(spark, dir, k = 50, capacity = 1000)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      lowerBound && errBound && wide == truth
+    }
+
   property("union-all count additivity over generated key sets") =
     forAll(Gen.listOf(Gen.chooseNum(0, 5)), Gen.listOf(Gen.chooseNum(0, 5))) { (a, b) =>
       import spark.implicits._
