@@ -32,6 +32,13 @@ object LayoutOps {
       s.read.schema(Schemas.all(table)).parquet(s"$d/$table.parquet")
     }
 
+  /** Publish both bucketed join tables up front (fixture pre-publish —
+    * see [[graft.SparkEntry.prepareFixtures]]). */
+  def prepare(s: SparkSession, d: String): Unit = {
+    bucketedTable(s, d, "orders", "o_orderkey")
+    bucketedTable(s, d, "lineitem", "l_orderkey")
+  }
+
   /** q_join_bucketed — orders⋈lineitem revenue per order status, both
     * sides read from bucketed tables clustered on the order key: the
     * join consumes co-located buckets directly, with NO exchange between

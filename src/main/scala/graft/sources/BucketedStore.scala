@@ -29,7 +29,14 @@ object BucketedStore {
       val dir = CachedDir.materialize(s, d, sourceFile, tag) { tmp =>
         val bn = s"graft_build_${tag}_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        build.write.mode("overwrite")
+        // repartition to the bucket layout BEFORE the bucketed write:
+        // both use murmur3(key) pmod n, so each write task owns exactly
+        // one bucket and emits exactly one file. Without this every
+        // write task emits a file per bucket it sees — tasks × buckets
+        // files whose open/close overhead dominates the publish, and
+        // whose tiny row groups tax every later scan.
+        build.repartition(buckets, org.apache.spark.sql.functions.col(key))
+          .write.mode("overwrite")
           .bucketBy(buckets, key).sortBy(key)
           .option("path", tmp).format("parquet")
           .saveAsTable(bn)

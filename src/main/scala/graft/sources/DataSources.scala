@@ -57,7 +57,11 @@ object DataSources {
     // ts order, so every parquet row group carries tight min/max ts
     // stats — intra-day time-range predicates then skip row groups on
     // top of the directory-level partition pruning.
+    // repartition on the partition column first: each day lands in one
+    // task → one file per day-directory, instead of every input task
+    // writing a sliver into every day it touches (tasks × days files)
     df.withColumn("day", to_date(col(tsCol)))
+      .repartition(col("day"))
       .sortWithinPartitions(col("day"), col(tsCol))
       .write.mode("overwrite").partitionBy("day").parquet(dir)
   }

@@ -54,6 +54,80 @@ object StreamingOps {
       .select(col("session_window.start").as("start"), col("user_id"),
               col("n_events"), col("session_value"))
 
+  /** Shuffle-partition count for the gated stream's stateful exchange.
+    * The session state at test SFs is thousands of keys — the ambient 32
+    * partitions would pay per-partition state-store open/commit cost
+    * every batch for zero parallelism. A real deployment sizes this to
+    * its key cardinality; it is baked into each run's fresh checkpoint. */
+  val StreamGateParts = 8
+
+  /** q_sessionize_stream — the streaming sessionizer run to COMPLETION
+    * under the driver's DuckDB gate, so the session_window/watermark
+    * machinery is oracle-verified instead of suite-only.
+    *
+    * The events table is republished once per source state (CachedDir)
+    * as a µs-timestamp parquet stream source with one far-future
+    * SENTINEL event appended for a synthetic user. One
+    * Trigger.AvailableNow run then drains it against a fresh checkpoint:
+    * the catch-up batch ingests everything (append mode emits only
+    * watermark-SEALED sessions — none yet, the watermark is still at
+    * batch-start), the sentinel advances the watermark past every real
+    * session at batch end, and availableNow runs the required follow-up
+    * state-eviction batch that emits them all before terminating — the
+    * drain-and-stop contract (SURVEY §2.9). The sentinel's own
+    * still-open session never emits; its user is filtered out anyway.
+    *
+    * Oracle note: session_window starts a NEW session at gap ≥ 30 min
+    * (half-open windows) at µs precision, so the oracle recomputes
+    * sessions from epoch_us with the ≥ rule — deliberately NOT the
+    * batch store's integer-second > rule; the two differ only on exact
+    * sub-second boundary gaps the random µs data never produces.
+    * Output: (user_id, start_us µs epoch, n_events, session_value r4) —
+    * timestamps leave as BIGINT per the driver's tz contract. */
+  /** Once-per-source-state publish of the µs-timestamp stream source
+    * copy of events, with the far-future sentinel appended. */
+  def streamSourceDir(s: SparkSession, d: String): String =
+    graft.sources.CachedDir.materialize(
+        s, d, "events.parquet", "stream_src") { tmp =>
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"), col("props"))
+      // single-row aggregate read (the IngestOps high-water-mark idiom):
+      // the sentinel must postdate every real event by >> watermark + gap
+      val maxUs = ev.agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxUs + 10L * 86400L * 1000000L)).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      ev.unionByName(sentinel).write.parquet(tmp)
+    }
+
+  def sessionizeStreamGated(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = streamSourceDir(s, d)
+    val base = java.nio.file.Files.createTempDirectory("stream_gate").toString
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamGateParts.toString)
+    try {
+      val q = sessionAgg(readEventStream(s, src))
+        .select(expr("unix_micros(start)").as("start_us"), col("user_id"),
+                col("n_events"), col("session_value"))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/cp")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    graft.Fin.ord(
+      s.read.parquet(s"$base/out").filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start_us"), col("n_events"),
+                col("session_value")),
+      col("user_id"), col("start_us"))
+  }
+
   /** Idempotent ingest: duplicate event_ids arriving within the
     * watermark horizon are dropped — the reference's hash-id dedup,
     * Spark-native. */
