@@ -125,6 +125,10 @@ object SparkEntry {
     "q_token_count" -> (L.tokenCount _),
     "q_fingerprint" -> (L.fingerprint _),
     "q_heavy_hitters" -> (L.heavyHitters _),
+    // non-oracle by design (iterative argmax training loop — BpeSpec
+    // pins the exact merge table + laws; driver records rows>0)
+    "q_bpe_vocab" -> (graft.operators.BpeOps.bpeVocab _),
+    "q_bpe_encode" -> (graft.operators.BpeOps.bpeEncode _),
     "q_lang_id" -> (L.langId _),
     "q_multimodal_meta" -> (M.multimodalMeta _),
     "q_multimodal_frames" -> (M.multimodalFrames _),

