@@ -1111,7 +1111,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, value, event_id,
                            epoch_us(ts::TIMESTAMP) AS us FROM events),
             g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
-                                   OR us - lag(us) OVER w >= 1800000000
+                                   OR us - lag(us) OVER w > 1800000000
                                  THEN 1 ELSE 0 END AS new_sess
                   FROM e
                   WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),

@@ -42,10 +42,13 @@ object StreamingOps {
               col("n"), col("val"))
 
   /** 30-min-inactivity sessions — streaming form of q_sessionize.
-    * NOTE boundary semantics: session_window treats a gap of EXACTLY the
-    * gap duration as a new session ([t, t+30m) windows don't overlap),
-    * while the batch query uses gap > 30min. Equal on any data without
-    * exact-1800.000000s gaps (true of the µs-random test events). */
+    * NOTE boundary semantics: session_window MERGES adjacent windows, so
+    * a gap of exactly the gap duration stays one session — the same
+    * "> 30 min splits" rule as the batch query (pinned by the
+    * exact-1800s fixture in OperatorEdgeSpec; an earlier doc claim that
+    * the boundary splits was wrong). The two forms differ only in
+    * precision: session_window compares µs timestamps, the batch store
+    * integer seconds. */
   def sessionAgg(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -77,11 +80,11 @@ object StreamingOps {
     * drain-and-stop contract (SURVEY §2.9). The sentinel's own
     * still-open session never emits; its user is filtered out anyway.
     *
-    * Oracle note: session_window starts a NEW session at gap ≥ 30 min
-    * (half-open windows) at µs precision, so the oracle recomputes
-    * sessions from epoch_us with the ≥ rule — deliberately NOT the
-    * batch store's integer-second > rule; the two differ only on exact
-    * sub-second boundary gaps the random µs data never produces.
+    * Oracle note: session_window merges ADJACENT windows (a gap of
+    * exactly 30 min stays one session — pinned in OperatorEdgeSpec), so
+    * its split rule is the batch "> 30 min" — but compared on raw µs
+    * timestamps, not the batch store's integer seconds. The oracle
+    * therefore recomputes sessions from epoch_us with the > rule.
     * Output: (user_id, start_us µs epoch, n_events, session_value r4) —
     * timestamps leave as BIGINT per the driver's tz contract. */
   /** Once-per-source-state publish of the µs-timestamp stream source

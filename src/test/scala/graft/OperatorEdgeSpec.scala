@@ -189,4 +189,64 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out.head.getDate(0).toString == "2024-01-01" &&
       out.head.getInt(1) == 0 && out.head.getLong(2) == 1L)
   }
+
+  test("attribution_decay: one half-life between touch and conversion halves the credit") {
+    val dir = tmpDir("attr_decay")
+    val t0 = 1700000000L
+    // one session: view exactly one half-life (600s) before the final
+    // purchase. Weights: purchase 2^0 = 1, view 2^-1 = 0.5; revenue 10
+    // splits 10*(1/1.5) vs 10*(0.5/1.5) — exactly 6.6667 / 3.3333 at r4.
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      eventRow(1, t0, 1, "view", 99.0),
+      eventRow(2, t0 + 600, 1, "purchase", 10.0)
+    ))
+    val out = graft.operators.WindowOps.attributionDecay(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("purchase") == ((1L, 6.6667)), s"got $out")
+    assert(out("view") == ((1L, 3.3333)), s"got $out")
+  }
+
+  test("heavy_hitters: K boundary ties break lexicographically; counts exact") {
+    val dir = tmpDir("hh_edge")
+    // 5 words with count 2, 60 singleton words w00..w59: top-50 must be
+    // the 5 heavy words + the 45 lexicographically-smallest singletons.
+    val heavy = Seq("alpha", "beta", "gamma", "delta", "eps")
+    val singles = (0 until 60).map(i => f"w$i%02d")
+    val text = (heavy ++ heavy ++ singles).mkString(" ")
+    writeTable(dir, "documents", documentsSchema,
+      Seq(Row(1L, text, "en", "s0", text.length.toLong)))
+    val out = LlmOps.heavyHitters(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.length == 50)
+    val kept = out.map(_._1).toSet
+    assert(heavy.forall(kept), "all heavy words kept")
+    assert(out.filter(r => heavy.contains(r._1)).forall(_._2 == 2L))
+    assert(kept -- heavy === singles.sorted.take(45).toSet)
+  }
+
+  test("sessionize_stream: emits every sealed session; exact 1800s gap merges (adjacent windows)") {
+    val dir = tmpDir("stream_edge")
+    val t0 = 1700000000L
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      eventRow(1, t0, 1, "view", 1.0),
+      eventRow(2, t0 + 10, 1, "view", 2.0),     // same session as 1
+      eventRow(3, t0 + 5000, 1, "view", 3.0),   // new session (gap 4990)
+      eventRow(4, t0, 2, "view", 1.0),
+      eventRow(5, t0 + 1800, 2, "view", 1.0)    // EXACTLY the gap
+    ))
+    val out = graft.streaming.StreamingOps.sessionizeStreamGated(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val u1 = out.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSeq
+    assert(u1 == Seq((t0 * 1000000L, 2L, 3.0),
+                     ((t0 + 5000) * 1000000L, 1L, 3.0)), s"got $u1")
+    // session_window MERGES adjacent windows: a gap of exactly the gap
+    // duration stays one session — the same "> 30min splits" rule as
+    // the batch sessionizer (which this suite pins at the top). This is
+    // the only data where the rules could diverge, and they don't.
+    val u2 = out.filter(_._1 == 2L)
+    assert(u2.length == 1 && u2.head._3 == 2L && u2.head._4 == 2.0,
+      s"got ${u2.toSeq}")
+    assert(out.map(_._3).sum == 5, "every event lands in exactly one session")
+  }
 }
