@@ -64,6 +64,25 @@ object StreamingOps {
     * its key cardinality; it is baked into each run's fresh checkpoint. */
   val StreamGateParts = 8
 
+  /** Once-per-source-state publish of the µs-timestamp stream source
+    * copy of events, with the far-future sentinel appended. */
+  def streamSourceDir(s: SparkSession, d: String): String =
+    graft.sources.CachedDir.materialize(
+        s, d, "events.parquet", "stream_src") { tmp =>
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"), col("props"))
+      // single-row aggregate read (the IngestOps high-water-mark idiom):
+      // the sentinel must postdate every real event by >> watermark + gap
+      val maxUs = ev.agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxUs + 10L * 86400L * 1000000L)).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      ev.unionByName(sentinel).write.parquet(tmp)
+    }
+
   /** q_sessionize_stream — the streaming sessionizer run to COMPLETION
     * under the driver's DuckDB gate, so the session_window/watermark
     * machinery is oracle-verified instead of suite-only.
@@ -87,25 +106,6 @@ object StreamingOps {
     * therefore recomputes sessions from epoch_us with the > rule.
     * Output: (user_id, start_us µs epoch, n_events, session_value r4) —
     * timestamps leave as BIGINT per the driver's tz contract. */
-  /** Once-per-source-state publish of the µs-timestamp stream source
-    * copy of events, with the far-future sentinel appended. */
-  def streamSourceDir(s: SparkSession, d: String): String =
-    graft.sources.CachedDir.materialize(
-        s, d, "events.parquet", "stream_src") { tmp =>
-      val ev = graft.Tables.events(s, d)
-        .select(col("event_id"), col("ts"), col("user_id"),
-                col("event_type"), col("value"), col("props"))
-      // single-row aggregate read (the IngestOps high-water-mark idiom):
-      // the sentinel must postdate every real event by >> watermark + gap
-      val maxUs = ev.agg(max(expr("unix_micros(ts)"))).head().getLong(0)
-      val sentinel = s.range(1).select(
-        lit(-1L).as("event_id"),
-        timestamp_micros(lit(maxUs + 10L * 86400L * 1000000L)).as("ts"),
-        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-        lit(0.0).as("value"), lit("{}").as("props"))
-      ev.unionByName(sentinel).write.parquet(tmp)
-    }
-
   def sessionizeStreamGated(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val src = streamSourceDir(s, d)

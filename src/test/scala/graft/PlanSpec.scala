@@ -143,6 +143,38 @@ class PlanSpec extends AnyFunSuite {
       Seq("2024-01-10", "2024-01-11", "2024-01-12"))
   }
 
+  test("q_heavy_hitters takes per-partition top-k — no global sort materializes") {
+    val p = plan(graft.operators.LlmOps.heavyHitters(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the ONLY sort allowed is Fin.ord's final 50-row presentation sort;
+    // the top-k cut itself must not be a full Sort + Limit
+    val tree = p.split("\n\n").head
+    val takeLine = tree.linesIterator.indexWhere(_.contains("TakeOrderedAndProject"))
+    val sortBelowTake = tree.linesIterator.toVector.drop(takeLine + 1)
+      .exists(_.contains("Sort"))
+    assert(!sortBelowTake, "global sort under the top-k cut:\n" + p)
+  }
+
+  test("q_simjoin_prefix carries no unconditional broadcast hint") {
+    // the doc-array frame is corpus-sized, so broadcasting it must stay
+    // SIZE-GATED: the planner/AQE may broadcast at sf0.001 where
+    // measured stats permit (correct), but the query itself must never
+    // pin a broadcast() hint the way the r6 verify stage did — a hint
+    // ignores size and would ship the corpus to every executor at scale
+    val df = graft.operators.AffinityOps.simJoinPrefix(spark, sf0001)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"unconditional hints found: $hints")
+  }
+
+  test("q_bpe_encode broadcasts the bounded dictionary onto the token stream") {
+    val p = plan(graft.operators.BpeOps.bpeEncode(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "dictionary join fell back to a corpus shuffle:\n" + p)
+  }
+
   test("date-partitioned layout prunes partitions under a year filter") {
     val dir = tmpDir("part_layout")
     Tables.orders(spark, sf0001)
