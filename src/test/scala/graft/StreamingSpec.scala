@@ -150,6 +150,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == 2, "replayed event_id must be dropped")
   }
 
+  test("availableNow + checkpoint: a resumed drain ingests only files added since") {
+    // the reference's high-water-mark sync, Spark-native: the checkpoint
+    // remembers which source files each batch committed, so re-running
+    // the SAME query over the SAME dir re-reads nothing — only files
+    // that appeared since the last drain flow through. This is the
+    // contract q_sessionize_stream's cached source relies on.
+    val base = tmpDir("resume")
+    val (src, cp, out) = (s"$base/src", s"$base/cp", s"$base/out")
+    def eventsDf(ids: Seq[Long]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(i =>
+          Row(i, java.sql.Timestamp.from(
+                java.time.Instant.ofEpochSecond(1700000000L + i)),
+              1L, "view", 1.0, "{}")), 1),
+        StreamingOps.eventsMicros)
+    def drain(): Unit = {
+      val q = StreamingOps.readEventStream(spark, src)
+        .select(col("event_id"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    eventsDf(Seq(1L, 2L, 3L)).write.parquet(src)
+    drain()
+    assert(spark.read.parquet(out).count() == 3)
+    eventsDf(Seq(4L, 5L)).write.mode("append").parquet(src)
+    drain()
+    // batch-1 files are still in src; exactly-once means ids 1-3 do NOT
+    // reappear — each id lands exactly once across both drains
+    val got = spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L, 5L), s"got $got")
+  }
+
   test("late data beyond the watermark is dropped from append-mode aggregation") {
     val dir = tmpDir("late_src")
     val t0 = 1700000000L // batch 1: events up to t0+3h, watermark → t0+2h
