@@ -125,6 +125,7 @@ object SparkEntry {
     "q_token_count" -> (L.tokenCount _),
     "q_fingerprint" -> (L.fingerprint _),
     "q_heavy_hitters" -> (L.heavyHitters _),
+    "q_pmi_bigrams" -> (L.pmiBigrams _),
     // non-oracle by design (iterative argmax training loop — BpeSpec
     // pins the exact merge table + laws; driver records rows>0)
     "q_bpe_vocab" -> (graft.operators.BpeOps.bpeVocab _),
@@ -924,6 +925,28 @@ object SparkEntry {
                    WHERE length(tok) > 0 GROUP BY 1),
             top AS (SELECT tok, tf FROM tf ORDER BY tf DESC, tok LIMIT 50)
          SELECT tok, tf FROM top ORDER BY tok""",
+    "q_pmi_bigrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            u AS (SELECT unnest(ws) AS w FROM t),
+            uni AS (SELECT w, count(*) AS n FROM u
+                    WHERE length(w) > 0 GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM uni),
+            bg0 AS (SELECT unnest(list_transform(range(1, len(ws)),
+                             i -> {'a': ws[i], 'b': ws[i+1]})) AS p
+                    FROM t),
+            bg AS (SELECT p.a AS a, p.b AS b FROM bg0
+                   WHERE length(p.a) > 0 AND length(p.b) > 0),
+            np AS (SELECT count(*) AS np FROM bg),
+            cnt AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY 1, 2
+                    HAVING count(*) >= 5)
+         SELECT c.a, c.b, c.n_ab,
+                round(ln((c.n_ab * 1.0 * tot.nn * tot.nn) /
+                         (np.np * 1.0 * ua.n * ub.n)), 4) AS pmi
+         FROM cnt c
+         JOIN uni ua ON c.a = ua.w
+         JOIN uni ub ON c.b = ub.w
+         CROSS JOIN tot CROSS JOIN np
+         ORDER BY c.a, c.b""",
     "q_lang_id" ->
       """SELECT lang, pred_lang, count(*) AS n
          FROM (SELECT lang,

@@ -828,6 +828,59 @@ object LlmOps {
       col("lang"))
   }
 
+  /** Minimum bigram count for q_pmi_bigrams — PMI is unstable on rare
+    * pairs (a hapax bigram of two hapax words scores ln N), so every
+    * collocation extractor floors the count. */
+  val PmiMinCount = 5L
+
+  /** q_pmi_bigrams — collocation extraction: every adjacent word pair
+    * seen ≥ [[PmiMinCount]] times, scored by pointwise mutual
+    * information pmi = ln(n_ab·N² / (n_pairs·n_a·n_b)) — how much more
+    * often the words co-occur than independence predicts. The
+    * tokenizer-adjacent corpus-analysis op (multi-word expressions,
+    * vocab-merge candidates, quality signals).
+    *
+    * Scale shape: bigram and unigram counts are each ONE
+    * partial-aggregable shuffle (map-side combine collapses tasks to
+    * their local vocabularies); the count-floor prunes the bigram
+    * vocabulary BEFORE the two unigram joins, which stay vocabulary-
+    * sized and size-gated (the planner broadcasts when measured stats
+    * permit — never hinted). Corpus scalars ride 1-row broadcasts.
+    *
+    * Determinism: all counts are exact integers; the PMI argument is
+    * one double expression with identical parenthesization in the
+    * oracle, ln on identical doubles is identical (geomean precedent),
+    * r4'd once. Bigrams pair RAW adjacent tokens and then drop pairs
+    * with an empty side, mirroring the unigram length filter. */
+  def pmiBigrams(s: SparkSession, d: String): DataFrame = {
+    val ws = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("ws"))
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val totals = uni.agg(sum(col("n")).as("nn"))
+    val bg = ws.select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .filter(length(col("p.a")) > 0 && length(col("p.b")) > 0)
+    val npairs = bg.agg(count(lit(1)).as("np"))
+    val cnt = bg.groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= PmiMinCount)
+    ord(
+      cnt
+        .join(uni.select(col("w").as("a"), col("n").as("n_a")), "a")
+        .join(uni.select(col("w").as("b"), col("n").as("n_b")), "b")
+        .crossJoin(broadcast(totals))
+        .crossJoin(broadcast(npairs))
+        .select(col("a"), col("b"), col("n_ab"),
+                r4(log((col("n_ab") * lit(1.0) * col("nn") * col("nn")) /
+                       (col("np") * lit(1.0) * col("n_a") * col("n_b"))))
+                  .as("pmi")),
+      col("a"), col("b"))
+  }
+
   /** Result size for q_heavy_hitters. */
   val HeavyHittersK = 50
 
