@@ -126,6 +126,7 @@ object SparkEntry {
     "q_fingerprint" -> (L.fingerprint _),
     "q_heavy_hitters" -> (L.heavyHitters _),
     "q_pmi_bigrams" -> (L.pmiBigrams _),
+    "q_negative_pairs" -> (L.negativePairs _),
     // non-oracle by design (iterative argmax training loop — BpeSpec
     // pins the exact merge table + laws; driver records rows>0)
     "q_bpe_vocab" -> (graft.operators.BpeOps.bpeVocab _),
@@ -947,6 +948,21 @@ object SparkEntry {
          JOIN uni ub ON c.b = ub.w
          CROSS JOIN tot CROSS JOIN np
          ORDER BY c.a, c.b""",
+    "q_negative_pairs" ->
+      """WITH docs AS (SELECT doc_id, lang FROM documents),
+            nn AS (SELECT count(*) AS n FROM docs),
+            slots AS (SELECT unnest([1, 2]) AS slot),
+            a AS (SELECT doc_id, lang, slot, n,
+                         ('0x' || substr(md5(doc_id || ':' || slot), 1, 8))
+                           ::BIGINT % n AS h
+                  FROM docs CROSS JOIN nn CROSS JOIN slots),
+            pairs AS (SELECT doc_id, lang, slot,
+                             CASE WHEN h = doc_id THEN (h + 1) % n
+                                  ELSE h END AS neg_id
+                      FROM a)
+         SELECT p.doc_id, p.slot, p.neg_id, p.lang, d.lang AS neg_lang
+         FROM pairs p JOIN docs d ON p.neg_id = d.doc_id
+         ORDER BY p.doc_id, p.slot""",
     "q_lang_id" ->
       """SELECT lang, pred_lang, count(*) AS n
          FROM (SELECT lang,

@@ -828,6 +828,50 @@ object LlmOps {
       col("lang"))
   }
 
+  /** Negatives per anchor for q_negative_pairs. */
+  val NegativesPerAnchor = 2
+
+  /** q_negative_pairs — deterministic negative sampling for contrastive
+    * training: every document anchors [[NegativesPerAnchor]] pseudo-
+    * random negatives, drawn by hashing (doc_id, slot) into the dense
+    * id space (md5-prefix mod N — the q_pack_sequences shard idiom, so
+    * both engines derive identical draws), with a +1 shift when the
+    * draw lands on the anchor itself. Emits the joined pair with both
+    * languages — the payload fetch that proves the negative join.
+    *
+    * Scale shape: the sample is generated SCAN-SIDE (no shuffle — each
+    * anchor row computes its own draws), and the payload fetch is one
+    * equi-join on the dense id, co-partitioned or size-gated broadcast;
+    * reproducible on any cluster layout because the draw depends only
+    * on (doc_id, slot, N). At 100 TB with non-dense ids the same plan
+    * hashes into a zipWithIndex-free surrogate (mod max_id + reroll on
+    * miss); the dense-id form is its exact small twin.
+    *
+    * Determinism: md5 hex is byte-identical both engines; the 8-hex-char
+    * prefix parses to the same BIGINT; mod and shift are exact integer
+    * ops. */
+  def negativePairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val slots = (1 to NegativesPerAnchor).map(lit(_))
+    val anchors = docs.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("lang"), col("n"),
+              explode(array(slots: _*)).as("slot"))
+      .withColumn("h",
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("slot"))), 1, 8),
+             16, 10).cast("long") % col("n"))
+      .withColumn("neg_id",
+        when(col("h") === col("doc_id"), (col("h") + 1) % col("n"))
+          .otherwise(col("h")))
+    val negs = docs.select(col("doc_id").as("neg_id"),
+                           col("lang").as("neg_lang"))
+    ord(
+      anchors.join(negs, "neg_id")
+        .select(col("doc_id"), col("slot"), col("neg_id"),
+                col("lang"), col("neg_lang")),
+      col("doc_id"), col("slot"))
+  }
+
   /** Minimum bigram count for q_pmi_bigrams — PMI is unstable on rare
     * pairs (a hapax bigram of two hapax words scores ln N), so every
     * collocation extractor floors the count. */

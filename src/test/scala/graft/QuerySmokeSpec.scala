@@ -28,7 +28,8 @@ class QuerySmokeSpec extends AnyFunSuite {
   test("only the declared non-oracle queries lack oracle SQL") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_distinct", "q_dedup_minhash",
-                           "q_percentile_approx"),
+                           "q_percentile_approx", "q_bpe_vocab",
+                           "q_bpe_encode"),
       s"unexpected non-oracle set: $noOracle")
   }
 }
