@@ -108,6 +108,7 @@ object SparkEntry {
     "q_udf_scalar" -> (F.udfScalar _),
     // §2.8 LLM-pipeline ops
     "q_dedup_exact" -> (L.dedupExact _),
+    "q_dedup_incremental" -> (L.dedupIncremental _),
     "q_dedup_minhash" -> (L.dedupMinhash _),
     "q_dedup_simhash" -> (L.dedupSimhash _),
     "q_dedup_ngram" -> (L.dedupNgram _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "q_dedup_cluster" -> (C.dedupCluster _),
     "q_contamination" -> (C.contamination _),
     "q_corpus_mix" -> (C.corpusMix _),
+    "q_mix_temperature" -> (C.mixTemperature _),
     "q_doc_length_histogram" -> (C.docLengthHistogram _),
     "q_shard_export" -> (C.shardExport _),
     // §2.9 sessionization + time windows (batch forms)
@@ -189,6 +191,7 @@ object SparkEntry {
     "q_attribution_last" -> (W.attributionLast _),
     "q_attribution_linear" -> (W.attributionLinear _),
     "q_attribution_decay" -> (W.attributionDecay _),
+    "q_attribution_position" -> (W.attributionPosition _),
     "q_knn_classify" -> (L.knnClassify _),
     "q_market_basket" -> (AffinityOps.marketBasket _),
     "q_simjoin_prefix" -> (AffinityOps.simJoinPrefix _),
@@ -505,6 +508,23 @@ object SparkEntry {
                  (PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id) AS rn
                FROM documents) t
          WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+    "q_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, lang,
+                           sha256(lower(trim(text))) AS h,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             ::BIGINT % 10 AS bucket
+                    FROM documents),
+            corpus AS (SELECT DISTINCT h FROM d WHERE bucket < 8),
+            batch AS (SELECT doc_id, lang, h FROM d WHERE bucket >= 8),
+            fb AS (SELECT h, min(doc_id) AS first_id FROM batch GROUP BY 1)
+         SELECT b.lang,
+                CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                     WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+                     ELSE 'kept' END AS status,
+                count(*) AS n_docs
+         FROM batch b LEFT JOIN corpus c ON b.h = c.h
+                      JOIN fb f ON b.h = f.h
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_dedup_simhash" ->
       """WITH toks AS (SELECT doc_id, tok
                        FROM (SELECT doc_id,
@@ -1077,6 +1097,22 @@ object SparkEntry {
          SELECT lang, source, n_docs, tokens,
                 round(CAST(tokens AS DOUBLE) / total_tokens, 4) AS share
          FROM cells, t ORDER BY lang, source""",
+    "q_mix_temperature" ->
+      """WITH bl AS (SELECT lang, count(*) AS n_docs,
+                            CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                              AS tokens
+                     FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM bl),
+            sh AS (SELECT lang, n_docs, tokens,
+                          CAST(tokens AS DOUBLE) / total_tokens AS q,
+                          sqrt(CAST(tokens AS DOUBLE) / total_tokens) AS wt
+                   FROM bl, t),
+            ws AS (SELECT sum(wt) AS wt_sum FROM sh)
+         SELECT lang, n_docs, tokens,
+                round(q, 4) AS natural_share,
+                round(wt / wt_sum, 4) AS temp_share,
+                round(wt / wt_sum / q, 4) AS boost
+         FROM sh, ws ORDER BY lang""",
     "q_doc_length_histogram" ->
       """SELECT CAST((len(string_split(text, ' ')) // 10) * 10 AS BIGINT) AS bucket,
                 count(*) AS n_docs
@@ -1861,6 +1897,37 @@ object SparkEntry {
          SELECT e.event_type, count(*) AS n_touches,
                 round(sum(e.rev * e.w / w.wsum), 4) AS revenue
          FROM evw e JOIN ws w ON e.user_id = w.user_id AND e.sid = w.sid
+         GROUP BY 1 ORDER BY 1""",
+    "q_attribution_position" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     FROM g),
+            pos AS (SELECT *, row_number() OVER
+                      (PARTITION BY user_id, sid ORDER BY tsu, event_id) AS rn,
+                           count(*) OVER (PARTITION BY user_id, sid) AS n_touch
+                    FROM sids),
+            sess AS (SELECT user_id, sid,
+                            sum(CASE WHEN event_type = 'purchase' THEN value
+                                     ELSE 0.0 END) AS rev
+                     FROM sids GROUP BY 1, 2)
+         SELECT p.event_type, count(*) AS n_touches,
+                round(sum(ss.rev *
+                          CASE WHEN p.n_touch = 1 THEN CAST(1.0 AS DOUBLE)
+                               WHEN p.n_touch = 2 THEN CAST(0.5 AS DOUBLE)
+                               WHEN p.rn = 1 OR p.rn = p.n_touch
+                                 THEN CAST(0.4 AS DOUBLE)
+                               ELSE CAST(0.2 AS DOUBLE) / (p.n_touch - 2)
+                          END), 4) AS revenue
+         FROM pos p JOIN sess ss ON p.user_id = ss.user_id AND p.sid = ss.sid
          GROUP BY 1 ORDER BY 1""",
     "q_knn_classify" ->
       """WITH em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

@@ -104,6 +104,40 @@ object CurationOps {
       col("lang"), col("source"))
   }
 
+  /** q_mix_temperature — temperature-flattened multilingual sampling
+    * rates (the α-sampling of XLM/mBERT-style training-mix design,
+    * public recipe): a language's natural token share q_l = n_l/N is
+    * flattened to p_l = q_l^α / Σ_m q_m^α, and each language's docs are
+    * then up-/down-sampled by boost = p_l/q_l — high-resource languages
+    * shed mass to low-resource ones. α = 0.5 here, i.e. q^α = sqrt(q):
+    * IEEE-754 requires sqrt to be correctly rounded, so both engines
+    * compute bit-identical weights (libm `pow` would not guarantee
+    * that — the geomean/ln precedent).
+    *
+    * Scale shape: one partial-aggregable groupBy(lang) over the corpus
+    * (the only data-sized shuffle), then scalar totals ride 1-row
+    * broadcasts onto the language-sized frame. The boost column is what
+    * a 100 TB mix job feeds straight into the q_sample_stratified
+    * hash-gate as per-language keep/repeat rates. */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val byLang = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " "))).as("tokens"))
+    val total = byLang.agg(sum(col("tokens")).as("total_tokens"))
+    val shared = byLang.crossJoin(broadcast(total))
+      .withColumn("q", col("tokens").cast("double") / col("total_tokens"))
+      .withColumn("wt", sqrt(col("q")))
+    val wsum = shared.agg(sum(col("wt")).as("wt_sum"))
+    ord(
+      shared.crossJoin(broadcast(wsum))
+        .select(col("lang"), col("n_docs"), col("tokens"),
+                r4(col("q")).as("natural_share"),
+                r4(col("wt") / col("wt_sum")).as("temp_share"),
+                r4(col("wt") / col("wt_sum") / col("q")).as("boost")),
+      col("lang"))
+  }
+
   /** q_doc_length_histogram — token-count histogram in width-10 buckets:
     * the length-distribution profile that picks the q_text_filter
     * bounds. Map-side bucket expression + one aggregate. */

@@ -40,6 +40,49 @@ object LlmOps {
       col("lang"))
   }
 
+  /** q_dedup_incremental — dedup a NEW ingest batch against an already-
+    * deduplicated corpus without re-reading the corpus text: the
+    * incremental path every recurring crawl at 100 TB runs (full
+    * re-dedup per ingest would re-shuffle the whole corpus). The
+    * batch/corpus split is the md5 hash gate (reproducible on any
+    * layout — the q_split_train idiom): ~20% of docs play the new
+    * arrivals. Each batch doc is classified `dup_of_corpus` if its
+    * content hash already exists in the historical fingerprint STORE
+    * (hashes only — corpus text is never re-touched), `dup_in_batch`
+    * if an earlier batch doc carries the same new hash (min doc_id
+    * wins, the q_dedup_exact rule), else `kept`; emitted as the
+    * per-(lang, status) rollup.
+    *
+    * Scale shape: the fingerprint store is corpus-sized but NARROW
+    * (one hash per doc), so the membership probe is a SHUFFLE join on
+    * the hash — never broadcast, the store is the big side — and the
+    * in-batch winner is a partial-aggregable min on the same hash key,
+    * reusing the probe's exchange. At 100 TB the store is a bucketed
+    * table on h and the probe co-locates scan-to-scan. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10)
+    val corpus = docs.filter(col("bucket") < 8).select(col("h")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val batch = docs.filter(col("bucket") >= 8)
+      .select(col("doc_id"), col("lang"), col("h"))
+    val firstInBatch = batch.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_id"))
+    ord(
+      batch.join(corpus, Seq("h"), "left")
+        .join(firstInBatch, "h")
+        .withColumn("status",
+          when(col("in_corpus") === 1, "dup_of_corpus")
+            .when(col("doc_id") =!= col("first_id"), "dup_in_batch")
+            .otherwise("kept"))
+        .groupBy(col("lang"), col("status"))
+        .agg(count(lit(1)).as("n_docs")),
+      col("lang"), col("status"))
+  }
+
   /** q_dedup_minhash — 32-permutation MinHash over word 5-gram shingles,
     * banded 8×4 into LSH buckets; emits candidate near-dup pairs.
     * Non-oracle (order-of-ops-sensitive); property-tested in the suite:

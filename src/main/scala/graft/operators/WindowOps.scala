@@ -406,6 +406,47 @@ object WindowOps {
       col("event_type"))
   }
 
+  /** q_attribution_position — position-based (U-shaped) multi-touch
+    * attribution, the fifth GA credit model beside first/last/linear/
+    * decay: the first and the last touch of a session each earn 40% of
+    * the session's purchase revenue and the middle touches split the
+    * remaining 20% evenly. Boundary rules are the standard ones:
+    * single-touch sessions keep 100%, two-touch sessions split 50/50.
+    *
+    * Scale shape: identical to q_attribution_linear — one per-session
+    * aggregate (revenue, touch count, and the min/max (ts, event_id)
+    * structs that identify the endpoint touches in the SAME pass — no
+    * window sort), then a join BACK to the session store co-partitioned
+    * on (user_id, sid) (exchange reuse — the store is user-bucketed so
+    * nothing re-shuffles), and a final tiny rollup on event type.
+    *
+    * Determinism: endpoint membership is an exact struct equality (the
+    * unique event_id breaks ts ties identically in both engines); the
+    * weights 1.0/0.5/0.4/0.2·(n−2)⁻¹ evaluate the same literal-double
+    * expression tree both sides, and revenue is summed RAW and r4'd
+    * once at the rollup (the q_attribution rule). */
+  def attributionPosition(s: SparkSession, d: String): DataFrame = {
+    val ev = sessionized(s, d, col("event_type"), col("value"))
+    val sess = ev.groupBy(col("user_id"), col("sid"))
+      .agg(sum(when(col("event_type") === "purchase", col("value"))
+                 .otherwise(lit(0.0))).as("rev"),
+           count(lit(1)).as("n_touch"),
+           min(struct(col("ts"), col("event_id"))).as("first_k"),
+           max(struct(col("ts"), col("event_id"))).as("last_k"))
+    val k = struct(col("ts"), col("event_id"))
+    ord(
+      ev.join(sess, Seq("user_id", "sid"))
+        .withColumn("w",
+          when(col("n_touch") === 1, lit(1.0))
+            .when(col("n_touch") === 2, lit(0.5))
+            .when(k === col("first_k") || k === col("last_k"), lit(0.4))
+            .otherwise(lit(0.2) / (col("n_touch") - lit(2)).cast("double")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+             r4(sum(col("rev") * col("w"))).as("revenue")),
+      col("event_type"))
+  }
+
   def markovTransitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("sid"))
       .orderBy(col("ts"), col("event_id"))

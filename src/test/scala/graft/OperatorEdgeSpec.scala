@@ -249,4 +249,64 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"got ${u2.toSeq}")
     assert(out.map(_._3).sum == 5, "every event lands in exactly one session")
   }
+
+  test("attribution_position: U-shape 40/20/40; singleton 100%; pair 50/50") {
+    val dir = tmpDir("attr_pos")
+    val t0 = 1700000000L
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      // user 1: 4 touches, rev 10 → first view 4.0, middles 1.0 each,
+      // last purchase 4.0
+      eventRow(1, t0, 1, "view", 0.0),
+      eventRow(2, t0 + 10, 1, "click", 0.0),
+      eventRow(3, t0 + 20, 1, "view", 0.0),
+      eventRow(4, t0 + 30, 1, "purchase", 10.0),
+      // user 2: singleton purchase keeps 100%
+      eventRow(5, t0, 2, "purchase", 5.0),
+      // user 3: two touches split 50/50
+      eventRow(6, t0, 3, "click", 0.0),
+      eventRow(7, t0 + 10, 3, "purchase", 8.0)
+    ))
+    val out = graft.operators.WindowOps.attributionPosition(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out == Map("view" -> (2L, 5.0), "click" -> (2L, 5.0),
+                      "purchase" -> (3L, 13.0)), s"got $out")
+  }
+
+  test("mix_temperature: sqrt flattening moves share from high- to low-resource") {
+    val dir = tmpDir("mix_temp")
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, "a b c d e f", "en", "s0", 11L), // 6 tokens
+      Row(2L, "a b", "en", "s0", 3L),          // 2 tokens → en q = 0.8
+      Row(3L, "a b", "fr", "s0", 3L)           // 2 tokens → fr q = 0.2
+    ))
+    // sqrt(.8) = 2·sqrt(.2) ⇒ temp shares are exactly 2/3 and 1/3
+    val out = graft.operators.CurationOps.mixTemperature(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("en") == ((0.8, 0.6667, 0.8333)), s"got $out")
+    assert(out("fr") == ((0.2, 0.3333, 1.6667)), s"got $out")
+  }
+
+  test("dedup_incremental: corpus dup, in-batch dup, and fresh doc classified") {
+    val dir = tmpDir("dedup_inc")
+    // md5-bucket gate: ids 1,2 land in the corpus (<8); 16,19,21,26 in
+    // the batch (≥8) — computed from the same md5 prefix both engines use
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, "shared corpus text", "en", "s0", 18L),
+      Row(2L, "other corpus", "en", "s0", 12L),
+      Row(16L, "shared corpus text", "en", "s0", 18L), // dup_of_corpus
+      Row(19L, "fresh text", "en", "s0", 10L),         // kept (min id wins)
+      Row(21L, "fresh text", "en", "s0", 10L),         // dup_in_batch
+      Row(26L, "unique new", "fr", "s0", 10L)          // kept
+    ))
+    val out = graft.operators.LlmOps.dedupIncremental(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(("en", "dup_of_corpus") -> 1L,
+                      ("en", "dup_in_batch") -> 1L,
+                      ("en", "kept") -> 1L,
+                      ("fr", "kept") -> 1L), s"got $out")
+  }
 }
