@@ -144,6 +144,8 @@ object SparkEntry {
     "q_contamination" -> (C.contamination _),
     "q_corpus_mix" -> (C.corpusMix _),
     "q_mix_temperature" -> (C.mixTemperature _),
+    "q_mix_apply" -> (C.mixApply _),
+    "q_chunk_docs" -> (C.chunkDocs _),
     "q_doc_length_histogram" -> (C.docLengthHistogram _),
     "q_shard_export" -> (C.shardExport _),
     // §2.9 sessionization + time windows (batch forms)
@@ -1113,6 +1115,53 @@ object SparkEntry {
                 round(wt / wt_sum, 4) AS temp_share,
                 round(wt / wt_sum / q, 4) AS boost
          FROM sh, ws ORDER BY lang""",
+    "q_mix_apply" ->
+      """WITH bl AS (SELECT lang, count(*) AS n_docs,
+                            CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                              AS tokens
+                     FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM bl),
+            sh AS (SELECT lang,
+                          CAST(tokens AS DOUBLE) / total_tokens AS q,
+                          sqrt(CAST(tokens AS DOUBLE) / total_tokens) AS wt
+                   FROM bl, t),
+            ws AS (SELECT sum(wt) AS wt_sum FROM sh),
+            rates AS (SELECT lang, round(wt / wt_sum / q, 4) AS boost
+                      FROM sh, ws),
+            dd AS (SELECT d.doc_id, d.lang, r.boost,
+                          ('0x' || substr(md5(d.doc_id || ':mix'), 1, 8))
+                            ::BIGINT / 4294967296.0 AS u
+                   FROM documents d JOIN rates r USING (lang)),
+            c AS (SELECT lang,
+                         CAST(floor(boost) AS BIGINT) +
+                           CASE WHEN u < boost - floor(boost) THEN 1
+                                ELSE 0 END AS n_copies
+                  FROM dd)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_copies) AS BIGINT) AS n_copies_out,
+                round(CAST(sum(n_copies) AS DOUBLE) / count(*), 4)
+                  AS realized_rate
+         FROM c GROUP BY 1 ORDER BY 1""",
+    "q_chunk_docs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+            n AS (SELECT doc_id, toks,
+                         1 + (greatest(len(toks) - 50, 0) + 39) // 40
+                           AS n_chunks
+                  FROM d),
+            st AS (SELECT doc_id, toks,
+                          unnest(generate_series(0, (n_chunks - 1) * 40, 40))
+                            AS start
+                   FROM n),
+            ch AS (SELECT doc_id,
+                          CAST(start // 40 AS BIGINT) AS chunk_id,
+                          CAST(start AS BIGINT) AS start_tok,
+                          list_slice(toks, start + 1, start + 50) AS chunk
+                   FROM st)
+         SELECT doc_id, chunk_id, start_tok,
+                CAST(len(chunk) AS BIGINT) AS n_tok_chunk,
+                md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM ch ORDER BY doc_id, chunk_id""",
     "q_doc_length_histogram" ->
       """SELECT CAST((len(string_split(text, ' ')) // 10) * 10 AS BIGINT) AS bucket,
                 count(*) AS n_docs

@@ -564,6 +564,87 @@ object CurationOps {
       col("shard"), col("bin"))
   }
 
+  /** Token window size / stride for q_chunk_docs: 50-token chunks every
+    * 40 tokens → 10-token overlap between adjacent chunks, the standard
+    * sliding-context shape. */
+  val ChunkSize = 50
+  val ChunkStride = 40
+
+  /** q_chunk_docs — overlapping context-window chunking, the step
+    * between a curated corpus and [[packSequences]]: every document is
+    * cut into [[ChunkSize]]-token windows advancing by [[ChunkStride]]
+    * (documents shorter than one window yield exactly one chunk), and
+    * each chunk is emitted with its offset, token count, and an md5
+    * content fingerprint — the fingerprint proves both engines cut the
+    * SAME token spans, not merely the same number of them.
+    *
+    * Scale shape: pure scan-side explode — each row derives its own
+    * chunk starts with `sequence` and slices its own token array; ZERO
+    * shuffles before the output sort. Chunk count per doc is
+    * 1 + ⌈max(n−C, 0)/S⌉, all-integer arithmetic (the double division
+    * is exact below 2⁵³ and floored by the long cast). At 100 TB this
+    * runs as a map-only stage writing sharded output. */
+  def chunkDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("extra",
+        greatest(size(col("toks")) - lit(ChunkSize), lit(0)))
+      .withColumn("n_chunks",
+        ((col("extra") + lit(ChunkStride - 1)) / lit(ChunkStride))
+          .cast("long") + lit(1L))
+    val chunks = docs
+      .withColumn("start",
+        explode(sequence(lit(0L), (col("n_chunks") - 1) * lit(ChunkStride.toLong),
+                         lit(ChunkStride.toLong))))
+      .withColumn("chunk",
+        slice(col("toks"), col("start") + lit(1), lit(ChunkSize)))
+    ord(
+      chunks.select(
+        col("doc_id"),
+        (col("start") / lit(ChunkStride)).cast("long").as("chunk_id"),
+        col("start").as("start_tok"),
+        size(col("chunk")).cast("long").as("n_tok_chunk"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5")),
+      col("doc_id"), col("chunk_id"))
+  }
+
+  /** q_mix_apply — REALIZE the [[mixTemperature]] sampling plan: each
+    * document is replicated ⌊boost⌋ times plus one more when its
+    * deterministic md5 draw falls under frac(boost) — stochastic
+    * rounding that hits the planned rate in expectation while staying
+    * bit-reproducible on any layout (the hash-gate idiom). Reported as
+    * the per-language audit: docs in, copies out, realized rate.
+    *
+    * Determinism at the gate: boost is the 4-decimal r4 output of the
+    * plan (both engines agree exactly), the draw is an exact dyadic
+    * md5/2³² fraction, and frac(boost) is an exact double subtraction —
+    * the comparison can't straddle an ulp.
+    *
+    * Scale shape: the language-rate frame is vocabulary-sized →
+    * broadcast onto the corpus scan; copy counting is map-side and the
+    * audit is one partial-aggregable shuffle. (The plan is recomputed
+    * inline here — ~one aggregate pass; a real 100 TB pipeline persists
+    * it once and broadcasts the table.) The same n_copies expression
+    * feeds `explode(sequence(1, n_copies))` when materializing the
+    * resampled corpus itself. */
+  def mixApply(s: SparkSession, d: String): DataFrame = {
+    val rates = mixTemperature(s, d).select(col("lang"), col("boost"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val u = conv(substring(md5(concat_ws(":", col("doc_id"), lit("mix"))), 1, 8),
+                 16, 10).cast("double") / lit(4294967296.0)
+    val counted = docs.join(broadcast(rates), "lang")
+      .withColumn("n_copies",
+        floor(col("boost")).cast("long") +
+          when(u < col("boost") - floor(col("boost")), 1L).otherwise(0L))
+    ord(
+      counted.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_copies")).as("n_copies_out"),
+             r4(sum(col("n_copies")).cast("double") / count(lit(1)))
+               .as("realized_rate")),
+      col("lang"))
+  }
+
   /** q_split_train — deterministic train/val/test split of the corpus:
     * md5(doc_id) mod 10 routes 80/10/10, reported as per-split document
     * count, average length and language coverage. The split is a pure

@@ -309,4 +309,49 @@ class OperatorEdgeSpec extends AnyFunSuite {
                       ("en", "kept") -> 1L,
                       ("fr", "kept") -> 1L), s"got $out")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("chunk_docs: short doc = one chunk; 51 tokens overlap-chunks at 40; content fingerprint exact") {
+    val dir = tmpDir("chunk")
+    val t50 = (1 to 50).map("t" + _).mkString(" ")
+    val t51 = (1 to 51).map("t" + _).mkString(" ")
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, t50, "en", "s0", t50.length.toLong),  // exactly one window
+      Row(2L, t51, "en", "s0", t51.length.toLong),  // one token over → 2 chunks
+      Row(3L, "", "en", "s0", 0L)                   // empty: split→[""], 1 chunk
+    ))
+    val out = graft.operators.CurationOps.chunkDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out.keySet == Set((1L, 0L), (2L, 0L), (2L, 1L), (3L, 0L)),
+      s"got ${out.keySet}")
+    assert(out((1L, 0L)) == ((0L, 50L, md5hex(t50))))
+    assert(out((2L, 0L)) == ((0L, 50L, md5hex(t50))))
+    // second chunk starts at token 41 (stride 40) and carries the overlap
+    assert(out((2L, 1L)) ==
+      ((40L, 11L, md5hex((41 to 51).map("t" + _).mkString(" ")))))
+    assert(out((3L, 0L)) == ((0L, 1L, md5hex(""))))
+  }
+
+  test("mix_apply: stochastic rounding realizes the planned rate deterministically") {
+    val dir = tmpDir("mix_apply")
+    // en: 8 tokens (boost 0.8333), fr: 2 tokens (boost 1.6667) — same
+    // shares as the mix_temperature fixture; md5 draws computed from the
+    // same prefix arithmetic: doc1 .1809, doc2 .6027 (< .8333 → 1 copy
+    // each); doc3 .9699 (frac miss → 1), doc5 .4744 (frac hit → 2)
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, "a b c d e f", "en", "s0", 11L),
+      Row(2L, "a b", "en", "s0", 3L),
+      Row(3L, "a", "fr", "s0", 1L),
+      Row(5L, "b", "fr", "s0", 1L)
+    ))
+    val out = graft.operators.CurationOps.mixApply(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map("en" -> ((2L, 2L, 1.0)), "fr" -> ((2L, 3L, 1.5))),
+      s"got $out")
+  }
 }
