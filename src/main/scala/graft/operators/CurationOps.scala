@@ -121,13 +121,19 @@ object CurationOps {
     * hash-gate as per-language keep/repeat rates. */
   def mixTemperature(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // lazy checkpoint: byLang feeds FOUR downstream references (shares,
+    // both scalar totals, and the final projection) — without the
+    // barrier each one re-derives the aggregate from its lineage, i.e.
+    // four full corpus scans for a language-cardinality frame
     val byLang = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
            sum(size(split(col("text"), " "))).as("tokens"))
+      .localCheckpoint(false)
     val total = byLang.agg(sum(col("tokens")).as("total_tokens"))
     val shared = byLang.crossJoin(broadcast(total))
       .withColumn("q", col("tokens").cast("double") / col("total_tokens"))
       .withColumn("wt", sqrt(col("q")))
+      .localCheckpoint(false)
     val wsum = shared.agg(sum(col("wt")).as("wt_sum"))
     ord(
       shared.crossJoin(broadcast(wsum))

@@ -67,8 +67,12 @@ object LlmOps {
           .cast("long") % 10)
     val corpus = docs.filter(col("bucket") < 8).select(col("h")).distinct()
       .withColumn("in_corpus", lit(1))
+    // lazy checkpoint: the batch frame feeds both the membership probe
+    // and the in-batch winner — without the barrier each side re-scans
+    // the batch subset and re-computes its sha2
     val batch = docs.filter(col("bucket") >= 8)
       .select(col("doc_id"), col("lang"), col("h"))
+      .localCheckpoint(false)
     val firstInBatch = batch.groupBy(col("h"))
       .agg(min(col("doc_id")).as("first_id"))
     ord(
