@@ -140,6 +140,7 @@ object SparkEntry {
     "q_text_repetition" -> (C.textRepetition _),
     "q_pii_redact" -> (C.piiRedact _),
     "q_sample_stratified" -> (C.sampleStratified _),
+    "q_sample_quota" -> (C.sampleQuota _),
     "q_dedup_cluster" -> (C.dedupCluster _),
     "q_contamination" -> (C.contamination _),
     "q_corpus_mix" -> (C.corpusMix _),
@@ -155,6 +156,7 @@ object SparkEntry {
     "q_session_paths" -> (W.sessionPaths _),
     "q_exit_rate" -> (W.exitRate _),
     "q_window_tumbling" -> (W.windowTumbling _),
+    "q_tumbling_stream" -> (graft.streaming.StreamingOps.tumblingStreamGated _),
     "q_window_sliding" -> (W.windowSliding _),
     // report shaping (r1 additions)
     "q_pivot" -> (P.pivotEvents _),
@@ -1183,6 +1185,17 @@ object SparkEntry {
                FROM documents) t
          WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
          ORDER BY doc_id""",
+    "q_sample_quota" ->
+      """WITH k AS (SELECT lang, doc_id,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             ::BIGINT AS hkey
+                    FROM documents),
+            r AS (SELECT lang, doc_id, hkey,
+                         row_number() OVER (PARTITION BY lang
+                           ORDER BY hkey, doc_id) AS rk
+                  FROM k)
+         SELECT lang, rk, doc_id, hkey FROM r
+         WHERE rk <= 100 ORDER BY lang, rk""",
     "q_dedup_cluster" ->
       """WITH RECURSIVE
             base AS (SELECT doc_id, lang, source,
@@ -1272,6 +1285,10 @@ object SparkEntry {
                 round(sum(n_events)::DOUBLE / count(*), 4) AS avg_events
          FROM sess GROUP BY 1 ORDER BY 1""",
     "q_window_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
+                event_type, count(*) AS n, round(sum(value), 4) AS val
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_tumbling_stream" ->
       """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
                 event_type, count(*) AS n, round(sum(value), 4) AS val
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",

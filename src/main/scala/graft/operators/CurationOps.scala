@@ -651,6 +651,42 @@ object CurationOps {
       col("lang"))
   }
 
+  /** Per-language quota for q_sample_quota. */
+  val QuotaPerLang = 100
+
+  /** q_sample_quota — fixed-quota per-stratum sampling: exactly
+    * min([[QuotaPerLang]], |stratum|) documents per language, drawn by
+    * md5(doc_id) order — a deterministic without-replacement "random"
+    * sample that any engine reproduces on any layout. The complement of
+    * [[sampleStratified]] (rate-based) and [[mixApply]] (weighted):
+    * eval sets and human-review batches want exact counts, not rates.
+    *
+    * Scale shape: the bounded `top_k_pairs` aggregate (the
+    * q_topk_per_group machinery) ships AT MOST k rows per language per
+    * map task and never sorts a stratum; the window row_number()
+    * formulation would shuffle and fully sort every stratum — billions
+    * of rows per language at 100 TB — to keep 100. The draw rides the
+    * aggregate negated (k smallest hashes = k largest negatives;
+    * negation is exact below 2⁵³), ties broken by smaller doc_id
+    * identically in both engines. */
+  def sampleQuota(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKAggregate.register(s)
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    ord(
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), h.as("hkey"))
+        .groupBy(col("lang"))
+        .agg(call_function("top_k_pairs",
+               -col("hkey").cast("double"), col("doc_id"),
+               lit(QuotaPerLang)).as("tk"))
+        .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+                col("e.id").as("doc_id"),
+                (-col("e.value")).cast("long").as("hkey")),
+      col("lang"), col("rk"))
+  }
+
   /** q_split_train — deterministic train/val/test split of the corpus:
     * md5(doc_id) mod 10 routes 80/10/10, reported as per-split document
     * count, average length and language coverage. The split is a pure

@@ -107,16 +107,32 @@ object StreamingOps {
     * Output: (user_id, start_us µs epoch, n_events, session_value r4) —
     * timestamps leave as BIGINT per the driver's tz contract. */
   def sessionizeStreamGated(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val src = streamSourceDir(s, d)
-    val base = java.nio.file.Files.createTempDirectory("stream_gate").toString
+    val res = drainAvailableNow(s, "stream_gate")(
+      sessionAgg(readEventStream(s, src))
+        .select(expr("unix_micros(start)").as("start_us"), col("user_id"),
+                col("n_events"), col("session_value")))
+    graft.Fin.ord(
+      res.filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start_us"), col("n_events"),
+                col("session_value")),
+      col("user_id"), col("start_us"))
+  }
+
+  /** One Trigger.AvailableNow drain of `out` against a fresh checkpoint,
+    * returning the parquet it wrote. The stream is constructed INSIDE
+    * the [[StreamGateParts]] conf window (by-name parameter): a
+    * streaming query pins its shuffle-partition count into the
+    * checkpoint at start. Shared by every gated streaming query. */
+  private def drainAvailableNow(s: SparkSession, tag: String)
+                               (out: => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory(tag).toString
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, StreamGateParts.toString)
     try {
-      val q = sessionAgg(readEventStream(s, src))
-        .select(expr("unix_micros(start)").as("start_us"), col("user_id"),
-                col("n_events"), col("session_value"))
+      val q = out
         .writeStream.trigger(Trigger.AvailableNow())
         .outputMode("append")
         .option("checkpointLocation", s"$base/cp")
@@ -124,11 +140,28 @@ object StreamingOps {
         .start()
       q.awaitTermination()
     } finally s.conf.set(key, prev)
+    s.read.parquet(s"$base/out")
+  }
+
+  /** q_tumbling_stream — the daily tumbling rollup run to COMPLETION
+    * under the DuckDB gate: the second streaming query oracle-verified
+    * end-to-end, proving the availableNow + sentinel drain generalizes
+    * beyond sessions to plain windowed aggregation. Reuses the SAME
+    * republished stream source (and far-future sentinel) as
+    * q_sessionize_stream — CachedDir pays the publish once per source
+    * state. The sentinel seals every real day window at catch-up-batch
+    * end; append mode then emits them all in the follow-up eviction
+    * batch, and the sentinel's own still-open window never emits (its
+    * event_type is filtered regardless). Oracle = the q_window_tumbling
+    * batch SQL verbatim: streaming and batch must agree to the hash. */
+  def tumblingStreamGated(s: SparkSession, d: String): DataFrame = {
+    val src = streamSourceDir(s, d)
+    val res = drainAvailableNow(s, "stream_gate_tumb")(
+      tumblingCounts(readEventStream(s, src)))
     graft.Fin.ord(
-      s.read.parquet(s"$base/out").filter(col("user_id") >= 0)
-        .select(col("user_id"), col("start_us"), col("n_events"),
-                col("session_value")),
-      col("user_id"), col("start_us"))
+      res.filter(col("event_type") =!= "sentinel")
+        .select(col("day"), col("event_type"), col("n"), col("val")),
+      col("day"), col("event_type"))
   }
 
   /** Idempotent ingest: duplicate event_ids arriving within the
