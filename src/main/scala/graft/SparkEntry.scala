@@ -76,6 +76,7 @@ object SparkEntry {
     "q_join_asof" -> (J.joinAsof _),
     "q_join_asof_stream" -> (J.joinAsofStream _),
     "q_join_theta" -> (J.joinTheta _),
+    "q_join_bloom" -> (J.joinBloom _),
     // §2.4 aggregations
     "q_agg_pricing" -> (R.aggPricing _),
     "q_agg_distinct" -> (R.aggDistinct _),
@@ -178,6 +179,7 @@ object SparkEntry {
     // retrieval / time-series / experiment / graph analytics (r6)
     "q_tfidf" -> (RetrievalOps.tfidf _),
     "q_bm25" -> (RetrievalOps.bm25 _),
+    "q_rrf_fusion" -> (RetrievalOps.rrfFusion _),
     "q_gap_fill" -> (TimeSeriesOps.gapFill _),
     "q_anomaly" -> (TimeSeriesOps.anomaly _),
     "q_ab_test" -> (TimeSeriesOps.abTest _),
@@ -335,6 +337,12 @@ object SparkEntry {
       """SELECT p1.p_brand, count(*) AS n_pairs
          FROM part p1 JOIN part p2
            ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+         GROUP BY 1 ORDER BY 1""",
+    "q_join_bloom" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
          GROUP BY 1 ORDER BY 1""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1595,6 +1603,44 @@ object SparkEntry {
          SELECT doc_id, round(sum(term_s), 4) AS bm25
          FROM sc GROUP BY 1
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "q_rrf_fusion" ->
+      """WITH dt AS (SELECT doc_id, tok
+                     FROM (SELECT doc_id,
+                                  unnest(list_distinct(string_split(text, ' ')))
+                                    AS tok
+                           FROM documents) x
+                     WHERE length(tok) > 0),
+            qt AS (SELECT doc_id AS q_id, tok FROM dt WHERE doc_id < 10),
+            ov AS (SELECT q.q_id, c.doc_id, count(*) AS ov
+                   FROM dt c JOIN qt q USING (tok)
+                   WHERE c.doc_id <> q.q_id GROUP BY 1, 2),
+            lex AS (SELECT q_id, doc_id,
+                           CAST(row_number() OVER (PARTITION BY q_id
+                             ORDER BY ov DESC, doc_id) AS INT) AS rl
+                    FROM ov QUALIFY rl <= 20),
+            em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            qv AS (SELECT vec_id AS q_id, v AS qv FROM em WHERE vec_id < 10),
+            sims AS (SELECT q_id, vec_id AS doc_id,
+                            round(list_dot_product(qv, v) /
+                                  (sqrt(list_dot_product(qv, qv)) *
+                                   sqrt(list_dot_product(v, v))), 4) AS sim
+                     FROM em, qv WHERE vec_id <> q_id),
+            sem AS (SELECT q_id, doc_id,
+                           CAST(row_number() OVER (PARTITION BY q_id
+                             ORDER BY sim DESC, doc_id) AS INT) AS rs
+                    FROM sims QUALIFY rs <= 20),
+            fused AS (SELECT coalesce(l.q_id, s.q_id) AS q_id,
+                             coalesce(l.doc_id, s.doc_id) AS doc_id,
+                             coalesce(1.0 / (60 + l.rl), 0) +
+                             coalesce(1.0 / (60 + s.rs), 0) AS rrf0
+                      FROM lex l FULL OUTER JOIN sem s
+                        ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
+            fin AS (SELECT q_id, doc_id, rrf0,
+                           CAST(row_number() OVER (PARTITION BY q_id
+                             ORDER BY rrf0 DESC, doc_id) AS INT) AS rk
+                    FROM fused QUALIFY rk <= 5)
+         SELECT q_id, rk, doc_id, round(rrf0, 4) AS rrf
+         FROM fin ORDER BY q_id, rk""",
     "q_gap_fill" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hr,
                            value FROM events),

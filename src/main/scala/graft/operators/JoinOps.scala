@@ -237,4 +237,50 @@ object JoinOps {
         .agg(count(lit(1)).as("n_pairs")),
       col("p_brand"))
   }
+
+  /** Bloom sizing bounds for [[joinBloom]]: ~10 bits/key ≈ 1% false
+    * positives, clamped so the literal shipped to every task stays
+    * ≤ 1 MiB no matter what the dim count() measures. */
+  private val BloomBitsPerKey = 10L
+  private val BloomMaxBits = 1L << 23
+
+  /** q_join_bloom — fact-scan pruning via an explicit bloom runtime
+    * filter: urgent-order revenue by return flag, with the lineitem
+    * scan pre-filtered by a bloom sketch of the urgent orderkeys
+    * BEFORE the exact join. Result ≡ the plain join (bloom filters
+    * have no false negatives; false positives are removed by the join
+    * itself), so the oracle is the unadorned join SQL — the sketch can
+    * only change cost, never rows.
+    *
+    * Scale shape: this is AQE InjectRuntimeFilter's own expression
+    * pair ([[graft.functions.BloomExprs]]) applied by hand, for plans
+    * the optimizer won't inject into. At 100 TB the urgent dim exceeds
+    * the broadcast threshold, so the exact join shuffles BOTH sides —
+    * the bloom probe drops non-matching fact rows at the scan (columnar
+    * batch, before the exchange), shrinking the big side's shuffle by
+    * the selectivity (~20% here). Build is one partial-aggregable pass
+    * over the dim keys; the single-row `.head()` ships a bounded
+    * O(num_bits) SKETCH to the driver (the approved scalar-read idiom —
+    * never the keys), sized from the measured dim count at
+    * [[BloomBitsPerKey]] bits/key and clamped to [[BloomMaxBits]]. */
+  def joinBloom(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BloomExprs.register(s)
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val items = math.max(1L, urgent.count())
+    val bits = math.min(BloomMaxBits, math.max(1L << 10, items * BloomBitsPerKey))
+    val sketch = urgent.agg(
+      call_function("bloom_build", col("o_orderkey"), lit(items), lit(bits))
+        .as("bf")).head().getAs[Array[Byte]](0)
+    val li = Tables.lineitem(s, d)
+      .filter(call_function("bloom_might_contain", lit(sketch), col("l_orderkey")))
+    ord(
+      li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+             r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+               .as("revenue")),
+      col("l_returnflag"))
+  }
 }

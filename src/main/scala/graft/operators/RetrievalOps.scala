@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Fin, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Classic IR scoring over the `documents` corpus: TF-IDF term weighting
@@ -85,5 +85,76 @@ object RetrievalOps {
       .agg(r4(sum(col("term_s"))).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
+  }
+
+  /** Query-document count (ids < this), per-list depth, fused depth and
+    * the standard RRF smoothing constant for [[rrfFusion]]. */
+  private[graft] val RrfQueries = 10
+  private[graft] val RrfListK = 20
+  private[graft] val RrfFinalK = 5
+  private[graft] val RrfC = 60
+
+  /** q_rrf_fusion — hybrid retrieval by reciprocal-rank fusion
+    * (Cormack et al., SIGIR'09): for each query document (id <
+    * [[RrfQueries]], the `documents`↔`embeddings` tables share the id
+    * domain) fuse a LEXICAL ranking (distinct-token overlap with the
+    * candidate, the sparse signal) and a SEMANTIC ranking (embedding
+    * cosine, the dense signal), each truncated to [[RrfListK]], by
+    * rrf = Σ_lists 1/([[RrfC]] + rank); keep the fused top
+    * [[RrfFinalK]]. The canonical dense+sparse hybrid-search shape of
+    * every retrieval-augmented pipeline — RRF needs no score
+    * calibration between lists, only ranks.
+    *
+    * Scale shape: both rankings and the fused cut ride the bounded
+    * `top_k_pairs` aggregate — ≤ k rows per query per map task, no
+    * stratum is ever sorted (the window formulation would sort every
+    * candidate list). The query side (tokens of 10 docs / 10 query
+    * vectors) is broadcast to the corpus scan, so the lexical postings
+    * join and the cosine scan are map-side; the only data-sized
+    * shuffles are the two partial-aggregable groupBys. Determinism:
+    * cosine is r4'd BEFORE ranking (the hash-safe rule shared with
+    * q_similarity_topk); overlap counts are exact integers; rrf scores
+    * are sums of two dyadic-free but ENGINE-IDENTICAL doubles
+    * (1/(60+r) from integer ranks — bit-equal in any IEEE engine), so
+    * ranking before the output r4 is exact; every tie breaks on the
+    * smaller doc_id in both engines. */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKAggregate.register(s)
+    graft.functions.CosineSimilarity.register(s)
+    // bounded per-group top-k list with rank = position: value desc,
+    // ties to the smaller id — top_k_pairs' native order
+    def topList(scored: DataFrame, v: Column, k: Int, rank: String) =
+      scored.groupBy(col("q_id"))
+        .agg(call_function("top_k_pairs", v, col("doc_id"), lit(k)).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("q_id"), col("e.id").as("doc_id"),
+                col("e.value").as("v"), (col("pos") + 1).cast("int").as(rank))
+    val dt = Tables.documents(s, d)
+      .select(col("doc_id"),
+              explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val qt = dt.filter(col("doc_id") < RrfQueries)
+      .select(col("doc_id").as("q_id"), col("tok"))
+    val overlap = dt.join(broadcast(qt), Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("ov"))
+    val lex = topList(overlap, col("ov").cast("double"), RrfListK, "rl")
+      .drop("v")
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = em.filter(col("vec_id") < RrfQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val sims = em.join(broadcast(qv), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+              r4(call_function("cosine_sim", col("qv"), col("v"))).as("sim"))
+    val sem = topList(sims, col("sim"), RrfListK, "rs").drop("v")
+    val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+              (coalesce(lit(1.0) / (lit(RrfC) + col("rl")), lit(0.0)) +
+               coalesce(lit(1.0) / (lit(RrfC) + col("rs")), lit(0.0))).as("rrf0"))
+    ord(
+      topList(fused, col("rrf0"), RrfFinalK, "rk")
+        .select(col("q_id"), col("rk"), col("doc_id"), r4(col("v")).as("rrf")),
+      col("q_id"), col("rk"))
   }
 }
