@@ -77,6 +77,7 @@ object SparkEntry {
     "q_join_asof_stream" -> (J.joinAsofStream _),
     "q_join_theta" -> (J.joinTheta _),
     "q_join_bloom" -> (J.joinBloom _),
+    "q_zorder_stats" -> (graft.operators.LayoutOps.zorderStats _),
     // §2.4 aggregations
     "q_agg_pricing" -> (R.aggPricing _),
     "q_agg_distinct" -> (R.aggDistinct _),
@@ -158,6 +159,7 @@ object SparkEntry {
     "q_exit_rate" -> (W.exitRate _),
     "q_window_tumbling" -> (W.windowTumbling _),
     "q_tumbling_stream" -> (graft.streaming.StreamingOps.tumblingStreamGated _),
+    "q_interval_join_stream" -> (graft.streaming.StreamingOps.intervalJoinStreamGated _),
     "q_window_sliding" -> (W.windowSliding _),
     // report shaping (r1 additions)
     "q_pivot" -> (P.pivotEvents _),
@@ -344,6 +346,28 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'
          GROUP BY 1 ORDER BY 1""",
+    "q_zorder_stats" ->
+      """WITH mx AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms
+                     FROM lineitem),
+            c AS (SELECT (l_partkey * 256) // (mp + 1) AS a8,
+                         (l_suppkey * 256) // (ms + 1) AS b8,
+                         l_partkey, l_suppkey
+                  FROM lineitem CROSS JOIN mx),
+            z AS (SELECT l_partkey, l_suppkey,
+                         CAST((SELECT sum(
+                             (((a8 >> CAST(i AS INT)) & 1)
+                                << CAST(2 * i + 1 AS INT)) +
+                             (((b8 >> CAST(i AS INT)) & 1)
+                                << CAST(2 * i AS INT)))
+                           FROM range(0, 8) r(i)) AS BIGINT) AS zval
+                  FROM c),
+            f AS (SELECT l_partkey, l_suppkey,
+                         CAST((zval * 256) // 65536 AS BIGINT) AS file_id
+                  FROM z)
+         SELECT file_id, count(*) AS n_rows,
+                min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+                min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+         FROM f GROUP BY 1 ORDER BY 1""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 4) AS sum_qty,
@@ -1300,6 +1324,17 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
                 event_type, count(*) AS n, round(sum(value), 4) AS val
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_interval_join_stream" ->
+      """WITH c AS (SELECT user_id AS c_user, epoch_us(ts::TIMESTAMP) AS c_us,
+                           event_id AS click_id
+                    FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS p_us,
+                         event_id AS purchase_id, value
+                  FROM events WHERE event_type = 'purchase')
+         SELECT purchase_id, click_id, user_id, p_us, c_us, value
+         FROM p JOIN c ON user_id = c_user
+           AND c_us <= p_us AND c_us >= p_us - 3600000000
+         ORDER BY purchase_id, click_id""",
     "q_window_sliding" ->
       """WITH w0 AS (SELECT (epoch_us(ts::TIMESTAMP)//1000000)//1800*1800 AS w_start,
                             event_type, value FROM events),

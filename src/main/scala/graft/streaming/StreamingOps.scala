@@ -164,6 +164,32 @@ object StreamingOps {
       col("day"), col("event_type"))
   }
 
+  /** q_interval_join_stream — the stream-stream interval join run to
+    * COMPLETION under the DuckDB gate: purchases joined to the same
+    * user's clicks within the preceding hour, both sides watermarked
+    * (the third gated streaming query — after grouped-state
+    * sessionization and windowed aggregation, this proves the
+    * two-sided JOIN state machinery computes the batch truth). Both
+    * sides read the SAME republished source (CachedDir publish paid
+    * once); inner-join matches emit as soon as both rows are in state,
+    * so everything lands in the availableNow catch-up batch and the
+    * far-future sentinel merely lets the engine evict its buffers
+    * before terminating (its event_type matches neither side's
+    * filter). Oracle = the batch range join on raw µs timestamps;
+    * timestamps leave as BIGINT per the driver's tz contract. */
+  def intervalJoinStreamGated(s: SparkSession, d: String): DataFrame = {
+    val src = streamSourceDir(s, d)
+    val res = drainAvailableNow(s, "stream_gate_ij")(
+      clickPurchaseJoin(readEventStream(s, src), readEventStream(s, src))
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+                expr("unix_micros(p_ts)").as("p_us"),
+                expr("unix_micros(c_ts)").as("c_us"), col("value")))
+    graft.Fin.ord(
+      res.select(col("purchase_id"), col("click_id"), col("user_id"),
+                 col("p_us"), col("c_us"), col("value")),
+      col("purchase_id"), col("click_id"))
+  }
+
   /** Idempotent ingest: duplicate event_ids arriving within the
     * watermark horizon are dropped — the reference's hash-id dedup,
     * Spark-native. */
