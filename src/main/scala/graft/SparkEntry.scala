@@ -143,6 +143,7 @@ object SparkEntry {
     "q_pii_redact" -> (C.piiRedact _),
     "q_sample_stratified" -> (C.sampleStratified _),
     "q_sample_quota" -> (C.sampleQuota _),
+    "q_sample_weighted" -> (C.sampleWeighted _),
     "q_dedup_cluster" -> (C.dedupCluster _),
     "q_contamination" -> (C.contamination _),
     "q_corpus_mix" -> (C.corpusMix _),
@@ -173,6 +174,7 @@ object SparkEntry {
     "q_ingest_incremental" -> (IngestOps.ingestIncremental _),
     "q_merge_upsert" -> (IngestOps.mergeUpsert _),
     "q_scd2_history" -> (IngestOps.scd2History _),
+    "q_snapshot_diff" -> (IngestOps.snapshotDiff _),
     "q_report_declarative" -> (ReportOps.reportDeclarative _),
     "q_cohort_retention" -> (ReportOps.cohortRetention _),
     "q_new_returning" -> (ReportOps.newVsReturning _),
@@ -1228,6 +1230,17 @@ object SparkEntry {
                   FROM k)
          SELECT lang, rk, doc_id, hkey FROM r
          WHERE rk <= 100 ORDER BY lang, rk""",
+    "q_sample_weighted" ->
+      """WITH k AS (SELECT lang, doc_id,
+                           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              ::BIGINT + 0.5) / 4294967296.0 / n_chars AS pri
+                    FROM documents WHERE n_chars > 0),
+            r AS (SELECT lang, doc_id, pri,
+                         row_number() OVER (PARTITION BY lang
+                           ORDER BY pri, doc_id) AS rk
+                  FROM k)
+         SELECT lang, rk, doc_id, pri AS priority FROM r
+         WHERE rk <= 100 ORDER BY lang, rk""",
     "q_dedup_cluster" ->
       """WITH RECURSIVE
             base AS (SELECT doc_id, lang, source,
@@ -1442,6 +1455,26 @@ object SparkEntry {
                 round(sum(value), 4) AS total_value,
                 epoch_us(max(ts)) // 1000000 AS last_sec
          FROM merged GROUP BY 1 ORDER BY event_type""",
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+            old AS (SELECT k, p AS p_old FROM o WHERE k % 13 <> 0),
+            neu AS (SELECT k, CASE WHEN k % 7 = 0 THEN p + 10.0 ELSE p END
+                      AS p_new
+                    FROM o WHERE k % 11 <> 0),
+            d AS (SELECT old.p_old, neu.p_new,
+                         CASE WHEN p_old IS NULL THEN 'insert'
+                              WHEN p_new IS NULL THEN 'delete'
+                              WHEN p_old <> p_new THEN 'update'
+                              ELSE 'unchanged' END AS change_type
+                  FROM old FULL OUTER JOIN neu ON old.k = neu.k)
+         SELECT change_type, count(*) AS n_keys,
+                CAST(sum(CASE WHEN p_new IS NULL THEN 0
+                              ELSE CAST(round(p_new * 100) AS BIGINT) END)
+                  AS BIGINT) AS total_new_c,
+                CAST(sum(CASE WHEN p_old IS NULL THEN 0
+                              ELSE CAST(round(p_old * 100) AS BIGINT) END)
+                  AS BIGINT) AS total_old_c
+         FROM d GROUP BY 1 ORDER BY 1""",
     "q_scd2_history" ->
       // SCD2 validity intervals of each user's event_type: change points
       // via lag over (ts, event_id) — event_id breaks equal-ts ties —

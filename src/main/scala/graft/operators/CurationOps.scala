@@ -687,6 +687,41 @@ object CurationOps {
       col("lang"), col("rk"))
   }
 
+  /** q_sample_weighted — weight-proportional sampling without
+    * replacement by SEQUENTIAL POISSON / order sampling (Ohlsson '98;
+    * the priority-sampling family): priority = u / w with u a
+    * reproducible md5-derived uniform and w = n_chars, keep the
+    * [[QuotaPerLang]] SMALLEST priorities per language — inclusion
+    * probability ∝ weight, so long documents are favored exactly as a
+    * token-budget-weighted curation draw wants. The weighted complement
+    * of [[sampleQuota]] (uniform quota).
+    *
+    * Determinism across engines: u = (hkey + 0.5)/2³² is an exact
+    * dyadic rational and BOTH divisions are single correctly-rounded
+    * IEEE ops on identical operands — bit-identical in any IEEE engine,
+    * no transcendental (the classic Efraimidis–Spirakis u^(1/w) key
+    * would ride libm `pow`, whose last-ulp disagreements could flip
+    * ranks at the cut). Same bounded top_k_pairs shape as sampleQuota:
+    * ≤ k rows per language per map task, no stratum ever sorted. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKAggregate.register(s)
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val pri = (h.cast("double") + lit(0.5)) / lit(4294967296.0) /
+      col("n_chars").cast("double")
+    ord(
+      Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .select(col("lang"), col("doc_id"), pri.as("pri"))
+        .groupBy(col("lang"))
+        .agg(call_function("top_k_pairs",
+               -col("pri"), col("doc_id"), lit(QuotaPerLang)).as("tk"))
+        .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+                col("e.id").as("doc_id"), (-col("e.value")).as("priority")),
+      col("lang"), col("rk"))
+  }
+
   /** q_split_train — deterministic train/val/test split of the corpus:
     * md5(doc_id) mod 10 routes 80/10/10, reported as per-split document
     * count, average length and language coverage. The split is a pure

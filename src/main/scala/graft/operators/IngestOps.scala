@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental ingest — the reference's core capability (SURVEY.md §0:
@@ -296,5 +296,49 @@ object IngestOps {
                 (expr("(20000 * c + 100 * n_events) DIV (200 * n_events)")
                   .cast("double") / lit(10000.0)).as("avg_value")),
       col("day"), col("event_type"))
+  }
+
+  /** q_snapshot_diff — CDC between two table snapshots: per change type
+    * (insert / delete / update / unchanged), key count and exact-cent
+    * totals of both sides. Completes the warehouse-sync triangle beside
+    * [[mergeUpsert]] (apply a delta) and [[scd2History]] (keep history):
+    * diff DERIVES the delta when the upstream can only hand over full
+    * snapshots — the recurring full-export reality of most sources.
+    *
+    * Snapshots are carved deterministically from orders so the oracle
+    * reproduces them: old = keys %13 ≠ 0 at original price, new = keys
+    * %11 ≠ 0 with +10.00 on keys %7 = 0 (exact double addition — no
+    * rounding ambiguity in the update predicate; %13-only keys surface
+    * as inserts, %11 as deletes).
+    *
+    * Scale shape: ONE co-partitioned full-outer join on the key — both
+    * snapshots shuffle once (bucketed snapshot layouts would kill even
+    * that, q_join_bucketed's trade) — and a partial-aggregable rollup.
+    * Totals in exact integer cents (the q_join_bucketed idiom):
+    * change-class sums at warehouse scale accumulate enough doubles
+    * that round(·,4) cannot rescue a float sum. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val o = graft.Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    val old = o.filter(col("k") % 13 =!= 0).select(col("k"), col("p").as("p_old"))
+    val neu = o.filter(col("k") % 11 =!= 0)
+      .select(col("k"),
+              when(col("k") % 7 === 0, col("p") + lit(10.0))
+                .otherwise(col("p")).as("p_new"))
+    val cents = (c: Column) =>
+      when(c.isNull, 0L).otherwise(round(c * 100).cast("long"))
+    ord(
+      old.join(neu, Seq("k"), "full_outer")
+        .withColumn("change_type",
+          when(col("p_old").isNull, "insert")
+            .when(col("p_new").isNull, "delete")
+            .when(col("p_old") =!= col("p_new"), "update")
+            .otherwise("unchanged"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_keys"),
+             sum(cents(col("p_new"))).as("total_new_c"),
+             sum(cents(col("p_old"))).as("total_old_c")),
+      col("change_type"))
   }
 }
