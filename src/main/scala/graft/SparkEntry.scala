@@ -43,6 +43,7 @@ object SparkEntry {
     IngestOps.ingestSinkDir(spark, d)
     IngestOps.historyReportDir(spark, d)
     graft.streaming.StreamingOps.streamSourceDir(spark, d)
+    graft.streaming.StreamingOps.prepareGatedStreams(spark, d)
   }
 
   /** One entry per implemented operator from SURVEY.md §2.
@@ -144,6 +145,7 @@ object SparkEntry {
     "q_sample_stratified" -> (C.sampleStratified _),
     "q_sample_quota" -> (C.sampleQuota _),
     "q_sample_weighted" -> (C.sampleWeighted _),
+    "q_token_entropy" -> (L.tokenEntropy _),
     "q_dedup_cluster" -> (C.dedupCluster _),
     "q_contamination" -> (C.contamination _),
     "q_corpus_mix" -> (C.corpusMix _),
@@ -1230,6 +1232,21 @@ object SparkEntry {
                   FROM k)
          SELECT lang, rk, doc_id, hkey FROM r
          WHERE rk <= 100 ORDER BY lang, rk""",
+    "q_token_entropy" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+            tf AS (SELECT source, tok, count(*) AS tf FROM t
+                   WHERE length(tok) > 0 GROUP BY 1, 2),
+            ag AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                          count(*) AS n_distinct,
+                          CAST(sum(CAST(round(tf * ln(tf) * 1000000.0)
+                                        AS BIGINT)) AS BIGINT) AS tl_micro
+                   FROM tf GROUP BY 1)
+         SELECT source, n_tokens, n_distinct,
+                round(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS ttr,
+                round(ln(n_tokens) - tl_micro / 1000000.0 / n_tokens, 4)
+                  AS entropy
+         FROM ag ORDER BY 1""",
     "q_sample_weighted" ->
       """WITH k AS (SELECT lang, doc_id,
                            (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

@@ -998,6 +998,45 @@ object LlmOps {
         col("tok"))
   }
 
+  /** q_token_entropy — per-source token-distribution health: total and
+    * distinct token counts, type-token ratio, and Shannon entropy of
+    * the unigram distribution (nats). Low entropy or TTR flags
+    * template/boilerplate-dominated sources (the corpus-level
+    * complement of q_text_repetition's per-doc signal); entropy is the
+    * standard diversity gauge a mixture design reads per source.
+    *
+    * Determinism under a float SUM: H = ln(N) − (Σ tf·ln tf)/N, and the
+    * Σ runs over an engine-dependent partition order — a raw double sum
+    * would drift. Each term is therefore rounded to INTEGER MICRO-NATS
+    * (round(tf·ln tf·10⁶) as BIGINT) and summed exactly; order no
+    * longer matters, and both engines compute identical terms (per-term
+    * libm ln inside a ±0.5 integer-rounding guard — the q_pmi_bigrams
+    * contract, tri-SF-proven there). tf = 1 contributes ln 1 = 0.
+    *
+    * Scale shape: two partial-aggregable shuffles — (source, tok) then
+    * source — both vocabulary-bounded after the first combine; no
+    * window, no join. */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+    ord(
+      tf.groupBy(col("source"))
+        .agg(sum(col("tf")).as("n_tokens"),
+             count(lit(1)).as("n_distinct"),
+             sum(round(col("tf").cast("double") *
+                       log(col("tf").cast("double")) * lit(1000000.0))
+                   .cast("long")).as("tl_micro"))
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+                r4(col("n_distinct").cast("double") / col("n_tokens"))
+                  .as("ttr"),
+                r4(log(col("n_tokens").cast("double")) -
+                   col("tl_micro").cast("double") / lit(1000000.0) /
+                     col("n_tokens")).as("entropy")),
+      col("source"))
+  }
+
   /** Misra–Gries heavy-hitters sketch over the token stream: every
     * input partition keeps at most `capacity` counters (new token with
     * the table full ⇒ the classic decrement-all step, shedding zeroed
