@@ -354,4 +354,69 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out == Map("en" -> ((2L, 2L, 1.0)), "fr" -> ((2L, 3L, 1.5))),
       s"got $out")
   }
+
+  test("snapshot_diff: all four change classes, exact-cent totals") {
+    val dir = tmpDir("snap_diff")
+    val ts = new java.sql.Timestamp(1700000000L * 1000)
+    // keys 1..15, price 100*k: 13 only in new (insert), 11 only in old
+    // (delete), 7 & 14 price-bumped (update), the remaining 11 unchanged
+    writeTable(dir, "orders", Schemas.orders, (1L to 15L).map(k =>
+      Row(k, k, "O", 100.0 * k, ts, "1-URGENT")))
+    val out = graft.operators.IngestOps.snapshotDiff(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      "insert" -> ((1L, 130000L, 0L)),
+      "delete" -> ((1L, 0L, 110000L)),
+      "update" -> ((2L, 212000L, 210000L)),
+      "unchanged" -> ((11L, 750000L, 750000L))), s"got $out")
+  }
+
+  test("sample_weighted: stratum under quota keeps every doc, ordered by u/w priority") {
+    val dir = tmpDir("samp_w")
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, "a", "xx", "s0", 10L),
+      Row(2L, "b", "xx", "s0", 1000L),
+      Row(3L, "c", "xx", "s0", 50L)
+    ))
+    val out = graft.operators.CurationOps.sampleWeighted(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // independent recomputation of the order-sampling priority
+    def pri(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0 / w
+    }
+    val expect = Seq(1L -> 10L, 2L -> 1000L, 3L -> 50L)
+      .sortBy { case (id, w) => (pri(id, w), id) }
+      .zipWithIndex.map { case ((id, _), i) => (i + 1L, id) }
+    assert(out.toSeq == expect, s"got ${out.toSeq} want $expect")
+  }
+
+  test("rrf_fusion: the lexically and semantically identical candidate ranks first") {
+    val dir = tmpDir("rrf")
+    // 10 query docs (ids < 10) + candidates; doc 10 duplicates doc 0's
+    // text AND vector, so it holds rank 1 in BOTH lists for q 0 and its
+    // fused score 2/61 is the maximum possible
+    val docs = (0L to 9L).map(i =>
+      Row(i, s"q$i tok$i shared", "en", "s0", 10L)) ++ Seq(
+      Row(10L, "q0 tok0 shared", "en", "s0", 10L),
+      Row(11L, "shared other words", "en", "s0", 10L))
+    writeTable(dir, "documents", documentsSchema, docs)
+    def vec(seed: Int) = (0 until 4).map(j =>
+      (math.sin(seed * 4 + j) * 100).toFloat).toArray
+    writeTable(dir, "embeddings", embeddingsSchema,
+      (0L to 9L).map(i => Row(i, vec(i.toInt), 0)) ++ Seq(
+        Row(10L, vec(0), 0), Row(11L, vec(99), 0)))
+    val out = graft.operators.RetrievalOps.rrfFusion(spark, dir).collect()
+    val q0top = out.filter(r => r.getLong(0) == 0L && r.getInt(1) == 1).head
+    assert(q0top.getLong(2) == 10L, s"q0 rank-1 was ${q0top.getLong(2)}")
+    assert(math.abs(q0top.getDouble(3) - math.rint(2.0 / 61 * 1e4) / 1e4) < 1e-9)
+    // every query returns a dense rank 1..k with no duplicate candidates
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length).toSeq)
+      assert(rows.map(_.getLong(2)).distinct.length == rows.length, s"q$q dup cand")
+    }
+  }
 }
