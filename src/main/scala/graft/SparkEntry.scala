@@ -83,6 +83,9 @@ object SparkEntry {
     "q_agg_pricing" -> (R.aggPricing _),
     "q_agg_distinct" -> (R.aggDistinct _),
     "q_agg_approx_distinct" -> (R.aggApproxDistinct _),
+    // non-oracle by design (sketch estimate — HllRollupSpec asserts the
+    // merge algebra + 5% accuracy; driver records rows>0)
+    "q_hll_rollup" -> (R.hllRollup _),
     "q_agg_having" -> (R.aggHaving _),
     "q_agg_rollup" -> (R.aggRollup _),
     "q_agg_cube" -> (R.aggCube _),

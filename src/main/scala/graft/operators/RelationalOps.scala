@@ -161,6 +161,35 @@ object RelationalOps {
       col("event_type"))
   }
 
+  /** q_hll_rollup — the RE-AGGREGABLE distinct-count store (non-oracle
+    * by design, like q_agg_approx_distinct; suite-asserted): per-day
+    * datasketches HLL sketches of the distinct users, MERGED upward to
+    * weekly estimates with `hll_union_agg`. The point is the algebra,
+    * not the estimate: sketch merge is register-wise max — associative
+    * and commutative — so a persisted per-day sketch column answers ANY
+    * date-range distinct-user question by merging O(days) kilobyte
+    * sketches instead of rescanning the events. At 100 TB that is the
+    * difference between a dashboard query and a batch job; it is also
+    * why the estimate is layout-deterministic (merge order cannot
+    * change a max). HllRollupSpec asserts the union-of-daily estimate
+    * EQUALS the single-pass whole-range sketch (same register state)
+    * and stays within 5% of exact.
+    *
+    * Scale shape: one partial-aggregable shuffle to daily sketches
+    * (fixed 2^12-register state per group), then a week-keyed merge of
+    * |days| tiny sketches. */
+  def hllRollup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val daily = e.groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+           count(lit(1)).as("n_events"))
+    ord(
+      daily.groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+        .agg(sum(col("n_events")).as("n_events"),
+             expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users")),
+      col("week"))
+  }
+
   /** q_agg_having — post-aggregation filter. */
   def aggHaving(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
