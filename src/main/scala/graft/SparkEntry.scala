@@ -164,6 +164,7 @@ object SparkEntry {
     "q_session_paths" -> (W.sessionPaths _),
     "q_exit_rate" -> (W.exitRate _),
     "q_window_tumbling" -> (W.windowTumbling _),
+    "q_pattern_match" -> (W.patternMatch _),
     "q_tumbling_stream" -> (graft.streaming.StreamingOps.tumblingStreamGated _),
     "q_interval_join_stream" -> (graft.streaming.StreamingOps.intervalJoinStreamGated _),
     "q_window_sliding" -> (W.windowSliding _),
@@ -1353,6 +1354,35 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
                 event_type, count(*) AS n, round(sum(value), 4) AS val
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_pattern_match" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+                           ts::TIMESTAMP AS tsu, event_type FROM events),
+            m AS (SELECT *,
+                    max(CASE WHEN event_type = 'view' THEN us END) OVER w
+                      AS last_view,
+                    max(CASE WHEN event_type = 'error' THEN us END) OVER w
+                      AS last_error
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)),
+            p AS (SELECT CAST(date_trunc('day', tsu) AS DATE) AS day,
+                         CASE WHEN last_view IS NULL
+                                OR us - last_view > 3600000000 THEN 'no_view'
+                              WHEN last_error IS NOT NULL
+                                AND last_error > last_view THEN 'blocked'
+                              ELSE 'clean' END AS status
+                  FROM m WHERE event_type = 'purchase')
+         SELECT day, count(*) AS n_purchases,
+                CAST(sum(CASE WHEN status = 'clean' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clean,
+                CAST(sum(CASE WHEN status = 'blocked' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_blocked,
+                CAST(sum(CASE WHEN status = 'no_view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_no_view,
+                round(sum(CASE WHEN status = 'clean' THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 4) AS clean_rate
+         FROM p GROUP BY 1 ORDER BY 1""",
     "q_tumbling_stream" ->
       """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
                 event_type, count(*) AS n, round(sum(value), 4) AS val

@@ -252,6 +252,59 @@ object WindowOps {
       col("day"))
   }
 
+  /** Lookback window for [[patternMatch]]'s view→purchase path (µs). */
+  val PatternWindowUs: Long = 3600L * 1000000L
+
+  /** q_pattern_match — MATCH_RECOGNIZE-class sequence pattern with an
+    * EXCLUSION: classify every purchase by whether a `view` preceded it
+    * within the hour (the path) and whether an `error` intervened
+    * between that view and the purchase (the blocker). Per day:
+    * purchases, clean / blocked / no_view counts, clean rate. The
+    * behavioral question q_funnel's step counts can't answer — "did
+    * something go wrong ON the path" — and the standard next ask of any
+    * event-analytics surface (Flink CEP / MATCH_RECOGNIZE territory),
+    * expressed with one running-max window instead of an NFA.
+    *
+    * Mechanics: a single ordered pass per user computes running maxima
+    * of the last view / last error timestamps over the STRICTLY
+    * PRECEDING frame (ties broken by event_id, mirrored in the oracle);
+    * `last_error > last_view` then says an error sits inside the
+    * (view, purchase) interval — no self-join, no per-pattern rescan.
+    *
+    * Scale shape: reads the user-bucketed session store, so the window
+    * needs NO exchange (HashPartitioning(user_id) satisfies it); the
+    * day rollup is one partial-aggregable shuffle of purchase rows
+    * only. O(events) work, O(1) state per user — the same shape a
+    * streaming CEP engine maintains incrementally. */
+  def patternMatch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = s.table(sessionStore(s, d))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("last_error",
+        max(when(col("event_type") === "error", col("us"))).over(w))
+    val p = marked.filter(col("event_type") === "purchase")
+      .withColumn("status",
+        when(col("last_view").isNull ||
+             col("us") - col("last_view") > PatternWindowUs, "no_view")
+          .when(col("last_error").isNotNull &&
+                col("last_error") > col("last_view"), "blocked")
+          .otherwise("clean"))
+    ord(
+      p.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+             sum(when(col("status") === "clean", 1L).otherwise(0L)).as("n_clean"),
+             sum(when(col("status") === "blocked", 1L).otherwise(0L)).as("n_blocked"),
+             sum(when(col("status") === "no_view", 1L).otherwise(0L)).as("n_no_view"))
+        .withColumn("clean_rate",
+          r4(col("n_clean").cast("double") / col("n_purchases"))),
+      col("day"))
+  }
+
   /** q_window_tumbling — 1-day tumbling windows × event_type (batch form
     * of the streaming aggregation in graft.streaming). */
   def windowTumbling(s: SparkSession, d: String): DataFrame = {

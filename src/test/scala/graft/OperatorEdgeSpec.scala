@@ -394,6 +394,37 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out.toSeq == expect, s"got ${out.toSeq} want $expect")
   }
 
+  test("pattern_match: error blocks only INSIDE (view, purchase); 1h boundary inclusive") {
+    val dir = tmpDir("pattern")
+    val t0 = 1700000000L
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      // u1: error BEFORE the view — path is clean
+      eventRow(1, t0, 1, "error", 0.0),
+      eventRow(2, t0 + 10, 1, "view", 0.0),
+      eventRow(3, t0 + 20, 1, "purchase", 1.0),
+      // u2: error BETWEEN view and purchase — blocked
+      eventRow(4, t0, 2, "view", 0.0),
+      eventRow(5, t0 + 10, 2, "error", 0.0),
+      eventRow(6, t0 + 20, 2, "purchase", 1.0),
+      // u3: view exactly 3600s before — boundary is inclusive (clean)
+      eventRow(7, t0, 3, "view", 0.0),
+      eventRow(8, t0 + 3600, 3, "purchase", 1.0),
+      // u4: view 3601s before — outside the window (no_view)
+      eventRow(9, t0, 4, "view", 0.0),
+      eventRow(10, t0 + 3601, 4, "purchase", 1.0),
+      // u5: no view at all
+      eventRow(11, t0 + 5, 5, "purchase", 1.0)
+    ))
+    val out = WindowOps.patternMatch(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((5L, 2L, 1L, 2L)),
+      s"got purchases=${r.getLong(1)} clean=${r.getLong(2)} " +
+        s"blocked=${r.getLong(3)} no_view=${r.getLong(4)}")
+    assert(r.getDouble(5) == 0.4)
+  }
+
   test("rrf_fusion: the lexically and semantically identical candidate ranks first") {
     val dir = tmpDir("rrf")
     // 10 query docs (ids < 10) + candidates; doc 10 duplicates doc 0's
