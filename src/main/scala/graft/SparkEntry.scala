@@ -176,6 +176,7 @@ object SparkEntry {
     "q_ntile_first_last" -> (P.ntileFirstLast _),
     "q_stats_agg" -> (P.statsAgg _),
     "q_profile_nulls" -> (P.profileNulls _),
+    "q_expectations" -> (P.expectations _),
     // declarative report surface + skew machinery (r2 promotions)
     "q_ingest_incremental" -> (IngestOps.ingestIncremental _),
     "q_merge_upsert" -> (IngestOps.mergeUpsert _),
@@ -1622,6 +1623,37 @@ object SparkEntry {
                   AS BIGINT) AS n_returning
          FROM ud JOIN c ON ud.user_id = c.user_id
          GROUP BY 1 ORDER BY 1""",
+    "q_expectations" ->
+      """WITH c1 AS (SELECT 'lineitem_quantity_range' AS "check",
+                            count(*) AS n_checked,
+                            CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                                          THEN 1 ELSE 0 END) AS BIGINT)
+                              AS n_violations
+                     FROM lineitem),
+            c2 AS (SELECT 'lineitem_orderkey_fk', count(*),
+                          CAST(sum(CASE WHEN o_orderkey IS NULL
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                   FROM lineitem LEFT JOIN orders
+                     ON l_orderkey = o_orderkey),
+            c3 AS (SELECT 'events_value_nonnegative', count(*),
+                          CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+                            AS BIGINT)
+                   FROM events),
+            c4 AS (SELECT 'documents_nchars_consistent', count(*),
+                          CAST(sum(CASE WHEN n_chars <> length(text)
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                   FROM documents),
+            c5 AS (SELECT 'events_eventid_unique',
+                          CAST(sum(n) AS BIGINT),
+                          CAST(sum(n - 1) AS BIGINT)
+                   FROM (SELECT count(*) AS n FROM events
+                         GROUP BY event_id) g),
+            u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+                  UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+                  UNION ALL SELECT * FROM c5)
+         SELECT "check", n_checked, n_violations,
+                n_violations = 0 AS pass
+         FROM u ORDER BY 1""",
     "q_profile_nulls" ->
       """WITH t AS (SELECT count(*) AS n_rows,
                            count(user_id) AS nn_user_id,

@@ -194,4 +194,51 @@ object ReportShapeOps {
                .as("mean_winsorized")),
       col("flag"))
   }
+
+  /** q_expectations — declarative data-quality audit (the
+    * expectations/contract gate every pipeline runs between ingest and
+    * consumption): one row per check with population size, violation
+    * count, and pass flag. Checks cover the four constraint families —
+    * range (l_quantity ∈ [1,50]), non-negativity (events.value),
+    * referential integrity (every l_orderkey resolves in orders),
+    * uniqueness (event_id), and derived-column consistency
+    * (documents.n_chars = length(text)).
+    *
+    * Scale shape: every scalar check is ONE partial-aggregable pass
+    * over its table (violations counted as a conditional sum — never a
+    * filtered second scan); the FK check is a left join on the key
+    * counting unresolved rows (at 100 TB both sides are facts, so it
+    * shuffles once on the key — a bucketed layout would kill even
+    * that); uniqueness is one groupBy(key) counting rows beyond the
+    * first. The result is a fixed handful of 1-row frames unioned —
+    * audit cost is one pass per table regardless of corpus size. */
+  def expectations(s: SparkSession, d: String): DataFrame = {
+    def agg1(name: String, df: DataFrame, viol: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_checked"),
+             sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("check"), col("n_checked"), col("n_violations"))
+    val li = Tables.lineitem(s, d)
+    val checks = Seq(
+      agg1("lineitem_quantity_range", li,
+           col("l_quantity") < 1 || col("l_quantity") > 50),
+      agg1("lineitem_orderkey_fk",
+           li.join(Tables.orders(s, d).select(col("o_orderkey")),
+                   col("l_orderkey") === col("o_orderkey"), "left"),
+           col("o_orderkey").isNull),
+      agg1("events_value_nonnegative", Tables.events(s, d),
+           col("value") < 0),
+      agg1("documents_nchars_consistent", Tables.documents(s, d),
+           col("n_chars") =!= length(col("text"))),
+      // uniqueness: rows beyond the first of each key are the violations
+      Tables.events(s, d).groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_checked"),
+             sum(col("n") - 1).as("n_violations"))
+        .select(lit("events_eventid_unique").as("check"),
+                col("n_checked"), col("n_violations")))
+    ord(
+      checks.reduce(_.unionByName(_))
+        .withColumn("pass", col("n_violations") === 0),
+      col("check"))
+  }
 }

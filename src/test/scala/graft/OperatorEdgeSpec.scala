@@ -425,6 +425,33 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 0.4)
   }
 
+  test("expectations: every injected violation class is counted") {
+    val dir = tmpDir("expect")
+    val ts = new java.sql.Timestamp(1700000000L * 1000)
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      Row(1L, 1L, "O", 10.0, ts, "1-URGENT")))
+    writeTable(dir, "lineitem", Schemas.lineitem, Seq(
+      Row(1L, 1L, 1L, 1, 5.0, 10.0, 0.1, 0.02, "N", "O", ts),   // ok
+      Row(1L, 1L, 1L, 2, 99.0, 10.0, 0.1, 0.02, "N", "O", ts),  // qty range
+      Row(7L, 1L, 1L, 1, 5.0, 10.0, 0.1, 0.02, "N", "O", ts)))  // FK orphan
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      eventRow(1, 1700000000L, 1, "view", 1.0),
+      eventRow(1, 1700000100L, 1, "view", 1.0),    // dup event_id
+      eventRow(2, 1700000200L, 1, "view", -5.0)))  // negative value
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, "abc", "en", "s0", 3L),
+      Row(2L, "abc", "en", "s0", 7L)))             // n_chars mismatch
+    val out = graft.operators.ReportShapeOps.expectations(spark, dir)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out == Map(
+      "lineitem_quantity_range" -> ((3L, 1L, false)),
+      "lineitem_orderkey_fk" -> ((3L, 1L, false)),
+      "events_value_nonnegative" -> ((3L, 1L, false)),
+      "events_eventid_unique" -> ((3L, 1L, false)),
+      "documents_nchars_consistent" -> ((2L, 1L, false))), s"got $out")
+  }
+
   test("rrf_fusion: the lexically and semantically identical candidate ranks first") {
     val dir = tmpDir("rrf")
     // 10 query docs (ids < 10) + candidates; doc 10 duplicates doc 0's
