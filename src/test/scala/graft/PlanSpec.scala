@@ -126,6 +126,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchangeInInputs, "bucketed join still shuffles its inputs:\n" + p)
   }
 
+  test("q_pattern_match: session-store window runs with no exchange below it") {
+    val p = plan(graft.operators.WindowOps.patternMatch(spark, sf0001))
+    // the bucketed session store satisfies the window's required
+    // distribution; the only legal exchange is the post-filter day
+    // rollup, which sits ABOVE the window in the printed tree
+    val tree = p.split("\n\n").head
+    val lines = tree.linesIterator.toVector
+    val windowLine = lines.indexWhere(_.contains("Window"))
+    assert(windowLine >= 0, p)
+    assert(!lines.drop(windowLine + 1).exists(_.contains("Exchange")),
+      "pattern window still shuffles its input:\n" + p)
+  }
+
   test("q_scan_partitioned prunes to the 3 selected day partitions") {
     val df = graft.operators.RelationalOps.scanPartitioned(spark, sf0001)
     val p = plan(df)
