@@ -182,10 +182,12 @@ object SparkEntry {
     "q_merge_upsert" -> (IngestOps.mergeUpsert _),
     "q_scd2_history" -> (IngestOps.scd2History _),
     "q_snapshot_diff" -> (IngestOps.snapshotDiff _),
+    "q_cdc_apply" -> (IngestOps.cdcApply _),
     "q_report_declarative" -> (ReportOps.reportDeclarative _),
     "q_cohort_retention" -> (ReportOps.cohortRetention _),
     "q_new_returning" -> (ReportOps.newVsReturning _),
     "q_funnel" -> (ReportOps.funnel _),
+    "q_funnel_window" -> (ReportOps.funnelWindow _),
     "q_agg_salted" -> (SkewOps.aggSalted _),
     // retrieval / time-series / experiment / graph analytics (r6)
     "q_tfidf" -> (RetrievalOps.tfidf _),
@@ -201,6 +203,7 @@ object SparkEntry {
     "q_attribution" -> (W.attribution _),
     // basket/series/graph analytics widening (r6)
     "q_moving_avg" -> (TimeSeriesOps.movingAvg _),
+    "q_trend_ewma" -> (TimeSeriesOps.trendEwma _),
     "q_time_to_convert" -> (TimeSeriesOps.timeToConvert _),
     "q_ltv" -> (ReportOps.ltv _),
     "q_graph_degree" -> (GraphOps.graphDegree _),
@@ -1526,6 +1529,47 @@ object SparkEntry {
                               ELSE CAST(round(p_old * 100) AS BIGINT) END)
                   AS BIGINT) AS total_old_c
          FROM d GROUP BY 1 ORDER BY 1""",
+    "q_cdc_apply" ->
+      // Ordered I/U/D change-log application: base = latest pre-cutoff
+      // state of users %5 ≠ 0, log = post-cutoff events of users
+      // %7 ≠ 1 in (ts, event_id) sequence order with op D where
+      // event_id % 5 = 0 else U; only the LAST log record per key
+      // decides its fate. row_number DESC mirrors Spark's max_by on
+      // the (ts, event_id) struct.
+      """WITH base AS (
+           SELECT user_id, event_type AS base_type, value AS base_value
+           FROM (SELECT user_id, event_type, value,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+                 FROM events
+                 WHERE ts::TIMESTAMP < TIMESTAMP '2024-01-21 00:00:00'
+                   AND user_id % 5 <> 0)
+           WHERE rn = 1),
+         lastop AS (
+           SELECT user_id, op, log_value
+           FROM (SELECT user_id,
+                        CASE WHEN event_id % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+                        value AS log_value,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+                 FROM events
+                 WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-21 00:00:00'
+                   AND user_id % 7 <> 1)
+           WHERE rn = 1),
+         c AS (
+           SELECT CASE WHEN op IS NULL THEN 'untouched'
+                       WHEN op = 'D' AND base_type IS NULL THEN 'ghost_delete'
+                       WHEN op = 'D' THEN 'deleted'
+                       WHEN base_type IS NULL THEN 'inserted'
+                       ELSE 'updated' END AS status,
+                  CASE WHEN op IS NULL THEN base_value
+                       WHEN op = 'U' THEN log_value END AS final_value
+           FROM base FULL OUTER JOIN lastop USING (user_id))
+         SELECT status, count(*) AS n_keys,
+                CAST(sum(CASE WHEN final_value IS NULL THEN 0
+                              ELSE CAST(round(final_value * 100) AS BIGINT) END)
+                  AS BIGINT) AS final_cents
+         FROM c GROUP BY 1 ORDER BY 1""",
     "q_scd2_history" ->
       // SCD2 validity intervals of each user's event_type: change points
       // via lag over (ts, event_id) — event_id breaks equal-ts ties —
@@ -1698,6 +1742,35 @@ object SparkEntry {
             s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
                    JOIN s2 ON e.user_id = s2.user_id
                    WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+            counts AS (
+              SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+              UNION ALL SELECT 2, 'click', count(*) FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
+            ent AS (SELECT n_users AS n_entered FROM counts WHERE step = 1)
+         SELECT step, event_type, n_users,
+                CASE WHEN n_entered = 0 THEN 0.0
+                     ELSE round(n_users::DOUBLE / n_entered, 4) END AS conv
+         FROM counts, ent ORDER BY step""",
+    "q_funnel_window" ->
+      // Time-boxed funnel: each step must land strictly after the
+      // previous step AND within 24 h of it. The cap compares
+      // whole-second epochs (Spark's unix_timestamp truncates sub-
+      // second), mirrored here with epoch_us // 1000000.
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     AND epoch_us(e.ts) // 1000000
+                         <= epoch_us(s1.t1) // 1000000 + 86400
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND epoch_us(e.ts) // 1000000
+                         <= epoch_us(s2.t2) // 1000000 + 86400
+                   GROUP BY 1),
             counts AS (
               SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
               UNION ALL SELECT 2, 'click', count(*) FROM s2
@@ -1996,6 +2069,32 @@ object SparkEntry {
                 CAST((20000*c7 + 100*n7) // (200*n7) AS DOUBLE)/10000.0 AS ma7,
                 CAST(n7 AS INT) AS days_in_window
          FROM w ORDER BY day_num""",
+    "q_trend_ewma" ->
+      // Dyadic-weight EWMA: day Δ back weighs 1 << (8−Δ), truncated at
+      // Δ = 8; the trailing window is an offset equi-join (off 0..8)
+      // and the single division is rounded in integer arithmetic
+      // ((200·N + D) // (2·D)) — the moving_avg idiom.
+      """WITH daily AS (
+           SELECT o_orderpriority AS priority,
+                  CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM orders GROUP BY 1, 2),
+         offs AS (SELECT CAST(range AS INT) AS off FROM range(0, 9))
+         SELECT a.priority, a.day_num,
+                CAST(a.cents AS DOUBLE)/100.0 AS revenue,
+                CAST((200 * CAST(sum((1::BIGINT << (8 - off)) * b.cents)
+                              AS BIGINT)
+                      + CAST(sum(1::BIGINT << (8 - off)) AS BIGINT))
+                     // (2 * CAST(sum(1::BIGINT << (8 - off)) AS BIGINT))
+                  AS DOUBLE) / 10000.0 AS ewma,
+                CAST(count(*) AS INT) AS n_days
+         FROM daily a CROSS JOIN offs
+         JOIN daily b ON b.priority = a.priority
+                     AND b.day_num = a.day_num - off
+         GROUP BY a.priority, a.day_num, a.cents
+         ORDER BY a.priority, a.day_num""",
     "q_time_to_convert" ->
       """WITH u AS (
            SELECT user_id,

@@ -341,4 +341,67 @@ object IngestOps {
              sum(cents(col("p_old"))).as("total_old_c")),
       col("change_type"))
   }
+
+  /** q_cdc_apply — ordered change-log application with DELETES, the
+    * piece [[mergeUpsert]] (latest-wins upsert, no tombstones) and
+    * [[snapshotDiff]] (derive the delta) leave open: a CDC feed is a
+    * SEQUENCE of I/U/D records per key, and only the LAST operation in
+    * sequence order decides the key's fate. Emits the post-apply audit
+    * per outcome class: untouched (no log record), updated, inserted,
+    * deleted, ghost_delete (a delete for a key the base never had — the
+    * at-least-once-delivery case an apply job must tolerate, not crash
+    * on), with exact-cent totals of the surviving state.
+    *
+    * Deterministic carving (oracle reproduces it, and it makes ALL
+    * FIVE outcome classes materialize at the driver's gate SF): base =
+    * latest pre-[[SinkCutoff]] state of users with user_id % 5 ≠ 0
+    * (the excluded fifth become insert candidates); log = post-cutoff
+    * events of users with user_id % 7 ≠ 1 (the excluded ones surface
+    * as untouched) in (ts, event_id) sequence order, op = D where
+    * event_id % 5 = 0 else U (upsert).
+    *
+    * Scale shape: the log collapses to one record per key via a
+    * partial-aggregable `max_by` on the (ts, event_id) struct — the
+    * sequence NEVER materializes per key, so a key with a million
+    * change records still ships one row past the shuffle. Base and
+    * collapsed log meet in ONE co-partitioned full-outer join on the
+    * key (both sides hash-partition identically; bucketed layouts would
+    * kill even that). Surviving value totals are exact integer cents —
+    * the snapshotDiff idiom. */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val cut = lit(SinkCutoff).cast("timestamp")
+    val e = graft.Tables.events(s, d)
+    val base = e.filter(col("ts") < cut && col("user_id") % 5 =!= 0)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_type"), col("value")),
+                  struct(col("ts"), col("event_id"))).as("st"))
+      .select(col("user_id"), col("st.event_type").as("base_type"),
+              col("st.value").as("base_value"))
+    val lastOp = e.filter(col("ts") >= cut && col("user_id") % 7 =!= 1)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(when(col("event_id") % 5 === 0, "D")
+                           .otherwise("U").as("op"),
+                         col("value").as("log_value")),
+                  struct(col("ts"), col("event_id"))).as("lo"))
+      .select(col("user_id"), col("lo.op").as("op"),
+              col("lo.log_value").as("log_value"))
+    val cents = (c: Column) =>
+      when(c.isNull, 0L).otherwise(round(c * 100).cast("long"))
+    ord(
+      base.join(lastOp, Seq("user_id"), "full_outer")
+        .withColumn("status",
+          when(col("op").isNull, "untouched")
+            .when(col("op") === "D" && col("base_type").isNull, "ghost_delete")
+            .when(col("op") === "D", "deleted")
+            .when(col("base_type").isNull, "inserted")
+            .otherwise("updated"))
+        .withColumn("final_value",
+          when(col("op").isNull, col("base_value"))
+            .when(col("op") === "U", col("log_value")))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_keys"),
+             sum(cents(col("final_value"))).as("final_cents")),
+      col("status"))
+  }
 }

@@ -141,7 +141,21 @@ object ReportOps {
     * co-partitioned join on user_id; event_type filters prune each scan
     * (pushed to parquet). No windows, no sequence explosion — state per
     * step is one timestamp per surviving user. */
-  def funnel(s: SparkSession, d: String): DataFrame = {
+  def funnel(s: SparkSession, d: String): DataFrame =
+    funnelCore(s, d, withinSec = None)
+
+  /** q_funnel_window — the TIME-BOXED funnel: step n counts only if it
+    * happens after step n−1 AND within 24 h of it (GA funnels carry a
+    * lookback window; the unbounded variant is [[funnel]]). Same
+    * exchange shape — the cap is one extra pushed predicate on the
+    * already-joined step frame, zero new shuffles. The comparison is on
+    * exact epoch-second arithmetic (µs timestamps + an integer bound),
+    * so the boundary cannot drift between engines. */
+  def funnelWindow(s: SparkSession, d: String): DataFrame =
+    funnelCore(s, d, withinSec = Some(86400L))
+
+  private def funnelCore(s: SparkSession, d: String,
+                         withinSec: Option[Long]): DataFrame = {
     import graft.Fin._
     val e = graft.Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
     // each step frame (one timestamp per surviving user) is
@@ -155,7 +169,13 @@ object ReportOps {
     def firstAfter(step: String, prev: Option[DataFrame]): DataFrame = {
       val base = e.filter(col("event_type") === step)
       val gated = prev match {
-        case Some(p) => base.join(p, "user_id").filter(col("ts") > col("t_prev"))
+        case Some(p) =>
+          val joined = base.join(p, "user_id").filter(col("ts") > col("t_prev"))
+          withinSec match {
+            case Some(sec) => joined.filter(
+              unix_timestamp(col("ts")) <= unix_timestamp(col("t_prev")) + sec)
+            case None => joined
+          }
         case None => base
       }
       gated.groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))

@@ -205,4 +205,50 @@ object TimeSeriesOps {
         .agg(count(lit(1)).as("n_users")),
       col("hours_to_convert"))
   }
+
+  /** q_trend_ewma — exponentially-weighted trailing average of daily
+    * revenue per order priority: a day Δ days back weighs 2^(8−Δ),
+    * truncated at Δ = 8 (the dropped tail mass is < 2⁻⁹ of the total —
+    * a defined operator semantic, not an approximation knob). The
+    * dyadic weights are EXACT integers (`1 << (8−Δ)`) in both engines;
+    * the usual α^Δ via libm `pow` would ride engine-dependent ulp error
+    * straight into the rounding tie.
+    *
+    * Scale shape: the series is the DAILY ROLLUP per priority — one
+    * partial-aggregable shuffle reduces the fact table to
+    * |priorities| × |days| rows. The trailing window is realized as an
+    * OFFSET EQUI-JOIN (each day probes day−Δ for Δ = 0..8 via a 9-row
+    * broadcast) — pure equi-keys, calendar-bounded ×9 fan-out, no range
+    * window needed. A windowed formulation could not express the
+    * distance-dependent weight anyway: a frame sums f(row), and the
+    * weight depends on (current − row). All arithmetic is integral
+    * until ONE final division, rounded half-up in integer arithmetic
+    * (round4(N/(100·D)) = (200·N + D) div (2·D) — the movingAvg trick)
+    * because weighted cents over dyadic sums land exactly on .00005
+    * ties. Weight-sum overflow bound: 2⁸ · window cents · 9 days stays
+    * far under 2⁶³ even at 1000× the sf0.1 daily volume. */
+  def trendEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+               expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+                 .as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val offs = s.range(0, 9).select(col("id").cast("int").as("off"))
+    val w = expr("shiftleft(1L, 8 - off)")
+    ord(
+      daily.as("a").crossJoin(broadcast(offs))
+        .join(daily.as("b"),
+              col("b.priority") === col("a.priority") &&
+              col("b.day_num") === col("a.day_num") - col("off"))
+        .groupBy(col("a.priority"), col("a.day_num"), col("a.cents"))
+        .agg(sum(w * col("b.cents")).as("nsum"),
+             sum(w).as("dsum"),
+             count(lit(1)).as("n_days"))
+        .select(col("priority"), col("day_num"),
+                (col("cents").cast("double") / 100.0).as("revenue"),
+                (expr("(200 * nsum + dsum) DIV (2 * dsum)").cast("double") /
+                  lit(10000.0)).as("ewma"),
+                col("n_days").cast("int").as("n_days")),
+      col("priority"), col("day_num"))
+  }
 }

@@ -477,4 +477,68 @@ class OperatorEdgeSpec extends AnyFunSuite {
       assert(rows.map(_.getLong(2)).distinct.length == rows.length, s"q$q dup cand")
     }
   }
+
+  test("funnel_window: step at exactly +24h counts, one second over does not") {
+    val dir = tmpDir("funnel_win")
+    val t0 = 1700000000L
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      eventRow(1, t0, 1, "view", 1.0),
+      eventRow(2, t0 + 86400, 1, "click", 1.0),      // exactly 24 h: counts
+      eventRow(3, t0 + 86400 + 10, 1, "purchase", 1.0),
+      eventRow(4, t0, 2, "view", 1.0),
+      eventRow(5, t0 + 86401, 2, "click", 1.0)       // 1 s over: out of window
+    ))
+    val out = graft.operators.ReportOps.funnelWindow(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out == Map(1 -> 2L, 2 -> 1L, 3 -> 1L), s"got $out")
+  }
+
+  test("cdc_apply: all five outcome classes; LAST log record in sequence wins") {
+    val dir = tmpDir("cdc")
+    val cut = 1705795200L // 2024-01-21 00:00:00 UTC — IngestOps.SinkCutoff
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      // user 8 (%7 = 1 → log-excluded): base only -> untouched @ 3.00
+      eventRow(1, cut - 100, 8, "view", 3.0),
+      // user 2: base 1.00; log U(4.0), D, then U(7.0) last -> updated @ 7.00
+      eventRow(2, cut - 100, 2, "view", 1.0),
+      eventRow(3, cut + 10, 2, "view", 4.0),
+      eventRow(10, cut + 20, 2, "view", 9.0),  // event_id 10 % 5 = 0 -> D
+      eventRow(4, cut + 30, 2, "view", 7.0),   // last in sequence: U wins
+      // user 3: base 2.00; log U then D last -> deleted (earlier U irrelevant)
+      eventRow(6, cut + 10, 3, "view", 5.0),
+      eventRow(15, cut + 20, 3, "view", 6.0),  // id 15 % 5 = 0 -> D, last
+      eventRow(7, cut - 100, 3, "view", 2.0),
+      // user 5 (%5 = 0 → base-excluded): log U -> inserted @ 8.00
+      eventRow(8, cut + 10, 5, "view", 8.0),
+      // user 10 (%5 = 0): log D for a key the base never had -> ghost_delete
+      eventRow(20, cut + 10, 10, "view", 9.0)
+    ))
+    val out = graft.operators.IngestOps.cdcApply(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      "untouched" -> ((1L, 300L)),
+      "updated" -> ((1L, 700L)),
+      "deleted" -> ((1L, 0L)),
+      "inserted" -> ((1L, 800L)),
+      "ghost_delete" -> ((1L, 0L))), s"got $out")
+  }
+
+  test("trend_ewma: 256/128 dyadic blend across adjacent days; isolated day = own revenue") {
+    val dir = tmpDir("ewma")
+    val day0 = 19700L
+    def ts(dayNum: Long) = new java.sql.Timestamp(dayNum * 86400L * 1000)
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      Row(1L, 1L, "O", 100.0, ts(day0), "1-URGENT"),
+      Row(2L, 1L, "O", 200.0, ts(day0 + 1), "1-URGENT"),
+      Row(3L, 1L, "O", 50.0, ts(day0 + 100), "2-HIGH") // > 8 days from anything
+    ))
+    val out = graft.operators.TimeSeriesOps.trendEwma(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getDouble(3), r.getInt(4)))).toMap
+    assert(out((("1-URGENT", day0.toInt))) == ((100.0, 1)))
+    // N = 256·20000 + 128·10000 = 6 400 000; D = 384;
+    // round4(N/(100·D)) = round4(1666.666…/10) = 166.6667
+    assert(out((("1-URGENT", day0.toInt + 1))) == ((166.6667, 2)))
+    assert(out((("2-HIGH", day0.toInt + 100))) == ((50.0, 1)))
+  }
 }
