@@ -188,6 +188,8 @@ object SparkEntry {
     "q_new_returning" -> (ReportOps.newVsReturning _),
     "q_funnel" -> (ReportOps.funnel _),
     "q_funnel_window" -> (ReportOps.funnelWindow _),
+    "q_active_users" -> (ReportOps.activeUsers _),
+    "q_period_over_period" -> (ReportOps.periodOverPeriod _),
     "q_agg_salted" -> (SkewOps.aggSalted _),
     // retrieval / time-series / experiment / graph analytics (r6)
     "q_tfidf" -> (RetrievalOps.tfidf _),
@@ -1780,6 +1782,43 @@ object SparkEntry {
                 CASE WHEN n_entered = 0 THEN 0.0
                      ELSE round(n_users::DOUBLE / n_entered, 4) END AS conv
          FROM counts, ent ORDER BY step""",
+    "q_active_users" ->
+      // Rolling distinct: each distinct (day, user) pair replicated to
+      // the 7 target days it can serve; dau counts the off = 0 copy.
+      // Report days = active days (semi-join on the real-day set).
+      """WITH du AS (
+           SELECT DISTINCT
+                  CAST((epoch_us(ts::TIMESTAMP)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  user_id
+           FROM events),
+         offs AS (SELECT CAST(range AS INT) AS off FROM range(0, 7)),
+         sh AS (SELECT day_num + off AS day_num, user_id, off
+                FROM du CROSS JOIN offs),
+         real AS (SELECT DISTINCT day_num FROM du)
+         SELECT s.day_num,
+                CAST(count(DISTINCT CASE WHEN off = 0 THEN user_id END)
+                  AS BIGINT) AS dau,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+         FROM sh s JOIN real r ON s.day_num = r.day_num
+         GROUP BY 1 ORDER BY 1""",
+    "q_period_over_period" ->
+      // Week-over-week: lag over the weekly rollup; change divides two
+      // exact cent sums once, NULL on first/zero-revenue-prev weeks.
+      """WITH weekly AS (
+           SELECT date_trunc('week', o_orderdate)::DATE AS week,
+                  count(*) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM orders GROUP BY 1),
+         l AS (SELECT week, n_orders, cents,
+                      lag(cents, 1) OVER (ORDER BY week) AS prev
+               FROM weekly)
+         SELECT week, n_orders, CAST(cents AS DOUBLE)/100.0 AS revenue,
+                CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+                     ELSE round(CAST(cents - prev AS DOUBLE) / prev, 4)
+                END AS wow_change
+         FROM l ORDER BY week""",
     "q_agg_salted" ->
       """SELECT event_type, round(sum(value), 4) AS sum_value,
                 count(*) AS n

@@ -288,4 +288,70 @@ object ReportOps {
                   .cast("double") / lit(10000.0)).as("ltv_per_user")),
       col("cohort_month"), col("month_age"))
   }
+
+  /** q_active_users — the rolling-distinct audience report (GA's
+    * DAU/WAU): per active day, the exact distinct users that day and
+    * over the trailing 7 days. THE classically hard-at-scale metric —
+    * distinct does not merge across days, so a naive per-day window
+    * rescans the week per day.
+    *
+    * Scale shape: events reduce to distinct (day, user) pairs in one
+    * partial-aggregable shuffle (the corpus never passes this point
+    * again); each pair then REPLICATES to the ≤7 target days it can
+    * serve (a 7-row broadcast of offsets — the sliding-window-by-
+    * replication idiom of q_window_sliding), and one groupBy(day)
+    * counts both distincts (dau via the off = 0 copy). Fan-out is ×7
+    * on the already-distinct pairs, not on raw events. Report days =
+    * ACTIVE days (a day with zero events emits no row — defined
+    * semantic); the replicated frame is re-gated on real days by a
+    * co-partitioned semi-join that reuses the groupBy exchange. */
+  def activeUsers(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val du = graft.Tables.events(s, d)
+      .select(expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)").as("day_num"),
+              col("user_id"))
+      .distinct()
+    val offs = s.range(0, 7).select(col("id").cast("int").as("off"))
+    val real = du.select(col("day_num")).distinct()
+    ord(
+      du.crossJoin(broadcast(offs))
+        .select((col("day_num") + col("off")).as("day_num"),
+                col("user_id"), col("off"))
+        .join(real, Seq("day_num"), "left_semi")
+        .groupBy(col("day_num"))
+        .agg(countDistinct(when(col("off") === 0, col("user_id"))).as("dau"),
+             countDistinct(col("user_id")).as("wau7")),
+      col("day_num"))
+  }
+
+  /** q_period_over_period — the week-over-week trend report: per ISO
+    * week (Monday-start `date_trunc`, identical in both engines),
+    * order count, exact-cent revenue, and the fractional change vs the
+    * previous REPORTED week (consecutive rows of the rollup — a gap
+    * week simply isn't there to compare against, the q_moving_avg
+    * calendar-gap stance).
+    *
+    * Scale shape: one partial-aggregable shuffle to the weekly rollup;
+    * the lag window is unpartitioned BY DESIGN over ≤ |calendar weeks|
+    * rows (PlanGuardSpec-whitelisted, the q_moving_avg precedent).
+    * Change divides two exact integer cent sums once, r4'd; first week
+    * yields NULL, and a zero-revenue previous week guards to NULL
+    * rather than an engine-dependent division. */
+  def periodOverPeriod(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val weekly = graft.Tables.orders(s, d)
+      .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("week"))
+    ord(
+      weekly
+        .withColumn("prev", lag(col("cents"), 1).over(w))
+        .select(col("week"), col("n_orders"),
+                (col("cents").cast("double") / 100.0).as("revenue"),
+                r4(when(col("prev").isNull || col("prev") === 0L, lit(null))
+                  .otherwise((col("cents") - col("prev")).cast("double") /
+                             col("prev"))).as("wow_change")),
+      col("week"))
+  }
 }
