@@ -122,12 +122,17 @@ object AffinityOps {
     val df = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // Per-doc rarity position under the global (df, tok) order; the
     // window partitions by doc_id — never an unpartitioned sort.
+    // lazy-checkpointed: BOTH sides of the candidate self-join read this
+    // frame — without it the df-join + per-doc window + sz-join run twice
+    // (x and y each rebuilt the subtree; measured ~1.5 s of the sf0.1
+    // bench). Also severs the self-join attribute sharing.
     val pos = t.join(df, "tok")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .join(sz, "doc_id")
       .filter(col("pos") <= col("m") - ceil(lit(Tau) * col("m")) + 1)
       .select(col("doc_id"), col("tok"), col("pos"), col("m"))
+      .localCheckpoint(false)
     val overlapNeeded = ceil(lit(Tau / (1 + Tau)) *
       (col("x.m") + col("y.m")))
     val cand = pos.as("x")
