@@ -166,6 +166,7 @@ object SparkEntry {
     "q_window_tumbling" -> (W.windowTumbling _),
     "q_pattern_match" -> (W.patternMatch _),
     "q_tumbling_stream" -> (graft.streaming.StreamingOps.tumblingStreamGated _),
+    "q_dedup_stream" -> (graft.streaming.StreamingOps.dedupStreamGated _),
     "q_interval_join_stream" -> (graft.streaming.StreamingOps.intervalJoinStreamGated _),
     "q_window_sliding" -> (W.windowSliding _),
     // report shaping (r1 additions)
@@ -1393,6 +1394,14 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
                 event_type, count(*) AS n, round(sum(value), 4) AS val
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_dedup_stream" ->
+      // The stream source plants duplicate deliveries (id % 17, +30 s);
+      // dropDuplicatesWithinWatermark must drop every copy, so the
+      // drained survivors aggregate to exactly the CLEAN batch rollup.
+      """SELECT event_type, count(*) AS n_events,
+                CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / 100.0 AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_interval_join_stream" ->
       """WITH c AS (SELECT user_id AS c_user, epoch_us(ts::TIMESTAMP) AS c_us,
                            event_id AS click_id

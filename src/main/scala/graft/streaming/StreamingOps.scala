@@ -158,12 +158,57 @@ object StreamingOps {
     s.read.parquet(pub)
   }
 
-  /** Materialize all three gated streaming drains (fixture pre-publish
+  /** Materialize all four gated streaming drains (fixture pre-publish
     * — see [[graft.SparkEntry.prepareFixtures]]). */
   def prepareGatedStreams(s: SparkSession, d: String): Unit = {
     sessionizeStreamGated(s, d)
     tumblingStreamGated(s, d)
     intervalJoinStreamGated(s, d)
+    dedupStreamGated(s, d)
+  }
+
+  /** Once-per-source-state publish of the DUP-PLANTED stream source:
+    * every event with event_id % 17 = 0 re-arrives 30 s later with the
+    * same id — the at-least-once-delivery copy every real ingest feed
+    * contains. No sentinel: [[dedupedStream]] is a stateful FILTER, not
+    * an aggregation — survivors emit immediately, the watermark only
+    * schedules state eviction. */
+  def dupStreamSourceDir(s: SparkSession, d: String): String =
+    graft.sources.CachedDir.materialize(
+        s, d, "events.parquet", "stream_src_dup") { tmp =>
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"), col("props"))
+      val dup = ev.filter(col("event_id") % 17 === 0)
+        .withColumn("ts",
+          timestamp_micros(expr("unix_micros(ts)") + 30L * 1000000L))
+      ev.unionByName(dup).write.parquet(tmp)
+    }
+
+  /** q_dedup_stream — `dropDuplicatesWithinWatermark` run to
+    * COMPLETION under the DuckDB gate: the fourth gated streaming
+    * query, proving the KEYED-DEDUP state machinery (the reference's
+    * hash-id idempotent ingest, Spark-native) computes the batch truth.
+    * The stream source carries deterministically planted duplicate
+    * deliveries (id % 17, +30 s — inside the 1 h watermark horizon);
+    * the drained survivors are aggregated per type and must hash-match
+    * the CLEAN batch aggregate — every planted copy provably dropped.
+    * Which physical copy survives is batch-order-dependent, so the
+    * output aggregates only copy-INVARIANT columns (type, count, exact
+    * cents), never the copy's timestamp. State is O(keys inside the
+    * watermark horizon), never O(stream). */
+  def dedupStreamGated(s: SparkSession, d: String): DataFrame = {
+    val src = dupStreamSourceDir(s, d)
+    val res = drainAvailableNow(s, d, "stream_gate_dedup")(
+      dedupedStream(readEventStream(s, src))
+        .select(col("event_id"), col("event_type"), col("value")))
+    graft.Fin.ord(
+      res.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("event_type"), col("n_events"),
+                (col("cents").cast("double") / 100.0).as("total_value")),
+      col("event_type"))
   }
 
   /** q_tumbling_stream — the daily tumbling rollup run to COMPLETION
