@@ -161,6 +161,8 @@ object SparkEntry {
     "q_sessionize" -> (W.sessionize _),
     "q_sessionize_stream" -> (graft.streaming.StreamingOps.sessionizeStreamGated _),
     "q_session_metrics" -> (W.sessionMetrics _),
+    "q_page_depth" -> (W.pageDepth _),
+    "q_user_loyalty" -> (W.userLoyalty _),
     "q_session_paths" -> (W.sessionPaths _),
     "q_exit_rate" -> (W.exitRate _),
     "q_window_tumbling" -> (W.windowTumbling _),
@@ -1317,6 +1319,47 @@ object SparkEntry {
          SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
                 count(*) AS n_events, round(sum(value), 4) AS session_value
          FROM sids GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_page_depth" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g),
+            per_sess AS (SELECT user_id, sid, count(*) AS depth
+                         FROM sids GROUP BY 1, 2)
+         SELECT depth, count(*) AS n_sessions
+         FROM per_sess GROUP BY 1 ORDER BY 1""",
+    "q_user_loyalty" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g),
+            per_user AS (SELECT user_id, max(sid) AS n_sessions
+                         FROM sids GROUP BY 1)
+         SELECT CASE WHEN n_sessions <= 55 THEN 'a_le55'
+                     WHEN n_sessions <= 65 THEN 'b_56_65'
+                     WHEN n_sessions <= 75 THEN 'c_66_75'
+                     ELSE 'd_76plus' END AS bucket,
+                count(*) AS n_users,
+                CAST(sum(n_sessions) AS BIGINT) AS n_sessions
+         FROM per_user GROUP BY 1 ORDER BY 1""",
     "q_sessionize_stream" ->
       """WITH e AS (SELECT user_id, value, event_id,
                            epoch_us(ts::TIMESTAMP) AS us FROM events),

@@ -174,6 +174,44 @@ object WindowOps {
       col("user_id"), col("sid"))
   }
 
+  /** q_page_depth — GA's page-depth report: how many sessions contain
+    * exactly N events. The ninth session-store consumer: the per-
+    * session count is exchange-free on the user-bucketed store
+    * (ClusteredDistribution(user_id) satisfied by the bucket layout),
+    * and only the ≤|max depth| histogram rows pass the second,
+    * vocabulary-sized shuffle. */
+  def pageDepth(s: SparkSession, d: String): DataFrame = {
+    ord(
+      sessionized(s, d).groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("depth"))
+        .groupBy(col("depth")).agg(count(lit(1)).as("n_sessions")),
+      col("depth"))
+  }
+
+  /** q_user_loyalty — GA's count-of-sessions (loyalty) report: users
+    * bucketed by how many sessions they ran (≤55 / 56-65 / 66-75 /
+    * 76+ — edges chosen to cut the synthetic corpus's 47-90 range;
+    * production would configure its own), with
+    * the session volume each bucket contributes. Same exchange-free
+    * store read: sids are a per-user 1-based running index, so
+    * max(sid) in ONE bucketed aggregate is the session count — no
+    * countDistinct expand, nothing proportional to events crosses a
+    * shuffle. */
+  def userLoyalty(s: SparkSession, d: String): DataFrame = {
+    ord(
+      sessionized(s, d).groupBy(col("user_id"))
+        .agg(max(col("sid")).as("n_sessions"))
+        .withColumn("bucket",
+          when(col("n_sessions") <= 55, "a_le55")
+            .when(col("n_sessions") <= 65, "b_56_65")
+            .when(col("n_sessions") <= 75, "c_66_75")
+            .otherwise("d_76plus"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+             sum(col("n_sessions")).as("n_sessions")),
+      col("bucket"))
+  }
+
   /** q_session_paths — GA's landing/exit report: per session, the first
     * (landing) and last (exit) event type, rolled up to a count per
     * (landing, exit) pair — where journeys start and where they die.

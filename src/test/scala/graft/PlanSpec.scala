@@ -139,6 +139,22 @@ class PlanSpec extends AnyFunSuite {
       "pattern window still shuffles its input:\n" + p)
   }
 
+  test("q_page_depth / q_user_loyalty: per-user aggregate reads the store with no exchange below it") {
+    // the first (bucketed-store-side) HashAggregate must sit directly on
+    // the scan: HashPartitioning(user_id) satisfies the per-(user, sid)
+    // and per-user ClusteredDistributions, so the only legal exchanges
+    // are the tiny histogram/bucket rollups ABOVE it
+    for (df <- Seq(graft.operators.WindowOps.pageDepth(spark, sf0001),
+                   graft.operators.WindowOps.userLoyalty(spark, sf0001))) {
+      val tree = plan(df).split("\n\n").head
+      val lines = tree.linesIterator.toVector
+      val lastAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+      assert(lastAgg >= 0, tree)
+      assert(!lines.drop(lastAgg + 1).exists(_.contains("Exchange")),
+        "store-side aggregate still shuffles its input:\n" + tree)
+    }
+  }
+
   test("q_scan_partitioned prunes to the 3 selected day partitions") {
     val df = graft.operators.RelationalOps.scanPartitioned(spark, sf0001)
     val p = plan(df)
