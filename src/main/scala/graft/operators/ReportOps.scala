@@ -307,10 +307,14 @@ object ReportOps {
     * co-partitioned semi-join that reuses the groupBy exchange. */
   def activeUsers(s: SparkSession, d: String): DataFrame = {
     import graft.Fin._
+    // lazy-checkpointed: the distinct pair frame feeds both the
+    // replicated fan-out AND the real-day gate — without it the events
+    // scan + distinct run twice
     val du = graft.Tables.events(s, d)
       .select(expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)").as("day_num"),
               col("user_id"))
       .distinct()
+      .localCheckpoint(false)
     val offs = s.range(0, 7).select(col("id").cast("int").as("off"))
     val real = du.select(col("day_num")).distinct()
     ord(

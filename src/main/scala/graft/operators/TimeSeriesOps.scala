@@ -228,11 +228,14 @@ object TimeSeriesOps {
     * ties. Weight-sum overflow bound: 2⁸ · window cents · 9 days stays
     * far under 2⁶³ even at 1000× the sf0.1 daily volume. */
   def trendEwma(s: SparkSession, d: String): DataFrame = {
+    // lazy-checkpointed: the rollup feeds BOTH sides of the offset join
+    // — without it the fact scan + daily aggregate run twice
     val daily = Tables.orders(s, d)
       .groupBy(col("o_orderpriority").as("priority"),
                expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
                  .as("day_num"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .localCheckpoint(false)
     val offs = s.range(0, 9).select(col("id").cast("int").as("off"))
     val w = expr("shiftleft(1L, 8 - off)")
     ord(
