@@ -40,6 +40,7 @@ object SparkEntry {
     R.partitionedEventsDir(spark, d)
     L.ivfIndexDir(spark, d)
     L.pqIndexDir(spark, d)
+    L.clusterStoreDir(spark, d)
     IngestOps.ingestSinkDir(spark, d)
     IngestOps.historyReportDir(spark, d)
     graft.streaming.StreamingOps.streamSourceDir(spark, d)
@@ -184,6 +185,7 @@ object SparkEntry {
     "q_ingest_incremental" -> (IngestOps.ingestIncremental _),
     "q_merge_upsert" -> (IngestOps.mergeUpsert _),
     "q_scd2_history" -> (IngestOps.scd2History _),
+    "q_as_of_state" -> (IngestOps.asOfState _),
     "q_snapshot_diff" -> (IngestOps.snapshotDiff _),
     "q_cdc_apply" -> (IngestOps.cdcApply _),
     "q_report_declarative" -> (ReportOps.reportDeclarative _),
@@ -228,6 +230,7 @@ object SparkEntry {
     "q_join_salted" -> (SkewOps.joinSalted _),
     "q_schema_drift" -> (P.schemaDrift _),
     "q_cluster_embed" -> (L.clusterEmbed _),
+    "q_dedup_semantic" -> (L.dedupSemantic _),
     "q_lm_score" -> (L.lmScore _),
     "q_pack_sequences" -> (C.packSequences _),
     "q_join_asof_fwd" -> (J.joinAsofFwd _),
@@ -1646,6 +1649,30 @@ object SparkEntry {
                    FROM seg)
          SELECT user_id, event_type, valid_from_sec, valid_to_sec, ver
          FROM iv ORDER BY user_id, ver""",
+    "q_as_of_state" ->
+      // Time-travel read: the scd2 CTEs filtered to the segment valid
+      // at the cutoff (valid_from <= T < valid_to, open segment NULL).
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type, event_id
+                    FROM events),
+            marked AS (SELECT *, lag(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                       FROM e),
+            seg AS (SELECT user_id, event_type, ts, event_id,
+                           epoch_us(ts) // 1000000 AS valid_from_sec
+                    FROM marked
+                    WHERE prev IS NULL OR prev <> event_type),
+            iv AS (SELECT user_id, event_type, valid_from_sec,
+                          lead(valid_from_sec) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_sec,
+                          CAST(row_number() OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS ver
+                   FROM seg),
+            t AS (SELECT epoch_us(TIMESTAMP '2024-01-21 00:00:00') // 1000000 AS tc)
+         SELECT user_id, event_type, valid_from_sec, ver
+         FROM iv, t
+         WHERE valid_from_sec <= tc
+           AND (valid_to_sec IS NULL OR valid_to_sec > tc)
+         ORDER BY user_id""",
     "q_session_paths" ->
       // same sessionization CTEs as q_sessionize; landing/exit via
       // first_value/last_value over (tsu, event_id) — the unique
@@ -2568,6 +2595,35 @@ object SparkEntry {
          FROM comp c JOIN embeddings e ON c.vec_id = e.vec_id
          JOIN sizes s ON c.cluster = s.cluster
          ORDER BY c.vec_id""",
+    "q_dedup_semantic" ->
+      // Same clustering CTEs as q_cluster_embed, aggregated to the
+      // per-label dedup report: survivors = distinct clusters (the
+      // cluster id is the min-vec_id representative).
+      """WITH RECURSIVE
+            em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+            p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+                  FROM em a JOIN em b
+                    ON a.label = b.label AND a.vec_id < b.vec_id
+                  WHERE round(list_dot_product(a.v, b.v) /
+                              (sqrt(list_dot_product(a.v, a.v)) *
+                               sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35),
+            edges AS (SELECT d1 AS a, d2 AS b FROM p
+                      UNION ALL SELECT d2, d1 FROM p),
+            reach AS (SELECT vec_id AS v, vec_id AS r FROM embeddings
+                      UNION
+                      SELECT e.b AS v, reach.r AS r
+                      FROM reach JOIN edges e ON e.a = reach.v),
+            comp AS (SELECT v AS vec_id, min(r) AS cluster
+                     FROM reach GROUP BY 1)
+         SELECT e.label, count(*) AS n_vectors,
+                CAST(count(DISTINCT c.cluster) AS BIGINT) AS n_kept,
+                CAST(count(*) - count(DISTINCT c.cluster) AS BIGINT)
+                  AS n_dropped,
+                round((count(*) - count(DISTINCT c.cluster))::DOUBLE
+                      / count(*), 4) AS reduction
+         FROM comp c JOIN embeddings e ON c.vec_id = e.vec_id
+         GROUP BY 1 ORDER BY e.label""",
     "q_lm_score" ->
       """WITH toks AS (SELECT doc_id,
                              unnest(string_split(text, ' ')) AS tok

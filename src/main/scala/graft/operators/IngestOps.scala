@@ -221,6 +221,30 @@ object IngestOps {
       col("user_id"), col("ver"))
   }
 
+  /** q_as_of_state — the TIME-TRAVEL read over the SCD2 history: each
+    * user's state segment valid AT [[SinkCutoff]] (half-open interval
+    * semantics: valid_from ≤ T < valid_to, open segment = NULL
+    * valid_to). This is the query a warehouse answers with "what did
+    * the dimension look like last Tuesday" — the reporting companion
+    * of [[scd2History]]'s load path.
+    *
+    * Scale shape: inherits the history's single user_id shuffle (the
+    * three window passes share one exchange); the as-of predicate is a
+    * post-window filter that keeps ≤ 1 row per user. A warehouse
+    * would store the history valid_from-sorted and push the predicate
+    * into the scan; the interval semantics are what's under test. */
+  def asOfState(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val t = lit(SinkCutoff).cast("timestamp").cast("long")
+    ord(
+      scd2History(s, d)
+        .filter(col("valid_from_sec") <= t &&
+                (col("valid_to_sec").isNull || col("valid_to_sec") > t))
+        .select(col("user_id"), col("event_type"),
+                col("valid_from_sec"), col("ver")),
+      col("user_id"))
+  }
+
   def ingestIncremental(s: SparkSession, d: String): DataFrame = {
     import graft.Fin._
     val sink = s.read.parquet(ingestSinkDir(s, d))

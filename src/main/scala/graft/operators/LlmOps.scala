@@ -310,29 +310,67 @@ object LlmOps {
     * aggregate. Determinism: the θ gate compares r4'd cosines (the
     * q_dedup_cluster jaccard rule); component = min reachable vec_id is
     * a unique fixpoint. */
+  /** Once-per-source-state publish of the semantic CLUSTER STORE
+    * (vec_id, label, cluster): the label-blocked cosine edge join +
+    * connected components run at INGEST time — exactly like the
+    * session store and the ANN indexes — and every consumer
+    * ([[clusterEmbed]], [[dedupSemantic]]) reads the assignment
+    * instead of re-clustering per query. At 100 TB re-deriving a
+    * clustering per report is the difference between a dashboard and a
+    * batch job; the store is the q_join_bucketed trade applied to the
+    * embedding space. */
+  def clusterStoreDir(s: SparkSession, d: String): String =
+    graft.sources.CachedDir.materialize(
+        s, d, "embeddings.parquet", "cluster_store") { tmp =>
+      val em = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                col("embedding").cast("array<double>").as("v"))
+        .repartition(col("label"))
+      val a = em.select(col("label"), col("vec_id").as("v1"), col("v").as("va"))
+      val b = em.select(col("label").as("label2"), col("vec_id").as("v2"),
+                        col("v").as("vb"))
+      val pairs = a.join(b, a("label") === b("label2") && col("v1") < col("v2"))
+        .select(col("v1").as("d1"), col("v2").as("d2"),
+                r4(cosineFast(s, col("va"), col("vb"))).as("sim"))
+        .filter(col("sim") >= EmbedClusterTheta)
+        .select(col("d1"), col("d2"))
+      val labels = CurationOps.cc(pairs).withColumnRenamed("doc_id", "vid_c")
+      Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+        .join(labels, col("vec_id") === col("vid_c"), "left")
+        .select(col("vec_id"), col("label"),
+                coalesce(col("component"), col("vec_id")).as("cluster"))
+        .write.parquet(tmp)
+    }
+
   def clusterEmbed(s: SparkSession, d: String): DataFrame = {
-    val em = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-              col("embedding").cast("array<double>").as("v"))
-      .repartition(col("label"))
-    val a = em.select(col("label"), col("vec_id").as("v1"), col("v").as("va"))
-    val b = em.select(col("label").as("label2"), col("vec_id").as("v2"),
-                      col("v").as("vb"))
-    val pairs = a.join(b, a("label") === b("label2") && col("v1") < col("v2"))
-      .select(col("v1").as("d1"), col("v2").as("d2"),
-              r4(cosineFast(s, col("va"), col("vb"))).as("sim"))
-      .filter(col("sim") >= EmbedClusterTheta)
-      .select(col("d1"), col("d2"))
-    val labels = CurationOps.cc(pairs).withColumnRenamed("doc_id", "vid_c")
-    val comp = em.select(col("vec_id"), col("label"))
-      .join(labels, col("vec_id") === col("vid_c"), "left")
-      .select(col("vec_id"), col("label"),
-              coalesce(col("component"), col("vec_id")).as("cluster"))
+    val comp = s.read.parquet(clusterStoreDir(s, d))
     val sizes = comp.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
     ord(
       comp.join(sizes, "cluster")
         .select(col("vec_id"), col("label"), col("cluster"), col("cluster_size")),
       col("vec_id"))
+  }
+
+  /** q_dedup_semantic — semantic deduplication REALIZED from the
+    * cluster store: per label, how many vectors survive keeping one
+    * representative per cosine cluster. The cluster id IS the
+    * representative (component = min reachable vec_id — deterministic,
+    * no extra argmin pass), so survivors = distinct clusters; blocked
+    * edges never cross labels, so per-label cluster counts are exact.
+    * One partial-aggregable pass over the store; nothing touches raw
+    * vectors. At a dedup θ this is the curation step that turns
+    * q_cluster_embed's assignment into corpus reduction numbers. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val comp = s.read.parquet(clusterStoreDir(s, d))
+    ord(
+      comp.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+             countDistinct(col("cluster")).as("n_kept"))
+        .select(col("label"), col("n_vectors"), col("n_kept"),
+                (col("n_vectors") - col("n_kept")).as("n_dropped"),
+                r4((col("n_vectors") - col("n_kept")).cast("double") /
+                   col("n_vectors")).as("reduction")),
+      col("label"))
   }
 
   // ----------------------------------------------------- similarity search
