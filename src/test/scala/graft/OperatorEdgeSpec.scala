@@ -523,6 +523,38 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "ghost_delete" -> ((1L, 0L))), s"got $out")
   }
 
+  test("as_of_state: change exactly AT the cutoff wins; post-cutoff-only user absent") {
+    val dir = tmpDir("asof_state")
+    val cut = 1705795200L // 2024-01-21 00:00:00 UTC
+    writeTable(dir, "events", eventsNsSchema, Seq(
+      // user 1: view before, click exactly AT the cutoff -> click valid
+      // (valid_from <= T), view's interval closed at T (valid_to > T fails)
+      eventRow(1, cut - 100, 1, "view", 1.0),
+      eventRow(2, cut, 1, "click", 1.0),
+      // user 2: open segment from before the cutoff -> valid
+      eventRow(3, cut - 500, 2, "view", 1.0),
+      // user 3: first activity after the cutoff -> no state at T
+      eventRow(4, cut + 100, 3, "view", 1.0)
+    ))
+    val out = graft.operators.IngestOps.asOfState(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(3)))).toMap
+    assert(out == Map(1L -> (("click", 2)), 2L -> (("view", 1))), s"got $out")
+  }
+
+  test("dedup_semantic: linked pair collapses, singleton survives; labels never merge") {
+    val dir = tmpDir("dedup_sem")
+    // label 0: vectors 0 and 1 identical (cosine 1.0 >= theta), vector 2
+    // orthogonal; label 1: vector 3 identical to 0 but blocked by label
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    writeTable(dir, "embeddings", embeddingsSchema, Seq(
+      Row(0L, v(1f, 0f), 0), Row(1L, v(1f, 0f), 0), Row(2L, v(0f, 1f), 0),
+      Row(3L, v(1f, 0f), 1)
+    ))
+    val out = graft.operators.LlmOps.dedupSemantic(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(0 -> ((3L, 2L, 1L)), 1 -> ((1L, 1L, 0L))), s"got $out")
+  }
+
   test("trend_ewma: 256/128 dyadic blend across adjacent days; isolated day = own revenue") {
     val dir = tmpDir("ewma")
     val day0 = 19700L
