@@ -204,6 +204,7 @@ object SparkEntry {
     "q_anomaly" -> (TimeSeriesOps.anomaly _),
     "q_ab_test" -> (TimeSeriesOps.abTest _),
     "q_split_train" -> (C.splitTrain _),
+    "q_dup_spans" -> (C.dupSpans _),
     "q_markov" -> (W.markovTransitions _),
     "q_pagerank" -> (GraphOps.pageRank _),
     "q_rfm" -> (ReportOps.rfm _),
@@ -1216,6 +1217,42 @@ object SparkEntry {
                 CAST(len(chunk) AS BIGINT) AS n_tok_chunk,
                 md5(array_to_string(chunk, ' ')) AS chunk_md5
          FROM ch ORDER BY doc_id, chunk_id""",
+    "q_dup_spans" ->
+      // Duplicated-span detection: positions whose word-8-gram occurs
+      // in >= 2 docs, merged into spans when the position gap <= 7
+      // (overlapping [p, p+8) windows); covered tokens = 8 per opener
+      // + the gap per continuation. Raw-string grams — hash-free.
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+                           len(string_split(text, ' ')) AS m
+                    FROM documents),
+            dd AS (SELECT * FROM d WHERE m >= 8),
+            pos AS (SELECT doc_id, m, w,
+                           unnest(generate_series(0, m - 8)) AS p
+                    FROM dd),
+            grams AS (SELECT doc_id, m, p,
+                             array_to_string(
+                               list_slice(w, p + 1, p + 8), ' ') AS g
+                      FROM pos),
+            common AS (SELECT g FROM grams
+                       GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+            dup AS (SELECT doc_id, m, p FROM grams
+                    WHERE g IN (SELECT g FROM common)),
+            marked AS (SELECT doc_id, m, p,
+                              lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                                AS prev_p
+                       FROM dup),
+            c AS (SELECT doc_id, m,
+                         CASE WHEN prev_p IS NULL OR p - prev_p > 7
+                              THEN 1 ELSE 0 END AS new_span,
+                         CASE WHEN prev_p IS NULL OR p - prev_p > 7
+                              THEN 8 ELSE p - prev_p END AS cover
+                  FROM marked)
+         SELECT doc_id, CAST(m AS BIGINT) AS n_tokens,
+                count(*) AS n_dup_grams,
+                CAST(sum(new_span) AS BIGINT) AS n_spans,
+                CAST(sum(cover) AS BIGINT) AS covered,
+                round(CAST(sum(cover) AS DOUBLE) / m, 4) AS dup_frac
+         FROM c GROUP BY doc_id, m ORDER BY doc_id""",
     "q_doc_length_histogram" ->
       """SELECT CAST((len(string_split(text, ' ')) // 10) * 10 AS BIGINT) AS bucket,
                 count(*) AS n_docs

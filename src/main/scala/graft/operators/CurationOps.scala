@@ -743,4 +743,68 @@ object CurationOps {
              countDistinct(col("lang")).as("n_langs")),
       col("split"))
   }
+
+  /** Word-gram width for [[dupSpans]]. */
+  val SpanGram = 8
+
+  /** q_dup_spans — duplicated-SPAN detection, the exact-substring-dedup
+    * signal (the suffix-array dedup of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", re-shaped for a
+    * distributed engine): positions whose word-8-gram occurs in ≥ 2
+    * documents are duplicated; runs of duplicated positions closer
+    * than the gram width merge into spans (two [p, p+8) windows
+    * overlap iff the position gap ≤ 7 — classic gaps-and-islands).
+    * Emits, per document with any duplication: duplicated gram count,
+    * merged span count, covered tokens, covered fraction.
+    *
+    * Scale shape: gram instances = one scan-side posexplode (positions
+    * are per-row arithmetic, no window); the document-frequency gate is
+    * one partial-aggregable shuffle on the gram (count DISTINCT doc
+    * capped at 2 — `min(2)` of per-doc flags would also do); the
+    * duplicated positions then shuffle ONCE on doc_id for the island
+    * window + per-doc aggregate. Grams here join as raw strings so the
+    * oracle is hash-free; at 100 TB the gram key would be xxhash64'd
+    * (q_dedup_ngram's documented contract) and the df table df-floored.
+    * A doc shorter than the gram width yields no grams and never
+    * appears — defined semantic. */
+  def dupSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+              split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("m"))
+      .filter(col("m") >= SpanGram)
+    val grams = toks
+      .select(col("doc_id"), col("m"),
+              posexplode(expr(s"transform(sequence(0, m - $SpanGram), " +
+                "p -> concat_ws(' ', slice(w, p + 1, " + SpanGram + ")))"))
+                .as(Seq("p", "g")))
+    val common = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("g"))
+    val dup = grams.join(common, "g")
+      .select(col("doc_id"), col("m"), col("p"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    // per-position covered contribution: a span opener claims the full
+    // gram width, a continuation claims only its gap of NEW tokens
+    val marked = dup
+      .withColumn("prev_p", lag(col("p"), 1).over(w))
+      .withColumn("new_span",
+        when(col("prev_p").isNull ||
+             col("p") - col("prev_p") > SpanGram - 1, 1).otherwise(0))
+      .withColumn("cover",
+        when(col("new_span") === 1, lit(SpanGram.toLong))
+          .otherwise((col("p") - col("prev_p")).cast("long")))
+    ord(
+      marked
+        .groupBy(col("doc_id"), col("m"))
+        .agg(count(lit(1)).as("n_dup_grams"),
+             sum(col("new_span")).cast("long").as("n_spans"),
+             sum(col("cover")).as("covered"))
+        .select(col("doc_id"), col("m").cast("long").as("n_tokens"),
+                col("n_dup_grams"), col("n_spans"), col("covered"),
+                r4(col("covered").cast("double") / col("m")).as("dup_frac")),
+      col("doc_id"))
+  }
 }

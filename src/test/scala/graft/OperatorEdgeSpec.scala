@@ -555,6 +555,29 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out == Map(0 -> ((3L, 2L, 1L)), 1 -> ((1L, 1L, 0L))), s"got $out")
   }
 
+  test("dup_spans: overlapping grams merge into one span, distant repeats split; exact coverage") {
+    val dir = tmpDir("dup_spans")
+    val c = (0 until 8).map(i => s"c$i").mkString(" ")   // the shared 8-gram
+    val docs = Seq(
+      // A: shared gram at p=0 and again at p=18 (gap > 7 -> two spans)
+      Row(1L, c + " " + (0 until 10).map(i => s"a$i").mkString(" ") + " " + c,
+          "en", "s", 1L),
+      // B: shared gram once at p=0
+      Row(2L, c + " " + (0 until 10).map(i => s"b$i").mkString(" "), "en", "s", 1L),
+      // C and D: 9 identical tokens -> grams at p=0 AND p=1, gap 1 -> ONE span
+      Row(3L, c + " c8", "en", "s", 1L),
+      Row(4L, c + " c8", "en", "s", 1L))
+    writeTable(dir, "documents", documentsSchema, docs)
+    val out = graft.operators.CurationOps.dupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+                                  r.getLong(4), r.getDouble(5)))).toMap
+    assert(out == Map(
+      1L -> ((26L, 2L, 2L, 16L, 0.6154)),
+      2L -> ((18L, 1L, 1L, 8L, 0.4444)),
+      3L -> ((9L, 2L, 1L, 9L, 1.0)),
+      4L -> ((9L, 2L, 1L, 9L, 1.0))), s"got $out")
+  }
+
   test("trend_ewma: 256/128 dyadic blend across adjacent days; isolated day = own revenue") {
     val dir = tmpDir("ewma")
     val day0 = 19700L
