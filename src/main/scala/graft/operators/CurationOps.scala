@@ -762,11 +762,13 @@ object CurationOps {
     * one partial-aggregable shuffle on the gram (count DISTINCT doc
     * capped at 2 — `min(2)` of per-doc flags would also do); the
     * duplicated positions then shuffle ONCE on doc_id for the island
-    * window + per-doc aggregate. Grams here join as raw strings so the
-    * oracle is hash-free; at 100 TB the gram key would be xxhash64'd
-    * (q_dedup_ngram's documented contract) and the df table df-floored.
-    * A doc shorter than the gram width yields no grams and never
-    * appears — defined semantic. */
+    * window + per-doc aggregate. The gram KEY is xxhash64'd before it
+    * ever crosses a shuffle (the ~50-char raw string would double the
+    * exchange bytes); the oracle compares raw strings — counts agree
+    * absent 64-bit collisions, q_dedup_ngram's documented contract. At
+    * 100 TB the df table would additionally be df-floored. A doc
+    * shorter than the gram width yields no grams and never appears —
+    * defined semantic. */
   def dupSpans(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
@@ -777,8 +779,8 @@ object CurationOps {
     val grams = toks
       .select(col("doc_id"), col("m"),
               posexplode(expr(s"transform(sequence(0, m - $SpanGram), " +
-                "p -> concat_ws(' ', slice(w, p + 1, " + SpanGram + ")))"))
-                .as(Seq("p", "g")))
+                "p -> xxhash64(concat_ws(' ', slice(w, p + 1, " +
+                SpanGram + "))))")).as(Seq("p", "g")))
     val common = grams.groupBy(col("g"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
