@@ -87,6 +87,9 @@ object SparkEntry {
     // non-oracle by design (sketch estimate — HllRollupSpec asserts the
     // merge algebra + 5% accuracy; driver records rows>0)
     "q_hll_rollup" -> (R.hllRollup _),
+    // non-oracle by design (sketch estimate; HllOverlapSpec asserts
+    // every pair within 10% of the exact intersection)
+    "q_hll_overlap" -> (R.hllOverlap _),
     "q_agg_having" -> (R.aggHaving _),
     "q_agg_rollup" -> (R.aggRollup _),
     "q_agg_cube" -> (R.aggCube _),

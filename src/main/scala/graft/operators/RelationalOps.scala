@@ -190,6 +190,39 @@ object RelationalOps {
       col("week"))
   }
 
+  /** q_hll_overlap — audience-overlap estimation from MERGEABLE
+    * sketches: per event-type pair, |A ∩ B| ≈ |A| + |B| − |A ∪ B| by
+    * inclusion–exclusion over the pairwise union sketch. HLL unions
+    * natively (register-wise max) but cannot intersect — inclusion–
+    * exclusion over PERSISTED per-segment sketches is how an
+    * audience-overlap dashboard answers "how many users did BOTH X
+    * and Y" without rescanning events: any pair costs three KB-sized
+    * sketch operations. One partial-aggregable pass builds the
+    * per-type sketches (lazy-checkpointed — both pair sides read it);
+    * the pair frame is |types|², vocabulary-bounded. Estimate error
+    * can push tiny overlaps negative, clamped at 0. Non-oracle
+    * (sketch estimate); HllOverlapSpec asserts every pair within 10%
+    * of the exact intersection. */
+  def hllOverlap(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val sk = e.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+           expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .localCheckpoint(false)
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+                      col("est").as("est_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+                      col("est").as("est_b"))
+    ord(
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+                greatest(lit(0L),
+                  col("est_a") + col("est_b") -
+                  expr("hll_sketch_estimate(hll_union(sk_a, sk_b))"))
+                  .as("est_overlap")),
+      col("type_a"), col("type_b"))
+  }
+
   /** q_agg_having — post-aggregation filter. */
   def aggHaving(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)

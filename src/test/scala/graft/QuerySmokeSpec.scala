@@ -29,7 +29,7 @@ class QuerySmokeSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_distinct", "q_dedup_minhash",
                            "q_percentile_approx", "q_bpe_vocab",
-                           "q_bpe_encode", "q_hll_rollup"),
+                           "q_bpe_encode", "q_hll_rollup", "q_hll_overlap"),
       s"unexpected non-oracle set: $noOracle")
   }
 }
