@@ -173,6 +173,7 @@ object SparkEntry {
     "q_pattern_match" -> (W.patternMatch _),
     "q_tumbling_stream" -> (graft.streaming.StreamingOps.tumblingStreamGated _),
     "q_dedup_stream" -> (graft.streaming.StreamingOps.dedupStreamGated _),
+    "q_session_state_stream" -> (graft.streaming.StreamingOps.sessionStateStreamGated _),
     "q_interval_join_stream" -> (graft.streaming.StreamingOps.intervalJoinStreamGated _),
     "q_window_sliding" -> (W.windowSliding _),
     // report shaping (r1 additions)
@@ -1488,6 +1489,26 @@ object SparkEntry {
                 CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS DOUBLE) / 100.0 AS total_value
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_session_state_stream" ->
+      // The custom-state sessionizer must reproduce the batch sessions:
+      // same integer-second boundaries and "> 1800" split rule as
+      // q_sessionize, value column deliberately out of the hash.
+      """WITH e AS (SELECT user_id, event_id,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g)
+         SELECT user_id, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+                count(*) AS n_events
+         FROM sids GROUP BY user_id, sid ORDER BY user_id, start_sec""",
     "q_interval_join_stream" ->
       """WITH c AS (SELECT user_id AS c_user, epoch_us(ts::TIMESTAMP) AS c_us,
                            event_id AS click_id

@@ -158,13 +158,42 @@ object StreamingOps {
     s.read.parquet(pub)
   }
 
-  /** Materialize all four gated streaming drains (fixture pre-publish
+  /** Materialize all five gated streaming drains (fixture pre-publish
     * — see [[graft.SparkEntry.prepareFixtures]]). */
   def prepareGatedStreams(s: SparkSession, d: String): Unit = {
     sessionizeStreamGated(s, d)
     tumblingStreamGated(s, d)
     intervalJoinStreamGated(s, d)
     dedupStreamGated(s, d)
+    sessionStateStreamGated(s, d)
+  }
+
+  /** q_session_state_stream — the CUSTOM-STATE sessionizer
+    * ([[sealedSessions]], flatMapGroupsWithState + EventTimeTimeout)
+    * run to COMPLETION under the DuckDB gate: the fifth gated
+    * streaming query, and the one that proves the arbitrary-state API
+    * (hand-rolled state records, explicit timeouts, multi-row
+    * emission) computes the batch truth — session_window covers the
+    * engine-managed case, this covers the hand-managed one. Reuses the
+    * sentinel source: in-batch gaps seal inline, and the sentinel's
+    * watermark advance fires every remaining open session's
+    * EventTimeTimeout in the follow-up batch. Output keeps the
+    * order-invariant columns (boundaries on integer seconds, event
+    * count); the float session value is deliberately NOT under the
+    * hash — within one batch the fold order of equal-timestamp events
+    * is not contractual (StreamingSpec covers value parity at suite
+    * tolerance). Oracle = the batch sessionize CTE, value dropped. */
+  def sessionStateStreamGated(s: SparkSession, d: String): DataFrame = {
+    val src = streamSourceDir(s, d)
+    val res = drainAvailableNow(s, d, "stream_gate_fmgws")(
+      sealedSessions(s, readEventStream(s, src)).toDF()
+        .select(col("user_id"), col("start_sec"), col("end_sec"),
+                col("n_events")))
+    graft.Fin.ord(
+      res.filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start_sec"), col("end_sec"),
+                col("n_events")),
+      col("user_id"), col("start_sec"))
   }
 
   /** Once-per-source-state publish of the DUP-PLANTED stream source:
