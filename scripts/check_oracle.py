@@ -9,7 +9,7 @@ parquet dump <verifyOutDir>/<name>/ with columns sorted by name —
 the same shape the driver hashes. Exact match required (doubles are
 round(,4) on both sides by construction).
 """
-import json, sys, math
+import json, struct, sys, math
 import duckdb
 import numpy as np
 
@@ -18,8 +18,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(v):
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
+        # The driver hashes BITS, and -0.0 != +0.0 (and NaN payloads
+        # differ) at the bit level even though Python == says equal.
+        # Hex the IEEE754 bytes for those edge values so this mirror is
+        # exactly as strict as the driver's hash (r8's q_pmi_bigrams
+        # lesson: one oracle -0.0 passed here, failed the driver).
+        if math.isnan(v) or v == 0.0:
+            return struct.pack("<d", v).hex()
         return v
     if isinstance(v, np.generic):  # numpy scalar (int64, bool_, ...)
         return norm(v.item())

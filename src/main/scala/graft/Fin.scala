@@ -12,8 +12,17 @@ import org.apache.spark.sql.functions._
   *     spells it out).
   */
 object Fin {
-  /** round(x, 4) — apply to EVERY aggregated/computed double column. */
-  def r4(c: Column): Column = round(c, 4)
+  /** round(x, 4) — apply to EVERY aggregated/computed double column.
+    *
+    * The trailing `+ 0.0` is IEEE-754 negative-zero normalization: a raw
+    * value in (-5e-5, 0) rounds to -0.0 under DuckDB's float round but
+    * +0.0 under Spark's BigDecimal round; both compare == but differ in
+    * BITS, and the driver's gate hashes bits (r8's sole red row,
+    * q_pmi_bigrams). `x + 0.0` maps -0.0 to +0.0 and is the identity on
+    * every other double (incl. NULL and NaN). The oracle SQL applies the
+    * same textual `+ 0.0` wrap on every 2-arg round — both engines then
+    * emit identical bits for every rounded column, negative or not. */
+  def r4(c: Column): Column = round(c, 4) + lit(0.0)
 
   /** Total order; ties must be broken by a real unique key. */
   def ord(df: DataFrame, cols: Column*): DataFrame = df.orderBy(cols: _*)

@@ -250,7 +250,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
-         round(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+         (round(l_extendedprice * (1.0 - l_discount), 4) + 0.0) AS revenue
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
@@ -267,7 +267,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "q_scan_partitioned" ->
       """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
-                event_type, count(*) AS n, round(sum(value), 4) AS val
+                event_type, count(*) AS n, (round(sum(value), 4) + 0.0) AS val
          FROM events
          WHERE CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
                BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
@@ -282,22 +282,22 @@ object SparkEntry {
       """SELECT CASE WHEN l_discount < 0.02 THEN 'low'
                      WHEN l_discount < 0.06 THEN 'mid'
                      ELSE 'high' END AS disc_bucket,
-                count(*) AS n, round(sum(l_extendedprice), 4) AS sum_price
+                count(*) AS n, (round(sum(l_extendedprice), 4) + 0.0) AS sum_price
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_join_inner" ->
-      """SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue,
+      """SELECT c_mktsegment, (round(sum(o_totalprice), 4) + 0.0) AS revenue,
                 count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
     "q_join_broadcast" ->
       """SELECT p_brand,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+                (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
                        JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY 1 ORDER BY 1""",
     "q_join_multiway" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+                (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS revenue
          FROM customer JOIN orders ON c_custkey = o_custkey
                        JOIN lineitem ON o_orderkey = l_orderkey
          WHERE c_mktsegment = 'BUILDING'
@@ -306,7 +306,7 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-                round(coalesce(sum(o_totalprice), 0.0), 4) AS total
+                (round(coalesce(sum(o_totalprice), 0.0), 4) + 0.0) AS total
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY 1 ORDER BY 1""",
     "q_join_full" ->
@@ -367,7 +367,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "q_join_bloom" ->
       """SELECT l_returnflag, count(*) AS n_items,
-                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                (round(sum(l_extendedprice * (1 - l_discount)), 4) + 0.0) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'
          GROUP BY 1 ORDER BY 1""",
@@ -395,13 +395,13 @@ object SparkEntry {
          FROM f GROUP BY 1 ORDER BY 1""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-                round(sum(l_quantity), 4) AS sum_qty,
-                round(sum(l_extendedprice), 4) AS sum_base_price,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-                round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
-                round(avg(l_quantity), 4) AS avg_qty,
-                round(avg(l_extendedprice), 4) AS avg_price,
-                round(avg(l_discount), 4) AS avg_disc,
+                (round(sum(l_quantity), 4) + 0.0) AS sum_qty,
+                (round(sum(l_extendedprice), 4) + 0.0) AS sum_base_price,
+                (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS sum_disc_price,
+                (round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) + 0.0) AS sum_charge,
+                (round(avg(l_quantity), 4) + 0.0) AS avg_qty,
+                (round(avg(l_extendedprice), 4) + 0.0) AS avg_price,
+                (round(avg(l_discount), 4) + 0.0) AS avg_disc,
                 count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
          GROUP BY l_returnflag, l_linestatus
@@ -416,7 +416,7 @@ object SparkEntry {
       """SELECT r_name, n_name,
                 CAST(grouping(r_name) AS INT) AS g_r,
                 CAST(grouping(n_name) AS INT) AS g_n,
-                count(*) AS n_cust, round(sum(c_acctbal), 4) AS acctbal
+                count(*) AS n_cust, (round(sum(c_acctbal), 4) + 0.0) AS acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
                        JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)
@@ -424,18 +424,18 @@ object SparkEntry {
     "q_agg_cube" ->
       """SELECT event_type,
                 CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
-                count(*) AS n, round(sum(value), 4) AS val
+                count(*) AS n, (round(sum(value), 4) + 0.0) AS val
          FROM events GROUP BY CUBE(event_type, day)
          ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""",
     "q_agg_grouping_sets" ->
       """SELECT event_type,
                 CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
-                count(*) AS n, round(sum(value), 4) AS val
+                count(*) AS n, (round(sum(value), 4) + 0.0) AS val
          FROM events GROUP BY GROUPING SETS ((event_type), (day), ())
          ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""",
     "q_udaf_geomean" ->
       """SELECT l_returnflag,
-                round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price
+                (round(exp(avg(ln(l_extendedprice))), 4) + 0.0) AS geomean_price
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
@@ -450,18 +450,18 @@ object SparkEntry {
          WHERE rn = 1 ORDER BY o_custkey""",
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
-                round(sum(o_totalprice) OVER
+                (round(sum(o_totalprice) OVER
                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running,
-                round(avg(o_totalprice) OVER
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0.0) AS running,
+                (round(avg(o_totalprice) OVER
                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) + 0.0) AS mavg3
          FROM orders ORDER BY o_custkey, o_orderkey""",
     "q_window_range_frame" ->
       """SELECT event_id,
-                round(sum(value) OVER
+                (round(sum(value) OVER
                   (PARTITION BY event_type ORDER BY ts_sec
-                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 4) AS day_sum
+                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 4) + 0.0) AS day_sum
          FROM (SELECT event_id, event_type, value,
                       epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec FROM events) t
          ORDER BY event_id""",
@@ -481,7 +481,7 @@ object SparkEntry {
                       row_number() OVER (PARTITION BY p_brand
                                          ORDER BY revenue DESC, p_partkey) AS rn
                FROM (SELECT p_brand, p_partkey,
-                            round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+                            (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS revenue
                      FROM lineitem JOIN part ON l_partkey = p_partkey
                      GROUP BY 1, 2) a) b
          WHERE rn <= 3 ORDER BY p_brand, rn""",
@@ -525,14 +525,14 @@ object SparkEntry {
          FROM orders ORDER BY o_orderkey""",
     "q_math_funcs" ->
       """SELECT l_returnflag,
-                round(avg(sqrt(l_extendedprice)), 4) AS avg_sqrt_price,
-                round(avg(pow(l_discount, 2)), 4) AS avg_disc_sq,
-                round(avg(ln(l_extendedprice + 1)), 4) AS avg_ln_price,
-                round(abs(min(l_quantity - 10)), 4) AS abs_min_qty,
-                round(sum(round(l_tax, 2)), 4) AS sum_round_tax
+                (round(avg(sqrt(l_extendedprice)), 4) + 0.0) AS avg_sqrt_price,
+                (round(avg(pow(l_discount, 2)), 4) + 0.0) AS avg_disc_sq,
+                (round(avg(ln(l_extendedprice + 1)), 4) + 0.0) AS avg_ln_price,
+                (round(abs(min(l_quantity - 10)), 4) + 0.0) AS abs_min_qty,
+                (round(sum(round(l_tax, 2)), 4) + 0.0) AS sum_round_tax
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_json_funcs" ->
-      """SELECT event_type, round(avg(k), 4) AS avg_k, count(*) AS n,
+      """SELECT event_type, (round(avg(k), 4) + 0.0) AS avg_k, count(*) AS n,
                 min(k) AS min_k, max(k) AS max_k
          FROM (SELECT event_type,
                       CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -540,7 +540,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "q_array_funcs" ->
       """SELECT label, count(*) AS n, min(dim) AS min_dim, max(dim) AS max_dim,
-                round(avg(l2), 4) AS avg_l2, round(avg(e1), 4) AS avg_e1
+                (round(avg(l2), 4) + 0.0) AS avg_l2, (round(avg(e1), 4) + 0.0) AS avg_e1
          FROM (SELECT label, CAST(len(embedding) AS INT) AS dim,
                       sqrt(list_dot_product(embedding::DOUBLE[],
                                             embedding::DOUBLE[])) AS l2,
@@ -624,28 +624,38 @@ object SparkEntry {
                        AND a.g = b.g AND a.doc_id < b.doc_id
                       GROUP BY 1, 2)
          SELECT d1, d2,
-                round(CAST(inter AS DOUBLE) / (s1.nsz + s2.nsz - inter), 4) AS jaccard
+                (round(CAST(inter AS DOUBLE) / (s1.nsz + s2.nsz - inter), 4) + 0.0) AS jaccard
          FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
          ORDER BY jaccard DESC, d1, d2 LIMIT 20""",
     "q_dedup_embcos" ->
-      """SELECT label, v1, v2, sim
-         FROM (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
-                      round(list_dot_product(a.v, b.v) /
-                            (sqrt(list_dot_product(a.v, a.v)) *
-                             sqrt(list_dot_product(b.v, b.v))), 4) AS sim
-               FROM (SELECT label, vec_id, embedding::DOUBLE[] AS v
-                     FROM embeddings) a
-               JOIN (SELECT label, vec_id, embedding::DOUBLE[] AS v
-                     FROM embeddings) b
-                 ON a.label = b.label AND a.vec_id < b.vec_id) t
+      // mirrors the engine's sign-LSH candidate rule (the
+      // q_similarity_lsh hash): pairs must share (label, table, bucket)
+      // in >=1 of the 8 tables before the exact cosine ranks them
+      """WITH em AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            tb AS (SELECT label, vec_id, t,
+                          (CASE WHEN v[CAST(t*4+1 AS INT)] > 0 THEN 1 ELSE 0 END +
+                           CASE WHEN v[CAST(t*4+2 AS INT)] > 0 THEN 2 ELSE 0 END +
+                           CASE WHEN v[CAST(t*4+3 AS INT)] > 0 THEN 4 ELSE 0 END +
+                           CASE WHEN v[CAST(t*4+4 AS INT)] > 0 THEN 8 ELSE 0 END) AS bucket
+                   FROM em, range(0, 8) r(t)),
+            cand AS (SELECT DISTINCT a.label, a.vec_id AS v1, b.vec_id AS v2
+                     FROM tb a JOIN tb b ON a.label = b.label AND a.t = b.t
+                                        AND a.bucket = b.bucket
+                                        AND a.vec_id < b.vec_id)
+         SELECT cand.label, v1, v2,
+                (round(list_dot_product(e1.v, e2.v) /
+                      (sqrt(list_dot_product(e1.v, e1.v)) *
+                       sqrt(list_dot_product(e2.v, e2.v))), 4) + 0.0) AS sim
+         FROM cand JOIN em e1 ON e1.vec_id = v1
+                   JOIN em e2 ON e2.vec_id = v2
          ORDER BY sim DESC, v1, v2 LIMIT 20""",
     "q_similarity_topk" ->
       """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id AS q_id, v AS qv FROM em WHERE vec_id < 10),
             sims AS (SELECT q_id, vec_id AS n_id,
-                            round(list_dot_product(qv, v) /
+                            (round(list_dot_product(qv, v) /
                                   (sqrt(list_dot_product(qv, qv)) *
-                                   sqrt(list_dot_product(v, v))), 4) AS sim
+                                   sqrt(list_dot_product(v, v))), 4) + 0.0) AS sim
                      FROM em, q WHERE vec_id <> q_id),
             rk AS (SELECT q_id, n_id, sim,
                           CAST(row_number() OVER (PARTITION BY q_id
@@ -666,9 +676,9 @@ object SparkEntry {
                      FROM tb JOIN q ON tb.t = qt AND tb.bucket = qbk
                                    AND tb.vec_id <> q_id),
             sims AS (SELECT q_id, n_id,
-                            round(list_dot_product(qe.v, ne.v) /
+                            (round(list_dot_product(qe.v, ne.v) /
                                   (sqrt(list_dot_product(qe.v, qe.v)) *
-                                   sqrt(list_dot_product(ne.v, ne.v))), 4) AS sim
+                                   sqrt(list_dot_product(ne.v, ne.v))), 4) + 0.0) AS sim
                      FROM cand JOIN em qe ON qe.vec_id = q_id
                                JOIN em ne ON ne.vec_id = n_id),
             rk AS (SELECT q_id, n_id, sim,
@@ -686,48 +696,48 @@ object SparkEntry {
             as0 AS (SELECT vec_id, v, c_id
                     FROM (SELECT e.vec_id, e.v, c.c_id,
                             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                              round(list_dot_product(e.v, c.cv) /
+                              (round(list_dot_product(e.v, c.cv) /
                                     (sqrt(list_dot_product(e.v, e.v)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
                               c.c_id) AS rn
                           FROM em e, cent0 c) t
                     WHERE rn = 1),
             cent1 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
                       FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
-                                   round(avg(a.v[CAST(t.i AS INT) + 1]), 4) AS cx
+                                   (round(avg(a.v[CAST(t.i AS INT) + 1]), 4) + 0.0) AS cx
                             FROM as0 a, range(0, 64) t(i)
                             GROUP BY 1, 2) g
                       GROUP BY 1),
             as1 AS (SELECT vec_id, v, c_id
                     FROM (SELECT e.vec_id, e.v, c.c_id,
                             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                              round(list_dot_product(e.v, c.cv) /
+                              (round(list_dot_product(e.v, c.cv) /
                                     (sqrt(list_dot_product(e.v, e.v)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
                               c.c_id) AS rn
                           FROM em e, cent1 c) t
                     WHERE rn = 1),
             cent2 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
                       FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
-                                   round(avg(a.v[CAST(t.i AS INT) + 1]), 4) AS cx
+                                   (round(avg(a.v[CAST(t.i AS INT) + 1]), 4) + 0.0) AS cx
                             FROM as1 a, range(0, 64) t(i)
                             GROUP BY 1, 2) g
                       GROUP BY 1),
             assigned AS (SELECT vec_id, v, c_id
                          FROM (SELECT e.vec_id, e.v, c.c_id,
                                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                                   round(list_dot_product(e.v, c.cv) /
+                                   (round(list_dot_product(e.v, c.cv) /
                                          (sqrt(list_dot_product(e.v, e.v)) *
-                                          sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                                          sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
                                    c.c_id) AS rn
                                FROM em e, cent2 c) t
                          WHERE rn = 1),
             q AS (SELECT vec_id AS q_id, v AS qv, c_id AS qc
                   FROM assigned WHERE vec_id < 10),
             sims AS (SELECT q_id, a.vec_id AS n_id,
-                            round(list_dot_product(qv, a.v) /
+                            (round(list_dot_product(qv, a.v) /
                                   (sqrt(list_dot_product(qv, qv)) *
-                                   sqrt(list_dot_product(a.v, a.v))), 4) AS sim
+                                   sqrt(list_dot_product(a.v, a.v))), 4) + 0.0) AS sim
                      FROM assigned a JOIN q
                        ON a.c_id = qc AND a.vec_id <> q_id),
             rk AS (SELECT q_id, n_id, sim,
@@ -744,56 +754,56 @@ object SparkEntry {
             as0 AS (SELECT vec_id, v, c_id
                     FROM (SELECT e.vec_id, e.v, c.c_id,
                             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                              round(list_dot_product(e.v, c.cv) /
+                              (round(list_dot_product(e.v, c.cv) /
                                     (sqrt(list_dot_product(e.v, e.v)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
                               c.c_id) AS rn
                           FROM em e, cent0 c) t
                     WHERE rn = 1),
             cent1 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
                       FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
-                                   round(avg(a.v[CAST(t.i AS INT) + 1]), 4) AS cx
+                                   (round(avg(a.v[CAST(t.i AS INT) + 1]), 4) + 0.0) AS cx
                             FROM as0 a, range(0, 64) t(i)
                             GROUP BY 1, 2) g
                       GROUP BY 1),
             as1 AS (SELECT vec_id, v, c_id
                     FROM (SELECT e.vec_id, e.v, c.c_id,
                             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                              round(list_dot_product(e.v, c.cv) /
+                              (round(list_dot_product(e.v, c.cv) /
                                     (sqrt(list_dot_product(e.v, e.v)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
                               c.c_id) AS rn
                           FROM em e, cent1 c) t
                     WHERE rn = 1),
             cent2 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
                       FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
-                                   round(avg(a.v[CAST(t.i AS INT) + 1]), 4) AS cx
+                                   (round(avg(a.v[CAST(t.i AS INT) + 1]), 4) + 0.0) AS cx
                             FROM as1 a, range(0, 64) t(i)
                             GROUP BY 1, 2) g
                       GROUP BY 1),
             assigned AS (SELECT vec_id, v, c_id
                          FROM (SELECT e.vec_id, e.v, c.c_id,
                                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                                   round(list_dot_product(e.v, c.cv) /
+                                   (round(list_dot_product(e.v, c.cv) /
                                          (sqrt(list_dot_product(e.v, e.v)) *
-                                          sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                                          sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
                                    c.c_id) AS rn
                                FROM em e, cent2 c) t
                          WHERE rn = 1),
             q2 AS (SELECT vec_id AS q_id, c_id AS qc
                    FROM (SELECT e.vec_id, c.c_id,
                            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                             round(list_dot_product(e.v, c.cv) /
+                             (round(list_dot_product(e.v, c.cv) /
                                    (sqrt(list_dot_product(e.v, e.v)) *
-                                    sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                                    sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
                              c.c_id) AS rn
                          FROM em e, cent2 c WHERE e.vec_id < 10) t
                    WHERE rn <= 2),
             qv AS (SELECT vec_id AS q_id, v AS qv FROM em WHERE vec_id < 10),
             sims AS (SELECT q2.q_id, a.vec_id AS n_id,
-                            round(list_dot_product(qv.qv, a.v) /
+                            (round(list_dot_product(qv.qv, a.v) /
                                   (sqrt(list_dot_product(qv.qv, qv.qv)) *
-                                   sqrt(list_dot_product(a.v, a.v))), 4) AS sim
+                                   sqrt(list_dot_product(a.v, a.v))), 4) + 0.0) AS sim
                      FROM assigned a
                        JOIN q2 ON a.c_id = q2.qc AND a.vec_id <> q2.q_id
                        JOIN qv ON qv.q_id = q2.q_id),
@@ -813,48 +823,48 @@ object SparkEntry {
             as0 AS (SELECT vec_id, v, c_id
                     FROM (SELECT e.vec_id, e.v, c.c_id,
                             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                              round(list_dot_product(e.v, c.cv) /
+                              (round(list_dot_product(e.v, c.cv) /
                                     (sqrt(list_dot_product(e.v, e.v)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
                               c.c_id) AS rn
                           FROM em e, cent0 c) t
                     WHERE rn = 1),
             cent1 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
                       FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
-                                   round(avg(a.v[CAST(t.i AS INT) + 1]), 4) AS cx
+                                   (round(avg(a.v[CAST(t.i AS INT) + 1]), 4) + 0.0) AS cx
                             FROM as0 a, range(0, 64) t(i)
                             GROUP BY 1, 2) g
                       GROUP BY 1),
             as1 AS (SELECT vec_id, v, c_id
                     FROM (SELECT e.vec_id, e.v, c.c_id,
                             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                              round(list_dot_product(e.v, c.cv) /
+                              (round(list_dot_product(e.v, c.cv) /
                                     (sqrt(list_dot_product(e.v, e.v)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
                               c.c_id) AS rn
                           FROM em e, cent1 c) t
                     WHERE rn = 1),
             cent2 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
                       FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
-                                   round(avg(a.v[CAST(t.i AS INT) + 1]), 4) AS cx
+                                   (round(avg(a.v[CAST(t.i AS INT) + 1]), 4) + 0.0) AS cx
                             FROM as1 a, range(0, 64) t(i)
                             GROUP BY 1, 2) g
                       GROUP BY 1),
             assigned AS (SELECT vec_id, v, c_id
                          FROM (SELECT e.vec_id, e.v, c.c_id,
                                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                                   round(list_dot_product(e.v, c.cv) /
+                                   (round(list_dot_product(e.v, c.cv) /
                                          (sqrt(list_dot_product(e.v, e.v)) *
-                                          sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                                          sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
                                    c.c_id) AS rn
                                FROM em e, cent2 c) t
                          WHERE rn = 1),
             q2 AS (SELECT vec_id AS q_id, c_id AS qc
                    FROM (SELECT e.vec_id, c.c_id,
                            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                             round(list_dot_product(e.v, c.cv) /
+                             (round(list_dot_product(e.v, c.cv) /
                                    (sqrt(list_dot_product(e.v, e.v)) *
-                                    sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                                    sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
                              c.c_id) AS rn
                          FROM em e, cent2 c WHERE e.vec_id < 10) t
                    WHERE rn <= 2),
@@ -863,9 +873,9 @@ object SparkEntry {
                     FROM em, range(0, 4) i(sp)),
             cb AS (SELECT sp, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < 8),
             scored AS (SELECT s.vec_id, s.sp, c.c_id,
-                              round(list_dot_product(s.sv, c.cv) /
+                              (round(list_dot_product(s.sv, c.cv) /
                                     (sqrt(list_dot_product(s.sv, s.sv)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) AS cs
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) AS cs
                        FROM sub s JOIN cb c ON s.sp = c.sp),
             enc AS (SELECT vec_id, sp, c_id AS code
                     FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sp
@@ -876,7 +886,7 @@ object SparkEntry {
             cand AS (SELECT q2.q_id, a.vec_id AS n_id
                      FROM assigned a
                        JOIN q2 ON a.c_id = q2.qc AND a.vec_id <> q2.q_id),
-            adc AS (SELECT c.q_id, c.n_id, round(sum(l.ls), 4) AS adc
+            adc AS (SELECT c.q_id, c.n_id, (round(sum(l.ls), 4) + 0.0) AS adc
                     FROM cand c
                       JOIN enc e ON e.vec_id = c.n_id
                       JOIN lut l ON l.sp = e.sp AND l.code = e.code
@@ -888,9 +898,9 @@ object SparkEntry {
                                ORDER BY adc DESC, n_id) AS crn FROM adc) t
                      WHERE crn <= 64),
             sims AS (SELECT q_id, n_id,
-                            round(list_dot_product(qe.v, ne.v) /
+                            (round(list_dot_product(qe.v, ne.v) /
                                   (sqrt(list_dot_product(qe.v, qe.v)) *
-                                   sqrt(list_dot_product(ne.v, ne.v))), 4) AS sim
+                                   sqrt(list_dot_product(ne.v, ne.v))), 4) + 0.0) AS sim
                      FROM pool JOIN em qe ON qe.vec_id = q_id
                                JOIN em ne ON ne.vec_id = n_id),
             rk AS (SELECT q_id, n_id, sim,
@@ -909,9 +919,9 @@ object SparkEntry {
                     FROM em, range(0, 4) i(sp)),
             cb AS (SELECT sp, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < 8),
             scored AS (SELECT s.vec_id, s.sp, c.c_id,
-                              round(list_dot_product(s.sv, c.cv) /
+                              (round(list_dot_product(s.sv, c.cv) /
                                     (sqrt(list_dot_product(s.sv, s.sv)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) AS cs
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) AS cs
                        FROM sub s JOIN cb c ON s.sp = c.sp),
             enc AS (SELECT vec_id, sp, c_id AS code
                     FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sp
@@ -919,7 +929,7 @@ object SparkEntry {
                     WHERE rn = 1),
             lut AS (SELECT vec_id AS q_id, sp, c_id AS code, cs AS ls
                     FROM scored WHERE vec_id < 10),
-            adc AS (SELECT l.q_id, e.vec_id AS n_id, round(sum(l.ls), 4) AS adc
+            adc AS (SELECT l.q_id, e.vec_id AS n_id, (round(sum(l.ls), 4) + 0.0) AS adc
                     FROM enc e JOIN lut l ON l.sp = e.sp AND l.code = e.code
                     WHERE e.vec_id <> l.q_id
                     GROUP BY 1, 2),
@@ -929,9 +939,9 @@ object SparkEntry {
                                ORDER BY adc DESC, n_id) AS crn FROM adc) t
                      WHERE crn <= 64),
             sims AS (SELECT q_id, n_id,
-                            round(list_dot_product(qe.v, ne.v) /
+                            (round(list_dot_product(qe.v, ne.v) /
                                   (sqrt(list_dot_product(qe.v, qe.v)) *
-                                   sqrt(list_dot_product(ne.v, ne.v))), 4) AS sim
+                                   sqrt(list_dot_product(ne.v, ne.v))), 4) + 0.0) AS sim
                      FROM cand JOIN em qe ON qe.vec_id = q_id
                                JOIN em ne ON ne.vec_id = n_id),
             rk AS (SELECT q_id, n_id, sim,
@@ -948,9 +958,9 @@ object SparkEntry {
                     FROM em, range(0, 4) i(sp)),
             cb AS (SELECT sp, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < 8),
             scored AS (SELECT s.vec_id, s.sp, c.c_id,
-                              round(list_dot_product(s.sv, c.cv) /
+                              (round(list_dot_product(s.sv, c.cv) /
                                     (sqrt(list_dot_product(s.sv, s.sv)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) AS cs
+                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) AS cs
                        FROM sub s JOIN cb c ON s.sp = c.sp),
             enc AS (SELECT vec_id, sp, c_id AS code, cs
                     FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sp
@@ -961,17 +971,17 @@ object SparkEntry {
                 CAST(max(CASE WHEN sp = 1 THEN code END) AS BIGINT) AS code1,
                 CAST(max(CASE WHEN sp = 2 THEN code END) AS BIGINT) AS code2,
                 CAST(max(CASE WHEN sp = 3 THEN code END) AS BIGINT) AS code3,
-                round(sum(1.0 - cs), 4) AS q_err
+                (round(sum(1.0 - cs), 4) + 0.0) AS q_err
          FROM enc GROUP BY 1 ORDER BY 1""",
     "q_embedding_centroid" ->
       """SELECT label, CAST(i AS INT) AS pos,
-                round(avg(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 4) AS c
+                (round(avg(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 4) + 0.0) AS c
          FROM embeddings, range(0, 64) t(i)
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_text_stats" ->
       """WITH base AS (SELECT lang, count(*) AS n_docs,
-                              round(avg(n_chars), 4) AS avg_chars,
-                              round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+                              (round(avg(n_chars), 4) + 0.0) AS avg_chars,
+                              (round(avg(len(string_split(text, ' '))), 4) + 0.0) AS avg_tokens
                        FROM documents GROUP BY 1),
             vocab AS (SELECT lang, count(DISTINCT tok) AS n_vocab
                       FROM (SELECT lang,
@@ -983,9 +993,9 @@ object SparkEntry {
     "q_text_quality" ->
       """SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
                 CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
-                round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio,
-                round(round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) *
-                      least(1.0, len(toks) / 50.0), 4) AS quality
+                (round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) + 0.0) AS uniq_ratio,
+                (round(round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) *
+                      least(1.0, len(toks) / 50.0), 4) + 0.0) AS quality
          FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
                FROM documents) t
          ORDER BY doc_id""",
@@ -1022,8 +1032,8 @@ object SparkEntry {
             cnt AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY 1, 2
                     HAVING count(*) >= 5)
          SELECT c.a, c.b, c.n_ab,
-                round(ln((c.n_ab * 1.0 * tot.nn * tot.nn) /
-                         (np.np * 1.0 * ua.n * ub.n)), 4) AS pmi
+                (round(ln((c.n_ab * 1.0 * tot.nn * tot.nn) /
+                         (np.np * 1.0 * ua.n * ub.n)), 4) + 0.0) AS pmi
          FROM cnt c
          JOIN uni ua ON c.a = ua.w
          JOIN uni ub ON c.b = ub.w
@@ -1062,8 +1072,8 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT kind, count(*) AS n,
                 CAST(sum(byte_len) AS BIGINT) AS total_bytes,
-                round(avg(width), 4) AS avg_width,
-                round(avg(height), 4) AS avg_height
+                (round(avg(width), 4) + 0.0) AS avg_width,
+                (round(avg(height), 4) + 0.0) AS avg_height
          FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                            WHEN doc_id % 3 = 1 THEN 'audio'
                            ELSE 'video' END AS kind,
@@ -1088,13 +1098,13 @@ object SparkEntry {
                      AND uniq_ratio > 0.2
                      AND stop_ratio < 0.3 AS INT) AS keep
          FROM (SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
-                      round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                            / len(toks), 4) AS mean_tok_len,
-                      round(CAST(len(list_distinct(toks)) AS DOUBLE)
-                            / len(toks), 4) AS uniq_ratio,
-                      round(CAST(len(list_filter(toks,
+                      (round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                            / len(toks), 4) + 0.0) AS mean_tok_len,
+                      (round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / len(toks), 4) + 0.0) AS uniq_ratio,
+                      (round(CAST(len(list_filter(toks,
                               t -> t IN ('the', 'a'))) AS DOUBLE)
-                            / len(toks), 4) AS stop_ratio
+                            / len(toks), 4) + 0.0) AS stop_ratio
                FROM (SELECT doc_id, lang, text,
                             string_split(text, ' ') AS toks
                      FROM documents) t0) t1
@@ -1114,9 +1124,9 @@ object SparkEntry {
             topf AS (SELECT doc_id, max(c) AS maxc, CAST(sum(c) AS BIGINT) AS n
                      FROM tokc GROUP BY 1)
          SELECT f.doc_id, CAST(f.n AS INT) AS n_tokens,
-                round(f.maxc::DOUBLE / f.n, 4) AS top_tok_frac,
-                round(coalesce((b.n_bg - b.n_bg_d)::DOUBLE / nullif(b.n_bg, 0),
-                               0.0), 4) AS dup_bigram_frac
+                (round(f.maxc::DOUBLE / f.n, 4) + 0.0) AS top_tok_frac,
+                (round(coalesce((b.n_bg - b.n_bg_d)::DOUBLE / nullif(b.n_bg, 0),
+                               0.0), 4) + 0.0) AS dup_bigram_frac
          FROM topf f LEFT JOIN bgs b ON f.doc_id = b.doc_id
          ORDER BY f.doc_id""",
     "q_pii_redact" ->
@@ -1146,7 +1156,7 @@ object SparkEntry {
                    FROM corpus c JOIN bench USING (g) GROUP BY 1)
          SELECT sz.doc_id AS doc_id, n_grams,
                 CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
-                round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / n_grams, 4)
+                (round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / n_grams, 4) + 0.0)
                   AS contamination
          FROM sz LEFT JOIN ov ON sz.doc_id = ov.doc_id
          ORDER BY doc_id""",
@@ -1156,7 +1166,7 @@ object SparkEntry {
                         FROM documents GROUP BY 1, 2),
             t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM cells)
          SELECT lang, source, n_docs, tokens,
-                round(CAST(tokens AS DOUBLE) / total_tokens, 4) AS share
+                (round(CAST(tokens AS DOUBLE) / total_tokens, 4) + 0.0) AS share
          FROM cells, t ORDER BY lang, source""",
     "q_mix_temperature" ->
       """WITH bl AS (SELECT lang, count(*) AS n_docs,
@@ -1170,9 +1180,9 @@ object SparkEntry {
                    FROM bl, t),
             ws AS (SELECT sum(wt) AS wt_sum FROM sh)
          SELECT lang, n_docs, tokens,
-                round(q, 4) AS natural_share,
-                round(wt / wt_sum, 4) AS temp_share,
-                round(wt / wt_sum / q, 4) AS boost
+                (round(q, 4) + 0.0) AS natural_share,
+                (round(wt / wt_sum, 4) + 0.0) AS temp_share,
+                (round(wt / wt_sum / q, 4) + 0.0) AS boost
          FROM sh, ws ORDER BY lang""",
     "q_mix_apply" ->
       """WITH bl AS (SELECT lang, count(*) AS n_docs,
@@ -1185,7 +1195,7 @@ object SparkEntry {
                           sqrt(CAST(tokens AS DOUBLE) / total_tokens) AS wt
                    FROM bl, t),
             ws AS (SELECT sum(wt) AS wt_sum FROM sh),
-            rates AS (SELECT lang, round(wt / wt_sum / q, 4) AS boost
+            rates AS (SELECT lang, (round(wt / wt_sum / q, 4) + 0.0) AS boost
                       FROM sh, ws),
             dd AS (SELECT d.doc_id, d.lang, r.boost,
                           ('0x' || substr(md5(d.doc_id || ':mix'), 1, 8))
@@ -1198,7 +1208,7 @@ object SparkEntry {
                   FROM dd)
          SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_copies) AS BIGINT) AS n_copies_out,
-                round(CAST(sum(n_copies) AS DOUBLE) / count(*), 4)
+                (round(CAST(sum(n_copies) AS DOUBLE) / count(*), 4) + 0.0)
                   AS realized_rate
          FROM c GROUP BY 1 ORDER BY 1""",
     "q_chunk_docs" ->
@@ -1255,7 +1265,7 @@ object SparkEntry {
                 count(*) AS n_dup_grams,
                 CAST(sum(new_span) AS BIGINT) AS n_spans,
                 CAST(sum(cover) AS BIGINT) AS covered,
-                round(CAST(sum(cover) AS DOUBLE) / m, 4) AS dup_frac
+                (round(CAST(sum(cover) AS DOUBLE) / m, 4) + 0.0) AS dup_frac
          FROM c GROUP BY doc_id, m ORDER BY doc_id""",
     "q_doc_length_histogram" ->
       """SELECT CAST((len(string_split(text, ' ')) // 10) * 10 AS BIGINT) AS bucket,
@@ -1300,8 +1310,8 @@ object SparkEntry {
                                         AS BIGINT)) AS BIGINT) AS tl_micro
                    FROM tf GROUP BY 1)
          SELECT source, n_tokens, n_distinct,
-                round(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS ttr,
-                round(ln(n_tokens) - tl_micro / 1000000.0 / n_tokens, 4)
+                (round(n_distinct / CAST(n_tokens AS DOUBLE), 4) + 0.0) AS ttr,
+                (round(ln(n_tokens) - tl_micro / 1000000.0 / n_tokens, 4) + 0.0)
                   AS entropy
          FROM ag ORDER BY 1""",
     "q_sample_weighted" ->
@@ -1336,8 +1346,8 @@ object SparkEntry {
             pairs AS (SELECT d1, d2
                       FROM inter JOIN sz s1 ON s1.doc_id = d1
                                  JOIN sz s2 ON s2.doc_id = d2
-                      WHERE round(CAST(inter AS DOUBLE)
-                                  / (s1.nsz + s2.nsz - inter), 4) >= 0.5),
+                      WHERE (round(CAST(inter AS DOUBLE)
+                                  / (s1.nsz + s2.nsz - inter), 4) + 0.0) >= 0.5),
             edges AS (SELECT d1 AS a, d2 AS b FROM pairs
                       UNION ALL SELECT d2, d1 FROM pairs),
             reach AS (SELECT doc_id AS v, doc_id AS r FROM documents
@@ -1361,7 +1371,7 @@ object SparkEntry {
                        AS BIGINT) AS sid
                      FROM g)
          SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
-                count(*) AS n_events, round(sum(value), 4) AS session_value
+                count(*) AS n_events, (round(sum(value), 4) + 0.0) AS session_value
          FROM sids GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_page_depth" ->
       """WITH e AS (SELECT user_id, event_id,
@@ -1417,7 +1427,7 @@ object SparkEntry {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
                      FROM g)
          SELECT user_id, min(us) AS start_us, count(*) AS n_events,
-                round(sum(value), 4) AS session_value
+                (round(sum(value), 4) + 0.0) AS session_value
          FROM sids GROUP BY user_id, sid ORDER BY user_id, start_us""",
     "q_session_metrics" ->
       """WITH e AS (SELECT user_id, event_id,
@@ -1438,15 +1448,15 @@ object SparkEntry {
                      FROM sids GROUP BY 1, 2)
          SELECT DATE '1970-01-01' + CAST(start_sec // 86400 AS INT) AS day,
                 count(*) AS n_sessions,
-                round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
-                      / count(*), 4) AS bounce_rate,
-                round(sum(end_sec - start_sec)::DOUBLE / count(*), 4)
+                (round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*), 4) + 0.0) AS bounce_rate,
+                (round(sum(end_sec - start_sec)::DOUBLE / count(*), 4) + 0.0)
                   AS avg_duration_sec,
-                round(sum(n_events)::DOUBLE / count(*), 4) AS avg_events
+                (round(sum(n_events)::DOUBLE / count(*), 4) + 0.0) AS avg_events
          FROM sess GROUP BY 1 ORDER BY 1""",
     "q_window_tumbling" ->
       """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
-                event_type, count(*) AS n, round(sum(value), 4) AS val
+                event_type, count(*) AS n, (round(sum(value), 4) + 0.0) AS val
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_pattern_match" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
@@ -1474,12 +1484,12 @@ object SparkEntry {
                   AS BIGINT) AS n_blocked,
                 CAST(sum(CASE WHEN status = 'no_view' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_no_view,
-                round(sum(CASE WHEN status = 'clean' THEN 1 ELSE 0 END)
-                      / CAST(count(*) AS DOUBLE), 4) AS clean_rate
+                (round(sum(CASE WHEN status = 'clean' THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 4) + 0.0) AS clean_rate
          FROM p GROUP BY 1 ORDER BY 1""",
     "q_tumbling_stream" ->
       """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
-                event_type, count(*) AS n, round(sum(value), 4) AS val
+                event_type, count(*) AS n, (round(sum(value), 4) + 0.0) AS val
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_dedup_stream" ->
       // The stream source plants duplicate deliveries (id % 17, +30 s);
@@ -1526,21 +1536,21 @@ object SparkEntry {
             both_w AS (SELECT w_start, event_type, value FROM w0
                        UNION ALL
                        SELECT w_start - 1800, event_type, value FROM w0)
-         SELECT w_start, event_type, count(*) AS n, round(sum(value), 4) AS val
+         SELECT w_start, event_type, count(*) AS n, (round(sum(value), 4) + 0.0) AS val
          FROM both_w GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_pivot" ->
       """SELECT user_id,
-                round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
-                round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
-                round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
-                round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
-                round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+                (round(sum(CASE WHEN event_type = 'click' THEN value END), 4) + 0.0) AS click,
+                (round(sum(CASE WHEN event_type = 'error' THEN value END), 4) + 0.0) AS error,
+                (round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) + 0.0) AS purchase,
+                (round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) + 0.0) AS signup,
+                (round(sum(CASE WHEN event_type = 'view' THEN value END), 4) + 0.0) AS view
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_unpivot" ->
       """WITH wide AS (SELECT l_returnflag,
-                              round(sum(l_quantity), 4) AS sum_qty,
-                              round(sum(l_extendedprice), 4) AS sum_price,
-                              round(avg(l_discount), 4) AS avg_disc
+                              (round(sum(l_quantity), 4) + 0.0) AS sum_qty,
+                              (round(sum(l_extendedprice), 4) + 0.0) AS sum_price,
+                              (round(avg(l_discount), 4) + 0.0) AS avg_disc
                        FROM lineitem GROUP BY 1)
          SELECT l_returnflag, metric, value FROM (
            SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
@@ -1551,8 +1561,8 @@ object SparkEntry {
          ORDER BY l_returnflag, metric""",
     "q_percentile" ->
       """SELECT l_returnflag,
-                round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
-                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+                (round(quantile_cont(l_extendedprice, 0.5), 4) + 0.0) AS median_price,
+                (round(quantile_cont(l_extendedprice, 0.9), 4) + 0.0) AS p90_price
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_ntile_first_last" ->
       """SELECT o_orderkey, o_custkey,
@@ -1586,7 +1596,7 @@ object SparkEntry {
                                           AND k.event_id = c.event_id))
          SELECT event_type,
                 count(*) AS n_appended,
-                round(sum(value), 4) AS val_appended,
+                (round(sum(value), 4) + 0.0) AS val_appended,
                 epoch_us(min(ts)) // 1000000 AS first_sec,
                 epoch_us(max(ts)) // 1000000 AS last_sec
          FROM fresh GROUP BY 1 ORDER BY event_type""",
@@ -1624,7 +1634,7 @@ object SparkEntry {
                 count(*) AS n_keys,
                 CAST(sum(CASE WHEN merge_status = 'updated' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
                 CAST(sum(CASE WHEN merge_status = 'inserted' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
-                round(sum(value), 4) AS total_value,
+                (round(sum(value), 4) + 0.0) AS total_value,
                 epoch_us(max(ts)) // 1000000 AS last_sec
          FROM merged GROUP BY 1 ORDER BY event_type""",
     "q_snapshot_diff" ->
@@ -1792,9 +1802,9 @@ object SparkEntry {
          SELECT p.event_type AS event_type, count(*) AS n_sessions,
                 CAST(sum(CASE WHEN p.event_type = x.exit_type
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_exits,
-                round(CAST(sum(CASE WHEN p.event_type = x.exit_type
+                (round(CAST(sum(CASE WHEN p.event_type = x.exit_type
                                     THEN 1 ELSE 0 END) AS DOUBLE)
-                      / count(*), 4) AS exit_rate
+                      / count(*), 4) + 0.0) AS exit_rate
          FROM present p JOIN exits x
            ON p.user_id = x.user_id AND p.sid = x.sid
          GROUP BY 1 ORDER BY 1""",
@@ -1860,7 +1870,7 @@ object SparkEntry {
          ORDER BY column_name""",
     "q_report_declarative" ->
       """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS period,
-                event_type, round(sum(value), 4) AS total_value,
+                event_type, (round(sum(value), 4) + 0.0) AS total_value,
                 count(event_id) AS n, count(DISTINCT user_id) AS n_users
          FROM events
          WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05'
@@ -1891,7 +1901,7 @@ object SparkEntry {
             ent AS (SELECT n_users AS n_entered FROM counts WHERE step = 1)
          SELECT step, event_type, n_users,
                 CASE WHEN n_entered = 0 THEN 0.0
-                     ELSE round(n_users::DOUBLE / n_entered, 4) END AS conv
+                     ELSE (round(n_users::DOUBLE / n_entered, 4) + 0.0) END AS conv
          FROM counts, ent ORDER BY step""",
     "q_funnel_window" ->
       // Time-boxed funnel: each step must land strictly after the
@@ -1920,7 +1930,7 @@ object SparkEntry {
             ent AS (SELECT n_users AS n_entered FROM counts WHERE step = 1)
          SELECT step, event_type, n_users,
                 CASE WHEN n_entered = 0 THEN 0.0
-                     ELSE round(n_users::DOUBLE / n_entered, 4) END AS conv
+                     ELSE (round(n_users::DOUBLE / n_entered, 4) + 0.0) END AS conv
          FROM counts, ent ORDER BY step""",
     "q_active_users" ->
       // Rolling distinct: each distinct (day, user) pair replicated to
@@ -1956,19 +1966,19 @@ object SparkEntry {
                FROM weekly)
          SELECT week, n_orders, CAST(cents AS DOUBLE)/100.0 AS revenue,
                 CASE WHEN prev IS NULL OR prev = 0 THEN NULL
-                     ELSE round(CAST(cents - prev AS DOUBLE) / prev, 4)
+                     ELSE (round(CAST(cents - prev AS DOUBLE) / prev, 4) + 0.0)
                 END AS wow_change
          FROM l ORDER BY week""",
     "q_agg_salted" ->
-      """SELECT event_type, round(sum(value), 4) AS sum_value,
+      """SELECT event_type, (round(sum(value), 4) + 0.0) AS sum_value,
                 count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_stats_agg" ->
       """SELECT event_type,
-                round(stddev_samp(value), 4) AS sd_value,
-                round(var_samp(value), 4) AS var_value,
-                round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
-                round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_vu
+                (round(stddev_samp(value), 4) + 0.0) AS sd_value,
+                (round(var_samp(value), 4) + 0.0) AS var_value,
+                (round(corr(value, CAST(user_id AS DOUBLE)), 4) + 0.0) AS corr_vu,
+                (round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) + 0.0) AS cov_vu
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_tfidf" ->
       """WITH tf AS (SELECT doc_id, tok, count(*) AS tf
@@ -1978,7 +1988,7 @@ object SparkEntry {
             df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
             n AS (SELECT count(*) AS n FROM documents),
             sc AS (SELECT tf.doc_id, tf.tok,
-                          round(tf.tf * ln((1.0 + n.n) / (1.0 + df.df)), 4) AS s
+                          (round(tf.tf * ln((1.0 + n.n) / (1.0 + df.df)), 4) + 0.0) AS s
                    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
          SELECT doc_id, tok AS top_tok, s AS tfidf
          FROM (SELECT doc_id, tok, s,
@@ -2002,7 +2012,7 @@ object SparkEntry {
                    FROM tfq JOIN dfq ON tfq.tok = dfq.tok
                         JOIN dl ON tfq.doc_id = dl.doc_id
                         CROSS JOIN corpus)
-         SELECT doc_id, round(sum(term_s), 4) AS bm25
+         SELECT doc_id, (round(sum(term_s), 4) + 0.0) AS bm25
          FROM sc GROUP BY 1
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
     "q_rrf_fusion" ->
@@ -2023,9 +2033,9 @@ object SparkEntry {
             em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             qv AS (SELECT vec_id AS q_id, v AS qv FROM em WHERE vec_id < 10),
             sims AS (SELECT q_id, vec_id AS doc_id,
-                            round(list_dot_product(qv, v) /
+                            (round(list_dot_product(qv, v) /
                                   (sqrt(list_dot_product(qv, qv)) *
-                                   sqrt(list_dot_product(v, v))), 4) AS sim
+                                   sqrt(list_dot_product(v, v))), 4) + 0.0) AS sim
                      FROM em, qv WHERE vec_id <> q_id),
             sem AS (SELECT q_id, doc_id,
                            CAST(row_number() OVER (PARTITION BY q_id
@@ -2041,7 +2051,7 @@ object SparkEntry {
                            CAST(row_number() OVER (PARTITION BY q_id
                              ORDER BY rrf0 DESC, doc_id) AS INT) AS rk
                     FROM fused QUALIFY rk <= 5)
-         SELECT q_id, rk, doc_id, round(rrf0, 4) AS rrf
+         SELECT q_id, rk, doc_id, (round(rrf0, 4) + 0.0) AS rrf
          FROM fin ORDER BY q_id, rk""",
     "q_gap_fill" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hr,
@@ -2072,8 +2082,8 @@ object SparkEntry {
       """WITH daily AS (SELECT ts::TIMESTAMP::DATE AS day, count(*) AS n
                         FROM events GROUP BY 1),
             st AS (SELECT avg(n) AS mu, stddev_samp(n) AS sd FROM daily)
-         SELECT day, n AS n_events, round((n - mu) / sd, 4) AS z,
-                CASE WHEN abs(round((n - mu) / sd, 4)) > 1.5 THEN 1 ELSE 0 END
+         SELECT day, n AS n_events, (round((n - mu) / sd, 4) + 0.0) AS z,
+                CASE WHEN abs((round((n - mu) / sd, 4) + 0.0)) > 1.5 THEN 1 ELSE 0 END
                   AS is_anomaly
          FROM daily, st ORDER BY day""",
     "q_ab_test" ->
@@ -2101,18 +2111,18 @@ object SparkEntry {
                          CASE WHEN n_b = 0 THEN NULL ELSE conv_b / n_b END AS crb,
                          (conv_a + conv_b) / (n_a + n_b) AS p
                   FROM a)
-         SELECT n_a, conv_a, round(cra, 4) AS cr_a,
-                n_b, conv_b, round(crb, 4) AS cr_b,
-                round(cra - crb, 4) AS lift,
+         SELECT n_a, conv_a, (round(cra, 4) + 0.0) AS cr_a,
+                n_b, conv_b, (round(crb, 4) + 0.0) AS cr_b,
+                (round(cra - crb, 4) + 0.0) AS lift,
                 CASE WHEN p * (1.0 - p) = 0 THEN NULL
-                     ELSE round((cra - crb) /
-                                sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)), 4)
+                     ELSE (round((cra - crb) /
+                                sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)), 4) + 0.0)
                 END AS z
          FROM r""",
     "q_split_train" ->
       """SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
                      ELSE 'test' END AS split,
-                count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+                count(*) AS n_docs, (round(avg(n_chars), 4) + 0.0) AS avg_chars,
                 count(DISTINCT lang) AS n_langs
          FROM (SELECT doc_id, n_chars, lang,
                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS b
@@ -2141,7 +2151,7 @@ object SparkEntry {
             tot AS (SELECT cur_type, CAST(sum(n) AS BIGINT) AS total
                     FROM cnt GROUP BY 1)
          SELECT cnt.cur_type AS cur_type, next_type, n,
-                round(n / total, 4) AS p
+                (round(n / total, 4) + 0.0) AS p
          FROM cnt JOIN tot ON cnt.cur_type = tot.cur_type
          ORDER BY cur_type, next_type""",
     "q_pagerank" ->
@@ -2171,7 +2181,7 @@ object SparkEntry {
                    FROM trans t JOIN p2 ON t.src = p2.v GROUP BY 1),
             p3 AS (SELECT v, 0.15 / nc + 0.85 * coalesce(in_pr, 0.0) AS pr
                    FROM nodes CROSS JOIN ncnt LEFT JOIN c3 ON v = c3.dst)
-         SELECT p3.v AS nationkey, n.n_name AS nation, round(p3.pr, 4) AS pagerank
+         SELECT p3.v AS nationkey, n.n_name AS nation, (round(p3.pr, 4) + 0.0) AS pagerank
          FROM p3 JOIN nation n ON p3.v = n.n_nationkey
          ORDER BY nationkey""",
     "q_rfm" ->
@@ -2181,7 +2191,7 @@ object SparkEntry {
                     FROM events),
             mx AS (SELECT max(day) AS max_day FROM e),
             u AS (SELECT user_id, max_day - max(day) AS recency,
-                         count(*) AS frequency, round(sum(value), 4) AS monetary
+                         count(*) AS frequency, (round(sum(value), 4) + 0.0) AS monetary
                   FROM e CROSS JOIN mx WHERE event_type = 'purchase'
                   GROUP BY user_id, max_day),
             thr AS (SELECT quantile_cont(recency, 0.25) AS r25,
@@ -2190,9 +2200,9 @@ object SparkEntry {
                            quantile_cont(frequency, 0.25) AS f25,
                            quantile_cont(frequency, 0.5) AS f50,
                            quantile_cont(frequency, 0.75) AS f75,
-                           round(quantile_cont(monetary, 0.25), 4) AS m25,
-                           round(quantile_cont(monetary, 0.5), 4) AS m50,
-                           round(quantile_cont(monetary, 0.75), 4) AS m75
+                           (round(quantile_cont(monetary, 0.25), 4) + 0.0) AS m25,
+                           (round(quantile_cont(monetary, 0.5), 4) + 0.0) AS m50,
+                           (round(quantile_cont(monetary, 0.75), 4) + 0.0) AS m75
                     FROM u)
          SELECT user_id, recency, frequency, monetary,
                 CASE WHEN recency <= r25 THEN 1 WHEN recency <= r50 THEN 2
@@ -2228,7 +2238,7 @@ object SparkEntry {
                      FROM fe GROUP BY 1, 2, 3)
          SELECT landing_type, count(*) AS n_sessions,
                 CAST(sum(n_purch) AS BIGINT) AS n_purchases,
-                round(sum(rev), 4) AS revenue
+                (round(sum(rev), 4) + 0.0) AS revenue
          FROM sess GROUP BY 1 ORDER BY 1""",
     "q_moving_avg" ->
       """WITH daily AS (
@@ -2352,8 +2362,8 @@ object SparkEntry {
                 CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
                 CAST(coalesce(tpn.n_tri, 0) AS BIGINT) AS n_triangles,
                 CASE WHEN coalesce(deg.degree, 0) < 2 THEN 0.0
-                     ELSE round(2.0*coalesce(tpn.n_tri, 0) /
-                                (deg.degree*(deg.degree - 1)), 4) END
+                     ELSE (round(2.0*coalesce(tpn.n_tri, 0) /
+                                (deg.degree*(deg.degree - 1)), 4) + 0.0) END
                   AS clustering
          FROM nation n LEFT JOIN deg ON n.n_nationkey = deg.v
                        LEFT JOIN tpn ON n.n_nationkey = tpn.v
@@ -2385,7 +2395,7 @@ object SparkEntry {
                      FROM fe GROUP BY 1, 2, 3)
          SELECT exit_type, count(*) AS n_sessions,
                 CAST(sum(n_purch) AS BIGINT) AS n_purchases,
-                round(sum(rev), 4) AS revenue
+                (round(sum(rev), 4) + 0.0) AS revenue
          FROM sess GROUP BY 1 ORDER BY 1""",
     "q_attribution_linear" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
@@ -2406,7 +2416,7 @@ object SparkEntry {
                             count(*) AS n_touch
                      FROM sids GROUP BY 1, 2)
          SELECT s.event_type, count(*) AS n_touches,
-                round(sum(ss.rev / ss.n_touch), 4) AS revenue
+                (round(sum(ss.rev / ss.n_touch), 4) + 0.0) AS revenue
          FROM sids s JOIN sess ss ON s.user_id = ss.user_id AND s.sid = ss.sid
          GROUP BY 1 ORDER BY 1""",
     "q_attribution_decay" ->
@@ -2435,7 +2445,7 @@ object SparkEntry {
             ws AS (SELECT user_id, sid, sum(w) AS wsum
                    FROM evw GROUP BY 1, 2)
          SELECT e.event_type, count(*) AS n_touches,
-                round(sum(e.rev * e.w / w.wsum), 4) AS revenue
+                (round(sum(e.rev * e.w / w.wsum), 4) + 0.0) AS revenue
          FROM evw e JOIN ws w ON e.user_id = w.user_id AND e.sid = w.sid
          GROUP BY 1 ORDER BY 1""",
     "q_attribution_position" ->
@@ -2460,13 +2470,13 @@ object SparkEntry {
                                      ELSE 0.0 END) AS rev
                      FROM sids GROUP BY 1, 2)
          SELECT p.event_type, count(*) AS n_touches,
-                round(sum(ss.rev *
+                (round(sum(ss.rev *
                           CASE WHEN p.n_touch = 1 THEN CAST(1.0 AS DOUBLE)
                                WHEN p.n_touch = 2 THEN CAST(0.5 AS DOUBLE)
                                WHEN p.rn = 1 OR p.rn = p.n_touch
                                  THEN CAST(0.4 AS DOUBLE)
                                ELSE CAST(0.2 AS DOUBLE) / (p.n_touch - 2)
-                          END), 4) AS revenue
+                          END), 4) + 0.0) AS revenue
          FROM pos p JOIN sess ss ON p.user_id = ss.user_id AND p.sid = ss.sid
          GROUP BY 1 ORDER BY 1""",
     "q_knn_classify" ->
@@ -2475,9 +2485,9 @@ object SparkEntry {
             q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv
                   FROM em WHERE vec_id < 10),
             sims AS (SELECT q_id, vec_id AS n_id, label,
-                            round(list_dot_product(qv, v) /
+                            (round(list_dot_product(qv, v) /
                                   (sqrt(list_dot_product(qv, qv)) *
-                                   sqrt(list_dot_product(v, v))), 4) AS sim
+                                   sqrt(list_dot_product(v, v))), 4) + 0.0) AS sim
                      FROM em, q WHERE vec_id <> q_id),
             rk AS (SELECT q_id, n_id, label,
                           row_number() OVER (PARTITION BY q_id
@@ -2504,8 +2514,8 @@ object SparkEntry {
                       GROUP BY 1, 2)
          SELECT p.brand_a, p.brand_b, CAST(p.n_ab AS BIGINT) AS n_ab,
                 CAST(ba.nb AS BIGINT) AS n_a, CAST(bb.nb AS BIGINT) AS n_b,
-                round(p.n_ab / n.n_orders, 4) AS support,
-                round((n.n_orders * p.n_ab) / (ba.nb * bb.nb), 4) AS lift
+                (round(p.n_ab / n.n_orders, 4) + 0.0) AS support,
+                (round((n.n_orders * p.n_ab) / (ba.nb * bb.nb), 4) + 0.0) AS lift
          FROM pairs p
          JOIN bc ba ON p.brand_a = ba.b
          JOIN bc bb ON p.brand_b = bb.b
@@ -2524,7 +2534,7 @@ object SparkEntry {
                   GROUP BY 1, 2)
          SELECT p.d1, p.d2, CAST(p.inter AS BIGINT) AS inter,
                 CAST(s1.m AS BIGINT) AS m1, CAST(s2.m AS BIGINT) AS m2,
-                round(p.inter / (s1.m + s2.m - p.inter), 4) AS jaccard
+                (round(p.inter / (s1.m + s2.m - p.inter), 4) + 0.0) AS jaccard
          FROM p JOIN sz s1 ON p.d1 = s1.doc_id
                 JOIN sz s2 ON p.d2 = s2.doc_id
          WHERE p.inter / (s1.m + s2.m - p.inter) >= 0.9
@@ -2540,12 +2550,12 @@ object SparkEntry {
       """WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS p
                      FROM lineitem),
             thr AS (SELECT flag,
-                           round(quantile_cont(p, 0.05), 4) AS p05,
-                           round(quantile_cont(p, 0.95), 4) AS p95
+                           (round(quantile_cont(p, 0.05), 4) + 0.0) AS p05,
+                           (round(quantile_cont(p, 0.95), 4) + 0.0) AS p95
                     FROM li GROUP BY 1)
          SELECT li.flag, count(*) AS n, thr.p05, thr.p95,
-                round(avg(p), 4) AS mean_raw,
-                round(avg(least(greatest(p, thr.p05), thr.p95)), 4)
+                (round(avg(p), 4) + 0.0) AS mean_raw,
+                (round(avg(least(greatest(p, thr.p05), thr.p95)), 4) + 0.0)
                   AS mean_winsorized
          FROM li JOIN thr ON li.flag = thr.flag
          GROUP BY li.flag, thr.p05, thr.p95
@@ -2558,7 +2568,7 @@ object SparkEntry {
            FROM events GROUP BY 1),
          lags AS (SELECT CAST(range AS INT) AS lag_k FROM range(1, 4))
          SELECT lag_k, count(*) AS n_pairs,
-                round(corr(CAST(a.n AS DOUBLE), CAST(b.n AS DOUBLE)), 4)
+                (round(corr(CAST(a.n AS DOUBLE), CAST(b.n AS DOUBLE)), 4) + 0.0)
                   AS autocorr
          FROM daily a CROSS JOIN lags
          JOIN daily b ON a.day_num = b.day_num + lag_k
@@ -2575,7 +2585,7 @@ object SparkEntry {
                   AS avg_value
          FROM agg ORDER BY day, event_type""",
     "q_join_salted" ->
-      """SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue,
+      """SELECT c_mktsegment, (round(sum(o_totalprice), 4) + 0.0) AS revenue,
                 count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
@@ -2614,22 +2624,22 @@ object SparkEntry {
                 n_pre - nn_pre_user_id AS nulls_pre,
                 n_post - nn_post_user_id AS nulls_post,
                 nd_pre_user_id AS nd_pre, nd_post_user_id AS nd_post,
-                round(CAST(n_post - nn_post_user_id AS DOUBLE)/n_post -
-                      CAST(n_pre - nn_pre_user_id AS DOUBLE)/n_pre, 4)
+                (round(CAST(n_post - nn_post_user_id AS DOUBLE)/n_post -
+                      CAST(n_pre - nn_pre_user_id AS DOUBLE)/n_pre, 4) + 0.0)
                   AS null_rate_delta FROM w
          UNION ALL SELECT 'event_type', n_pre - nn_pre_event_type,
                 n_post - nn_post_event_type, nd_pre_event_type,
                 nd_post_event_type,
-                round(CAST(n_post - nn_post_event_type AS DOUBLE)/n_post -
-                      CAST(n_pre - nn_pre_event_type AS DOUBLE)/n_pre, 4) FROM w
+                (round(CAST(n_post - nn_post_event_type AS DOUBLE)/n_post -
+                      CAST(n_pre - nn_pre_event_type AS DOUBLE)/n_pre, 4) + 0.0) FROM w
          UNION ALL SELECT 'value', n_pre - nn_pre_value, n_post - nn_post_value,
                 nd_pre_value, nd_post_value,
-                round(CAST(n_post - nn_post_value AS DOUBLE)/n_post -
-                      CAST(n_pre - nn_pre_value AS DOUBLE)/n_pre, 4) FROM w
+                (round(CAST(n_post - nn_post_value AS DOUBLE)/n_post -
+                      CAST(n_pre - nn_pre_value AS DOUBLE)/n_pre, 4) + 0.0) FROM w
          UNION ALL SELECT 'props', n_pre - nn_pre_props, n_post - nn_post_props,
                 nd_pre_props, nd_post_props,
-                round(CAST(n_post - nn_post_props AS DOUBLE)/n_post -
-                      CAST(n_pre - nn_pre_props AS DOUBLE)/n_pre, 4) FROM w
+                (round(CAST(n_post - nn_post_props AS DOUBLE)/n_post -
+                      CAST(n_pre - nn_pre_props AS DOUBLE)/n_pre, 4) + 0.0) FROM w
          ORDER BY column_name""",
     "q_cluster_embed" ->
       """WITH RECURSIVE
@@ -2638,9 +2648,9 @@ object SparkEntry {
             p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
                   FROM em a JOIN em b
                     ON a.label = b.label AND a.vec_id < b.vec_id
-                  WHERE round(list_dot_product(a.v, b.v) /
+                  WHERE (round(list_dot_product(a.v, b.v) /
                               (sqrt(list_dot_product(a.v, a.v)) *
-                               sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35),
+                               sqrt(list_dot_product(b.v, b.v))), 4) + 0.0) >= 0.35),
             edges AS (SELECT d1 AS a, d2 AS b FROM p
                       UNION ALL SELECT d2, d1 FROM p),
             reach AS (SELECT vec_id AS v, vec_id AS r FROM embeddings
@@ -2666,9 +2676,9 @@ object SparkEntry {
             p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
                   FROM em a JOIN em b
                     ON a.label = b.label AND a.vec_id < b.vec_id
-                  WHERE round(list_dot_product(a.v, b.v) /
+                  WHERE (round(list_dot_product(a.v, b.v) /
                               (sqrt(list_dot_product(a.v, a.v)) *
-                               sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35),
+                               sqrt(list_dot_product(b.v, b.v))), 4) + 0.0) >= 0.35),
             edges AS (SELECT d1 AS a, d2 AS b FROM p
                       UNION ALL SELECT d2, d1 FROM p),
             reach AS (SELECT vec_id AS v, vec_id AS r FROM embeddings
@@ -2681,8 +2691,8 @@ object SparkEntry {
                 CAST(count(DISTINCT c.cluster) AS BIGINT) AS n_kept,
                 CAST(count(*) - count(DISTINCT c.cluster) AS BIGINT)
                   AS n_dropped,
-                round((count(*) - count(DISTINCT c.cluster))::DOUBLE
-                      / count(*), 4) AS reduction
+                (round((count(*) - count(DISTINCT c.cluster))::DOUBLE
+                      / count(*), 4) + 0.0) AS reduction
          FROM comp c JOIN embeddings e ON c.vec_id = e.vec_id
          GROUP BY 1 ORDER BY e.label""",
     "q_lm_score" ->
@@ -2697,7 +2707,7 @@ object SparkEntry {
                     FROM tf),
             v AS (SELECT tok, tf FROM tf CROSS JOIN tot WHERE tf >= thr)
          SELECT doc_id, count(*) AS n_tokens,
-                round(avg(-ln(coalesce(tf, thr) / total)), 4) AS avg_neg_logp
+                (round(avg(-ln(coalesce(tf, thr) / total)), 4) + 0.0) AS avg_neg_logp
          FROM t LEFT JOIN v USING (tok) CROSS JOIN tot
          GROUP BY doc_id ORDER BY doc_id""",
     "q_pack_sequences" ->
@@ -2715,7 +2725,7 @@ object SparkEntry {
          SELECT shard, (cum - n_tokens) // 2048 AS bin,
                 count(*) AS n_docs,
                 CAST(sum(n_tokens) AS BIGINT) AS tokens,
-                round(CAST(sum(n_tokens) AS DOUBLE) / 2048.0, 4) AS fill
+                (round(CAST(sum(n_tokens) AS DOUBLE) / 2048.0, 4) + 0.0) AS fill
          FROM c GROUP BY 1, 2 ORDER BY shard, bin""",
     "q_join_asof_fwd" ->
       """WITH c AS (SELECT event_id, user_id, ts::TIMESTAMP AS tsu

@@ -216,14 +216,48 @@ object LlmOps {
   }
 
   /** q_dedup_embcos — embedding-cosine near-duplicate pairs within each
-    * label block; global top-20 most-similar pairs. */
-  def dedupEmbcos(s: SparkSession, d: String): DataFrame = {
-    val em = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      .repartition(col("label")) // co-locate the per-label blocks
-    val a = em.select(col("label"), col("vec_id").as("v1"), col("v").as("va"))
-    val b = em.select(col("label").as("label2"), col("vec_id").as("v2"), col("v").as("vb"))
-    a.join(b, a("label") === b("label2") && col("v1") < col("v2"))
+    * label block; global top-20 most-similar candidate pairs.
+    *
+    * Candidates are NOT all within-label pairs (r8's shape — quadratic
+    * in the largest label block, an anti-pattern the moment label
+    * cardinality is low): they are pairs that collide in at least one
+    * of the [[LshTables]] deterministic sign-LSH tables (the
+    * q_similarity_lsh hash — table t buckets on the sign pattern of
+    * components 4t+1..4t+4), then exact-cosine verified and top-20
+    * ranked. The equi-join key is (label, table, bucket), so the
+    * per-key pair blowup is bounded by bucket occupancy (~N_label/16
+    * per table), never by the whole label block; a single hot label
+    * shards across 16 buckets × 8 tables instead of one O(n²) block
+    * (EmbcosSkewSpec plants a single-label corpus and asserts the plan
+    * joins on the bucket keys and still finds the planted near-dups).
+    * The oracle SQL mirrors the same axis-aligned hash exactly, so the
+    * candidate rule is engine-reproducible, not tuned-to-pass. */
+  def dedupEmbcos(s: SparkSession, d: String): DataFrame =
+    dedupEmbcosOn(s,
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                col("embedding").cast("array<double>").as("v")))
+
+  /** Operator body over any (vec_id, label, v) frame — split out so the
+    * skew suite can inject a degenerate single-label corpus. */
+  def dedupEmbcosOn(s: SparkSession, em: DataFrame): DataFrame = {
+    val bucket = (0 until 4).map(i =>
+      when(expr(s"element_at(v, t * 4 + ${i + 1})") > 0, lit(1 << i))
+        .otherwise(lit(0))).reduce(_ + _)
+    val bk = em.select(col("label"), col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(LshTables - 1))).as("t"))
+      .withColumn("bucket", bucket)
+      .select(col("label"), col("vec_id"), col("t"), col("bucket"))
+    val l = bk.select(col("label"), col("t"), col("bucket"), col("vec_id").as("v1"))
+    val r = bk.select(col("label").as("lb2"), col("t").as("t2"),
+                      col("bucket").as("bk2"), col("vec_id").as("v2"))
+    val cand = l.join(r,
+        l("label") === col("lb2") && l("t") === col("t2") &&
+        l("bucket") === col("bk2") && col("v1") < col("v2"))
+      .select(col("label"), col("v1"), col("v2")).distinct()
+    val e1 = em.select(col("vec_id").as("v1"), col("v").as("va"))
+    val e2 = em.select(col("vec_id").as("v2"), col("v").as("vb"))
+    cand.join(e1, "v1").join(e2, "v2")
       .select(col("label"), col("v1"), col("v2"),
               r4(cosineFast(s, col("va"), col("vb"))).as("sim"))
       .orderBy(col("sim").desc, col("v1"), col("v2"))

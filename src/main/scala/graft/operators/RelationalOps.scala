@@ -272,7 +272,7 @@ object RelationalOps {
               col("value"))
       .createOrReplaceTempView("graft_events_gs")
     s.sql("""
-      SELECT event_type, day, count(1) AS n, round(sum(value), 4) AS val
+      SELECT event_type, day, count(1) AS n, (round(sum(value), 4) + 0.0) AS val
       FROM graft_events_gs
       GROUP BY GROUPING SETS ((event_type), (day), ())
       ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST

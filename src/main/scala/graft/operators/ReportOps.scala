@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.SparkSession
 
+import graft.Fin
+
 /** Declarative report API — the reference's user surface: declare
   * dimensions + metrics + a date range, get an unsampled report
   * (SURVEY.md §0: "declarative config of which GA dimensions/metrics to
@@ -31,8 +33,8 @@ object ReportOps {
   private def metricCol(m: Metric): Column = {
     val c = col(m.column)
     val agg = m.agg match {
-      case "sum" => round(sum(c), 4)
-      case "avg" => round(avg(c), 4)
+      case "sum" => Fin.r4(sum(c))
+      case "avg" => Fin.r4(avg(c))
       case "min" => min(c)
       case "max" => max(c)
       case "count" => count(c)

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Literal, Round}
+import org.apache.spark.sql.catalyst.expressions.{Add, Literal, Round}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -20,11 +20,25 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * exercise the Rule[LogicalPlan] + SparkSessionExtensions surface.
   */
 object FoldNestedRound extends Rule[LogicalPlan] {
+  /** Exactly +0.0 (not -0.0): the wrap we fold through must be the
+    * identity-or-normalize form Fin.r4 emits. */
+  private def isPosZero(v: Any): Boolean = v match {
+    case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d) == 0L
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case Round(inner @ Round(_, Literal(p1, _), _), Literal(p2, _), _)
           if p1 == p2 =>
         inner
+      // Fin.r4 now emits round(x,4) + 0.0 (negative-zero normalization),
+      // so nested r4 shows up as round(round(x,4)+0.0, 4): the outer
+      // round is a no-op on an already-rounded same-scale value — keep
+      // the inner Add (it preserves the +0.0 normalization).
+      case Round(add @ Add(Round(_, Literal(p1, _), _), Literal(z, _), _),
+                 Literal(p2, _), _) if p1 == p2 && isPosZero(z) =>
+        add
     }
 }
 

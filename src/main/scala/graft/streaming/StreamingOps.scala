@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Fin
+
 /** Structured Streaming surface (SURVEY.md §2.9): the Spark-native form
   * of the reference's incremental high-water-mark sync — watermarks
   * replace the "max loaded timestamp" bookkeeping, checkpoints replace
@@ -37,7 +39,7 @@ object StreamingOps {
   def tumblingCounts(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("val"))
+      .agg(count(lit(1)).as("n"), Fin.r4(sum(col("value"))).as("val"))
       .select(col("window.start").cast("date").as("day"), col("event_type"),
               col("n"), col("val"))
 
@@ -53,7 +55,7 @@ object StreamingOps {
     events.withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-           round(sum(col("value")), 4).as("session_value"))
+           Fin.r4(sum(col("value"))).as("session_value"))
       .select(col("session_window.start").as("start"), col("user_id"),
               col("n_events"), col("session_value"))
 

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LlmOps
+
+/** q_dedup_embcos must survive label skew: r8's shape joined all pairs
+  * within a label block (O(n²) in the largest block — quadratic the day
+  * label cardinality is low). The r9 shape generates candidates through
+  * the sign-LSH band join, so even a SINGLE-label corpus shards across
+  * (table, bucket) keys. This suite plants that worst case and asserts
+  * (a) the planted near-dups are still found (LSH loses nothing here:
+  * the perturbation never flips a component sign, so planted pairs
+  * collide in every table) and (b) the candidate join's key set
+  * includes the bucket columns — i.e. the plan physically cannot
+  * degenerate to one all-pairs block per label. */
+class EmbcosSkewSpec extends AnyFunSuite {
+  import TestBase._
+
+  private val dim = 64
+
+  /** n vectors, ALL with the same label (maximum block skew). Pairs
+    * (2k, 2k+1) are planted near-dups: same deterministic base vector,
+    * the odd twin nudged on component 0 WITHOUT a sign flip (so the
+    * twins share every sign-LSH bucket). Distinct bases are
+    * pseudo-random sign patterns — cosine far below the twins'. */
+  private def skewedCorpus(n: Int): DataFrame = {
+    val rows = (0 until n).map { id =>
+      val base = id / 2
+      val v = Array.tabulate(dim) { j =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"emb:$base:$j")
+        val x = ((h & 0xffff).toDouble / 0xffff) - 0.5
+        if (x == 0.0) 0.25 else x
+      }
+      if (id % 2 == 1) v(0) = v(0) + 0.01 * math.signum(v(0))
+      Row(id.toLong, "only_label", v.toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("label", StringType),
+        StructField("v", ArrayType(DoubleType)))))
+  }
+
+  test("single-label corpus: planted near-dup twins fill the top-20") {
+    val res = LlmOps.dedupEmbcosOn(spark, skewedCorpus(40)).collect()
+    assert(res.length == 20)
+    val pairs = res.map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
+    val planted = (0 until 20).map(k => (2L * k, 2L * k + 1)).toSet
+    assert(pairs == planted,
+      s"top-20 is not the planted twin set: missing=${planted -- pairs} " +
+        s"extra=${pairs -- planted}")
+  }
+
+  test("candidate join keys include the LSH bucket columns (no per-label all-pairs)") {
+    val p = LlmOps.dedupEmbcosOn(spark, skewedCorpus(40))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the candidate self-join is the only join whose condition carries
+    // v1 < v2; its equi-key set must contain t and bucket, not label
+    // alone
+    val joinDetail = p.split("\n\n")
+      .find(b => b.contains("Join") && b.contains("v1") && b.contains("v2")
+        && (b.contains("<") || b.contains("LessThan")))
+    assert(joinDetail.isDefined, "candidate self-join not found in plan:\n" + p)
+    assert(joinDetail.get.contains("bucket"),
+      "candidate join does not key on the LSH bucket:\n" + joinDetail.get)
+  }
+}
