@@ -1070,27 +1070,53 @@ object SparkEntry {
                      FROM documents) a) b
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_multimodal_meta" ->
-      """SELECT kind, count(*) AS n,
+      // closed-form mirror of the REAL containers the engine writes
+      // then parses back: BMP = 54-byte header + 4-byte-padded 24bpp
+      // rows; WAV = 44-byte header + 2 bytes/sample at 8 kHz mono;
+      // video = (1 + n%10) concatenated BMP frames at 40 ms each
+      """WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n
+                    FROM documents),
+            m AS (SELECT doc_id, n,
+                         CASE WHEN doc_id % 3 = 0 THEN 'image'
+                              WHEN doc_id % 3 = 1 THEN 'audio'
+                              ELSE 'video' END AS kind,
+                         4 + n % 60 AS w, 4 + (7 * n) % 44 AS h,
+                         1 + n % 10 AS f
+                  FROM d),
+            g AS (SELECT kind,
+                         CASE WHEN kind = 'audio' THEN 0 ELSE w END AS width,
+                         CASE WHEN kind = 'audio' THEN 0 ELSE h END AS height,
+                         CASE kind
+                           WHEN 'image' THEN 54 + ((3*w+3) - (3*w+3) % 4) * h
+                           WHEN 'audio' THEN 44 + 2 * n
+                           ELSE f * (54 + ((3*w+3) - (3*w+3) % 4) * h)
+                         END AS byte_len,
+                         CASE kind
+                           WHEN 'audio' THEN (n * 1000) // 8000
+                           WHEN 'video' THEN f * 40
+                           ELSE 0
+                         END AS dur
+                  FROM m)
+         SELECT kind, count(*) AS n,
                 CAST(sum(byte_len) AS BIGINT) AS total_bytes,
                 (round(avg(width), 4) + 0.0) AS avg_width,
-                (round(avg(height), 4) + 0.0) AS avg_height
-         FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
-                           WHEN doc_id % 3 = 1 THEN 'audio'
-                           ELSE 'video' END AS kind,
-                      CAST(octet_length(encode(text)) AS INT) AS byte_len,
-                      64 + CAST(octet_length(encode(text)) AS INT) % 640 AS width,
-                      64 + (CAST(octet_length(encode(text)) AS INT) * 7) % 480 AS height
-               FROM documents) t
-         GROUP BY 1 ORDER BY 1""",
+                (round(avg(height), 4) + 0.0) AS avg_height,
+                CAST(sum(dur) AS BIGINT) AS total_duration_ms
+         FROM g GROUP BY 1 ORDER BY 1""",
     "q_multimodal_frames" ->
       """WITH v AS (SELECT doc_id AS asset_id,
                            CAST(octet_length(encode(text)) AS INT) AS n
                     FROM documents WHERE doc_id % 3 = 2),
-            m AS (SELECT asset_id, n, 1 + (n % 10) AS frames FROM v)
+            m AS (SELECT asset_id, n, 1 + (n % 10) AS frames,
+                         4 + n % 60 AS w, 4 + (7 * n) % 44 AS h
+                  FROM v),
+            s AS (SELECT asset_id, frames,
+                         54 + ((3*w+3) - (3*w+3) % 4) * h AS frame_bytes
+                  FROM m)
          SELECT asset_id,
                 CAST((frames + 1) // 2 AS BIGINT) AS n_sampled,
-                CAST(((frames + 1) // 2) * (n // frames) AS BIGINT) AS sampled_bytes
-         FROM m ORDER BY asset_id""",
+                CAST(((frames + 1) // 2) * frame_bytes AS BIGINT) AS sampled_bytes
+         FROM s ORDER BY asset_id""",
     "q_text_filter" ->
       """SELECT doc_id, lang, n_tokens, mean_tok_len, uniq_ratio, stop_ratio,
                 CAST((n_tokens BETWEEN 10 AND 5000)

@@ -1,60 +1,84 @@
 package graft.operators
 
 import graft.{Fin, Tables}
+import graft.sources.MediaContainers.{Bmp, Wav}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column support (round brief): image/audio/video travel as
-  * opaque `binary` columns with a typed metadata struct; decode /
-  * feature-extract run as partition-local batch functions.
+/** Multimodal-column support: image/audio/video travel as opaque
+  * `binary` columns with a typed metadata struct; decode /
+  * feature-extract / resize / frame-sample run as partition-local
+  * batch functions.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): `FakeCodec.decode` derives deterministic pseudo-metadata
-  * and features from the bytes. Everything around it — the schema, the
-  * `Dataset[T]` encoders, the mapPartitions batch shape, the
-  * partitioning — is real and is what matters at 100 TB:
+  * The media decode is REAL as of r9: assets are genuine BMP (image),
+  * RIFF/WAVE PCM (audio), and concatenated-BMP (video, one container
+  * per frame) byte streams built from the document payloads, and
+  * [[decode]] recovers width/height/frames/sample-rate/duration by
+  * PARSING the container headers back
+  * (graft.sources.MediaContainers — pure-JVM, no codec libraries;
+  * both formats are public fixed-layout little-endian structs). The
+  * gated queries therefore exercise a full write→parse round trip:
+  * the oracle computes the expected fields in closed form from the
+  * payload length, so a writer/parser disagreement of even one byte
+  * breaks the hash gate.
   *
+  * What matters at 100 TB is unchanged:
   *  - assets stay as one `binary` column; never exploded into rows of
   *    pixels (that 1000×es the shuffle volume);
-  *  - decode is `mapPartitions`, so a real codec would amortize its init
-  *    (model load, JNI handle) once per partition, not once per row;
-  *  - extracted features land in an `array<float>` column that feeds the
-  *    existing similarity/centroid operators (LlmOps).
+  *  - build and decode are `mapPartitions`, so a heavier codec would
+  *    amortize its init (model load, JNI handle) once per partition;
+  *  - extracted features land in an `array<float>` column that feeds
+  *    the existing similarity/centroid operators (LlmOps).
   */
 object MultimodalOps {
   import Fin._
 
-  /** An opaque media asset: id + raw bytes + declared kind. */
+  /** An opaque media asset: id + raw container bytes + declared kind.
+    * `kind` is CATALOG metadata (what the asset means); the container
+    * structure is never trusted from it — [[decode]] sniffs the magic
+    * bytes. It exists because structure alone can't distinguish a
+    * single BMP from a 1-frame video. */
   case class Asset(asset_id: Long, kind: String, media: Array[Byte])
 
-  /** Typed metadata a real decoder would emit. */
+  /** Typed metadata the decoder emits. Audio: width=height=0,
+    * frames=1; image/video: sample_rate=0. A corrupt container
+    * decodes to frames=0 (the downstream corrupt-asset filter), never
+    * an exception. */
   case class AssetMeta(asset_id: Long, kind: String, byte_len: Int,
                        width: Int, height: Int, frames: Int,
+                       sample_rate: Int, duration_ms: Long,
                        features: Array[Float])
 
-  /** Deterministic stand-in for an image/audio decoder. A production
-    * build replaces `decode` with a real codec behind the same
-    * signature; the pipeline shape does not change. */
-  object FakeCodec {
-    def decode(a: Asset): AssetMeta = {
-      val n = a.media.length
-      // Deterministic pseudo-metadata from content, no RNG.
-      val w = 64 + (n % 640)
-      val h = 64 + ((n * 7) % 480)
-      val frames = if (a.kind == "video") 1 + (n % 10) else 1
-      val feats = Array.tabulate(8) { i =>
-        // rolling byte aggregate per stripe — stable feature stub
-        var acc = 0L
-        var j = i
-        while (j < n) { acc = acc * 31 + (a.media(j) & 0xff); j += 8 }
-        (acc % 1000).toFloat / 1000.0f
-      }
-      AssetMeta(a.asset_id, a.kind, n, w, h, frames, feats)
-    }
-  }
+  /** PCM sample rate for audio assets (8 kHz telephone-band mono). */
+  val WavRate = 8000
 
-  /** Build a binary-column asset table from `documents` (the only bytes
-    * available in the test image); partition-preserving. */
+  /** Fixed video frame duration: 25 fps ⇒ 40 ms per frame. */
+  val FrameMs = 40L
+
+  /** Deterministic 8-dim feature stub over the container bytes
+    * (rolling per-stripe byte hash) — the one remaining stand-in: a
+    * real embedding model is a network, not a header parse. Shape
+    * (array<float> column from partition-local batches) is what the
+    * similarity operators consume. */
+  private def features(b: Array[Byte]): Array[Float] =
+    Array.tabulate(8) { i =>
+      var acc = 0L
+      var j = i
+      while (j < b.length) { acc = acc * 31 + (b(j) & 0xff); j += 8 }
+      (acc % 1000).toFloat / 1000.0f
+    }
+
+  /** Deterministic container dims from a payload of n bytes — small
+    * enough that a 10-frame video stays under ~100 KB, varied enough
+    * to exercise stride padding (w mod 4 takes every value). */
+  private[graft] def dimsFor(n: Int): (Int, Int) =
+    (4 + n % 60, 4 + (7 * n) % 44)
+
+  /** Build the binary-column asset table from `documents` (the only
+    * bytes available in the test image): each doc's UTF-8 payload
+    * becomes a REAL container — BMP for image, WAV for audio,
+    * concatenated BMPs (1 + n%10 frames) for video. mapPartitions:
+    * bytes are assembled where they live, nothing shuffles. */
   def assets(s: SparkSession, d: String): Dataset[Asset] = {
     import s.implicits._
     Tables.documents(s, d)
@@ -62,34 +86,74 @@ object MultimodalOps {
               when(col("doc_id") % 3 === 0, "image")
                 .when(col("doc_id") % 3 === 1, "audio")
                 .otherwise("video").as("kind"),
-              encode(col("text"), "UTF-8").as("media"))
-      .as[Asset]
+              encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val n = payload.length
+          val (w, h) = dimsFor(n)
+          val media = kind match {
+            case "image" => Bmp.write(w, h, payload)
+            case "audio" => Wav.write(WavRate, payload)
+            case _ =>
+              val frame = Bmp.write(w, h, payload)
+              val nf = 1 + n % 10
+              val out = new Array[Byte](frame.length * nf)
+              var f = 0
+              while (f < nf) {
+                System.arraycopy(frame, 0, out, f * frame.length, frame.length)
+                f += 1
+              }
+              out
+          }
+          Asset(id, kind, media)
+        }
+      }
   }
 
-  /** The decode pipeline: mapPartitions so a real codec initializes once
-    * per partition. Returns the typed metadata Dataset. */
+  /** Decode one asset by SNIFFING its container magic and parsing the
+    * headers — never by trusting catalog metadata for structure. */
+  def decode(a: Asset): AssetMeta = {
+    val b = a.media
+    val feats = features(b)
+    def corrupt = AssetMeta(a.asset_id, a.kind, b.length, 0, 0, 0, 0, 0L, feats)
+    if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      Wav.parse(b).map { h =>
+        AssetMeta(a.asset_id, a.kind, b.length, 0, 0, 1,
+                  h.sampleRate, h.durationMs, feats)
+      }.getOrElse(corrupt)
+    else
+      Bmp.parseConcat(b).map { fs =>
+        val h0 = fs.head
+        val dur = if (a.kind == "video") fs.length * FrameMs else 0L
+        AssetMeta(a.asset_id, a.kind, b.length, h0.width, h0.height,
+                  fs.length, 0, dur, feats)
+      }.getOrElse(corrupt)
+  }
+
+  /** The decode pipeline: mapPartitions so a heavier codec initializes
+    * once per partition. Returns the typed metadata Dataset. */
   def decoded(s: SparkSession, d: String): Dataset[AssetMeta] = {
     import s.implicits._
-    assets(s, d).mapPartitions { it =>
-      // real build: val codec = HeavyCodec.init() here, once
-      it.map(FakeCodec.decode)
-    }
+    assets(s, d).mapPartitions(_.map(decode))
   }
 
-  /** A resized asset: same bytes contract, new declared dimensions. */
+  /** A resized asset: a fresh, valid container at the new dims. */
   case class Resized(asset_id: Long, width: Int, height: Int, media: Array[Byte])
 
-  /** Resize plumbing: partition-local, output bytes bounded by the
-    * target dims (stub: truncate/pad to w*h bytes — a real scaler slots
-    * in behind the same signature). The point at 100 TB: resize happens
-    * WHERE the bytes already are (no shuffle), and output size becomes a
-    * function of the target dims, not the source. */
+  /** Real nearest-neighbor resize of every BMP-structured asset
+    * (images; a video resizes its first frame — the thumbnail path).
+    * Partition-local: resize happens WHERE the bytes already are (no
+    * shuffle), and output size becomes a function of the target dims,
+    * not the source. Non-BMP / corrupt assets are dropped, not
+    * crashed on. */
   def resized(s: SparkSession, d: String, w: Int, h: Int): Dataset[Resized] = {
     import s.implicits._
     assets(s, d).mapPartitions { it =>
-      it.map { a =>
-        val out = java.util.Arrays.copyOf(a.media, w * h)
-        Resized(a.asset_id, w, h, out)
+      it.flatMap { a =>
+        Bmp.parse(a.media).map { hdr =>
+          Resized(a.asset_id, w, h, Bmp.resizeNearest(a.media, hdr, w, h))
+        }
       }
     }
   }
@@ -97,15 +161,14 @@ object MultimodalOps {
   /** One sampled frame of a video asset. */
   case class Frame(asset_id: Long, idx: Int, n_bytes: Int)
 
-  /** Frame sampling: every `everyN`-th frame of each video, emitted as
-    * one row per sampled frame through the typed decode path. Frame
-    * payload size is byte_len/frames (integer division — deterministic
-    * stub for the per-frame slice a real demuxer would hand over).
+  /** Frame sampling: every `everyN`-th frame of each video, one row
+    * per sampled frame. Frame payload size is byte_len/frames — exact
+    * here because the video container is `frames` equal-size BMPs.
     *
-    * Corrupt-asset guard: a real demuxer can report `frames <= 0` for a
-    * truncated/invalid container. Such assets yield ZERO frame rows
-    * (filtered before the byte_len/frames division) instead of killing
-    * the whole pipeline with an ArithmeticException. */
+    * Corrupt-asset guard: [[decode]] reports `frames = 0` for a
+    * truncated/invalid container; such assets yield ZERO frame rows
+    * (filtered before the byte_len/frames division) instead of
+    * killing the pipeline with an ArithmeticException. */
   def sampleFrames(metas: Dataset[AssetMeta], everyN: Int): Dataset[Frame] = {
     require(everyN > 0, s"frame sampling stride must be positive, got $everyN")
     import metas.sparkSession.implicits._
@@ -119,11 +182,12 @@ object MultimodalOps {
     sampleFrames(decoded(s, d), everyN)
 
   /** q_multimodal_frames — frame sampling under the oracle gate, and
-    * with it the WHOLE typed pipeline it runs through (mapPartitions
-    * decode → filter → flatMap): per video asset, the count and total
-    * bytes of every-2nd-frame samples. The oracle mirrors the stub's
-    * integer arithmetic; a real codec changes the numbers, not the
-    * plan. */
+    * with it the whole typed pipeline it runs through (container
+    * build → mapPartitions header decode → filter → flatMap): per
+    * video asset, the count and total bytes of every-2nd-frame
+    * samples. The oracle computes the per-frame container size in
+    * closed form from the payload length; the engine recovers it by
+    * parsing the frame headers it wrote. */
   def multimodalFrames(s: SparkSession, d: String): DataFrame = {
     ord(
       frameSample(s, d, 2).toDF()
@@ -133,27 +197,21 @@ object MultimodalOps {
       col("asset_id"))
   }
 
-  /** q_multimodal_meta — oracle-checkable slice of the pipeline: the
-    * metadata that is pure byte arithmetic (and therefore expressible in
-    * DuckDB SQL too). The mapPartitions path is covered in the test
-    * suite against this same arithmetic. */
+  /** q_multimodal_meta — per kind: asset count, total container
+    * bytes, average parsed dims, total parsed duration. Every number
+    * on the Spark side comes out of the header PARSE of bytes the
+    * asset builder wrote; the oracle recomputes them in closed form
+    * from payload lengths — a one-byte writer/parser disagreement
+    * breaks the hash. */
   def multimodalMeta(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val blen = length(encode(col("text"), "UTF-8"))
     ord(
-      docs.select(
-          col("doc_id").as("asset_id"),
-          when(col("doc_id") % 3 === 0, "image")
-            .when(col("doc_id") % 3 === 1, "audio")
-            .otherwise("video").as("kind"),
-          blen.as("byte_len"),
-          (lit(64) + blen % 640).as("width"),
-          (lit(64) + (blen * 7) % 480).as("height"))
+      decoded(s, d).toDF()
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
              sum(col("byte_len")).as("total_bytes"),
              r4(avg(col("width"))).as("avg_width"),
-             r4(avg(col("height"))).as("avg_height")),
+             r4(avg(col("height"))).as("avg_height"),
+             sum(col("duration_ms")).as("total_duration_ms")),
       col("kind"))
   }
 }

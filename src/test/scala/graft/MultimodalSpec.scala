@@ -1,36 +1,76 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.MultimodalOps
 
-/** The mapPartitions decode pipeline: typed plumbing is real, the codec
-  * is a deterministic stub (round brief: decode STUBBED, plumbing real). */
+import graft.operators.MultimodalOps
+import graft.sources.MediaContainers.Bmp
+
+/** The mapPartitions decode pipeline over REAL containers (r9): the
+  * asset builder writes genuine BMP/WAV/concat-BMP bytes, decode
+  * parses the headers back, and the recovered metadata must agree with
+  * the closed-form arithmetic the oracle uses. */
 class MultimodalSpec extends AnyFunSuite {
   import TestBase._
 
-  test("decode pipeline yields one metadata row per asset with 8-dim features") {
+  test("decode pipeline yields one parsed-metadata row per asset") {
     val metas = MultimodalOps.decoded(spark, sf0001).collect()
     assert(metas.length == 500)
     assert(metas.forall(_.features.length == 8))
-    assert(metas.forall(m => m.width >= 64 && m.height >= 64 && m.frames >= 1))
-    assert(metas.filter(_.kind == "video").forall(_.frames >= 1))
+    assert(metas.forall(_.frames >= 1), "every written container must parse")
+    metas.foreach { m =>
+      m.kind match {
+        case "audio" =>
+          assert(m.width == 0 && m.height == 0 && m.frames == 1)
+          assert(m.sample_rate == MultimodalOps.WavRate)
+        case "image" =>
+          assert(m.width >= 4 && m.height >= 4 && m.frames == 1)
+          assert(m.sample_rate == 0 && m.duration_ms == 0L)
+        case "video" =>
+          assert(m.width >= 4 && m.height >= 4 && m.frames >= 1)
+          assert(m.duration_ms == m.frames * MultimodalOps.FrameMs)
+      }
+    }
+  }
+
+  test("parsed metadata equals the closed-form arithmetic the oracle uses") {
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "octet_length(encode(text, 'UTF-8')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    MultimodalOps.decoded(spark, sf0001).collect().foreach { m =>
+      val n = docs(m.asset_id)
+      val (w, h) = MultimodalOps.dimsFor(n)
+      val bmpLen = Bmp.fileSize(w, h)
+      m.kind match {
+        case "image" =>
+          assert((m.width, m.height, m.byte_len) == ((w, h, bmpLen)))
+        case "audio" =>
+          assert(m.byte_len == 44 + 2 * n)
+          assert(m.duration_ms == n.toLong * 1000 / 8000)
+        case "video" =>
+          val f = 1 + n % 10
+          assert((m.width, m.height, m.frames) == ((w, h, f)))
+          assert(m.byte_len == f * bmpLen)
+      }
+    }
   }
 
   test("decode is deterministic across runs") {
-    val a = MultimodalOps.decoded(spark, sf0001).collect()
-      .map(m => (m.asset_id, m.width, m.height, m.frames, m.features.toSeq)).sortBy(_._1)
-    val b = MultimodalOps.decoded(spark, sf0001).collect()
-      .map(m => (m.asset_id, m.width, m.height, m.frames, m.features.toSeq)).sortBy(_._1)
-    assert(a.sameElements(b))
+    def run() = MultimodalOps.decoded(spark, sf0001).collect()
+      .map(m => (m.asset_id, m.width, m.height, m.frames, m.duration_ms,
+                 m.features.toSeq)).sortBy(_._1)
+    assert(run().sameElements(run()))
   }
 
-  test("resize bounds every asset's bytes to the target dims, partition-locally") {
+  test("resize emits a valid 32x32 container for every BMP-structured asset") {
     val out = MultimodalOps.resized(spark, sf0001, 32, 32).collect()
-    assert(out.length == 500)
-    assert(out.forall(r => r.media.length == 32 * 32 && r.width == 32 && r.height == 32))
+    // images (doc_id % 3 == 0) + videos (% 3 == 2); audio is not BMP
+    assert(out.length == 333)
+    assert(out.forall(r => r.width == 32 && r.height == 32))
+    assert(out.forall(r =>
+      Bmp.parse(r.media).contains(Bmp.Header(32, 32, Bmp.fileSize(32, 32)))))
   }
 
-  test("frame sampling emits every 2nd frame with the stub's byte slice") {
+  test("frame sampling emits every 2nd frame with the parsed per-frame size") {
     val metas = MultimodalOps.decoded(spark, sf0001).collect()
       .filter(_.kind == "video").map(m => m.asset_id -> m).toMap
     val frames = MultimodalOps.frameSample(spark, sf0001, 2).collect()
@@ -46,10 +86,11 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("a corrupt asset (frames=0) yields zero frame rows, not a crash") {
     import spark.implicits._
+    val f8 = Array.fill(8)(0f)
     val metas = Seq(
-      MultimodalOps.AssetMeta(1L, "video", 100, 64, 64, 0, Array.fill(8)(0f)),
-      MultimodalOps.AssetMeta(2L, "video", 100, 64, 64, 4, Array.fill(8)(0f)),
-      MultimodalOps.AssetMeta(3L, "image", 100, 64, 64, 1, Array.fill(8)(0f))
+      MultimodalOps.AssetMeta(1L, "video", 100, 64, 64, 0, 0, 0L, f8),
+      MultimodalOps.AssetMeta(2L, "video", 100, 64, 64, 4, 0, 160L, f8),
+      MultimodalOps.AssetMeta(3L, "image", 100, 64, 64, 1, 0, 0L, f8)
     ).toDS()
     val frames = MultimodalOps.sampleFrames(metas, 2).collect()
     assert(!frames.exists(_.asset_id == 1L), "corrupt asset must emit no frames")
@@ -60,19 +101,11 @@ class MultimodalSpec extends AnyFunSuite {
   test("a non-positive sampling stride is rejected loudly") {
     import spark.implicits._
     val metas = Seq(
-      MultimodalOps.AssetMeta(1L, "video", 100, 64, 64, 4, Array.fill(8)(0f))).toDS()
+      MultimodalOps.AssetMeta(1L, "video", 100, 64, 64, 4, 0, 160L,
+        Array.fill(8)(0f))).toDS()
     val ex = intercept[IllegalArgumentException] {
       MultimodalOps.sampleFrames(metas, 0)
     }
     assert(ex.getMessage.contains("stride"))
-  }
-
-  test("mapPartitions metadata agrees with the SQL-expressible q_multimodal_meta slice") {
-    import org.apache.spark.sql.functions._
-    val fromPipeline = MultimodalOps.decoded(spark, sf0001)
-      .groupBy("kind").agg(count(lit(1)).as("n"), sum(col("byte_len")).as("total_bytes"))
-    val fromQuery = MultimodalOps.multimodalMeta(spark, sf0001)
-      .select(col("kind"), col("n"), col("total_bytes"))
-    assert(collectSet(fromPipeline) == collectSet(fromQuery))
   }
 }
