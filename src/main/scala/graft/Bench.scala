@@ -4,30 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // Size post-shuffle partitions by DATA VOLUME, not core count:
-      // parallelismFirst=true (the default) splits every shuffle into
-      // ~cpus partitions even when the whole exchange is a few MB, so a
-      // wide driver (local[32]) pays 8x the per-task fixed cost of
-      // local[4] for zero gain at bench SFs. false = AQE coalesces to
-      // the advisory size (Spark's own docs recommend false in
-      // production); at 100 TB shuffles exceed advisory x cpus and the
-      // setting is a no-op.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      // 4 MB advisory (not the 64 MB default): KB-scale exchanges — most
-      // of this inventory at bench SFs — coalesce to one task, while a
-      // genuinely heavy exchange (tens of MB+) keeps its parallelism.
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      // 32 MB broadcast ceiling (default 10 MB): dimension-sized sides
-      // (customer/orders slices at bench SFs; true dims at 100 TB) go
-      // map-side instead of paying a two-sided exchange. Routine
-      // production headroom for 100 GB+ executors; genuinely big sides
-      // still exceed the ceiling and shuffle.
-      .config("spark.sql.autoBroadcastJoinThreshold", "32m")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the shared tuned configuration (see GraftSession's scaladoc for
+    // the knob rationale) — Bench, Verify, and TestBase all build from
+    // it, so the timed plans ARE the verified/guarded plans
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=q_a,q_b — time a subset (iteration aid; the
     // driver never sets it, so official runs always cover the full map)

@@ -174,6 +174,7 @@ object SparkEntry {
     "q_tumbling_stream" -> (graft.streaming.StreamingOps.tumblingStreamGated _),
     "q_dedup_stream" -> (graft.streaming.StreamingOps.dedupStreamGated _),
     "q_session_state_stream" -> (graft.streaming.StreamingOps.sessionStateStreamGated _),
+    "q_upsert_stream" -> (graft.streaming.StreamingOps.upsertStreamGated _),
     "q_interval_join_stream" -> (graft.streaming.StreamingOps.intervalJoinStreamGated _),
     "q_window_sliding" -> (W.windowSliding _),
     // report shaping (r1 additions)
@@ -1545,6 +1546,20 @@ object SparkEntry {
          SELECT user_id, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
                 count(*) AS n_events
          FROM sids GROUP BY user_id, sid ORDER BY user_id, start_sec""",
+    "q_upsert_stream" ->
+      // The foreachBatch merge-upsert sink's final state must equal the
+      // batch latest-row-per-(user, event_type) truth, independent of
+      // how the stream was sliced into micro-batches (the merge is an
+      // argmax semilattice — see StreamingOps.latestState).
+      """WITH e AS (SELECT user_id, event_type,
+                           epoch_us(ts::TIMESTAMP) AS ts_us,
+                           event_id, value FROM events),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY user_id, event_type
+                     ORDER BY ts_us DESC, event_id DESC) AS rn
+                  FROM e)
+         SELECT user_id, event_type, ts_us, event_id, value
+         FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
     "q_interval_join_stream" ->
       """WITH c AS (SELECT user_id AS c_user, epoch_us(ts::TIMESTAMP) AS c_us,
                            event_id AS click_id
@@ -2464,8 +2479,9 @@ object SparkEntry {
                             max(ts_sec) AS end_sec
                      FROM sids GROUP BY 1, 2),
             evw AS (SELECT s.user_id, s.sid, s.event_type, ss.rev,
-                           pow(2.0, -floor((ss.end_sec - s.ts_sec) / 600.0))
-                             AS w
+                           pow(2.0, greatest(
+                               -floor((ss.end_sec - s.ts_sec) / 600.0),
+                               -40.0)) AS w
                     FROM sids s
                     JOIN sess ss ON s.user_id = ss.user_id AND s.sid = ss.sid),
             ws AS (SELECT user_id, sid, sum(w) AS wsum

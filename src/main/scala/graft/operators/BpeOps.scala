@@ -66,11 +66,14 @@ object BpeOps {
                             n: Long)
 
   /** Per-JVM memo of trained merge tables: q_bpe_vocab and q_bpe_encode
-    * share one training pass per (source dir, merges). Keyed on the
-    * path only — test fixtures use unique temp dirs and driver runs are
-    * one JVM per source state, so staleness cannot arise in practice. */
+    * share one training pass per source STATE. Keyed on (path,
+    * [[graft.sources.CachedDir.fingerprint]] of the documents source,
+    * merges) — the same sizes+mtimes fingerprint every CachedDir
+    * materialization embeds — so a dataset regenerated at the same
+    * path within one JVM structurally cannot serve a stale merge
+    * table (r8 advice: the old path-only key merely assumed it). */
   private val trained =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[BpeMerge]]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), Seq[BpeMerge]]
 
   /** Train `merges` BPE merges over the corpus's word-frequency table.
     * Returns the ranked merge list (size ≤ merges — training stops
@@ -78,7 +81,8 @@ object BpeOps {
     * vocabulary-sized throughout; only the initial word count ever
     * touches the corpus. */
   def trainBpe(s: SparkSession, d: String, merges: Int = BpeMerges)
-      : Seq[BpeMerge] = trained.getOrElseUpdate((d, merges), {
+      : Seq[BpeMerge] = trained.getOrElseUpdate(
+    (d, graft.sources.CachedDir.fingerprint(s, d, "documents.parquet"), merges), {
     // corpus → (word, count) → top-K dictionary: the ONE corpus-sized
     // job of training (partial-aggregable count + TakeOrdered cut)
     val dict: Array[(Array[String], Long)] = Tables.documents(s, d)

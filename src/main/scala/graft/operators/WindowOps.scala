@@ -458,6 +458,12 @@ object WindowOps {
     * credit of the final touch — the standard GA time-decay scale. */
   val DecayHalflifeSec = 600L
 
+  /** Decay-weight floor: exponents clamp at −[[DecayExpFloor]] (weight
+    * ≥ 2⁻⁴⁰) in BOTH the operator and the oracle, keeping the weight
+    * sum exactly associative (≤ 40 ≪ 53 binary orders spanned) for
+    * sessions of ANY length — see [[attributionDecay]]'s scaladoc. */
+  val DecayExpFloor = 40L
+
   /** q_attribution_decay — exponential time-decay multi-touch
     * attribution, the fourth GA credit model next to first/last/linear:
     * each touch in a converting session earns weight 2^(−⌊Δ/h⌋) where
@@ -472,11 +478,18 @@ object WindowOps {
     * aggregate (exchange reuse all the way — the store is user-bucketed
     * so nothing re-shuffles), and a final tiny rollup on event type.
     *
-    * Determinism: the decay exponent is the INTEGER ⌊Δ/h⌋, so every
-    * weight is an exact power of two (libm pow is exact on those) —
-    * both engines sum the same exact dyadic multiset; revenue divides
-    * by the weight sum once per touch and is r4'd once at the rollup
-    * (the q_attribution rule). */
+    * Determinism: the decay exponent is the INTEGER ⌊Δ/h⌋, CLAMPED at
+    * −[[DecayExpFloor]], so every weight is an exact power of two
+    * (libm pow is exact on those) — both engines sum the same exact
+    * dyadic multiset; revenue divides by the weight sum once per touch
+    * and is r4'd once at the rollup (the q_attribution rule). The
+    * clamp is what makes the exactness claim hold at ANY session
+    * length: unclamped, a session spanning > 52 half-lives of
+    * continuous sub-gap activity puts weights > 2⁵² apart, the weight
+    * SUM's rounding becomes partition-order-dependent, and the engines
+    * can diverge. With the floor, every weight spans ≤ 2⁴⁰ ≪ 2⁵³
+    * binary orders, so sum(w) is exact whatever the add order. A
+    * 2⁻⁴⁰ credit share is ~10⁻¹² of the final touch — zero at r4. */
   def attributionDecay(s: SparkSession, d: String): DataFrame = {
     val ev = sessionized(s, d, col("event_type"), col("value"))
     val sess = ev.groupBy(col("user_id"), col("sid"))
@@ -485,8 +498,9 @@ object WindowOps {
            max(col("ts_sec")).as("end_sec"))
     val evw = ev.join(sess, Seq("user_id", "sid"))
       .withColumn("w", pow(lit(2.0),
-        -floor((col("end_sec") - col("ts_sec")) /
-               lit(DecayHalflifeSec.toDouble))))
+        greatest(-floor((col("end_sec") - col("ts_sec")) /
+                        lit(DecayHalflifeSec.toDouble)),
+                 lit(-DecayExpFloor.toDouble))))
     val wsum = evw.groupBy(col("user_id"), col("sid"))
       .agg(sum(col("w")).as("wsum"))
     ord(

@@ -23,23 +23,30 @@ import org.apache.spark.sql.SparkSession
   *    publish, bounding /tmp growth to one copy per source state.
   */
 object CachedDir {
+  /** Fingerprint of a source file/dir's metadata (sizes + mtimes of its
+    * parts) — the cache key every materialization embeds, and the key
+    * any OTHER per-source-state memo (e.g. BpeOps' trained merge table)
+    * must use so a regenerated source can never serve stale state. */
+  def fingerprint(s: SparkSession, d: String, sourceFile: String): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$d/$sourceFile")
+    val srcFs = src.getFileSystem(conf)
+    val st = srcFs.getFileStatus(src)
+    val parts =
+      if (st.isDirectory) srcFs.listStatus(src).toSeq.sortBy(_.getPath.getName)
+      else Seq(st)
+    val h = parts.foldLeft(17L)((acc, p) =>
+      acc * 1000003L + p.getLen * 31L + p.getModificationTime)
+    java.lang.Long.toHexString(h)
+  }
+
   /** Returns the published directory for (tag, source dir `d`),
     * materializing it with `write(tmpDir)` on first use. `write` must
     * leave a `_SUCCESS` marker (every Spark sink does). */
   def materialize(s: SparkSession, d: String, sourceFile: String, tag: String)
                  (write: String => Unit): String = synchronized {
     val conf = s.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(s"$d/$sourceFile")
-    val srcFs = src.getFileSystem(conf)
-    val fp = {
-      val st = srcFs.getFileStatus(src)
-      val parts =
-        if (st.isDirectory) srcFs.listStatus(src).toSeq.sortBy(_.getPath.getName)
-        else Seq(st)
-      val h = parts.foldLeft(17L)((acc, p) =>
-        acc * 1000003L + p.getLen * 31L + p.getModificationTime)
-      java.lang.Long.toHexString(h)
-    }
+    val fp = fingerprint(s, d, sourceFile)
     val prefix = s"/tmp/graft_${tag}_" + d.replaceAll("[^A-Za-z0-9.]", "_") + "_"
     val dest = prefix + fp
     val destPath = new org.apache.hadoop.fs.Path(dest)

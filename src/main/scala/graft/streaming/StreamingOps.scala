@@ -144,23 +144,28 @@ object StreamingOps {
         val key = "spark.sql.shuffle.partitions"
         val prev = s.conf.get(key)
         s.conf.set(key, StreamGateParts.toString)
-        try {
-          val q = out
+        val schema = try {
+          val df = out
+          val q = df
             .writeStream.trigger(Trigger.AvailableNow())
             .outputMode("append")
             .option("checkpointLocation", s"$base/cp")
             .format("parquet").option("path", s"$base/out")
             .start()
           q.awaitTermination()
+          df.schema
         } finally s.conf.set(key, prev)
         // batch rewrite: drops the sink's _spark_metadata dir and leaves
-        // the _SUCCESS marker CachedDir's publish contract requires
-        s.read.parquet(s"$base/out").write.parquet(tmp)
+        // the _SUCCESS marker CachedDir's publish contract requires.
+        // The stream's schema is passed EXPLICITLY so a drain that
+        // emitted zero files (empty/degenerate source state) publishes
+        // an empty result instead of failing parquet schema inference.
+        s.read.schema(schema).parquet(s"$base/out").write.parquet(tmp)
     }
     s.read.parquet(pub)
   }
 
-  /** Materialize all five gated streaming drains (fixture pre-publish
+  /** Materialize all six gated streaming drains (fixture pre-publish
     * — see [[graft.SparkEntry.prepareFixtures]]). */
   def prepareGatedStreams(s: SparkSession, d: String): Unit = {
     sessionizeStreamGated(s, d)
@@ -168,6 +173,7 @@ object StreamingOps {
     intervalJoinStreamGated(s, d)
     dedupStreamGated(s, d)
     sessionStateStreamGated(s, d)
+    upsertStreamGated(s, d)
   }
 
   /** q_session_state_stream — the CUSTOM-STATE sessionizer
@@ -436,5 +442,103 @@ object StreamingOps {
             ProfileUpdate(user, next.n_events, next.total_value, next.last_seen_sec)
           }
       }
+  }
+
+  /** Latest-state contraction: one row per (user_id, event_type) — the
+    * row with the greatest (ts, event_id). This is the MERGE function
+    * of the streaming upsert sink, and it is an argmax over a total
+    * order, i.e. a semilattice join: commutative, associative, and
+    * IDEMPOTENT. That algebra is the whole exactly-once story —
+    * `merge(state, delta)` absorbs re-delivered rows (at-least-once
+    * delivery), ignores batch-boundary placement (availableNow vs live
+    * micro-batches vs one giant batch), and `merge(merge(s, d), d) =
+    * merge(s, d)` makes a replayed foreachBatch call a no-op. One
+    * partial-aggregable shuffle on the state key; state size is
+    * O(distinct keys), never O(stream length). */
+  def latestState(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(struct(col("ts"), col("event_id"), col("value")),
+                  struct(col("ts"), col("event_id"))).as("st"))
+      .select(col("user_id"), col("event_type"),
+              col("st.ts").as("ts"), col("st.event_id").as("event_id"),
+              col("st.value").as("value"))
+
+  /** One availableNow foreachBatch drain of `src` into a latest-state
+    * parquet sink under `work`, `filesPerTrigger` source files per
+    * micro-batch. Returns the final sink state. Each batch applies
+    * [[latestState]] to the batch, merges it into the prior sink
+    * version, and writes sink version `state_<batchId>` — the
+    * batch-id-versioned write IS the idempotence mechanism Structured
+    * Streaming documents for foreachBatch sinks: a batch replayed
+    * after a crash rewrites the SAME versioned dir (deterministic
+    * name), and the merge algebra makes the rewrite byte-identical.
+    * StreamingSinkSpec drains the same source under different batch
+    * slicings and re-runs and asserts the sink state is invariant. */
+  def drainUpsert(s: SparkSession, src: String, work: String,
+                  filesPerTrigger: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamGateParts.toString)
+    try {
+      // resume from the newest committed sink version: a re-run against
+      // the same work dir (checkpoint intact, no new source files) runs
+      // zero batches and returns the existing state unchanged — the
+      // rerun-idempotence StreamingSinkSpec asserts
+      var cur: Option[String] = {
+        val w = new java.io.File(work)
+        val versions = Option(w.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("state_") &&
+                       new java.io.File(f, "_SUCCESS").exists())
+          .sortBy(f => f.getName.stripPrefix("state_").toLong)
+        versions.lastOption.map(_.getAbsolutePath)
+      }
+      val q = s.readStream.schema(eventsMicros)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
+        .parquet(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/cp")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val delta = latestState(batch)
+          val merged = cur match {
+            case Some(p) => latestState(s.read.parquet(p).unionByName(delta))
+            case None    => delta
+          }
+          merged.write.mode("overwrite").parquet(s"$work/state_$batchId")
+          cur = Some(s"$work/state_$batchId")
+        }
+        .start()
+      q.awaitTermination()
+      cur.map(p => s.read.parquet(p)).getOrElse(
+        latestState(s.read.schema(eventsMicros).parquet(src).limit(0)))
+    } finally s.conf.set(key, prev)
+  }
+
+  /** The published streaming-upsert sink: [[drainUpsert]] over the
+    * sentinel stream source, once per source state (CachedDir). */
+  def upsertStreamSinkDir(s: SparkSession, d: String): String =
+    graft.sources.CachedDir.materialize(
+        s, d, "events.parquet", "stream_upsert_sink") { tmp =>
+      val work = java.nio.file.Files.createTempDirectory("stream_upsert").toString
+      drainUpsert(s, streamSourceDir(s, d), work, 2).write.parquet(tmp)
+    }
+
+  /** q_upsert_stream — the SINK side of the reference's incremental
+    * sync closed under the DuckDB gate: a foreachBatch merge-upsert
+    * keeps a latest-state-per-(user, event_type) parquet sink while
+    * the event stream drains, and the final sink state must equal the
+    * batch truth (the oracle recomputes it with one ranked window over
+    * the whole events table). The sixth gated streaming query; the
+    * rerun/batch-slicing idempotence claims are pinned by
+    * StreamingSinkSpec. Timestamps leave as µs BIGINT (driver tz
+    * contract); value is a picked row value, never summed — exact. */
+  def upsertStreamGated(s: SparkSession, d: String): DataFrame = {
+    val st = s.read.parquet(upsertStreamSinkDir(s, d))
+    graft.Fin.ord(
+      st.filter(col("user_id") >= 0)
+        .select(col("user_id"), col("event_type"),
+                expr("unix_micros(ts)").as("ts_us"), col("event_id"),
+                col("value")),
+      col("user_id"), col("event_type"))
   }
 }

@@ -7,13 +7,11 @@ import java.nio.file.Files
 /** Shared SparkSession + fixture helpers for the suite. */
 object TestBase {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+    // the same tuned configuration Bench times and Verify gates
+    // (GraftSession) — plan guards assert against the benched plans
+    val s = GraftSession.builder("local[4]", 4)
       .config("spark.sql.warehouse.dir",
         Files.createTempDirectory("graft_warehouse").toString)
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
