@@ -33,7 +33,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // r9's total was unrecoverable because the driver truncated stdout
+    // (BENCH_r09.json "parsed": null) — persist the record too
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_bench.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write /tmp/graft_bench.json: $e") }
     spark.stop()
   }
 }

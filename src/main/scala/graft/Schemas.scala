@@ -64,12 +64,25 @@ object Schemas {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** events.ts is ns-precision parquet (INT64 TIMESTAMP(NANOS)); Spark 4
-    * cannot read that as TimestampType directly, so it is declared LongType
-    * (with spark.sql.legacy.parquet.nanosAsLong) and truncated to µs in
-    * Tables.events — matching DuckDB's `ts::TIMESTAMP` truncation
-    * (SURVEY.md §2.10 rule 4). */
+  /** The LOGICAL events schema every query sees: ts is µs TimestampType.
+    * The physical parquet encoding of `ts` has drifted across driver
+    * regenerations (INT64 TIMESTAMP(NANOS) through r8; TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) since 2026-08-13) — [[Tables.events]] detects
+    * the file's logical type from the parquet footer and normalizes both
+    * encodings to this schema (SURVEY.md §2.10 rule 4). */
   val events = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Physical read schema for the LEGACY ns encoding: Spark cannot read
+    * INT64 TIMESTAMP(NANOS) as TimestampType, so it is declared LongType
+    * (with spark.sql.legacy.parquet.nanosAsLong) and truncated to µs in
+    * Tables.events — matching DuckDB's `ts::TIMESTAMP` truncation. */
+  val eventsNsPhysical = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),

@@ -35,15 +35,78 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
 
-  /** events.ts arrives as INT64 ns; convert with integral division
-    * (`DIV`, not `/` — a double division would lose precision at 1.7e18)
-    * to µs TimestampType, identical to DuckDB's `ts::TIMESTAMP`. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    ensureConf(s, "spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    read(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** How a given events.parquet physically encodes `ts`. The driver has
+    * shipped two encodings across regenerations (ns through r9-era data,
+    * µs since 2026-08-13); the reader must serve both without a code
+    * change, so the unit is read from the parquet footer, never assumed. */
+  private sealed trait TsEncoding
+  private case object TsNative extends TsEncoding    // µs/ms annotation: Spark reads TimestampType directly
+  private case object TsNanosLong extends TsEncoding // TIMESTAMP(NANOS) or raw INT64 ns: Long + DIV 1000
+
+  /** Memo keyed by (path, source fingerprint) so a rewritten fixture in
+    * the suite can never serve a stale verdict; the fingerprint is one
+    * listStatus, the footer open it saves is the expensive part. */
+  private val tsEncodingMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, TsEncoding]()
+
+  /** Reads the logical-type annotation of `ts` from ONE parquet footer
+    * (driver-side, a single footer at any scale — the unit is uniform
+    * per dataset). NANOS-annotated or unannotated INT64 → the legacy ns
+    * branch; MICROS/MILLIS annotations Spark decodes natively. A
+    * magnitude probe is deliberately NOT used: it is data-dependent
+    * (r9 ADVICE) — the footer is the contract. */
+  private def tsEncoding(s: SparkSession, path: String): TsEncoding = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val dataFile =
+      if (!st.isDirectory) p
+      else fs.listStatus(p).toSeq
+        .filter(x => x.isFile && x.getLen > 0 && {
+          val n = x.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        .sortBy(_.getPath.getName)
+        .headOption.map(_.getPath)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no parquet data files under $path"))
+    val key = dataFile.toString + "#" + st.getLen + "#" + st.getModificationTime
+    tsEncodingMemo.computeIfAbsent(key, _ => {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(dataFile, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+          .getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.getUnit != LogicalTypeAnnotation.TimeUnit.NANOS => TsNative
+          case _ => TsNanosLong
+        }
+      } finally reader.close()
+    })
   }
+
+  /** events with `ts` normalized to µs TimestampType regardless of the
+    * file's physical encoding (footer-detected — see [[tsEncoding]]):
+    *  - µs/ms annotation → native TimestampType read, no conversion
+    *    (isAdjustedToUTC=false is value-identical under the UTC session
+    *    time zone GraftSession pins, matching DuckDB);
+    *  - ns (legacy) → LongType read + integral `DIV 1000` (`DIV`, not
+    *    `/` — a double division would lose precision at 1.7e18),
+    *    identical to DuckDB's `ts::TIMESTAMP` truncation. */
+  def events(s: SparkSession, d: String): DataFrame =
+    tsEncoding(s, s"$d/events.parquet") match {
+      case TsNative => read(s, d, "events")
+      case TsNanosLong =>
+        ensureConf(s, "spark.sql.legacy.parquet.nanosAsLong", "true")
+        import org.apache.spark.sql.functions.{expr, timestamp_micros}
+        ensureConf(s, "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        s.read.schema(Schemas.eventsNsPhysical).parquet(s"$d/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

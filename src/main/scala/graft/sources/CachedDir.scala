@@ -23,6 +23,16 @@ import org.apache.spark.sql.SparkSession
   *    publish, bounding /tmp growth to one copy per source state.
   */
 object CachedDir {
+  /** Derivation epoch, baked into every published path. The source
+    * fingerprint detects REGENERATED DATA but cannot detect CHANGED
+    * DERIVATION CODE: r9's caches were built from the current source
+    * fingerprint with a timestamp-unit-buggy reader, so a fingerprint
+    * hit would have served poisoned data forever after the reader fix.
+    * Bump this when the semantics of what any `write` callback derives
+    * change (not for pure perf changes). Old-epoch dirs are outside the
+    * stale-prune's prefix and must be removed by hand (done for e1 in
+    * r10). */
+  private val Epoch = "e2"
   /** Fingerprint of a source file/dir's metadata (sizes + mtimes of its
     * parts) — the cache key every materialization embeds, and the key
     * any OTHER per-source-state memo (e.g. BpeOps' trained merge table)
@@ -47,12 +57,18 @@ object CachedDir {
                  (write: String => Unit): String = synchronized {
     val conf = s.sparkContext.hadoopConfiguration
     val fp = fingerprint(s, d, sourceFile)
-    val prefix = s"/tmp/graft_${tag}_" + d.replaceAll("[^A-Za-z0-9.]", "_") + "_"
+    val prefix = s"/tmp/graft_${Epoch}_${tag}_" + d.replaceAll("[^A-Za-z0-9.]", "_") + "_"
     val dest = prefix + fp
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val ok = new org.apache.hadoop.fs.Path(dest + "/_SUCCESS")
     val fs = destPath.getFileSystem(conf)
     if (!fs.exists(ok)) {
+      // visible-by-design: a regenerated source forces every tag to
+      // re-materialize inside the next run (r9: ~28 s of republish
+      // silently inflated bench query times) — one line per publish
+      // makes a fixture-rebuild storm diagnosable from the bench log
+      System.err.println(
+        s"[graft] CachedDir materializing tag=$tag fingerprint=$fp source=$d/$sourceFile")
       // distinct prefix for temp dirs so the stale-fingerprint prune can
       // never touch another JVM's in-flight write
       val tmp = new org.apache.hadoop.fs.Path(

@@ -109,7 +109,7 @@ class AffinityOpsSpec extends AnyFunSuite {
   test("attribution_last and _linear: credit follows the model") {
     val dir = tmpDir("mtattr")
     // one session: view -> click -> purchase(30). 3 touches.
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(1L, 0L, 1L, "view", 5.0),
       eventRow(2L, 60L, 1L, "click", 1.0),
       eventRow(3L, 120L, 1L, "purchase", 30.0)))

@@ -41,7 +41,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
   test("gap_fill: missing hour appears with n=0 and forward-filled average") {
     val dir = tmpDir("gapfill")
     // view events in hours 0 and 2 (epoch-aligned); hour 1 is a gap.
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(1L, 0L, 1L, "view", 10.0),
       eventRow(2L, 7200L, 1L, "view", 30.0)
     ))
@@ -60,7 +60,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
           eventRow(day * 10L + 1, day * 86400L + 60, 1L, "view", 1.0))
     } ++ (0 until 12).map(i =>
       eventRow(100L + i, 5 * 86400L + i * 60, 1L, "view", 1.0))
-    writeTable(dir, "events", eventsNsSchema, rows)
+    writeEvents(dir, rows)
     val out = TimeSeriesOps.anomaly(spark, dir).collect()
       .map(r => r.getLong(1) -> r.getInt(3)).toMap
     assert(out(12L) == 1)
@@ -75,7 +75,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       (0 until n).map(i =>
         eventRow(day * 10L + i, day * 86400L + i * 60, 1L, "view", 1.0))
     }
-    writeTable(dir, "events", eventsNsSchema, rows)
+    writeEvents(dir, rows)
     val out = TimeSeriesOps.autocorr(spark, dir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(out(1) == ((7L, -1.0)), s"lag-1 of a perfect alternation: $out")
@@ -101,9 +101,9 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val cutSec = java.sql.Timestamp.valueOf("2024-01-21 00:00:00").getTime / 1000
     val rows =
       (0 until 4).map(i => eventRow(i.toLong, cutSec - 86400 + i * 60, 1L, "view", 1.0)) ++
-      (0 until 4).map(i => Row(100L + i, (cutSec + 3600 + i * 60) * 1000000000L,
+      (0 until 4).map(i => Row(100L + i, cutSec + 3600 + i * 60,
                                1L, "view", 1.0, null)) // props null post-cutoff
-    writeTable(dir, "events", eventsNsSchema, rows)
+    writeEvents(dir, rows)
     val out = graft.operators.ReportShapeOps.schemaDrift(spark, dir).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
@@ -126,7 +126,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
   test("ab_test: arm counts exact; degenerate p yields NULL z") {
     val dir = tmpDir("ab")
     // Every user converts instantly -> p = 1 -> z must be NULL, not a crash.
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(1L, 0L, 1L, "purchase", 1.0),
       eventRow(2L, 0L, 2L, "purchase", 1.0)
     ))
@@ -138,7 +138,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
 
   test("ab_test: late purchase (>24h after first event) does not convert") {
     val dir = tmpDir("ab2")
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(1L, 0L, 1L, "view", 1.0),
       eventRow(2L, 100000L, 1L, "purchase", 1.0) // 27.8h later
     ))
@@ -161,7 +161,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
   test("markov: transitions stay inside sessions and probabilities sum to 1 per row") {
     val dir = tmpDir("markov")
     // user 1: view->click within one session; a >30min gap then view->purchase.
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(1L, 0L, 1L, "view", 1.0),
       eventRow(2L, 60L, 1L, "click", 1.0),
       eventRow(3L, 60L + 2000L, 1L, "view", 1.0), // new session
@@ -208,7 +208,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
 
   test("attribution: revenue lands on the landing type of the purchase's session") {
     val dir = tmpDir("attr")
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(1L, 0L, 1L, "view", 5.0),        // session 1 lands on view
       eventRow(2L, 60L, 1L, "purchase", 40.0),
       eventRow(3L, 60L + 2000L, 1L, "click", 1.0), // session 2 lands on click

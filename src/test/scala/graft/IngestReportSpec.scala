@@ -79,7 +79,7 @@ class IngestReportSpec extends AnyFunSuite {
 
   test("scd2 history compresses runs and leaves the current interval open") {
     val dir = tmpDir("scd2_fix")
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       // user 1: view, view (compressed), click, view again (new segment)
       eventRow(1, 100, 1L, "view", 1.0),
       eventRow(2, 200, 1L, "view", 1.0),
@@ -135,7 +135,7 @@ class IngestReportSpec extends AnyFunSuite {
   test("funnel counts only strictly-ordered step sequences") {
     val dir = tmpDir("funnel_fix")
     val day = 86400L
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       // user 1: view -> click -> purchase, fully ordered: reaches step 3
       eventRow(1, day * 1, 1L, "view", 1.0),
       eventRow(2, day * 2, 1L, "click", 1.0),
@@ -184,7 +184,7 @@ class IngestReportSpec extends AnyFunSuite {
     val dir = tmpDir("funnel_empty")
     val day = 86400L
     // clicks and purchases exist, but no views: every step must be 0
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(1, day, 1L, "click", 1.0),
       eventRow(2, day * 2, 1L, "purchase", 1.0)))
     val got = ReportOps.funnel(spark, dir).collect()
@@ -197,7 +197,7 @@ class IngestReportSpec extends AnyFunSuite {
     val dir = tmpDir("cohort_fix")
     val day = 86400L
     val d0 = 19723L * day // 2024-01-01 in epoch days * sec
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       // user 1 first seen day 0, returns day 1 (twice — still one cell
       // hit) and day 3; user 2 first seen day 1 only
       eventRow(1, d0, 1L, "view", 1.0),
@@ -215,7 +215,7 @@ class IngestReportSpec extends AnyFunSuite {
   test("session metrics: bounce rate and averages from hand-built sessions") {
     val dir = tmpDir("sess_metrics")
     val d0 = 19723L * 86400L // 2024-01-01
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       // user 1: two events 10s apart -> one 2-event session, duration 10
       eventRow(1, d0 + 100, 1L, "view", 1.0),
       eventRow(2, d0 + 110, 1L, "click", 1.0),
@@ -234,7 +234,7 @@ class IngestReportSpec extends AnyFunSuite {
   test("session paths: landing/exit per session, equal-ts ties break on event_id") {
     val dir = tmpDir("sess_paths")
     val d0 = 19723L * 86400L // 2024-01-01
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       // user 1, session 1: view -> click; then a >30min gap opens
       // session 2: purchase -> view
       eventRow(1, d0 + 100, 1L, "view", 1.0),
@@ -258,7 +258,7 @@ class IngestReportSpec extends AnyFunSuite {
   test("exit rate: sessions containing vs sessions ending on each type") {
     val dir = tmpDir("exit_rate")
     val d0 = 19723L * 86400L
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       // user 1, one session: view -> click -> view. view appears once
       // (presence is per-session) and is the exit; click is not.
       eventRow(1, d0 + 100, 1L, "view", 1.0),
@@ -294,7 +294,7 @@ class IngestReportSpec extends AnyFunSuite {
     val dir = tmpDir("new_ret")
     val day = 86400L
     val d0 = 19723L * day // 2024-01-01
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       // user 1: day 0 (twice — one active day) and day 1
       eventRow(1, d0 + 100, 1L, "view", 1.0),
       eventRow(2, d0 + 200, 1L, "click", 1.0),
@@ -312,12 +312,11 @@ class IngestReportSpec extends AnyFunSuite {
   test("null profile counts rows, nulls, and distincts per column in one pass") {
     val dir = tmpDir("prof_nulls")
     val d0 = 19723L * 86400L
-    def ns(s: Long) = s * 1000000000L
-    writeTable(dir, "events", eventsNsSchema, Seq(
-      Row(1L, ns(d0 + 100), 1L, "view", 1.0, """{"k": 1}"""),
-      Row(2L, ns(d0 + 200), 1L, "click", 2.0, null),
-      Row(3L, ns(d0 + 300), 2L, "view", null, """{"k": 1}"""),
-      Row(4L, ns(d0 + 400), 2L, "view", 1.0, """{"k": 2}""")))
+    writeEvents(dir, Seq(
+      Row(1L, d0 + 100, 1L, "view", 1.0, """{"k": 1}"""),
+      Row(2L, d0 + 200, 1L, "click", 2.0, null),
+      Row(3L, d0 + 300, 2L, "view", null, """{"k": 1}"""),
+      Row(4L, d0 + 400, 2L, "view", 1.0, """{"k": 2}""")))
     val got = graft.operators.ReportShapeOps.profileNulls(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap

@@ -12,7 +12,7 @@ class OperatorEdgeSpec extends AnyFunSuite {
   test("sessionize: gap == 1800s stays in session, > 1800s splits; singleton user") {
     val dir = tmpDir("sess")
     val t0 = 1700000000L
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(1, t0, 1, "view", 1.0),
       eventRow(2, t0 + 1800, 1, "view", 2.0),  // exactly 30 min: same session
       eventRow(3, t0 + 1800 + 1801, 1, "view", 3.0), // 1801s gap: new session
@@ -30,7 +30,7 @@ class OperatorEdgeSpec extends AnyFunSuite {
   test("asof: purchase with no prior event gets null; immediate predecessor wins") {
     val dir = tmpDir("asof")
     val t0 = 1700000000L
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(10, t0, 1, "purchase", 1.0),       // first event: no prior
       eventRow(11, t0 + 10, 1, "click", 1.0),
       eventRow(12, t0 + 20, 1, "view", 1.0),
@@ -45,7 +45,7 @@ class OperatorEdgeSpec extends AnyFunSuite {
   test("asof_stream: strictly-earlier click wins; same-ts click excluded; none -> null") {
     val dir = tmpDir("asof_stream")
     val t0 = 1700000000L
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(1, t0 + 100, 1, "click", 1.0),
       eventRow(2, t0 + 200, 1, "purchase", 1.0), // prev = click 1
       eventRow(3, t0 + 300, 1, "click", 1.0),
@@ -153,7 +153,7 @@ class OperatorEdgeSpec extends AnyFunSuite {
 
   test("debounce: gap of exactly 5s drops, 6s keeps; first event always kept") {
     val dir = tmpDir("debounce")
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(1L, 1000L, 1L, "view", 1.0),
       eventRow(2L, 1005L, 1L, "view", 1.0),  // gap == 5 -> dropped
       eventRow(3L, 1011L, 1L, "view", 1.0),  // gap == 6 from prev ROW -> kept
@@ -182,7 +182,7 @@ class OperatorEdgeSpec extends AnyFunSuite {
 
   test("cohort_retention: single user active on one day = one (day, 0) cell") {
     val dir = tmpDir("cohort_single")
-    writeTable(dir, "events", eventsNsSchema,
+    writeEvents(dir,
       Seq(eventRow(1, 19723L * 86400L, 7L, "view", 1.0)))
     val out = graft.operators.ReportOps.cohortRetention(spark, dir).collect()
     assert(out.length == 1)
@@ -196,7 +196,7 @@ class OperatorEdgeSpec extends AnyFunSuite {
     // one session: view exactly one half-life (600s) before the final
     // purchase. Weights: purchase 2^0 = 1, view 2^-1 = 0.5; revenue 10
     // splits 10*(1/1.5) vs 10*(0.5/1.5) — exactly 6.6667 / 3.3333 at r4.
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(1, t0, 1, "view", 99.0),
       eventRow(2, t0 + 600, 1, "purchase", 10.0)
     ))
@@ -227,7 +227,7 @@ class OperatorEdgeSpec extends AnyFunSuite {
   test("sessionize_stream: emits every sealed session; exact 1800s gap merges (adjacent windows)") {
     val dir = tmpDir("stream_edge")
     val t0 = 1700000000L
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(1, t0, 1, "view", 1.0),
       eventRow(2, t0 + 10, 1, "view", 2.0),     // same session as 1
       eventRow(3, t0 + 5000, 1, "view", 3.0),   // new session (gap 4990)
@@ -253,7 +253,7 @@ class OperatorEdgeSpec extends AnyFunSuite {
   test("attribution_position: U-shape 40/20/40; singleton 100%; pair 50/50") {
     val dir = tmpDir("attr_pos")
     val t0 = 1700000000L
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       // user 1: 4 touches, rev 10 → first view 4.0, middles 1.0 each,
       // last purchase 4.0
       eventRow(1, t0, 1, "view", 0.0),
@@ -397,7 +397,7 @@ class OperatorEdgeSpec extends AnyFunSuite {
   test("pattern_match: error blocks only INSIDE (view, purchase); 1h boundary inclusive") {
     val dir = tmpDir("pattern")
     val t0 = 1700000000L
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       // u1: error BEFORE the view — path is clean
       eventRow(1, t0, 1, "error", 0.0),
       eventRow(2, t0 + 10, 1, "view", 0.0),
@@ -434,7 +434,7 @@ class OperatorEdgeSpec extends AnyFunSuite {
       Row(1L, 1L, 1L, 1, 5.0, 10.0, 0.1, 0.02, "N", "O", ts),   // ok
       Row(1L, 1L, 1L, 2, 99.0, 10.0, 0.1, 0.02, "N", "O", ts),  // qty range
       Row(7L, 1L, 1L, 1, 5.0, 10.0, 0.1, 0.02, "N", "O", ts)))  // FK orphan
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(1, 1700000000L, 1, "view", 1.0),
       eventRow(1, 1700000100L, 1, "view", 1.0),    // dup event_id
       eventRow(2, 1700000200L, 1, "view", -5.0)))  // negative value
@@ -481,7 +481,7 @@ class OperatorEdgeSpec extends AnyFunSuite {
   test("funnel_window: step at exactly +24h counts, one second over does not") {
     val dir = tmpDir("funnel_win")
     val t0 = 1700000000L
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       eventRow(1, t0, 1, "view", 1.0),
       eventRow(2, t0 + 86400, 1, "click", 1.0),      // exactly 24 h: counts
       eventRow(3, t0 + 86400 + 10, 1, "purchase", 1.0),
@@ -496,7 +496,7 @@ class OperatorEdgeSpec extends AnyFunSuite {
   test("cdc_apply: all five outcome classes; LAST log record in sequence wins") {
     val dir = tmpDir("cdc")
     val cut = 1705795200L // 2024-01-21 00:00:00 UTC — IngestOps.SinkCutoff
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       // user 8 (%7 = 1 → log-excluded): base only -> untouched @ 3.00
       eventRow(1, cut - 100, 8, "view", 3.0),
       // user 2: base 1.00; log U(4.0), D, then U(7.0) last -> updated @ 7.00
@@ -526,7 +526,7 @@ class OperatorEdgeSpec extends AnyFunSuite {
   test("as_of_state: change exactly AT the cutoff wins; post-cutoff-only user absent") {
     val dir = tmpDir("asof_state")
     val cut = 1705795200L // 2024-01-21 00:00:00 UTC
-    writeTable(dir, "events", eventsNsSchema, Seq(
+    writeEvents(dir, Seq(
       // user 1: view before, click exactly AT the cutoff -> click valid
       // (valid_from <= T), view's interval closed at T (valid_to > T fails)
       eventRow(1, cut - 100, 1, "view", 1.0),

@@ -48,7 +48,7 @@ object PropertySpec extends Properties("graft") {
   property("sessionize: events partition exactly into sessions; session spans respect the gap") =
     forAll(eventsGen) { evs =>
       val dir = tmpDir("prop_sess")
-      writeTable(dir, "events", eventsNsSchema,
+      writeEvents(dir,
         evs.map { case (id, u, ts) => eventRow(id, ts, u, "view", 1.0) })
       val sessions = WindowOps.sessionize(spark, dir).collect()
       val totalEvents = sessions.map(_.getLong(4)).sum

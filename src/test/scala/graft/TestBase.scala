@@ -22,8 +22,6 @@ object TestBase {
   def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  /** Write a fixture table in the same physical shape the driver data
-    * uses (events.ts = INT64 ns since epoch). */
   def writeTable(dir: String, name: String, schema: StructType,
                  rows: Seq[Row]): Unit = {
     spark.createDataFrame(
@@ -31,18 +29,39 @@ object TestBase {
       .write.mode("overwrite").parquet(s"$dir/$name.parquet")
   }
 
-  /** events fixture row: ts given in SECONDS since epoch, stored as ns. */
+  /** Encoding-neutral events fixture row: ts given in SECONDS since
+    * epoch; [[writeEvents]] converts to the requested physical unit. */
   def eventRow(id: Long, tsSec: Long, user: Long, typ: String,
                value: Double, props: String = """{"k": 1}"""): Row =
-    Row(id, tsSec * 1000000000L, user, typ, value, props)
+    Row(id, tsSec, user, typ, value, props)
 
-  val eventsNsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Physical schema of the LEGACY driver encoding (INT64 ns). */
+  val eventsNsSchema: StructType = Schemas.eventsNsPhysical
+
+  /** Write an events fixture in a driver-observed physical encoding:
+    * "us" (TIMESTAMP(MICROS) — current driver data since 2026-08-13,
+    * the default) or "ns" (INT64 ns — the pre-r10 format Tables.events
+    * still supports via footer detection). Specs default to µs so the
+    * suite exercises what the driver actually ships; TsEncodingSpec
+    * pins both branches explicitly. */
+  def writeEvents(dir: String, rows: Seq[Row], unit: String = "us"): Unit =
+    unit match {
+      case "ns" =>
+        writeTable(dir, "events", eventsNsSchema, rows.map(r =>
+          Row(r.getLong(0), r.getLong(1) * 1000000000L,
+              r.get(2), r.get(3), r.get(4), r.get(5))))
+      case "us" =>
+        // without the explicit conf Spark may write INT96, which neither
+        // driver encoding ever used and the footer detector rejects
+        spark.conf.set("spark.sql.parquet.outputTimestampType",
+                       "TIMESTAMP_MICROS")
+        writeTable(dir, "events", Schemas.events, rows.map(r =>
+          Row(r.getLong(0),
+              java.sql.Timestamp.from(
+                java.time.Instant.ofEpochSecond(r.getLong(1))),
+              r.get(2), r.get(3), r.get(4), r.get(5))))
+      case other => sys.error(s"unknown events ts unit: $other")
+    }
 
   val documentsSchema: StructType = Schemas.documents
   val embeddingsSchema: StructType = Schemas.embeddings

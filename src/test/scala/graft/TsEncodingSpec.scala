@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.functions._
+
+/** Guards the events timestamp-unit contract that broke round 9: the
+  * driver regenerated testdata from INT64-ns to TIMESTAMP(MICROS) and the
+  * suite's synthetic ns-only fixtures could not see it (`sbt test` stayed
+  * green while 46 driver queries failed).
+  *
+  * Two layers of defense:
+  *  1. TestDataFormatSpec (below) reads the REAL driver data, so any
+  *     future physical-format drift the reader mishandles fails the suite;
+  *  2. this spec pins both supported encodings (ns legacy, µs current)
+  *     byte-equal through [[Tables.events]] and through a ts-sensitive
+  *     operator (sessionize), so the legacy branch cannot rot silently.
+  */
+class TsEncodingSpec extends AnyFunSuite {
+  import TestBase._
+
+  private val fixture = Seq(
+    eventRow(1L, 0L, 1L, "view", 1.0),
+    eventRow(2L, 60L, 1L, "click", 2.0),
+    eventRow(3L, 60L + 2000L, 1L, "view", 3.0), // >30min gap: new session
+    eventRow(4L, 7 * 86400L + 30L, 2L, "purchase", 4.0),
+    eventRow(5L, 29 * 86400L, 2L, "view", 5.0))
+
+  test("µs and ns encodings read identically through Tables.events") {
+    val dirUs = tmpDir("tsenc_us"); val dirNs = tmpDir("tsenc_ns")
+    writeEvents(dirUs, fixture, unit = "us")
+    writeEvents(dirNs, fixture, unit = "ns")
+    val us = Tables.events(spark, dirUs)
+    val ns = Tables.events(spark, dirNs)
+    assert(us.schema("ts").dataType == TimestampType)
+    assert(ns.schema("ts").dataType == TimestampType)
+    assert(us.schema == ns.schema)
+    assert(collectSet(us) == collectSet(ns))
+    // the values are the seconds the fixture declared, not ÷1000 of them
+    val micros = us.select(expr("unix_micros(ts)")).collect().map(_.getLong(0)).sorted
+    assert(micros.toSeq == fixture.map(_.getLong(1) * 1000000L).sorted)
+  }
+
+  test("sessionize agrees across encodings (ts-sensitive operator)") {
+    val dirUs = tmpDir("tsenc_sess_us"); val dirNs = tmpDir("tsenc_sess_ns")
+    writeEvents(dirUs, fixture, unit = "us")
+    writeEvents(dirNs, fixture, unit = "ns")
+    val us = graft.operators.WindowOps.sessionize(spark, dirUs)
+    val ns = graft.operators.WindowOps.sessionize(spark, dirNs)
+    assert(collectSet(us) == collectSet(ns))
+    // 4 sessions: user 1 split by the >30min gap, user 2's two lone days
+    assert(us.count() == 4, us.collect().mkString("; "))
+  }
+}
+
+/** Reads the REAL driver-generated parquet (no synthetic fixtures) and
+  * asserts the data-shape invariants every ts-dependent query relies on.
+  * This spec MUST fail when driver data and Tables.events disagree about
+  * the timestamp unit — on the r9 bug (µs data ÷ 1000) the 30-day corpus
+  * collapsed to ~43 minutes, which the span assertion below catches. */
+class TestDataFormatSpec extends AnyFunSuite {
+  import TestBase._
+
+  test("driver events data spans weeks, not minutes, through Tables.events") {
+    assume(new java.io.File(sf0001).isDirectory, s"$sf0001 not present")
+    val ev = Tables.events(spark, sf0001)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val r = ev.agg(
+      min("ts").as("lo"), max("ts").as("hi"),
+      countDistinct(to_date(col("ts"))).as("days"),
+      countDistinct(col("event_type")).as("types")).head()
+    val spanDays = (r.getTimestamp(1).getTime - r.getTimestamp(0).getTime) / 86400000.0
+    assert(spanDays >= 7.0, s"events span $spanDays days — timestamp unit bug?")
+    assert(r.getLong(2) >= 7L, s"only ${r.getLong(2)} distinct calendar days")
+    assert(r.getLong(3) >= 2L, s"only ${r.getLong(3)} event types")
+    // events are 2024-era, not 1970-adjacent (a ÷1000 lands in 1970)
+    assert(r.getTimestamp(0).toInstant.isAfter(
+      java.time.Instant.parse("2000-01-01T00:00:00Z")),
+      s"min ts ${r.getTimestamp(0)} is epoch-adjacent — unit regression")
+  }
+}
