@@ -41,6 +41,38 @@ class TsEncodingSpec extends AnyFunSuite {
     assert(micros.toSeq == fixture.map(_.getLong(1) * 1000000L).sorted)
   }
 
+  // The exact-boundary semantics (gap == threshold) must hold under BOTH
+  // physical encodings — a unit-conversion off-by-one would move events
+  // across the boundary. OperatorEdgeSpec covers the µs default; the loop
+  // here keeps the legacy ns branch behaviorally identical, not just
+  // value-identical.
+  for (unit <- Seq("us", "ns")) {
+    test(s"sessionize 1800s boundary under $unit encoding") {
+      val dir = tmpDir(s"tsenc_gap_$unit")
+      val t0 = 1700000000L
+      writeEvents(dir, Seq(
+        eventRow(1, t0, 1, "view", 1.0),
+        eventRow(2, t0 + 1800, 1, "view", 2.0),        // == gap: same session
+        eventRow(3, t0 + 1800 + 1801, 1, "view", 3.0)), // > gap: new session
+        unit = unit)
+      val sess = graft.operators.WindowOps.sessionize(spark, dir)
+        .collect().map(r => (r.getLong(1), r.getLong(4))).sorted
+      assert(sess.toSeq == Seq((1L, 2L), (2L, 1L)), s"[$unit] got ${sess.toSeq}")
+    }
+
+    test(s"debounce 5s boundary under $unit encoding") {
+      val dir = tmpDir(s"tsenc_deb_$unit")
+      writeEvents(dir, Seq(
+        eventRow(1L, 1000L, 1L, "view", 1.0),
+        eventRow(2L, 1005L, 1L, "view", 1.0),  // gap == 5 -> dropped
+        eventRow(3L, 1011L, 1L, "view", 1.0)), // gap == 6 -> kept
+        unit = unit)
+      val out = graft.operators.CurationOps.debounce(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(out("view") == ((2L, 1L)), s"[$unit] got $out")
+    }
+  }
+
   test("sessionize agrees across encodings (ts-sensitive operator)") {
     val dirUs = tmpDir("tsenc_sess_us"); val dirNs = tmpDir("tsenc_sess_ns")
     writeEvents(dirUs, fixture, unit = "us")
@@ -77,5 +109,27 @@ class TestDataFormatSpec extends AnyFunSuite {
     assert(r.getTimestamp(0).toInstant.isAfter(
       java.time.Instant.parse("2000-01-01T00:00:00Z")),
       s"min ts ${r.getTimestamp(0)} is epoch-adjacent — unit regression")
+  }
+
+  test("driver fact tables read with sane shapes (contract smoke)") {
+    assume(new java.io.File(sf0001).isDirectory, s"$sf0001 not present")
+    val li = Tables.lineitem(spark, sf0001)
+      .agg(count(lit(1)), min(year(col("l_shipdate"))),
+           max(year(col("l_shipdate")))).head()
+    assert(li.getLong(0) > 1000L, "lineitem implausibly small")
+    assert(li.getInt(1) >= 1990 && li.getInt(2) <= 2010,
+      s"l_shipdate years ${li.getInt(1)}-${li.getInt(2)} outside the TPC-H-ish band")
+    val o = Tables.orders(spark, sf0001)
+      .agg(count(lit(1)), min(year(col("o_orderdate")))).head()
+    assert(o.getLong(0) > 100L && o.getInt(1) >= 1990,
+      s"orders shape drifted: n=${o.getLong(0)} minYear=${o.getInt(1)}")
+    val docs = Tables.documents(spark, sf0001)
+      .agg(count(lit(1)), countDistinct(col("lang"))).head()
+    assert(docs.getLong(0) > 10L && docs.getLong(1) >= 2L,
+      s"documents shape drifted: n=${docs.getLong(0)} langs=${docs.getLong(1)}")
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(size(col("embedding")).as("d")).agg(min("d"), max("d")).head()
+    assert(emb.getInt(0) == 64 && emb.getInt(1) == 64,
+      s"embedding dim drifted: ${emb.getInt(0)}-${emb.getInt(1)} (expected 64)")
   }
 }
