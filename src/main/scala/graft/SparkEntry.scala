@@ -41,6 +41,7 @@ object SparkEntry {
     L.ivfIndexDir(spark, d)
     L.pqIndexDir(spark, d)
     L.clusterStoreDir(spark, d)
+    C.docClusterStoreDir(spark, d)
     IngestOps.ingestSinkDir(spark, d)
     IngestOps.historyReportDir(spark, d)
     graft.streaming.StreamingOps.streamSourceDir(spark, d)
@@ -154,6 +155,7 @@ object SparkEntry {
     "q_sample_weighted" -> (C.sampleWeighted _),
     "q_token_entropy" -> (L.tokenEntropy _),
     "q_dedup_cluster" -> (C.dedupCluster _),
+    "q_dedup_keep_best" -> (C.dedupKeepBest _),
     "q_contamination" -> (C.contamination _),
     "q_corpus_mix" -> (C.corpusMix _),
     "q_mix_temperature" -> (C.mixTemperature _),
@@ -1383,6 +1385,52 @@ object SparkEntry {
                       FROM reach JOIN edges e ON e.a = reach.v)
          SELECT v AS doc_id, min(r) AS component
          FROM reach GROUP BY 1 ORDER BY 1""",
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE
+            base AS (SELECT doc_id, lang, source,
+                            string_split(text, ' ') AS toks FROM documents),
+            ng AS (SELECT doc_id, lang, source,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
+                   FROM base),
+            nz AS (SELECT doc_id, lang, source, ngs FROM ng WHERE len(ngs) > 0),
+            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
+            dfreq AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
+            ex AS (SELECT ex0.* FROM ex0 JOIN dfreq USING (g) WHERE df <= 100),
+            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
+            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                      FROM ex a JOIN ex b
+                        ON a.lang = b.lang AND a.source = b.source
+                       AND a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT d1, d2
+                      FROM inter JOIN sz s1 ON s1.doc_id = d1
+                                 JOIN sz s2 ON s2.doc_id = d2
+                      WHERE (round(CAST(inter AS DOUBLE)
+                                  / (s1.nsz + s2.nsz - inter), 4) + 0.0) >= 0.5),
+            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                      UNION ALL SELECT d2, d1 FROM pairs),
+            reach AS (SELECT doc_id AS v, doc_id AS r FROM documents
+                      UNION
+                      SELECT e.b AS v, reach.r AS r
+                      FROM reach JOIN edges e ON e.a = reach.v),
+            comp AS (SELECT v AS doc_id, min(r) AS component
+                     FROM reach GROUP BY 1),
+            quality AS (SELECT doc_id,
+                               (round(round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                                            / len(toks), 4)
+                                      * least(1.0, len(toks) / 50.0), 4) + 0.0) AS quality
+                        FROM base),
+            scored AS (SELECT c.component, c.doc_id, q.quality
+                       FROM comp c JOIN quality q USING (doc_id)),
+            best AS (SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+                            max(quality) AS best_quality
+                     FROM scored GROUP BY 1)
+         SELECT s.component, b.n_docs, min(s.doc_id) AS keep_doc_id,
+                b.best_quality
+         FROM scored s JOIN best b ON s.component = b.component
+         WHERE s.quality = b.best_quality
+         GROUP BY 1, 2, 4 ORDER BY 1""",
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value,
                            epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,

@@ -473,33 +473,82 @@ object CurationOps {
     nonRoots.union(roots)
   }
 
+  /** Once-per-source-state publish of the DOCUMENT near-dup cluster
+    * store (doc_id, component): the n-gram pair join + connected
+    * components run at INGEST time — the same trade as the semantic
+    * cluster store (LlmOps.clusterStoreDir) and the session store —
+    * and every consumer ([[dedupCluster]], [[dedupKeepBest]]) reads
+    * the assignment instead of re-clustering per query. Edges =
+    * n-gram Jaccard pairs ≥ 0.5, df-capped before the self-join;
+    * components = min reachable doc_id via [[cc]] (edge-only
+    * propagation, ccStars fallback); singletons re-attach with a
+    * left join. The fixpoint is unique, so the store is deterministic
+    * regardless of when it is built. */
+  def docClusterStoreDir(s: SparkSession, d: String): String =
+    graft.sources.CachedDir.materialize(
+        s, d, "documents.parquet", "doc_cluster_store") { tmp =>
+      val pairs = LlmOps.ngramPairs(s, d, LlmOps.NgramMaxDf)
+        .filter(col("jaccard") >= ClusterMinJaccard)
+        .select(col("d1"), col("d2"))
+      // Cluster ONLY vertices that have at least one edge: isolated
+      // docs can never change label, and at 100 TB the duplicate
+      // subset is a small fraction of the corpus — propagating over
+      // all N rows per round would dominate the cost for no effect.
+      val labels = cc(pairs).withColumnRenamed("doc_id", "doc_id_c")
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, col("doc_id") === col("doc_id_c"), "left")
+        .select(col("doc_id"),
+                coalesce(col("component"), col("doc_id")).as("component"))
+        .write.parquet(tmp)
+    }
+
   /** q_dedup_cluster — pairs are not enough at scale: dedup must keep
     * ONE doc per connected component of the near-dup graph (A~B, B~C ⇒
-    * drop two of three even if A≁C). Edges = n-gram Jaccard pairs ≥ 0.5;
-    * components via min-label propagation to a fixpoint: every doc
-    * starts as its own label, each round takes the min label over
-    * neighbors, convergence when no label changes. The fixpoint (min
-    * reachable doc_id) is unique, so the result is deterministic and
-    * independent of iteration order — the oracle computes the same
-    * components with a recursive CTE. Emits (doc_id, component) for
+    * drop two of three even if A≁C). Reads the published
+    * [[docClusterStoreDir]] assignment (min-label components over the
+    * n-gram Jaccard ≥ 0.5 pair graph — the oracle computes the same
+    * components with a recursive CTE). Emits (doc_id, component) for
     * every document; singletons are their own component. */
   def dedupCluster(s: SparkSession, d: String): DataFrame = {
-    val pairs = LlmOps.ngramPairs(s, d, LlmOps.NgramMaxDf)
-      .filter(col("jaccard") >= ClusterMinJaccard)
-      .select(col("d1"), col("d2"))
-    // Cluster ONLY vertices that have at least one edge: isolated docs
-    // can never change label, and at 100 TB the duplicate subset is a
-    // small fraction of the corpus — propagating over all N rows per
-    // round would dominate the cost for no effect. Singletons re-attach
-    // at the end as their own component.
-    val labels = cc(pairs)
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-    val clustered = labels.withColumnRenamed("doc_id", "doc_id_c")
+    val comp = s.read.parquet(docClusterStoreDir(s, d))
+    ord(comp.select(col("doc_id"), col("component")), col("doc_id"))
+  }
+
+  /** q_dedup_keep_best — quality-aware canonical selection: per
+    * near-dup cluster, KEEP the highest-quality member (ties → lowest
+    * doc_id), not the arbitrary min-id representative — the curation
+    * policy production corpora actually apply (drop the scrape with
+    * boilerplate, keep the clean mirror).
+    *
+    * Two-phase argmax instead of a struct-ordered max_by: phase 1
+    * aggregates (count, max quality) per component; phase 2 joins back
+    * and min-reduces doc_id over the rows that MATCH the max. Both
+    * groupBys and the join share the component key — one shuffle,
+    * exchange reuse — and the equality compare is on r4-rounded
+    * doubles (the §2.10 argmax rule: round BOTH sides, so engine
+    * summation order can never flip the winner; identical 4-decimal
+    * doubles are bit-identical after the +0.0 normalization).
+    *
+    * Scale shape: the store join is co-partitioned on doc_id; the
+    * per-component frames are dimension-sized (#components ≤ #docs,
+    * 2 aggregate columns) — at 100 TB the quality scan dominates and
+    * is one embarrassingly-parallel pass. */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val comp = s.read.parquet(docClusterStoreDir(s, d))
+    val q = LlmOps.textQuality(s, d)
+      .select(col("doc_id").as("doc_id_q"), col("quality"))
+    val scored = comp.join(q, col("doc_id") === col("doc_id_q"))
+      .select(col("component"), col("doc_id"), col("quality"))
+    val best = scored.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"), max(col("quality")).as("best_quality"))
     ord(
-      docs.join(clustered, docs("doc_id") === clustered("doc_id_c"), "left")
-        .select(col("doc_id"),
-                coalesce(col("component"), col("doc_id")).as("component")),
-      col("doc_id"))
+      scored.join(best, "component")
+        .filter(col("quality") === col("best_quality"))
+        .groupBy(col("component"), col("n_docs"), col("best_quality"))
+        .agg(min(col("doc_id")).as("keep_doc_id"))
+        .select(col("component"), col("n_docs"),
+                col("keep_doc_id"), col("best_quality")),
+      col("component"))
   }
 
   /** q_debounce — duplicate-hit debouncing, the telemetry cleanup the

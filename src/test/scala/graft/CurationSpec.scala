@@ -10,6 +10,30 @@ import graft.operators.CurationOps
 class CurationSpec extends AnyFunSuite {
   import TestBase._
 
+  test("dedup_keep_best: higher-quality member wins; ties fall to min doc_id; singleton keeps itself") {
+    val dir = tmpDir("cur_keepbest")
+    // docs 0/1 near-dup (1 appends two words -> longer -> higher
+    // quality = uniq_ratio * min(1, n_tokens/50)); docs 2/3 identical
+    // (equal quality -> min doc_id wins); doc 4 singleton.
+    val a = "one two three four five six seven eight nine ten alpha beta"
+    val b = a + " gamma delta"
+    val t = "red blue green yellow purple orange pink brown black white"
+    val lone = "totally different content with no overlap at all here now"
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(0L, a, "en", "s0", a.length.toLong),
+      Row(1L, b, "en", "s0", b.length.toLong),
+      Row(2L, t, "en", "s0", t.length.toLong),
+      Row(3L, t, "en", "s0", t.length.toLong),
+      Row(4L, lone, "en", "s0", lone.length.toLong)))
+    val got = CurationOps.dedupKeepBest(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(0L) == ((2L, 1L, 0.28)), s"cluster {0,1}: got $got")   // 14 distinct tokens / 50
+    assert(got(2L) == ((2L, 2L, 0.2)), s"cluster {2,3}: got $got")    // 10/50, tie -> doc 2
+    assert(got(4L) == ((1L, 4L, lone.split(" ").length / 50.0)), s"singleton: got $got")
+    assert(got.size == 3)
+  }
+
   test("dedup_cluster: transitive near-dup chain collapses to one component") {
     val dir = tmpDir("cur_cluster")
     // A and B share most grams; B and C share most grams; A and C share
