@@ -156,6 +156,7 @@ object SparkEntry {
     "q_token_entropy" -> (L.tokenEntropy _),
     "q_dedup_cluster" -> (C.dedupCluster _),
     "q_dedup_keep_best" -> (C.dedupKeepBest _),
+    "q_curation_funnel" -> (C.curationFunnel _),
     "q_contamination" -> (C.contamination _),
     "q_corpus_mix" -> (C.corpusMix _),
     "q_mix_temperature" -> (C.mixTemperature _),
@@ -1431,6 +1432,86 @@ object SparkEntry {
          FROM scored s JOIN best b ON s.component = b.component
          WHERE s.quality = b.best_quality
          GROUP BY 1, 2, 4 ORDER BY 1""",
+    "q_curation_funnel" ->
+      // per-source staged attrition: benchmark split -> quality gate ->
+      // cluster-canonical keeper -> contamination gate; token sum over
+      // final survivors. Gram overlap compares raw strings where Spark
+      // compares int64 hashes (the q_contamination contract).
+      """WITH RECURSIVE
+            base AS (SELECT doc_id, lang, source,
+                            string_split(text, ' ') AS toks FROM documents),
+            ng AS (SELECT doc_id, lang, source,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
+                   FROM base),
+            nz AS (SELECT doc_id, lang, source, ngs FROM ng WHERE len(ngs) > 0),
+            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
+            dfreq AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
+            ex AS (SELECT ex0.* FROM ex0 JOIN dfreq USING (g) WHERE df <= 100),
+            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
+            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                      FROM ex a JOIN ex b
+                        ON a.lang = b.lang AND a.source = b.source
+                       AND a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT d1, d2
+                      FROM inter JOIN sz s1 ON s1.doc_id = d1
+                                 JOIN sz s2 ON s2.doc_id = d2
+                      WHERE (round(CAST(inter AS DOUBLE)
+                                  / (s1.nsz + s2.nsz - inter), 4) + 0.0) >= 0.5),
+            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                      UNION ALL SELECT d2, d1 FROM pairs),
+            reach AS (SELECT doc_id AS v, doc_id AS r FROM documents
+                      UNION
+                      SELECT e.b AS v, reach.r AS r
+                      FROM reach JOIN edges e ON e.a = reach.v),
+            comp AS (SELECT v AS doc_id, min(r) AS component
+                     FROM reach GROUP BY 1),
+            quality AS (SELECT doc_id,
+                               (round(round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                                            / len(toks), 4)
+                                      * least(1.0, len(toks) / 50.0), 4) + 0.0) AS quality
+                        FROM base),
+            scored AS (SELECT c.component, c.doc_id, q.quality
+                       FROM comp c JOIN quality q USING (doc_id)),
+            best AS (SELECT component, max(quality) AS best_quality
+                     FROM scored GROUP BY 1),
+            keepers AS (SELECT min(s.doc_id) AS doc_id
+                        FROM scored s JOIN best b ON s.component = b.component
+                        WHERE s.quality = b.best_quality
+                        GROUP BY s.component),
+            bench AS (SELECT DISTINCT unnest(ngs) AS g FROM nz
+                      WHERE doc_id < 50),
+            corpus AS (SELECT doc_id, unnest(ngs) AS g FROM nz
+                       WHERE doc_id >= 50),
+            csz AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+            cov AS (SELECT c.doc_id, count(*) AS n_overlap
+                    FROM corpus c JOIN bench USING (g) GROUP BY 1),
+            contam AS (SELECT csz.doc_id,
+                              (round(CAST(coalesce(n_overlap, 0) AS DOUBLE)
+                                     / n_grams, 4) + 0.0) AS contamination
+                       FROM csz LEFT JOIN cov ON csz.doc_id = cov.doc_id),
+            flags AS (SELECT b.source, len(b.toks) AS tokens,
+                             CASE WHEN b.doc_id >= 50 THEN 1 ELSE 0 END AS f1,
+                             CASE WHEN b.doc_id >= 50
+                                   AND q.quality >= 0.5 THEN 1 ELSE 0 END AS f2,
+                             CASE WHEN b.doc_id >= 50 AND q.quality >= 0.5
+                                   AND k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f3,
+                             CASE WHEN b.doc_id >= 50 AND q.quality >= 0.5
+                                   AND k.doc_id IS NOT NULL
+                                   AND coalesce(c.contamination, 0.0) < 0.2
+                                  THEN 1 ELSE 0 END AS f4
+                      FROM base b
+                      JOIN quality q ON q.doc_id = b.doc_id
+                      LEFT JOIN keepers k ON k.doc_id = b.doc_id
+                      LEFT JOIN contam c ON c.doc_id = b.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+                CAST(sum(f1) AS BIGINT) AS n_corpus,
+                CAST(sum(f2) AS BIGINT) AS n_quality,
+                CAST(sum(f3) AS BIGINT) AS n_dedup,
+                CAST(sum(f4) AS BIGINT) AS n_clean,
+                CAST(sum(tokens * f4) AS BIGINT) AS tokens_kept
+         FROM flags GROUP BY 1 ORDER BY 1""",
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value,
                            epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,

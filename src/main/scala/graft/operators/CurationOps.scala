@@ -270,6 +270,67 @@ object CurationOps {
   /** Jaccard threshold above which an n-gram pair is a dedup edge. */
   val ClusterMinJaccard = 0.5
 
+  /** Funnel gates (see [[curationFunnel]]): minimum quality score and
+    * maximum benchmark 3-gram overlap a kept document may have. Both
+    * compare against r4-rounded values, so the boundary is the same
+    * bit pattern in both engines. */
+  val FunnelMinQuality = 0.5
+  val FunnelMaxContamination = 0.2
+
+  /** q_curation_funnel — the END-TO-END curation pipeline as one
+    * report: per source, how many documents survive each gate applied
+    * left to right, and how many tokens the final corpus keeps.
+    * Stages: (1) benchmark split (doc_id < ContaminationBenchDocs rows
+    * are the held-out eval set, never trainable); (2) quality ≥
+    * [[FunnelMinQuality]]; (3) near-dup collapse — a doc survives iff
+    * it is its cluster's canonical representative per
+    * [[dedupKeepBest]] (computed corpus-wide at ingest); (4)
+    * contamination < [[FunnelMaxContamination]] (share of the doc's
+    * distinct 3-grams present in the benchmark). This is the attrition
+    * table every training-data run reports before a token is spent.
+    *
+    * Scale shape: three doc-keyed joins — quality is computed in the
+    * same scan, the keeper set is component-count-sized (broadcast),
+    * contamination reuses its own df-bounded overlap join — then ONE
+    * partial-aggregable rollup on the low-cardinality source key.
+    * Flags are computed once per doc and summed as 0/1 longs, so every
+    * stage count comes from the same single pass. */
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("tokens"))
+    val q = LlmOps.textQuality(s, d)
+      .select(col("doc_id").as("doc_id_q"), col("quality"))
+    val cont = contamination(s, d)
+      .select(col("doc_id").as("doc_id_c"), col("contamination"))
+    val keep = dedupKeepBest(s, d)
+      .select(col("keep_doc_id").as("doc_id_k"), lit(1L).as("is_keep"))
+    val flagged = docs
+      .join(q, col("doc_id") === col("doc_id_q"))
+      .join(cont, col("doc_id") === col("doc_id_c"), "left")
+      .join(keep, col("doc_id") === col("doc_id_k"), "left")
+      .select(col("source"), col("tokens"),
+        (col("doc_id") >= ContaminationBenchDocs).cast("long").as("f_corpus"),
+        ((col("doc_id") >= ContaminationBenchDocs) &&
+         col("quality") >= FunnelMinQuality).cast("long").as("f_quality"),
+        ((col("doc_id") >= ContaminationBenchDocs) &&
+         col("quality") >= FunnelMinQuality &&
+         col("is_keep").isNotNull).cast("long").as("f_dedup"),
+        ((col("doc_id") >= ContaminationBenchDocs) &&
+         col("quality") >= FunnelMinQuality &&
+         col("is_keep").isNotNull &&
+         coalesce(col("contamination"), lit(0.0)) < FunnelMaxContamination)
+          .cast("long").as("f_clean"))
+    ord(
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+             sum(col("f_corpus")).as("n_corpus"),
+             sum(col("f_quality")).as("n_quality"),
+             sum(col("f_dedup")).as("n_dedup"),
+             sum(col("f_clean")).as("n_clean"),
+             sum(col("tokens") * col("f_clean")).as("tokens_kept")),
+      col("source"))
+  }
+
   /** Default shuffle-partition count for the CC iteration loops. The
     * frames inside the loop are edge-bearing vertices only — thousands
     * of rows after the Jaccard filter even at sf0.1 — so running each

@@ -34,6 +34,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("curation_funnel: each planted doc falls at exactly its own gate") {
+    val dir = tmpDir("cur_funnel")
+    def words(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val benchT = words("b", 30)             // doc 0: held-out benchmark
+    val goodT  = words("g", 30)             // doc 50: survives everything
+    val shortT = words("s", 5)              // doc 51: quality 0.1 < 0.5
+    val dupA   = words("d", 30)             // doc 52: loses dedup to 53
+    val dupB   = words("d", 30) + " dx dy"  // doc 53: longer near-dup, keeper
+    val leakT  = benchT + " lx ly lz lw lv" // doc 54: quotes the benchmark
+    val rows = Seq(
+      Row(0L, benchT, "en", "s0", benchT.length.toLong),
+      Row(50L, goodT, "en", "s0", goodT.length.toLong),
+      Row(51L, shortT, "en", "s0", shortT.length.toLong),
+      Row(52L, dupA, "en", "s0", dupA.length.toLong),
+      Row(53L, dupB, "en", "s0", dupB.length.toLong),
+      Row(54L, leakT, "en", "s0", leakT.length.toLong))
+    writeTable(dir, "documents", documentsSchema, rows)
+    val out = CurationOps.curationFunnel(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((6L, 5L, 4L, 3L, 2L)),
+      s"stage counts drifted: ${r.toSeq}")
+    // survivors are docs 50 (30 tokens) and 53 (32 tokens)
+    assert(r.getLong(6) == 62L, s"tokens_kept: ${r.toSeq}")
+  }
+
   test("dedup_cluster: transitive near-dup chain collapses to one component") {
     val dir = tmpDir("cur_cluster")
     // A and B share most grams; B and C share most grams; A and C share
