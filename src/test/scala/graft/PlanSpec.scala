@@ -220,4 +220,22 @@ class PlanSpec extends AnyFunSuite {
     val total = spark.read.parquet(dir).count()
     assert(n1996 > 0 && n1996 < total)
   }
+
+  test("q_dedup_keep_best reads the published cluster store, not the pair join") {
+    val p = plan(graft.operators.CurationOps.dedupKeepBest(spark, sf0001))
+    // the n-gram pair machinery must stay at ingest: no HOF gram
+    // expression and no jaccard filter may appear in the query plan
+    assert(!p.contains("ngram_hashes") && !p.contains("jaccard"),
+      "keep_best re-derives clusters per query:\n" + p)
+    assert(p.contains("doc_cluster_store"),
+      "keep_best does not scan the published store:\n" + p)
+  }
+
+  test("q_curation_funnel: keeper set broadcasts; rollup is partial-aggregated") {
+    val p = plan(graft.operators.CurationOps.curationFunnel(spark, sf0001))
+    // component-count-sized keeper side must go map-side at this SF
+    assert(p.contains("BroadcastHashJoin"), "no broadcast join in funnel:\n" + p)
+    // the source rollup must partial-aggregate (map-side combine)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
