@@ -220,6 +220,7 @@ object SparkEntry {
     // basket/series/graph analytics widening (r6)
     "q_moving_avg" -> (TimeSeriesOps.movingAvg _),
     "q_trend_ewma" -> (TimeSeriesOps.trendEwma _),
+    "q_forecast_daily" -> (TimeSeriesOps.forecastDaily _),
     "q_time_to_convert" -> (TimeSeriesOps.timeToConvert _),
     "q_ltv" -> (ReportOps.ltv _),
     "q_graph_degree" -> (GraphOps.graphDegree _),
@@ -2428,6 +2429,21 @@ object SparkEntry {
                 CAST((20000*c7 + 100*n7) // (200*n7) AS DOUBLE)/10000.0 AS ma7,
                 CAST(n7 AS INT) AS days_in_window
          FROM w ORDER BY day_num""",
+    "q_forecast_daily" ->
+      // seasonal-naive: next 7 days = mean revenue of the same weekday
+      // over the history; Monday=0 on both engines (weekday / isodow-1)
+      """WITH daily AS (SELECT CAST(ts::TIMESTAMP AS DATE) AS day, value
+                        FROM events),
+            wd AS (SELECT (isodow(day) - 1) AS wd,
+                          (round(sum(value) / count(DISTINCT day), 4) + 0.0)
+                            AS forecast
+                   FROM daily GROUP BY 1),
+            mx AS (SELECT max(day) AS d0 FROM daily),
+            horizon AS (SELECT (d0 + i * INTERVAL 1 DAY)::DATE AS day
+                        FROM mx, range(1, 8) t(i))
+         SELECT h.day AS day, w.forecast AS forecast
+         FROM horizon h JOIN wd w ON (isodow(h.day) - 1) = w.wd
+         ORDER BY day""",
     "q_trend_ewma" ->
       // Dyadic-weight EWMA: day Δ back weighs 1 << (8−Δ), truncated at
       // Δ = 8; the trailing window is an offset equi-join (off 0..8)

@@ -254,4 +254,34 @@ object TimeSeriesOps {
                 col("n_days").cast("int").as("n_days")),
       col("priority"), col("day_num"))
   }
+
+  /** q_forecast_daily — seasonal-naive forecast: project the next 7
+    * calendar days of event revenue as the mean revenue of the SAME
+    * WEEKDAY over the observed history (the "expected traffic" readout
+    * every analytics surface ships before anything fancier; the
+    * standard baseline any real model must beat).
+    *
+    * Scale shape: ONE partial-aggregable pass over the fact scan
+    * (7 weekday groups — sum + distinct-day count per group); the
+    * 7-row horizon explodes from a 1-row max-day aggregate and
+    * broadcast-joins the 7-row means. Nothing downstream of the scan
+    * depends on event volume.
+    *
+    * Determinism: the mean divides RAW aggregates once and r4's the
+    * quotient (never averages pre-rounded values — the §2.10 trap);
+    * weekday numbering is pinned Monday=0 on both engines (Spark
+    * `weekday`, DuckDB `isodow - 1`). */
+  def forecastDaily(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("value"))
+    val wdMeans = ev.groupBy(expr("weekday(day)").as("wd"))
+      .agg(r4(sum(col("value")) / countDistinct(col("day"))).as("forecast"))
+    val horizon = ev.agg(max(col("day")).as("d0"))
+      .select(explode(sequence(date_add(col("d0"), 1), date_add(col("d0"), 7),
+                               expr("interval 1 day"))).as("day"))
+    ord(
+      horizon.withColumn("wd", expr("weekday(day)"))
+        .join(broadcast(wdMeans), "wd")
+        .select(col("day"), col("forecast")),
+      col("day"))
+  }
 }

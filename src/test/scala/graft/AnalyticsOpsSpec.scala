@@ -52,6 +52,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(7200L)._1 == 1L && out(7200L)._3 == 30.0)
   }
 
+  test("forecast_daily: 7-day horizon carries each weekday's historical mean") {
+    val dir = tmpDir("forecast")
+    // two Mondays (1970-01-05, -01-12) with revenue 10 and 30 -> Monday
+    // mean 20; one Tuesday (1970-01-06) with 8 -> Tuesday mean 8.
+    // History ends 1970-01-12, so the horizon is 01-13 .. 01-19.
+    writeEvents(dir, Seq(
+      eventRow(1L, 4L * 86400L, 1L, "view", 10.0),
+      eventRow(2L, 11L * 86400L, 1L, "view", 30.0),
+      eventRow(3L, 5L * 86400L, 1L, "view", 8.0)))
+    val out = TimeSeriesOps.forecastDaily(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    // horizon covers only weekdays with history: Mon 01-19 and Tue 01-13
+    assert(out == Map("1970-01-19" -> 20.0, "1970-01-13" -> 8.0), s"got $out")
+  }
+
   test("anomaly: an outlier day is flagged, normal days are not") {
     val dir = tmpDir("anom")
     // 5 days with 2 events each, 1 day with 12 -> |z| > 1.5 only there.

@@ -46,6 +46,21 @@ class CachedDirSpec extends AnyFunSuite {
       s"stale copy $d1 not pruned after $d3 published")
   }
 
+  test("published paths carry the derivation epoch (reader-semantics barrier)") {
+    val dir = tmpDir("cachedir_epoch")
+    writeSource(dir, Seq(1L, 2L))
+    val d1 = CachedDir.materialize(spark, dir, "src.parquet", "cachedir_epoch_spec") {
+      tmp => spark.read.parquet(s"$dir/src.parquet").write.parquet(tmp)
+    }
+    // The source fingerprint detects regenerated DATA but not changed
+    // DERIVATION CODE (r9: caches built from current sources with a
+    // unit-buggy reader survived the reader fix). The epoch in the
+    // path is the code-version barrier; a bump orphans every
+    // prior-epoch dir instead of serving it.
+    assert(d1.matches("""/tmp/graft_e\d+_cachedir_epoch_spec_.*"""),
+      s"published path carries no epoch: $d1")
+  }
+
   test("a corpse dir without _SUCCESS is replaced, not trusted") {
     val dir = tmpDir("cachedir_corpse")
     writeSource(dir, Seq(7L))
