@@ -231,6 +231,12 @@ class PlanSpec extends AnyFunSuite {
       "keep_best does not scan the published store:\n" + p)
   }
 
+  test("q_forecast_daily: weekday means broadcast onto the generated horizon") {
+    val p = plan(graft.operators.TimeSeriesOps.forecastDaily(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), "7-row means not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "horizon join fell back to SMJ:\n" + p)
+  }
+
   test("q_curation_funnel: keeper set broadcasts; rollup is partial-aggregated") {
     val p = plan(graft.operators.CurationOps.curationFunnel(spark, sf0001))
     // component-count-sized keeper side must go map-side at this SF
