@@ -60,6 +60,34 @@ class TsEncodingSpec extends AnyFunSuite {
       assert(sess.toSeq == Seq((1L, 2L), (2L, 1L)), s"[$unit] got ${sess.toSeq}")
     }
 
+    test(s"funnel_window 24h boundary under $unit encoding") {
+      val dir = tmpDir(s"tsenc_fw_$unit")
+      val t0 = 1700000000L
+      writeEvents(dir, Seq(
+        eventRow(1, t0, 1, "view", 1.0),
+        eventRow(2, t0 + 86400, 1, "click", 1.0),  // exactly 24 h: counts
+        eventRow(3, t0, 2, "view", 1.0),
+        eventRow(4, t0 + 86401, 2, "click", 1.0)), // 1 s over: out
+        unit = unit)
+      val out = graft.operators.ReportOps.funnelWindow(spark, dir).collect()
+        .map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(out == Map(1 -> 2L, 2 -> 1L, 3 -> 0L), s"[$unit] got $out")
+    }
+
+    test(s"pattern_match 1h boundary under $unit encoding") {
+      val dir = tmpDir(s"tsenc_pm_$unit")
+      val t0 = 1700000000L
+      writeEvents(dir, Seq(
+        eventRow(1, t0, 1, "view", 0.0),
+        eventRow(2, t0 + 3600, 1, "purchase", 1.0),  // inclusive: clean
+        eventRow(3, t0, 2, "view", 0.0),
+        eventRow(4, t0 + 3601, 2, "purchase", 1.0)), // 1 s over: no_view
+        unit = unit)
+      val r = graft.operators.WindowOps.patternMatch(spark, dir).collect().head
+      assert((r.getLong(1), r.getLong(2), r.getLong(4)) == ((2L, 1L, 1L)),
+        s"[$unit] got ${r.toSeq}")
+    }
+
     test(s"debounce 5s boundary under $unit encoding") {
       val dir = tmpDir(s"tsenc_deb_$unit")
       writeEvents(dir, Seq(
