@@ -178,6 +178,7 @@ object SparkEntry {
     "q_dedup_stream" -> (graft.streaming.StreamingOps.dedupStreamGated _),
     "q_session_state_stream" -> (graft.streaming.StreamingOps.sessionStateStreamGated _),
     "q_upsert_stream" -> (graft.streaming.StreamingOps.upsertStreamGated _),
+    "q_funnel_stream" -> (graft.streaming.StreamingOps.funnelStreamGated _),
     "q_interval_join_stream" -> (graft.streaming.StreamingOps.intervalJoinStreamGated _),
     "q_window_sliding" -> (W.windowSliding _),
     // report shaping (r1 additions)
@@ -2076,6 +2077,35 @@ object SparkEntry {
          FROM counts, ent ORDER BY step""",
     "q_funnel_window" ->
       // Time-boxed funnel: each step must land strictly after the
+      // previous step AND within 24 h of it. The cap compares
+      // whole-second epochs (Spark's unix_timestamp truncates sub-
+      // second), mirrored here with epoch_us // 1000000.
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     AND epoch_us(e.ts) // 1000000
+                         <= epoch_us(s1.t1) // 1000000 + 86400
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND epoch_us(e.ts) // 1000000
+                         <= epoch_us(s2.t2) // 1000000 + 86400
+                   GROUP BY 1),
+            counts AS (
+              SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+              UNION ALL SELECT 2, 'click', count(*) FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
+            ent AS (SELECT n_users AS n_entered FROM counts WHERE step = 1)
+         SELECT step, event_type, n_users,
+                CASE WHEN n_entered = 0 THEN 0.0
+                     ELSE (round(n_users::DOUBLE / n_entered, 4) + 0.0) END AS conv
+         FROM counts, ent ORDER BY step""",
+    "q_funnel_stream" ->
+      // Streaming first-touch funnel == batch time-boxed funnel: each step must land strictly after the
       // previous step AND within 24 h of it. The cap compares
       // whole-second epochs (Spark's unix_timestamp truncates sub-
       // second), mirrored here with epoch_us // 1000000.

@@ -165,7 +165,7 @@ object StreamingOps {
     s.read.parquet(pub)
   }
 
-  /** Materialize all six gated streaming drains (fixture pre-publish
+  /** Materialize all seven gated streaming drains (fixture pre-publish
     * — see [[graft.SparkEntry.prepareFixtures]]). */
   def prepareGatedStreams(s: SparkSession, d: String): Unit = {
     sessionizeStreamGated(s, d)
@@ -173,6 +173,7 @@ object StreamingOps {
     intervalJoinStreamGated(s, d)
     dedupStreamGated(s, d)
     sessionStateStreamGated(s, d)
+    funnelStreamGated(s, d)
     upsertStreamGated(s, d)
   }
 
@@ -540,5 +541,138 @@ object StreamingOps {
                 expr("unix_micros(ts)").as("ts_us"), col("event_id"),
                 col("value")),
       col("user_id"), col("event_type"))
+  }
+
+  // ------------------------------------------------- streaming funnel
+
+  /** Buffered progression state for the streaming first-touch funnel:
+    * the earliest view plus EVERY click/purchase timestamp seen so
+    * far. Buffers (not running minima) because arrival order is not
+    * event order across micro-batches: a later-arriving EARLIER view
+    * lowers t1, which re-admits clicks a running minimum would already
+    * have discarded — the state must be order-insensitive, so candidate
+    * sets are kept and the progression is solved once, at finalize.
+    * `done` is the first-touch tombstone: a finalized user must never
+    * re-enter (a fresh progression after eviction would double-count),
+    * so the record persists with no timeout — the honest O(users) cost
+    * of first-touch attribution, bounded in production by rotating the
+    * checkpoint per campaign horizon. */
+  case class FunnelBuf(minViewUs: Long, clicksUs: Seq[Long],
+                       purchasesUs: Seq[Long], done: Boolean)
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+                         event_type: String)
+  case class FunnelDepth(user_id: Long, depth: Int)
+
+  /** Exact µs since epoch (Timestamp carries ms in getTime + the full
+    * fractional second in getNanos; both engines compare at µs). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+  private def funnelFinalize(user: Long, st: FunnelBuf,
+                             windowSec: Long): Iterator[FunnelDepth] =
+    if (st.minViewUs == Long.MaxValue) Iterator.empty
+    else {
+      val t1 = st.minViewUs
+      // mirror the batch gates exactly: strict > at µs, window cap on
+      // floor-second epochs (unix_timestamp / epoch_us // 1000000)
+      val t2 = st.clicksUs
+        .filter(c => c > t1 && c / 1000000L <= t1 / 1000000L + windowSec)
+        .minOption
+      val t3 = t2.flatMap(t => st.purchasesUs
+        .filter(p => p > t && p / 1000000L <= t / 1000000L + windowSec)
+        .minOption)
+      Iterator(FunnelDepth(user, 1 + t2.size + t3.size))
+    }
+
+  /** Per-user funnel depth via flatMapGroupsWithState: events buffer in
+    * state; the user finalizes when the watermark passes their funnel
+    * DEADLINE (first view + 2 windows + slack — after which no event
+    * can change the outcome: each step must land within `windowSec` of
+    * the previous, so nothing past t1 + 2·windowSec is admissible),
+    * emitting exactly one depth row and leaving a `done` tombstone.
+    * Users with no view never set a timeout and never emit — they are
+    * not funnel entrants. */
+  def funnelDepths(spark: SparkSession, events: DataFrame,
+                   windowSec: Long = 86400L)
+      : org.apache.spark.sql.Dataset[FunnelDepth] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .withWatermark("ts", "1 hour")
+      .select($"user_id", $"ts", $"event_type")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelBuf]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.update(st.copy(done = true))
+            funnelFinalize(user, st, windowSec)
+          } else {
+            val st0 = state.getOption.getOrElse(
+              FunnelBuf(Long.MaxValue, Nil, Nil, done = false))
+            if (st0.done) Iterator.empty
+            else {
+              var mv = st0.minViewUs
+              var cs = st0.clicksUs
+              var ps = st0.purchasesUs
+              evs.foreach { e =>
+                val us = tsMicros(e.ts)
+                e.event_type match {
+                  case "view"     => if (us < mv) mv = us
+                  case "click"    => cs = us +: cs
+                  case "purchase" => ps = us +: ps
+                  case _          => ()
+                }
+              }
+              val st = FunnelBuf(mv, cs, ps, done = false)
+              if (mv == Long.MaxValue) { state.update(st); Iterator.empty }
+              else {
+                val deadlineMs = (mv / 1000000L + 2 * windowSec + 2) * 1000L
+                if (deadlineMs > state.getCurrentWatermarkMs()) {
+                  state.update(st)
+                  state.setTimeoutTimestamp(deadlineMs)
+                  Iterator.empty
+                } else {
+                  // deadline already behind the watermark (first view
+                  // arrived at the lateness horizon): finalize in place
+                  state.update(st.copy(done = true))
+                  funnelFinalize(user, st, windowSec)
+                }
+              }
+            }
+          }
+      }
+  }
+
+  /** q_funnel_stream — the TIME-BOXED first-touch funnel run to
+    * COMPLETION under the DuckDB gate: the seventh gated streaming
+    * query, and the first whose per-user state solves an ORDERED
+    * progression (view → click → purchase, each within 24 h of the
+    * previous) rather than a gap or a window. The drained per-user
+    * depths aggregate to the identical step/conversion table as batch
+    * q_funnel_window, which is the oracle. */
+  def funnelStreamGated(s: SparkSession, d: String): DataFrame = {
+    val src = streamSourceDir(s, d)
+    val res = drainAvailableNow(s, d, "stream_gate_funnel")(
+      funnelDepths(s, readEventStream(s, src)).toDF())
+    val depths = res.filter(col("user_id") >= 0)
+    val steps = graft.operators.ReportOps.FunnelSteps
+    val counts = steps.zipWithIndex.map { case (name, i) =>
+      depths.filter(col("depth") >= i + 1)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("event_type"),
+                col("n_users"))
+    }
+    val all = counts.reduce(_.unionByName(_))
+    val entered = counts.head.select(col("n_users").as("n_entered"))
+    graft.Fin.ord(
+      all.crossJoin(broadcast(entered))
+        .select(col("step"), col("event_type"), col("n_users"),
+          graft.Fin.r4(when(col("n_entered") === 0, lit(0.0))
+            .otherwise(col("n_users").cast("double") / col("n_entered")))
+            .as("conv")),
+      col("step"))
   }
 }

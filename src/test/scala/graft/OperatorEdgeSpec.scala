@@ -250,6 +250,32 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == 5, "every event lands in exactly one session")
   }
 
+  test("funnel_stream: 24h boundary through the stateful drain; depths match batch semantics") {
+    val dir = tmpDir("funnel_stream_edge")
+    val t0 = 1700000000L
+    writeEvents(dir, Seq(
+      // u1: full progression, click at EXACTLY +24h (counts), purchase
+      // 10s later — depth 3
+      eventRow(1, t0, 1, "view", 1.0),
+      eventRow(2, t0 + 86400, 1, "click", 1.0),
+      eventRow(3, t0 + 86400 + 10, 1, "purchase", 1.0),
+      // u2: click 1s past the window — stops at depth 1
+      eventRow(4, t0, 2, "view", 1.0),
+      eventRow(5, t0 + 86401, 2, "click", 1.0),
+      // u3: click BEFORE the first view (strictly earlier) — not a
+      // progression; depth 1. Also exercises order-insensitive state:
+      // the click is buffered before any view lowers t1.
+      eventRow(6, t0 + 100, 3, "click", 1.0),
+      eventRow(7, t0 + 200, 3, "view", 1.0),
+      // u4: clicks only — never enters the funnel, no row
+      eventRow(8, t0, 4, "click", 1.0)
+    ))
+    val out = graft.streaming.StreamingOps.funnelStreamGated(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // entrants u1,u2,u3 = 3; step2 only u1; step3 only u1
+    assert(out == Map(1 -> 3L, 2 -> 1L, 3 -> 1L), s"got $out")
+  }
+
   test("attribution_position: U-shape 40/20/40; singleton 100%; pair 50/50") {
     val dir = tmpDir("attr_pos")
     val t0 = 1700000000L
