@@ -37,12 +37,22 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // r9's total was unrecoverable because the driver truncated stdout
-    // (BENCH_r09.json "parsed": null) — persist the record too
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/graft_bench.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write /tmp/graft_bench.json: $e") }
+    // (BENCH_r09.json "parsed": null) — persist the record too. Written
+    // atomically (tmp + rename) to BOTH the canonical path and a per-sf
+    // path, so concurrent/successive runs at different sf dirs cannot
+    // clobber each other's record and a crashed run can never leave a
+    // half-written file (r10 ADVICE).
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    for (out <- Seq("/tmp/graft_bench.json", s"/tmp/graft_bench_$sfTag.json"))
+      try {
+        val tmp = java.nio.file.Paths.get(out + ".tmp")
+        java.nio.file.Files.write(tmp,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(out),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
   }
 }

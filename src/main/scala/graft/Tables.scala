@@ -49,43 +49,77 @@ object Tables {
   private val tsEncodingMemo =
     new java.util.concurrent.ConcurrentHashMap[String, TsEncoding]()
 
-  /** Reads the logical-type annotation of `ts` from ONE parquet footer
-    * (driver-side, a single footer at any scale — the unit is uniform
-    * per dataset). NANOS-annotated or unannotated INT64 → the legacy ns
-    * branch; MICROS/MILLIS annotations Spark decodes natively. A
-    * magnitude probe is deliberately NOT used: it is data-dependent
+  /** Reads the logical-type annotation of `ts` from the FIRST and LAST
+    * parquet footers (driver-side, two footers at any scale — the unit
+    * is uniform per dataset, and the last-file probe turns a partially
+    * regenerated mixed-unit directory into a loud failure instead of a
+    * silent misread). Recognized encodings, exhaustively:
+    *  - TIMESTAMP(MICROS/MILLIS) annotation → native Spark read;
+    *  - TIMESTAMP(NANOS) annotation, or unannotated raw INT64 (the
+    *    legacy driver shape) → Long read + DIV 1000;
+    *  - anything else (INT96, non-timestamp annotations, non-INT64
+    *    physical types) → IllegalArgumentException, so format drift the
+    *    reader cannot decode fails at the detector with the real cause,
+    *    not downstream with a conversion error.
+    * A magnitude probe is deliberately NOT used: it is data-dependent
     * (r9 ADVICE) — the footer is the contract. */
   private def tsEncoding(s: SparkSession, path: String): TsEncoding = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
     val conf = s.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
-    val dataFile =
-      if (!st.isDirectory) p
-      else fs.listStatus(p).toSeq
-        .filter(x => x.isFile && x.getLen > 0 && {
-          val n = x.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        })
-        .sortBy(_.getPath.getName)
-        .headOption.map(_.getPath)
-        .getOrElse(throw new IllegalArgumentException(
-          s"no parquet data files under $path"))
-    val key = dataFile.toString + "#" + st.getLen + "#" + st.getModificationTime
-    tsEncodingMemo.computeIfAbsent(key, _ => {
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(dataFile, conf))
+    val dataFiles =
+      if (!st.isDirectory) Seq(st)
+      else {
+        val fl = fs.listStatus(p).toSeq
+          .filter(x => x.isFile && x.getLen > 0 && {
+            val n = x.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+          .sortBy(_.getPath.getName)
+        if (fl.isEmpty) throw new IllegalArgumentException(
+          s"no parquet data files under $path")
+        fl
+      }
+    def detect(f: org.apache.hadoop.fs.FileStatus): TsEncoding = {
+      val reader =
+        ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
-        schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
-          .getLogicalTypeAnnotation match {
-          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-            if t.getUnit != LogicalTypeAnnotation.TimeUnit.NANOS => TsNative
-          case _ => TsNanosLong
+        val prim = schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+        (prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation) match {
+          case (PrimitiveType.PrimitiveTypeName.INT64,
+                t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+            if (t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS) TsNanosLong
+            else TsNative
+          case (PrimitiveType.PrimitiveTypeName.INT64, null) => TsNanosLong
+          case (phys, ann) => throw new IllegalArgumentException(
+            s"unsupported ts encoding in ${f.getPath}: physical=$phys " +
+              s"annotation=$ann (supported: INT64 TIMESTAMP(MICROS/MILLIS/" +
+              "NANOS) or unannotated INT64 ns)")
         }
       } finally reader.close()
+    }
+    // memo keyed on the chosen data file's OWN len+mtime (not the parent
+    // directory's — an in-place part-file overwrite need not bump the
+    // directory mtime on POSIX, r10 ADVICE)
+    val first = dataFiles.head
+    val key = first.getPath.toString + "#" + first.getLen + "#" +
+      first.getModificationTime
+    tsEncodingMemo.computeIfAbsent(key, _ => {
+      val enc = detect(first)
+      if (dataFiles.size > 1) {
+        val last = dataFiles.last
+        val encLast = detect(last)
+        if (encLast != enc) throw new IllegalArgumentException(
+          s"mixed ts encodings under $path: ${first.getPath.getName}=$enc " +
+            s"vs ${last.getPath.getName}=$encLast — partially regenerated " +
+            "directory? (per-dataset ts unit must be uniform)")
+      }
+      enc
     })
   }
 

@@ -607,8 +607,16 @@ object StreamingOps {
         (user: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelBuf]) =>
           if (state.hasTimedOut) {
             val st = state.get
-            state.update(st.copy(done = true))
-            funnelFinalize(user, st, windowSec)
+            // st.done here would mean a timer fired on a finalized
+            // tombstone — Spark clears event-time timeouts on every
+            // invocation so it cannot happen today, but the guard makes
+            // the first-touch tombstone unconditionally idempotent
+            // rather than resting on that engine invariant (r10 ADVICE)
+            if (st.done) Iterator.empty
+            else {
+              state.update(st.copy(done = true))
+              funnelFinalize(user, st, windowSec)
+            }
           } else {
             val st0 = state.getOption.getOrElse(
               FunnelBuf(Long.MaxValue, Nil, Nil, done = false))

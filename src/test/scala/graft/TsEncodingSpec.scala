@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.types.TimestampType
 import org.apache.spark.sql.functions._
 
@@ -99,6 +100,47 @@ class TsEncodingSpec extends AnyFunSuite {
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       assert(out("view") == ((2L, 1L)), s"[$unit] got $out")
     }
+  }
+
+  // The detector must FAIL LOUDLY on encodings it cannot decode —
+  // INT96 was never a driver format, and silently taking the ns-Long
+  // branch on it would surface as a confusing downstream conversion
+  // error (r10 ADVICE). Strictness is the guard against format drift.
+  test("INT96 ts encoding is rejected at the detector, not downstream") {
+    val dir = tmpDir("tsenc_int96")
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      writeTable(dir, "events", Schemas.events, fixture.map(r =>
+        Row(r.getLong(0),
+          java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(r.getLong(1))),
+          r.get(2), r.get(3), r.get(4), r.get(5))))
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val e = intercept[IllegalArgumentException] {
+      Tables.events(spark, dir).count()
+    }
+    assert(e.getMessage.contains("unsupported ts encoding"), e.getMessage)
+  }
+
+  // A partially regenerated directory (µs parts next to ns parts) must
+  // be a loud failure, not a silent misread of whichever parts don't
+  // match the sampled footer (r10 ADVICE).
+  test("mixed µs/ns parts in one directory are rejected") {
+    val dirUs = tmpDir("tsenc_mix_us"); val dirNs = tmpDir("tsenc_mix_ns")
+    writeEvents(dirUs, fixture, unit = "us")
+    writeEvents(dirNs, fixture, unit = "ns")
+    val mixed = new java.io.File(s"$dirUs/events.parquet")
+    val nsParts = new java.io.File(s"$dirNs/events.parquet").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    // copy an ns part in under a name that sorts LAST so the first/last
+    // probe sees both encodings
+    java.nio.file.Files.copy(nsParts.head.toPath,
+      new java.io.File(mixed, "zzz-mixed-ns-part.parquet").toPath)
+    val e = intercept[IllegalArgumentException] {
+      Tables.events(spark, s"$dirUs").count()
+    }
+    assert(e.getMessage.contains("mixed ts encodings"), e.getMessage)
   }
 
   test("sessionize agrees across encodings (ts-sensitive operator)") {
