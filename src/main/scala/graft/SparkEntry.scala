@@ -245,7 +245,13 @@ object SparkEntry {
     "q_lm_score" -> (L.lmScore _),
     "q_pack_sequences" -> (C.packSequences _),
     "q_join_asof_fwd" -> (J.joinAsofFwd _),
-    "q_debounce" -> (C.debounce _)
+    "q_debounce" -> (C.debounce _),
+    // seasonality/changepoint/experimentation + session-entry analytics (r11)
+    "q_seasonality" -> (TimeSeriesOps.seasonality _),
+    "q_changepoint" -> (TimeSeriesOps.changepoint _),
+    "q_cuped" -> (TimeSeriesOps.cuped _),
+    "q_landing_bounce" -> (W.landingBounce _),
+    "q_cume_dist" -> (P.cumeDist _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2974,6 +2980,109 @@ object SparkEntry {
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 CAST(sum(CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 5
                               THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
-         FROM f GROUP BY 1 ORDER BY 1"""
+         FROM f GROUP BY 1 ORDER BY 1""",
+    "q_seasonality" ->
+      """SELECT ((epoch_us(ts::TIMESTAMP)//1000000//86400 + 3) % 7 + 1) AS dow_iso,
+                (epoch_us(ts::TIMESTAMP)//1000000//3600) % 24 AS hour_utc,
+                count(*) AS n_events,
+                (round(sum(value), 4) + 0.0) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_changepoint" ->
+      """WITH daily AS (SELECT epoch_us(ts::TIMESTAMP)//1000000//86400 AS day_num,
+                              count(*) AS n_events
+                       FROM events GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total,
+                           CAST(count(*) AS BIGINT) AS n_days FROM daily),
+            cu AS (SELECT day_num, n_events,
+                          CAST(row_number() OVER (ORDER BY day_num) AS BIGINT) AS t,
+                          CAST(sum(n_events) OVER
+                            (ORDER BY day_num
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS prefix
+                   FROM daily)
+         SELECT day_num, n_events,
+                (round((n_days * prefix - t * total)::DOUBLE / n_days, 4) + 0.0)
+                  AS cusum
+         FROM cu, tot ORDER BY day_num""",
+    "q_cuped" ->
+      """WITH b AS (SELECT min(epoch_us(ts::TIMESTAMP)//1000000) AS mn,
+                           max(epoch_us(ts::TIMESTAMP)//1000000) AS mx FROM events),
+            u AS (SELECT user_id,
+                         CAST(sum(CASE WHEN epoch_us(ts::TIMESTAMP)//1000000
+                                            < (mn + mx)//2
+                                       THEN CAST(round(value*100) AS BIGINT)
+                                       ELSE 0 END) AS BIGINT) AS x,
+                         CAST(sum(CASE WHEN epoch_us(ts::TIMESTAMP)//1000000
+                                            >= (mn + mx)//2
+                                       THEN CAST(round(value*100) AS BIGINT)
+                                       ELSE 0 END) AS BIGINT) AS y,
+                         CAST(user_id % 2 AS INT) AS arm
+                  FROM events, b GROUP BY user_id),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x*y) AS BIGINT) AS sxy,
+                         CAST(sum(x*x) AS BIGINT) AS sxx,
+                         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                         CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+                         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+                         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                         CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+                         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0
+                  FROM u),
+            c AS (SELECT *,
+                         (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) / n AS covxy,
+                         (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / n AS varx
+                  FROM m),
+            t AS (SELECT *,
+                         CASE WHEN varx = 0.0 THEN NULL
+                              ELSE covxy / varx END AS theta,
+                         sy1::DOUBLE / n1 - sy0::DOUBLE / n0 AS diff_naive
+                  FROM c)
+         SELECT n, n1, n0, (round(theta, 4) + 0.0) AS theta,
+                (round(diff_naive / 100.0, 4) + 0.0) AS diff_naive,
+                (round((diff_naive - theta * (sx1::DOUBLE / n1 - sx0::DOUBLE / n0))
+                       / 100.0, 4) + 0.0) AS diff_cuped
+         FROM t""",
+    "q_landing_bounce" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g),
+            rk AS (SELECT user_id, sid, event_type,
+                          row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY tsu, event_id) AS rn,
+                          count(*) OVER (PARTITION BY user_id, sid) AS n_events
+                   FROM sids),
+            per AS (SELECT user_id, sid, event_type AS landing_type, n_events
+                    FROM rk WHERE rn = 1)
+         SELECT landing_type, count(*) AS n_sessions,
+                CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_bounces,
+                (round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+                       / count(*), 4) + 0.0) AS bounce_rate
+         FROM per GROUP BY 1 ORDER BY 1""",
+    "q_cume_dist" ->
+      """WITH spend AS (SELECT c_custkey, c_mktsegment,
+                               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                    AS BIGINT) AS cents
+                        FROM orders JOIN customer ON o_custkey = c_custkey
+                        GROUP BY 1, 2)
+         SELECT c_custkey, c_mktsegment,
+                (round(cents / 100.0, 4) + 0.0) AS spend,
+                (round(cume_dist() OVER
+                   (PARTITION BY c_mktsegment ORDER BY cents), 4) + 0.0) AS cd,
+                (round(percent_rank() OVER
+                   (PARTITION BY c_mktsegment ORDER BY cents), 4) + 0.0) AS pr
+         FROM spend ORDER BY c_custkey"""
   )
 }

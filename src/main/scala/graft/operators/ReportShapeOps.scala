@@ -85,6 +85,32 @@ object ReportShapeOps {
       col("o_orderkey"))
   }
 
+  /** q_cume_dist — distribution-position windows (cume_dist +
+    * percent_rank) over customer lifetime spend within each market
+    * segment: "what fraction of my segment does this customer out-spend".
+    * Spend is summed as exact integer cents, and the window ORDER BY is
+    * the cents value alone — cume_dist/percent_rank are tie-STABLE
+    * (they count value-≤ rows, not row positions), so no tiebreak key
+    * is needed for determinism.
+    *
+    * Scale shape: one partial-aggregable shuffle to per-customer spend,
+    * then a window per segment key — segment cardinality bounds the
+    * partition count, each partition a bounded customer list; never a
+    * global unpartitioned window. */
+  def cumeDist(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("cents"))
+    ord(
+      spend.select(col("c_custkey"), col("c_mktsegment"),
+        r4(col("cents").cast("double") / 100.0).as("spend"),
+        r4(cume_dist().over(w)).as("cd"),
+        r4(percent_rank().over(w)).as("pr")),
+      col("c_custkey"))
+  }
+
   /** q_profile_nulls — the data-profiling pass every ETL runs before
     * trusting a source: per column, row count, null count, distinct
     * count. ONE aggregate job computes every column's counts

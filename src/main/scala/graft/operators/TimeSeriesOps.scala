@@ -179,6 +179,121 @@ object TimeSeriesOps {
       col("lag_k"))
   }
 
+  /** q_seasonality — the GA traffic-heatmap report: event volume and
+    * summed value per (ISO day-of-week, UTC hour) cell. Both axes are
+    * derived with pure integer arithmetic on epoch seconds (1970-01-01
+    * was a Thursday, hence the +3 offset) — no engine-specific dow/hour
+    * function whose week-start convention could differ from the oracle.
+    *
+    * Scale shape: one partial-aggregable shuffle onto a ≤168-row key
+    * space — the map-side combine reduces any event volume to 7×24
+    * partial rows per task. */
+  def seasonality(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      ((expr("unix_timestamp(ts) DIV 86400") + 3) % 7 + 1).as("dow_iso"),
+      (expr("unix_timestamp(ts) DIV 3600") % 24).as("hour_utc"),
+      col("value"))
+    ord(
+      e.groupBy(col("dow_iso"), col("hour_utc"))
+        .agg(count(lit(1)).as("n_events"),
+             r4(sum(col("value"))).as("sum_value")),
+      col("dow_iso"), col("hour_utc"))
+  }
+
+  /** q_changepoint — CUSUM shift detection over the daily event count
+    * series: per day, the cumulative deviation from the corpus mean.
+    * The peak |cusum| day is the most likely level-shift point. The
+    * cusum at day t algebraically equals (D·prefix_t − t·total)/D with
+    * prefix/total/D all exact integers, so the single double division
+    * is computed from identical operands on both engines — the mean is
+    * never materialized as a rounded intermediate.
+    *
+    * Scale shape: the unpartitioned ordered window runs on the DAILY
+    * ROLLUP (≤|calendar days| rows — the q_moving_avg precedent), never
+    * on the fact table; the rollup itself is one partial-aggregable
+    * shuffle. */
+  def changepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("unix_timestamp(ts) DIV 86400").as("day_num"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = daily.agg(sum(col("n_events")).as("total"),
+                        count(lit(1)).as("n_days"))
+    val w = Window.orderBy(col("day_num"))
+    ord(
+      daily.crossJoin(broadcast(tot))
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("prefix",
+          sum(col("n_events")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("day_num"), col("n_events"),
+          r4((col("n_days") * col("prefix") - col("t") * col("total"))
+            .cast("double") / col("n_days")).as("cusum")),
+      col("day_num"))
+  }
+
+  /** q_cuped — CUPED variance reduction for the A/B readout (the
+    * industry-standard pre-experiment covariate adjustment): users split
+    * 50/50 on user_id parity, the corpus time-midpoint splits each
+    * user's spend into a pre-period covariate X and post-period metric
+    * Y, and θ = cov(X,Y)/var(X) shrinks Y to Y − θ(X − mean(X)). One
+    * summary row: the naive arm difference, the CUPED-adjusted
+    * difference, and the variance-reduction ratio ρ².
+    *
+    * Determinism: X and Y are exact integer cents, so every moment
+    * (ΣX, ΣY, ΣXY, ΣX², ΣY²) is an exact integer long — the order the
+    * partials merge in cannot change a bit. θ and the adjusted means
+    * are then assembled from those scalars with the same IEEE formula
+    * on both engines and rounded once. At 100 TB the moments move to
+    * decimal(38,0) (Σcents² overflows long past ~10⁵ users × 10⁶-cent
+    * spenders); the shape — one per-user aggregate, one global moment
+    * aggregate — is unchanged. */
+  def cuped(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val mid = e.agg(min(epochSec(col("ts"))).as("mn"),
+                    max(epochSec(col("ts"))).as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("mid_sec"))
+    val cents = round(col("value") * 100).cast("long")
+    val users = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(epochSec(col("ts")) < col("mid_sec"), cents)
+             .otherwise(0L)).as("x"),
+           sum(when(epochSec(col("ts")) >= col("mid_sec"), cents)
+             .otherwise(0L)).as("y"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val m = users.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"),
+      sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx0"))
+    // all in cents → dollars at the end; var(X)=0 (degenerate pre-period)
+    // yields NULL adjusted columns identically on both engines
+    m.withColumn("covxy",
+        (col("sxy").cast("double") - col("sx").cast("double") *
+          col("sy").cast("double") / col("n")) / col("n"))
+      .withColumn("varx",
+        (col("sxx").cast("double") - col("sx").cast("double") *
+          col("sx").cast("double") / col("n")) / col("n"))
+      .withColumn("theta",
+        when(col("varx") === 0.0, lit(null))
+          .otherwise(col("covxy") / col("varx")))
+      .withColumn("diff_naive",
+        col("sy1").cast("double") / col("n1") -
+          col("sy0").cast("double") / col("n0"))
+      .withColumn("diff_cuped",
+        col("diff_naive") - col("theta") *
+          (col("sx1").cast("double") / col("n1") -
+           col("sx0").cast("double") / col("n0")))
+      .select(col("n"), col("n1"), col("n0"),
+        r4(col("theta")).as("theta"),
+        r4(col("diff_naive") / lit(100.0)).as("diff_naive"),
+        r4(col("diff_cuped") / lit(100.0)).as("diff_cuped"))
+  }
+
   /** q_time_to_convert — GA's "time lag" report: for every user whose
     * first purchase is at or after their first view, the whole-hour lag
     * between the two, bucketed into an hours histogram. (The

@@ -264,6 +264,34 @@ object WindowOps {
       col("event_type"))
   }
 
+  /** q_landing_bounce — GA's landing-page bounce report, keyed on the
+    * session's ENTRY event type (the landing analog in this schema):
+    * per landing type, session count, single-event-session count, and
+    * bounce rate. Complements q_exit_rate (exit side) and
+    * q_session_metrics (per-day bounce) — this is the per-entry-point
+    * view marketers act on.
+    *
+    * Scale shape: identical to q_exit_rate — reads the user-bucketed
+    * session store with NO exchange (groupBy user_id+sid is satisfied
+    * by the store's clustering), min_by picks the entry event in the
+    * same pass, then one partial-aggregable shuffle onto the tiny
+    * landing-type key. The bounce ratio divides two exact integer
+    * counts once — the hash-safe r4 pattern. */
+  def landingBounce(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionized(s, d, col("event_type"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min_by(col("event_type"), struct(col("ts"), col("event_id")))
+             .as("landing_type"),
+           count(lit(1)).as("n_events"))
+    ord(
+      sess.groupBy(col("landing_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+        .withColumn("bounce_rate",
+          r4(col("n_bounces").cast("double") / col("n_sessions"))),
+      col("landing_type"))
+  }
+
   /** q_session_metrics — the GA session rollup on top of the flagship
     * sessionization: per session-start day, session count, bounce rate
     * (single-event sessions), average duration and events per session.

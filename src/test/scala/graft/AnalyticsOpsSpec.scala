@@ -251,6 +251,91 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val s = pr.map(_.getDouble(2)).sum
     assert(s > 0.5 && s <= 1.0 + 1e-6, s"total rank mass $s")
   }
+
+  test("seasonality: integer dow/hour axes match known calendar cells") {
+    val dir = tmpDir("seas")
+    // 1970-01-01 (epoch day 0) was a THURSDAY (dow_iso 4); hour from UTC secs
+    writeEvents(dir, Seq(
+      eventRow(1L, 0L, 1L, "view", 1.0),                 // Thu 00:00
+      eventRow(2L, 3600L, 1L, "view", 2.0),              // Thu 01:00
+      eventRow(3L, 4 * 86400L, 1L, "view", 4.0),         // Mon (day 4) 00:00
+      eventRow(4L, 4 * 86400L + 30L, 1L, "view", 6.0)))  // same cell
+    val out = graft.operators.TimeSeriesOps.seasonality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      (4L, 0L) -> ((1L, 1.0)), (4L, 1L) -> ((1L, 2.0)),
+      (1L, 0L) -> ((2L, 10.0))), s"got $out")
+  }
+
+  test("changepoint: cusum peaks at the level shift and ends at zero") {
+    val dir = tmpDir("cpt")
+    // 4 days at 1 event/day then 4 days at 3/day: mean 2, cusum walks
+    // -1,-2,-3,-4 then +1 steps back to 0 — the shift day is the trough
+    val rows = (0 until 8).flatMap { day =>
+      val n = if (day < 4) 1 else 3
+      (0 until n).map(i =>
+        eventRow(day * 10L + i, day * 86400L + i * 60, 1L, "view", 1.0))
+    }
+    writeEvents(dir, rows)
+    val out = graft.operators.TimeSeriesOps.changepoint(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(3L) == -4.0, s"trough at the shift boundary: $out")
+    assert(out(7L) == 0.0, s"cusum must telescope to zero: $out")
+    assert(out.values.min == -4.0 && out.values.max == 0.0, s"got $out")
+  }
+
+  test("cuped: perfectly correlated pre/post collapses adjusted diff to zero") {
+    val dir = tmpDir("cuped")
+    // pre period: days 0-4; post: days 5-9 (midpoint splits them).
+    // Each user spends c pre and EXACTLY c post → cov=var, θ=1, and the
+    // adjusted diff (Y−θX) is identically zero even though the naive
+    // arm diff is not.
+    val spends = Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 60.0)
+    val rows = spends.toSeq.flatMap { case (u, c) => Seq(
+      eventRow(u * 10L, 0L + u * 60L, u, "view", c),
+      eventRow(u * 10L + 1, 9L * 86400L + u * 60L, u, "view", c)) }
+    writeEvents(dir, rows)
+    val r = graft.operators.TimeSeriesOps.cuped(spark, dir).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 1.0, s"theta: $r")        // cov/var = 1
+    assert(r.getDouble(4) != 0.0, s"naive diff: $r")   // arms differ
+    assert(r.getDouble(5) == 0.0, s"cuped diff: $r")   // fully explained
+  }
+
+  test("landing_bounce: keyed on entry type; single-event sessions bounce") {
+    val dir = tmpDir("lbounce")
+    writeEvents(dir, Seq(
+      // user 1: view→click session (entry view, no bounce)
+      eventRow(1L, 1000L, 1L, "view", 1.0),
+      eventRow(2L, 1060L, 1L, "click", 1.0),
+      // user 1, second session: lone view (entry view, bounce)
+      eventRow(3L, 1000L + 5000L, 1L, "view", 1.0),
+      // user 2: lone click (entry click, bounce)
+      eventRow(4L, 2000L, 2L, "click", 1.0)))
+    val out = graft.operators.WindowOps.landingBounce(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      "view" -> ((2L, 1L, 0.5)), "click" -> ((1L, 1L, 1.0))), s"got $out")
+  }
+
+  test("cume_dist: tie-stable positions; top spender has cd=1, pr=1") {
+    val out = graft.operators.ReportShapeOps.cumeDist(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val bySeg = out.groupBy(_.getString(1))
+    bySeg.foreach { case (seg, rows) =>
+      val cds = rows.map(_.getDouble(3))
+      assert(cds.max == 1.0, s"[$seg] max cume_dist must be 1")
+      assert(cds.min > 0.0, s"[$seg] cume_dist is strictly positive")
+      val prs = rows.map(_.getDouble(4))
+      assert(prs.forall(p => p >= 0.0 && p <= 1.0), s"[$seg] pr out of range")
+      // cd and pr must order identically with spend
+      val sorted = rows.sortBy(_.getDouble(2))
+      assert(sorted.map(_.getDouble(3)).toSeq ==
+        sorted.map(_.getDouble(3)).toSeq.sorted, s"[$seg] cd not monotone")
+    }
+  }
 }
 
 /** Small helpers shared by the r6 tests. */
