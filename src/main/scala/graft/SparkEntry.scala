@@ -251,7 +251,10 @@ object SparkEntry {
     "q_changepoint" -> (TimeSeriesOps.changepoint _),
     "q_cuped" -> (TimeSeriesOps.cuped _),
     "q_landing_bounce" -> (W.landingBounce _),
-    "q_cume_dist" -> (P.cumeDist _)
+    "q_cume_dist" -> (P.cumeDist _),
+    "q_containment" -> (L.containment _),
+    "q_ndcg" -> (RetrievalOps.ndcg _),
+    "q_subquery_correlated" -> (R.subqueryCorrelated _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3083,6 +3086,80 @@ object SparkEntry {
                    (PARTITION BY c_mktsegment ORDER BY cents), 4) + 0.0) AS cd,
                 (round(percent_rank() OVER
                    (PARTITION BY c_mktsegment ORDER BY cents), 4) + 0.0) AS pr
-         FROM spend ORDER BY c_custkey"""
+         FROM spend ORDER BY c_custkey""",
+    "q_containment" ->
+      """WITH base AS (SELECT doc_id, lang, source,
+                              string_split(text, ' ') AS toks FROM documents),
+            ng AS (SELECT doc_id, lang, source,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
+                   FROM base),
+            nz AS (SELECT doc_id, lang, source, ngs
+                   FROM ng WHERE len(ngs) > 0),
+            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
+            df AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
+            ex AS (SELECT ex0.* FROM ex0 JOIN df USING (g) WHERE df <= 100),
+            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
+            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                             count(*) AS inter
+                      FROM ex a JOIN ex b
+                        ON a.lang = b.lang AND a.source = b.source
+                       AND a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            st AS (SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+                          CAST(s1.nsz AS BIGINT) AS n1,
+                          CAST(s2.nsz AS BIGINT) AS n2,
+                          (round(CAST(inter AS DOUBLE) / s1.nsz, 4) + 0.0) AS c1_in_2,
+                          (round(CAST(inter AS DOUBLE) / s2.nsz, 4) + 0.0) AS c2_in_1
+                   FROM inter JOIN sz s1 ON s1.doc_id = d1
+                              JOIN sz s2 ON s2.doc_id = d2)
+         SELECT d1, d2, inter, n1, n2, c1_in_2, c2_in_1
+         FROM st ORDER BY greatest(c1_in_2, c2_in_1) DESC, d1, d2 LIMIT 20""",
+    "q_ndcg" ->
+      """WITH em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+                  FROM em WHERE vec_id < 10),
+            sims AS (SELECT q_id, q_label, vec_id AS n_id, label AS n_label,
+                            (round(list_dot_product(qv, v) /
+                                  (sqrt(list_dot_product(qv, qv)) *
+                                   sqrt(list_dot_product(v, v))), 4) + 0.0) AS sim
+                     FROM em, q WHERE vec_id <> q_id),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rn
+                   FROM sims),
+            top AS (SELECT * FROM rk WHERE rn <= 10),
+            d AS (SELECT q_id, sum(CASE WHEN n_label = q_label
+                                        THEN 1.0 / log2(rn + 1)
+                                        ELSE 0.0 END) AS dcg
+                  FROM top GROUP BY 1),
+            lc AS (SELECT label, count(*) AS cnt FROM em GROUP BY 1),
+            nr AS (SELECT q_id, CAST(cnt - 1 AS BIGINT) AS n_rel
+                   FROM q JOIN lc ON q_label = label),
+            icum AS (SELECT k, sum(1.0 / log2(i + 1)) AS idcg
+                     FROM range(1, 11) r1(k), range(1, 11) r2(i)
+                     WHERE i <= k GROUP BY 1)
+         SELECT nr.q_id, nr.n_rel, (round(d.dcg, 4) + 0.0) AS dcg,
+                CASE WHEN nr.n_rel = 0 THEN 0.0
+                     ELSE (round(d.dcg / icum.idcg, 4) + 0.0) END AS ndcg
+         FROM nr JOIN d ON d.q_id = nr.q_id
+         LEFT JOIN icum ON icum.k = least(nr.n_rel, 10)
+         ORDER BY nr.q_id""",
+    "q_subquery_correlated" ->
+      """WITH spend AS (SELECT c_custkey, c_nationkey,
+                               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                    AS BIGINT) AS cents
+                        FROM orders JOIN customer ON o_custkey = c_custkey
+                        GROUP BY 1, 2)
+         SELECT s.c_custkey, n.n_name,
+                (round(s.cents / 100.0, 4) + 0.0) AS spend,
+                (round((SELECT sum(t.cents)::DOUBLE / count(*) FROM spend t
+                        WHERE t.c_nationkey = s.c_nationkey) / 100.0, 4) + 0.0)
+                  AS nation_avg
+         FROM spend s JOIN nation n ON s.c_nationkey = n.n_nationkey
+         WHERE s.cents * (SELECT count(*) FROM spend t
+                          WHERE t.c_nationkey = s.c_nationkey)
+               > (SELECT sum(t.cents) FROM spend t
+                  WHERE t.c_nationkey = s.c_nationkey)
+         ORDER BY s.c_custkey"""
   )
 }

@@ -169,7 +169,17 @@ object LlmOps {
   /** All (d1, d2, jaccard) document pairs sharing ≥1 surviving gram —
     * the unlimited pair stream dedupNgram tops and dedupCluster
     * clusters. */
-  private[operators] def ngramPairs(s: SparkSession, d: String, maxDf: Int): DataFrame = {
+  private[operators] def ngramPairs(s: SparkSession, d: String, maxDf: Int): DataFrame =
+    ngramPairStats(s, d, maxDf)
+      .withColumn("jaccard",
+        r4(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))))
+      .select(col("d1"), col("d2"), col("jaccard"))
+
+  /** The (d1, d2, inter, n1, n2) pair-statistics frame both set
+    * similarities derive from — Jaccard (ngramPairs → q_dedup_ngram /
+    * q_dedup_cluster) and asymmetric containment (q_containment). */
+  private[operators] def ngramPairStats(s: SparkSession, d: String,
+                                        maxDf: Int): DataFrame = {
     val docs = Tables.documents(s, d)
     // repartition = exchange barrier: the ngram arrays are built once and
     // the shuffle output is REUSED by both self-join branches + the size
@@ -202,10 +212,29 @@ object LlmOps {
     val s1 = sizes.select(col("doc_id").as("d1"), col("nsz").as("n1"))
     val s2 = sizes.select(col("doc_id").as("d2"), col("nsz").as("n2"))
     inter.join(s1, "d1").join(s2, "d2")
-      .withColumn("jaccard",
-        r4(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))))
-      .select(col("d1"), col("d2"), col("jaccard"))
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
   }
+
+  /** q_containment — ASYMMETRIC n-gram overlap: containment of each
+    * doc's gram set in its pair partner (|A∩B|/|A| and |A∩B|/|B|),
+    * top-20 pairs by the larger direction. Jaccard (q_dedup_ngram)
+    * misses sub-document duplication — a paragraph wholly embedded in a
+    * 100× larger doc has tiny Jaccard but containment 1.0; this is the
+    * standard detector for quote/boilerplate inclusion in training
+    * corpora. Candidate generation, blocking, and the df cap are
+    * exactly q_dedup_ngram's — one shared shape, two similarity reads.
+    * The ranking key is the ROUNDED greatest containment (ties on
+    * d1, d2) so the top-20 cut is cross-engine stable. */
+  def containment(s: SparkSession, d: String): DataFrame =
+    ngramPairStats(s, d, NgramMaxDf)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        r4(col("inter").cast("double") / col("n1")).as("c1_in_2"),
+        r4(col("inter").cast("double") / col("n2")).as("c2_in_1"))
+      .withColumn("c_max", greatest(col("c1_in_2"), col("c2_in_1")))
+      .orderBy(col("c_max").desc, col("d1"), col("d2"))
+      .limit(20)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+              col("c1_in_2"), col("c2_in_1"))
 
   /** Codegen'd single-pass cosine (graft.functions.CosineSimilarity) —
     * used on every O(pairs) similarity join; bit-compatible with the
@@ -415,7 +444,7 @@ object LlmOps {
     * and nothing is sorted — the window row_number form shuffles + sorts
     * every candidate. Preference (sim DESC, n_id ASC) matches the
     * oracles' row_number ordering exactly. */
-  private def rerankTopK(s: SparkSession, cands: DataFrame, k: Int): DataFrame = {
+  private[operators] def rerankTopK(s: SparkSession, cands: DataFrame, k: Int): DataFrame = {
     graft.functions.TopKAggregate.register(s)
     cands.groupBy(col("q_id"))
       .agg(call_function("top_k_pairs", col("sim"), col("n_id"), lit(k)).as("tk"))

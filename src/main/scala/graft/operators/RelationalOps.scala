@@ -317,4 +317,40 @@ object RelationalOps {
     val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
     ord(c.except(sup), col("nationkey"))
   }
+
+  /** q_subquery_correlated — "customers who out-spend their nation's
+    * average": the correlated-scalar-subquery surface, expressed in the
+    * engine as a grouped-window decorrelation (the plan Catalyst itself
+    * rewrites correlated subqueries into). The comparison is the exact
+    * integer cross-multiply `cents · n_cust > total_cents` — the nation
+    * average is never materialized as a double before the filter, so
+    * the boundary can't flip on float noise; the reported average is
+    * derived once, after, for display.
+    *
+    * Scale shape: one partial-aggregable shuffle to per-customer cents,
+    * a window keyed on the nation (25 partitions of bounded customer
+    * lists), then a broadcast dim join for the name — no second scan of
+    * orders, no correlated re-execution per row (the naive subquery
+    * shape would rescan per outer row; the decorrelated window is the
+    * 100 TB form). */
+  def subqueryCorrelated(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("c_nationkey"))
+    ord(
+      spend
+        .withColumn("total_c", sum(col("cents")).over(w))
+        .withColumn("n_cust", count(lit(1)).over(w))
+        .filter(col("cents") * col("n_cust") > col("total_c"))
+        .join(broadcast(Tables.nation(s, d)),
+              col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"),
+          r4(col("cents").cast("double") / 100.0).as("spend"),
+          r4(col("total_c").cast("double") / col("n_cust") / 100.0)
+            .as("nation_avg")),
+      col("c_custkey"))
+  }
 }

@@ -157,4 +157,54 @@ object RetrievalOps {
         .select(col("q_id"), col("rk"), col("doc_id"), r4(col("v")).as("rrf")),
       col("q_id"), col("rk"))
   }
+
+  /** q_ndcg — retrieval-quality evaluation: nDCG@10 of the cosine
+    * ranking against same-label relevance, per query vector. This is
+    * the eval loop every embedding/retrieval pipeline runs after
+    * reindexing — DCG over the top-10 ranked list (rank on the ROUNDED
+    * similarity, ties to smaller n_id — the q_similarity_topk
+    * discipline, so the cut is cross-engine stable), IDCG from the
+    * total relevant count, ndcg = DCG/IDCG (0 when nothing relevant
+    * exists).
+    *
+    * Scale shape: the ranked list comes from the bounded `top_k_pairs`
+    * aggregate (≤10 rows per query cross the shuffle — never a
+    * per-query window over all candidates); labels join back onto the
+    * ≤10·|queries| winner rows broadcast; IDCG is a 10-row generated
+    * lookup joined broadcast. Only the candidate scoring scan is
+    * corpus-sized. */
+  def ndcg(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+    val q = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+              col("v").as("qv"))
+    val sims = em.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+              r4(call_function("cosine_sim", col("qv"), col("v"))).as("sim"))
+    val top = graft.operators.LlmOps.rerankTopK(s, sims, 10)
+      .join(broadcast(q.select(col("q_id"), col("q_label"))), "q_id")
+      .join(em.select(col("vec_id").as("n_id"), col("label").as("n_label")),
+            "n_id")
+    val dcg = top.groupBy(col("q_id"))
+      .agg(sum(when(col("n_label") === col("q_label"),
+                    lit(1.0) / log2(col("rn") + 1)).otherwise(0.0)).as("dcg"))
+    val labelCnt = em.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    val nrel = q.join(broadcast(labelCnt), col("q_label") === col("label"))
+      .select(col("q_id"), (col("cnt") - 1).as("n_rel"))
+    // cumulative ideal-DCG lookup: idcg(k) = Σ_{i≤k} 1/log2(i+1)
+    val icum = s.range(1, 11).select(col("id").cast("int").as("k"))
+      .withColumn("i", explode(sequence(lit(1), col("k"))))
+      .groupBy(col("k")).agg(sum(lit(1.0) / log2(col("i") + 1)).as("idcg"))
+    ord(
+      nrel.join(dcg, Seq("q_id"))
+        .join(broadcast(icum),
+              least(col("n_rel"), lit(10L)).cast("int") === col("k"), "left")
+        .select(col("q_id"), col("n_rel"), r4(col("dcg")).as("dcg"),
+          when(col("n_rel") === 0, lit(0.0))
+            .otherwise(r4(col("dcg") / col("idcg"))).as("ndcg")),
+      col("q_id"))
+  }
 }

@@ -320,6 +320,62 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "view" -> ((2L, 1L, 0.5)), "click" -> ((1L, 1L, 1.0))), s"got $out")
   }
 
+  test("containment: embedded paragraph scores 1.0 one way, small the other") {
+    val dir = tmpDir("containment")
+    // doc 0 = a short paragraph; doc 1 = a much larger doc CONTAINING it
+    // verbatim: containment(0 in 1) = 1.0 while Jaccard is small
+    val para = "quick brown fox jumps over the lazy dog tonight"
+    val filler = (0 until 40).map(i => s"filler${i}x filler${i}y").mkString(" ")
+    val rows = Seq(
+      org.apache.spark.sql.Row(0L, para, "en", "s0", para.length.toLong),
+      org.apache.spark.sql.Row(1L, s"$filler $para", "en", "s0",
+        (filler.length + para.length + 1).toLong),
+      org.apache.spark.sql.Row(2L, "unrelated words entirely different topic",
+        "en", "s0", 40L))
+    writeTable(dir, "documents", documentsSchema, rows)
+    val out = graft.operators.LlmOps.containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(5), r.getDouble(6)))).toMap
+    val (c12, c21) = out((0L, 1L))
+    assert(c12 == 1.0, s"paragraph fully contained: $out")
+    assert(c21 < 0.5, s"but the big doc is not contained in it: $out")
+    assert(!out.contains((0L, 2L)) && !out.contains((1L, 2L)),
+      s"no shared grams, no pair: $out")
+  }
+
+  test("ndcg: perfect ranking scores 1.0; no relevant neighbors scores 0") {
+    val dir = tmpDir("ndcg")
+    // label 7: a tight cluster along axis 0 (queries 0,1 + neighbors
+    // 10,11) — cosine ranks same-label vectors on top → ndcg 1.0.
+    // label 9: vec 2 is the ONLY one of its label → n_rel=0 → ndcg 0.
+    def vec(axis: Int, mag: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == axis) mag else 0.001f)
+    val rows = Seq(
+      org.apache.spark.sql.Row(0L, vec(0, 1.0f), 7),
+      org.apache.spark.sql.Row(1L, vec(0, 0.9f), 7),
+      org.apache.spark.sql.Row(2L, vec(40, 1.0f), 9),
+      org.apache.spark.sql.Row(10L, vec(0, 0.8f), 7),
+      org.apache.spark.sql.Row(11L, vec(0, 0.7f), 7),
+      org.apache.spark.sql.Row(12L, vec(20, 1.0f), 8),
+      org.apache.spark.sql.Row(13L, vec(21, 1.0f), 8))
+    writeTable(dir, "embeddings", embeddingsSchema, rows)
+    val out = graft.operators.RetrievalOps.ndcg(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out(0L) == ((3L, 1.0)), s"axis-aligned cluster ranks perfectly: $out")
+    assert(out(1L) == ((3L, 1.0)), s"got $out")
+    assert(out(2L) == ((0L, 0.0)), s"lone label has ndcg 0: $out")
+  }
+
+  test("subquery_correlated: every returned customer beats their nation avg") {
+    val out = graft.operators.RelationalOps.subqueryCorrelated(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(2) > r.getDouble(3) - 1e-9,
+        s"spend must exceed the nation average: $r")
+    }
+  }
+
   test("cume_dist: tie-stable positions; top spender has cd=1, pr=1") {
     val out = graft.operators.ReportShapeOps.cumeDist(spark, sf0001).collect()
     assert(out.nonEmpty)
