@@ -254,7 +254,8 @@ object SparkEntry {
     "q_cume_dist" -> (P.cumeDist _),
     "q_containment" -> (L.containment _),
     "q_ndcg" -> (RetrievalOps.ndcg _),
-    "q_subquery_correlated" -> (R.subqueryCorrelated _)
+    "q_subquery_correlated" -> (R.subqueryCorrelated _),
+    "q_topk_stream" -> (graft.streaming.StreamingOps.topkStreamGated _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3160,6 +3161,16 @@ object SparkEntry {
                           WHERE t.c_nationkey = s.c_nationkey)
                > (SELECT sum(t.cents) FROM spend t
                   WHERE t.c_nationkey = s.c_nationkey)
-         ORDER BY s.c_custkey"""
+         ORDER BY s.c_custkey""",
+    "q_topk_stream" ->
+      """WITH c AS (SELECT (epoch_us(ts::TIMESTAMP)//1000000//21600) * 21600
+                             AS win_sec,
+                           event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+            rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY win_sec
+                     ORDER BY n DESC, event_type) AS INT) AS rn
+                   FROM c)
+         SELECT win_sec, rn, event_type, n
+         FROM rk WHERE rn <= 3 ORDER BY win_sec, rn"""
   )
 }

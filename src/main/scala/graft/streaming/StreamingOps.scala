@@ -175,6 +175,7 @@ object StreamingOps {
     sessionStateStreamGated(s, d)
     funnelStreamGated(s, d)
     upsertStreamGated(s, d)
+    topkStreamGated(s, d)
   }
 
   /** q_session_state_stream — the CUSTOM-STATE sessionizer
@@ -268,6 +269,41 @@ object StreamingOps {
       res.filter(col("event_type") =!= "sentinel")
         .select(col("day"), col("event_type"), col("n"), col("val")),
       col("day"), col("event_type"))
+  }
+
+  /** 6-hour tumbling per-type counts — the windowed frame
+    * q_topk_stream ranks. Epoch-aligned (Spark's window() origin is
+    * 1970-01-01 UTC), emitted as integer window-start seconds per the
+    * driver's tz contract. */
+  def windowTypeCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_timestamp(window.start)").as("win_sec"),
+              col("event_type"), col("n"))
+
+  /** q_topk_stream — trending-now: the top-3 event types per 6-hour
+    * tumbling window, run to COMPLETION under the DuckDB gate (the
+    * eighth gated streaming query). The STREAM computes the windowed
+    * counts — sealed by the watermark, emitted in append mode once the
+    * sentinel passes — and the top-3 cut is a batch window over the
+    * drained rollup: |windows|×|types| rows, never event-scale, which
+    * is exactly how a production trending pipeline ranks its
+    * already-reduced per-window counters. Ties rank by event_type, so
+    * the cut is deterministic on both engines. */
+  def topkStreamGated(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = streamSourceDir(s, d)
+    val res = drainAvailableNow(s, d, "stream_gate_topk")(
+      windowTypeCounts(readEventStream(s, src)))
+    val counts = res.filter(col("event_type") =!= "sentinel")
+    val w = Window.partitionBy(col("win_sec"))
+      .orderBy(col("n").desc, col("event_type"))
+    graft.Fin.ord(
+      counts.withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 3)
+        .select(col("win_sec"), col("rn"), col("event_type"), col("n")),
+      col("win_sec"), col("rn"))
   }
 
   /** q_interval_join_stream — the stream-stream interval join run to

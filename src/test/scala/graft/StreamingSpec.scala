@@ -44,6 +44,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(collectSet(got) == collectSet(want))
   }
 
+  test("streaming 6h window counts == batch epoch-aligned buckets") {
+    val src = sliceEvents(4)
+    val stream = StreamingOps.readEventStream(spark, src).drop("slice")
+    val got = runToMemory(StreamingOps.windowTypeCounts(stream),
+      "t_topkwin", "complete")
+    val want = Tables.events(spark, sf0001)
+      .groupBy((expr("unix_timestamp(ts) DIV 21600") * 21600).as("win_sec"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(collectSet(got) == collectSet(want))
+    // windows are 6h epoch-aligned: every start divides 21600
+    assert(got.collect().forall(_.getLong(0) % 21600 == 0))
+  }
+
   test("streaming session_window == batch sessionize (session count + event totals)") {
     val src = sliceEvents(3)
     val stream = StreamingOps.readEventStream(spark, src).drop("slice")
