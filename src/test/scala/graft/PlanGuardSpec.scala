@@ -27,7 +27,8 @@ class PlanGuardSpec extends AnyFunSuite {
     * frames (≤ |calendar days| rows after a daily rollup — see the
     * q_moving_avg scaladoc), where one partition is the design, not a
     * leak of the corpus through a single sort. */
-  private val unpartitionedWindowOk = Set("q_moving_avg", "q_period_over_period")
+  private val unpartitionedWindowOk =
+    Set("q_moving_avg", "q_period_over_period", "q_changepoint")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {
