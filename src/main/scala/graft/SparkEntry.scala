@@ -255,7 +255,11 @@ object SparkEntry {
     "q_containment" -> (L.containment _),
     "q_ndcg" -> (RetrievalOps.ndcg _),
     "q_subquery_correlated" -> (R.subqueryCorrelated _),
-    "q_topk_stream" -> (graft.streaming.StreamingOps.topkStreamGated _)
+    "q_topk_stream" -> (graft.streaming.StreamingOps.topkStreamGated _),
+    "q_srm" -> (TimeSeriesOps.srm _),
+    "q_quantize_embed" -> (L.quantizeEmbed _),
+    "q_graph_jaccard" -> (GraphOps.graphJaccard _),
+    "q_sliding_stream" -> (graft.streaming.StreamingOps.slidingStreamGated _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3171,6 +3175,67 @@ object SparkEntry {
                      ORDER BY n DESC, event_type) AS INT) AS rn
                    FROM c)
          SELECT win_sec, rn, event_type, n
-         FROM rk WHERE rn <= 3 ORDER BY win_sec, rn"""
+         FROM rk WHERE rn <= 3 ORDER BY win_sec, rn""",
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+            v AS (SELECT user_id,
+                         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                              THEN 'A' ELSE 'B' END AS variant
+                  FROM u),
+            a AS (SELECT
+                    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+                  FROM v),
+            c AS (SELECT n_a, n_b,
+                         (round(((n_a - n_b) * (n_a - n_b))::DOUBLE / (n_a + n_b), 4)
+                          + 0.0) AS chi2
+                  FROM a)
+         SELECT n_a, n_b, chi2,
+                CASE WHEN chi2 > 3.8415 THEN 1 ELSE 0 END AS srm_flag
+         FROM c""",
+    "q_quantize_embed" ->
+      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            mx AS (SELECT vec_id, v,
+                          list_max(list_transform(v, x -> abs(x))) AS maxabs
+                   FROM em),
+            sc AS (SELECT vec_id, v, 127.0 / maxabs AS scale
+                   FROM mx WHERE maxabs > 0)
+         SELECT vec_id, (round(scale, 4) + 0.0) AS scale,
+                CAST(list_sum(list_transform(v, x ->
+                       CASE WHEN abs(round(x * scale)) >= 127 THEN 1 ELSE 0 END))
+                     AS BIGINT) AS n_sat,
+                (round(list_sum(list_transform(v, x ->
+                         pow(x - round(x * scale) / scale, 2))) / len(v), 4)
+                 + 0.0) AS mse
+         FROM sc ORDER BY vec_id""",
+    "q_graph_jaccard" ->
+      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+                        FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        JOIN customer c ON o.o_custkey = c.c_custkey
+                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        GROUP BY 1, 2),
+            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM edges WHERE src <> dst),
+            adj AS (SELECT a AS v, b AS n FROM und
+                    UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+            common AS (SELECT l.v AS u, r.v AS w, count(*) AS common
+                       FROM adj l JOIN adj r ON l.n = r.n AND l.v < r.v
+                       GROUP BY 1, 2)
+         SELECT u, w, CAST(common AS BIGINT) AS common,
+                CAST(du.deg AS BIGINT) AS du, CAST(dw.deg AS BIGINT) AS dw,
+                (round(CAST(common AS DOUBLE) / (du.deg + dw.deg - common), 4)
+                 + 0.0) AS jaccard
+         FROM common JOIN deg du ON du.v = u JOIN deg dw ON dw.v = w
+         ORDER BY u, w""",
+    "q_sliding_stream" ->
+      """WITH w0 AS (SELECT (epoch_us(ts::TIMESTAMP)//1000000)//1800*1800 AS w_start,
+                            event_type, value FROM events),
+            both_w AS (SELECT w_start, event_type, value FROM w0
+                       UNION ALL
+                       SELECT w_start - 1800, event_type, value FROM w0)
+         SELECT w_start, event_type, count(*) AS n, (round(sum(value), 4) + 0.0) AS val
+         FROM both_w GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

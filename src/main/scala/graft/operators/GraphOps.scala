@@ -162,4 +162,41 @@ object GraphOps {
                   .as("clustering")),
       col("nationkey"))
   }
+
+  /** q_graph_jaccard — structural node similarity: Jaccard of neighbor
+    * sets |N(u)∩N(w)|/|N(u)∪N(w)| for every nation pair sharing ≥1
+    * common neighbor in the undirected trade graph — the link-
+    * prediction / role-equivalence score beside q_triangles' cohesion.
+    * Common neighbors come from a WEDGE JOIN on the shared-neighbor key
+    * (each 2-path center contributes one candidate pair) — never an
+    * all-pairs set compare; the union size derives from the exact
+    * degree counts (du + dw − common).
+    *
+    * Scale shape: adjacency and degrees are |E|-bounded aggregates of
+    * the once-derived canonical edge set; the wedge join fans out per
+    * center degree (the bounded |V|² graph contract this family
+    * documents). Ratio divides exact integers once — hash-safe r4. */
+  def graphJaccard(s: SparkSession, d: String): DataFrame = {
+    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val adj = und.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("n")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val l = adj.select(col("n").as("c"), col("v").as("u"))
+    val r = adj.select(col("n").as("c2"), col("v").as("w"))
+    val common = l.join(broadcast(r),
+        col("c") === col("c2") && col("u") < col("w"))
+      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("common"))
+    ord(
+      common
+        .join(broadcast(deg.select(col("v").as("u"), col("deg").as("du"))), "u")
+        .join(broadcast(deg.select(col("v").as("w"), col("deg").as("dw"))), "w")
+        .select(col("u"), col("w"), col("common"), col("du"), col("dw"),
+          r4(col("common").cast("double") /
+             (col("du") + col("dw") - col("common"))).as("jaccard")),
+      col("u"), col("w"))
+  }
 }

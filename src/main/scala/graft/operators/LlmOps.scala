@@ -1213,4 +1213,32 @@ object LlmOps {
         .agg(count(lit(1)).as("n")),
       col("lang"), col("pred_lang"))
   }
+
+  /** q_quantize_embed — int8 symmetric-quantization audit per vector:
+    * scale = 127/max|vᵢ|, qᵢ = round(vᵢ·scale), reporting the scale,
+    * the saturated-lane count, and the dequantization MSE — the
+    * decision table for shipping an embedding index at 1/4 the bytes
+    * (the PQ rows compress harder; this is the cheap, accuracy-first
+    * tier). All per-vector arithmetic is a SCAN-SIDE higher-order-
+    * function fold (`aggregate`) — sequential in index order, so both
+    * engines sum the 64 lanes in the same order and the doubles agree
+    * bit-for-bit before the single r4; no shuffle at all beyond the
+    * final sort. round() is half-away-from-zero on both engines,
+    * including negative lanes. */
+  def quantizeEmbed(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("maxabs",
+        expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+      .filter(col("maxabs") > 0)
+      .withColumn("scale", lit(127.0) / col("maxabs"))
+      .withColumn("n_sat", expr(
+        "aggregate(v, 0, (acc, x) -> acc + IF(abs(round(x * scale)) >= 127, 1, 0))"))
+      .withColumn("mse", expr(
+        "aggregate(v, 0D, (acc, x) -> acc + pow(x - round(x * scale) / scale, 2)) / size(v)"))
+    ord(
+      em.select(col("vec_id"), r4(col("scale")).as("scale"),
+                col("n_sat").cast("long").as("n_sat"), r4(col("mse")).as("mse")),
+      col("vec_id"))
+  }
 }

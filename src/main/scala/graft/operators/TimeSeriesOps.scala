@@ -294,6 +294,32 @@ object TimeSeriesOps {
         r4(col("diff_cuped") / lit(100.0)).as("diff_cuped"))
   }
 
+  /** q_srm — sample-ratio-mismatch check for the A/B split: the guard
+    * every experimentation platform runs BEFORE reading a result,
+    * because a biased assignment invalidates q_ab_test/q_cuped no
+    * matter how significant they look. Uses q_ab_test's exact md5
+    * hash-parity split; χ² for the 2-cell 50/50 design reduces to
+    * (n_a − n_b)²/(n_a + n_b) — exact integer numerator and
+    * denominator, one division, r4'd; the flag compares the ROUNDED χ²
+    * to the 3.8415 critical value (p<0.05, df=1) so it can never flip
+    * on float noise.
+    *
+    * Scale shape: one distinct-users shuffle and a 1-row aggregate. */
+  def srm(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d).select(col("user_id")).distinct()
+      .withColumn("variant",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) % 2") === 0,
+             "A").otherwise("B"))
+    users.agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        r4(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .cast("double") / (col("n_a") + col("n_b"))).as("chi2"))
+      .withColumn("srm_flag",
+        when(col("chi2") > 3.8415, 1).otherwise(0))
+  }
+
   /** q_time_to_convert — GA's "time lag" report: for every user whose
     * first purchase is at or after their first view, the whole-hour lag
     * between the two, bucketed into an hours histogram. (The

@@ -176,6 +176,7 @@ object StreamingOps {
     funnelStreamGated(s, d)
     upsertStreamGated(s, d)
     topkStreamGated(s, d)
+    slidingStreamGated(s, d)
   }
 
   /** q_session_state_stream — the CUSTOM-STATE sessionizer
@@ -304,6 +305,27 @@ object StreamingOps {
         .filter(col("rn") <= 3)
         .select(col("win_sec"), col("rn"), col("event_type"), col("n")),
       col("win_sec"), col("rn"))
+  }
+
+  /** q_sliding_stream — OVERLAPPING 1h/30min sliding windows per event
+    * type run to COMPLETION under the DuckDB gate (the ninth gated
+    * streaming query): each event lands in TWO windows, so this proves
+    * the multi-assignment window state machinery — watermark-sealed,
+    * append-drained — computes the batch truth q_window_sliding
+    * declares. Oracle = the batch sliding SQL verbatim (each event
+    * duplicated into its two half-hour-aligned windows). */
+  def slidingStreamGated(s: SparkSession, d: String): DataFrame = {
+    val src = streamSourceDir(s, d)
+    val res = drainAvailableNow(s, d, "stream_gate_slide")(
+      readEventStream(s, src).withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Fin.r4(sum(col("value"))).as("val"))
+        .select(expr("unix_timestamp(window.start)").as("w_start"),
+                col("event_type"), col("n"), col("val")))
+    Fin.ord(
+      res.filter(col("event_type") =!= "sentinel")
+        .select(col("w_start"), col("event_type"), col("n"), col("val")),
+      col("w_start"), col("event_type"))
   }
 
   /** q_interval_join_stream — the stream-stream interval join run to

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{CurationOps, GraphOps, ReportOps, RetrievalOps, TimeSeriesOps, WindowOps}
 
@@ -373,6 +374,47 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     out.foreach { r =>
       assert(r.getDouble(2) > r.getDouble(3) - 1e-9,
         s"spend must exceed the nation average: $r")
+    }
+  }
+
+  test("srm: arms partition the users and chi2 matches the closed form") {
+    val r = graft.operators.TimeSeriesOps.srm(spark, sf0001).collect().head
+    val (na, nb, chi2, flag) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val users = Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct().count()
+    assert(na + nb == users, s"arms must partition: $r vs $users users")
+    val want = BigDecimal(((na - nb) * (na - nb)).toDouble / (na + nb))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(chi2 == want, s"chi2 formula: $r")
+    assert(flag == (if (chi2 > 3.8415) 1 else 0), s"flag vs chi2: $r")
+  }
+
+  test("quantize_embed: the max lane always saturates; mse bounded by a half-step") {
+    val out = graft.operators.LlmOps.quantizeEmbed(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (scale, nSat, mse) = (r.getDouble(1), r.getLong(2), r.getDouble(3))
+      assert(scale > 0, s"positive scale: $r")
+      assert(nSat >= 1, s"the max-|v| lane quantizes to ±127: $r")
+      // per-lane error ≤ half a quantization step (0.5/scale); mse ≤ step²/4
+      val bound = 0.25 / (scale * scale) + 1e-9
+      assert(mse <= bound + 1e-4, s"mse $mse exceeds half-step bound $bound: $r")
+    }
+  }
+
+  test("graph_jaccard: scores in (0,1], consistent with the union formula") {
+    val out = graft.operators.GraphOps.graphJaccard(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (u, w, common, du, dw, j) = (r.getInt(0), r.getInt(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(u < w, s"canonical pair order: $r")
+      assert(common >= 1 && common <= math.min(du, dw), s"common bounded: $r")
+      val want = BigDecimal(common.toDouble / (du + dw - common))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j == want, s"jaccard formula: $r")
+      assert(j > 0 && j <= 1.0, s"range: $r")
     }
   }
 

@@ -58,6 +58,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.collect().forall(_.getLong(0) % 21600 == 0))
   }
 
+  test("gated sliding stream == batch sliding windows (every event in 2 windows)") {
+    val got = StreamingOps.slidingStreamGated(spark, sf0001)
+    val want = graft.operators.WindowOps.windowSliding(spark, sf0001)
+    assert(collectSet(got) == collectSet(want))
+    // multi-assignment: total window rows ≈ 2× the event count
+    val events = Tables.events(spark, sf0001).count()
+    val winSum = got.agg(sum(col("n"))).head().getLong(0)
+    assert(winSum == 2 * events, s"each event lands in exactly 2 windows")
+  }
+
   test("streaming session_window == batch sessionize (session count + event totals)") {
     val src = sliceEvents(3)
     val stream = StreamingOps.readEventStream(spark, src).drop("slice")
