@@ -259,7 +259,10 @@ object SparkEntry {
     "q_srm" -> (TimeSeriesOps.srm _),
     "q_quantize_embed" -> (L.quantizeEmbed _),
     "q_graph_jaccard" -> (GraphOps.graphJaccard _),
-    "q_sliding_stream" -> (graft.streaming.StreamingOps.slidingStreamGated _)
+    "q_sliding_stream" -> (graft.streaming.StreamingOps.slidingStreamGated _),
+    "q_matryoshka" -> (RetrievalOps.matryoshka _),
+    "q_freshness" -> (IngestOps.freshness _),
+    "q_bucket_skew" -> (LayoutOps.bucketSkew _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3236,6 +3239,49 @@ object SparkEntry {
                        UNION ALL
                        SELECT w_start - 1800, event_type, value FROM w0)
          SELECT w_start, event_type, count(*) AS n, (round(sum(value), 4) + 0.0) AS val
-         FROM both_w GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM both_w GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_matryoshka" ->
+      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            (embedding::DOUBLE[])[1:16] AS v16 FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv, v16 AS qv16
+                  FROM em WHERE vec_id < 10),
+            sf AS (SELECT q_id, vec_id AS n_id,
+                          (round(list_dot_product(qv, v) /
+                                (sqrt(list_dot_product(qv, qv)) *
+                                 sqrt(list_dot_product(v, v))), 4) + 0.0) AS sim
+                   FROM em, q WHERE vec_id <> q_id),
+            rf AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rn FROM sf),
+            st AS (SELECT q_id, vec_id AS n_id,
+                          (round(list_dot_product(qv16, v16) /
+                                (sqrt(list_dot_product(qv16, qv16)) *
+                                 sqrt(list_dot_product(v16, v16))), 4) + 0.0) AS sim
+                   FROM em, q WHERE vec_id <> q_id),
+            rt AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rn FROM st),
+            ov AS (SELECT f.q_id, count(*) AS n_overlap
+                   FROM (SELECT q_id, n_id FROM rf WHERE rn <= 5) f
+                   JOIN (SELECT q_id, n_id FROM rt WHERE rn <= 5) t
+                     USING (q_id, n_id)
+                   GROUP BY 1)
+         SELECT q.q_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+                (round(coalesce(ov.n_overlap, 0)::DOUBLE / 5.0, 4) + 0.0) AS recall
+         FROM q LEFT JOIN ov ON ov.q_id = q.q_id ORDER BY q.q_id""",
+    "q_freshness" ->
+      """WITH t AS (SELECT event_type, count(*) AS n_events,
+                           max(epoch_us(ts::TIMESTAMP)//1000000) AS last_sec
+                    FROM events GROUP BY 1),
+            h AS (SELECT max(last_sec) AS hwm FROM t)
+         SELECT event_type, n_events, last_sec,
+                (hwm - last_sec) AS lag_sec,
+                CASE WHEN hwm - last_sec > 86400 THEN 1 ELSE 0 END AS stale
+         FROM t, h ORDER BY event_type""",
+    "q_bucket_skew" ->
+      """WITH b AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 32
+                               AS INT) AS bucket FROM events),
+            per AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM per)
+         SELECT bucket, n, (round(n::DOUBLE * 32.0 / total, 4) + 0.0) AS load
+         FROM per, t ORDER BY bucket"""
   )
 }

@@ -428,4 +428,28 @@ object IngestOps {
              sum(cents(col("final_value"))).as("final_cents")),
       col("status"))
   }
+
+  /** q_freshness — ingest-freshness audit: per event type, row count,
+    * last-seen epoch second, lag behind the corpus high-water mark, and
+    * a stale flag (>24 h behind). The monitoring face of the reference's
+    * high-water-mark sync: a type whose feed silently stopped shows up
+    * here before any report goes wrong. All-integer arithmetic.
+    *
+    * Scale shape: ONE partial-aggregable pass computes every type's max
+    * and count; the corpus max rides a 1-row broadcast. */
+  def freshness(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val e = graft.Tables.events(s, d)
+      .select(col("event_type"), epochSec(col("ts")).as("sec"))
+    val perType = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("sec")).as("last_sec"))
+    val hwm = perType.agg(max(col("last_sec")).as("hwm_sec"))
+    ord(
+      perType.crossJoin(broadcast(hwm))
+        .select(col("event_type"), col("n_events"), col("last_sec"),
+          (col("hwm_sec") - col("last_sec")).as("lag_sec"),
+          when(col("hwm_sec") - col("last_sec") > 86400, 1).otherwise(0)
+            .as("stale")),
+      col("event_type"))
+  }
 }

@@ -121,4 +121,28 @@ object LayoutOps {
              max(col("l_suppkey")).as("sk_max")),
       col("file_id"))
   }
+
+  /** q_bucket_skew — partition-layout skew audit: events hashed into 32
+    * buckets on user_id (the md5 gate — engine-reproducible, unlike
+    * Murmur3 whose seed differs across engines), reporting each
+    * bucket's row count and relative load (n·buckets/total; 1.0 =
+    * perfectly even). The pre-flight check before committing to a
+    * bucketed layout (q_join_bucketed) or diagnosing a straggler — at
+    * 100 TB a 3× bucket means a 3× task.
+    *
+    * Scale shape: one partial-aggregable shuffle onto 32 keys; the
+    * total rides a 1-row broadcast. Load divides exact integers once —
+    * hash-safe r4. */
+  def bucketSkew(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Tables.events(s, d).select(
+      expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) % 32")
+        .cast("int").as("bucket"))
+    val per = e.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).as("total"))
+    Fin.ord(
+      per.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"),
+          Fin.r4(col("n").cast("double") * 32.0 / col("total")).as("load")),
+      col("bucket"))
+  }
 }

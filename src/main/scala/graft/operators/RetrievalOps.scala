@@ -173,6 +173,47 @@ object RetrievalOps {
     * ≤10·|queries| winner rows broadcast; IDCG is a 10-row generated
     * lookup joined broadcast. Only the candidate scoring scan is
     * corpus-sized. */
+  /** q_matryoshka — truncated-dimension retrieval eval: recall@5 of the
+    * 16-dim-prefix cosine ranking against the full 64-dim ranking, per
+    * query vector. The Matryoshka/MRL question every embedding-serving
+    * stack asks — "how much ranking quality survives if I index only
+    * the first k dims (4× smaller, 4× faster)" — answered as a query,
+    * not a notebook. Both rankings use the bounded `top_k_pairs`
+    * aggregate on ROUNDED sims (ties → n_id), so each cut is
+    * cross-engine stable; recall joins the two ≤5-row lists per query.
+    *
+    * Scale shape: two candidate-scoring scans (full + prefix — the
+    * prefix read prunes to the same columns; a production layout would
+    * store the prefix as its own column family), each reduced map-side
+    * to ≤5 rows/query by the aggregate; the recall join touches
+    * ≤10·|queries| rows. */
+  def matryoshka(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("v16", slice(col("v"), 1, 16))
+    val q = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("v16").as("qv16"))
+    val joined = em.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    def top5(sim: org.apache.spark.sql.Column) =
+      graft.operators.LlmOps.rerankTopK(s,
+        joined.select(col("q_id"), col("vec_id").as("n_id"), r4(sim).as("sim")), 5)
+    val full = top5(call_function("cosine_sim", col("qv"), col("v")))
+      .select(col("q_id"), col("n_id"))
+    val trunc = top5(call_function("cosine_sim", col("qv16"), col("v16")))
+      .select(col("q_id"), col("n_id"))
+    val overlap = full.join(trunc, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    ord(
+      q.select(col("q_id")).join(overlap, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          r4(coalesce(col("n_overlap"), lit(0L)).cast("double") / 5.0)
+            .as("recall")),
+      col("q_id"))
+  }
+
   def ndcg(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val em = Tables.embeddings(s, d)

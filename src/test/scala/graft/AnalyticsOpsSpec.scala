@@ -418,6 +418,46 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("matryoshka: identical prefix geometry gives recall 1.0") {
+    val dir = tmpDir("mrl")
+    // vectors vary ONLY inside the first 16 dims → the 16-dim ranking
+    // must equal the full ranking exactly (recall 1.0 for every query)
+    def vec(axis: Int, mag: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == axis && i < 16) mag else 0.001f)
+    val rows = (0L until 16L).map(i =>
+      org.apache.spark.sql.Row(i, vec((i % 8).toInt, 1.0f - 0.05f * i), 1))
+    writeTable(dir, "embeddings", embeddingsSchema, rows)
+    val out = graft.operators.RetrievalOps.matryoshka(spark, dir).collect()
+    assert(out.length == 10)
+    out.foreach(r => assert(r.getDouble(2) == 1.0,
+      s"prefix-only geometry must preserve the ranking: $r"))
+  }
+
+  test("freshness: hwm type has lag 0; a day-stale type is flagged") {
+    val dir = tmpDir("fresh")
+    writeEvents(dir, Seq(
+      eventRow(1L, 10L * 86400L, 1L, "view", 1.0),          // the high-water mark
+      eventRow(2L, 10L * 86400L - 86400L, 1L, "click", 1.0), // exactly 24h: not stale
+      eventRow(3L, 10L * 86400L - 86401L, 1L, "purchase", 1.0))) // 1s over: stale
+    val out = graft.operators.IngestOps.freshness(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getInt(4)))).toMap
+    assert(out == Map("view" -> ((0L, 0)), "click" -> ((86400L, 0)),
+                      "purchase" -> ((86401L, 1))), s"got $out")
+  }
+
+  test("bucket_skew: loads average to 1 and cover the corpus") {
+    val out = graft.operators.LayoutOps.bucketSkew(spark, sf0001).collect()
+    val total = Tables.events(spark, sf0001).count()
+    assert(out.map(_.getLong(1)).sum == total, "buckets cover every row")
+    out.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) < 32)
+      assert(r.getDouble(2) > 0.0)
+    }
+    // Σ load_b = 32·Σn_b/total = 32 exactly (up to the per-bucket r4)
+    val loadSum = out.map(_.getDouble(2)).sum
+    assert(math.abs(loadSum - 32.0) < 0.01, s"loads sum to 32, got $loadSum")
+  }
+
   test("cume_dist: tie-stable positions; top spender has cd=1, pr=1") {
     val out = graft.operators.ReportShapeOps.cumeDist(spark, sf0001).collect()
     assert(out.nonEmpty)
