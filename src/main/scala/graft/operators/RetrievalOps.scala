@@ -203,10 +203,11 @@ object RetrievalOps {
       .select(col("q_id"), col("n_id"))
     val trunc = top5(call_function("cosine_sim", col("qv16"), col("v16")))
       .select(col("q_id"), col("n_id"))
-    val overlap = full.join(trunc, Seq("q_id", "n_id"))
+    // both lists are ≤5·|queries| rows — broadcast the recall join ends
+    val overlap = full.join(broadcast(trunc), Seq("q_id", "n_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
     ord(
-      q.select(col("q_id")).join(overlap, Seq("q_id"), "left")
+      q.select(col("q_id")).join(broadcast(overlap), Seq("q_id"), "left")
         .select(col("q_id"),
           coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
           r4(coalesce(col("n_overlap"), lit(0L)).cast("double") / 5.0)
@@ -225,10 +226,13 @@ object RetrievalOps {
     val sims = em.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
               r4(call_function("cosine_sim", col("qv"), col("v"))).as("sim"))
-    val top = graft.operators.LlmOps.rerankTopK(s, sims, 10)
-      .join(broadcast(q.select(col("q_id"), col("q_label"))), "q_id")
-      .join(em.select(col("vec_id").as("n_id"), col("label").as("n_label")),
-            "n_id")
+    // winners (≤10·|queries| rows) ride broadcast into the label lookup —
+    // the corpus-sized side is never shuffled for this join
+    val top = em.select(col("vec_id").as("n_id"), col("label").as("n_label"))
+      .join(broadcast(
+        graft.operators.LlmOps.rerankTopK(s, sims, 10)
+          .join(broadcast(q.select(col("q_id"), col("q_label"))), "q_id")),
+        "n_id")
     val dcg = top.groupBy(col("q_id"))
       .agg(sum(when(col("n_label") === col("q_label"),
                     lit(1.0) / log2(col("rn") + 1)).otherwise(0.0)).as("dcg"))
