@@ -262,7 +262,11 @@ object SparkEntry {
     "q_sliding_stream" -> (graft.streaming.StreamingOps.slidingStreamGated _),
     "q_matryoshka" -> (RetrievalOps.matryoshka _),
     "q_freshness" -> (IngestOps.freshness _),
-    "q_bucket_skew" -> (LayoutOps.bucketSkew _)
+    "q_bucket_skew" -> (LayoutOps.bucketSkew _),
+    "q_ks_test" -> (TimeSeriesOps.ksTest _),
+    "q_gini" -> (ReportOps.gini _),
+    "q_benford" -> (P.benford _),
+    "q_outer_join_stream" -> (graft.streaming.StreamingOps.outerJoinStreamGated _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3282,6 +3286,72 @@ object SparkEntry {
             per AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
             t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM per)
          SELECT bucket, n, (round(n::DOUBLE * 32.0 / total, 4) + 0.0) AS load
-         FROM per, t ORDER BY bucket"""
+         FROM per, t ORDER BY bucket""",
+    "q_ks_test" ->
+      """WITH u AS (SELECT user_id,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                           CAST(user_id % 2 AS INT) AS arm
+                    FROM events GROUP BY user_id),
+            bv AS (SELECT cents,
+                          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                   FROM u GROUP BY 1),
+            t AS (SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+                  FROM u),
+            cum AS (SELECT cents,
+                           CAST(sum(ca) OVER (ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS BIGINT) AS cuma,
+                           CAST(sum(cb) OVER (ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS BIGINT) AS cumb
+                    FROM bv),
+            m AS (SELECT max(abs(cuma * nb - cumb * na)) AS num FROM cum, t)
+         SELECT na, nb,
+                (round(num::DOUBLE / (na * nb), 4) + 0.0) AS ks_d,
+                (round(1.358 * sqrt((na + nb)::DOUBLE / (na * nb)), 4) + 0.0)
+                  AS crit_05,
+                CASE WHEN (round(num::DOUBLE / (na * nb), 4) + 0.0) >
+                          (round(1.358 * sqrt((na + nb)::DOUBLE / (na * nb)), 4) + 0.0)
+                     THEN 1 ELSE 0 END AS reject
+         FROM m, t""",
+    "q_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+                               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                    AS BIGINT) AS cents
+                        FROM orders GROUP BY 1),
+            rk AS (SELECT cents,
+                          CAST(row_number() OVER (ORDER BY cents, o_custkey)
+                               AS BIGINT) AS i
+                   FROM spend),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS t,
+                         CAST(sum(i * cents) AS BIGINT) AS s
+                  FROM rk)
+         SELECT n, (round(t / 100.0, 4) + 0.0) AS total_spend,
+                (round((2 * s - (n + 1) * t)::DOUBLE / (n * t), 4) + 0.0) AS gini
+         FROM a""",
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                  AS VARCHAR), 1, 1) AS INT) AS digit
+                    FROM orders),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)
+         SELECT digit, count(*) AS n,
+                (round(count(*)::DOUBLE / total, 4) + 0.0) AS obs_freq,
+                (round(log10(1.0 + 1.0 / digit), 4) + 0.0) AS benford_freq
+         FROM d, t GROUP BY digit, total ORDER BY digit""",
+    "q_outer_join_stream" ->
+      """WITH c AS (SELECT user_id AS c_user, epoch_us(ts::TIMESTAMP) AS c_us,
+                           event_id AS click_id
+                    FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS p_us,
+                         event_id AS purchase_id, value
+                  FROM events WHERE event_type = 'purchase')
+         SELECT purchase_id, coalesce(click_id, -1) AS click_id, user_id,
+                p_us, coalesce(c_us, -1) AS c_us, value
+         FROM p LEFT JOIN c ON user_id = c_user
+           AND c_us <= p_us AND c_us >= p_us - 3600000000
+         ORDER BY purchase_id, click_id"""
   )
 }

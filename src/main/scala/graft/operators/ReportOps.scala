@@ -360,4 +360,33 @@ object ReportOps {
                              col("prev"))).as("wow_change")),
       col("week"))
   }
+
+  /** q_gini — revenue-concentration (Gini) coefficient of customer
+    * lifetime spend: G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx) with xᵢ sorted
+    * ascending — the "do 20% of customers drive 80% of revenue"
+    * readout. Ranks come from a row_number over (cents, custkey); the
+    * rank·value sum is TIE-INVARIANT (equal values share a consecutive
+    * rank block, and Σ rank over the block is constant however it's
+    * ordered), so the statistic is deterministic without relying on
+    * the tiebreak. Every term is an exact integer; ONE division, r4'd.
+    *
+    * Scale note: the rank is a global ordered window over the
+    * per-customer rollup — fine at |customers| rows here, range-
+    * partitioned sort + prefix-sum at 100 TB (documented, like
+    * q_ks_test's CDF). */
+  def gini(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = graft.Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_custkey"))
+    val ranked = spend.withColumn("i", row_number().over(w).cast("long"))
+    ranked.agg(count(lit(1)).as("n"),
+               sum(col("cents")).as("t"),
+               sum(col("i") * col("cents")).as("s"))
+      .select(col("n"),
+        Fin.r4(col("t").cast("double") / 100.0).as("total_spend"),
+        Fin.r4((lit(2L) * col("s") - (col("n") + 1L) * col("t"))
+          .cast("double") / (col("n") * col("t"))).as("gini"))
+  }
 }

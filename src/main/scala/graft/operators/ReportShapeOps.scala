@@ -111,6 +111,27 @@ object ReportShapeOps {
       col("c_custkey"))
   }
 
+  /** q_benford — first-significant-digit distribution of order totals
+    * against Benford's law (expected p_d = log10(1+1/d)) — the classic
+    * fabricated-or-corrupted-numbers screen a data-quality layer runs
+    * on money columns. Digit extraction is integer/string arithmetic on
+    * floor(totalprice); observed frequency divides exact counts once;
+    * the expectation is the same log10 formula evaluated on both
+    * engines. One partial-aggregable shuffle onto 9 keys. */
+  def benford(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.orders(s, d).select(
+      substring(floor(col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val tot = digits.agg(count(lit(1)).as("total"))
+    ord(
+      digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          r4(col("n").cast("double") / col("total")).as("obs_freq"),
+          r4(log10(lit(1.0) + lit(1.0) / col("digit"))).as("benford_freq")),
+      col("digit"))
+  }
+
   /** q_profile_nulls — the data-profiling pass every ETL runs before
     * trusting a source: per column, row count, null count, distinct
     * count. ONE aggregate job computes every column's counts

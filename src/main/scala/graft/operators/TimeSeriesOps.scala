@@ -320,6 +320,46 @@ object TimeSeriesOps {
         when(col("chi2") > 3.8415, 1).otherwise(0))
   }
 
+  /** q_ks_test — two-sample Kolmogorov–Smirnov statistic between the
+    * A/B arms' per-user spend distributions: D = max |F_A − F_B| over
+    * observed values, with the α=0.05 rejection threshold. The
+    * distribution-shape complement to q_ab_test's rate compare and
+    * q_cuped's mean shift — it catches "same mean, different shape".
+    *
+    * Determinism: the max runs over EXACT integers — at each distinct
+    * spend value, |cumA·n_B − cumB·n_A| (cross-multiplied CDFs) — and
+    * only the winning integer is divided and rounded once; the flag
+    * compares r4'd values. The ordered window runs on the DISTINCT-
+    * VALUE rollup; at 100 TB the CDF would be computed on quantile-
+    * binned values (the standard approximation) — the exact form here
+    * is the oracle-checkable contract. */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val byVal = users.groupBy(col("cents"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("ca"),
+           sum(when(col("arm") === 0, 1L).otherwise(0L)).as("cb"))
+    val tot = users.agg(
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val d0 = byVal
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+        .as("num"))
+    d0.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        r4(col("num").cast("double") / (col("na") * col("nb"))).as("ks_d"),
+        r4(lit(1.358) * sqrt((col("na") + col("nb")).cast("double") /
+           (col("na") * col("nb")))).as("crit_05"))
+      .withColumn("reject", when(col("ks_d") > col("crit_05"), 1).otherwise(0))
+  }
+
   /** q_time_to_convert — GA's "time lag" report: for every user whose
     * first purchase is at or after their first view, the whole-hour lag
     * between the two, bucketed into an hours histogram. (The

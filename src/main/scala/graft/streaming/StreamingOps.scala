@@ -177,6 +177,7 @@ object StreamingOps {
     upsertStreamGated(s, d)
     topkStreamGated(s, d)
     slidingStreamGated(s, d)
+    outerJoinStreamGated(s, d)
   }
 
   /** q_session_state_stream — the CUSTOM-STATE sessionizer
@@ -387,6 +388,66 @@ object StreamingOps {
       col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
               col("p_ts"), col("c_ts"), col("value"))
+  }
+
+  /** Left-outer variant of [[clickPurchaseJoin]]: every purchase emits,
+    * matched or not. Unmatched purchases can only emit once the
+    * watermark proves no in-window click can still arrive — the state
+    * eviction path the inner join never exercises. */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    // Outer-row eviction is watermark-driven, so the far-future sentinel
+    // must REACH both watermark operators: the type filters deliberately
+    // KEEP event_type 'sentinel' (Catalyst pushes any filter below the
+    // watermark node, so excluding it here would stall the watermark at
+    // max(real data) − 1h and the final hour's unmatched purchases would
+    // never emit their null rows — observed as 4 missing oracle rows).
+    // The sentinel matches only itself (user −1 both sides, equal ts)
+    // and the gated wrapper drops that one row post-drain. The inner
+    // join tolerates filtering the sentinel out because matches emit
+    // eagerly; the outer join is where the distinction bites.
+    val c = clicks.filter(col("event_type").isin("click", "sentinel"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases.filter(col("event_type").isin("purchase", "sentinel"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+              col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+              col("p_ts"), col("c_ts"), col("value"))
+  }
+
+  /** q_outer_join_stream — the LEFT-OUTER stream-stream interval join
+    * run to COMPLETION under the DuckDB gate (the tenth gated streaming
+    * query): purchases joined to same-user clicks in the preceding
+    * hour, and purchases with NO such click still emit — with null-side
+    * columns — once the watermark passes their window. The inner join
+    * (q_interval_join_stream) never exercises the outer-row eviction
+    * path; this proves it against the batch left join. Null click
+    * columns are coalesced to −1 sentinels so ordering and hashing are
+    * null-free on both engines (§2.10 rule 3). */
+  def outerJoinStreamGated(s: SparkSession, d: String): DataFrame = {
+    val src = streamSourceDir(s, d)
+    // v3: tag bumps retire caches drained with plans whose sentinel was
+    // filtered before the watermark node (stalled watermark, 4 missing
+    // outer rows)
+    val res = drainAvailableNow(s, d, "stream_gate_oj_v3")(
+      clickPurchaseLeftJoin(readEventStream(s, src), readEventStream(s, src))
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+                expr("unix_micros(p_ts)").as("p_us"),
+                expr("unix_micros(c_ts)").as("c_us"), col("value")))
+    graft.Fin.ord(
+      res.filter(col("purchase_id") =!= -1L) // the sentinel's self-match
+        .select(col("purchase_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"), col("user_id"),
+          col("p_us"), coalesce(col("c_us"), lit(-1L)).as("c_us"),
+          col("value")),
+      col("purchase_id"), col("click_id"))
   }
 
   /** Input/state/output records for the custom-state operator. The raw

@@ -458,6 +458,59 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(loadSum - 32.0) < 0.01, s"loads sum to 32, got $loadSum")
   }
 
+  test("ks_test: disjoint arm distributions reach D=1; identical arms reach 0") {
+    val dir = tmpDir("ks")
+    // odd users (arm 1) spend 10; even users (arm 0) spend 1000 —
+    // disjoint supports → D = 1.0 (but tiny n keeps it under crit)
+    val rows = (1L to 8L).map(u =>
+      eventRow(u, 1000L + u, u, "purchase", if (u % 2 == 1) 10.0 else 1000.0))
+    writeEvents(dir, rows)
+    val r = graft.operators.TimeSeriesOps.ksTest(spark, dir).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 1.0, s"disjoint supports give D=1: $r")
+    assert(r.getInt(4) == (if (r.getDouble(2) > r.getDouble(3)) 1 else 0))
+
+    val dir2 = tmpDir("ks2")
+    // identical per-user spend in both arms → D = 0
+    val rows2 = (1L to 8L).map(u =>
+      eventRow(u, 1000L + u, u, "purchase", 50.0))
+    writeEvents(dir2, rows2)
+    val r2 = graft.operators.TimeSeriesOps.ksTest(spark, dir2).collect().head
+    assert(r2.getDouble(2) == 0.0, s"identical distributions give D=0: $r2")
+    assert(r2.getInt(4) == 0)
+  }
+
+  test("gini: equal spends give 0; a monopolist approaches (n-1)/n") {
+    def orderRow(ok: Long, cust: Long, price: Double): Row =
+      Row(ok, cust, "F", price,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(86400L)), "1-URGENT")
+    val dirEq = tmpDir("gini_eq")
+    writeTable(dirEq, "orders", Schemas.orders,
+      (1L to 5L).map(i => orderRow(i, i, 100.0)))
+    val eq = graft.operators.ReportOps.gini(spark, dirEq).collect().head
+    assert(eq.getDouble(2) == 0.0, s"perfect equality: $eq")
+
+    val dirMono = tmpDir("gini_mono")
+    // 4 customers at ~0 spend, one with everything: G → (n−1)/n = 0.8
+    writeTable(dirMono, "orders", Schemas.orders,
+      (1L to 4L).map(i => orderRow(i, i, 0.01)) :+ orderRow(5L, 5L, 10000.0))
+    val mono = graft.operators.ReportOps.gini(spark, dirMono).collect().head
+    assert(mono.getDouble(2) > 0.79 && mono.getDouble(2) <= 0.8,
+      s"monopolist approaches 0.8: $mono")
+  }
+
+  test("benford: observed frequencies sum to 1; expectation is log10(1+1/d)") {
+    val out = graft.operators.ReportShapeOps.benford(spark, sf0001).collect()
+    assert(out.nonEmpty && out.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 9))
+    val obsSum = out.map(_.getDouble(2)).sum
+    assert(math.abs(obsSum - 1.0) < 0.001, s"frequencies sum to 1: $obsSum")
+    out.foreach { r =>
+      val want = BigDecimal(math.log10(1.0 + 1.0 / r.getInt(0)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == want, s"benford expectation: $r")
+    }
+  }
+
   test("cume_dist: tie-stable positions; top spender has cd=1, pr=1") {
     val out = graft.operators.ReportShapeOps.cumeDist(spark, sf0001).collect()
     assert(out.nonEmpty)

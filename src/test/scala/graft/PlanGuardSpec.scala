@@ -27,8 +27,12 @@ class PlanGuardSpec extends AnyFunSuite {
     * frames (≤ |calendar days| rows after a daily rollup — see the
     * q_moving_avg scaladoc), where one partition is the design, not a
     * leak of the corpus through a single sort. */
-  private val unpartitionedWindowOk =
-    Set("q_moving_avg", "q_period_over_period", "q_changepoint")
+  private val unpartitionedWindowOk = Set(
+    "q_moving_avg", "q_period_over_period", "q_changepoint",
+    // q_ks_test's CDF and q_gini's rank run over per-user/per-customer
+    // ROLLUPS (scaladocs document the 100 TB path: quantile binning /
+    // range-partitioned prefix sums); the window never sees fact rows
+    "q_ks_test", "q_gini")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {

@@ -68,6 +68,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(winSum == 2 * events, s"each event lands in exactly 2 windows")
   }
 
+  test("gated left-outer interval join == batch left join incl. final-hour nulls") {
+    val got = StreamingOps.outerJoinStreamGated(spark, sf0001)
+    val ev = Tables.events(spark, sf0001)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), expr("unix_micros(ts)").as("c_us"),
+              col("event_id").as("cid"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), expr("unix_micros(ts)").as("p_us"),
+              col("event_id").as("pid"), col("value"))
+    val want = p.join(c,
+        col("p_user") === col("c_user") && col("c_us") <= col("p_us") &&
+        col("c_us") >= col("p_us") - 3600000000L, "left")
+      .select(col("pid").as("purchase_id"),
+        coalesce(col("cid"), lit(-1L)).as("click_id"),
+        col("p_user").as("user_id"), col("p_us"),
+        coalesce(col("c_us"), lit(-1L)).as("c_us"), col("value"))
+    assert(collectSet(got) == collectSet(want))
+    // the failure mode this pins: a watermark stalled at max(real)−1h
+    // (sentinel filtered before the watermark node) silently drops the
+    // unmatched purchases in the final hour — every purchase must emit
+    assert(got.count() >= p.count(),
+      "left-outer must emit at least one row per purchase")
+  }
+
   test("streaming session_window == batch sessionize (session count + event totals)") {
     val src = sliceEvents(3)
     val stream = StreamingOps.readEventStream(spark, src).drop("slice")
