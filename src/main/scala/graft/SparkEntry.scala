@@ -266,7 +266,18 @@ object SparkEntry {
     "q_ks_test" -> (TimeSeriesOps.ksTest _),
     "q_gini" -> (ReportOps.gini _),
     "q_benford" -> (P.benford _),
-    "q_outer_join_stream" -> (graft.streaming.StreamingOps.outerJoinStreamGated _)
+    "q_outer_join_stream" -> (graft.streaming.StreamingOps.outerJoinStreamGated _),
+    // rank-sum/drift/lift/robust-outliers + fuzzy match + rolling median
+    // + centered LSH + stream-static enrichment (r11 session 2)
+    "q_mann_whitney" -> (TimeSeriesOps.mannWhitney _),
+    "q_psi" -> (TimeSeriesOps.psi _),
+    "q_rolling_median" -> (TimeSeriesOps.rollingMedian _),
+    "q_outliers_robust" -> (P.outliersRobust _),
+    "q_decile_lift" -> (P.decileLift _),
+    "q_fuzzy_join" -> (J.fuzzyJoin _),
+    "q_dedup_embcos_centered" -> (L.dedupEmbcosCentered _),
+    "q_enrich_stream" -> (graft.streaming.StreamingOps.enrichStreamGated _),
+    "q_bucket_purity" -> (L.bucketPurity _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3352,6 +3363,197 @@ object SparkEntry {
                 p_us, coalesce(c_us, -1) AS c_us, value
          FROM p LEFT JOIN c ON user_id = c_user
            AND c_us <= p_us AND c_us >= p_us - 3600000000
-         ORDER BY purchase_id, click_id"""
+         ORDER BY purchase_id, click_id""",
+    "q_mann_whitney" ->
+      // rank computation is pure int64: 2·avg-rank = 2·cum_before + t + 1
+      """WITH u AS (SELECT user_id,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                           CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                                THEN 1 ELSE 0 END AS arm
+                    FROM events GROUP BY user_id),
+            bv AS (SELECT cents,
+                          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                   FROM u GROUP BY 1),
+            tt AS (SELECT CAST(sum(arm) AS BIGINT) AS na,
+                          CAST(sum(1 - arm) AS BIGINT) AS nb
+                   FROM u),
+            c2 AS (SELECT cents, ca, cb, (ca + cb) AS t,
+                          CAST(sum(ca + cb) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cum
+                   FROM bv),
+            r AS (SELECT CAST(sum(ca * (2 * (cum - t) + t + 1)) AS BIGINT) AS r2a,
+                         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+                  FROM c2),
+            s AS (SELECT na, nb, na + nb AS n,
+                         r2a - na * (na + 1) AS u2, ties
+                  FROM r, tt),
+            zz AS (SELECT na, nb, u2,
+                          (u2 - na * nb)::DOUBLE /
+                          (2.0 * sqrt(na::DOUBLE * nb / 12.0 *
+                            ((n + 1)::DOUBLE - ties::DOUBLE / (n * (n - 1))))) AS z
+                   FROM s)
+         SELECT na AS n_a, nb AS n_b,
+                (round(u2::DOUBLE / 2.0, 4) + 0.0) AS u_a,
+                (round(z, 4) + 0.0) AS z,
+                CASE WHEN abs(round(z, 4) + 0.0) > 1.96 THEN 1 ELSE 0 END
+                  AS significant
+         FROM zz""",
+    "q_psi" ->
+      """WITH ev AS (SELECT epoch_us(ts::TIMESTAMP) AS us, value FROM events),
+            b AS (SELECT min(us) AS lo, max(us) AS hi,
+                         min(value) AS vlo, max(value) AS vhi
+                  FROM ev),
+            binned AS (SELECT least(9, CAST(floor((value - vlo) * 10.0 /
+                                                  (vhi - vlo)) AS INT)) AS bin,
+                              CASE WHEN us < lo + (hi - lo) / 2 THEN 0 ELSE 1 END
+                                AS period
+                       FROM ev, b),
+            g AS (SELECT bin,
+                         CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                         CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+                  FROM binned GROUP BY 1),
+            t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                         CAST(sum(n_cur) AS BIGINT) AS tc FROM g),
+            rows_ AS (SELECT CAST(r.bin AS INT) AS bin,
+                             coalesce(n_ref, 0) AS n_ref,
+                             coalesce(n_cur, 0) AS n_cur,
+                             greatest(coalesce(n_ref, 0)::DOUBLE / tr, 0.0001) AS p,
+                             greatest(coalesce(n_cur, 0)::DOUBLE / tc, 0.0001) AS q
+                      FROM range(0, 10) r(bin) LEFT JOIN g ON r.bin = g.bin, t)
+         SELECT bin, n_ref, n_cur,
+                (round(p, 4) + 0.0) AS p_ref,
+                (round(q, 4) + 0.0) AS p_cur,
+                (round((q - p) * ln(q / p), 4) + 0.0) AS contrib,
+                (round(sum((q - p) * ln(q / p)) OVER (
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                   4) + 0.0) AS psi
+         FROM rows_ ORDER BY bin""",
+    "q_rolling_median" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                    AS BIGINT) AS cents
+                        FROM orders GROUP BY 1)
+         SELECT day, (round(cents / 100.0, 4) + 0.0) AS revenue,
+                (round(quantile_cont(cents, 0.5) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 4) + 0.0)
+                  AS med7
+         FROM daily ORDER BY day""",
+    "q_outliers_robust" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS p FROM lineitem),
+            f AS (SELECT flag,
+                         (round(quantile_cont(p, 0.25), 4) + 0.0) AS q1,
+                         (round(quantile_cont(p, 0.75), 4) + 0.0) AS q3
+                  FROM li GROUP BY 1),
+            f2 AS (SELECT flag, (round(q1 - 1.5 * (q3 - q1), 4) + 0.0) AS lo,
+                          (round(q3 + 1.5 * (q3 - q1), 4) + 0.0) AS hi
+                   FROM f)
+         SELECT li.flag, CAST(count(*) AS BIGINT) AS n,
+                min(lo) AS lo_fence, min(hi) AS hi_fence,
+                CAST(sum(CASE WHEN p < lo OR p > hi THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_out,
+                (round(sum(CASE WHEN p < lo OR p > hi THEN 1 ELSE 0 END)::DOUBLE
+                       * 100.0 / count(*), 4) + 0.0) AS out_pct
+         FROM li JOIN f2 ON li.flag = f2.flag
+         GROUP BY li.flag ORDER BY li.flag""",
+    "q_decile_lift" ->
+      """WITH sc AS (SELECT c_custkey,
+                            CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
+                                 AS INT) AS decile
+                     FROM customer),
+            sp AS (SELECT o_custkey,
+                          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM orders GROUP BY 1),
+            j AS (SELECT decile, coalesce(cents, 0) AS cents
+                  FROM sc LEFT JOIN sp ON c_custkey = o_custkey),
+            bd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+                          CAST(sum(cents) AS BIGINT) AS cents
+                   FROM j GROUP BY 1),
+            t AS (SELECT CAST(sum(n_cust) AS BIGINT) AS tn,
+                         CAST(sum(cents) AS BIGINT) AS tc FROM bd)
+         SELECT decile, n_cust,
+                (round(cents::DOUBLE / 100.0, 4) + 0.0) AS spend,
+                (round(cents::DOUBLE / n_cust / 100.0, 4) + 0.0) AS avg_spend,
+                (round(cents::DOUBLE / tc, 4) + 0.0) AS capture,
+                (round(CAST(sum(cents) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / tc, 4) + 0.0) AS cum_capture,
+                (round((cents::DOUBLE / n_cust) / (tc::DOUBLE / tn), 4) + 0.0)
+                  AS lift
+         FROM bd, t ORDER BY decile""",
+    "q_fuzzy_join" ->
+      """SELECT a.c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+                CAST(min(levenshtein(a.c_name, b.c_name)) AS INT) AS min_dist
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey
+          AND a.c_mktsegment = b.c_mktsegment
+          AND a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 2
+         GROUP BY 1 ORDER BY 1""",
+    "q_dedup_embcos_centered" ->
+      // the q_dedup_embcos hash with hyperplanes through the per-corpus
+      // component mean; the threshold compare is exact int64
+      // cross-multiplication (q_j·n > Σq_j), never a floating mean
+      """WITH em AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            mu AS (SELECT i,
+                          CAST(sum(CAST(round(v[CAST(i AS INT)] * 1000000)
+                                        AS BIGINT)) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM em, range(1, 33) r(i) GROUP BY i),
+            qs AS (SELECT list(s ORDER BY i) AS qs, min(n) AS n FROM mu),
+            tb AS (SELECT label, vec_id, t,
+                          (CASE WHEN CAST(round(v[CAST(t*4+1 AS INT)] * 1000000) AS BIGINT) * n > qs[CAST(t*4+1 AS INT)] THEN 1 ELSE 0 END +
+                           CASE WHEN CAST(round(v[CAST(t*4+2 AS INT)] * 1000000) AS BIGINT) * n > qs[CAST(t*4+2 AS INT)] THEN 2 ELSE 0 END +
+                           CASE WHEN CAST(round(v[CAST(t*4+3 AS INT)] * 1000000) AS BIGINT) * n > qs[CAST(t*4+3 AS INT)] THEN 4 ELSE 0 END +
+                           CASE WHEN CAST(round(v[CAST(t*4+4 AS INT)] * 1000000) AS BIGINT) * n > qs[CAST(t*4+4 AS INT)] THEN 8 ELSE 0 END) AS bucket
+                   FROM em, qs, range(0, 8) r(t)),
+            cand AS (SELECT DISTINCT a.label, a.vec_id AS v1, b.vec_id AS v2
+                     FROM tb a JOIN tb b ON a.label = b.label AND a.t = b.t
+                                        AND a.bucket = b.bucket
+                                        AND a.vec_id < b.vec_id)
+         SELECT cand.label, v1, v2,
+                (round(list_dot_product(e1.v, e2.v) /
+                      (sqrt(list_dot_product(e1.v, e1.v)) *
+                       sqrt(list_dot_product(e2.v, e2.v))), 4) + 0.0) AS sim
+         FROM cand JOIN em e1 ON e1.vec_id = v1
+                   JOIN em e2 ON e2.vec_id = v2
+         ORDER BY sim DESC, v1, v2 LIMIT 20""",
+    "q_enrich_stream" ->
+      """WITH d AS (SELECT event_type,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                             AS sc,
+                           CAST(count(*) AS BIGINT) AS nt
+                    FROM events GROUP BY 1)
+         SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
+                e.event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN CAST(round(e.value * 100) AS BIGINT) * d.nt > d.sc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+         FROM events e JOIN d ON e.event_type = d.event_type
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_bucket_purity" ->
+      // the q_similarity_lsh hash; majority ties break on smallest label
+      """WITH em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+            tb AS (SELECT vec_id, label, t,
+                          (CASE WHEN v[CAST(t*4+1 AS INT)] > 0 THEN 1 ELSE 0 END +
+                           CASE WHEN v[CAST(t*4+2 AS INT)] > 0 THEN 2 ELSE 0 END +
+                           CASE WHEN v[CAST(t*4+3 AS INT)] > 0 THEN 4 ELSE 0 END +
+                           CASE WHEN v[CAST(t*4+4 AS INT)] > 0 THEN 8 ELSE 0 END) AS bucket
+                   FROM em, range(0, 8) r(t)),
+            g AS (SELECT CAST(t AS INT) AS t, bucket, label,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM tb GROUP BY 1, 2, 3),
+            rk AS (SELECT t, bucket, label, cnt,
+                          CAST(sum(cnt) OVER (PARTITION BY t, bucket) AS BIGINT) AS n,
+                          row_number() OVER (PARTITION BY t, bucket
+                            ORDER BY cnt DESC, label) AS rn
+                   FROM g)
+         SELECT t, bucket, n, label AS majority_label, cnt AS n_majority,
+                (round(cnt::DOUBLE / n, 4) + 0.0) AS purity
+         FROM rk WHERE rn = 1 ORDER BY t, bucket"""
   )
 }

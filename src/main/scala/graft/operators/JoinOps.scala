@@ -283,4 +283,57 @@ object JoinOps {
                .as("revenue")),
       col("l_returnflag"))
   }
+
+  /** q_fuzzy_join — blocked fuzzy self-match on customer names
+    * (entity-resolution's core primitive): within a COMPOUND
+    * (nation, market segment) block, count candidate pairs whose
+    * names are within Levenshtein distance 2 (and the ≤1 near-exact
+    * subset), rolled up per nation. Blocking is what makes fuzzy
+    * matching survive scale — the edit-distance predicate CANNOT be
+    * an equi-join key, so without a block the join is a cartesian
+    * product; the compound key is the standard multi-attribute
+    * blocking step (candidates must agree on BOTH attributes), and it
+    * bounds the per-block quadratic to |nation ∩ segment| — measured
+    * here: nation-only blocking costs 7.6 s warm at sf0.1 (9M
+    * candidate DPs), the compound block 10× less for the same
+    * blocking-rule semantics.
+    *
+    * Determinism: Levenshtein distance is exact integer DP on both
+    * engines (identical definitions); counts are integers.
+    *
+    * Perf notes baked into the shape:
+    *  - the distance runs ONCE per unordered pair, through the
+    *    THRESHOLDED form (banded O(n·k) DP with early exit, not the
+    *    full O(n²) table) — `levenshtein(a, b, 2)` returns the exact
+    *    distance when ≤ 2 and −1 past it, so `dist >= 0` is exactly
+    *    the oracle's full-DP `levenshtein(a,b) <= 2`;
+    *  - the probe side is explicitly repartitioned WITH a pinned
+    *    partition count: a dim-sized scan arrives as one file split,
+    *    and a column-only repartition gets coalesced back to ~1
+    *    partition by AQE (the probe side is tiny in BYTES — but its
+    *    JOIN FAN-OUT is quadratic, which AQE cannot see). The pinned
+    *    count (REPARTITION_BY_NUM) is exempt from AQE coalescing, so
+    *    the pair work actually spreads across the cluster (measured:
+    *    2.6 s → sub-second warm at sf0.1). Any partitioning is
+    *    correct against a broadcast build side. */
+  def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+              col("c_mktsegment"))
+    val a = c.select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+                     col("c_custkey").as("k1"), col("c_name").as("n1"))
+    val b = c.select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+                     col("c_custkey").as("k2"), col("c_name").as("n2"))
+    val dists = a.repartition(s.sparkContext.defaultParallelism, col("k1"))
+      .join(broadcast(b), Seq("nk", "seg"))
+      .filter(col("k1") < col("k2"))
+      .select(col("nk"), levenshtein(col("n1"), col("n2"), 2).as("dist"))
+      .filter(col("dist") >= 0)
+    ord(
+      dists.groupBy(col("nk").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(when(col("dist") <= 1, 1L).otherwise(0L)).as("n_close"),
+             min(col("dist")).as("min_dist")),
+      col("nationkey"))
+  }
 }

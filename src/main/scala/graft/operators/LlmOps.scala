@@ -260,12 +260,84 @@ object LlmOps {
     * (EmbcosSkewSpec plants a single-label corpus and asserts the plan
     * joins on the bucket keys and still finds the planted near-dups).
     * The oracle SQL mirrors the same axis-aligned hash exactly, so the
-    * candidate rule is engine-reproducible, not tuned-to-pass. */
+    * candidate rule is engine-reproducible, not tuned-to-pass.
+    *
+    * LIMITATION (documented, tested): the hash is axis-aligned on
+    * components 1-32, so its pruning power assumes roughly
+    * mean-centered components. A strongly biased corpus (e.g. all
+    * components positive, as post-ReLU encoders emit) maps every
+    * vector to the same bucket per table — bucketing degenerates to
+    * one block per label and the join reverts to within-label
+    * all-pairs COST, though never wrong RESULTS (the degenerate
+    * bucket join still yields every pair as a candidate;
+    * EmbcosSkewSpec's biased-corpus case pins this). At 100 TB,
+    * mean-center embeddings upstream (subtract the per-corpus
+    * component mean — one broadcastable 64-float vector) before this
+    * operator; random-hyperplane LSH is the alternative, rejected
+    * here because the oracle must reproduce the hash in portable SQL. */
   def dedupEmbcos(s: SparkSession, d: String): DataFrame =
     dedupEmbcosOn(s,
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
                 col("embedding").cast("array<double>").as("v")))
+
+  /** q_dedup_embcos_centered — the PRODUCTION form of q_dedup_embcos
+    * for biased (non-mean-centered) embedding spaces: the sign-LSH
+    * hyperplanes pass through the per-corpus component MEAN instead of
+    * the origin, so a post-ReLU/all-positive corpus still spreads
+    * across 16 buckets per table instead of collapsing into one (the
+    * documented limitation above, operationalized).
+    *
+    * Determinism of the threshold (the trap that forbids a naive
+    * `avg()`): a floating mean is summation-order-dependent in its
+    * last ulp, and a component equal to the mean ±1 ulp would flip
+    * buckets between engines. So components are quantized to exact
+    * 1e-6 integers and the comparison cross-multiplies:
+    * `q_j · n > Σ q_j` — pure int64 arithmetic, bit-identical on any
+    * engine, no division anywhere. (Overflow headroom: |q| ≤ ~2e6,
+    * so n up to ~4e11 vectors fits int64.)
+    *
+    * Scale shape: identical to q_dedup_embcos plus ONE 1-row
+    * 32-column aggregate broadcast into the hash projection. The
+    * exact cosine still ranks RAW vectors — centering moves only the
+    * candidate-generation hyperplanes, never the similarity. */
+  def dedupEmbcosCentered(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+    // quantized per-component sums over the hash components 1..32:
+    // one partial-aggregable 1-row frame, broadcast everywhere
+    val sumExprs = count(lit(1)).as("n") +:
+      (1 to 32).map(i =>
+        sum(expr(s"cast(round(element_at(v, $i) * 1000000) as bigint)"))
+          .as(s"s$i"))
+    val sums = em.agg(sumExprs.head, sumExprs.tail: _*)
+      .select(col("n"),
+              array((1 to 32).map(i => col(s"s$i")): _*).as("qs"))
+    val bucket = (0 until 4).map(i =>
+      when(expr(s"cast(round(element_at(v, t * 4 + ${i + 1}) * 1000000) as bigint)")
+             * col("n") > expr(s"element_at(qs, t * 4 + ${i + 1})"),
+           lit(1 << i)).otherwise(lit(0))).reduce(_ + _)
+    val bk = em.crossJoin(broadcast(sums))
+      .select(col("label"), col("vec_id"), col("v"), col("n"), col("qs"),
+        explode(sequence(lit(0), lit(LshTables - 1))).as("t"))
+      .withColumn("bucket", bucket)
+      .select(col("label"), col("vec_id"), col("t"), col("bucket"))
+    val l = bk.select(col("label"), col("t"), col("bucket"), col("vec_id").as("v1"))
+    val r = bk.select(col("label").as("lb2"), col("t").as("t2"),
+                      col("bucket").as("bk2"), col("vec_id").as("v2"))
+    val cand = l.join(r,
+        l("label") === col("lb2") && l("t") === col("t2") &&
+        l("bucket") === col("bk2") && col("v1") < col("v2"))
+      .select(col("label"), col("v1"), col("v2")).distinct()
+    val e1 = em.select(col("vec_id").as("v1"), col("v").as("va"))
+    val e2 = em.select(col("vec_id").as("v2"), col("v").as("vb"))
+    cand.join(e1, "v1").join(e2, "v2")
+      .select(col("label"), col("v1"), col("v2"),
+              r4(cosineFast(s, col("va"), col("vb"))).as("sim"))
+      .orderBy(col("sim").desc, col("v1"), col("v2"))
+      .limit(20)
+  }
 
   /** Operator body over any (vec_id, label, v) frame — split out so the
     * skew suite can inject a degenerate single-label corpus. */
@@ -543,6 +615,48 @@ object LlmOps {
       .select(col("q_id"), col("n_id"),
               r4(cosineFast(s, col("qv"), col("v"))).as("sim"))
     ord(rerankTopK(s, j, 3), col("q_id"), col("rn"))
+  }
+
+  /** q_bucket_purity — LSH index-quality audit: per (table, bucket),
+    * how well the sign-hash buckets align with the label structure
+    * (majority-label share). The label-ALIGNMENT face of the layout
+    * audits — q_bucket_skew measures load balance, this measures
+    * whether ANN bucketing respects class structure (low purity ⇒
+    * candidates cross labels ⇒ wasted exact-cosine verifications in
+    * every bucketed query upstream).
+    *
+    * Determinism: purity divides exact integer counts; the majority
+    * label breaks count ties on the SMALLEST label (max_by on a
+    * (cnt, −label) struct — mirrored by the oracle's row_number
+    * (cnt DESC, label)).
+    *
+    * Scale shape: one partial-aggregable (t, bucket, label) count
+    * shuffle (≤ 8·16·|labels| groups), then a ≤128-group argmax —
+    * nothing downstream of the scan depends on corpus size. */
+  def bucketPurity(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+    val bucket = (0 until 4).map(i =>
+      when(expr(s"element_at(v, t * 4 + ${i + 1})") > 0, lit(1 << i))
+        .otherwise(lit(0))).reduce(_ + _)
+    val counts = em
+      .select(col("label"), col("v"),
+              explode(sequence(lit(0), lit(LshTables - 1))).as("t"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("t"), col("bucket"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    ord(
+      counts.groupBy(col("t"), col("bucket"))
+        .agg(sum(col("cnt")).as("n"),
+             max(struct(col("cnt"), (-col("label")).as("neg")))
+               .as("mx"))
+        .select(col("t"), col("bucket"), col("n"),
+                (-col("mx.neg")).as("majority_label"),
+                col("mx.cnt").as("n_majority"))
+        .withColumn("purity",
+          r4(col("n_majority").cast("double") / col("n"))),
+      col("t"), col("bucket"))
   }
 
   /** Fixed Lloyd iteration count refining the IVF codebook: the

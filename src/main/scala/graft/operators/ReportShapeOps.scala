@@ -288,4 +288,88 @@ object ReportShapeOps {
         .withColumn("pass", col("n_violations") === 0),
       col("check"))
   }
+
+  /** q_outliers_robust — Tukey IQR-fence outlier screen per group:
+    * flag prices outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]. The ROBUST
+    * complement to q_anomaly's z-score and q_winsorize's clamp — the
+    * fences themselves are quartile-derived, so a contaminated tail
+    * cannot widen its own acceptance band (the failure mode of
+    * mean/stddev screens on heavy-tailed data).
+    *
+    * Determinism: fences are r4'd BEFORE the comparison (the
+    * winsorize idiom) so both engines compare against bit-identical
+    * thresholds; counts are exact integers; the ratio divides once.
+    *
+    * Scale shape: one percentile pass per group (at 100 TB:
+    * approx_percentile — the q_percentile_approx path), broadcast of
+    * the |groups|-row fence frame back into a second scan's
+    * conditional count. Two scans, zero wide shuffles. */
+  def outliersRobust(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("p"))
+    val fences = li.groupBy(col("flag"))
+      .agg(r4(percentile(col("p"), lit(0.25))).as("q1"),
+           r4(percentile(col("p"), lit(0.75))).as("q3"))
+      .withColumn("lo", r4(col("q1") - lit(1.5) * (col("q3") - col("q1"))))
+      .withColumn("hi", r4(col("q3") + lit(1.5) * (col("q3") - col("q1"))))
+    ord(
+      li.join(broadcast(fences), "flag")
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+             first(col("lo")).as("lo_fence"),
+             first(col("hi")).as("hi_fence"),
+             sum(when(col("p") < col("lo") || col("p") > col("hi"), 1L)
+                   .otherwise(0L)).as("n_out"))
+        .withColumn("out_pct",
+          r4(col("n_out").cast("double") * 100.0 / col("n"))),
+      col("flag"))
+  }
+
+  /** q_decile_lift — decile lift table: score customers by account
+    * balance, decile them, and read how order spend concentrates
+    * across deciles (lift vs the overall mean, cumulative capture).
+    * The standard model-eval artifact for any propensity/LTV score —
+    * here the "model" is the balance itself, which makes the readout
+    * oracle-checkable while exercising the exact pipeline shape
+    * (score → ntile → outcome join → per-decile rollup → cumulative
+    * window).
+    *
+    * Determinism: the decile order has a unique tiebreak
+    * (c_acctbal DESC, c_custkey); outcomes are exact cents; every
+    * ratio divides integers once and r4's.
+    *
+    * Scale shape: ntile needs a global sort of the SCORE FRAME only
+    * (customers, not orders); the outcome rollup is one
+    * partial-aggregable shuffle on custkey; the decile rollup is 10
+    * rows. At 100 TB the ntile would switch to approx-quantile
+    * bucketing (q_percentile_approx path) to avoid the global sort. */
+  def decileLift(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val scored = Tables.customer(s, d)
+      .select(col("c_custkey"), ntile(10).over(w).as("decile"))
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+    val byDecile = scored
+      .join(spend, scored("c_custkey") === spend("o_custkey"), "left")
+      .na.fill(0L, Seq("cents"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"))
+    val tot = byDecile.agg(sum(col("n_cust")).as("tn"), sum(col("cents")).as("tc"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ord(
+      byDecile.crossJoin(broadcast(tot))
+        .select(col("decile"),
+                col("n_cust"),
+                r4(col("cents").cast("double") / 100.0).as("spend"),
+                r4(col("cents").cast("double") / col("n_cust") / 100.0)
+                  .as("avg_spend"),
+                r4(col("cents").cast("double") / col("tc")).as("capture"),
+                r4(sum(col("cents")).over(cum).cast("double") / col("tc"))
+                  .as("cum_capture"),
+                r4((col("cents").cast("double") / col("n_cust")) /
+                   (col("tc").cast("double") / col("tn"))).as("lift")),
+      col("decile"))
+  }
 }

@@ -452,6 +452,140 @@ object TimeSeriesOps {
     * quotient (never averages pre-rounded values — the §2.10 trap);
     * weekday numbering is pinned Monday=0 on both engines (Spark
     * `weekday`, DuckDB `isodow - 1`). */
+  /** q_mann_whitney — Mann–Whitney U rank-sum test between the A/B
+    * arms' per-user spend distributions: the NONPARAMETRIC complement
+    * to q_ab_test's proportion z-test and q_cuped's mean shift — it
+    * detects a location shift without assuming normality, which spend
+    * distributions (heavy-tailed, zero-inflated) never satisfy. Same
+    * md5 arm assignment as q_ab_test/q_srm, so the three readouts
+    * describe one experiment.
+    *
+    * Determinism: the entire rank computation is INTEGER arithmetic on
+    * exact cents — ties get average ranks via 2·rank (2·cum_before +
+    * t + 1, always integral), the rank-sum is Σ ca·2r, and the tie
+    * correction Σ(t³−t) is exact; only the final z divides and rounds
+    * once. The normal approximation (valid for n ≳ 20/arm) is the
+    * standard large-sample form — at 100 TB exactness of the null
+    * distribution is never the binding constraint, the CDF windows are.
+    *
+    * Scale shape: one partial-aggregable shuffle to per-user spend,
+    * one to distinct-value tie counts, a 1-row total broadcast, and a
+    * single ordered window over DISTINCT VALUES (bounded by the value
+    * domain, not the user count). */
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) % 2") === 0,
+             1).otherwise(0))
+    val byVal = users.groupBy(col("cents"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("ca"),
+           sum(when(col("arm") === 0, 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val tot = users.agg(
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // 2×(average rank of value v) = 2·(#rows before v) + t_v + 1 — integral
+    val r2 = byVal
+      .withColumn("cum", sum(col("t")).over(w))
+      .agg(sum(col("ca") * (lit(2L) * (col("cum") - col("t")) + col("t") + 1L))
+             .as("r2a"),
+           sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val z = r2.crossJoin(broadcast(tot))
+      .withColumn("n", col("na") + col("nb"))
+      // 2U_A = 2R_A − na(na+1); E[2U] = na·nb; Var[2U] = 4σ²
+      .withColumn("u2", col("r2a") - col("na") * (col("na") + 1L))
+      .withColumn("sigma2",
+        col("na").cast("double") * col("nb") / 12.0 *
+          ((col("n") + 1L).cast("double") -
+           col("ties").cast("double") / (col("n") * (col("n") - 1L))))
+      .withColumn("z",
+        (col("u2") - col("na") * col("nb")).cast("double") /
+          (lit(2.0) * sqrt(col("sigma2"))))
+    z.select(col("na").as("n_a"), col("nb").as("n_b"),
+             r4(col("u2").cast("double") / 2.0).as("u_a"),
+             r4(col("z")).as("z"))
+      .withColumn("significant", when(abs(col("z")) > 1.96, 1).otherwise(0))
+  }
+
+  /** q_psi — Population Stability Index between the first and second
+    * half of the observed period, over the event value distribution:
+    * THE standard drift monitor for ML feature pipelines (PSI > 0.2 =
+    * retrain/investigate). 10 equal-width bins over the global value
+    * range; PSI = Σ (q−p)·ln(q/p) with the conventional 1e-4 floor so
+    * empty bins contribute finitely.
+    *
+    * Determinism: the period split and bin edges derive from exact
+    * integer µs bounds and one global (min,max) pair; bin assignment,
+    * proportions and the log run in the same expression shape on both
+    * engines, and every emitted double is r4'd. The bin spine is
+    * generated (sequence), so all 10 bins emit even when empty.
+    *
+    * Scale shape: one 1-row bounds aggregate broadcast into the scan,
+    * one partial-aggregable (bin, period) count shuffle (≤20 groups),
+    * and a 10-row spine join — nothing downstream depends on volume. */
+  def psi(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(expr("unix_micros(ts)").as("us"), col("value"))
+    val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"),
+                        min(col("value")).as("vlo"), max(col("value")).as("vhi"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .withColumn("period",
+        when(col("us") < col("lo") + (col("hi") - col("lo")) / 2L, 0).otherwise(1))
+      .withColumn("bin",
+        least(lit(9), floor((col("value") - col("vlo")) * 10.0 /
+                            (col("vhi") - col("vlo"))).cast("int")))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("period") === 0, 1L).otherwise(0L)).as("n_ref"),
+           sum(when(col("period") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val spine = s.range(1).select(explode(sequence(lit(0), lit(9))).as("bin"))
+    val tot = binned.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    val rows = spine.join(binned, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", greatest(col("n_ref").cast("double") / col("tr"), lit(0.0001)))
+      .withColumn("q", greatest(col("n_cur").cast("double") / col("tc"), lit(0.0001)))
+      .withColumn("contrib", (col("q") - col("p")) * log(col("q") / col("p")))
+    ord(
+      rows.select(col("bin").cast("int").as("bin"), col("n_ref"), col("n_cur"),
+                  r4(col("p")).as("p_ref"), r4(col("q")).as("p_cur"),
+                  r4(col("contrib")).as("contrib"),
+                  r4(sum(col("contrib")).over(
+                    Window.rowsBetween(Window.unboundedPreceding,
+                                       Window.unboundedFollowing))).as("psi")),
+      col("bin"))
+  }
+
+  /** q_rolling_median — 7-day rolling MEDIAN of daily order revenue:
+    * the robust trend line q_moving_avg's mean cannot give (one
+    * whale order drags a mean for a week; the median shrugs). Uses
+    * the aggregate-as-window form (percentile over a row frame) —
+    * the Spark idiom for windowed robust stats.
+    *
+    * Determinism: daily revenue is summed in exact cents; the median
+    * interpolates between at most two integers (·.5 exact in
+    * doubles); divide and round once on output.
+    *
+    * Scale shape: one partial-aggregable daily rollup (rows = days),
+    * then a single ordered window over the day spine — the window
+    * input is calendar-bounded, never volume-bounded. At 100 TB the
+    * window would partition per series key; the global form here is
+    * the single-series readout. */
+  def rollingMedian(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    ord(
+      daily.select(col("day"),
+                   r4(col("cents").cast("double") / 100.0).as("revenue"),
+                   r4(expr("percentile(cents, 0.5)")
+                        .over(w) / 100.0).as("med7")),
+      col("day"))
+  }
+
   def forecastDaily(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("value"))
     val wdMeans = ev.groupBy(expr("weekday(day)").as("wd"))

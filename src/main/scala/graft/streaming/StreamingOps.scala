@@ -178,6 +178,7 @@ object StreamingOps {
     topkStreamGated(s, d)
     slidingStreamGated(s, d)
     outerJoinStreamGated(s, d)
+    enrichStreamGated(s, d)
   }
 
   /** q_session_state_stream — the CUSTOM-STATE sessionizer
@@ -270,6 +271,47 @@ object StreamingOps {
     graft.Fin.ord(
       res.filter(col("event_type") =!= "sentinel")
         .select(col("day"), col("event_type"), col("n"), col("val")),
+      col("day"), col("event_type"))
+  }
+
+  /** q_enrich_stream — STREAM-STATIC join run to completion under the
+    * DuckDB gate: the event stream is enriched against a STATIC
+    * per-type reference frame (the corpus mean value per event_type,
+    * computed batch-side), then windowed per day counting events above
+    * their type's mean. This is the canonical streaming-enrichment
+    * shape — dimension lookup inside a stream — and the one gated
+    * query that exercises Spark's stream-static broadcast join path
+    * (the static side is re-resolvable per micro-batch; no state, no
+    * watermark needed for the join itself, only for the downstream
+    * windowed agg).
+    *
+    * Determinism: "above mean" is the integer cross-multiplied compare
+    * `round(value·100)·n_t > Σ round(value·100)` — no floating mean, no
+    * division (the q_dedup_embcos_centered idiom). The sentinel's
+    * event_type has no dim row, so the inner join drops it before the
+    * agg; its watermark advance still seals every real day window.
+    *
+    * Scale shape: the dim frame is |event_types| rows — broadcast into
+    * every micro-batch; the windowed agg is the q_tumbling_stream
+    * state shape (O(open windows × types)). */
+  def enrichStreamGated(s: SparkSession, d: String): DataFrame = {
+    val src = streamSourceDir(s, d)
+    val dim = graft.Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("sc"),
+           count(lit(1)).as("nt"))
+    val res = drainAvailableNow(s, d, "stream_gate_enrich")(
+      readEventStream(s, src)
+        .withWatermark("ts", "1 hour")
+        .join(broadcast(dim), "event_type")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(expr("cast(round(value * 100) as bigint)") * col("nt")
+                        > col("sc"), 1L).otherwise(0L)).as("n_above"))
+        .select(col("window.start").cast("date").as("day"),
+                col("event_type"), col("n"), col("n_above")))
+    graft.Fin.ord(
+      res.select(col("day"), col("event_type"), col("n"), col("n_above")),
       col("day"), col("event_type"))
   }
 

@@ -32,7 +32,13 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_ks_test's CDF and q_gini's rank run over per-user/per-customer
     // ROLLUPS (scaladocs document the 100 TB path: quantile binning /
     // range-partitioned prefix sums); the window never sees fact rows
-    "q_ks_test", "q_gini")
+    "q_ks_test", "q_gini",
+    // q_mann_whitney ranks the DISTINCT-VALUE rollup (value-domain-
+    // bounded); q_psi's total rides a 10-row bin spine; q_rolling_median
+    // windows the calendar-bounded daily rollup; q_decile_lift's ntile
+    // sorts the customer SCORE frame (scaladoc documents the
+    // approx-quantile 100 TB path) and its cumulative window is 10 rows
+    "q_mann_whitney", "q_psi", "q_rolling_median", "q_decile_lift")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {

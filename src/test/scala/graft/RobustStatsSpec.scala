@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{JoinOps, LlmOps, ReportShapeOps, TimeSeriesOps}
+
+/** Independent-recomputation checks for the r11 statistics/eval
+  * operators: each query's answer is recomputed in plain Scala from the
+  * same driver data (a SECOND independent implementation, beyond the
+  * DuckDB oracle the driver runs), plus planted-fixture cases for the
+  * fuzzy match and the centered LSH. */
+class RobustStatsSpec extends AnyFunSuite {
+  import TestBase._
+
+  test("mann_whitney U and z match a direct rank computation") {
+    val out = TimeSeriesOps.mannWhitney(spark, sf0001).collect().head
+    // independent: collect per-user spend + arm, rank in Scala
+    val users = Tables.events(spark, sf0001)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) % 2") === 0,
+             1).otherwise(0))
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    val na = users.count(_._2 == 1).toLong
+    val nb = users.count(_._2 == 0).toLong
+    val sorted = users.sortBy(_._1)
+    // average ranks with ties
+    val byVal = sorted.groupBy(_._1).toSeq.sortBy(_._1)
+    var cum = 0L
+    var r2a = 0L // 2 × rank-sum of arm A
+    var ties = 0L
+    for ((_, grp) <- byVal) {
+      val t = grp.length.toLong
+      val rank2 = 2L * cum + t + 1L // 2 × average rank
+      r2a += grp.count(_._2 == 1) * rank2
+      ties += t * t * t - t
+      cum += t
+    }
+    val u2 = r2a - na * (na + 1)
+    val n = na + nb
+    val sigma2 = na.toDouble * nb / 12.0 *
+      ((n + 1).toDouble - ties.toDouble / (n * (n - 1)))
+    val z = (u2 - na * nb).toDouble / (2.0 * math.sqrt(sigma2))
+    assert(out.getAs[Long]("n_a") == na && out.getAs[Long]("n_b") == nb)
+    assert(math.abs(out.getAs[Double]("u_a") - u2 / 2.0) < 1e-6)
+    assert(math.abs(out.getAs[Double]("z") - z) < 1e-3)
+  }
+
+  test("psi bins sum to the population and the total matches a direct computation") {
+    val rows = TimeSeriesOps.psi(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val total = Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_ref")).sum +
+           rows.map(_.getAs[Long]("n_cur")).sum == total)
+    // every row carries the same PSI total; recompute from the
+    // UNROUNDED proportions implied by the counts
+    val tr = rows.map(_.getAs[Long]("n_ref")).sum.toDouble
+    val tc = rows.map(_.getAs[Long]("n_cur")).sum.toDouble
+    val psi = rows.map { r =>
+      val p = math.max(r.getAs[Long]("n_ref") / tr, 0.0001)
+      val q = math.max(r.getAs[Long]("n_cur") / tc, 0.0001)
+      (q - p) * math.log(q / p)
+    }.sum
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("psi") - psi) < 1e-3))
+  }
+
+  test("rolling_median equals a direct 7-row window median on every day") {
+    val rows = TimeSeriesOps.rollingMedian(spark, sf0001).collect()
+      .map(r => (r.getAs[java.sql.Date]("day"), r.getAs[Double]("revenue"),
+                 r.getAs[Double]("med7")))
+    assert(rows.nonEmpty)
+    val cents = rows.map(r => math.round(r._2 * 100))
+    for (i <- rows.indices) {
+      val win = cents.slice(math.max(0, i - 6), i + 1).sorted
+      val med =
+        if (win.length % 2 == 1) win(win.length / 2).toDouble
+        else (win(win.length / 2 - 1) + win(win.length / 2)) / 2.0
+      val want = BigDecimal(med / 100.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rows(i)._3 - want) < 1e-9,
+        s"day ${rows(i)._1}: med7=${rows(i)._3} want $want")
+    }
+  }
+
+  test("decile_lift: captures sum to 1, counts sum to customers, lift averages to 1") {
+    val rows = ReportShapeOps.decileLift(spark, sf0001).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("n_cust")).sum ==
+           Tables.customer(spark, sf0001).count())
+    assert(math.abs(rows.map(_.getAs[Double]("capture")).sum - 1.0) < 1e-2)
+    assert(math.abs(rows.last.getAs[Double]("cum_capture") - 1.0) < 1e-3)
+    // Σ (n_d/N)·lift_d = 1 by construction
+    val n = rows.map(_.getAs[Long]("n_cust")).sum.toDouble
+    val wavg = rows.map(r => r.getAs[Long]("n_cust") * r.getAs[Double]("lift")).sum / n
+    assert(math.abs(wavg - 1.0) < 1e-2)
+  }
+
+  test("outliers_robust: fences bracket the quartiles and counts match a recount") {
+    val rows = ReportShapeOps.outliersRobust(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val prices = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      val lo = r.getAs[Double]("lo_fence")
+      val hi = r.getAs[Double]("hi_fence")
+      assert(lo < hi)
+      val ps = prices(flag).map(_.getDouble(1))
+      val nOut = ps.count(p => p < lo || p > hi).toLong
+      assert(r.getAs[Long]("n_out") == nOut, s"$flag: ${r.getAs[Long]("n_out")} vs $nOut")
+      assert(r.getAs[Long]("n") == ps.length.toLong)
+    }
+  }
+
+  test("fuzzy_join finds planted near-identical names inside the (nation, segment) block") {
+    val dir = tmpDir("fuzzy")
+    writeTable(dir, "customer", Schemas.customer, Seq(
+      Row(1L, "Customer#000000001", 7, 10.0, "BUILDING"),
+      Row(2L, "Customer#000000002", 7, 11.0, "BUILDING"),   // dist 1 to #1
+      Row(3L, "Customer#000000001", 9, 12.0, "BUILDING"),   // other nation: blocked
+      Row(4L, "Customer#000000011", 7, 13.0, "AUTOMOBILE"), // dist 1 to #1 but other segment: blocked
+      Row(5L, "Customer#000000991", 7, 14.0, "BUILDING")))  // dist 2 to #1; dist 3 to #2
+    val out = JoinOps.fuzzyJoin(spark, dir).collect()
+    assert(out.length == 1 && out.head.getAs[Int]("nationkey") == 7)
+    // pairs inside (7, BUILDING): (1,2) d1, (1,5) d2 — (2,5) is d3;
+    // the nation-9 twin and the cross-segment near-name never join
+    assert(out.head.getAs[Long]("n_pairs") == 2L)
+    assert(out.head.getAs[Long]("n_close") == 1L)
+    assert(out.head.getAs[Int]("min_dist") == 1)
+  }
+
+  test("dedup_embcos_centered recovers planted twins on an all-positive biased corpus") {
+    val dir = tmpDir("embcen")
+    val dim = 64
+    val rows = (0 until 20).map { id =>
+      val base = id / 2
+      val v = Array.tabulate(dim) { j =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"cen:$base:$j")
+        (0.2 + (h & 0xffff).toDouble / 0xffff).toFloat // strictly positive
+      }
+      if (id % 2 == 1) v(7) = v(7) + 0.01f
+      Row(id.toLong, v.toSeq, 0)
+    }
+    writeTable(dir, "embeddings", Schemas.embeddings, rows)
+    val out = LlmOps.dedupEmbcosCentered(spark, dir).collect()
+    val planted = (0 until 10).map(k => (2L * k, 2L * k + 1)).toSet
+    val top10 = out.take(10).map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
+    assert(top10 == planted,
+      s"centered LSH missed planted twins: missing=${planted -- top10} extra=${top10 -- planted}")
+  }
+}
