@@ -131,4 +131,45 @@ class StreamingScaleSpec extends AnyFunSuite {
     assert(finalRows <= 2,
       s"final state has $finalRows rows — sealed sessions not evicted")
   }
+
+  test("sf0.1 multi-batch custom-state sessionizer: O(active users) state, batch parity") {
+    assume(new java.io.File(s"$sf01/events.parquet").exists(), s"$sf01 not present")
+    val src = timeSlicedSource(sf01, 5)
+
+    val stream = spark.readStream.schema(StreamingOps.eventsMicros)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingOps.sealedSessions(spark, stream).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_scale_fmgws")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val prog = q.recentProgress.toSeq
+    assert(prog.count(_.numInputRows > 0) >= 3)
+
+    // append-mode sealed sessions across real batch boundaries == batch
+    // truth on the order-invariant columns (value parity is covered at
+    // suite tolerance in StreamingSpec — fold order within a batch is
+    // not contractual)
+    val got = spark.table("t_scale_fmgws").filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_ev"))
+    val want = batchSessions(sf01)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_ev"))
+    assert(collectSet(got) == collectSet(want),
+      "multi-batch custom-state sessions diverge from batch sessionize")
+
+    // the hand-managed state is ONE record per OPEN session — bounded by
+    // the user population (the sharpest horizon bound of all the gated
+    // shapes), and far below the total session count a catch-up batch
+    // accumulates
+    val stateRows = prog.flatMap(_.stateOperators.map(_.numRowsTotal))
+    val peak = stateRows.max
+    val users = Tables.events(spark, sf01).select(col("user_id")).distinct().count()
+    val totalSessions = batchSessions(sf01).count()
+    assert(peak <= users + 1,
+      s"peak custom state $peak exceeds open-session bound (${users + 1})")
+    assert(peak < totalSessions / 2,
+      s"peak custom state $peak not horizon-bounded vs $totalSessions sessions")
+  }
 }
