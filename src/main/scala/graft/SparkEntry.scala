@@ -277,7 +277,12 @@ object SparkEntry {
     "q_fuzzy_join" -> (J.fuzzyJoin _),
     "q_dedup_embcos_centered" -> (L.dedupEmbcosCentered _),
     "q_enrich_stream" -> (graft.streaming.StreamingOps.enrichStreamGated _),
-    "q_bucket_purity" -> (L.bucketPurity _)
+    "q_bucket_purity" -> (L.bucketPurity _),
+    "q_auc" -> (P.auc _),
+    "q_survival" -> (TimeSeriesOps.survival _),
+    "q_dedup_report" -> (C.dedupReport _),
+    "q_chisq" -> (TimeSeriesOps.chisq _),
+    "q_mix_kl" -> (C.mixKl _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3554,6 +3559,158 @@ object SparkEntry {
                    FROM g)
          SELECT t, bucket, n, label AS majority_label, cnt AS n_majority,
                 (round(cnt::DOUBLE / n, 4) + 0.0) AS purity
-         FROM rk WHERE rn = 1 ORDER BY t, bucket"""
+         FROM rk WHERE rn = 1 ORDER BY t, bucket""",
+    "q_auc" ->
+      // rank identity AUC = (R1 - n1(n1+1)/2)/(n1 n0); same all-int64
+      // average-rank machinery as q_mann_whitney
+      """WITH f AS (SELECT user_id,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                           min(epoch_us(ts::TIMESTAMP)//1000000) AS first_sec,
+                           min(CASE WHEN event_type = 'purchase'
+                                    THEN epoch_us(ts::TIMESTAMP)//1000000 END)
+                             AS first_purch
+                    FROM events GROUP BY user_id),
+            sc AS (SELECT cents,
+                          CASE WHEN first_purch IS NOT NULL
+                                    AND first_purch - first_sec <= 86400
+                               THEN 1 ELSE 0 END AS pos
+                   FROM f),
+            bv AS (SELECT cents,
+                          CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                          CAST(sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+                   FROM sc GROUP BY 1),
+            tt AS (SELECT CAST(sum(pos) AS BIGINT) AS n1,
+                          CAST(sum(1 - pos) AS BIGINT) AS n0 FROM sc),
+            c2 AS (SELECT cents, np, nn, (np + nn) AS t,
+                          CAST(sum(np + nn) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cum
+                   FROM bv),
+            r AS (SELECT CAST(sum(np * (2 * (cum - t) + t + 1)) AS BIGINT) AS r2p
+                  FROM c2),
+            z AS (SELECT n1, n0, r2p - n1 * (n1 + 1) AS u2 FROM r, tt)
+         SELECT n1 AS n_pos, n0 AS n_neg,
+                (round(u2::DOUBLE / (2.0 * n1 * n0), 4) + 0.0) AS auc,
+                (round(2.0 * (round(u2::DOUBLE / (2.0 * n1 * n0), 4) + 0.0)
+                       - 1.0, 4) + 0.0) AS gini
+         FROM z""",
+    "q_survival" ->
+      // Kaplan-Meier over user lifetimes; churn = idle > 7 days before
+      // the corpus high-water mark, otherwise censored
+      """WITH ev AS (SELECT user_id,
+                           CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day
+                    FROM events),
+            h AS (SELECT max(day) AS maxd FROM ev),
+            u AS (SELECT CAST(date_diff('day', min(day), max(day)) AS INT) AS t,
+                         CASE WHEN date_diff('day', max(day), maxd) > 7
+                              THEN 1 ELSE 0 END AS churn
+                  FROM ev, h GROUP BY user_id, maxd),
+            bt AS (SELECT t, CAST(count(*) AS BIGINT) AS leave,
+                          CAST(sum(churn) AS BIGINT) AS d
+                   FROM u GROUP BY 1),
+            rk AS (SELECT t, leave, d, (leave - d) AS c,
+                          CAST(sum(leave) OVER () AS BIGINT)
+                          - CAST(coalesce(sum(leave) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0) AS BIGINT) AS n_risk
+                   FROM bt),
+            tm AS (SELECT t, n_risk, d, c,
+                          CASE WHEN d < n_risk
+                               THEN ln(1.0 - d::DOUBLE / n_risk)
+                               ELSE 0.0 END AS term,
+                          max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS dead
+                   FROM rk)
+         SELECT t, n_risk, d AS n_churn, c AS n_censored,
+                CASE WHEN dead = 1 THEN 0.0
+                     ELSE (round(exp(sum(term) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                            4) + 0.0) END AS survival
+         FROM tm ORDER BY t""",
+    "q_dedup_report" ->
+      // the q_dedup_cluster component CTE, rolled up per source
+      """WITH RECURSIVE
+            base AS (SELECT doc_id, lang, source,
+                            string_split(text, ' ') AS toks FROM documents),
+            ng AS (SELECT doc_id, lang, source,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
+                   FROM base),
+            nz AS (SELECT doc_id, lang, source, ngs FROM ng WHERE len(ngs) > 0),
+            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
+            dfreq AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
+            ex AS (SELECT ex0.* FROM ex0 JOIN dfreq USING (g) WHERE df <= 100),
+            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
+            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                      FROM ex a JOIN ex b
+                        ON a.lang = b.lang AND a.source = b.source
+                       AND a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT d1, d2
+                      FROM inter JOIN sz s1 ON s1.doc_id = d1
+                                 JOIN sz s2 ON s2.doc_id = d2
+                      WHERE (round(CAST(inter AS DOUBLE)
+                                  / (s1.nsz + s2.nsz - inter), 4) + 0.0) >= 0.5),
+            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                      UNION ALL SELECT d2, d1 FROM pairs),
+            reach AS (SELECT doc_id AS v, doc_id AS r FROM documents
+                      UNION
+                      SELECT e.b AS v, reach.r AS r
+                      FROM reach JOIN edges e ON e.a = reach.v),
+            comp AS (SELECT v AS doc_id, min(r) AS component
+                     FROM reach GROUP BY 1)
+         SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT comp.component) AS BIGINT) AS n_clusters,
+                CAST(count(*) - count(DISTINCT comp.component) AS BIGINT) AS n_dups,
+                (round((count(*) - count(DISTINCT comp.component))::DOUBLE
+                       / count(*), 4) + 0.0) AS dup_rate
+         FROM comp JOIN documents dd USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
+    "q_chisq" ->
+      // weekday x event-type independence; Monday=0 (isodow-1)
+      """WITH g AS (SELECT CAST(isodow(ts::TIMESTAMP) - 1 AS INT) AS wd,
+                           event_type, CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+            dims AS (SELECT CAST(count(DISTINCT wd) AS BIGINT) AS nr,
+                            CAST(count(DISTINCT event_type) AS BIGINT) AS nc
+                     FROM g),
+            t AS (SELECT wd, event_type, n,
+                         CAST(sum(n) OVER (PARTITION BY wd) AS BIGINT) AS rt,
+                         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS ct,
+                         CAST(sum(n) OVER () AS BIGINT) AS tot
+                  FROM g),
+            e AS (SELECT t.*, nr, nc, (rt * ct)::DOUBLE / tot AS e
+                  FROM t, dims),
+            c AS (SELECT *, (n - e) * (n - e) / e AS contrib FROM e)
+         SELECT wd, event_type, n, (round(e, 4) + 0.0) AS expected,
+                (round(contrib, 4) + 0.0) AS contrib,
+                (round(sum(contrib) OVER (), 4) + 0.0) AS chi2,
+                (nr - 1) * (nc - 1) AS dof
+         FROM c ORDER BY wd, event_type""",
+    "q_mix_kl" ->
+      // q_mix_temperature's share derivation; KL(target||natural) and
+      // total-variation distance as full-frame window sums
+      """WITH bl AS (SELECT lang, count(*) AS n_docs,
+                            CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                              AS tokens
+                     FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM bl),
+            sh AS (SELECT lang, n_docs, tokens,
+                          CAST(tokens AS DOUBLE) / total_tokens AS q,
+                          sqrt(CAST(tokens AS DOUBLE) / total_tokens) AS wt
+                   FROM bl, t),
+            ws AS (SELECT sum(wt) AS wt_sum FROM sh),
+            m AS (SELECT lang, n_docs, tokens, q, wt / wt_sum AS p
+                  FROM sh, ws),
+            c AS (SELECT *, p * ln(p / q) AS contrib, abs(p - q) AS tvterm
+                  FROM m)
+         SELECT lang, n_docs, tokens,
+                (round(q, 4) + 0.0) AS natural_share,
+                (round(p, 4) + 0.0) AS target_share,
+                (round(contrib, 4) + 0.0) AS contrib,
+                (round(sum(contrib) OVER (), 4) + 0.0) AS kl,
+                (round(sum(tvterm) OVER () / 2.0, 4) + 0.0) AS tv_dist
+         FROM c ORDER BY lang"""
   )
 }

@@ -144,6 +144,50 @@ object CurationOps {
       col("lang"))
   }
 
+  /** q_mix_kl — divergence of the CURRENT corpus mix from the
+    * temperature-flattened target (q_mix_temperature's α=0.5 design):
+    * per language p·ln(p/q) contributions, total KL(p‖q), and total
+    * variation distance ½Σ|p−q| — the "how far is the corpus from the
+    * mix we want" number that decides whether a resampling job is
+    * worth running, completing the mix family (corpus_mix measures,
+    * mix_temperature designs, mix_apply executes, this AUDITS).
+    *
+    * Determinism: identical share derivation as q_mix_temperature
+    * (exact integer token counts; sqrt is IEEE-correctly-rounded);
+    * ln/summation follow the accepted q_psi pattern, r4 at every
+    * emitted double; totals ride full-frame windows over the
+    * |languages| row frame.
+    *
+    * Scale shape: one partial-aggregable groupBy(lang) over the
+    * corpus; everything after runs on |languages| rows. */
+  def mixKl(s: SparkSession, d: String): DataFrame = {
+    val byLang = Tables.documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " "))).as("tokens"))
+      .localCheckpoint(false)
+    val total = byLang.agg(sum(col("tokens")).as("total_tokens"))
+    val shared = byLang.crossJoin(broadcast(total))
+      .withColumn("q", col("tokens").cast("double") / col("total_tokens"))
+      .withColumn("wt", sqrt(col("q")))
+      .localCheckpoint(false)
+    val wsum = shared.agg(sum(col("wt")).as("wt_sum"))
+    import org.apache.spark.sql.expressions.Window
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+    val t = shared.crossJoin(broadcast(wsum))
+      .withColumn("p", col("wt") / col("wt_sum"))
+      .withColumn("contrib", col("p") * log(col("p") / col("q")))
+      .withColumn("tvterm", abs(col("p") - col("q")))
+    ord(
+      t.select(col("lang"), col("n_docs"), col("tokens"),
+               r4(col("q")).as("natural_share"),
+               r4(col("p")).as("target_share"),
+               r4(col("contrib")).as("contrib"),
+               r4(sum(col("contrib")).over(full)).as("kl"),
+               r4(sum(col("tvterm")).over(full) / 2.0).as("tv_dist")),
+      col("lang"))
+  }
+
   /** q_doc_length_histogram — token-count histogram in width-10 buckets:
     * the length-distribution profile that picks the q_text_filter
     * bounds. Map-side bucket expression + one aggregate. */
@@ -573,6 +617,31 @@ object CurationOps {
   def dedupCluster(s: SparkSession, d: String): DataFrame = {
     val comp = s.read.parquet(docClusterStoreDir(s, d))
     ord(comp.select(col("doc_id"), col("component")), col("doc_id"))
+  }
+
+  /** q_dedup_report — per-source duplication report over the shared
+    * ingest-time cluster store: documents, distinct near-dup clusters
+    * TOUCHED by the source, the implied per-source duplicate count,
+    * and the duplication rate — the dashboard a curation team reads
+    * before deciding which crawl to re-scope. A cluster spanning
+    * sources counts in each source it touches (the per-source view;
+    * global reduction lives in q_dedup_semantic's label rollup).
+    *
+    * Scale shape: the store is read, never recomputed (published once
+    * per source state); one doc_id-co-partitioned join to fetch the
+    * source column, one partial-aggregable rollup to |sources| rows. */
+  def dedupReport(s: SparkSession, d: String): DataFrame = {
+    val comp = s.read.parquet(docClusterStoreDir(s, d))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    ord(
+      docs.join(comp, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("component")).as("n_clusters"))
+        .withColumn("n_dups", col("n_docs") - col("n_clusters"))
+        .withColumn("dup_rate",
+          r4(col("n_dups").cast("double") / col("n_docs"))),
+      col("source"))
   }
 
   /** q_dedup_keep_best — quality-aware canonical selection: per

@@ -325,6 +325,54 @@ object ReportShapeOps {
       col("flag"))
   }
 
+  /** q_auc — AUC of the per-user total-spend score against the
+    * day-one-conversion outcome (q_ab_test's conversion definition:
+    * first purchase within 24 h of first activity), via the rank
+    * identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) with average ranks on
+    * ties: the threshold-free companion to q_decile_lift's binned
+    * view, and THE eval metric every binary scorer reports. Also
+    * emits the accuracy ratio (Gini) 2·AUC−1.
+    *
+    * Determinism: the same all-int64 rank machinery as
+    * q_mann_whitney (2·avg-rank = 2·cum_before + t + 1 on exact
+    * cents; AUC and Gini divide once and round).
+    *
+    * Scale shape: one fact-scale per-user rollup (score and outcome
+    * in the SAME pass — no second scan, no join), one ordered window
+    * over DISTINCT score values (domain-bounded), a 1-row total. */
+  def auc(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"),
+           min(epochSec(col("ts"))).as("first_sec"),
+           min(when(col("event_type") === "purchase", epochSec(col("ts"))))
+             .as("first_purch"))
+      .withColumn("pos",
+        when(col("first_purch").isNotNull &&
+             col("first_purch") - col("first_sec") <= 86400, 1).otherwise(0))
+    val byVal = scored.groupBy(col("cents"))
+      .agg(sum(when(col("pos") === 1, 1L).otherwise(0L)).as("np"),
+           sum(when(col("pos") === 0, 1L).otherwise(0L)).as("nn"))
+      .withColumn("t", col("np") + col("nn"))
+    val tot = scored.agg(
+      sum(when(col("pos") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n0"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val r2 = byVal
+      .withColumn("cum", sum(col("t")).over(w))
+      .agg(sum(col("np") * (lit(2L) * (col("cum") - col("t")) + col("t") + 1L))
+             .as("r2p"))
+    ord(
+      r2.crossJoin(broadcast(tot))
+        .withColumn("u2", col("r2p") - col("n1") * (col("n1") + 1L))
+        .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+                r4(col("u2").cast("double") /
+                   (lit(2.0) * col("n1") * col("n0"))).as("auc"))
+        .withColumn("gini", r4(lit(2.0) * col("auc") - 1.0)),
+      col("n_pos"))
+  }
+
   /** q_decile_lift — decile lift table: score customers by account
     * balance, decile them, and read how order spend concentrates
     * across deciles (lift vs the overall mean, cumulative capture).

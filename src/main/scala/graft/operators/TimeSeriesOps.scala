@@ -452,6 +452,101 @@ object TimeSeriesOps {
     * quotient (never averages pre-rounded values — the §2.10 trap);
     * weekday numbering is pinned Monday=0 on both engines (Spark
     * `weekday`, DuckDB `isodow - 1`). */
+  /** q_chisq — χ² test of independence on the weekday × event-type
+    * contingency table: does traffic MIX shift across the week
+    * (seasonality of composition, not volume — the latter is
+    * q_seasonality's). Emits the full contingency table with expected
+    * counts and per-cell contributions, plus the table-wide χ² and
+    * degrees of freedom on every row.
+    *
+    * Determinism: observed counts are exact integers; expected =
+    * row·col/N divides exact integers once per cell (same expression
+    * shape both engines); contributions and the windowed total are
+    * r4'd — the q_psi summation pattern.
+    *
+    * Scale shape: ONE partial-aggregable (weekday, type) count
+    * shuffle; every window runs over the ≤7·|types| cell frame.
+    * Weekday numbering pinned Monday=0 both engines (the
+    * q_forecast_daily rule). */
+  def chisq(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .groupBy(expr("weekday(ts)").as("wd"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val full = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byRow = Window.partitionBy(col("wd"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byCol = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dims = cells.agg(countDistinct(col("wd")).as("nr"),
+                         countDistinct(col("event_type")).as("nc"))
+    val t = cells
+      .withColumn("rt", sum(col("n")).over(byRow))
+      .withColumn("ct", sum(col("n")).over(byCol))
+      .withColumn("tot", sum(col("n")).over(full))
+      .crossJoin(broadcast(dims))
+      .withColumn("e", (col("rt") * col("ct")).cast("double") / col("tot"))
+      .withColumn("contrib",
+        (col("n") - col("e")) * (col("n") - col("e")) / col("e"))
+    ord(
+      t.select(col("wd").cast("int").as("wd"), col("event_type"), col("n"),
+               r4(col("e")).as("expected"), r4(col("contrib")).as("contrib"),
+               r4(sum(col("contrib")).over(full)).as("chi2"),
+               ((col("nr") - 1) * (col("nc") - 1)).as("dof")),
+      col("wd"), col("event_type"))
+  }
+
+  /** q_survival — Kaplan–Meier retention curve over user lifetimes:
+    * duration = days between a user's first and last event; a user
+    * whose last activity predates the corpus high-water mark by > 7
+    * days is an observed churn, otherwise right-CENSORED (still
+    * alive when observation ended) — the distinction that makes KM
+    * correct where a naive "% still active after t days" overstates
+    * churn. S(t) = Π_{s≤t} (1 − d_s/n_s) over the ordered distinct
+    * durations, computed as exp(Σ ln(1−d/n)) with an explicit
+    * absorbing zero once a risk set empties (Spark ln(0) is NULL,
+    * DuckDB −inf — the guard keeps both engines off that edge).
+    *
+    * Determinism: risk counts are exact integers; each ln term is the
+    * same expression shape both engines; survival r4's once per row.
+    *
+    * Scale shape: one per-user rollup (the only fact-scale shuffle),
+    * then all windows run over DISTINCT DURATIONS (calendar-bounded).
+    * The 1-row high-water mark broadcasts into the rollup — the
+    * q_freshness idiom. */
+  def survival(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val hwm = ev.agg(max(col("day")).as("maxd"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+      .crossJoin(broadcast(hwm))
+      .select(datediff(col("ld"), col("fd")).as("t"),
+              when(datediff(col("maxd"), col("ld")) > 7, 1L).otherwise(0L)
+                .as("churn"))
+    val byT = users.groupBy(col("t"))
+      .agg(count(lit(1)).as("leave"), sum(col("churn")).as("d"))
+      .withColumn("c", col("leave") - col("d"))
+    val before = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
+    val full = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val curve = byT
+      .withColumn("n_risk",
+        sum(col("leave")).over(full) -
+          coalesce(sum(col("leave")).over(before), lit(0L)))
+      .withColumn("term",
+        when(col("d") < col("n_risk"),
+             log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .otherwise(lit(0.0)))
+      .withColumn("dead",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(upto))
+      .withColumn("survival",
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(r4(exp(sum(col("term")).over(upto)))))
+    ord(
+      curve.select(col("t"), col("n_risk"), col("d").as("n_churn"),
+                   col("c").as("n_censored"), col("survival")),
+      col("t"))
+  }
+
   /** q_mann_whitney — Mann–Whitney U rank-sum test between the A/B
     * arms' per-user spend distributions: the NONPARAMETRIC complement
     * to q_ab_test's proportion z-test and q_cuped's mean shift — it

@@ -38,7 +38,13 @@ class PlanGuardSpec extends AnyFunSuite {
     // windows the calendar-bounded daily rollup; q_decile_lift's ntile
     // sorts the customer SCORE frame (scaladoc documents the
     // approx-quantile 100 TB path) and its cumulative window is 10 rows
-    "q_mann_whitney", "q_psi", "q_rolling_median", "q_decile_lift")
+    "q_mann_whitney", "q_psi", "q_rolling_median", "q_decile_lift",
+    // q_auc ranks the distinct-score rollup; q_survival's risk/product
+    // windows run over distinct DURATIONS (calendar-bounded);
+    // q_chisq's total runs over the <=7x|types| contingency cells
+    "q_auc", "q_survival", "q_chisq",
+    // q_mix_kl's totals run over the |languages| row mix frame
+    "q_mix_kl")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {

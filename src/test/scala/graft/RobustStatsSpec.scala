@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{JoinOps, LlmOps, ReportShapeOps, TimeSeriesOps}
+import graft.operators.{CurationOps, JoinOps, LlmOps, ReportShapeOps, TimeSeriesOps}
 
 /** Independent-recomputation checks for the r11 statistics/eval
   * operators: each query's answer is recomputed in plain Scala from the
@@ -114,6 +114,113 @@ class RobustStatsSpec extends AnyFunSuite {
       val nOut = ps.count(p => p < lo || p > hi).toLong
       assert(r.getAs[Long]("n_out") == nOut, s"$flag: ${r.getAs[Long]("n_out")} vs $nOut")
       assert(r.getAs[Long]("n") == ps.length.toLong)
+    }
+  }
+
+  test("auc matches direct pairwise comparison counting") {
+    val out = ReportShapeOps.auc(spark, sf0001).collect().head
+    // independent: per-user (score, pos) collected, AUC by brute pairs
+    val users = Tables.events(spark, sf0001)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"),
+           min(unix_timestamp(col("ts"))).as("fs"),
+           min(when(col("event_type") === "purchase", unix_timestamp(col("ts"))))
+             .as("fp"))
+      .collect().map(r => (r.getLong(1),
+        !r.isNullAt(3) && r.getLong(3) - r.getLong(2) <= 86400))
+    val pos = users.filter(_._2).map(_._1)
+    val neg = users.filterNot(_._2).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty, "need both outcome classes")
+    var num = 0.0
+    for (p <- pos; n <- neg)
+      num += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val auc = num / (pos.length.toLong * neg.length)
+    assert(out.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(out.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(math.abs(out.getAs[Double]("auc") - auc) < 1e-3,
+      s"auc ${out.getAs[Double]("auc")} vs brute $auc")
+  }
+
+  test("survival curve matches a direct Kaplan-Meier computation") {
+    val rows = TimeSeriesOps.survival(spark, sf0001).collect()
+      .map(r => (r.getAs[Int]("t"), r.getAs[Long]("n_risk"),
+                 r.getAs[Long]("n_churn"), r.getAs[Long]("n_censored"),
+                 r.getAs[Double]("survival")))
+    assert(rows.nonEmpty)
+    // independent per-user lifetimes
+    val lt = Tables.events(spark, sf0001)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("fd"), max(to_date(col("ts"))).as("ld"))
+      .collect().map(r => (r.getDate(1), r.getDate(2)))
+    val maxd = lt.map(_._2.toLocalDate).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val durs = lt.map { case (fd, ld) =>
+      val t = (ld.toLocalDate.toEpochDay - fd.toLocalDate.toEpochDay).toInt
+      val churn = (maxd.toEpochDay - ld.toLocalDate.toEpochDay) > 7
+      (t, churn)
+    }
+    var atRisk = durs.length.toLong
+    var s = 1.0
+    val wantRows = durs.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, grp) =>
+      val d = grp.count(_._2).toLong
+      val c = grp.size - d
+      val row = (t, atRisk, d, c)
+      s *= (1.0 - d.toDouble / atRisk)
+      val sv = s
+      atRisk -= grp.size
+      (row, sv)
+    }
+    assert(rows.length == wantRows.length)
+    rows.zip(wantRows).foreach { case ((t, nr, d, c, sv), ((wt, wnr, wd, wc), wsv)) =>
+      assert(t == wt && nr == wnr && d == wd && c == wc,
+        s"t=$t counts ($nr,$d,$c) vs ($wnr,$wd,$wc)")
+      assert(math.abs(sv - wsv) < 1e-3, s"t=$t survival $sv vs $wsv")
+    }
+    // survival is non-increasing
+    assert(rows.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1) - 1e-9))
+  }
+
+  test("chisq: margins reconstruct the population and contribs sum to chi2") {
+    val rows = TimeSeriesOps.chisq(spark, sf0001).collect()
+    val totalEvents = Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == totalEvents)
+    val chi2 = rows.head.getAs[Double]("chi2")
+    rows.foreach(r => assert(r.getAs[Double]("chi2") == chi2))
+    assert(math.abs(rows.map(_.getAs[Double]("contrib")).sum - chi2) < 1e-2)
+    // expected counts also reconstruct the population
+    assert(math.abs(rows.map(_.getAs[Double]("expected")).sum - totalEvents) < 1e-2)
+    assert(rows.head.getAs[Long]("dof") ==
+      (rows.map(_.getAs[Int]("wd")).distinct.length - 1).toLong *
+      (rows.map(_.getAs[String]("event_type")).distinct.length - 1))
+  }
+
+  test("mix_kl: kl non-negative, tv in [0,1], both share columns sum to 1") {
+    val rows = CurationOps.mixKl(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val kl = rows.head.getAs[Double]("kl")
+    val tv = rows.head.getAs[Double]("tv_dist")
+    assert(kl >= -1e-9, s"KL negative: $kl")
+    assert(tv >= 0.0 && tv <= 1.0)
+    assert(math.abs(rows.map(_.getAs[Double]("natural_share")).sum - 1.0) < 1e-2)
+    assert(math.abs(rows.map(_.getAs[Double]("target_share")).sum - 1.0) < 1e-2)
+    // temperature flattening moves mass toward uniform: target entropy
+    // >= natural entropy
+    def ent(ps: Seq[Double]) = -ps.filter(_ > 0).map(p => p * math.log(p)).sum
+    assert(ent(rows.map(_.getAs[Double]("target_share")).toSeq) >=
+           ent(rows.map(_.getAs[Double]("natural_share")).toSeq) - 1e-9)
+  }
+
+  test("dedup_report counts are consistent with the cluster store") {
+    val rows = CurationOps.dedupReport(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_docs") == docs(src))
+      assert(r.getAs[Long]("n_dups") ==
+             r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("n_clusters") <= r.getAs[Long]("n_docs"))
     }
   }
 
