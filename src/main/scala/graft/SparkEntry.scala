@@ -282,7 +282,16 @@ object SparkEntry {
     "q_survival" -> (TimeSeriesOps.survival _),
     "q_dedup_report" -> (C.dedupReport _),
     "q_chisq" -> (TimeSeriesOps.chisq _),
-    "q_mix_kl" -> (C.mixKl _)
+    "q_mix_kl" -> (C.mixKl _),
+    // trend tests / effect size / t-test + GA bot screen + graph CC +
+    // retrieval MRR (r11 session 3)
+    "q_mann_kendall" -> (TimeSeriesOps.mannKendall _),
+    "q_ttest_welch" -> (TimeSeriesOps.ttestWelch _),
+    "q_cramers_v" -> (TimeSeriesOps.cramersV _),
+    "q_regression" -> (TimeSeriesOps.regression _),
+    "q_bot_filter" -> (W.botFilter _),
+    "q_graph_components" -> (GraphOps.components _),
+    "q_mrr" -> (RetrievalOps.mrr _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3711,6 +3720,186 @@ object SparkEntry {
                 (round(contrib, 4) + 0.0) AS contrib,
                 (round(sum(contrib) OVER (), 4) + 0.0) AS kl,
                 (round(sum(tvterm) OVER () / 2.0, 4) + 0.0) AS tv_dist
-         FROM c ORDER BY lang"""
+         FROM c ORDER BY lang""",
+    "q_mann_kendall" ->
+      // S, tie-corrected Var(S) and continuity-corrected z over daily
+      // cents — all int64 until the single /18.0 division and sqrt
+      """WITH daily AS (SELECT CAST(ts::TIMESTAMP AS DATE) AS day,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                                 AS cents
+                        FROM events GROUP BY 1),
+            p AS (SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                                       WHEN b.cents < a.cents THEN -1
+                                       ELSE 0 END) AS BIGINT) AS s
+                  FROM daily a JOIN daily b ON b.day > a.day),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+            t AS (SELECT CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0)
+                              AS BIGINT) AS ties
+                  FROM (SELECT count(*) AS tc FROM daily
+                        GROUP BY cents HAVING count(*) > 1) g),
+            v AS (SELECT nd, s, ties,
+                         (nd * (nd - 1) * (2 * nd + 5) - ties) AS var18
+                  FROM p, n, t)
+         SELECT nd AS n_days, s,
+                (round(var18 / 18.0, 4) + 0.0) AS var_s,
+                (round(CASE WHEN var18 = 0 THEN 0.0
+                            WHEN s > 0 THEN (s - 1) / sqrt(var18 / 18.0)
+                            WHEN s < 0 THEN (s + 1) / sqrt(var18 / 18.0)
+                            ELSE 0.0 END, 4) + 0.0) AS z,
+                CASE WHEN s > 0 THEN 'increasing'
+                     WHEN s < 0 THEN 'decreasing'
+                     ELSE 'flat' END AS trend
+         FROM v""",
+    "q_ttest_welch" ->
+      // Welch t from exact per-arm (n, Σx, Σx²); the only precision-
+      // sensitive term is spelled sx::DOUBLE * sx / n on both engines
+      """WITH u AS (SELECT user_id,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                           CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                                THEN 1 ELSE 0 END AS arm
+                    FROM events GROUP BY user_id),
+            g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS sx,
+                         CAST(sum(cents * cents) AS BIGINT) AS sxx
+                  FROM u GROUP BY arm),
+            ab AS (SELECT
+                     max(CASE WHEN arm = 1 THEN n END) AS na,
+                     max(CASE WHEN arm = 1 THEN sx END) AS sxa,
+                     max(CASE WHEN arm = 1 THEN sxx END) AS sxxa,
+                     max(CASE WHEN arm = 0 THEN n END) AS nb,
+                     max(CASE WHEN arm = 0 THEN sx END) AS sxb,
+                     max(CASE WHEN arm = 0 THEN sxx END) AS sxxb
+                   FROM g),
+            st AS (SELECT na, nb,
+                          sxa::DOUBLE / na AS ma, sxb::DOUBLE / nb AS mb,
+                          (sxxa - sxa::DOUBLE * sxa / na) / (na - 1) AS va,
+                          (sxxb - sxb::DOUBLE * sxb / nb) / (nb - 1) AS vb
+                   FROM ab),
+            w AS (SELECT na, nb, ma, mb, va, vb,
+                         va / na + vb / nb AS se2 FROM st)
+         SELECT na AS n_a, nb AS n_b,
+                (round(ma / 100.0, 4) + 0.0) AS mean_a,
+                (round(mb / 100.0, 4) + 0.0) AS mean_b,
+                (round((ma - mb) / sqrt(se2), 4) + 0.0) AS t_stat,
+                (round(se2 * se2 / ((va / na) * (va / na) / (na - 1) +
+                                    (vb / nb) * (vb / nb) / (nb - 1)), 4) + 0.0)
+                  AS df
+         FROM w""",
+    "q_cramers_v" ->
+      // same contingency derivation as q_chisq, reduced to the single
+      // effect-size row: V = sqrt(chi2 / (N * min(r-1, c-1)))
+      """WITH g AS (SELECT CAST(isodow(ts::TIMESTAMP) - 1 AS INT) AS wd, event_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+            dims AS (SELECT CAST(count(DISTINCT wd) AS BIGINT) AS nr,
+                            CAST(count(DISTINCT event_type) AS BIGINT) AS nc
+                     FROM g),
+            t AS (SELECT wd, event_type, n,
+                         CAST(sum(n) OVER (PARTITION BY wd) AS BIGINT) AS rt,
+                         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS ct,
+                         CAST(sum(n) OVER () AS BIGINT) AS tot
+                  FROM g),
+            e AS (SELECT n, tot, (rt * ct)::DOUBLE / tot AS e FROM t),
+            c AS (SELECT (n - e) * (n - e) / e AS contrib, tot FROM e),
+            x AS (SELECT sum(contrib) AS chi2, max(tot) AS tot FROM c)
+         SELECT (round(chi2, 4) + 0.0) AS chi2,
+                (nr - 1) * (nc - 1) AS dof,
+                tot AS n,
+                (round(sqrt(chi2 / (tot * least(nr - 1, nc - 1))), 4) + 0.0)
+                  AS cramers_v
+         FROM x, dims""",
+    "q_regression" ->
+      // OLS from exact int64 sufficient statistics; num²/den products
+      // are spelled a::DOUBLE * b identically on both engines
+      """WITH d0 AS (SELECT min(CAST(ts::TIMESTAMP AS DATE)) AS mind FROM events),
+            r AS (SELECT event_type,
+                         CAST(datediff('day', mind, CAST(ts::TIMESTAMP AS DATE))
+                              AS BIGINT) AS x,
+                         CAST(round(value * 100) AS BIGINT) AS y
+                  FROM events, d0),
+            a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y * y) AS BIGINT) AS syy
+                  FROM r GROUP BY 1),
+            s AS (SELECT event_type, n,
+                         (n * sxy - sx * sy) AS num,
+                         (n * sxx - sx * sx) AS den1,
+                         (n * syy - sy * sy) AS den2,
+                         sx, sy FROM a),
+            f AS (SELECT event_type, n,
+                         num::DOUBLE / den1 AS slope_raw,
+                         (sy::DOUBLE - num::DOUBLE / den1 * sx) / n AS icept_raw,
+                         num::DOUBLE * num / (den1::DOUBLE * den2) AS r2_raw
+                  FROM s)
+         SELECT event_type, n,
+                (round(slope_raw / 100.0, 4) + 0.0) AS slope,
+                (round(icept_raw / 100.0, 4) + 0.0) AS intercept,
+                (round(r2_raw, 4) + 0.0) AS r2
+         FROM f ORDER BY event_type""",
+    "q_bot_filter" ->
+      """WITH pm AS (SELECT user_id, date_trunc('minute', ts::TIMESTAMP) AS m,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM events GROUP BY 1, 2),
+            u AS (SELECT user_id, CAST(max(c) AS BIGINT) AS peak_epm,
+                         CAST(count(*) AS BIGINT) AS active_minutes,
+                         CAST(sum(c) AS BIGINT) AS total_events
+                  FROM pm GROUP BY 1)
+         SELECT user_id, peak_epm, active_minutes, total_events
+         FROM u WHERE peak_epm >= 2 ORDER BY user_id""",
+    "q_graph_components" ->
+      // strong-tie cutoff w·|E| ≥ 2·Σw in exact int64; components =
+      // min reachable label over the symmetrized strong edges
+      """WITH RECURSIVE
+           edges0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                             CAST(count(*) AS BIGINT) AS w
+                      FROM lineitem l
+                      JOIN orders o ON l.l_orderkey = o.o_orderkey
+                      JOIN customer c ON o.o_custkey = c.c_custkey
+                      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                      GROUP BY 1, 2),
+           cut AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                          CAST(count(*) AS BIGINT) AS ne FROM edges0),
+           strong AS (SELECT src, dst FROM edges0, cut
+                      WHERE src <> dst AND w * ne >= 2 * tw),
+           sym AS (SELECT src AS u, dst AS v FROM strong
+                   UNION SELECT dst AS u, src AS v FROM strong),
+           nodes AS (SELECT n_nationkey AS u FROM nation),
+           walk(u, lbl) AS (
+             SELECT u, u FROM nodes
+             UNION
+             SELECT s.v, w.lbl FROM walk w JOIN sym s ON s.u = w.u),
+           comp AS (SELECT u AS nationkey, min(lbl) AS component
+                    FROM walk GROUP BY u),
+           sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+                     FROM comp GROUP BY 1)
+         SELECT c.nationkey, n.n_name AS nation, c.component,
+                s.csize AS component_size
+         FROM comp c JOIN nation n ON c.nationkey = n.n_nationkey
+                     JOIN sizes s ON c.component = s.component
+         ORDER BY c.nationkey""",
+    "q_mrr" ->
+      // same candidate ranking as q_ndcg; rr = 1/first-relevant rank,
+      // MRR averages the ROUNDED rr values (Spark does the same)
+      """WITH em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+                  FROM em WHERE vec_id < 10),
+            sims AS (SELECT q_id, q_label, vec_id AS n_id, label AS n_label,
+                            (round(list_dot_product(qv, v) /
+                                  (sqrt(list_dot_product(qv, qv)) *
+                                   sqrt(list_dot_product(v, v))), 4) + 0.0) AS sim
+                     FROM em, q WHERE vec_id <> q_id),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rn
+                   FROM sims),
+            top AS (SELECT * FROM rk WHERE rn <= 10),
+            rr AS (SELECT q_id,
+                          (round(coalesce(1.0 /
+                             min(CASE WHEN n_label = q_label THEN rn END), 0.0),
+                             4) + 0.0) AS rr
+                   FROM top GROUP BY q_id)
+         SELECT q_id, rr, (round(avg(rr) OVER (), 4) + 0.0) AS mrr
+         FROM rr ORDER BY q_id"""
   )
 }

@@ -199,4 +199,43 @@ object GraphOps {
              (col("du") + col("dw") - col("common"))).as("jaccard")),
       col("u"), col("w"))
   }
+
+  /** q_graph_components — connected components of the STRONG-tie trade
+    * graph: keep edges whose weight is ≥ 2× the mean edge weight
+    * (w·|E| ≥ 2·Σw in exact int64 — a relative cutoff that scales with
+    * the corpus, no magic absolute), then label every nation with the
+    * minimum nationkey reachable over the undirected strong edges.
+    * Nations outside any strong tie surface as singleton components —
+    * the "trade bloc" readout (who actually clusters with whom once
+    * weak background volume is cut).
+    *
+    * Scale shape: the edge derivation is the shared |nodes|²-bounded
+    * tradeEdges; components run through [[CurationOps.cc]] — min-label
+    * propagation with the O(log² n) large-star/small-star fallback, the
+    * SAME engine the document cluster store uses at corpus scale, so
+    * the operator inherits its convergence guarantees; the 1-row cutoff
+    * frame and the node list broadcast. Labels are fixpoint-unique →
+    * deterministic regardless of execution order. */
+  def components(s: SparkSession, d: String): DataFrame = {
+    val edges = tradeEdges(s, d)
+    val cut = edges.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
+    val strong = edges.crossJoin(broadcast(cut))
+      .filter(col("src") =!= col("dst") &&
+              col("w") * col("ne") >= lit(2L) * col("tw"))
+      .select(col("src").cast("long").as("d1"), col("dst").cast("long").as("d2"))
+    val labeled = CurationOps.cc(strong)
+      .select(col("doc_id").cast("int").as("nationkey"),
+              col("component").cast("int").as("comp"))
+    val nodes = Tables.nation(s, d)
+      .select(col("n_nationkey").as("nationkey"), col("n_name").as("nation"))
+    val comp = nodes.join(broadcast(labeled), Seq("nationkey"), "left")
+      .select(col("nationkey"), col("nation"),
+              coalesce(col("comp"), col("nationkey")).as("component"))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    ord(
+      comp.join(broadcast(sizes), "component")
+        .select(col("nationkey"), col("nation"), col("component"),
+                col("csize").as("component_size")),
+      col("nationkey"))
+  }
 }

@@ -252,4 +252,50 @@ object RetrievalOps {
             .otherwise(r4(col("dcg") / col("idcg"))).as("ndcg")),
       col("q_id"))
   }
+
+  /** q_mrr — Mean Reciprocal Rank over the same query panel and
+    * brute-force cosine ranking as q_ndcg: per query, 1/rank of the
+    * FIRST same-label neighbor within the top 10 (0 when none), plus
+    * the panel-wide MRR on every row. The first-relevant-hit metric
+    * retrieval evals quote next to nDCG's graded-gain one; both read
+    * the identical candidate ranking, so a gap between them isolates
+    * ranking-head vs ranking-depth quality.
+    *
+    * Determinism: ranks are exact row_numbers on (r4'd sim DESC, n_id)
+    * — the q_ndcg tie rule; rr = 1/min(rank) divides an exact integer
+    * once; the MRR window averages the ten r4'd rr values and is r4'd
+    * itself.
+    *
+    * Scale shape: identical to q_ndcg — corpus × broadcast query panel,
+    * bounded top-k via the rerankTopK TypedImperativeAggregate (≤k rows
+    * per query per map task), label lookup rides a broadcast of the
+    * ≤10·|queries| winner frame; the corpus side is never shuffled. */
+  def mrr(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+    val q = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+              col("v").as("qv"))
+    val sims = em.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+              r4(call_function("cosine_sim", col("qv"), col("v"))).as("sim"))
+    val top = em.select(col("vec_id").as("n_id"), col("label").as("n_label"))
+      .join(broadcast(
+        graft.operators.LlmOps.rerankTopK(s, sims, 10)
+          .join(broadcast(q.select(col("q_id"), col("q_label"))), "q_id")),
+        "n_id")
+    val rr = top.groupBy(col("q_id"))
+      .agg(coalesce(lit(1.0) /
+                      min(when(col("n_label") === col("q_label"), col("rn"))),
+                    lit(0.0)).as("rr_raw"))
+    val full = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    ord(
+      rr.select(col("q_id"), r4(col("rr_raw")).as("rr"))
+        .withColumn("mrr", r4(avg(col("rr")).over(full))),
+      col("q_id"))
+  }
 }

@@ -694,4 +694,206 @@ object TimeSeriesOps {
         .select(col("day"), col("forecast")),
       col("day"))
   }
+
+  /** q_mann_kendall — non-parametric Mann–Kendall trend test on the
+    * daily revenue series: S = Σ_{i<j} sign(x_j − x_i) over the day
+    * pairs, tie-corrected variance, and the continuity-corrected
+    * normal approximation z = (S∓1)/√Var(S). The robust companion to
+    * q_regression's parametric slope — no distributional assumption,
+    * insensitive to outlier days.
+    *
+    * Determinism: daily totals are exact cents (BIGINT); S, the tie
+    * term and 18·Var(S) are pure int64; exactly one double division
+    * (var18/18) and one sqrt feed the r4'd outputs.
+    *
+    * Scale shape: ONE partial-aggregable day rollup over the fact
+    * scan (localCheckpointed eagerly — the ≤|days| frame feeds four
+    * consumers, the scan must not re-run per leg); the O(days²) pair
+    * join is over the CALENDAR-bounded frame (a decade ≈ 3.7k days ≈
+    * 6.6M pairs), broadcast on the build side, independent of event
+    * volume. */
+  def mannKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .localCheckpoint(true)
+    val pairs = daily.select(col("day").as("da"), col("cents").as("ca"))
+      .join(broadcast(daily.select(col("day").as("db"), col("cents").as("cb"))),
+            col("db") > col("da"))
+      .agg(sum(when(col("cb") > col("ca"), 1L)
+                 .when(col("cb") < col("ca"), -1L).otherwise(0L)).as("s"))
+    val n = daily.agg(count(lit(1)).as("nd"))
+    val ties = daily.groupBy(col("cents")).agg(count(lit(1)).as("tc"))
+      .filter(col("tc") > 1)
+      .agg(coalesce(sum(col("tc") * (col("tc") - 1L) * (lit(2L) * col("tc") + 5L)),
+                    lit(0L)).as("ties"))
+    pairs.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .withColumn("var18",
+        col("nd") * (col("nd") - 1L) * (lit(2L) * col("nd") + 5L) - col("ties"))
+      .select(
+        col("nd").as("n_days"), col("s"),
+        r4(col("var18") / lit(18.0)).as("var_s"),
+        r4(when(col("var18") === 0L, lit(0.0))
+             .when(col("s") > 0L, (col("s") - 1L) / sqrt(col("var18") / lit(18.0)))
+             .when(col("s") < 0L, (col("s") + 1L) / sqrt(col("var18") / lit(18.0)))
+             .otherwise(lit(0.0))).as("z"),
+        when(col("s") > 0L, lit("increasing"))
+          .when(col("s") < 0L, lit("decreasing"))
+          .otherwise(lit("flat")).as("trend"))
+  }
+
+  /** q_ttest_welch — Welch's unequal-variance t-test on per-user
+    * revenue between the two md5-gated experiment arms (same gate as
+    * q_ab_test/q_mann_whitney): the CONTINUOUS-metric significance
+    * readout where q_ab_test is the conversion-rate one. Emits arm
+    * sizes, means, the t statistic and the Welch–Satterthwaite
+    * degrees of freedom.
+    *
+    * Determinism: per-user totals are exact cents; each arm reduces
+    * to exact int64 (n, Σx, Σx²); mean/variance/t/df are computed
+    * from those six integers with the IDENTICAL expression tree on
+    * both engines (the one place precision could drift — Σx·Σx — is
+    * spelled `sx::DOUBLE · sx / n` on both sides), then r4'd once.
+    *
+    * Scale shape: one per-user rollup (the only fact-scale shuffle,
+    * partial-aggregable), one 2-row arm rollup, then scalar math on a
+    * 1-row frame. Nothing downstream depends on user count. */
+  def ttestWelch(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) % 2") === 0,
+             1).otherwise(0))
+    val ab = users.agg(
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("sxa"),
+      sum(when(col("arm") === 1, col("cents") * col("cents")).otherwise(0L)).as("sxxa"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("sxb"),
+      sum(when(col("arm") === 0, col("cents") * col("cents")).otherwise(0L)).as("sxxb"))
+    val st = ab
+      .withColumn("ma", col("sxa").cast("double") / col("na"))
+      .withColumn("mb", col("sxb").cast("double") / col("nb"))
+      .withColumn("va",
+        try_divide(
+          col("sxxa") - col("sxa").cast("double") * col("sxa") / col("na"),
+          col("na") - 1L))
+      .withColumn("vb",
+        try_divide(
+          col("sxxb") - col("sxb").cast("double") * col("sxb") / col("nb"),
+          col("nb") - 1L))
+      .withColumn("se2", col("va") / col("na") + col("vb") / col("nb"))
+    // try_divide on t and df: identical arms (se2 = 0) or single-user
+    // arms (df denominator 0) must yield NULL like DuckDB's ÷0, not an
+    // ANSI exception
+    st.select(
+      col("na").as("n_a"), col("nb").as("n_b"),
+      r4(col("ma") / 100.0).as("mean_a"),
+      r4(col("mb") / 100.0).as("mean_b"),
+      r4(try_divide(col("ma") - col("mb"), sqrt(col("se2")))).as("t_stat"),
+      r4(try_divide(col("se2") * col("se2"),
+           (col("va") / col("na")) * (col("va") / col("na")) / (col("na") - 1L) +
+             (col("vb") / col("nb")) * (col("vb") / col("nb")) / (col("nb") - 1L)))
+        .as("df"))
+  }
+
+  /** q_cramers_v — effect SIZE for the weekday × event-type
+    * association: V = √(χ²/(N·min(r−1, c−1))), the scale-free [0,1]
+    * companion to q_chisq's significance statistic (χ² grows with N
+    * even for a trivial association; V does not — the number an
+    * analyst actually compares across datasets).
+    *
+    * Determinism: observed/row/col/total counts are exact int64;
+    * expected counts divide exact integers once per cell; the χ² sum
+    * and the single sqrt are r4'd at output (the q_chisq pattern).
+    *
+    * Scale shape: ONE partial-aggregable (weekday, type) count
+    * shuffle; everything after runs on the ≤7·|types| cell frame plus
+    * a broadcast 1-row dims frame. */
+  def cramersV(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .groupBy(expr("weekday(ts)").as("wd"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val full = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byRow = Window.partitionBy(col("wd"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byCol = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dims = cells.agg(countDistinct(col("wd")).as("nr"),
+                         countDistinct(col("event_type")).as("nc"))
+    val x = cells
+      .withColumn("rt", sum(col("n")).over(byRow))
+      .withColumn("ct", sum(col("n")).over(byCol))
+      .withColumn("tot", sum(col("n")).over(full))
+      .withColumn("e", (col("rt") * col("ct")).cast("double") / col("tot"))
+      .withColumn("contrib",
+        (col("n") - col("e")) * (col("n") - col("e")) / col("e"))
+      .agg(sum(col("contrib")).as("chi2"), max(col("tot")).as("tot"))
+    x.crossJoin(broadcast(dims))
+      .select(
+        r4(col("chi2")).as("chi2"),
+        ((col("nr") - 1L) * (col("nc") - 1L)).as("dof"),
+        col("tot").as("n"),
+        r4(sqrt(col("chi2") /
+                  (col("tot") * least(col("nr") - 1L, col("nc") - 1L))))
+          .as("cramers_v"))
+  }
+
+  /** q_regression — per-event-type OLS of revenue on time (x = days
+    * since the corpus's first day, y = cents): slope, intercept and
+    * R² from the six exact sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx², Σy²). The parametric trend readout; q_mann_kendall is its
+    * robust cross-check, q_trend_ewma the smoother.
+    *
+    * The built-in regr_slope/regr_intercept are deliberately NOT used:
+    * they accumulate doubles in partition order (non-deterministic
+    * summation), while int64 sufficient statistics are exact and make
+    * the cross-engine hash gate attainable.
+    *
+    * Determinism: x (calendar offset) and y (cents) are exact int64
+    * per row, so all six aggregates are exact; slope/intercept/R²
+    * divide them with the identical expression tree on both engines
+    * (num²  and den₁·den₂ are spelled `a::DOUBLE · b` to dodge int64
+    * overflow identically), then r4.
+    *
+    * Scale shape: the 1-row min-day frame broadcasts into the scan;
+    * ONE partial-aggregable shuffle on event_type; scalar math on the
+    * |types|-row frame. */
+  def regression(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+    val d0 = ev.agg(min(col("day")).as("mind"))
+    val a = ev.crossJoin(broadcast(d0))
+      .select(col("event_type"),
+              datediff(col("day"), col("mind")).cast("long").as("x"),
+              expr("cast(round(value * 100) as bigint)").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("y")).as("sxy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("y") * col("y")).as("syy"))
+    val f = a
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den1", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("den2", col("n") * col("syy") - col("sy") * col("sy"))
+      // try_divide, not `/`: a degenerate group (single day → den1 = 0;
+      // constant value → den2 = 0) must yield NULL like DuckDB's
+      // divide-by-zero, not an ANSI SparkArithmeticException
+      .withColumn("slope_raw", try_divide(col("num").cast("double"), col("den1")))
+      .withColumn("icept_raw",
+        (col("sy").cast("double") -
+           try_divide(col("num").cast("double"), col("den1")) * col("sx")) /
+          col("n"))
+      .withColumn("r2_raw",
+        try_divide(col("num").cast("double") * col("num"),
+                   col("den1").cast("double") * col("den2")))
+    ord(
+      f.select(col("event_type"), col("n"),
+               r4(col("slope_raw") / 100.0).as("slope"),
+               r4(col("icept_raw") / 100.0).as("intercept"),
+               r4(col("r2_raw")).as("r2")),
+      col("event_type"))
+  }
 }

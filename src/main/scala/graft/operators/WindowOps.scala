@@ -595,4 +595,32 @@ object WindowOps {
                 r4(col("n").cast("double") / col("total")).as("p")),
       col("cur_type"), col("next_type"))
   }
+
+  /** q_bot_filter — GA's data-hygiene screen: users whose peak
+    * event rate within any single minute reaches the bot threshold,
+    * with their peak rate, active-minute count and total volume. The
+    * flag list feeds an anti-join upstream of every per-user metric
+    * (loyalty, retention, funnels) — rate-based bot exclusion is the
+    * first filter every real analytics pipeline applies.
+    *
+    * Determinism: pure integer counts end to end; the threshold
+    * compares exact int64.
+    *
+    * Scale shape: ONE partial-aggregable shuffle on (user, minute) —
+    * map-side combine collapses each user-minute before the exchange —
+    * then a second rollup on user_id alone. Both keys are finer/equal
+    * to user_id, so at 100 TB the heavy first shuffle bounds the cost;
+    * no windows, no sorts. */
+  def botFilter(s: SparkSession, d: String): DataFrame = {
+    val perMin = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("c"))
+    ord(
+      perMin.groupBy(col("user_id"))
+        .agg(max(col("c")).as("peak_epm"),
+             count(lit(1)).as("active_minutes"),
+             sum(col("c")).as("total_events"))
+        .filter(col("peak_epm") >= 2L),
+      col("user_id"))
+  }
 }

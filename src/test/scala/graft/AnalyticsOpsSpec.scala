@@ -527,6 +527,75 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         sorted.map(_.getDouble(3)).toSeq.sorted, s"[$seg] cd not monotone")
     }
   }
+
+  test("graph_components: two planted strong blocs + a weak bridge split correctly") {
+    val dir = tmpDir("gcc")
+    writeTable(dir, "nation", Schemas.nation,
+      (0 to 4).map(i => Row(i, s"N$i", 0)))
+    writeTable(dir, "customer", Schemas.customer,
+      (0 to 4).map(i => Row(i.toLong, s"C$i", i, 0.0, "SEG")))
+    writeTable(dir, "supplier", Schemas.supplier,
+      (0 to 4).map(i => Row(i.toLong, s"S$i", i, 0.0)))
+    val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    // heavy 0↔1 and 2↔3 trade (10 lineitems each way) over six weight-1
+    // background bridges; nation 4 isolated. Σw = 46 over 10 edges →
+    // the ≥2×mean cutoff (w ≥ 9.2) keeps exactly the four 10-weight
+    // edges → components {0,1}, {2,3}, {4}.
+    val flows = Seq((0L, 1L, 10), (1L, 0L, 10), (2L, 3L, 10), (3L, 2L, 10),
+                    (1L, 2L, 1), (2L, 1L, 1), (0L, 3L, 1), (3L, 0L, 1),
+                    (0L, 2L, 1), (2L, 0L, 1))
+    var oid = 0L
+    val (orows, lrows) = flows.flatMap { case (cn, sn, w) =>
+      (1 to w).map { _ =>
+        oid += 1
+        (Row(oid, cn, "O", 1.0, ts, "1"),
+         Row(oid, 1L, sn, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts))
+      }
+    }.unzip
+    writeTable(dir, "orders", Schemas.orders, orows)
+    writeTable(dir, "lineitem", Schemas.lineitem, lrows)
+    val out = GraphOps.components(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+    assert(out == Map(0 -> ((0, 2L)), 1 -> ((0, 2L)),
+                      2 -> ((2, 2L)), 3 -> ((2, 2L)), 4 -> ((4, 1L))),
+      s"got $out")
+  }
+
+  test("graph_components on real data: labels are component minima and sizes consistent") {
+    val rows = GraphOps.components(spark, sf0001).collect()
+    assert(rows.length == 25)
+    val byComp = rows.groupBy(_.getInt(2))
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_.getInt(0)).min == comp,
+        s"component label must be its minimum member: $comp")
+      members.foreach(m => assert(m.getLong(3) == members.length.toLong))
+    }
+    assert(rows.map(_.getLong(3)).map(_.toInt).sum ==
+      byComp.values.map(m => m.length * m.length).sum) // Σ per-member size
+  }
+
+  test("mrr: planted rank-1 neighbor scores 1; lone label scores 0") {
+    val dir = tmpDir("mrr")
+    def vec(axis: Int, mag: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == axis) mag else 0.001f)
+    // query 0: nearest neighbor (vec 10) shares label 7 → rr = 1.
+    // query 1: same-label vec sits at rank 2 behind an off-label twin
+    //   on the same axis → rr = 0.5.
+    // query 2: only vector of label 9 → rr = 0.
+    val rows = Seq(
+      Row(0L, vec(0, 1.0f), 7),
+      Row(1L, vec(1, 1.0f), 5),
+      Row(2L, vec(40, 1.0f), 9),
+      Row(10L, vec(0, 0.9f), 7),
+      Row(11L, vec(1, 0.95f), 6), // rank-1 for query 1, wrong label
+      Row(12L, vec(1, 0.9f), 5))
+    writeTable(dir, "embeddings", embeddingsSchema, rows)
+    val out = RetrievalOps.mrr(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(0L -> 1.0, 1L -> 0.5, 2L -> 0.0), s"got $out")
+    val mrr = RetrievalOps.mrr(spark, dir).collect().head.getDouble(2)
+    assert(math.abs(mrr - 0.5) < 1e-9, s"panel mrr: $mrr")
+  }
 }
 
 /** Small helpers shared by the r6 tests. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CurationOps, JoinOps, LlmOps, ReportShapeOps, TimeSeriesOps}
+import graft.operators.{CurationOps, JoinOps, LlmOps, ReportShapeOps, TimeSeriesOps, WindowOps}
 
 /** Independent-recomputation checks for the r11 statistics/eval
   * operators: each query's answer is recomputed in plain Scala from the
@@ -259,5 +259,129 @@ class RobustStatsSpec extends AnyFunSuite {
     val top10 = out.take(10).map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2"))).toSet
     assert(top10 == planted,
       s"centered LSH missed planted twins: missing=${planted -- top10} extra=${top10 -- planted}")
+  }
+
+  test("mann_kendall S/var/z match a direct pairwise computation") {
+    val out = TimeSeriesOps.mannKendall(spark, sf0001).collect().head
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).sortBy(_._1)
+    val n = daily.length.toLong
+    var s = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length)
+      s += java.lang.Long.signum(daily(j)._2 - daily(i)._2)
+    val ties = daily.groupBy(_._2).values.map(_.length.toLong)
+      .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val var18 = n * (n - 1) * (2 * n + 5) - ties
+    val z =
+      if (var18 == 0) 0.0
+      else if (s > 0) (s - 1) / math.sqrt(var18 / 18.0)
+      else if (s < 0) (s + 1) / math.sqrt(var18 / 18.0)
+      else 0.0
+    assert(out.getAs[Long]("n_days") == n)
+    assert(out.getAs[Long]("s") == s)
+    assert(math.abs(out.getAs[Double]("var_s") - var18 / 18.0) < 1e-3)
+    assert(math.abs(out.getAs[Double]("z") - z) < 1e-3)
+    assert(out.getAs[String]("trend") ==
+      (if (s > 0) "increasing" else if (s < 0) "decreasing" else "flat"))
+  }
+
+  test("ttest_welch matches a direct two-sample computation; arms partition users") {
+    val out = TimeSeriesOps.ttestWelch(spark, sf0001).collect().head
+    val users = Tables.events(spark, sf0001)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) % 2") === 0,
+             1).otherwise(0))
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    val a = users.filter(_._2 == 1).map(_._1.toDouble)
+    val b = users.filter(_._2 == 0).map(_._1.toDouble)
+    def meanVar(x: Array[Double]): (Double, Double) = {
+      val m = x.sum / x.length
+      (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+    }
+    val (ma, va) = meanVar(a); val (mb, vb) = meanVar(b)
+    val se2 = va / a.length + vb / b.length
+    val t = (ma - mb) / math.sqrt(se2)
+    val df = se2 * se2 /
+      ((va / a.length) * (va / a.length) / (a.length - 1) +
+       (vb / b.length) * (vb / b.length) / (b.length - 1))
+    assert(out.getAs[Long]("n_a") == a.length.toLong)
+    assert(out.getAs[Long]("n_b") == b.length.toLong)
+    assert(math.abs(out.getAs[Double]("mean_a") - ma / 100.0) < 1e-3)
+    assert(math.abs(out.getAs[Double]("t_stat") - t) < 1e-3)
+    assert(math.abs(out.getAs[Double]("df") - df) < 1e-2)
+    // same md5 gate as q_ab_test: Welch's arms must partition the users
+    assert(out.getAs[Long]("n_a") + out.getAs[Long]("n_b") == users.length.toLong)
+  }
+
+  test("cramers_v matches chi2 recomputed from the contingency cells; V in [0,1]") {
+    val out = TimeSeriesOps.cramersV(spark, sf0001).collect().head
+    val cells = Tables.events(spark, sf0001)
+      .groupBy(expr("weekday(ts)").as("wd"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+    val rowT = cells.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val colT = cells.groupBy(_._1._2).map { case (k, v) => k -> v.map(_._2).sum }
+    val tot = cells.map(_._2).sum.toDouble
+    val chi2 = cells.map { case ((wd, et), n) =>
+      val e = rowT(wd) * colT(et) / tot
+      (n - e) * (n - e) / e
+    }.sum
+    val minDim = math.min(rowT.size - 1, colT.size - 1)
+    val v = math.sqrt(chi2 / (tot * minDim))
+    assert(math.abs(out.getAs[Double]("chi2") - chi2) < 1e-3)
+    assert(out.getAs[Long]("dof") == (rowT.size - 1).toLong * (colT.size - 1))
+    assert(out.getAs[Long]("n") == tot.toLong)
+    assert(math.abs(out.getAs[Double]("cramers_v") - v) < 1e-3)
+    assert(out.getAs[Double]("cramers_v") >= 0.0 &&
+           out.getAs[Double]("cramers_v") <= 1.0)
+  }
+
+  test("regression recovers an exact planted line with r2 = 1") {
+    val dir = tmpDir("ols")
+    // y = 200 + 300·day cents, exactly linear over 5 days → slope 3.0
+    // currency units/day, intercept 2.0, r2 = 1; a second flat type.
+    val rows = (0 until 5).flatMap { day =>
+      Seq(eventRow(2L * day, day * 86400L, 1L, "lin", 2.0 + 3.0 * day),
+          eventRow(2L * day + 1, day * 86400L, 2L, "flat", 7.0))
+    }
+    writeEvents(dir, rows)
+    val out = TimeSeriesOps.regression(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Double]("slope"), r.getAs[Double]("intercept"),
+          r.getAs[Double]("r2")))).toMap
+    assert(out("lin") == ((3.0, 2.0, 1.0)), s"got $out")
+    // a constant series has den2 = 0 → r2 is NULL (0/0), slope 0
+    assert(out("flat")._1 == 0.0 && out("flat")._2 == 7.0, s"got $out")
+  }
+
+  test("regression on real data: r2 in [0,1], n partitions the events") {
+    val rows = TimeSeriesOps.regression(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+           Tables.events(spark, sf0001).count())
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9, s"r2 out of range: $r")
+    }
+  }
+
+  test("bot_filter flags exactly the users with a >=2-events minute") {
+    val dir = tmpDir("bot")
+    writeEvents(dir, Seq(
+      eventRow(1L, 0L, 1L, "view", 1.0),   // user 1: 2 events in minute 0
+      eventRow(2L, 30L, 1L, "click", 1.0),
+      eventRow(3L, 90L, 1L, "view", 1.0),  // + a slow third event
+      eventRow(4L, 0L, 2L, "view", 1.0),   // user 2: never 2 in a minute
+      eventRow(5L, 70L, 2L, "view", 1.0),
+      eventRow(6L, 140L, 2L, "view", 1.0)))
+    val out = WindowOps.botFilter(spark, dir).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("user_id") == 1L, s"got ${out.toSeq}")
+    assert(out.head.getAs[Long]("peak_epm") == 2L)
+    assert(out.head.getAs[Long]("active_minutes") == 2L)
+    assert(out.head.getAs[Long]("total_events") == 3L)
   }
 }
