@@ -291,7 +291,12 @@ object SparkEntry {
     "q_regression" -> (TimeSeriesOps.regression _),
     "q_bot_filter" -> (W.botFilter _),
     "q_graph_components" -> (GraphOps.components _),
-    "q_mrr" -> (RetrievalOps.mrr _)
+    "q_mrr" -> (RetrievalOps.mrr _),
+    "q_theil_sen" -> (TimeSeriesOps.theilSen _),
+    "q_power_mde" -> (TimeSeriesOps.powerMde _),
+    "q_ngram_novelty" -> (L.ngramNovelty _),
+    "q_dup_family_hist" -> (C.dupFamilyHist _),
+    "q_bootstrap_ci" -> (TimeSeriesOps.bootstrapCi _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3900,6 +3905,167 @@ object SparkEntry {
                              4) + 0.0) AS rr
                    FROM top GROUP BY q_id)
          SELECT q_id, rr, (round(avg(rr) OVER (), 4) + 0.0) AS mrr
-         FROM rr ORDER BY q_id"""
+         FROM rr ORDER BY q_id""",
+    "q_theil_sen" ->
+      // median of pairwise slopes picked MANUALLY (row_number bracket)
+      // so no engine-specific percentile interpolation is in play
+      """WITH daily AS (SELECT CAST(ts::TIMESTAMP AS DATE) AS day,
+                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                                 AS cents
+                        FROM events GROUP BY 1),
+            p AS (SELECT (b.cents - a.cents)::DOUBLE /
+                           datediff('day', a.day, b.day) AS slope
+                  FROM daily a JOIN daily b ON b.day > a.day),
+            o AS (SELECT slope,
+                         row_number() OVER (ORDER BY slope) AS rn,
+                         CAST(count(*) OVER () AS BIGINT) AS cnt
+                  FROM p),
+            sel AS (SELECT slope, cnt FROM o
+                    WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+         SELECT n_days, max(cnt) AS n_pairs,
+                (round(sum(slope) / count(*) / 100.0, 4) + 0.0) AS slope
+         FROM sel, n GROUP BY n_days""",
+    "q_power_mde" ->
+      // MDE on day-one conversion at alpha=0.05 / 80% power, given the
+      // observed md5-gated arm sizes (the q_ab_test derivation)
+      """WITH f AS (SELECT user_id,
+                           min(epoch_us(ts::TIMESTAMP)//1000000) AS first_sec,
+                           min(CASE WHEN event_type = 'purchase'
+                                    THEN epoch_us(ts::TIMESTAMP)//1000000 END)
+                             AS first_purch
+                    FROM events GROUP BY user_id),
+            u AS (SELECT user_id,
+                         CASE WHEN first_purch IS NOT NULL
+                                   AND first_purch - first_sec <= 86400
+                              THEN 1 ELSE 0 END AS conv,
+                         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                              THEN 1 ELSE 0 END AS arm
+                  FROM f),
+            ab AS (SELECT
+                     CAST(sum(arm) AS BIGINT) AS na,
+                     CAST(sum(arm * conv) AS BIGINT) AS ca,
+                     CAST(sum(1 - arm) AS BIGINT) AS nb,
+                     CAST(sum((1 - arm) * conv) AS BIGINT) AS cb
+                   FROM u),
+            pp AS (SELECT na, nb,
+                          (ca + cb)::DOUBLE / (na + nb) AS p_pool FROM ab),
+            m AS (SELECT na, nb, p_pool,
+                         2.8016 * sqrt(p_pool * (1.0 - p_pool) *
+                                       (1.0 / na + 1.0 / nb)) AS mde_abs
+                  FROM pp)
+         SELECT na AS n_a, nb AS n_b,
+                (round(p_pool, 4) + 0.0) AS p_pool,
+                (round(mde_abs, 4) + 0.0) AS mde_abs,
+                (round(mde_abs / p_pool, 4) + 0.0) AS mde_rel
+         FROM m""",
+    "q_ngram_novelty" ->
+      // gram ownership = min doc_id; novel count per doc comes from
+      // the ownership frame alone (no corpus-gram join back)
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            ng AS (SELECT doc_id,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
+                   FROM base),
+            nz AS (SELECT doc_id, ngs FROM ng WHERE len(ngs) > 0),
+            ex AS (SELECT doc_id, unnest(ngs) AS g FROM nz),
+            firsts AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY 1),
+            novel AS (SELECT first_doc AS doc_id,
+                             CAST(count(*) AS BIGINT) AS novel
+                      FROM firsts GROUP BY 1),
+            szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex
+                    GROUP BY 1)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(coalesce(sum(s.n), 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(sum(v.novel), 0) AS BIGINT) AS novel_grams,
+                (round(coalesce(sum(v.novel), 0)::DOUBLE /
+                       coalesce(sum(s.n), 0), 4) + 0.0) AS novelty_rate
+         FROM documents d LEFT JOIN szs s USING (doc_id)
+                          LEFT JOIN novel v USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
+    "q_dup_family_hist" ->
+      // the q_dedup_cluster component CTE, rolled into a family-size
+      // histogram; singletons are real k=1 families
+      """WITH RECURSIVE
+            base AS (SELECT doc_id, lang, source,
+                            string_split(text, ' ') AS toks FROM documents),
+            ng AS (SELECT doc_id, lang, source,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
+                   FROM base),
+            nz AS (SELECT doc_id, lang, source, ngs FROM ng WHERE len(ngs) > 0),
+            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
+            dfreq AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
+            ex AS (SELECT ex0.* FROM ex0 JOIN dfreq USING (g) WHERE df <= 100),
+            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
+            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                      FROM ex a JOIN ex b
+                        ON a.lang = b.lang AND a.source = b.source
+                       AND a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT d1, d2
+                      FROM inter JOIN sz s1 ON s1.doc_id = d1
+                                 JOIN sz s2 ON s2.doc_id = d2
+                      WHERE (round(CAST(inter AS DOUBLE)
+                                  / (s1.nsz + s2.nsz - inter), 4) + 0.0) >= 0.5),
+            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                      UNION ALL SELECT d2, d1 FROM pairs),
+            reach AS (SELECT doc_id AS v, doc_id AS r FROM documents
+                      UNION
+                      SELECT e.b AS v, reach.r AS r
+                      FROM reach JOIN edges e ON e.a = reach.v),
+            comp AS (SELECT v AS doc_id, min(r) AS component
+                     FROM reach GROUP BY 1),
+            sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS family_size
+                      FROM comp GROUP BY 1),
+            total AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+         SELECT family_size, CAST(count(*) AS BIGINT) AS n_families,
+                CAST(family_size * count(*) AS BIGINT) AS n_docs,
+                (round((family_size * count(*))::DOUBLE / nd, 4) + 0.0)
+                  AS corpus_share
+         FROM sizes, total GROUP BY family_size, nd ORDER BY family_size""",
+    "q_bootstrap_ci" ->
+      // deterministic Poisson bootstrap: per-(user, replicate) weight
+      // from an inverse-CDF ladder on the md5 uniform; percentile
+      // bracket picked manually (no engine interpolation)
+      """WITH u AS (SELECT user_id,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                             AS cents
+                    FROM events GROUP BY user_id),
+            reps AS (SELECT i AS b FROM range(1, 201) t(i)),
+            w AS (SELECT u.user_id, u.cents, r.b,
+                         ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':' ||
+                                             CAST(r.b AS VARCHAR)), 1, 8))::BIGINT
+                           / 4294967296.0 AS uu
+                  FROM u, reps r),
+            pw AS (SELECT user_id, cents, b,
+                          CASE WHEN uu < 0.3679 THEN 0
+                               WHEN uu < 0.7358 THEN 1
+                               WHEN uu < 0.9197 THEN 2
+                               WHEN uu < 0.9810 THEN 3
+                               WHEN uu < 0.9963 THEN 4
+                               WHEN uu < 0.9994 THEN 5
+                               WHEN uu < 0.9999 THEN 6
+                               ELSE 7 END AS wt
+                   FROM w),
+            means AS (SELECT b,
+                             CAST(sum(wt * cents) AS BIGINT) AS num,
+                             CAST(sum(wt) AS BIGINT) AS den
+                      FROM pw GROUP BY b),
+            mv AS (SELECT b, num::DOUBLE / den AS m FROM means WHERE den > 0),
+            o AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn,
+                         CAST(count(*) OVER () AS BIGINT) AS cnt
+                  FROM mv),
+            full_mean AS (SELECT sum(cents)::DOUBLE / count(*) AS mean_raw,
+                                 CAST(count(*) AS BIGINT) AS n_users
+                          FROM u)
+         SELECT n_users, (SELECT max(cnt) FROM o) AS n_replicates,
+                (round(mean_raw / 100.0, 4) + 0.0) AS mean_obs,
+                (round((SELECT m FROM o WHERE rn = (cnt * 25 + 999) // 1000)
+                       / 100.0, 4) + 0.0) AS ci_lo,
+                (round((SELECT m FROM o WHERE rn = (cnt * 975) // 1000)
+                       / 100.0, 4) + 0.0) AS ci_hi
+         FROM full_mean"""
   )
 }

@@ -988,4 +988,31 @@ object CurationOps {
                 r4(col("covered").cast("double") / col("m")).as("dup_frac")),
       col("doc_id"))
   }
+
+  /** q_dup_family_hist — duplicate-family size distribution over the
+    * ingest-time doc cluster store: for each family size k, how many
+    * families, how many documents they hold, and their corpus share.
+    * The shape a curation team reads before choosing a dedup policy
+    * (a fat tail of large families ⇒ keep-best matters; all-2 families
+    * ⇒ exact hashing would have sufficed) — the distributional face of
+    * the store beside q_dedup_report's per-source one.
+    *
+    * Scale shape: store READ (published once per source state), one
+    * component rollup, one ≤|distinct sizes| rollup, a broadcast 1-row
+    * total; nothing rescans text. Singletons are real k=1 families
+    * (the store carries every doc), so the histogram partitions the
+    * corpus: Σ n_docs = |documents|. */
+  def dupFamilyHist(s: SparkSession, d: String): DataFrame = {
+    val comp = s.read.parquet(docClusterStoreDir(s, d))
+    val total = comp.agg(count(lit(1)).as("nd"))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("family_size"))
+    ord(
+      sizes.groupBy(col("family_size")).agg(count(lit(1)).as("n_families"))
+        .crossJoin(broadcast(total))
+        .select(col("family_size"), col("n_families"),
+                (col("family_size") * col("n_families")).as("n_docs"),
+                r4((col("family_size") * col("n_families")).cast("double") /
+                     col("nd")).as("corpus_share")),
+      col("family_size"))
+  }
 }

@@ -1355,4 +1355,48 @@ object LlmOps {
                 col("n_sat").cast("long").as("n_sat"), r4(col("mse")).as("mse")),
       col("vec_id"))
   }
+
+  /** q_ngram_novelty — corpus saturation readout: per source, how many
+    * of its distinct word-3-grams are FIRST seen there (gram ownership
+    * by min doc_id — the crawl-order proxy this schema has) vs total
+    * gram mass. A falling novelty rate is the standard "this source is
+    * exhausted, stop recrawling" signal in pretraining-data curation;
+    * the marginal-value companion to the dedup family (which measures
+    * redundancy between documents, not between CRAWLS).
+    *
+    * Scale shape: gram ownership is ONE partial-aggregable min-shuffle
+    * on the gram key (the same single-pass NgramHashes scan the dedup
+    * family uses — no df cap here: novelty wants ALL grams); the novel
+    * count per doc comes from the OWNERSHIP frame alone (groupBy
+    * first_doc — never a corpus×gram join back); sizes are a second
+    * partial-aggregable doc rollup; the final rollup is |sources|.
+    *
+    * Determinism: pure integer counts; one rate division try_divide'd
+    * (a gramless source yields NULL like DuckDB ÷0). Hash grams vs the
+    * oracle's string grams agree exactly under the documented
+    * collision-odds contract (q_dedup_ngram's rule). */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextHashExprs.register(s)
+    val docs = Tables.documents(s, d)
+    val ex = docs
+      .select(col("doc_id"),
+              call_function("ngram_hashes", col("text")).as("ng"))
+      .filter(col("ng").isNotNull)
+      .select(col("doc_id"), explode(col("ng")).as("g"))
+    val firsts = ex.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val novel = firsts.groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("novel"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    ord(
+      docs.select(col("doc_id"), col("source"))
+        .join(sizes, Seq("doc_id"), "left")
+        .join(novel, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             coalesce(sum(col("n_grams")), lit(0L)).as("n_grams"),
+             coalesce(sum(col("novel")), lit(0L)).as("novel_grams"))
+        .withColumn("novelty_rate",
+          r4(try_divide(col("novel_grams").cast("double"), col("n_grams")))),
+      col("source"))
+  }
 }

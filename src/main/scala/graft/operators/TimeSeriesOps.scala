@@ -798,6 +798,155 @@ object TimeSeriesOps {
         .as("df"))
   }
 
+  /** q_theil_sen — Theil–Sen robust slope of daily revenue: the MEDIAN
+    * of all pairwise slopes (cents_j − cents_i)/(day_j − day_i). Breaks
+    * down only past 29% outliers where OLS (q_regression) breaks at
+    * one — the estimator behind most production "is this metric
+    * drifting" monitors. Completes the trend triptych: OLS point
+    * estimate, Mann–Kendall significance, Theil–Sen robust magnitude.
+    *
+    * Determinism: each pairwise slope divides exact int64 once →
+    * identical double multiset on both engines; the median is picked
+    * MANUALLY (row_number bracket + (a+b)/2) instead of percentile
+    * interpolation, whose engine-specific `lo + (hi−lo)·f` vs
+    * `(lo+hi)/2` shapes can differ one ulp at the r4 boundary.
+    *
+    * Scale shape: same as q_mann_kendall — one checkpointed day
+    * rollup, a broadcast O(days²) pair join over the CALENDAR-bounded
+    * frame, and one single-partition sort of ≤days² slope rows
+    * (allowlisted: the frame never sees fact rows). */
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .localCheckpoint(true)
+    val slopes = daily.select(col("day").as("da"), col("cents").as("ca"))
+      .join(broadcast(daily.select(col("day").as("db"), col("cents").as("cb"))),
+            col("db") > col("da"))
+      .select(((col("cb") - col("ca")).cast("double") /
+                 datediff(col("db"), col("da")).cast("long")).as("slope"))
+    val w = Window.orderBy(col("slope"))
+    val o = slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // integer DIV, not `/`: Column `/` on longs is double division and
+    // would never equal an exact row_number
+    val sel = o.filter(col("rn") === expr("(cnt + 1) div 2") ||
+                       col("rn") === expr("(cnt + 2) div 2"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    // the bracket holds 1 row (odd cnt: both indices coincide) or 2
+    // (even): sum/count over ≤2 doubles is order-insensitive
+    sel.agg(max(col("cnt")).as("n_pairs"),
+            (sum(col("slope")) / count(lit(1))).as("med"))
+      .crossJoin(broadcast(n))
+      .select(col("n_days"), col("n_pairs"),
+              r4(col("med") / 100.0).as("slope"))
+  }
+
+  /** q_power_mde — experiment design readout on the md5-gated arms:
+    * the minimum detectable effect (absolute and relative) on the
+    * day-one conversion rate at α=0.05 two-sided / 80% power, given
+    * the arm sizes actually observed. The "is this test even worth
+    * running" number that precedes q_ab_test's verdict.
+    *
+    * Determinism: conversion counts ride the exact q_ab_test
+    * derivation; p-pool divides exact integers once; the MDE is one
+    * sqrt over single-division terms with the z LITERALS (1.96,
+    * 0.8416) spelled identically on both engines.
+    *
+    * Scale shape: one per-user rollup (the only fact-scale shuffle),
+    * one 1-row aggregate, scalar math. */
+  def powerMde(s: SparkSession, d: String): DataFrame = {
+    val firsts = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(epochSec(col("ts"))).as("first_sec"),
+           min(when(col("event_type") === "purchase", epochSec(col("ts"))))
+             .as("first_purch"))
+      .withColumn("conv",
+        when(col("first_purch").isNotNull &&
+             col("first_purch") - col("first_sec") <= 86400L, 1L).otherwise(0L))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) % 2") === 0,
+             1).otherwise(0))
+    val ab = firsts.agg(
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("ca"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("cb"))
+    val p = ab.withColumn("p_pool",
+      (col("ca") + col("cb")).cast("double") / (col("na") + col("nb")))
+    // 2.8016 as ONE literal, not 1.96 + 0.8416: the compile-time sum
+    // can land an ulp off the decimal literal the oracle parses (the
+    // q_pagerank Base rule)
+    val mde = p.withColumn("mde_abs",
+      lit(2.8016) *
+        sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+             (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+    mde.select(
+      col("na").as("n_a"), col("nb").as("n_b"),
+      r4(col("p_pool")).as("p_pool"),
+      r4(col("mde_abs")).as("mde_abs"),
+      r4(try_divide(col("mde_abs"), col("p_pool"))).as("mde_rel"))
+  }
+
+  /** q_bootstrap_ci — nonparametric 95% CI for mean per-user revenue
+    * via a DETERMINISTIC Poisson bootstrap: each (user, replicate)
+    * draws its resampling weight from a Poisson(1) inverse-CDF ladder
+    * on an md5-derived uniform (the hash-gate idiom), so re-runs —
+    * and the DuckDB oracle — resample identically with no RNG state.
+    * 200 replicates; percentile bracket picked manually (the
+    * q_theil_sen row_number rule), never by engine interpolation.
+    *
+    * Determinism: weights are exact ints (the ladder compares
+    * u = k/2³² against decimal literals no k/2³² can equal);
+    * replicate means divide exact int64 (Σw·cents / Σw) once; the
+    * observed mean divides exact ints; three r4's at output.
+    *
+    * Scale shape: ONE fact-scale per-user rollup; the user × 200
+    * replicate expansion is map-side only — a broadcast 200-row
+    * crossJoin feeding a partial-aggregable groupBy(b), so each map
+    * task emits ≤200 rows and the shuffle is O(replicates ×
+    * partitions), never O(users × replicates). The CPU cost (200
+    * md5s per user) is the honest price of bootstrap at any scale;
+    * B is the bounded knob. */
+  def bootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .localCheckpoint(true)
+    val reps = s.range(1, 201).select(col("id").cast("int").as("b"))
+    val pw = users.crossJoin(broadcast(reps))
+      .withColumn("uu", expr(
+        "cast(conv(substring(md5(concat(cast(user_id as string), ':', " +
+          "cast(b as string))), 1, 8), 16, 10) as bigint) / 4294967296.0"))
+      .withColumn("wt",
+        when(col("uu") < 0.3679, 0).when(col("uu") < 0.7358, 1)
+          .when(col("uu") < 0.9197, 2).when(col("uu") < 0.9810, 3)
+          .when(col("uu") < 0.9963, 4).when(col("uu") < 0.9994, 5)
+          .when(col("uu") < 0.9999, 6).otherwise(7))
+    val means = pw.groupBy(col("b"))
+      .agg(sum(col("wt") * col("cents")).as("num"), sum(col("wt")).as("den"))
+      .filter(col("den") > 0)
+      .select(col("b"), (col("num").cast("double") / col("den")).as("m"))
+    val o = means
+      .withColumn("rn", row_number().over(Window.orderBy(col("m"), col("b"))))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ci = o.agg(
+      max(col("cnt")).as("n_replicates"),
+      max(when(col("rn") === expr("(cnt * 25 + 999) div 1000"), col("m"))).as("lo"),
+      max(when(col("rn") === expr("(cnt * 975) div 1000"), col("m"))).as("hi"))
+    val full = users.agg(
+      (sum(col("cents")).cast("double") / count(lit(1))).as("mean_raw"),
+      count(lit(1)).as("n_users"))
+    full.crossJoin(broadcast(ci))
+      .select(col("n_users"), col("n_replicates"),
+              r4(col("mean_raw") / 100.0).as("mean_obs"),
+              r4(col("lo") / 100.0).as("ci_lo"),
+              r4(col("hi") / 100.0).as("ci_hi"))
+  }
+
   /** q_cramers_v — effect SIZE for the weekday × event-type
     * association: V = √(χ²/(N·min(r−1, c−1))), the scale-free [0,1]
     * companion to q_chisq's significance statistic (χ² grows with N

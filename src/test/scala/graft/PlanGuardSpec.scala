@@ -44,7 +44,16 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_chisq's total runs over the <=7x|types| contingency cells
     "q_auc", "q_survival", "q_chisq",
     // q_mix_kl's totals run over the |languages| row mix frame
-    "q_mix_kl")
+    "q_mix_kl",
+    // q_cramers_v aggregates the <=7x|types| contingency cells (the
+    // q_chisq frame); q_mrr's panel average runs over the <=|queries|
+    // rr frame after the bounded top-k
+    "q_cramers_v", "q_mrr",
+    // q_theil_sen's median bracket sorts the O(days²) CALENDAR-bounded
+    // pairwise-slope frame (scaladoc documents the bound);
+    // q_bootstrap_ci's percentile bracket sorts the 200-row replicate
+    // means
+    "q_theil_sen", "q_bootstrap_ci")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {

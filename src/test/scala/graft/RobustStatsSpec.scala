@@ -369,6 +369,134 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("theil_sen matches a direct pairwise-slope median; exact on a planted line") {
+    // real data: recompute the median of pairwise slopes directly
+    val out = TimeSeriesOps.theilSen(spark, sf0001).collect().head
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (daily(j)._2 - daily(i)._2).toDouble /
+            (daily(j)._1 - daily(i)._1)).sorted
+    val n = slopes.length
+    val med =
+      if (n % 2 == 1) slopes(n / 2)
+      else (slopes(n / 2 - 1) + slopes(n / 2)) / 2
+    assert(out.getAs[Long]("n_pairs") == n.toLong)
+    assert(math.abs(out.getAs[Double]("slope") - med / 100.0) < 1e-3)
+    // planted exact line: every pairwise slope identical -> median exact
+    val dir = tmpDir("ts_line")
+    writeEvents(dir, (0 until 4).map(day =>
+      eventRow(day.toLong, day * 86400L, 1L, "view", 10.0 + 2.5 * day)))
+    val line = TimeSeriesOps.theilSen(spark, dir).collect().head
+    assert(line.getAs[Long]("n_days") == 4L)
+    assert(line.getAs[Long]("n_pairs") == 6L)
+    assert(line.getAs[Double]("slope") == 2.5, s"got $line")
+  }
+
+  test("power_mde matches a direct computation and shrinks with more users") {
+    val out = TimeSeriesOps.powerMde(spark, sf0001).collect().head
+    val na = out.getAs[Long]("n_a"); val nb = out.getAs[Long]("n_b")
+    val p = out.getAs[Double]("p_pool")
+    val direct = 2.8016 * math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(out.getAs[Double]("mde_abs") - direct) < 1e-3)
+    assert(math.abs(out.getAs[Double]("mde_rel") -
+                    out.getAs[Double]("mde_abs") / p) < 1e-3)
+    // arms must partition the users (same gate as ab_test/welch)
+    assert(na + nb == Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct().count())
+    assert(out.getAs[Double]("mde_abs") > 0.0)
+  }
+
+  test("ngram_novelty: a verbatim copy contributes zero novel grams") {
+    val dir = tmpDir("novelty")
+    val a = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val c = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    writeTable(dir, "documents", Schemas.documents, Seq(
+      Row(1L, a, "en", "src_a", a.length.toLong),
+      Row(2L, a, "en", "src_b", a.length.toLong),  // exact copy, later id
+      Row(3L, c, "en", "src_b", c.length.toLong))) // all-fresh doc
+    val out = graft.operators.LlmOps.ngramNovelty(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("novel_grams"),
+          r.getAs[Double]("novelty_rate")))).toMap
+    // 30 tokens -> 28 distinct 3-grams per doc
+    assert(out("src_a") == ((28L, 28L, 1.0)), s"got $out")
+    // src_b: doc2 owns nothing (doc1 saw every gram first), doc3 all
+    assert(out("src_b") == ((56L, 28L, 0.5)), s"got $out")
+  }
+
+  test("ngram_novelty on real data: novel grams total the distinct gram count") {
+    val rows = graft.operators.LlmOps.ngramNovelty(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val novel = rows.map(_.getAs[Long]("novel_grams")).sum
+    val grams = rows.map(_.getAs[Long]("n_grams")).sum
+    assert(novel <= grams)
+    // every distinct gram is owned exactly once, corpus-wide
+    graft.functions.TextHashExprs.register(spark)
+    val distinctGrams = Tables.documents(spark, sf0001)
+      .select(explode(expr("ngram_hashes(text)")).as("g"))
+      .select(countDistinct(col("g"))).head().getLong(0)
+    assert(novel == distinctGrams, s"ownership must partition: $novel vs $distinctGrams")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf0001).count())
+  }
+
+  test("dup_family_hist partitions the corpus and matches the store") {
+    val rows = CurationOps.dupFamilyHist(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "family sizes must partition the corpus")
+    assert(math.abs(rows.map(_.getAs[Double]("corpus_share")).sum - 1.0) < 0.01)
+    // recompute the histogram straight from the store
+    val store = spark.read.parquet(
+      CurationOps.docClusterStoreDir(spark, sf0001))
+    val direct = store.groupBy(col("component")).count()
+      .groupBy(col("count").as("k")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hist = rows.map(r =>
+      r.getAs[Long]("family_size") -> r.getAs[Long]("n_families")).toMap
+    assert(hist == direct, s"hist $hist vs store $direct")
+  }
+
+  test("bootstrap_ci matches an independent md5-ladder resample; CI brackets the mean") {
+    val out = TimeSeriesOps.bootstrapCi(spark, sf0001).collect().head
+    val users = Tables.events(spark, sf0001)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def md5u(s: String): Double = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = dig.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val ladder = Array(0.3679, 0.7358, 0.9197, 0.9810, 0.9963, 0.9994, 0.9999)
+    def wt(u: Double): Long = {
+      val i = ladder.indexWhere(u < _); if (i < 0) 7L else i.toLong
+    }
+    val ms = (1 to 200).flatMap { b =>
+      var num = 0L; var den = 0L
+      users.foreach { case (uid, c) =>
+        val w = wt(md5u(s"$uid:$b")); num += w * c; den += w
+      }
+      if (den > 0) Some((b, num.toDouble / den)) else None
+    }
+    val sorted = ms.sortBy(t => (t._2, t._1)).map(_._2)
+    val cnt = sorted.length
+    val lo = sorted((cnt * 25 + 999) / 1000 - 1) / 100.0
+    val hi = sorted(cnt * 975 / 1000 - 1) / 100.0
+    assert(out.getAs[Long]("n_replicates") == cnt.toLong)
+    assert(math.abs(out.getAs[Double]("ci_lo") - lo) < 1e-3, s"lo: $out vs $lo")
+    assert(math.abs(out.getAs[Double]("ci_hi") - hi) < 1e-3, s"hi: $out vs $hi")
+    assert(out.getAs[Double]("ci_lo") <= out.getAs[Double]("mean_obs"))
+    assert(out.getAs[Double]("mean_obs") <= out.getAs[Double]("ci_hi"))
+  }
+
   test("bot_filter flags exactly the users with a >=2-events minute") {
     val dir = tmpDir("bot")
     writeEvents(dir, Seq(
