@@ -296,7 +296,8 @@ object SparkEntry {
     "q_power_mde" -> (TimeSeriesOps.powerMde _),
     "q_ngram_novelty" -> (L.ngramNovelty _),
     "q_dup_family_hist" -> (C.dupFamilyHist _),
-    "q_bootstrap_ci" -> (TimeSeriesOps.bootstrapCi _)
+    "q_bootstrap_ci" -> (TimeSeriesOps.bootstrapCi _),
+    "q_bot_stream" -> (graft.streaming.StreamingOps.botStreamGated _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4066,6 +4067,16 @@ object SparkEntry {
                        / 100.0, 4) + 0.0) AS ci_lo,
                 (round((SELECT m FROM o WHERE rn = (cnt * 975) // 1000)
                        / 100.0, 4) + 0.0) AS ci_hi
-         FROM full_mean"""
+         FROM full_mean""",
+    "q_bot_stream" ->
+      // batch truth of the streaming rate alarm: sealed per-(user,
+      // minute) counts at the bot threshold
+      """WITH pm AS (SELECT user_id,
+                            epoch_us(date_trunc('minute', ts::TIMESTAMP)) AS minute_us,
+                            CAST(count(*) AS BIGINT) AS n_events
+                     FROM events GROUP BY 1, 2)
+         SELECT user_id, minute_us, n_events
+         FROM pm WHERE n_events >= 2
+         ORDER BY user_id, minute_us"""
   )
 }

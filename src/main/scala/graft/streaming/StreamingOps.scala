@@ -179,6 +179,7 @@ object StreamingOps {
     slidingStreamGated(s, d)
     outerJoinStreamGated(s, d)
     enrichStreamGated(s, d)
+    botStreamGated(s, d)
   }
 
   /** q_session_state_stream — the CUSTOM-STATE sessionizer
@@ -272,6 +273,41 @@ object StreamingOps {
       res.filter(col("event_type") =!= "sentinel")
         .select(col("day"), col("event_type"), col("n"), col("val")),
       col("day"), col("event_type"))
+  }
+
+  /** q_bot_stream — the streaming RATE ALARM run to completion under
+    * the DuckDB gate: per (user, 1-minute tumbling window), emit the
+    * windows whose sealed event count reaches the q_bot_filter bot
+    * threshold — the real-time anti-abuse shape (alert per violation
+    * window as it seals, never a batch rollup after the fact). The
+    * TWELFTH gated streaming query, and the one exercising a
+    * HAVING-style filter ON a stateful aggregate in append mode: the
+    * threshold applies to watermark-SEALED counts only, so an alarm
+    * can never fire early on a partial window and then retract.
+    *
+    * Scale note: state is one count per ACTIVE (user, minute) window
+    * within the watermark horizon — O(active users · horizon/1min),
+    * evicted as the watermark passes; the alarm stream is the tiny
+    * filtered subset. The sentinel seals every real window at drain
+    * end; its own window is filtered by user.
+    *
+    * Determinism: pure integer counts; window boundaries are exact
+    * minute multiples in µs — identical to the batch date_trunc. */
+  def botStreamGated(s: SparkSession, d: String): DataFrame = {
+    val src = streamSourceDir(s, d)
+    val res = drainAvailableNow(s, d, "stream_gate_bot")(
+      readEventStream(s, src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), window(col("ts"), "1 minute"))
+        .agg(count(lit(1)).as("n_events"))
+        .filter(col("n_events") >= 2)
+        .select(col("user_id"),
+                expr("unix_micros(window.start)").as("minute_us"),
+                col("n_events")))
+    graft.Fin.ord(
+      res.filter(col("user_id") >= 0)
+        .select(col("user_id"), col("minute_us"), col("n_events")),
+      col("user_id"), col("minute_us"))
   }
 
   /** q_enrich_stream — STREAM-STATIC join run to completion under the

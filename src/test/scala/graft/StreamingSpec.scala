@@ -68,6 +68,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(winSum == 2 * events, s"each event lands in exactly 2 windows")
   }
 
+  test("gated bot rate alarm == batch per-(user, minute) threshold screen") {
+    val got = StreamingOps.botStreamGated(spark, sf0001)
+    val want = Tables.events(spark, sf0001)
+      .groupBy(col("user_id"),
+               expr("unix_micros(date_trunc('minute', ts))").as("minute_us"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= 2)
+    assert(collectSet(got) == collectSet(want))
+    // alarms only ever fire on SEALED counts: minute starts are exact
+    // minute multiples and every count satisfies the threshold
+    val rows = got.collect()
+    assert(rows.forall(_.getLong(1) % 60000000L == 0))
+    assert(rows.forall(_.getLong(2) >= 2L))
+    // the flagged user set matches the batch bot screen
+    val batchUsers = graft.operators.WindowOps.botFilter(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == batchUsers)
+  }
+
   test("gated left-outer interval join == batch left join incl. final-hour nulls") {
     val got = StreamingOps.outerJoinStreamGated(spark, sf0001)
     val ev = Tables.events(spark, sf0001)
