@@ -297,7 +297,16 @@ object SparkEntry {
     "q_ngram_novelty" -> (L.ngramNovelty _),
     "q_dup_family_hist" -> (C.dupFamilyHist _),
     "q_bootstrap_ci" -> (TimeSeriesOps.bootstrapCi _),
-    "q_bot_stream" -> (graft.streaming.StreamingOps.botStreamGated _)
+    "q_bot_stream" -> (graft.streaming.StreamingOps.botStreamGated _),
+    // model-eval artifacts + relational skyline + mix decomposition +
+    // exact-size PPS sampling (r11 session 4)
+    "q_calibration" -> (graft.operators.EvalOps.calibration _),
+    "q_pr_curve" -> (graft.operators.EvalOps.prCurve _),
+    "q_cohens_kappa" -> (graft.operators.EvalOps.cohensKappa _),
+    "q_item_cf" -> (graft.operators.EvalOps.itemCf _),
+    "q_skyline" -> (R.skyline _),
+    "q_mix_shift" -> (ReportOps.mixShift _),
+    "q_sample_pps" -> (C.samplePps _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4077,6 +4086,222 @@ object SparkEntry {
                      FROM events GROUP BY 1, 2)
          SELECT user_id, minute_us, n_events
          FROM pm WHERE n_events >= 2
-         ORDER BY user_id, minute_us"""
+         ORDER BY user_id, minute_us""",
+    "q_calibration" ->
+      // reliability table + ECE of the spend-rank score: all exact-int
+      // rationals — conf=Σr/(n_b·n), acc=Σpos/n_b, ECE=Σ|Σpos·n−Σr|/n²
+      """WITH f AS (SELECT user_id,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                           min(epoch_us(ts::TIMESTAMP)//1000000) AS first_sec,
+                           min(CASE WHEN event_type = 'purchase'
+                                    THEN epoch_us(ts::TIMESTAMP)//1000000 END)
+                             AS first_purch
+                    FROM events GROUP BY user_id),
+            sc AS (SELECT user_id, cents,
+                          CASE WHEN first_purch IS NOT NULL
+                                    AND first_purch - first_sec <= 86400
+                               THEN 1 ELSE 0 END AS pos
+                   FROM f),
+            rk AS (SELECT cents, pos,
+                          CAST(row_number() OVER (ORDER BY cents, user_id)
+                               AS BIGINT) AS r,
+                          CAST(count(*) OVER () AS BIGINT) AS n
+                   FROM sc),
+            b AS (SELECT CAST(((r - 1) * 10) // n AS INT) AS bin,
+                         CAST(count(*) AS BIGINT) AS n_users,
+                         CAST(sum(r) AS BIGINT) AS sr,
+                         CAST(sum(pos) AS BIGINT) AS p,
+                         CAST(min(n) AS BIGINT) AS n
+                  FROM rk GROUP BY 1)
+         SELECT bin, n_users,
+                (round(sr::DOUBLE / (n_users * n), 4) + 0.0) AS conf,
+                (round(p::DOUBLE / n_users, 4) + 0.0) AS acc,
+                (round(abs(p * n - sr)::DOUBLE / (n_users * n), 4) + 0.0)
+                  AS gap,
+                (round(CAST(sum(abs(p * n - sr)) OVER () AS BIGINT)::DOUBLE
+                       / (n * n), 4) + 0.0) AS ece
+         FROM b ORDER BY bin""",
+    "q_pr_curve" ->
+      // precision/recall/F1 at every distinct score threshold; cum
+      // windows over the distinct-score frame (q_auc's machinery)
+      """WITH f AS (SELECT user_id,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                           min(epoch_us(ts::TIMESTAMP)//1000000) AS first_sec,
+                           min(CASE WHEN event_type = 'purchase'
+                                    THEN epoch_us(ts::TIMESTAMP)//1000000 END)
+                             AS first_purch
+                    FROM events GROUP BY user_id),
+            sc AS (SELECT cents,
+                          CASE WHEN first_purch IS NOT NULL
+                                    AND first_purch - first_sec <= 86400
+                               THEN 1 ELSE 0 END AS pos
+                   FROM f),
+            bv AS (SELECT cents, CAST(sum(pos) AS BIGINT) AS np,
+                          CAST(sum(1 - pos) AS BIGINT) AS nn
+                   FROM sc GROUP BY 1),
+            t AS (SELECT CAST(sum(pos) AS BIGINT) AS n1 FROM sc),
+            c AS (SELECT cents,
+                         CAST(sum(np) OVER (ORDER BY cents DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS tp,
+                         CAST(sum(nn) OVER (ORDER BY cents DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS fp
+                  FROM bv)
+         SELECT cents AS thr_cents, tp, fp,
+                (round(tp::DOUBLE / (tp + fp), 4) + 0.0) AS prec,
+                (round(tp::DOUBLE / n1, 4) + 0.0) AS recall,
+                (round(2.0 * tp / (tp + fp + n1), 4) + 0.0) AS f1
+         FROM c, t ORDER BY thr_cents""",
+    "q_cohens_kappa" ->
+      // agreement of the quality gate vs the repetition gate; κ from
+      // exact int64 confusion counts, ONE division
+      """WITH t0 AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                     FROM documents),
+            qa AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+                          (round(CAST(length(replace(text, ' ', ''))
+                                 AS DOUBLE) / len(toks), 4) + 0.0) AS mtl,
+                          (round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                                / len(toks), 4) + 0.0) AS uq,
+                          (round(CAST(len(list_filter(toks,
+                                  t -> t IN ('the', 'a'))) AS DOUBLE)
+                                / len(toks), 4) + 0.0) AS sr
+                   FROM t0),
+            ra AS (SELECT doc_id,
+                          CAST((n_tokens BETWEEN 10 AND 5000)
+                               AND (mtl BETWEEN 2.0 AND 12.0)
+                               AND uq > 0.2 AND sr < 0.3 AS BIGINT) AS a
+                   FROM qa),
+            tokc AS (SELECT doc_id, tok, count(*) AS c
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                           FROM documents) u
+                     GROUP BY 1, 2),
+            topf AS (SELECT doc_id, max(c) AS maxc,
+                            CAST(sum(c) AS BIGINT) AS n
+                     FROM tokc GROUP BY 1),
+            bg AS (SELECT doc_id, unnest(list_transform(list_zip(toks, toks[2:]),
+                                         p -> p[1] || ' ' || p[2])) AS bigram
+                   FROM t0),
+            bgs AS (SELECT doc_id, count(*) AS n_bg,
+                           count(DISTINCT bigram) AS n_bg_d
+                    FROM bg WHERE bigram IS NOT NULL GROUP BY 1),
+            rb AS (SELECT f.doc_id,
+                          CAST(((round(f.maxc::DOUBLE / f.n, 4) + 0.0) < 0.2)
+                               AND ((round(coalesce(
+                                      (g.n_bg - g.n_bg_d)::DOUBLE
+                                        / nullif(g.n_bg, 0), 0.0), 4) + 0.0)
+                                    < 0.2) AS BIGINT) AS b
+                   FROM topf f LEFT JOIN bgs g ON f.doc_id = g.doc_id),
+            cells AS (SELECT CAST(sum(a * b) AS BIGINT) AS n11,
+                             CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+                             CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+                             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+                      FROM ra JOIN rb USING (doc_id)),
+            z AS (SELECT n11, n10, n01, n00,
+                         n11 + n10 + n01 + n00 AS nn,
+                         (n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00) AS pe_num
+                  FROM cells)
+         SELECT n11, n10, n01, n00,
+                (round((n11 + n00)::DOUBLE / nn, 4) + 0.0) AS po,
+                (round(pe_num::DOUBLE / (nn * nn), 4) + 0.0) AS pe,
+                (round((nn * (n11 + n00) - pe_num)::DOUBLE
+                       / (nn * nn - pe_num), 4) + 0.0) AS kappa
+         FROM z ORDER BY n11""",
+    "q_item_cf" ->
+      // item-item CF: cosine on binary basket vectors, top-3 neighbors
+      // per brand ranked on the ROUNDED cosine with brand tie-break
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+            bc AS (SELECT b, CAST(count(*) AS BIGINT) AS nb
+                   FROM ob GROUP BY 1),
+            pr AS (SELECT x.b AS brand, y.b AS neighbor,
+                          CAST(count(*) AS BIGINT) AS co
+                   FROM ob x JOIN ob y ON x.ok = y.ok AND x.b <> y.b
+                   GROUP BY 1, 2),
+            sm AS (SELECT brand, neighbor, co,
+                          (round(co::DOUBLE
+                                 / sqrt(CAST(a.nb * c.nb AS DOUBLE)), 4)
+                           + 0.0) AS cosine
+                   FROM pr JOIN bc a ON pr.brand = a.b
+                           JOIN bc c ON pr.neighbor = c.b),
+            rk AS (SELECT brand, neighbor, co, cosine,
+                          row_number() OVER (PARTITION BY brand
+                            ORDER BY cosine DESC, neighbor) AS rk
+                   FROM sm)
+         SELECT brand, CAST(rk AS INT) AS rk, neighbor, co, cosine
+         FROM rk WHERE rk <= 3 ORDER BY brand, rk""",
+    "q_skyline" ->
+      // DELIBERATELY the independent NOT EXISTS dominance formulation —
+      // the hash gate proves the Spark window rewrite IS skyline
+      // semantics, not a mirrored expression
+      """WITH p AS (SELECT p_partkey, p_brand, p_size,
+                           CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+                    FROM part)
+         SELECT p_partkey, p_brand, p_size,
+                (round(pc::DOUBLE / 100.0, 4) + 0.0) AS price
+         FROM p
+         WHERE NOT EXISTS (SELECT 1 FROM p q
+                           WHERE q.pc <= p.pc AND q.p_size >= p.p_size
+                             AND (q.pc < p.pc OR q.p_size > p.p_size))
+         ORDER BY p_partkey""",
+    "q_mix_shift" ->
+      // two-period rate-vs-mix decomposition per market segment; every
+      // effect term is ONE identically-spelled IEEE chain from exact ints
+      """WITH b AS (SELECT min(epoch_us(o_orderdate::TIMESTAMP)//1000000) AS mn,
+                           max(epoch_us(o_orderdate::TIMESTAMP)//1000000) AS mx
+                    FROM orders),
+            o AS (SELECT c_mktsegment AS segment,
+                         CASE WHEN epoch_us(o_orderdate::TIMESTAMP)//1000000 * 2
+                                   < mn + mx THEN 1 ELSE 2 END AS p,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders CROSS JOIN b
+                       JOIN customer ON o_custkey = c_custkey),
+            seg AS (SELECT segment,
+                           CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                           CAST(sum(CASE WHEN p = 1 THEN cents ELSE 0 END) AS BIGINT) AS c1,
+                           CAST(sum(CASE WHEN p = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                           CAST(sum(CASE WHEN p = 2 THEN cents ELSE 0 END) AS BIGINT) AS c2
+                    FROM o GROUP BY 1),
+            t AS (SELECT segment, n1, n2, c1, c2,
+                         CAST(sum(n1) OVER () AS BIGINT) AS tn1,
+                         CAST(sum(n2) OVER () AS BIGINT) AS tn2
+                  FROM seg)
+         SELECT segment, n1, n2,
+                (round(n1::DOUBLE / tn1, 4) + 0.0) AS w1,
+                (round(n2::DOUBLE / tn2, 4) + 0.0) AS w2,
+                (round(c1::DOUBLE / n1 / 100.0, 4) + 0.0) AS r1,
+                (round(c2::DOUBLE / n2 / 100.0, 4) + 0.0) AS r2,
+                (round((n2::DOUBLE / tn2) * (c2::DOUBLE / n2 - c1::DOUBLE / n1)
+                       / 100.0, 4) + 0.0) AS rate_effect,
+                (round((n2::DOUBLE / tn2 - n1::DOUBLE / tn1)
+                       * (c1::DOUBLE / n1) / 100.0, 4) + 0.0) AS mix_effect
+         FROM t ORDER BY segment""",
+    "q_sample_pps" ->
+      // systematic PPS: per-lang cumulative weights, md5-derived start,
+      // k=5 equally-spaced picks — exact int64 end to end
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+            sp AS (SELECT doc_id, lang, n_chars,
+                          CAST(sum(n_chars) OVER (PARTITION BY lang
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS hi
+                   FROM d),
+            sp2 AS (SELECT doc_id, lang, n_chars, hi,
+                           hi - n_chars AS lo FROM sp),
+            t AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w
+                  FROM d GROUP BY 1),
+            t2 AS (SELECT lang, w, w // 5 AS step,
+                          (('0x' || substr(md5(lang), 1, 8))::BIGINT)
+                            % (w // 5) AS off
+                   FROM t),
+            offs AS (SELECT lang, off + j * step AS o
+                     FROM t2 CROSS JOIN (SELECT unnest(range(5)) AS j) js)
+         SELECT s.lang, s.doc_id, s.n_chars,
+                CAST(count(*) AS BIGINT) AS multiplicity
+         FROM sp2 s JOIN offs f
+              ON s.lang = f.lang AND f.o >= s.lo AND f.o < s.hi
+         GROUP BY s.lang, s.doc_id, s.n_chars
+         ORDER BY s.lang, s.doc_id"""
   )
 }

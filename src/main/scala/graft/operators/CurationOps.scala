@@ -1015,4 +1015,58 @@ object CurationOps {
                      col("nd")).as("corpus_share")),
       col("family_size"))
   }
+
+  /** q_sample_pps — systematic probability-proportional-to-size
+    * sampling: exactly k=5 draws per language with inclusion probability
+    * ∝ n_chars, via the survey-sampling systematic method — cumulative
+    * weights per stratum, a deterministic md5-derived start offset, and
+    * k equally-spaced picks (step = W DIV k). The "pick k docs per
+    * language, long docs proportionally more often" primitive that
+    * Bernoulli weighting (q_sample_weighted) cannot give when the
+    * output size must be EXACT — and, unlike Efraimidis–Spirakis
+    * u^(1/w) keys, it stays in integer arithmetic end to end (no
+    * transcendental whose last-ulp could differ between engines).
+    *
+    * A doc whose weight spans multiple offsets is drawn with
+    * multiplicity m > 1 (the standard PPS-with-replacement-like edge
+    * for w > step) — m is emitted so downstream repeats-aware code sees
+    * it.
+    *
+    * Determinism: cum windows over (lang, doc_id); offset =
+    * md5int(lang) mod step; selection compares exact int64 ranges.
+    *
+    * Scale shape: one per-stratum ordered window for the cumsum (the
+    * sessionize shape — partitioned by lang, never global), a 1-row-per-
+    * lang weight total joined back broadcast, and a ≤k-per-lang offsets
+    * frame broadcast range-joined — fan-out bounded by k. */
+  def samplePps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val cum = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spans = docs
+      .withColumn("hi", sum(col("n_chars")).over(cum))
+      .withColumn("lo", col("hi") - col("n_chars"))
+    val tot = docs.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("w"))
+      .withColumn("step", expr(s"w DIV $k"))
+      .withColumn("off",
+        pmod(expr("conv(substring(md5(lang), 1, 8), 16, 10)").cast("long"),
+             col("step")))
+    val offsets = tot.select(col("lang"),
+        explode(expr(s"transform(sequence(0, ${k - 1}), " +
+                     "j -> off + j * step)")).as("o"))
+    ord(
+      spans.join(broadcast(offsets),
+                 spans("lang") === offsets("lang") &&
+                 col("o") >= col("lo") && col("o") < col("hi"))
+        .groupBy(spans("lang"), col("doc_id"))
+        .agg(first(col("n_chars")).as("n_chars"),
+             count(lit(1)).as("multiplicity"))
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+                col("multiplicity")),
+      col("lang"), col("doc_id"))
+  }
 }

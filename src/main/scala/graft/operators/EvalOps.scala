@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.{Fin, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation analytics beyond single-number scores (SURVEY.md §2.8d
+  * additions, r11): calibration reliability (ECE), the precision/recall
+  * operating curve, inter-rater agreement (Cohen's κ), and item-item
+  * collaborative-filtering neighbors — the eval artifacts a scored
+  * pipeline ships alongside q_auc/q_decile_lift's rank metrics.
+  *
+  * Scale notes (100 TB):
+  *  - every query reduces the fact table to ONE partial-aggregable
+  *    per-entity rollup first (user score frame, doc flag frame, basket
+  *    frame); the expensive windows then run over domain-bounded frames
+  *    (distinct scores, 10 calibration bins, |brands|² pairs) — never
+  *    over event-scale rows;
+  *  - the calibration rank is a global sort of the SCORE FRAME only
+  *    (users — the q_decile_lift ntile shape); at 100 TB it would switch
+  *    to approx-quantile binning with the same downstream contract;
+  *  - item-CF pair counts are co-partitioned on the basket key and
+  *    bounded by distinct brands per basket (the q_market_basket bound);
+  *    per-item ranking is a window over the |brands|² pair frame.
+  *
+  * Determinism: every ratio divides exact int64 once and r4's; rankings
+  * order by ROUNDED similarity with a real tie-break key (§2.10).
+  */
+object EvalOps {
+  import Fin._
+
+  /** Shared per-user score/outcome frame (q_auc's derivation): score =
+    * lifetime spend in exact cents, outcome = day-one conversion (first
+    * purchase within 24 h of first activity). One fact-scale shuffle. */
+  private def scoredUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"),
+           min(epochSec(col("ts"))).as("first_sec"),
+           min(when(col("event_type") === "purchase", epochSec(col("ts"))))
+             .as("first_purch"))
+      .withColumn("pos",
+        when(col("first_purch").isNotNull &&
+             col("first_purch") - col("first_sec") <= 86400, 1L).otherwise(0L))
+
+  /** q_calibration — reliability table + expected calibration error of
+    * the spend-rank score against day-one conversion: the predicted
+    * probability is the user's exact rank percentile (rank/n over
+    * (cents, user_id)), binned into 10 equal-width probability bins;
+    * per bin the mean confidence vs the observed conversion rate, and
+    * the |gap| weighted by bin mass sums to ECE — the "is the score a
+    * probability?" readout q_auc's rank view cannot give.
+    *
+    * Determinism: conf, acc, gap and ECE are all exact-int64 rationals
+    * divided once and r4'd — conf_b = Σrank/(n_b·n), acc_b = Σpos/n_b,
+    * gap_b = |Σpos·n − Σrank|/(n_b·n), ECE = Σ_b|Σpos·n − Σrank|/n²;
+    * the bin id is pure integer division ((rank−1)·10) DIV n. */
+  def calibration(s: SparkSession, d: String): DataFrame = {
+    val base = scoredUsers(s, d)
+    val n1 = base.agg(count(lit(1)).as("n"))
+    val ranked = base
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("cents"), col("user_id"))).cast("long"))
+      .crossJoin(broadcast(n1))
+      .withColumn("bin", expr("((r - 1) * 10) DIV n").cast("int"))
+    val bins = ranked.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_users"), sum(col("r")).as("sr"),
+           sum(col("pos")).as("p"), first(col("n")).as("n"))
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+    ord(
+      bins.select(col("bin"), col("n_users"),
+          r4(col("sr").cast("double") / (col("n_users") * col("n"))).as("conf"),
+          r4(col("p").cast("double") / col("n_users")).as("acc"),
+          r4(abs(col("p") * col("n") - col("sr")).cast("double") /
+             (col("n_users") * col("n"))).as("gap"),
+          r4(sum(abs(col("p") * col("n") - col("sr"))).over(full)
+               .cast("double") / (col("n") * col("n"))).as("ece")),
+      col("bin"))
+  }
+
+  /** q_pr_curve — the precision/recall operating curve of the spend
+    * score: at every distinct score threshold t (predict positive iff
+    * cents ≥ t), TP/FP, precision, recall and F1 — the
+    * threshold-choosing artifact beside q_auc's single number.
+    *
+    * Scale shape: one per-user rollup, then cumulative windows over the
+    * DISTINCT-score frame (domain-bounded) exactly like q_auc; at 100 TB
+    * the distinct-value frame is the score codomain, not the user count.
+    * F1 = 2TP/(TP+FP+n₁) keeps everything a single exact division. */
+  def prCurve(s: SparkSession, d: String): DataFrame = {
+    val base = scoredUsers(s, d)
+    val byVal = base.groupBy(col("cents"))
+      .agg(sum(col("pos")).as("np"),
+           sum(lit(1L) - col("pos")).as("nn"))
+    val tot = base.agg(sum(col("pos")).as("n1"))
+    val w = Window.orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ord(
+      byVal
+        .withColumn("tp", sum(col("np")).over(w))
+        .withColumn("fp", sum(col("nn")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("cents").as("thr_cents"), col("tp"), col("fp"),
+                r4(col("tp").cast("double") / (col("tp") + col("fp")))
+                  .as("prec"),
+                r4(col("tp").cast("double") / col("n1")).as("recall"),
+                r4(lit(2.0) * col("tp") / (col("tp") + col("fp") + col("n1")))
+                  .as("f1")),
+      col("thr_cents"))
+  }
+
+  /** q_cohens_kappa — chance-corrected agreement between the two
+    * independent document screens the curation pipeline already runs:
+    * rater A = q_text_filter's quality gate, rater B = q_text_repetition's
+    * repetition gate (top_tok_frac < 0.2 AND dup_bigram_frac < 0.2).
+    * Emits the full confusion table, observed/expected agreement and κ —
+    * the "are these two filters redundant?" readout that decides whether
+    * a screen is worth its scan.
+    *
+    * Determinism: flags compare ROUNDED ratios (both engines round
+    * identically by §2.10); κ = (N·(n11+n00) − Σ marginals)/(N² − Σ)
+    * stays exact int64 until ONE division.
+    *
+    * Scale shape: both raters are scan-side per-doc expressions (the
+    * bigram frame is the one extra per-doc aggregate); the confusion
+    * table is a 4-group partial-aggregable shuffle; κ math is 1-row. */
+  def cohensKappa(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = split(col("text"), " ")
+    val nTokens = size(toks)
+    val qual = docs.select(col("doc_id"),
+        nTokens.as("n_tokens"),
+        r4(length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens)
+          .as("mtl"),
+        r4(size(array_distinct(toks)).cast("double") / nTokens).as("uq"),
+        r4(size(filter(toks, t => t === "the" || t === "a")).cast("double") /
+           nTokens).as("sr"))
+      .select(col("doc_id"),
+        (col("n_tokens").between(10, 5000) && col("mtl").between(2.0, 12.0) &&
+         col("uq") > 0.2 && col("sr") < 0.3).cast("long").as("a"))
+    // rater B: the q_text_repetition fractions, thresholded
+    val tokc = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val topf = tokc.groupBy(col("doc_id"))
+      .agg(max(col("c")).as("maxc"), sum(col("c")).as("n"))
+    val bgArr = when(size(col("toks")) >= 2,
+        expr("transform(sequence(1, size(toks) - 1), " +
+             "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+      .otherwise(array().cast("array<string>"))
+    val bgs = docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+              greatest(size(col("toks")) - 1, lit(0)).as("n_bg"),
+              size(array_distinct(bgArr)).as("n_bg_d"))
+    val rep = topf.join(bgs, "doc_id")
+      .select(col("doc_id"),
+        (r4(col("maxc").cast("double") / col("n")) < 0.2 &&
+         r4(when(col("n_bg") === 0, lit(0.0))
+             .otherwise((col("n_bg") - col("n_bg_d")).cast("double") /
+                        col("n_bg"))) < 0.2).cast("long").as("b"))
+    val cells = qual.join(rep, "doc_id")
+      .agg(sum(col("a") * col("b")).as("n11"),
+           sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+           sum((lit(1L) - col("a")) * col("b")).as("n01"),
+           sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+    ord(
+      cells
+        .withColumn("nn", col("n11") + col("n10") + col("n01") + col("n00"))
+        .withColumn("pe_num",
+          (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+          (col("n01") + col("n00")) * (col("n10") + col("n00")))
+        .select(col("n11"), col("n10"), col("n01"), col("n00"),
+                r4((col("n11") + col("n00")).cast("double") / col("nn"))
+                  .as("po"),
+                r4(col("pe_num").cast("double") / (col("nn") * col("nn")))
+                  .as("pe"),
+                r4((col("nn") * (col("n11") + col("n00")) - col("pe_num"))
+                     .cast("double") /
+                   (col("nn") * col("nn") - col("pe_num"))).as("kappa")),
+      col("n11"))
+  }
+
+  /** q_item_cf — item-item collaborative filtering over order baskets:
+    * cosine similarity between brands on their binary basket vectors
+    * (cos = co/√(n_a·n_b)) and each brand's top-3 neighbors — the
+    * "customers also bought" recommender built on q_market_basket's
+    * co-occurrence frame, completing it with the normalized-similarity
+    * ranking an actual recommender serves.
+    *
+    * Determinism: co/n_a/n_b are exact ints; √ is IEEE-correctly-rounded
+    * on both engines; the neighbor rank orders by ROUNDED cosine with
+    * the neighbor brand as tie-break (§2.10's ranking rule).
+    *
+    * Scale shape: one distinct (order, brand) shuffle; the pair join is
+    * co-partitioned on the order key with fan-out bounded by distinct
+    * brands per basket; ranking is a per-brand window over the ≤|brands|²
+    * pair frame. The basket frame is localCheckpointed once for the
+    * three consumers (counts + both join sides). */
+  def itemCf(s: SparkSession, d: String): DataFrame = {
+    val ob = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val bc = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+    // both directions so every brand ranks its own neighbor list
+    val pairs = ob.as("x")
+      .join(ob.as("y"), col("x.ok") === col("y.ok") &&
+                        col("x.b") =!= col("y.b"))
+      .groupBy(col("x.b").as("brand"), col("y.b").as("neighbor"))
+      .agg(count(lit(1)).as("co"))
+    val sims = pairs
+      .join(broadcast(bc.select(col("b").as("brand"), col("nb").as("n_a"))),
+            "brand")
+      .join(broadcast(bc.select(col("b").as("neighbor"), col("nb").as("n_b"))),
+            "neighbor")
+      .withColumn("cosine",
+        r4(col("co").cast("double") /
+           sqrt((col("n_a") * col("n_b")).cast("double"))))
+    val w = Window.partitionBy(col("brand"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    ord(
+      sims.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("brand"), col("rk"), col("neighbor"), col("co"),
+                col("cosine")),
+      col("brand"), col("rk"))
+  }
+}

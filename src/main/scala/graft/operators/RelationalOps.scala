@@ -353,4 +353,49 @@ object RelationalOps {
             .as("nation_avg")),
       col("c_custkey"))
   }
+
+  /** q_skyline — the 2-D Pareto frontier of the part catalog (minimize
+    * retail price, maximize size): every part not dominated by another
+    * that is no more expensive AND no smaller with at least one strict
+    * inequality. The skyline operator — multi-criteria shortlisting
+    * (cheapest-per-capability) that no single ORDER BY can express.
+    *
+    * Spark-first shape instead of the textbook O(n²) self-join: collapse
+    * to max-size-per-price (ONE partial-aggregable shuffle on the exact
+    * cent price), then a single running-max window over the DISTINCT
+    * price frame ascending — a (price, size) pair is on the frontier iff
+    * its size strictly exceeds every size at a strictly lower price
+    * (equal-price smaller sizes die in the groupBy; an equal size at a
+    * lower price dominates via the strict price). Frontier parts are
+    * recovered with one semi-join back. The oracle deliberately uses the
+    * independent NOT EXISTS formulation, so the hash gate proves the
+    * window rewrite IS dominance semantics, not a mirrored expression.
+    *
+    * Determinism: prices compare in exact cents; ties on both dims are
+    * mutually non-dominating and all surface; total order on partkey.
+    *
+    * Scale shape: the window frame is |distinct prices| (domain-bounded,
+    * not row-bounded); at 100 TB the same two-phase shape holds —
+    * per-partition local skylines would bound the global pass further,
+    * but the groupBy collapse already reduces arbitrarily many parts per
+    * price point to one row. */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.part(s, d)
+      .withColumn("pc", round(col("p_retailprice") * 100).cast("long"))
+    val best = parts.groupBy(col("pc")).agg(max(col("p_size")).as("ms"))
+    val prev = Window.orderBy(col("pc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = best
+      .withColumn("pm", max(col("ms")).over(prev))
+      .filter(col("pm").isNull || col("ms") > col("pm"))
+      .select(col("pc"), col("ms"))
+    ord(
+      parts.join(broadcast(frontier),
+                 parts("pc") === frontier("pc") &&
+                 parts("p_size") === frontier("ms"), "left_semi")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+                r4(col("pc").cast("double") / 100.0).as("price")),
+      col("p_partkey"))
+  }
 }

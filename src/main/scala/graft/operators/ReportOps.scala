@@ -389,4 +389,63 @@ object ReportOps {
         Fin.r4((lit(2L) * col("s") - (col("n") + 1L) * col("t"))
           .cast("double") / (col("n") * col("t"))).as("gini"))
   }
+
+  /** q_mix_shift — two-period decomposition of the average-order-value
+    * change into WITHIN-segment rate movement vs composition (mix)
+    * shift, per market segment: Δ = Σ w2·(r2−r1) + Σ (w2−w1)·r1.
+    * The "did the metric move, or did the mix move?" decomposition
+    * (Oaxaca/mix-rate) every metrics review reaches for when a topline
+    * average shifts — a Simpson's-paradox guard as a first-class
+    * operator.
+    *
+    * Periods: the order-date range split at its midpoint, compared in
+    * exact integer seconds (2·sec < mn+mx — no float midpoint).
+    *
+    * Determinism: n/cents are exact int64; every emitted ratio and
+    * effect term is ONE identically-spelled chain of IEEE double ops
+    * from those ints, r4'd once (the q_survival rule: identical
+    * expression shape ⇒ identical bits).
+    *
+    * Scale shape: one fact-scale orders⋈customer join co-partitioned on
+    * custkey, ONE partial-aggregable (segment, period) shuffle, then all
+    * math on the |segments| frame with full-frame windows for totals. */
+  def mixShift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = graft.Tables.orders(s, d)
+      .agg(min(graft.Fin.epochSec(col("o_orderdate"))).as("mn"),
+           max(graft.Fin.epochSec(col("o_orderdate"))).as("mx"))
+    val o = graft.Tables.orders(s, d)
+      .crossJoin(broadcast(b))
+      .withColumn("p",
+        when(graft.Fin.epochSec(col("o_orderdate")) * 2 < col("mn") + col("mx"),
+             1).otherwise(2))
+      .join(graft.Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("p"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val seg = o.groupBy(col("segment"))
+      .agg(sum(when(col("p") === 1, 1L).otherwise(0L)).as("n1"),
+           sum(when(col("p") === 1, col("cents")).otherwise(0L)).as("c1"),
+           sum(when(col("p") === 2, 1L).otherwise(0L)).as("n2"),
+           sum(when(col("p") === 2, col("cents")).otherwise(0L)).as("c2"))
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+    Fin.ord(
+      seg
+        .withColumn("tn1", sum(col("n1")).over(full))
+        .withColumn("tn2", sum(col("n2")).over(full))
+        .select(col("segment"), col("n1"), col("n2"),
+          Fin.r4(col("n1").cast("double") / col("tn1")).as("w1"),
+          Fin.r4(col("n2").cast("double") / col("tn2")).as("w2"),
+          Fin.r4(col("c1").cast("double") / col("n1") / 100.0).as("r1"),
+          Fin.r4(col("c2").cast("double") / col("n2") / 100.0).as("r2"),
+          Fin.r4((col("n2").cast("double") / col("tn2")) *
+                 (col("c2").cast("double") / col("n2") -
+                  col("c1").cast("double") / col("n1")) / 100.0)
+            .as("rate_effect"),
+          Fin.r4((col("n2").cast("double") / col("tn2") -
+                  col("n1").cast("double") / col("tn1")) *
+                 (col("c1").cast("double") / col("n1")) / 100.0)
+            .as("mix_effect")),
+      col("segment"))
+  }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EvalOps, RelationalOps, ReportOps, CurationOps}
+
+/** Semantic invariants of the r11 eval/relational batch — each checked
+  * against independently-derived truths on the real sf0.001 driver data
+  * (the hash gate proves oracle equality; these prove the MATH means
+  * what the scaladoc claims). */
+class EvalOpsSpec extends AnyFunSuite {
+  import TestBase._
+
+  test("calibration: bins partition all users and ECE is the mass-weighted gap sum") {
+    val rows = EvalOps.calibration(spark, sf0001).collect()
+    val nUsers = Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nUsers)
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 9))
+    // ECE column is constant and equals sum(n_b/N * gap_b) within
+    // rounding slack (each gap is r4'd independently of the exact ECE)
+    val ece = rows.map(_.getDouble(5)).distinct
+    assert(ece.length == 1)
+    val recomputed = rows.map(r => r.getLong(1).toDouble / nUsers * r.getDouble(4)).sum
+    assert(math.abs(ece.head - recomputed) < 1e-3,
+      s"ece ${ece.head} vs weighted gaps $recomputed")
+  }
+
+  test("pr curve: recall monotone as the threshold falls; endpoints correct") {
+    val rows = EvalOps.prCurve(spark, sf0001).collect()
+      .sortBy(-_.getLong(0)) // descending threshold = ascending coverage
+    val recalls = rows.map(_.getDouble(4))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(recalls.last - 1.0) < 1e-9,
+      "lowest threshold must cover every positive")
+    val tps = rows.map(_.getLong(1))
+    assert(tps.zip(tps.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("cohens kappa: confusion cells partition documents; kappa within [-1, 1]") {
+    val r = EvalOps.cohensKappa(spark, sf0001).collect().head
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3) == nDocs)
+    val kappa = r.getDouble(6)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    // po ∈ [0,1], pe ∈ (0,1)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 1.0)
+  }
+
+  test("item cf: top-3 per brand, cosine in (0,1], co-occurrence symmetric") {
+    val rows = EvalOps.itemCf(spark, sf0001).collect()
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 3))
+    assert(rows.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+    // within a brand, ranks order by (cosine desc, neighbor)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getInt(1)).map(r => (r.getDouble(4), r.getString(2)))
+      byRank.zip(byRank.tail).foreach { case ((c1, n1), (c2, n2)) =>
+        assert(c1 > c2 || (c1 == c2 && n1 < n2)) }
+    }
+  }
+
+  test("skyline: result is exactly the non-dominated part set") {
+    val parts = Tables.part(spark, sf0001)
+      .select(col("p_partkey"),
+              round(col("p_retailprice") * 100).cast("long").as("pc"),
+              col("p_size")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    def dominated(p: (Long, Long, Int)) = parts.exists(q =>
+      q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3))
+    val want = parts.filterNot(dominated).map(_._1).toSet
+    val got = RelationalOps.skyline(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("mix shift: effects decompose the period delta exactly") {
+    val rows = ReportOps.mixShift(spark, sf0001).collect()
+    // recompute unrounded: delta = R2 - R1 must equal sum of effects
+    val (n1s, n2s) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    val r1 = rows.map(r => r.getLong(1) * r.getDouble(5)).sum / n1s
+    val r2 = rows.map(r => r.getLong(2) * r.getDouble(6)).sum / n2s
+    val effects = rows.map(r => r.getDouble(7) + r.getDouble(8)).sum
+    assert(math.abs((r2 - r1) - effects) < 1e-2,
+      s"delta ${r2 - r1} vs effect sum $effects")
+  }
+
+  test("sample pps: every language draws exactly k=5 with multiplicity") {
+    val rows = CurationOps.samplePps(spark, sf0001).collect()
+    val perLang = rows.groupBy(_.getString(0))
+      .map { case (l, g) => l -> g.map(_.getLong(3)).sum }
+    assert(perLang.values.forall(_ == 5L), s"per-lang draws: $perLang")
+    // PPS property: a selected doc's weight spans at least its
+    // multiplicity-1 full steps
+    val langW = Tables.documents(spark, sf0001)
+      .groupBy(col("lang")).agg(sum(col("n_chars")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.filter(_.getLong(3) > 1).foreach { r =>
+      val step = langW(r.getString(0)) / 5
+      assert(r.getLong(2) > (r.getLong(3) - 1) * step)
+    }
+  }
+}
