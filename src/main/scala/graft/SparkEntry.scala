@@ -306,7 +306,10 @@ object SparkEntry {
     "q_item_cf" -> (graft.operators.EvalOps.itemCf _),
     "q_skyline" -> (R.skyline _),
     "q_mix_shift" -> (ReportOps.mixShift _),
-    "q_sample_pps" -> (C.samplePps _)
+    "q_sample_pps" -> (C.samplePps _),
+    // content-level multimodal decode gates (r11 session 4)
+    "q_audio_stats" -> (M.audioStats _),
+    "q_pixel_stats" -> (M.pixelStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4302,6 +4305,58 @@ object SparkEntry {
          FROM sp2 s JOIN offs f
               ON s.lang = f.lang AND f.o >= s.lo AND f.o < s.hi
          GROUP BY s.lang, s.doc_id, s.n_chars
-         ORDER BY s.lang, s.doc_id"""
+         ORDER BY s.lang, s.doc_id""",
+    "q_audio_stats" ->
+      // closed-form acoustic truth from the source payload: sample =
+      // (byte - 128) << 8, so |s| = (128 - ord(char)) * 256 on the
+      // ASCII corpus (a non-ASCII regeneration breaks this gate LOUDLY)
+      """WITH a AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 3 = 1 AND length(text) > 0),
+            ch AS (SELECT doc_id,
+                          (128 - ord(substr(text, CAST(i AS INT), 1))) * 256 AS av
+                   FROM a, unnest(range(1, length(text) + 1)) AS t(i)),
+            st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns,
+                          max(av) AS peak,
+                          CAST(sum(av) AS BIGINT) AS sabs,
+                          CAST(sum(CAST(av AS BIGINT) * av) AS BIGINT) AS ssq,
+                          CAST(sum(CASE WHEN av < 2048 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS nq
+                   FROM ch GROUP BY 1)
+         SELECT doc_id AS asset_id, CAST(ns AS INT) AS n_samples,
+                CAST(peak AS INT) AS peak,
+                (round(sabs::DOUBLE / ns, 4) + 0.0) AS mean_abs,
+                (round(sqrt(ssq::DOUBLE / ns), 4) + 0.0) AS rms,
+                (round(nq::DOUBLE / ns, 4) + 0.0) AS quiet_ratio
+         FROM st ORDER BY asset_id""",
+    "q_pixel_stats" ->
+      // closed-form pixel truth: the builder cycles the payload through
+      // the stride-padded pixel array, so Σbytes = q·Σpayload +
+      // prefix(r) for L = q·n + r — the engine must recover identical
+      // numbers by parsing the container
+      """WITH a AS (SELECT doc_id, text, length(text) AS n FROM documents
+                    WHERE doc_id % 3 = 0 AND length(text) > 0),
+            g AS (SELECT doc_id, n, 4 + n % 60 AS w,
+                         4 + (7 * n) % 44 AS h
+                  FROM a),
+            g3 AS (SELECT doc_id, n, w, h,
+                          (((3 * w + 3) // 4) * 4) * h AS L
+                   FROM g),
+            ch AS (SELECT a.doc_id, i,
+                          ord(substr(a.text, CAST(i AS INT), 1)) AS v
+                   FROM a, unnest(range(1, length(a.text) + 1)) AS t(i)),
+            pre AS (SELECT ch.doc_id,
+                           CAST(sum(v) AS BIGINT) AS s_all, max(v) AS m_all,
+                           CAST(sum(CASE WHEN i <= g3.L % g3.n THEN v
+                                         ELSE 0 END) AS BIGINT) AS s_pre,
+                           max(CASE WHEN i <= g3.L % g3.n THEN v END) AS m_pre
+                    FROM ch JOIN g3 ON ch.doc_id = g3.doc_id GROUP BY 1)
+         SELECT g3.doc_id AS asset_id, w AS width, h AS height,
+                CAST(L AS INT) AS n_bytes,
+                CAST(CASE WHEN L // n >= 1 THEN m_all
+                          ELSE coalesce(m_pre, 0) END AS INT) AS max_byte,
+                (round(((L // n) * s_all + s_pre)::DOUBLE / L, 4) + 0.0)
+                  AS mean_byte
+         FROM g3 JOIN pre ON g3.doc_id = pre.doc_id
+         ORDER BY asset_id"""
   )
 }

@@ -214,4 +214,104 @@ object MultimodalOps {
              sum(col("duration_ms")).as("total_duration_ms")),
       col("kind"))
   }
+
+  /** Per-asset acoustic accumulators parsed out of the PCM DATA bytes
+    * (not the header): sample count, peak |amplitude|, Σ|s|, Σs², and
+    * the count of near-silent samples (|s| < 2048 ≈ −24 dBFS). */
+  case class AudioStats(asset_id: Long, n_samples: Int, peak: Int,
+                        sum_abs: Long, sum_sq: Long, n_quiet: Long)
+
+  /** q_audio_stats — CONTENT-level audio decode under the oracle gate:
+    * per audio asset, mean |amplitude|, RMS level and the near-silence
+    * ratio, computed by parsing the 16-bit PCM samples back out of the
+    * WAV data chunk the asset builder wrote. q_multimodal_meta gates
+    * the header geometry; this gates the SAMPLES — a one-bit
+    * disagreement in any sample byte between writer and parser breaks
+    * the hash. (The oracle recomputes the stats in closed form from
+    * the source payload chars — documents.text is ASCII by driver
+    * contract, asserted loudly by the gate itself if a regeneration
+    * ever changes that.)
+    *
+    * Scale shape: mapPartitions where the bytes live — the sample loop
+    * never materializes an array per asset, just five accumulators;
+    * output is one narrow row per asset. No shuffle before the final
+    * sort.
+    *
+    * Determinism: all accumulators are exact integers; mean/ratio
+    * divide once and r4; RMS is the correctly-rounded IEEE √ of an
+    * exact-int division, identical on both engines. */
+  def audioStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = assets(s, d).mapPartitions { it =>
+      it.flatMap { a =>
+        if (a.kind != "audio") None
+        else Wav.parseWithData(a.media).flatMap { case (_, off, len) =>
+          val n = len / 2
+          if (n == 0) None
+          else {
+            var i = 0; var peak = 0; var sabs = 0L; var ssq = 0L; var q = 0L
+            while (i < n) {
+              val lo = a.media(off + 2 * i) & 0xff
+              val s16 = (a.media(off + 2 * i + 1) << 8) | lo // sign from hi byte
+              val as = math.abs(s16)
+              if (as > peak) peak = as
+              sabs += as
+              ssq += as.toLong * as
+              if (as < 2048) q += 1
+              i += 1
+            }
+            Some(AudioStats(a.asset_id, n, peak, sabs, ssq, q))
+          }
+        }
+      }
+    }
+    ord(
+      st.toDF().select(col("asset_id"), col("n_samples"), col("peak"),
+        r4(col("sum_abs").cast("double") / col("n_samples")).as("mean_abs"),
+        r4(sqrt(col("sum_sq").cast("double") / col("n_samples"))).as("rms"),
+        r4(col("n_quiet").cast("double") / col("n_samples"))
+          .as("quiet_ratio")),
+      col("asset_id"))
+  }
+
+  /** Per-asset pixel-array accumulators parsed from the BMP bytes. */
+  case class PixelStats(asset_id: Long, width: Int, height: Int,
+                        n_bytes: Int, sum_bytes: Long, max_byte: Int)
+
+  /** q_pixel_stats — CONTENT-level image decode under the oracle gate:
+    * per image asset, the mean and max pixel-array byte value read
+    * back through the parsed BMP header (offset 54, stride·height
+    * bytes). The asset builder fills the pixel array by cycling the
+    * payload, so the oracle can recompute Σbytes in closed form —
+    * q·Σpayload + prefix(r) for L = q·|payload| + r — from the source
+    * chars; the engine must recover the identical numbers from the
+    * container bytes alone.
+    *
+    * Scale shape: identical to q_audio_stats — partition-local byte
+    * loop, five accumulators, one narrow row per asset. */
+  def pixelStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = assets(s, d).mapPartitions { it =>
+      it.flatMap { a =>
+        if (a.kind != "image") None
+        else Bmp.parse(a.media).map { h =>
+          val off = Bmp.HeaderLen
+          val n = h.fileSize - off
+          var i = 0; var sum = 0L; var mx = 0
+          while (i < n) {
+            val v = a.media(off + i) & 0xff
+            sum += v
+            if (v > mx) mx = v
+            i += 1
+          }
+          PixelStats(a.asset_id, h.width, h.height, n, sum, mx)
+        }
+      }
+    }
+    ord(
+      st.toDF().select(col("asset_id"), col("width"), col("height"),
+        col("n_bytes"), col("max_byte"),
+        r4(col("sum_bytes").cast("double") / col("n_bytes")).as("mean_byte")),
+      col("asset_id"))
+  }
 }

@@ -184,13 +184,21 @@ object MediaContainers {
       * then scans tagged chunks for "fmt " and "data" — tolerant of
       * extra chunks a foreign writer may insert, strict about
       * truncation and non-PCM. */
-    def parse(b: Array[Byte]): Option[Header] = {
+    def parse(b: Array[Byte]): Option[Header] =
+      parseWithData(b).map(_._1)
+
+    /** Like [[parse]] but also returns the byte offset and length of
+      * the data chunk's sample bytes, for consumers that read the PCM
+      * content itself (e.g. the acoustic-stats query) rather than just
+      * the header geometry. */
+    def parseWithData(b: Array[Byte]): Option[(Header, Int, Int)] = {
       if (b.length < 12) return None
       if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
       if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
       var off = 12
       var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
       var dataLen = -1
+      var dataOff = -1
       while (off + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
         val tag = new String(b, off, 4, "US-ASCII")
         val len = le32(b, off + 4)
@@ -201,7 +209,7 @@ object MediaContainers {
             val format = le16(b, off + 8)
             if (format != 1) return None // PCM only
             fmt = Some((le16(b, off + 10), le32(b, off + 12), le16(b, off + 22)))
-          case "data" => dataLen = len
+          case "data" => dataLen = len; dataOff = off + 8
           case _ => ()
         }
         off += 8 + len + (len & 1) // RIFF chunks are 2-byte aligned
@@ -210,7 +218,7 @@ object MediaContainers {
         case Some((ch, rate, bits))
             if dataLen >= 0 && ch > 0 && rate > 0 && bits > 0 &&
               bits % 8 == 0 =>
-          Some(Header(rate, ch, bits, dataLen / (bits / 8)))
+          Some((Header(rate, ch, bits, dataLen / (bits / 8)), dataOff, dataLen))
         case _ => None
       }
     }

@@ -108,4 +108,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("stride"))
   }
+
+  test("audio stats recover the source payload's acoustic truth sample-exact") {
+    import org.apache.spark.sql.functions.col
+    val got = MultimodalOps.audioStats(spark, TestBase.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val texts = Tables.documents(spark, TestBase.sf0001)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == texts.keySet)
+    texts.foreach { case (id, t) =>
+      val abs = t.map(c => (128 - c.toInt) * 256)
+      assert(got(id) == ((t.length, abs.max)),
+        s"asset $id: parsed ${got(id)} vs source (${t.length}, ${abs.max})")
+    }
+  }
+
+  test("pixel stats parse dims and byte sums identical to the builder's cycle") {
+    import org.apache.spark.sql.functions.col
+    val rows = MultimodalOps.pixelStats(spark, TestBase.sf0001).collect()
+    val texts = Tables.documents(spark, TestBase.sf0001)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val t = texts(r.getLong(0))
+      val (w, h) = MultimodalOps.dimsFor(t.length)
+      assert((r.getInt(1), r.getInt(2)) == ((w, h)))
+      val stride = (3 * w + 3) & ~3
+      val L = stride * h
+      assert(r.getInt(3) == L)
+      val sum = (0 until L).map(i => t(i % t.length).toLong).sum
+      assert(math.abs(r.getDouble(5) - math.rint(sum.toDouble / L * 1e4) / 1e4) < 1e-9)
+    }
+  }
 }
