@@ -44,6 +44,7 @@ object SparkEntry {
     C.docClusterStoreDir(spark, d)
     IngestOps.ingestSinkDir(spark, d)
     IngestOps.historyReportDir(spark, d)
+    graft.operators.FormatOps.prepare(spark, d)
     graft.streaming.StreamingOps.streamSourceDir(spark, d)
     graft.streaming.StreamingOps.prepareGatedStreams(spark, d)
   }
@@ -309,7 +310,10 @@ object SparkEntry {
     "q_sample_pps" -> (C.samplePps _),
     // content-level multimodal decode gates (r11 session 4)
     "q_audio_stats" -> (M.audioStats _),
-    "q_pixel_stats" -> (M.pixelStats _)
+    "q_pixel_stats" -> (M.pixelStats _),
+    // text-format round trips under the hash gate (r11 session 4)
+    "q_csv_roundtrip" -> (graft.operators.FormatOps.csvRoundtrip _),
+    "q_json_roundtrip" -> (graft.operators.FormatOps.jsonRoundtrip _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4357,6 +4361,25 @@ object SparkEntry {
                 (round(((L // n) * s_all + s_pre)::DOUBLE / L, 4) + 0.0)
                   AS mean_byte
          FROM g3 JOIN pre ON g3.doc_id = pre.doc_id
-         ORDER BY asset_id"""
+         ORDER BY asset_id""",
+    // both round-trip oracles aggregate the PARQUET source — the Spark
+    // side aggregates what came back through the text format, so any
+    // fidelity loss in the writer→reader loop breaks the hash
+    "q_csv_roundtrip" ->
+      """SELECT event_type,
+                CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(sum(length(props)) AS BIGINT) AS props_len
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+    "q_json_roundtrip" ->
+      """SELECT event_type,
+                CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(sum(length(props)) AS BIGINT) AS props_len
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day"""
   )
 }

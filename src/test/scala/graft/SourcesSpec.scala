@@ -27,6 +27,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(collectSet(DataSources.readOrc(spark, orcDir, Schemas.orders)) == base, "orc")
   }
 
+  test("gated round trips: csv/json query results equal the parquet-direct aggregate") {
+    def direct = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"),
+               date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(expr("cast(round(value * 100) as bigint)")).as("cents"),
+           count_distinct(col("user_id")).as("n_users"),
+           sum(length(col("props")).cast("long")).as("props_len"))
+    val want = collectSet(direct)
+    assert(collectSet(graft.operators.FormatOps.csvRoundtrip(spark, sf0001)) == want, "csv")
+    assert(collectSet(graft.operators.FormatOps.jsonRoundtrip(spark, sf0001)) == want, "json")
+  }
+
   test("flagship aggregation is format-independent") {
     val li = Tables.lineitem(spark, sf0001)
     def agg(df: org.apache.spark.sql.DataFrame) =
