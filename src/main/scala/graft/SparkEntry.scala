@@ -313,7 +313,11 @@ object SparkEntry {
     "q_pixel_stats" -> (M.pixelStats _),
     // text-format round trips under the hash gate (r11 session 4)
     "q_csv_roundtrip" -> (graft.operators.FormatOps.csvRoundtrip _),
-    "q_json_roundtrip" -> (graft.operators.FormatOps.jsonRoundtrip _)
+    "q_json_roundtrip" -> (graft.operators.FormatOps.jsonRoundtrip _),
+    // time-weighted mean, target encoding, embedding-lane profile
+    "q_time_weighted_avg" -> (TimeSeriesOps.timeWeightedAvg _),
+    "q_target_encoding" -> (graft.operators.EvalOps.targetEncoding _),
+    "q_embed_profile" -> (L.embedProfile _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4380,6 +4384,63 @@ object SparkEntry {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                 CAST(sum(length(props)) AS BIGINT) AS props_len
-         FROM events GROUP BY 1, 2 ORDER BY event_type, day"""
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+    "q_time_weighted_avg" ->
+      // step-function TWA: each value holds until the next observation;
+      // Δt exact seconds, weighted sum exact int64, one division
+      """WITH e AS (SELECT event_type, event_id,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS sec,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+            l AS (SELECT event_type, cents, sec,
+                         lead(sec) OVER (PARTITION BY event_type
+                                         ORDER BY sec, event_id) AS next_sec
+                  FROM e),
+            iv AS (SELECT event_type, cents, next_sec - sec AS dt
+                   FROM l WHERE next_sec IS NOT NULL)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+                CAST(sum(dt) AS BIGINT) AS total_sec,
+                (round(CAST(sum(cents * dt) AS BIGINT)::DOUBLE
+                       / CAST(sum(dt) AS BIGINT) / 100.0, 4) + 0.0) AS twa
+         FROM iv GROUP BY 1 ORDER BY event_type""",
+    "q_target_encoding" ->
+      // smoothed mean encoding: (Σy + m·μ)/(n + m), m=20; identical
+      // IEEE chain from exact ints on both engines
+      """WITH o AS (SELECT c_mktsegment AS segment,
+                           o_orderpriority AS priority,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders JOIN customer ON o_custkey = c_custkey),
+            cells AS (SELECT segment, priority,
+                             CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(cents) AS BIGINT) AS sc
+                      FROM o GROUP BY 1, 2),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS tn,
+                         CAST(sum(cents) AS BIGINT) AS ts FROM o)
+         SELECT segment, priority, n,
+                (round(sc::DOUBLE / n / 100.0, 4) + 0.0) AS raw_mean,
+                (round((sc::DOUBLE / 100.0 + 20.0 * (ts::DOUBLE / tn / 100.0))
+                       / (n + 20), 4) + 0.0) AS encoding,
+                (round(20.0 / (n + 20), 4) + 0.0) AS shrink
+         FROM cells, t ORDER BY segment, priority""",
+    "q_embed_profile" ->
+      // per-lane corpus profile; components quantized to exact int64
+      // micro-units before summing (float Σ is partition-order-dependent)
+      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            lanes AS (SELECT CAST(i - 1 AS INT) AS lane,
+                             CAST(round(v[CAST(i AS INT)] * 1000000)
+                                  AS BIGINT) AS q
+                      FROM em, unnest(range(1, len(v) + 1)) AS t(i)),
+            g AS (SELECT lane, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(q) AS BIGINT) AS sq,
+                         CAST(sum(q * q) AS BIGINT) AS sqq,
+                         CAST(min(q) AS BIGINT) AS mn,
+                         CAST(max(q) AS BIGINT) AS mx
+                  FROM lanes GROUP BY 1)
+         SELECT lane, n,
+                (round(sq::DOUBLE / n / 1000000.0, 4) + 0.0) AS mean,
+                (round((sqq::DOUBLE / n - (sq::DOUBLE / n) * (sq::DOUBLE / n))
+                       / 1.0e12, 4) + 0.0) AS variance,
+                mn AS min_micro, mx AS max_micro
+         FROM g ORDER BY lane"""
   )
 }

@@ -227,4 +227,41 @@ object EvalOps {
                 col("cosine")),
       col("brand"), col("rk"))
   }
+
+  /** q_target_encoding — smoothed mean target encoding of the
+    * (segment, priority) category cells against order value: enc =
+    * (Σy_cell + m·μ_global)/(n_cell + m) with m = 20 — THE standard
+    * categorical-feature encoder for tree/linear models, where the
+    * smoothing keeps rare cells from memorizing their own noise. Emits
+    * raw cell mean, smoothed encoding, and the shrink weight so a
+    * feature review can see how hard each cell was pulled to the prior.
+    *
+    * Determinism: cell sums/counts are exact int64; μ_global rides a
+    * 1-row broadcast; the encoding is ONE identically-spelled IEEE
+    * chain from those ints, r4'd once (the q_survival rule).
+    *
+    * Scale shape: one fact-scale orders⋈customer join co-partitioned on
+    * custkey, ONE partial-aggregable (segment, priority) shuffle, scalar
+    * math on the ≤|segments|·|priorities| frame. */
+  def targetEncoding(s: SparkSession, d: String): DataFrame = {
+    val m = 20
+    val o = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+              col("o_orderpriority").as("priority"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val cells = o.groupBy(col("segment"), col("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+    val tot = o.agg(count(lit(1)).as("tn"), sum(col("cents")).as("ts"))
+    ord(
+      cells.crossJoin(broadcast(tot))
+        .select(col("segment"), col("priority"), col("n"),
+          r4(col("sc").cast("double") / col("n") / 100.0).as("raw_mean"),
+          r4((col("sc").cast("double") / 100.0 +
+              lit(m.toDouble) *
+                (col("ts").cast("double") / col("tn") / 100.0)) /
+             (col("n") + lit(m.toLong))).as("encoding"),
+          r4(lit(m.toDouble) / (col("n") + lit(m.toLong))).as("shrink")),
+      col("segment"), col("priority"))
+  }
 }

@@ -1399,4 +1399,43 @@ object LlmOps {
           r4(try_divide(col("novel_grams").cast("double"), col("n_grams")))),
       col("source"))
   }
+
+  /** q_embed_profile — per-DIMENSION distribution profile of the
+    * embedding corpus: for each of the 64 lanes, n, mean, variance,
+    * min and max of the component values — the feature-store profiling
+    * readout that catches dead lanes (zero variance), biased lanes
+    * (the q_dedup_embcos_centered failure mode, measured instead of
+    * assumed), and range drift between embedding-model versions.
+    *
+    * Determinism: float sums are partition-order-dependent, so each
+    * component is quantized to an exact int64 micro-unit
+    * (round(v·10⁶), the established embedding idiom) BEFORE summing —
+    * Σ and Σ² are then exact on both engines; mean/var divide once and
+    * r4. Min/max need no quantization (order ops are exact on floats)
+    * but are emitted in micro-units too for a single unit story.
+    *
+    * Scale shape: posexplode is scan-side fan-out (64 narrow rows per
+    * vector) feeding ONE partial-aggregable shuffle onto 64 keys —
+    * map-side combine collapses each partition to ≤64 rows before the
+    * exchange, so the shuffle moves O(64·partitions) rows at any
+    * corpus size. */
+  def embedProfile(s: SparkSession, d: String): DataFrame = {
+    val lanes = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("lane", "v")))
+      .select(col("lane"),
+              expr("cast(round(cast(v as double) * 1000000) as bigint)")
+                .as("q"))
+    ord(
+      lanes.groupBy(col("lane"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+             sum(col("q") * col("q")).as("sqq"),
+             min(col("q")).as("mn"), max(col("q")).as("mx"))
+        .select(col("lane"), col("n"),
+          r4(col("sq").cast("double") / col("n") / 1000000.0).as("mean"),
+          r4((col("sqq").cast("double") / col("n") -
+              (col("sq").cast("double") / col("n")) *
+              (col("sq").cast("double") / col("n"))) / 1.0e12).as("variance"),
+          col("mn").as("min_micro"), col("mx").as("max_micro")),
+      col("lane"))
+  }
 }

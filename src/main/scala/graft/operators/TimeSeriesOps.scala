@@ -1045,4 +1045,43 @@ object TimeSeriesOps {
                r4(col("r2_raw")).as("r2")),
       col("event_type"))
   }
+
+  /** q_time_weighted_avg — the duration-weighted mean of each event
+    * type's value stream: each observation holds until the next one
+    * (step function), TWA = Σ vᵢ·Δtᵢ / Σ Δtᵢ — the time-weighted
+    * average price/balance operator from financial analytics that a
+    * row-weighted avg() gets WRONG whenever sampling is irregular (a
+    * value held for an hour must weigh 3600× one held a second).
+    *
+    * Determinism: Δt in exact integer seconds from a (ts, event_id)
+    * uniquely-ordered lead; value in exact cents; the weighted sum
+    * stays int64 (cents ≤ 10⁶ × Δt ≤ 3·10⁶ s × rows — bounded at
+    * driver SFs; at larger horizons the product would move to per-day
+    * partial sums first); ONE division, r4'd.
+    *
+    * Scale shape: one window per event_type (partitioned like
+    * sessionize, never global), then a partial-aggregable per-type
+    * rollup. The last observation of each stream has no successor and
+    * deliberately drops (open-ended interval). */
+  def timeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("sec"), col("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+              epochSec(col("ts")).as("sec"),
+              expr("cast(round(value * 100) as bigint)").as("cents"))
+      .withColumn("next_sec", lead(col("sec"), 1).over(w))
+      .filter(col("next_sec").isNotNull)
+      .withColumn("dt", col("next_sec") - col("sec"))
+    ord(
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+             sum(col("dt")).as("total_sec"),
+             sum(col("cents") * col("dt")).as("wsum"))
+        .select(col("event_type"), col("n_intervals"), col("total_sec"),
+                r4(col("wsum").cast("double") / col("total_sec") / 100.0)
+                  .as("twa")),
+      col("event_type"))
+  }
 }

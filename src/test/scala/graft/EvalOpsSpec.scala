@@ -86,6 +86,59 @@ class EvalOpsSpec extends AnyFunSuite {
       s"delta ${r2 - r1} vs effect sum $effects")
   }
 
+  test("time-weighted avg matches a hand-computed step-function integral") {
+    import graft.operators.TimeSeriesOps
+    val got = TimeSeriesOps.timeWeightedAvg(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("event_id"),
+              unix_timestamp(col("ts")).as("sec"),
+              expr("cast(round(value*100) as bigint)").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val s = rows.sortBy(r => (r._3, r._2))
+      val ivs = s.zip(s.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+      val (wsum, tsum) = (ivs.map(i => i._1 * i._2).sum, ivs.map(_._2).sum)
+      val (n, tot, twa) = got(t)
+      assert(n == ivs.length && tot == tsum)
+      assert(math.abs(twa - math.rint(wsum.toDouble / tsum / 100.0 * 1e4) / 1e4) < 1e-9)
+    }
+  }
+
+  test("target encoding shrinks every cell toward the global mean") {
+    val rows = EvalOps.targetEncoding(spark, sf0001).collect()
+    val globalish = {
+      // unrounded global mean from the raw cells
+      val o = Tables.orders(spark, sf0001)
+        .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+        .agg(sum(expr("cast(round(o_totalprice*100) as bigint)")).as("s"),
+             count(lit(1)).as("n")).collect().head
+      o.getLong(0).toDouble / o.getLong(1) / 100.0
+    }
+    rows.foreach { r =>
+      val (raw, enc, shrink) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val lo = math.min(raw, globalish) - 1e-3
+      val hi = math.max(raw, globalish) + 1e-3
+      assert(enc >= lo && enc <= hi, s"encoding $enc outside [$lo, $hi]")
+      assert(shrink > 0.0 && shrink < 1.0)
+    }
+  }
+
+  test("embed profile: 64 lanes, full coverage, consistent bounds") {
+    import graft.operators.LlmOps
+    val rows = LlmOps.embedProfile(spark, sf0001).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (0 until 64))
+    val nVec = Tables.embeddings(spark, sf0001).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == nVec)
+      assert(r.getDouble(3) >= -1e-9, "variance must be non-negative")
+      assert(r.getLong(4) <= r.getLong(5))
+      val meanMicro = r.getDouble(2) * 1e6
+      assert(meanMicro >= r.getLong(4) - 1 && meanMicro <= r.getLong(5) + 1)
+    }
+  }
+
   test("sample pps: every language draws exactly k=5 with multiplicity") {
     val rows = CurationOps.samplePps(spark, sf0001).collect()
     val perLang = rows.groupBy(_.getString(0))
