@@ -314,6 +314,7 @@ object SparkEntry {
     // text-format round trips under the hash gate (r11 session 4)
     "q_csv_roundtrip" -> (graft.operators.FormatOps.csvRoundtrip _),
     "q_json_roundtrip" -> (graft.operators.FormatOps.jsonRoundtrip _),
+    "q_orc_roundtrip" -> (graft.operators.FormatOps.orcRoundtrip _),
     // time-weighted mean, target encoding, embedding-lane profile
     "q_time_weighted_avg" -> (TimeSeriesOps.timeWeightedAvg _),
     "q_target_encoding" -> (graft.operators.EvalOps.targetEncoding _),
@@ -4378,6 +4379,14 @@ object SparkEntry {
                 CAST(sum(length(props)) AS BIGINT) AS props_len
          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
     "q_json_roundtrip" ->
+      """SELECT event_type,
+                CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(sum(length(props)) AS BIGINT) AS props_len
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+    "q_orc_roundtrip" ->
       """SELECT event_type,
                 CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
                 CAST(count(*) AS BIGINT) AS n_events,

@@ -32,15 +32,17 @@ object FormatOps {
   def prepare(s: SparkSession, d: String): Unit = {
     exportDir(s, d, "csv")
     exportDir(s, d, "json")
+    exportDir(s, d, "orc")
   }
 
-  /** Export events to the given text format once per source state. */
+  /** Export events to the given format once per source state. */
   private def exportDir(s: SparkSession, d: String, fmt: String): String =
     CachedDir.materialize(s, d, "events.parquet", s"${fmt}rt") { tmp =>
       val ev = Tables.events(s, d)
       fmt match {
-        case "csv" => DataSources.writeCsv(ev, tmp)
-        case _     => DataSources.writeJson(ev, tmp)
+        case "csv"  => DataSources.writeCsv(ev, tmp)
+        case "json" => DataSources.writeJson(ev, tmp)
+        case _      => DataSources.writeOrc(ev, tmp)
       }
     }
 
@@ -63,4 +65,10 @@ object FormatOps {
     * hash gate (escaping of the embedded-JSON props is the hard part). */
   def jsonRoundtrip(s: SparkSession, d: String): DataFrame =
     roundtripAgg(DataSources.readJson(s, exportDir(s, d, "json"), Schemas.events))
+
+  /** q_orc_roundtrip — the ORC writer→reader loop under the hash gate
+    * (binary-columnar: timestamp encoding and string dictionary
+    * fidelity are the risk surface). Completes the format triple. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame =
+    roundtripAgg(DataSources.readOrc(s, exportDir(s, d, "orc"), Schemas.events))
 }

@@ -38,6 +38,7 @@ class SourcesSpec extends AnyFunSuite {
     val want = collectSet(direct)
     assert(collectSet(graft.operators.FormatOps.csvRoundtrip(spark, sf0001)) == want, "csv")
     assert(collectSet(graft.operators.FormatOps.jsonRoundtrip(spark, sf0001)) == want, "json")
+    assert(collectSet(graft.operators.FormatOps.orcRoundtrip(spark, sf0001)) == want, "orc")
   }
 
   test("flagship aggregation is format-independent") {
