@@ -318,7 +318,11 @@ object SparkEntry {
     // time-weighted mean, target encoding, embedding-lane profile
     "q_time_weighted_avg" -> (TimeSeriesOps.timeWeightedAvg _),
     "q_target_encoding" -> (graft.operators.EvalOps.targetEncoding _),
-    "q_embed_profile" -> (L.embedProfile _)
+    "q_embed_profile" -> (L.embedProfile _),
+    // growth accounting, exact audience overlap, equi-depth statistics
+    "q_growth_accounting" -> (ReportOps.growthAccounting _),
+    "q_audience_overlap" -> (ReportOps.audienceOverlap _),
+    "q_stats_histogram" -> (P.statsHistogram _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4450,6 +4454,76 @@ object SparkEntry {
                 (round((sqq::DOUBLE / n - (sq::DOUBLE / n) * (sq::DOUBLE / n))
                        / 1.0e12, 4) + 0.0) AS variance,
                 mn AS min_micro, mx AS max_micro
-         FROM g ORDER BY lane"""
+         FROM g ORDER BY lane""",
+    "q_growth_accounting" ->
+      // weekly new/retained/resurrected/churned; churn booked to the
+      // week the user went missing (horizon+1 carries the final churn)
+      """WITH uw AS (SELECT DISTINCT user_id,
+                            CAST(date_trunc('week', ts::TIMESTAMP) AS DATE) AS wk
+                     FROM events),
+            cls AS (SELECT user_id, wk,
+                           lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+                           lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next
+                    FROM uw),
+            act AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_active,
+                           CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_new,
+                           CAST(sum(CASE WHEN date_diff('day', prev, wk) = 7
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_retained,
+                           CAST(sum(CASE WHEN prev IS NOT NULL
+                                          AND date_diff('day', prev, wk) > 7
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_resurrected
+                    FROM cls GROUP BY 1),
+            churn AS (SELECT wk + 7 AS wk, CAST(count(*) AS BIGINT) AS n_churned
+                      FROM cls
+                      WHERE next IS NULL OR date_diff('day', wk, next) > 7
+                      GROUP BY 1)
+         SELECT coalesce(a.wk, c.wk) AS wk,
+                coalesce(n_active, 0) AS n_active,
+                coalesce(n_new, 0) AS n_new,
+                coalesce(n_retained, 0) AS n_retained,
+                coalesce(n_resurrected, 0) AS n_resurrected,
+                coalesce(n_churned, 0) AS n_churned
+         FROM act a FULL OUTER JOIN churn c ON a.wk = c.wk
+         ORDER BY wk""",
+    "q_audience_overlap" ->
+      // exact audience Jaccard per event-type pair (the q_hll_overlap
+      // sketch's exact twin); zero-overlap pairs surface via the spine
+      """WITH ut AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+            sizes AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+                      FROM ut GROUP BY 1),
+            spine AS (SELECT a.t AS type_a, a.n AS n_a,
+                             b.t AS type_b, b.n AS n_b
+                      FROM sizes a, sizes b WHERE a.t < b.t),
+            inter AS (SELECT x.t AS type_a, y.t AS type_b,
+                             CAST(count(*) AS BIGINT) AS inter
+                      FROM ut x JOIN ut y
+                           ON x.user_id = y.user_id AND x.t < y.t
+                      GROUP BY 1, 2)
+         SELECT s.type_a, s.type_b, n_a, n_b,
+                coalesce(inter, 0) AS inter,
+                (round(coalesce(inter, 0)::DOUBLE
+                       / (n_a + n_b - coalesce(inter, 0)), 4) + 0.0)
+                  AS jaccard
+         FROM spine s LEFT JOIN inter i
+              ON s.type_a = i.type_a AND s.type_b = i.type_b
+         ORDER BY s.type_a, s.type_b""",
+    "q_stats_histogram" ->
+      // equi-depth 10-bucket histogram over order value with per-bucket
+      // NDV — the ANALYZE statistics artifact; unique (cents, orderkey)
+      // tiebreak makes bucket membership engine-identical
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders),
+            b AS (SELECT o_custkey, cents,
+                         ntile(10) OVER (ORDER BY cents, o_orderkey) AS bucket
+                  FROM o)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_cust,
+                (round(min(cents)::DOUBLE / 100.0, 4) + 0.0) AS lo,
+                (round(max(cents)::DOUBLE / 100.0, 4) + 0.0) AS hi
+         FROM b GROUP BY 1 ORDER BY bucket"""
   )
 }

@@ -390,6 +390,95 @@ object ReportOps {
           .cast("double") / (col("n") * col("t"))).as("gini"))
   }
 
+  /** q_growth_accounting — the standard weekly growth-accounting frame:
+    * per week, active users split into NEW (first week ever), RETAINED
+    * (also active the immediately previous week), RESURRECTED (active
+    * before, but not last week), plus CHURNED (active last week, gone
+    * this week — booked to the week they went missing). The four-way
+    * split every growth review runs; q_new_returning's daily new/return
+    * view cannot distinguish resurrection from retention or see churn
+    * at all.
+    *
+    * Determinism: pure integer counts over distinct (user, week) rows;
+    * week = Monday-start date_trunc (identical both engines, the
+    * q_period_over_period precedent).
+    *
+    * Scale shape: ONE distinct shuffle on (user, week), one per-user
+    * lag/lead window (partitioned like sessionize), two partial-
+    * aggregable weekly rollups full-outer-merged on the ≤|weeks|+1
+    * frame. The week after the horizon carries the final churn row by
+    * design. */
+  def growthAccounting(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.Fin._
+    val uw = graft.Tables.events(s, d)
+      .select(col("user_id"),
+              date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val cls = uw
+      .withColumn("prev", lag(col("wk"), 1).over(w))
+      .withColumn("next", lead(col("wk"), 1).over(w))
+    val act = cls.groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_active"),
+           sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+           sum(when(datediff(col("wk"), col("prev")) === 7, 1L).otherwise(0L))
+             .as("n_retained"),
+           sum(when(col("prev").isNotNull &&
+                    datediff(col("wk"), col("prev")) > 7, 1L).otherwise(0L))
+             .as("n_resurrected"))
+    val churn = cls
+      .filter(col("next").isNull || datediff(col("next"), col("wk")) > 7)
+      .select(date_add(col("wk"), 7).as("wk"))
+      .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+    ord(
+      act.join(churn, Seq("wk"), "full_outer")
+        .select(col("wk"),
+                coalesce(col("n_active"), lit(0L)).as("n_active"),
+                coalesce(col("n_new"), lit(0L)).as("n_new"),
+                coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+                coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+                coalesce(col("n_churned"), lit(0L)).as("n_churned")),
+      col("wk"))
+  }
+
+  /** q_audience_overlap — EXACT audience Jaccard between every pair of
+    * event types (shared users / union users): the exact twin of the
+    * q_hll_overlap sketch, so the two rows document the exact↔sketch
+    * trade directly. Zero-overlap pairs surface with jaccard 0 via the
+    * generated pair spine.
+    *
+    * Scale shape: one distinct shuffle on (type, user); the pair
+    * intersection is a self-join CO-PARTITIONED on user_id (fan-out
+    * per user = distinct types that user touched, ≤|types|); per-type
+    * sizes and the |types|² spine ride broadcasts. Exact distincts at
+    * any scale — when |types| grows to thousands, q_hll_overlap is the
+    * documented fallback. */
+  def audienceOverlap(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val ut = graft.Tables.events(s, d)
+      .select(col("event_type").as("t"), col("user_id"))
+      .distinct()
+      .localCheckpoint(false)
+    val sizes = ut.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val spine = sizes.select(col("t").as("type_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("t").as("type_b"), col("n").as("n_b")))
+      .filter(col("type_a") < col("type_b"))
+    val inter = ut.as("x")
+      .join(ut.as("y"), col("x.user_id") === col("y.user_id") &&
+                        col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
+      .agg(count(lit(1)).as("inter"))
+    ord(
+      broadcast(spine).join(inter, Seq("type_a", "type_b"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+                col("inter"),
+                r4(col("inter").cast("double") /
+                   (col("n_a") + col("n_b") - col("inter"))).as("jaccard")),
+      col("type_a"), col("type_b"))
+  }
+
   /** q_mix_shift — two-period decomposition of the average-order-value
     * change into WITHIN-segment rate movement vs composition (mix)
     * shift, per market segment: Δ = Σ w2·(r2−r1) + Σ (w2−w1)·r1.

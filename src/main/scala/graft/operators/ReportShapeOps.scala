@@ -391,6 +391,38 @@ object ReportShapeOps {
     * partial-aggregable shuffle on custkey; the decile rollup is 10
     * rows. At 100 TB the ntile would switch to approx-quantile
     * bucketing (q_percentile_approx path) to avoid the global sort. */
+  /** q_stats_histogram — the equi-depth (equi-height) column histogram
+    * an optimizer's ANALYZE collects: 10 equal-count buckets over order
+    * value with per-bucket row count, value bounds, and customer NDV —
+    * the statistics artifact selectivity estimation reads, exposed as a
+    * first-class query (q_doc_length_histogram is the equi-WIDTH
+    * counterpart; equi-depth adapts bucket bounds to skew).
+    *
+    * Determinism: ntile orders by (exact cents, orderkey) — a unique
+    * tiebreak, so bucket membership is identical on both engines;
+    * bounds are exact cents divided once for display.
+    *
+    * Scale shape: the global ntile sort is of the ORDERS frame (the
+    * q_decile_lift precedent — range-partitioned sort at 100 TB, or
+    * approx-quantile boundaries with the same downstream contract);
+    * the rollup is 10 rows. */
+  def statsHistogram(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_orderkey"))
+    ord(
+      o.withColumn("bucket", ntile(10).over(w))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+             count_distinct(col("o_custkey")).as("ndv_cust"),
+             min(col("cents")).as("locents"), max(col("cents")).as("hicents"))
+        .select(col("bucket"), col("n_rows"), col("ndv_cust"),
+                r4(col("locents").cast("double") / 100.0).as("lo"),
+                r4(col("hicents").cast("double") / 100.0).as("hi")),
+      col("bucket"))
+  }
+
   def decileLift(s: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
     val scored = Tables.customer(s, d)

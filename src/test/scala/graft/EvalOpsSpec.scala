@@ -139,6 +139,49 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("growth accounting: splits partition actives; churn conserves users") {
+    val rows = ReportOps.growthAccounting(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    rows.foreach { case (wk, act, nw, ret, res, _) =>
+      assert(act == nw + ret + res, s"$wk: $act != $nw+$ret+$res") }
+    // conservation week to week: active(w) - retained(w+1) = churned(w+1)
+    rows.zip(rows.tail).foreach { case ((_, act, _, _, _, _),
+                                        (wk2, _, _, ret2, _, ch2)) =>
+      assert(act - ret2 == ch2, s"$wk2: ${act - ret2} != $ch2") }
+    // total new across all weeks = total distinct users
+    val users = Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._3).sum == users)
+  }
+
+  test("audience overlap: exact Jaccard on hand-collected user sets") {
+    val sets = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .groupBy(_.getString(0)).map { case (t, g) => t -> g.map(_.getLong(1)).toSet }
+    val rows = ReportOps.audienceOverlap(spark, sf0001).collect()
+    assert(rows.length == sets.size * (sets.size - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (sets(r.getString(0)), sets(r.getString(1)))
+      assert(r.getLong(2) == a.size && r.getLong(3) == b.size)
+      assert(r.getLong(4) == (a & b).size)
+      val j = (a & b).size.toDouble / (a | b).size
+      assert(math.abs(r.getDouble(5) - math.rint(j * 1e4) / 1e4) < 1e-9)
+    }
+  }
+
+  test("stats histogram: equi-depth buckets cover all orders with ordered bounds") {
+    val rows = graft.operators.ReportShapeOps.statsHistogram(spark, sf0001)
+      .collect().sortBy(_.getInt(0))
+    val n = Tables.orders(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    assert(rows.map(_.getLong(1)).max - rows.map(_.getLong(1)).min <= 1,
+      "equi-depth buckets differ by at most one row")
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getDouble(4) <= b.getDouble(3) + 1e-9,
+        "bucket value ranges must be non-overlapping and ordered") }
+  }
+
   test("sample pps: every language draws exactly k=5 with multiplicity") {
     val rows = CurationOps.samplePps(spark, sf0001).collect()
     val perLang = rows.groupBy(_.getString(0))
