@@ -322,7 +322,11 @@ object SparkEntry {
     // growth accounting, exact audience overlap, equi-depth statistics
     "q_growth_accounting" -> (ReportOps.growthAccounting _),
     "q_audience_overlap" -> (ReportOps.audienceOverlap _),
-    "q_stats_histogram" -> (P.statsHistogram _)
+    "q_stats_histogram" -> (P.statsHistogram _),
+    // SQL-text surface, one-way ANOVA, forecast backtest
+    "q_sql_pricing" -> (R.sqlPricing _),
+    "q_anova" -> (TimeSeriesOps.anova _),
+    "q_backtest_mape" -> (TimeSeriesOps.backtestMape _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4524,6 +4528,73 @@ object SparkEntry {
                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_cust,
                 (round(min(cents)::DOUBLE / 100.0, 4) + 0.0) AS lo,
                 (round(max(cents)::DOUBLE / 100.0, 4) + 0.0) AS hi
-         FROM b GROUP BY 1 ORDER BY bucket"""
+         FROM b GROUP BY 1 ORDER BY bucket""",
+    "q_sql_pricing" ->
+      // the SQL-front-end parity row: identical text to q_agg_pricing's
+      // oracle, submitted to Spark as literal SQL
+      """SELECT l_returnflag, l_linestatus,
+                (round(sum(l_quantity), 4) + 0.0) AS sum_qty,
+                (round(sum(l_extendedprice), 4) + 0.0) AS sum_base_price,
+                (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS sum_disc_price,
+                (round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) + 0.0) AS sum_charge,
+                (round(avg(l_quantity), 4) + 0.0) AS avg_qty,
+                (round(avg(l_extendedprice), 4) + 0.0) AS avg_price,
+                (round(avg(l_discount), 4) + 0.0) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_anova" ->
+      // one-way ANOVA from exact int64 sufficient stats; the one
+      // cross-group DOUBLE sum (Σ sx²/n) folds in segment order on both
+      // engines (list ORDER BY + sequential list_reduce ≙ Spark's
+      // sort_array + aggregate), so accumulation order is contractual
+      """WITH o AS (SELECT c_mktsegment AS segment,
+                           CAST(round(o_totalprice) AS BIGINT) AS x
+                    FROM orders JOIN customer ON o_custkey = c_custkey),
+            g AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * x) AS BIGINT) AS sxx
+                  FROM o GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         CAST(sum(n) AS BIGINT) AS nn,
+                         CAST(sum(sx) AS BIGINT) AS ts,
+                         CAST(sum(sxx) AS BIGINT) AS tss,
+                         list_reduce(list(sx::DOUBLE * sx / n
+                                          ORDER BY segment),
+                                     (acc, x) -> acc + x) AS sum_gb
+                  FROM g)
+         SELECT k, nn AS n,
+                (round(sum_gb - ts::DOUBLE * ts / nn, 4) + 0.0) AS ssb,
+                (round(tss::DOUBLE - sum_gb, 4) + 0.0) AS ssw,
+                (round(((sum_gb - ts::DOUBLE * ts / nn) / (k - 1))
+                       / ((tss::DOUBLE - sum_gb) / (nn - k)), 4) + 0.0) AS f,
+                (round((sum_gb - ts::DOUBLE * ts / nn)
+                       / (tss::DOUBLE - ts::DOUBLE * ts / nn), 4) + 0.0)
+                  AS eta2
+         FROM t""",
+    "q_backtest_mape" ->
+      // walk-forward eval of the seasonal-naive forecast: train on all
+      // but the last 7 days, score the holdout day by day
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
+                               AS day,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS cents
+                        FROM events GROUP BY 1),
+            d0 AS (SELECT max(day) AS d0 FROM daily),
+            train AS (SELECT (isodow(day) - 1) AS wd,
+                             CAST(sum(cents) AS BIGINT) AS sw,
+                             CAST(count(*) AS BIGINT) AS nd
+                      FROM daily, d0 WHERE day <= d0 - 7 GROUP BY 1),
+            hold AS (SELECT day, cents, (isodow(day) - 1) AS wd
+                     FROM daily, d0 WHERE day > d0 - 7)
+         SELECT day,
+                (round(cents::DOUBLE / 100.0, 4) + 0.0) AS actual,
+                (round(sw::DOUBLE / nd / 100.0, 4) + 0.0) AS forecast,
+                (round(abs(sw::DOUBLE / nd - cents) / 100.0, 4) + 0.0)
+                  AS abs_err,
+                (round(abs(sw::DOUBLE / nd - cents) / nullif(cents, 0), 4)
+                 + 0.0) AS ape
+         FROM hold JOIN train USING (wd) ORDER BY day"""
   )
 }

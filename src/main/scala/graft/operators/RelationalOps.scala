@@ -379,6 +379,32 @@ object RelationalOps {
     * per-partition local skylines would bound the global pass further,
     * but the groupBy collapse already reduces arbitrarily many parts per
     * price point to one row. */
+  /** q_sql_pricing — the flagship pricing summary submitted as LITERAL
+    * SQL TEXT through `spark.sql` over a registered view: proves the
+    * engine's second API surface (SQL front end → same Catalyst plan →
+    * same hash) end to end. A reference user who writes SQL, not
+    * DataFrames, runs this path for every query; one gated row keeps it
+    * honest. The text is deliberately the oracle dialect — the parity
+    * demonstration IS the point. */
+  def sqlPricing(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_sql_lineitem")
+    s.sql("""SELECT l_returnflag, l_linestatus,
+                    round(sum(l_quantity), 4) + 0.0 AS sum_qty,
+                    round(sum(l_extendedprice), 4) + 0.0 AS sum_base_price,
+                    round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0
+                      AS sum_disc_price,
+                    round(sum(l_extendedprice * (1.0 - l_discount)
+                              * (1.0 + l_tax)), 4) + 0.0 AS sum_charge,
+                    round(avg(l_quantity), 4) + 0.0 AS avg_qty,
+                    round(avg(l_extendedprice), 4) + 0.0 AS avg_price,
+                    round(avg(l_discount), 4) + 0.0 AS avg_disc,
+                    count(*) AS count_order
+             FROM graft_sql_lineitem
+             WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus""")
+  }
+
   def skyline(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = Tables.part(s, d)

@@ -1046,6 +1046,104 @@ object TimeSeriesOps {
       col("event_type"))
   }
 
+  /** q_backtest_mape — walk-forward evaluation of the q_forecast_daily
+    * model: hold out the final 7 days, fit the seasonal-naive weekday
+    * means on the prior history only, and score the holdout day by day
+    * (actual, forecast, absolute error, APE) — the "is the forecast
+    * worth shipping" readout; an unevaluated forecast is a guess with
+    * a query name.
+    *
+    * Determinism: daily totals and weekday sums are exact cents; every
+    * emitted number is one identically-spelled chain (forecast =
+    * Σwd/nd/100; APE's denominator guards zero via try_divide ≙ the
+    * oracle's nullif).
+    *
+    * Scale shape: one day rollup (the only fact-scale shuffle,
+    * localCheckpointed — both the train rollup and the holdout read
+    * it), train collapses to ≤7 weekday rows broadcast onto the 7-row
+    * holdout. */
+  def backtestMape(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .localCheckpoint(false)
+    val d0 = daily.agg(max(col("day")).as("d0"))
+    val dd = daily.crossJoin(broadcast(d0))
+    val train = dd.filter(col("day") <= date_sub(col("d0"), 7))
+      .groupBy(expr("weekday(day)").as("wd"))
+      .agg(sum(col("cents")).as("sw"), count(lit(1)).as("nd"))
+    ord(
+      dd.filter(col("day") > date_sub(col("d0"), 7))
+        .withColumn("wd", expr("weekday(day)"))
+        .join(broadcast(train), "wd")
+        .select(col("day"),
+          r4(col("cents").cast("double") / 100.0).as("actual"),
+          r4(col("sw").cast("double") / col("nd") / 100.0).as("forecast"),
+          r4(abs(col("sw").cast("double") / col("nd") - col("cents")) / 100.0)
+            .as("abs_err"),
+          r4(try_divide(abs(col("sw").cast("double") / col("nd") -
+                            col("cents")), col("cents")))
+            .as("ape")),
+      col("day"))
+  }
+
+  /** q_anova — one-way ANOVA of order value across market segments:
+    * between/within sum of squares, F statistic and effect size
+    * η² = SSB/SST — the k-group generalization missing from the
+    * two-sample family (Welch t, Mann–Whitney, KS are all 2-arm; a
+    * 5-segment comparison needs ANOVA or it degenerates into 10
+    * uncorrected pairwise tests).
+    *
+    * Determinism: sufficient statistics (n, Σx, Σx²) are exact int64 —
+    * value in WHOLE DOLLARS (round(o_totalprice)), because Σx² in
+    * cents² would overflow int64 at sf0.1 scale (5·10⁷² · 1.5·10⁵ ≈
+    * 4·10²⁰); the SSB/SSW/F chain is then identically-spelled IEEE
+    * doubles on both engines (the q_survival rule).
+    *
+    * Scale shape: one fact-scale orders⋈customer join co-partitioned on
+    * custkey, ONE partial-aggregable segment shuffle, full-frame window
+    * totals over the |segments| frame, scalar math on one row. */
+  def anova(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+              round(col("o_totalprice")).cast("long").as("x"))
+    val g = o.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+           sum(col("x") * col("x")).as("sxx"))
+    // Σ_g sx²/n is a sum of DOUBLES across groups — a plain sum()
+    // accumulates in partition order, which differs between engines by
+    // a last ulp. The ordered fold (sort by segment, sequential
+    // aggregate) makes the accumulation order part of the query
+    // contract; the oracle mirrors it with list(... ORDER BY)+
+    // list_reduce. Integer totals (n, Σx, Σx²) are order-free.
+    val t = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("nn"),
+      sum(col("sx")).as("ts"),
+      sum(col("sxx")).as("tss"),
+      expr("aggregate(sort_array(collect_list(named_struct(" +
+           "'seg', segment, 'p', cast(sx as double) * sx / n))), " +
+           "cast(0.0 as double), (acc, x) -> acc + x.p)").as("sum_gb"))
+    ord(
+      t.select(col("k"), col("nn").as("n"),
+          r4(col("sum_gb") -
+             col("ts").cast("double") * col("ts") / col("nn")).as("ssb"),
+          r4(col("tss").cast("double") -
+             col("sum_gb")).as("ssw"),
+          r4(((col("sum_gb") -
+               col("ts").cast("double") * col("ts") / col("nn")) /
+              (col("k") - 1L)) /
+             ((col("tss").cast("double") - col("sum_gb")) /
+              (col("nn") - col("k")))).as("f"),
+          r4((col("sum_gb") -
+              col("ts").cast("double") * col("ts") / col("nn")) /
+             (col("tss").cast("double") -
+              col("ts").cast("double") * col("ts") / col("nn"))).as("eta2")),
+      col("k"))
+  }
+
   /** q_time_weighted_avg — the duration-weighted mean of each event
     * type's value stream: each observation holds until the next one
     * (step function), TWA = Σ vᵢ·Δtᵢ / Σ Δtᵢ — the time-weighted

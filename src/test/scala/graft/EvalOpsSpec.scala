@@ -182,6 +182,45 @@ class EvalOpsSpec extends AnyFunSuite {
         "bucket value ranges must be non-overlapping and ordered") }
   }
 
+  test("sql surface: literal-SQL pricing equals the DataFrame flagship") {
+    val sql = RelationalOps.sqlPricing(spark, sf0001)
+    val df = RelationalOps.aggPricing(spark, sf0001)
+    assert(collectSet(sql) == collectSet(df))
+  }
+
+  test("anova: sums of squares decompose and eta2 is their ratio") {
+    import graft.operators.TimeSeriesOps
+    val r = TimeSeriesOps.anova(spark, sf0001).collect().head
+    val (ssb, ssw, f, eta2) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(ssb >= 0 && ssw > 0 && f >= 0)
+    assert(eta2 >= 0 && eta2 < 1)
+    assert(math.abs(eta2 - ssb / (ssb + ssw)) < 1e-3)
+    // independent recompute of F from the rounded parts
+    val k = r.getLong(0); val n = r.getLong(1)
+    assert(math.abs(f - (ssb / (k - 1)) / (ssw / (n - k))) < 1e-2 * f + 1e-6)
+  }
+
+  test("backtest: exactly the final 7 days scored; forecast uses train only") {
+    import graft.operators.TimeSeriesOps
+    val rows = TimeSeriesOps.backtestMape(spark, sf0001).collect()
+    assert(rows.length == 7)
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("cast(round(value*100) as bigint)")).as("cents"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val d0 = daily.keys.max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    rows.foreach { r =>
+      val day = r.getDate(0).toLocalDate
+      assert(day.isAfter(d0.minusDays(7)))
+      // forecast = weekday mean over train days only
+      val train = daily.filter(!_._1.isAfter(d0.minusDays(7)))
+        .filter(_._1.getDayOfWeek == day.getDayOfWeek)
+      val want = train.values.sum.toDouble / train.size / 100.0
+      assert(math.abs(r.getDouble(2) - math.rint(want * 1e4) / 1e4) < 1e-9)
+    }
+  }
+
   test("sample pps: every language draws exactly k=5 with multiplicity") {
     val rows = CurationOps.samplePps(spark, sf0001).collect()
     val perLang = rows.groupBy(_.getString(0))
