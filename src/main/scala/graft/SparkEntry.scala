@@ -326,7 +326,11 @@ object SparkEntry {
     // SQL-text surface, one-way ANOVA, forecast backtest
     "q_sql_pricing" -> (R.sqlPricing _),
     "q_anova" -> (TimeSeriesOps.anova _),
-    "q_backtest_mape" -> (TimeSeriesOps.backtestMape _)
+    "q_backtest_mape" -> (TimeSeriesOps.backtestMape _),
+    // sweep-line concurrency, CUSUM drift chart, watermark-sizing audit
+    "q_concurrency" -> (W.concurrency _),
+    "q_cusum" -> (TimeSeriesOps.cusum _),
+    "q_disorder_audit" -> (W.disorderAudit _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4595,6 +4599,92 @@ object SparkEntry {
                   AS abs_err,
                 (round(abs(sw::DOUBLE / nd - cents) / nullif(cents, 0), 4)
                  + 0.0) AS ape
-         FROM hold JOIN train USING (wd) ORDER BY day"""
+         FROM hold JOIN train USING (wd) ORDER BY day""",
+    "q_concurrency" ->
+      // sweep line over session intervals: +1 at start, -1 after end;
+      // per-day max of the running sum; +1s order before -1s at ties
+      """WITH e AS (SELECT user_id, event_id,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sd AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY tsu, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS sid
+                   FROM g),
+            sess AS (SELECT user_id, sid, min(ts_sec) AS st, max(ts_sec) AS en
+                     FROM sd GROUP BY 1, 2),
+            sweep AS (SELECT st AS t, CAST(1 AS BIGINT) AS delta FROM sess
+                      UNION ALL
+                      SELECT en + 1, CAST(-1 AS BIGINT) FROM sess),
+            run AS (SELECT t, delta,
+                           CAST(sum(delta) OVER (ORDER BY t, delta DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS BIGINT) AS live
+                    FROM sweep)
+         SELECT CAST(t // 86400 AS INT) AS day_num,
+                CAST(max(live) AS BIGINT) AS peak_concurrent,
+                CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_starts
+         FROM run GROUP BY 1 ORDER BY day_num""",
+    "q_cusum" ->
+      // CUSUM closed form: prefix sum minus running extremum; deviation
+      // scaled by N so everything is exact int64; alarm = S > total
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
+                               AS day,
+                              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS cents
+                        FROM events GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                         CAST(sum(cents) AS BIGINT) AS total FROM daily),
+            p AS (SELECT day, cents, nd, total,
+                         CAST(sum(cents * nd - total) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS pp
+                  FROM daily, t),
+            q AS (SELECT *, least(0, CAST(min(pp) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT)) AS minp,
+                         greatest(0, CAST(max(pp) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT)) AS maxp
+                  FROM p)
+         SELECT day, (round(cents::DOUBLE / 100.0, 4) + 0.0) AS revenue,
+                (round((pp - minp)::DOUBLE / nd / 100.0, 4) + 0.0)
+                  AS cusum_hi,
+                (round((maxp - pp)::DOUBLE / nd / 100.0, 4) + 0.0)
+                  AS cusum_lo,
+                CASE WHEN pp - minp > total THEN 1 ELSE 0 END AS alarm_hi,
+                CASE WHEN maxp - pp > total THEN 1 ELSE 0 END AS alarm_lo
+         FROM q ORDER BY day""",
+    "q_disorder_audit" ->
+      // lateness vs the running arrival max (event_id = arrival order);
+      // the measured watermark-sizing numbers
+      """WITH e AS (SELECT event_type, event_id,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS sec
+                    FROM events),
+            r AS (SELECT event_type, sec,
+                         max(sec) OVER (PARTITION BY event_type
+                           ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS runmax
+                  FROM e),
+            l AS (SELECT event_type,
+                         CASE WHEN runmax IS NULL OR runmax <= sec THEN 0
+                              ELSE runmax - sec END AS late
+                  FROM r)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_late,
+                CAST(max(late) AS BIGINT) AS max_late_sec,
+                (round(CAST(sum(late) AS BIGINT)::DOUBLE
+                       / nullif(CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END)
+                                     AS BIGINT), 0), 4) + 0.0)
+                  AS avg_late_sec
+         FROM l GROUP BY 1 ORDER BY event_type"""
   )
 }

@@ -1046,6 +1046,48 @@ object TimeSeriesOps {
       col("event_type"))
   }
 
+  /** q_cusum — two-sided CUSUM control chart on daily revenue: the
+    * sequential drift detector (S⁺_t = max(0, S⁺_{t−1} + devₜ),
+    * S⁻ symmetric) that fires on SUSTAINED small shifts long before a
+    * per-day z-score (q_anomaly) sees anything. The recursion is
+    * rewritten closed-form as prefix-sum minus running-extremum
+    * (S⁺_t = P_t − min(0, min_{j≤t} P_j)) so it runs as two ordinary
+    * windows — no sequential UDAF, no driver loop.
+    *
+    * Deviation is measured against the whole-period mean in EXACT
+    * integer units scaled by N (devₜ = centsₜ·N − total), so prefix
+    * sums and extrema are int64; the alarm compares S > total exactly —
+    * i.e. "accumulated drift exceeds one average day's revenue" —
+    * and only the displayed magnitudes divide and round.
+    *
+    * Scale shape: one day rollup (the only fact-scale shuffle), two
+    * windows over the calendar-bounded daily frame. */
+  def cusum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .localCheckpoint(false)
+    val tot = daily.agg(count(lit(1)).as("nd"), sum(col("cents")).as("total"))
+    val wc = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val p = daily.crossJoin(broadcast(tot))
+      .withColumn("dev", col("cents") * col("nd") - col("total"))
+      .withColumn("pp", sum(col("dev")).over(wc))
+      .withColumn("minp", least(lit(0L), min(col("pp")).over(wc)))
+      .withColumn("maxp", greatest(lit(0L), max(col("pp")).over(wc)))
+      .withColumn("s_hi", col("pp") - col("minp"))
+      .withColumn("s_lo", col("maxp") - col("pp"))
+    ord(
+      p.select(col("day"),
+        r4(col("cents").cast("double") / 100.0).as("revenue"),
+        r4(col("s_hi").cast("double") / col("nd") / 100.0).as("cusum_hi"),
+        r4(col("s_lo").cast("double") / col("nd") / 100.0).as("cusum_lo"),
+        when(col("s_hi") > col("total"), 1).otherwise(0).as("alarm_hi"),
+        when(col("s_lo") > col("total"), 1).otherwise(0).as("alarm_lo")),
+      col("day"))
+  }
+
   /** q_backtest_mape — walk-forward evaluation of the q_forecast_daily
     * model: hold out the final 7 days, fit the seasonal-naive weekday
     * means on the prior history only, and score the holdout day by day

@@ -611,6 +611,77 @@ object WindowOps {
     * then a second rollup on user_id alone. Both keys are finer/equal
     * to user_id, so at 100 TB the heavy first shuffle bounds the cost;
     * no windows, no sorts. */
+  /** q_concurrency — peak concurrent sessions per day via a SWEEP LINE:
+    * each session contributes +1 at its start second and −1 one second
+    * after its end; the running sum over the time-ordered sweep is the
+    * live concurrency, and its per-day max is the capacity-planning
+    * number ("how many simultaneous sessions must we serve"). A
+    * distinct algorithmic shape — interval-overlap counting that no
+    * groupBy can express.
+    *
+    * Determinism: at equal timestamps all +1s order before −1s (delta
+    * DESC), so same-second hand-offs count as overlapping — and the
+    * per-day MAX is invariant to order within either delta group.
+    * Pure integer counts.
+    *
+    * Scale shape: session bounds come from the published session store
+    * (one rollup, no exchange past the store's bucketing); the sweep
+    * frame is 2 rows per session. The running sum is one global
+    * time-ordered window over that session-bounded frame — at 100 TB
+    * it would chunk per day with carried-in offsets (prefix sums are
+    * associative); the daily rollup is partial-aggregable. */
+  def concurrency(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionized(s, d)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_sec")).as("st"), max(col("ts_sec")).as("en"))
+      .localCheckpoint(false)
+    val sweep = sess.select(col("st").as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select((col("en") + 1L).as("t"), lit(-1L).as("delta")))
+    val w = Window.orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ord(
+      sweep.withColumn("live", sum(col("delta")).over(w))
+        .groupBy(expr("t DIV 86400").cast("int").as("day_num"))
+        .agg(max(col("live")).as("peak_concurrent"),
+             sum(when(col("delta") === 1L, 1L).otherwise(0L))
+               .as("n_starts")),
+      col("day_num"))
+  }
+
+  /** q_disorder_audit — out-of-orderness of the event stream per type:
+    * treating event_id as arrival order, an event is LATE when its
+    * timestamp precedes the running max of everything that arrived
+    * before it, and its lateness is that gap. Max/avg lateness are
+    * exactly the numbers that size a streaming watermark (the 1-hour
+    * horizon the twelve gated streams declare) — measured from the
+    * data instead of guessed.
+    *
+    * Determinism: pure integer seconds; avg divides exact ints once.
+    *
+    * Scale shape: one per-type arrival-ordered window (the sessionize
+    * shape), one partial-aggregable rollup. */
+  def disorderAudit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+              epochSec(col("ts")).as("sec"))
+      .withColumn("runmax", max(col("sec")).over(w))
+      .withColumn("late",
+        greatest(lit(0L), col("runmax") - col("sec")))
+    ord(
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(when(col("late") > 0L, 1L).otherwise(0L)).as("n_late"),
+             max(col("late")).as("max_late_sec"),
+             sum(col("late")).as("sum_late"))
+        .select(col("event_type"), col("n_events"), col("n_late"),
+                col("max_late_sec"),
+                r4(try_divide(col("sum_late").cast("double"),
+                              col("n_late"))).as("avg_late_sec")),
+      col("event_type"))
+  }
+
   def botFilter(s: SparkSession, d: String): DataFrame = {
     val perMin = Tables.events(s, d)
       .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("m"))

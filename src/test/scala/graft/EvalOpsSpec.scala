@@ -221,6 +221,60 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cusum: closed form equals the literal recursion") {
+    import graft.operators.TimeSeriesOps
+    val rows = TimeSeriesOps.cusum(spark, sf0001).collect()
+      .sortBy(_.getDate(0).getTime)
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("cast(round(value*100) as bigint)")).as("cents"))
+      .collect().sortBy(_.getDate(0).getTime).map(_.getLong(1))
+    val n = daily.length; val total = daily.sum
+    var sHi = 0L; var sLo = 0L
+    rows.zip(daily).foreach { case (r, cents) =>
+      val dev = cents * n - total
+      sHi = math.max(0L, sHi + dev)
+      sLo = math.max(0L, sLo - dev)
+      assert(math.abs(r.getDouble(2) - math.rint(sHi.toDouble / n / 100.0 * 1e4) / 1e4) < 1e-9)
+      assert(math.abs(r.getDouble(3) - math.rint(sLo.toDouble / n / 100.0 * 1e4) / 1e4) < 1e-9)
+      assert(r.getInt(4) == (if (sHi > total) 1 else 0))
+    }
+  }
+
+  test("concurrency: per-day peaks match a brute-force interval count") {
+    import graft.operators.WindowOps
+    val got = WindowOps.concurrency(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // brute force from the sessionize query itself
+    val sess = WindowOps.sessionize(spark, sf0001).collect()
+      .map(r => (r.getLong(2), r.getLong(3))) // start_sec, end_sec
+    val starts = sess.map(_._1)
+    got.foreach { case (day, peak) =>
+      // candidate peak times: session starts within the day
+      val cands = starts.filter(t => t / 86400 == day)
+      val brute = if (cands.isEmpty) 0L
+        else cands.map(t => sess.count { case (s, e) => s <= t && t <= e }.toLong).max
+      assert(peak == brute, s"day $day: sweep $peak vs brute $brute")
+    }
+  }
+
+  test("disorder audit: lateness matches a sequential arrival replay") {
+    import graft.operators.WindowOps
+    val got = WindowOps.disorderAudit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (t, g) =>
+      var runmax = Long.MinValue; var nLate = 0L; var maxLate = 0L
+      g.sortBy(_._2).foreach { case (_, _, sec) =>
+        if (runmax > sec) { nLate += 1; maxLate = math.max(maxLate, runmax - sec) }
+        runmax = math.max(runmax, sec)
+      }
+      assert(got(t) == ((g.length.toLong, nLate, maxLate)), s"type $t")
+    }
+  }
+
   test("sample pps: every language draws exactly k=5 with multiplicity") {
     val rows = CurationOps.samplePps(spark, sf0001).collect()
     val perLang = rows.groupBy(_.getString(0))
