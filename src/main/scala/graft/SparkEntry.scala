@@ -330,7 +330,11 @@ object SparkEntry {
     // sweep-line concurrency, CUSUM drift chart, watermark-sizing audit
     "q_concurrency" -> (W.concurrency _),
     "q_cusum" -> (TimeSeriesOps.cusum _),
-    "q_disorder_audit" -> (W.disorderAudit _)
+    "q_disorder_audit" -> (W.disorderAudit _),
+    // mutual information, rolling cross-correlation, export manifest
+    "q_mutual_info" -> (TimeSeriesOps.mutualInfo _),
+    "q_rolling_corr" -> (TimeSeriesOps.rollingCorr _),
+    "q_shard_manifest" -> (C.shardManifest _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4685,6 +4689,65 @@ object SparkEntry {
                        / nullif(CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END)
                                      AS BIGINT), 0), 4) + 0.0)
                   AS avg_late_sec
-         FROM l GROUP BY 1 ORDER BY event_type"""
+         FROM l GROUP BY 1 ORDER BY event_type""",
+    "q_mutual_info" ->
+      // pointwise + table MI over the weekday x type cells; every ln
+      // argument is an exact integer ratio
+      """WITH g AS (SELECT CAST(isodow(ts::TIMESTAMP) - 1 AS INT) AS wd,
+                           event_type, CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+            t AS (SELECT wd, event_type, n,
+                         CAST(sum(n) OVER (PARTITION BY wd) AS BIGINT) AS rt,
+                         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS ct,
+                         CAST(sum(n) OVER () AS BIGINT) AS tot
+                  FROM g),
+            c AS (SELECT wd, event_type, n,
+                         ln((n * tot)::DOUBLE / (rt * ct)) AS pmi,
+                         n::DOUBLE / tot * ln((n * tot)::DOUBLE / (rt * ct))
+                           AS contrib
+                  FROM t)
+         SELECT wd, event_type, n,
+                (round(pmi, 4) + 0.0) AS pmi,
+                (round(contrib, 4) + 0.0) AS contrib,
+                (round(sum(contrib) OVER (), 4) + 0.0) AS mi
+         FROM c ORDER BY wd, event_type""",
+    "q_rolling_corr" ->
+      // 14-row rolling Pearson r between daily view and purchase
+      // volumes from exact int64 window sufficient stats
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
+                               AS day,
+                              CAST(sum(CASE WHEN event_type = 'view'
+                                            THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                              CAST(sum(CASE WHEN event_type = 'purchase'
+                                            THEN 1 ELSE 0 END) AS BIGINT) AS y
+                        FROM events GROUP BY 1),
+            w AS (SELECT day, x, y,
+                         CAST(count(*) OVER fr AS BIGINT) AS n,
+                         CAST(sum(x) OVER fr AS BIGINT) AS sx,
+                         CAST(sum(y) OVER fr AS BIGINT) AS sy,
+                         CAST(sum(x * x) OVER fr AS BIGINT) AS sxx,
+                         CAST(sum(y * y) OVER fr AS BIGINT) AS syy,
+                         CAST(sum(x * y) OVER fr AS BIGINT) AS sxy
+                  FROM daily
+                  WINDOW fr AS (ORDER BY day
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT day, x AS n_views, y AS n_purchases,
+                (round((n * sxy - sx * sy)::DOUBLE
+                       / nullif(sqrt((n * sxx - sx * sx)::DOUBLE
+                                     * (n * syy - sy * sy)::DOUBLE), 0.0),
+                       4) + 0.0) AS corr14
+         FROM w ORDER BY day""",
+    "q_shard_manifest" ->
+      // per-shard integrity manifest: md5 over the SORTED doc_id list
+      // (order-defined concatenation, never collection order)
+      """WITH d AS (SELECT doc_id, n_chars,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 16 AS shard
+                    FROM documents)
+         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                               ORDER BY doc_id)) AS manifest_md5
+         FROM d GROUP BY 1 ORDER BY shard"""
   )
 }

@@ -1039,6 +1039,36 @@ object CurationOps {
     * sessionize shape — partitioned by lang, never global), a 1-row-per-
     * lang weight total joined back broadcast, and a ≤k-per-lang offsets
     * frame broadcast range-joined — fan-out bounded by k. */
+  /** q_shard_manifest — the export-integrity manifest for the
+    * q_shard_export layout: per shard, doc count, total chars, and an
+    * md5 over the SORTED member doc_id list — the checksum a consumer
+    * verifies before training on a shard (a silently dropped or
+    * duplicated doc changes the manifest even when counts collide).
+    *
+    * Determinism: membership is the md5 hash gate (engine-
+    * reproducible); the manifest digests an ORDER-DEFINED
+    * concatenation (sort_array ≙ string_agg ORDER BY), never a
+    * collection-order artifact.
+    *
+    * Scale shape: one partial-aggregable shuffle onto 16 shard keys;
+    * the per-shard id list is |shard| longs — at 100 TB the manifest
+    * would switch to an order-insensitive xor/sum-of-hashes
+    * accumulator (documented), same contract. */
+  def shardManifest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val key = expr("conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)")
+      .cast("long")
+    ord(
+      docs.select(col("doc_id"), col("n_chars"), pmod(key, lit(16L)).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"),
+             md5(concat_ws(",",
+               sort_array(collect_list(col("doc_id"))).cast("array<string>")))
+               .as("manifest_md5")),
+      col("shard"))
+  }
+
   def samplePps(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 5

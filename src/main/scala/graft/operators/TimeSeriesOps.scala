@@ -1046,6 +1046,88 @@ object TimeSeriesOps {
       col("event_type"))
   }
 
+  /** q_mutual_info — mutual information (nats) of the weekday ×
+    * event-type table: per-cell pointwise MI and contribution, plus
+    * the table MI — the information-theoretic association measure
+    * feature selection ranks by, completing the family (q_chisq
+    * significance, q_cramers_v effect size, MI information content).
+    *
+    * Determinism: every ln argument is an exact integer ratio
+    * (n·tot/(rt·ct)) and the chain is identically spelled (q_survival
+    * rule); the table MI reuses q_chisq's full-frame window-total
+    * pattern over the ≤7·|types| cell frame.
+    *
+    * Scale shape: identical to q_chisq — ONE partial-aggregable
+    * (weekday, type) shuffle; margins and totals are windows over the
+    * cell frame. */
+  def mutualInfo(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(s, d)
+      .groupBy(expr("weekday(ts)").as("wd"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+    val byRow = Window.partitionBy(col("wd"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byCol = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val t = cells
+      .withColumn("rt", sum(col("n")).over(byRow))
+      .withColumn("ct", sum(col("n")).over(byCol))
+      .withColumn("tot", sum(col("n")).over(full))
+      .withColumn("pmi",
+        log((col("n") * col("tot")).cast("double") /
+            (col("rt") * col("ct"))))
+      .withColumn("contrib",
+        col("n").cast("double") / col("tot") * col("pmi"))
+    ord(
+      t.select(col("wd").cast("int").as("wd"), col("event_type"), col("n"),
+               r4(col("pmi")).as("pmi"), r4(col("contrib")).as("contrib"),
+               r4(sum(col("contrib")).over(full)).as("mi")),
+      col("wd"), col("event_type"))
+  }
+
+  /** q_rolling_corr — 14-day rolling Pearson correlation between the
+    * view and purchase daily volumes: the co-movement monitor that
+    * tells a metrics team whether traffic and conversion move together
+    * (and when they decouple — the interesting day). Multivariate
+    * time-series analytics beside the single-series family.
+    *
+    * Determinism: the window's sufficient statistics (n, Σx, Σy, Σx²,
+    * Σy², Σxy) are exact int64; corr is one identically-spelled chain
+    * with a correctly-rounded √; zero-variance frames yield NULL via
+    * try_divide ≙ nullif.
+    *
+    * Scale shape: one day rollup (conditional counts, partial-
+    * aggregable), then rolling windows over the calendar-bounded daily
+    * frame; rows are REPORTED days (the q_moving_avg calendar-gap
+    * stance). */
+  def rollingCorr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .as("y"))
+    val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+    val t = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+    ord(
+      t.select(col("day"), col("x").as("n_views"), col("y").as("n_purchases"),
+        r4(try_divide(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                 .cast("double") *
+               (col("n") * col("syy") - col("sy") * col("sy"))
+                 .cast("double")))).as("corr14")),
+      col("day"))
+  }
+
   /** q_cusum — two-sided CUSUM control chart on daily revenue: the
     * sequential drift detector (S⁺_t = max(0, S⁺_{t−1} + devₜ),
     * S⁻ symmetric) that fires on SUSTAINED small shifts long before a

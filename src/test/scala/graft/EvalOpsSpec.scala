@@ -275,6 +275,64 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mutual info: table MI is non-negative and bounded by min marginal entropy") {
+    import graft.operators.TimeSeriesOps
+    val rows = TimeSeriesOps.mutualInfo(spark, sf0001).collect()
+    val mi = rows.map(_.getDouble(5)).distinct
+    assert(mi.length == 1)
+    assert(mi.head >= -1e-4, "MI must be non-negative")
+    // recompute MI from the cells independently
+    val cells = rows.map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+    val tot = cells.map(_._2).sum.toDouble
+    val rowM = cells.groupBy(_._1._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val colM = cells.groupBy(_._1._2).map { case (k, g) => k -> g.map(_._2).sum }
+    val want = cells.map { case ((w, t), n) =>
+      n / tot * math.log(n * tot / (rowM(w).toDouble * colM(t)))
+    }.sum
+    assert(math.abs(mi.head - want) < 1e-3)
+  }
+
+  test("rolling corr: values in [-1,1]; day-14 value equals a direct Pearson") {
+    import graft.operators.TimeSeriesOps
+    val rows = TimeSeriesOps.rollingCorr(spark, sf0001).collect()
+      .sortBy(_.getDate(0).getTime)
+    rows.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+    }
+    if (rows.length >= 14) {
+      val first14 = rows.take(14).map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+      val n = 14.0
+      val (sx, sy) = (first14.map(_._1).sum, first14.map(_._2).sum)
+      val sxx = first14.map(p => p._1 * p._1).sum
+      val syy = first14.map(p => p._2 * p._2).sum
+      val sxy = first14.map(p => p._1 * p._2).sum
+      val want = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(rows(13).getDouble(3) - want) < 1e-3)
+    }
+  }
+
+  test("shard manifest: digests the sorted id list and covers every doc") {
+    val rows = CurationOps.shardManifest(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_.getLong(1)).sum == docs.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byShard = docs.groupBy { case (id, _) =>
+      val h = md5hex(id.toString).substring(0, 8)
+      java.lang.Long.parseLong(h, 16) % 16
+    }
+    rows.foreach { r =>
+      val ids = byShard(r.getLong(0)).map(_._1).sorted
+      assert(r.getString(3) == md5hex(ids.mkString(",")),
+        s"shard ${r.getLong(0)} manifest mismatch")
+    }
+  }
+
   test("sample pps: every language draws exactly k=5 with multiplicity") {
     val rows = CurationOps.samplePps(spark, sf0001).collect()
     val perLang = rows.groupBy(_.getString(0))

@@ -53,7 +53,22 @@ class PlanGuardSpec extends AnyFunSuite {
     // pairwise-slope frame (scaladoc documents the bound);
     // q_bootstrap_ci's percentile bracket sorts the 200-row replicate
     // means
-    "q_theil_sen", "q_bootstrap_ci")
+    "q_theil_sen", "q_bootstrap_ci",
+    // q_calibration ranks the per-user SCORE frame (q_decile_lift
+    // precedent; approx-quantile binning at 100 TB) and its ECE window
+    // is 10 bin rows; q_pr_curve's cumulative windows run over the
+    // DISTINCT-score rollup (the q_auc frame); q_skyline's running max
+    // is over the |distinct prices| frame after the groupBy collapse;
+    // q_mix_shift's totals ride the |segments| frame;
+    // q_stats_histogram's ntile sorts the orders frame (q_decile_lift
+    // precedent, documented); q_concurrency's sweep is 2 rows/session
+    // with the documented chunk-per-day 100 TB path; q_cusum windows
+    // the calendar-bounded daily rollup; q_mutual_info totals the
+    // <=7x|types| contingency cells; q_rolling_corr windows the daily
+    // rollup (q_moving_avg precedent)
+    "q_calibration", "q_pr_curve", "q_skyline", "q_mix_shift",
+    "q_stats_histogram", "q_concurrency", "q_cusum",
+    "q_mutual_info", "q_rolling_corr")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {
