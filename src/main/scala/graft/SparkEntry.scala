@@ -334,7 +334,11 @@ object SparkEntry {
     // mutual information, rolling cross-correlation, export manifest
     "q_mutual_info" -> (TimeSeriesOps.mutualInfo _),
     "q_rolling_corr" -> (TimeSeriesOps.rollingCorr _),
-    "q_shard_manifest" -> (C.shardManifest _)
+    "q_shard_manifest" -> (C.shardManifest _),
+    // BFS centrality, rank correlation, crawl-novelty decay
+    "q_centrality" -> (GraphOps.centrality _),
+    "q_rank_corr" -> (graft.operators.EvalOps.rankCorr _),
+    "q_novelty_decay" -> (L.noveltyDecay _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4748,6 +4752,104 @@ object SparkEntry {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 md5(string_agg(CAST(doc_id AS VARCHAR), ','
                                ORDER BY doc_id)) AS manifest_md5
-         FROM d GROUP BY 1 ORDER BY shard"""
+         FROM d GROUP BY 1 ORDER BY shard""",
+    "q_centrality" ->
+      // TRUE all-pairs hop distances via recursive CTE — an
+      // under-iterated BFS on the Spark side fails this hash loudly;
+      // harmonic in exact integers (2520 = lcm(1..10))
+      """WITH RECURSIVE e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+                              FROM lineitem l
+                              JOIN orders o ON l.l_orderkey = o.o_orderkey
+                              JOIN customer c ON o.o_custkey = c.c_custkey
+                              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                              GROUP BY 1, 2),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                                    greatest(src, dst) AS b
+                    FROM e WHERE src <> dst),
+            adj AS (SELECT a AS u, b AS v FROM und
+                    UNION SELECT b, a FROM und),
+            walk AS (SELECT u, v, 1 AS dd FROM adj
+                     UNION
+                     SELECT w.u, a.v, w.dd + 1
+                     FROM walk w JOIN adj a ON w.v = a.u
+                     WHERE w.u <> a.v AND w.dd < 10),
+            dist AS (SELECT u, v, min(dd) AS dist FROM walk GROUP BY 1, 2)
+         SELECT u AS nationkey, CAST(count(*) AS BIGINT) AS n_reachable,
+                CAST(max(dist) AS BIGINT) AS eccentricity,
+                (round(CAST(sum(2520 // dist) AS BIGINT)::DOUBLE / 2520.0, 4)
+                 + 0.0) AS harmonic
+         FROM dist GROUP BY 1 ORDER BY nationkey""",
+    "q_rank_corr" ->
+      // Kendall tau-a + Spearman rho between the half-period brand
+      // revenue rankings; unique (cents DESC, brand) tiebreak => no ties
+      """WITH li AS (SELECT p_brand AS brand,
+                            epoch_us(l_shipdate::TIMESTAMP)//1000000 AS sec,
+                            CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS cents
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+            b AS (SELECT min(sec) AS mn, max(sec) AS mx FROM li),
+            h AS (SELECT brand,
+                         CASE WHEN sec * 2 < mn + mx THEN 1 ELSE 2 END AS hh,
+                         cents
+                  FROM li, b),
+            g AS (SELECT brand, hh, CAST(sum(cents) AS BIGINT) AS cents
+                  FROM h GROUP BY 1, 2),
+            rk AS (SELECT brand, hh,
+                          CAST(row_number() OVER (PARTITION BY hh
+                            ORDER BY cents DESC, brand) AS BIGINT) AS r
+                   FROM g),
+            bt AS (SELECT a.brand, a.r AS r1, c.r AS r2
+                   FROM rk a JOIN rk c
+                        ON a.brand = c.brand AND a.hh = 1 AND c.hh = 2),
+            pr AS (SELECT CAST(sum(CASE WHEN (x.r1 < y.r1) = (x.r2 < y.r2)
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                            AS concordant,
+                          CAST(sum(CASE WHEN (x.r1 < y.r1) = (x.r2 < y.r2)
+                                        THEN 0 ELSE 1 END) AS BIGINT)
+                            AS discordant
+                   FROM bt x JOIN bt y ON x.brand < y.brand),
+            sd AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                          CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS d2
+                   FROM bt)
+         SELECT k, concordant, discordant,
+                (round((concordant - discordant)::DOUBLE
+                       / (concordant + discordant), 4) + 0.0) AS kendall_tau,
+                (round(1.0 - 6.0 * d2 / (k * (k * k - 1)), 4) + 0.0)
+                  AS spearman_rho
+         FROM pr, sd""",
+    "q_novelty_decay" ->
+      // per-crawl-epoch novel grams + running vocabulary; epoch is
+      // monotone in doc_id so first-epoch = epoch(min doc_id)
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            ep AS (SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS epoch
+                   FROM documents),
+            ng AS (SELECT doc_id,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                            AS ngs
+                   FROM base),
+            nz AS (SELECT doc_id, ngs FROM ng WHERE len(ngs) > 0),
+            ex AS (SELECT doc_id, unnest(ngs) AS g FROM nz),
+            firsts AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY 1),
+            novel AS (SELECT first_doc AS doc_id,
+                             CAST(count(*) AS BIGINT) AS novel
+                      FROM firsts GROUP BY 1),
+            occ AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex
+                    GROUP BY 1),
+            bye AS (SELECT epoch, CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(coalesce(sum(o.n), 0) AS BIGINT) AS n_grams,
+                           CAST(coalesce(sum(v.novel), 0) AS BIGINT)
+                             AS novel_grams
+                    FROM ep LEFT JOIN occ o USING (doc_id)
+                            LEFT JOIN novel v USING (doc_id)
+                    GROUP BY 1)
+         SELECT epoch, n_docs, n_grams, novel_grams,
+                CAST(sum(novel_grams) OVER (ORDER BY epoch
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS vocab_cum,
+                (round(novel_grams::DOUBLE / nullif(n_grams, 0), 4) + 0.0)
+                  AS novelty_rate
+         FROM bye ORDER BY epoch"""
   )
 }

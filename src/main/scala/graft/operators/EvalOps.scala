@@ -228,6 +228,60 @@ object EvalOps {
       col("brand"), col("rk"))
   }
 
+  /** q_rank_corr — did the brand leaderboard shuffle? Kendall τ-a and
+    * Spearman ρ between the brand-revenue rankings of the first and
+    * second half of the order history — THE stability readout for any
+    * ranked report (a τ near 1 means last period's ranking still
+    * holds; near 0 means re-rank everything).
+    *
+    * Determinism: period split by exact-integer midpoint (the
+    * q_mix_shift rule); per-half ranks use a unique (cents DESC,
+    * brand) tiebreak so there are NO rank ties and τ-a is exact;
+    * concordant/discordant counts and Σd² are pure int64, one division
+    * each.
+    *
+    * Scale shape: one fact-scale rollup to (brand, half) cents; ranks
+    * are windows over the |brands| frame; the pair comparison is a
+    * broadcast self-join bounded by |brands|². */
+  def rankCorr(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+    val b = li.agg(min(epochSec(col("l_shipdate"))).as("mn"),
+                   max(epochSec(col("l_shipdate"))).as("mx"))
+    val byHalf = li.crossJoin(broadcast(b))
+      .withColumn("h",
+        when(epochSec(col("l_shipdate")) * 2 < col("mn") + col("mx"), 1)
+          .otherwise(2))
+      .groupBy(col("p_brand").as("brand"), col("h"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+             .as("cents"))
+    val w1 = Window.partitionBy(col("h"))
+      .orderBy(col("cents").desc, col("brand"))
+    val ranked = byHalf.withColumn("r", row_number().over(w1).cast("long"))
+    val r1 = ranked.filter(col("h") === 1)
+      .select(col("brand"), col("r").as("r1"))
+    val r2 = ranked.filter(col("h") === 2)
+      .select(col("brand"), col("r").as("r2"))
+    val both = r1.join(r2, "brand").localCheckpoint(false)
+    val pairs = both.as("x")
+      .join(broadcast(both.as("y")), col("x.brand") < col("y.brand"))
+      .agg(sum(when((col("x.r1") < col("y.r1")) === (col("x.r2") < col("y.r2")),
+                    1L).otherwise(0L)).as("concordant"),
+           sum(when((col("x.r1") < col("y.r1")) === (col("x.r2") < col("y.r2")),
+                    0L).otherwise(1L)).as("discordant"))
+    val sd = both.agg(count(lit(1)).as("k"),
+                      sum((col("r1") - col("r2")) * (col("r1") - col("r2")))
+                        .as("d2"))
+    ord(
+      pairs.crossJoin(broadcast(sd))
+        .select(col("k"), col("concordant"), col("discordant"),
+          r4((col("concordant") - col("discordant")).cast("double") /
+             (col("concordant") + col("discordant"))).as("kendall_tau"),
+          r4(lit(1.0) - lit(6.0) * col("d2") /
+             (col("k") * (col("k") * col("k") - 1L))).as("spearman_rho")),
+      col("k"))
+  }
+
   /** q_target_encoding — smoothed mean target encoding of the
     * (segment, priority) category cells against order value: enc =
     * (Σy_cell + m·μ_global)/(n_cell + m) with m = 20 — THE standard

@@ -49,6 +49,64 @@ object GraphOps {
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
 
+  /** q_centrality — all-pairs hop distances + harmonic centrality over
+    * the UNDIRECTED trade graph: per nation, reachable-node count,
+    * eccentricity (max hops) and harmonic centrality Σ 1/d — the
+    * "which hub is closest to everyone" ranking that degree (local)
+    * and PageRank (flow) both miss. Adds the shortest-path operator
+    * class to the graph family.
+    *
+    * Distances come from frontier BFS expansion: each round joins the
+    * current frontier against the adjacency list and anti-joins known
+    * pairs; the loop stops when a round discovers nothing — ≤ diameter
+    * rounds over |nodes|²-bounded frames (the CurationOps.cc
+    * convergence pattern). The oracle recomputes true distances with a
+    * recursive CTE, so an under-iterated BFS fails the hash loudly.
+    *
+    * Determinism: distances are exact integer hops; harmonic Σ 1/d is
+    * computed as the EXACT integer Σ cnt·(2520/d) — 2520 = lcm(1..10)
+    * makes every per-distance term integral (a diameter beyond 10
+    * throws rather than rounding; no double accumulates across rows).
+    *
+    * Scale shape: at 100 TB the edge derivation dominates and stays
+    * relational; the BFS frames are |nodes|²-bounded throughout. */
+  def centrality(s: SparkSession, d: String): DataFrame = {
+    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var dist = adj.withColumn("dist", lit(1L)).localCheckpoint(true)
+    var frontier = dist
+    var hop = 1L
+    var advanced = true
+    while (advanced && hop <= 10) {
+      val next = frontier.as("f")
+        .join(adj.as("x"), col("f.v") === col("x.u"))
+        .select(col("f.u").as("u"), col("x.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .join(dist.select(col("u"), col("v")), Seq("u", "v"), "left_anti")
+        .withColumn("dist", lit(hop + 1L))
+        .localCheckpoint(true)
+      if (next.isEmpty) advanced = false
+      else { dist = dist.unionAll(next).localCheckpoint(true); frontier = next; hop += 1 }
+    }
+    require(hop <= 10, s"graph diameter exceeds 10 — the exact-integer " +
+      "harmonic scaling (lcm 2520) no longer applies")
+    ord(
+      dist.groupBy(col("u").as("nationkey"))
+        .agg(count(lit(1)).as("n_reachable"),
+             max(col("dist")).as("eccentricity"),
+             sum(expr("2520 DIV dist")).as("hscaled"))
+        .select(col("nationkey"), col("n_reachable"), col("eccentricity"),
+                r4(col("hscaled").cast("double") / 2520.0).as("harmonic")),
+      col("nationkey"))
+  }
+
   /** q_pagerank — 3 fixed PageRank iterations over the customer-nation →
     * supplier-nation trade graph; emits every nation's rank. */
   def pageRank(s: SparkSession, d: String): DataFrame = {

@@ -1400,6 +1400,50 @@ object LlmOps {
       col("source"))
   }
 
+  /** q_novelty_decay — the "is continued crawling still worth it"
+    * curve: documents bucketed into 10 crawl EPOCHS by doc_id order
+    * (doc_id = crawl sequence), and per epoch the distinct grams that
+    * appear for the FIRST time there, the running vocabulary size, and
+    * the novelty rate — q_ngram_novelty's per-source view re-keyed to
+    * time, where the decay of marginal novelty is the stop signal.
+    *
+    * Scale shape: the same single-pass NgramHashes scan + ONE
+    * min-shuffle on the gram key as q_ngram_novelty (epoch is monotone
+    * in doc_id, so a gram's first epoch is the epoch of its min
+    * doc_id); the epoch rollup is 10 rows with a cumulative window.
+    * The ntile over doc_id sorts the doc-ID FRAME only. */
+  def noveltyDecay(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TextHashExprs.register(s)
+    val docs = Tables.documents(s, d)
+    val epochs = docs.select(col("doc_id"))
+      .withColumn("epoch", ntile(10).over(Window.orderBy(col("doc_id"))))
+      .localCheckpoint(false)
+    val ex = docs
+      .select(col("doc_id"), call_function("ngram_hashes", col("text")).as("ng"))
+      .filter(col("ng").isNotNull)
+      .select(col("doc_id"), explode(col("ng")).as("g"))
+    val firsts = ex.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val novelPerDoc = firsts.groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("novel"))
+    val occPerDoc = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val byEpoch = epochs
+      .join(occPerDoc, Seq("doc_id"), "left")
+      .join(novelPerDoc, Seq("doc_id"), "left")
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_docs"),
+           coalesce(sum(col("n_grams")), lit(0L)).as("n_grams"),
+           coalesce(sum(col("novel")), lit(0L)).as("novel_grams"))
+    val cum = Window.orderBy(col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ord(
+      byEpoch
+        .withColumn("vocab_cum", sum(col("novel_grams")).over(cum))
+        .withColumn("novelty_rate",
+          r4(try_divide(col("novel_grams").cast("double"), col("n_grams")))),
+      col("epoch"))
+  }
+
   /** q_embed_profile — per-DIMENSION distribution profile of the
     * embedding corpus: for each of the 64 lanes, n, mean, variance,
     * min and max of the component values — the feature-store profiling

@@ -333,6 +333,58 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("centrality: BFS distances equal Floyd-Warshall on the collected graph") {
+    import graft.operators.GraphOps
+    val got = GraphOps.centrality(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // brute force from the same edge definition
+    val e = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf0001), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey"), col("s_nationkey")).distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).filter(p => p._1 != p._2)
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val inf = Int.MaxValue / 4
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val dm = Array.fill(n, n)(inf)
+    nodes.indices.foreach(i => dm(i)(i) = 0)
+    e.foreach { case (a, b) => dm(idx(a))(idx(b)) = 1; dm(idx(b))(idx(a)) = 1 }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (dm(i)(k) + dm(k)(j) < dm(i)(j)) dm(i)(j) = dm(i)(k) + dm(k)(j)
+    nodes.zipWithIndex.foreach { case (u, i) =>
+      val ds = (0 until n).filter(j => j != i && dm(i)(j) < inf).map(j => dm(i)(j))
+      if (ds.nonEmpty)
+        assert(got(u) == ((ds.length.toLong, ds.max.toLong)), s"node $u")
+    }
+  }
+
+  test("rank corr: pair counts complete; tau and rho agree with direct recompute") {
+    val r = EvalOps.rankCorr(spark, sf0001).collect().head
+    val (k, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(c + d == k * (k - 1) / 2)
+    val tau = r.getDouble(3)
+    assert(tau >= -1.0 && tau <= 1.0)
+    assert(math.abs(tau - (c - d).toDouble / (c + d)) < 1e-3)
+    assert(r.getDouble(4) >= -1.0 && r.getDouble(4) <= 1.0)
+  }
+
+  test("novelty decay: novel grams sum to the corpus vocabulary; cum matches") {
+    import graft.operators.LlmOps
+    val rows = LlmOps.noveltyDecay(spark, sf0001).collect().sortBy(_.getInt(0))
+    val vocab = Tables.documents(spark, sf0001).select(col("text")).collect()
+      .flatMap { r =>
+        val t = r.getString(0).split(" ")
+        if (t.length < 3) Seq.empty
+        else t.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      }.distinct.length
+    assert(rows.map(_.getLong(3)).sum == vocab.toLong)
+    assert(rows.last.getLong(4) == vocab.toLong)
+    var cum = 0L
+    rows.foreach { r => cum += r.getLong(3); assert(r.getLong(4) == cum) }
+  }
+
   test("sample pps: every language draws exactly k=5 with multiplicity") {
     val rows = CurationOps.samplePps(spark, sf0001).collect()
     val perLang = rows.groupBy(_.getString(0))

@@ -68,7 +68,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // rollup (q_moving_avg precedent)
     "q_calibration", "q_pr_curve", "q_skyline", "q_mix_shift",
     "q_stats_histogram", "q_concurrency", "q_cusum",
-    "q_mutual_info", "q_rolling_corr")
+    "q_mutual_info", "q_rolling_corr",
+    // q_novelty_decay's ntile orders the doc-ID frame only (epoch
+    // assignment) and its cumulative window is the 10-row epoch rollup
+    "q_novelty_decay")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {
