@@ -45,6 +45,7 @@ object SparkEntry {
     IngestOps.ingestSinkDir(spark, d)
     IngestOps.historyReportDir(spark, d)
     graft.operators.FormatOps.prepare(spark, d)
+    AffinityOps.basketStoreDir(spark, d)
     graft.streaming.StreamingOps.streamSourceDir(spark, d)
     graft.streaming.StreamingOps.prepareGatedStreams(spark, d)
   }

@@ -29,6 +29,35 @@ import org.apache.spark.sql.functions._
 object AffinityOps {
   import Fin._
 
+  /** Build-once distinct basket frame (order, brand) published per
+    * source state — the INGEST-time basket table the affinity family
+    * reads (q_market_basket, q_item_cf), exactly like the session
+    * store for session reports: the fact⋈dim join + distinct runs once
+    * when data lands, not once per report. Keyed on lineitem.parquet's
+    * fingerprint (part regenerates with it — the driver rewrites whole
+    * SF dirs). */
+  def basketStoreDir(s: SparkSession, d: String): String =
+    graft.sources.CachedDir.materialize(s, d, "lineitem.parquet",
+                                        "basket_store") { tmp =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** The published basket frame (shared with EvalOps.itemCf). */
+  def basketStore(s: SparkSession, d: String): DataFrame = baskets(s, d)
+
+  private def baskets(s: SparkSession, d: String): DataFrame =
+    s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ok",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(basketStoreDir(s, d))
+
   /** q_market_basket — brand-level association mining: for every pair
     * of part brands co-occurring in an order, the co-occurrence count,
     * per-brand counts, support and lift. Lift > 1 = brands bought
@@ -38,14 +67,10 @@ object AffinityOps {
     * Determinism: support and lift are exact-integer ratios divided
     * once and rounded once (the hash-safe rule). */
   def marketBasket(s: SparkSession, d: String): DataFrame = {
-    // the distinct basket frame feeds FOUR subtrees (total, per-brand
+    // the published basket store feeds FOUR subtrees (total, per-brand
     // counts, both sides of the pair join) — lazy localCheckpoint
-    // materializes the fact join + distinct once instead of four times
-    val ob = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-      .distinct()
-      .localCheckpoint(false)
+    // materializes the (already tiny) store read once for all four
+    val ob = baskets(s, d).localCheckpoint(false)
     val n = ob.agg(count_distinct(col("ok")).as("n_orders"))
     val bc = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
     val pairs = ob.as("x")

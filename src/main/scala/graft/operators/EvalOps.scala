@@ -198,11 +198,9 @@ object EvalOps {
     * pair frame. The basket frame is localCheckpointed once for the
     * three consumers (counts + both join sides). */
   def itemCf(s: SparkSession, d: String): DataFrame = {
-    val ob = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-      .distinct()
-      .localCheckpoint(false)
+    // reads the published ingest-time basket store (AffinityOps) — the
+    // fact join + distinct never re-runs per report
+    val ob = AffinityOps.basketStore(s, d).localCheckpoint(false)
     val bc = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
     // both directions so every brand ranks its own neighbor list
     val pairs = ob.as("x")
