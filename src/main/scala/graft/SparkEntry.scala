@@ -339,7 +339,10 @@ object SparkEntry {
     // BFS centrality, rank correlation, crawl-novelty decay
     "q_centrality" -> (GraphOps.centrality _),
     "q_rank_corr" -> (graft.operators.EvalOps.rankCorr _),
-    "q_novelty_decay" -> (L.noveltyDecay _)
+    "q_novelty_decay" -> (L.noveltyDecay _),
+    // Shapley attribution and the corpus completeness matrix
+    "q_attribution_shapley" -> (W.attributionShapley _),
+    "q_coverage_cells" -> (C.coverageCells _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4851,6 +4854,66 @@ object SparkEntry {
                   AS BIGINT) AS vocab_cum,
                 (round(novel_grams::DOUBLE / nullif(n_grams, 0), 4) + 0.0)
                   AS novelty_rate
-         FROM bye ORDER BY epoch"""
+         FROM bye ORDER BY epoch""",
+    "q_attribution_shapley" ->
+      // Shapley over the fixed 4-channel universe; weights scaled by
+      // 4!=24 stay integer; the per-channel powerset sum folds in mask
+      // order on both engines (the q_anova rule)
+      """WITH u AS (SELECT user_id,
+                           CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                                + 2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                                + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                                + 8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                                AS BIGINT) AS mask,
+                           CAST(max(CASE WHEN event_type = 'purchase'
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS conv
+                    FROM events GROUP BY 1),
+            sub AS (SELECT mask, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(conv) AS BIGINT) AS c
+                    FROM u GROUP BY 1),
+            spine AS (SELECT unnest(range(16)) AS mask),
+            v AS (SELECT spine.mask,
+                         coalesce(c::DOUBLE / n, 0.0) AS v
+                  FROM spine LEFT JOIN sub USING (mask)),
+            ch AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'click'),
+                                         (2, 'error'), (4, 'signup'),
+                                         (8, 'view')) AS t(bit, channel)),
+            terms AS (SELECT ch.channel, v.mask,
+                             (CASE bit_count(v.mask) WHEN 0 THEN 6
+                                   WHEN 1 THEN 2 WHEN 2 THEN 2
+                                   WHEN 3 THEN 6 END)::DOUBLE
+                               * (v2.v - v.v) AS term
+                      FROM ch JOIN v ON (v.mask & ch.bit) = 0
+                              JOIN v v2 ON v2.mask = (v.mask | ch.bit)),
+            f AS (SELECT channel,
+                         list_reduce(list(term ORDER BY mask),
+                                     (a, b) -> a + b) AS s24
+                  FROM terms GROUP BY 1)
+         SELECT channel, (round(s24 / 24.0, 4) + 0.0) AS shapley
+         FROM f ORDER BY channel""",
+    "q_coverage_cells" ->
+      // completeness matrix: every (lang, source) spine cell with
+      // missing/thin flags; 5·n·|cells| < total is the exact-int 20%
+      // -of-uniform comparison
+      """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+                        FROM documents GROUP BY 1, 2),
+            spine AS (SELECT l.lang, s.source
+                      FROM (SELECT DISTINCT lang FROM documents) l
+                      CROSS JOIN (SELECT DISTINCT source FROM documents) s),
+            j AS (SELECT spine.lang, spine.source,
+                         CAST(coalesce(n, 0) AS BIGINT) AS n_docs
+                  FROM spine LEFT JOIN cells
+                       ON spine.lang = cells.lang
+                          AND spine.source = cells.source),
+            t AS (SELECT lang, source, n_docs,
+                         CAST(sum(n_docs) OVER () AS BIGINT) AS total,
+                         CAST(count(*) OVER () AS BIGINT) AS n_cells
+                  FROM j)
+         SELECT lang, source, n_docs,
+                (round(n_docs::DOUBLE / total, 4) + 0.0) AS share,
+                CASE WHEN n_docs = 0 THEN 1 ELSE 0 END AS missing,
+                CASE WHEN n_docs * n_cells * 5 < total THEN 1 ELSE 0 END
+                  AS thin
+         FROM t ORDER BY lang, source"""
   )
 }

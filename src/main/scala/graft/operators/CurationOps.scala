@@ -1039,6 +1039,44 @@ object CurationOps {
     * sessionize shape — partitioned by lang, never global), a 1-row-per-
     * lang weight total joined back broadcast, and a ≤k-per-lang offsets
     * frame broadcast range-joined — fan-out bounded by k. */
+  /** q_coverage_cells — the corpus completeness matrix: every
+    * (lang, source) cell of the expected spine with its doc count,
+    * corpus share, and MISSING/THIN flags (thin = under 20% of the
+    * uniform expectation) — the "which slices of the collection plan
+    * have no data" audit a curation team runs before trusting any
+    * per-slice metric. Cells with zero docs SURFACE as rows (the
+    * whole point); a plain groupBy can never show them.
+    *
+    * Determinism: the spine is generated from the observed lang and
+    * source domains (cross join of two distinct frames); counts exact
+    * int64; the thin flag compares 5·n_docs·|cells| < total exactly in
+    * integers.
+    *
+    * Scale shape: one partial-aggregable (lang, source) shuffle; the
+    * spine is |langs|·|sources| rows built from two broadcast distinct
+    * frames. */
+  def coverageCells(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val spine = docs.select(col("lang")).distinct()
+      .crossJoin(broadcast(docs.select(col("source")).distinct()))
+    val full = Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+    ord(
+      spine.join(cells, Seq("lang", "source"), "left")
+        .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+        .withColumn("total", sum(col("n_docs")).over(full))
+        .withColumn("n_cells", count(lit(1)).over(full))
+        .select(col("lang"), col("source"), col("n_docs"),
+          r4(col("n_docs").cast("double") / col("total")).as("share"),
+          when(col("n_docs") === 0L, 1).otherwise(0).as("missing"),
+          when(col("n_docs") * col("n_cells") * 5L < col("total"), 1)
+            .otherwise(0).as("thin")),
+      col("lang"), col("source"))
+  }
+
   /** q_shard_manifest — the export-integrity manifest for the
     * q_shard_export layout: per shard, doc count, total chars, and an
     * md5 over the SORTED member doc_id list — the checksum a consumer

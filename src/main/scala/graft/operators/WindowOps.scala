@@ -611,6 +611,59 @@ object WindowOps {
     * then a second rollup on user_id alone. Both keys are finer/equal
     * to user_id, so at 100 TB the heavy first shuffle bounds the cost;
     * no windows, no sorts. */
+  /** q_attribution_shapley — Shapley-value channel attribution, the
+    * game-theoretic member the heuristic family (last/linear/decay/
+    * position) approximates: each non-conversion channel's Shapley
+    * value over the 4-channel universe {click, error, signup, view},
+    * with v(S) = observed conversion rate of users whose touched-
+    * channel set is exactly S (unobserved subsets contribute v = 0 —
+    * the data-driven convention, spelled identically in the oracle).
+    * φᵢ = Σ_{S∌i} |S|!(n−|S|−1)!/n! · (v(S∪i) − v(S)).
+    *
+    * Determinism: the fixed 4-channel universe makes the factorial
+    * weights integer when scaled by 4! = 24 (6/2/2/6 by |S|); v terms
+    * are doubles, so the per-channel sum over the 16-subset powerset
+    * folds in MASK order on both engines (sort_array+aggregate ≙
+    * list ORDER BY + list_reduce — the q_anova rule).
+    *
+    * Scale shape: ONE fact-scale per-user rollup (mask + conversion in
+    * the same pass); everything after lives on the ≤16-row subset
+    * frame and a generated powerset spine, all broadcast. */
+  def attributionShapley(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u = Tables.events(s, d).groupBy(col("user_id"))
+      .agg((max(when(col("event_type") === "click", 1L).otherwise(0L)) +
+            max(when(col("event_type") === "error", 1L).otherwise(0L)) * 2L +
+            max(when(col("event_type") === "signup", 1L).otherwise(0L)) * 4L +
+            max(when(col("event_type") === "view", 1L).otherwise(0L)) * 8L)
+             .as("mask"),
+           max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .as("conv"))
+    val sub = u.groupBy(col("mask"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val spine = s.range(16).select(col("id").as("mask"))
+    val v = spine.join(sub, Seq("mask"), "left")
+      .select(col("mask"),
+              coalesce(col("c").cast("double") / col("n"), lit(0.0)).as("v"))
+    val vb = v.select(col("mask").as("m2"), col("v").as("v2"))
+    val ch = Seq((1L, "click"), (2L, "error"), (4L, "signup"), (8L, "view"))
+      .toDF("bit", "channel")
+    val terms = broadcast(ch).crossJoin(broadcast(v))
+      .filter(expr("mask & bit") === 0L)
+      .join(broadcast(vb), col("m2") === expr("mask | bit"))
+      .withColumn("w",
+        expr("CASE bit_count(mask) WHEN 0 THEN 6 WHEN 1 THEN 2 " +
+             "WHEN 2 THEN 2 WHEN 3 THEN 6 END").cast("double"))
+      .withColumn("term", col("w") * (col("v2") - col("v")))
+    val phi = terms.groupBy(col("channel"))
+      .agg(expr("aggregate(sort_array(collect_list(named_struct(" +
+                "'m', mask, 't', term))), cast(0.0 as double), " +
+                "(acc, x) -> acc + x.t)").as("s24"))
+    ord(
+      phi.select(col("channel"), r4(col("s24") / 24.0).as("shapley")),
+      col("channel"))
+  }
+
   /** q_concurrency — peak concurrent sessions per day via a SWEEP LINE:
     * each session contributes +1 at its start second and −1 one second
     * after its end; the running sum over the time-ordered sweep is the

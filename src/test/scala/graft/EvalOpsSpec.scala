@@ -385,6 +385,45 @@ class EvalOpsSpec extends AnyFunSuite {
     rows.foreach { r => cum += r.getLong(3); assert(r.getLong(4) == cum) }
   }
 
+  test("shapley attribution equals a brute-force powerset computation") {
+    import graft.operators.WindowOps
+    val got = WindowOps.attributionShapley(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val users = Tables.events(spark, sf0001).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+           max(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"),
+           max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("g"),
+           max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+           max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .collect()
+      .map(r => ((r.getLong(1) + 2 * r.getLong(2) + 4 * r.getLong(3) +
+                  8 * r.getLong(4)).toInt, r.getLong(5)))
+    val byMask = users.groupBy(_._1)
+      .map { case (m, g) => m -> (g.length.toLong, g.map(_._2).sum) }
+    def v(m: Int): Double =
+      byMask.get(m).map { case (n, c) => c.toDouble / n }.getOrElse(0.0)
+    val w = Map(0 -> 6.0, 1 -> 2.0, 2 -> 2.0, 3 -> 6.0)
+    val chans = Seq(1 -> "click", 2 -> "error", 4 -> "signup", 8 -> "view")
+    chans.foreach { case (bit, name) =>
+      val phi = (0 until 16).filter(m => (m & bit) == 0)
+        .map(m => w(Integer.bitCount(m)) * (v(m | bit) - v(m))).sum / 24.0
+      assert(math.abs(got(name) - phi) < 1e-3, s"$name: ${got(name)} vs $phi")
+    }
+  }
+
+  test("coverage cells: full spine surfaces zero-doc cells; shares sum to 1") {
+    val rows = CurationOps.coverageCells(spark, sf0001).collect()
+    val langs = Tables.documents(spark, sf0001)
+      .select(col("lang")).distinct().count()
+    val sources = Tables.documents(spark, sf0001)
+      .select(col("source")).distinct().count()
+    assert(rows.length == langs * sources)
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.foreach { r =>
+      assert((r.getInt(4) == 1) == (r.getLong(2) == 0L)) }
+  }
+
   test("sample pps: every language draws exactly k=5 with multiplicity") {
     val rows = CurationOps.samplePps(spark, sf0001).collect()
     val perLang = rows.groupBy(_.getString(0))

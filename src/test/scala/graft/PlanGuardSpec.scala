@@ -71,7 +71,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_mutual_info", "q_rolling_corr",
     // q_novelty_decay's ntile orders the doc-ID frame only (epoch
     // assignment) and its cumulative window is the 10-row epoch rollup
-    "q_novelty_decay")
+    "q_novelty_decay",
+    // q_coverage_cells' totals ride the |langs|x|sources| spine frame
+    "q_coverage_cells")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {
