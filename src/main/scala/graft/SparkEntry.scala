@@ -342,7 +342,14 @@ object SparkEntry {
     "q_novelty_decay" -> (L.noveltyDecay _),
     // Shapley attribution and the corpus completeness matrix
     "q_attribution_shapley" -> (W.attributionShapley _),
-    "q_coverage_cells" -> (C.coverageCells _)
+    "q_coverage_cells" -> (C.coverageCells _),
+    // ABC revenue classes, dwell time, weekly movers, row-level
+    // quarantine, 2-hop link recommendation
+    "q_abc_pareto" -> (ReportOps.abcPareto _),
+    "q_event_dwell" -> (W.eventDwell _),
+    "q_top_movers" -> (TimeSeriesOps.topMovers _),
+    "q_quarantine" -> (C.quarantine _),
+    "q_graph_2hop" -> (GraphOps.twoHop _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4914,6 +4921,103 @@ object SparkEntry {
                 CASE WHEN n_docs = 0 THEN 1 ELSE 0 END AS missing,
                 CASE WHEN n_docs * n_cells * 5 < total THEN 1 ELSE 0 END
                   AS thin
-         FROM t ORDER BY lang, source"""
+         FROM t ORDER BY lang, source""",
+    "q_abc_pareto" ->
+      // Class boundaries decided in exact int64 (5·cum ≤ 4·total /
+      // 20·cum ≤ 19·total); cum ordered by the total (cents DESC,
+      // custkey) key so RANGE==ROWS.
+      """WITH spend AS (
+           SELECT o_custkey AS custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM spend),
+         c AS (SELECT custkey, cents,
+                      CAST(sum(cents) OVER (ORDER BY cents DESC, custkey)
+                        AS BIGINT) AS cum
+               FROM spend),
+         cl AS (SELECT CASE WHEN cum * 5 <= total_cents * 4 THEN 'A'
+                            WHEN cum * 20 <= total_cents * 19 THEN 'B'
+                            ELSE 'C' END AS abc_class, cents
+                FROM c, tot)
+         SELECT abc_class, count(*) AS n_customers,
+                CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue,
+                (round(CAST(sum(cents) AS DOUBLE) /
+                       (SELECT total_cents FROM tot), 4) + 0.0) AS share
+         FROM cl GROUP BY 1 ORDER BY 1""",
+    "q_event_dwell" ->
+      // Gaps are exact integer µs diffs over the (ts, event_id)-total
+      // user timeline; the last event per user has no successor.
+      """WITH e AS (SELECT event_type, epoch_us(ts::TIMESTAMP) AS us,
+                          lead(epoch_us(ts::TIMESTAMP), 1) OVER
+                            (PARTITION BY user_id
+                             ORDER BY ts::TIMESTAMP, event_id) AS next_us
+                   FROM events)
+         SELECT event_type, count(*) AS n_gaps,
+                (round(CAST(sum(next_us - us) AS DOUBLE) / 1000000.0 /
+                       count(*), 4) + 0.0) AS avg_gap_s,
+                (round(CAST(max(next_us - us) AS DOUBLE) / 1000000.0, 4)
+                 + 0.0) AS max_gap_s
+         FROM e WHERE next_us IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    "q_top_movers" ->
+      // Per-series lag is vs the previous OBSERVED week; |Δ| rank ties
+      // break on event_type.
+      """WITH weekly AS (
+           SELECT event_type,
+                  date_trunc('week', ts::TIMESTAMP)::DATE AS week,
+                  count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         d AS (SELECT event_type, week, n_events,
+                      lag(n_events, 1) OVER (PARTITION BY event_type
+                                             ORDER BY week) AS prev
+               FROM weekly),
+         r AS (SELECT week, event_type, n_events, prev,
+                      n_events - prev AS delta,
+                      row_number() OVER (PARTITION BY week
+                        ORDER BY abs(n_events - prev) DESC, event_type) AS rk
+               FROM d WHERE prev IS NOT NULL)
+         SELECT week, rk, event_type, CAST(n_events AS BIGINT) AS n_events,
+                CAST(prev AS BIGINT) AS prev, CAST(delta AS BIGINT) AS delta
+         FROM r WHERE rk <= 3 ORDER BY week, rk""",
+    "q_quarantine" ->
+      // Row-level dead-letter feed: one (doc_id, reason) row per
+      // violated gate; TTR threshold compares one exact-int division.
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+                          CAST(len(list_distinct(string_split(text, ' ')))
+                            AS DOUBLE) /
+                          len(string_split(text, ' ')) AS ttr
+                   FROM documents)
+         SELECT doc_id, reason FROM (
+           SELECT doc_id, 'too_short' AS reason FROM t WHERE n_chars < 150
+           UNION ALL
+           SELECT doc_id, 'lang_not_target' FROM t
+           WHERE lang NOT IN ('en', 'es')
+           UNION ALL
+           SELECT doc_id, 'low_diversity' FROM t WHERE ttr < 0.34)
+         ORDER BY doc_id, reason""",
+    "q_graph_2hop" ->
+      // Strong-tie cutoff (w·|E| ≥ 2·Σw, exact int64) then 2-hop
+      // minus direct; score = Σ min(w_ab, w_bc).
+      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                               count(*) AS w
+                        FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        JOIN customer c ON o.o_custkey = c.c_custkey
+                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        GROUP BY 1, 2),
+            cut AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                           count(*) AS ne FROM edges),
+            strong AS (SELECT src, dst, w FROM edges, cut
+                       WHERE src <> dst AND w * ne >= 2 * tw),
+            p AS (SELECT ab.src AS src, bc.dst AS dst, count(*) AS n_paths,
+                         CAST(sum(least(ab.w, bc.w)) AS BIGINT) AS score
+                  FROM strong ab JOIN strong bc
+                       ON ab.dst = bc.src AND ab.src <> bc.dst
+                  GROUP BY 1, 2)
+         SELECT src, dst, CAST(n_paths AS BIGINT) AS n_paths, score
+         FROM p WHERE NOT EXISTS (SELECT 1 FROM strong e
+                                  WHERE e.src = p.src AND e.dst = p.dst)
+         ORDER BY src, dst"""
   )
 }

@@ -1137,4 +1137,38 @@ object CurationOps {
                 col("multiplicity")),
       col("lang"), col("doc_id"))
   }
+
+  /** q_quarantine — per-row dead-letter routing with machine-readable
+    * reasons: every document failing a curation gate emits one
+    * (doc_id, reason) row per violated rule — the quarantine feed a
+    * production pipeline writes next to the clean output so rejected
+    * rows are auditable and re-admittable per rule, not just counted.
+    * q_expectations reports table-level violation COUNTS; this is the
+    * row-level complement that names the offenders. Rules: too_short
+    * (n_chars < 150), lang_not_target (∉ {en, es}), low_diversity
+    * (type-token ratio < 0.34 — templated/repetitive text).
+    *
+    * Determinism: the TTR threshold compares a single division of two
+    * exact int token counts — identical bits both engines (same idiom
+    * as q_text_quality's ratios); output ordered by (doc_id, reason).
+    *
+    * Scale shape: embarrassingly parallel map-side pass — the rule
+    * array is built per row and exploded scan-side, zero shuffles
+    * (the final order is the oracle-gate sort only). */
+  def quarantine(s: SparkSession, d: String): DataFrame = {
+    val toks = size(split(col("text"), " "))
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+              (size(array_distinct(split(col("text"), " "))).cast("double") /
+               toks).as("ttr"))
+    Fin.ord(
+      t.select(col("doc_id"),
+          array(
+            when(col("n_chars") < 150, lit("too_short")),
+            when(!col("lang").isin("en", "es"), lit("lang_not_target")),
+            when(col("ttr") < 0.34, lit("low_diversity"))).as("rs"))
+        .select(col("doc_id"), explode(col("rs")).as("reason"))
+        .where(col("reason").isNotNull),
+      col("doc_id"), col("reason"))
+  }
 }

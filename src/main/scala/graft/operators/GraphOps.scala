@@ -296,4 +296,43 @@ object GraphOps {
                 col("csize").as("component_size")),
       col("nationkey"))
   }
+
+  /** q_graph_2hop — two-hop link recommendation over the STRONG-tie
+    * trade graph (q_graph_components' exact w·|E| ≥ 2·Σw cutoff — the
+    * raw graph is complete at every SF, so 2-hop-minus-direct is empty
+    * without it): pairs (a, c) with NO strong direct edge but at least
+    * one strong intermediary a→b→c, scored by Σ_b min(w_ab, w_bc) —
+    * the bottleneck-capacity score used by "people you may know" /
+    * supplier-discovery recommenders. Adds the multi-hop reachability
+    * operator class the degree/jaccard/PageRank family doesn't cover
+    * (jaccard compares neighborhoods; this MATERIALIZES the reachable
+    * non-neighbors and ranks them).
+    *
+    * Determinism: strong cutoff and scores are exact int64 (min/Σ of
+    * counts); output ordered by the (src, dst) key.
+    *
+    * Scale shape: strong edges are a filtered |nodes|²-bounded frame
+    * derived once (localCheckpoint — the self-join reads it twice); the
+    * path self-join keys on the shared node b, the anti join removes
+    * direct edges on (src, dst) — all |E_strong|·avg-degree bounded,
+    * never fact-row bounded. At 100 TB only tradeEdges grows. */
+  def twoHop(s: SparkSession, d: String): DataFrame = {
+    val edges = tradeEdges(s, d)
+    val cut = edges.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
+    val strong = edges.crossJoin(broadcast(cut))
+      .filter(col("src") =!= col("dst") &&
+              col("w") * col("ne") >= lit(2L) * col("tw"))
+      .select(col("src"), col("dst"), col("w"))
+      .localCheckpoint(false)
+    val paths = strong.as("ab")
+      .join(strong.as("bc"),
+            col("ab.dst") === col("bc.src") && col("ab.src") =!= col("bc.dst"))
+      .groupBy(col("ab.src").as("src"), col("bc.dst").as("dst"))
+      .agg(count(lit(1)).as("n_paths"),
+           sum(least(col("ab.w"), col("bc.w"))).as("score"))
+    ord(
+      paths.join(strong.select(col("src"), col("dst")),
+                 Seq("src", "dst"), "left_anti"),
+      col("src"), col("dst"))
+  }
 }

@@ -537,4 +537,52 @@ object ReportOps {
             .as("mix_effect")),
       col("segment"))
   }
+
+  /** q_abc_pareto — ABC (Pareto) classification of customers by lifetime
+    * revenue: rank customers by exact cent spend descending, call the
+    * prefix holding ≤ 80% of cumulative revenue class A, ≤ 95% class B,
+    * the tail C, and report each class's customer count, revenue and
+    * share — the "which 20% of customers drive 80% of revenue"
+    * partition that q_gini compresses into a single coefficient (this
+    * names the actual customers sets a campaign would target).
+    *
+    * Determinism: the cumulative sum is ordered by (cents DESC,
+    * custkey) — a total order, so the running sum is unique per row —
+    * and the class boundaries are decided in EXACT int64 arithmetic
+    * (5·cum ≤ 4·total for the 80% line, 20·cum ≤ 19·total for 95%): no
+    * double comparison ever picks a class. The only doubles are the
+    * final revenue/share projections, each divided once and r4'd.
+    *
+    * Scale shape: one partial-aggregable rollup to |customers| rows,
+    * then a global ordered window over that dimension-sized frame —
+    * range-partitioned sort + distributed prefix-sum at 100 TB (the
+    * documented q_gini / q_ks_test CDF pattern); the 1-row total
+    * broadcasts to both consumers. */
+  def abcPareto(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = graft.Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .localCheckpoint(false) // feeds the window AND the 1-row total
+    val total = spend.agg(sum(col("cents")).as("total_cents"))
+    val w = Window.orderBy(col("cents").desc, col("custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val classed = spend
+      .withColumn("cum", sum(col("cents")).over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when(col("cum") * 5 <= col("total_cents") * 4, lit("A"))
+          .when(col("cum") * 20 <= col("total_cents") * 19, lit("B"))
+          .otherwise(lit("C")))
+    Fin.ord(
+      classed.groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_customers"),
+             sum(col("cents")).as("class_cents"))
+        .crossJoin(broadcast(total))
+        .select(col("abc_class"), col("n_customers"),
+                (col("class_cents").cast("double") / 100.0).as("revenue"),
+                Fin.r4(col("class_cents").cast("double") / col("total_cents"))
+                  .as("share")),
+      col("abc_class"))
+  }
 }

@@ -1306,4 +1306,39 @@ object TimeSeriesOps {
                   .as("twa")),
       col("event_type"))
   }
+
+  /** q_top_movers — week-over-week top movers: per week, the 3 event
+    * types whose volume changed most vs their previous OBSERVED week
+    * (|Δ| ranked, name tiebreak) — the "what spiked / what cratered"
+    * lead of every weekly review. q_period_over_period tracks ONE
+    * global revenue series; this ranks the per-series deltas so the
+    * mover surfaces even when the total is flat.
+    *
+    * Determinism: counts and deltas are exact int64; both window
+    * orders are total ((event_type, week) unique per series; |Δ| ties
+    * broken by event_type). Missing weeks per series lag to the prior
+    * observed week, mirrored in the oracle.
+    *
+    * Scale shape: one partial-aggregable rollup to |types|×|weeks|
+    * rows; both windows partition by a real key (series / week) over
+    * that bounded frame — no fact-row window, no global sort. */
+  def topMovers(s: SparkSession, d: String): DataFrame = {
+    val weekly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+               date_trunc("week", col("ts")).cast("date").as("week"))
+      .agg(count(lit(1)).as("n_events"))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    val deltas = weekly
+      .withColumn("prev", lag(col("n_events"), 1).over(wt))
+      .where(col("prev").isNotNull)
+      .withColumn("delta", col("n_events") - col("prev"))
+    val ww = Window.partitionBy(col("week"))
+      .orderBy(abs(col("delta")).desc, col("event_type"))
+    Fin.ord(
+      deltas.withColumn("rk", row_number().over(ww))
+        .where(col("rk") <= 3)
+        .select(col("week"), col("rk"), col("event_type"),
+                col("n_events"), col("prev"), col("delta")),
+      col("week"), col("rk"))
+  }
 }

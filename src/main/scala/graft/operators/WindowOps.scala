@@ -747,4 +747,41 @@ object WindowOps {
         .filter(col("peak_epm") >= 2L),
       col("user_id"))
   }
+
+  /** q_event_dwell — per-event-type dwell time: for every event, the
+    * gap until the SAME user's next event (lead over the user
+    * timeline), rolled up per the event type being LEFT — the GA "time
+    * on page" proxy (GA attributes time-on-page to the page whose hit
+    * opens the interval, exactly this shape). Each user's last event
+    * has no successor and drops out, mirroring GA's undefined exit
+    * dwell.
+    *
+    * Determinism: the timeline order is (ts, event_id) — total; gaps
+    * are EXACT integer microsecond differences (unix_micros ↔ the
+    * oracle's epoch_us on the µs-normalized ts), summed per group and
+    * divided once, r4'd.
+    *
+    * Scale shape: one hash shuffle on user_id for the lead window (the
+    * sessionize partitioning — no global sort), then one
+    * partial-aggregable rollup on event_type. */
+  def eventDwell(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              col("ts"), expr("unix_micros(ts)").as("us"))
+    Fin.ord(
+      e.withColumn("next_us", lead(col("us"), 1).over(w))
+        .where(col("next_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+             sum(col("next_us") - col("us")).as("gap_us"),
+             max(col("next_us") - col("us")).as("max_us"))
+        .select(col("event_type"), col("n_gaps"),
+                Fin.r4(col("gap_us").cast("double") / 1000000.0 /
+                       col("n_gaps")).as("avg_gap_s"),
+                Fin.r4(col("max_us").cast("double") / 1000000.0)
+                  .as("max_gap_s")),
+      col("event_type"))
+  }
 }

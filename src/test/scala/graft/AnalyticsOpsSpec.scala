@@ -596,6 +596,94 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val mrr = RetrievalOps.mrr(spark, dir).collect().head.getDouble(2)
     assert(math.abs(mrr - 0.5) < 1e-9, s"panel mrr: $mrr")
   }
+
+  test("abc_pareto: exact integer class boundaries (80/95) with custkey tiebreak") {
+    val dir = tmpDir("abc")
+    def o(k: Long, cust: Long, cents: Long) =
+      Row(k, cust, "O", cents / 100.0,
+          java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "1")
+    // spends 80/15/5 cents → cums 80, 95, 100: both class boundaries land
+    // EXACTLY on the 80%/95% lines — pins the ≤ (inclusive) integer rule.
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      o(1L, 1L, 80L), o(2L, 2L, 15L), o(3L, 3L, 5L)))
+    val out = ReportOps.abcPareto(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out == Map("A" -> ((1L, 0.8)), "B" -> ((1L, 0.15)),
+                      "C" -> ((1L, 0.05))), s"got $out")
+  }
+
+  test("event_dwell: gap attributed to the type being left; last event drops") {
+    val dir = tmpDir("dwell")
+    writeEvents(dir, Seq(
+      eventRow(1L, 100L, 1L, "a", 0.0),
+      eventRow(2L, 110L, 1L, "b", 0.0),
+      eventRow(3L, 130L, 1L, "a", 0.0),   // user 1's last event → drops
+      eventRow(4L, 500L, 2L, "b", 0.0)))  // user 2's only event → drops
+    val out = WindowOps.eventDwell(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("a", 1L, 10.0), ("b", 1L, 20.0)), s"got $out")
+  }
+
+  test("top_movers: per-week rank is by |delta| with name tiebreak") {
+    val dir = tmpDir("movers")
+    val mon = 1704067200L // 2024-01-01, a Monday
+    def burst(tsBase: Long, n: Int, typ: String, id0: Long) =
+      (0 until n).map(i => eventRow(id0 + i, tsBase + i, 1L, typ, 0.0))
+    writeEvents(dir,
+      burst(mon, 10, "x", 100L) ++ burst(mon + 604800, 13, "x", 200L) ++
+        burst(mon + 2 * 604800, 13, "x", 300L) ++
+        burst(mon, 5, "y", 400L) ++ burst(mon + 604800, 4, "y", 500L) ++
+        burst(mon + 2 * 604800, 8, "y", 600L))
+    val out = TimeSeriesOps.topMovers(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getString(2),
+                 r.getLong(5))).toSeq
+    assert(out == Seq(
+      ("2024-01-08", 1, "x", 3L), ("2024-01-08", 2, "y", -1L),
+      ("2024-01-15", 1, "y", 4L), ("2024-01-15", 2, "x", 0L)), s"got $out")
+  }
+
+  test("quarantine: one row per violated gate; clean docs absent") {
+    val dir = tmpDir("quar")
+    val diverse = (1 to 40).map(i => s"w$i").mkString(" ")  // ttr = 1.0
+    val repet = (("dup " * 39) + "x").trim                  // ttr = 2/40
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, diverse, "en", "s0", 300L),   // clean
+      Row(2L, diverse, "en", "s0", 100L),   // too_short
+      Row(3L, diverse, "de", "s0", 300L),   // lang_not_target
+      Row(4L, repet, "en", "s0", 300L),     // low_diversity
+      Row(5L, repet, "zh", "s0", 100L)))    // all three
+    val out = CurationOps.quarantine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set(
+      (2L, "too_short"), (3L, "lang_not_target"), (4L, "low_diversity"),
+      (5L, "too_short"), (5L, "lang_not_target"), (5L, "low_diversity")),
+      s"got $out")
+  }
+
+  test("graph_2hop: strong 2-hop reco surfaces the missing direct tie") {
+    val dir = tmpDir("twohop")
+    writeTable(dir, "customer", Schemas.customer,
+      (0 to 2).map(i => Row(i.toLong, s"C$i", i, 0.0, "SEG")))
+    writeTable(dir, "supplier", Schemas.supplier,
+      (0 to 2).map(i => Row(i.toLong, s"S$i", i, 0.0)))
+    // weights: 0→1 and 1→2 are strong (w·|E| ≥ 2·Σw: 9·6 ≥ 2·22); the
+    // four w=1 edges dilute the mean and stay weak. Expected reco:
+    // (0, 2) via 1 — reachable in 2 strong hops, no strong direct tie.
+    val edges = Seq((0L, 1L, 9), (1L, 2L, 9), (0L, 2L, 1),
+                    (1L, 0L, 1), (2L, 0L, 1), (2L, 1L, 1))
+    writeTable(dir, "orders", Schemas.orders,
+      edges.zipWithIndex.map { case ((src, _, _), i) =>
+        Row(i.toLong, src, "O", 1.0,
+            java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "1") })
+    writeTable(dir, "lineitem", Schemas.lineitem,
+      edges.zipWithIndex.flatMap { case ((_, dst, w), i) =>
+        (1 to w).map(ln =>
+          Row(i.toLong, 1L, dst, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+              java.sql.Timestamp.valueOf("1995-02-01 00:00:00"))) })
+    val out = GraphOps.twoHop(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((0, 2, 1L, 9L)), s"got $out")
+  }
 }
 
 /** Small helpers shared by the r6 tests. */
