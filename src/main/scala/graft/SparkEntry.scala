@@ -349,7 +349,11 @@ object SparkEntry {
     "q_event_dwell" -> (W.eventDwell _),
     "q_top_movers" -> (TimeSeriesOps.topMovers _),
     "q_quarantine" -> (C.quarantine _),
-    "q_graph_2hop" -> (GraphOps.twoHop _)
+    "q_graph_2hop" -> (GraphOps.twoHop _),
+    // feature scaling, compaction planning, Holt level+trend smoothing
+    "q_zscore_scale" -> (graft.operators.EvalOps.zscoreScale _),
+    "q_compaction_plan" -> (LayoutOps.compactionPlan _),
+    "q_holt_linear" -> (TimeSeriesOps.holtLinear _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5018,6 +5022,74 @@ object SparkEntry {
          SELECT src, dst, CAST(n_paths AS BIGINT) AS n_paths, score
          FROM p WHERE NOT EXISTS (SELECT 1 FROM strong e
                                   WHERE e.src = p.src AND e.dst = p.dst)
-         ORDER BY src, dst"""
+         ORDER BY src, dst""",
+    "q_zscore_scale" ->
+      // Both scalings are ONE division of integer-derived terms:
+      // z = (n·x − Σx)/√(n·Σx² − (Σx)²), mm = (x − min)/(max − min);
+      // degenerate groups NULL via nullif.
+      """WITH stats AS (
+           SELECT lang, count(*) AS n,
+                  CAST(sum(n_chars) AS BIGINT) AS s1,
+                  CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+                  min(n_chars) AS mn, max(n_chars) AS mx
+           FROM documents GROUP BY 1)
+         SELECT d.doc_id, d.lang, d.n_chars,
+                (round(CAST(n * d.n_chars - s1 AS DOUBLE) /
+                       sqrt(nullif(CAST(n * s2 - s1 * s1 AS DOUBLE), 0)), 4)
+                 + 0.0) AS z,
+                (round(CAST(d.n_chars - mn AS DOUBLE) /
+                       nullif(CAST(mx - mn AS DOUBLE), 0), 4) + 0.0) AS mm
+         FROM documents d JOIN stats USING (lang)
+         ORDER BY doc_id""",
+    "q_compaction_plan" ->
+      // Prefix-sum binning in exact int64: target = ceil(total/8),
+      // bin = cum_before DIV target; source order preserves locality.
+      """WITH shards AS (SELECT source, count(*) AS n_docs,
+                                CAST(sum(n_chars) AS BIGINT) AS bytes
+                         FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(bytes) AS BIGINT) AS total_bytes
+                 FROM shards),
+         c AS (SELECT source, n_docs, bytes,
+                      CAST(sum(bytes) OVER (ORDER BY source) AS BIGINT)
+                        AS cum
+               FROM shards)
+         SELECT source, n_docs, bytes, cum - bytes AS offset_bytes,
+                (cum - bytes) // ((total_bytes + 7) // 8) AS bin,
+                (round(CAST(bytes AS DOUBLE) / ((total_bytes + 7) // 8), 4)
+                 + 0.0) AS fill
+         FROM c, tot ORDER BY source""",
+    "q_holt_linear" ->
+      // Sequential Holt recurrence (α = β = ½) as a recursive CTE —
+      // the SAME spelled arithmetic as the Spark ordered fold, so the
+      // hash gate pins the op-for-op sequence, not just the answer.
+      """WITH RECURSIVE daily AS (
+           SELECT o_orderpriority AS priority,
+                  date_trunc('day', o_orderdate)::DATE AS day,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM orders GROUP BY 1, 2),
+         seq AS (SELECT priority, cents,
+                        row_number() OVER (PARTITION BY priority
+                                           ORDER BY day) AS rn
+                 FROM daily),
+         mx AS (SELECT priority, max(rn) AS n_days FROM seq GROUP BY 1),
+         rec AS (
+           SELECT priority, rn, CAST(cents AS DOUBLE) AS l,
+                  CAST(0.0 AS DOUBLE) AS b
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT s.priority, s.rn,
+                  0.5 * CAST(s.cents AS DOUBLE) + 0.5 * (r.l + r.b),
+                  0.5 * ((0.5 * CAST(s.cents AS DOUBLE)
+                          + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+           FROM rec r JOIN seq s
+                ON s.priority = r.priority AND s.rn = r.rn + 1)
+         SELECT r.priority, CAST(m.n_days AS BIGINT) AS n_days,
+                (round(r.l / 100.0, 4) + 0.0) AS level_rev,
+                (round(r.b / 100.0, 4) + 0.0) AS trend_rev,
+                (round((r.l + 7.0 * r.b) / 100.0, 4) + 0.0) AS forecast7_rev
+         FROM rec r JOIN mx m
+              ON r.priority = m.priority AND r.rn = m.n_days
+         ORDER BY r.priority"""
   )
 }

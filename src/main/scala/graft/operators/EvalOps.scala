@@ -316,4 +316,41 @@ object EvalOps {
           r4(lit(m.toDouble) / (col("n") + lit(m.toLong))).as("shrink")),
       col("segment"), col("priority"))
   }
+
+  /** q_zscore_scale — per-group feature standardization: for every
+    * document, the z-score AND min-max scaling of its length within
+    * its language — the two normalizations every feature pipeline
+    * applies before training (per-group, because length distributions
+    * differ by language; a global scale would encode language, not
+    * quality).
+    *
+    * Determinism: group moments are exact int64 sums (n, Σx, Σx²,
+    * min, max), and both scalings are algebraically rearranged so
+    * each is ONE division of integer-derived terms:
+    * z = (n·x − Σx)/√(n·Σx² − (Σx)²) and mm = (x − min)/(max − min)
+    * — the identically-spelled-chain rule (÷ and √ are correctly
+    * rounded, so same inputs ⇒ same bits). Degenerate groups
+    * (zero variance / zero range) yield NULL via nullif.
+    *
+    * Scale shape: one partial-aggregable rollup to |langs| rows,
+    * broadcast back onto the scan — an embarrassingly parallel
+    * map-side join; no window, no shuffle of the fact rows. */
+  def zscoreScale(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val stats = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s1"),
+           sum(col("n_chars") * col("n_chars")).as("s2"),
+           min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    Fin.ord(
+      docs.join(broadcast(stats), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          r4((col("n") * col("n_chars") - col("s1")).cast("double") /
+             sqrt(nullif((col("n") * col("s2") - col("s1") * col("s1"))
+                           .cast("double"), lit(0.0)))).as("z"),
+          r4((col("n_chars") - col("mn")).cast("double") /
+             nullif((col("mx") - col("mn")).cast("double"), lit(0.0)))
+            .as("mm")),
+      col("doc_id"))
+  }
 }

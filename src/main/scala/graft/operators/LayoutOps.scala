@@ -145,4 +145,44 @@ object LayoutOps {
           Fin.r4(col("n").cast("double") * 32.0 / col("total")).as("load")),
       col("bucket"))
   }
+
+  /** q_compaction_plan — the small-files compaction planner: treat each
+    * source's corpus bytes as one input shard, keep shards in source
+    * order (preserving any sort/z-order locality), and assign
+    * contiguous runs to output bins of ~total/8 bytes via prefix-sum
+    * binning (bin = cum_before DIV target) — the plan a table
+    * maintenance job executes to rewrite many small files into few
+    * right-sized ones. Emits per-shard assignments plus each shard's
+    * position, so the executor can turn any bin into one write task.
+    *
+    * Determinism: bytes, prefix sums and the bin id are exact int64;
+    * target = ceil(total/8) in integer arithmetic ((total+7) DIV 8);
+    * the prefix order (source) is unique. fill = bytes/target is the
+    * only double, divided once and r4'd.
+    *
+    * Scale shape: one partial-aggregable rollup to |sources| rows,
+    * then an ordered window over that dimension-sized frame (the
+    * q_gini prefix-sum pattern — range-partitioned at 100 TB, where
+    * the shard list is file-manifest-sized, not data-sized). */
+  def compactionPlan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shards = graft.Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      .localCheckpoint(false) // feeds the window AND the 1-row total
+    val total = shards.agg(sum(col("bytes")).as("total_bytes"))
+    val w = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Fin.ord(
+      shards
+        .withColumn("cum", sum(col("bytes")).over(w))
+        .crossJoin(broadcast(total))
+        .withColumn("target", expr("(total_bytes + 7) DIV 8"))
+        .select(col("source"), col("n_docs"), col("bytes"),
+                (col("cum") - col("bytes")).as("offset_bytes"),
+                expr("(cum - bytes) DIV target").as("bin"),
+                Fin.r4(col("bytes").cast("double") / col("target"))
+                  .as("fill")),
+      col("source"))
+  }
 }

@@ -1341,4 +1341,59 @@ object TimeSeriesOps {
                 col("n_events"), col("prev"), col("delta")),
       col("week"), col("rk"))
   }
+
+  /** q_holt_linear — Holt double exponential smoothing (level + trend,
+    * α = β = 0.5) over each priority's daily revenue series, reporting
+    * the final smoothed level, trend, and the 7-day-ahead linear
+    * forecast l + 7·b. The trend-aware upgrade of q_trend_ewma (which
+    * smooths the LEVEL only and so lags any ramp); the inherently
+    * SEQUENTIAL recurrence adds the stateful-ordered-fold operator
+    * class: Spark computes it as a higher-order `aggregate` over the
+    * day-sorted series array, the oracle as a recursive CTE — an
+    * under-iterated or order-broken fold fails the hash loudly.
+    *
+    *   l_t = ½·y_t + ½·(l_{t-1} + b_{t-1});  l_1 = y_1
+    *   b_t = ½·(l_t − l_{t-1}) + ½·b_{t-1};  b_1 = 0
+    *
+    * Determinism: inputs are exact daily cent sums; the recurrence is
+    * evaluated in the SAME sequential order with the SAME spelled
+    * arithmetic in both engines (every IEEE op is correctly rounded,
+    * so identical op sequences give identical bits — the q_rolling_corr
+    * chain rule, extended to a fold). The /100.0 rescale + r4 happen
+    * once at the end.
+    *
+    * Scale shape: one partial-aggregable (priority, day) rollup, then
+    * collect each series into a day-sorted array per key — bounded by
+    * |days| (the q_pack_sequences bounded-array contract), never by
+    * fact rows; the fold is per-group map-side work. At 100 TB the
+    * series count grows (per metric/tenant) while each array stays
+    * calendar-bounded. */
+  def holtLinear(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+               date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val folded = daily
+      .groupBy(col("priority"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+             .as("ys"))
+      .withColumn("n_days", size(col("ys")))
+      // fold days 2..n over the (level, trend) state; day 1 is the init
+      .withColumn("st", expr(
+        """aggregate(slice(ys, 2, size(ys) - 1),
+             named_struct('l', CAST(element_at(ys, 1).cents AS DOUBLE),
+                          'b', CAST(0.0 AS DOUBLE)),
+             (acc, y) -> named_struct(
+               'l', 0.5D * CAST(y.cents AS DOUBLE) + 0.5D * (acc.l + acc.b),
+               'b', 0.5D * ((0.5D * CAST(y.cents AS DOUBLE)
+                             + 0.5D * (acc.l + acc.b)) - acc.l)
+                    + 0.5D * acc.b))"""))
+    Fin.ord(
+      folded.select(col("priority"), col("n_days").cast("long").as("n_days"),
+        Fin.r4(col("st.l") / 100.0).as("level_rev"),
+        Fin.r4(col("st.b") / 100.0).as("trend_rev"),
+        Fin.r4((col("st.l") + lit(7.0) * col("st.b")) / 100.0)
+          .as("forecast7_rev")),
+      col("priority"))
+  }
 }

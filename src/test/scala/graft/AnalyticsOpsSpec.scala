@@ -684,6 +684,47 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
     assert(out == Seq((0, 2, 1L, 9L)), s"got $out")
   }
+
+  test("zscore_scale: per-group z and min-max; degenerate group yields NULLs") {
+    val dir = tmpDir("zscore")
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, "t", "en", "s0", 10L), Row(2L, "t", "en", "s0", 20L),
+      Row(3L, "t", "en", "s0", 30L),
+      Row(4L, "t", "de", "s0", 99L)))  // singleton group: zero var/range
+    val out = graft.operators.EvalOps.zscoreScale(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // n=3, Σx=60, Σx²=1400 → z = (3x−60)/√600; mm spans [0, 1] exactly
+    assert(out(1L)._2.contains(0.0) && out(2L)._2.contains(0.5) &&
+           out(3L)._2.contains(1.0), s"got $out")
+    assert(out(1L)._1.exists(z => math.abs(z + 1.2247) < 1e-4), s"got $out")
+    assert(out(2L)._1.contains(0.0), s"got $out")
+    assert(out(4L) == ((None, None)), s"degenerate group must be NULL: $out")
+  }
+
+  test("compaction_plan: prefix-sum binning hits ceil(total/8) targets") {
+    val dir = tmpDir("compact")
+    // 8 sources × 3 bytes → total 24, target 3 → shard i lands in bin i
+    writeTable(dir, "documents", documentsSchema,
+      (0 to 7).map(i => Row(i.toLong, "t", "en", s"s$i", 3L)))
+    val out = graft.operators.LayoutOps.compactionPlan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == (0 to 7).map(i => (s"s$i", 3L, 3L * i, i.toLong)),
+      s"got ${out.toSeq}")
+  }
+
+  test("holt_linear: hand-computed two-day recurrence") {
+    val dir = tmpDir("holt")
+    def o(k: Long, price: Double, day: String) =
+      Row(k, 1L, "O", price, java.sql.Timestamp.valueOf(s"$day 00:00:00"), "1")
+    // cents 100 then 200: l₂ = ½·200 + ½·100 = 150, b₂ = ½·50 = 25
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      o(1L, 1.0, "1995-01-01"), o(2L, 2.0, "1995-01-02")))
+    val r = TimeSeriesOps.holtLinear(spark, dir).collect().head
+    assert((r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4)) == (("1", 2L, 1.5, 0.25, 3.25)), s"got $r")
+  }
 }
 
 /** Small helpers shared by the r6 tests. */
