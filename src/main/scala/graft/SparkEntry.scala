@@ -353,7 +353,11 @@ object SparkEntry {
     // feature scaling, compaction planning, Holt level+trend smoothing
     "q_zscore_scale" -> (graft.operators.EvalOps.zscoreScale _),
     "q_compaction_plan" -> (LayoutOps.compactionPlan _),
-    "q_holt_linear" -> (TimeSeriesOps.holtLinear _)
+    "q_holt_linear" -> (TimeSeriesOps.holtLinear _),
+    // arrival burstiness, behavioral entropy, vocabulary growth law
+    "q_burstiness" -> (TimeSeriesOps.burstiness _),
+    "q_user_entropy" -> (W.userEntropy _),
+    "q_heaps_law" -> (L.heapsLaw _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5090,6 +5094,102 @@ object SparkEntry {
                 (round((r.l + 7.0 * r.b) / 100.0, 4) + 0.0) AS forecast7_rev
          FROM rec r JOIN mx m
               ON r.priority = m.priority AND r.rn = m.n_days
-         ORDER BY r.priority"""
+         ORDER BY r.priority""",
+    "q_burstiness" ->
+      // Fano factor over OBSERVED days; variance and F integer until
+      // one terminal division each.
+      """WITH daily AS (SELECT event_type,
+                               CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
+                                 AS day,
+                               count(*) AS c
+                        FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, count(*) AS n_days,
+                      CAST(sum(c) AS BIGINT) AS s1,
+                      CAST(sum(c * c) AS BIGINT) AS s2
+               FROM daily GROUP BY 1)
+         SELECT event_type, n_days,
+                (round(CAST(s1 AS DOUBLE) / n_days, 4) + 0.0) AS mean_daily,
+                (round(CAST(n_days * s2 - s1 * s1 AS DOUBLE) / n_days
+                       / n_days, 4) + 0.0) AS var_daily,
+                (round(CAST(n_days * s2 - s1 * s1 AS DOUBLE) /
+                       (n_days * s1), 4) + 0.0) AS fano
+         FROM t ORDER BY event_type""",
+    "q_user_entropy" ->
+      // H = ln(n) − (Σ c·ln c)/n with the Σ folded in sorted order on
+      // both engines (list_sort + list_reduce ≙ sort_array + aggregate).
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+                    FROM events GROUP BY 1, 2),
+         u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                      count(*) AS k,
+                      list_sort(list(CAST(c AS DOUBLE))) AS cs
+               FROM c GROUP BY 1)
+         SELECT user_id, n AS n_events, k AS n_types,
+                (round(ln(CAST(n AS DOUBLE)) -
+                       list_reduce(list_transform(cs, x -> x * ln(x)),
+                                   (a, b) -> a + b) / n, 4) + 0.0)
+                  AS entropy
+         FROM u ORDER BY user_id""",
+    "q_heaps_law" ->
+      // ln V = ln k + β·ln T OLS over the 10 epoch cumulative points;
+      // sufficient sums fold in epoch order (list ORDER BY ≙ the Spark
+      // sorted-struct aggregate fold).
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            ep AS (SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS epoch
+                   FROM documents),
+            ng AS (SELECT doc_id,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                            AS ngs
+                   FROM base),
+            nz AS (SELECT doc_id, ngs FROM ng WHERE len(ngs) > 0),
+            ex AS (SELECT doc_id, unnest(ngs) AS g FROM nz),
+            firsts AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY 1),
+            novel AS (SELECT first_doc AS doc_id,
+                             CAST(count(*) AS BIGINT) AS novel
+                      FROM firsts GROUP BY 1),
+            occ AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex
+                    GROUP BY 1),
+            bye AS (SELECT epoch,
+                           CAST(coalesce(sum(o.n), 0) AS BIGINT) AS n_grams,
+                           CAST(coalesce(sum(v.novel), 0) AS BIGINT)
+                             AS novel_grams
+                    FROM ep LEFT JOIN occ o USING (doc_id)
+                            LEFT JOIN novel v USING (doc_id)
+                    GROUP BY 1),
+            cums AS (SELECT epoch,
+                            CAST(sum(n_grams) OVER w AS BIGINT) AS grams_cum,
+                            CAST(sum(novel_grams) OVER w AS BIGINT)
+                              AS vocab_cum
+                     FROM bye
+                     WINDOW w AS (ORDER BY epoch ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW)),
+            pts AS (SELECT epoch, grams_cum, vocab_cum,
+                           ln(CAST(grams_cum AS DOUBLE)) AS x,
+                           ln(CAST(vocab_cum AS DOUBLE)) AS y
+                    FROM cums),
+            ag AS (SELECT CAST(count(*) AS BIGINT) AS n_epochs,
+                          CAST(max(grams_cum) AS BIGINT) AS grams_final,
+                          CAST(max(vocab_cum) AS BIGINT) AS vocab_final,
+                          list(x ORDER BY epoch) AS xs,
+                          list(y ORDER BY epoch) AS ys,
+                          list(x * y ORDER BY epoch) AS xys
+                   FROM pts),
+            st AS (SELECT n_epochs, grams_final, vocab_final,
+                          list_reduce(xs, (a, b) -> a + b) AS sx,
+                          list_reduce(ys, (a, b) -> a + b) AS sy,
+                          list_reduce(list_transform(xs, x -> x * x),
+                                      (a, b) -> a + b) AS sxx,
+                          list_reduce(xys, (a, b) -> a + b) AS sxy
+                   FROM ag)
+         SELECT n_epochs, grams_final, vocab_final,
+                (round((CAST(n_epochs AS DOUBLE) * sxy - sx * sy) /
+                       (CAST(n_epochs AS DOUBLE) * sxx - sx * sx), 4)
+                 + 0.0) AS beta,
+                (round(exp((sy - ((CAST(n_epochs AS DOUBLE) * sxy - sx * sy) /
+                                  (CAST(n_epochs AS DOUBLE) * sxx - sx * sx))
+                                 * sx) / CAST(n_epochs AS DOUBLE)), 4) + 0.0)
+                  AS k_coef
+         FROM st ORDER BY n_epochs"""
   )
 }

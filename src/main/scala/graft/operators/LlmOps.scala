@@ -1414,6 +1414,25 @@ object LlmOps {
     * The ntile over doc_id sorts the doc-ID FRAME only. */
   def noveltyDecay(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val byEpoch = epochGramCurve(s, d)
+    val cum = Window.orderBy(col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ord(
+      byEpoch
+        .withColumn("vocab_cum", sum(col("novel_grams")).over(cum))
+        .withColumn("novelty_rate",
+          r4(try_divide(col("novel_grams").cast("double"), col("n_grams")))),
+      col("epoch"))
+  }
+
+  /** The shared crawl-epoch gram curve: per epoch (ntile-10 over
+    * doc_id = crawl order), doc count, gram occurrences and
+    * first-seen (novel) gram count. Consumed by [[noveltyDecay]] (the
+    * decay curve) and [[heapsLaw]] (the growth-law fit) — one
+    * single-pass NgramHashes scan + one min-shuffle on the gram key,
+    * rolled up to 10 rows. */
+  private def epochGramCurve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     graft.functions.TextHashExprs.register(s)
     val docs = Tables.documents(s, d)
     val epochs = docs.select(col("doc_id"))
@@ -1427,21 +1446,66 @@ object LlmOps {
     val novelPerDoc = firsts.groupBy(col("first_doc").as("doc_id"))
       .agg(count(lit(1)).as("novel"))
     val occPerDoc = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val byEpoch = epochs
+    epochs
       .join(occPerDoc, Seq("doc_id"), "left")
       .join(novelPerDoc, Seq("doc_id"), "left")
       .groupBy(col("epoch"))
       .agg(count(lit(1)).as("n_docs"),
            coalesce(sum(col("n_grams")), lit(0L)).as("n_grams"),
            coalesce(sum(col("novel")), lit(0L)).as("novel_grams"))
+  }
+
+  /** q_heaps_law — the vocabulary growth law fit: Heaps' law says
+    * distinct vocabulary V grows as k·T^β with corpus tokens T
+    * (β ≈ 0.4–0.6 for natural text); fit ln V = ln k + β·ln T by OLS
+    * over the 10 crawl-epoch cumulative points. β answers "how much
+    * NEW vocabulary does the next 10× of crawl buy" with a law, where
+    * q_novelty_decay shows the raw curve — the capacity-planning
+    * number for tokenizer vocab and dedup-store sizing.
+    *
+    * Determinism: the OLS sufficient sums (Σx, Σy, Σx², Σxy) fold
+    * over the 10 points in EPOCH order on both engines (sort_array +
+    * `aggregate` ↔ list(· ORDER BY epoch) + list_reduce — the q_anova
+    * ordered-fold rule); x, y are ln of exact int64 cumulative counts;
+    * β and ln k are identically-spelled terminal chains, r4'd.
+    *
+    * Scale shape: everything after the shared [[epochGramCurve]]
+    * rollup lives on a 10-row frame collected to one bounded array. */
+  def heapsLaw(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cum = Window.orderBy(col("epoch"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = epochGramCurve(s, d)
+      .withColumn("grams_cum", sum(col("n_grams")).over(cum))
+      .withColumn("vocab_cum", sum(col("novel_grams")).over(cum))
+      .select(col("epoch"),
+              log(col("grams_cum").cast("double")).as("x"),
+              log(col("vocab_cum").cast("double")).as("y"),
+              col("grams_cum"), col("vocab_cum"))
     ord(
-      byEpoch
-        .withColumn("vocab_cum", sum(col("novel_grams")).over(cum))
-        .withColumn("novelty_rate",
-          r4(try_divide(col("novel_grams").cast("double"), col("n_grams")))),
-      col("epoch"))
+      pts.agg(count(lit(1)).as("n_epochs"),
+              max(col("grams_cum")).as("grams_final"),
+              max(col("vocab_cum")).as("vocab_final"),
+              sort_array(collect_list(struct(col("epoch"), col("x"),
+                                             col("y")))).as("ps"))
+        .withColumn("st", expr(
+          """aggregate(ps,
+               named_struct('sx', CAST(0.0 AS DOUBLE),
+                            'sy', CAST(0.0 AS DOUBLE),
+                            'sxx', CAST(0.0 AS DOUBLE),
+                            'sxy', CAST(0.0 AS DOUBLE)),
+               (a, p) -> named_struct('sx', a.sx + p.x, 'sy', a.sy + p.y,
+                                      'sxx', a.sxx + p.x * p.x,
+                                      'sxy', a.sxy + p.x * p.y))"""))
+        .withColumn("beta", expr(
+          """(CAST(n_epochs AS DOUBLE) * st.sxy - st.sx * st.sy) /
+             (CAST(n_epochs AS DOUBLE) * st.sxx - st.sx * st.sx)"""))
+        .select(col("n_epochs"), col("grams_final"), col("vocab_final"),
+                r4(col("beta")).as("beta"),
+                r4(expr(
+                  "exp((st.sy - beta * st.sx) / CAST(n_epochs AS DOUBLE))"))
+                  .as("k_coef")),
+      col("n_epochs"))
   }
 
   /** q_embed_profile — per-DIMENSION distribution profile of the

@@ -1396,4 +1396,38 @@ object TimeSeriesOps {
           .as("forecast7_rev")),
       col("priority"))
   }
+
+  /** q_burstiness — per-event-type burstiness of the daily arrival
+    * process: Fano factor F = var/mean of daily counts. F ≈ 1 is
+    * Poisson (memoryless traffic), F ≫ 1 is bursty (campaign spikes,
+    * bot storms), F < 1 is regular (scheduled jobs) — the one-number
+    * dispersion screen that tells an alerting team which series can
+    * use a simple threshold and which need q_cusum/q_changepoint.
+    *
+    * Determinism: daily counts are exact int64; variance and Fano are
+    * algebraically integer until ONE terminal division each —
+    * var = (n·Σx² − (Σx)²)/n/n and F = (n·Σx² − (Σx)²)/(n·Σx) — the
+    * identically-spelled-chain rule. Days are OBSERVED days (the
+    * q_moving_avg calendar-gap stance).
+    *
+    * Scale shape: two partial-aggregable rollups (fact → daily →
+    * per-type), nothing else. */
+  def burstiness(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    Fin.ord(
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s1"),
+             sum(col("c") * col("c")).as("s2"))
+        .select(col("event_type"), col("n_days"),
+          Fin.r4(col("s1").cast("double") / col("n_days")).as("mean_daily"),
+          Fin.r4((col("n_days") * col("s2") - col("s1") * col("s1"))
+                   .cast("double") / col("n_days") / col("n_days"))
+            .as("var_daily"),
+          Fin.r4((col("n_days") * col("s2") - col("s1") * col("s1"))
+                   .cast("double") / (col("n_days") * col("s1")))
+            .as("fano")),
+      col("event_type"))
+  }
 }

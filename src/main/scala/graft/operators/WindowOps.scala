@@ -784,4 +784,39 @@ object WindowOps {
                   .as("max_gap_s")),
       col("event_type"))
   }
+
+  /** q_user_entropy — behavioral diversity per user: Shannon entropy
+    * (nats) of the user's event-type distribution, with event and
+    * distinct-type counts. Entropy 0 = single-behavior users (bots,
+    * scrapers — complements q_bot_filter's rate screen with a SHAPE
+    * screen); high entropy = engaged explorers. The segmentation
+    * feature every personalization model wants beside raw loyalty
+    * counts.
+    *
+    * Determinism: H = ln(n) − (Σ c·ln c)/n; the Σ runs over the
+    * user's per-type counts folded in SORTED order on both engines
+    * (sort_array + `aggregate` ↔ list_sort + list_reduce), so the
+    * double accumulation order is pinned — the q_anova ordered-fold
+    * rule; ln args are exact integer counts.
+    *
+    * Scale shape: one partial-aggregable (user, type) rollup, one
+    * per-user rollup with a ≤|types|-element array — bounded by the
+    * type universe, never by event volume. */
+  def userEntropy(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    Fin.ord(
+      c.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+             sort_array(collect_list(col("c").cast("double"))).as("cs"))
+        .select(col("user_id"), col("n").as("n_events"),
+                col("k").as("n_types"),
+                Fin.r4(expr(
+                  """ln(CAST(n AS DOUBLE)) -
+                     aggregate(cs, CAST(0.0 AS DOUBLE),
+                               (a, x) -> a + x * ln(x)) / n"""))
+                  .as("entropy")),
+      col("user_id"))
+  }
 }

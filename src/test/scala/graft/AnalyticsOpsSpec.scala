@@ -725,6 +725,44 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert((r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
             r.getDouble(4)) == (("1", 2L, 1.5, 0.25, 3.25)), s"got $r")
   }
+
+  test("burstiness: Fano factor over hand-built daily counts") {
+    val dir = tmpDir("fano")
+    // type a: day-1 count 1, day-2 count 3 → mean 2, var 1, fano 0.5
+    writeEvents(dir, Seq(
+      eventRow(1L, 1000L, 1L, "a", 0.0),
+      eventRow(2L, 87400L, 1L, "a", 0.0),
+      eventRow(3L, 87401L, 2L, "a", 0.0),
+      eventRow(4L, 87402L, 3L, "a", 0.0)))
+    val r = TimeSeriesOps.burstiness(spark, dir).collect().head
+    assert((r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4)) == (("a", 2L, 2.0, 1.0, 0.5)), s"got $r")
+  }
+
+  test("user_entropy: uniform two-type user = ln 2; single-type user = 0") {
+    val dir = tmpDir("entropy")
+    writeEvents(dir, Seq(
+      eventRow(1L, 100L, 1L, "a", 0.0), eventRow(2L, 101L, 1L, "a", 0.0),
+      eventRow(3L, 102L, 1L, "b", 0.0), eventRow(4L, 103L, 1L, "b", 0.0),
+      eventRow(5L, 104L, 2L, "a", 0.0), eventRow(6L, 105L, 2L, "a", 0.0)))
+    val out = WindowOps.userEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+                                  r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 2L, 0.6931)), s"got $out") // round(ln 2, 4)
+    assert(out(2L) == ((2L, 1L, 0.0)), s"got $out")
+  }
+
+  test("heaps_law: beta in (0,1) and final vocab agrees with novelty_decay") {
+    val h = graft.operators.LlmOps.heapsLaw(spark, sf0001).collect().head
+    val (n, vocabFinal, beta, k) =
+      (h.getLong(0), h.getLong(2), h.getDouble(3), h.getDouble(4))
+    assert(n == 10L, s"epochs: $n")
+    assert(beta > 0.0 && beta < 1.0, s"beta out of Heaps range: $beta")
+    assert(k > 0.0, s"k must be positive: $k")
+    val nd = graft.operators.LlmOps.noveltyDecay(spark, sf0001).collect()
+    assert(nd.last.getLong(4) == vocabFinal,
+      s"vocab_final ${vocabFinal} != novelty_decay cum ${nd.last.getLong(4)}")
+  }
 }
 
 /** Small helpers shared by the r6 tests. */
