@@ -357,7 +357,10 @@ object SparkEntry {
     // arrival burstiness, behavioral entropy, vocabulary growth law
     "q_burstiness" -> (TimeSeriesOps.burstiness _),
     "q_user_entropy" -> (W.userEntropy _),
-    "q_heaps_law" -> (L.heapsLaw _)
+    "q_heaps_law" -> (L.heapsLaw _),
+    // class-balanced sampling + tolerance-bounded as-of join
+    "q_sample_balanced" -> (C.sampleBalanced _),
+    "q_join_asof_tol" -> (J.joinAsofTol _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5190,6 +5193,51 @@ object SparkEntry {
                                   (CAST(n_epochs AS DOUBLE) * sxx - sx * sx))
                                  * sx) / CAST(n_epochs AS DOUBLE)), 4) + 0.0)
                   AS k_coef
-         FROM st ORDER BY n_epochs"""
+         FROM st ORDER BY n_epochs""",
+    "q_sample_balanced" ->
+      // Equal classes: cap every lang at the smallest lang's size;
+      // membership = smallest md5-hash prefix per class (reproducible).
+      """WITH k AS (SELECT lang, doc_id,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             ::BIGINT AS hkey
+                    FROM documents),
+            t AS (SELECT CAST(min(n) AS BIGINT) AS n_per_class
+                  FROM (SELECT lang, count(*) AS n FROM k GROUP BY 1)),
+            r AS (SELECT lang, doc_id, hkey,
+                         row_number() OVER (PARTITION BY lang
+                           ORDER BY hkey, doc_id) AS rk
+                  FROM k)
+         SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, hkey, n_per_class
+         FROM r, t WHERE rk <= n_per_class ORDER BY lang, rk""",
+    "q_join_asof_tol" ->
+      // joinAsofStream's merge pass + the 1-hour staleness cutoff;
+      // stale matches null out, every purchase row survives.
+      """WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS tsu
+                    FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT event_id, user_id, ts::TIMESTAMP AS tsu
+                  FROM events WHERE event_type = 'click'),
+            u AS (SELECT user_id, tsu, 0 AS side, event_id,
+                         NULL::BIGINT AS click_id, NULL::BIGINT AS c_us
+                  FROM p
+                  UNION ALL
+                  SELECT user_id, tsu, 1, NULL::BIGINT, event_id,
+                         epoch_us(tsu)
+                  FROM c),
+            w AS (SELECT *,
+                         last_value(click_id IGNORE NULLS) OVER win
+                           AS prev_click,
+                         last_value(c_us IGNORE NULLS) OVER win AS prev_us
+                  FROM u
+                  WINDOW win AS (PARTITION BY user_id
+                    ORDER BY tsu, side, coalesce(click_id, event_id)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            g AS (SELECT event_id, user_id,
+                         epoch_us(tsu) - prev_us AS gap_us, prev_click
+                  FROM w WHERE side = 0)
+         SELECT event_id, user_id,
+                CASE WHEN gap_us <= 3600000000 THEN prev_click END
+                  AS click_id,
+                CASE WHEN gap_us <= 3600000000 THEN gap_us END AS gap_us
+         FROM g ORDER BY event_id"""
   )
 }

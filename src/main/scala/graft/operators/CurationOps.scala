@@ -1171,4 +1171,41 @@ object CurationOps {
         .where(col("reason").isNotNull),
       col("doc_id"), col("reason"))
   }
+
+  /** q_sample_balanced — class-balanced downsampling: cap every
+    * language at the size of the SMALLEST language (the classic
+    * rebalance before training a classifier on skewed classes), with
+    * membership decided by the reproducible md5 hash order — re-runs
+    * and backfills select the exact same rows (the [[sampleQuota]]
+    * hash-gate idiom with a DATA-DEPENDENT cap instead of a fixed
+    * quota; quota answers "at most N per class", this answers "equal
+    * classes").
+    *
+    * Determinism: hkey is a pure function of doc_id; the per-class
+    * rank orders by (hkey, doc_id) — total; the cap is an exact
+    * integer min over class counts.
+    *
+    * Scale shape: one class-count rollup reduced to a 1-row broadcast
+    * cap, one per-class rank window (hash-partitioned on lang, the
+    * sampleQuota shuffle shape). At 100 TB the rank bound would push
+    * into the same bounded top-k aggregate sampleQuota uses; the
+    * contract (smallest-hkey prefix per class) is identical. */
+  def sampleBalanced(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), h.as("hkey"))
+      .localCheckpoint(false) // feeds the cap rollup AND the rank window
+    val cap = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("n_per_class"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))
+    Fin.ord(
+      docs.withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(cap))
+        .where(col("rk") <= col("n_per_class"))
+        .select(col("lang"), col("rk"), col("doc_id"), col("hkey"),
+                col("n_per_class")),
+      col("lang"), col("rk"))
+  }
 }

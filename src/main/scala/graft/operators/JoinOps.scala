@@ -191,6 +191,48 @@ object JoinOps {
       col("event_id"))
   }
 
+  /** q_join_asof_tol — TOLERANCE-bounded as-of join: [[joinAsofStream]]
+    * (latest strictly-earlier click per purchase) plus the staleness
+    * rule every production point-in-time join carries (pandas
+    * merge_asof's `tolerance`, kdb wj's window): a match older than
+    * 1 hour is DISCARDED and the purchase keeps a NULL click — a
+    * 3-day-old click is not "the touch that drove this purchase".
+    * Left-join semantics: every purchase row survives.
+    *
+    * Same union-tag merge pass as joinAsofStream — ONE shuffle on
+    * user_id, ZERO joins; the second `last(ignoreNulls)` rides the
+    * SAME window (both pick from the same last-click row, since the
+    * null patterns of click_id and c_us are identical by
+    * construction). The gap and the 3.6e9 µs cutoff are exact int64.
+    * Ties among same-ts clicks resolve to max event_id (the frame's
+    * last row; oracle mirrors the exact sort key). */
+  def joinAsofTol(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+              col("event_id"), lit(null).cast("long").as("click_id"),
+              lit(null).cast("long").as("c_us"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+              lit(null).cast("long").as("event_id"),
+              col("event_id").as("click_id"),
+              expr("unix_micros(ts)").as("c_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), coalesce(col("click_id"), col("event_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tolUs = 3600L * 1000000L
+    ord(
+      p.unionByName(c)
+        .withColumn("prev_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("prev_us", last(col("c_us"), ignoreNulls = true).over(w))
+        .filter(col("side") === 0)
+        .withColumn("gap_us", expr("unix_micros(ts)") - col("prev_us"))
+        .select(col("event_id"), col("user_id"),
+                when(col("gap_us") <= tolUs, col("prev_click")).as("click_id"),
+                when(col("gap_us") <= tolUs, col("gap_us")).as("gap_us")),
+      col("event_id"))
+  }
+
   /** q_join_asof_fwd — FORWARD as-of join, the mirror of
     * [[joinAsofStream]]: for each purchase, the EARLIEST strictly-later
     * click of the same user (the "next touch after conversion" join —

@@ -763,6 +763,35 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(nd.last.getLong(4) == vocabFinal,
       s"vocab_final ${vocabFinal} != novelty_decay cum ${nd.last.getLong(4)}")
   }
+
+  test("sample_balanced: every class capped at the smallest class size") {
+    val dir = tmpDir("balanced")
+    writeTable(dir, "documents", documentsSchema,
+      Seq(Row(1L, "t", "en", "s0", 10L), Row(2L, "t", "en", "s0", 10L),
+          Row(3L, "t", "en", "s0", 10L), Row(4L, "t", "de", "s0", 10L)))
+    val out = CurationOps.sampleBalanced(spark, dir).collect()
+    assert(out.length == 2, s"got ${out.toSeq}")
+    assert(out.map(_.getString(0)).toSet == Set("en", "de"), s"got ${out.toSeq}")
+    assert(out.forall(r => r.getLong(1) == 1L && r.getLong(4) == 1L),
+      s"got ${out.toSeq}")
+  }
+
+  test("join_asof_tol: in-tolerance click matches, stale and absent null out") {
+    val dir = tmpDir("asoftol")
+    writeEvents(dir, Seq(
+      eventRow(10L, 100L, 1L, "click", 0.0),
+      eventRow(11L, 200L, 1L, "purchase", 0.0),   // gap 100 s → matched
+      eventRow(12L, 4100L, 1L, "purchase", 0.0),  // gap 3900 s → stale
+      eventRow(13L, 500L, 2L, "purchase", 0.0)))  // no prior click
+    val out = graft.operators.JoinOps.joinAsofTol(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(out == Map(
+      11L -> ((Some(10L), Some(100000000L))),
+      12L -> ((None, None)),
+      13L -> ((None, None))), s"got $out")
+  }
 }
 
 /** Small helpers shared by the r6 tests. */

@@ -73,7 +73,12 @@ class PlanGuardSpec extends AnyFunSuite {
     // assignment) and its cumulative window is the 10-row epoch rollup
     "q_novelty_decay",
     // q_coverage_cells' totals ride the |langs|x|sources| spine frame
-    "q_coverage_cells")
+    "q_coverage_cells",
+    // q_abc_pareto's cumulative share orders the |customers| rollup
+    // (q_gini prefix-sum precedent); q_compaction_plan's prefix sum
+    // orders the |sources| shard manifest; q_heaps_law's cumulatives
+    // ride the 10-row epoch rollup (q_novelty_decay precedent)
+    "q_abc_pareto", "q_compaction_plan", "q_heaps_law")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {
