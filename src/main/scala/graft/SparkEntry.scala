@@ -360,7 +360,9 @@ object SparkEntry {
     "q_heaps_law" -> (L.heapsLaw _),
     // class-balanced sampling + tolerance-bounded as-of join
     "q_sample_balanced" -> (C.sampleBalanced _),
-    "q_join_asof_tol" -> (J.joinAsofTol _)
+    "q_join_asof_tol" -> (J.joinAsofTol _),
+    // oracle-checked ANN recall eval (LSH vs exact, same pipeline)
+    "q_ann_recall" -> (L.annRecall _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5238,6 +5240,60 @@ object SparkEntry {
                 CASE WHEN gap_us <= 3600000000 THEN prev_click END
                   AS click_id,
                 CASE WHEN gap_us <= 3600000000 THEN gap_us END AS gap_us
-         FROM g ORDER BY event_id"""
+         FROM g ORDER BY event_id""",
+    "q_ann_recall" ->
+      // recall@3 of the sign-LSH index vs exact top-3: the oracle
+      // recomputes BOTH rankings (the q_similarity_topk and
+      // q_similarity_lsh blocks verbatim) and joins them.
+      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM em WHERE vec_id < 10),
+            sims AS (SELECT q_id, vec_id AS n_id,
+                            (round(list_dot_product(qv, v) /
+                                  (sqrt(list_dot_product(qv, qv)) *
+                                   sqrt(list_dot_product(v, v))), 4) + 0.0)
+                              AS sim
+                     FROM em, q WHERE vec_id <> q_id),
+            exact AS (SELECT q_id, n_id FROM
+                        (SELECT q_id, n_id,
+                                row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, n_id) AS rn
+                         FROM sims) t
+                      WHERE rn <= 3),
+            tb AS (SELECT vec_id, t,
+                          (CASE WHEN v[CAST(t*4+1 AS INT)] > 0 THEN 1 ELSE 0 END +
+                           CASE WHEN v[CAST(t*4+2 AS INT)] > 0 THEN 2 ELSE 0 END +
+                           CASE WHEN v[CAST(t*4+3 AS INT)] > 0 THEN 4 ELSE 0 END +
+                           CASE WHEN v[CAST(t*4+4 AS INT)] > 0 THEN 8 ELSE 0 END)
+                            AS bucket
+                   FROM em, range(0, 8) r(t)),
+            lq AS (SELECT vec_id AS q_id, t AS qt, bucket AS qbk
+                   FROM tb WHERE vec_id < 10),
+            cand AS (SELECT DISTINCT lq.q_id, tb.vec_id AS n_id
+                     FROM tb JOIN lq ON tb.t = qt AND tb.bucket = qbk
+                                    AND tb.vec_id <> lq.q_id),
+            lsims AS (SELECT cand.q_id, cand.n_id,
+                             (round(list_dot_product(qe.v, ne.v) /
+                                   (sqrt(list_dot_product(qe.v, qe.v)) *
+                                    sqrt(list_dot_product(ne.v, ne.v))), 4)
+                              + 0.0) AS sim
+                      FROM cand JOIN em qe ON qe.vec_id = cand.q_id
+                                JOIN em ne ON ne.vec_id = cand.n_id),
+            lsh AS (SELECT q_id, n_id FROM
+                      (SELECT q_id, n_id,
+                              row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, n_id) AS rn
+                       FROM lsims) t
+                    WHERE rn <= 3),
+            hits AS (SELECT e.q_id, count(*) AS n_hits
+                     FROM exact e JOIN lsh l
+                          ON e.q_id = l.q_id AND e.n_id = l.n_id
+                     GROUP BY 1),
+            base AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY 1)
+         SELECT b.q_id, CAST(n_exact AS BIGINT) AS n_exact,
+                CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+                (round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 4)
+                 + 0.0) AS recall
+         FROM base b LEFT JOIN hits h ON b.q_id = h.q_id
+         ORDER BY b.q_id"""
   )
 }

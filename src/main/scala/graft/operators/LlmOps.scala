@@ -617,6 +617,39 @@ object LlmOps {
     ord(rerankTopK(s, j, 3), col("q_id"), col("rn"))
   }
 
+  /** q_ann_recall — the index-quality eval every ANN deployment ships:
+    * recall@3 of the sign-LSH index ([[similarityLsh]]) against the
+    * exact brute-force top-3 ([[similarityTopk]]), per query and in
+    * the EXACT same hash-gated pipeline the index itself runs — the
+    * oracle recomputes BOTH the exact ranking and the full multi-table
+    * LSH bucketing, so the recall number is itself oracle-checked, not
+    * just suite-asserted (AnnRecallSpec's ≥0.6 floor remains the
+    * regression tripwire; this query reports the measured value as a
+    * first-class, reproducible artifact).
+    *
+    * Determinism: both rankings already end in (rounded sim DESC,
+    * n_id) total orders; recall divides two exact integer counts once.
+    *
+    * Scale shape: both inputs are the established bounded frames
+    * (broadcast query side, bucketed candidates); the composition
+    * adds one |queries|-sized semi join and two ≤|queries| rollups. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = similarityTopk(s, d).where(col("rn") <= 3)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint(false) // feeds the base rollup AND the semi join
+    val lsh = similarityLsh(s, d).select(col("q_id"), col("n_id"))
+    val hits = exact.join(lsh, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    val base = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    ord(
+      base.join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+                coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+                r4(coalesce(col("n_hits"), lit(0L)).cast("double") /
+                   col("n_exact")).as("recall")),
+      col("q_id"))
+  }
+
   /** q_bucket_purity — LSH index-quality audit: per (table, bucket),
     * how well the sign-hash buckets align with the label structure
     * (majority-label share). The label-ALIGNMENT face of the layout

@@ -792,6 +792,17 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       12L -> ((None, None)),
       13L -> ((None, None))), s"got $out")
   }
+
+  test("ann_recall: per-query recall@3 in [0,1], macro average above the floor") {
+    val rows = graft.operators.LlmOps.annRecall(spark, sf0001).collect()
+    assert(rows.length == 10, s"10 query points expected: ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3L, s"n_exact must be 3: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"recall range: $r")
+    }
+    val avg = rows.map(_.getDouble(3)).sum / rows.length
+    assert(avg >= 0.6, s"macro recall@3 $avg below the AnnRecallSpec floor")
+  }
 }
 
 /** Small helpers shared by the r6 tests. */
