@@ -3526,19 +3526,25 @@ object SparkEntry {
                   AS med7
          FROM daily ORDER BY day""",
     "q_outliers_robust" ->
-      """WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS p FROM lineitem),
+      // The whole fence pipeline runs in exact cent space (quartiles
+      // interpolate int cents at dyadic fractions ⇒ exact doubles);
+      // only the reported fences divide by 100 and round at the end.
+      """WITH li AS (SELECT l_returnflag AS flag,
+                            CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                     FROM lineitem),
             f AS (SELECT flag,
-                         (round(quantile_cont(p, 0.25), 4) + 0.0) AS q1,
-                         (round(quantile_cont(p, 0.75), 4) + 0.0) AS q3
+                         quantile_cont(c, 0.25) AS q1c,
+                         quantile_cont(c, 0.75) AS q3c
                   FROM li GROUP BY 1),
-            f2 AS (SELECT flag, (round(q1 - 1.5 * (q3 - q1), 4) + 0.0) AS lo,
-                          (round(q3 + 1.5 * (q3 - q1), 4) + 0.0) AS hi
+            f2 AS (SELECT flag, q1c - 1.5 * (q3c - q1c) AS loc,
+                          q3c + 1.5 * (q3c - q1c) AS hic
                    FROM f)
          SELECT li.flag, CAST(count(*) AS BIGINT) AS n,
-                min(lo) AS lo_fence, min(hi) AS hi_fence,
-                CAST(sum(CASE WHEN p < lo OR p > hi THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_out,
-                (round(sum(CASE WHEN p < lo OR p > hi THEN 1 ELSE 0 END)::DOUBLE
+                (round(min(loc) / 100.0, 4) + 0.0) AS lo_fence,
+                (round(min(hic) / 100.0, 4) + 0.0) AS hi_fence,
+                CAST(sum(CASE WHEN c < loc OR c > hic THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_out,
+                (round(sum(CASE WHEN c < loc OR c > hic THEN 1 ELSE 0 END)::DOUBLE
                        * 100.0 / count(*), 4) + 0.0) AS out_pct
          FROM li JOIN f2 ON li.flag = f2.flag
          GROUP BY li.flag ORDER BY li.flag""",

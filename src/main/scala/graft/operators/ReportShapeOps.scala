@@ -296,9 +296,16 @@ object ReportShapeOps {
     * cannot widen its own acceptance band (the failure mode of
     * mean/stddev screens on heavy-tailed data).
     *
-    * Determinism: fences are r4'd BEFORE the comparison (the
-    * winsorize idiom) so both engines compare against bit-identical
-    * thresholds; counts are exact integers; the ratio divides once.
+    * Determinism: the whole fence pipeline runs in EXACT cent space —
+    * quartiles interpolate integer cents at dyadic fractions (.25/.75
+    * positions), so q1/q3/fences are exact dyadic doubles and the
+    * outlier comparison is exact on both engines; only the two
+    * REPORTED fences divide by 100 and r4 at the very end. (The
+    * previous form r4'd the quartiles first and re-rounded the
+    * derived fences — an arithmetic combo of already-rounded values,
+    * which landed exactly on a .00005 tie at sf0.001 and split the
+    * engines by 1 ulp: the §2.10 "never round derived products of
+    * rounded values" trap, now eliminated instead of dodged.)
     *
     * Scale shape: one percentile pass per group (at 100 TB:
     * approx_percentile — the q_percentile_approx path), broadcast of
@@ -306,22 +313,27 @@ object ReportShapeOps {
     * conditional count. Two scans, zero wide shuffles. */
   def outliersRobust(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("p"))
+      .select(col("l_returnflag").as("flag"),
+              round(col("l_extendedprice") * 100).cast("long").as("c"))
     val fences = li.groupBy(col("flag"))
-      .agg(r4(percentile(col("p"), lit(0.25))).as("q1"),
-           r4(percentile(col("p"), lit(0.75))).as("q3"))
-      .withColumn("lo", r4(col("q1") - lit(1.5) * (col("q3") - col("q1"))))
-      .withColumn("hi", r4(col("q3") + lit(1.5) * (col("q3") - col("q1"))))
+      .agg(percentile(col("c"), lit(0.25)).as("q1c"),
+           percentile(col("c"), lit(0.75)).as("q3c"))
+      .withColumn("loc", col("q1c") - lit(1.5) * (col("q3c") - col("q1c")))
+      .withColumn("hic", col("q3c") + lit(1.5) * (col("q3c") - col("q1c")))
     ord(
       li.join(broadcast(fences), "flag")
         .groupBy(col("flag"))
         .agg(count(lit(1)).as("n"),
-             first(col("lo")).as("lo_fence"),
-             first(col("hi")).as("hi_fence"),
-             sum(when(col("p") < col("lo") || col("p") > col("hi"), 1L)
+             first(col("loc")).as("loc"),
+             first(col("hic")).as("hic"),
+             sum(when(col("c") < col("loc") || col("c") > col("hic"), 1L)
                    .otherwise(0L)).as("n_out"))
-        .withColumn("out_pct",
-          r4(col("n_out").cast("double") * 100.0 / col("n"))),
+        .select(col("flag"), col("n"),
+                r4(col("loc") / 100.0).as("lo_fence"),
+                r4(col("hic") / 100.0).as("hi_fence"),
+                col("n_out"),
+                r4(col("n_out").cast("double") * 100.0 / col("n"))
+                  .as("out_pct")),
       col("flag"))
   }
 
