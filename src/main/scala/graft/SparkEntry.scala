@@ -362,7 +362,10 @@ object SparkEntry {
     "q_sample_balanced" -> (C.sampleBalanced _),
     "q_join_asof_tol" -> (J.joinAsofTol _),
     // oracle-checked ANN recall eval (LSH vs exact, same pipeline)
-    "q_ann_recall" -> (L.annRecall _)
+    "q_ann_recall" -> (L.annRecall _),
+    // fulfilment SLA + purchase-cadence distribution
+    "q_ship_lag" -> (ReportOps.shipLag _),
+    "q_purchase_interval" -> (TimeSeriesOps.purchaseInterval _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5300,6 +5303,38 @@ object SparkEntry {
                 (round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 4)
                  + 0.0) AS recall
          FROM base b LEFT JOIN hits h ON b.q_id = h.q_id
-         ORDER BY b.q_id"""
+         ORDER BY b.q_id""",
+    "q_ship_lag" ->
+      // Exact integer day lags; mean and late rate divide once each.
+      """WITH j AS (SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                          datediff('day', o_orderdate::DATE,
+                                   l_shipdate::DATE) AS lag_days
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT month, count(*) AS n_lines,
+                (round(CAST(sum(lag_days) AS DOUBLE) / count(*), 4) + 0.0)
+                  AS avg_lag_days,
+                CAST(sum(CASE WHEN lag_days > 30 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_late,
+                (round(CAST(sum(CASE WHEN lag_days > 30 THEN 1 ELSE 0 END)
+                         AS DOUBLE) / count(*), 4) + 0.0) AS late_rate
+         FROM j GROUP BY 1 ORDER BY month""",
+    "q_purchase_interval" ->
+      // Exact integer µs gaps over the (ts, event_id)-ordered purchase
+      // timeline; median interpolates at the dyadic .5 position.
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us
+                    FROM events WHERE event_type = 'purchase'),
+            g AS (SELECT us - lag(us, 1) OVER
+                         (PARTITION BY user_id
+                          ORDER BY us, event_id) AS gap_us
+                  FROM p),
+            gg AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL)
+         SELECT count(*) AS n_gaps,
+                (round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 86400000000.0,
+                       4) + 0.0) AS avg_days,
+                (round(quantile_cont(gap_us, 0.5) / 86400000000.0, 4) + 0.0)
+                  AS median_days,
+                (round(quantile_cont(gap_us, 0.9) / 86400000000.0, 4) + 0.0)
+                  AS p90_days
+         FROM gg ORDER BY n_gaps"""
   )
 }

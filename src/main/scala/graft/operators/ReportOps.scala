@@ -585,4 +585,40 @@ object ReportOps {
                   .as("share")),
       col("abc_class"))
   }
+
+  /** q_ship_lag — the order-to-ship SLA report: per order month, line
+    * count, mean days from order to line shipment, and the late rate
+    * (lag > 30 days) — the fulfilment-operations readout (is shipping
+    * keeping up, and when did it slip) that none of the revenue
+    * rollups expose.
+    *
+    * Determinism: lags are exact integer day differences (both sides
+    * date-truncated), summed exactly; mean and rate each divide once
+    * and r4. Month = date_trunc, the q_period_over_period precedent.
+    *
+    * Scale shape: one fact-fact join on the order key (the engine's
+    * bucketed-join layout applies at 100 TB) + one partial-aggregable
+    * month rollup. */
+  def shipLag(s: SparkSession, d: String): DataFrame = {
+    val j = graft.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship"))
+      .join(graft.Tables.orders(s, d)
+              .select(col("o_orderkey"),
+                      col("o_orderdate").cast("date").as("odate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(date_trunc("month", col("odate")).cast("date").as("month"),
+              datediff(col("ship"), col("odate")).as("lag_days"))
+    Fin.ord(
+      j.groupBy(col("month"))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(col("lag_days").cast("long")).as("lag_sum"),
+             sum(when(col("lag_days") > 30, 1L).otherwise(0L)).as("n_late"))
+        .select(col("month"), col("n_lines"),
+                Fin.r4(col("lag_sum").cast("double") / col("n_lines"))
+                  .as("avg_lag_days"),
+                col("n_late"),
+                Fin.r4(col("n_late").cast("double") / col("n_lines"))
+                  .as("late_rate")),
+      col("month"))
+  }
 }

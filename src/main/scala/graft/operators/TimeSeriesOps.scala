@@ -1430,4 +1430,44 @@ object TimeSeriesOps {
             .as("fano")),
       col("event_type"))
   }
+
+  /** q_purchase_interval — the inter-purchase time (IPT) distribution:
+    * over every user's consecutive-purchase gap, the gap count, mean,
+    * median and p90 in days — the purchase-frequency input every LTV
+    * and replenishment model starts from (q_ltv projects VALUE; this
+    * measures CADENCE).
+    *
+    * Determinism: gaps are exact integer µs over the per-user
+    * (ts, event_id)-ordered purchase timeline; the mean divides an
+    * exact sum once; the median interpolates integer µs at the DYADIC
+    * .5 position (exact); p90's .9 position is non-dyadic but follows
+    * the established identically-spelled percentile chain
+    * (q_winsorize precedent). Day conversions divide once each, r4'd.
+    *
+    * Scale shape: purchase filter pushes into the scan; one user
+    * shuffle for the lag window; the distribution aggregates over the
+    * gap frame (at 100 TB: approx_percentile, the q_percentile_approx
+    * path — documented). */
+  def purchaseInterval(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+              expr("unix_micros(ts)").as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = p.withColumn("prev", lag(col("us"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select((col("us") - col("prev")).as("gap_us"))
+    val dayUs = 86400.0 * 1000000.0
+    Fin.ord(
+      gaps.agg(count(lit(1)).as("n_gaps"), sum(col("gap_us")).as("sum_us"),
+               percentile(col("gap_us"), lit(0.5)).as("med_us"),
+               percentile(col("gap_us"), lit(0.9)).as("p90_us"))
+        .select(col("n_gaps"),
+                Fin.r4(col("sum_us").cast("double") / col("n_gaps") /
+                       lit(dayUs)).as("avg_days"),
+                Fin.r4(col("med_us") / lit(dayUs)).as("median_days"),
+                Fin.r4(col("p90_us") / lit(dayUs)).as("p90_days")),
+      col("n_gaps"))
+  }
 }

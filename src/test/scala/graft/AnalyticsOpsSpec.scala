@@ -803,6 +803,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val avg = rows.map(_.getDouble(3)).sum / rows.length
     assert(avg >= 0.6, s"macro recall@3 $avg below the AnnRecallSpec floor")
   }
+
+  test("ship_lag: hand-built lags give exact mean and late rate") {
+    val dir = tmpDir("shiplag")
+    def o(k: Long, day: String) =
+      Row(k, 1L, "O", 1.0, java.sql.Timestamp.valueOf(s"$day 00:00:00"), "1")
+    def l(k: Long, ship: String) =
+      Row(k, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          java.sql.Timestamp.valueOf(s"$ship 00:00:00"))
+    writeTable(dir, "orders", Schemas.orders,
+      Seq(o(1L, "1995-03-01"), o(2L, "1995-03-10")))
+    // lags: 10 days and 40 days → mean 25.0, late rate 0.5
+    writeTable(dir, "lineitem", Schemas.lineitem,
+      Seq(l(1L, "1995-03-11"), l(2L, "1995-04-19")))
+    val r = ReportOps.shipLag(spark, dir).collect().head
+    assert((r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+            r.getLong(3), r.getDouble(4)) ==
+           (("1995-03-01", 2L, 25.0, 1L, 0.5)), s"got $r")
+  }
+
+  test("purchase_interval: two known gaps give exact mean and median") {
+    val dir = tmpDir("ipt")
+    writeEvents(dir, Seq(
+      eventRow(1L, 0L, 1L, "purchase", 0.0),
+      eventRow(2L, 86400L, 1L, "purchase", 0.0),        // gap 1 day
+      eventRow(3L, 86400L * 4, 1L, "purchase", 0.0),    // gap 3 days
+      eventRow(4L, 50L, 2L, "click", 0.0)))             // not a purchase
+    val r = TimeSeriesOps.purchaseInterval(spark, dir).collect().head
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2)) ==
+           ((2L, 2.0, 2.0)), s"got $r")
+  }
 }
 
 /** Small helpers shared by the r6 tests. */
