@@ -365,7 +365,9 @@ object SparkEntry {
     "q_ann_recall" -> (L.annRecall _),
     // fulfilment SLA + purchase-cadence distribution
     "q_ship_lag" -> (ReportOps.shipLag _),
-    "q_purchase_interval" -> (TimeSeriesOps.purchaseInterval _)
+    "q_purchase_interval" -> (TimeSeriesOps.purchaseInterval _),
+    // additive trend/seasonal/residual decomposition
+    "q_seasonal_decompose" -> (TimeSeriesOps.seasonalDecompose _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5335,6 +5337,36 @@ object SparkEntry {
                   AS median_days,
                 (round(quantile_cont(gap_us, 0.9) / 86400000000.0, 4) + 0.0)
                   AS p90_days
-         FROM gg ORDER BY n_gaps"""
+         FROM gg ORDER BY n_gaps""",
+    "q_seasonal_decompose" ->
+      // Exact-int decomposition: res7 = 7·y − Σ7 keeps the detrended
+      // value integral; weekday index = Σres7/(7·n); identical
+      // division chains on both engines, rounded once.
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                               CAST(sum(CAST(round(o_totalprice * 100)
+                                 AS BIGINT)) AS BIGINT) AS cents
+                        FROM orders GROUP BY 1),
+            t AS (SELECT day, cents,
+                         CAST(sum(cents) OVER w AS BIGINT) AS sum7,
+                         count(*) OVER w AS cnt7
+                  FROM daily
+                  WINDOW w AS (ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            f AS (SELECT day, cents, sum7,
+                         7 * cents - sum7 AS res7,
+                         (isodow(day) - 1) AS wd
+                  FROM t WHERE cnt7 = 7),
+            seas AS (SELECT wd, CAST(sum(res7) AS BIGINT) AS srs,
+                            count(*) AS nw
+                     FROM f GROUP BY 1)
+         SELECT day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+                (round(CAST(sum7 AS DOUBLE) / 7.0 / 100.0, 4) + 0.0)
+                  AS trend,
+                (round(CAST(srs AS DOUBLE) / (7.0 * nw) / 100.0, 4) + 0.0)
+                  AS seasonal,
+                (round((CAST(res7 AS DOUBLE) / 7.0 -
+                        CAST(srs AS DOUBLE) / (7.0 * nw)) / 100.0, 4) + 0.0)
+                  AS residual
+         FROM f JOIN seas USING (wd) ORDER BY day"""
   )
 }

@@ -1470,4 +1470,52 @@ object TimeSeriesOps {
                 Fin.r4(col("p90_us") / lit(dayUs)).as("p90_days")),
       col("n_gaps"))
   }
+
+  /** q_seasonal_decompose — classical additive decomposition of the
+    * daily revenue series: trend (centered 7-day moving average),
+    * weekday seasonal index (mean detrended value per weekday), and
+    * residual = observed − trend − seasonal — the STL-lite readout
+    * that separates "we grew" from "it was Friday" (q_seasonality
+    * profiles the dow×hour grid; this SUBTRACTS the calendar so the
+    * residual exposes genuinely unusual days).
+    *
+    * Determinism: everything stays in exact int64 cents until the
+    * terminal divisions — the detrended value is kept as the
+    * INTEGER res7 = 7·y − Σ7 (multiplying through by the window size
+    * instead of dividing), so the per-weekday seasonal mean is a
+    * ratio of exact integers Σres7/(7·n); trend, seasonal and
+    * residual are identically-spelled division chains, r4'd. Edge
+    * days without a full 7-day frame are dropped (count7 = 7), so
+    * the moving average is always a true centered mean.
+    *
+    * Scale shape: one partial-aggregable day rollup; the rolling
+    * window rides the calendar-bounded daily frame (q_cusum
+    * precedent — whitelisted, chunk-per-range at 100 TB); the 7-row
+    * weekday index broadcasts back. */
+  def seasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("sum7", sum(col("cents")).over(w7))
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .where(col("cnt7") === 7)
+      .withColumn("res7", lit(7L) * col("cents") - col("sum7"))
+      .withColumn("wd", expr("weekday(day)"))
+      .localCheckpoint(false) // feeds the weekday index AND the join
+    val seas = t.groupBy(col("wd"))
+      .agg(sum(col("res7")).as("srs"), count(lit(1)).as("nw"))
+    Fin.ord(
+      t.join(broadcast(seas), "wd")
+        .select(col("day"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          Fin.r4(col("sum7").cast("double") / 7.0 / 100.0).as("trend"),
+          Fin.r4(col("srs").cast("double") / (lit(7.0) * col("nw")) / 100.0)
+            .as("seasonal"),
+          Fin.r4((col("res7").cast("double") / 7.0 -
+                  col("srs").cast("double") / (lit(7.0) * col("nw"))) / 100.0)
+            .as("residual")),
+      col("day"))
+  }
 }

@@ -833,6 +833,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getDouble(1), r.getDouble(2)) ==
            ((2L, 2.0, 2.0)), s"got $r")
   }
+
+  test("seasonal_decompose: a constant series decomposes to zero seasonal and residual") {
+    val dir = tmpDir("decomp")
+    // 14 consecutive days, 1.00 revenue each → 8 full-frame days, all
+    // with trend = 1.0, seasonal = 0, residual = 0
+    writeTable(dir, "orders", Schemas.orders,
+      (0 until 14).map { i =>
+        Row(i.toLong, 1L, "O", 1.0,
+            java.sql.Timestamp.valueOf(f"1995-03-${i + 1}%02d 00:00:00"), "1")
+      })
+    val rows = TimeSeriesOps.seasonalDecompose(spark, dir).collect()
+    assert(rows.length == 8, s"full-frame days: ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 &&
+             r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0, s"got $r")
+    }
+  }
 }
 
 /** Small helpers shared by the r6 tests. */

@@ -77,8 +77,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_abc_pareto's cumulative share orders the |customers| rollup
     // (q_gini prefix-sum precedent); q_compaction_plan's prefix sum
     // orders the |sources| shard manifest; q_heaps_law's cumulatives
-    // ride the 10-row epoch rollup (q_novelty_decay precedent)
-    "q_abc_pareto", "q_compaction_plan", "q_heaps_law")
+    // ride the 10-row epoch rollup (q_novelty_decay precedent);
+    // q_seasonal_decompose's 7-day rolling mean rides the
+    // calendar-bounded daily rollup (q_cusum precedent)
+    "q_abc_pareto", "q_compaction_plan", "q_heaps_law",
+    "q_seasonal_decompose")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {
