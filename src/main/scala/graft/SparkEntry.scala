@@ -367,7 +367,9 @@ object SparkEntry {
     "q_ship_lag" -> (ReportOps.shipLag _),
     "q_purchase_interval" -> (TimeSeriesOps.purchaseInterval _),
     // additive trend/seasonal/residual decomposition
-    "q_seasonal_decompose" -> (TimeSeriesOps.seasonalDecompose _)
+    "q_seasonal_decompose" -> (TimeSeriesOps.seasonalDecompose _),
+    // cohorted LTV curves (retention × monetization)
+    "q_cohort_ltv" -> (ReportOps.cohortLtv _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5367,6 +5369,36 @@ object SparkEntry {
                 (round((CAST(res7 AS DOUBLE) / 7.0 -
                         CAST(srs AS DOUBLE) / (7.0 * nw)) / 100.0, 4) + 0.0)
                   AS residual
-         FROM f JOIN seas USING (wd) ORDER BY day"""
+         FROM f JOIN seas USING (wd) ORDER BY day""",
+    "q_cohort_ltv" ->
+      // Monday-truncated cohort weeks; weeks_since = day-diff DIV 7;
+      // exact cent sums; one division per reported double.
+      """WITH f AS (SELECT user_id,
+                           date_trunc('week', min(ts::TIMESTAMP))::DATE AS cw
+                    FROM events GROUP BY 1),
+            w AS (SELECT user_id,
+                         date_trunc('week', ts::TIMESTAMP)::DATE AS wk,
+                         CAST(sum(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS cents
+                  FROM events GROUP BY 1, 2),
+            j AS (SELECT f.cw,
+                         CAST(datediff('day', f.cw, w.wk) // 7 AS BIGINT)
+                           AS ws,
+                         w.cents
+                  FROM w JOIN f USING (user_id)),
+            cs AS (SELECT cw, count(*) AS cohort_users FROM f GROUP BY 1),
+            g AS (SELECT cw, ws, CAST(sum(cents) AS BIGINT) AS rev_cents
+                  FROM j GROUP BY 1, 2),
+            c AS (SELECT cw, ws, rev_cents,
+                         CAST(sum(rev_cents) OVER (PARTITION BY cw
+                           ORDER BY ws ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum_cents
+                  FROM g)
+         SELECT c.cw AS cohort_week, ws AS weeks_since, cohort_users,
+                CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+                (round(CAST(cum_cents AS DOUBLE) / cohort_users / 100.0, 4)
+                 + 0.0) AS cum_rev_per_user
+         FROM c JOIN cs USING (cw)
+         ORDER BY cohort_week, weeks_since"""
   )
 }

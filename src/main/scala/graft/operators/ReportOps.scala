@@ -621,4 +621,49 @@ object ReportOps {
                   .as("late_rate")),
       col("month"))
   }
+
+  /** q_cohort_ltv — cohorted LTV curves: per signup-week cohort and
+    * weeks-since-signup, that week's revenue and the CUMULATIVE
+    * revenue per cohort member — the "do newer cohorts monetize
+    * faster" overlay every growth model fits. q_cohort_retention
+    * tracks who comes BACK; q_ltv projects one global value; this
+    * crosses them into the curve family.
+    *
+    * Determinism: cohort week and weeks-since are exact date/int
+    * arithmetic (Monday-truncated weeks, day-diff DIV 7); revenue is
+    * exact cent sums; the cumulative window orders by the unique
+    * weeks_since within each cohort; one division per reported
+    * double.
+    *
+    * Scale shape: two partial-aggregable fact rollups (first-touch
+    * per user, weekly spend per user) joined on user_id — the
+    * sessionize co-partitioning; the curve frame is |cohorts|×|weeks|
+    * bounded, and the cohort-size frame broadcasts. */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, d)
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cw"))
+    val weekly = ev.groupBy(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val j = weekly.join(first, "user_id")
+      .select(col("cw"),
+              expr("CAST(datediff(wk, cw) DIV 7 AS BIGINT)").as("ws"),
+              col("cents"))
+    val sizes = first.groupBy(col("cw")).agg(count(lit(1)).as("cohort_users"))
+    val g = j.groupBy(col("cw"), col("ws"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val wcum = Window.partitionBy(col("cw")).orderBy(col("ws"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Fin.ord(
+      g.withColumn("cum_cents", sum(col("rev_cents")).over(wcum))
+        .join(broadcast(sizes), "cw")
+        .select(col("cw").as("cohort_week"), col("ws").as("weeks_since"),
+                col("cohort_users"),
+                (col("rev_cents").cast("double") / 100.0).as("revenue"),
+                Fin.r4(col("cum_cents").cast("double") / col("cohort_users")
+                       / 100.0).as("cum_rev_per_user")),
+      col("cohort_week"), col("weeks_since"))
+  }
 }

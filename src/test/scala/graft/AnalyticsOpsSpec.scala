@@ -850,6 +850,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
              r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0, s"got $r")
     }
   }
+
+  test("cohort_ltv: cumulative per-member revenue over weeks since signup") {
+    val dir = tmpDir("cltv")
+    val mon = 1704067200L // 2024-01-01, a Monday
+    // cohort of 2 users signing up week 0: week-0 spend 1.00 + 3.00,
+    // week-1 spend 2.00 (user 1 only) → cum/user: 2.00 then 3.00
+    writeEvents(dir, Seq(
+      eventRow(1L, mon, 1L, "purchase", 1.0),
+      eventRow(2L, mon + 60, 2L, "purchase", 3.0),
+      eventRow(3L, mon + 604800, 1L, "purchase", 2.0)))
+    val out = TimeSeriesFixturesLtv.rows(ReportOps.cohortLtv(spark, dir))
+    assert(out == Seq(
+      ("2024-01-01", 0L, 2L, 4.0, 2.0),
+      ("2024-01-01", 1L, 2L, 2.0, 3.0)), s"got $out")
+  }
+}
+
+/** Row extractor for the cohort-LTV curve shape. */
+object TimeSeriesFixturesLtv {
+  def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Double, Double)] =
+    df.collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+                           r.getDouble(3), r.getDouble(4))).toSeq
 }
 
 /** Small helpers shared by the r6 tests. */
