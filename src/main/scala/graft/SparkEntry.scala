@@ -369,7 +369,9 @@ object SparkEntry {
     // additive trend/seasonal/residual decomposition
     "q_seasonal_decompose" -> (TimeSeriesOps.seasonalDecompose _),
     // cohorted LTV curves (retention × monetization)
-    "q_cohort_ltv" -> (ReportOps.cohortLtv _)
+    "q_cohort_ltv" -> (ReportOps.cohortLtv _),
+    // DAU/MAU stickiness ratio
+    "q_stickiness" -> (ReportOps.stickiness _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5399,6 +5401,30 @@ object SparkEntry {
                 (round(CAST(cum_cents AS DOUBLE) / cohort_users / 100.0, 4)
                  + 0.0) AS cum_rev_per_user
          FROM c JOIN cs USING (cw)
-         ORDER BY cohort_week, weeks_since"""
+         ORDER BY cohort_week, weeks_since""",
+    "q_stickiness" ->
+      // DAU/MAU: exact distinct counts; mean and ratio are one
+      // identically-spelled division chain.
+      """WITH ev AS (SELECT date_trunc('month', ts::TIMESTAMP)::DATE AS month,
+                           CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
+                             AS day,
+                           user_id
+                    FROM events),
+            d AS (SELECT month, day, count(*) AS dau
+                  FROM (SELECT DISTINCT month, day, user_id FROM ev)
+                  GROUP BY 1, 2),
+            dd AS (SELECT month, count(*) AS n_days,
+                          CAST(sum(dau) AS BIGINT) AS dau_sum
+                   FROM d GROUP BY 1),
+            m AS (SELECT month, count(*) AS mau
+                  FROM (SELECT DISTINCT month, user_id FROM ev)
+                  GROUP BY 1)
+         SELECT month, n_days,
+                (round(CAST(dau_sum AS DOUBLE) / n_days, 4) + 0.0)
+                  AS avg_dau,
+                mau,
+                (round(CAST(dau_sum AS DOUBLE) / n_days / mau, 4) + 0.0)
+                  AS stickiness
+         FROM dd JOIN m USING (month) ORDER BY month"""
   )
 }

@@ -666,4 +666,39 @@ object ReportOps {
                        / 100.0).as("cum_rev_per_user")),
       col("cohort_week"), col("weeks_since"))
   }
+
+  /** q_stickiness — the DAU/MAU engagement ratio per month: mean daily
+    * active users divided by monthly active users — THE habit metric
+    * ("of the people who showed up this month, what fraction shows up
+    * on a given day"). q_active_users counts the windows; this is the
+    * ratio product teams actually track.
+    *
+    * Determinism: both numerator terms are exact integer distinct
+    * counts (Σ over days of per-day DAU, day count, monthly MAU); the
+    * mean and the ratio are ONE identically-spelled division chain,
+    * r4'd.
+    *
+    * Scale shape: two distinct shuffles ((day, user) and
+    * (month, user) — both partial-aggregable after the dedup), then
+    * month rollups joined on the ≤|months| frame. */
+  def stickiness(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(date_trunc("month", col("ts")).cast("date").as("month"),
+              to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.select(col("month"), col("day"), col("user_id")).distinct()
+      .groupBy(col("month"), col("day")).agg(count(lit(1)).as("dau"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+    val mau = ev.select(col("month"), col("user_id")).distinct()
+      .groupBy(col("month")).agg(count(lit(1)).as("mau"))
+    Fin.ord(
+      daily.join(mau, "month")
+        .select(col("month"), col("n_days"),
+                Fin.r4(col("dau_sum").cast("double") / col("n_days"))
+                  .as("avg_dau"),
+                col("mau"),
+                Fin.r4(col("dau_sum").cast("double") / col("n_days") /
+                       col("mau")).as("stickiness")),
+      col("month"))
+  }
 }

@@ -865,6 +865,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("2024-01-01", 0L, 2L, 4.0, 2.0),
       ("2024-01-01", 1L, 2L, 2.0, 3.0)), s"got $out")
   }
+
+  test("stickiness: DAU/MAU from hand-built activity") {
+    val dir = tmpDir("sticky")
+    val mar1 = 794016000L // 1995-03-01
+    // March: day-1 users {1,2}, day-2 user {1} → avg DAU 1.5, MAU 2,
+    // stickiness 0.75; user 1's double event on day 1 must not double-count
+    writeEvents(dir, Seq(
+      eventRow(1L, mar1, 1L, "view", 0.0),
+      eventRow(2L, mar1 + 10, 1L, "view", 0.0),
+      eventRow(3L, mar1 + 20, 2L, "view", 0.0),
+      eventRow(4L, mar1 + 86400, 1L, "view", 0.0)))
+    val r = ReportOps.stickiness(spark, dir).collect().head
+    assert((r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+            r.getLong(3), r.getDouble(4)) ==
+           (("1995-03-01", 2L, 1.5, 2L, 0.75)), s"got $r")
+  }
 }
 
 /** Row extractor for the cohort-LTV curve shape. */
