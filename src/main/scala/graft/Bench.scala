@@ -36,6 +36,20 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // The driver's BENCH artifact preserves only the LAST ~2000 chars of
+    // stdout, so with 264 queries the full per-query line above gets its
+    // head truncated and the total is lost (r11 verdict ask #1). Emit a
+    // second, compact summary line AFTER it — total + count + the 15
+    // slowest queries — so the tail window always captures the headline
+    // number and enough attribution to spot a regression.
+    val slowest = results.toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    // Carries the driver's metric/value/unit keys too, so the record
+    // stays parseable whether the driver reads the first or last line.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_s":${f"$total%.2f"},"n":${results.size},"slowest":$slowest,"sf":"$sfDir"}"""
+    println(summary)
     // r9's total was unrecoverable because the driver truncated stdout
     // (BENCH_r09.json "parsed": null) — persist the record too. Written
     // atomically (tmp + rename) to BOTH the canonical path and a per-sf

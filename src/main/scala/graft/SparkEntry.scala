@@ -5187,7 +5187,8 @@ object SparkEntry {
             pts AS (SELECT epoch, grams_cum, vocab_cum,
                            ln(CAST(grams_cum AS DOUBLE)) AS x,
                            ln(CAST(vocab_cum AS DOUBLE)) AS y
-                    FROM cums),
+                    FROM cums
+                    WHERE grams_cum > 0 AND vocab_cum > 0),
             ag AS (SELECT CAST(count(*) AS BIGINT) AS n_epochs,
                           CAST(max(grams_cum) AS BIGINT) AS grams_final,
                           CAST(max(vocab_cum) AS BIGINT) AS vocab_final,

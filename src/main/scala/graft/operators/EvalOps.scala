@@ -332,6 +332,17 @@ object EvalOps {
     * rounded, so same inputs ⇒ same bits). Degenerate groups
     * (zero variance / zero range) yield NULL via nullif.
     *
+    * Int64 headroom (r11 ADVICE): the z numerator/denominator keep
+    * n·Σx² and (Σx)² in int64 on BOTH engines. With per-doc length
+    * x ≤ L those terms are ≤ (n·L)², so the derivation is exact
+    * while n·L < 3.0e9 per language group — ~3e9/L rows/group (e.g.
+    * 1.5M docs/group at L=2000), far above any gated SF. Past that
+    * bound Spark's long wraps silently while DuckDB's HUGEINT cast
+    * raises; a 100 TB deployment must first rescale the moments to
+    * double (losing bit-exactness, keeping ~1e-15 relative error)
+    * or widen to decimal(38,0). Bound chosen here because every
+    * gated SF sits ≥3 orders of magnitude inside it.
+    *
     * Scale shape: one partial-aggregable rollup to |langs| rows,
     * broadcast back onto the scan — an embarrassingly parallel
     * map-side join; no window, no shuffle of the fact rows. */

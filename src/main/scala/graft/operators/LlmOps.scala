@@ -1508,9 +1508,15 @@ object LlmOps {
     import org.apache.spark.sql.expressions.Window
     val cum = Window.orderBy(col("epoch"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // Guard (r11 ADVICE): an epoch whose docs all have <3 tokens gives
+    // grams_cum=0 → ln(0)=-Inf and a NaN fit on both engines. Keep only
+    // points with positive cumulative counts (mirrored in the oracle
+    // SQL); on real corpora every epoch qualifies, so this only
+    // removes the degenerate-input failure mode.
     val pts = epochGramCurve(s, d)
       .withColumn("grams_cum", sum(col("n_grams")).over(cum))
       .withColumn("vocab_cum", sum(col("novel_grams")).over(cum))
+      .filter(col("grams_cum") > 0 && col("vocab_cum") > 0)
       .select(col("epoch"),
               log(col("grams_cum").cast("double")).as("x"),
               log(col("vocab_cum").cast("double")).as("y"),

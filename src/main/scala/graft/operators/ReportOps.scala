@@ -546,6 +546,15 @@ object ReportOps {
     * partition that q_gini compresses into a single coefficient (this
     * names the actual customers sets a campaign would target).
     *
+    * Boundary convention (deliberate, r11 ADVICE): class boundaries
+    * are EXCLUSIVE — A holds the customers whose cumulative share is
+    * strictly ≤ 80%, so the customer whose row CROSSES the 80% line
+    * is classed B (and likewise at the 95% line → C). The textbook
+    * alternative puts the straddling customer in A ("smallest prefix
+    * reaching 80%"); both engines and the oracle implement the
+    * exclusive rule, and a consumer expecting the inclusive cut will
+    * see exactly a one-customer shift at each boundary.
+    *
     * Determinism: the cumulative sum is ordered by (cents DESC,
     * custkey) — a total order, so the running sum is unique per row —
     * and the class boundaries are decided in EXACT int64 arithmetic

@@ -1410,6 +1410,13 @@ object TimeSeriesOps {
     * identically-spelled-chain rule. Days are OBSERVED days (the
     * q_moving_avg calendar-gap stance).
     *
+    * Int64 headroom (r11 ADVICE): n·Σx² and (Σx)² stay int64 on both
+    * engines; with daily count x ≤ C they are ≤ (n_days·C)², exact
+    * while n_days·C < 3.0e9 per event type (e.g. ~8.2M events/day
+    * over a full year) — ≥3 orders above any gated SF. Past it Spark
+    * wraps silently vs DuckDB's HUGEINT-cast raise; at 100 TB rescale
+    * the moments to double or widen to decimal(38,0) first.
+    *
     * Scale shape: two partial-aggregable rollups (fact → daily →
     * per-type), nothing else. */
   def burstiness(s: SparkSession, d: String): DataFrame = {
