@@ -326,6 +326,9 @@ object SparkEntry {
     "q_stats_histogram" -> (P.statsHistogram _),
     // SQL-text surface, one-way ANOVA, forecast backtest
     "q_sql_pricing" -> (R.sqlPricing _),
+    // r12: SQL-text twins of a join and a session-store consumer
+    "q_sql_join_multiway" -> (R.sqlJoinMultiway _),
+    "q_sql_sessionize" -> (R.sqlSessionize _),
     "q_anova" -> (TimeSeriesOps.anova _),
     "q_backtest_mape" -> (TimeSeriesOps.backtestMape _),
     // sweep-line concurrency, CUSUM drift chart, watermark-sizing audit
@@ -4595,6 +4598,36 @@ object SparkEntry {
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q_sql_join_multiway" ->
+      // SQL-surface twin of q_join_multiway: same oracle text
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+                (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_sql_sessionize" ->
+      // SQL-surface twin of q_sessionize: same oracle text (the oracle
+      // re-derives sessions from raw events; the engine side must
+      // reproduce them from the bucketed store through spark.sql)
+      """WITH e AS (SELECT user_id, event_id, value,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g)
+         SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+                count(*) AS n_events, (round(sum(value), 4) + 0.0) AS session_value
+         FROM sids GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_anova" ->
       // one-way ANOVA from exact int64 sufficient stats; the one
       // cross-group DOUBLE sum (Σ sx²/n) folds in segment order on both

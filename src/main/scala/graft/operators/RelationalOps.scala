@@ -405,6 +405,53 @@ object RelationalOps {
              ORDER BY l_returnflag, l_linestatus""")
   }
 
+  /** q_sql_join_multiway — the shipping-priority multiway join
+    * (customer⋈orders⋈lineitem, q_join_multiway's exact semantics)
+    * submitted as LITERAL SQL TEXT through `spark.sql` over registered
+    * views: the second gated SQL-surface row (r11 verdict ask #5).
+    * q_sql_pricing proves the SQL front end on a single-table
+    * aggregate; this one proves the join path — parse → analyze over
+    * three views → the SAME optimized Catalyst plan as the DataFrame
+    * twin (PlanSpec asserts plan equality modulo expression ids, so
+    * the two API surfaces cannot silently diverge in plan shape). */
+  def sqlJoinMultiway(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_sql_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_sql_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_sql_lineitem")
+    s.sql("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+                    round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0
+                      AS revenue
+             FROM graft_sql_customer
+             JOIN graft_sql_orders ON c_custkey = o_custkey
+             JOIN graft_sql_lineitem ON o_orderkey = l_orderkey
+             WHERE c_mktsegment = 'BUILDING'
+               AND o_orderdate < TIMESTAMP '1998-01-01'
+               AND l_shipdate > TIMESTAMP '1998-01-01'
+             GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+             ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+  }
+
+  /** q_sql_sessionize — the flagship session rollup (q_sessionize's
+    * exact semantics) submitted as LITERAL SQL TEXT over the
+    * user-bucketed session store: the third gated SQL-surface row
+    * (r11 verdict ask #5) and the one that matters most at 100 TB —
+    * it proves a SQL-writing user consumes the build-once bucketed
+    * store EXCHANGE-FREE (the store table is registered in the
+    * catalog with its CLUSTERED BY spec, so `spark.sql` text gets the
+    * same shuffle elision the DataFrame path gets; PlanSpec asserts
+    * plan equality with the twin and zero exchanges before the
+    * aggregate). */
+  def sqlSessionize(s: SparkSession, d: String): DataFrame = {
+    val store = graft.operators.WindowOps.sessionStore(s, d)
+    s.sql(s"""SELECT user_id, sid,
+                     min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+                     count(*) AS n_events,
+                     round(sum(value), 4) + 0.0 AS session_value
+              FROM $store
+              GROUP BY user_id, sid
+              ORDER BY user_id, sid""")
+  }
+
   def skyline(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = Tables.part(s, d)

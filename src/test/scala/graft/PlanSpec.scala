@@ -237,6 +237,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "horizon join fell back to SMJ:\n" + p)
   }
 
+  test("SQL-surface twins plan identically to their DataFrame originals") {
+    // r11 verdict ask #5: the literal-SQL rows must not merely agree on
+    // results — they must produce the SAME optimized Catalyst plan as
+    // their DataFrame twins, so the two API surfaces cannot silently
+    // diverge in shape. Compare canonicalized logical plans (expression
+    // ids normalized by Spark itself, aliases stripped).
+    val R = graft.operators.RelationalOps
+    val pairs = Seq(
+      "join_multiway" ->
+        (R.sqlJoinMultiway(spark, sf0001),
+         graft.operators.JoinOps.joinMultiway(spark, sf0001)),
+      "sessionize" ->
+        (R.sqlSessionize(spark, sf0001),
+         graft.operators.WindowOps.sessionize(spark, sf0001)))
+    for ((name, (sqlDf, dfDf)) <- pairs) {
+      val a = sqlDf.queryExecution.optimizedPlan.canonicalized.toString
+      val b = dfDf.queryExecution.optimizedPlan.canonicalized.toString
+      assert(a == b, s"$name: SQL and DataFrame plans diverge:\nSQL:\n$a\nDF:\n$b")
+    }
+  }
+
+  test("q_sql_sessionize consumes the bucketed store with no exchange below the aggregate") {
+    // the SQL front end must get the same shuffle elision the DataFrame
+    // path gets: HashPartitioning(user_id) from the store's bucket
+    // layout satisfies the (user_id, sid) ClusteredDistribution
+    val tree = plan(graft.operators.RelationalOps.sqlSessionize(spark, sf0001))
+      .split("\n\n").head
+    val lines = tree.linesIterator.toVector
+    val lastAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(lastAgg >= 0, tree)
+    assert(!lines.drop(lastAgg + 1).exists(_.contains("Exchange")),
+      "SQL store consumer still shuffles its input:\n" + tree)
+  }
+
   test("q_curation_funnel: keeper set broadcasts; rollup is partial-aggregated") {
     val p = plan(graft.operators.CurationOps.curationFunnel(spark, sf0001))
     // component-count-sized keeper side must go map-side at this SF
