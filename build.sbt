@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Per-suite wall-clock attribution (r11 verdict ask #7): -oD prints
+// each test's duration, so suite-growth between rounds is attributable
+// from the log instead of guessed. Soft budget documented in README.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

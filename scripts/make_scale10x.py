@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Build the one-off ~10x scaling corpus (r11 verdict ask #2).
+
+Takes /root/testdata/sf0.1 and publishes /tmp/graft_scale10x: every
+TPC-H-ish table is copied verbatim (the scaling study times only the
+heavy document/embedding/event families; SPARK_GRAFT_ONLY restricts the
+bench), while documents, embeddings and events are expanded to 10 shards:
+
+- documents: shard k offsets doc_id by k*stride and, for k>0, suffixes
+  every whitespace token with "zq<k>" — WITHIN-shard near-dup structure
+  (the template-generated clusters) is preserved exactly, while shards
+  occupy disjoint token spaces, so shingles/minhashes never collide
+  across shards. That is the 10-disjoint-domains crawl: duplicate
+  DENSITY stays constant while VOLUME grows 10x — the regime where a
+  blocked/bucketed algorithm must scale ~linearly and an all-pairs one
+  shows its quadratic term.
+- embeddings: shard k offsets vec_id and flips vector components by a
+  deterministic per-(shard, lane) sign-preserving jitter (+k*1e-5 on
+  lane (k+i) % 64) — near-identical to the source shard, so sign-LSH
+  bucket OCCUPANCY grows ~10x per (label, table, bucket): the candidate
+  join's within-bucket quadratic term is deliberately exposed, not
+  hidden (at 100 TB you add hash tables/planes; the curve documents
+  why).
+- events: shard k offsets user_id and event_id — 10x users over the
+  same 30-day calendar, so per-user session work is constant and the
+  store build must scale with the user count.
+
+Deterministic output (fixed shard transforms, no RNG). Run:
+    python3 scripts/make_scale10x.py [outdir]
+"""
+import re
+import shutil
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = Path("/root/testdata/sf0.1")
+OUT = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_scale10x")
+SHARDS = 10
+
+
+def copy_small_tables():
+    OUT.mkdir(parents=True, exist_ok=True)
+    for p in SRC.iterdir():
+        if p.name not in ("documents.parquet", "embeddings.parquet",
+                          "events.parquet"):
+            if p.is_file():
+                shutil.copy2(p, OUT / p.name)
+            else:
+                shutil.copytree(p, OUT / p.name, dirs_exist_ok=True)
+
+
+def scale_documents():
+    t = pq.read_table(SRC / "documents.parquet")
+    stride = pc.max(t["doc_id"]).as_py() + 1
+    shards = []
+    for k in range(SHARDS):
+        ids = pc.add(t["doc_id"], k * stride)
+        if k == 0:
+            text = t["text"]
+        else:
+            # suffix every token: disjoint token space per shard, but the
+            # within-shard dup structure is byte-for-byte the source's
+            suf = f"zq{k}"
+            text = pa.array(
+                [re.sub(r"(\S+)", r"\1" + suf, s) if s is not None else None
+                 for s in t["text"].to_pylist()],
+                type=pa.string())
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        shards.append(pa.table({
+            "doc_id": ids, "text": text, "lang": t["lang"],
+            "source": t["source"], "n_chars": n_chars}))
+    out = pa.concat_tables(shards)
+    pq.write_table(out, OUT / "documents.parquet")
+    print(f"documents: {t.num_rows} -> {out.num_rows}")
+
+
+def scale_embeddings():
+    t = pq.read_table(SRC / "embeddings.parquet")
+    stride = pc.max(t["vec_id"]).as_py() + 1
+    vecs = t["embedding"].to_pylist()
+    shards = []
+    for k in range(SHARDS):
+        ids = pc.add(t["vec_id"], k * stride)
+        if k == 0:
+            emb = t["embedding"]
+        else:
+            emb = pa.array(
+                [[v + (k * 1e-5 if i % SHARDS == k else 0.0)
+                  for i, v in enumerate(vec)]
+                 if vec is not None else None for vec in vecs],
+                type=pa.list_(pa.float32()))
+        shards.append(pa.table({
+            "vec_id": ids, "embedding": emb, "label": t["label"]}))
+    out = pa.concat_tables(shards)
+    pq.write_table(out, OUT / "embeddings.parquet")
+    print(f"embeddings: {t.num_rows} -> {out.num_rows}")
+
+
+def scale_events():
+    t = pq.read_table(SRC / "events.parquet")
+    estride = pc.max(t["event_id"]).as_py() + 1
+    ustride = pc.max(t["user_id"]).as_py() + 1
+    shards = []
+    for k in range(SHARDS):
+        shards.append(pa.table({
+            "event_id": pc.add(t["event_id"], k * estride),
+            "ts": t["ts"],
+            "user_id": pc.add(t["user_id"], k * ustride),
+            "event_type": t["event_type"],
+            "value": t["value"],
+            "props": t["props"]}))
+    out = pa.concat_tables(shards)
+    # preserve the physical timestamp encoding (TIMESTAMP(MICROS)):
+    # pyarrow round-trips the schema it read
+    pq.write_table(out, OUT / "events.parquet")
+    print(f"events: {t.num_rows} -> {out.num_rows}")
+
+
+if __name__ == "__main__":
+    copy_small_tables()
+    scale_documents()
+    scale_embeddings()
+    scale_events()
+    print(f"published {OUT}")

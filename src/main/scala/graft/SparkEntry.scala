@@ -329,6 +329,8 @@ object SparkEntry {
     // r12: SQL-text twins of a join and a session-store consumer
     "q_sql_join_multiway" -> (R.sqlJoinMultiway _),
     "q_sql_sessionize" -> (R.sqlSessionize _),
+    // r12: date-ranged report on the day-partitioned session store
+    "q_session_report_dated" -> (W.sessionReportDated _),
     "q_anova" -> (TimeSeriesOps.anova _),
     "q_backtest_mape" -> (TimeSeriesOps.backtestMape _),
     // sweep-line concurrency, CUSUM drift chart, watermark-sizing audit
@@ -4628,6 +4630,29 @@ object SparkEntry {
          SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
                 count(*) AS n_events, (round(sum(value), 4) + 0.0) AS session_value
          FROM sids GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_session_report_dated" ->
+      // the oracle re-derives sessions from raw events over the FULL
+      // timeline, then restricts to the window by EVENT day — the
+      // engine must reproduce this from the day-partitioned store
+      // (pruned listing, full-timeline sids)
+      """WITH e AS (SELECT user_id, event_id, value,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g)
+         SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+                count(*) AS n_events, (round(sum(value), 4) + 0.0) AS window_value
+         FROM sids
+         WHERE CAST(tsu AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_anova" ->
       // one-way ANOVA from exact int64 sufficient stats; the one
       // cross-group DOUBLE sum (Σ sx²/n) folds in segment order on both

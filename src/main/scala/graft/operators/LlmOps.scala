@@ -318,9 +318,29 @@ object LlmOps {
       when(expr(s"cast(round(element_at(v, t * 4 + ${i + 1}) * 1000000) as bigint)")
              * col("n") > expr(s"element_at(qs, t * 4 + ${i + 1})"),
            lit(1 << i)).otherwise(lit(0))).reduce(_ + _)
-    val bk = em.crossJoin(broadcast(sums))
-      .select(col("label"), col("vec_id"), col("v"), col("n"), col("qs"),
-        explode(sequence(lit(0), lit(LshTables - 1))).as("t"))
+    embcosBlockedTop20(s, em.crossJoin(broadcast(sums)), bucket)
+  }
+
+  /** THE embcos candidate generator + verifier (r12, the r11 verdict
+    * ask #4): every embcos dedup variant routes through this ONE
+    * blocked-pair path — bucket each vector into [[LshTables]]
+    * deterministic sign-LSH tables with the CALLER's hash-plane
+    * expression (planes through the origin for the raw variant,
+    * through the per-corpus component mean for the centered one),
+    * equi-join candidates on the (label, table, bucket) key, verify by
+    * exact cosine on RAW vectors, rank global top-20. The label in the
+    * join key is a semantic scope (pairs are reported within label),
+    * NOT the blocking mechanism — blocking is the bucket key, so a hot
+    * label shards across 16 buckets × 8 tables instead of one O(n²)
+    * block.
+    *
+    * `em0` must carry (label, vec_id, v) plus whatever extra broadcast
+    * columns the bucket expression references (the centered variant
+    * rides its 1-row sums frame); `t` is in scope for the expression. */
+  private def embcosBlockedTop20(s: SparkSession, em0: DataFrame,
+                                 bucket: Column): DataFrame = {
+    val bk = em0
+      .withColumn("t", explode(sequence(lit(0), lit(LshTables - 1))))
       .withColumn("bucket", bucket)
       .select(col("label"), col("vec_id"), col("t"), col("bucket"))
     val l = bk.select(col("label"), col("t"), col("bucket"), col("vec_id").as("v1"))
@@ -330,8 +350,8 @@ object LlmOps {
         l("label") === col("lb2") && l("t") === col("t2") &&
         l("bucket") === col("bk2") && col("v1") < col("v2"))
       .select(col("label"), col("v1"), col("v2")).distinct()
-    val e1 = em.select(col("vec_id").as("v1"), col("v").as("va"))
-    val e2 = em.select(col("vec_id").as("v2"), col("v").as("vb"))
+    val e1 = em0.select(col("vec_id").as("v1"), col("v").as("va"))
+    val e2 = em0.select(col("vec_id").as("v2"), col("v").as("vb"))
     cand.join(e1, "v1").join(e2, "v2")
       .select(col("label"), col("v1"), col("v2"),
               r4(cosineFast(s, col("va"), col("vb"))).as("sim"))
@@ -340,29 +360,14 @@ object LlmOps {
   }
 
   /** Operator body over any (vec_id, label, v) frame — split out so the
-    * skew suite can inject a degenerate single-label corpus. */
+    * skew suite can inject a degenerate single-label corpus. Origin
+    * hash planes (`v_i > 0`); the centered variant passes mean-anchored
+    * planes to the same [[embcosBlockedTop20]] generator. */
   def dedupEmbcosOn(s: SparkSession, em: DataFrame): DataFrame = {
     val bucket = (0 until 4).map(i =>
       when(expr(s"element_at(v, t * 4 + ${i + 1})") > 0, lit(1 << i))
         .otherwise(lit(0))).reduce(_ + _)
-    val bk = em.select(col("label"), col("vec_id"), col("v"),
-        explode(sequence(lit(0), lit(LshTables - 1))).as("t"))
-      .withColumn("bucket", bucket)
-      .select(col("label"), col("vec_id"), col("t"), col("bucket"))
-    val l = bk.select(col("label"), col("t"), col("bucket"), col("vec_id").as("v1"))
-    val r = bk.select(col("label").as("lb2"), col("t").as("t2"),
-                      col("bucket").as("bk2"), col("vec_id").as("v2"))
-    val cand = l.join(r,
-        l("label") === col("lb2") && l("t") === col("t2") &&
-        l("bucket") === col("bk2") && col("v1") < col("v2"))
-      .select(col("label"), col("v1"), col("v2")).distinct()
-    val e1 = em.select(col("vec_id").as("v1"), col("v").as("va"))
-    val e2 = em.select(col("vec_id").as("v2"), col("v").as("vb"))
-    cand.join(e1, "v1").join(e2, "v2")
-      .select(col("label"), col("v1"), col("v2"),
-              r4(cosineFast(s, col("va"), col("vb"))).as("sim"))
-      .orderBy(col("sim").desc, col("v1"), col("v2"))
-      .limit(20)
+    embcosBlockedTop20(s, em, bucket)
   }
 
   /** q_lm_score — unigram language-model scoring, the

@@ -110,4 +110,25 @@ class EmbcosSkewSpec extends AnyFunSuite {
     assert(joinDetail.get.contains("bucket"),
       "candidate join does not key on the LSH bucket:\n" + joinDetail.get)
   }
+
+  test("raw and centered variants share the blocked-pair generator (r12 unification)") {
+    // r11 verdict ask #4: ONE candidate-generation path for the embcos
+    // family. Both production queries must show the same blocked-pair
+    // subtree — a candidate self-join keyed on (label, t, bucket) —
+    // differing only in the hash-plane expression feeding `bucket`.
+    // (Result-invisibility of the refactor is proven by the oracle
+    // hash gate; this pins the SHAPE so a future edit cannot silently
+    // fork the paths again.)
+    for ((name, df) <- Seq(
+           "raw" -> LlmOps.dedupEmbcos(spark, TestBase.sf0001),
+           "centered" -> LlmOps.dedupEmbcosCentered(spark, TestBase.sf0001))) {
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val joinDetail = p.split("\n\n")
+        .find(b => b.contains("Join") && b.contains("v1") && b.contains("v2")
+          && (b.contains("<") || b.contains("LessThan")))
+      assert(joinDetail.isDefined, s"$name: candidate self-join not found:\n" + p)
+      assert(joinDetail.get.contains("bucket") && joinDetail.get.contains("label"),
+        s"$name: candidate join not keyed on (label, t, bucket):\n" + joinDetail.get)
+    }
+  }
 }

@@ -31,4 +31,20 @@ class HllOverlapSpec extends AnyFunSuite {
         s"$pair: est $o vs exact $ex")
     }
   }
+
+  test("driver-SF (sf0.01) pair overlaps within 10% of the exact q_audience_overlap intersections") {
+    // r11 verdict ask #6: bound the sketch against its EXACT TWIN on
+    // the driver's own sf0.01 data — q_audience_overlap's `inter`
+    // column is the oracle-gated exact intersection count
+    val exact = operators.ReportOps.audienceOverlap(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    val est = operators.RelationalOps.hllOverlap(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (pair, o) =>
+      val ex = exact(pair)
+      assert(math.abs(o - ex) <= math.max(2L, math.round(ex * 0.10)),
+        s"$pair: est $o vs exact $ex (driver SF)")
+    }
+  }
 }

