@@ -376,7 +376,16 @@ object SparkEntry {
     // cohorted LTV curves (retention × monetization)
     "q_cohort_ltv" -> (ReportOps.cohortLtv _),
     // DAU/MAU stickiness ratio
-    "q_stickiness" -> (ReportOps.stickiness _)
+    "q_stickiness" -> (ReportOps.stickiness _),
+    // r12 widening: corpus-statistics fits, source vocab comparison,
+    // embedding outlier audit, lead-lag series analysis, DiD
+    // estimator, top-supplier report
+    "q_zipf" -> (L.zipf _),
+    "q_vocab_overlap" -> (L.vocabOverlap _),
+    "q_embed_outliers" -> (L.embedOutliers _),
+    "q_lead_lag_corr" -> (TimeSeriesOps.leadLagCorr _),
+    "q_diff_in_diff" -> (TimeSeriesOps.diffInDiff _),
+    "q_top_supplier" -> (ReportOps.topSupplier _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5484,6 +5493,174 @@ object SparkEntry {
                 mau,
                 (round(CAST(dau_sum AS DOUBLE) / n_days / mau, 4) + 0.0)
                   AS stickiness
-         FROM dd JOIN m USING (month) ORDER BY month"""
+         FROM dd JOIN m USING (month) ORDER BY month""",
+    "q_zipf" ->
+      // rank-frequency OLS over the (f DESC, tok)-ordered top-100;
+      // sufficient sums fold in RANK order (the q_heaps_law rule)
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks
+                   WHERE length(tok) > 0 GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+                           CAST(sum(f) AS BIGINT) AS total_tokens FROM tf),
+            top AS (SELECT f, tok FROM tf ORDER BY f DESC, tok LIMIT 100),
+            rk AS (SELECT row_number() OVER (ORDER BY f DESC, tok) AS rank, f
+                   FROM top),
+            pts AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+                           ln(CAST(f AS DOUBLE)) AS y FROM rk),
+            ag AS (SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+                          list(x ORDER BY rank) AS xs,
+                          list(y ORDER BY rank) AS ys,
+                          list(x * y ORDER BY rank) AS xys
+                   FROM pts),
+            st AS (SELECT n_ranks,
+                          list_reduce(xs, (a, b) -> a + b) AS sx,
+                          list_reduce(ys, (a, b) -> a + b) AS sy,
+                          list_reduce(list_transform(xs, x -> x * x),
+                                      (a, b) -> a + b) AS sxx,
+                          list_reduce(xys, (a, b) -> a + b) AS sxy
+                   FROM ag),
+            fit AS (SELECT n_ranks, sx, sy,
+                           (CAST(n_ranks AS DOUBLE) * sxy - sx * sy) /
+                           (CAST(n_ranks AS DOUBLE) * sxx - sx * sx)
+                             AS slope_raw
+                    FROM st)
+         SELECT n_ranks, vocab, total_tokens,
+                (round(-slope_raw, 4) + 0.0) AS zipf_s,
+                (round(exp((sy - slope_raw * sx) / CAST(n_ranks AS DOUBLE)), 4)
+                 + 0.0) AS c_coef
+         FROM fit, tot ORDER BY n_ranks""",
+    "q_vocab_overlap" ->
+      // the q_audience_overlap oracle shape on (source, token) sets
+      """WITH st AS (SELECT DISTINCT src, tok
+                     FROM (SELECT source AS src,
+                                  unnest(string_split(text, ' ')) AS tok
+                           FROM documents) t
+                     WHERE length(tok) > 0),
+            sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM st
+                      GROUP BY 1),
+            spine AS (SELECT a.src AS source_a, a.n AS n_a,
+                             b.src AS source_b, b.n AS n_b
+                      FROM sizes a, sizes b WHERE a.src < b.src),
+            i AS (SELECT x.src AS source_a, y.src AS source_b,
+                         CAST(count(*) AS BIGINT) AS inter
+                  FROM st x JOIN st y
+                    ON x.tok = y.tok AND x.src < y.src
+                  GROUP BY 1, 2)
+         SELECT source_a, source_b, n_a, n_b,
+                CAST(coalesce(inter, 0) AS BIGINT) AS inter,
+                (round(CAST(coalesce(inter, 0) AS DOUBLE) /
+                       (n_a + n_b - coalesce(inter, 0)), 4) + 0.0) AS jaccard
+         FROM spine LEFT JOIN i USING (source_a, source_b)
+         ORDER BY source_a, source_b""",
+    "q_embed_outliers" ->
+      // centroid lanes from exact 1e-6-quantized int sums; the distance
+      // folds (vq - c)^2 in LANE order on both engines (q_anova rule);
+      // both engines cut top-20 on the ROUNDED distance + vec_id
+      """WITH em AS (SELECT vec_id, label,
+                            list_transform(embedding,
+                                           v -> CAST(v AS DOUBLE)) AS v
+                     FROM embeddings),
+            lanes AS (SELECT label, CAST(i AS INT) AS pos,
+                             CAST(round(v[CAST(i AS INT) + 1] * 1000000)
+                                  AS BIGINT) AS q
+                      FROM em, range(0, 64) t(i)),
+            cent AS (SELECT label, pos,
+                            CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0 AS c
+                     FROM lanes GROUP BY 1, 2),
+            cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent
+                   GROUP BY 1),
+            dd AS (SELECT vec_id, em.label AS label,
+                          list_reduce(list_transform(range(1, 65), i ->
+                            (CAST(round(v[i] * 1000000) AS BIGINT) / 1000000.0
+                               - cv[i]) *
+                            (CAST(round(v[i] * 1000000) AS BIGINT) / 1000000.0
+                               - cv[i])),
+                            (a, b) -> a + b) AS d2r
+                   FROM em JOIN cv USING (label))
+         SELECT vec_id, label, (round(d2r, 4) + 0.0) AS d2
+         FROM dd ORDER BY (round(d2r, 4) + 0.0) DESC, vec_id LIMIT 20""",
+    "q_lead_lag_corr" ->
+      // Pearson from exact int64 sufficient sums per lag; a lag pair
+      // exists iff both endpoint days were observed
+      """WITH daily AS (SELECT CAST(ts::TIMESTAMP AS DATE) AS day,
+                               CAST(sum(CASE WHEN event_type = 'view'
+                                             THEN 1 ELSE 0 END) AS BIGINT) AS v,
+                               CAST(sum(CASE WHEN event_type = 'purchase'
+                                             THEN 1 ELSE 0 END) AS BIGINT) AS p
+                        FROM events
+                        WHERE event_type IN ('view', 'purchase')
+                        GROUP BY 1),
+            lags AS (SELECT CAST(i AS INT) AS lag FROM range(-3, 4) t(i)),
+            pairs AS (SELECT lag, a.v AS v, b.p AS p
+                      FROM daily a, lags, daily b
+                      WHERE a.day + lag = b.day),
+            ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+                          CAST(sum(v) AS BIGINT) AS sx,
+                          CAST(sum(p) AS BIGINT) AS sy,
+                          CAST(sum(v * p) AS BIGINT) AS sxy,
+                          CAST(sum(v * v) AS BIGINT) AS sxx,
+                          CAST(sum(p * p) AS BIGINT) AS syy
+                   FROM pairs GROUP BY 1)
+         SELECT lag, n_days,
+                (round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+                       nullif(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) *
+                              sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)),
+                              0.0), 4) + 0.0) AS corr
+         FROM ag ORDER BY lag""",
+    "q_diff_in_diff" ->
+      // md5-parity arms (q_ab_test idiom), exact integer-second period
+      // midpoint (q_mix_shift rule), DiD from the four UNROUNDED means
+      """WITH p AS (SELECT user_id,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS sec,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase'),
+            b AS (SELECT min(sec) AS mn, max(sec) AS mx FROM p),
+            cells AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                                  THEN 'A' ELSE 'B' END AS arm,
+                             CASE WHEN 2 * sec < mn + mx THEN 1 ELSE 2 END
+                               AS period,
+                             cents
+                      FROM p, b),
+            g AS (SELECT arm, period, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS sc
+                  FROM cells GROUP BY 1, 2),
+            w AS (SELECT
+                    CAST(sum(CASE WHEN arm = 'A' AND period = 1 THEN n END) AS BIGINT) AS n_a1,
+                    CAST(sum(CASE WHEN arm = 'A' AND period = 2 THEN n END) AS BIGINT) AS n_a2,
+                    CAST(sum(CASE WHEN arm = 'B' AND period = 1 THEN n END) AS BIGINT) AS n_b1,
+                    CAST(sum(CASE WHEN arm = 'B' AND period = 2 THEN n END) AS BIGINT) AS n_b2,
+                    CAST(sum(CASE WHEN arm = 'A' AND period = 1 THEN sc END) AS BIGINT) AS s_a1,
+                    CAST(sum(CASE WHEN arm = 'A' AND period = 2 THEN sc END) AS BIGINT) AS s_a2,
+                    CAST(sum(CASE WHEN arm = 'B' AND period = 1 THEN sc END) AS BIGINT) AS s_b1,
+                    CAST(sum(CASE WHEN arm = 'B' AND period = 2 THEN sc END) AS BIGINT) AS s_b2
+                  FROM g)
+         SELECT n_a1, n_a2, n_b1, n_b2,
+                (round(CAST(s_a1 AS DOUBLE) / 100.0 / n_a1, 4) + 0.0) AS m_a1,
+                (round(CAST(s_a2 AS DOUBLE) / 100.0 / n_a2, 4) + 0.0) AS m_a2,
+                (round(CAST(s_b1 AS DOUBLE) / 100.0 / n_b1, 4) + 0.0) AS m_b1,
+                (round(CAST(s_b2 AS DOUBLE) / 100.0 / n_b2, 4) + 0.0) AS m_b2,
+                (round((CAST(s_b2 AS DOUBLE) / 100.0 / n_b2 -
+                        CAST(s_b1 AS DOUBLE) / 100.0 / n_b1) -
+                       (CAST(s_a2 AS DOUBLE) / 100.0 / n_a2 -
+                        CAST(s_a1 AS DOUBLE) / 100.0 / n_a1), 4) + 0.0) AS did
+         FROM w ORDER BY n_a1""",
+    "q_top_supplier" ->
+      // exact int64 revenue (cents x (100 - pct)) decides the max and
+      // its tie set; ONE terminal division for display
+      """WITH rev AS (SELECT l_suppkey,
+                             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                      (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                                  AS BIGINT) AS rev_e
+                      FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1996-04-01'
+                      GROUP BY 1),
+            mx AS (SELECT max(rev_e) AS mx FROM rev)
+         SELECT s_suppkey, s_name,
+                (round(CAST(rev_e AS DOUBLE) / 10000.0, 4) + 0.0) AS revenue
+         FROM rev, mx, supplier
+         WHERE rev_e = mx AND l_suppkey = s_suppkey
+         ORDER BY s_suppkey"""
   )
 }

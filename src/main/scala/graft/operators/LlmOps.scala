@@ -1590,4 +1590,156 @@ object LlmOps {
           col("mn").as("min_micro"), col("mx").as("max_micro")),
       col("lane"))
   }
+
+  /** Ranks the Zipf fit runs over — top-100 keeps the law's linear
+    * regime (the head) and bounds every downstream frame. */
+  val ZipfRanks = 100
+
+  /** q_zipf — Zipf's law fit of the token frequency distribution:
+    * rank tokens by frequency, fit ln f = ln C − s·ln r by OLS over
+    * the top-[[ZipfRanks]] ranks. s ≈ 1 for natural language; a
+    * template-heavy or boilerplate corpus shows s far from 1, and a
+    * drifting s between crawls flags a mix change before any
+    * downstream metric moves. The rank-frequency twin of
+    * [[heapsLaw]]'s growth law — together they are the two classic
+    * corpus-statistics fits.
+    *
+    * Determinism: frequencies are exact int64; the top-100 cut orders
+    * by (f DESC, tok) — a total order, so both engines pick the same
+    * set and ranks; x, y are ln of exact ints; the OLS sufficient sums
+    * fold in RANK order on both engines (sort_array + `aggregate` ↔
+    * list(· ORDER BY rank) + list_reduce — the q_heaps_law rule);
+    * slope/intercept are identically-spelled terminal chains, r4'd.
+    *
+    * Scale shape: one token shuffle to frequencies (partial-aggregable,
+    * map-side combined), a TakeOrdered(100) cut — per-partition top-k,
+    * no global sort — then everything on a 100-row frame collected to
+    * one bounded array; vocab/total ride a 1-row broadcast. */
+  def zipf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(false)
+    val tot = tf.agg(count(lit(1)).as("vocab"), sum(col("f")).as("total_tokens"))
+    // TakeOrderedAndProject cut; the rank window then sorts 100 rows
+    val top = tf.orderBy(col("f").desc, col("tok")).limit(ZipfRanks)
+    val pts = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("f").desc, col("tok"))))
+      .select(col("rank"),
+              log(col("rank").cast("double")).as("x"),
+              log(col("f").cast("double")).as("y"))
+    ord(
+      pts.agg(count(lit(1)).as("n_ranks"),
+              sort_array(collect_list(struct(col("rank"), col("x"),
+                                             col("y")))).as("ps"))
+        .crossJoin(broadcast(tot))
+        .withColumn("st", expr(
+          """aggregate(ps,
+               named_struct('sx', CAST(0.0 AS DOUBLE),
+                            'sy', CAST(0.0 AS DOUBLE),
+                            'sxx', CAST(0.0 AS DOUBLE),
+                            'sxy', CAST(0.0 AS DOUBLE)),
+               (a, p) -> named_struct('sx', a.sx + p.x, 'sy', a.sy + p.y,
+                                      'sxx', a.sxx + p.x * p.x,
+                                      'sxy', a.sxy + p.x * p.y))"""))
+        .withColumn("slope_raw", expr(
+          """(CAST(n_ranks AS DOUBLE) * st.sxy - st.sx * st.sy) /
+             (CAST(n_ranks AS DOUBLE) * st.sxx - st.sx * st.sx)"""))
+        .select(col("n_ranks"), col("vocab"), col("total_tokens"),
+                r4(-col("slope_raw")).as("zipf_s"),
+                r4(expr(
+                  "exp((st.sy - slope_raw * st.sx) / CAST(n_ranks AS DOUBLE))"))
+                  .as("c_coef")),
+      col("n_ranks"))
+  }
+
+  /** q_vocab_overlap — pairwise token-vocabulary Jaccard between
+    * sources: shared distinct tokens / union distinct tokens for every
+    * source pair — the corpus-comparison readout that says which crawl
+    * sources are lexically redundant (merge them) and which bring new
+    * vocabulary (keep them), the text twin of q_audience_overlap's
+    * user-set Jaccard (same shape, different domain).
+    *
+    * Determinism: exact integer distinct counts; ONE r4'd division.
+    *
+    * Scale shape: the q_audience_overlap plan verbatim — one distinct
+    * shuffle on (source, token); pair intersection CO-PARTITIONED on
+    * the token key (per-token fan-out ≤ |sources|); sizes + the
+    * |sources|² spine ride broadcasts. */
+  def vocabOverlap(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source").as("src"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      .localCheckpoint(false)
+    val sizes = st.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val spine = sizes.select(col("src").as("source_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("src").as("source_b"), col("n").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+    val inter = st.as("x")
+      .join(st.as("y"), col("x.tok") === col("y.tok") &&
+                        col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("source_a"), col("y.src").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    ord(
+      broadcast(spine).join(inter, Seq("source_a", "source_b"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+                col("inter"),
+                r4(col("inter").cast("double") /
+                   (col("n_a") + col("n_b") - col("inter"))).as("jaccard")),
+      col("source_a"), col("source_b"))
+  }
+
+  /** q_embed_outliers — the top-20 embedding-space outliers: per
+    * vector, squared euclidean distance to its LABEL's centroid; the
+    * farthest vectors are mislabeled/corrupted-encoding candidates —
+    * the data-cleaning face of the embedding family
+    * (q_embedding_centroid computes the centers; q_embed_profile
+    * profiles lanes; this names the rows to audit).
+    *
+    * Determinism: components quantized to exact 1e-6 micro-units
+    * (the q_embed_profile idiom) BEFORE the centroid sum, so each
+    * centroid lane is Σq/n/1e6 — exact ints, ONE division chain. The
+    * per-vector distance folds (vq − c)² over lanes in LANE ORDER on
+    * both engines (Spark `aggregate` over zip_with ↔ DuckDB
+    * list_reduce over list_transform(range) — sequential folds, the
+    * q_anova rule), so the unrounded doubles are bit-identical and the
+    * top-20 cut (d2 DESC, vec_id) cannot flip between engines.
+    *
+    * Scale shape: one posexplode rollup to the 10×64 centroid frame
+    * (map-side combined), rebuilt into 10 centroid ARRAYS and
+    * broadcast onto the scan; distance is an embarrassingly parallel
+    * map; the cut is TakeOrdered(20) — per-partition top-k, no global
+    * sort. */
+  def embedOutliers(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+    val cent = em
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+              expr("cast(round(x * 1000000) as bigint)").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+      .select(col("label"), col("pos"),
+              (col("sq").cast("double") / col("n") / 1000000.0).as("c"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("cs"))
+      .select(col("label"), expr("transform(cs, p -> p.c)").as("cv"))
+    em.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        r4(expr(
+          """aggregate(
+               zip_with(v, cv, (a, b) ->
+                 (cast(round(a * 1000000) as bigint) / 1000000.0 - b) *
+                 (cast(round(a * 1000000) as bigint) / 1000000.0 - b)),
+               CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""))
+          .as("d2"))
+      .orderBy(col("d2").desc, col("vec_id"))
+      .limit(20)
+  }
 }

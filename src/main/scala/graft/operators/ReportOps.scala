@@ -710,4 +710,39 @@ object ReportOps {
                        col("mau")).as("stickiness")),
       col("month"))
   }
+
+  /** q_top_supplier — the top-revenue supplier report (the TPC-H Q15
+    * shape): revenue per supplier over one quarter (1996-Q1 ship
+    * dates), return the supplier(s) holding the MAXIMUM — ties
+    * included, which is the part naive LIMIT 1 gets wrong.
+    *
+    * Determinism: revenue is EXACT int64 throughout the comparison —
+    * Σ cents(extendedprice)·(100 − pct(discount)) — so the max and
+    * its tie set are engine-identical (a double Σ ep·(1−disc) could
+    * flip the argmax by one ulp); the displayed revenue divides the
+    * exact total by 10⁴ once, r4'd. Total order on s_suppkey.
+    *
+    * Scale shape: the quarter filter pushes into the fact scan; ONE
+    * partial-aggregable shuffle onto |suppliers| keys; the 1-row max
+    * broadcasts back onto that dimension-sized frame (no second fact
+    * pass, no window); the supplier dim broadcasts for names. */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = graft.Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_suppkey"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+         (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_e"))
+      .groupBy(col("l_suppkey")).agg(sum(col("rev_e")).as("rev_e"))
+    val mx = rev.agg(max(col("rev_e")).as("mx"))
+    Fin.ord(
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev_e") === col("mx"))
+        .join(broadcast(graft.Tables.supplier(s, d)),
+              col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+                Fin.r4(col("rev_e").cast("double") / 10000.0).as("revenue")),
+      col("s_suppkey"))
+  }
 }

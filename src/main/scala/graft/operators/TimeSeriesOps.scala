@@ -1525,4 +1525,107 @@ object TimeSeriesOps {
             .as("residual")),
       col("day"))
   }
+
+  /** q_lead_lag_corr — cross-correlation of the daily VIEW and
+    * PURCHASE count series at lags −3..+3 days: corr(view(t),
+    * purchase(t+lag)) per lag. The lead-lag readout ("views lead
+    * purchases by k days") that q_rolling_corr's contemporaneous
+    * window cannot see — the argmax lag is the browse-to-buy latency
+    * a campaign planner schedules around.
+    *
+    * Determinism: daily counts exact int64; per lag, the Pearson
+    * sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact int64 sums
+    * over the lag-joined day pairs; r is ONE identically-spelled
+    * chain with nullif guarding zero variance. Days are OBSERVED days
+    * (the q_moving_avg stance); a lag pair exists iff both endpoints
+    * were observed.
+    *
+    * Scale shape: one partial-aggregable rollup to the ≤|days|
+    * calendar frame, a 7-row lag spine crossed onto it, one
+    * calendar-frame self-join on (day+lag), and a ≤7-row rollup —
+    * nothing after the first rollup is proportional to events. */
+  def leadLagCorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .localCheckpoint(false)
+    val lags = s.range(-3, 4).select(col("id").cast("int").as("lag"))
+    val pairs = daily.select(col("day"), col("v"))
+      .crossJoin(broadcast(lags))
+      .join(daily.select(col("day").as("day2"), col("p")),
+            expr("date_add(day, lag) = day2"))
+    ord(
+      pairs.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_days"),
+             sum(col("v")).as("sx"), sum(col("p")).as("sy"),
+             sum(col("v") * col("p")).as("sxy"),
+             sum(col("v") * col("v")).as("sxx"),
+             sum(col("p") * col("p")).as("syy"))
+        .select(col("lag"), col("n_days"),
+          r4((col("n_days") * col("sxy") - col("sx") * col("sy"))
+               .cast("double") /
+             nullif(sqrt((col("n_days") * col("sxx") - col("sx") * col("sx"))
+                           .cast("double")) *
+                    sqrt((col("n_days") * col("syy") - col("sy") * col("sy"))
+                           .cast("double")), lit(0.0))).as("corr")),
+      col("lag"))
+  }
+
+  /** q_diff_in_diff — the difference-in-differences estimator over
+    * the deterministic A/B split: per (arm, period) cell the purchase
+    * count and mean purchase value, and the DiD effect
+    * (B₂−B₁)−(A₂−A₁) on mean value — the experimentation family's
+    * trend-robust effect estimate (q_ab_test compares levels; DiD
+    * subtracts the shared time trend, the parallel-trends workhorse).
+    *
+    * Arms: the q_ab_test md5(user_id) parity split (deterministic,
+    * seed-free, engine-identical). Periods: the event-time range
+    * split at its exact integer-second midpoint — 2·sec < mn+mx, the
+    * q_mix_shift no-float-midpoint rule.
+    *
+    * Determinism: cell sums are exact cents; each mean divides once;
+    * the DiD combines the four UNROUNDED means in one
+    * identically-spelled chain and r4's once (§2.10 rule 8 — never
+    * arithmetic on already-rounded values).
+    *
+    * Scale shape: purchase filter pushes into the scan; the 1-row
+    * min/max frame broadcasts; ONE partial-aggregable shuffle onto 4
+    * cells; the pivot to a single row is a 4-row fold. */
+  def diffInDiff(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), epochSec(col("ts")).as("sec"),
+              expr("cast(round(value * 100) as bigint)").as("cents"))
+    val bounds = p.agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+    val cells = p.crossJoin(broadcast(bounds))
+      .withColumn("arm",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) % 2") === 0,
+             "A").otherwise("B"))
+      .withColumn("period",
+        when(lit(2) * col("sec") < col("mn") + col("mx"), 1).otherwise(2))
+      .groupBy(col("arm"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+    ord(
+      cells.agg(
+          sum(when(col("arm") === "A" && col("period") === 1, col("n"))).as("n_a1"),
+          sum(when(col("arm") === "A" && col("period") === 2, col("n"))).as("n_a2"),
+          sum(when(col("arm") === "B" && col("period") === 1, col("n"))).as("n_b1"),
+          sum(when(col("arm") === "B" && col("period") === 2, col("n"))).as("n_b2"),
+          sum(when(col("arm") === "A" && col("period") === 1, col("sc"))).as("s_a1"),
+          sum(when(col("arm") === "A" && col("period") === 2, col("sc"))).as("s_a2"),
+          sum(when(col("arm") === "B" && col("period") === 1, col("sc"))).as("s_b1"),
+          sum(when(col("arm") === "B" && col("period") === 2, col("sc"))).as("s_b2"))
+        .select(col("n_a1"), col("n_a2"), col("n_b1"), col("n_b2"),
+          r4(col("s_a1").cast("double") / 100.0 / col("n_a1")).as("m_a1"),
+          r4(col("s_a2").cast("double") / 100.0 / col("n_a2")).as("m_a2"),
+          r4(col("s_b1").cast("double") / 100.0 / col("n_b1")).as("m_b1"),
+          r4(col("s_b2").cast("double") / 100.0 / col("n_b2")).as("m_b2"),
+          r4((col("s_b2").cast("double") / 100.0 / col("n_b2") -
+              col("s_b1").cast("double") / 100.0 / col("n_b1")) -
+             (col("s_a2").cast("double") / 100.0 / col("n_a2") -
+              col("s_a1").cast("double") / 100.0 / col("n_a1"))).as("did")),
+      col("n_a1"))
+  }
 }

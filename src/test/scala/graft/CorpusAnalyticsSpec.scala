@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent recomputation checks for the r12 widening queries:
+  * each operator's headline number is re-derived in plain Scala from
+  * collected data, so a Spark-side expression bug cannot hide behind
+  * an oracle that mirrors the same mistake. */
+class CorpusAnalyticsSpec extends AnyFunSuite {
+  import TestBase._
+
+  test("zipf: slope matches a Scala OLS over the same top-100 ranks") {
+    val row = operators.LlmOps.zipf(spark, sf0001).collect().head
+    val (nRanks, zipfS) = (row.getLong(0), row.getDouble(3))
+    // independent recompute: frequencies via Spark collect, OLS in Scala
+    val tf = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val top = tf.sortBy { case (t, f) => (-f, t) }.take(100)
+    val pts = top.zipWithIndex.map { case ((_, f), i) =>
+      (math.log((i + 1).toDouble), math.log(f.toDouble)) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(nRanks == pts.length)
+    assert(math.abs(zipfS - (-slope)) < 1e-3,
+      s"query slope $zipfS vs scala ${-slope}")
+    assert(zipfS > 0, "token frequencies must decay with rank")
+  }
+
+  test("vocab_overlap: full pair spine; one pair's jaccard recomputed exactly") {
+    val rows = operators.LlmOps.vocabOverlap(spark, sf0001).collect()
+    val nSources = Tables.documents(spark, sf0001)
+      .select(countDistinct(col("source"))).head().getLong(0).toInt
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      "every source pair must surface, including zero-overlap ones")
+    rows.foreach { r =>
+      val j = r.getDouble(5)
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    // exact recompute of the first pair
+    val r0 = rows.head
+    val (a, b) = (r0.getString(0), r0.getString(1))
+    def vocab(src: String): Set[String] = Tables.documents(spark, sf0001)
+      .filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct().collect().map(_.getString(0)).toSet
+    val (va, vb) = (vocab(a), vocab(b))
+    assert(r0.getLong(2) == va.size && r0.getLong(3) == vb.size)
+    assert(r0.getLong(4) == (va & vb).size)
+  }
+
+  test("embed_outliers: top-20, non-increasing, worst distance recomputed") {
+    val rows = operators.LlmOps.embedOutliers(spark, sf0001).collect()
+    assert(rows.length == 20)
+    val d2s = rows.map(_.getDouble(2))
+    assert(d2s.zip(d2s.tail).forall { case (x, y) => x >= y },
+      "outliers must be ranked by distance descending")
+    // recompute the worst vector's distance in scala (same 1e-6
+    // quantization and lane-order fold)
+    val worst = rows.head
+    val (vid, lbl) = (worst.getLong(0), worst.getInt(1))
+    val em = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val mine = em.filter(_._2 == lbl)
+    def q(x: Double): Double = math.round(x * 1e6).toDouble / 1e6
+    val cent = (0 until 64).map { i =>
+      mine.map(v => math.round(v._3(i) * 1e6)).sum.toDouble / mine.length / 1e6
+    }
+    val v = em.find(_._1 == vid).get._3
+    val d2 = (0 until 64).map(i => (q(v(i)) - cent(i)) * (q(v(i)) - cent(i)))
+      .foldLeft(0.0)(_ + _)
+    assert(math.abs(worst.getDouble(2) - d2) < 1e-3,
+      s"query d2 ${worst.getDouble(2)} vs scala $d2")
+  }
+
+  test("lead_lag_corr: 7 lags, bounded, lag-0 matches a Scala Pearson") {
+    val rows = operators.TimeSeriesOps.leadLagCorr(spark, sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (-3 to 3).toSeq)
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+    val daily = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val n = daily.length
+    val (mx, my) = (daily.map(_._1).sum / n, daily.map(_._2).sum / n)
+    val cov = daily.map(p => (p._1 - mx) * (p._2 - my)).sum
+    val sdx = math.sqrt(daily.map(p => (p._1 - mx) * (p._1 - mx)).sum)
+    val sdy = math.sqrt(daily.map(p => (p._2 - my) * (p._2 - my)).sum)
+    val r0 = rows.find(_.getInt(0) == 0).get.getDouble(2)
+    assert(math.abs(r0 - cov / (sdx * sdy)) < 1e-3,
+      s"lag-0 corr $r0 vs scala ${cov / (sdx * sdy)}")
+  }
+
+  test("diff_in_diff: cells partition the purchases; did recombines the means") {
+    val r = operators.TimeSeriesOps.diffInDiff(spark, sf0001).collect().head
+    val nTotal = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3) == nTotal,
+      "the four cells must partition the purchase set")
+    val did = (r.getDouble(7) - r.getDouble(6)) - (r.getDouble(5) - r.getDouble(4))
+    // did is computed from UNROUNDED means, so it can differ from the
+    // recombination of the four rounded means by at most 4 half-ulps
+    assert(math.abs(r.getDouble(8) - did) <= 2e-4,
+      s"did ${r.getDouble(8)} vs rounded-means recombination $did")
+  }
+
+  test("top_supplier: the winner's exact revenue is the true maximum") {
+    val rows = operators.ReportOps.topSupplier(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byS = Tables.lineitem(spark, sf0001)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_suppkey"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+         (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("e"))
+      .groupBy("l_suppkey").agg(sum("e").as("rev"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mx = byS.values.max
+    val winners = byS.filter(_._2 == mx).keys.toSet
+    assert(rows.map(_.getLong(0)).toSet == winners,
+      "the reported supplier set must be exactly the exact-max tie set")
+    assert(math.abs(rows.head.getDouble(2) - mx / 1e4) < 1e-3)
+  }
+}

@@ -81,7 +81,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_seasonal_decompose's 7-day rolling mean rides the
     // calendar-bounded daily rollup (q_cusum precedent)
     "q_abc_pareto", "q_compaction_plan", "q_heaps_law",
-    "q_seasonal_decompose")
+    "q_seasonal_decompose",
+    // q_zipf's rank window orders the post-TakeOrdered(100) frame —
+    // bounded by the ZipfRanks constant, never by the corpus
+    "q_zipf")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {
