@@ -385,7 +385,13 @@ object SparkEntry {
     "q_embed_outliers" -> (L.embedOutliers _),
     "q_lead_lag_corr" -> (TimeSeriesOps.leadLagCorr _),
     "q_diff_in_diff" -> (TimeSeriesOps.diffInDiff _),
-    "q_top_supplier" -> (ReportOps.topSupplier _)
+    "q_top_supplier" -> (ReportOps.topSupplier _),
+    // r12 widening 2: promo share, returns report, late-shipment
+    // priorities, session-duration histogram
+    "q_promo_share" -> (ReportOps.promoShare _),
+    "q_returns_report" -> (ReportOps.returnsReport _),
+    "q_priority_late" -> (ReportOps.priorityLate _),
+    "q_session_duration_hist" -> (W.sessionDurationHist _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5661,6 +5667,88 @@ object SparkEntry {
                 (round(CAST(rev_e AS DOUBLE) / 10000.0, 4) + 0.0) AS revenue
          FROM rev, mx, supplier
          WHERE rev_e = mx AND l_suppkey = s_suppkey
-         ORDER BY s_suppkey"""
+         ORDER BY s_suppkey""",
+    "q_promo_share" ->
+      // numerator and denominator exact int64 in the same cells; ONE
+      // division for the share
+      """WITH li AS (SELECT date_trunc('month', l_shipdate)::DATE AS month,
+                            CAST(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                 (100 - CAST(round(l_discount * 100) AS BIGINT))
+                                 AS BIGINT) AS rev_e,
+                            (p_type = 'PROMO') AS is_promo
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+            g AS (SELECT month,
+                         CAST(sum(CASE WHEN is_promo THEN rev_e ELSE 0 END)
+                              AS BIGINT) AS promo_e,
+                         CAST(sum(rev_e) AS BIGINT) AS total_e
+                  FROM li GROUP BY 1)
+         SELECT month,
+                (round(CAST(promo_e AS DOUBLE) / 10000.0, 4) + 0.0) AS promo_rev,
+                (round(CAST(total_e AS DOUBLE) / 10000.0, 4) + 0.0) AS total_rev,
+                (round(100.0 * promo_e / total_e, 4) + 0.0) AS promo_share
+         FROM g ORDER BY month""",
+    "q_returns_report" ->
+      // exact int64 revenue decides the top-20 cut (rev DESC, custkey)
+      """WITH rev AS (SELECT o_custkey,
+                             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                      (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                                  AS BIGINT) AS rev_e
+                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      WHERE l_returnflag = 'R'
+                      GROUP BY 1),
+            top AS (SELECT c_custkey, c_name, c_mktsegment, rev_e
+                    FROM rev JOIN customer ON o_custkey = c_custkey
+                    ORDER BY rev_e DESC, c_custkey LIMIT 20)
+         SELECT c_custkey, c_name, c_mktsegment,
+                (round(CAST(rev_e AS DOUBLE) / 10000.0, 4) + 0.0)
+                  AS returned_rev
+         FROM top ORDER BY rev_e DESC, c_custkey""",
+    "q_priority_late" ->
+      // EXISTS books each order once; 90-day cutoff in exact dates
+      """WITH late AS (SELECT o_orderpriority,
+                              CAST(count(*) AS BIGINT) AS n_late
+                       FROM orders o
+                       WHERE EXISTS (SELECT 1 FROM lineitem
+                                     WHERE l_orderkey = o.o_orderkey
+                                       AND l_shipdate > o.o_orderdate
+                                           + INTERVAL 90 DAY)
+                       GROUP BY 1),
+            tot AS (SELECT o_orderpriority,
+                           CAST(count(*) AS BIGINT) AS n_orders
+                    FROM orders GROUP BY 1)
+         SELECT o_orderpriority, n_orders,
+                CAST(coalesce(n_late, 0) AS BIGINT) AS n_late,
+                (round(CAST(coalesce(n_late, 0) AS DOUBLE) / n_orders, 4)
+                 + 0.0) AS late_rate
+         FROM tot LEFT JOIN late USING (o_orderpriority)
+         ORDER BY o_orderpriority""",
+    "q_session_duration_hist" ->
+      // sessions re-derived from raw events (the q_sessionize oracle),
+      // bucketed by exact integer 5-minute bins
+      """WITH e AS (SELECT user_id, event_id,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g),
+            sess AS (SELECT user_id, sid,
+                            max(ts_sec) - min(ts_sec) AS dur_sec,
+                            CAST(count(*) AS BIGINT) AS n_events
+                     FROM sids GROUP BY 1, 2),
+            h AS (SELECT dur_sec // 300 AS bucket,
+                         CAST(count(*) AS BIGINT) AS n_sessions,
+                         CAST(sum(n_events) AS BIGINT) AS ev_sum
+                  FROM sess GROUP BY 1)
+         SELECT bucket, CAST(bucket * 300 AS BIGINT) AS from_sec, n_sessions,
+                (round(CAST(ev_sum AS DOUBLE) / n_sessions, 4) + 0.0)
+                  AS avg_events
+         FROM h ORDER BY bucket"""
   )
 }

@@ -745,4 +745,110 @@ object ReportOps {
                 Fin.r4(col("rev_e").cast("double") / 10000.0).as("revenue")),
       col("s_suppkey"))
   }
+
+  /** q_promo_share — monthly promotional-revenue share (the TPC-H Q14
+    * shape): per ship month, revenue from PROMO-type parts as a
+    * percentage of all revenue — the campaign-effect readout every
+    * merchandising review runs.
+    *
+    * Determinism: both numerator and denominator are EXACT int64
+    * (cents × (100 − pct), the q_top_supplier idiom) summed in the
+    * same cells; the share is ONE division of two exact ints, r4'd.
+    *
+    * Scale shape: the |parts| dim broadcasts its (partkey, is_promo)
+    * projection onto the fact scan; ONE partial-aggregable shuffle
+    * onto ≤|months| keys; no second pass. */
+  def promoShare(s: SparkSession, d: String): DataFrame = {
+    val p = graft.Tables.part(s, d)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    Fin.ord(
+      graft.Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+                date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+                (expr("cast(round(l_extendedprice * 100) as bigint)") *
+                 (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+                  .as("rev_e"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("month"))
+        .agg(sum(when(col("is_promo"), col("rev_e")).otherwise(0L))
+               .as("promo_e"),
+             sum(col("rev_e")).as("total_e"))
+        .select(col("month"),
+                Fin.r4(col("promo_e").cast("double") / 10000.0).as("promo_rev"),
+                Fin.r4(col("total_e").cast("double") / 10000.0).as("total_rev"),
+                Fin.r4(lit(100.0) * col("promo_e") / col("total_e"))
+                  .as("promo_share")),
+      col("month"))
+  }
+
+  /** q_returns_report — the top-20 customers by RETURNED-item revenue
+    * (the TPC-H Q10 shape): who is sending the most money back — the
+    * customer-service escalation list, ranked by exact revenue.
+    *
+    * Determinism: revenue exact int64 (q_top_supplier idiom); the
+    * top-20 cut orders by (rev_e DESC, custkey) — exact ints + unique
+    * tiebreak, so the cut set is engine-identical; ONE terminal
+    * division for display.
+    *
+    * Scale shape: returnflag filter pushes into the fact scan; ONE
+    * partial-aggregable shuffle onto |customers| keys; TakeOrdered(20)
+    * per-partition top-k — no global sort; the customer dim broadcasts
+    * for names onto the 20-row frame. */
+  def returnsReport(s: SparkSession, d: String): DataFrame = {
+    val rev = graft.Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(graft.Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+         (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_e"))
+      .groupBy(col("o_custkey")).agg(sum(col("rev_e")).as("rev_e"))
+    rev
+      .join(broadcast(graft.Tables.customer(s, d)
+              .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+              col("rev_e"))
+      .orderBy(col("rev_e").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+              Fin.r4(col("rev_e").cast("double") / 10000.0).as("returned_rev"))
+  }
+
+  /** q_priority_late — late-shipment counts per order priority (the
+    * TPC-H Q4 shape on this schema): orders with at least one line
+    * shipped more than 90 days after the order date, counted per
+    * o_orderpriority with the late rate — the fulfilment-SLA
+    * escalation report (q_ship_lag profiles the lag distribution;
+    * this books each order once against its priority class).
+    *
+    * Determinism: the 90-day cutoff compares exact dates; counts are
+    * exact int64; ONE r4'd rate division.
+    *
+    * Scale shape: a LEFT SEMI join on the order key — the fact side
+    * never fans out (an order with 7 late lines books once), nothing
+    * wider than the key crosses the shuffle; then ONE
+    * partial-aggregable rollup onto the ≤|priorities| frame, with the
+    * total per priority from the same orders scan. */
+  def priorityLate(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+              col("o_orderpriority"))
+    val li = graft.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val late = o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > expr("o_orderdate + INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_late"))
+    val tot = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    Fin.ord(
+      tot.join(late, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("n_orders"),
+                coalesce(col("n_late"), lit(0L)).as("n_late"),
+                Fin.r4(coalesce(col("n_late"), lit(0L)).cast("double") /
+                       col("n_orders")).as("late_rate")),
+      col("o_orderpriority"))
+  }
 }

@@ -216,6 +216,34 @@ object WindowOps {
       col("user_id"), col("sid"))
   }
 
+  /** q_session_duration_hist — GA's session-duration report: sessions
+    * bucketed by duration in 5-minute bins (bucket = ⌊dur/300 s⌋),
+    * with each bin's session count and mean event count —
+    * q_page_depth histograms DEPTH, this histograms TIME, together
+    * the two engagement axes.
+    *
+    * Determinism: durations exact integer seconds from the store; the
+    * bucket is integer division; the mean divides two exact ints once,
+    * r4'd.
+    *
+    * Scale shape: the tenth session-store consumer — the per-(user,
+    * sid) aggregate is exchange-free on the bucket layout; only the
+    * ≤|buckets| histogram rows cross the second shuffle. */
+  def sessionDurationHist(s: SparkSession, d: String): DataFrame = {
+    ord(
+      sessionized(s, d).groupBy(col("user_id"), col("sid"))
+        .agg((max(col("ts_sec")) - min(col("ts_sec"))).as("dur_sec"),
+             count(lit(1)).as("n_events"))
+        .groupBy(expr("dur_sec DIV 300").as("bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(col("n_events")).as("ev_sum"))
+        .select(col("bucket"), (col("bucket") * 300).as("from_sec"),
+                col("n_sessions"),
+                r4(col("ev_sum").cast("double") / col("n_sessions"))
+                  .as("avg_events")),
+      col("bucket"))
+  }
+
   /** q_page_depth — GA's page-depth report: how many sessions contain
     * exactly N events. The ninth session-store consumer: the per-
     * session count is exchange-free on the user-bucketed store

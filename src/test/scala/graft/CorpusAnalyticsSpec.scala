@@ -118,6 +118,58 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
       s"did ${r.getDouble(8)} vs rounded-means recombination $did")
   }
 
+  test("promo_share: share recombines from the two exact revenue columns") {
+    val rows = operators.ReportOps.promoShare(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (promo, total, share) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(share >= 0.0 && share <= 100.0)
+      assert(promo <= total + 1e-9)
+      // rounded-parts recombination within rounding slack
+      assert(math.abs(share - 100.0 * promo / total) < 0.02,
+        s"share $share vs ${100.0 * promo / total}")
+    }
+  }
+
+  test("returns_report: 20 rows, descending, every row beats the 21st") {
+    val rows = operators.ReportOps.returnsReport(spark, sf0001).collect()
+    assert(rows.length == 20)
+    val revs = rows.map(_.getDouble(3))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    // the cut is genuinely the top: the worst shown beats the best hidden
+    val all = Tables.lineitem(spark, sf0001)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)") *
+               (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+             .as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val shown = rows.map(_.getLong(0)).toSet
+    val hiddenMax = all.filterNot(p => shown(p._1)).map(_._2).max
+    val shownMin = all.filter(p => shown(p._1)).map(_._2).min
+    assert(shownMin >= hiddenMax)
+  }
+
+  test("priority_late: late counts bounded by totals; totals cover all orders") {
+    val rows = operators.ReportOps.priorityLate(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val nOrders = Tables.orders(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == nOrders)
+  }
+
+  test("session_duration_hist: session count conserved across buckets") {
+    val rows = operators.WindowOps.sessionDurationHist(spark, sf0001).collect()
+    val nSessions = operators.WindowOps.sessionize(spark, sf0001).count()
+    assert(rows.map(_.getLong(2)).sum == nSessions,
+      "histogram must partition the session set")
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(0) * 300))
+  }
+
   test("top_supplier: the winner's exact revenue is the true maximum") {
     val rows = operators.ReportOps.topSupplier(spark, sf0001).collect()
     assert(rows.nonEmpty)

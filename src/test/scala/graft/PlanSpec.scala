@@ -145,7 +145,8 @@ class PlanSpec extends AnyFunSuite {
     // and per-user ClusteredDistributions, so the only legal exchanges
     // are the tiny histogram/bucket rollups ABOVE it
     for (df <- Seq(graft.operators.WindowOps.pageDepth(spark, sf0001),
-                   graft.operators.WindowOps.userLoyalty(spark, sf0001))) {
+                   graft.operators.WindowOps.userLoyalty(spark, sf0001),
+                   graft.operators.WindowOps.sessionDurationHist(spark, sf0001))) {
       val tree = plan(df).split("\n\n").head
       val lines = tree.linesIterator.toVector
       val lastAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
