@@ -391,7 +391,13 @@ object SparkEntry {
     "q_promo_share" -> (ReportOps.promoShare _),
     "q_returns_report" -> (ReportOps.returnsReport _),
     "q_priority_late" -> (ReportOps.priorityLate _),
-    "q_session_duration_hist" -> (W.sessionDurationHist _)
+    "q_session_duration_hist" -> (W.sessionDurationHist _),
+    // r12 widening 3: robust scaler, token-length profile, first-vs-
+    // repeat AOV, regional revenue shares
+    "q_robust_scale" -> (graft.operators.EvalOps.robustScale _),
+    "q_token_length" -> (L.tokenLength _),
+    "q_first_repeat_aov" -> (ReportOps.firstRepeatAov _),
+    "q_regional_revenue" -> (ReportOps.regionalRevenue _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5749,6 +5755,80 @@ object SparkEntry {
          SELECT bucket, CAST(bucket * 300 AS BIGINT) AS from_sec, n_sessions,
                 (round(CAST(ev_sum AS DOUBLE) / n_sessions, 4) + 0.0)
                   AS avg_events
-         FROM h ORDER BY bucket"""
+         FROM h ORDER BY bucket""",
+    "q_robust_scale" ->
+      // dyadic quantile positions interpolate exactly over sorted ints
+      // (the q_winsorize percentile chain); ONE nullif-guarded division
+      """WITH q AS (SELECT lang,
+                           quantile_cont(n_chars, 0.25) AS q25,
+                           quantile_cont(n_chars, 0.5) AS med,
+                           quantile_cont(n_chars, 0.75) AS q75
+                    FROM documents GROUP BY 1)
+         SELECT doc_id, d.lang AS lang, n_chars,
+                (round(med, 4) + 0.0) AS med,
+                (round(q75 - q25, 4) + 0.0) AS iqr,
+                (round((n_chars - med) / nullif(q75 - q25, 0.0), 4) + 0.0)
+                  AS rs
+         FROM documents d JOIN q ON d.lang = q.lang
+         ORDER BY doc_id""",
+    "q_token_length" ->
+      // (lang, length) cells with exact-int shares
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            cells AS (SELECT lang, CAST(length(tok) AS INT) AS tok_len,
+                             CAST(count(*) AS BIGINT) AS n_tokens
+                      FROM toks WHERE length(tok) > 0 GROUP BY 1, 2),
+            tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total
+                    FROM cells GROUP BY 1)
+         SELECT cells.lang AS lang, tok_len, n_tokens,
+                (round(CAST(n_tokens AS DOUBLE) / total, 4) + 0.0) AS share
+         FROM cells JOIN tot ON cells.lang = tot.lang
+         ORDER BY lang, tok_len""",
+    "q_first_repeat_aov" ->
+      // row 1 of the (date, orderkey)-ordered per-customer window is
+      // the first order; ratio combines UNROUNDED means (rule 8)
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                           row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) = 1 AS is_first
+                    FROM orders),
+            w AS (SELECT
+                    CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_first,
+                    CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
+                      AS n_repeat,
+                    CAST(sum(CASE WHEN is_first THEN cents ELSE 0 END) AS BIGINT)
+                      AS s_first,
+                    CAST(sum(CASE WHEN is_first THEN 0 ELSE cents END) AS BIGINT)
+                      AS s_repeat
+                  FROM o)
+         SELECT n_first, n_repeat,
+                (round(CAST(s_first AS DOUBLE) / 100.0 / n_first, 4) + 0.0)
+                  AS aov_first,
+                (round(CAST(s_repeat AS DOUBLE) / 100.0 / n_repeat, 4) + 0.0)
+                  AS aov_repeat,
+                (round((CAST(s_first AS DOUBLE) / 100.0 / n_first) /
+                       (CAST(s_repeat AS DOUBLE) / 100.0 / n_repeat), 4) + 0.0)
+                  AS first_over_repeat
+         FROM w ORDER BY n_first""",
+    "q_regional_revenue" ->
+      // exact int64 revenue + share of the regional total
+      """WITH n AS (SELECT n_nationkey, n_name
+                    FROM nation JOIN region ON n_regionkey = r_regionkey
+                    WHERE r_name = 'ASIA'),
+            rev AS (SELECT n_name,
+                           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                    (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                                AS BIGINT) AS rev_e
+                    FROM customer
+                         JOIN n ON c_nationkey = n_nationkey
+                         JOIN orders ON c_custkey = o_custkey
+                         JOIN lineitem ON o_orderkey = l_orderkey
+                    GROUP BY 1),
+            tot AS (SELECT CAST(sum(rev_e) AS BIGINT) AS tot_e FROM rev)
+         SELECT n_name,
+                (round(CAST(rev_e AS DOUBLE) / 10000.0, 4) + 0.0) AS revenue,
+                (round(100.0 * rev_e / tot_e, 4) + 0.0) AS share
+         FROM rev, tot ORDER BY n_name"""
   )
 }

@@ -364,4 +364,37 @@ object EvalOps {
             .as("mm")),
       col("doc_id"))
   }
+
+  /** q_robust_scale — the ROBUST twin of [[zscoreScale]]: per document,
+    * (length − median)/IQR within its language — the scaler a feature
+    * pipeline switches to when outliers poison mean/σ (one 10 MB
+    * pathological doc shifts z-scores corpus-wide; the median/IQR
+    * don't move).
+    *
+    * Determinism: n_chars is int; the quantile positions .25/.5/.75
+    * are DYADIC, so linear interpolation over sorted ints is exact in
+    * doubles on both engines (percentile ↔ quantile_cont, the
+    * q_winsorize chain); the scaling is ONE identically-spelled
+    * division with nullif guarding IQR = 0.
+    *
+    * Scale shape: one rollup to |langs| quantile rows (exact
+    * percentile needs the sorted group — at 100 TB approx_percentile
+    * replaces it, the documented q_percentile_approx path), broadcast
+    * back onto the scan; no window, no fact shuffle. */
+  def robustScale(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val q = docs.groupBy(col("lang"))
+      .agg(percentile(col("n_chars"), lit(0.25)).as("q25"),
+           percentile(col("n_chars"), lit(0.5)).as("med"),
+           percentile(col("n_chars"), lit(0.75)).as("q75"))
+    Fin.ord(
+      docs.join(broadcast(q), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          r4(col("med")).as("med"),
+          r4(col("q75") - col("q25")).as("iqr"),
+          r4((col("n_chars") - col("med")) /
+             nullif(col("q75") - col("q25"), lit(0.0))).as("rs")),
+      col("doc_id"))
+  }
 }

@@ -1656,6 +1656,37 @@ object LlmOps {
       col("n_ranks"))
   }
 
+  /** q_token_length — the token-LENGTH profile per language: for each
+    * (lang, character length) cell, occurrence count and share of the
+    * language's tokens — the tokenizer-design diagnostic (long-tail
+    * lengths say whether a 16-char max_token truncates real words;
+    * cross-language length shapes size the BPE vocabulary per
+    * language). q_text_stats counts tokens; this profiles their
+    * SHAPE.
+    *
+    * Determinism: counts exact int64; share is ONE division of two
+    * exact ints, r4'd.
+    *
+    * Scale shape: scan-side explode feeding ONE partial-aggregable
+    * shuffle onto (lang, len) keys — the key domain is |langs| ×
+    * max-token-length, vocabulary-bounded, so map-side combine
+    * collapses each partition before the exchange; language totals
+    * ride a broadcast of the same rollup. */
+  def tokenLength(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("lang"), length(col("tok")).as("tok_len"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .localCheckpoint(false)
+    val tot = cells.groupBy(col("lang")).agg(sum(col("n_tokens")).as("total"))
+    ord(
+      cells.join(broadcast(tot), "lang")
+        .select(col("lang"), col("tok_len"), col("n_tokens"),
+                r4(col("n_tokens").cast("double") / col("total")).as("share")),
+      col("lang"), col("tok_len"))
+  }
+
   /** q_vocab_overlap — pairwise token-vocabulary Jaccard between
     * sources: shared distinct tokens / union distinct tokens for every
     * source pair — the corpus-comparison readout that says which crawl

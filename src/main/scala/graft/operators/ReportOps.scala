@@ -816,6 +816,84 @@ object ReportOps {
               Fin.r4(col("rev_e").cast("double") / 10000.0).as("returned_rev"))
   }
 
+  /** q_first_repeat_aov — first-order vs repeat-order average order
+    * value: is the first purchase bigger or smaller than later ones?
+    * The acquisition-economics number (a high first/repeat ratio says
+    * discounts buy one-off spikes; a low one says onboarding
+    * undersells) — q_new_returning splits USERS, this splits ORDER
+    * VALUE along the same axis.
+    *
+    * Determinism: the first order per customer is row 1 of the
+    * (o_orderdate, o_orderkey)-ordered per-customer window (unique
+    * tiebreak); cents exact int64; each mean divides once and the
+    * ratio combines the two UNROUNDED means in one chain, r4'd
+    * (§2.10 rule 8).
+    *
+    * Scale shape: one custkey shuffle for the rank window (the
+    * sessionize shape), ONE 2-cell rollup, a 1-row output. */
+  def firstRepeatAov(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val o = graft.Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+              expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .withColumn("is_first", row_number().over(w) === 1)
+    Fin.ord(
+      o.agg(
+          sum(when(col("is_first"), 1L).otherwise(0L)).as("n_first"),
+          sum(when(!col("is_first"), 1L).otherwise(0L)).as("n_repeat"),
+          sum(when(col("is_first"), col("cents")).otherwise(0L)).as("s_first"),
+          sum(when(!col("is_first"), col("cents")).otherwise(0L)).as("s_repeat"))
+        .select(col("n_first"), col("n_repeat"),
+          Fin.r4(col("s_first").cast("double") / 100.0 / col("n_first"))
+            .as("aov_first"),
+          Fin.r4(col("s_repeat").cast("double") / 100.0 / col("n_repeat"))
+            .as("aov_repeat"),
+          Fin.r4((col("s_first").cast("double") / 100.0 / col("n_first")) /
+                 (col("s_repeat").cast("double") / 100.0 / col("n_repeat")))
+            .as("first_over_repeat")),
+      col("n_first"))
+  }
+
+  /** q_regional_revenue — revenue per nation within one region (the
+    * TPC-H Q5 shape): ASIA's nations ranked by customer revenue, each
+    * with its share of the regional total — the market-share report
+    * over the region→nation dimension hierarchy (q_agg_rollup
+    * subtotals COUNTS over the same hierarchy; this books exact
+    * revenue with shares).
+    *
+    * Determinism: revenue exact int64 (cents × (100−pct)); the share
+    * divides two exact ints once; total order on n_name.
+    *
+    * Scale shape: region filter prunes the broadcast nation dim to
+    * ≤|nations in region| keys BEFORE the fact join, so the
+    * customer→orders→lineitem chain joins against a filtered
+    * broadcast; ONE partial-aggregable rollup onto ≤5 nation keys; the
+    * 1-row regional total broadcasts back onto that frame. */
+  def regionalRevenue(s: SparkSession, d: String): DataFrame = {
+    val n = graft.Tables.nation(s, d)
+      .join(graft.Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey"), col("n_name"))
+    val rev = graft.Tables.customer(s, d)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(graft.Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("n_name"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+         (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_e"))
+      .groupBy(col("n_name")).agg(sum(col("rev_e")).as("rev_e"))
+    val tot = rev.agg(sum(col("rev_e")).as("tot_e"))
+    Fin.ord(
+      rev.crossJoin(broadcast(tot))
+        .select(col("n_name"),
+                Fin.r4(col("rev_e").cast("double") / 10000.0).as("revenue"),
+                Fin.r4(lit(100.0) * col("rev_e") / col("tot_e")).as("share")),
+      col("n_name"))
+  }
+
   /** q_priority_late — late-shipment counts per order priority (the
     * TPC-H Q4 shape on this schema): orders with at least one line
     * shipped more than 90 days after the order date, counted per

@@ -170,6 +170,52 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) == r.getLong(0) * 300))
   }
 
+  test("robust_scale: median doc scales to ~0; one doc recomputed in Scala") {
+    val rows = operators.EvalOps.robustScale(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // recompute one language's quantiles in scala and check a doc
+    val lang = rows.head.getString(1)
+    val lens = Tables.documents(spark, sf0001).filter(col("lang") === lang)
+      .select(col("n_chars")).collect().map(_.getLong(0)).sorted
+    def q(p: Double): Double = {
+      val pos = p * (lens.length - 1)
+      val (lo, hi) = (pos.toInt, math.min(pos.toInt + 1, lens.length - 1))
+      lens(lo) + (pos - lo) * (lens(hi) - lens(lo))
+    }
+    val (q25, med, q75) = (q(0.25), q(0.5), q(0.75))
+    val r0 = rows.filter(_.getString(1) == lang).head
+    val expect = (r0.getLong(2) - med) / (q75 - q25)
+    assert(math.abs(r0.getDouble(5) - expect) < 1e-3,
+      s"rs ${r0.getDouble(5)} vs scala $expect")
+  }
+
+  test("token_length: shares sum to 1 within each language") {
+    val rows = operators.LlmOps.tokenLength(spark, sf0001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 0.01, s"$lang shares sum to $s")
+    }
+    rows.foreach(r => assert(r.getInt(1) > 0 && r.getLong(2) > 0))
+  }
+
+  test("first_repeat_aov: first count = customers with orders; totals conserve") {
+    val r = operators.ReportOps.firstRepeatAov(spark, sf0001).collect().head
+    val nCust = Tables.orders(spark, sf0001)
+      .select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val nOrders = Tables.orders(spark, sf0001).count()
+    assert(r.getLong(0) == nCust)
+    assert(r.getLong(0) + r.getLong(1) == nOrders)
+    val ratio = r.getDouble(2) / r.getDouble(3)
+    assert(math.abs(r.getDouble(4) - ratio) < 2e-3)
+  }
+
+  test("regional_revenue: shares sum to 100 over the region's nations") {
+    val rows = operators.ReportOps.regionalRevenue(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val s = rows.map(_.getDouble(2)).sum
+    assert(math.abs(s - 100.0) < 0.01, s"shares sum to $s")
+  }
+
   test("top_supplier: the winner's exact revenue is the true maximum") {
     val rows = operators.ReportOps.topSupplier(spark, sf0001).collect()
     assert(rows.nonEmpty)
