@@ -397,7 +397,12 @@ object SparkEntry {
     "q_robust_scale" -> (graft.operators.EvalOps.robustScale _),
     "q_token_length" -> (L.tokenLength _),
     "q_first_repeat_aov" -> (ReportOps.firstRepeatAov _),
-    "q_regional_revenue" -> (ReportOps.regionalRevenue _)
+    "q_regional_revenue" -> (ReportOps.regionalRevenue _),
+    // r12 widening 4: quality×source grid, price elasticity,
+    // order-size histogram
+    "q_quality_by_source" -> (L.qualityBySource _),
+    "q_price_elasticity" -> (ReportOps.priceElasticity _),
+    "q_order_size_hist" -> (ReportOps.orderSizeHist _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5829,6 +5834,70 @@ object SparkEntry {
          SELECT n_name,
                 (round(CAST(rev_e AS DOUBLE) / 10000.0, 4) + 0.0) AS revenue,
                 (round(100.0 * rev_e / tot_e, 4) + 0.0) AS share
-         FROM rev, tot ORDER BY n_name"""
+         FROM rev, tot ORDER BY n_name""",
+    "q_quality_by_source" ->
+      // quality = u/max(t,50); band thresholds are exact int64
+      // cross-multiplications (4u vs k*max(t,50)) — no float until the
+      // one share division
+      """WITH d AS (SELECT source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+                           CAST(len(list_distinct(string_split(text, ' ')))
+                                AS BIGINT) AS u
+                    FROM documents),
+            b AS (SELECT source,
+                         CASE WHEN 4 * u >= 3 * greatest(t, 50) THEN 'a_ge75'
+                              WHEN 4 * u >= 2 * greatest(t, 50) THEN 'b_50_75'
+                              WHEN 4 * u >= greatest(t, 50) THEN 'c_25_50'
+                              ELSE 'd_lt25' END AS band
+                  FROM d),
+            cells AS (SELECT source, band, CAST(count(*) AS BIGINT) AS n_docs
+                      FROM b GROUP BY 1, 2),
+            tot AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS total
+                    FROM cells GROUP BY 1)
+         SELECT cells.source AS source, band, n_docs,
+                (round(CAST(n_docs AS DOUBLE) / total, 4) + 0.0) AS share
+         FROM cells JOIN tot ON cells.source = tot.source
+         ORDER BY source, band""",
+    "q_price_elasticity" ->
+      // cell-level log-log OLS per brand; sums fold in PRICE order
+      // (the q_heaps_law list ORDER BY + list_reduce rule)
+      """WITH cells AS (SELECT p_brand AS brand,
+                               CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
+                               CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                                    AS BIGINT) AS qty
+                        FROM lineitem JOIN part ON l_partkey = p_partkey
+                        GROUP BY 1, 2),
+            pts AS (SELECT brand, pc,
+                           ln(CAST(pc AS DOUBLE)) AS x,
+                           ln(CAST(qty AS DOUBLE)) AS y
+                    FROM cells),
+            ag AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_cells,
+                          list(x ORDER BY pc) AS xs,
+                          list(y ORDER BY pc) AS ys,
+                          list(x * y ORDER BY pc) AS xys
+                   FROM pts GROUP BY 1),
+            st AS (SELECT brand, n_cells,
+                          list_reduce(xs, (a, b) -> a + b) AS sx,
+                          list_reduce(ys, (a, b) -> a + b) AS sy,
+                          list_reduce(list_transform(xs, x -> x * x),
+                                      (a, b) -> a + b) AS sxx,
+                          list_reduce(xys, (a, b) -> a + b) AS sxy
+                   FROM ag)
+         SELECT brand, n_cells,
+                (round((CAST(n_cells AS DOUBLE) * sxy - sx * sy) /
+                       nullif(CAST(n_cells AS DOUBLE) * sxx - sx * sx,
+                              CAST(0.0 AS DOUBLE)), 4) + 0.0) AS elasticity
+         FROM st ORDER BY brand""",
+    "q_order_size_hist" ->
+      // lines-per-order histogram with exact shares
+      """WITH sz AS (SELECT l_orderkey, CAST(count(*) AS BIGINT)
+                              AS order_lines
+                     FROM lineitem GROUP BY 1),
+            h AS (SELECT order_lines, CAST(count(*) AS BIGINT) AS n_orders
+                  FROM sz GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM h)
+         SELECT order_lines, n_orders,
+                (round(CAST(n_orders AS DOUBLE) / total, 4) + 0.0) AS share
+         FROM h, tot ORDER BY order_lines"""
   )
 }

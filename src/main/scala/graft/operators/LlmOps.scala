@@ -1687,6 +1687,48 @@ object LlmOps {
       col("lang"), col("tok_len"))
   }
 
+  /** q_quality_by_source — the curation dashboard's quality×source
+    * grid: per source, document counts in four quality bands (quality
+    * = q_text_quality's uniq_ratio·min(1, tokens/50) score, banded at
+    * quarters) with each band's share — "which sources produce
+    * low-quality docs" is the first question a corpus review asks;
+    * q_corpus_mix crosses lang×source counts, this crosses QUALITY.
+    *
+    * Determinism (the reason bands, not means): a mean of per-doc
+    * quality is a float sum over varying denominators —
+    * order-dependent. The band comparison is EXACT integer
+    * arithmetic: quality = u/max(t, 50) (algebraic simplification of
+    * the q_text_quality formula), so quality ≥ k/4 ⟺ 4u ≥ k·max(t,50)
+    * — int64 cross-multiplication, no float anywhere until the ONE
+    * r4'd share division.
+    *
+    * Scale shape: scan-side token counting (no explode — size() on the
+    * split array), ONE partial-aggregable shuffle onto the
+    * |sources|×4 cell domain; source totals ride a broadcast of the
+    * same rollup. */
+  def qualityBySource(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val cells = Tables.documents(s, d)
+      .select(col("source"),
+              size(toks).cast("long").as("t"),
+              size(array_distinct(toks)).cast("long").as("u"))
+      .withColumn("m", greatest(col("t"), lit(50L)))
+      .withColumn("band",
+        when(lit(4L) * col("u") >= lit(3L) * col("m"), "a_ge75")
+          .when(lit(4L) * col("u") >= lit(2L) * col("m"), "b_50_75")
+          .when(lit(4L) * col("u") >= col("m"), "c_25_50")
+          .otherwise("d_lt25"))
+      .groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(false)
+    val tot = cells.groupBy(col("source")).agg(sum(col("n_docs")).as("total"))
+    ord(
+      cells.join(broadcast(tot), "source")
+        .select(col("source"), col("band"), col("n_docs"),
+                r4(col("n_docs").cast("double") / col("total")).as("share")),
+      col("source"), col("band"))
+  }
+
   /** q_vocab_overlap — pairwise token-vocabulary Jaccard between
     * sources: shared distinct tokens / union distinct tokens for every
     * source pair — the corpus-comparison readout that says which crawl

@@ -894,6 +894,81 @@ object ReportOps {
       col("n_name"))
   }
 
+  /** q_price_elasticity — log-log price elasticity of demand per
+    * brand: OLS slope of ln(quantity) on ln(price) over the brand's
+    * (price, total quantity) cells — elasticity < −1 is elastic
+    * (discounts buy volume), > −1 inelastic (discounts burn margin);
+    * THE pricing-strategy number, estimated at the price-point level
+    * (cell-level, not line-level, so the fit sees each price once
+    * regardless of how many lines traded at it).
+    *
+    * Determinism: cells are exact (cent price, int quantity-sum)
+    * rollups; ln of exact ints; the OLS sums fold in PRICE order per
+    * brand (sort_array + `aggregate` ↔ list ORDER BY + list_reduce —
+    * the q_heaps_law rule); slope is one identically-spelled chain,
+    * r4'd, nullif-guarded for single-price brands.
+    *
+    * Scale shape: |parts| dim broadcast onto the fact scan, ONE
+    * partial-aggregable shuffle onto (brand, price-cent) cells —
+    * domain-bounded by the price book, not the fact count — then a
+    * per-brand fold over ≤|prices/brand| arrays. */
+  def priceElasticity(s: SparkSession, d: String): DataFrame = {
+    val p = graft.Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"),
+              expr("cast(round(p_retailprice * 100) as bigint)").as("pc"))
+    val cells = graft.Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("pc"))
+      .agg(sum(expr("cast(round(l_quantity) as bigint)")).as("qty"))
+      .select(col("brand"), col("pc"),
+              log(col("pc").cast("double")).as("x"),
+              log(col("qty").cast("double")).as("y"))
+    Fin.ord(
+      cells.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_cells"),
+             sort_array(collect_list(struct(col("pc"), col("x"), col("y"))))
+               .as("ps"))
+        .withColumn("st", expr(
+          """aggregate(ps,
+               named_struct('sx', CAST(0.0 AS DOUBLE),
+                            'sy', CAST(0.0 AS DOUBLE),
+                            'sxx', CAST(0.0 AS DOUBLE),
+                            'sxy', CAST(0.0 AS DOUBLE)),
+               (a, p) -> named_struct('sx', a.sx + p.x, 'sy', a.sy + p.y,
+                                      'sxx', a.sxx + p.x * p.x,
+                                      'sxy', a.sxy + p.x * p.y))"""))
+        .select(col("brand"), col("n_cells"),
+          Fin.r4(expr(
+            """(CAST(n_cells AS DOUBLE) * st.sxy - st.sx * st.sy) /
+               nullif(CAST(n_cells AS DOUBLE) * st.sxx - st.sx * st.sx,
+                      CAST(0.0 AS DOUBLE))""")).as("elasticity")),
+      col("brand"))
+  }
+
+  /** q_order_size_hist — the order-size distribution: how many orders
+    * have exactly N lines, with each size's share — the basket-width
+    * histogram (q_market_basket mines WHICH items co-occur; this
+    * counts HOW MANY) that sizes picking/packing capacity.
+    *
+    * Determinism: exact integer counts; ONE r4'd share division.
+    *
+    * Scale shape: one partial-aggregable shuffle onto |orders| keys
+    * (at 100 TB: already co-partitioned if lineitem is bucketed by
+    * order key — the q_join_bucketed layout), then a ≤|max size|
+    * histogram rollup; the 1-row total broadcasts. */
+  def orderSizeHist(s: SparkSession, d: String): DataFrame = {
+    val sizes = graft.Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("order_lines"))
+      .groupBy(col("order_lines")).agg(count(lit(1)).as("n_orders"))
+    val tot = sizes.agg(sum(col("n_orders")).as("total"))
+    Fin.ord(
+      sizes.crossJoin(broadcast(tot))
+        .select(col("order_lines"), col("n_orders"),
+                Fin.r4(col("n_orders").cast("double") / col("total"))
+                  .as("share")),
+      col("order_lines"))
+  }
+
   /** q_priority_late — late-shipment counts per order priority (the
     * TPC-H Q4 shape on this schema): orders with at least one line
     * shipped more than 90 days after the order date, counted per

@@ -216,6 +216,54 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(math.abs(s - 100.0) < 0.01, s"shares sum to $s")
   }
 
+  test("quality_by_source: shares sum to 1 per source; bands agree with the scored formula") {
+    val rows = operators.LlmOps.qualityBySource(spark, sf0001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 0.01, s"$src shares sum to $s")
+    }
+    // band membership cross-checked against the float formula on one doc
+    val d0 = Tables.documents(spark, sf0001)
+      .select(col("source"), split(col("text"), " ").as("ts")).limit(1)
+      .select(col("source"), size(col("ts")).as("t"),
+              size(array_distinct(col("ts"))).as("u"))
+      .collect().head
+    val (t, u) = (d0.getInt(1).toLong, d0.getInt(2).toLong)
+    val q = u.toDouble / math.max(t, 50L)
+    val band = if (q >= 0.75) "a_ge75" else if (q >= 0.5) "b_50_75"
+               else if (q >= 0.25) "c_25_50" else "d_lt25"
+    assert(rows.exists(r => r.getString(0) == d0.getString(0) &&
+                            r.getString(1) == band && r.getLong(2) > 0))
+  }
+
+  test("price_elasticity: one brand's slope matches a Scala OLS over its cells") {
+    val rows = operators.ReportOps.priceElasticity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val brand = rows.head.getString(0)
+    val cells = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === brand)
+      .groupBy(expr("cast(round(p_retailprice * 100) as bigint)").as("pc"))
+      .agg(sum(expr("cast(round(l_quantity) as bigint)")).as("q"))
+      .collect().map(r => (math.log(r.getLong(0).toDouble),
+                           math.log(r.getLong(1).toDouble)))
+    val n = cells.length.toDouble
+    val (sx, sy) = (cells.map(_._1).sum, cells.map(_._2).sum)
+    val sxx = cells.map(c => c._1 * c._1).sum
+    val sxy = cells.map(c => c._1 * c._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(rows.head.getDouble(2) - slope) < 1e-3,
+      s"elasticity ${rows.head.getDouble(2)} vs scala $slope")
+  }
+
+  test("order_size_hist: orders conserved and shares sum to 1") {
+    val rows = operators.ReportOps.orderSizeHist(spark, sf0001).collect()
+    val nOrders = Tables.lineitem(spark, sf0001)
+      .select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == nOrders)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 0.01)
+  }
+
   test("top_supplier: the winner's exact revenue is the true maximum") {
     val rows = operators.ReportOps.topSupplier(spark, sf0001).collect()
     assert(rows.nonEmpty)
