@@ -402,7 +402,11 @@ object SparkEntry {
     // order-size histogram
     "q_quality_by_source" -> (L.qualityBySource _),
     "q_price_elasticity" -> (ReportOps.priceElasticity _),
-    "q_order_size_hist" -> (ReportOps.orderSizeHist _)
+    "q_order_size_hist" -> (ReportOps.orderSizeHist _),
+    // r12 widening 5: retention curve, bounceback rate, vocab coverage
+    "q_retention_curve" -> (ReportOps.retentionCurve _),
+    "q_return_rate" -> (ReportOps.returnRate _),
+    "q_vocab_coverage" -> (L.vocabCoverage _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5898,6 +5902,66 @@ object SparkEntry {
             tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM h)
          SELECT order_lines, n_orders,
                 (round(CAST(n_orders AS DOUBLE) / total, 4) + 0.0) AS share
-         FROM h, tot ORDER BY order_lines"""
+         FROM h, tot ORDER BY order_lines""",
+    "q_retention_curve" ->
+      // pooled day-N retention: exact integer day keys, one semi-join
+      // hit per (user, N)
+      """WITH ud AS (SELECT DISTINCT user_id,
+                            CAST(epoch_us(ts::TIMESTAMP)//1000000//86400
+                                 AS INT) AS day_num
+                     FROM events),
+            f AS (SELECT user_id, min(day_num) AS d0 FROM ud GROUP BY 1),
+            ns AS (SELECT unnest([1, 3, 7, 14]) AS n),
+            hits AS (SELECT n, CAST(count(*) AS BIGINT) AS n_retained
+                     FROM f, ns
+                     WHERE EXISTS (SELECT 1 FROM ud
+                                   WHERE ud.user_id = f.user_id
+                                     AND ud.day_num = f.d0 + ns.n)
+                     GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM f)
+         SELECT n, n_users,
+                CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+                (round(CAST(coalesce(n_retained, 0) AS DOUBLE) / n_users, 4)
+                 + 0.0) AS retention
+         FROM ns LEFT JOIN hits USING (n), tot
+         ORDER BY n""",
+    "q_return_rate" ->
+      // per-day 7-day bounceback: semi-join books each (user, day) once
+      """WITH ud AS (SELECT DISTINCT user_id,
+                            CAST(epoch_us(ts::TIMESTAMP)//1000000//86400
+                                 AS INT) AS day_num
+                     FROM events),
+            ret AS (SELECT day_num, CAST(count(*) AS BIGINT) AS n_returned
+                    FROM ud a
+                    WHERE EXISTS (SELECT 1 FROM ud b
+                                  WHERE b.user_id = a.user_id
+                                    AND b.day_num > a.day_num
+                                    AND b.day_num <= a.day_num + 7)
+                    GROUP BY 1),
+            act AS (SELECT day_num, CAST(count(*) AS BIGINT) AS n_active
+                    FROM ud GROUP BY 1)
+         SELECT day_num, n_active,
+                CAST(coalesce(n_returned, 0) AS BIGINT) AS n_returned,
+                (round(CAST(coalesce(n_returned, 0) AS DOUBLE) / n_active, 4)
+                 + 0.0) AS return_rate
+         FROM act LEFT JOIN ret USING (day_num)
+         ORDER BY day_num""",
+    "q_vocab_coverage" ->
+      // top-k token-mass coverage; rank totally ordered by (f DESC, tok)
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks
+                   WHERE length(tok) > 0 GROUP BY 1),
+            tot AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens FROM tf),
+            top AS (SELECT f, tok FROM tf ORDER BY f DESC, tok LIMIT 10000),
+            rk AS (SELECT row_number() OVER (ORDER BY f DESC, tok) AS rank, f
+                   FROM top),
+            ks AS (SELECT unnest([100, 1000, 10000]) AS k),
+            cov AS (SELECT k, CAST(sum(f) AS BIGINT) AS covered
+                    FROM ks JOIN rk ON rank <= k GROUP BY 1)
+         SELECT k, covered, total_tokens,
+                (round(CAST(covered AS DOUBLE) / total_tokens, 4) + 0.0)
+                  AS coverage
+         FROM cov, tot ORDER BY k"""
   )
 }

@@ -1687,6 +1687,45 @@ object LlmOps {
       col("lang"), col("tok_len"))
   }
 
+  /** q_vocab_coverage — token-mass coverage of a size-k vocabulary:
+    * for k ∈ {100, 1000, 10000}, the share of ALL token occurrences
+    * covered by the k most frequent tokens — THE tokenizer-vocab
+    * sizing curve (q_zipf fits the law; this reads the engineering
+    * answer straight off the distribution: "how big must the vocab be
+    * to cover 95% of the stream").
+    *
+    * Determinism: frequencies exact int64; the top-10000 cut and
+    * ranks are totally ordered by (f DESC, tok); covered mass and
+    * total are exact int64 sums; ONE r4'd division per k.
+    *
+    * Scale shape: one token shuffle to frequencies, a
+    * TakeOrdered(10000) cut (per-partition top-k), the rank window
+    * over that BOUNDED frame (q_zipf precedent), a 3-row cutoff spine
+    * joined against ≤10000 rows, and the 1-row total broadcast. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(false)
+    val tot = tf.agg(sum(col("f")).as("total_tokens"))
+    val ranked = tf.orderBy(col("f").desc, col("tok")).limit(10000)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("f").desc, col("tok"))))
+    val ks = s.range(0, 3).select(
+      element_at(array(lit(100), lit(1000), lit(10000)),
+                 (col("id") + 1).cast("int")).as("k"))
+    ord(
+      broadcast(ks).join(ranked, col("rank") <= col("k"))
+        .groupBy(col("k")).agg(sum(col("f")).as("covered"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("covered"), col("total_tokens"),
+                r4(col("covered").cast("double") / col("total_tokens"))
+                  .as("coverage")),
+      col("k"))
+  }
+
   /** q_quality_by_source — the curation dashboard's quality×source
     * grid: per source, document counts in four quality bands (quality
     * = q_text_quality's uniq_ratio·min(1, tokens/50) score, banded at

@@ -894,6 +894,86 @@ object ReportOps {
       col("n_name"))
   }
 
+  /** q_retention_curve — the pooled day-N retention curve: of all
+    * users, what share was active EXACTLY N days after their first
+    * activity, for N ∈ {1, 3, 7, 14} — the canonical D1/D7 retention
+    * readout a product review quotes as single numbers
+    * (q_cohort_retention tracks per-WEEK cohorts; this pools users
+    * into one curve with day precision).
+    *
+    * Determinism: exact integer day arithmetic; the hit test is a
+    * LEFT SEMI join on exact (user, day) keys; ONE r4'd rate per N.
+    *
+    * Scale shape: one distinct (user, day) shuffle (lazy-checkpointed,
+    * three consumers), a |users| first-day rollup, a 4-row N spine
+    * crossed onto it, then ONE user-co-partitioned semi join books
+    * each (user, N) hit at most once; final rollup is 4 rows. */
+  def retentionCurve(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val ud = graft.Tables.events(s, d)
+      .select(col("user_id"),
+              expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)").as("day_num"))
+      .distinct()
+      .localCheckpoint(false)
+    val first = ud.groupBy(col("user_id")).agg(min(col("day_num")).as("d0"))
+    val ns = s.range(0, 4).select(
+      element_at(array(lit(1), lit(3), lit(7), lit(14)),
+                 (col("id") + 1).cast("int")).as("n"))
+    val targets = first.crossJoin(broadcast(ns))
+      .select(col("user_id"), col("n"), (col("d0") + col("n")).as("target"))
+    val hits = targets.join(ud,
+        targets("user_id") === ud("user_id") &&
+        col("target") === col("day_num"), "left_semi")
+      .groupBy(col("n")).agg(count(lit(1)).as("n_retained"))
+    val tot = first.agg(count(lit(1)).as("n_users"))
+    ord(
+      broadcast(ns).crossJoin(broadcast(tot))
+        .join(hits, Seq("n"), "left")
+        .select(col("n"), col("n_users"),
+                coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+                r4(coalesce(col("n_retained"), lit(0L)).cast("double") /
+                   col("n_users")).as("retention")),
+      col("n"))
+  }
+
+  /** q_return_rate — the rolling bounceback rate: per day, the share
+    * of that day's active users who return within the NEXT 7 days —
+    * the leading engagement indicator (retention_curve anchors on the
+    * FIRST day ever; this re-anchors on every day, so a product
+    * change shows up in the curve within a week).
+    *
+    * Determinism: exact integer day windows (1..7 ahead, exclusive of
+    * day 0); returners counted via a user-co-partitioned semi join on
+    * exact keys; ONE r4'd division; days are OBSERVED days and the
+    * last 7 days are reported with the partial window they have (the
+    * q_moving_avg stance, documented rather than trimmed).
+    *
+    * Scale shape: one distinct (user, day) shuffle shared by both
+    * sides (lazy-checkpointed); the window join fans out each (user,
+    * day) to ≤7 candidate return days co-partitioned on user; two
+    * calendar-bounded rollups. */
+  def returnRate(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val ud = graft.Tables.events(s, d)
+      .select(col("user_id"),
+              expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)").as("day_num"))
+      .distinct()
+      .localCheckpoint(false)
+    val ret = ud.as("a").join(ud.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("b.day_num") > col("a.day_num") &&
+        col("b.day_num") <= col("a.day_num") + 7, "left_semi")
+      .groupBy(col("day_num")).agg(count(lit(1)).as("n_returned"))
+    val act = ud.groupBy(col("day_num")).agg(count(lit(1)).as("n_active"))
+    ord(
+      act.join(ret, Seq("day_num"), "left")
+        .select(col("day_num"), col("n_active"),
+                coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+                r4(coalesce(col("n_returned"), lit(0L)).cast("double") /
+                   col("n_active")).as("return_rate")),
+      col("day_num"))
+  }
+
   /** q_price_elasticity — log-log price elasticity of demand per
     * brand: OLS slope of ln(quantity) on ln(price) over the brand's
     * (price, total quantity) cells — elasticity < −1 is elastic

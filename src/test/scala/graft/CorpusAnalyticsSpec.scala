@@ -264,6 +264,54 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 0.01)
   }
 
+  test("retention_curve: monotone in N is NOT required, but bounds and base are") {
+    val rows = operators.ReportOps.retentionCurve(spark, sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 3, 7, 14))
+    val nUsers = Tables.events(spark, sf0001)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    rows.foreach { r =>
+      assert(r.getLong(1) == nUsers)
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // independent recompute of day-1 retention
+    val ud = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+              expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)").as("dn"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
+    val d1 = ud.count { case (_, days) => days(days.min + 1) }
+    assert(rows.find(_.getInt(0) == 1).get.getLong(2) == d1)
+  }
+
+  test("return_rate: returners bounded by actives; one day recomputed") {
+    val rows = operators.ReportOps.returnRate(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val ud = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+              expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)").as("dn"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byUser = ud.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val day0 = rows.head.getInt(0)
+    val expect = ud.filter(_._2 == day0).count { case (u, d) =>
+      (1 to 7).exists(k => byUser(u)(d + k)) }
+    assert(rows.head.getLong(2) == expect)
+  }
+
+  test("vocab_coverage: monotone in k and consistent with the zipf total") {
+    val rows = operators.LlmOps.vocabCoverage(spark, sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(100, 1000, 10000))
+    val covs = rows.map(_.getDouble(3))
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b + 1e-9 },
+      "coverage must be monotone in k")
+    covs.foreach(c => assert(c > 0.0 && c <= 1.0))
+    // total token mass agrees with q_zipf's
+    val zipfTotal = operators.LlmOps.zipf(spark, sf0001).collect()
+      .head.getLong(2)
+    assert(rows.head.getLong(2) == zipfTotal)
+  }
+
   test("top_supplier: the winner's exact revenue is the true maximum") {
     val rows = operators.ReportOps.topSupplier(spark, sf0001).collect()
     assert(rows.nonEmpty)

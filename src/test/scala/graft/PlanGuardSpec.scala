@@ -83,8 +83,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_abc_pareto", "q_compaction_plan", "q_heaps_law",
     "q_seasonal_decompose",
     // q_zipf's rank window orders the post-TakeOrdered(100) frame —
-    // bounded by the ZipfRanks constant, never by the corpus
-    "q_zipf")
+    // bounded by the ZipfRanks constant, never by the corpus;
+    // q_vocab_coverage's rank window orders its post-TakeOrdered(10000)
+    // frame — same precedent, constant-bounded
+    "q_zipf", "q_vocab_coverage")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {
