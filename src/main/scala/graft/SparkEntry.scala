@@ -406,7 +406,12 @@ object SparkEntry {
     // r12 widening 5: retention curve, bounceback rate, vocab coverage
     "q_retention_curve" -> (ReportOps.retentionCurve _),
     "q_return_rate" -> (ReportOps.returnRate _),
-    "q_vocab_coverage" -> (L.vocabCoverage _)
+    "q_vocab_coverage" -> (L.vocabCoverage _),
+    // r12 widening 6: session co-occurrence, activity concentration,
+    // dead-stock report
+    "q_session_cooc" -> (W.sessionCooc _),
+    "q_user_concentration" -> (ReportOps.userConcentration _),
+    "q_dead_stock" -> (ReportOps.deadStock _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5962,6 +5967,77 @@ object SparkEntry {
          SELECT k, covered, total_tokens,
                 (round(CAST(covered AS DOUBLE) / total_tokens, 4) + 0.0)
                   AS coverage
-         FROM cov, tot ORDER BY k"""
+         FROM cov, tot ORDER BY k""",
+    "q_session_cooc" ->
+      // sessions re-derived from raw events (the q_sessionize oracle);
+      // lift = n_both·n_sessions/(n_a·n_b), exact ints, ONE chain
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g),
+            st AS (SELECT DISTINCT user_id, sid, event_type AS t FROM sids),
+            ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+                   FROM (SELECT DISTINCT user_id, sid FROM st)),
+            sizes AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM st
+                      GROUP BY 1),
+            pr AS (SELECT x.t AS type_a, y.t AS type_b,
+                          CAST(count(*) AS BIGINT) AS n_both
+                   FROM st x JOIN st y
+                     ON x.user_id = y.user_id AND x.sid = y.sid
+                        AND x.t < y.t
+                   GROUP BY 1, 2)
+         SELECT type_a, type_b, a.n AS n_a, b.n AS n_b, n_both,
+                (round(CAST(n_both AS DOUBLE) * n_sessions / (a.n * b.n), 4)
+                 + 0.0) AS lift
+         FROM pr JOIN sizes a ON type_a = a.t
+                 JOIN sizes b ON type_b = b.t, ns
+         ORDER BY type_a, type_b""",
+    "q_user_concentration" ->
+      // top-p% cutoff decided in exact int64 (100·rank <= p·n_users)
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ev
+                      FROM events GROUP BY 1),
+            ranked AS (SELECT *, CAST(row_number() OVER
+                         (ORDER BY ev DESC, user_id) AS BIGINT) AS rank
+                       FROM per),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                           CAST(sum(ev) AS BIGINT) AS n_events FROM ranked),
+            tiers AS (SELECT CAST(unnest([1, 10, 50]) AS BIGINT) AS pct),
+            top AS (SELECT pct,
+                           CAST(count(*) AS BIGINT) AS n_top,
+                           CAST(sum(ev) AS BIGINT) AS top_events
+                    FROM tiers, tot, ranked
+                    WHERE 100 * rank <= pct * n_users
+                    GROUP BY 1)
+         SELECT pct, n_users,
+                CAST(coalesce(n_top, 0) AS BIGINT) AS n_top,
+                CAST(coalesce(top_events, 0) AS BIGINT) AS top_events,
+                (round(CAST(coalesce(top_events, 0) AS DOUBLE) / n_events, 4)
+                 + 0.0) AS share
+         FROM tiers LEFT JOIN top USING (pct), tot ORDER BY pct""",
+    "q_dead_stock" ->
+      // anti join against the traded-part distinct set, per-brand rates
+      """WITH traded AS (SELECT DISTINCT l_partkey FROM lineitem),
+            dead AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_dead
+                     FROM part
+                     WHERE NOT EXISTS (SELECT 1 FROM traded
+                                       WHERE l_partkey = p_partkey)
+                     GROUP BY 1),
+            tot AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+                    FROM part GROUP BY 1)
+         SELECT p_brand, n_parts,
+                CAST(coalesce(n_dead, 0) AS BIGINT) AS n_dead,
+                (round(CAST(coalesce(n_dead, 0) AS DOUBLE) / n_parts, 4)
+                 + 0.0) AS dead_rate
+         FROM tot LEFT JOIN dead USING (p_brand)
+         ORDER BY p_brand"""
   )
 }

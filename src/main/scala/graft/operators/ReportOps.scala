@@ -894,6 +894,79 @@ object ReportOps {
       col("n_name"))
   }
 
+  /** q_user_concentration — activity concentration: the share of all
+    * events generated by the top 1% / 10% / 50% most-active users —
+    * the "1% rule" readout (q_gini compresses the whole curve into one
+    * coefficient; this reads three named points off it, the numbers an
+    * abuse/capacity review actually quotes).
+    *
+    * Determinism: per-user counts exact int64; users rank by
+    * (events DESC, user_id) — total order; the percentile cutoffs are
+    * exact integer ceilings (100·rank ≤ p·n_users decided in int64);
+    * ONE r4'd division per tier.
+    *
+    * Scale shape: one partial-aggregable rollup to |users| rows, a
+    * rank window over that per-user frame (the q_gini precedent —
+    * range-partitioned sort + distributed prefix at 100 TB), a 3-row
+    * tier spine, and ≤3-row output; totals ride a 1-row broadcast. */
+  def userConcentration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = graft.Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("ev"))
+    val w = Window.orderBy(col("ev").desc, col("user_id"))
+    val ranked = per.withColumn("rank", row_number().over(w).cast("long"))
+      .localCheckpoint(false)
+    val tot = ranked.agg(count(lit(1)).as("n_users"),
+                         sum(col("ev")).as("n_events"))
+    val tiers = s.range(0, 3).select(
+      element_at(array(lit(1L), lit(10L), lit(50L)),
+                 (col("id") + 1).cast("int")).as("pct"))
+    // a tier whose integer cutoff rounds to zero users (1% of 15) must
+    // still SURFACE with zero counts — spine + left join, not inner
+    val qual = broadcast(tiers).crossJoin(broadcast(tot))
+      .join(ranked, lit(100L) * col("rank") <= col("pct") * col("n_users"))
+      .groupBy(col("pct"))
+      .agg(count(lit(1)).as("n_top"), sum(col("ev")).as("top_events"))
+    Fin.ord(
+      broadcast(tiers).crossJoin(broadcast(tot))
+        .join(qual, Seq("pct"), "left")
+        .select(col("pct"), col("n_users"),
+                coalesce(col("n_top"), lit(0L)).as("n_top"),
+                coalesce(col("top_events"), lit(0L)).as("top_events"),
+                Fin.r4(coalesce(col("top_events"), lit(0L)).cast("double") /
+                       col("n_events")).as("share")),
+      col("pct"))
+  }
+
+  /** q_dead_stock — catalog coverage: per brand, how many parts never
+    * traded at all, with the dead rate — the dead-stock/assortment
+    * report a merchandiser runs before a catalog prune (q_join_anti
+    * lists customers without orders; this books the part-side gap per
+    * brand with rates).
+    *
+    * Determinism: exact integer counts; ONE r4'd rate.
+    *
+    * Scale shape: the traded-part set is ONE distinct rollup of the
+    * fact's partkey column (pushed scan, no other columns read); the
+    * |parts| dim anti-joins against it broadcast; per-brand rollup is
+    * |brands|-bounded. */
+  def deadStock(s: SparkSession, d: String): DataFrame = {
+    val traded = graft.Tables.lineitem(s, d)
+      .select(col("l_partkey")).distinct()
+    val p = graft.Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val dead = p.join(traded, col("p_partkey") === col("l_partkey"),
+                      "left_anti")
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_dead"))
+    val tot = p.groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))
+    Fin.ord(
+      tot.join(dead, Seq("p_brand"), "left")
+        .select(col("p_brand"), col("n_parts"),
+                coalesce(col("n_dead"), lit(0L)).as("n_dead"),
+                Fin.r4(coalesce(col("n_dead"), lit(0L)).cast("double") /
+                       col("n_parts")).as("dead_rate")),
+      col("p_brand"))
+  }
+
   /** q_retention_curve — the pooled day-N retention curve: of all
     * users, what share was active EXACTLY N days after their first
     * activity, for N ∈ {1, 3, 7, 14} — the canonical D1/D7 retention

@@ -244,6 +244,48 @@ object WindowOps {
       col("bucket"))
   }
 
+  /** q_session_cooc — within-session event-type CO-OCCURRENCE: for
+    * every unordered type pair, how many sessions contain BOTH, with
+    * lift vs independence — q_markov counts ordered TRANSITIONS; this
+    * answers "which behaviors live in the same visit regardless of
+    * order", the session-level twin of q_market_basket.
+    *
+    * Determinism: exact integer session counts; lift divides exact
+    * ints by exact ints in one identically-spelled chain
+    * (n_both·n_sessions / (n_a·n_b)), r4'd.
+    *
+    * Scale shape: the eleventh session-store consumer — the distinct
+    * (user, sid, type) collapse is exchange-free on the bucket
+    * layout; the pair join is CO-PARTITIONED on (user, sid) with
+    * fan-out ≤ |types| per session; per-type session counts and the
+    * ≤|types|² output frame ride broadcasts. */
+  def sessionCooc(s: SparkSession, d: String): DataFrame = {
+    val st = sessionized(s, d, col("event_type"))
+      .select(col("user_id"), col("sid"), col("event_type").as("t"))
+      .distinct()
+      .localCheckpoint(false)
+    val nSess = st.select(col("user_id"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val sizes = st.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val both = st.as("x").join(st.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+        col("x.sid") === col("y.sid") && col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    ord(
+      both
+        .join(broadcast(sizes.select(col("t").as("type_a"), col("n").as("n_a"))),
+              "type_a")
+        .join(broadcast(sizes.select(col("t").as("type_b"), col("n").as("n_b"))),
+              "type_b")
+        .crossJoin(broadcast(nSess))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+                col("n_both"),
+                r4(col("n_both").cast("double") * col("n_sessions") /
+                   (col("n_a") * col("n_b"))).as("lift")),
+      col("type_a"), col("type_b"))
+  }
+
   /** q_page_depth — GA's page-depth report: how many sessions contain
     * exactly N events. The ninth session-store consumer: the per-
     * session count is exchange-free on the user-bucketed store

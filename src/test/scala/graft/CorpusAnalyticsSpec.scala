@@ -312,6 +312,41 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(rows.head.getLong(2) == zipfTotal)
   }
 
+  test("session_cooc: pair counts bounded by the smaller side; lift recomputed once") {
+    val rows = operators.WindowOps.sessionCooc(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)),
+        "a pair cannot co-occur more often than either side occurs")
+    }
+    val nSess = operators.WindowOps.sessionize(spark, sf0001).count()
+    val r0 = rows.head
+    val lift = r0.getLong(4).toDouble * nSess / (r0.getLong(2) * r0.getLong(3))
+    assert(math.abs(r0.getDouble(5) - lift) < 1e-3)
+  }
+
+  test("user_concentration: tiers nest and shares are monotone") {
+    val rows = operators.ReportOps.userConcentration(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 10L, 50L))
+    val (tops, shares) = (rows.map(_.getLong(2)), rows.map(_.getDouble(4)))
+    assert(tops.zip(tops.tail).forall { case (a, b) => a <= b })
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b + 1e-9 })
+    // sorted descending: the top tier's mean beats the overall mean,
+    // so its share must be at least its user fraction
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= r.getLong(2).toDouble / r.getLong(1) - 1e-9)
+    }
+  }
+
+  test("dead_stock: dead + traded partition the catalog") {
+    val rows = operators.ReportOps.deadStock(spark, sf0001).collect()
+    val nParts = Tables.part(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == nParts)
+    val nTraded = Tables.lineitem(spark, sf0001)
+      .select(countDistinct(col("l_partkey"))).head().getLong(0)
+    assert(rows.map(r => r.getLong(1) - r.getLong(2)).sum == nTraded)
+  }
+
   test("top_supplier: the winner's exact revenue is the true maximum") {
     val rows = operators.ReportOps.topSupplier(spark, sf0001).collect()
     assert(rows.nonEmpty)

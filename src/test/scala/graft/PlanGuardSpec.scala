@@ -86,7 +86,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // bounded by the ZipfRanks constant, never by the corpus;
     // q_vocab_coverage's rank window orders its post-TakeOrdered(10000)
     // frame — same precedent, constant-bounded
-    "q_zipf", "q_vocab_coverage")
+    "q_zipf", "q_vocab_coverage",
+    // q_user_concentration ranks the per-USER rollup (q_gini precedent:
+    // range-partitioned sort + distributed prefix at 100 TB)
+    "q_user_concentration")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {
