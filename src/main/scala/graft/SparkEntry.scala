@@ -411,7 +411,12 @@ object SparkEntry {
     // dead-stock report
     "q_session_cooc" -> (W.sessionCooc _),
     "q_user_concentration" -> (ReportOps.userConcentration _),
-    "q_dead_stock" -> (ReportOps.deadStock _)
+    "q_dead_stock" -> (ReportOps.deadStock _),
+    // r12 widening 7: weighted median, cart abandonment, SQL-text
+    // twin of the date-pruned store report
+    "q_weighted_median" -> (ReportOps.weightedMedian _),
+    "q_cart_abandonment" -> (W.cartAbandonment _),
+    "q_sql_report_dated" -> (R.sqlReportDated _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6038,6 +6043,79 @@ object SparkEntry {
                 (round(CAST(coalesce(n_dead, 0) AS DOUBLE) / n_parts, 4)
                  + 0.0) AS dead_rate
          FROM tot LEFT JOIN dead USING (p_brand)
-         ORDER BY p_brand"""
+         ORDER BY p_brand""",
+    "q_weighted_median" ->
+      // first (price ASC) cell whose running weight reaches half the
+      // total: 2*cumw >= totw in pure int64
+      """WITH cells AS (SELECT l_returnflag AS flag,
+                               CAST(round(l_extendedprice * 100) AS BIGINT)
+                                 AS pc,
+                               CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                                    AS BIGINT) AS w
+                        FROM lineitem GROUP BY 1, 2),
+            cum AS (SELECT flag, pc, w,
+                           CAST(sum(w) OVER (PARTITION BY flag ORDER BY pc
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS BIGINT) AS cumw,
+                           CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT)
+                             AS totw
+                    FROM cells),
+            med AS (SELECT flag, min(pc) AS med_pc,
+                           CAST(min(totw) AS BIGINT) AS total_qty
+                    FROM cum WHERE 2 * cumw >= totw GROUP BY 1)
+         SELECT flag, total_qty,
+                (round(CAST(med_pc AS DOUBLE) / 100.0, 4) + 0.0)
+                  AS weighted_median_price
+         FROM med ORDER BY flag""",
+    "q_cart_abandonment" ->
+      // sessions re-derived from raw events; clicked-but-not-purchased
+      // per session-start day
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g),
+            sess AS (SELECT user_id, sid, min(ts_sec) AS start_sec,
+                            max(CASE WHEN event_type = 'click' THEN 1
+                                     ELSE 0 END) AS clicked,
+                            max(CASE WHEN event_type = 'purchase' THEN 1
+                                     ELSE 0 END) AS purchased
+                     FROM sids GROUP BY 1, 2),
+            daily AS (SELECT CAST(start_sec // 86400 AS INT) AS day_num,
+                             CAST(count(*) AS BIGINT) AS n_intent,
+                             CAST(sum(1 - purchased) AS BIGINT) AS n_abandoned
+                      FROM sess WHERE clicked = 1 GROUP BY 1)
+         SELECT day_num, n_intent, n_abandoned,
+                (round(CAST(n_abandoned AS DOUBLE) / n_intent, 4) + 0.0)
+                  AS abandonment_rate
+         FROM daily ORDER BY day_num""",
+    "q_sql_report_dated" ->
+      // SQL-surface twin of q_session_report_dated: same oracle text
+      """WITH e AS (SELECT user_id, event_id, value,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g)
+         SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+                count(*) AS n_events, (round(sum(value), 4) + 0.0) AS window_value
+         FROM sids
+         WHERE CAST(tsu AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

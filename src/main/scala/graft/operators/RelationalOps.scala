@@ -452,6 +452,25 @@ object RelationalOps {
               ORDER BY user_id, sid""")
   }
 
+  /** q_sql_report_dated — the date-ranged session report as LITERAL
+    * SQL TEXT over the day-partitioned store: the fourth gated
+    * SQL-surface row, and the one proving PARTITION PRUNING reaches
+    * through `spark.sql` — the WHERE day BETWEEN text must land in
+    * PartitionFilters exactly as the DataFrame twin's filter does
+    * (PlanSpec asserts plan identity with q_session_report_dated,
+    * hence the pruned listing AND the exchange-free rollup). */
+  def sqlReportDated(s: SparkSession, d: String): DataFrame = {
+    val store = graft.operators.WindowOps.sessionStore(s, d)
+    s.sql(s"""SELECT user_id, sid,
+                     min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+                     count(*) AS n_events,
+                     round(sum(value), 4) + 0.0 AS window_value
+              FROM $store
+              WHERE day BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+              GROUP BY user_id, sid
+              ORDER BY user_id, sid""")
+  }
+
   def skyline(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = Tables.part(s, d)

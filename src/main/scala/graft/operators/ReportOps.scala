@@ -894,6 +894,45 @@ object ReportOps {
       col("n_name"))
   }
 
+  /** q_weighted_median — the QUANTITY-weighted median unit price per
+    * return flag: the price at which half the traded VOLUME sits below
+    * — the inventory-valuation number an unweighted median gets wrong
+    * whenever cheap parts trade in bulk (row-median answers "the
+    * middle line item"; this answers "the middle unit").
+    *
+    * Determinism: prices in exact cents, weights exact int64
+    * quantities rolled to (flag, price) CELLS; the median is the
+    * FIRST cell (price ascending) whose running weight reaches half
+    * the total — 2·cumw ≥ totw decided in pure int64, no
+    * interpolation, no floats until the display division.
+    *
+    * Scale shape: ONE partial-aggregable shuffle onto (flag, price)
+    * cells — domain-bounded by the price book — then per-flag
+    * cumulative windows over the ≤|prices| cell frame and a min-pick;
+    * totals ride the same frame (full-frame window, q_psi precedent). */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = graft.Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+              expr("cast(round(l_extendedprice * 100) as bigint)").as("pc"),
+              expr("cast(round(l_quantity) as bigint)").as("w"))
+      .groupBy(col("flag"), col("pc")).agg(sum(col("w")).as("w"))
+    val cum = Window.partitionBy(col("flag")).orderBy(col("pc"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy(col("flag"))
+    val marked = cells
+      .withColumn("cumw", sum(col("w")).over(cum))
+      .withColumn("totw", sum(col("w")).over(all))
+      .filter(lit(2L) * col("cumw") >= col("totw"))
+    Fin.ord(
+      marked.groupBy(col("flag"))
+        .agg(min(col("pc")).as("med_pc"), first(col("totw")).as("totw"))
+        .select(col("flag"), col("totw").as("total_qty"),
+                Fin.r4(col("med_pc").cast("double") / 100.0)
+                  .as("weighted_median_price")),
+      col("flag"))
+  }
+
   /** q_user_concentration — activity concentration: the share of all
     * events generated by the top 1% / 10% / 50% most-active users —
     * the "1% rule" readout (q_gini compresses the whole curve into one

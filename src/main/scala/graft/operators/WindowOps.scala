@@ -286,6 +286,38 @@ object WindowOps {
       col("type_a"), col("type_b"))
   }
 
+  /** q_cart_abandonment — GA's abandonment report on this schema's
+    * proxy funnel: per session-START day, the share of sessions that
+    * CLICKED (intent) but never PURCHASED — the daily
+    * conversion-leak trend (q_funnel measures the user-level funnel
+    * once; this tracks the session-level leak day by day).
+    *
+    * Determinism: per-session flags are exact bool aggregates over
+    * the store; the start day is the session's min event second
+    * (exact int) floored to a day; ONE r4'd rate per day.
+    *
+    * Scale shape: the twelfth session-store consumer — per-(user,
+    * sid) flag aggregate exchange-free on the bucket layout; only the
+    * ≤|days| daily rollup crosses the second shuffle. */
+  def cartAbandonment(s: SparkSession, d: String): DataFrame = {
+    ord(
+      sessionized(s, d, col("event_type"))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts_sec")).as("start_sec"),
+             max(when(col("event_type") === "click", 1L).otherwise(0L))
+               .as("clicked"),
+             max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+               .as("purchased"))
+        .filter(col("clicked") === 1L)
+        .groupBy(expr("CAST(start_sec DIV 86400 AS INT)").as("day_num"))
+        .agg(count(lit(1)).as("n_intent"),
+             sum(lit(1L) - col("purchased")).as("n_abandoned"))
+        .select(col("day_num"), col("n_intent"), col("n_abandoned"),
+                r4(col("n_abandoned").cast("double") / col("n_intent"))
+                  .as("abandonment_rate")),
+      col("day_num"))
+  }
+
   /** q_page_depth — GA's page-depth report: how many sessions contain
     * exactly N events. The ninth session-store consumer: the per-
     * session count is exchange-free on the user-bucketed store

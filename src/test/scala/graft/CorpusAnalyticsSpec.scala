@@ -347,6 +347,36 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(rows.map(r => r.getLong(1) - r.getLong(2)).sum == nTraded)
   }
 
+  test("weighted_median: recomputed from sorted cells; half the volume sits below") {
+    val rows = operators.ReportOps.weightedMedian(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val flag = r.getString(0)
+      val cells = Tables.lineitem(spark, sf0001)
+        .filter(col("l_returnflag") === flag)
+        .groupBy(expr("cast(round(l_extendedprice * 100) as bigint)").as("pc"))
+        .agg(sum(expr("cast(round(l_quantity) as bigint)")).as("w"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+      val tot = cells.map(_._2).sum
+      var cum = 0L
+      val med = cells.find { case (_, w) => cum += w; 2 * cum >= tot }.get._1
+      assert(r.getLong(1) == tot)
+      assert(math.abs(r.getDouble(2) - med / 100.0) < 1e-3,
+        s"$flag: ${r.getDouble(2)} vs scala ${med / 100.0}")
+    }
+  }
+
+  test("cart_abandonment: abandoned bounded by intent; intent bounded by sessions") {
+    val rows = operators.WindowOps.cartAbandonment(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val nSessions = operators.WindowOps.sessionize(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum <= nSessions)
+  }
+
   test("top_supplier: the winner's exact revenue is the true maximum") {
     val rows = operators.ReportOps.topSupplier(spark, sf0001).collect()
     assert(rows.nonEmpty)

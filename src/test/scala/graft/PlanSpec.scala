@@ -274,12 +274,24 @@ class PlanSpec extends AnyFunSuite {
          graft.operators.JoinOps.joinMultiway(spark, sf0001)),
       "sessionize" ->
         (R.sqlSessionize(spark, sf0001),
-         graft.operators.WindowOps.sessionize(spark, sf0001)))
+         graft.operators.WindowOps.sessionize(spark, sf0001)),
+      "report_dated" ->
+        (R.sqlReportDated(spark, sf0001),
+         graft.operators.WindowOps.sessionReportDated(spark, sf0001)))
     for ((name, (sqlDf, dfDf)) <- pairs) {
       val a = sqlDf.queryExecution.optimizedPlan.canonicalized.toString
       val b = dfDf.queryExecution.optimizedPlan.canonicalized.toString
       assert(a == b, s"$name: SQL and DataFrame plans diverge:\nSQL:\n$a\nDF:\n$b")
     }
+  }
+
+  test("q_sql_report_dated: the SQL text's day range lands in PartitionFilters") {
+    // partition pruning must reach through the SQL surface: the WHERE
+    // day BETWEEN text prunes the listing exactly as the DataFrame
+    // twin's filter does
+    val p = plan(graft.operators.RelationalOps.sqlReportDated(spark, sf0001))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("day"), "day not in PartitionFilters: " + p)
   }
 
   test("q_sql_sessionize consumes the bucketed store with no exchange below the aggregate") {
