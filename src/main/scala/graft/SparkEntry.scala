@@ -416,7 +416,10 @@ object SparkEntry {
     // twin of the date-pruned store report
     "q_weighted_median" -> (ReportOps.weightedMedian _),
     "q_cart_abandonment" -> (W.cartAbandonment _),
-    "q_sql_report_dated" -> (R.sqlReportDated _)
+    "q_sql_report_dated" -> (R.sqlReportDated _),
+    // r12 widening 8: brand mix trend, repeat-purchase loyalty
+    "q_brand_share_trend" -> (ReportOps.brandShareTrend _),
+    "q_repeat_purchase_rate" -> (ReportOps.repeatPurchaseRate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6116,6 +6119,38 @@ object SparkEntry {
                 count(*) AS n_events, (round(sum(value), 4) + 0.0) AS window_value
          FROM sids
          WHERE CAST(tsu AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_brand_share_trend" ->
+      // exact int64 revenue cells; month totals from the same cells via
+      // a month-partitioned window; ONE division
+      """WITH cells AS (SELECT date_trunc('month', l_shipdate)::DATE AS month,
+                               p_brand,
+                               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                        (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                                    AS BIGINT) AS rev_e
+                        FROM lineitem JOIN part ON l_partkey = p_partkey
+                        GROUP BY 1, 2),
+            w AS (SELECT month, p_brand, rev_e,
+                         CAST(sum(rev_e) OVER (PARTITION BY month) AS BIGINT)
+                           AS tot_e
+                  FROM cells)
+         SELECT month, p_brand,
+                (round(CAST(rev_e AS DOUBLE) / 10000.0, 4) + 0.0) AS revenue,
+                (round(100.0 * rev_e / tot_e, 4) + 0.0) AS share
+         FROM w ORDER BY month, p_brand""",
+    "q_repeat_purchase_rate" ->
+      // exact counts; repeat = customers with >= 2 orders, by segment
+      """WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                     FROM orders GROUP BY 1),
+            g AS (SELECT c_mktsegment,
+                         CAST(count(*) AS BIGINT) AS n_buyers,
+                         CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_repeat
+                  FROM pc JOIN customer ON o_custkey = c_custkey
+                  GROUP BY 1)
+         SELECT c_mktsegment, n_buyers, n_repeat,
+                (round(CAST(n_repeat AS DOUBLE) / n_buyers, 4) + 0.0)
+                  AS repeat_rate
+         FROM g ORDER BY c_mktsegment"""
   )
 }

@@ -894,6 +894,69 @@ object ReportOps {
       col("n_name"))
   }
 
+  /** q_brand_share_trend — monthly revenue share per brand: each
+    * brand's percentage of the month's total revenue over time — the
+    * assortment-mix TREND (q_promo_share tracks one flag;
+    * q_regional_revenue one geography at one point; this is the full
+    * brand mix per month, the chart a category manager watches).
+    *
+    * Determinism: revenue exact int64 (cents × (100−pct)); per-month
+    * totals from the SAME cells via a month-partitioned full-frame
+    * window (exact int sum); ONE r4'd division.
+    *
+    * Scale shape: |parts| dim broadcast onto the fact scan, ONE
+    * partial-aggregable shuffle onto (month, brand) cells — domain-
+    * bounded — then the total window rides the ≤|months|×|brands|
+    * cell frame. */
+  def brandShareTrend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = graft.Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val cells = graft.Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+              date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+              (expr("cast(round(l_extendedprice * 100) as bigint)") *
+               (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+                .as("rev_e"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("month"), col("p_brand"))
+      .agg(sum(col("rev_e")).as("rev_e"))
+    val tot = Window.partitionBy(col("month"))
+    Fin.ord(
+      cells
+        .withColumn("tot_e", sum(col("rev_e")).over(tot))
+        .select(col("month"), col("p_brand"),
+                Fin.r4(col("rev_e").cast("double") / 10000.0).as("revenue"),
+                Fin.r4(lit(100.0) * col("rev_e") / col("tot_e")).as("share")),
+      col("month"), col("p_brand"))
+  }
+
+  /** q_repeat_purchase_rate — per market segment: customers with at
+    * least one order, those with TWO or more, and the repeat rate —
+    * the loyalty KPI of the acquisition funnel (q_first_repeat_aov
+    * prices the split; this counts WHO repeats, by segment).
+    *
+    * Determinism: exact integer counts; ONE r4'd rate.
+    *
+    * Scale shape: one |customers| order-count rollup co-partitioned
+    * with the customer dim join on custkey; ≤|segments| rollup. */
+  def repeatPurchaseRate(s: SparkSession, d: String): DataFrame = {
+    val perCust = graft.Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    Fin.ord(
+      perCust
+        .join(graft.Tables.customer(s, d)
+                .select(col("c_custkey"), col("c_mktsegment")),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_buyers"),
+             sum(when(col("n_orders") >= 2, 1L).otherwise(0L))
+               .as("n_repeat"))
+        .select(col("c_mktsegment"), col("n_buyers"), col("n_repeat"),
+                Fin.r4(col("n_repeat").cast("double") / col("n_buyers"))
+                  .as("repeat_rate")),
+      col("c_mktsegment"))
+  }
+
   /** q_weighted_median — the QUANTITY-weighted median unit price per
     * return flag: the price at which half the traded VOLUME sits below
     * — the inventory-valuation number an unweighted median gets wrong

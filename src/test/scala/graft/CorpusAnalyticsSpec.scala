@@ -377,6 +377,26 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum <= nSessions)
   }
 
+  test("brand_share_trend: shares sum to 100 within every month") {
+    val rows = operators.ReportOps.brandShareTrend(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getDate(0).toString).foreach { case (m, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 100.0) < 0.1, s"$m shares sum to $s")
+    }
+  }
+
+  test("repeat_purchase_rate: buyers partition by segment; repeat bounded") {
+    val rows = operators.ReportOps.repeatPurchaseRate(spark, sf0001).collect()
+    val nBuyers = Tables.orders(spark, sf0001)
+      .select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == nBuyers)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("top_supplier: the winner's exact revenue is the true maximum") {
     val rows = operators.ReportOps.topSupplier(spark, sf0001).collect()
     assert(rows.nonEmpty)
