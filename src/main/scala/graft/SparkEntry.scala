@@ -6051,11 +6051,12 @@ object SparkEntry {
       // first (price ASC) cell whose running weight reaches half the
       // total: 2*cumw >= totw in pure int64
       """WITH cells AS (SELECT l_returnflag AS flag,
-                               CAST(round(l_extendedprice * 100) AS BIGINT)
+                               CAST(round(p_retailprice * 100) AS BIGINT)
                                  AS pc,
                                CAST(sum(CAST(round(l_quantity) AS BIGINT))
                                     AS BIGINT) AS w
-                        FROM lineitem GROUP BY 1, 2),
+                        FROM lineitem JOIN part ON l_partkey = p_partkey
+                        GROUP BY 1, 2),
             cum AS (SELECT flag, pc, w,
                            CAST(sum(w) OVER (PARTITION BY flag ORDER BY pc
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -957,11 +957,11 @@ object ReportOps {
       col("c_mktsegment"))
   }
 
-  /** q_weighted_median — the QUANTITY-weighted median unit price per
-    * return flag: the price at which half the traded VOLUME sits below
-    * — the inventory-valuation number an unweighted median gets wrong
-    * whenever cheap parts trade in bulk (row-median answers "the
-    * middle line item"; this answers "the middle unit").
+  /** q_weighted_median — the QUANTITY-weighted median RETAIL price per
+    * return flag: the catalog price at which half the traded VOLUME
+    * sits below — the inventory-valuation number an unweighted median
+    * gets wrong whenever cheap parts trade in bulk (row-median answers
+    * "the middle line item"; this answers "the middle unit").
     *
     * Determinism: prices in exact cents, weights exact int64
     * quantities rolled to (flag, price) CELLS; the median is the
@@ -969,16 +969,24 @@ object ReportOps {
     * the total — 2·cumw ≥ totw decided in pure int64, no
     * interpolation, no floats until the display division.
     *
-    * Scale shape: ONE partial-aggregable shuffle onto (flag, price)
-    * cells — domain-bounded by the price book — then per-flag
-    * cumulative windows over the ≤|prices| cell frame and a min-pick;
-    * totals ride the same frame (full-frame window, q_psi precedent). */
+    * Scale shape: the price axis is the CATALOG's p_retailprice
+    * (broadcast dim), deliberately NOT l_extendedprice — extendedprice
+    * is qty·price and nearly unique per LINE, which would make the
+    * cell frame fact-sized and funnel it through 3 per-flag window
+    * partitions (measured 2.8 s vs 0.3 s at sf0.1). With the catalog
+    * axis the cells are |flags|×|parts|-bounded: facts grow at 100 TB,
+    * the price book doesn't. ONE partial-aggregable shuffle onto the
+    * cells, then per-flag cumulative windows over the bounded frame
+    * and a min-pick; totals ride the same frame (q_psi precedent). */
   def weightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val p = graft.Tables.part(s, d)
+      .select(col("p_partkey"),
+              expr("cast(round(p_retailprice * 100) as bigint)").as("pc"))
     val cells = graft.Tables.lineitem(s, d)
-      .select(col("l_returnflag").as("flag"),
-              expr("cast(round(l_extendedprice * 100) as bigint)").as("pc"),
+      .select(col("l_returnflag").as("flag"), col("l_partkey"),
               expr("cast(round(l_quantity) as bigint)").as("w"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("flag"), col("pc")).agg(sum(col("w")).as("w"))
     val cum = Window.partitionBy(col("flag")).orderBy(col("pc"))
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -354,7 +354,8 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
       val flag = r.getString(0)
       val cells = Tables.lineitem(spark, sf0001)
         .filter(col("l_returnflag") === flag)
-        .groupBy(expr("cast(round(l_extendedprice * 100) as bigint)").as("pc"))
+        .join(Tables.part(spark, sf0001), col("l_partkey") === col("p_partkey"))
+        .groupBy(expr("cast(round(p_retailprice * 100) as bigint)").as("pc"))
         .agg(sum(expr("cast(round(l_quantity) as bigint)")).as("w"))
         .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
       val tot = cells.map(_._2).sum
