@@ -419,7 +419,10 @@ object SparkEntry {
     "q_sql_report_dated" -> (R.sqlReportDated _),
     // r12 widening 8: brand mix trend, repeat-purchase loyalty
     "q_brand_share_trend" -> (ReportOps.brandShareTrend _),
-    "q_repeat_purchase_rate" -> (ReportOps.repeatPurchaseRate _)
+    "q_repeat_purchase_rate" -> (ReportOps.repeatPurchaseRate _),
+    // r12 widening 9: dedup-threshold sensitivity, boilerplate headers
+    "q_jaccard_bands" -> (L.jaccardBands _),
+    "q_boilerplate_prefix" -> (L.boilerplatePrefix _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6152,6 +6155,48 @@ object SparkEntry {
          SELECT c_mktsegment, n_buyers, n_repeat,
                 (round(CAST(n_repeat AS DOUBLE) / n_buyers, 4) + 0.0)
                   AS repeat_rate
-         FROM g ORDER BY c_mktsegment"""
+         FROM g ORDER BY c_mktsegment""",
+    "q_jaccard_bands" ->
+      // the q_containment pair machinery, banded by (10*inter) //
+      // union -- pure int64 floor division, no float anywhere
+      """WITH base AS (SELECT doc_id, lang, source,
+                              string_split(text, ' ') AS toks FROM documents),
+            ng AS (SELECT doc_id, lang, source,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
+                   FROM base),
+            nz AS (SELECT doc_id, lang, source, ngs
+                   FROM ng WHERE len(ngs) > 0),
+            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
+            df AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
+            ex AS (SELECT ex0.* FROM ex0 JOIN df USING (g) WHERE df <= 100),
+            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
+            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                             count(*) AS inter
+                      FROM ex a JOIN ex b
+                        ON a.lang = b.lang AND a.source = b.source
+                       AND a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            bands AS (SELECT (10 * inter) // (s1.nsz + s2.nsz - inter)
+                               AS band
+                      FROM inter JOIN sz s1 ON s1.doc_id = d1
+                                 JOIN sz s2 ON s2.doc_id = d2)
+         SELECT CAST(band AS BIGINT) AS band,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM bands GROUP BY 1 ORDER BY band""",
+    "q_boilerplate_prefix" ->
+      // exact 32-char prefix families per source; rate of docs in
+      // families of size >= 2
+      """WITH fam AS (SELECT source, substring(text, 1, 32) AS pfx,
+                             CAST(count(*) AS BIGINT) AS sz
+                      FROM documents GROUP BY 1, 2),
+            g AS (SELECT source, CAST(sum(sz) AS BIGINT) AS n_docs,
+                         CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END)
+                              AS BIGINT) AS n_boiler
+                  FROM fam GROUP BY 1)
+         SELECT source, n_docs, n_boiler,
+                (round(CAST(n_boiler AS DOUBLE) / n_docs, 4) + 0.0)
+                  AS boiler_rate
+         FROM g ORDER BY source"""
   )
 }

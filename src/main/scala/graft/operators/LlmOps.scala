@@ -178,7 +178,7 @@ object LlmOps {
   /** The (d1, d2, inter, n1, n2) pair-statistics frame both set
     * similarities derive from — Jaccard (ngramPairs → q_dedup_ngram /
     * q_dedup_cluster) and asymmetric containment (q_containment). */
-  private[operators] def ngramPairStats(s: SparkSession, d: String,
+  private[graft] def ngramPairStats(s: SparkSession, d: String,
                                         maxDf: Int): DataFrame = {
     val docs = Tables.documents(s, d)
     // repartition = exchange barrier: the ngram arrays are built once and
@@ -1724,6 +1724,61 @@ object LlmOps {
                 r4(col("covered").cast("double") / col("total_tokens"))
                   .as("coverage")),
       col("k"))
+  }
+
+  /** q_jaccard_bands — the dedup-threshold sensitivity curve: the
+    * candidate pair stream ([[ngramPairStats]] — every pair sharing ≥1
+    * surviving gram) histogrammed by Jaccard DECILE band. THE readout
+    * for choosing θ: a corpus with a sharp cliff between bands 3 and 8
+    * tolerates any θ in the gap; mass spread across bands means the
+    * dedup rate is θ-sensitive and needs a human decision
+    * (q_dedup_ngram ranks the top pairs; this shows the whole
+    * distribution the threshold cuts).
+    *
+    * Determinism: band = (10·inter) DIV union in PURE int64 (floor
+    * division of positive exact ints — identical on both engines);
+    * no float ever materializes.
+    *
+    * Scale shape: rides the shared [[ngramPairStats]] frame (the
+    * df-capped gram join, the established dedup machinery); the
+    * histogram is ONE partial-aggregable shuffle onto ≤11 keys. */
+  def jaccardBands(s: SparkSession, d: String): DataFrame = {
+    ord(
+      ngramPairStats(s, d, NgramMaxDf)
+        .select(expr("(10 * inter) DIV (n1 + n2 - inter)").as("band"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_pairs")),
+      col("band"))
+  }
+
+  /** q_boilerplate_prefix — per-source boilerplate-header rate: the
+    * share of a source's documents whose first 32 characters are
+    * IDENTICAL to at least one other document of the same source —
+    * the template-header detector (crawled sites emit shared
+    * preambles; q_dup_spans finds repeated substrings anywhere, this
+    * cheap screen catches the door-frame case and names which SOURCE
+    * to strip).
+    *
+    * Determinism: exact string equality on the 32-char prefix (no
+    * hashing, no normalization — both engines substring identically);
+    * exact integer counts; ONE r4'd rate.
+    *
+    * Scale shape: one partial-aggregable shuffle onto (source,
+    * prefix) keys, family sizes re-joined map-side… actually summed
+    * in the SAME rollup (sum of sizes where size ≥ 2); a second
+    * ≤|sources| rollup. Nothing fact-sized crosses twice. */
+  def boilerplatePrefix(s: SparkSession, d: String): DataFrame = {
+    val fam = Tables.documents(s, d)
+      .select(col("source"), substring(col("text"), 1, 32).as("pfx"))
+      .groupBy(col("source"), col("pfx")).agg(count(lit(1)).as("sz"))
+    ord(
+      fam.groupBy(col("source"))
+        .agg(sum(col("sz")).as("n_docs"),
+             sum(when(col("sz") >= 2, col("sz")).otherwise(0L))
+               .as("n_boiler"))
+        .select(col("source"), col("n_docs"), col("n_boiler"),
+                r4(col("n_boiler").cast("double") / col("n_docs"))
+                  .as("boiler_rate")),
+      col("source"))
   }
 
   /** q_quality_by_source — the curation dashboard's quality×source

@@ -398,6 +398,26 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard_bands: pair mass conserved vs the raw pair stream; bands valid") {
+    val rows = operators.LlmOps.jaccardBands(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) <= 10))
+    // total pairs across bands == the candidate pair stream's size
+    val nPairs = operators.LlmOps
+      .ngramPairStats(spark, sf0001, operators.LlmOps.NgramMaxDf).count()
+    assert(rows.map(_.getLong(1)).sum == nPairs)
+  }
+
+  test("boilerplate_prefix: boiler docs bounded; docs conserved per source") {
+    val rows = operators.LlmOps.boilerplatePrefix(spark, sf0001).collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("top_supplier: the winner's exact revenue is the true maximum") {
     val rows = operators.ReportOps.topSupplier(spark, sf0001).collect()
     assert(rows.nonEmpty)
