@@ -422,7 +422,9 @@ object SparkEntry {
     "q_repeat_purchase_rate" -> (ReportOps.repeatPurchaseRate _),
     // r12 widening 9: dedup-threshold sensitivity, boilerplate headers
     "q_jaccard_bands" -> (L.jaccardBands _),
-    "q_boilerplate_prefix" -> (L.boilerplatePrefix _)
+    "q_boilerplate_prefix" -> (L.boilerplatePrefix _),
+    // r12 widening 10: crawl-order token drift
+    "q_token_drift" -> (L.tokenDrift _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6197,6 +6199,44 @@ object SparkEntry {
          SELECT source, n_docs, n_boiler,
                 (round(CAST(n_boiler AS DOUBLE) / n_docs, 4) + 0.0)
                   AS boiler_rate
-         FROM g ORDER BY source"""
+         FROM g ORDER BY source""",
+    "q_token_drift" ->
+      // PSI over the top-200 tokens between corpus halves (exact id
+      // midpoint); terms fold in (f DESC, tok) order on both engines;
+      // zero-in-either-half tokens excluded and counted
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+            b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM docs),
+            toks AS (SELECT CASE WHEN 2 * doc_id < mn + mx THEN 1 ELSE 2 END
+                              AS half,
+                            unnest(string_split(text, ' ')) AS tok
+                     FROM docs, b),
+            tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f,
+                          CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS f1,
+                          CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS f2
+                   FROM toks WHERE length(tok) > 0 GROUP BY 1),
+            tot AS (SELECT CAST(sum(f1) AS BIGINT) AS t1,
+                           CAST(sum(f2) AS BIGINT) AS t2 FROM tf),
+            top AS (SELECT f, tok, f1, f2 FROM tf
+                    ORDER BY f DESC, tok LIMIT 200),
+            terms AS (SELECT f, tok,
+                             CASE WHEN f1 > 0 AND f2 > 0 THEN
+                               (CAST(f1 AS DOUBLE) / t1 -
+                                CAST(f2 AS DOUBLE) / t2) *
+                               ln((CAST(f1 AS DOUBLE) / t1) /
+                                  (CAST(f2 AS DOUBLE) / t2)) END AS term
+                      FROM top, tot),
+            ag AS (SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+                          CAST(sum(CASE WHEN term IS NULL THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_excluded,
+                          list(term ORDER BY f DESC, tok)
+                            FILTER (WHERE term IS NOT NULL) AS ts
+                   FROM terms)
+         SELECT n_ranks, n_excluded,
+                (round(CASE WHEN len(ts) = 0 THEN 0.0
+                            ELSE list_reduce(ts, (a, b) -> a + b) END, 4)
+                 + 0.0) AS psi
+         FROM ag ORDER BY n_ranks"""
   )
 }

@@ -1781,6 +1781,63 @@ object LlmOps {
       col("source"))
   }
 
+  /** q_token_drift — token-distribution drift between the corpus's
+    * FIRST and SECOND half (by doc_id, the crawl-order proxy): PSI of
+    * the two unigram distributions over the top-200 overall tokens —
+    * "did the crawl's token mix shift mid-stream", the
+    * language-level drift detector beside q_psi (spend drift) and
+    * q_mix_kl (language-mix drift). PSI > 0.2 is the standard
+    * retrain/investigate trigger.
+    *
+    * Determinism: halves split at the EXACT integer id midpoint
+    * (2·id < mn+mx, the q_mix_shift rule); the top-200 cut is totally
+    * ordered by (f DESC, tok); shares divide exact ints; the PSI
+    * terms fold in RANK order over the 200-row frame (sort_array +
+    * `aggregate` ↔ list ORDER BY + list_reduce — the q_anova rule).
+    * Tokens absent from either half are EXCLUDED from the fold (their
+    * PSI term is undefined; count reported so the exclusion is
+    * visible).
+    *
+    * Scale shape: one token shuffle carrying both half-counts in the
+    * same cells (no second pass), a TakeOrdered(200) cut, totals on a
+    * 1-row broadcast, and the fold on a constant-bounded collected
+    * array. */
+  def tokenDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val bounds = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val toks = docs.crossJoin(broadcast(bounds))
+      .select(when(lit(2L) * col("doc_id") < col("mn") + col("mx"), lit(1))
+                .otherwise(lit(2)).as("half"),
+              explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("f"),
+           sum(when(col("half") === 1, 1L).otherwise(0L)).as("f1"),
+           sum(when(col("half") === 2, 1L).otherwise(0L)).as("f2"))
+      .localCheckpoint(false)
+    val tot = tf.agg(sum(col("f1")).as("t1"), sum(col("f2")).as("t2"))
+    val top = tf.orderBy(col("f").desc, col("tok")).limit(200)
+    ord(
+      top.crossJoin(broadcast(tot))
+        .select(col("tok"), col("f"), col("f1"), col("f2"), col("t1"),
+                col("t2"))
+        .agg(count(lit(1)).as("n_ranks"),
+             sum(when(col("f1") === 0 || col("f2") === 0, 1L).otherwise(0L))
+               .as("n_excluded"),
+             sort_array(collect_list(when(col("f1") > 0 && col("f2") > 0,
+               struct((-col("f")).as("nf"), col("tok"),
+                 ((col("f1").cast("double") / col("t1") -
+                   col("f2").cast("double") / col("t2")) *
+                  log((col("f1").cast("double") / col("t1")) /
+                      (col("f2").cast("double") / col("t2")))).as("term")))))
+               .as("ps"))
+        .select(col("n_ranks"), col("n_excluded"),
+                r4(expr(
+                  """aggregate(ps, CAST(0.0 AS DOUBLE),
+                       (a, p) -> a + p.term)""")).as("psi")),
+      col("n_ranks"))
+  }
+
   /** q_quality_by_source — the curation dashboard's quality×source
     * grid: per source, document counts in four quality bands (quality
     * = q_text_quality's uniq_ratio·min(1, tokens/50) score, banded at

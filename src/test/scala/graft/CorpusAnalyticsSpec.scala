@@ -418,6 +418,31 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("token_drift: psi recomputed in Scala over the same top-200 frame") {
+    val r = operators.LlmOps.tokenDrift(spark, sf0001).collect().head
+    assert(r.getLong(0) <= 200 && r.getLong(1) <= r.getLong(0))
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+    val ids = docs.map(_.getLong(0))
+    val (mn, mx) = (ids.min, ids.max)
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty)
+    val half = docs.map(d => (if (2 * d.getLong(0) < mn + mx) 1 else 2,
+                              toks(d.getString(1))))
+    val tf = scala.collection.mutable.Map[String, (Long, Long)]()
+    for ((h, ts) <- half; t <- ts) {
+      val (a, b) = tf.getOrElse(t, (0L, 0L))
+      tf(t) = if (h == 1) (a + 1, b) else (a, b + 1)
+    }
+    val (t1, t2) = (tf.values.map(_._1).sum.toDouble,
+                    tf.values.map(_._2).sum.toDouble)
+    val top = tf.toSeq.sortBy { case (t, (a, b)) => (-(a + b), t) }.take(200)
+    val psi = top.collect { case (_, (f1, f2)) if f1 > 0 && f2 > 0 =>
+      (f1 / t1 - f2 / t2) * math.log((f1 / t1) / (f2 / t2)) }.sum
+    assert(math.abs(r.getDouble(2) - psi) < 1e-3,
+      s"psi ${r.getDouble(2)} vs scala $psi")
+    assert(r.getDouble(2) >= 0.0, "PSI is non-negative by construction")
+  }
+
   test("top_supplier: the winner's exact revenue is the true maximum") {
     val rows = operators.ReportOps.topSupplier(spark, sf0001).collect()
     assert(rows.nonEmpty)
