@@ -5291,16 +5291,20 @@ object SparkEntry {
                      WINDOW w AS (ORDER BY epoch ROWS BETWEEN UNBOUNDED
                                   PRECEDING AND CURRENT ROW)),
             pts AS (SELECT epoch, grams_cum, vocab_cum,
+                           (grams_cum > 0 AND vocab_cum > 0) AS valid,
                            ln(CAST(grams_cum AS DOUBLE)) AS x,
                            ln(CAST(vocab_cum AS DOUBLE)) AS y
-                    FROM cums
-                    WHERE grams_cum > 0 AND vocab_cum > 0),
-            ag AS (SELECT CAST(count(*) AS BIGINT) AS n_epochs,
-                          CAST(max(grams_cum) AS BIGINT) AS grams_final,
-                          CAST(max(vocab_cum) AS BIGINT) AS vocab_final,
-                          list(x ORDER BY epoch) AS xs,
-                          list(y ORDER BY epoch) AS ys,
-                          list(x * y ORDER BY epoch) AS xys
+                    FROM cums),
+            ag AS (SELECT CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_epochs,
+                          CAST(max(grams_cum) FILTER (WHERE valid)
+                               AS BIGINT) AS grams_final,
+                          CAST(max(vocab_cum) FILTER (WHERE valid)
+                               AS BIGINT) AS vocab_final,
+                          list(x ORDER BY epoch) FILTER (WHERE valid) AS xs,
+                          list(y ORDER BY epoch) FILTER (WHERE valid) AS ys,
+                          list(x * y ORDER BY epoch) FILTER (WHERE valid)
+                            AS xys
                    FROM pts),
             st AS (SELECT n_epochs, grams_final, vocab_final,
                           list_reduce(xs, (a, b) -> a + b) AS sx,

@@ -1514,24 +1514,29 @@ object LlmOps {
     val cum = Window.orderBy(col("epoch"))
       .rowsBetween(Window.unboundedPreceding, 0)
     // Guard (r11 ADVICE): an epoch whose docs all have <3 tokens gives
-    // grams_cum=0 → ln(0)=-Inf and a NaN fit on both engines. Keep only
-    // points with positive cumulative counts (mirrored in the oracle
-    // SQL); on real corpora every epoch qualifies, so this only
-    // removes the degenerate-input failure mode.
+    // grams_cum=0 → ln(0)=-Inf and a NaN fit on both engines. Points
+    // with a zero cumulative are excluded from the OLS — but NOT via a
+    // Filter node: a filter on the window output forked the plan into
+    // two evaluations of the expensive gram subtree (measured 1.5 s vs
+    // 0.56 s warm at sf0.1). Instead the exclusion rides INSIDE the
+    // aggregate — collect_list skips the null the `when` emits for a
+    // degenerate point, and n_epochs counts only valid points — same
+    // semantics, one pass (the q_token_drift idiom); mirrored in the
+    // oracle's FILTER clause.
     val pts = epochGramCurve(s, d)
       .withColumn("grams_cum", sum(col("n_grams")).over(cum))
       .withColumn("vocab_cum", sum(col("novel_grams")).over(cum))
-      .filter(col("grams_cum") > 0 && col("vocab_cum") > 0)
       .select(col("epoch"),
               log(col("grams_cum").cast("double")).as("x"),
               log(col("vocab_cum").cast("double")).as("y"),
               col("grams_cum"), col("vocab_cum"))
+    val valid = col("grams_cum") > 0 && col("vocab_cum") > 0
     ord(
-      pts.agg(count(lit(1)).as("n_epochs"),
-              max(col("grams_cum")).as("grams_final"),
-              max(col("vocab_cum")).as("vocab_final"),
-              sort_array(collect_list(struct(col("epoch"), col("x"),
-                                             col("y")))).as("ps"))
+      pts.agg(sum(when(valid, 1L).otherwise(0L)).as("n_epochs"),
+              max(when(valid, col("grams_cum"))).as("grams_final"),
+              max(when(valid, col("vocab_cum"))).as("vocab_final"),
+              sort_array(collect_list(when(valid,
+                struct(col("epoch"), col("x"), col("y"))))).as("ps"))
         .withColumn("st", expr(
           """aggregate(ps,
                named_struct('sx', CAST(0.0 AS DOUBLE),
