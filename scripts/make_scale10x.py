@@ -16,7 +16,7 @@ bench), while documents, embeddings and events are expanded to 10 shards:
   shows its quadratic term.
 - embeddings: shard k offsets vec_id and flips vector components by a
   deterministic per-(shard, lane) sign-preserving jitter (+k*1e-5 on
-  lane (k+i) % 64) — near-identical to the source shard, so sign-LSH
+  the lanes i with i % 10 == k) — near-identical to the source shard, so sign-LSH
   bucket OCCUPANCY grows ~10x per (label, table, bucket): the candidate
   join's within-bucket quadratic term is deliberately exposed, not
   hidden (at 100 TB you add hash tables/planes; the curve documents

@@ -42,13 +42,18 @@ object Bench {
     // second, compact summary line AFTER it — total + count + the 15
     // slowest queries — so the tail window always captures the headline
     // number and enough attribution to spot a regression.
+    // Locale.ROOT formatting (r12 ADVICE): Scala's f-interpolator is
+    // locale-sensitive — a comma-decimal default locale would emit
+    // invalid JSON and defeat the tail-window parse recovery.
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     val slowest = results.toSeq.sortBy(-_._2).take(15)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => s"\"" + k + "\":" + num("%.3f", v) }
       .mkString("{", ",", "}")
     // Carries the driver's metric/value/unit keys too, so the record
     // stays parseable whether the driver reads the first or last line.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_s":${f"$total%.2f"},"n":${results.size},"slowest":$slowest,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_s":${num("%.2f", total)},"n":${results.size},"slowest":$slowest,"sf":"$sfDir"}"""
     println(summary)
     // r9's total was unrecoverable because the driver truncated stdout
     // (BENCH_r09.json "parsed": null) — persist the record too. Written

@@ -5563,9 +5563,12 @@ object SparkEntry {
                                       (a, b) -> a + b) AS sxx,
                           list_reduce(xys, (a, b) -> a + b) AS sxy
                    FROM ag),
+            -- nullif guard mirrors the engine (r12 ADVICE): zero
+            -- x-variance (single-distinct-token corpus) -> NULL slope
             fit AS (SELECT n_ranks, sx, sy,
                            (CAST(n_ranks AS DOUBLE) * sxy - sx * sy) /
-                           (CAST(n_ranks AS DOUBLE) * sxx - sx * sx)
+                           nullif(CAST(n_ranks AS DOUBLE) * sxx - sx * sx,
+                                  0.0)
                              AS slope_raw
                     FROM st)
          SELECT n_ranks, vocab, total_tokens,
@@ -6238,7 +6241,11 @@ object SparkEntry {
                             FILTER (WHERE term IS NOT NULL) AS ts
                    FROM terms)
          SELECT n_ranks, n_excluded,
-                (round(CASE WHEN len(ts) = 0 THEN 0.0
+                -- ts IS NULL guard (r12 ADVICE): list(...) FILTER over
+                -- zero rows yields NULL (not []), and len(NULL) = 0 is
+                -- never true — the fully-degenerate all-excluded case
+                -- must report psi = 0.0 like Spark's empty collect_list
+                (round(CASE WHEN ts IS NULL OR len(ts) = 0 THEN 0.0
                             ELSE list_reduce(ts, (a, b) -> a + b) END, 4)
                  + 0.0) AS psi
          FROM ag ORDER BY n_ranks"""

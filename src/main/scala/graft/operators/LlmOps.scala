@@ -1651,8 +1651,11 @@ object LlmOps {
                                       'sxx', a.sxx + p.x * p.x,
                                       'sxy', a.sxy + p.x * p.y))"""))
         .withColumn("slope_raw", expr(
+          // nullif-guarded denominator (r12 ADVICE): a single-distinct-
+          // token corpus has zero x-variance; NULL slope beats engine-
+          // divergent 0/0 semantics (the q_price_elasticity idiom)
           """(CAST(n_ranks AS DOUBLE) * st.sxy - st.sx * st.sy) /
-             (CAST(n_ranks AS DOUBLE) * st.sxx - st.sx * st.sx)"""))
+             nullif(CAST(n_ranks AS DOUBLE) * st.sxx - st.sx * st.sx, 0.0D)"""))
         .select(col("n_ranks"), col("vocab"), col("total_tokens"),
                 r4(-col("slope_raw")).as("zipf_s"),
                 r4(expr(
