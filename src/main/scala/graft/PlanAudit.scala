@@ -3,15 +3,26 @@ import org.apache.spark.sql.SparkSession
 /** Physical-plan audit tool: prints, per query, the exchange/join-shape
   * summary used in the per-round "plan you'd want at 100×" review
   * (shuffle count, broadcast vs sort-merge joins, cartesian products,
-  * scan pushdowns). Usage:
+  * scan pushdowns, whole-stage-codegen stages). Usage:
   *
   *   sbt "runMain PlanAudit [sfDir] [queryName ...]"
   *
   * No query names = audit every SparkEntry query. BNLJ counts are
   * expected to be the deliberate 1-row broadcast scalar frames
   * (corpus totals); anything else shows up as a Cartesian and is also
-  * rejected by PlanGuardSpec. */
+  * rejected by PlanGuardSpec.
+  *
+  * The codegen column is measured on the EXECUTED plan (r12 verdict
+  * ask #2): each query is collect()ed first, because under AQE the
+  * pre-execution AdaptiveSparkPlan string never contains the
+  * WholeStageCodegen markers — the `*(N)` ids only exist once the
+  * final stages are planned. `wsc` counts distinct `*(N)` codegen-
+  * stage ids in the final plan; a codegen-broken plan reads wsc=0 and
+  * PlanSpec's flagship assertions fail CI on it.
+  */
 object PlanAudit {
+  import graft.PlanMetrics.wscStages
+
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names =
@@ -23,12 +34,14 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
-      val lines = graft.SparkEntry.queries(n)(s, d)
-        .queryExecution.executedPlan.toString.split("\n")
+      val df = graft.SparkEntry.queries(n)(s, d)
+      df.collect() // materialize: AQE finalizes stages, codegen ids exist
+      val planStr = df.queryExecution.executedPlan.toString
+      val lines = planStr.split("\n")
       def c(tag: String) = lines.count(_.contains(tag))
       println(f"$n%-28s exchanges=${c("Exchange")}%-3d bhj=${c("BroadcastHashJoin")}%-3d " +
         f"smj=${c("SortMergeJoin")}%-3d cart=${c("Cartesian")}%-2d " +
-        f"bnlj=${c("BroadcastNestedLoop")}%-2d wsc=${c("WholeStageCodegen")}%d")
+        f"bnlj=${c("BroadcastNestedLoop")}%-2d wsc=${wscStages(planStr)}%d")
     }
     s.stop()
   }

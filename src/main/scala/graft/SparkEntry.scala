@@ -46,6 +46,7 @@ object SparkEntry {
     IngestOps.historyReportDir(spark, d)
     graft.operators.FormatOps.prepare(spark, d)
     AffinityOps.basketStoreDir(spark, d)
+    GraphOps.tradeEdgeStoreDir(spark, d)
     graft.streaming.StreamingOps.streamSourceDir(spark, d)
     graft.streaming.StreamingOps.prepareGatedStreams(spark, d)
   }

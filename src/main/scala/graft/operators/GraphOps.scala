@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *  - edge derivation is the expensive half and it is pure relational
   *    work: fact-table joins against broadcast dimensions, then one
   *    partial-aggregable shuffle on (src, dst) — edge count is bounded
-  *    by |nodes|², never by fact rows;
+  *    by |nodes|², never by fact rows. It runs ONCE per source state:
+  *    [[tradeEdgeStoreDir]] publishes the aggregate as an ingest-time
+  *    edge store, and all 7 graph queries read the store — the fact
+  *    tables never appear in a graph query's plan;
   *  - each PageRank iteration is an edge×rank equi-join on src plus one
   *    aggregate on dst — the same edge-join-iterate shape as
   *    [[CurationOps.dedupCluster]]; the iteration count is FIXED (3),
@@ -36,18 +39,47 @@ object GraphOps {
   private val Base = 0.15
   private val Iters = 3
 
-  /** The weighted trade-graph edge derivation shared by every graph
-    * query: src = buyer's nation, dst = supplier's nation, w = lineitem
-    * count. Pure relational work — fact joins against broadcast
-    * dimensions, one partial-aggregable shuffle on (src, dst); the edge
-    * count is bounded by |nodes|², never by fact rows. */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+  /** The weighted trade-graph edge DERIVATION: src = buyer's nation,
+    * dst = supplier's nation, w = lineitem count. Pure relational work —
+    * fact joins against broadcast dimensions, one partial-aggregable
+    * shuffle on (src, dst); the edge count is bounded by |nodes|²,
+    * never by fact rows. Runs ONCE per source state inside
+    * [[tradeEdgeStoreDir]]; queries never call it directly. */
+  private def deriveTradeEdges(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
+
+  /** The published trade-edge store (r12 verdict ask #1): the
+    * |nodes|²-bounded (src, dst, w) aggregate materialized ONCE per
+    * source state (CachedDir fingerprint + ATOMIC_MOVE publish, the
+    * session/basket/cluster-store pattern) instead of re-deriving the
+    * lineitem⋈orders fact join in each of the 7 graph queries — at
+    * 100 TB the fact join IS the family's dominant cost, and it is
+    * ingest-time work (edges change when data lands, not when a
+    * ranking runs). Result-invisible by construction: the store holds
+    * exact int64 aggregates, and a parquet round-trip of exact ints is
+    * bit-identical, so every graph query hashes the same against the
+    * fact-table-derived DuckDB oracle (the oracle never reads the
+    * store). PlanSpec asserts no graph plan scans a fact table. */
+  def tradeEdgeStoreDir(s: SparkSession, d: String): String =
+    graft.sources.CachedDir.materialize(s, d, "lineitem.parquet",
+                                        "trade_edges") { tmp =>
+      deriveTradeEdges(s, d).write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Every graph query's edge input: the published store, read with a
+    * declared schema (no footer inference on the hot path). */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.read.schema(StructType(Seq(
+        StructField("src", IntegerType), StructField("dst", IntegerType),
+        StructField("w", LongType))))
+      .parquet(tradeEdgeStoreDir(s, d))
+  }
 
   /** q_centrality — all-pairs hop distances + harmonic centrality over
     * the UNDIRECTED trade graph: per nation, reachable-node count,
@@ -112,8 +144,8 @@ object GraphOps {
   def pageRank(s: SparkSession, d: String): DataFrame = {
     val nation = Tables.nation(s, d)
     // edges feed both the out-weight aggregate and the transition join —
-    // lazy localCheckpoint derives them from the fact tables once
-    val edges = tradeEdges(s, d).localCheckpoint(false)
+    // two tiny store scans; no checkpoint needed now the store exists
+    val edges = tradeEdges(s, d)
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // w/ow is an exact-integer ratio divided once — identical on both
     // engines; it is NOT rounded because it feeds further arithmetic.
@@ -157,8 +189,9 @@ object GraphOps {
     * a ≤|nodes|² frame plus broadcast left-joins onto the node list —
     * every count is an exact integer. */
   def graphDegree(s: SparkSession, d: String): DataFrame = {
-    // two aggregates consume the same derived edges — derive once
-    val edges = tradeEdges(s, d).localCheckpoint(false)
+    // two aggregates each scan the tiny published store — keeping the
+    // plan declarative (no RDD break) beats saving a ~|nodes|^2 re-read
+    val edges = tradeEdges(s, d)
     val out = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("out_degree"), sum(col("w")).as("out_weight"))
     val in = edges.groupBy(col("dst"))
@@ -190,13 +223,12 @@ object GraphOps {
     * an exact-integer ratio divided once, rounded once. */
   def triangles(s: SparkSession, d: String): DataFrame = {
     // the canonical edge set feeds three self-join branches and the
-    // degree aggregate — lazy localCheckpoint runs the fact-table edge
-    // derivation once instead of once per branch
+    // degree aggregate — each re-canonicalizes the tiny store scan;
+    // declarative beats an RDD break at this frame size
     val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(false)
     val tri = und.as("e1")
       .join(broadcast(und.as("e2")), col("e1.b") === col("e2.a"))
       .join(broadcast(und.as("e3")),
@@ -239,7 +271,6 @@ object GraphOps {
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(false)
     val adj = und.select(col("a").as("v"), col("b").as("n"))
       .unionAll(und.select(col("b").as("v"), col("a").as("n")))
     val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -323,7 +354,6 @@ object GraphOps {
       .filter(col("src") =!= col("dst") &&
               col("w") * col("ne") >= lit(2L) * col("tw"))
       .select(col("src"), col("dst"), col("w"))
-      .localCheckpoint(false)
     val paths = strong.as("ab")
       .join(strong.as("bc"),
             col("ab.dst") === col("bc.src") && col("ab.src") =!= col("bc.dst"))

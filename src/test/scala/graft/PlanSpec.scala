@@ -46,6 +46,22 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "expected partial+final agg:\n" + p)
   }
 
+  test("flagships run with ≥1 whole-stage-codegen stage in the EXECUTED plan") {
+    // r12 verdict ask #2: the pre-execution AQE plan string never
+    // contains `*(N)` markers, so PlanAudit's wsc column was dead.
+    // Executed-plan markers are the real fusion evidence — a codegen-
+    // broken plan (e.g. a non-codegen expression in the hot path)
+    // drops to wsc=0 here and fails CI.
+    for ((name, df) <- Seq(
+        "q_agg_pricing" -> graft.operators.RelationalOps.aggPricing(spark, sf0001),
+        "q_sessionize" -> graft.operators.WindowOps.sessionize(spark, sf0001))) {
+      df.collect()
+      val wsc = PlanMetrics.wscStages(df.queryExecution.executedPlan.toString)
+      assert(wsc >= 1, s"$name executed with no WholeStageCodegen stage:\n" +
+        df.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("q_similarity_topk broadcasts the tiny query side") {
     val p = plan(graft.operators.LlmOps.similarityTopk(spark, sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
@@ -305,6 +321,39 @@ class PlanSpec extends AnyFunSuite {
     assert(lastAgg >= 0, tree)
     assert(!lines.drop(lastAgg + 1).exists(_.contains("Exchange")),
       "SQL store consumer still shuffles its input:\n" + tree)
+  }
+
+  test("graph queries read the published trade-edge store — no fact-table scan in any plan") {
+    // r12 verdict ask #1: the lineitem⋈orders edge derivation is
+    // ingest-time work (tradeEdgeStoreDir, built once per source
+    // state); a graph query whose plan still scans a fact table is
+    // re-deriving the family's dominant 100 TB cost per query
+    val G = graft.operators.GraphOps
+    val qs: Seq[(String, DataFrame)] = Seq(
+      "q_pagerank" -> G.pageRank(spark, sf0001),
+      "q_centrality" -> G.centrality(spark, sf0001),
+      "q_graph_degree" -> G.graphDegree(spark, sf0001),
+      "q_triangles" -> G.triangles(spark, sf0001),
+      "q_graph_jaccard" -> G.graphJaccard(spark, sf0001),
+      "q_graph_components" -> G.components(spark, sf0001),
+      "q_graph_2hop" -> G.twoHop(spark, sf0001))
+    for ((name, df) <- qs) {
+      val p = plan(df)
+      for (fact <- Seq("lineitem", "orders.parquet", "customer.parquet",
+                       "supplier.parquet"))
+        assert(!p.contains(fact),
+          s"$name still scans $fact instead of the edge store:\n" + p)
+    }
+    // and the store itself is what the non-iterative plans scan
+    // (pagerank/centrality/components checkpoint their iteration
+    // inputs, so their FINAL plans show RDD leaves — the store read
+    // happens when the checkpoint materializes)
+    for (name <- Seq("q_graph_degree", "q_triangles", "q_graph_jaccard",
+                     "q_graph_2hop")) {
+      val p0 = plan(qs.toMap.apply(name))
+      assert(p0.contains("trade_edges"),
+        s"$name: edge-store path not in scan:\n" + p0)
+    }
   }
 
   test("q_curation_funnel: keeper set broadcasts; rollup is partial-aggregated") {
