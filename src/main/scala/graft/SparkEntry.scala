@@ -342,6 +342,7 @@ object SparkEntry {
     "q_mutual_info" -> (TimeSeriesOps.mutualInfo _),
     "q_rolling_corr" -> (TimeSeriesOps.rollingCorr _),
     "q_shard_manifest" -> (C.shardManifest _),
+    "q_shard_manifest_scale" -> (C.shardManifestScale _),
     // BFS centrality, rank correlation, crawl-novelty decay
     "q_centrality" -> (GraphOps.centrality _),
     "q_rank_corr" -> (graft.operators.EvalOps.rankCorr _),
@@ -4899,6 +4900,30 @@ object SparkEntry {
                 md5(string_agg(CAST(doc_id AS VARCHAR), ','
                                ORDER BY doc_id)) AS manifest_md5
          FROM d GROUP BY 1 ORDER BY shard""",
+    "q_shard_manifest_scale" ->
+      // order-insensitive member digest: (sum mod 2^64, xor) of the
+      // first 64 md5 bits, carried in exact 32-bit lanes (HUGEINT sums
+      // mod'd back — identical lane arithmetic to the engine)
+      """WITH d AS (SELECT n_chars,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 16 AS shard,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            AS h,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+                            AS l
+                    FROM documents),
+            ag AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                          sum(h) AS sh, sum(l) AS sl,
+                          bit_xor(h) AS digest_xor_hi,
+                          bit_xor(l) AS digest_xor_lo
+                   FROM d GROUP BY 1)
+         SELECT shard, n_docs, sum_chars,
+                CAST((sh + sl // 4294967296) % 4294967296 AS BIGINT)
+                  AS digest_sum_hi,
+                CAST(sl % 4294967296 AS BIGINT) AS digest_sum_lo,
+                digest_xor_hi, digest_xor_lo
+         FROM ag ORDER BY shard""",
     "q_centrality" ->
       // TRUE all-pairs hop distances via recursive CTE — an
       // under-iterated BFS on the Spark side fails this hash loudly;

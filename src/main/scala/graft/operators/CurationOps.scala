@@ -1090,10 +1090,15 @@ object CurationOps {
     *
     * Scale shape: one partial-aggregable shuffle onto 16 shard keys;
     * the per-shard id list is |shard| longs — at 100 TB the manifest
-    * would switch to an order-insensitive xor/sum-of-hashes
-    * accumulator (documented), same contract. */
-  def shardManifest(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    * switches to [[shardManifestScale]]'s order-insensitive
+    * sum+xor-of-hashes accumulator (BUILT, r12 verdict ask #5), same
+    * drop/dup-detection contract without collecting the member list. */
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    shardManifestOn(Tables.documents(s, d))
+
+  /** Sorted-digest body over any (doc_id, n_chars) frame (see
+    * [[shardManifestScaleOn]]). */
+  def shardManifestOn(docs: DataFrame): DataFrame = {
     val key = expr("conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)")
       .cast("long")
     ord(
@@ -1104,6 +1109,65 @@ object CurationOps {
              md5(concat_ws(",",
                sort_array(collect_list(col("doc_id"))).cast("array<string>")))
                .as("manifest_md5")),
+      col("shard"))
+  }
+
+  /** q_shard_manifest_scale — the 100 TB form of [[shardManifest]]
+    * (r12 verdict ask #5): per shard, doc count, total chars, and an
+    * ORDER-INSENSITIVE digest of the member doc_id set — a commutative
+    * accumulator instead of sort_array+concat+md5, so the digest is
+    * one partial-aggregable pass with O(1) per-group state (the sorted
+    * digest collects the whole member list per shard; a 100 TB shard's
+    * id list doesn't fit an aggregation buffer).
+    *
+    * The digest is the pair (Σ h(id) mod 2⁶⁴, ⊕ h(id)) over the
+    * member set, h = first 64 md5 bits. Sum alone misses swapped
+    * members that collide additively; xor alone misses EVEN-count
+    * duplicates (x⊕x = 0) — together a dropped, duplicated, or
+    * substituted member changes at least one component (collision
+    * odds 2⁻¹²⁸ per the md5 model). ManifestDigestSpec property-tests
+    * drop/dup/substitute detection agreement with the sorted digest.
+    *
+    * Determinism + portability: h is split into 32-bit lanes (hi, lo)
+    * so EVERY intermediate is an exact non-negative int64 — no signed
+    * wrap anywhere (sums bounded by 2³²·n, lanes recombined with an
+    * explicit carry + mod) and no engine-divergent unsigned casts;
+    * the xor lanes stay ≤ 2³²−1 by construction. The oracle mirrors
+    * the identical lane arithmetic on DuckDB HUGEINT sums.
+    *
+    * Scale shape: ONE shuffle onto 16 shard keys, fully map-side
+    * combinable (sum/xor/count are all partial-aggregable); no
+    * collect_list, no sort, state per group = 6 int64s. */
+  def shardManifestScale(s: SparkSession, d: String): DataFrame =
+    shardManifestScaleOn(Tables.documents(s, d))
+
+  /** Operator body over any (doc_id, n_chars) frame — split out so
+    * ManifestDigestSpec can property-test drop/dup/substitute
+    * detection against [[shardManifestOn]]'s sorted digest. */
+  def shardManifestScaleOn(docs: DataFrame): DataFrame = {
+    val key = expr("conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)")
+      .cast("long")
+    val hi = expr("conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)")
+      .cast("long")
+    val lo = expr("conv(substring(md5(cast(doc_id AS string)), 9, 8), 16, 10)")
+      .cast("long")
+    val m32 = lit(4294967296L)
+    ord(
+      docs.select(pmod(key, lit(16L)).as("shard"), col("n_chars"),
+                  hi.as("h"), lo.as("l"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"),
+             sum(col("h")).as("sh"), sum(col("l")).as("sl"),
+             expr("bit_xor(h)").as("digest_xor_hi"),
+             expr("bit_xor(l)").as("digest_xor_lo"))
+        .select(col("shard"), col("n_docs"), col("sum_chars"),
+                // carry the lo-lane overflow into the hi lane, then take
+                // both mod 2^32: exactly (Σ h(id)) mod 2^64 in two lanes
+                pmod(col("sh") + expr("sl DIV 4294967296"), m32)
+                  .as("digest_sum_hi"),
+                pmod(col("sl"), m32).as("digest_sum_lo"),
+                col("digest_xor_hi"), col("digest_xor_lo")),
       col("shard"))
   }
 
