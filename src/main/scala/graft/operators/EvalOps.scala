@@ -332,31 +332,43 @@ object EvalOps {
     * rounded, so same inputs ⇒ same bits). Degenerate groups
     * (zero variance / zero range) yield NULL via nullif.
     *
-    * Int64 headroom (r11 ADVICE): the z numerator/denominator keep
-    * n·Σx² and (Σx)² in int64 on BOTH engines. With per-doc length
-    * x ≤ L those terms are ≤ (n·L)², so the derivation is exact
-    * while n·L < 3.0e9 per language group — ~3e9/L rows/group (e.g.
-    * 1.5M docs/group at L=2000), far above any gated SF. Past that
-    * bound Spark's long wraps silently while DuckDB's HUGEINT cast
-    * raises; a 100 TB deployment must first rescale the moments to
-    * double (losing bit-exactness, keeping ~1e-15 relative error)
-    * or widen to decimal(38,0). Bound chosen here because every
-    * gated SF sits ≥3 orders of magnitude inside it.
+    * Int64 overflow CLOSED (r12 verdict ask #4, superseding the r11
+    * documented headroom): the moments Σx and Σx² accumulate in
+    * decimal(38,0) — exact integer arithmetic to 10³⁸, matching
+    * DuckDB's HUGEINT widening — so n·Σx² and (Σx)² are computed
+    * EXACTLY on both engines far past the old n·L < 3.0e9 int64
+    * bound (a group needs n·L > 10¹⁹, impossible for int inputs,
+    * before decimal(38,0) could overflow — and there Spark nulls
+    * rather than wraps). Within the old headroom the decimal values
+    * are the same exact integers the long path produced, cast to
+    * double at the same point ⇒ bit-identical results (gated at all
+    * three SFs); past it, OperatorEdgeSpec injects an over-headroom
+    * group and asserts the z-scores equal the BigInt-exact values
+    * instead of a silent wrap. Decimal aggregation leaves
+    * whole-stage codegen for this rollup (ObjectHashAggregate-free,
+    * still partial-aggregable) — the |langs|-row frame makes that
+    * cost invisible.
     *
     * Scale shape: one partial-aggregable rollup to |langs| rows,
     * broadcast back onto the scan — an embarrassingly parallel
     * map-side join; no window, no shuffle of the fact rows. */
-  def zscoreScale(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
+  def zscoreScale(s: SparkSession, d: String): DataFrame =
+    zscoreScaleOn(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars")))
+
+  /** Operator body over any (doc_id, lang, n_chars) frame — split out
+    * so OperatorEdgeSpec can inject a past-int64-headroom group. */
+  def zscoreScaleOn(docs: DataFrame): DataFrame = {
+    val xd = col("n_chars").cast("decimal(18,0)")
     val stats = docs.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s1"),
-           sum(col("n_chars") * col("n_chars")).as("s2"),
+      .agg(count(lit(1)).as("n"), sum(xd).as("s1"),
+           sum(xd * xd).as("s2"),
            min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
     Fin.ord(
       docs.join(broadcast(stats), "lang")
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          r4((col("n") * col("n_chars") - col("s1")).cast("double") /
+          r4((col("n").cast("decimal(20,0)") * col("n_chars") - col("s1"))
+               .cast("double") /
              sqrt(nullif((col("n") * col("s2") - col("s1") * col("s1"))
                            .cast("double"), lit(0.0)))).as("z"),
           r4((col("n_chars") - col("mn")).cast("double") /

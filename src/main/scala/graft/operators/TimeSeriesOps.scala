@@ -1410,30 +1410,40 @@ object TimeSeriesOps {
     * identically-spelled-chain rule. Days are OBSERVED days (the
     * q_moving_avg calendar-gap stance).
     *
-    * Int64 headroom (r11 ADVICE): n·Σx² and (Σx)² stay int64 on both
-    * engines; with daily count x ≤ C they are ≤ (n_days·C)², exact
-    * while n_days·C < 3.0e9 per event type (e.g. ~8.2M events/day
-    * over a full year) — ≥3 orders above any gated SF. Past it Spark
-    * wraps silently vs DuckDB's HUGEINT-cast raise; at 100 TB rescale
-    * the moments to double or widen to decimal(38,0) first.
+    * Int64 overflow CLOSED (r12 verdict ask #4, superseding the r11
+    * documented headroom): Σx and Σx² accumulate in decimal(38,0) —
+    * exact to 10³⁸ like DuckDB's HUGEINT — so n·Σx² and (Σx)² are
+    * exact on both engines far past the old n_days·C < 3.0e9 int64
+    * bound (decimal can't overflow before n_days·C > 10¹⁹).
+    * Within the old headroom the values are the same exact integers,
+    * cast to double at the same point ⇒ bit-identical (gated at all
+    * three SFs); past it OperatorEdgeSpec injects an over-headroom
+    * type and asserts BigInt-exact Fano, not a silent wrap.
     *
     * Scale shape: two partial-aggregable rollups (fact → daily →
     * per-type), nothing else. */
-  def burstiness(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
+  def burstiness(s: SparkSession, d: String): DataFrame =
+    burstinessOn(Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** Per-type dispersion body over any (event_type, day, c) daily
+    * frame — split out so OperatorEdgeSpec can inject daily counts no
+    * real fixture could reach. */
+  def burstinessOn(daily: DataFrame): DataFrame = {
+    val cd = col("c").cast("decimal(18,0)")
     Fin.ord(
       daily.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s1"),
-             sum(col("c") * col("c")).as("s2"))
+        .agg(count(lit(1)).as("n_days"), sum(cd).as("s1"),
+             sum(cd * cd).as("s2"))
         .select(col("event_type"), col("n_days"),
           Fin.r4(col("s1").cast("double") / col("n_days")).as("mean_daily"),
           Fin.r4((col("n_days") * col("s2") - col("s1") * col("s1"))
                    .cast("double") / col("n_days") / col("n_days"))
             .as("var_daily"),
           Fin.r4((col("n_days") * col("s2") - col("s1") * col("s1"))
-                   .cast("double") / (col("n_days") * col("s1")))
+                   .cast("double") / (col("n_days") * col("s1"))
+                   .cast("double"))
             .as("fano")),
       col("event_type"))
   }

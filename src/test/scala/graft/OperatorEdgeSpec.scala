@@ -622,4 +622,60 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out((("1-URGENT", day0.toInt + 1))) == ((166.6667, 2)))
     assert(out((("2-HIGH", day0.toInt + 100))) == ((50.0, 1)))
   }
+
+  // r12 verdict ask #4: the exact-moment queries must survive a group
+  // whose n·Σx² / (Σx)² terms exceed int64 — the decimal(38,0) moment
+  // rework computes them EXACTLY (like DuckDB's HUGEINT) instead of
+  // silently wrapping a long. Expected values are BigInt-derived.
+
+  private def r4d(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("zscore_scale: a past-int64-headroom group computes exact z, no silent wrap") {
+    import spark.implicits._
+    // 4 docs of ~3.1e9 chars: n·Σx² ≈ 1.5e20 >> 2^63 ≈ 9.2e18 — the
+    // pre-r13 long moments wrapped here and emitted garbage z-scores
+    val xs = Seq(3100000000L, 1000000000L, 5000000000L, 2000000000L)
+    val docs = xs.zipWithIndex
+      .map { case (x, i) => (i.toLong, "xx", x) }
+      .toDF("doc_id", "lang", "n_chars")
+    val out = graft.operators.EvalOps.zscoreScaleOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val n = BigInt(xs.length)
+    val s1 = xs.map(BigInt(_)).sum
+    val s2 = xs.map(x => BigInt(x) * BigInt(x)).sum
+    val den = n * s2 - s1 * s1
+    // BOTH the intermediates (n·Σx²) AND the final den must exceed 2^63:
+    // a small den would let the old long path's two wraps cancel mod 2^64
+    assert(n * s2 > BigInt(Long.MaxValue) && den > BigInt(Long.MaxValue),
+      "fixture too small to exercise the overflow path")
+    for ((x, i) <- xs.zipWithIndex) {
+      val num = n * BigInt(x) - s1
+      val expected = r4d(num.doubleValue / math.sqrt(den.doubleValue))
+      assert(out(i.toLong) == expected,
+        s"doc $i: got ${out(i.toLong)}, want exact $expected")
+    }
+  }
+
+  test("burstiness: past-int64-headroom daily counts compute exact Fano, no silent wrap") {
+    import spark.implicits._
+    // widely-spread multi-billion daily counts: n·Σx² ≈ 1.4e20 >> 2^63
+    // AND m = n·Σx²−(Σx)² ≈ 3.8e19 > 2^63 (see the zscore fixture note)
+    val cs = Seq(3000000000L, 6000000000L, 1000000000L)
+    val daily = cs.zipWithIndex
+      .map { case (c, i) => ("huge", i.toLong, c) }
+      .toDF("event_type", "day", "c")
+    val r = graft.operators.TimeSeriesOps.burstinessOn(daily).collect().head
+    val n = BigInt(cs.length)
+    val s1 = cs.map(BigInt(_)).sum
+    val s2 = cs.map(c => BigInt(c) * BigInt(c)).sum
+    val m = n * s2 - s1 * s1
+    assert(n * s2 > BigInt(Long.MaxValue) && m > BigInt(Long.MaxValue),
+      "fixture too small to exercise the overflow path")
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == r4d(s1.doubleValue / 3.0), "mean wrong")
+    assert(r.getDouble(3) == r4d(m.doubleValue / 3.0 / 3.0), "variance wrapped")
+    assert(r.getDouble(4) == r4d(m.doubleValue / (n * s1).doubleValue),
+      "fano wrapped")
+  }
 }
