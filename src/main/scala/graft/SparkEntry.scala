@@ -816,15 +816,22 @@ object SparkEntry {
          ORDER BY jaccard DESC, d1, d2 LIMIT 20""",
     "q_dedup_embcos" ->
       // mirrors the engine's sign-LSH candidate rule (the
-      // q_similarity_lsh hash): pairs must share (label, table, bucket)
-      // in >=1 of the 8 tables before the exact cosine ranks them
+      // q_similarity_lsh hash) with the corpus-size-derived plane
+      // count: pl = clamp(ceil(log2(n/256)), 4, 8) spelled as exact
+      // integer thresholds; table t plane j reads component
+      // ((t*pl+j) % 64) + 1 — identical to the engine's knob
       """WITH em AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            nv AS (SELECT (CASE WHEN count(*) <= 4096 THEN 4
+                                WHEN count(*) <= 8192 THEN 5
+                                WHEN count(*) <= 16384 THEN 6
+                                WHEN count(*) <= 32768 THEN 7
+                                ELSE 8 END) AS pl FROM em),
             tb AS (SELECT label, vec_id, t,
-                          (CASE WHEN v[CAST(t*4+1 AS INT)] > 0 THEN 1 ELSE 0 END +
-                           CASE WHEN v[CAST(t*4+2 AS INT)] > 0 THEN 2 ELSE 0 END +
-                           CASE WHEN v[CAST(t*4+3 AS INT)] > 0 THEN 4 ELSE 0 END +
-                           CASE WHEN v[CAST(t*4+4 AS INT)] > 0 THEN 8 ELSE 0 END) AS bucket
-                   FROM em, range(0, 8) r(t)),
+                          CAST(sum(CASE WHEN v[CAST(((t*pl + j) % 64) + 1 AS INT)] > 0
+                                        THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+                   FROM em, nv, range(0, 8) r(t), range(0, 8) p(j)
+                   WHERE j < pl
+                   GROUP BY label, vec_id, t),
             cand AS (SELECT DISTINCT a.label, a.vec_id AS v1, b.vec_id AS v2
                      FROM tb a JOIN tb b ON a.label = b.label AND a.t = b.t
                                         AND a.bucket = b.bucket
@@ -3654,18 +3661,26 @@ object SparkEntry {
       // component mean; the threshold compare is exact int64
       // cross-multiplication (q_j·n > Σq_j), never a floating mean
       """WITH em AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            nv AS (SELECT (CASE WHEN count(*) <= 4096 THEN 4
+                                WHEN count(*) <= 8192 THEN 5
+                                WHEN count(*) <= 16384 THEN 6
+                                WHEN count(*) <= 32768 THEN 7
+                                ELSE 8 END) AS pl FROM em),
             mu AS (SELECT i,
                           CAST(sum(CAST(round(v[CAST(i AS INT)] * 1000000)
                                         AS BIGINT)) AS BIGINT) AS s,
                           CAST(count(*) AS BIGINT) AS n
-                   FROM em, range(1, 33) r(i) GROUP BY i),
+                   FROM em, range(1, 65) r(i) GROUP BY i),
             qs AS (SELECT list(s ORDER BY i) AS qs, min(n) AS n FROM mu),
             tb AS (SELECT label, vec_id, t,
-                          (CASE WHEN CAST(round(v[CAST(t*4+1 AS INT)] * 1000000) AS BIGINT) * n > qs[CAST(t*4+1 AS INT)] THEN 1 ELSE 0 END +
-                           CASE WHEN CAST(round(v[CAST(t*4+2 AS INT)] * 1000000) AS BIGINT) * n > qs[CAST(t*4+2 AS INT)] THEN 2 ELSE 0 END +
-                           CASE WHEN CAST(round(v[CAST(t*4+3 AS INT)] * 1000000) AS BIGINT) * n > qs[CAST(t*4+3 AS INT)] THEN 4 ELSE 0 END +
-                           CASE WHEN CAST(round(v[CAST(t*4+4 AS INT)] * 1000000) AS BIGINT) * n > qs[CAST(t*4+4 AS INT)] THEN 8 ELSE 0 END) AS bucket
-                   FROM em, qs, range(0, 8) r(t)),
+                          CAST(sum(CASE WHEN
+                                 CAST(round(v[CAST(((t*pl + j) % 64) + 1 AS INT)]
+                                            * 1000000) AS BIGINT) * n
+                                   > qs[CAST(((t*pl + j) % 64) + 1 AS INT)]
+                                 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+                   FROM em, nv, qs, range(0, 8) r(t), range(0, 8) p(j)
+                   WHERE j < pl
+                   GROUP BY label, vec_id, t),
             cand AS (SELECT DISTINCT a.label, a.vec_id AS v1, b.vec_id AS v2
                      FROM tb a JOIN tb b ON a.label = b.label AND a.t = b.t
                                         AND a.bucket = b.bucket

