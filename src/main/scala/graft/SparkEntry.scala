@@ -357,6 +357,9 @@ object SparkEntry {
     "q_top_movers" -> (TimeSeriesOps.topMovers _),
     "q_quarantine" -> (C.quarantine _),
     "q_graph_2hop" -> (GraphOps.twoHop _),
+    "q_hits" -> (GraphOps.hits _),
+    "q_graph_reciprocity" -> (GraphOps.reciprocity _),
+    "q_assortativity" -> (GraphOps.assortativity _),
     // feature scaling, compaction planning, Holt level+trend smoothing
     "q_zscore_scale" -> (graft.operators.EvalOps.zscoreScale _),
     "q_compaction_plan" -> (LayoutOps.compactionPlan _),
@@ -5194,6 +5197,99 @@ object SparkEntry {
          FROM p WHERE NOT EXISTS (SELECT 1 FROM strong e
                                   WHERE e.src = p.src AND e.dst = p.dst)
          ORDER BY src, dst""",
+    "q_hits" ->
+      // two exact unnormalized HITS iterations (HUGEINT sums mirror
+      // the engine's decimal(38,0)); ONE terminal division per score
+      """WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                           CAST(count(*) AS BIGINT) AS w
+                    FROM lineitem l
+                    JOIN orders o ON l.l_orderkey = o.o_orderkey
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                    GROUP BY 1, 2),
+            a1 AS (SELECT dst AS v, sum(w) AS a FROM e GROUP BY 1),
+            h1 AS (SELECT e.src AS u, sum(e.w * a1.a) AS h
+                   FROM e JOIN a1 ON e.dst = a1.v GROUP BY 1),
+            a2 AS (SELECT e.dst AS v, sum(e.w * h1.h) AS a
+                   FROM e JOIN h1 ON e.src = h1.u GROUP BY 1),
+            mx AS (SELECT (SELECT max(h) FROM h1) AS mh,
+                          (SELECT max(a) FROM a2) AS ma)
+         SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+                (round(CAST(coalesce(h1.h, 0) AS DOUBLE) /
+                       CAST(mx.mh AS DOUBLE), 4) + 0.0) AS hub_score,
+                (round(CAST(coalesce(a2.a, 0) AS DOUBLE) /
+                       CAST(mx.ma AS DOUBLE), 4) + 0.0) AS auth_score
+         FROM nation n
+         LEFT JOIN h1 ON n.n_nationkey = h1.u
+         LEFT JOIN a2 ON n.n_nationkey = a2.v, mx
+         ORDER BY nationkey""",
+    "q_graph_reciprocity" ->
+      // strong-tie cutoff (the q_graph_components rule), then per
+      // nation: strong out-edges, returned edges, rate (NULL on 0/0)
+      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                               count(*) AS w
+                        FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        JOIN customer c ON o.o_custkey = c.c_custkey
+                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        GROUP BY 1, 2),
+            cut AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                           count(*) AS ne FROM edges),
+            strong AS (SELECT src, dst FROM edges, cut
+                       WHERE src <> dst AND w * ne >= 2 * tw),
+            o AS (SELECT src, CAST(count(*) AS BIGINT) AS n_out
+                  FROM strong GROUP BY 1),
+            r AS (SELECT a.src, CAST(count(*) AS BIGINT) AS n_reciprocated
+                  FROM strong a
+                  WHERE EXISTS (SELECT 1 FROM strong b
+                                WHERE b.src = a.dst AND b.dst = a.src)
+                  GROUP BY 1)
+         SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+                coalesce(o.n_out, 0) AS n_out,
+                coalesce(r.n_reciprocated, 0) AS n_reciprocated,
+                (round(CAST(coalesce(r.n_reciprocated, 0) AS DOUBLE) /
+                       nullif(CAST(coalesce(o.n_out, 0) AS DOUBLE), 0), 4)
+                 + 0.0) AS reciprocity
+         FROM nation n
+         LEFT JOIN o ON n.n_nationkey = o.src
+         LEFT JOIN r ON n.n_nationkey = r.src
+         ORDER BY nationkey""",
+    "q_assortativity" ->
+      // degree assortativity of the undirected strong graph: Pearson r
+      // over both orientations of every edge, exact sufficient sums
+      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                               count(*) AS w
+                        FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        JOIN customer c ON o.o_custkey = c.c_custkey
+                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        GROUP BY 1, 2),
+            cut AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                           count(*) AS ne FROM edges),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                                    greatest(src, dst) AS b
+                    FROM edges, cut
+                    WHERE src <> dst AND w * ne >= 2 * tw),
+            ends AS (SELECT a AS u, b AS v FROM und
+                     UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT u, CAST(count(*) AS BIGINT) AS du
+                    FROM ends GROUP BY 1),
+            pr AS (SELECT d1.du AS x, d2.du AS y
+                   FROM ends JOIN deg d1 ON ends.u = d1.u
+                             JOIN deg d2 ON ends.v = d2.u),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS n_ends,
+                          CAST(sum(x) AS BIGINT) AS sx,
+                          CAST(sum(y) AS BIGINT) AS sy,
+                          CAST(sum(x * x) AS BIGINT) AS sxx,
+                          CAST(sum(y * y) AS BIGINT) AS syy,
+                          CAST(sum(x * y) AS BIGINT) AS sxy
+                   FROM pr)
+         SELECT n_ends,
+                (round(CAST(n_ends * sxy - sx * sy AS DOUBLE) /
+                       nullif(sqrt(CAST(n_ends * sxx - sx * sx AS DOUBLE)) *
+                              sqrt(CAST(n_ends * syy - sy * sy AS DOUBLE)),
+                              0), 4) + 0.0) AS assortativity
+         FROM st ORDER BY n_ends""",
     "q_zscore_scale" ->
       // Both scalings are ONE division of integer-derived terms:
       // z = (n·x − Σx)/√(n·Σx² − (Σx)²), mm = (x − min)/(max − min);

@@ -289,6 +289,21 @@ object GraphOps {
       col("u"), col("w"))
   }
 
+  /** STRONG-tie edge set shared by the components / 2-hop /
+    * reciprocity / assortativity queries: keep src≠dst edges whose
+    * weight clears 2× the mean edge weight — w·|E| ≥ 2·Σw in exact
+    * int64, a relative cutoff that scales with the corpus (the raw
+    * trade graph is complete at every SF, so every structural query
+    * needs it). The 1-row cutoff frame broadcasts. */
+  private def strongEdges(s: SparkSession, d: String): DataFrame = {
+    val edges = tradeEdges(s, d)
+    val cut = edges.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
+    edges.crossJoin(broadcast(cut))
+      .filter(col("src") =!= col("dst") &&
+              col("w") * col("ne") >= lit(2L) * col("tw"))
+      .select(col("src"), col("dst"), col("w"))
+  }
+
   /** q_graph_components — connected components of the STRONG-tie trade
     * graph: keep edges whose weight is ≥ 2× the mean edge weight
     * (w·|E| ≥ 2·Σw in exact int64 — a relative cutoff that scales with
@@ -306,11 +321,7 @@ object GraphOps {
     * frame and the node list broadcast. Labels are fixpoint-unique →
     * deterministic regardless of execution order. */
   def components(s: SparkSession, d: String): DataFrame = {
-    val edges = tradeEdges(s, d)
-    val cut = edges.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
-    val strong = edges.crossJoin(broadcast(cut))
-      .filter(col("src") =!= col("dst") &&
-              col("w") * col("ne") >= lit(2L) * col("tw"))
+    val strong = strongEdges(s, d)
       .select(col("src").cast("long").as("d1"), col("dst").cast("long").as("d2"))
     val labeled = CurationOps.cc(strong)
       .select(col("doc_id").cast("int").as("nationkey"),
@@ -348,12 +359,7 @@ object GraphOps {
     * direct edges on (src, dst) — all |E_strong|·avg-degree bounded,
     * never fact-row bounded. At 100 TB only tradeEdges grows. */
   def twoHop(s: SparkSession, d: String): DataFrame = {
-    val edges = tradeEdges(s, d)
-    val cut = edges.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
-    val strong = edges.crossJoin(broadcast(cut))
-      .filter(col("src") =!= col("dst") &&
-              col("w") * col("ne") >= lit(2L) * col("tw"))
-      .select(col("src"), col("dst"), col("w"))
+    val strong = strongEdges(s, d)
     val paths = strong.as("ab")
       .join(strong.as("bc"),
             col("ab.dst") === col("bc.src") && col("ab.src") =!= col("bc.dst"))
@@ -364,5 +370,125 @@ object GraphOps {
       paths.join(strong.select(col("src"), col("dst")),
                  Seq("src", "dst"), "left_anti"),
       col("src"), col("dst"))
+  }
+
+  /** q_hits — HITS hubs & authorities over the directed trade graph
+    * (r13): two EXACT unnormalized iterations — a₁(v) = Σᵤ w(u,v),
+    * h₁(u) = Σᵥ w(u,v)·a₁(v), a₂(v) = Σᵤ w(u,v)·h₁(u) — then each
+    * score divided ONCE by its max. HITS separates "buys from the
+    * best suppliers" (hub) from "supplies the biggest buyers"
+    * (authority) — directions PageRank's single flow conflates; the
+    * fixed-depth form trades the eigenvector limit for exact integer
+    * arithmetic (the q_pagerank fixed-iteration stance, taken
+    * further: no doubles until the terminal division).
+    *
+    * Determinism: every score is an exact integer (decimal(38,0)
+    * sums — the q_zscore_scale overflow-closed idiom; DuckDB HUGEINT
+    * mirrors); hub/auth are ONE division of two exact ints, r4'd.
+    *
+    * Scale shape: reads the published edge store; two broadcast-join
+    * + aggregate rounds over the |nodes|²-bounded edge frame; node
+    * list broadcast for the left join. */
+  def hits(s: SparkSession, d: String): DataFrame = {
+    val edges = tradeEdges(s, d)
+    val wd = col("w").cast("decimal(18,0)")
+    val a1 = edges.groupBy(col("dst").as("v")).agg(sum(wd).as("a1"))
+    val h1 = edges.join(broadcast(a1), col("dst") === col("v"))
+      .groupBy(col("src").as("u")).agg(sum(wd * col("a1")).as("h1"))
+    val a2 = edges.join(broadcast(h1), col("src") === col("u"))
+      .groupBy(col("dst").as("v2")).agg(sum(wd * col("h1")).as("a2"))
+    val mx = h1.agg(max(col("h1")).as("mh"))
+      .crossJoin(a2.agg(max(col("a2")).as("ma")))
+    ord(
+      Tables.nation(s, d)
+        .join(broadcast(h1), col("n_nationkey") === col("u"), "left")
+        .join(broadcast(a2), col("n_nationkey") === col("v2"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("n_nationkey").as("nationkey"), col("n_name").as("nation"),
+          r4(coalesce(col("h1"), lit(0)).cast("double") /
+             col("mh").cast("double")).as("hub_score"),
+          r4(coalesce(col("a2"), lit(0)).cast("double") /
+             col("ma").cast("double")).as("auth_score")),
+      col("nationkey"))
+  }
+
+  /** q_graph_reciprocity — tie reciprocity over the STRONG trade
+    * graph: per nation, strong out-edges, how many are returned
+    * (dst→src also strong), and the reciprocity rate — the
+    * relationship-symmetry readout (a high-volume one-way lane is a
+    * dependency; a reciprocated one is a partnership) that
+    * components/2-hop don't expose because they symmetrize away
+    * direction.
+    *
+    * Determinism: counts exact; rate is one int division r4'd; nations
+    * with no strong out-edge report 0/0 → rate NULL via nullif.
+    *
+    * Scale shape: the strong set is |nodes|²-bounded and derived from
+    * the store; the reciprocation test is a self-semi-join on the
+    * reversed key; node list broadcast. */
+  def reciprocity(s: SparkSession, d: String): DataFrame = {
+    val strong = strongEdges(s, d)
+    // rename the reversed side's keys so the self-semi-join is
+    // unambiguous (both frames share strongEdges' lineage)
+    val rev = strong.select(col("dst").as("rsrc"), col("src").as("rdst"))
+    val recip = strong.join(rev,
+        col("src") === col("rsrc") && col("dst") === col("rdst"), "left_semi")
+      .groupBy(col("src").as("ru")).agg(count(lit(1)).as("n_reciprocated"))
+    val out = strong.groupBy(col("src").as("ou")).agg(count(lit(1)).as("n_out"))
+    ord(
+      Tables.nation(s, d)
+        .join(broadcast(out), col("n_nationkey") === col("ou"), "left")
+        .join(broadcast(recip), col("n_nationkey") === col("ru"), "left")
+        .select(col("n_nationkey").as("nationkey"), col("n_name").as("nation"),
+                coalesce(col("n_out"), lit(0L)).as("n_out"),
+                coalesce(col("n_reciprocated"), lit(0L)).as("n_reciprocated"),
+                r4(coalesce(col("n_reciprocated"), lit(0L)).cast("double") /
+                   nullif(coalesce(col("n_out"), lit(0L)).cast("double"),
+                          lit(0.0))).as("reciprocity")),
+      col("nationkey"))
+  }
+
+  /** q_assortativity — degree assortativity of the UNDIRECTED strong
+    * trade graph: Pearson r between the degrees at the two ends of
+    * every edge (each undirected edge contributes both orientations —
+    * the standard symmetrization), over the strong-tie set. r > 0 =
+    * hubs trade with hubs (rich club); r < 0 = hub-and-spoke. The
+    * one-number topology summary that degree listings don't give.
+    *
+    * Determinism: degrees and all five sufficient sums are exact
+    * int64 (≤ 2|E|·deg², tiny — decimal at 100 TB would follow the
+    * q_hits idiom); r = (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+    * is the identically-spelled OLS chain with nullif on zero
+    * variance; by symmetry Σx=Σy but both are spelled independently
+    * so the chain is the generic one.
+    *
+    * Scale shape: degrees from one aggregate of the strong set;
+    * degree lookup broadcast onto the edge list; ONE 1-row rollup. */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val strong = strongEdges(s, d)
+    val und = strong.select(least(col("src"), col("dst")).as("a"),
+                            greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val ends = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = ends.groupBy(col("u")).agg(count(lit(1)).as("du"))
+    val pairs = ends
+      .join(broadcast(deg), "u")
+      .join(broadcast(deg.select(col("u").as("v"), col("du").as("dv"))), "v")
+      .select(col("du").as("x"), col("dv").as("y"))
+    ord(
+      pairs.agg(count(lit(1)).as("n_ends"),
+                sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+                sum(col("x") * col("x")).as("sxx"),
+                sum(col("y") * col("y")).as("syy"),
+                sum(col("x") * col("y")).as("sxy"))
+        .select(col("n_ends"),
+          r4((col("n_ends") * col("sxy") - col("sx") * col("sy"))
+               .cast("double") /
+             nullif(sqrt((col("n_ends") * col("sxx") - col("sx") * col("sx"))
+                           .cast("double")) *
+                    sqrt((col("n_ends") * col("syy") - col("sy") * col("sy"))
+                           .cast("double")), lit(0.0))).as("assortativity")),
+      col("n_ends"))
   }
 }

@@ -685,6 +685,69 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out == Seq((0, 2, 1L, 9L)), s"got $out")
   }
 
+  /** Shared planted-graph writer for the r13 graph trio: nations 0..n-1,
+    * customer/supplier i in nation i, one order+w lineitems per directed
+    * edge (cn → sn, weight w). */
+  private def writeTradeGraph(dir: String, n: Int,
+                              edges: Seq[(Long, Long, Int)]): Unit = {
+    writeTable(dir, "nation", Schemas.nation,
+      (0 until n).map(i => Row(i, s"N$i", 0)))
+    writeTable(dir, "customer", Schemas.customer,
+      (0 until n).map(i => Row(i.toLong, s"C$i", i, 0.0, "SEG")))
+    writeTable(dir, "supplier", Schemas.supplier,
+      (0 until n).map(i => Row(i.toLong, s"S$i", i, 0.0)))
+    val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    writeTable(dir, "orders", Schemas.orders,
+      edges.zipWithIndex.map { case ((src, _, _), i) =>
+        Row(i.toLong, src, "O", 1.0, ts, "1") })
+    writeTable(dir, "lineitem", Schemas.lineitem,
+      edges.zipWithIndex.flatMap { case ((_, dst, w), i) =>
+        (1 to w).map(ln =>
+          Row(i.toLong, 1L, dst, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", ts)) })
+  }
+
+  test("hits: hand-computed two-iteration hub/authority scores") {
+    val dir = tmpDir("hits")
+    // a1(1)=1, a1(2)=3; h1(0)=2·3+1·1=7, h1(1)=1·3=3;
+    // a2(1)=1·7=7, a2(2)=2·7+1·3=17 → hub 1, 3/7, 0; auth 0, 7/17, 1.
+    writeTradeGraph(dir, 3, Seq((0L, 2L, 2), (1L, 2L, 1), (0L, 1L, 1)))
+    val out = GraphOps.hits(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out == Map(0 -> ((1.0, 0.0)), 1 -> ((0.4286, 0.4118)),
+                      2 -> ((0.0, 1.0))), s"got $out")
+  }
+
+  test("graph_reciprocity: returned tie counts; 0-out nations report NULL rate") {
+    val dir = tmpDir("recip")
+    // Σw=33 over 9 edges → strong needs w·9 ≥ 66 → the three w=9 edges:
+    // 0→1, 1→0 (mutual) and 2→3 (one-way); nation 4 isolated.
+    writeTradeGraph(dir, 5, Seq(
+      (0L, 1L, 9), (1L, 0L, 9), (2L, 3L, 9),
+      (3L, 2L, 1), (0L, 2L, 1), (2L, 0L, 1),
+      (1L, 3L, 1), (3L, 1L, 1), (0L, 3L, 1)))
+    val out = GraphOps.reciprocity(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+                 Option(r.get(4)).map(_.asInstanceOf[Double]))).toSeq
+    assert(out == Seq(
+      (0, 1L, 1L, Some(1.0)), (1, 1L, 1L, Some(1.0)),
+      (2, 1L, 0L, Some(0.0)), (3, 0L, 0L, None), (4, 0L, 0L, None)),
+      s"got $out")
+  }
+
+  test("assortativity: planted star graph gives exactly -1") {
+    val dir = tmpDir("assort")
+    // strong cutoff keeps 0→1 and 0→2 (w·6 ≥ 2·22 ⇔ w ≥ 7.33) → an
+    // undirected 2-star; hub degree 2 always pairs with leaf degree 1
+    // at both ends → Pearson r over end-degrees is exactly −1.
+    writeTradeGraph(dir, 3, Seq(
+      (0L, 1L, 9), (0L, 2L, 9),
+      (1L, 0L, 1), (1L, 2L, 1), (2L, 0L, 1), (2L, 1L, 1)))
+    val out = GraphOps.assortativity(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 4L, s"got ${out.head}")
+    assert(out.head.getDouble(1) == -1.0, s"got ${out.head}")
+  }
+
   test("zscore_scale: per-group z and min-max; degenerate group yields NULLs") {
     val dir = tmpDir("zscore")
     writeTable(dir, "documents", documentsSchema, Seq(

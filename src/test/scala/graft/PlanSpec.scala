@@ -336,7 +336,10 @@ class PlanSpec extends AnyFunSuite {
       "q_triangles" -> G.triangles(spark, sf0001),
       "q_graph_jaccard" -> G.graphJaccard(spark, sf0001),
       "q_graph_components" -> G.components(spark, sf0001),
-      "q_graph_2hop" -> G.twoHop(spark, sf0001))
+      "q_graph_2hop" -> G.twoHop(spark, sf0001),
+      "q_hits" -> G.hits(spark, sf0001),
+      "q_graph_reciprocity" -> G.reciprocity(spark, sf0001),
+      "q_assortativity" -> G.assortativity(spark, sf0001))
     for ((name, df) <- qs) {
       val p = plan(df)
       for (fact <- Seq("lineitem", "orders.parquet", "customer.parquet",
@@ -349,7 +352,8 @@ class PlanSpec extends AnyFunSuite {
     // inputs, so their FINAL plans show RDD leaves — the store read
     // happens when the checkpoint materializes)
     for (name <- Seq("q_graph_degree", "q_triangles", "q_graph_jaccard",
-                     "q_graph_2hop")) {
+                     "q_graph_2hop", "q_hits", "q_graph_reciprocity",
+                     "q_assortativity")) {
       val p0 = plan(qs.toMap.apply(name))
       assert(p0.contains("trade_edges"),
         s"$name: edge-store path not in scan:\n" + p0)
