@@ -15,6 +15,11 @@ run / fork := true
 // each test's duration, so suite-growth between rounds is attributable
 // from the log instead of guessed. Soft budget documented in README.
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+// r12 verdict ask #6: machine-readable per-SUITE seconds — ScalaTest's
+// JUnit XML (one file per suite, time= attribute) aggregated by
+// scripts/suite_times.py into the README budget table.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
+  "-u", "target/test-reports")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
