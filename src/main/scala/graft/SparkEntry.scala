@@ -429,7 +429,18 @@ object SparkEntry {
     "q_jaccard_bands" -> (L.jaccardBands _),
     "q_boilerplate_prefix" -> (L.boilerplatePrefix _),
     // r12 widening 10: crawl-order token drift
-    "q_token_drift" -> (L.tokenDrift _)
+    "q_token_drift" -> (L.tokenDrift _),
+    // r13 widening 2: momentum oscillator, symbolic series, price
+    // index, referential-integrity audit
+    "q_rsi" -> (TimeSeriesOps.rsi _),
+    "q_sax" -> (TimeSeriesOps.sax _),
+    "q_price_index" -> (ReportOps.priceIndex _),
+    "q_fk_audit" -> (P.fkAudit _),
+    // r13 widening 3: simhash θ instrument, per-source distinctive
+    // vocabulary, shuffle-key skew audit
+    "q_simhash_hamming_hist" -> (L.simhashHammingHist _),
+    "q_source_terms" -> (L.sourceTerms _),
+    "q_key_skew" -> (LayoutOps.keySkew _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6385,6 +6396,252 @@ object SparkEntry {
                 (round(CASE WHEN ts IS NULL OR len(ts) = 0 THEN 0.0
                             ELSE list_reduce(ts, (a, b) -> a + b) END, 4)
                  + 0.0) AS psi
-         FROM ag ORDER BY n_ranks"""
+         FROM ag ORDER BY n_ranks""",
+    "q_rsi" ->
+      // Cutler's SMA RSI over the daily rollup: exact int64 cents
+      // gains/losses, ONE division; <14 trailing deltas → NULL
+      """WITH daily AS (
+           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+            dl AS (SELECT day_num, cents,
+                          lag(cents, 1) OVER (ORDER BY day_num) AS prev
+                   FROM daily),
+            gl AS (SELECT day_num, cents, prev,
+                          greatest(cents - prev, 0) AS gain,
+                          greatest(prev - cents, 0) AS loss
+                   FROM dl WHERE prev IS NOT NULL),
+            w AS (SELECT day_num, cents, prev,
+                         sum(gain) OVER win AS sg,
+                         sum(loss) OVER win AS sl,
+                         count(*) OVER win AS nw
+                  FROM gl
+                  WINDOW win AS (ORDER BY day_num
+                                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT day_num,
+                CAST(cents - prev AS DOUBLE) / 100.0 AS delta_rev,
+                CASE WHEN nw = 14 THEN
+                  (round(100.0 * CAST(sg AS DOUBLE) /
+                         nullif(CAST(sg + sl AS DOUBLE), 0.0), 4) + 0.0)
+                END AS rsi14
+         FROM w ORDER BY day_num""",
+    "q_sax" ->
+      // 8-segment PAA + 4-symbol SAX of the daily event-count series:
+      // HUGEINT sufficient sums mirror the engine's decimal(38,0);
+      // z is the identically-spelled chain, strict < breakpoints
+      """WITH daily AS (
+           SELECT CAST((epoch_us(ts)//1000000) // 86400 AS INT) AS day_num,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+            idx AS (SELECT day_num, c,
+                           row_number() OVER (ORDER BY day_num) - 1 AS i
+                    FROM daily),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(c) AS HUGEINT) AS sx,
+                           CAST(sum(c * c) AS HUGEINT) AS sxx
+                    FROM daily),
+            seg AS (SELECT CAST((8 * i) // n AS INT) AS seg,
+                           CAST(count(*) AS BIGINT) AS ln,
+                           CAST(sum(c) AS BIGINT) AS sc
+                    FROM idx, tot GROUP BY 1),
+            z AS (SELECT seg, ln,
+                         CAST(n * sc - ln * sx AS DOUBLE) /
+                         nullif(CAST(ln AS DOUBLE) *
+                                sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                                     CAST(n AS DOUBLE)), 0.0) AS zv
+                  FROM seg, tot)
+         SELECT seg, ln AS n_days, (round(zv, 4) + 0.0) AS z,
+                CASE WHEN zv IS NULL THEN 'b'
+                     WHEN zv < -0.6745 THEN 'a'
+                     WHEN zv < 0.0 THEN 'b'
+                     WHEN zv < 0.6745 THEN 'c'
+                     ELSE 'd' END AS symbol
+         FROM z ORDER BY seg""",
+    "q_price_index" ->
+      // Drobisch unit-value index vs the base month over MATCHED
+      // parts: HUGEINT cross products mirror decimal(38,0); ONE division
+      """WITH mp AS (SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                            l_partkey,
+                            CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                                 AS BIGINT) AS qty,
+                            CAST(sum(CAST(round(l_extendedprice * 100)
+                                          AS BIGINT)) AS BIGINT) AS cents
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     GROUP BY 1, 2),
+            base AS (SELECT min(month) AS base_month FROM mp),
+            bm AS (SELECT l_partkey AS bk, qty AS qb, cents AS cb
+                   FROM mp, base WHERE month = base_month),
+            g AS (SELECT month, CAST(count(*) AS BIGINT) AS n_parts,
+                         CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS scm,
+                         CAST(sum(CAST(qty AS HUGEINT)) AS HUGEINT) AS sqm,
+                         CAST(sum(CAST(qb AS HUGEINT)) AS HUGEINT) AS sqb,
+                         CAST(sum(CAST(cb AS HUGEINT)) AS HUGEINT) AS scb
+                  FROM mp JOIN bm ON l_partkey = bk
+                  GROUP BY 1)
+         SELECT month, n_parts,
+                (round(100.0 * CAST(scm * sqb AS DOUBLE) /
+                       nullif(CAST(sqm * scb AS DOUBLE), 0.0), 4) + 0.0)
+                  AS price_index
+         FROM g ORDER BY month""",
+    "q_fk_audit" ->
+      // five FK edges, orphans via NOT EXISTS anti-joins, exact counts
+      """WITH e AS (
+           SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+                  (SELECT count(*) FROM lineitem) AS n_child,
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan
+           UNION ALL
+           SELECT 'lineitem.l_partkey->part',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey))
+           UNION ALL
+           SELECT 'lineitem.l_suppkey->supplier',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey))
+           UNION ALL
+           SELECT 'orders.o_custkey->customer',
+                  (SELECT count(*) FROM orders),
+                  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                     (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey))
+           UNION ALL
+           SELECT 'embeddings.vec_id->documents',
+                  (SELECT count(*) FROM embeddings),
+                  (SELECT count(*) FROM embeddings e WHERE NOT EXISTS
+                     (SELECT 1 FROM documents d
+                      WHERE d.doc_id = e.vec_id)))
+         SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,
+                CAST(n_orphan AS BIGINT) AS n_orphan,
+                (round(CAST(n_orphan AS DOUBLE) /
+                       nullif(CAST(n_child AS DOUBLE), 0.0), 4) + 0.0)
+                  AS orphan_rate
+         FROM e ORDER BY fk_edge""",
+    "q_simhash_hamming_hist" ->
+      // q_dedup_simhash's signature arithmetic, then 2×16-bit band
+      // blocking within (lang, source), distinct pairs, exact
+      // bit_count(xor) histogram over a 0..32 spine
+      """WITH toks AS (SELECT doc_id, tok
+                       FROM (SELECT doc_id,
+                                    unnest(string_split(text, ' ')) AS tok
+                             FROM documents) t0
+                       WHERE length(tok) > 0),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+                  FROM toks),
+            contrib AS (SELECT doc_id, i,
+                               ((hv >> CAST(i AS INT)) & 1) * 2 - 1 AS c
+                        FROM h, range(0, 32) t(i)),
+            bits AS (SELECT doc_id, i,
+                            CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS b
+                     FROM contrib GROUP BY 1, 2),
+            sig AS (SELECT doc_id,
+                           CAST(sum(b * (1::BIGINT << CAST(i AS INT)))
+                                AS BIGINT) AS sig
+                    FROM bits GROUP BY 1),
+            sg AS (SELECT s.doc_id, d.lang, d.source, s.sig
+                   FROM sig s JOIN documents d ON s.doc_id = d.doc_id),
+            banded AS (SELECT doc_id, lang, source, sig,
+                              0 AS band, sig >> 16 AS bv FROM sg
+                       UNION ALL
+                       SELECT doc_id, lang, source, sig,
+                              1, sig & 65535 FROM sg),
+            pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                                      a.sig AS s1, b.sig AS s2
+                      FROM banded a JOIN banded b
+                        ON a.lang = b.lang AND a.source = b.source
+                       AND a.band = b.band AND a.bv = b.bv
+                       AND a.doc_id < b.doc_id),
+            hist AS (SELECT CAST(bit_count(xor(s1, s2)) AS INT) AS hamming,
+                            CAST(count(*) AS BIGINT) AS n_pairs
+                     FROM pairs GROUP BY 1)
+         SELECT CAST(t.i AS INT) AS hamming,
+                coalesce(h2.n_pairs, 0) AS n_pairs
+         FROM range(0, 33) t(i) LEFT JOIN hist h2 ON h2.hamming = t.i
+         ORDER BY hamming""",
+    "q_source_terms" ->
+      // weirdness = (tf_s·N_c)/(N_s·tf_c) in HUGEINT cross products
+      // (mirrors decimal(38,0)); tf_s ≥ 5 floor before the rank
+      """WITH t2 AS (SELECT source, tok
+                     FROM (SELECT source,
+                                  unnest(string_split(text, ' ')) AS tok
+                           FROM documents) t0
+                     WHERE length(tok) > 0),
+            tfs AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf_s
+                    FROM t2 GROUP BY 1, 2),
+            ns AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS n_s
+                   FROM tfs GROUP BY 1),
+            tfc AS (SELECT tok, CAST(sum(tf_s) AS BIGINT) AS tf_c
+                    FROM tfs GROUP BY 1),
+            nc AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_c FROM ns),
+            sc AS (SELECT f.source, f.tok, f.tf_s,
+                          CAST(CAST(f.tf_s AS HUGEINT) * n_c AS DOUBLE) /
+                          CAST(CAST(n.n_s AS HUGEINT) * c.tf_c AS DOUBLE)
+                            AS weird
+                   FROM tfs f JOIN tfc c ON f.tok = c.tok
+                              JOIN ns n ON f.source = n.source, nc
+                   WHERE f.tf_s >= 5),
+            rk AS (SELECT source, tok, tf_s, weird,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY weird DESC, tok)
+                            AS rank
+                   FROM sc)
+         SELECT source, CAST(rank AS BIGINT) AS rank, tok, tf_s,
+                (round(weird, 4) + 0.0) AS weirdness
+         FROM rk WHERE rank <= 5 ORDER BY source, rank""",
+    "q_key_skew" ->
+      // per key column: per-key rollup, 1-row stats, totally-ordered
+      // top-10 cut (count DESC, key ASC); single divisions
+      """WITH c1 AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+                     FROM orders GROUP BY 1),
+            c2 AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY 1),
+            c3 AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY 1),
+            c4 AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1),
+            e AS (
+              SELECT 'orders.o_custkey' AS key_col,
+                     (SELECT CAST(sum(c) AS BIGINT) FROM c1) AS n_rows,
+                     (SELECT CAST(count(*) AS BIGINT) FROM c1) AS n_keys,
+                     (SELECT max(c) FROM c1) AS max_cnt,
+                     (SELECT CAST(sum(c) AS BIGINT) FROM
+                        (SELECT c FROM c1 ORDER BY c DESC, k LIMIT 10))
+                       AS top10_cnt
+              UNION ALL
+              SELECT 'lineitem.l_orderkey',
+                     (SELECT CAST(sum(c) AS BIGINT) FROM c2),
+                     (SELECT CAST(count(*) AS BIGINT) FROM c2),
+                     (SELECT max(c) FROM c2),
+                     (SELECT CAST(sum(c) AS BIGINT) FROM
+                        (SELECT c FROM c2 ORDER BY c DESC, k LIMIT 10))
+              UNION ALL
+              SELECT 'lineitem.l_suppkey',
+                     (SELECT CAST(sum(c) AS BIGINT) FROM c3),
+                     (SELECT CAST(count(*) AS BIGINT) FROM c3),
+                     (SELECT max(c) FROM c3),
+                     (SELECT CAST(sum(c) AS BIGINT) FROM
+                        (SELECT c FROM c3 ORDER BY c DESC, k LIMIT 10))
+              UNION ALL
+              SELECT 'events.user_id',
+                     (SELECT CAST(sum(c) AS BIGINT) FROM c4),
+                     (SELECT CAST(count(*) AS BIGINT) FROM c4),
+                     (SELECT max(c) FROM c4),
+                     (SELECT CAST(sum(c) AS BIGINT) FROM
+                        (SELECT c FROM c4 ORDER BY c DESC, k LIMIT 10)))
+         SELECT key_col, n_rows, n_keys, max_cnt,
+                (round(CAST(max_cnt AS DOUBLE) / n_rows, 4) + 0.0)
+                  AS max_share,
+                (round(CAST(top10_cnt AS DOUBLE) / n_rows, 4) + 0.0)
+                  AS top10_share,
+                (round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 4) + 0.0)
+                  AS skew_ratio
+         FROM e ORDER BY key_col"""
   )
 }

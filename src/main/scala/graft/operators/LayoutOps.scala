@@ -185,4 +185,50 @@ object LayoutOps {
                   .as("fill")),
       col("source"))
   }
+
+  /** q_key_skew — shuffle-key skew audit over the four join keys the
+    * query surface actually shuffles on (orders.o_custkey,
+    * lineitem.l_orderkey, lineitem.l_suppkey, events.user_id): per
+    * key column, row count, distinct keys, the hottest key's row
+    * count and share, the top-10 keys' share, and the skew ratio
+    * (max/avg) — the planning instrument that says WHICH keys need
+    * the salting/AQE treatment q_agg_salted and q_join_salted apply
+    * (a skew_ratio near 1 means hash partitioning balances; ≫1 means
+    * one reducer owns the key).
+    *
+    * Determinism: all counts exact int64; the top-10 cut is totally
+    * ordered (count DESC, key ASC — §2.10); shares/ratio are single
+    * r4'd divisions of exact integers.
+    *
+    * Scale shape: per column, ONE partial-aggregable per-key rollup
+    * (the same shuffle the audited join would pay — a skew audit
+    * can't be cheaper than one pass over its key), a 1-row aggregate,
+    * and a TakeOrdered(10) — no full sort, no window; the 4-row
+    * result unions at driver cost. */
+  def keySkew(s: SparkSession, d: String): DataFrame = {
+    def audit(name: String, df: DataFrame, key: String): DataFrame = {
+      val cnts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      val agg1 = cnts.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+                          max(col("c")).as("max_cnt"))
+      val top10 = cnts.orderBy(col("c").desc, col("k")).limit(10)
+        .agg(sum(col("c")).as("top10_cnt"))
+      agg1.crossJoin(top10).select(lit(name).as("key_col"),
+        col("n_rows"), col("n_keys"), col("max_cnt"), col("top10_cnt"))
+    }
+    val li = graft.Tables.lineitem(s, d)
+    val rows = Seq(
+      audit("orders.o_custkey", graft.Tables.orders(s, d), "o_custkey"),
+      audit("lineitem.l_orderkey", li, "l_orderkey"),
+      audit("lineitem.l_suppkey", li, "l_suppkey"),
+      audit("events.user_id", graft.Tables.events(s, d), "user_id"))
+    Fin.ord(
+      rows.reduce(_ unionAll _)
+        .select(col("key_col"), col("n_rows"), col("n_keys"), col("max_cnt"),
+          Fin.r4(col("max_cnt").cast("double") / col("n_rows")).as("max_share"),
+          Fin.r4(col("top10_cnt").cast("double") / col("n_rows"))
+            .as("top10_share"),
+          Fin.r4(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"))
+            .as("skew_ratio")),
+      col("key_col"))
+  }
 }

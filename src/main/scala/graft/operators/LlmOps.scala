@@ -2001,4 +2001,105 @@ object LlmOps {
       .orderBy(col("d2").desc, col("vec_id"))
       .limit(20)
   }
+
+  /** q_simhash_hamming_hist — the θ-sensitivity instrument of the
+    * SimHash face of dedup (the q_jaccard_bands role, for bit
+    * signatures): candidate pairs from 2×16-bit band blocking within
+    * (lang, source), histogrammed by exact Hamming distance 0..32 —
+    * a cliff at low distance says any bit threshold in the gap works;
+    * spread mass says the threshold needs a human (q_dedup_simhash
+    * emits the signatures; this shows the distance distribution a
+    * cutoff would cut).
+    *
+    * Determinism: md5-derived 32-bit signatures are engine-identical
+    * (the q_dedup_simhash arithmetic, shared spelling); Hamming is
+    * exact bit_count(xor); the 33-row histogram rides a generated
+    * spine so empty distances surface as 0 at every SF (§2.10 spine
+    * rule).
+    *
+    * Scale shape: banding gives each candidate a 2¹⁶-value key space
+    * per band (not the 2⁸ a byte-band would) scoped inside
+    * (lang, source) — in-bucket occupancy stays bounded as the corpus
+    * grows, the same capacity argument as the r13 embcos plane knob;
+    * pairs are distinct'd before the exact verify; the histogram is a
+    * ≤33-key partial-aggregable rollup. */
+  def simhashHammingHist(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val contrib = toks
+      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(31))).as("i"))
+      .withColumn("c", expr("(shiftright(hv, CAST(i AS INT)) & 1) * 2 - 1"))
+    val bits = contrib.groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("c")).as("s"))
+      .withColumn("b", when(col("s") > 0, 1L).otherwise(0L))
+    val sig = bits.groupBy(col("doc_id"))
+      .agg(sum(expr("b * shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).as("sig"))
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+    val banded = sig.select(col("doc_id"), col("lang"), col("source"), col("sig"),
+        explode(array(
+          struct(lit(0).as("band"), expr("shiftright(sig, 16)").as("bv")),
+          struct(lit(1).as("band"), expr("sig & 65535").as("bv")))).as("bb"))
+      .select(col("doc_id"), col("lang"), col("source"),
+              col("sig"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val l = banded.select(col("lang"), col("source"), col("band"), col("bv"),
+                          col("doc_id").as("d1"), col("sig").as("s1"))
+    val r = banded.select(col("lang").as("lang2"), col("source").as("source2"),
+                          col("band").as("band2"), col("bv").as("bv2"),
+                          col("doc_id").as("d2"), col("sig").as("s2"))
+    val pairs = l.join(r,
+        col("lang") === col("lang2") && col("source") === col("source2") &&
+        col("band") === col("band2") && col("bv") === col("bv2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("s1"), col("s2")).distinct()
+      .select(expr("CAST(bit_count(s1 ^ s2) AS INT)").as("hamming"))
+    val hist = pairs.groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+    val spine = s.range(0, 33).select(col("id").cast("int").as("hamming"))
+    ord(
+      spine.join(hist, Seq("hamming"), "left")
+        .select(col("hamming"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs")),
+      col("hamming"))
+  }
+
+  /** q_source_terms — per-source distinctive vocabulary: the top-5
+    * tokens by "weirdness" (relative frequency in the source ÷
+    * relative frequency in the corpus), min in-source count 5 — the
+    * corpus-diagnostic keyword extractor ("what is source X actually
+    * full of") that per-doc q_tfidf can't answer because it scores
+    * documents, not sources; the topic-labeling face of curation.
+    *
+    * Determinism: weirdness = (tf_s·N_c)/(N_s·tf_c) with both cross
+    * products in decimal(38,0) (19,0 × 19,0 — the q_hits idiom) →
+    * ONE division of exact integers; identical doubles rank the same
+    * in both engines, ties broken by token (total order).
+    *
+    * Scale shape: ONE (source, tok) partial-aggregable rollup; the
+    * tf_s ≥ 5 floor cuts the long tail BEFORE the per-source window
+    * sort (partitioned by source); corpus totals broadcast. */
+  def sourceTerms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tfs = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf_s"))
+    val ns = tfs.groupBy(col("source")).agg(sum(col("tf_s")).as("n_s"))
+    val tfc = tfs.groupBy(col("tok")).agg(sum(col("tf_s")).as("tf_c"))
+    val nc = ns.agg(sum(col("n_s")).as("n_c"))
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val scored = tfs.filter(col("tf_s") >= 5)
+      .join(tfc, "tok").join(broadcast(ns), "source").crossJoin(broadcast(nc))
+      .withColumn("weird",
+        (dec(col("tf_s")) * dec(col("n_c"))).cast("double") /
+        (dec(col("n_s")) * dec(col("tf_c"))).cast("double"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("weird").desc, col("tok"))
+    ord(
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("tok"), col("tf_s"),
+                r4(col("weird")).as("weirdness")),
+      col("source"), col("rank"))
+  }
 }

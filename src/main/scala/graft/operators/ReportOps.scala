@@ -1267,4 +1267,52 @@ object ReportOps {
                        col("n_orders")).as("late_rate")),
       col("o_orderpriority"))
   }
+
+  /** q_price_index — monthly unit-value price index vs the base
+    * (first) month over MATCHED parts: for each month m, restrict to
+    * parts traded in both m and the base month, then
+    * index = 100 · (Σc_m · Σq_b) / (Σq_m · Σc_b) — the Drobisch
+    * unit-value index, the standard "are we paying more per unit for
+    * the same assortment" readout (matching removes the new/retired-
+    * product mix shift that a naive revenue/quantity ratio conflates
+    * with price).
+    *
+    * Determinism: per-(month, part) quantity and cents are exact
+    * int64 rollups; the four matched sums are exact; the cross
+    * products run in decimal(38,0) (19,0 × 19,0 — the q_hits idiom,
+    * DuckDB HUGEINT mirrors) so the index is ONE division of two
+    * exact integers, r4'd; a zero denominator (no matched quantity)
+    * is NULL via nullif.
+    *
+    * Scale shape: ONE (month, part) partial-aggregable rollup over
+    * the fact table; the base-month slice joins back on partkey
+    * (co-partitioned, |parts|-bounded); the final per-month rollup is
+    * |months|-sized. No window, no fact-side re-scan. */
+  def priceIndex(s: SparkSession, d: String): DataFrame = {
+    val mp = graft.Tables.lineitem(s, d)
+      .join(graft.Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+               col("l_partkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qty"),
+           sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    val base = mp.agg(min(col("month")).as("base_month"))
+    val bm = mp.crossJoin(broadcast(base))
+      .filter(col("month") === col("base_month"))
+      .select(col("l_partkey").as("bk"), col("qty").as("qb"),
+              col("cents").as("cb"))
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    Fin.ord(
+      mp.join(bm, col("l_partkey") === col("bk"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_parts"),
+             sum(dec(col("cents"))).cast("decimal(19,0)").as("scm"),
+             sum(dec(col("qty"))).cast("decimal(19,0)").as("sqm"),
+             sum(dec(col("qb"))).cast("decimal(19,0)").as("sqb"),
+             sum(dec(col("cb"))).cast("decimal(19,0)").as("scb"))
+        .select(col("month"), col("n_parts"),
+          Fin.r4(lit(100.0) * (col("scm") * col("sqb")).cast("double") /
+                 nullif((col("sqm") * col("scb")).cast("double"), lit(0.0)))
+            .as("price_index")),
+      col("month"))
+  }
 }

@@ -464,4 +464,53 @@ object ReportShapeOps {
                    (col("tc").cast("double") / col("tn"))).as("lift")),
       col("decile"))
   }
+
+  /** q_fk_audit — referential-integrity audit across the warehouse's
+    * five FK edges (lineitem→orders, lineitem→part, lineitem→supplier,
+    * orders→customer, embeddings→documents): per edge, child rows,
+    * orphan rows (no matching parent key), and the orphan rate — the
+    * load-gate report every ingest pipeline runs before publishing a
+    * snapshot (q_expectations checks value ranges; this checks the
+    * JOINABILITY the whole query surface assumes).
+    *
+    * Determinism: exact integer counts; ONE r4'd division; edges on a
+    * literal spine so an edge with zero orphans still reports.
+    *
+    * Scale shape: each edge is one anti-join on its key — shuffle-
+    * partitioned on the FK, the exact shape the joins themselves use
+    * (orphan detection can't be cheaper than the join it certifies) —
+    * feeding a count-only rollup; nothing wider than the key crosses
+    * the shuffle, and the 5-row result unions at driver cost. */
+  def fkAudit(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String): DataFrame = {
+      val n = child.agg(count(lit(1)).as("n_child"))
+      val orphans = child.join(parent.select(col(pkey)),
+          col(key) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("n_orphan"))
+      n.crossJoin(orphans).select(lit(name).as("fk_edge"),
+        col("n_child"), col("n_orphan"))
+    }
+    val li = Tables.lineitem(s, d)
+    val rows = Seq(
+      edge("lineitem.l_orderkey->orders", li.select(col("l_orderkey")),
+           "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+      edge("lineitem.l_partkey->part", li.select(col("l_partkey")),
+           "l_partkey", Tables.part(s, d), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", li.select(col("l_suppkey")),
+           "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      edge("orders.o_custkey->customer",
+           Tables.orders(s, d).select(col("o_custkey")),
+           "o_custkey", Tables.customer(s, d), "c_custkey"),
+      edge("embeddings.vec_id->documents",
+           Tables.embeddings(s, d).select(col("vec_id")),
+           "vec_id", Tables.documents(s, d), "doc_id"))
+    ord(
+      rows.reduce(_ unionAll _)
+        .select(col("fk_edge"), col("n_child"), col("n_orphan"),
+                r4(col("n_orphan").cast("double") /
+                   nullif(col("n_child").cast("double"), lit(0.0)))
+                  .as("orphan_rate")),
+      col("fk_edge"))
+  }
 }

@@ -1638,4 +1638,100 @@ object TimeSeriesOps {
               col("s_a1").cast("double") / 100.0 / col("n_a1"))).as("did")),
       col("n_a1"))
   }
+
+  /** q_rsi — 14-day relative strength index (Cutler's SMA form) of
+    * daily order revenue: per day, the revenue delta vs the previous
+    * observed day and RSI₁₄ = 100·ΣG/(ΣG+ΣL) over the trailing 14
+    * observed deltas (G = positive delta, L = |negative delta|) — the
+    * bounded 0–100 momentum oscillator that turns an open-ended
+    * revenue series into "overbought/oversold" bands a monitor can
+    * threshold (q_moving_avg smooths the level; this scores the
+    * DIRECTION mix of recent moves).
+    *
+    * Determinism: deltas/gains/losses are exact int64 cents; RSI is
+    * ONE division of two exact sums, r4'd — Cutler's SMA variant is
+    * chosen over Wilder's recursive EMA precisely because it stays in
+    * integer space (no float recursion to replay). Rows with fewer
+    * than 14 trailing deltas report NULL (warm-up, spelled the same
+    * both engines); an all-flat window (ΣG+ΣL = 0) is NULL via nullif.
+    *
+    * Scale shape: the window runs on the DAILY ROLLUP (≤|calendar
+    * days| rows after one partial-aggregable shuffle) — the
+    * q_moving_avg stance; ROWS frame over observed days. */
+  def rsi(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+        .as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val wLag = Window.orderBy(col("day_num"))
+    val w14 = Window.orderBy(col("day_num")).rowsBetween(-13, 0)
+    ord(
+      daily.withColumn("prev", lag(col("cents"), 1).over(wLag))
+        .filter(col("prev").isNotNull)
+        .withColumn("gain", greatest(col("cents") - col("prev"), lit(0L)))
+        .withColumn("loss", greatest(col("prev") - col("cents"), lit(0L)))
+        .withColumn("sg", sum(col("gain")).over(w14))
+        .withColumn("sl", sum(col("loss")).over(w14))
+        .withColumn("nw", count(lit(1)).over(w14))
+        .select(col("day_num"),
+          ((col("cents") - col("prev")).cast("double") / 100.0)
+            .as("delta_rev"),
+          when(col("nw") === 14,
+            r4(lit(100.0) * col("sg").cast("double") /
+               nullif((col("sg") + col("sl")).cast("double"), lit(0.0))))
+            .as("rsi14")),
+      col("day_num"))
+  }
+
+  /** q_sax — SAX (symbolic aggregate approximation) of the daily
+    * event-count series: the series is cut into 8 equal-width PAA
+    * segments, each segment's mean count is z-scored against the
+    * whole series and mapped to one of 4 symbols on the standard
+    * normal breakpoints (−0.6745, 0, 0.6745 — quartiles of N(0,1)),
+    * yielding an 8-char word like "abddccba" — the shape signature
+    * that lets a monitor compare/tag/cluster SERIES (not points) with
+    * plain string equality; the symbolic front door of the ts family
+    * (q_anomaly flags points; this names the whole curve's shape).
+    *
+    * Determinism: day counts are exact int64; segment assignment is
+    * integer floor division (8·i DIV n); all sufficient sums are
+    * exact (Σx/Σx² in decimal(38,0) — the q_burstiness idiom; DuckDB
+    * HUGEINT mirrors); z = (n·Σseg − len·Σx)/(len·√((n·Σx² − Σx²)·n))
+    * is the identically-spelled chain — ONE division of
+    * integer-derived doubles, so both engines compute the bit-same z
+    * and break the breakpoint comparisons (<, strict) the same way;
+    * a zero-variance series is NULL-z → symbol 'b' on both engines.
+    *
+    * Scale shape: one daily rollup (partial-aggregable), one 1-row
+    * series aggregate broadcast, one ≤8-row segment rollup — the
+    * window-free PAA form; at 100 TB only the rollup grows. */
+  def sax(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)").as("day_num"))
+      .agg(count(lit(1)).as("c"))
+    // rank days 0..n-1 by day_num so segment cut is position-based
+    val idx = daily.select(col("day_num"), col("c"),
+      (row_number().over(Window.orderBy(col("day_num"))) - 1).as("i"))
+    val tot = daily.agg(count(lit(1)).as("n"),
+      sum(col("c")).cast("decimal(38,0)").as("sx"),
+      sum(col("c") * col("c")).cast("decimal(38,0)").as("sxx"))
+    val seg = idx.crossJoin(broadcast(tot))
+      .groupBy(expr("CAST(8 * i DIV n AS INT)").as("seg"))
+      .agg(count(lit(1)).as("ln"), sum(col("c")).as("sc"),
+           first(col("n")).as("n"), first(col("sx")).as("sx"),
+           first(col("sxx")).as("sxx"))
+    // z = (n·sc − ln·sx) / (ln·√(n·sxx − sx²)·√n)   vs c ∈ {−.6745, 0, .6745}
+    val num = (col("n") * col("sc") - col("ln") * col("sx")).cast("double")
+    val den = (col("ln").cast("double") *
+               sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                 .cast("double") * col("n").cast("double")))
+    val z = num / nullif(den, lit(0.0))
+    val sym = when(z.isNull, lit("b"))
+      .when(z < -0.6745, lit("a")).when(z < 0.0, lit("b"))
+      .when(z < 0.6745, lit("c")).otherwise(lit("d"))
+    ord(
+      seg.select(col("seg"), col("ln").as("n_days"), r4(z).as("z"),
+                 sym.as("symbol")),
+      col("seg"))
+  }
 }

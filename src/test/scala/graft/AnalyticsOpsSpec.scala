@@ -734,6 +734,144 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("rsi: monotone-up series hits 100 exactly after 14 deltas; warm-up NULL") {
+    val dir = tmpDir("rsi")
+    // 16 days, +1.00 revenue per day → all 15 deltas are gains; the
+    // 14-delta window first fills on the 14th delta row
+    writeTable(dir, "orders", Schemas.orders, (1 to 16).map { i =>
+      Row(i.toLong, 1L, "O", 10.0 + i,
+          java.sql.Timestamp.valueOf(f"1995-01-$i%02d 00:00:00"), "1")
+    })
+    val out = TimeSeriesOps.rsi(spark, dir).collect()
+      .map(r => (r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(out.length == 15)
+    assert(out.forall(_._1 == 1.0), s"got ${out.toSeq}")
+    assert(out.take(13).forall(_._2.isEmpty), "warm-up rows must be NULL")
+    assert(out.drop(13).forall(_._2.contains(100.0)), s"got ${out.toSeq}")
+  }
+
+  test("sax: low-then-high step series reads bbbbcccc") {
+    val dir = tmpDir("sax")
+    // 16 days: 1 event/day then 3/day → n=16, Σx=32, Σx²=80; each
+    // 2-day segment: low z = (16·2−2·32)/(2·√((16·80−32²)·16)) = −0.25,
+    // high z = +0.25 — inside (−0.6745, 0) and [0, 0.6745) → b / c
+    var id = 0L
+    writeEvents(dir, (0 until 16).flatMap { day =>
+      (1 to (if (day < 8) 1 else 3)).map { _ =>
+        id += 1; eventRow(id, day * 86400L + 10, 1L, "view", 0.0)
+      }
+    })
+    val out = TimeSeriesOps.sax(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(out.map(_._4).mkString == "bbbbcccc", s"got ${out.toSeq}")
+    assert(out.forall(_._2 == 2L))
+    assert(out.take(4).forall(_._3 == -0.25) && out.drop(4).forall(_._3 == 0.25),
+      s"got ${out.toSeq}")
+  }
+
+  test("price_index: matched-parts unit-value index; base month pins 100") {
+    val dir = tmpDir("pidx")
+    val ts1 = java.sql.Timestamp.valueOf("1995-01-05 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("1995-02-05 00:00:00")
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      Row(1L, 1L, "O", 1.0, ts1, "1"), Row(2L, 1L, "O", 1.0, ts2, "1")))
+    def li(ok: Long, pk: Long, qty: Double, ext: Double) =
+      Row(ok, pk, 1L, 1, qty, ext, 0.0, 0.0, "N", "O", ts1)
+    // base month: p1 qty2 @200c, p2 qty1 @100c; month 2: p1 qty1 @150c,
+    // p2 qty2 @300c → index₂ = 100·(450·3)/(3·300) = 150
+    writeTable(dir, "lineitem", Schemas.lineitem, Seq(
+      li(1L, 1L, 2.0, 2.0), li(1L, 2L, 1.0, 1.0),
+      li(2L, 1L, 1.0, 1.5), li(2L, 2L, 2.0, 3.0)))
+    val out = ReportOps.priceIndex(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("1995-01-01", 2L, 100.0), ("1995-02-01", 2L, 150.0)),
+      s"got $out")
+  }
+
+  test("fk_audit: one planted orphan per edge") {
+    val dir = tmpDir("fka")
+    val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    writeTable(dir, "customer", Schemas.customer,
+      Seq(Row(1L, "C1", 0, 0.0, "SEG")))
+    writeTable(dir, "part", Schemas.part,
+      Seq(Row(1L, "P1", "B", "T", 1, 1.0)))
+    writeTable(dir, "supplier", Schemas.supplier, Seq(Row(1L, "S1", 0, 0.0)))
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      Row(1L, 1L, "O", 1.0, ts, "1"), Row(2L, 99L, "O", 1.0, ts, "1")))
+    writeTable(dir, "lineitem", Schemas.lineitem, Seq(
+      Row(1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts),
+      Row(77L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts),
+      Row(1L, 88L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ts),
+      Row(1L, 1L, 66L, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", ts)))
+    writeTable(dir, "documents", documentsSchema,
+      Seq(Row(1L, "t", "en", "s0", 1L)))
+    writeTable(dir, "embeddings", embeddingsSchema, Seq(
+      Row(1L, Seq.tabulate(64)(_ => 0.1f), 0),
+      Row(2L, Seq.tabulate(64)(_ => 0.1f), 0)))
+    val out = graft.operators.ReportShapeOps.fkAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+                                    r.getDouble(3)))).toMap
+    assert(out == Map(
+      "embeddings.vec_id->documents" -> ((2L, 1L, 0.5)),
+      "lineitem.l_orderkey->orders" -> ((4L, 1L, 0.25)),
+      "lineitem.l_partkey->part" -> ((4L, 1L, 0.25)),
+      "lineitem.l_suppkey->supplier" -> ((4L, 1L, 0.25)),
+      "orders.o_custkey->customer" -> ((2L, 1L, 0.5))), s"got $out")
+  }
+
+  test("simhash_hamming_hist: identical docs pair at distance 0; blocking scopes sources") {
+    val dir = tmpDir("shh")
+    // d1 = d2 (same lang/source) → one pair, hamming 0; d3 lives in a
+    // DIFFERENT source, so blocking keeps it out of every bucket d1/d2
+    // occupy → the histogram is exactly one pair at 0, zeros elsewhere
+    val t = "spark shuffles the hashed tokens into banded buckets"
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, t, "en", "s0", t.length.toLong),
+      Row(2L, t, "en", "s0", t.length.toLong),
+      Row(3L, "entirely different words live here", "en", "s1", 34L)))
+    val out = graft.operators.LlmOps.simhashHammingHist(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.size == 33)
+    assert(out(0) == 1L, s"got $out")
+    assert(out.filterKeys(_ > 0).values.forall(_ == 0L), s"got $out")
+  }
+
+  test("source_terms: weirdness ranks the source-exclusive token first") {
+    val dir = tmpDir("sterm")
+    val s0 = ("alpha " * 5 + "common " * 5).trim
+    val s1 = ("beta " * 5 + "common " * 5).trim
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, s0, "en", "s0", s0.length.toLong),
+      Row(2L, s1, "en", "s1", s1.length.toLong)))
+    val out = graft.operators.LlmOps.sourceTerms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+                 r.getDouble(4))).toSeq
+    // weirdness: exclusive tok = (5·20)/(10·5) = 2.0; common = 1.0
+    assert(out == Seq(
+      ("s0", 1, "alpha", 5L, 2.0), ("s0", 2, "common", 5L, 1.0),
+      ("s1", 1, "beta", 5L, 2.0), ("s1", 2, "common", 5L, 1.0)), s"got $out")
+  }
+
+  test("key_skew: hot key share and skew ratio are exact") {
+    val dir = tmpDir("kskew")
+    val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    // custkey 1 owns 5 of 9 orders → max_share 5/9, skew 5·5/9
+    writeTable(dir, "orders", Schemas.orders,
+      (1 to 9).map(i => Row(i.toLong, if (i <= 5) 1L else i.toLong - 3,
+                            "O", 1.0, ts, "1")))
+    writeTable(dir, "lineitem", Schemas.lineitem, Seq(
+      Row(1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts)))
+    writeEvents(dir, Seq(eventRow(1L, 100L, 7L, "view", 0.0)))
+    val out = graft.operators.LayoutOps.keySkew(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out("orders.o_custkey") == ((9L, 5L, 5L, 0.5556, 1.0, 2.7778)),
+      s"got $out")
+    assert(out("lineitem.l_orderkey") == ((1L, 1L, 1L, 1.0, 1.0, 1.0)))
+    assert(out("lineitem.l_suppkey") == ((1L, 1L, 1L, 1.0, 1.0, 1.0)))
+    assert(out("events.user_id") == ((1L, 1L, 1L, 1.0, 1.0, 1.0)))
+  }
+
   test("assortativity: planted star graph gives exactly -1") {
     val dir = tmpDir("assort")
     // strong cutoff keeps 0→1 and 0→2 (w·6 ≥ 2·22 ⇔ w ≥ 7.33) → an
