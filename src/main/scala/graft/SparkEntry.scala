@@ -440,7 +440,12 @@ object SparkEntry {
     // vocabulary, shuffle-key skew audit
     "q_simhash_hamming_hist" -> (L.simhashHammingHist _),
     "q_source_terms" -> (L.sourceTerms _),
-    "q_key_skew" -> (LayoutOps.keySkew _)
+    "q_key_skew" -> (LayoutOps.keySkew _),
+    // r13 widening 4: dedup operating point, privacy audit,
+    // delta-method ratio metric
+    "q_dedup_eval" -> (L.dedupEval _),
+    "q_k_anonymity" -> (C.kAnonymity _),
+    "q_ratio_metric" -> (TimeSeriesOps.ratioMetric _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6642,6 +6647,130 @@ object SparkEntry {
                   AS top10_share,
                 (round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 4) + 0.0)
                   AS skew_ratio
-         FROM e ORDER BY key_col"""
+         FROM e ORDER BY key_col""",
+    "q_dedup_eval" ->
+      // simhash band candidates (q_simhash_hamming_hist's stream)
+      // scored vs exact ngram-Jaccard ≥ 0.5 truth (q_dedup_ngram's
+      // stream); the threshold is integer cross-multiplication
+      """WITH toks AS (SELECT doc_id, tok
+                       FROM (SELECT doc_id,
+                                    unnest(string_split(text, ' ')) AS tok
+                             FROM documents) t0
+                       WHERE length(tok) > 0),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+                  FROM toks),
+            contrib AS (SELECT doc_id, i,
+                               ((hv >> CAST(i AS INT)) & 1) * 2 - 1 AS c
+                        FROM h, range(0, 32) t(i)),
+            bits AS (SELECT doc_id, i,
+                            CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS b
+                     FROM contrib GROUP BY 1, 2),
+            sig AS (SELECT doc_id,
+                           CAST(sum(b * (1::BIGINT << CAST(i AS INT)))
+                                AS BIGINT) AS sig
+                    FROM bits GROUP BY 1),
+            sg AS (SELECT s.doc_id, d.lang, d.source, s.sig
+                   FROM sig s JOIN documents d ON s.doc_id = d.doc_id),
+            banded AS (SELECT doc_id, lang, source,
+                              0 AS band, sig >> 16 AS bv FROM sg
+                       UNION ALL
+                       SELECT doc_id, lang, source,
+                              1, sig & 65535 FROM sg),
+            cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                     FROM banded a JOIN banded b
+                       ON a.lang = b.lang AND a.source = b.source
+                      AND a.band = b.band AND a.bv = b.bv
+                      AND a.doc_id < b.doc_id),
+            nbase AS (SELECT doc_id, lang, source,
+                             string_split(text, ' ') AS tks FROM documents),
+            nng AS (SELECT doc_id, lang, source,
+                           list_distinct(list_transform(range(1, len(tks) - 1),
+                             i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2]))
+                             AS ngs
+                    FROM nbase),
+            nnz AS (SELECT doc_id, lang, source, ngs
+                    FROM nng WHERE len(ngs) > 0),
+            nex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nnz),
+            ndf AS (SELECT g, count(*) AS df FROM nex0 GROUP BY 1),
+            nex AS (SELECT nex0.* FROM nex0 JOIN ndf USING (g)
+                    WHERE df <= 100),
+            nsz AS (SELECT doc_id, count(*) AS nsz FROM nex GROUP BY 1),
+            ninter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                              count(*) AS inter
+                       FROM nex a JOIN nex b
+                         ON a.lang = b.lang AND a.source = b.source
+                        AND a.g = b.g AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+            truth AS (SELECT d1, d2
+                      FROM ninter JOIN nsz s1 ON s1.doc_id = d1
+                                  JOIN nsz s2 ON s2.doc_id = d2
+                      WHERE 2 * inter >= s1.nsz + s2.nsz - inter),
+            c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+            t1 AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+            tp AS (SELECT CAST(count(*) AS BIGINT) AS n_tp
+                   FROM cand JOIN truth USING (d1, d2))
+         SELECT n_candidates, n_truth, n_tp,
+                (round(CAST(n_tp AS DOUBLE) /
+                       nullif(CAST(n_candidates AS DOUBLE), 0.0), 4) + 0.0)
+                  AS precision,
+                (round(CAST(n_tp AS DOUBLE) /
+                       nullif(CAST(n_truth AS DOUBLE), 0.0), 4) + 0.0)
+                  AS recall
+         FROM c1, t1, tp ORDER BY n_candidates""",
+    "q_k_anonymity" ->
+      // QI = (nation, mktsegment); literal k spine; exact class sizes
+      """WITH classes AS (SELECT c_nationkey, c_mktsegment,
+                                 CAST(count(*) AS BIGINT) AS cs
+                          FROM customer GROUP BY 1, 2),
+            tot AS (SELECT CAST(sum(cs) AS BIGINT) AS n_rows FROM classes),
+            ks AS (SELECT unnest([2, 5, 10, 20]) AS k),
+            g AS (SELECT k,
+                         CAST(sum(CASE WHEN cs < k THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_classes_below,
+                         CAST(sum(CASE WHEN cs < k THEN cs ELSE 0 END)
+                              AS BIGINT) AS n_rows_below
+                  FROM classes, ks GROUP BY 1)
+         SELECT CAST(k AS INT) AS k, n_classes_below, n_rows_below,
+                (round(CAST(n_rows_below AS DOUBLE) /
+                       nullif(CAST(n_rows AS DOUBLE), 0.0), 4) + 0.0)
+                  AS share_below
+         FROM g, tot ORDER BY k""",
+    "q_ratio_metric" ->
+      // delta-method SE for purchases-per-event under the q_ab_test
+      // arm split; HUGEINT moments mirror decimal(38,0)
+      """WITH u AS (SELECT user_id,
+                           CAST(sum(CASE WHEN event_type = 'purchase'
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                           CAST(count(*) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+            v AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                              THEN 'A' ELSE 'B' END AS variant, x, y
+                  FROM u),
+            m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(CAST(x * x AS HUGEINT)) AS HUGEINT) AS sxx,
+                         CAST(sum(CAST(y * y AS HUGEINT)) AS HUGEINT) AS syy,
+                         CAST(sum(CAST(x * y AS HUGEINT)) AS HUGEINT) AS sxy
+                  FROM v GROUP BY 1),
+            sp AS (SELECT unnest(['A', 'B']) AS variant),
+            j AS (SELECT sp.variant, m.n, m.sx, m.sy, m.sxx, m.syy, m.sxy
+                  FROM sp LEFT JOIN m ON sp.variant = m.variant),
+            r AS (SELECT variant, n, sx, sy, sxx, syy, sxy,
+                         CAST(sx AS DOUBLE) /
+                         nullif(CAST(sy AS DOUBLE), 0.0) AS rr
+                  FROM j)
+         SELECT variant, coalesce(n, 0) AS n_users,
+                coalesce(sx, 0) AS sum_x, coalesce(sy, 0) AS sum_y,
+                (round(rr, 4) + 0.0) AS ratio,
+                CASE WHEN n > 1 THEN
+                  (round(sqrt((CAST(sxx AS DOUBLE) -
+                               2.0 * rr * CAST(sxy AS DOUBLE) +
+                               rr * rr * CAST(syy AS DOUBLE)) *
+                              CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)) /
+                         nullif(CAST(sy AS DOUBLE), 0.0), 4) + 0.0)
+                END AS se
+         FROM r ORDER BY variant"""
   )
 }

@@ -1272,4 +1272,43 @@ object CurationOps {
                 col("n_per_class")),
       col("lang"), col("rk"))
   }
+
+  /** q_k_anonymity — k-anonymity audit of the customer table under
+    * the quasi-identifier pair (nation, market segment): for each
+    * k ∈ {2, 5, 10, 20}, how many equivalence classes and rows sit
+    * BELOW k (re-identifiable at that strength) and the row share —
+    * the release-gate report a privacy review runs before sharing an
+    * extract (q_pii_redact scrubs direct identifiers; this measures
+    * the indirect ones).
+    *
+    * Determinism: class sizes and threshold counts are exact int64;
+    * the k spine is literal, so a fully-anonymous table still reports
+    * four zero rows (§2.10 spine rule); ONE r4'd division.
+    *
+    * Scale shape: ONE partial-aggregable rollup to the |QI-domain|
+    * class frame (≤ |nations|×|segments|), then a 4-row broadcast
+    * spine joined by an inequality against that tiny frame; fact rows
+    * cross one shuffle total. */
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val classes = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cs"))
+    val tot = classes.agg(sum(col("cs")).as("n_rows"))
+    val ks = s.range(0, 4).select(
+      element_at(array(lit(2), lit(5), lit(10), lit(20)),
+                 (col("id") + 1).cast("int")).as("k"))
+    Fin.ord(
+      classes.crossJoin(broadcast(ks))
+        .groupBy(col("k"))
+        .agg(sum(when(col("cs") < col("k"), 1L).otherwise(0L))
+               .as("n_classes_below"),
+             sum(when(col("cs") < col("k"), col("cs")).otherwise(0L))
+               .as("n_rows_below"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_classes_below"), col("n_rows_below"),
+                Fin.r4(col("n_rows_below").cast("double") /
+                       nullif(col("n_rows").cast("double"), lit(0.0)))
+                  .as("share_below")),
+      col("k"))
+  }
 }

@@ -2023,7 +2023,12 @@ object LlmOps {
     * grows, the same capacity argument as the r13 embcos plane knob;
     * pairs are distinct'd before the exact verify; the histogram is a
     * ≤33-key partial-aggregable rollup. */
-  def simhashHammingHist(s: SparkSession, d: String): DataFrame = {
+  /** The SimHash band-blocked candidate pair stream shared by
+    * [[simhashHammingHist]] (distance histogram) and [[dedupEval]]
+    * (precision/recall vs exact Jaccard truth): distinct (d1, d2)
+    * pairs — with both signatures — that share a 16-bit band within
+    * the same (lang, source) block. */
+  private def simhashBandPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("tok"))
@@ -2049,11 +2054,15 @@ object LlmOps {
     val r = banded.select(col("lang").as("lang2"), col("source").as("source2"),
                           col("band").as("band2"), col("bv").as("bv2"),
                           col("doc_id").as("d2"), col("sig").as("s2"))
-    val pairs = l.join(r,
+    l.join(r,
         col("lang") === col("lang2") && col("source") === col("source2") &&
         col("band") === col("band2") && col("bv") === col("bv2") &&
         col("d1") < col("d2"))
       .select(col("d1"), col("d2"), col("s1"), col("s2")).distinct()
+  }
+
+  def simhashHammingHist(s: SparkSession, d: String): DataFrame = {
+    val pairs = simhashBandPairs(s, d)
       .select(expr("CAST(bit_count(s1 ^ s2) AS INT)").as("hamming"))
     val hist = pairs.groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
     val spine = s.range(0, 33).select(col("id").cast("int").as("hamming"))
@@ -2061,6 +2070,42 @@ object LlmOps {
       spine.join(hist, Seq("hamming"), "left")
         .select(col("hamming"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs")),
       col("hamming"))
+  }
+
+  /** q_dedup_eval — the dedup QUALITY loop closed end-to-end: the
+    * SimHash band candidate generator scored against exact n-gram
+    * Jaccard ≥ 0.5 ground truth (the df-capped q_dedup_ngram pair
+    * stream) — candidate count, truth count, true positives,
+    * precision, recall in one row. q_jaccard_bands shows the
+    * threshold's distribution and q_simhash_hamming_hist the bit
+    * distances; this reports the OPERATING POINT a pipeline owner
+    * actually signs off on before swapping the cheap generator in.
+    *
+    * Determinism: the truth threshold is EXACT integer
+    * cross-multiplication (2·inter ≥ n1+n2−inter ⇔ J ≥ 0.5 — no
+    * float compare at the cut); all counts exact; two r4'd divisions.
+    *
+    * Scale shape: both sides are the already-bounded band/blocked
+    * pair streams (each one equi-join, no all-pairs); TP is a
+    * pair-key semi-join; three 1-row aggregates cross-joined. */
+  def dedupEval(s: SparkSession, d: String): DataFrame = {
+    val cand = simhashBandPairs(s, d).select(col("d1"), col("d2"))
+    val truth = ngramPairStats(s, d, NgramMaxDf)
+      .filter(lit(2) * col("inter") >= col("n1") + col("n2") - col("inter"))
+      .select(col("d1"), col("d2"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val tp = cand.join(truth, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("n_tp"))
+    ord(
+      nc.crossJoin(nt).crossJoin(tp)
+        .select(col("n_candidates"), col("n_truth"), col("n_tp"),
+          r4(col("n_tp").cast("double") /
+             nullif(col("n_candidates").cast("double"), lit(0.0)))
+            .as("precision"),
+          r4(col("n_tp").cast("double") /
+             nullif(col("n_truth").cast("double"), lit(0.0))).as("recall")),
+      col("n_candidates"))
   }
 
   /** q_source_terms — per-source distinctive vocabulary: the top-5

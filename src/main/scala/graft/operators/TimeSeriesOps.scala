@@ -1734,4 +1734,63 @@ object TimeSeriesOps {
                  sym.as("symbol")),
       col("seg"))
   }
+
+  /** q_ratio_metric — delta-method readout for a RATIO metric
+    * (purchases per event) under the q_ab_test arm split: per arm,
+    * users, ΣX, ΣY, the ratio R = ΣX/ΣY, and its linearization
+    * (delta-method) standard error se = √(Σ(xᵢ−R·yᵢ)²·n/(n−1))/ΣY —
+    * the standard correction for the fact that a ratio of sums is NOT
+    * a mean of ratios (per-user denominators vary, so the naive
+    * binomial SE of q_ab_test under-covers); the experimentation
+    * platform's hard case, closed.
+    *
+    * Determinism: per-user X (purchases) and Y (events) are exact
+    * int64; all five moments accumulate in decimal(38,0) (the
+    * q_burstiness overflow-closed idiom; DuckDB HUGEINT mirrors);
+    * Σ(xᵢ−R·yᵢ)² expands algebraically to Σx² − 2R·Σxy + R²·Σy², the
+    * identically-spelled chain over exact moments (Σdᵢ = 0 exactly
+    * because R = ΣX/ΣY, so no mean-centering term); empty arm → NULL
+    * ratio via nullif, n ≤ 1 → NULL se; the arm spine is literal so
+    * both rows always surface (§2.10 spine rule).
+    *
+    * Scale shape: one per-user rollup (partial-aggregable), one
+    * 2-group moment aggregate — the q_ab_test shape with three more
+    * algebraic moments; nothing but the rollup touches fact rows. */
+  def ratioMetric(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .as("x"),
+           count(lit(1)).as("y"))
+      .withColumn("variant",
+        when(expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) % 2") === 0,
+             "A").otherwise("B"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(dec(col("x") * col("x"))).cast("decimal(38,0)").as("sxx"),
+           sum(dec(col("y") * col("y"))).cast("decimal(38,0)").as("syy"),
+           sum(dec(col("x") * col("y"))).cast("decimal(38,0)").as("sxy"))
+    val spine = s.range(0, 2).select(
+      element_at(array(lit("A"), lit("B")), (col("id") + 1).cast("int"))
+        .as("variant"))
+    val rr = col("sx").cast("double") /
+      nullif(col("sy").cast("double"), lit(0.0))
+    val e2 = col("sxx").cast("double") - lit(2.0) * rr * col("sxy").cast("double") +
+      rr * rr * col("syy").cast("double")
+    ord(
+      spine.join(m, Seq("variant"), "left")
+        .select(col("variant"),
+          coalesce(col("n"), lit(0L)).as("n_users"),
+          coalesce(col("sx"), lit(0L)).as("sum_x"),
+          coalesce(col("sy"), lit(0L)).as("sum_y"),
+          r4(rr).as("ratio"),
+          when(col("n") > 1,
+            r4(sqrt(e2 * col("n").cast("double") /
+                    (col("n") - lit(1L)).cast("double")) /
+               nullif(col("sy").cast("double"), lit(0.0)))).as("se")),
+      col("variant"))
+  }
 }

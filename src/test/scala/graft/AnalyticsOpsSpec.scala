@@ -852,6 +852,55 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("s1", 1, "beta", 5L, 2.0), ("s1", 2, "common", 5L, 1.0)), s"got $out")
   }
 
+  test("dedup_eval: identical pair is candidate, truth and TP; perfect operating point") {
+    val dir = tmpDir("deval")
+    val t = "spark shuffles the hashed tokens into banded buckets"
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, t, "en", "s0", t.length.toLong),
+      Row(2L, t, "en", "s0", t.length.toLong),
+      Row(3L, "entirely different words live over here now", "en", "s1", 43L)))
+    val out = graft.operators.LlmOps.dedupEval(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4)) == ((1L, 1L, 1L, 1.0, 1.0)),
+      s"got $r")
+  }
+
+  test("k_anonymity: planted class sizes cross each k threshold exactly") {
+    val dir = tmpDir("kanon")
+    // classes: (0,A)×1, (0,B)×3, (1,A)×10 → 14 rows
+    val rows = Seq.fill(1)((0, "A")) ++ Seq.fill(3)((0, "B")) ++
+      Seq.fill(10)((1, "A"))
+    writeTable(dir, "customer", Schemas.customer,
+      rows.zipWithIndex.map { case ((n, seg), i) =>
+        Row(i.toLong, s"C$i", n, 0.0, seg) })
+    val out = graft.operators.CurationOps.kAnonymity(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((2, 1L, 1L, 0.0714), (5, 2L, 4L, 0.2857),
+                      (10, 2L, 4L, 0.2857), (20, 3L, 14L, 1.0)), s"got $out")
+  }
+
+  test("ratio_metric: hand-computed delta-method SE; n=1 arm reports NULL se") {
+    val dir = tmpDir("ratio")
+    // md5-parity arms: users 1,3 → A; user 2 → B.
+    // A: (x,y) = (1,4),(2,2) → R=0.5, Σd² = 5−2·0.5·8+0.25·20 = 2,
+    //    se = √(2·2/1)/6 = 0.3333;  B: single user, 0 purchases.
+    var id = 0L
+    def ev(u: Long, typ: String) = { id += 1; eventRow(id, id * 10, u, typ, 0.0) }
+    writeEvents(dir, Seq(
+      ev(1L, "purchase"), ev(1L, "view"), ev(1L, "view"), ev(1L, "view"),
+      ev(3L, "purchase"), ev(3L, "purchase"),
+      ev(2L, "view"), ev(2L, "view"), ev(2L, "view")))
+    val out = TimeSeriesOps.ratioMetric(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 Option(r.get(4)).map(_.asInstanceOf[Double]),
+                 Option(r.get(5)).map(_.asInstanceOf[Double]))).toSeq
+    assert(out == Seq(
+      ("A", 2L, 3L, 6L, Some(0.5), Some(0.3333)),
+      ("B", 1L, 0L, 3L, Some(0.0), None)), s"got $out")
+  }
+
   test("key_skew: hot key share and skew ratio are exact") {
     val dir = tmpDir("kskew")
     val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
