@@ -453,6324 +453,10 @@ object SparkEntry {
     * q_dedup_minhash, q_percentile_approx (non-oracle by design —
     * approximate / sketch-based; each is tolerance-checked in the
     * scalatest suite instead). */
-  def oracleSql: Map[String, String] = Map(
-    "q_scan_project" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
-         (round(l_extendedprice * (1.0 - l_discount), 4) + 0.0) AS revenue
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
-    "q_scan_filter" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
-                CAST(l_shipdate AS DATE) AS ship_date
-         FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-           AND l_shipdate < TIMESTAMP '1997-01-01'
-           AND l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 40
-         ORDER BY l_orderkey, l_linenumber""",
-    "q_scan_multifile" ->
-      """SELECT CAST(year(ts) AS INT) AS yr, count(*) AS n
-         FROM (SELECT o_orderdate AS ts FROM orders
-               UNION ALL SELECT ts::TIMESTAMP AS ts FROM events) t
-         GROUP BY 1 ORDER BY 1""",
-    "q_scan_partitioned" ->
-      """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
-                event_type, count(*) AS n, (round(sum(value), 4) + 0.0) AS val
-         FROM events
-         WHERE CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
-               BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_filter_compound" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
-         FROM orders
-         WHERE o_orderstatus IN ('O','F') AND o_totalprice > 1000.0
-           AND o_orderpriority NOT LIKE '1-%' AND o_orderpriority IS NOT NULL
-         ORDER BY o_orderkey""",
-    "q_case_when" ->
-      """SELECT CASE WHEN l_discount < 0.02 THEN 'low'
-                     WHEN l_discount < 0.06 THEN 'mid'
-                     ELSE 'high' END AS disc_bucket,
-                count(*) AS n, (round(sum(l_extendedprice), 4) + 0.0) AS sum_price
-         FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "q_join_inner" ->
-      """SELECT c_mktsegment, (round(sum(o_totalprice), 4) + 0.0) AS revenue,
-                count(*) AS n_orders
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY 1""",
-    "q_join_broadcast" ->
-      """SELECT p_brand,
-                (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS revenue
-         FROM lineitem JOIN part ON l_partkey = p_partkey
-                       JOIN supplier ON l_suppkey = s_suppkey
-         GROUP BY 1 ORDER BY 1""",
-    "q_join_multiway" ->
-      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
-                (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS revenue
-         FROM customer JOIN orders ON c_custkey = o_custkey
-                       JOIN lineitem ON o_orderkey = l_orderkey
-         WHERE c_mktsegment = 'BUILDING'
-           AND o_orderdate < TIMESTAMP '1998-01-01'
-           AND l_shipdate > TIMESTAMP '1998-01-01'
-         GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
-    "q_join_left" ->
-      """SELECT c_custkey, count(o_orderkey) AS n_orders,
-                (round(coalesce(sum(o_totalprice), 0.0), 4) + 0.0) AS total
-         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-         GROUP BY 1 ORDER BY 1""",
-    "q_join_full" ->
-      """SELECT category, count(*) AS n
-         FROM (SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
-                           WHEN o.o_custkey IS NULL THEN 'cust_only'
-                           ELSE 'both' END AS category
-               FROM customer c
-               FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o
-                 ON c.c_custkey = o.o_custkey) t
-         GROUP BY 1 ORDER BY 1""",
-    "q_join_semi" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE EXISTS (SELECT 1 FROM orders
-                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-         ORDER BY c_custkey""",
-    "q_join_anti" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-         ORDER BY c_custkey""",
-    "q_join_range" ->
-      """SELECT e1.user_id, count(*) AS n_pairs
-         FROM events e1 JOIN events e2
-           ON e1.user_id = e2.user_id
-          AND e2.ts::TIMESTAMP > e1.ts::TIMESTAMP
-          AND e2.ts::TIMESTAMP <= e1.ts::TIMESTAMP + INTERVAL 1 HOUR
-         GROUP BY 1 ORDER BY 1""",
-    "q_join_asof" ->
-      """SELECT event_id, user_id, prev_event_id, prev_event_type
-         FROM (SELECT event_id, user_id, event_type,
-                      lag(event_id) OVER w AS prev_event_id,
-                      lag(event_type) OVER w AS prev_event_type
-               FROM events
-               WINDOW w AS (PARTITION BY user_id
-                            ORDER BY ts::TIMESTAMP, event_id)) t
-         WHERE event_type = 'purchase' ORDER BY event_id""",
-    "q_join_asof_stream" ->
-      """WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS tsu
-                    FROM events WHERE event_type = 'purchase'),
-            c AS (SELECT event_id, user_id, ts::TIMESTAMP AS tsu
-                  FROM events WHERE event_type = 'click'),
-            u AS (SELECT user_id, tsu, 0 AS side, event_id,
-                         NULL::BIGINT AS click_id FROM p
-                  UNION ALL
-                  SELECT user_id, tsu, 1, NULL::BIGINT, event_id FROM c),
-            w AS (SELECT *, last_value(click_id IGNORE NULLS) OVER
-                    (PARTITION BY user_id
-                     ORDER BY tsu, side, coalesce(click_id, event_id)
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS prev_click
-                  FROM u)
-         SELECT event_id, user_id, prev_click
-         FROM w WHERE side = 0 ORDER BY event_id""",
-    "q_join_theta" ->
-      """SELECT p1.p_brand, count(*) AS n_pairs
-         FROM part p1 JOIN part p2
-           ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
-         GROUP BY 1 ORDER BY 1""",
-    "q_join_bloom" ->
-      """SELECT l_returnflag, count(*) AS n_items,
-                (round(sum(l_extendedprice * (1 - l_discount)), 4) + 0.0) AS revenue
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         WHERE o_orderpriority = '1-URGENT'
-         GROUP BY 1 ORDER BY 1""",
-    "q_zorder_stats" ->
-      """WITH mx AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms
-                     FROM lineitem),
-            c AS (SELECT (l_partkey * 256) // (mp + 1) AS a8,
-                         (l_suppkey * 256) // (ms + 1) AS b8,
-                         l_partkey, l_suppkey
-                  FROM lineitem CROSS JOIN mx),
-            z AS (SELECT l_partkey, l_suppkey,
-                         CAST((SELECT sum(
-                             (((a8 >> CAST(i AS INT)) & 1)
-                                << CAST(2 * i + 1 AS INT)) +
-                             (((b8 >> CAST(i AS INT)) & 1)
-                                << CAST(2 * i AS INT)))
-                           FROM range(0, 8) r(i)) AS BIGINT) AS zval
-                  FROM c),
-            f AS (SELECT l_partkey, l_suppkey,
-                         CAST((zval * 256) // 65536 AS BIGINT) AS file_id
-                  FROM z)
-         SELECT file_id, count(*) AS n_rows,
-                min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
-                min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
-         FROM f GROUP BY 1 ORDER BY 1""",
-    "q_agg_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-                (round(sum(l_quantity), 4) + 0.0) AS sum_qty,
-                (round(sum(l_extendedprice), 4) + 0.0) AS sum_base_price,
-                (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS sum_disc_price,
-                (round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) + 0.0) AS sum_charge,
-                (round(avg(l_quantity), 4) + 0.0) AS avg_qty,
-                (round(avg(l_extendedprice), 4) + 0.0) AS avg_price,
-                (round(avg(l_discount), 4) + 0.0) AS avg_disc,
-                count(*) AS count_order
-         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
-         GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
-    "q_agg_distinct" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
-         FROM events GROUP BY 1 ORDER BY 1""",
-    "q_agg_having" ->
-      """SELECT c_nationkey, count(*) AS n_cust FROM customer
-         GROUP BY 1 HAVING count(*) > 60 ORDER BY 1""",
-    "q_agg_rollup" ->
-      """SELECT r_name, n_name,
-                CAST(grouping(r_name) AS INT) AS g_r,
-                CAST(grouping(n_name) AS INT) AS g_n,
-                count(*) AS n_cust, (round(sum(c_acctbal), 4) + 0.0) AS acctbal
-         FROM customer JOIN nation ON c_nationkey = n_nationkey
-                       JOIN region ON n_regionkey = r_regionkey
-         GROUP BY ROLLUP(r_name, n_name)
-         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
-    "q_agg_cube" ->
-      """SELECT event_type,
-                CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
-                count(*) AS n, (round(sum(value), 4) + 0.0) AS val
-         FROM events GROUP BY CUBE(event_type, day)
-         ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""",
-    "q_agg_grouping_sets" ->
-      """SELECT event_type,
-                CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
-                count(*) AS n, (round(sum(value), 4) + 0.0) AS val
-         FROM events GROUP BY GROUPING SETS ((event_type), (day), ())
-         ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""",
-    "q_udaf_geomean" ->
-      """SELECT l_returnflag,
-                (round(exp(avg(ln(l_extendedprice))), 4) + 0.0) AS geomean_price
-         FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "q_window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice,
-                CAST(rn AS INT) AS rn, CAST(rk AS INT) AS rk,
-                CAST(drk AS INT) AS drk
-         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-                      row_number() OVER w AS rn, rank() OVER w AS rk,
-                      dense_rank() OVER w AS drk
-               FROM orders
-               WINDOW w AS (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey)) t
-         WHERE rn = 1 ORDER BY o_custkey""",
-    "q_window_running" ->
-      """SELECT o_custkey, o_orderkey,
-                (round(sum(o_totalprice) OVER
-                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0.0) AS running,
-                (round(avg(o_totalprice) OVER
-                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) + 0.0) AS mavg3
-         FROM orders ORDER BY o_custkey, o_orderkey""",
-    "q_window_range_frame" ->
-      """SELECT event_id,
-                (round(sum(value) OVER
-                  (PARTITION BY event_type ORDER BY ts_sec
-                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 4) + 0.0) AS day_sum
-         FROM (SELECT event_id, event_type, value,
-                      epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec FROM events) t
-         ORDER BY event_id""",
-    "q_window_lag" ->
-      """SELECT event_id, user_id, gap_sec, next_type
-         FROM (SELECT event_id, user_id,
-                      ts_sec - lag(ts_sec) OVER w AS gap_sec,
-                      lead(event_type) OVER w AS next_type
-               FROM (SELECT *, epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec
-                     FROM events) a
-               WINDOW w AS (PARTITION BY user_id
-                            ORDER BY ts::TIMESTAMP, event_id)) b
-         ORDER BY event_id""",
-    "q_topk_per_group" ->
-      """SELECT p_brand, p_partkey, revenue, CAST(rn AS INT) AS rn
-         FROM (SELECT p_brand, p_partkey, revenue,
-                      row_number() OVER (PARTITION BY p_brand
-                                         ORDER BY revenue DESC, p_partkey) AS rn
-               FROM (SELECT p_brand, p_partkey,
-                            (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS revenue
-                     FROM lineitem JOIN part ON l_partkey = p_partkey
-                     GROUP BY 1, 2) a) b
-         WHERE rn <= 3 ORDER BY p_brand, rn""",
-    "q_sort_limit" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
-    "q_union_all" ->
-      """SELECT nationkey, count(*) AS n
-         FROM (SELECT c_nationkey AS nationkey FROM customer
-               UNION ALL SELECT s_nationkey FROM supplier) t
-         GROUP BY 1 ORDER BY 1""",
-    "q_union_distinct" ->
-      """SELECT DISTINCT nationkey
-         FROM (SELECT c_nationkey AS nationkey FROM customer
-               UNION ALL SELECT s_nationkey FROM supplier) t
-         ORDER BY nationkey""",
-    "q_intersect" ->
-      """SELECT nationkey
-         FROM (SELECT c_nationkey AS nationkey FROM customer
-               INTERSECT SELECT s_nationkey FROM supplier) t
-         ORDER BY 1""",
-    "q_except" ->
-      """SELECT nationkey
-         FROM (SELECT c_nationkey AS nationkey FROM customer
-               EXCEPT SELECT s_nationkey FROM supplier) t
-         ORDER BY 1""",
-    "q_string_funcs" ->
-      """SELECT p_partkey, upper(p_name) AS uname,
-                substr(p_type, 1, 4) AS type4,
-                concat_ws('|', p_brand, p_type) AS brand_type,
-                CAST(length(p_name) AS INT) AS name_len,
-                regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
-         FROM part WHERE p_name LIKE '%e%' ORDER BY p_partkey""",
-    "q_date_funcs" ->
-      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
-                CAST(quarter(o_orderdate) AS INT) AS qtr,
-                CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-                CAST(datediff('day', DATE '1995-01-01',
-                              CAST(o_orderdate AS DATE)) AS INT) AS days_since,
-                CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
-         FROM orders ORDER BY o_orderkey""",
-    "q_math_funcs" ->
-      """SELECT l_returnflag,
-                (round(avg(sqrt(l_extendedprice)), 4) + 0.0) AS avg_sqrt_price,
-                (round(avg(pow(l_discount, 2)), 4) + 0.0) AS avg_disc_sq,
-                (round(avg(ln(l_extendedprice + 1)), 4) + 0.0) AS avg_ln_price,
-                (round(abs(min(l_quantity - 10)), 4) + 0.0) AS abs_min_qty,
-                (round(sum(round(l_tax, 2)), 4) + 0.0) AS sum_round_tax
-         FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "q_json_funcs" ->
-      """SELECT event_type, (round(avg(k), 4) + 0.0) AS avg_k, count(*) AS n,
-                min(k) AS min_k, max(k) AS max_k
-         FROM (SELECT event_type,
-                      CAST(json_extract_string(props, '$.k') AS INT) AS k
-               FROM events) t
-         GROUP BY 1 ORDER BY 1""",
-    "q_array_funcs" ->
-      """SELECT label, count(*) AS n, min(dim) AS min_dim, max(dim) AS max_dim,
-                (round(avg(l2), 4) + 0.0) AS avg_l2, (round(avg(e1), 4) + 0.0) AS avg_e1
-         FROM (SELECT label, CAST(len(embedding) AS INT) AS dim,
-                      sqrt(list_dot_product(embedding::DOUBLE[],
-                                            embedding::DOUBLE[])) AS l2,
-                      CAST(embedding[1] AS DOUBLE) AS e1
-               FROM embeddings) t
-         GROUP BY 1 ORDER BY 1""",
-    "q_explode" ->
-      """SELECT token, count(*) AS n
-         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
-         WHERE length(token) > 0
-         GROUP BY 1 ORDER BY n DESC, token LIMIT 20""",
-    "q_map_funcs" ->
-      """SELECT CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT) AS pos,
-                event_type AS k, n
-         FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1) t
-         ORDER BY pos""",
-    "q_udf_scalar" ->
-      """SELECT band, count(*) AS n
-         FROM (SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
-                           WHEN o_totalprice < 200000 THEN 'mid'
-                           ELSE 'high' END AS band FROM orders) t
-         GROUP BY 1 ORDER BY 1""",
-    "q_dedup_exact" ->
-      """SELECT lang, count(*) AS n_docs
-         FROM (SELECT lang, row_number() OVER
-                 (PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id) AS rn
-               FROM documents) t
-         WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
-    "q_dedup_incremental" ->
-      """WITH d AS (SELECT doc_id, lang,
-                           sha256(lower(trim(text))) AS h,
-                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                             ::BIGINT % 10 AS bucket
-                    FROM documents),
-            corpus AS (SELECT DISTINCT h FROM d WHERE bucket < 8),
-            batch AS (SELECT doc_id, lang, h FROM d WHERE bucket >= 8),
-            fb AS (SELECT h, min(doc_id) AS first_id FROM batch GROUP BY 1)
-         SELECT b.lang,
-                CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
-                     WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
-                     ELSE 'kept' END AS status,
-                count(*) AS n_docs
-         FROM batch b LEFT JOIN corpus c ON b.h = c.h
-                      JOIN fb f ON b.h = f.h
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_dedup_simhash" ->
-      """WITH toks AS (SELECT doc_id, tok
-                       FROM (SELECT doc_id,
-                                    unnest(string_split(text, ' ')) AS tok
-                             FROM documents) t0
-                       WHERE length(tok) > 0),
-            h AS (SELECT doc_id,
-                         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
-                  FROM toks),
-            contrib AS (SELECT doc_id, i,
-                               ((hv >> CAST(i AS INT)) & 1) * 2 - 1 AS c
-                        FROM h, range(0, 32) t(i)),
-            bits AS (SELECT doc_id, i,
-                            CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS b
-                     FROM contrib GROUP BY 1, 2)
-         SELECT doc_id,
-                CAST(sum(b * (1::BIGINT << CAST(i AS INT))) AS BIGINT) AS simhash
-         FROM bits GROUP BY 1 ORDER BY 1""",
-    "q_dedup_ngram" ->
-      """WITH base AS (SELECT doc_id, lang, source,
-                              string_split(text, ' ') AS toks FROM documents),
-            ng AS (SELECT doc_id, lang, source,
-                          list_distinct(list_transform(range(1, len(toks) - 1),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
-                   FROM base),
-            nz AS (SELECT doc_id, lang, source, ngs
-                   FROM ng WHERE len(ngs) > 0),
-            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
-            df AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
-            ex AS (SELECT ex0.* FROM ex0 JOIN df USING (g) WHERE df <= 100),
-            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
-            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-                             count(*) AS inter
-                      FROM ex a JOIN ex b
-                        ON a.lang = b.lang AND a.source = b.source
-                       AND a.g = b.g AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2)
-         SELECT d1, d2,
-                (round(CAST(inter AS DOUBLE) / (s1.nsz + s2.nsz - inter), 4) + 0.0) AS jaccard
-         FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
-         ORDER BY jaccard DESC, d1, d2 LIMIT 20""",
-    "q_dedup_embcos" ->
-      // mirrors the engine's sign-LSH candidate rule (the
-      // q_similarity_lsh hash) with the corpus-size-derived plane
-      // count: pl = clamp(ceil(log2(n/256)), 4, 8) spelled as exact
-      // integer thresholds; table t plane j reads component
-      // ((t*pl+j) % 64) + 1 — identical to the engine's knob
-      """WITH em AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            nv AS (SELECT (CASE WHEN count(*) <= 4096 THEN 4
-                                WHEN count(*) <= 8192 THEN 5
-                                WHEN count(*) <= 16384 THEN 6
-                                WHEN count(*) <= 32768 THEN 7
-                                ELSE 8 END) AS pl FROM em),
-            tb AS (SELECT label, vec_id, t,
-                          CAST(sum(CASE WHEN v[CAST(((t*pl + j) % 64) + 1 AS INT)] > 0
-                                        THEN (1 << j) ELSE 0 END) AS INT) AS bucket
-                   FROM em, nv, range(0, 8) r(t), range(0, 8) p(j)
-                   WHERE j < pl
-                   GROUP BY label, vec_id, t),
-            cand AS (SELECT DISTINCT a.label, a.vec_id AS v1, b.vec_id AS v2
-                     FROM tb a JOIN tb b ON a.label = b.label AND a.t = b.t
-                                        AND a.bucket = b.bucket
-                                        AND a.vec_id < b.vec_id)
-         SELECT cand.label, v1, v2,
-                (round(list_dot_product(e1.v, e2.v) /
-                      (sqrt(list_dot_product(e1.v, e1.v)) *
-                       sqrt(list_dot_product(e2.v, e2.v))), 4) + 0.0) AS sim
-         FROM cand JOIN em e1 ON e1.vec_id = v1
-                   JOIN em e2 ON e2.vec_id = v2
-         ORDER BY sim DESC, v1, v2 LIMIT 20""",
-    "q_similarity_topk" ->
-      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            q AS (SELECT vec_id AS q_id, v AS qv FROM em WHERE vec_id < 10),
-            sims AS (SELECT q_id, vec_id AS n_id,
-                            (round(list_dot_product(qv, v) /
-                                  (sqrt(list_dot_product(qv, qv)) *
-                                   sqrt(list_dot_product(v, v))), 4) + 0.0) AS sim
-                     FROM em, q WHERE vec_id <> q_id),
-            rk AS (SELECT q_id, n_id, sim,
-                          CAST(row_number() OVER (PARTITION BY q_id
-                            ORDER BY sim DESC, n_id) AS INT) AS rn
-                   FROM sims)
-         SELECT q_id, n_id, sim, rn FROM rk WHERE rn <= 5 ORDER BY q_id, rn""",
-    "q_similarity_lsh" ->
-      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            tb AS (SELECT vec_id, t,
-                          (CASE WHEN v[CAST(t*4+1 AS INT)] > 0 THEN 1 ELSE 0 END +
-                           CASE WHEN v[CAST(t*4+2 AS INT)] > 0 THEN 2 ELSE 0 END +
-                           CASE WHEN v[CAST(t*4+3 AS INT)] > 0 THEN 4 ELSE 0 END +
-                           CASE WHEN v[CAST(t*4+4 AS INT)] > 0 THEN 8 ELSE 0 END) AS bucket
-                   FROM em, range(0, 8) r(t)),
-            q AS (SELECT vec_id AS q_id, t AS qt, bucket AS qbk
-                  FROM tb WHERE vec_id < 10),
-            cand AS (SELECT DISTINCT q_id, tb.vec_id AS n_id
-                     FROM tb JOIN q ON tb.t = qt AND tb.bucket = qbk
-                                   AND tb.vec_id <> q_id),
-            sims AS (SELECT q_id, n_id,
-                            (round(list_dot_product(qe.v, ne.v) /
-                                  (sqrt(list_dot_product(qe.v, qe.v)) *
-                                   sqrt(list_dot_product(ne.v, ne.v))), 4) + 0.0) AS sim
-                     FROM cand JOIN em qe ON qe.vec_id = q_id
-                               JOIN em ne ON ne.vec_id = n_id),
-            rk AS (SELECT q_id, n_id, sim,
-                          CAST(row_number() OVER (PARTITION BY q_id
-                            ORDER BY sim DESC, n_id) AS INT) AS rn
-                   FROM sims)
-         SELECT q_id, n_id, sim, rn FROM rk WHERE rn <= 3 ORDER BY q_id, rn""",
-    "q_similarity_ivf" ->
-      // mirrors the 2 fixed Lloyd rounds: assign to argmax ROUNDED
-      // cosine (ties to smaller c_id), new centroid = per-dim
-      // round(avg, 4) — the same rounded arithmetic the Spark side uses,
-      // so the refined codebook is bit-identical across engines
-      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            cent0 AS (SELECT vec_id AS c_id, v AS cv FROM em WHERE vec_id < 8),
-            as0 AS (SELECT vec_id, v, c_id
-                    FROM (SELECT e.vec_id, e.v, c.c_id,
-                            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                              (round(list_dot_product(e.v, c.cv) /
-                                    (sqrt(list_dot_product(e.v, e.v)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
-                              c.c_id) AS rn
-                          FROM em e, cent0 c) t
-                    WHERE rn = 1),
-            cent1 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
-                      FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
-                                   (round(avg(a.v[CAST(t.i AS INT) + 1]), 4) + 0.0) AS cx
-                            FROM as0 a, range(0, 64) t(i)
-                            GROUP BY 1, 2) g
-                      GROUP BY 1),
-            as1 AS (SELECT vec_id, v, c_id
-                    FROM (SELECT e.vec_id, e.v, c.c_id,
-                            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                              (round(list_dot_product(e.v, c.cv) /
-                                    (sqrt(list_dot_product(e.v, e.v)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
-                              c.c_id) AS rn
-                          FROM em e, cent1 c) t
-                    WHERE rn = 1),
-            cent2 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
-                      FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
-                                   (round(avg(a.v[CAST(t.i AS INT) + 1]), 4) + 0.0) AS cx
-                            FROM as1 a, range(0, 64) t(i)
-                            GROUP BY 1, 2) g
-                      GROUP BY 1),
-            assigned AS (SELECT vec_id, v, c_id
-                         FROM (SELECT e.vec_id, e.v, c.c_id,
-                                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                                   (round(list_dot_product(e.v, c.cv) /
-                                         (sqrt(list_dot_product(e.v, e.v)) *
-                                          sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
-                                   c.c_id) AS rn
-                               FROM em e, cent2 c) t
-                         WHERE rn = 1),
-            q AS (SELECT vec_id AS q_id, v AS qv, c_id AS qc
-                  FROM assigned WHERE vec_id < 10),
-            sims AS (SELECT q_id, a.vec_id AS n_id,
-                            (round(list_dot_product(qv, a.v) /
-                                  (sqrt(list_dot_product(qv, qv)) *
-                                   sqrt(list_dot_product(a.v, a.v))), 4) + 0.0) AS sim
-                     FROM assigned a JOIN q
-                       ON a.c_id = qc AND a.vec_id <> q_id),
-            rk AS (SELECT q_id, n_id, sim,
-                          CAST(row_number() OVER (PARTITION BY q_id
-                            ORDER BY sim DESC, n_id) AS INT) AS rn
-                   FROM sims)
-         SELECT q_id, n_id, sim, rn FROM rk WHERE rn <= 3 ORDER BY q_id, rn""",
-    "q_similarity_ivf2" ->
-      // same 2-Lloyd-round codebook as q_similarity_ivf; queries probe
-      // their TWO nearest cells (row_number <= 2 mirrors top_k_pairs'
-      // (csim DESC, c_id ASC) preference) and candidates union over both
-      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            cent0 AS (SELECT vec_id AS c_id, v AS cv FROM em WHERE vec_id < 8),
-            as0 AS (SELECT vec_id, v, c_id
-                    FROM (SELECT e.vec_id, e.v, c.c_id,
-                            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                              (round(list_dot_product(e.v, c.cv) /
-                                    (sqrt(list_dot_product(e.v, e.v)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
-                              c.c_id) AS rn
-                          FROM em e, cent0 c) t
-                    WHERE rn = 1),
-            cent1 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
-                      FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
-                                   (round(avg(a.v[CAST(t.i AS INT) + 1]), 4) + 0.0) AS cx
-                            FROM as0 a, range(0, 64) t(i)
-                            GROUP BY 1, 2) g
-                      GROUP BY 1),
-            as1 AS (SELECT vec_id, v, c_id
-                    FROM (SELECT e.vec_id, e.v, c.c_id,
-                            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                              (round(list_dot_product(e.v, c.cv) /
-                                    (sqrt(list_dot_product(e.v, e.v)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
-                              c.c_id) AS rn
-                          FROM em e, cent1 c) t
-                    WHERE rn = 1),
-            cent2 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
-                      FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
-                                   (round(avg(a.v[CAST(t.i AS INT) + 1]), 4) + 0.0) AS cx
-                            FROM as1 a, range(0, 64) t(i)
-                            GROUP BY 1, 2) g
-                      GROUP BY 1),
-            assigned AS (SELECT vec_id, v, c_id
-                         FROM (SELECT e.vec_id, e.v, c.c_id,
-                                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                                   (round(list_dot_product(e.v, c.cv) /
-                                         (sqrt(list_dot_product(e.v, e.v)) *
-                                          sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
-                                   c.c_id) AS rn
-                               FROM em e, cent2 c) t
-                         WHERE rn = 1),
-            q2 AS (SELECT vec_id AS q_id, c_id AS qc
-                   FROM (SELECT e.vec_id, c.c_id,
-                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                             (round(list_dot_product(e.v, c.cv) /
-                                   (sqrt(list_dot_product(e.v, e.v)) *
-                                    sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
-                             c.c_id) AS rn
-                         FROM em e, cent2 c WHERE e.vec_id < 10) t
-                   WHERE rn <= 2),
-            qv AS (SELECT vec_id AS q_id, v AS qv FROM em WHERE vec_id < 10),
-            sims AS (SELECT q2.q_id, a.vec_id AS n_id,
-                            (round(list_dot_product(qv.qv, a.v) /
-                                  (sqrt(list_dot_product(qv.qv, qv.qv)) *
-                                   sqrt(list_dot_product(a.v, a.v))), 4) + 0.0) AS sim
-                     FROM assigned a
-                       JOIN q2 ON a.c_id = q2.qc AND a.vec_id <> q2.q_id
-                       JOIN qv ON qv.q_id = q2.q_id),
-            rk AS (SELECT q_id, n_id, sim,
-                          CAST(row_number() OVER (PARTITION BY q_id
-                            ORDER BY sim DESC, n_id) AS INT) AS rn
-                   FROM sims)
-         SELECT q_id, n_id, sim, rn FROM rk WHERE rn <= 3 ORDER BY q_id, rn""",
-    "q_similarity_ivfpq" ->
-      // the composed IVF-PQ index: IVF (2 Lloyd rounds) prunes to each
-      // query's 2 nearest cells, PQ-ADC scores the survivors from their
-      // codes, top-64 pool exact-cosine re-ranks — every CTE reuses the
-      // verified arithmetic of the q_similarity_ivf2 / q_similarity_pq
-      // oracles
-      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            cent0 AS (SELECT vec_id AS c_id, v AS cv FROM em WHERE vec_id < 8),
-            as0 AS (SELECT vec_id, v, c_id
-                    FROM (SELECT e.vec_id, e.v, c.c_id,
-                            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                              (round(list_dot_product(e.v, c.cv) /
-                                    (sqrt(list_dot_product(e.v, e.v)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
-                              c.c_id) AS rn
-                          FROM em e, cent0 c) t
-                    WHERE rn = 1),
-            cent1 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
-                      FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
-                                   (round(avg(a.v[CAST(t.i AS INT) + 1]), 4) + 0.0) AS cx
-                            FROM as0 a, range(0, 64) t(i)
-                            GROUP BY 1, 2) g
-                      GROUP BY 1),
-            as1 AS (SELECT vec_id, v, c_id
-                    FROM (SELECT e.vec_id, e.v, c.c_id,
-                            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                              (round(list_dot_product(e.v, c.cv) /
-                                    (sqrt(list_dot_product(e.v, e.v)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
-                              c.c_id) AS rn
-                          FROM em e, cent1 c) t
-                    WHERE rn = 1),
-            cent2 AS (SELECT c_id, list(cx ORDER BY pos) AS cv
-                      FROM (SELECT a.c_id, CAST(t.i AS INT) AS pos,
-                                   (round(avg(a.v[CAST(t.i AS INT) + 1]), 4) + 0.0) AS cx
-                            FROM as1 a, range(0, 64) t(i)
-                            GROUP BY 1, 2) g
-                      GROUP BY 1),
-            assigned AS (SELECT vec_id, v, c_id
-                         FROM (SELECT e.vec_id, e.v, c.c_id,
-                                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                                   (round(list_dot_product(e.v, c.cv) /
-                                         (sqrt(list_dot_product(e.v, e.v)) *
-                                          sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
-                                   c.c_id) AS rn
-                               FROM em e, cent2 c) t
-                         WHERE rn = 1),
-            q2 AS (SELECT vec_id AS q_id, c_id AS qc
-                   FROM (SELECT e.vec_id, c.c_id,
-                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                             (round(list_dot_product(e.v, c.cv) /
-                                   (sqrt(list_dot_product(e.v, e.v)) *
-                                    sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) DESC,
-                             c.c_id) AS rn
-                         FROM em e, cent2 c WHERE e.vec_id < 10) t
-                   WHERE rn <= 2),
-            sub AS (SELECT vec_id, CAST(i.sp AS INT) AS sp,
-                           v[(CAST(i.sp AS INT) * 16 + 1):(CAST(i.sp AS INT) * 16 + 16)] AS sv
-                    FROM em, range(0, 4) i(sp)),
-            cb AS (SELECT sp, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < 8),
-            scored AS (SELECT s.vec_id, s.sp, c.c_id,
-                              (round(list_dot_product(s.sv, c.cv) /
-                                    (sqrt(list_dot_product(s.sv, s.sv)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) AS cs
-                       FROM sub s JOIN cb c ON s.sp = c.sp),
-            enc AS (SELECT vec_id, sp, c_id AS code
-                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sp
-                            ORDER BY cs DESC, c_id) AS rn FROM scored) t
-                    WHERE rn = 1),
-            lut AS (SELECT vec_id AS q_id, sp, c_id AS code, cs AS ls
-                    FROM scored WHERE vec_id < 10),
-            cand AS (SELECT q2.q_id, a.vec_id AS n_id
-                     FROM assigned a
-                       JOIN q2 ON a.c_id = q2.qc AND a.vec_id <> q2.q_id),
-            adc AS (SELECT c.q_id, c.n_id, (round(sum(l.ls), 4) + 0.0) AS adc
-                    FROM cand c
-                      JOIN enc e ON e.vec_id = c.n_id
-                      JOIN lut l ON l.sp = e.sp AND l.code = e.code
-                                AND l.q_id = c.q_id
-                    GROUP BY 1, 2),
-            pool AS (SELECT q_id, n_id
-                     FROM (SELECT q_id, n_id,
-                             row_number() OVER (PARTITION BY q_id
-                               ORDER BY adc DESC, n_id) AS crn FROM adc) t
-                     WHERE crn <= 64),
-            sims AS (SELECT q_id, n_id,
-                            (round(list_dot_product(qe.v, ne.v) /
-                                  (sqrt(list_dot_product(qe.v, qe.v)) *
-                                   sqrt(list_dot_product(ne.v, ne.v))), 4) + 0.0) AS sim
-                     FROM pool JOIN em qe ON qe.vec_id = q_id
-                               JOIN em ne ON ne.vec_id = n_id),
-            rk AS (SELECT q_id, n_id, sim,
-                          CAST(row_number() OVER (PARTITION BY q_id
-                            ORDER BY sim DESC, n_id) AS INT) AS rn
-                   FROM sims)
-         SELECT q_id, n_id, sim, rn FROM rk WHERE rn <= 3 ORDER BY q_id, rn""",
-    "q_similarity_pq" ->
-      // ADC search over the q_embedding_pq codes: per-query 4×8 rounded
-      // cosine lookup table, candidate score = sum of the 4 selected
-      // entries (sum of 4-decimal values — never a .00005 tie), top-64
-      // by (adc DESC, n_id) then exact-cosine re-rank top-3
-      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            sub AS (SELECT vec_id, CAST(i.sp AS INT) AS sp,
-                           v[(CAST(i.sp AS INT) * 16 + 1):(CAST(i.sp AS INT) * 16 + 16)] AS sv
-                    FROM em, range(0, 4) i(sp)),
-            cb AS (SELECT sp, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < 8),
-            scored AS (SELECT s.vec_id, s.sp, c.c_id,
-                              (round(list_dot_product(s.sv, c.cv) /
-                                    (sqrt(list_dot_product(s.sv, s.sv)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) AS cs
-                       FROM sub s JOIN cb c ON s.sp = c.sp),
-            enc AS (SELECT vec_id, sp, c_id AS code
-                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sp
-                            ORDER BY cs DESC, c_id) AS rn FROM scored) t
-                    WHERE rn = 1),
-            lut AS (SELECT vec_id AS q_id, sp, c_id AS code, cs AS ls
-                    FROM scored WHERE vec_id < 10),
-            adc AS (SELECT l.q_id, e.vec_id AS n_id, (round(sum(l.ls), 4) + 0.0) AS adc
-                    FROM enc e JOIN lut l ON l.sp = e.sp AND l.code = e.code
-                    WHERE e.vec_id <> l.q_id
-                    GROUP BY 1, 2),
-            cand AS (SELECT q_id, n_id
-                     FROM (SELECT q_id, n_id,
-                             row_number() OVER (PARTITION BY q_id
-                               ORDER BY adc DESC, n_id) AS crn FROM adc) t
-                     WHERE crn <= 64),
-            sims AS (SELECT q_id, n_id,
-                            (round(list_dot_product(qe.v, ne.v) /
-                                  (sqrt(list_dot_product(qe.v, qe.v)) *
-                                   sqrt(list_dot_product(ne.v, ne.v))), 4) + 0.0) AS sim
-                     FROM cand JOIN em qe ON qe.vec_id = q_id
-                               JOIN em ne ON ne.vec_id = n_id),
-            rk AS (SELECT q_id, n_id, sim,
-                          CAST(row_number() OVER (PARTITION BY q_id
-                            ORDER BY sim DESC, n_id) AS INT) AS rn
-                   FROM sims)
-         SELECT q_id, n_id, sim, rn FROM rk WHERE rn <= 3 ORDER BY q_id, rn""",
-    "q_embedding_pq" ->
-      // spherical product quantization: same rounded-cosine argmax +
-      // c_id tie-break determinism rule as the IVF oracle
-      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            sub AS (SELECT vec_id, CAST(i.sp AS INT) AS sp,
-                           v[(CAST(i.sp AS INT) * 16 + 1):(CAST(i.sp AS INT) * 16 + 16)] AS sv
-                    FROM em, range(0, 4) i(sp)),
-            cb AS (SELECT sp, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < 8),
-            scored AS (SELECT s.vec_id, s.sp, c.c_id,
-                              (round(list_dot_product(s.sv, c.cv) /
-                                    (sqrt(list_dot_product(s.sv, s.sv)) *
-                                     sqrt(list_dot_product(c.cv, c.cv))), 4) + 0.0) AS cs
-                       FROM sub s JOIN cb c ON s.sp = c.sp),
-            enc AS (SELECT vec_id, sp, c_id AS code, cs
-                    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sp
-                            ORDER BY cs DESC, c_id) AS rn FROM scored) t
-                    WHERE rn = 1)
-         SELECT vec_id,
-                CAST(max(CASE WHEN sp = 0 THEN code END) AS BIGINT) AS code0,
-                CAST(max(CASE WHEN sp = 1 THEN code END) AS BIGINT) AS code1,
-                CAST(max(CASE WHEN sp = 2 THEN code END) AS BIGINT) AS code2,
-                CAST(max(CASE WHEN sp = 3 THEN code END) AS BIGINT) AS code3,
-                (round(sum(1.0 - cs), 4) + 0.0) AS q_err
-         FROM enc GROUP BY 1 ORDER BY 1""",
-    "q_embedding_centroid" ->
-      """SELECT label, CAST(i AS INT) AS pos,
-                (round(avg(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)), 4) + 0.0) AS c
-         FROM embeddings, range(0, 64) t(i)
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_text_stats" ->
-      """WITH base AS (SELECT lang, count(*) AS n_docs,
-                              (round(avg(n_chars), 4) + 0.0) AS avg_chars,
-                              (round(avg(len(string_split(text, ' '))), 4) + 0.0) AS avg_tokens
-                       FROM documents GROUP BY 1),
-            vocab AS (SELECT lang, count(DISTINCT tok) AS n_vocab
-                      FROM (SELECT lang,
-                                   unnest(string_split(text, ' ')) AS tok
-                            FROM documents) t
-                      WHERE length(tok) > 0 GROUP BY 1)
-         SELECT base.lang AS lang, n_docs, avg_chars, avg_tokens, n_vocab
-         FROM base JOIN vocab ON base.lang = vocab.lang ORDER BY lang""",
-    "q_text_quality" ->
-      """SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
-                CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
-                (round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) + 0.0) AS uniq_ratio,
-                (round(round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) *
-                      least(1.0, len(toks) / 50.0), 4) + 0.0) AS quality
-         FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
-               FROM documents) t
-         ORDER BY doc_id""",
-    "q_token_count" ->
-      """SELECT lang,
-                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
-                CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))) AS BIGINT) AS re_tokens
-         FROM documents GROUP BY 1 ORDER BY 1""",
-    "q_fingerprint" ->
-      """SELECT doc_id,
-                list_min(list_transform(range(1, len(toks) - 1),
-                  i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS fp
-         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
-         WHERE len(toks) >= 3 ORDER BY doc_id""",
-    "q_heavy_hitters" ->
-      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
-                    FROM documents),
-            tf AS (SELECT tok, count(*) AS tf FROM t
-                   WHERE length(tok) > 0 GROUP BY 1),
-            top AS (SELECT tok, tf FROM tf ORDER BY tf DESC, tok LIMIT 50)
-         SELECT tok, tf FROM top ORDER BY tok""",
-    "q_pmi_bigrams" ->
-      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
-            u AS (SELECT unnest(ws) AS w FROM t),
-            uni AS (SELECT w, count(*) AS n FROM u
-                    WHERE length(w) > 0 GROUP BY 1),
-            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM uni),
-            bg0 AS (SELECT unnest(list_transform(range(1, len(ws)),
-                             i -> {'a': ws[i], 'b': ws[i+1]})) AS p
-                    FROM t),
-            bg AS (SELECT p.a AS a, p.b AS b FROM bg0
-                   WHERE length(p.a) > 0 AND length(p.b) > 0),
-            np AS (SELECT count(*) AS np FROM bg),
-            cnt AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY 1, 2
-                    HAVING count(*) >= 5)
-         SELECT c.a, c.b, c.n_ab,
-                (round(ln((c.n_ab * 1.0 * tot.nn * tot.nn) /
-                         (np.np * 1.0 * ua.n * ub.n)), 4) + 0.0) AS pmi
-         FROM cnt c
-         JOIN uni ua ON c.a = ua.w
-         JOIN uni ub ON c.b = ub.w
-         CROSS JOIN tot CROSS JOIN np
-         ORDER BY c.a, c.b""",
-    "q_negative_pairs" ->
-      """WITH docs AS (SELECT doc_id, lang FROM documents),
-            nn AS (SELECT count(*) AS n FROM docs),
-            slots AS (SELECT unnest([1, 2]) AS slot),
-            a AS (SELECT doc_id, lang, slot, n,
-                         ('0x' || substr(md5(doc_id || ':' || slot), 1, 8))
-                           ::BIGINT % n AS h
-                  FROM docs CROSS JOIN nn CROSS JOIN slots),
-            pairs AS (SELECT doc_id, lang, slot,
-                             CASE WHEN h = doc_id THEN (h + 1) % n
-                                  ELSE h END AS neg_id
-                      FROM a)
-         SELECT p.doc_id, p.slot, p.neg_id, p.lang, d.lang AS neg_lang
-         FROM pairs p JOIN docs d ON p.neg_id = d.doc_id
-         ORDER BY p.doc_id, p.slot""",
-    "q_lang_id" ->
-      """SELECT lang, pred_lang, count(*) AS n
-         FROM (SELECT lang,
-                      CASE WHEN rr > 0.02 THEN 'zh'
-                           WHEN vr > 0.40 THEN 'es'
-                           WHEN vr > 0.36 THEN 'fr'
-                           WHEN vr > 0.32 THEN 'en'
-                           ELSE 'de' END AS pred_lang
-               FROM (SELECT lang,
-                            CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
-                              / length(text) AS vr,
-                            CAST(length(text) - length(regexp_replace(text, '[zxq]', '', 'g')) AS DOUBLE)
-                              / length(text) AS rr
-                     FROM documents) a) b
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_multimodal_meta" ->
-      // closed-form mirror of the REAL containers the engine writes
-      // then parses back: BMP = 54-byte header + 4-byte-padded 24bpp
-      // rows; WAV = 44-byte header + 2 bytes/sample at 8 kHz mono;
-      // video = (1 + n%10) concatenated BMP frames at 40 ms each
-      """WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n
-                    FROM documents),
-            m AS (SELECT doc_id, n,
-                         CASE WHEN doc_id % 3 = 0 THEN 'image'
-                              WHEN doc_id % 3 = 1 THEN 'audio'
-                              ELSE 'video' END AS kind,
-                         4 + n % 60 AS w, 4 + (7 * n) % 44 AS h,
-                         1 + n % 10 AS f
-                  FROM d),
-            g AS (SELECT kind,
-                         CASE WHEN kind = 'audio' THEN 0 ELSE w END AS width,
-                         CASE WHEN kind = 'audio' THEN 0 ELSE h END AS height,
-                         CASE kind
-                           WHEN 'image' THEN 54 + ((3*w+3) - (3*w+3) % 4) * h
-                           WHEN 'audio' THEN 44 + 2 * n
-                           ELSE f * (54 + ((3*w+3) - (3*w+3) % 4) * h)
-                         END AS byte_len,
-                         CASE kind
-                           WHEN 'audio' THEN (n * 1000) // 8000
-                           WHEN 'video' THEN f * 40
-                           ELSE 0
-                         END AS dur
-                  FROM m)
-         SELECT kind, count(*) AS n,
-                CAST(sum(byte_len) AS BIGINT) AS total_bytes,
-                (round(avg(width), 4) + 0.0) AS avg_width,
-                (round(avg(height), 4) + 0.0) AS avg_height,
-                CAST(sum(dur) AS BIGINT) AS total_duration_ms
-         FROM g GROUP BY 1 ORDER BY 1""",
-    "q_multimodal_frames" ->
-      """WITH v AS (SELECT doc_id AS asset_id,
-                           CAST(octet_length(encode(text)) AS INT) AS n
-                    FROM documents WHERE doc_id % 3 = 2),
-            m AS (SELECT asset_id, n, 1 + (n % 10) AS frames,
-                         4 + n % 60 AS w, 4 + (7 * n) % 44 AS h
-                  FROM v),
-            s AS (SELECT asset_id, frames,
-                         54 + ((3*w+3) - (3*w+3) % 4) * h AS frame_bytes
-                  FROM m)
-         SELECT asset_id,
-                CAST((frames + 1) // 2 AS BIGINT) AS n_sampled,
-                CAST(((frames + 1) // 2) * frame_bytes AS BIGINT) AS sampled_bytes
-         FROM s ORDER BY asset_id""",
-    "q_text_filter" ->
-      """SELECT doc_id, lang, n_tokens, mean_tok_len, uniq_ratio, stop_ratio,
-                CAST((n_tokens BETWEEN 10 AND 5000)
-                     AND (mean_tok_len BETWEEN 2.0 AND 12.0)
-                     AND uniq_ratio > 0.2
-                     AND stop_ratio < 0.3 AS INT) AS keep
-         FROM (SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
-                      (round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                            / len(toks), 4) + 0.0) AS mean_tok_len,
-                      (round(CAST(len(list_distinct(toks)) AS DOUBLE)
-                            / len(toks), 4) + 0.0) AS uniq_ratio,
-                      (round(CAST(len(list_filter(toks,
-                              t -> t IN ('the', 'a'))) AS DOUBLE)
-                            / len(toks), 4) + 0.0) AS stop_ratio
-               FROM (SELECT doc_id, lang, text,
-                            string_split(text, ' ') AS toks
-                     FROM documents) t0) t1
-         ORDER BY doc_id""",
-    "q_text_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-            bg AS (SELECT doc_id, unnest(list_transform(list_zip(toks, toks[2:]),
-                                         p -> p[1] || ' ' || p[2])) AS bigram
-                   FROM t),
-            bgs AS (SELECT doc_id, count(*) AS n_bg,
-                           count(DISTINCT bigram) AS n_bg_d
-                    FROM bg WHERE bigram IS NOT NULL GROUP BY 1),
-            tokc AS (SELECT doc_id, tok, count(*) AS c
-                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                           FROM documents) u
-                     GROUP BY 1, 2),
-            topf AS (SELECT doc_id, max(c) AS maxc, CAST(sum(c) AS BIGINT) AS n
-                     FROM tokc GROUP BY 1)
-         SELECT f.doc_id, CAST(f.n AS INT) AS n_tokens,
-                (round(f.maxc::DOUBLE / f.n, 4) + 0.0) AS top_tok_frac,
-                (round(coalesce((b.n_bg - b.n_bg_d)::DOUBLE / nullif(b.n_bg, 0),
-                               0.0), 4) + 0.0) AS dup_bigram_frac
-         FROM topf f LEFT JOIN bgs b ON f.doc_id = b.doc_id
-         ORDER BY f.doc_id""",
-    "q_pii_redact" ->
-      """SELECT event_id,
-                CAST(len(regexp_extract_all(props, '[0-9]+', 0)) AS INT) AS n_redact,
-                md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS red_hash
-         FROM events ORDER BY event_id""",
-    "q_contamination" ->
-      // benchmark-contamination: fraction of each corpus doc's distinct
-      // 3-grams present in the benchmark set (doc_id < 50). The oracle
-      // compares raw string grams where Spark compares their int64
-      // hashes — counts agree absent hash collisions (q_dedup_ngram's
-      // documented contract)
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
-                       FROM documents),
-            ng AS (SELECT doc_id,
-                          list_distinct(list_transform(range(1, len(toks) - 1),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
-                   FROM base),
-            nz AS (SELECT doc_id, ngs FROM ng WHERE len(ngs) > 0),
-            bench AS (SELECT DISTINCT unnest(ngs) AS g FROM nz
-                      WHERE doc_id < 50),
-            corpus AS (SELECT doc_id, unnest(ngs) AS g FROM nz
-                       WHERE doc_id >= 50),
-            sz AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
-            ov AS (SELECT c.doc_id, count(*) AS n_overlap
-                   FROM corpus c JOIN bench USING (g) GROUP BY 1)
-         SELECT sz.doc_id AS doc_id, n_grams,
-                CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
-                (round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / n_grams, 4) + 0.0)
-                  AS contamination
-         FROM sz LEFT JOIN ov ON sz.doc_id = ov.doc_id
-         ORDER BY doc_id""",
-    "q_corpus_mix" ->
-      """WITH cells AS (SELECT lang, source, count(*) AS n_docs,
-                               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
-                        FROM documents GROUP BY 1, 2),
-            t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM cells)
-         SELECT lang, source, n_docs, tokens,
-                (round(CAST(tokens AS DOUBLE) / total_tokens, 4) + 0.0) AS share
-         FROM cells, t ORDER BY lang, source""",
-    "q_mix_temperature" ->
-      """WITH bl AS (SELECT lang, count(*) AS n_docs,
-                            CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-                              AS tokens
-                     FROM documents GROUP BY 1),
-            t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM bl),
-            sh AS (SELECT lang, n_docs, tokens,
-                          CAST(tokens AS DOUBLE) / total_tokens AS q,
-                          sqrt(CAST(tokens AS DOUBLE) / total_tokens) AS wt
-                   FROM bl, t),
-            ws AS (SELECT sum(wt) AS wt_sum FROM sh)
-         SELECT lang, n_docs, tokens,
-                (round(q, 4) + 0.0) AS natural_share,
-                (round(wt / wt_sum, 4) + 0.0) AS temp_share,
-                (round(wt / wt_sum / q, 4) + 0.0) AS boost
-         FROM sh, ws ORDER BY lang""",
-    "q_mix_apply" ->
-      """WITH bl AS (SELECT lang, count(*) AS n_docs,
-                            CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-                              AS tokens
-                     FROM documents GROUP BY 1),
-            t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM bl),
-            sh AS (SELECT lang,
-                          CAST(tokens AS DOUBLE) / total_tokens AS q,
-                          sqrt(CAST(tokens AS DOUBLE) / total_tokens) AS wt
-                   FROM bl, t),
-            ws AS (SELECT sum(wt) AS wt_sum FROM sh),
-            rates AS (SELECT lang, (round(wt / wt_sum / q, 4) + 0.0) AS boost
-                      FROM sh, ws),
-            dd AS (SELECT d.doc_id, d.lang, r.boost,
-                          ('0x' || substr(md5(d.doc_id || ':mix'), 1, 8))
-                            ::BIGINT / 4294967296.0 AS u
-                   FROM documents d JOIN rates r USING (lang)),
-            c AS (SELECT lang,
-                         CAST(floor(boost) AS BIGINT) +
-                           CASE WHEN u < boost - floor(boost) THEN 1
-                                ELSE 0 END AS n_copies
-                  FROM dd)
-         SELECT lang, count(*) AS n_docs,
-                CAST(sum(n_copies) AS BIGINT) AS n_copies_out,
-                (round(CAST(sum(n_copies) AS DOUBLE) / count(*), 4) + 0.0)
-                  AS realized_rate
-         FROM c GROUP BY 1 ORDER BY 1""",
-    "q_chunk_docs" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-                    FROM documents),
-            n AS (SELECT doc_id, toks,
-                         1 + (greatest(len(toks) - 50, 0) + 39) // 40
-                           AS n_chunks
-                  FROM d),
-            st AS (SELECT doc_id, toks,
-                          unnest(generate_series(0, (n_chunks - 1) * 40, 40))
-                            AS start
-                   FROM n),
-            ch AS (SELECT doc_id,
-                          CAST(start // 40 AS BIGINT) AS chunk_id,
-                          CAST(start AS BIGINT) AS start_tok,
-                          list_slice(toks, start + 1, start + 50) AS chunk
-                   FROM st)
-         SELECT doc_id, chunk_id, start_tok,
-                CAST(len(chunk) AS BIGINT) AS n_tok_chunk,
-                md5(array_to_string(chunk, ' ')) AS chunk_md5
-         FROM ch ORDER BY doc_id, chunk_id""",
-    "q_dup_spans" ->
-      // Duplicated-span detection: positions whose word-8-gram occurs
-      // in >= 2 docs, merged into spans when the position gap <= 7
-      // (overlapping [p, p+8) windows); covered tokens = 8 per opener
-      // + the gap per continuation. Raw-string grams — hash-free.
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
-                           len(string_split(text, ' ')) AS m
-                    FROM documents),
-            dd AS (SELECT * FROM d WHERE m >= 8),
-            pos AS (SELECT doc_id, m, w,
-                           unnest(generate_series(0, m - 8)) AS p
-                    FROM dd),
-            grams AS (SELECT doc_id, m, p,
-                             array_to_string(
-                               list_slice(w, p + 1, p + 8), ' ') AS g
-                      FROM pos),
-            common AS (SELECT g FROM grams
-                       GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
-            dup AS (SELECT doc_id, m, p FROM grams
-                    WHERE g IN (SELECT g FROM common)),
-            marked AS (SELECT doc_id, m, p,
-                              lag(p) OVER (PARTITION BY doc_id ORDER BY p)
-                                AS prev_p
-                       FROM dup),
-            c AS (SELECT doc_id, m,
-                         CASE WHEN prev_p IS NULL OR p - prev_p > 7
-                              THEN 1 ELSE 0 END AS new_span,
-                         CASE WHEN prev_p IS NULL OR p - prev_p > 7
-                              THEN 8 ELSE p - prev_p END AS cover
-                  FROM marked)
-         SELECT doc_id, CAST(m AS BIGINT) AS n_tokens,
-                count(*) AS n_dup_grams,
-                CAST(sum(new_span) AS BIGINT) AS n_spans,
-                CAST(sum(cover) AS BIGINT) AS covered,
-                (round(CAST(sum(cover) AS DOUBLE) / m, 4) + 0.0) AS dup_frac
-         FROM c GROUP BY doc_id, m ORDER BY doc_id""",
-    "q_doc_length_histogram" ->
-      """SELECT CAST((len(string_split(text, ' ')) // 10) * 10 AS BIGINT) AS bucket,
-                count(*) AS n_docs
-         FROM documents GROUP BY 1 ORDER BY 1""",
-    "q_shard_export" ->
-      """WITH k AS (SELECT n_chars,
-                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                             AS skey
-                    FROM documents)
-         SELECT skey % 16 AS shard, count(*) AS n_docs,
-                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-                min(skey) AS key_min, max(skey) AS key_max
-         FROM k GROUP BY 1 ORDER BY 1""",
-    "q_sample_stratified" ->
-      """SELECT doc_id, lang, bucket
-         FROM (SELECT doc_id, lang,
-                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                        % 100 AS bucket
-               FROM documents) t
-         WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
-         ORDER BY doc_id""",
-    "q_sample_quota" ->
-      """WITH k AS (SELECT lang, doc_id,
-                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                             ::BIGINT AS hkey
-                    FROM documents),
-            r AS (SELECT lang, doc_id, hkey,
-                         row_number() OVER (PARTITION BY lang
-                           ORDER BY hkey, doc_id) AS rk
-                  FROM k)
-         SELECT lang, rk, doc_id, hkey FROM r
-         WHERE rk <= 100 ORDER BY lang, rk""",
-    "q_token_entropy" ->
-      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
-                    FROM documents),
-            tf AS (SELECT source, tok, count(*) AS tf FROM t
-                   WHERE length(tok) > 0 GROUP BY 1, 2),
-            ag AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
-                          count(*) AS n_distinct,
-                          CAST(sum(CAST(round(tf * ln(tf) * 1000000.0)
-                                        AS BIGINT)) AS BIGINT) AS tl_micro
-                   FROM tf GROUP BY 1)
-         SELECT source, n_tokens, n_distinct,
-                (round(n_distinct / CAST(n_tokens AS DOUBLE), 4) + 0.0) AS ttr,
-                (round(ln(n_tokens) - tl_micro / 1000000.0 / n_tokens, 4) + 0.0)
-                  AS entropy
-         FROM ag ORDER BY 1""",
-    "q_sample_weighted" ->
-      """WITH k AS (SELECT lang, doc_id,
-                           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                              ::BIGINT + 0.5) / 4294967296.0 / n_chars AS pri
-                    FROM documents WHERE n_chars > 0),
-            r AS (SELECT lang, doc_id, pri,
-                         row_number() OVER (PARTITION BY lang
-                           ORDER BY pri, doc_id) AS rk
-                  FROM k)
-         SELECT lang, rk, doc_id, pri AS priority FROM r
-         WHERE rk <= 100 ORDER BY lang, rk""",
-    "q_dedup_cluster" ->
-      """WITH RECURSIVE
-            base AS (SELECT doc_id, lang, source,
-                            string_split(text, ' ') AS toks FROM documents),
-            ng AS (SELECT doc_id, lang, source,
-                          list_distinct(list_transform(range(1, len(toks) - 1),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
-                   FROM base),
-            nz AS (SELECT doc_id, lang, source, ngs FROM ng WHERE len(ngs) > 0),
-            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
-            dfreq AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
-            ex AS (SELECT ex0.* FROM ex0 JOIN dfreq USING (g) WHERE df <= 100),
-            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
-            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-                      FROM ex a JOIN ex b
-                        ON a.lang = b.lang AND a.source = b.source
-                       AND a.g = b.g AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2),
-            pairs AS (SELECT d1, d2
-                      FROM inter JOIN sz s1 ON s1.doc_id = d1
-                                 JOIN sz s2 ON s2.doc_id = d2
-                      WHERE (round(CAST(inter AS DOUBLE)
-                                  / (s1.nsz + s2.nsz - inter), 4) + 0.0) >= 0.5),
-            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                      UNION ALL SELECT d2, d1 FROM pairs),
-            reach AS (SELECT doc_id AS v, doc_id AS r FROM documents
-                      UNION
-                      SELECT e.b AS v, reach.r AS r
-                      FROM reach JOIN edges e ON e.a = reach.v)
-         SELECT v AS doc_id, min(r) AS component
-         FROM reach GROUP BY 1 ORDER BY 1""",
-    "q_dedup_keep_best" ->
-      """WITH RECURSIVE
-            base AS (SELECT doc_id, lang, source,
-                            string_split(text, ' ') AS toks FROM documents),
-            ng AS (SELECT doc_id, lang, source,
-                          list_distinct(list_transform(range(1, len(toks) - 1),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
-                   FROM base),
-            nz AS (SELECT doc_id, lang, source, ngs FROM ng WHERE len(ngs) > 0),
-            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
-            dfreq AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
-            ex AS (SELECT ex0.* FROM ex0 JOIN dfreq USING (g) WHERE df <= 100),
-            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
-            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-                      FROM ex a JOIN ex b
-                        ON a.lang = b.lang AND a.source = b.source
-                       AND a.g = b.g AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2),
-            pairs AS (SELECT d1, d2
-                      FROM inter JOIN sz s1 ON s1.doc_id = d1
-                                 JOIN sz s2 ON s2.doc_id = d2
-                      WHERE (round(CAST(inter AS DOUBLE)
-                                  / (s1.nsz + s2.nsz - inter), 4) + 0.0) >= 0.5),
-            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                      UNION ALL SELECT d2, d1 FROM pairs),
-            reach AS (SELECT doc_id AS v, doc_id AS r FROM documents
-                      UNION
-                      SELECT e.b AS v, reach.r AS r
-                      FROM reach JOIN edges e ON e.a = reach.v),
-            comp AS (SELECT v AS doc_id, min(r) AS component
-                     FROM reach GROUP BY 1),
-            quality AS (SELECT doc_id,
-                               (round(round(CAST(len(list_distinct(toks)) AS DOUBLE)
-                                            / len(toks), 4)
-                                      * least(1.0, len(toks) / 50.0), 4) + 0.0) AS quality
-                        FROM base),
-            scored AS (SELECT c.component, c.doc_id, q.quality
-                       FROM comp c JOIN quality q USING (doc_id)),
-            best AS (SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
-                            max(quality) AS best_quality
-                     FROM scored GROUP BY 1)
-         SELECT s.component, b.n_docs, min(s.doc_id) AS keep_doc_id,
-                b.best_quality
-         FROM scored s JOIN best b ON s.component = b.component
-         WHERE s.quality = b.best_quality
-         GROUP BY 1, 2, 4 ORDER BY 1""",
-    "q_curation_funnel" ->
-      // per-source staged attrition: benchmark split -> quality gate ->
-      // cluster-canonical keeper -> contamination gate; token sum over
-      // final survivors. Gram overlap compares raw strings where Spark
-      // compares int64 hashes (the q_contamination contract).
-      """WITH RECURSIVE
-            base AS (SELECT doc_id, lang, source,
-                            string_split(text, ' ') AS toks FROM documents),
-            ng AS (SELECT doc_id, lang, source,
-                          list_distinct(list_transform(range(1, len(toks) - 1),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
-                   FROM base),
-            nz AS (SELECT doc_id, lang, source, ngs FROM ng WHERE len(ngs) > 0),
-            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
-            dfreq AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
-            ex AS (SELECT ex0.* FROM ex0 JOIN dfreq USING (g) WHERE df <= 100),
-            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
-            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-                      FROM ex a JOIN ex b
-                        ON a.lang = b.lang AND a.source = b.source
-                       AND a.g = b.g AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2),
-            pairs AS (SELECT d1, d2
-                      FROM inter JOIN sz s1 ON s1.doc_id = d1
-                                 JOIN sz s2 ON s2.doc_id = d2
-                      WHERE (round(CAST(inter AS DOUBLE)
-                                  / (s1.nsz + s2.nsz - inter), 4) + 0.0) >= 0.5),
-            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                      UNION ALL SELECT d2, d1 FROM pairs),
-            reach AS (SELECT doc_id AS v, doc_id AS r FROM documents
-                      UNION
-                      SELECT e.b AS v, reach.r AS r
-                      FROM reach JOIN edges e ON e.a = reach.v),
-            comp AS (SELECT v AS doc_id, min(r) AS component
-                     FROM reach GROUP BY 1),
-            quality AS (SELECT doc_id,
-                               (round(round(CAST(len(list_distinct(toks)) AS DOUBLE)
-                                            / len(toks), 4)
-                                      * least(1.0, len(toks) / 50.0), 4) + 0.0) AS quality
-                        FROM base),
-            scored AS (SELECT c.component, c.doc_id, q.quality
-                       FROM comp c JOIN quality q USING (doc_id)),
-            best AS (SELECT component, max(quality) AS best_quality
-                     FROM scored GROUP BY 1),
-            keepers AS (SELECT min(s.doc_id) AS doc_id
-                        FROM scored s JOIN best b ON s.component = b.component
-                        WHERE s.quality = b.best_quality
-                        GROUP BY s.component),
-            bench AS (SELECT DISTINCT unnest(ngs) AS g FROM nz
-                      WHERE doc_id < 50),
-            corpus AS (SELECT doc_id, unnest(ngs) AS g FROM nz
-                       WHERE doc_id >= 50),
-            csz AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
-            cov AS (SELECT c.doc_id, count(*) AS n_overlap
-                    FROM corpus c JOIN bench USING (g) GROUP BY 1),
-            contam AS (SELECT csz.doc_id,
-                              (round(CAST(coalesce(n_overlap, 0) AS DOUBLE)
-                                     / n_grams, 4) + 0.0) AS contamination
-                       FROM csz LEFT JOIN cov ON csz.doc_id = cov.doc_id),
-            flags AS (SELECT b.source, len(b.toks) AS tokens,
-                             CASE WHEN b.doc_id >= 50 THEN 1 ELSE 0 END AS f1,
-                             CASE WHEN b.doc_id >= 50
-                                   AND q.quality >= 0.5 THEN 1 ELSE 0 END AS f2,
-                             CASE WHEN b.doc_id >= 50 AND q.quality >= 0.5
-                                   AND k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f3,
-                             CASE WHEN b.doc_id >= 50 AND q.quality >= 0.5
-                                   AND k.doc_id IS NOT NULL
-                                   AND coalesce(c.contamination, 0.0) < 0.2
-                                  THEN 1 ELSE 0 END AS f4
-                      FROM base b
-                      JOIN quality q ON q.doc_id = b.doc_id
-                      LEFT JOIN keepers k ON k.doc_id = b.doc_id
-                      LEFT JOIN contam c ON c.doc_id = b.doc_id)
-         SELECT source, CAST(count(*) AS BIGINT) AS n_total,
-                CAST(sum(f1) AS BIGINT) AS n_corpus,
-                CAST(sum(f2) AS BIGINT) AS n_quality,
-                CAST(sum(f3) AS BIGINT) AS n_dedup,
-                CAST(sum(f4) AS BIGINT) AS n_clean,
-                CAST(sum(tokens * f4) AS BIGINT) AS tokens_kept
-         FROM flags GROUP BY 1 ORDER BY 1""",
-    "q_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, value,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS sid
-                     FROM g)
-         SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
-                count(*) AS n_events, (round(sum(value), 4) + 0.0) AS session_value
-         FROM sids GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_page_depth" ->
-      """WITH e AS (SELECT user_id, event_id,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS sid
-                     FROM g),
-            per_sess AS (SELECT user_id, sid, count(*) AS depth
-                         FROM sids GROUP BY 1, 2)
-         SELECT depth, count(*) AS n_sessions
-         FROM per_sess GROUP BY 1 ORDER BY 1""",
-    "q_user_loyalty" ->
-      """WITH e AS (SELECT user_id, event_id,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS sid
-                     FROM g),
-            per_user AS (SELECT user_id, max(sid) AS n_sessions
-                         FROM sids GROUP BY 1)
-         SELECT CASE WHEN n_sessions <= 55 THEN 'a_le55'
-                     WHEN n_sessions <= 65 THEN 'b_56_65'
-                     WHEN n_sessions <= 75 THEN 'c_66_75'
-                     ELSE 'd_76plus' END AS bucket,
-                count(*) AS n_users,
-                CAST(sum(n_sessions) AS BIGINT) AS n_sessions
-         FROM per_user GROUP BY 1 ORDER BY 1""",
-    "q_sessionize_stream" ->
-      """WITH e AS (SELECT user_id, value, event_id,
-                           epoch_us(ts::TIMESTAMP) AS us FROM events),
-            g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
-                                   OR us - lag(us) OVER w > 1800000000
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-            sids AS (SELECT *, sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY us, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-                     FROM g)
-         SELECT user_id, min(us) AS start_us, count(*) AS n_events,
-                (round(sum(value), 4) + 0.0) AS session_value
-         FROM sids GROUP BY user_id, sid ORDER BY user_id, start_us""",
-    "q_session_metrics" ->
-      """WITH e AS (SELECT user_id, event_id,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS sid
-                     FROM g),
-            sess AS (SELECT user_id, sid, min(ts_sec) AS start_sec,
-                            max(ts_sec) AS end_sec, count(*) AS n_events
-                     FROM sids GROUP BY 1, 2)
-         SELECT DATE '1970-01-01' + CAST(start_sec // 86400 AS INT) AS day,
-                count(*) AS n_sessions,
-                (round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
-                      / count(*), 4) + 0.0) AS bounce_rate,
-                (round(sum(end_sec - start_sec)::DOUBLE / count(*), 4) + 0.0)
-                  AS avg_duration_sec,
-                (round(sum(n_events)::DOUBLE / count(*), 4) + 0.0) AS avg_events
-         FROM sess GROUP BY 1 ORDER BY 1""",
-    "q_window_tumbling" ->
-      """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
-                event_type, count(*) AS n, (round(sum(value), 4) + 0.0) AS val
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_pattern_match" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
-                           ts::TIMESTAMP AS tsu, event_type FROM events),
-            m AS (SELECT *,
-                    max(CASE WHEN event_type = 'view' THEN us END) OVER w
-                      AS last_view,
-                    max(CASE WHEN event_type = 'error' THEN us END) OVER w
-                      AS last_error
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND 1 PRECEDING)),
-            p AS (SELECT CAST(date_trunc('day', tsu) AS DATE) AS day,
-                         CASE WHEN last_view IS NULL
-                                OR us - last_view > 3600000000 THEN 'no_view'
-                              WHEN last_error IS NOT NULL
-                                AND last_error > last_view THEN 'blocked'
-                              ELSE 'clean' END AS status
-                  FROM m WHERE event_type = 'purchase')
-         SELECT day, count(*) AS n_purchases,
-                CAST(sum(CASE WHEN status = 'clean' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_clean,
-                CAST(sum(CASE WHEN status = 'blocked' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_blocked,
-                CAST(sum(CASE WHEN status = 'no_view' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_no_view,
-                (round(sum(CASE WHEN status = 'clean' THEN 1 ELSE 0 END)
-                      / CAST(count(*) AS DOUBLE), 4) + 0.0) AS clean_rate
-         FROM p GROUP BY 1 ORDER BY 1""",
-    "q_tumbling_stream" ->
-      """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
-                event_type, count(*) AS n, (round(sum(value), 4) + 0.0) AS val
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_dedup_stream" ->
-      // The stream source plants duplicate deliveries (id % 17, +30 s);
-      // dropDuplicatesWithinWatermark must drop every copy, so the
-      // drained survivors aggregate to exactly the CLEAN batch rollup.
-      """SELECT event_type, count(*) AS n_events,
-                CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                  AS DOUBLE) / 100.0 AS total_value
-         FROM events GROUP BY 1 ORDER BY 1""",
-    "q_session_state_stream" ->
-      // The custom-state sessionizer must reproduce the batch sessions:
-      // same integer-second boundaries and "> 1800" split rule as
-      // q_sessionize, value column deliberately out of the hash.
-      """WITH e AS (SELECT user_id, event_id,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS sid
-                     FROM g)
-         SELECT user_id, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
-                count(*) AS n_events
-         FROM sids GROUP BY user_id, sid ORDER BY user_id, start_sec""",
-    "q_upsert_stream" ->
-      // The foreachBatch merge-upsert sink's final state must equal the
-      // batch latest-row-per-(user, event_type) truth, independent of
-      // how the stream was sliced into micro-batches (the merge is an
-      // argmax semilattice — see StreamingOps.latestState).
-      """WITH e AS (SELECT user_id, event_type,
-                           epoch_us(ts::TIMESTAMP) AS ts_us,
-                           event_id, value FROM events),
-            r AS (SELECT *, row_number() OVER
-                    (PARTITION BY user_id, event_type
-                     ORDER BY ts_us DESC, event_id DESC) AS rn
-                  FROM e)
-         SELECT user_id, event_type, ts_us, event_id, value
-         FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
-    "q_interval_join_stream" ->
-      """WITH c AS (SELECT user_id AS c_user, epoch_us(ts::TIMESTAMP) AS c_us,
-                           event_id AS click_id
-                    FROM events WHERE event_type = 'click'),
-            p AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS p_us,
-                         event_id AS purchase_id, value
-                  FROM events WHERE event_type = 'purchase')
-         SELECT purchase_id, click_id, user_id, p_us, c_us, value
-         FROM p JOIN c ON user_id = c_user
-           AND c_us <= p_us AND c_us >= p_us - 3600000000
-         ORDER BY purchase_id, click_id""",
-    "q_window_sliding" ->
-      """WITH w0 AS (SELECT (epoch_us(ts::TIMESTAMP)//1000000)//1800*1800 AS w_start,
-                            event_type, value FROM events),
-            both_w AS (SELECT w_start, event_type, value FROM w0
-                       UNION ALL
-                       SELECT w_start - 1800, event_type, value FROM w0)
-         SELECT w_start, event_type, count(*) AS n, (round(sum(value), 4) + 0.0) AS val
-         FROM both_w GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_pivot" ->
-      """SELECT user_id,
-                (round(sum(CASE WHEN event_type = 'click' THEN value END), 4) + 0.0) AS click,
-                (round(sum(CASE WHEN event_type = 'error' THEN value END), 4) + 0.0) AS error,
-                (round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) + 0.0) AS purchase,
-                (round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) + 0.0) AS signup,
-                (round(sum(CASE WHEN event_type = 'view' THEN value END), 4) + 0.0) AS view
-         FROM events GROUP BY 1 ORDER BY 1""",
-    "q_unpivot" ->
-      """WITH wide AS (SELECT l_returnflag,
-                              (round(sum(l_quantity), 4) + 0.0) AS sum_qty,
-                              (round(sum(l_extendedprice), 4) + 0.0) AS sum_price,
-                              (round(avg(l_discount), 4) + 0.0) AS avg_disc
-                       FROM lineitem GROUP BY 1)
-         SELECT l_returnflag, metric, value FROM (
-           SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
-           UNION ALL
-           SELECT l_returnflag, 'sum_price', sum_price FROM wide
-           UNION ALL
-           SELECT l_returnflag, 'avg_disc', avg_disc FROM wide) t
-         ORDER BY l_returnflag, metric""",
-    "q_percentile" ->
-      """SELECT l_returnflag,
-                (round(quantile_cont(l_extendedprice, 0.5), 4) + 0.0) AS median_price,
-                (round(quantile_cont(l_extendedprice, 0.9), 4) + 0.0) AS p90_price
-         FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "q_ntile_first_last" ->
-      """SELECT o_orderkey, o_custkey,
-                CAST(ntile(4) OVER w AS INT) AS quartile,
-                first_value(o_orderkey) OVER wf AS first_ok,
-                last_value(o_orderkey) OVER wf AS last_ok
-         FROM orders
-         WINDOW w AS (PARTITION BY o_custkey
-                      ORDER BY o_totalprice, o_orderkey),
-                wf AS (PARTITION BY o_custkey
-                       ORDER BY o_totalprice, o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-         ORDER BY o_orderkey""",
-    "q_ingest_incremental" ->
-      // one incremental-sync round: high-water mark from the pre-seeded
-      // sink (events before the cutoff), candidates newer than
-      // hwm − 1h slack, anti-join the sink's overlap window. The Spark
-      // side anti-joins on the synthetic sha256 row_id; the oracle uses
-      // the raw event_id — identical semantics (the id is an injective
-      // function of event_id)
-      """WITH src AS (SELECT event_id, ts::TIMESTAMP AS ts, event_type, value
-                      FROM events),
-            sink AS (SELECT * FROM src
-                     WHERE ts < TIMESTAMP '2024-01-21 00:00:00'),
-            hwm AS (SELECT max(ts) AS h FROM sink),
-            cand AS (SELECT s.* FROM src s, hwm
-                     WHERE s.ts > h - INTERVAL 1 HOUR),
-            fresh AS (SELECT c.* FROM cand c
-                      WHERE NOT EXISTS (SELECT 1 FROM sink k, hwm
-                                        WHERE k.ts > h - INTERVAL 1 HOUR
-                                          AND k.event_id = c.event_id))
-         SELECT event_type,
-                count(*) AS n_appended,
-                (round(sum(value), 4) + 0.0) AS val_appended,
-                epoch_us(min(ts)) // 1000000 AS first_sec,
-                epoch_us(max(ts)) // 1000000 AS last_sec
-         FROM fresh GROUP BY 1 ORDER BY event_type""",
-    "q_merge_upsert" ->
-      // latest-wins upsert: per-(user, event_type) current-state rows
-      // from before/after the cutoff; a delta key REPLACES its base row
-      // (ON DUPLICATE KEY UPDATE), others keep theirs. row_number
-      // (ts DESC, event_id DESC) mirrors max_by's (ts, event_id) struct
-      // preference
-      """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts, value,
-                           event_id
-                    FROM events),
-            bstate AS (SELECT user_id, event_type, ts, value
-                       FROM (SELECT *, row_number() OVER (
-                               PARTITION BY user_id, event_type
-                               ORDER BY ts DESC, event_id DESC) AS rn
-                             FROM e WHERE ts < TIMESTAMP '2024-01-21 00:00:00') t
-                       WHERE rn = 1),
-            dstate AS (SELECT user_id, event_type, ts, value
-                       FROM (SELECT *, row_number() OVER (
-                               PARTITION BY user_id, event_type
-                               ORDER BY ts DESC, event_id DESC) AS rn
-                             FROM e WHERE ts >= TIMESTAMP '2024-01-21 00:00:00') t
-                       WHERE rn = 1),
-            merged AS (SELECT coalesce(b.user_id, d.user_id) AS user_id,
-                              coalesce(b.event_type, d.event_type) AS event_type,
-                              CASE WHEN d.user_id IS NOT NULL THEN d.ts ELSE b.ts END AS ts,
-                              CASE WHEN d.user_id IS NOT NULL THEN d.value ELSE b.value END AS value,
-                              CASE WHEN d.user_id IS NULL THEN 'kept'
-                                   WHEN b.user_id IS NULL THEN 'inserted'
-                                   ELSE 'updated' END AS merge_status
-                       FROM bstate b FULL JOIN dstate d
-                         ON b.user_id = d.user_id AND b.event_type = d.event_type)
-         SELECT event_type,
-                count(*) AS n_keys,
-                CAST(sum(CASE WHEN merge_status = 'updated' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
-                CAST(sum(CASE WHEN merge_status = 'inserted' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
-                (round(sum(value), 4) + 0.0) AS total_value,
-                epoch_us(max(ts)) // 1000000 AS last_sec
-         FROM merged GROUP BY 1 ORDER BY event_type""",
-    "q_snapshot_diff" ->
-      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
-            old AS (SELECT k, p AS p_old FROM o WHERE k % 13 <> 0),
-            neu AS (SELECT k, CASE WHEN k % 7 = 0 THEN p + 10.0 ELSE p END
-                      AS p_new
-                    FROM o WHERE k % 11 <> 0),
-            d AS (SELECT old.p_old, neu.p_new,
-                         CASE WHEN p_old IS NULL THEN 'insert'
-                              WHEN p_new IS NULL THEN 'delete'
-                              WHEN p_old <> p_new THEN 'update'
-                              ELSE 'unchanged' END AS change_type
-                  FROM old FULL OUTER JOIN neu ON old.k = neu.k)
-         SELECT change_type, count(*) AS n_keys,
-                CAST(sum(CASE WHEN p_new IS NULL THEN 0
-                              ELSE CAST(round(p_new * 100) AS BIGINT) END)
-                  AS BIGINT) AS total_new_c,
-                CAST(sum(CASE WHEN p_old IS NULL THEN 0
-                              ELSE CAST(round(p_old * 100) AS BIGINT) END)
-                  AS BIGINT) AS total_old_c
-         FROM d GROUP BY 1 ORDER BY 1""",
-    "q_cdc_apply" ->
-      // Ordered I/U/D change-log application: base = latest pre-cutoff
-      // state of users %5 ≠ 0, log = post-cutoff events of users
-      // %7 ≠ 1 in (ts, event_id) sequence order with op D where
-      // event_id % 5 = 0 else U; only the LAST log record per key
-      // decides its fate. row_number DESC mirrors Spark's max_by on
-      // the (ts, event_id) struct.
-      """WITH base AS (
-           SELECT user_id, event_type AS base_type, value AS base_value
-           FROM (SELECT user_id, event_type, value,
-                        row_number() OVER (PARTITION BY user_id
-                          ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
-                 FROM events
-                 WHERE ts::TIMESTAMP < TIMESTAMP '2024-01-21 00:00:00'
-                   AND user_id % 5 <> 0)
-           WHERE rn = 1),
-         lastop AS (
-           SELECT user_id, op, log_value
-           FROM (SELECT user_id,
-                        CASE WHEN event_id % 5 = 0 THEN 'D' ELSE 'U' END AS op,
-                        value AS log_value,
-                        row_number() OVER (PARTITION BY user_id
-                          ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
-                 FROM events
-                 WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-21 00:00:00'
-                   AND user_id % 7 <> 1)
-           WHERE rn = 1),
-         c AS (
-           SELECT CASE WHEN op IS NULL THEN 'untouched'
-                       WHEN op = 'D' AND base_type IS NULL THEN 'ghost_delete'
-                       WHEN op = 'D' THEN 'deleted'
-                       WHEN base_type IS NULL THEN 'inserted'
-                       ELSE 'updated' END AS status,
-                  CASE WHEN op IS NULL THEN base_value
-                       WHEN op = 'U' THEN log_value END AS final_value
-           FROM base FULL OUTER JOIN lastop USING (user_id))
-         SELECT status, count(*) AS n_keys,
-                CAST(sum(CASE WHEN final_value IS NULL THEN 0
-                              ELSE CAST(round(final_value * 100) AS BIGINT) END)
-                  AS BIGINT) AS final_cents
-         FROM c GROUP BY 1 ORDER BY 1""",
-    "q_scd2_history" ->
-      // SCD2 validity intervals of each user's event_type: change points
-      // via lag over (ts, event_id) — event_id breaks equal-ts ties —
-      // then lead/row_number over the SAME order for the interval close
-      // and the version number. valid_to of the current segment is NULL.
-      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type, event_id
-                    FROM events),
-            marked AS (SELECT *, lag(event_type) OVER (
-                         PARTITION BY user_id ORDER BY ts, event_id) AS prev
-                       FROM e),
-            seg AS (SELECT user_id, event_type, ts, event_id,
-                           epoch_us(ts) // 1000000 AS valid_from_sec
-                    FROM marked
-                    WHERE prev IS NULL OR prev <> event_type),
-            iv AS (SELECT user_id, event_type, valid_from_sec,
-                          lead(valid_from_sec) OVER (
-                            PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_sec,
-                          CAST(row_number() OVER (
-                            PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS ver
-                   FROM seg)
-         SELECT user_id, event_type, valid_from_sec, valid_to_sec, ver
-         FROM iv ORDER BY user_id, ver""",
-    "q_as_of_state" ->
-      // Time-travel read: the scd2 CTEs filtered to the segment valid
-      // at the cutoff (valid_from <= T < valid_to, open segment NULL).
-      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type, event_id
-                    FROM events),
-            marked AS (SELECT *, lag(event_type) OVER (
-                         PARTITION BY user_id ORDER BY ts, event_id) AS prev
-                       FROM e),
-            seg AS (SELECT user_id, event_type, ts, event_id,
-                           epoch_us(ts) // 1000000 AS valid_from_sec
-                    FROM marked
-                    WHERE prev IS NULL OR prev <> event_type),
-            iv AS (SELECT user_id, event_type, valid_from_sec,
-                          lead(valid_from_sec) OVER (
-                            PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_sec,
-                          CAST(row_number() OVER (
-                            PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS ver
-                   FROM seg),
-            t AS (SELECT epoch_us(TIMESTAMP '2024-01-21 00:00:00') // 1000000 AS tc)
-         SELECT user_id, event_type, valid_from_sec, ver
-         FROM iv, t
-         WHERE valid_from_sec <= tc
-           AND (valid_to_sec IS NULL OR valid_to_sec > tc)
-         ORDER BY user_id""",
-    "q_session_paths" ->
-      // same sessionization CTEs as q_sessionize; landing/exit via
-      // first_value/last_value over (tsu, event_id) — the unique
-      // event_id makes the Spark min_by/max_by struct preference agree
-      """WITH e AS (SELECT user_id, event_id, event_type,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS sid
-                     FROM g),
-            fe AS (SELECT user_id, sid,
-                          first_value(event_type) OVER ws AS landing_type,
-                          last_value(event_type) OVER (
-                            PARTITION BY user_id, sid ORDER BY tsu, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND UNBOUNDED FOLLOWING) AS exit_type
-                   FROM sids
-                   WINDOW ws AS (PARTITION BY user_id, sid
-                                 ORDER BY tsu, event_id)),
-            sess AS (SELECT DISTINCT user_id, sid, landing_type, exit_type
-                     FROM fe)
-         SELECT landing_type, exit_type, count(*) AS n_sessions
-         FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_exit_rate" ->
-      // same sessionization CTEs; exit = last event of the session,
-      // presence = distinct (session, type); rate divides two exact
-      // integer counts once (the hash-safe rounding pattern)
-      """WITH e AS (SELECT user_id, event_id, event_type,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS sid
-                     FROM g),
-            ex AS (SELECT user_id, sid,
-                          last_value(event_type) OVER (
-                            PARTITION BY user_id, sid ORDER BY tsu, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND UNBOUNDED FOLLOWING) AS exit_type
-                   FROM sids),
-            exits AS (SELECT DISTINCT user_id, sid, exit_type FROM ex),
-            present AS (SELECT DISTINCT user_id, sid, event_type FROM sids)
-         SELECT p.event_type AS event_type, count(*) AS n_sessions,
-                CAST(sum(CASE WHEN p.event_type = x.exit_type
-                              THEN 1 ELSE 0 END) AS BIGINT) AS n_exits,
-                (round(CAST(sum(CASE WHEN p.event_type = x.exit_type
-                                    THEN 1 ELSE 0 END) AS DOUBLE)
-                      / count(*), 4) + 0.0) AS exit_rate
-         FROM present p JOIN exits x
-           ON p.user_id = x.user_id AND p.sid = x.sid
-         GROUP BY 1 ORDER BY 1""",
-    "q_new_returning" ->
-      """WITH ud AS (SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS day
-                     FROM events),
-            c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
-         SELECT ud.day AS day, count(*) AS n_active,
-                CAST(sum(CASE WHEN ud.day = c.cohort_day THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_new,
-                CAST(sum(CASE WHEN ud.day = c.cohort_day THEN 0 ELSE 1 END)
-                  AS BIGINT) AS n_returning
-         FROM ud JOIN c ON ud.user_id = c.user_id
-         GROUP BY 1 ORDER BY 1""",
-    "q_expectations" ->
-      """WITH c1 AS (SELECT 'lineitem_quantity_range' AS "check",
-                            count(*) AS n_checked,
-                            CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
-                                          THEN 1 ELSE 0 END) AS BIGINT)
-                              AS n_violations
-                     FROM lineitem),
-            c2 AS (SELECT 'lineitem_orderkey_fk', count(*),
-                          CAST(sum(CASE WHEN o_orderkey IS NULL
-                                        THEN 1 ELSE 0 END) AS BIGINT)
-                   FROM lineitem LEFT JOIN orders
-                     ON l_orderkey = o_orderkey),
-            c3 AS (SELECT 'events_value_nonnegative', count(*),
-                          CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)
-                            AS BIGINT)
-                   FROM events),
-            c4 AS (SELECT 'documents_nchars_consistent', count(*),
-                          CAST(sum(CASE WHEN n_chars <> length(text)
-                                        THEN 1 ELSE 0 END) AS BIGINT)
-                   FROM documents),
-            c5 AS (SELECT 'events_eventid_unique',
-                          CAST(sum(n) AS BIGINT),
-                          CAST(sum(n - 1) AS BIGINT)
-                   FROM (SELECT count(*) AS n FROM events
-                         GROUP BY event_id) g),
-            u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
-                  UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
-                  UNION ALL SELECT * FROM c5)
-         SELECT "check", n_checked, n_violations,
-                n_violations = 0 AS pass
-         FROM u ORDER BY 1""",
-    "q_profile_nulls" ->
-      """WITH t AS (SELECT count(*) AS n_rows,
-                           count(user_id) AS nn_user_id,
-                           count(DISTINCT user_id) AS nd_user_id,
-                           count(event_type) AS nn_event_type,
-                           count(DISTINCT event_type) AS nd_event_type,
-                           count(value) AS nn_value,
-                           count(DISTINCT value) AS nd_value,
-                           count(props) AS nn_props,
-                           count(DISTINCT props) AS nd_props
-                    FROM events)
-         SELECT 'user_id' AS column_name, n_rows,
-                n_rows - nn_user_id AS n_nulls, nd_user_id AS n_distinct FROM t
-         UNION ALL SELECT 'event_type', n_rows, n_rows - nn_event_type,
-                          nd_event_type FROM t
-         UNION ALL SELECT 'value', n_rows, n_rows - nn_value, nd_value FROM t
-         UNION ALL SELECT 'props', n_rows, n_rows - nn_props, nd_props FROM t
-         ORDER BY column_name""",
-    "q_report_declarative" ->
-      """SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS period,
-                event_type, (round(sum(value), 4) + 0.0) AS total_value,
-                count(event_id) AS n, count(DISTINCT user_id) AS n_users
-         FROM events
-         WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05'
-           AND ts::TIMESTAMP < TIMESTAMP '2024-01-20'
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_cohort_retention" ->
-      """WITH ud AS (SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS day
-                     FROM events),
-            c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
-         SELECT c.cohort_day, CAST(ud.day - c.cohort_day AS INT) AS day_offset,
-                count(*) AS n_users
-         FROM ud JOIN c ON ud.user_id = c.user_id
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_funnel" ->
-      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
-            s1 AS (SELECT user_id, min(ts) AS t1 FROM e
-                   WHERE event_type = 'view' GROUP BY 1),
-            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
-                   JOIN s1 ON e.user_id = s1.user_id
-                   WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
-            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
-                   JOIN s2 ON e.user_id = s2.user_id
-                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
-            counts AS (
-              SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
-              UNION ALL SELECT 2, 'click', count(*) FROM s2
-              UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
-            ent AS (SELECT n_users AS n_entered FROM counts WHERE step = 1)
-         SELECT step, event_type, n_users,
-                CASE WHEN n_entered = 0 THEN 0.0
-                     ELSE (round(n_users::DOUBLE / n_entered, 4) + 0.0) END AS conv
-         FROM counts, ent ORDER BY step""",
-    "q_funnel_window" ->
-      // Time-boxed funnel: each step must land strictly after the
-      // previous step AND within 24 h of it. The cap compares
-      // whole-second epochs (Spark's unix_timestamp truncates sub-
-      // second), mirrored here with epoch_us // 1000000.
-      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
-            s1 AS (SELECT user_id, min(ts) AS t1 FROM e
-                   WHERE event_type = 'view' GROUP BY 1),
-            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
-                   JOIN s1 ON e.user_id = s1.user_id
-                   WHERE e.event_type = 'click' AND e.ts > s1.t1
-                     AND epoch_us(e.ts) // 1000000
-                         <= epoch_us(s1.t1) // 1000000 + 86400
-                   GROUP BY 1),
-            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
-                   JOIN s2 ON e.user_id = s2.user_id
-                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-                     AND epoch_us(e.ts) // 1000000
-                         <= epoch_us(s2.t2) // 1000000 + 86400
-                   GROUP BY 1),
-            counts AS (
-              SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
-              UNION ALL SELECT 2, 'click', count(*) FROM s2
-              UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
-            ent AS (SELECT n_users AS n_entered FROM counts WHERE step = 1)
-         SELECT step, event_type, n_users,
-                CASE WHEN n_entered = 0 THEN 0.0
-                     ELSE (round(n_users::DOUBLE / n_entered, 4) + 0.0) END AS conv
-         FROM counts, ent ORDER BY step""",
-    "q_funnel_stream" ->
-      // Streaming first-touch funnel == batch time-boxed funnel: each step must land strictly after the
-      // previous step AND within 24 h of it. The cap compares
-      // whole-second epochs (Spark's unix_timestamp truncates sub-
-      // second), mirrored here with epoch_us // 1000000.
-      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
-            s1 AS (SELECT user_id, min(ts) AS t1 FROM e
-                   WHERE event_type = 'view' GROUP BY 1),
-            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
-                   JOIN s1 ON e.user_id = s1.user_id
-                   WHERE e.event_type = 'click' AND e.ts > s1.t1
-                     AND epoch_us(e.ts) // 1000000
-                         <= epoch_us(s1.t1) // 1000000 + 86400
-                   GROUP BY 1),
-            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
-                   JOIN s2 ON e.user_id = s2.user_id
-                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-                     AND epoch_us(e.ts) // 1000000
-                         <= epoch_us(s2.t2) // 1000000 + 86400
-                   GROUP BY 1),
-            counts AS (
-              SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
-              UNION ALL SELECT 2, 'click', count(*) FROM s2
-              UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
-            ent AS (SELECT n_users AS n_entered FROM counts WHERE step = 1)
-         SELECT step, event_type, n_users,
-                CASE WHEN n_entered = 0 THEN 0.0
-                     ELSE (round(n_users::DOUBLE / n_entered, 4) + 0.0) END AS conv
-         FROM counts, ent ORDER BY step""",
-    "q_active_users" ->
-      // Rolling distinct: each distinct (day, user) pair replicated to
-      // the 7 target days it can serve; dau counts the off = 0 copy.
-      // Report days = active days (semi-join on the real-day set).
-      """WITH du AS (
-           SELECT DISTINCT
-                  CAST((epoch_us(ts::TIMESTAMP)//1000000) // 86400 AS INT)
-                    AS day_num,
-                  user_id
-           FROM events),
-         offs AS (SELECT CAST(range AS INT) AS off FROM range(0, 7)),
-         sh AS (SELECT day_num + off AS day_num, user_id, off
-                FROM du CROSS JOIN offs),
-         real AS (SELECT DISTINCT day_num FROM du)
-         SELECT s.day_num,
-                CAST(count(DISTINCT CASE WHEN off = 0 THEN user_id END)
-                  AS BIGINT) AS dau,
-                CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
-         FROM sh s JOIN real r ON s.day_num = r.day_num
-         GROUP BY 1 ORDER BY 1""",
-    "q_period_over_period" ->
-      // Week-over-week: lag over the weekly rollup; change divides two
-      // exact cent sums once, NULL on first/zero-revenue-prev weeks.
-      """WITH weekly AS (
-           SELECT date_trunc('week', o_orderdate)::DATE AS week,
-                  count(*) AS n_orders,
-                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                    AS cents
-           FROM orders GROUP BY 1),
-         l AS (SELECT week, n_orders, cents,
-                      lag(cents, 1) OVER (ORDER BY week) AS prev
-               FROM weekly)
-         SELECT week, n_orders, CAST(cents AS DOUBLE)/100.0 AS revenue,
-                CASE WHEN prev IS NULL OR prev = 0 THEN NULL
-                     ELSE (round(CAST(cents - prev AS DOUBLE) / prev, 4) + 0.0)
-                END AS wow_change
-         FROM l ORDER BY week""",
-    "q_agg_salted" ->
-      """SELECT event_type, (round(sum(value), 4) + 0.0) AS sum_value,
-                count(*) AS n
-         FROM events GROUP BY 1 ORDER BY 1""",
-    "q_stats_agg" ->
-      """SELECT event_type,
-                (round(stddev_samp(value), 4) + 0.0) AS sd_value,
-                (round(var_samp(value), 4) + 0.0) AS var_value,
-                (round(corr(value, CAST(user_id AS DOUBLE)), 4) + 0.0) AS corr_vu,
-                (round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) + 0.0) AS cov_vu
-         FROM events GROUP BY 1 ORDER BY 1""",
-    "q_tfidf" ->
-      """WITH tf AS (SELECT doc_id, tok, count(*) AS tf
-                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                           FROM documents) t
-                     WHERE length(tok) > 0 GROUP BY 1, 2),
-            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-            n AS (SELECT count(*) AS n FROM documents),
-            sc AS (SELECT tf.doc_id, tf.tok,
-                          (round(tf.tf * ln((1.0 + n.n) / (1.0 + df.df)), 4) + 0.0) AS s
-                   FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
-         SELECT doc_id, tok AS top_tok, s AS tfidf
-         FROM (SELECT doc_id, tok, s,
-                      row_number() OVER (PARTITION BY doc_id
-                                         ORDER BY s DESC, tok) AS rn
-               FROM sc) z
-         WHERE rn = 1 ORDER BY doc_id""",
-    "q_bm25" ->
-      """WITH t AS (SELECT doc_id, tok
-                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                          FROM documents) x
-                    WHERE length(tok) > 0),
-            dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
-            corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-            tfq AS (SELECT doc_id, tok, count(*) AS tf FROM t
-                    WHERE tok IN ('spark', 'hash', 'dup') GROUP BY 1, 2),
-            dfq AS (SELECT tok, count(*) AS df FROM tfq GROUP BY 1),
-            sc AS (SELECT tfq.doc_id,
-                          ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0) /
-                          (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS term_s
-                   FROM tfq JOIN dfq ON tfq.tok = dfq.tok
-                        JOIN dl ON tfq.doc_id = dl.doc_id
-                        CROSS JOIN corpus)
-         SELECT doc_id, (round(sum(term_s), 4) + 0.0) AS bm25
-         FROM sc GROUP BY 1
-         ORDER BY bm25 DESC, doc_id LIMIT 20""",
-    "q_rrf_fusion" ->
-      """WITH dt AS (SELECT doc_id, tok
-                     FROM (SELECT doc_id,
-                                  unnest(list_distinct(string_split(text, ' ')))
-                                    AS tok
-                           FROM documents) x
-                     WHERE length(tok) > 0),
-            qt AS (SELECT doc_id AS q_id, tok FROM dt WHERE doc_id < 10),
-            ov AS (SELECT q.q_id, c.doc_id, count(*) AS ov
-                   FROM dt c JOIN qt q USING (tok)
-                   WHERE c.doc_id <> q.q_id GROUP BY 1, 2),
-            lex AS (SELECT q_id, doc_id,
-                           CAST(row_number() OVER (PARTITION BY q_id
-                             ORDER BY ov DESC, doc_id) AS INT) AS rl
-                    FROM ov QUALIFY rl <= 20),
-            em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            qv AS (SELECT vec_id AS q_id, v AS qv FROM em WHERE vec_id < 10),
-            sims AS (SELECT q_id, vec_id AS doc_id,
-                            (round(list_dot_product(qv, v) /
-                                  (sqrt(list_dot_product(qv, qv)) *
-                                   sqrt(list_dot_product(v, v))), 4) + 0.0) AS sim
-                     FROM em, qv WHERE vec_id <> q_id),
-            sem AS (SELECT q_id, doc_id,
-                           CAST(row_number() OVER (PARTITION BY q_id
-                             ORDER BY sim DESC, doc_id) AS INT) AS rs
-                    FROM sims QUALIFY rs <= 20),
-            fused AS (SELECT coalesce(l.q_id, s.q_id) AS q_id,
-                             coalesce(l.doc_id, s.doc_id) AS doc_id,
-                             coalesce(1.0 / (60 + l.rl), 0) +
-                             coalesce(1.0 / (60 + s.rs), 0) AS rrf0
-                      FROM lex l FULL OUTER JOIN sem s
-                        ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
-            fin AS (SELECT q_id, doc_id, rrf0,
-                           CAST(row_number() OVER (PARTITION BY q_id
-                             ORDER BY rrf0 DESC, doc_id) AS INT) AS rk
-                    FROM fused QUALIFY rk <= 5)
-         SELECT q_id, rk, doc_id, (round(rrf0, 4) + 0.0) AS rrf
-         FROM fin ORDER BY q_id, rk""",
-    "q_gap_fill" ->
-      """WITH e AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hr,
-                           value FROM events),
-            h0 AS (SELECT event_type, hr, count(*) AS n,
-                          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                            AS cents
-                   FROM e GROUP BY 1, 2),
-            hourly AS (SELECT event_type, hr, n,
-                              ((20000 * cents + 100 * n) // (200 * n)) / 10000.0
-                                AS av
-                       FROM h0),
-            b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM e),
-            hours AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
-                      FROM b),
-            types AS (SELECT DISTINCT event_type FROM e),
-            spine AS (SELECT event_type, hr FROM types CROSS JOIN hours)
-         SELECT s.event_type AS event_type, epoch_us(s.hr)//1000000 AS hr_sec,
-                CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
-                h.av AS avg_value,
-                last_value(h.av IGNORE NULLS) OVER
-                  (PARTITION BY s.event_type ORDER BY s.hr
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
-         FROM spine s LEFT JOIN hourly h
-              ON s.event_type = h.event_type AND s.hr = h.hr
-         ORDER BY event_type, hr_sec""",
-    "q_anomaly" ->
-      """WITH daily AS (SELECT ts::TIMESTAMP::DATE AS day, count(*) AS n
-                        FROM events GROUP BY 1),
-            st AS (SELECT avg(n) AS mu, stddev_samp(n) AS sd FROM daily)
-         SELECT day, n AS n_events, (round((n - mu) / sd, 4) + 0.0) AS z,
-                CASE WHEN abs((round((n - mu) / sd, 4) + 0.0)) > 1.5 THEN 1 ELSE 0 END
-                  AS is_anomaly
-         FROM daily, st ORDER BY day""",
-    "q_ab_test" ->
-      """WITH f AS (SELECT user_id,
-                           min(epoch_us(ts::TIMESTAMP)//1000000) AS first_sec,
-                           min(CASE WHEN event_type = 'purchase'
-                                    THEN epoch_us(ts::TIMESTAMP)//1000000 END)
-                             AS first_purch
-                    FROM events GROUP BY user_id),
-            u AS (SELECT user_id,
-                         CASE WHEN first_purch IS NOT NULL
-                                   AND first_purch - first_sec <= 86400
-                              THEN 1 ELSE 0 END AS conv,
-                         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
-                              THEN 'A' ELSE 'B' END AS variant
-                  FROM f),
-            a AS (SELECT
-                    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-                    CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
-                    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-                    CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
-                  FROM u),
-            r AS (SELECT *,
-                         CASE WHEN n_a = 0 THEN NULL ELSE conv_a / n_a END AS cra,
-                         CASE WHEN n_b = 0 THEN NULL ELSE conv_b / n_b END AS crb,
-                         (conv_a + conv_b) / (n_a + n_b) AS p
-                  FROM a)
-         SELECT n_a, conv_a, (round(cra, 4) + 0.0) AS cr_a,
-                n_b, conv_b, (round(crb, 4) + 0.0) AS cr_b,
-                (round(cra - crb, 4) + 0.0) AS lift,
-                CASE WHEN p * (1.0 - p) = 0 THEN NULL
-                     ELSE (round((cra - crb) /
-                                sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)), 4) + 0.0)
-                END AS z
-         FROM r""",
-    "q_split_train" ->
-      """SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
-                     ELSE 'test' END AS split,
-                count(*) AS n_docs, (round(avg(n_chars), 4) + 0.0) AS avg_chars,
-                count(DISTINCT lang) AS n_langs
-         FROM (SELECT doc_id, n_chars, lang,
-                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS b
-               FROM documents) t
-         GROUP BY 1 ORDER BY 1""",
-    "q_markov" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-                     FROM g),
-            tr AS (SELECT event_type AS cur_type,
-                          lead(event_type) OVER
-                            (PARTITION BY user_id, sid
-                             ORDER BY tsu, event_id) AS next_type
-                   FROM sids),
-            cnt AS (SELECT cur_type, next_type, count(*) AS n FROM tr
-                    WHERE next_type IS NOT NULL GROUP BY 1, 2),
-            tot AS (SELECT cur_type, CAST(sum(n) AS BIGINT) AS total
-                    FROM cnt GROUP BY 1)
-         SELECT cnt.cur_type AS cur_type, next_type, n,
-                (round(n / total, 4) + 0.0) AS p
-         FROM cnt JOIN tot ON cnt.cur_type = tot.cur_type
-         ORDER BY cur_type, next_type""",
-    "q_pagerank" ->
-      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-                               count(*) AS w
-                        FROM lineitem l
-                        JOIN orders o ON l.l_orderkey = o.o_orderkey
-                        JOIN customer c ON o.o_custkey = c.c_custkey
-                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                        GROUP BY 1, 2),
-            outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
-                     FROM edges GROUP BY 1),
-            trans AS (SELECT e.src, e.dst, e.w / o.ow AS p
-                      FROM edges e JOIN outw o ON e.src = o.src),
-            nodes AS (SELECT n_nationkey AS v FROM nation),
-            ncnt AS (SELECT count(*) AS nc FROM nation),
-            p0 AS (SELECT v, 1.0 / nc AS pr FROM nodes CROSS JOIN ncnt),
-            c1 AS (SELECT t.dst, sum(p0.pr * t.p) AS in_pr
-                   FROM trans t JOIN p0 ON t.src = p0.v GROUP BY 1),
-            p1 AS (SELECT v, 0.15 / nc + 0.85 * coalesce(in_pr, 0.0) AS pr
-                   FROM nodes CROSS JOIN ncnt LEFT JOIN c1 ON v = c1.dst),
-            c2 AS (SELECT t.dst, sum(p1.pr * t.p) AS in_pr
-                   FROM trans t JOIN p1 ON t.src = p1.v GROUP BY 1),
-            p2 AS (SELECT v, 0.15 / nc + 0.85 * coalesce(in_pr, 0.0) AS pr
-                   FROM nodes CROSS JOIN ncnt LEFT JOIN c2 ON v = c2.dst),
-            c3 AS (SELECT t.dst, sum(p2.pr * t.p) AS in_pr
-                   FROM trans t JOIN p2 ON t.src = p2.v GROUP BY 1),
-            p3 AS (SELECT v, 0.15 / nc + 0.85 * coalesce(in_pr, 0.0) AS pr
-                   FROM nodes CROSS JOIN ncnt LEFT JOIN c3 ON v = c3.dst)
-         SELECT p3.v AS nationkey, n.n_name AS nation, (round(p3.pr, 4) + 0.0) AS pagerank
-         FROM p3 JOIN nation n ON p3.v = n.n_nationkey
-         ORDER BY nationkey""",
-    "q_rfm" ->
-      """WITH e AS (SELECT user_id, event_type, value,
-                           CAST(epoch_us(ts::TIMESTAMP)//1000000 // 86400 AS INT)
-                             AS day
-                    FROM events),
-            mx AS (SELECT max(day) AS max_day FROM e),
-            u AS (SELECT user_id, max_day - max(day) AS recency,
-                         count(*) AS frequency, (round(sum(value), 4) + 0.0) AS monetary
-                  FROM e CROSS JOIN mx WHERE event_type = 'purchase'
-                  GROUP BY user_id, max_day),
-            thr AS (SELECT quantile_cont(recency, 0.25) AS r25,
-                           quantile_cont(recency, 0.5) AS r50,
-                           quantile_cont(recency, 0.75) AS r75,
-                           quantile_cont(frequency, 0.25) AS f25,
-                           quantile_cont(frequency, 0.5) AS f50,
-                           quantile_cont(frequency, 0.75) AS f75,
-                           (round(quantile_cont(monetary, 0.25), 4) + 0.0) AS m25,
-                           (round(quantile_cont(monetary, 0.5), 4) + 0.0) AS m50,
-                           (round(quantile_cont(monetary, 0.75), 4) + 0.0) AS m75
-                    FROM u)
-         SELECT user_id, recency, frequency, monetary,
-                CASE WHEN recency <= r25 THEN 1 WHEN recency <= r50 THEN 2
-                     WHEN recency <= r75 THEN 3 ELSE 4 END AS r_q,
-                CASE WHEN frequency <= f25 THEN 1 WHEN frequency <= f50 THEN 2
-                     WHEN frequency <= f75 THEN 3 ELSE 4 END AS f_q,
-                CASE WHEN monetary <= m25 THEN 1 WHEN monetary <= m50 THEN 2
-                     WHEN monetary <= m75 THEN 3 ELSE 4 END AS m_q
-         FROM u CROSS JOIN thr ORDER BY user_id""",
-    "q_attribution" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, value,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-                     FROM g),
-            fe AS (SELECT user_id, sid, event_type, value,
-                          first_value(event_type) OVER
-                            (PARTITION BY user_id, sid ORDER BY tsu, event_id)
-                            AS landing_type
-                   FROM sids),
-            sess AS (SELECT user_id, sid, landing_type,
-                            sum(CASE WHEN event_type = 'purchase' THEN value
-                                     ELSE 0.0 END) AS rev,
-                            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
-                                          ELSE 0 END) AS BIGINT) AS n_purch
-                     FROM fe GROUP BY 1, 2, 3)
-         SELECT landing_type, count(*) AS n_sessions,
-                CAST(sum(n_purch) AS BIGINT) AS n_purchases,
-                (round(sum(rev), 4) + 0.0) AS revenue
-         FROM sess GROUP BY 1 ORDER BY 1""",
-    "q_moving_avg" ->
-      """WITH daily AS (
-           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT) AS day_num,
-                  count(*) AS n_orders,
-                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                    AS cents
-           FROM orders GROUP BY 1),
-         w AS (
-           SELECT day_num, n_orders, cents,
-                  CAST(sum(cents) OVER win AS BIGINT) AS c7,
-                  CAST(count(*) OVER win AS BIGINT) AS n7
-           FROM daily
-           WINDOW win AS (ORDER BY day_num
-                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
-         SELECT day_num, n_orders, CAST(cents AS DOUBLE)/100.0 AS revenue,
-                CAST((20000*c7 + 100*n7) // (200*n7) AS DOUBLE)/10000.0 AS ma7,
-                CAST(n7 AS INT) AS days_in_window
-         FROM w ORDER BY day_num""",
-    "q_forecast_daily" ->
-      // seasonal-naive: next 7 days = mean revenue of the same weekday
-      // over the history; Monday=0 on both engines (weekday / isodow-1)
-      """WITH daily AS (SELECT CAST(ts::TIMESTAMP AS DATE) AS day, value
-                        FROM events),
-            wd AS (SELECT (isodow(day) - 1) AS wd,
-                          (round(sum(value) / count(DISTINCT day), 4) + 0.0)
-                            AS forecast
-                   FROM daily GROUP BY 1),
-            mx AS (SELECT max(day) AS d0 FROM daily),
-            horizon AS (SELECT (d0 + i * INTERVAL 1 DAY)::DATE AS day
-                        FROM mx, range(1, 8) t(i))
-         SELECT h.day AS day, w.forecast AS forecast
-         FROM horizon h JOIN wd w ON (isodow(h.day) - 1) = w.wd
-         ORDER BY day""",
-    "q_trend_ewma" ->
-      // Dyadic-weight EWMA: day Δ back weighs 1 << (8−Δ), truncated at
-      // Δ = 8; the trailing window is an offset equi-join (off 0..8)
-      // and the single division is rounded in integer arithmetic
-      // ((200·N + D) // (2·D)) — the moving_avg idiom.
-      """WITH daily AS (
-           SELECT o_orderpriority AS priority,
-                  CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
-                    AS day_num,
-                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                    AS cents
-           FROM orders GROUP BY 1, 2),
-         offs AS (SELECT CAST(range AS INT) AS off FROM range(0, 9))
-         SELECT a.priority, a.day_num,
-                CAST(a.cents AS DOUBLE)/100.0 AS revenue,
-                CAST((200 * CAST(sum((1::BIGINT << (8 - off)) * b.cents)
-                              AS BIGINT)
-                      + CAST(sum(1::BIGINT << (8 - off)) AS BIGINT))
-                     // (2 * CAST(sum(1::BIGINT << (8 - off)) AS BIGINT))
-                  AS DOUBLE) / 10000.0 AS ewma,
-                CAST(count(*) AS INT) AS n_days
-         FROM daily a CROSS JOIN offs
-         JOIN daily b ON b.priority = a.priority
-                     AND b.day_num = a.day_num - off
-         GROUP BY a.priority, a.day_num, a.cents
-         ORDER BY a.priority, a.day_num""",
-    "q_time_to_convert" ->
-      """WITH u AS (
-           SELECT user_id,
-                  min(CASE WHEN event_type = 'view'
-                           THEN epoch_us(ts::TIMESTAMP)//1000000 END) AS fv,
-                  min(CASE WHEN event_type = 'purchase'
-                           THEN epoch_us(ts::TIMESTAMP)//1000000 END) AS fp
-           FROM events GROUP BY 1)
-         SELECT (fp - fv) // 3600 AS hours_to_convert, count(*) AS n_users
-         FROM u WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
-         GROUP BY 1 ORDER BY 1""",
-    "q_ltv" ->
-      """WITH o AS (SELECT o_custkey AS cust,
-                           CAST(year(o_orderdate)*12 + month(o_orderdate) AS INT)
-                             AS mi,
-                           CAST(round(o_totalprice*100) AS BIGINT) AS cents
-                    FROM orders),
-            cohort AS (SELECT cust, min(mi) AS cm FROM o GROUP BY 1),
-            sizes AS (SELECT cm, count(*) AS cohort_size FROM cohort GROUP BY 1),
-            cells AS (SELECT c.cm, o.mi - c.cm AS month_age, count(*) AS n_orders,
-                             CAST(sum(o.cents) AS BIGINT) AS c
-                      FROM o JOIN cohort c ON o.cust = c.cust GROUP BY 1, 2),
-            cum AS (SELECT cm, month_age, n_orders, c,
-                           CAST(sum(c) OVER (PARTITION BY cm ORDER BY month_age
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                             AS BIGINT) AS cumc
-                    FROM cells)
-         SELECT cm AS cohort_month, month_age, cohort_size, n_orders,
-                CAST(c AS DOUBLE)/100.0 AS revenue,
-                CAST(cumc AS DOUBLE)/100.0 AS cum_revenue,
-                CAST((20000*cumc + 100*cohort_size) // (200*cohort_size)
-                     AS DOUBLE)/10000.0 AS ltv_per_user
-         FROM cum JOIN sizes USING (cm) ORDER BY cohort_month, month_age""",
-    "q_graph_degree" ->
-      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-                               count(*) AS w
-                        FROM lineitem l
-                        JOIN orders o ON l.l_orderkey = o.o_orderkey
-                        JOIN customer c ON o.o_custkey = c.c_custkey
-                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                        GROUP BY 1, 2),
-            outd AS (SELECT src, count(*) AS od, CAST(sum(w) AS BIGINT) AS ow
-                     FROM edges GROUP BY 1),
-            ind AS (SELECT dst, count(*) AS idg, CAST(sum(w) AS BIGINT) AS iw
-                    FROM edges GROUP BY 1)
-         SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
-                CAST(coalesce(od, 0) AS BIGINT) AS out_degree,
-                CAST(coalesce(idg, 0) AS BIGINT) AS in_degree,
-                CAST(coalesce(ow, 0) AS BIGINT) AS out_weight,
-                CAST(coalesce(iw, 0) AS BIGINT) AS in_weight
-         FROM nation n LEFT JOIN outd ON n.n_nationkey = outd.src
-                       LEFT JOIN ind ON n.n_nationkey = ind.dst
-         ORDER BY nationkey""",
-    "q_triangles" ->
-      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-                               count(*) AS w
-                        FROM lineitem l
-                        JOIN orders o ON l.l_orderkey = o.o_orderkey
-                        JOIN customer c ON o.o_custkey = c.c_custkey
-                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                        GROUP BY 1, 2),
-            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-                    FROM edges WHERE src <> dst),
-            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-                    FROM und e1
-                    JOIN und e2 ON e1.b = e2.a
-                    JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
-            tpn AS (SELECT v, count(*) AS n_tri
-                    FROM (SELECT x AS v FROM tri UNION ALL
-                          SELECT y FROM tri UNION ALL
-                          SELECT z FROM tri) t GROUP BY 1),
-            deg AS (SELECT v, count(*) AS degree
-                    FROM (SELECT a AS v FROM und UNION ALL
-                          SELECT b FROM und) t GROUP BY 1)
-         SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
-                CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
-                CAST(coalesce(tpn.n_tri, 0) AS BIGINT) AS n_triangles,
-                CASE WHEN coalesce(deg.degree, 0) < 2 THEN 0.0
-                     ELSE (round(2.0*coalesce(tpn.n_tri, 0) /
-                                (deg.degree*(deg.degree - 1)), 4) + 0.0) END
-                  AS clustering
-         FROM nation n LEFT JOIN deg ON n.n_nationkey = deg.v
-                       LEFT JOIN tpn ON n.n_nationkey = tpn.v
-         ORDER BY nationkey""",
-    "q_attribution_last" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, value,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-                     FROM g),
-            fe AS (SELECT user_id, sid, event_type, value,
-                          last_value(event_type) OVER
-                            (PARTITION BY user_id, sid ORDER BY tsu, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND UNBOUNDED FOLLOWING) AS exit_type
-                   FROM sids),
-            sess AS (SELECT user_id, sid, exit_type,
-                            sum(CASE WHEN event_type = 'purchase' THEN value
-                                     ELSE 0.0 END) AS rev,
-                            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
-                                          ELSE 0 END) AS BIGINT) AS n_purch
-                     FROM fe GROUP BY 1, 2, 3)
-         SELECT exit_type, count(*) AS n_sessions,
-                CAST(sum(n_purch) AS BIGINT) AS n_purchases,
-                (round(sum(rev), 4) + 0.0) AS revenue
-         FROM sess GROUP BY 1 ORDER BY 1""",
-    "q_attribution_linear" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, value,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-                     FROM g),
-            sess AS (SELECT user_id, sid,
-                            sum(CASE WHEN event_type = 'purchase' THEN value
-                                     ELSE 0.0 END) AS rev,
-                            count(*) AS n_touch
-                     FROM sids GROUP BY 1, 2)
-         SELECT s.event_type, count(*) AS n_touches,
-                (round(sum(ss.rev / ss.n_touch), 4) + 0.0) AS revenue
-         FROM sids s JOIN sess ss ON s.user_id = ss.user_id AND s.sid = ss.sid
-         GROUP BY 1 ORDER BY 1""",
-    "q_attribution_decay" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, value,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-                     FROM g),
-            sess AS (SELECT user_id, sid,
-                            sum(CASE WHEN event_type = 'purchase' THEN value
-                                     ELSE 0.0 END) AS rev,
-                            max(ts_sec) AS end_sec
-                     FROM sids GROUP BY 1, 2),
-            evw AS (SELECT s.user_id, s.sid, s.event_type, ss.rev,
-                           pow(2.0, greatest(
-                               -floor((ss.end_sec - s.ts_sec) / 600.0),
-                               -40.0)) AS w
-                    FROM sids s
-                    JOIN sess ss ON s.user_id = ss.user_id AND s.sid = ss.sid),
-            ws AS (SELECT user_id, sid, sum(w) AS wsum
-                   FROM evw GROUP BY 1, 2)
-         SELECT e.event_type, count(*) AS n_touches,
-                (round(sum(e.rev * e.w / w.wsum), 4) + 0.0) AS revenue
-         FROM evw e JOIN ws w ON e.user_id = w.user_id AND e.sid = w.sid
-         GROUP BY 1 ORDER BY 1""",
-    "q_attribution_position" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, value,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-                     FROM g),
-            pos AS (SELECT *, row_number() OVER
-                      (PARTITION BY user_id, sid ORDER BY tsu, event_id) AS rn,
-                           count(*) OVER (PARTITION BY user_id, sid) AS n_touch
-                    FROM sids),
-            sess AS (SELECT user_id, sid,
-                            sum(CASE WHEN event_type = 'purchase' THEN value
-                                     ELSE 0.0 END) AS rev
-                     FROM sids GROUP BY 1, 2)
-         SELECT p.event_type, count(*) AS n_touches,
-                (round(sum(ss.rev *
-                          CASE WHEN p.n_touch = 1 THEN CAST(1.0 AS DOUBLE)
-                               WHEN p.n_touch = 2 THEN CAST(0.5 AS DOUBLE)
-                               WHEN p.rn = 1 OR p.rn = p.n_touch
-                                 THEN CAST(0.4 AS DOUBLE)
-                               ELSE CAST(0.2 AS DOUBLE) / (p.n_touch - 2)
-                          END), 4) + 0.0) AS revenue
-         FROM pos p JOIN sess ss ON p.user_id = ss.user_id AND p.sid = ss.sid
-         GROUP BY 1 ORDER BY 1""",
-    "q_knn_classify" ->
-      """WITH em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-                     FROM embeddings),
-            q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv
-                  FROM em WHERE vec_id < 10),
-            sims AS (SELECT q_id, vec_id AS n_id, label,
-                            (round(list_dot_product(qv, v) /
-                                  (sqrt(list_dot_product(qv, qv)) *
-                                   sqrt(list_dot_product(v, v))), 4) + 0.0) AS sim
-                     FROM em, q WHERE vec_id <> q_id),
-            rk AS (SELECT q_id, n_id, label,
-                          row_number() OVER (PARTITION BY q_id
-                            ORDER BY sim DESC, n_id) AS rn
-                   FROM sims),
-            votes AS (SELECT q_id, label, count(*) AS cnt
-                      FROM rk WHERE rn <= 3 GROUP BY 1, 2),
-            pred AS (SELECT q_id, label AS pred_label, cnt,
-                            row_number() OVER (PARTITION BY q_id
-                              ORDER BY cnt DESC, label) AS pr
-                     FROM votes)
-         SELECT p.q_id, q.true_label, p.pred_label,
-                CAST(p.cnt AS BIGINT) AS votes
-         FROM pred p JOIN q ON p.q_id = q.q_id
-         WHERE p.pr = 1 ORDER BY p.q_id""",
-    "q_market_basket" ->
-      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
-                     FROM lineitem JOIN part ON l_partkey = p_partkey),
-            n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
-            bc AS (SELECT b, count(*) AS nb FROM ob GROUP BY 1),
-            pairs AS (SELECT x.b AS brand_a, y.b AS brand_b,
-                             count(*) AS n_ab
-                      FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
-                      GROUP BY 1, 2)
-         SELECT p.brand_a, p.brand_b, CAST(p.n_ab AS BIGINT) AS n_ab,
-                CAST(ba.nb AS BIGINT) AS n_a, CAST(bb.nb AS BIGINT) AS n_b,
-                (round(p.n_ab / n.n_orders, 4) + 0.0) AS support,
-                (round((n.n_orders * p.n_ab) / (ba.nb * bb.nb), 4) + 0.0) AS lift
-         FROM pairs p
-         JOIN bc ba ON p.brand_a = ba.b
-         JOIN bc bb ON p.brand_b = bb.b
-         CROSS JOIN n
-         ORDER BY p.brand_a, p.brand_b""",
-    "q_simjoin_prefix" ->
-      """WITH tk AS (SELECT DISTINCT doc_id, tok
-                     FROM (SELECT doc_id,
-                                  unnest(string_split(text, ' ')) AS tok
-                           FROM documents) t
-                     WHERE length(tok) > 0),
-            sz AS (SELECT doc_id, count(*) AS m FROM tk GROUP BY 1),
-            p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-                  FROM tk a JOIN tk b
-                    ON a.tok = b.tok AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-         SELECT p.d1, p.d2, CAST(p.inter AS BIGINT) AS inter,
-                CAST(s1.m AS BIGINT) AS m1, CAST(s2.m AS BIGINT) AS m2,
-                (round(p.inter / (s1.m + s2.m - p.inter), 4) + 0.0) AS jaccard
-         FROM p JOIN sz s1 ON p.d1 = s1.doc_id
-                JOIN sz s2 ON p.d2 = s2.doc_id
-         WHERE p.inter / (s1.m + s2.m - p.inter) >= 0.9
-         ORDER BY p.d1, p.d2""",
-    "q_join_bucketed" ->
-      """SELECT o_orderstatus, count(*) AS n_items,
-                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-                         (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
-                     AS DOUBLE) / 1000000.0 AS revenue
-         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         GROUP BY 1 ORDER BY 1""",
-    "q_winsorize" ->
-      """WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS p
-                     FROM lineitem),
-            thr AS (SELECT flag,
-                           (round(quantile_cont(p, 0.05), 4) + 0.0) AS p05,
-                           (round(quantile_cont(p, 0.95), 4) + 0.0) AS p95
-                    FROM li GROUP BY 1)
-         SELECT li.flag, count(*) AS n, thr.p05, thr.p95,
-                (round(avg(p), 4) + 0.0) AS mean_raw,
-                (round(avg(least(greatest(p, thr.p05), thr.p95)), 4) + 0.0)
-                  AS mean_winsorized
-         FROM li JOIN thr ON li.flag = thr.flag
-         GROUP BY li.flag, thr.p05, thr.p95
-         ORDER BY li.flag""",
-    "q_autocorr" ->
-      """WITH daily AS (
-           SELECT CAST((epoch_us(ts::TIMESTAMP)//1000000) // 86400 AS INT)
-                    AS day_num,
-                  count(*) AS n
-           FROM events GROUP BY 1),
-         lags AS (SELECT CAST(range AS INT) AS lag_k FROM range(1, 4))
-         SELECT lag_k, count(*) AS n_pairs,
-                (round(corr(CAST(a.n AS DOUBLE), CAST(b.n AS DOUBLE)), 4) + 0.0)
-                  AS autocorr
-         FROM daily a CROSS JOIN lags
-         JOIN daily b ON a.day_num = b.day_num + lag_k
-         GROUP BY lag_k ORDER BY lag_k""",
-    "q_agg_incremental" ->
-      """WITH agg AS (
-           SELECT ts::TIMESTAMP::DATE AS day, event_type,
-                  count(*) AS n_events,
-                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
-           FROM events GROUP BY 1, 2)
-         SELECT day, event_type, n_events,
-                CAST(c AS DOUBLE)/100.0 AS total_value,
-                CAST((20000*c + 100*n_events) // (200*n_events) AS DOUBLE)/10000.0
-                  AS avg_value
-         FROM agg ORDER BY day, event_type""",
-    "q_join_salted" ->
-      """SELECT c_mktsegment, (round(sum(o_totalprice), 4) + 0.0) AS revenue,
-                count(*) AS n_orders
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY 1""",
-    "q_schema_drift" ->
-      """WITH e AS (SELECT *,
-                           ts::TIMESTAMP < TIMESTAMP '2024-01-21 00:00:00' AS pre
-                    FROM events),
-            w AS (SELECT
-                    CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
-                    CAST(sum(CASE WHEN NOT pre THEN 1 ELSE 0 END) AS BIGINT)
-                      AS n_post,
-                    count(CASE WHEN pre THEN user_id END) AS nn_pre_user_id,
-                    count(CASE WHEN NOT pre THEN user_id END) AS nn_post_user_id,
-                    count(DISTINCT CASE WHEN pre THEN user_id END) AS nd_pre_user_id,
-                    count(DISTINCT CASE WHEN NOT pre THEN user_id END)
-                      AS nd_post_user_id,
-                    count(CASE WHEN pre THEN event_type END) AS nn_pre_event_type,
-                    count(CASE WHEN NOT pre THEN event_type END)
-                      AS nn_post_event_type,
-                    count(DISTINCT CASE WHEN pre THEN event_type END)
-                      AS nd_pre_event_type,
-                    count(DISTINCT CASE WHEN NOT pre THEN event_type END)
-                      AS nd_post_event_type,
-                    count(CASE WHEN pre THEN value END) AS nn_pre_value,
-                    count(CASE WHEN NOT pre THEN value END) AS nn_post_value,
-                    count(DISTINCT CASE WHEN pre THEN value END) AS nd_pre_value,
-                    count(DISTINCT CASE WHEN NOT pre THEN value END)
-                      AS nd_post_value,
-                    count(CASE WHEN pre THEN props END) AS nn_pre_props,
-                    count(CASE WHEN NOT pre THEN props END) AS nn_post_props,
-                    count(DISTINCT CASE WHEN pre THEN props END) AS nd_pre_props,
-                    count(DISTINCT CASE WHEN NOT pre THEN props END)
-                      AS nd_post_props
-                  FROM e)
-         SELECT 'user_id' AS column_name,
-                n_pre - nn_pre_user_id AS nulls_pre,
-                n_post - nn_post_user_id AS nulls_post,
-                nd_pre_user_id AS nd_pre, nd_post_user_id AS nd_post,
-                (round(CAST(n_post - nn_post_user_id AS DOUBLE)/n_post -
-                      CAST(n_pre - nn_pre_user_id AS DOUBLE)/n_pre, 4) + 0.0)
-                  AS null_rate_delta FROM w
-         UNION ALL SELECT 'event_type', n_pre - nn_pre_event_type,
-                n_post - nn_post_event_type, nd_pre_event_type,
-                nd_post_event_type,
-                (round(CAST(n_post - nn_post_event_type AS DOUBLE)/n_post -
-                      CAST(n_pre - nn_pre_event_type AS DOUBLE)/n_pre, 4) + 0.0) FROM w
-         UNION ALL SELECT 'value', n_pre - nn_pre_value, n_post - nn_post_value,
-                nd_pre_value, nd_post_value,
-                (round(CAST(n_post - nn_post_value AS DOUBLE)/n_post -
-                      CAST(n_pre - nn_pre_value AS DOUBLE)/n_pre, 4) + 0.0) FROM w
-         UNION ALL SELECT 'props', n_pre - nn_pre_props, n_post - nn_post_props,
-                nd_pre_props, nd_post_props,
-                (round(CAST(n_post - nn_post_props AS DOUBLE)/n_post -
-                      CAST(n_pre - nn_pre_props AS DOUBLE)/n_pre, 4) + 0.0) FROM w
-         ORDER BY column_name""",
-    "q_cluster_embed" ->
-      """WITH RECURSIVE
-            em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-                   FROM embeddings),
-            p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
-                  FROM em a JOIN em b
-                    ON a.label = b.label AND a.vec_id < b.vec_id
-                  WHERE (round(list_dot_product(a.v, b.v) /
-                              (sqrt(list_dot_product(a.v, a.v)) *
-                               sqrt(list_dot_product(b.v, b.v))), 4) + 0.0) >= 0.35),
-            edges AS (SELECT d1 AS a, d2 AS b FROM p
-                      UNION ALL SELECT d2, d1 FROM p),
-            reach AS (SELECT vec_id AS v, vec_id AS r FROM embeddings
-                      UNION
-                      SELECT e.b AS v, reach.r AS r
-                      FROM reach JOIN edges e ON e.a = reach.v),
-            comp AS (SELECT v AS vec_id, min(r) AS cluster
-                     FROM reach GROUP BY 1),
-            sizes AS (SELECT cluster, count(*) AS cluster_size
-                      FROM comp GROUP BY 1)
-         SELECT c.vec_id, e.label, c.cluster,
-                CAST(s.cluster_size AS BIGINT) AS cluster_size
-         FROM comp c JOIN embeddings e ON c.vec_id = e.vec_id
-         JOIN sizes s ON c.cluster = s.cluster
-         ORDER BY c.vec_id""",
-    "q_dedup_semantic" ->
-      // Same clustering CTEs as q_cluster_embed, aggregated to the
-      // per-label dedup report: survivors = distinct clusters (the
-      // cluster id is the min-vec_id representative).
-      """WITH RECURSIVE
-            em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-                   FROM embeddings),
-            p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
-                  FROM em a JOIN em b
-                    ON a.label = b.label AND a.vec_id < b.vec_id
-                  WHERE (round(list_dot_product(a.v, b.v) /
-                              (sqrt(list_dot_product(a.v, a.v)) *
-                               sqrt(list_dot_product(b.v, b.v))), 4) + 0.0) >= 0.35),
-            edges AS (SELECT d1 AS a, d2 AS b FROM p
-                      UNION ALL SELECT d2, d1 FROM p),
-            reach AS (SELECT vec_id AS v, vec_id AS r FROM embeddings
-                      UNION
-                      SELECT e.b AS v, reach.r AS r
-                      FROM reach JOIN edges e ON e.a = reach.v),
-            comp AS (SELECT v AS vec_id, min(r) AS cluster
-                     FROM reach GROUP BY 1)
-         SELECT e.label, count(*) AS n_vectors,
-                CAST(count(DISTINCT c.cluster) AS BIGINT) AS n_kept,
-                CAST(count(*) - count(DISTINCT c.cluster) AS BIGINT)
-                  AS n_dropped,
-                (round((count(*) - count(DISTINCT c.cluster))::DOUBLE
-                      / count(*), 4) + 0.0) AS reduction
-         FROM comp c JOIN embeddings e ON c.vec_id = e.vec_id
-         GROUP BY 1 ORDER BY e.label""",
-    "q_lm_score" ->
-      """WITH toks AS (SELECT doc_id,
-                             unnest(string_split(text, ' ')) AS tok
-                      FROM documents),
-            t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
-            tf AS (SELECT tok, count(*) AS tf FROM t GROUP BY 1),
-            tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total,
-                           greatest(2, CAST(ceil(sum(tf) * 1e-7) AS BIGINT))
-                             AS thr
-                    FROM tf),
-            v AS (SELECT tok, tf FROM tf CROSS JOIN tot WHERE tf >= thr)
-         SELECT doc_id, count(*) AS n_tokens,
-                (round(avg(-ln(coalesce(tf, thr) / total)), 4) + 0.0) AS avg_neg_logp
-         FROM t LEFT JOIN v USING (tok) CROSS JOIN tot
-         GROUP BY doc_id ORDER BY doc_id""",
-    "q_pack_sequences" ->
-      """WITH d AS (SELECT doc_id,
-                           CAST(len(string_split(text, ' ')) AS BIGINT)
-                             AS n_tokens,
-                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                             ::BIGINT % 8 AS shard
-                    FROM documents),
-            c AS (SELECT shard, doc_id, n_tokens,
-                         CAST(sum(n_tokens) OVER (PARTITION BY shard
-                                                  ORDER BY doc_id) AS BIGINT)
-                           AS cum
-                  FROM d)
-         SELECT shard, (cum - n_tokens) // 2048 AS bin,
-                count(*) AS n_docs,
-                CAST(sum(n_tokens) AS BIGINT) AS tokens,
-                (round(CAST(sum(n_tokens) AS DOUBLE) / 2048.0, 4) + 0.0) AS fill
-         FROM c GROUP BY 1, 2 ORDER BY shard, bin""",
-    "q_join_asof_fwd" ->
-      """WITH c AS (SELECT event_id, user_id, ts::TIMESTAMP AS tsu
-                    FROM events WHERE event_type = 'click'),
-            p AS (SELECT event_id, user_id, ts::TIMESTAMP AS tsu
-                  FROM events WHERE event_type = 'purchase'),
-            u AS (SELECT user_id, tsu, 0 AS side, NULL::BIGINT AS event_id,
-                         event_id AS click_id FROM c
-                  UNION ALL
-                  SELECT user_id, tsu, 1, event_id, NULL::BIGINT FROM p),
-            w AS (SELECT *, first_value(click_id IGNORE NULLS) OVER
-                    (PARTITION BY user_id
-                     ORDER BY tsu, side, coalesce(click_id, event_id)
-                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
-                    AS next_click
-                  FROM u)
-         SELECT event_id, user_id, next_click
-         FROM w WHERE side = 1 ORDER BY event_id""",
-    "q_debounce" ->
-      """WITH e AS (SELECT user_id, event_type, event_id,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec
-                    FROM events),
-            f AS (SELECT *, lag(ts_sec, 1) OVER
-                    (PARTITION BY user_id, event_type
-                     ORDER BY ts_sec, event_id) AS prev_sec
-                  FROM e)
-         SELECT event_type,
-                CAST(sum(CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 5
-                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-                CAST(sum(CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 5
-                              THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
-         FROM f GROUP BY 1 ORDER BY 1""",
-    "q_seasonality" ->
-      """SELECT ((epoch_us(ts::TIMESTAMP)//1000000//86400 + 3) % 7 + 1) AS dow_iso,
-                (epoch_us(ts::TIMESTAMP)//1000000//3600) % 24 AS hour_utc,
-                count(*) AS n_events,
-                (round(sum(value), 4) + 0.0) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_changepoint" ->
-      """WITH daily AS (SELECT epoch_us(ts::TIMESTAMP)//1000000//86400 AS day_num,
-                              count(*) AS n_events
-                       FROM events GROUP BY 1),
-            tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total,
-                           CAST(count(*) AS BIGINT) AS n_days FROM daily),
-            cu AS (SELECT day_num, n_events,
-                          CAST(row_number() OVER (ORDER BY day_num) AS BIGINT) AS t,
-                          CAST(sum(n_events) OVER
-                            (ORDER BY day_num
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                            AS BIGINT) AS prefix
-                   FROM daily)
-         SELECT day_num, n_events,
-                (round((n_days * prefix - t * total)::DOUBLE / n_days, 4) + 0.0)
-                  AS cusum
-         FROM cu, tot ORDER BY day_num""",
-    "q_cuped" ->
-      """WITH b AS (SELECT min(epoch_us(ts::TIMESTAMP)//1000000) AS mn,
-                           max(epoch_us(ts::TIMESTAMP)//1000000) AS mx FROM events),
-            u AS (SELECT user_id,
-                         CAST(sum(CASE WHEN epoch_us(ts::TIMESTAMP)//1000000
-                                            < (mn + mx)//2
-                                       THEN CAST(round(value*100) AS BIGINT)
-                                       ELSE 0 END) AS BIGINT) AS x,
-                         CAST(sum(CASE WHEN epoch_us(ts::TIMESTAMP)//1000000
-                                            >= (mn + mx)//2
-                                       THEN CAST(round(value*100) AS BIGINT)
-                                       ELSE 0 END) AS BIGINT) AS y,
-                         CAST(user_id % 2 AS INT) AS arm
-                  FROM events, b GROUP BY user_id),
-            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                         CAST(sum(x) AS BIGINT) AS sx,
-                         CAST(sum(y) AS BIGINT) AS sy,
-                         CAST(sum(x*y) AS BIGINT) AS sxy,
-                         CAST(sum(x*x) AS BIGINT) AS sxx,
-                         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-                         CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
-                         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
-                         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-                         CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
-                         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0
-                  FROM u),
-            c AS (SELECT *,
-                         (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) / n AS covxy,
-                         (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / n AS varx
-                  FROM m),
-            t AS (SELECT *,
-                         CASE WHEN varx = 0.0 THEN NULL
-                              ELSE covxy / varx END AS theta,
-                         sy1::DOUBLE / n1 - sy0::DOUBLE / n0 AS diff_naive
-                  FROM c)
-         SELECT n, n1, n0, (round(theta, 4) + 0.0) AS theta,
-                (round(diff_naive / 100.0, 4) + 0.0) AS diff_naive,
-                (round((diff_naive - theta * (sx1::DOUBLE / n1 - sx0::DOUBLE / n0))
-                       / 100.0, 4) + 0.0) AS diff_cuped
-         FROM t""",
-    "q_landing_bounce" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS sid
-                     FROM g),
-            rk AS (SELECT user_id, sid, event_type,
-                          row_number() OVER (PARTITION BY user_id, sid
-                            ORDER BY tsu, event_id) AS rn,
-                          count(*) OVER (PARTITION BY user_id, sid) AS n_events
-                   FROM sids),
-            per AS (SELECT user_id, sid, event_type AS landing_type, n_events
-                    FROM rk WHERE rn = 1)
-         SELECT landing_type, count(*) AS n_sessions,
-                CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_bounces,
-                (round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
-                       / count(*), 4) + 0.0) AS bounce_rate
-         FROM per GROUP BY 1 ORDER BY 1""",
-    "q_cume_dist" ->
-      """WITH spend AS (SELECT c_custkey, c_mktsegment,
-                               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                                    AS BIGINT) AS cents
-                        FROM orders JOIN customer ON o_custkey = c_custkey
-                        GROUP BY 1, 2)
-         SELECT c_custkey, c_mktsegment,
-                (round(cents / 100.0, 4) + 0.0) AS spend,
-                (round(cume_dist() OVER
-                   (PARTITION BY c_mktsegment ORDER BY cents), 4) + 0.0) AS cd,
-                (round(percent_rank() OVER
-                   (PARTITION BY c_mktsegment ORDER BY cents), 4) + 0.0) AS pr
-         FROM spend ORDER BY c_custkey""",
-    "q_containment" ->
-      """WITH base AS (SELECT doc_id, lang, source,
-                              string_split(text, ' ') AS toks FROM documents),
-            ng AS (SELECT doc_id, lang, source,
-                          list_distinct(list_transform(range(1, len(toks) - 1),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
-                   FROM base),
-            nz AS (SELECT doc_id, lang, source, ngs
-                   FROM ng WHERE len(ngs) > 0),
-            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
-            df AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
-            ex AS (SELECT ex0.* FROM ex0 JOIN df USING (g) WHERE df <= 100),
-            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
-            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-                             count(*) AS inter
-                      FROM ex a JOIN ex b
-                        ON a.lang = b.lang AND a.source = b.source
-                       AND a.g = b.g AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2),
-            st AS (SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
-                          CAST(s1.nsz AS BIGINT) AS n1,
-                          CAST(s2.nsz AS BIGINT) AS n2,
-                          (round(CAST(inter AS DOUBLE) / s1.nsz, 4) + 0.0) AS c1_in_2,
-                          (round(CAST(inter AS DOUBLE) / s2.nsz, 4) + 0.0) AS c2_in_1
-                   FROM inter JOIN sz s1 ON s1.doc_id = d1
-                              JOIN sz s2 ON s2.doc_id = d2)
-         SELECT d1, d2, inter, n1, n2, c1_in_2, c2_in_1
-         FROM st ORDER BY greatest(c1_in_2, c2_in_1) DESC, d1, d2 LIMIT 20""",
-    "q_ndcg" ->
-      """WITH em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-            q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
-                  FROM em WHERE vec_id < 10),
-            sims AS (SELECT q_id, q_label, vec_id AS n_id, label AS n_label,
-                            (round(list_dot_product(qv, v) /
-                                  (sqrt(list_dot_product(qv, qv)) *
-                                   sqrt(list_dot_product(v, v))), 4) + 0.0) AS sim
-                     FROM em, q WHERE vec_id <> q_id),
-            rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                     ORDER BY sim DESC, n_id) AS rn
-                   FROM sims),
-            top AS (SELECT * FROM rk WHERE rn <= 10),
-            d AS (SELECT q_id, sum(CASE WHEN n_label = q_label
-                                        THEN 1.0 / log2(rn + 1)
-                                        ELSE 0.0 END) AS dcg
-                  FROM top GROUP BY 1),
-            lc AS (SELECT label, count(*) AS cnt FROM em GROUP BY 1),
-            nr AS (SELECT q_id, CAST(cnt - 1 AS BIGINT) AS n_rel
-                   FROM q JOIN lc ON q_label = label),
-            icum AS (SELECT k, sum(1.0 / log2(i + 1)) AS idcg
-                     FROM range(1, 11) r1(k), range(1, 11) r2(i)
-                     WHERE i <= k GROUP BY 1)
-         SELECT nr.q_id, nr.n_rel, (round(d.dcg, 4) + 0.0) AS dcg,
-                CASE WHEN nr.n_rel = 0 THEN 0.0
-                     ELSE (round(d.dcg / icum.idcg, 4) + 0.0) END AS ndcg
-         FROM nr JOIN d ON d.q_id = nr.q_id
-         LEFT JOIN icum ON icum.k = least(nr.n_rel, 10)
-         ORDER BY nr.q_id""",
-    "q_subquery_correlated" ->
-      """WITH spend AS (SELECT c_custkey, c_nationkey,
-                               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                                    AS BIGINT) AS cents
-                        FROM orders JOIN customer ON o_custkey = c_custkey
-                        GROUP BY 1, 2)
-         SELECT s.c_custkey, n.n_name,
-                (round(s.cents / 100.0, 4) + 0.0) AS spend,
-                (round((SELECT sum(t.cents)::DOUBLE / count(*) FROM spend t
-                        WHERE t.c_nationkey = s.c_nationkey) / 100.0, 4) + 0.0)
-                  AS nation_avg
-         FROM spend s JOIN nation n ON s.c_nationkey = n.n_nationkey
-         WHERE s.cents * (SELECT count(*) FROM spend t
-                          WHERE t.c_nationkey = s.c_nationkey)
-               > (SELECT sum(t.cents) FROM spend t
-                  WHERE t.c_nationkey = s.c_nationkey)
-         ORDER BY s.c_custkey""",
-    "q_topk_stream" ->
-      """WITH c AS (SELECT (epoch_us(ts::TIMESTAMP)//1000000//21600) * 21600
-                             AS win_sec,
-                           event_type, count(*) AS n
-                    FROM events GROUP BY 1, 2),
-            rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY win_sec
-                     ORDER BY n DESC, event_type) AS INT) AS rn
-                   FROM c)
-         SELECT win_sec, rn, event_type, n
-         FROM rk WHERE rn <= 3 ORDER BY win_sec, rn""",
-    "q_srm" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-            v AS (SELECT user_id,
-                         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
-                              THEN 'A' ELSE 'B' END AS variant
-                  FROM u),
-            a AS (SELECT
-                    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-                    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-                  FROM v),
-            c AS (SELECT n_a, n_b,
-                         (round(((n_a - n_b) * (n_a - n_b))::DOUBLE / (n_a + n_b), 4)
-                          + 0.0) AS chi2
-                  FROM a)
-         SELECT n_a, n_b, chi2,
-                CASE WHEN chi2 > 3.8415 THEN 1 ELSE 0 END AS srm_flag
-         FROM c""",
-    "q_quantize_embed" ->
-      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            mx AS (SELECT vec_id, v,
-                          list_max(list_transform(v, x -> abs(x))) AS maxabs
-                   FROM em),
-            sc AS (SELECT vec_id, v, 127.0 / maxabs AS scale
-                   FROM mx WHERE maxabs > 0)
-         SELECT vec_id, (round(scale, 4) + 0.0) AS scale,
-                CAST(list_sum(list_transform(v, x ->
-                       CASE WHEN abs(round(x * scale)) >= 127 THEN 1 ELSE 0 END))
-                     AS BIGINT) AS n_sat,
-                (round(list_sum(list_transform(v, x ->
-                         pow(x - round(x * scale) / scale, 2))) / len(v), 4)
-                 + 0.0) AS mse
-         FROM sc ORDER BY vec_id""",
-    "q_graph_jaccard" ->
-      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst
-                        FROM lineitem l
-                        JOIN orders o ON l.l_orderkey = o.o_orderkey
-                        JOIN customer c ON o.o_custkey = c.c_custkey
-                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                        GROUP BY 1, 2),
-            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-                    FROM edges WHERE src <> dst),
-            adj AS (SELECT a AS v, b AS n FROM und
-                    UNION ALL SELECT b, a FROM und),
-            deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
-            common AS (SELECT l.v AS u, r.v AS w, count(*) AS common
-                       FROM adj l JOIN adj r ON l.n = r.n AND l.v < r.v
-                       GROUP BY 1, 2)
-         SELECT u, w, CAST(common AS BIGINT) AS common,
-                CAST(du.deg AS BIGINT) AS du, CAST(dw.deg AS BIGINT) AS dw,
-                (round(CAST(common AS DOUBLE) / (du.deg + dw.deg - common), 4)
-                 + 0.0) AS jaccard
-         FROM common JOIN deg du ON du.v = u JOIN deg dw ON dw.v = w
-         ORDER BY u, w""",
-    "q_sliding_stream" ->
-      """WITH w0 AS (SELECT (epoch_us(ts::TIMESTAMP)//1000000)//1800*1800 AS w_start,
-                            event_type, value FROM events),
-            both_w AS (SELECT w_start, event_type, value FROM w0
-                       UNION ALL
-                       SELECT w_start - 1800, event_type, value FROM w0)
-         SELECT w_start, event_type, count(*) AS n, (round(sum(value), 4) + 0.0) AS val
-         FROM both_w GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_matryoshka" ->
-      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                            (embedding::DOUBLE[])[1:16] AS v16 FROM embeddings),
-            q AS (SELECT vec_id AS q_id, v AS qv, v16 AS qv16
-                  FROM em WHERE vec_id < 10),
-            sf AS (SELECT q_id, vec_id AS n_id,
-                          (round(list_dot_product(qv, v) /
-                                (sqrt(list_dot_product(qv, qv)) *
-                                 sqrt(list_dot_product(v, v))), 4) + 0.0) AS sim
-                   FROM em, q WHERE vec_id <> q_id),
-            rf AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
-                     ORDER BY sim DESC, n_id) AS rn FROM sf),
-            st AS (SELECT q_id, vec_id AS n_id,
-                          (round(list_dot_product(qv16, v16) /
-                                (sqrt(list_dot_product(qv16, qv16)) *
-                                 sqrt(list_dot_product(v16, v16))), 4) + 0.0) AS sim
-                   FROM em, q WHERE vec_id <> q_id),
-            rt AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
-                     ORDER BY sim DESC, n_id) AS rn FROM st),
-            ov AS (SELECT f.q_id, count(*) AS n_overlap
-                   FROM (SELECT q_id, n_id FROM rf WHERE rn <= 5) f
-                   JOIN (SELECT q_id, n_id FROM rt WHERE rn <= 5) t
-                     USING (q_id, n_id)
-                   GROUP BY 1)
-         SELECT q.q_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-                (round(coalesce(ov.n_overlap, 0)::DOUBLE / 5.0, 4) + 0.0) AS recall
-         FROM q LEFT JOIN ov ON ov.q_id = q.q_id ORDER BY q.q_id""",
-    "q_freshness" ->
-      """WITH t AS (SELECT event_type, count(*) AS n_events,
-                           max(epoch_us(ts::TIMESTAMP)//1000000) AS last_sec
-                    FROM events GROUP BY 1),
-            h AS (SELECT max(last_sec) AS hwm FROM t)
-         SELECT event_type, n_events, last_sec,
-                (hwm - last_sec) AS lag_sec,
-                CASE WHEN hwm - last_sec > 86400 THEN 1 ELSE 0 END AS stale
-         FROM t, h ORDER BY event_type""",
-    "q_bucket_skew" ->
-      """WITH b AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 32
-                               AS INT) AS bucket FROM events),
-            per AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
-            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM per)
-         SELECT bucket, n, (round(n::DOUBLE * 32.0 / total, 4) + 0.0) AS load
-         FROM per, t ORDER BY bucket""",
-    "q_ks_test" ->
-      """WITH u AS (SELECT user_id,
-                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-                           CAST(user_id % 2 AS INT) AS arm
-                    FROM events GROUP BY user_id),
-            bv AS (SELECT cents,
-                          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-                          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
-                   FROM u GROUP BY 1),
-            t AS (SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-                         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
-                  FROM u),
-            cum AS (SELECT cents,
-                           CAST(sum(ca) OVER (ORDER BY cents
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                             AS BIGINT) AS cuma,
-                           CAST(sum(cb) OVER (ORDER BY cents
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                             AS BIGINT) AS cumb
-                    FROM bv),
-            m AS (SELECT max(abs(cuma * nb - cumb * na)) AS num FROM cum, t)
-         SELECT na, nb,
-                (round(num::DOUBLE / (na * nb), 4) + 0.0) AS ks_d,
-                (round(1.358 * sqrt((na + nb)::DOUBLE / (na * nb)), 4) + 0.0)
-                  AS crit_05,
-                CASE WHEN (round(num::DOUBLE / (na * nb), 4) + 0.0) >
-                          (round(1.358 * sqrt((na + nb)::DOUBLE / (na * nb)), 4) + 0.0)
-                     THEN 1 ELSE 0 END AS reject
-         FROM m, t""",
-    "q_gini" ->
-      """WITH spend AS (SELECT o_custkey,
-                               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                                    AS BIGINT) AS cents
-                        FROM orders GROUP BY 1),
-            rk AS (SELECT cents,
-                          CAST(row_number() OVER (ORDER BY cents, o_custkey)
-                               AS BIGINT) AS i
-                   FROM spend),
-            a AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                         CAST(sum(cents) AS BIGINT) AS t,
-                         CAST(sum(i * cents) AS BIGINT) AS s
-                  FROM rk)
-         SELECT n, (round(t / 100.0, 4) + 0.0) AS total_spend,
-                (round((2 * s - (n + 1) * t)::DOUBLE / (n * t), 4) + 0.0) AS gini
-         FROM a""",
-    "q_benford" ->
-      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
-                                  AS VARCHAR), 1, 1) AS INT) AS digit
-                    FROM orders),
-            t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)
-         SELECT digit, count(*) AS n,
-                (round(count(*)::DOUBLE / total, 4) + 0.0) AS obs_freq,
-                (round(log10(1.0 + 1.0 / digit), 4) + 0.0) AS benford_freq
-         FROM d, t GROUP BY digit, total ORDER BY digit""",
-    "q_outer_join_stream" ->
-      """WITH c AS (SELECT user_id AS c_user, epoch_us(ts::TIMESTAMP) AS c_us,
-                           event_id AS click_id
-                    FROM events WHERE event_type = 'click'),
-            p AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS p_us,
-                         event_id AS purchase_id, value
-                  FROM events WHERE event_type = 'purchase')
-         SELECT purchase_id, coalesce(click_id, -1) AS click_id, user_id,
-                p_us, coalesce(c_us, -1) AS c_us, value
-         FROM p LEFT JOIN c ON user_id = c_user
-           AND c_us <= p_us AND c_us >= p_us - 3600000000
-         ORDER BY purchase_id, click_id""",
-    "q_mann_whitney" ->
-      // rank computation is pure int64: 2·avg-rank = 2·cum_before + t + 1
-      """WITH u AS (SELECT user_id,
-                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-                           CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
-                                THEN 1 ELSE 0 END AS arm
-                    FROM events GROUP BY user_id),
-            bv AS (SELECT cents,
-                          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-                          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
-                   FROM u GROUP BY 1),
-            tt AS (SELECT CAST(sum(arm) AS BIGINT) AS na,
-                          CAST(sum(1 - arm) AS BIGINT) AS nb
-                   FROM u),
-            c2 AS (SELECT cents, ca, cb, (ca + cb) AS t,
-                          CAST(sum(ca + cb) OVER (ORDER BY cents
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                            AS BIGINT) AS cum
-                   FROM bv),
-            r AS (SELECT CAST(sum(ca * (2 * (cum - t) + t + 1)) AS BIGINT) AS r2a,
-                         CAST(sum(t * t * t - t) AS BIGINT) AS ties
-                  FROM c2),
-            s AS (SELECT na, nb, na + nb AS n,
-                         r2a - na * (na + 1) AS u2, ties
-                  FROM r, tt),
-            zz AS (SELECT na, nb, u2,
-                          (u2 - na * nb)::DOUBLE /
-                          (2.0 * sqrt(na::DOUBLE * nb / 12.0 *
-                            ((n + 1)::DOUBLE - ties::DOUBLE / (n * (n - 1))))) AS z
-                   FROM s)
-         SELECT na AS n_a, nb AS n_b,
-                (round(u2::DOUBLE / 2.0, 4) + 0.0) AS u_a,
-                (round(z, 4) + 0.0) AS z,
-                CASE WHEN abs(round(z, 4) + 0.0) > 1.96 THEN 1 ELSE 0 END
-                  AS significant
-         FROM zz""",
-    "q_psi" ->
-      """WITH ev AS (SELECT epoch_us(ts::TIMESTAMP) AS us, value FROM events),
-            b AS (SELECT min(us) AS lo, max(us) AS hi,
-                         min(value) AS vlo, max(value) AS vhi
-                  FROM ev),
-            binned AS (SELECT least(9, CAST(floor((value - vlo) * 10.0 /
-                                                  (vhi - vlo)) AS INT)) AS bin,
-                              CASE WHEN us < lo + (hi - lo) / 2 THEN 0 ELSE 1 END
-                                AS period
-                       FROM ev, b),
-            g AS (SELECT bin,
-                         CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-                         CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
-                  FROM binned GROUP BY 1),
-            t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
-                         CAST(sum(n_cur) AS BIGINT) AS tc FROM g),
-            rows_ AS (SELECT CAST(r.bin AS INT) AS bin,
-                             coalesce(n_ref, 0) AS n_ref,
-                             coalesce(n_cur, 0) AS n_cur,
-                             greatest(coalesce(n_ref, 0)::DOUBLE / tr, 0.0001) AS p,
-                             greatest(coalesce(n_cur, 0)::DOUBLE / tc, 0.0001) AS q
-                      FROM range(0, 10) r(bin) LEFT JOIN g ON r.bin = g.bin, t)
-         SELECT bin, n_ref, n_cur,
-                (round(p, 4) + 0.0) AS p_ref,
-                (round(q, 4) + 0.0) AS p_cur,
-                (round((q - p) * ln(q / p), 4) + 0.0) AS contrib,
-                (round(sum((q - p) * ln(q / p)) OVER (
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
-                   4) + 0.0) AS psi
-         FROM rows_ ORDER BY bin""",
-    "q_rolling_median" ->
-      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-                               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                                    AS BIGINT) AS cents
-                        FROM orders GROUP BY 1)
-         SELECT day, (round(cents / 100.0, 4) + 0.0) AS revenue,
-                (round(quantile_cont(cents, 0.5) OVER (ORDER BY day
-                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 4) + 0.0)
-                  AS med7
-         FROM daily ORDER BY day""",
-    "q_outliers_robust" ->
-      // The whole fence pipeline runs in exact cent space (quartiles
-      // interpolate int cents at dyadic fractions ⇒ exact doubles);
-      // only the reported fences divide by 100 and round at the end.
-      """WITH li AS (SELECT l_returnflag AS flag,
-                            CAST(round(l_extendedprice * 100) AS BIGINT) AS c
-                     FROM lineitem),
-            f AS (SELECT flag,
-                         quantile_cont(c, 0.25) AS q1c,
-                         quantile_cont(c, 0.75) AS q3c
-                  FROM li GROUP BY 1),
-            f2 AS (SELECT flag, q1c - 1.5 * (q3c - q1c) AS loc,
-                          q3c + 1.5 * (q3c - q1c) AS hic
-                   FROM f)
-         SELECT li.flag, CAST(count(*) AS BIGINT) AS n,
-                (round(min(loc) / 100.0, 4) + 0.0) AS lo_fence,
-                (round(min(hic) / 100.0, 4) + 0.0) AS hi_fence,
-                CAST(sum(CASE WHEN c < loc OR c > hic THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_out,
-                (round(sum(CASE WHEN c < loc OR c > hic THEN 1 ELSE 0 END)::DOUBLE
-                       * 100.0 / count(*), 4) + 0.0) AS out_pct
-         FROM li JOIN f2 ON li.flag = f2.flag
-         GROUP BY li.flag ORDER BY li.flag""",
-    "q_decile_lift" ->
-      """WITH sc AS (SELECT c_custkey,
-                            CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
-                                 AS INT) AS decile
-                     FROM customer),
-            sp AS (SELECT o_custkey,
-                          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                               AS BIGINT) AS cents
-                   FROM orders GROUP BY 1),
-            j AS (SELECT decile, coalesce(cents, 0) AS cents
-                  FROM sc LEFT JOIN sp ON c_custkey = o_custkey),
-            bd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
-                          CAST(sum(cents) AS BIGINT) AS cents
-                   FROM j GROUP BY 1),
-            t AS (SELECT CAST(sum(n_cust) AS BIGINT) AS tn,
-                         CAST(sum(cents) AS BIGINT) AS tc FROM bd)
-         SELECT decile, n_cust,
-                (round(cents::DOUBLE / 100.0, 4) + 0.0) AS spend,
-                (round(cents::DOUBLE / n_cust / 100.0, 4) + 0.0) AS avg_spend,
-                (round(cents::DOUBLE / tc, 4) + 0.0) AS capture,
-                (round(CAST(sum(cents) OVER (ORDER BY decile
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                   / tc, 4) + 0.0) AS cum_capture,
-                (round((cents::DOUBLE / n_cust) / (tc::DOUBLE / tn), 4) + 0.0)
-                  AS lift
-         FROM bd, t ORDER BY decile""",
-    "q_fuzzy_join" ->
-      """SELECT a.c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_pairs,
-                CAST(sum(CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
-                CAST(min(levenshtein(a.c_name, b.c_name)) AS INT) AS min_dist
-         FROM customer a JOIN customer b
-           ON a.c_nationkey = b.c_nationkey
-          AND a.c_mktsegment = b.c_mktsegment
-          AND a.c_custkey < b.c_custkey
-         WHERE levenshtein(a.c_name, b.c_name) <= 2
-         GROUP BY 1 ORDER BY 1""",
-    "q_dedup_embcos_centered" ->
-      // the q_dedup_embcos hash with hyperplanes through the per-corpus
-      // component mean; the threshold compare is exact int64
-      // cross-multiplication (q_j·n > Σq_j), never a floating mean
-      """WITH em AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            nv AS (SELECT (CASE WHEN count(*) <= 4096 THEN 4
-                                WHEN count(*) <= 8192 THEN 5
-                                WHEN count(*) <= 16384 THEN 6
-                                WHEN count(*) <= 32768 THEN 7
-                                ELSE 8 END) AS pl FROM em),
-            mu AS (SELECT i,
-                          CAST(sum(CAST(round(v[CAST(i AS INT)] * 1000000)
-                                        AS BIGINT)) AS BIGINT) AS s,
-                          CAST(count(*) AS BIGINT) AS n
-                   FROM em, range(1, 65) r(i) GROUP BY i),
-            qs AS (SELECT list(s ORDER BY i) AS qs, min(n) AS n FROM mu),
-            tb AS (SELECT label, vec_id, t,
-                          CAST(sum(CASE WHEN
-                                 CAST(round(v[CAST(((t*pl + j) % 64) + 1 AS INT)]
-                                            * 1000000) AS BIGINT) * n
-                                   > qs[CAST(((t*pl + j) % 64) + 1 AS INT)]
-                                 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
-                   FROM em, nv, qs, range(0, 8) r(t), range(0, 8) p(j)
-                   WHERE j < pl
-                   GROUP BY label, vec_id, t),
-            cand AS (SELECT DISTINCT a.label, a.vec_id AS v1, b.vec_id AS v2
-                     FROM tb a JOIN tb b ON a.label = b.label AND a.t = b.t
-                                        AND a.bucket = b.bucket
-                                        AND a.vec_id < b.vec_id)
-         SELECT cand.label, v1, v2,
-                (round(list_dot_product(e1.v, e2.v) /
-                      (sqrt(list_dot_product(e1.v, e1.v)) *
-                       sqrt(list_dot_product(e2.v, e2.v))), 4) + 0.0) AS sim
-         FROM cand JOIN em e1 ON e1.vec_id = v1
-                   JOIN em e2 ON e2.vec_id = v2
-         ORDER BY sim DESC, v1, v2 LIMIT 20""",
-    "q_enrich_stream" ->
-      """WITH d AS (SELECT event_type,
-                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                             AS sc,
-                           CAST(count(*) AS BIGINT) AS nt
-                    FROM events GROUP BY 1)
-         SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
-                e.event_type, CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(CASE WHEN CAST(round(e.value * 100) AS BIGINT) * d.nt > d.sc
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above
-         FROM events e JOIN d ON e.event_type = d.event_type
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_bucket_purity" ->
-      // the q_similarity_lsh hash; majority ties break on smallest label
-      """WITH em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-                     FROM embeddings),
-            tb AS (SELECT vec_id, label, t,
-                          (CASE WHEN v[CAST(t*4+1 AS INT)] > 0 THEN 1 ELSE 0 END +
-                           CASE WHEN v[CAST(t*4+2 AS INT)] > 0 THEN 2 ELSE 0 END +
-                           CASE WHEN v[CAST(t*4+3 AS INT)] > 0 THEN 4 ELSE 0 END +
-                           CASE WHEN v[CAST(t*4+4 AS INT)] > 0 THEN 8 ELSE 0 END) AS bucket
-                   FROM em, range(0, 8) r(t)),
-            g AS (SELECT CAST(t AS INT) AS t, bucket, label,
-                         CAST(count(*) AS BIGINT) AS cnt
-                  FROM tb GROUP BY 1, 2, 3),
-            rk AS (SELECT t, bucket, label, cnt,
-                          CAST(sum(cnt) OVER (PARTITION BY t, bucket) AS BIGINT) AS n,
-                          row_number() OVER (PARTITION BY t, bucket
-                            ORDER BY cnt DESC, label) AS rn
-                   FROM g)
-         SELECT t, bucket, n, label AS majority_label, cnt AS n_majority,
-                (round(cnt::DOUBLE / n, 4) + 0.0) AS purity
-         FROM rk WHERE rn = 1 ORDER BY t, bucket""",
-    "q_auc" ->
-      // rank identity AUC = (R1 - n1(n1+1)/2)/(n1 n0); same all-int64
-      // average-rank machinery as q_mann_whitney
-      """WITH f AS (SELECT user_id,
-                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-                           min(epoch_us(ts::TIMESTAMP)//1000000) AS first_sec,
-                           min(CASE WHEN event_type = 'purchase'
-                                    THEN epoch_us(ts::TIMESTAMP)//1000000 END)
-                             AS first_purch
-                    FROM events GROUP BY user_id),
-            sc AS (SELECT cents,
-                          CASE WHEN first_purch IS NOT NULL
-                                    AND first_purch - first_sec <= 86400
-                               THEN 1 ELSE 0 END AS pos
-                   FROM f),
-            bv AS (SELECT cents,
-                          CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
-                          CAST(sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
-                   FROM sc GROUP BY 1),
-            tt AS (SELECT CAST(sum(pos) AS BIGINT) AS n1,
-                          CAST(sum(1 - pos) AS BIGINT) AS n0 FROM sc),
-            c2 AS (SELECT cents, np, nn, (np + nn) AS t,
-                          CAST(sum(np + nn) OVER (ORDER BY cents
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                            AS BIGINT) AS cum
-                   FROM bv),
-            r AS (SELECT CAST(sum(np * (2 * (cum - t) + t + 1)) AS BIGINT) AS r2p
-                  FROM c2),
-            z AS (SELECT n1, n0, r2p - n1 * (n1 + 1) AS u2 FROM r, tt)
-         SELECT n1 AS n_pos, n0 AS n_neg,
-                (round(u2::DOUBLE / (2.0 * n1 * n0), 4) + 0.0) AS auc,
-                (round(2.0 * (round(u2::DOUBLE / (2.0 * n1 * n0), 4) + 0.0)
-                       - 1.0, 4) + 0.0) AS gini
-         FROM z""",
-    "q_survival" ->
-      // Kaplan-Meier over user lifetimes; churn = idle > 7 days before
-      // the corpus high-water mark, otherwise censored
-      """WITH ev AS (SELECT user_id,
-                           CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day
-                    FROM events),
-            h AS (SELECT max(day) AS maxd FROM ev),
-            u AS (SELECT CAST(date_diff('day', min(day), max(day)) AS INT) AS t,
-                         CASE WHEN date_diff('day', max(day), maxd) > 7
-                              THEN 1 ELSE 0 END AS churn
-                  FROM ev, h GROUP BY user_id, maxd),
-            bt AS (SELECT t, CAST(count(*) AS BIGINT) AS leave,
-                          CAST(sum(churn) AS BIGINT) AS d
-                   FROM u GROUP BY 1),
-            rk AS (SELECT t, leave, d, (leave - d) AS c,
-                          CAST(sum(leave) OVER () AS BIGINT)
-                          - CAST(coalesce(sum(leave) OVER (ORDER BY t
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                              0) AS BIGINT) AS n_risk
-                   FROM bt),
-            tm AS (SELECT t, n_risk, d, c,
-                          CASE WHEN d < n_risk
-                               THEN ln(1.0 - d::DOUBLE / n_risk)
-                               ELSE 0.0 END AS term,
-                          max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
-                            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW) AS dead
-                   FROM rk)
-         SELECT t, n_risk, d AS n_churn, c AS n_censored,
-                CASE WHEN dead = 1 THEN 0.0
-                     ELSE (round(exp(sum(term) OVER (ORDER BY t
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-                            4) + 0.0) END AS survival
-         FROM tm ORDER BY t""",
-    "q_dedup_report" ->
-      // the q_dedup_cluster component CTE, rolled up per source
-      """WITH RECURSIVE
-            base AS (SELECT doc_id, lang, source,
-                            string_split(text, ' ') AS toks FROM documents),
-            ng AS (SELECT doc_id, lang, source,
-                          list_distinct(list_transform(range(1, len(toks) - 1),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
-                   FROM base),
-            nz AS (SELECT doc_id, lang, source, ngs FROM ng WHERE len(ngs) > 0),
-            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
-            dfreq AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
-            ex AS (SELECT ex0.* FROM ex0 JOIN dfreq USING (g) WHERE df <= 100),
-            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
-            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-                      FROM ex a JOIN ex b
-                        ON a.lang = b.lang AND a.source = b.source
-                       AND a.g = b.g AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2),
-            pairs AS (SELECT d1, d2
-                      FROM inter JOIN sz s1 ON s1.doc_id = d1
-                                 JOIN sz s2 ON s2.doc_id = d2
-                      WHERE (round(CAST(inter AS DOUBLE)
-                                  / (s1.nsz + s2.nsz - inter), 4) + 0.0) >= 0.5),
-            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                      UNION ALL SELECT d2, d1 FROM pairs),
-            reach AS (SELECT doc_id AS v, doc_id AS r FROM documents
-                      UNION
-                      SELECT e.b AS v, reach.r AS r
-                      FROM reach JOIN edges e ON e.a = reach.v),
-            comp AS (SELECT v AS doc_id, min(r) AS component
-                     FROM reach GROUP BY 1)
-         SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(count(DISTINCT comp.component) AS BIGINT) AS n_clusters,
-                CAST(count(*) - count(DISTINCT comp.component) AS BIGINT) AS n_dups,
-                (round((count(*) - count(DISTINCT comp.component))::DOUBLE
-                       / count(*), 4) + 0.0) AS dup_rate
-         FROM comp JOIN documents dd USING (doc_id)
-         GROUP BY 1 ORDER BY 1""",
-    "q_chisq" ->
-      // weekday x event-type independence; Monday=0 (isodow-1)
-      """WITH g AS (SELECT CAST(isodow(ts::TIMESTAMP) - 1 AS INT) AS wd,
-                           event_type, CAST(count(*) AS BIGINT) AS n
-                    FROM events GROUP BY 1, 2),
-            dims AS (SELECT CAST(count(DISTINCT wd) AS BIGINT) AS nr,
-                            CAST(count(DISTINCT event_type) AS BIGINT) AS nc
-                     FROM g),
-            t AS (SELECT wd, event_type, n,
-                         CAST(sum(n) OVER (PARTITION BY wd) AS BIGINT) AS rt,
-                         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS ct,
-                         CAST(sum(n) OVER () AS BIGINT) AS tot
-                  FROM g),
-            e AS (SELECT t.*, nr, nc, (rt * ct)::DOUBLE / tot AS e
-                  FROM t, dims),
-            c AS (SELECT *, (n - e) * (n - e) / e AS contrib FROM e)
-         SELECT wd, event_type, n, (round(e, 4) + 0.0) AS expected,
-                (round(contrib, 4) + 0.0) AS contrib,
-                (round(sum(contrib) OVER (), 4) + 0.0) AS chi2,
-                (nr - 1) * (nc - 1) AS dof
-         FROM c ORDER BY wd, event_type""",
-    "q_mix_kl" ->
-      // q_mix_temperature's share derivation; KL(target||natural) and
-      // total-variation distance as full-frame window sums
-      """WITH bl AS (SELECT lang, count(*) AS n_docs,
-                            CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-                              AS tokens
-                     FROM documents GROUP BY 1),
-            t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM bl),
-            sh AS (SELECT lang, n_docs, tokens,
-                          CAST(tokens AS DOUBLE) / total_tokens AS q,
-                          sqrt(CAST(tokens AS DOUBLE) / total_tokens) AS wt
-                   FROM bl, t),
-            ws AS (SELECT sum(wt) AS wt_sum FROM sh),
-            m AS (SELECT lang, n_docs, tokens, q, wt / wt_sum AS p
-                  FROM sh, ws),
-            c AS (SELECT *, p * ln(p / q) AS contrib, abs(p - q) AS tvterm
-                  FROM m)
-         SELECT lang, n_docs, tokens,
-                (round(q, 4) + 0.0) AS natural_share,
-                (round(p, 4) + 0.0) AS target_share,
-                (round(contrib, 4) + 0.0) AS contrib,
-                (round(sum(contrib) OVER (), 4) + 0.0) AS kl,
-                (round(sum(tvterm) OVER () / 2.0, 4) + 0.0) AS tv_dist
-         FROM c ORDER BY lang""",
-    "q_mann_kendall" ->
-      // S, tie-corrected Var(S) and continuity-corrected z over daily
-      // cents — all int64 until the single /18.0 division and sqrt
-      """WITH daily AS (SELECT CAST(ts::TIMESTAMP AS DATE) AS day,
-                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                                 AS cents
-                        FROM events GROUP BY 1),
-            p AS (SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
-                                       WHEN b.cents < a.cents THEN -1
-                                       ELSE 0 END) AS BIGINT) AS s
-                  FROM daily a JOIN daily b ON b.day > a.day),
-            n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
-            t AS (SELECT CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0)
-                              AS BIGINT) AS ties
-                  FROM (SELECT count(*) AS tc FROM daily
-                        GROUP BY cents HAVING count(*) > 1) g),
-            v AS (SELECT nd, s, ties,
-                         (nd * (nd - 1) * (2 * nd + 5) - ties) AS var18
-                  FROM p, n, t)
-         SELECT nd AS n_days, s,
-                (round(var18 / 18.0, 4) + 0.0) AS var_s,
-                (round(CASE WHEN var18 = 0 THEN 0.0
-                            WHEN s > 0 THEN (s - 1) / sqrt(var18 / 18.0)
-                            WHEN s < 0 THEN (s + 1) / sqrt(var18 / 18.0)
-                            ELSE 0.0 END, 4) + 0.0) AS z,
-                CASE WHEN s > 0 THEN 'increasing'
-                     WHEN s < 0 THEN 'decreasing'
-                     ELSE 'flat' END AS trend
-         FROM v""",
-    "q_ttest_welch" ->
-      // Welch t from exact per-arm (n, Σx, Σx²); the only precision-
-      // sensitive term is spelled sx::DOUBLE * sx / n on both engines
-      """WITH u AS (SELECT user_id,
-                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-                           CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
-                                THEN 1 ELSE 0 END AS arm
-                    FROM events GROUP BY user_id),
-            g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
-                         CAST(sum(cents) AS BIGINT) AS sx,
-                         CAST(sum(cents * cents) AS BIGINT) AS sxx
-                  FROM u GROUP BY arm),
-            ab AS (SELECT
-                     max(CASE WHEN arm = 1 THEN n END) AS na,
-                     max(CASE WHEN arm = 1 THEN sx END) AS sxa,
-                     max(CASE WHEN arm = 1 THEN sxx END) AS sxxa,
-                     max(CASE WHEN arm = 0 THEN n END) AS nb,
-                     max(CASE WHEN arm = 0 THEN sx END) AS sxb,
-                     max(CASE WHEN arm = 0 THEN sxx END) AS sxxb
-                   FROM g),
-            st AS (SELECT na, nb,
-                          sxa::DOUBLE / na AS ma, sxb::DOUBLE / nb AS mb,
-                          (sxxa - sxa::DOUBLE * sxa / na) / (na - 1) AS va,
-                          (sxxb - sxb::DOUBLE * sxb / nb) / (nb - 1) AS vb
-                   FROM ab),
-            w AS (SELECT na, nb, ma, mb, va, vb,
-                         va / na + vb / nb AS se2 FROM st)
-         SELECT na AS n_a, nb AS n_b,
-                (round(ma / 100.0, 4) + 0.0) AS mean_a,
-                (round(mb / 100.0, 4) + 0.0) AS mean_b,
-                (round((ma - mb) / sqrt(se2), 4) + 0.0) AS t_stat,
-                (round(se2 * se2 / ((va / na) * (va / na) / (na - 1) +
-                                    (vb / nb) * (vb / nb) / (nb - 1)), 4) + 0.0)
-                  AS df
-         FROM w""",
-    "q_cramers_v" ->
-      // same contingency derivation as q_chisq, reduced to the single
-      // effect-size row: V = sqrt(chi2 / (N * min(r-1, c-1)))
-      """WITH g AS (SELECT CAST(isodow(ts::TIMESTAMP) - 1 AS INT) AS wd, event_type,
-                           CAST(count(*) AS BIGINT) AS n
-                    FROM events GROUP BY 1, 2),
-            dims AS (SELECT CAST(count(DISTINCT wd) AS BIGINT) AS nr,
-                            CAST(count(DISTINCT event_type) AS BIGINT) AS nc
-                     FROM g),
-            t AS (SELECT wd, event_type, n,
-                         CAST(sum(n) OVER (PARTITION BY wd) AS BIGINT) AS rt,
-                         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS ct,
-                         CAST(sum(n) OVER () AS BIGINT) AS tot
-                  FROM g),
-            e AS (SELECT n, tot, (rt * ct)::DOUBLE / tot AS e FROM t),
-            c AS (SELECT (n - e) * (n - e) / e AS contrib, tot FROM e),
-            x AS (SELECT sum(contrib) AS chi2, max(tot) AS tot FROM c)
-         SELECT (round(chi2, 4) + 0.0) AS chi2,
-                (nr - 1) * (nc - 1) AS dof,
-                tot AS n,
-                (round(sqrt(chi2 / (tot * least(nr - 1, nc - 1))), 4) + 0.0)
-                  AS cramers_v
-         FROM x, dims""",
-    "q_regression" ->
-      // OLS from exact int64 sufficient statistics; num²/den products
-      // are spelled a::DOUBLE * b identically on both engines
-      """WITH d0 AS (SELECT min(CAST(ts::TIMESTAMP AS DATE)) AS mind FROM events),
-            r AS (SELECT event_type,
-                         CAST(datediff('day', mind, CAST(ts::TIMESTAMP AS DATE))
-                              AS BIGINT) AS x,
-                         CAST(round(value * 100) AS BIGINT) AS y
-                  FROM events, d0),
-            a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                         CAST(sum(x * y) AS BIGINT) AS sxy,
-                         CAST(sum(x * x) AS BIGINT) AS sxx,
-                         CAST(sum(y * y) AS BIGINT) AS syy
-                  FROM r GROUP BY 1),
-            s AS (SELECT event_type, n,
-                         (n * sxy - sx * sy) AS num,
-                         (n * sxx - sx * sx) AS den1,
-                         (n * syy - sy * sy) AS den2,
-                         sx, sy FROM a),
-            f AS (SELECT event_type, n,
-                         num::DOUBLE / den1 AS slope_raw,
-                         (sy::DOUBLE - num::DOUBLE / den1 * sx) / n AS icept_raw,
-                         num::DOUBLE * num / (den1::DOUBLE * den2) AS r2_raw
-                  FROM s)
-         SELECT event_type, n,
-                (round(slope_raw / 100.0, 4) + 0.0) AS slope,
-                (round(icept_raw / 100.0, 4) + 0.0) AS intercept,
-                (round(r2_raw, 4) + 0.0) AS r2
-         FROM f ORDER BY event_type""",
-    "q_bot_filter" ->
-      """WITH pm AS (SELECT user_id, date_trunc('minute', ts::TIMESTAMP) AS m,
-                            CAST(count(*) AS BIGINT) AS c
-                     FROM events GROUP BY 1, 2),
-            u AS (SELECT user_id, CAST(max(c) AS BIGINT) AS peak_epm,
-                         CAST(count(*) AS BIGINT) AS active_minutes,
-                         CAST(sum(c) AS BIGINT) AS total_events
-                  FROM pm GROUP BY 1)
-         SELECT user_id, peak_epm, active_minutes, total_events
-         FROM u WHERE peak_epm >= 2 ORDER BY user_id""",
-    "q_graph_components" ->
-      // strong-tie cutoff w·|E| ≥ 2·Σw in exact int64; components =
-      // min reachable label over the symmetrized strong edges
-      """WITH RECURSIVE
-           edges0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-                             CAST(count(*) AS BIGINT) AS w
-                      FROM lineitem l
-                      JOIN orders o ON l.l_orderkey = o.o_orderkey
-                      JOIN customer c ON o.o_custkey = c.c_custkey
-                      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                      GROUP BY 1, 2),
-           cut AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
-                          CAST(count(*) AS BIGINT) AS ne FROM edges0),
-           strong AS (SELECT src, dst FROM edges0, cut
-                      WHERE src <> dst AND w * ne >= 2 * tw),
-           sym AS (SELECT src AS u, dst AS v FROM strong
-                   UNION SELECT dst AS u, src AS v FROM strong),
-           nodes AS (SELECT n_nationkey AS u FROM nation),
-           walk(u, lbl) AS (
-             SELECT u, u FROM nodes
-             UNION
-             SELECT s.v, w.lbl FROM walk w JOIN sym s ON s.u = w.u),
-           comp AS (SELECT u AS nationkey, min(lbl) AS component
-                    FROM walk GROUP BY u),
-           sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
-                     FROM comp GROUP BY 1)
-         SELECT c.nationkey, n.n_name AS nation, c.component,
-                s.csize AS component_size
-         FROM comp c JOIN nation n ON c.nationkey = n.n_nationkey
-                     JOIN sizes s ON c.component = s.component
-         ORDER BY c.nationkey""",
-    "q_mrr" ->
-      // same candidate ranking as q_ndcg; rr = 1/first-relevant rank,
-      // MRR averages the ROUNDED rr values (Spark does the same)
-      """WITH em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-            q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
-                  FROM em WHERE vec_id < 10),
-            sims AS (SELECT q_id, q_label, vec_id AS n_id, label AS n_label,
-                            (round(list_dot_product(qv, v) /
-                                  (sqrt(list_dot_product(qv, qv)) *
-                                   sqrt(list_dot_product(v, v))), 4) + 0.0) AS sim
-                     FROM em, q WHERE vec_id <> q_id),
-            rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                     ORDER BY sim DESC, n_id) AS rn
-                   FROM sims),
-            top AS (SELECT * FROM rk WHERE rn <= 10),
-            rr AS (SELECT q_id,
-                          (round(coalesce(1.0 /
-                             min(CASE WHEN n_label = q_label THEN rn END), 0.0),
-                             4) + 0.0) AS rr
-                   FROM top GROUP BY q_id)
-         SELECT q_id, rr, (round(avg(rr) OVER (), 4) + 0.0) AS mrr
-         FROM rr ORDER BY q_id""",
-    "q_theil_sen" ->
-      // median of pairwise slopes picked MANUALLY (row_number bracket)
-      // so no engine-specific percentile interpolation is in play
-      """WITH daily AS (SELECT CAST(ts::TIMESTAMP AS DATE) AS day,
-                               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                                 AS cents
-                        FROM events GROUP BY 1),
-            p AS (SELECT (b.cents - a.cents)::DOUBLE /
-                           datediff('day', a.day, b.day) AS slope
-                  FROM daily a JOIN daily b ON b.day > a.day),
-            o AS (SELECT slope,
-                         row_number() OVER (ORDER BY slope) AS rn,
-                         CAST(count(*) OVER () AS BIGINT) AS cnt
-                  FROM p),
-            sel AS (SELECT slope, cnt FROM o
-                    WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2),
-            n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
-         SELECT n_days, max(cnt) AS n_pairs,
-                (round(sum(slope) / count(*) / 100.0, 4) + 0.0) AS slope
-         FROM sel, n GROUP BY n_days""",
-    "q_power_mde" ->
-      // MDE on day-one conversion at alpha=0.05 / 80% power, given the
-      // observed md5-gated arm sizes (the q_ab_test derivation)
-      """WITH f AS (SELECT user_id,
-                           min(epoch_us(ts::TIMESTAMP)//1000000) AS first_sec,
-                           min(CASE WHEN event_type = 'purchase'
-                                    THEN epoch_us(ts::TIMESTAMP)//1000000 END)
-                             AS first_purch
-                    FROM events GROUP BY user_id),
-            u AS (SELECT user_id,
-                         CASE WHEN first_purch IS NOT NULL
-                                   AND first_purch - first_sec <= 86400
-                              THEN 1 ELSE 0 END AS conv,
-                         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
-                              THEN 1 ELSE 0 END AS arm
-                  FROM f),
-            ab AS (SELECT
-                     CAST(sum(arm) AS BIGINT) AS na,
-                     CAST(sum(arm * conv) AS BIGINT) AS ca,
-                     CAST(sum(1 - arm) AS BIGINT) AS nb,
-                     CAST(sum((1 - arm) * conv) AS BIGINT) AS cb
-                   FROM u),
-            pp AS (SELECT na, nb,
-                          (ca + cb)::DOUBLE / (na + nb) AS p_pool FROM ab),
-            m AS (SELECT na, nb, p_pool,
-                         2.8016 * sqrt(p_pool * (1.0 - p_pool) *
-                                       (1.0 / na + 1.0 / nb)) AS mde_abs
-                  FROM pp)
-         SELECT na AS n_a, nb AS n_b,
-                (round(p_pool, 4) + 0.0) AS p_pool,
-                (round(mde_abs, 4) + 0.0) AS mde_abs,
-                (round(mde_abs / p_pool, 4) + 0.0) AS mde_rel
-         FROM m""",
-    "q_ngram_novelty" ->
-      // gram ownership = min doc_id; novel count per doc comes from
-      // the ownership frame alone (no corpus-gram join back)
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
-                       FROM documents),
-            ng AS (SELECT doc_id,
-                          list_distinct(list_transform(range(1, len(toks) - 1),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
-                   FROM base),
-            nz AS (SELECT doc_id, ngs FROM ng WHERE len(ngs) > 0),
-            ex AS (SELECT doc_id, unnest(ngs) AS g FROM nz),
-            firsts AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY 1),
-            novel AS (SELECT first_doc AS doc_id,
-                             CAST(count(*) AS BIGINT) AS novel
-                      FROM firsts GROUP BY 1),
-            szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex
-                    GROUP BY 1)
-         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(coalesce(sum(s.n), 0) AS BIGINT) AS n_grams,
-                CAST(coalesce(sum(v.novel), 0) AS BIGINT) AS novel_grams,
-                (round(coalesce(sum(v.novel), 0)::DOUBLE /
-                       coalesce(sum(s.n), 0), 4) + 0.0) AS novelty_rate
-         FROM documents d LEFT JOIN szs s USING (doc_id)
-                          LEFT JOIN novel v USING (doc_id)
-         GROUP BY 1 ORDER BY 1""",
-    "q_dup_family_hist" ->
-      // the q_dedup_cluster component CTE, rolled into a family-size
-      // histogram; singletons are real k=1 families
-      """WITH RECURSIVE
-            base AS (SELECT doc_id, lang, source,
-                            string_split(text, ' ') AS toks FROM documents),
-            ng AS (SELECT doc_id, lang, source,
-                          list_distinct(list_transform(range(1, len(toks) - 1),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
-                   FROM base),
-            nz AS (SELECT doc_id, lang, source, ngs FROM ng WHERE len(ngs) > 0),
-            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
-            dfreq AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
-            ex AS (SELECT ex0.* FROM ex0 JOIN dfreq USING (g) WHERE df <= 100),
-            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
-            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-                      FROM ex a JOIN ex b
-                        ON a.lang = b.lang AND a.source = b.source
-                       AND a.g = b.g AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2),
-            pairs AS (SELECT d1, d2
-                      FROM inter JOIN sz s1 ON s1.doc_id = d1
-                                 JOIN sz s2 ON s2.doc_id = d2
-                      WHERE (round(CAST(inter AS DOUBLE)
-                                  / (s1.nsz + s2.nsz - inter), 4) + 0.0) >= 0.5),
-            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                      UNION ALL SELECT d2, d1 FROM pairs),
-            reach AS (SELECT doc_id AS v, doc_id AS r FROM documents
-                      UNION
-                      SELECT e.b AS v, reach.r AS r
-                      FROM reach JOIN edges e ON e.a = reach.v),
-            comp AS (SELECT v AS doc_id, min(r) AS component
-                     FROM reach GROUP BY 1),
-            sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS family_size
-                      FROM comp GROUP BY 1),
-            total AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
-         SELECT family_size, CAST(count(*) AS BIGINT) AS n_families,
-                CAST(family_size * count(*) AS BIGINT) AS n_docs,
-                (round((family_size * count(*))::DOUBLE / nd, 4) + 0.0)
-                  AS corpus_share
-         FROM sizes, total GROUP BY family_size, nd ORDER BY family_size""",
-    "q_bootstrap_ci" ->
-      // deterministic Poisson bootstrap: per-(user, replicate) weight
-      // from an inverse-CDF ladder on the md5 uniform; percentile
-      // bracket picked manually (no engine interpolation)
-      """WITH u AS (SELECT user_id,
-                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                             AS cents
-                    FROM events GROUP BY user_id),
-            reps AS (SELECT i AS b FROM range(1, 201) t(i)),
-            w AS (SELECT u.user_id, u.cents, r.b,
-                         ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':' ||
-                                             CAST(r.b AS VARCHAR)), 1, 8))::BIGINT
-                           / 4294967296.0 AS uu
-                  FROM u, reps r),
-            pw AS (SELECT user_id, cents, b,
-                          CASE WHEN uu < 0.3679 THEN 0
-                               WHEN uu < 0.7358 THEN 1
-                               WHEN uu < 0.9197 THEN 2
-                               WHEN uu < 0.9810 THEN 3
-                               WHEN uu < 0.9963 THEN 4
-                               WHEN uu < 0.9994 THEN 5
-                               WHEN uu < 0.9999 THEN 6
-                               ELSE 7 END AS wt
-                   FROM w),
-            means AS (SELECT b,
-                             CAST(sum(wt * cents) AS BIGINT) AS num,
-                             CAST(sum(wt) AS BIGINT) AS den
-                      FROM pw GROUP BY b),
-            mv AS (SELECT b, num::DOUBLE / den AS m FROM means WHERE den > 0),
-            o AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn,
-                         CAST(count(*) OVER () AS BIGINT) AS cnt
-                  FROM mv),
-            full_mean AS (SELECT sum(cents)::DOUBLE / count(*) AS mean_raw,
-                                 CAST(count(*) AS BIGINT) AS n_users
-                          FROM u)
-         SELECT n_users, (SELECT max(cnt) FROM o) AS n_replicates,
-                (round(mean_raw / 100.0, 4) + 0.0) AS mean_obs,
-                (round((SELECT m FROM o WHERE rn = (cnt * 25 + 999) // 1000)
-                       / 100.0, 4) + 0.0) AS ci_lo,
-                (round((SELECT m FROM o WHERE rn = (cnt * 975) // 1000)
-                       / 100.0, 4) + 0.0) AS ci_hi
-         FROM full_mean""",
-    "q_bot_stream" ->
-      // batch truth of the streaming rate alarm: sealed per-(user,
-      // minute) counts at the bot threshold
-      """WITH pm AS (SELECT user_id,
-                            epoch_us(date_trunc('minute', ts::TIMESTAMP)) AS minute_us,
-                            CAST(count(*) AS BIGINT) AS n_events
-                     FROM events GROUP BY 1, 2)
-         SELECT user_id, minute_us, n_events
-         FROM pm WHERE n_events >= 2
-         ORDER BY user_id, minute_us""",
-    "q_calibration" ->
-      // reliability table + ECE of the spend-rank score: all exact-int
-      // rationals — conf=Σr/(n_b·n), acc=Σpos/n_b, ECE=Σ|Σpos·n−Σr|/n²
-      """WITH f AS (SELECT user_id,
-                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-                           min(epoch_us(ts::TIMESTAMP)//1000000) AS first_sec,
-                           min(CASE WHEN event_type = 'purchase'
-                                    THEN epoch_us(ts::TIMESTAMP)//1000000 END)
-                             AS first_purch
-                    FROM events GROUP BY user_id),
-            sc AS (SELECT user_id, cents,
-                          CASE WHEN first_purch IS NOT NULL
-                                    AND first_purch - first_sec <= 86400
-                               THEN 1 ELSE 0 END AS pos
-                   FROM f),
-            rk AS (SELECT cents, pos,
-                          CAST(row_number() OVER (ORDER BY cents, user_id)
-                               AS BIGINT) AS r,
-                          CAST(count(*) OVER () AS BIGINT) AS n
-                   FROM sc),
-            b AS (SELECT CAST(((r - 1) * 10) // n AS INT) AS bin,
-                         CAST(count(*) AS BIGINT) AS n_users,
-                         CAST(sum(r) AS BIGINT) AS sr,
-                         CAST(sum(pos) AS BIGINT) AS p,
-                         CAST(min(n) AS BIGINT) AS n
-                  FROM rk GROUP BY 1)
-         SELECT bin, n_users,
-                (round(sr::DOUBLE / (n_users * n), 4) + 0.0) AS conf,
-                (round(p::DOUBLE / n_users, 4) + 0.0) AS acc,
-                (round(abs(p * n - sr)::DOUBLE / (n_users * n), 4) + 0.0)
-                  AS gap,
-                (round(CAST(sum(abs(p * n - sr)) OVER () AS BIGINT)::DOUBLE
-                       / (n * n), 4) + 0.0) AS ece
-         FROM b ORDER BY bin""",
-    "q_pr_curve" ->
-      // precision/recall/F1 at every distinct score threshold; cum
-      // windows over the distinct-score frame (q_auc's machinery)
-      """WITH f AS (SELECT user_id,
-                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-                           min(epoch_us(ts::TIMESTAMP)//1000000) AS first_sec,
-                           min(CASE WHEN event_type = 'purchase'
-                                    THEN epoch_us(ts::TIMESTAMP)//1000000 END)
-                             AS first_purch
-                    FROM events GROUP BY user_id),
-            sc AS (SELECT cents,
-                          CASE WHEN first_purch IS NOT NULL
-                                    AND first_purch - first_sec <= 86400
-                               THEN 1 ELSE 0 END AS pos
-                   FROM f),
-            bv AS (SELECT cents, CAST(sum(pos) AS BIGINT) AS np,
-                          CAST(sum(1 - pos) AS BIGINT) AS nn
-                   FROM sc GROUP BY 1),
-            t AS (SELECT CAST(sum(pos) AS BIGINT) AS n1 FROM sc),
-            c AS (SELECT cents,
-                         CAST(sum(np) OVER (ORDER BY cents DESC
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                           AS BIGINT) AS tp,
-                         CAST(sum(nn) OVER (ORDER BY cents DESC
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                           AS BIGINT) AS fp
-                  FROM bv)
-         SELECT cents AS thr_cents, tp, fp,
-                (round(tp::DOUBLE / (tp + fp), 4) + 0.0) AS prec,
-                (round(tp::DOUBLE / n1, 4) + 0.0) AS recall,
-                (round(2.0 * tp / (tp + fp + n1), 4) + 0.0) AS f1
-         FROM c, t ORDER BY thr_cents""",
-    "q_cohens_kappa" ->
-      // agreement of the quality gate vs the repetition gate; κ from
-      // exact int64 confusion counts, ONE division
-      """WITH t0 AS (SELECT doc_id, text, string_split(text, ' ') AS toks
-                     FROM documents),
-            qa AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
-                          (round(CAST(length(replace(text, ' ', ''))
-                                 AS DOUBLE) / len(toks), 4) + 0.0) AS mtl,
-                          (round(CAST(len(list_distinct(toks)) AS DOUBLE)
-                                / len(toks), 4) + 0.0) AS uq,
-                          (round(CAST(len(list_filter(toks,
-                                  t -> t IN ('the', 'a'))) AS DOUBLE)
-                                / len(toks), 4) + 0.0) AS sr
-                   FROM t0),
-            ra AS (SELECT doc_id,
-                          CAST((n_tokens BETWEEN 10 AND 5000)
-                               AND (mtl BETWEEN 2.0 AND 12.0)
-                               AND uq > 0.2 AND sr < 0.3 AS BIGINT) AS a
-                   FROM qa),
-            tokc AS (SELECT doc_id, tok, count(*) AS c
-                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                           FROM documents) u
-                     GROUP BY 1, 2),
-            topf AS (SELECT doc_id, max(c) AS maxc,
-                            CAST(sum(c) AS BIGINT) AS n
-                     FROM tokc GROUP BY 1),
-            bg AS (SELECT doc_id, unnest(list_transform(list_zip(toks, toks[2:]),
-                                         p -> p[1] || ' ' || p[2])) AS bigram
-                   FROM t0),
-            bgs AS (SELECT doc_id, count(*) AS n_bg,
-                           count(DISTINCT bigram) AS n_bg_d
-                    FROM bg WHERE bigram IS NOT NULL GROUP BY 1),
-            rb AS (SELECT f.doc_id,
-                          CAST(((round(f.maxc::DOUBLE / f.n, 4) + 0.0) < 0.2)
-                               AND ((round(coalesce(
-                                      (g.n_bg - g.n_bg_d)::DOUBLE
-                                        / nullif(g.n_bg, 0), 0.0), 4) + 0.0)
-                                    < 0.2) AS BIGINT) AS b
-                   FROM topf f LEFT JOIN bgs g ON f.doc_id = g.doc_id),
-            cells AS (SELECT CAST(sum(a * b) AS BIGINT) AS n11,
-                             CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
-                             CAST(sum((1 - a) * b) AS BIGINT) AS n01,
-                             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
-                      FROM ra JOIN rb USING (doc_id)),
-            z AS (SELECT n11, n10, n01, n00,
-                         n11 + n10 + n01 + n00 AS nn,
-                         (n11 + n10) * (n11 + n01)
-                           + (n01 + n00) * (n10 + n00) AS pe_num
-                  FROM cells)
-         SELECT n11, n10, n01, n00,
-                (round((n11 + n00)::DOUBLE / nn, 4) + 0.0) AS po,
-                (round(pe_num::DOUBLE / (nn * nn), 4) + 0.0) AS pe,
-                (round((nn * (n11 + n00) - pe_num)::DOUBLE
-                       / (nn * nn - pe_num), 4) + 0.0) AS kappa
-         FROM z ORDER BY n11""",
-    "q_item_cf" ->
-      // item-item CF: cosine on binary basket vectors, top-3 neighbors
-      // per brand ranked on the ROUNDED cosine with brand tie-break
-      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
-                     FROM lineitem JOIN part ON l_partkey = p_partkey),
-            bc AS (SELECT b, CAST(count(*) AS BIGINT) AS nb
-                   FROM ob GROUP BY 1),
-            pr AS (SELECT x.b AS brand, y.b AS neighbor,
-                          CAST(count(*) AS BIGINT) AS co
-                   FROM ob x JOIN ob y ON x.ok = y.ok AND x.b <> y.b
-                   GROUP BY 1, 2),
-            sm AS (SELECT brand, neighbor, co,
-                          (round(co::DOUBLE
-                                 / sqrt(CAST(a.nb * c.nb AS DOUBLE)), 4)
-                           + 0.0) AS cosine
-                   FROM pr JOIN bc a ON pr.brand = a.b
-                           JOIN bc c ON pr.neighbor = c.b),
-            rk AS (SELECT brand, neighbor, co, cosine,
-                          row_number() OVER (PARTITION BY brand
-                            ORDER BY cosine DESC, neighbor) AS rk
-                   FROM sm)
-         SELECT brand, CAST(rk AS INT) AS rk, neighbor, co, cosine
-         FROM rk WHERE rk <= 3 ORDER BY brand, rk""",
-    "q_skyline" ->
-      // DELIBERATELY the independent NOT EXISTS dominance formulation —
-      // the hash gate proves the Spark window rewrite IS skyline
-      // semantics, not a mirrored expression
-      """WITH p AS (SELECT p_partkey, p_brand, p_size,
-                           CAST(round(p_retailprice * 100) AS BIGINT) AS pc
-                    FROM part)
-         SELECT p_partkey, p_brand, p_size,
-                (round(pc::DOUBLE / 100.0, 4) + 0.0) AS price
-         FROM p
-         WHERE NOT EXISTS (SELECT 1 FROM p q
-                           WHERE q.pc <= p.pc AND q.p_size >= p.p_size
-                             AND (q.pc < p.pc OR q.p_size > p.p_size))
-         ORDER BY p_partkey""",
-    "q_mix_shift" ->
-      // two-period rate-vs-mix decomposition per market segment; every
-      // effect term is ONE identically-spelled IEEE chain from exact ints
-      """WITH b AS (SELECT min(epoch_us(o_orderdate::TIMESTAMP)//1000000) AS mn,
-                           max(epoch_us(o_orderdate::TIMESTAMP)//1000000) AS mx
-                    FROM orders),
-            o AS (SELECT c_mktsegment AS segment,
-                         CASE WHEN epoch_us(o_orderdate::TIMESTAMP)//1000000 * 2
-                                   < mn + mx THEN 1 ELSE 2 END AS p,
-                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-                  FROM orders CROSS JOIN b
-                       JOIN customer ON o_custkey = c_custkey),
-            seg AS (SELECT segment,
-                           CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-                           CAST(sum(CASE WHEN p = 1 THEN cents ELSE 0 END) AS BIGINT) AS c1,
-                           CAST(sum(CASE WHEN p = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-                           CAST(sum(CASE WHEN p = 2 THEN cents ELSE 0 END) AS BIGINT) AS c2
-                    FROM o GROUP BY 1),
-            t AS (SELECT segment, n1, n2, c1, c2,
-                         CAST(sum(n1) OVER () AS BIGINT) AS tn1,
-                         CAST(sum(n2) OVER () AS BIGINT) AS tn2
-                  FROM seg)
-         SELECT segment, n1, n2,
-                (round(n1::DOUBLE / tn1, 4) + 0.0) AS w1,
-                (round(n2::DOUBLE / tn2, 4) + 0.0) AS w2,
-                (round(c1::DOUBLE / n1 / 100.0, 4) + 0.0) AS r1,
-                (round(c2::DOUBLE / n2 / 100.0, 4) + 0.0) AS r2,
-                (round((n2::DOUBLE / tn2) * (c2::DOUBLE / n2 - c1::DOUBLE / n1)
-                       / 100.0, 4) + 0.0) AS rate_effect,
-                (round((n2::DOUBLE / tn2 - n1::DOUBLE / tn1)
-                       * (c1::DOUBLE / n1) / 100.0, 4) + 0.0) AS mix_effect
-         FROM t ORDER BY segment""",
-    "q_sample_pps" ->
-      // systematic PPS: per-lang cumulative weights, md5-derived start,
-      // k=5 equally-spaced picks — exact int64 end to end
-      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
-            sp AS (SELECT doc_id, lang, n_chars,
-                          CAST(sum(n_chars) OVER (PARTITION BY lang
-                            ORDER BY doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                            AS BIGINT) AS hi
-                   FROM d),
-            sp2 AS (SELECT doc_id, lang, n_chars, hi,
-                           hi - n_chars AS lo FROM sp),
-            t AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w
-                  FROM d GROUP BY 1),
-            t2 AS (SELECT lang, w, w // 5 AS step,
-                          (('0x' || substr(md5(lang), 1, 8))::BIGINT)
-                            % (w // 5) AS off
-                   FROM t),
-            offs AS (SELECT lang, off + j * step AS o
-                     FROM t2 CROSS JOIN (SELECT unnest(range(5)) AS j) js)
-         SELECT s.lang, s.doc_id, s.n_chars,
-                CAST(count(*) AS BIGINT) AS multiplicity
-         FROM sp2 s JOIN offs f
-              ON s.lang = f.lang AND f.o >= s.lo AND f.o < s.hi
-         GROUP BY s.lang, s.doc_id, s.n_chars
-         ORDER BY s.lang, s.doc_id""",
-    "q_audio_stats" ->
-      // closed-form acoustic truth from the source payload: sample =
-      // (byte - 128) << 8, so |s| = (128 - ord(char)) * 256 on the
-      // ASCII corpus (a non-ASCII regeneration breaks this gate LOUDLY)
-      """WITH a AS (SELECT doc_id, text FROM documents
-                    WHERE doc_id % 3 = 1 AND length(text) > 0),
-            ch AS (SELECT doc_id,
-                          (128 - ord(substr(text, CAST(i AS INT), 1))) * 256 AS av
-                   FROM a, unnest(range(1, length(text) + 1)) AS t(i)),
-            st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns,
-                          max(av) AS peak,
-                          CAST(sum(av) AS BIGINT) AS sabs,
-                          CAST(sum(CAST(av AS BIGINT) * av) AS BIGINT) AS ssq,
-                          CAST(sum(CASE WHEN av < 2048 THEN 1 ELSE 0 END)
-                               AS BIGINT) AS nq
-                   FROM ch GROUP BY 1)
-         SELECT doc_id AS asset_id, CAST(ns AS INT) AS n_samples,
-                CAST(peak AS INT) AS peak,
-                (round(sabs::DOUBLE / ns, 4) + 0.0) AS mean_abs,
-                (round(sqrt(ssq::DOUBLE / ns), 4) + 0.0) AS rms,
-                (round(nq::DOUBLE / ns, 4) + 0.0) AS quiet_ratio
-         FROM st ORDER BY asset_id""",
-    "q_pixel_stats" ->
-      // closed-form pixel truth: the builder cycles the payload through
-      // the stride-padded pixel array, so Σbytes = q·Σpayload +
-      // prefix(r) for L = q·n + r — the engine must recover identical
-      // numbers by parsing the container
-      """WITH a AS (SELECT doc_id, text, length(text) AS n FROM documents
-                    WHERE doc_id % 3 = 0 AND length(text) > 0),
-            g AS (SELECT doc_id, n, 4 + n % 60 AS w,
-                         4 + (7 * n) % 44 AS h
-                  FROM a),
-            g3 AS (SELECT doc_id, n, w, h,
-                          (((3 * w + 3) // 4) * 4) * h AS L
-                   FROM g),
-            ch AS (SELECT a.doc_id, i,
-                          ord(substr(a.text, CAST(i AS INT), 1)) AS v
-                   FROM a, unnest(range(1, length(a.text) + 1)) AS t(i)),
-            pre AS (SELECT ch.doc_id,
-                           CAST(sum(v) AS BIGINT) AS s_all, max(v) AS m_all,
-                           CAST(sum(CASE WHEN i <= g3.L % g3.n THEN v
-                                         ELSE 0 END) AS BIGINT) AS s_pre,
-                           max(CASE WHEN i <= g3.L % g3.n THEN v END) AS m_pre
-                    FROM ch JOIN g3 ON ch.doc_id = g3.doc_id GROUP BY 1)
-         SELECT g3.doc_id AS asset_id, w AS width, h AS height,
-                CAST(L AS INT) AS n_bytes,
-                CAST(CASE WHEN L // n >= 1 THEN m_all
-                          ELSE coalesce(m_pre, 0) END AS INT) AS max_byte,
-                (round(((L // n) * s_all + s_pre)::DOUBLE / L, 4) + 0.0)
-                  AS mean_byte
-         FROM g3 JOIN pre ON g3.doc_id = pre.doc_id
-         ORDER BY asset_id""",
-    // both round-trip oracles aggregate the PARQUET source — the Spark
-    // side aggregates what came back through the text format, so any
-    // fidelity loss in the writer→reader loop breaks the hash
-    "q_csv_roundtrip" ->
-      """SELECT event_type,
-                CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
-                CAST(count(*) AS BIGINT) AS n_events,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-                CAST(sum(length(props)) AS BIGINT) AS props_len
-         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
-    "q_json_roundtrip" ->
-      """SELECT event_type,
-                CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
-                CAST(count(*) AS BIGINT) AS n_events,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-                CAST(sum(length(props)) AS BIGINT) AS props_len
-         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
-    "q_orc_roundtrip" ->
-      """SELECT event_type,
-                CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
-                CAST(count(*) AS BIGINT) AS n_events,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-                CAST(sum(length(props)) AS BIGINT) AS props_len
-         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
-    "q_time_weighted_avg" ->
-      // step-function TWA: each value holds until the next observation;
-      // Δt exact seconds, weighted sum exact int64, one division
-      """WITH e AS (SELECT event_type, event_id,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS sec,
-                           CAST(round(value * 100) AS BIGINT) AS cents
-                    FROM events),
-            l AS (SELECT event_type, cents, sec,
-                         lead(sec) OVER (PARTITION BY event_type
-                                         ORDER BY sec, event_id) AS next_sec
-                  FROM e),
-            iv AS (SELECT event_type, cents, next_sec - sec AS dt
-                   FROM l WHERE next_sec IS NOT NULL)
-         SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
-                CAST(sum(dt) AS BIGINT) AS total_sec,
-                (round(CAST(sum(cents * dt) AS BIGINT)::DOUBLE
-                       / CAST(sum(dt) AS BIGINT) / 100.0, 4) + 0.0) AS twa
-         FROM iv GROUP BY 1 ORDER BY event_type""",
-    "q_target_encoding" ->
-      // smoothed mean encoding: (Σy + m·μ)/(n + m), m=20; identical
-      // IEEE chain from exact ints on both engines
-      """WITH o AS (SELECT c_mktsegment AS segment,
-                           o_orderpriority AS priority,
-                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-                    FROM orders JOIN customer ON o_custkey = c_custkey),
-            cells AS (SELECT segment, priority,
-                             CAST(count(*) AS BIGINT) AS n,
-                             CAST(sum(cents) AS BIGINT) AS sc
-                      FROM o GROUP BY 1, 2),
-            t AS (SELECT CAST(count(*) AS BIGINT) AS tn,
-                         CAST(sum(cents) AS BIGINT) AS ts FROM o)
-         SELECT segment, priority, n,
-                (round(sc::DOUBLE / n / 100.0, 4) + 0.0) AS raw_mean,
-                (round((sc::DOUBLE / 100.0 + 20.0 * (ts::DOUBLE / tn / 100.0))
-                       / (n + 20), 4) + 0.0) AS encoding,
-                (round(20.0 / (n + 20), 4) + 0.0) AS shrink
-         FROM cells, t ORDER BY segment, priority""",
-    "q_embed_profile" ->
-      // per-lane corpus profile; components quantized to exact int64
-      // micro-units before summing (float Σ is partition-order-dependent)
-      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            lanes AS (SELECT CAST(i - 1 AS INT) AS lane,
-                             CAST(round(v[CAST(i AS INT)] * 1000000)
-                                  AS BIGINT) AS q
-                      FROM em, unnest(range(1, len(v) + 1)) AS t(i)),
-            g AS (SELECT lane, CAST(count(*) AS BIGINT) AS n,
-                         CAST(sum(q) AS BIGINT) AS sq,
-                         CAST(sum(q * q) AS BIGINT) AS sqq,
-                         CAST(min(q) AS BIGINT) AS mn,
-                         CAST(max(q) AS BIGINT) AS mx
-                  FROM lanes GROUP BY 1)
-         SELECT lane, n,
-                (round(sq::DOUBLE / n / 1000000.0, 4) + 0.0) AS mean,
-                (round((sqq::DOUBLE / n - (sq::DOUBLE / n) * (sq::DOUBLE / n))
-                       / 1.0e12, 4) + 0.0) AS variance,
-                mn AS min_micro, mx AS max_micro
-         FROM g ORDER BY lane""",
-    "q_growth_accounting" ->
-      // weekly new/retained/resurrected/churned; churn booked to the
-      // week the user went missing (horizon+1 carries the final churn)
-      """WITH uw AS (SELECT DISTINCT user_id,
-                            CAST(date_trunc('week', ts::TIMESTAMP) AS DATE) AS wk
-                     FROM events),
-            cls AS (SELECT user_id, wk,
-                           lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
-                           lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next
-                    FROM uw),
-            act AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_active,
-                           CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
-                                AS BIGINT) AS n_new,
-                           CAST(sum(CASE WHEN date_diff('day', prev, wk) = 7
-                                         THEN 1 ELSE 0 END) AS BIGINT)
-                             AS n_retained,
-                           CAST(sum(CASE WHEN prev IS NOT NULL
-                                          AND date_diff('day', prev, wk) > 7
-                                         THEN 1 ELSE 0 END) AS BIGINT)
-                             AS n_resurrected
-                    FROM cls GROUP BY 1),
-            churn AS (SELECT wk + 7 AS wk, CAST(count(*) AS BIGINT) AS n_churned
-                      FROM cls
-                      WHERE next IS NULL OR date_diff('day', wk, next) > 7
-                      GROUP BY 1)
-         SELECT coalesce(a.wk, c.wk) AS wk,
-                coalesce(n_active, 0) AS n_active,
-                coalesce(n_new, 0) AS n_new,
-                coalesce(n_retained, 0) AS n_retained,
-                coalesce(n_resurrected, 0) AS n_resurrected,
-                coalesce(n_churned, 0) AS n_churned
-         FROM act a FULL OUTER JOIN churn c ON a.wk = c.wk
-         ORDER BY wk""",
-    "q_audience_overlap" ->
-      // exact audience Jaccard per event-type pair (the q_hll_overlap
-      // sketch's exact twin); zero-overlap pairs surface via the spine
-      """WITH ut AS (SELECT DISTINCT event_type AS t, user_id FROM events),
-            sizes AS (SELECT t, CAST(count(*) AS BIGINT) AS n
-                      FROM ut GROUP BY 1),
-            spine AS (SELECT a.t AS type_a, a.n AS n_a,
-                             b.t AS type_b, b.n AS n_b
-                      FROM sizes a, sizes b WHERE a.t < b.t),
-            inter AS (SELECT x.t AS type_a, y.t AS type_b,
-                             CAST(count(*) AS BIGINT) AS inter
-                      FROM ut x JOIN ut y
-                           ON x.user_id = y.user_id AND x.t < y.t
-                      GROUP BY 1, 2)
-         SELECT s.type_a, s.type_b, n_a, n_b,
-                coalesce(inter, 0) AS inter,
-                (round(coalesce(inter, 0)::DOUBLE
-                       / (n_a + n_b - coalesce(inter, 0)), 4) + 0.0)
-                  AS jaccard
-         FROM spine s LEFT JOIN inter i
-              ON s.type_a = i.type_a AND s.type_b = i.type_b
-         ORDER BY s.type_a, s.type_b""",
-    "q_stats_histogram" ->
-      // equi-depth 10-bucket histogram over order value with per-bucket
-      // NDV — the ANALYZE statistics artifact; unique (cents, orderkey)
-      // tiebreak makes bucket membership engine-identical
-      """WITH o AS (SELECT o_orderkey, o_custkey,
-                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-                    FROM orders),
-            b AS (SELECT o_custkey, cents,
-                         ntile(10) OVER (ORDER BY cents, o_orderkey) AS bucket
-                  FROM o)
-         SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
-                CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_cust,
-                (round(min(cents)::DOUBLE / 100.0, 4) + 0.0) AS lo,
-                (round(max(cents)::DOUBLE / 100.0, 4) + 0.0) AS hi
-         FROM b GROUP BY 1 ORDER BY bucket""",
-    "q_sql_pricing" ->
-      // the SQL-front-end parity row: identical text to q_agg_pricing's
-      // oracle, submitted to Spark as literal SQL
-      """SELECT l_returnflag, l_linestatus,
-                (round(sum(l_quantity), 4) + 0.0) AS sum_qty,
-                (round(sum(l_extendedprice), 4) + 0.0) AS sum_base_price,
-                (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS sum_disc_price,
-                (round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) + 0.0) AS sum_charge,
-                (round(avg(l_quantity), 4) + 0.0) AS avg_qty,
-                (round(avg(l_extendedprice), 4) + 0.0) AS avg_price,
-                (round(avg(l_discount), 4) + 0.0) AS avg_disc,
-                count(*) AS count_order
-         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
-         GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
-    "q_sql_join_multiway" ->
-      // SQL-surface twin of q_join_multiway: same oracle text
-      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
-                (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS revenue
-         FROM customer JOIN orders ON c_custkey = o_custkey
-                       JOIN lineitem ON o_orderkey = l_orderkey
-         WHERE c_mktsegment = 'BUILDING'
-           AND o_orderdate < TIMESTAMP '1998-01-01'
-           AND l_shipdate > TIMESTAMP '1998-01-01'
-         GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
-    "q_sql_sessionize" ->
-      // SQL-surface twin of q_sessionize: same oracle text (the oracle
-      // re-derives sessions from raw events; the engine side must
-      // reproduce them from the bucketed store through spark.sql)
-      """WITH e AS (SELECT user_id, event_id, value,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS sid
-                     FROM g)
-         SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
-                count(*) AS n_events, (round(sum(value), 4) + 0.0) AS session_value
-         FROM sids GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_session_report_dated" ->
-      // the oracle re-derives sessions from raw events over the FULL
-      // timeline, then restricts to the window by EVENT day — the
-      // engine must reproduce this from the day-partitioned store
-      // (pruned listing, full-timeline sids)
-      """WITH e AS (SELECT user_id, event_id, value,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS sid
-                     FROM g)
-         SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
-                count(*) AS n_events, (round(sum(value), 4) + 0.0) AS window_value
-         FROM sids
-         WHERE CAST(tsu AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_anova" ->
-      // one-way ANOVA from exact int64 sufficient stats; the one
-      // cross-group DOUBLE sum (Σ sx²/n) folds in segment order on both
-      // engines (list ORDER BY + sequential list_reduce ≙ Spark's
-      // sort_array + aggregate), so accumulation order is contractual
-      """WITH o AS (SELECT c_mktsegment AS segment,
-                           CAST(round(o_totalprice) AS BIGINT) AS x
-                    FROM orders JOIN customer ON o_custkey = c_custkey),
-            g AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
-                         CAST(sum(x) AS BIGINT) AS sx,
-                         CAST(sum(x * x) AS BIGINT) AS sxx
-                  FROM o GROUP BY 1),
-            t AS (SELECT CAST(count(*) AS BIGINT) AS k,
-                         CAST(sum(n) AS BIGINT) AS nn,
-                         CAST(sum(sx) AS BIGINT) AS ts,
-                         CAST(sum(sxx) AS BIGINT) AS tss,
-                         list_reduce(list(sx::DOUBLE * sx / n
-                                          ORDER BY segment),
-                                     (acc, x) -> acc + x) AS sum_gb
-                  FROM g)
-         SELECT k, nn AS n,
-                (round(sum_gb - ts::DOUBLE * ts / nn, 4) + 0.0) AS ssb,
-                (round(tss::DOUBLE - sum_gb, 4) + 0.0) AS ssw,
-                (round(((sum_gb - ts::DOUBLE * ts / nn) / (k - 1))
-                       / ((tss::DOUBLE - sum_gb) / (nn - k)), 4) + 0.0) AS f,
-                (round((sum_gb - ts::DOUBLE * ts / nn)
-                       / (tss::DOUBLE - ts::DOUBLE * ts / nn), 4) + 0.0)
-                  AS eta2
-         FROM t""",
-    "q_backtest_mape" ->
-      // walk-forward eval of the seasonal-naive forecast: train on all
-      // but the last 7 days, score the holdout day by day
-      """WITH daily AS (SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
-                               AS day,
-                              CAST(sum(CAST(round(value * 100) AS BIGINT))
-                                   AS BIGINT) AS cents
-                        FROM events GROUP BY 1),
-            d0 AS (SELECT max(day) AS d0 FROM daily),
-            train AS (SELECT (isodow(day) - 1) AS wd,
-                             CAST(sum(cents) AS BIGINT) AS sw,
-                             CAST(count(*) AS BIGINT) AS nd
-                      FROM daily, d0 WHERE day <= d0 - 7 GROUP BY 1),
-            hold AS (SELECT day, cents, (isodow(day) - 1) AS wd
-                     FROM daily, d0 WHERE day > d0 - 7)
-         SELECT day,
-                (round(cents::DOUBLE / 100.0, 4) + 0.0) AS actual,
-                (round(sw::DOUBLE / nd / 100.0, 4) + 0.0) AS forecast,
-                (round(abs(sw::DOUBLE / nd - cents) / 100.0, 4) + 0.0)
-                  AS abs_err,
-                (round(abs(sw::DOUBLE / nd - cents) / nullif(cents, 0), 4)
-                 + 0.0) AS ape
-         FROM hold JOIN train USING (wd) ORDER BY day""",
-    "q_concurrency" ->
-      // sweep line over session intervals: +1 at start, -1 after end;
-      // per-day max of the running sum; +1s order before -1s at ties
-      """WITH e AS (SELECT user_id, event_id,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sd AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
-                     ORDER BY tsu, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS sid
-                   FROM g),
-            sess AS (SELECT user_id, sid, min(ts_sec) AS st, max(ts_sec) AS en
-                     FROM sd GROUP BY 1, 2),
-            sweep AS (SELECT st AS t, CAST(1 AS BIGINT) AS delta FROM sess
-                      UNION ALL
-                      SELECT en + 1, CAST(-1 AS BIGINT) FROM sess),
-            run AS (SELECT t, delta,
-                           CAST(sum(delta) OVER (ORDER BY t, delta DESC
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                             AS BIGINT) AS live
-                    FROM sweep)
-         SELECT CAST(t // 86400 AS INT) AS day_num,
-                CAST(max(live) AS BIGINT) AS peak_concurrent,
-                CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_starts
-         FROM run GROUP BY 1 ORDER BY day_num""",
-    "q_cusum" ->
-      // CUSUM closed form: prefix sum minus running extremum; deviation
-      // scaled by N so everything is exact int64; alarm = S > total
-      """WITH daily AS (SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
-                               AS day,
-                              CAST(sum(CAST(round(value * 100) AS BIGINT))
-                                   AS BIGINT) AS cents
-                        FROM events GROUP BY 1),
-            t AS (SELECT CAST(count(*) AS BIGINT) AS nd,
-                         CAST(sum(cents) AS BIGINT) AS total FROM daily),
-            p AS (SELECT day, cents, nd, total,
-                         CAST(sum(cents * nd - total) OVER (ORDER BY day
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                           AS BIGINT) AS pp
-                  FROM daily, t),
-            q AS (SELECT *, least(0, CAST(min(pp) OVER (ORDER BY day
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT)) AS minp,
-                         greatest(0, CAST(max(pp) OVER (ORDER BY day
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT)) AS maxp
-                  FROM p)
-         SELECT day, (round(cents::DOUBLE / 100.0, 4) + 0.0) AS revenue,
-                (round((pp - minp)::DOUBLE / nd / 100.0, 4) + 0.0)
-                  AS cusum_hi,
-                (round((maxp - pp)::DOUBLE / nd / 100.0, 4) + 0.0)
-                  AS cusum_lo,
-                CASE WHEN pp - minp > total THEN 1 ELSE 0 END AS alarm_hi,
-                CASE WHEN maxp - pp > total THEN 1 ELSE 0 END AS alarm_lo
-         FROM q ORDER BY day""",
-    "q_disorder_audit" ->
-      // lateness vs the running arrival max (event_id = arrival order);
-      // the measured watermark-sizing numbers
-      """WITH e AS (SELECT event_type, event_id,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS sec
-                    FROM events),
-            r AS (SELECT event_type, sec,
-                         max(sec) OVER (PARTITION BY event_type
-                           ORDER BY event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                           AS runmax
-                  FROM e),
-            l AS (SELECT event_type,
-                         CASE WHEN runmax IS NULL OR runmax <= sec THEN 0
-                              ELSE runmax - sec END AS late
-                  FROM r)
-         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-                CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_late,
-                CAST(max(late) AS BIGINT) AS max_late_sec,
-                (round(CAST(sum(late) AS BIGINT)::DOUBLE
-                       / nullif(CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END)
-                                     AS BIGINT), 0), 4) + 0.0)
-                  AS avg_late_sec
-         FROM l GROUP BY 1 ORDER BY event_type""",
-    "q_mutual_info" ->
-      // pointwise + table MI over the weekday x type cells; every ln
-      // argument is an exact integer ratio
-      """WITH g AS (SELECT CAST(isodow(ts::TIMESTAMP) - 1 AS INT) AS wd,
-                           event_type, CAST(count(*) AS BIGINT) AS n
-                    FROM events GROUP BY 1, 2),
-            t AS (SELECT wd, event_type, n,
-                         CAST(sum(n) OVER (PARTITION BY wd) AS BIGINT) AS rt,
-                         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS ct,
-                         CAST(sum(n) OVER () AS BIGINT) AS tot
-                  FROM g),
-            c AS (SELECT wd, event_type, n,
-                         ln((n * tot)::DOUBLE / (rt * ct)) AS pmi,
-                         n::DOUBLE / tot * ln((n * tot)::DOUBLE / (rt * ct))
-                           AS contrib
-                  FROM t)
-         SELECT wd, event_type, n,
-                (round(pmi, 4) + 0.0) AS pmi,
-                (round(contrib, 4) + 0.0) AS contrib,
-                (round(sum(contrib) OVER (), 4) + 0.0) AS mi
-         FROM c ORDER BY wd, event_type""",
-    "q_rolling_corr" ->
-      // 14-row rolling Pearson r between daily view and purchase
-      // volumes from exact int64 window sufficient stats
-      """WITH daily AS (SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
-                               AS day,
-                              CAST(sum(CASE WHEN event_type = 'view'
-                                            THEN 1 ELSE 0 END) AS BIGINT) AS x,
-                              CAST(sum(CASE WHEN event_type = 'purchase'
-                                            THEN 1 ELSE 0 END) AS BIGINT) AS y
-                        FROM events GROUP BY 1),
-            w AS (SELECT day, x, y,
-                         CAST(count(*) OVER fr AS BIGINT) AS n,
-                         CAST(sum(x) OVER fr AS BIGINT) AS sx,
-                         CAST(sum(y) OVER fr AS BIGINT) AS sy,
-                         CAST(sum(x * x) OVER fr AS BIGINT) AS sxx,
-                         CAST(sum(y * y) OVER fr AS BIGINT) AS syy,
-                         CAST(sum(x * y) OVER fr AS BIGINT) AS sxy
-                  FROM daily
-                  WINDOW fr AS (ORDER BY day
-                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
-         SELECT day, x AS n_views, y AS n_purchases,
-                (round((n * sxy - sx * sy)::DOUBLE
-                       / nullif(sqrt((n * sxx - sx * sx)::DOUBLE
-                                     * (n * syy - sy * sy)::DOUBLE), 0.0),
-                       4) + 0.0) AS corr14
-         FROM w ORDER BY day""",
-    "q_shard_manifest" ->
-      // per-shard integrity manifest: md5 over the SORTED doc_id list
-      // (order-defined concatenation, never collection order)
-      """WITH d AS (SELECT doc_id, n_chars,
-                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                            % 16 AS shard
-                    FROM documents)
-         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-                md5(string_agg(CAST(doc_id AS VARCHAR), ','
-                               ORDER BY doc_id)) AS manifest_md5
-         FROM d GROUP BY 1 ORDER BY shard""",
-    "q_shard_manifest_scale" ->
-      // order-insensitive member digest: (sum mod 2^64, xor) of the
-      // first 64 md5 bits, carried in exact 32-bit lanes (HUGEINT sums
-      // mod'd back — identical lane arithmetic to the engine)
-      """WITH d AS (SELECT n_chars,
-                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                            % 16 AS shard,
-                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                            AS h,
-                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
-                            AS l
-                    FROM documents),
-            ag AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-                          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-                          sum(h) AS sh, sum(l) AS sl,
-                          bit_xor(h) AS digest_xor_hi,
-                          bit_xor(l) AS digest_xor_lo
-                   FROM d GROUP BY 1)
-         SELECT shard, n_docs, sum_chars,
-                CAST((sh + sl // 4294967296) % 4294967296 AS BIGINT)
-                  AS digest_sum_hi,
-                CAST(sl % 4294967296 AS BIGINT) AS digest_sum_lo,
-                digest_xor_hi, digest_xor_lo
-         FROM ag ORDER BY shard""",
-    "q_centrality" ->
-      // TRUE all-pairs hop distances via recursive CTE — an
-      // under-iterated BFS on the Spark side fails this hash loudly;
-      // harmonic in exact integers (2520 = lcm(1..10))
-      """WITH RECURSIVE e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst
-                              FROM lineitem l
-                              JOIN orders o ON l.l_orderkey = o.o_orderkey
-                              JOIN customer c ON o.o_custkey = c.c_custkey
-                              JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                              GROUP BY 1, 2),
-            und AS (SELECT DISTINCT least(src, dst) AS a,
-                                    greatest(src, dst) AS b
-                    FROM e WHERE src <> dst),
-            adj AS (SELECT a AS u, b AS v FROM und
-                    UNION SELECT b, a FROM und),
-            walk AS (SELECT u, v, 1 AS dd FROM adj
-                     UNION
-                     SELECT w.u, a.v, w.dd + 1
-                     FROM walk w JOIN adj a ON w.v = a.u
-                     WHERE w.u <> a.v AND w.dd < 10),
-            dist AS (SELECT u, v, min(dd) AS dist FROM walk GROUP BY 1, 2)
-         SELECT u AS nationkey, CAST(count(*) AS BIGINT) AS n_reachable,
-                CAST(max(dist) AS BIGINT) AS eccentricity,
-                (round(CAST(sum(2520 // dist) AS BIGINT)::DOUBLE / 2520.0, 4)
-                 + 0.0) AS harmonic
-         FROM dist GROUP BY 1 ORDER BY nationkey""",
-    "q_rank_corr" ->
-      // Kendall tau-a + Spearman rho between the half-period brand
-      // revenue rankings; unique (cents DESC, brand) tiebreak => no ties
-      """WITH li AS (SELECT p_brand AS brand,
-                            epoch_us(l_shipdate::TIMESTAMP)//1000000 AS sec,
-                            CAST(round(l_extendedprice * 100) AS BIGINT)
-                              AS cents
-                     FROM lineitem JOIN part ON l_partkey = p_partkey),
-            b AS (SELECT min(sec) AS mn, max(sec) AS mx FROM li),
-            h AS (SELECT brand,
-                         CASE WHEN sec * 2 < mn + mx THEN 1 ELSE 2 END AS hh,
-                         cents
-                  FROM li, b),
-            g AS (SELECT brand, hh, CAST(sum(cents) AS BIGINT) AS cents
-                  FROM h GROUP BY 1, 2),
-            rk AS (SELECT brand, hh,
-                          CAST(row_number() OVER (PARTITION BY hh
-                            ORDER BY cents DESC, brand) AS BIGINT) AS r
-                   FROM g),
-            bt AS (SELECT a.brand, a.r AS r1, c.r AS r2
-                   FROM rk a JOIN rk c
-                        ON a.brand = c.brand AND a.hh = 1 AND c.hh = 2),
-            pr AS (SELECT CAST(sum(CASE WHEN (x.r1 < y.r1) = (x.r2 < y.r2)
-                                        THEN 1 ELSE 0 END) AS BIGINT)
-                            AS concordant,
-                          CAST(sum(CASE WHEN (x.r1 < y.r1) = (x.r2 < y.r2)
-                                        THEN 0 ELSE 1 END) AS BIGINT)
-                            AS discordant
-                   FROM bt x JOIN bt y ON x.brand < y.brand),
-            sd AS (SELECT CAST(count(*) AS BIGINT) AS k,
-                          CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS d2
-                   FROM bt)
-         SELECT k, concordant, discordant,
-                (round((concordant - discordant)::DOUBLE
-                       / (concordant + discordant), 4) + 0.0) AS kendall_tau,
-                (round(1.0 - 6.0 * d2 / (k * (k * k - 1)), 4) + 0.0)
-                  AS spearman_rho
-         FROM pr, sd""",
-    "q_novelty_decay" ->
-      // per-crawl-epoch novel grams + running vocabulary; epoch is
-      // monotone in doc_id so first-epoch = epoch(min doc_id)
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
-                       FROM documents),
-            ep AS (SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS epoch
-                   FROM documents),
-            ng AS (SELECT doc_id,
-                          list_distinct(list_transform(range(1, len(toks) - 1),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-                            AS ngs
-                   FROM base),
-            nz AS (SELECT doc_id, ngs FROM ng WHERE len(ngs) > 0),
-            ex AS (SELECT doc_id, unnest(ngs) AS g FROM nz),
-            firsts AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY 1),
-            novel AS (SELECT first_doc AS doc_id,
-                             CAST(count(*) AS BIGINT) AS novel
-                      FROM firsts GROUP BY 1),
-            occ AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex
-                    GROUP BY 1),
-            bye AS (SELECT epoch, CAST(count(*) AS BIGINT) AS n_docs,
-                           CAST(coalesce(sum(o.n), 0) AS BIGINT) AS n_grams,
-                           CAST(coalesce(sum(v.novel), 0) AS BIGINT)
-                             AS novel_grams
-                    FROM ep LEFT JOIN occ o USING (doc_id)
-                            LEFT JOIN novel v USING (doc_id)
-                    GROUP BY 1)
-         SELECT epoch, n_docs, n_grams, novel_grams,
-                CAST(sum(novel_grams) OVER (ORDER BY epoch
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS vocab_cum,
-                (round(novel_grams::DOUBLE / nullif(n_grams, 0), 4) + 0.0)
-                  AS novelty_rate
-         FROM bye ORDER BY epoch""",
-    "q_attribution_shapley" ->
-      // Shapley over the fixed 4-channel universe; weights scaled by
-      // 4!=24 stay integer; the per-channel powerset sum folds in mask
-      // order on both engines (the q_anova rule)
-      """WITH u AS (SELECT user_id,
-                           CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                                + 2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                                + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-                                + 8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-                                AS BIGINT) AS mask,
-                           CAST(max(CASE WHEN event_type = 'purchase'
-                                         THEN 1 ELSE 0 END) AS BIGINT) AS conv
-                    FROM events GROUP BY 1),
-            sub AS (SELECT mask, CAST(count(*) AS BIGINT) AS n,
-                           CAST(sum(conv) AS BIGINT) AS c
-                    FROM u GROUP BY 1),
-            spine AS (SELECT unnest(range(16)) AS mask),
-            v AS (SELECT spine.mask,
-                         coalesce(c::DOUBLE / n, 0.0) AS v
-                  FROM spine LEFT JOIN sub USING (mask)),
-            ch AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'click'),
-                                         (2, 'error'), (4, 'signup'),
-                                         (8, 'view')) AS t(bit, channel)),
-            terms AS (SELECT ch.channel, v.mask,
-                             (CASE bit_count(v.mask) WHEN 0 THEN 6
-                                   WHEN 1 THEN 2 WHEN 2 THEN 2
-                                   WHEN 3 THEN 6 END)::DOUBLE
-                               * (v2.v - v.v) AS term
-                      FROM ch JOIN v ON (v.mask & ch.bit) = 0
-                              JOIN v v2 ON v2.mask = (v.mask | ch.bit)),
-            f AS (SELECT channel,
-                         list_reduce(list(term ORDER BY mask),
-                                     (a, b) -> a + b) AS s24
-                  FROM terms GROUP BY 1)
-         SELECT channel, (round(s24 / 24.0, 4) + 0.0) AS shapley
-         FROM f ORDER BY channel""",
-    "q_coverage_cells" ->
-      // completeness matrix: every (lang, source) spine cell with
-      // missing/thin flags; 5·n·|cells| < total is the exact-int 20%
-      // -of-uniform comparison
-      """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
-                        FROM documents GROUP BY 1, 2),
-            spine AS (SELECT l.lang, s.source
-                      FROM (SELECT DISTINCT lang FROM documents) l
-                      CROSS JOIN (SELECT DISTINCT source FROM documents) s),
-            j AS (SELECT spine.lang, spine.source,
-                         CAST(coalesce(n, 0) AS BIGINT) AS n_docs
-                  FROM spine LEFT JOIN cells
-                       ON spine.lang = cells.lang
-                          AND spine.source = cells.source),
-            t AS (SELECT lang, source, n_docs,
-                         CAST(sum(n_docs) OVER () AS BIGINT) AS total,
-                         CAST(count(*) OVER () AS BIGINT) AS n_cells
-                  FROM j)
-         SELECT lang, source, n_docs,
-                (round(n_docs::DOUBLE / total, 4) + 0.0) AS share,
-                CASE WHEN n_docs = 0 THEN 1 ELSE 0 END AS missing,
-                CASE WHEN n_docs * n_cells * 5 < total THEN 1 ELSE 0 END
-                  AS thin
-         FROM t ORDER BY lang, source""",
-    "q_abc_pareto" ->
-      // Class boundaries decided in exact int64 (5·cum ≤ 4·total /
-      // 20·cum ≤ 19·total); cum ordered by the total (cents DESC,
-      // custkey) key so RANGE==ROWS.
-      """WITH spend AS (
-           SELECT o_custkey AS custkey,
-                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                    AS cents
-           FROM orders GROUP BY 1),
-         tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM spend),
-         c AS (SELECT custkey, cents,
-                      CAST(sum(cents) OVER (ORDER BY cents DESC, custkey)
-                        AS BIGINT) AS cum
-               FROM spend),
-         cl AS (SELECT CASE WHEN cum * 5 <= total_cents * 4 THEN 'A'
-                            WHEN cum * 20 <= total_cents * 19 THEN 'B'
-                            ELSE 'C' END AS abc_class, cents
-                FROM c, tot)
-         SELECT abc_class, count(*) AS n_customers,
-                CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue,
-                (round(CAST(sum(cents) AS DOUBLE) /
-                       (SELECT total_cents FROM tot), 4) + 0.0) AS share
-         FROM cl GROUP BY 1 ORDER BY 1""",
-    "q_event_dwell" ->
-      // Gaps are exact integer µs diffs over the (ts, event_id)-total
-      // user timeline; the last event per user has no successor.
-      """WITH e AS (SELECT event_type, epoch_us(ts::TIMESTAMP) AS us,
-                          lead(epoch_us(ts::TIMESTAMP), 1) OVER
-                            (PARTITION BY user_id
-                             ORDER BY ts::TIMESTAMP, event_id) AS next_us
-                   FROM events)
-         SELECT event_type, count(*) AS n_gaps,
-                (round(CAST(sum(next_us - us) AS DOUBLE) / 1000000.0 /
-                       count(*), 4) + 0.0) AS avg_gap_s,
-                (round(CAST(max(next_us - us) AS DOUBLE) / 1000000.0, 4)
-                 + 0.0) AS max_gap_s
-         FROM e WHERE next_us IS NOT NULL
-         GROUP BY 1 ORDER BY 1""",
-    "q_top_movers" ->
-      // Per-series lag is vs the previous OBSERVED week; |Δ| rank ties
-      // break on event_type.
-      """WITH weekly AS (
-           SELECT event_type,
-                  date_trunc('week', ts::TIMESTAMP)::DATE AS week,
-                  count(*) AS n_events
-           FROM events GROUP BY 1, 2),
-         d AS (SELECT event_type, week, n_events,
-                      lag(n_events, 1) OVER (PARTITION BY event_type
-                                             ORDER BY week) AS prev
-               FROM weekly),
-         r AS (SELECT week, event_type, n_events, prev,
-                      n_events - prev AS delta,
-                      row_number() OVER (PARTITION BY week
-                        ORDER BY abs(n_events - prev) DESC, event_type) AS rk
-               FROM d WHERE prev IS NOT NULL)
-         SELECT week, rk, event_type, CAST(n_events AS BIGINT) AS n_events,
-                CAST(prev AS BIGINT) AS prev, CAST(delta AS BIGINT) AS delta
-         FROM r WHERE rk <= 3 ORDER BY week, rk""",
-    "q_quarantine" ->
-      // Row-level dead-letter feed: one (doc_id, reason) row per
-      // violated gate; TTR threshold compares one exact-int division.
-      """WITH t AS (SELECT doc_id, lang, n_chars,
-                          CAST(len(list_distinct(string_split(text, ' ')))
-                            AS DOUBLE) /
-                          len(string_split(text, ' ')) AS ttr
-                   FROM documents)
-         SELECT doc_id, reason FROM (
-           SELECT doc_id, 'too_short' AS reason FROM t WHERE n_chars < 150
-           UNION ALL
-           SELECT doc_id, 'lang_not_target' FROM t
-           WHERE lang NOT IN ('en', 'es')
-           UNION ALL
-           SELECT doc_id, 'low_diversity' FROM t WHERE ttr < 0.34)
-         ORDER BY doc_id, reason""",
-    "q_graph_2hop" ->
-      // Strong-tie cutoff (w·|E| ≥ 2·Σw, exact int64) then 2-hop
-      // minus direct; score = Σ min(w_ab, w_bc).
-      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-                               count(*) AS w
-                        FROM lineitem l
-                        JOIN orders o ON l.l_orderkey = o.o_orderkey
-                        JOIN customer c ON o.o_custkey = c.c_custkey
-                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                        GROUP BY 1, 2),
-            cut AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
-                           count(*) AS ne FROM edges),
-            strong AS (SELECT src, dst, w FROM edges, cut
-                       WHERE src <> dst AND w * ne >= 2 * tw),
-            p AS (SELECT ab.src AS src, bc.dst AS dst, count(*) AS n_paths,
-                         CAST(sum(least(ab.w, bc.w)) AS BIGINT) AS score
-                  FROM strong ab JOIN strong bc
-                       ON ab.dst = bc.src AND ab.src <> bc.dst
-                  GROUP BY 1, 2)
-         SELECT src, dst, CAST(n_paths AS BIGINT) AS n_paths, score
-         FROM p WHERE NOT EXISTS (SELECT 1 FROM strong e
-                                  WHERE e.src = p.src AND e.dst = p.dst)
-         ORDER BY src, dst""",
-    "q_hits" ->
-      // two exact unnormalized HITS iterations (HUGEINT sums mirror
-      // the engine's decimal(38,0)); ONE terminal division per score
-      """WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-                           CAST(count(*) AS BIGINT) AS w
-                    FROM lineitem l
-                    JOIN orders o ON l.l_orderkey = o.o_orderkey
-                    JOIN customer c ON o.o_custkey = c.c_custkey
-                    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                    GROUP BY 1, 2),
-            a1 AS (SELECT dst AS v, sum(w) AS a FROM e GROUP BY 1),
-            h1 AS (SELECT e.src AS u, sum(e.w * a1.a) AS h
-                   FROM e JOIN a1 ON e.dst = a1.v GROUP BY 1),
-            a2 AS (SELECT e.dst AS v, sum(e.w * h1.h) AS a
-                   FROM e JOIN h1 ON e.src = h1.u GROUP BY 1),
-            mx AS (SELECT (SELECT max(h) FROM h1) AS mh,
-                          (SELECT max(a) FROM a2) AS ma)
-         SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
-                (round(CAST(coalesce(h1.h, 0) AS DOUBLE) /
-                       CAST(mx.mh AS DOUBLE), 4) + 0.0) AS hub_score,
-                (round(CAST(coalesce(a2.a, 0) AS DOUBLE) /
-                       CAST(mx.ma AS DOUBLE), 4) + 0.0) AS auth_score
-         FROM nation n
-         LEFT JOIN h1 ON n.n_nationkey = h1.u
-         LEFT JOIN a2 ON n.n_nationkey = a2.v, mx
-         ORDER BY nationkey""",
-    "q_graph_reciprocity" ->
-      // strong-tie cutoff (the q_graph_components rule), then per
-      // nation: strong out-edges, returned edges, rate (NULL on 0/0)
-      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-                               count(*) AS w
-                        FROM lineitem l
-                        JOIN orders o ON l.l_orderkey = o.o_orderkey
-                        JOIN customer c ON o.o_custkey = c.c_custkey
-                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                        GROUP BY 1, 2),
-            cut AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
-                           count(*) AS ne FROM edges),
-            strong AS (SELECT src, dst FROM edges, cut
-                       WHERE src <> dst AND w * ne >= 2 * tw),
-            o AS (SELECT src, CAST(count(*) AS BIGINT) AS n_out
-                  FROM strong GROUP BY 1),
-            r AS (SELECT a.src, CAST(count(*) AS BIGINT) AS n_reciprocated
-                  FROM strong a
-                  WHERE EXISTS (SELECT 1 FROM strong b
-                                WHERE b.src = a.dst AND b.dst = a.src)
-                  GROUP BY 1)
-         SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
-                coalesce(o.n_out, 0) AS n_out,
-                coalesce(r.n_reciprocated, 0) AS n_reciprocated,
-                (round(CAST(coalesce(r.n_reciprocated, 0) AS DOUBLE) /
-                       nullif(CAST(coalesce(o.n_out, 0) AS DOUBLE), 0), 4)
-                 + 0.0) AS reciprocity
-         FROM nation n
-         LEFT JOIN o ON n.n_nationkey = o.src
-         LEFT JOIN r ON n.n_nationkey = r.src
-         ORDER BY nationkey""",
-    "q_assortativity" ->
-      // degree assortativity of the undirected strong graph: Pearson r
-      // over both orientations of every edge, exact sufficient sums
-      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-                               count(*) AS w
-                        FROM lineitem l
-                        JOIN orders o ON l.l_orderkey = o.o_orderkey
-                        JOIN customer c ON o.o_custkey = c.c_custkey
-                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                        GROUP BY 1, 2),
-            cut AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
-                           count(*) AS ne FROM edges),
-            und AS (SELECT DISTINCT least(src, dst) AS a,
-                                    greatest(src, dst) AS b
-                    FROM edges, cut
-                    WHERE src <> dst AND w * ne >= 2 * tw),
-            ends AS (SELECT a AS u, b AS v FROM und
-                     UNION ALL SELECT b, a FROM und),
-            deg AS (SELECT u, CAST(count(*) AS BIGINT) AS du
-                    FROM ends GROUP BY 1),
-            pr AS (SELECT d1.du AS x, d2.du AS y
-                   FROM ends JOIN deg d1 ON ends.u = d1.u
-                             JOIN deg d2 ON ends.v = d2.u),
-            st AS (SELECT CAST(count(*) AS BIGINT) AS n_ends,
-                          CAST(sum(x) AS BIGINT) AS sx,
-                          CAST(sum(y) AS BIGINT) AS sy,
-                          CAST(sum(x * x) AS BIGINT) AS sxx,
-                          CAST(sum(y * y) AS BIGINT) AS syy,
-                          CAST(sum(x * y) AS BIGINT) AS sxy
-                   FROM pr)
-         SELECT n_ends,
-                (round(CAST(n_ends * sxy - sx * sy AS DOUBLE) /
-                       nullif(sqrt(CAST(n_ends * sxx - sx * sx AS DOUBLE)) *
-                              sqrt(CAST(n_ends * syy - sy * sy AS DOUBLE)),
-                              0), 4) + 0.0) AS assortativity
-         FROM st ORDER BY n_ends""",
-    "q_zscore_scale" ->
-      // Both scalings are ONE division of integer-derived terms:
-      // z = (n·x − Σx)/√(n·Σx² − (Σx)²), mm = (x − min)/(max − min);
-      // degenerate groups NULL via nullif.
-      """WITH stats AS (
-           SELECT lang, count(*) AS n,
-                  CAST(sum(n_chars) AS BIGINT) AS s1,
-                  CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
-                  min(n_chars) AS mn, max(n_chars) AS mx
-           FROM documents GROUP BY 1)
-         SELECT d.doc_id, d.lang, d.n_chars,
-                (round(CAST(n * d.n_chars - s1 AS DOUBLE) /
-                       sqrt(nullif(CAST(n * s2 - s1 * s1 AS DOUBLE), 0)), 4)
-                 + 0.0) AS z,
-                (round(CAST(d.n_chars - mn AS DOUBLE) /
-                       nullif(CAST(mx - mn AS DOUBLE), 0), 4) + 0.0) AS mm
-         FROM documents d JOIN stats USING (lang)
-         ORDER BY doc_id""",
-    "q_compaction_plan" ->
-      // Prefix-sum binning in exact int64: target = ceil(total/8),
-      // bin = cum_before DIV target; source order preserves locality.
-      """WITH shards AS (SELECT source, count(*) AS n_docs,
-                                CAST(sum(n_chars) AS BIGINT) AS bytes
-                         FROM documents GROUP BY 1),
-         tot AS (SELECT CAST(sum(bytes) AS BIGINT) AS total_bytes
-                 FROM shards),
-         c AS (SELECT source, n_docs, bytes,
-                      CAST(sum(bytes) OVER (ORDER BY source) AS BIGINT)
-                        AS cum
-               FROM shards)
-         SELECT source, n_docs, bytes, cum - bytes AS offset_bytes,
-                (cum - bytes) // ((total_bytes + 7) // 8) AS bin,
-                (round(CAST(bytes AS DOUBLE) / ((total_bytes + 7) // 8), 4)
-                 + 0.0) AS fill
-         FROM c, tot ORDER BY source""",
-    "q_holt_linear" ->
-      // Sequential Holt recurrence (α = β = ½) as a recursive CTE —
-      // the SAME spelled arithmetic as the Spark ordered fold, so the
-      // hash gate pins the op-for-op sequence, not just the answer.
-      """WITH RECURSIVE daily AS (
-           SELECT o_orderpriority AS priority,
-                  date_trunc('day', o_orderdate)::DATE AS day,
-                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                    AS BIGINT) AS cents
-           FROM orders GROUP BY 1, 2),
-         seq AS (SELECT priority, cents,
-                        row_number() OVER (PARTITION BY priority
-                                           ORDER BY day) AS rn
-                 FROM daily),
-         mx AS (SELECT priority, max(rn) AS n_days FROM seq GROUP BY 1),
-         rec AS (
-           SELECT priority, rn, CAST(cents AS DOUBLE) AS l,
-                  CAST(0.0 AS DOUBLE) AS b
-           FROM seq WHERE rn = 1
-           UNION ALL
-           SELECT s.priority, s.rn,
-                  0.5 * CAST(s.cents AS DOUBLE) + 0.5 * (r.l + r.b),
-                  0.5 * ((0.5 * CAST(s.cents AS DOUBLE)
-                          + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
-           FROM rec r JOIN seq s
-                ON s.priority = r.priority AND s.rn = r.rn + 1)
-         SELECT r.priority, CAST(m.n_days AS BIGINT) AS n_days,
-                (round(r.l / 100.0, 4) + 0.0) AS level_rev,
-                (round(r.b / 100.0, 4) + 0.0) AS trend_rev,
-                (round((r.l + 7.0 * r.b) / 100.0, 4) + 0.0) AS forecast7_rev
-         FROM rec r JOIN mx m
-              ON r.priority = m.priority AND r.rn = m.n_days
-         ORDER BY r.priority""",
-    "q_burstiness" ->
-      // Fano factor over OBSERVED days; variance and F integer until
-      // one terminal division each.
-      """WITH daily AS (SELECT event_type,
-                               CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
-                                 AS day,
-                               count(*) AS c
-                        FROM events GROUP BY 1, 2),
-         t AS (SELECT event_type, count(*) AS n_days,
-                      CAST(sum(c) AS BIGINT) AS s1,
-                      CAST(sum(c * c) AS BIGINT) AS s2
-               FROM daily GROUP BY 1)
-         SELECT event_type, n_days,
-                (round(CAST(s1 AS DOUBLE) / n_days, 4) + 0.0) AS mean_daily,
-                (round(CAST(n_days * s2 - s1 * s1 AS DOUBLE) / n_days
-                       / n_days, 4) + 0.0) AS var_daily,
-                (round(CAST(n_days * s2 - s1 * s1 AS DOUBLE) /
-                       (n_days * s1), 4) + 0.0) AS fano
-         FROM t ORDER BY event_type""",
-    "q_user_entropy" ->
-      // H = ln(n) − (Σ c·ln c)/n with the Σ folded in sorted order on
-      // both engines (list_sort + list_reduce ≙ sort_array + aggregate).
-      """WITH c AS (SELECT user_id, event_type, count(*) AS c
-                    FROM events GROUP BY 1, 2),
-         u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
-                      count(*) AS k,
-                      list_sort(list(CAST(c AS DOUBLE))) AS cs
-               FROM c GROUP BY 1)
-         SELECT user_id, n AS n_events, k AS n_types,
-                (round(ln(CAST(n AS DOUBLE)) -
-                       list_reduce(list_transform(cs, x -> x * ln(x)),
-                                   (a, b) -> a + b) / n, 4) + 0.0)
-                  AS entropy
-         FROM u ORDER BY user_id""",
-    "q_heaps_law" ->
-      // ln V = ln k + β·ln T OLS over the 10 epoch cumulative points;
-      // sufficient sums fold in epoch order (list ORDER BY ≙ the Spark
-      // sorted-struct aggregate fold).
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
-                       FROM documents),
-            ep AS (SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS epoch
-                   FROM documents),
-            ng AS (SELECT doc_id,
-                          list_distinct(list_transform(range(1, len(toks) - 1),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-                            AS ngs
-                   FROM base),
-            nz AS (SELECT doc_id, ngs FROM ng WHERE len(ngs) > 0),
-            ex AS (SELECT doc_id, unnest(ngs) AS g FROM nz),
-            firsts AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY 1),
-            novel AS (SELECT first_doc AS doc_id,
-                             CAST(count(*) AS BIGINT) AS novel
-                      FROM firsts GROUP BY 1),
-            occ AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex
-                    GROUP BY 1),
-            bye AS (SELECT epoch,
-                           CAST(coalesce(sum(o.n), 0) AS BIGINT) AS n_grams,
-                           CAST(coalesce(sum(v.novel), 0) AS BIGINT)
-                             AS novel_grams
-                    FROM ep LEFT JOIN occ o USING (doc_id)
-                            LEFT JOIN novel v USING (doc_id)
-                    GROUP BY 1),
-            cums AS (SELECT epoch,
-                            CAST(sum(n_grams) OVER w AS BIGINT) AS grams_cum,
-                            CAST(sum(novel_grams) OVER w AS BIGINT)
-                              AS vocab_cum
-                     FROM bye
-                     WINDOW w AS (ORDER BY epoch ROWS BETWEEN UNBOUNDED
-                                  PRECEDING AND CURRENT ROW)),
-            pts AS (SELECT epoch, grams_cum, vocab_cum,
-                           (grams_cum > 0 AND vocab_cum > 0) AS valid,
-                           ln(CAST(grams_cum AS DOUBLE)) AS x,
-                           ln(CAST(vocab_cum AS DOUBLE)) AS y
-                    FROM cums),
-            ag AS (SELECT CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END)
-                                AS BIGINT) AS n_epochs,
-                          CAST(max(grams_cum) FILTER (WHERE valid)
-                               AS BIGINT) AS grams_final,
-                          CAST(max(vocab_cum) FILTER (WHERE valid)
-                               AS BIGINT) AS vocab_final,
-                          list(x ORDER BY epoch) FILTER (WHERE valid) AS xs,
-                          list(y ORDER BY epoch) FILTER (WHERE valid) AS ys,
-                          list(x * y ORDER BY epoch) FILTER (WHERE valid)
-                            AS xys
-                   FROM pts),
-            st AS (SELECT n_epochs, grams_final, vocab_final,
-                          list_reduce(xs, (a, b) -> a + b) AS sx,
-                          list_reduce(ys, (a, b) -> a + b) AS sy,
-                          list_reduce(list_transform(xs, x -> x * x),
-                                      (a, b) -> a + b) AS sxx,
-                          list_reduce(xys, (a, b) -> a + b) AS sxy
-                   FROM ag)
-         SELECT n_epochs, grams_final, vocab_final,
-                (round((CAST(n_epochs AS DOUBLE) * sxy - sx * sy) /
-                       (CAST(n_epochs AS DOUBLE) * sxx - sx * sx), 4)
-                 + 0.0) AS beta,
-                (round(exp((sy - ((CAST(n_epochs AS DOUBLE) * sxy - sx * sy) /
-                                  (CAST(n_epochs AS DOUBLE) * sxx - sx * sx))
-                                 * sx) / CAST(n_epochs AS DOUBLE)), 4) + 0.0)
-                  AS k_coef
-         FROM st ORDER BY n_epochs""",
-    "q_sample_balanced" ->
-      // Equal classes: cap every lang at the smallest lang's size;
-      // membership = smallest md5-hash prefix per class (reproducible).
-      """WITH k AS (SELECT lang, doc_id,
-                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                             ::BIGINT AS hkey
-                    FROM documents),
-            t AS (SELECT CAST(min(n) AS BIGINT) AS n_per_class
-                  FROM (SELECT lang, count(*) AS n FROM k GROUP BY 1)),
-            r AS (SELECT lang, doc_id, hkey,
-                         row_number() OVER (PARTITION BY lang
-                           ORDER BY hkey, doc_id) AS rk
-                  FROM k)
-         SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, hkey, n_per_class
-         FROM r, t WHERE rk <= n_per_class ORDER BY lang, rk""",
-    "q_join_asof_tol" ->
-      // joinAsofStream's merge pass + the 1-hour staleness cutoff;
-      // stale matches null out, every purchase row survives.
-      """WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS tsu
-                    FROM events WHERE event_type = 'purchase'),
-            c AS (SELECT event_id, user_id, ts::TIMESTAMP AS tsu
-                  FROM events WHERE event_type = 'click'),
-            u AS (SELECT user_id, tsu, 0 AS side, event_id,
-                         NULL::BIGINT AS click_id, NULL::BIGINT AS c_us
-                  FROM p
-                  UNION ALL
-                  SELECT user_id, tsu, 1, NULL::BIGINT, event_id,
-                         epoch_us(tsu)
-                  FROM c),
-            w AS (SELECT *,
-                         last_value(click_id IGNORE NULLS) OVER win
-                           AS prev_click,
-                         last_value(c_us IGNORE NULLS) OVER win AS prev_us
-                  FROM u
-                  WINDOW win AS (PARTITION BY user_id
-                    ORDER BY tsu, side, coalesce(click_id, event_id)
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-            g AS (SELECT event_id, user_id,
-                         epoch_us(tsu) - prev_us AS gap_us, prev_click
-                  FROM w WHERE side = 0)
-         SELECT event_id, user_id,
-                CASE WHEN gap_us <= 3600000000 THEN prev_click END
-                  AS click_id,
-                CASE WHEN gap_us <= 3600000000 THEN gap_us END AS gap_us
-         FROM g ORDER BY event_id""",
-    "q_ann_recall" ->
-      // recall@3 of the sign-LSH index vs exact top-3: the oracle
-      // recomputes BOTH rankings (the q_similarity_topk and
-      // q_similarity_lsh blocks verbatim) and joins them.
-      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            q AS (SELECT vec_id AS q_id, v AS qv FROM em WHERE vec_id < 10),
-            sims AS (SELECT q_id, vec_id AS n_id,
-                            (round(list_dot_product(qv, v) /
-                                  (sqrt(list_dot_product(qv, qv)) *
-                                   sqrt(list_dot_product(v, v))), 4) + 0.0)
-                              AS sim
-                     FROM em, q WHERE vec_id <> q_id),
-            exact AS (SELECT q_id, n_id FROM
-                        (SELECT q_id, n_id,
-                                row_number() OVER (PARTITION BY q_id
-                                  ORDER BY sim DESC, n_id) AS rn
-                         FROM sims) t
-                      WHERE rn <= 3),
-            tb AS (SELECT vec_id, t,
-                          (CASE WHEN v[CAST(t*4+1 AS INT)] > 0 THEN 1 ELSE 0 END +
-                           CASE WHEN v[CAST(t*4+2 AS INT)] > 0 THEN 2 ELSE 0 END +
-                           CASE WHEN v[CAST(t*4+3 AS INT)] > 0 THEN 4 ELSE 0 END +
-                           CASE WHEN v[CAST(t*4+4 AS INT)] > 0 THEN 8 ELSE 0 END)
-                            AS bucket
-                   FROM em, range(0, 8) r(t)),
-            lq AS (SELECT vec_id AS q_id, t AS qt, bucket AS qbk
-                   FROM tb WHERE vec_id < 10),
-            cand AS (SELECT DISTINCT lq.q_id, tb.vec_id AS n_id
-                     FROM tb JOIN lq ON tb.t = qt AND tb.bucket = qbk
-                                    AND tb.vec_id <> lq.q_id),
-            lsims AS (SELECT cand.q_id, cand.n_id,
-                             (round(list_dot_product(qe.v, ne.v) /
-                                   (sqrt(list_dot_product(qe.v, qe.v)) *
-                                    sqrt(list_dot_product(ne.v, ne.v))), 4)
-                              + 0.0) AS sim
-                      FROM cand JOIN em qe ON qe.vec_id = cand.q_id
-                                JOIN em ne ON ne.vec_id = cand.n_id),
-            lsh AS (SELECT q_id, n_id FROM
-                      (SELECT q_id, n_id,
-                              row_number() OVER (PARTITION BY q_id
-                                ORDER BY sim DESC, n_id) AS rn
-                       FROM lsims) t
-                    WHERE rn <= 3),
-            hits AS (SELECT e.q_id, count(*) AS n_hits
-                     FROM exact e JOIN lsh l
-                          ON e.q_id = l.q_id AND e.n_id = l.n_id
-                     GROUP BY 1),
-            base AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY 1)
-         SELECT b.q_id, CAST(n_exact AS BIGINT) AS n_exact,
-                CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-                (round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 4)
-                 + 0.0) AS recall
-         FROM base b LEFT JOIN hits h ON b.q_id = h.q_id
-         ORDER BY b.q_id""",
-    "q_ship_lag" ->
-      // Exact integer day lags; mean and late rate divide once each.
-      """WITH j AS (SELECT date_trunc('month', o_orderdate)::DATE AS month,
-                          datediff('day', o_orderdate::DATE,
-                                   l_shipdate::DATE) AS lag_days
-                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-         SELECT month, count(*) AS n_lines,
-                (round(CAST(sum(lag_days) AS DOUBLE) / count(*), 4) + 0.0)
-                  AS avg_lag_days,
-                CAST(sum(CASE WHEN lag_days > 30 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_late,
-                (round(CAST(sum(CASE WHEN lag_days > 30 THEN 1 ELSE 0 END)
-                         AS DOUBLE) / count(*), 4) + 0.0) AS late_rate
-         FROM j GROUP BY 1 ORDER BY month""",
-    "q_purchase_interval" ->
-      // Exact integer µs gaps over the (ts, event_id)-ordered purchase
-      // timeline; median interpolates at the dyadic .5 position.
-      """WITH p AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us
-                    FROM events WHERE event_type = 'purchase'),
-            g AS (SELECT us - lag(us, 1) OVER
-                         (PARTITION BY user_id
-                          ORDER BY us, event_id) AS gap_us
-                  FROM p),
-            gg AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL)
-         SELECT count(*) AS n_gaps,
-                (round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 86400000000.0,
-                       4) + 0.0) AS avg_days,
-                (round(quantile_cont(gap_us, 0.5) / 86400000000.0, 4) + 0.0)
-                  AS median_days,
-                (round(quantile_cont(gap_us, 0.9) / 86400000000.0, 4) + 0.0)
-                  AS p90_days
-         FROM gg ORDER BY n_gaps""",
-    "q_seasonal_decompose" ->
-      // Exact-int decomposition: res7 = 7·y − Σ7 keeps the detrended
-      // value integral; weekday index = Σres7/(7·n); identical
-      // division chains on both engines, rounded once.
-      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-                               CAST(sum(CAST(round(o_totalprice * 100)
-                                 AS BIGINT)) AS BIGINT) AS cents
-                        FROM orders GROUP BY 1),
-            t AS (SELECT day, cents,
-                         CAST(sum(cents) OVER w AS BIGINT) AS sum7,
-                         count(*) OVER w AS cnt7
-                  FROM daily
-                  WINDOW w AS (ORDER BY day
-                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-            f AS (SELECT day, cents, sum7,
-                         7 * cents - sum7 AS res7,
-                         (isodow(day) - 1) AS wd
-                  FROM t WHERE cnt7 = 7),
-            seas AS (SELECT wd, CAST(sum(res7) AS BIGINT) AS srs,
-                            count(*) AS nw
-                     FROM f GROUP BY 1)
-         SELECT day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
-                (round(CAST(sum7 AS DOUBLE) / 7.0 / 100.0, 4) + 0.0)
-                  AS trend,
-                (round(CAST(srs AS DOUBLE) / (7.0 * nw) / 100.0, 4) + 0.0)
-                  AS seasonal,
-                (round((CAST(res7 AS DOUBLE) / 7.0 -
-                        CAST(srs AS DOUBLE) / (7.0 * nw)) / 100.0, 4) + 0.0)
-                  AS residual
-         FROM f JOIN seas USING (wd) ORDER BY day""",
-    "q_cohort_ltv" ->
-      // Monday-truncated cohort weeks; weeks_since = day-diff DIV 7;
-      // exact cent sums; one division per reported double.
-      """WITH f AS (SELECT user_id,
-                           date_trunc('week', min(ts::TIMESTAMP))::DATE AS cw
-                    FROM events GROUP BY 1),
-            w AS (SELECT user_id,
-                         date_trunc('week', ts::TIMESTAMP)::DATE AS wk,
-                         CAST(sum(CAST(round(value * 100) AS BIGINT))
-                           AS BIGINT) AS cents
-                  FROM events GROUP BY 1, 2),
-            j AS (SELECT f.cw,
-                         CAST(datediff('day', f.cw, w.wk) // 7 AS BIGINT)
-                           AS ws,
-                         w.cents
-                  FROM w JOIN f USING (user_id)),
-            cs AS (SELECT cw, count(*) AS cohort_users FROM f GROUP BY 1),
-            g AS (SELECT cw, ws, CAST(sum(cents) AS BIGINT) AS rev_cents
-                  FROM j GROUP BY 1, 2),
-            c AS (SELECT cw, ws, rev_cents,
-                         CAST(sum(rev_cents) OVER (PARTITION BY cw
-                           ORDER BY ws ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW) AS BIGINT) AS cum_cents
-                  FROM g)
-         SELECT c.cw AS cohort_week, ws AS weeks_since, cohort_users,
-                CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
-                (round(CAST(cum_cents AS DOUBLE) / cohort_users / 100.0, 4)
-                 + 0.0) AS cum_rev_per_user
-         FROM c JOIN cs USING (cw)
-         ORDER BY cohort_week, weeks_since""",
-    "q_stickiness" ->
-      // DAU/MAU: exact distinct counts; mean and ratio are one
-      // identically-spelled division chain.
-      """WITH ev AS (SELECT date_trunc('month', ts::TIMESTAMP)::DATE AS month,
-                           CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
-                             AS day,
-                           user_id
-                    FROM events),
-            d AS (SELECT month, day, count(*) AS dau
-                  FROM (SELECT DISTINCT month, day, user_id FROM ev)
-                  GROUP BY 1, 2),
-            dd AS (SELECT month, count(*) AS n_days,
-                          CAST(sum(dau) AS BIGINT) AS dau_sum
-                   FROM d GROUP BY 1),
-            m AS (SELECT month, count(*) AS mau
-                  FROM (SELECT DISTINCT month, user_id FROM ev)
-                  GROUP BY 1)
-         SELECT month, n_days,
-                (round(CAST(dau_sum AS DOUBLE) / n_days, 4) + 0.0)
-                  AS avg_dau,
-                mau,
-                (round(CAST(dau_sum AS DOUBLE) / n_days / mau, 4) + 0.0)
-                  AS stickiness
-         FROM dd JOIN m USING (month) ORDER BY month""",
-    "q_zipf" ->
-      // rank-frequency OLS over the (f DESC, tok)-ordered top-100;
-      // sufficient sums fold in RANK order (the q_heaps_law rule)
-      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
-                       FROM documents),
-            tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks
-                   WHERE length(tok) > 0 GROUP BY 1),
-            tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
-                           CAST(sum(f) AS BIGINT) AS total_tokens FROM tf),
-            top AS (SELECT f, tok FROM tf ORDER BY f DESC, tok LIMIT 100),
-            rk AS (SELECT row_number() OVER (ORDER BY f DESC, tok) AS rank, f
-                   FROM top),
-            pts AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
-                           ln(CAST(f AS DOUBLE)) AS y FROM rk),
-            ag AS (SELECT CAST(count(*) AS BIGINT) AS n_ranks,
-                          list(x ORDER BY rank) AS xs,
-                          list(y ORDER BY rank) AS ys,
-                          list(x * y ORDER BY rank) AS xys
-                   FROM pts),
-            st AS (SELECT n_ranks,
-                          list_reduce(xs, (a, b) -> a + b) AS sx,
-                          list_reduce(ys, (a, b) -> a + b) AS sy,
-                          list_reduce(list_transform(xs, x -> x * x),
-                                      (a, b) -> a + b) AS sxx,
-                          list_reduce(xys, (a, b) -> a + b) AS sxy
-                   FROM ag),
-            -- nullif guard mirrors the engine (r12 ADVICE): zero
-            -- x-variance (single-distinct-token corpus) -> NULL slope
-            fit AS (SELECT n_ranks, sx, sy,
-                           (CAST(n_ranks AS DOUBLE) * sxy - sx * sy) /
-                           nullif(CAST(n_ranks AS DOUBLE) * sxx - sx * sx,
-                                  0.0)
-                             AS slope_raw
-                    FROM st)
-         SELECT n_ranks, vocab, total_tokens,
-                (round(-slope_raw, 4) + 0.0) AS zipf_s,
-                (round(exp((sy - slope_raw * sx) / CAST(n_ranks AS DOUBLE)), 4)
-                 + 0.0) AS c_coef
-         FROM fit, tot ORDER BY n_ranks""",
-    "q_vocab_overlap" ->
-      // the q_audience_overlap oracle shape on (source, token) sets
-      """WITH st AS (SELECT DISTINCT src, tok
-                     FROM (SELECT source AS src,
-                                  unnest(string_split(text, ' ')) AS tok
-                           FROM documents) t
-                     WHERE length(tok) > 0),
-            sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM st
-                      GROUP BY 1),
-            spine AS (SELECT a.src AS source_a, a.n AS n_a,
-                             b.src AS source_b, b.n AS n_b
-                      FROM sizes a, sizes b WHERE a.src < b.src),
-            i AS (SELECT x.src AS source_a, y.src AS source_b,
-                         CAST(count(*) AS BIGINT) AS inter
-                  FROM st x JOIN st y
-                    ON x.tok = y.tok AND x.src < y.src
-                  GROUP BY 1, 2)
-         SELECT source_a, source_b, n_a, n_b,
-                CAST(coalesce(inter, 0) AS BIGINT) AS inter,
-                (round(CAST(coalesce(inter, 0) AS DOUBLE) /
-                       (n_a + n_b - coalesce(inter, 0)), 4) + 0.0) AS jaccard
-         FROM spine LEFT JOIN i USING (source_a, source_b)
-         ORDER BY source_a, source_b""",
-    "q_embed_outliers" ->
-      // centroid lanes from exact 1e-6-quantized int sums; the distance
-      // folds (vq - c)^2 in LANE order on both engines (q_anova rule);
-      // both engines cut top-20 on the ROUNDED distance + vec_id
-      """WITH em AS (SELECT vec_id, label,
-                            list_transform(embedding,
-                                           v -> CAST(v AS DOUBLE)) AS v
-                     FROM embeddings),
-            lanes AS (SELECT label, CAST(i AS INT) AS pos,
-                             CAST(round(v[CAST(i AS INT) + 1] * 1000000)
-                                  AS BIGINT) AS q
-                      FROM em, range(0, 64) t(i)),
-            cent AS (SELECT label, pos,
-                            CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0 AS c
-                     FROM lanes GROUP BY 1, 2),
-            cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent
-                   GROUP BY 1),
-            dd AS (SELECT vec_id, em.label AS label,
-                          list_reduce(list_transform(range(1, 65), i ->
-                            (CAST(round(v[i] * 1000000) AS BIGINT) / 1000000.0
-                               - cv[i]) *
-                            (CAST(round(v[i] * 1000000) AS BIGINT) / 1000000.0
-                               - cv[i])),
-                            (a, b) -> a + b) AS d2r
-                   FROM em JOIN cv USING (label))
-         SELECT vec_id, label, (round(d2r, 4) + 0.0) AS d2
-         FROM dd ORDER BY (round(d2r, 4) + 0.0) DESC, vec_id LIMIT 20""",
-    "q_lead_lag_corr" ->
-      // Pearson from exact int64 sufficient sums per lag; a lag pair
-      // exists iff both endpoint days were observed
-      """WITH daily AS (SELECT CAST(ts::TIMESTAMP AS DATE) AS day,
-                               CAST(sum(CASE WHEN event_type = 'view'
-                                             THEN 1 ELSE 0 END) AS BIGINT) AS v,
-                               CAST(sum(CASE WHEN event_type = 'purchase'
-                                             THEN 1 ELSE 0 END) AS BIGINT) AS p
-                        FROM events
-                        WHERE event_type IN ('view', 'purchase')
-                        GROUP BY 1),
-            lags AS (SELECT CAST(i AS INT) AS lag FROM range(-3, 4) t(i)),
-            pairs AS (SELECT lag, a.v AS v, b.p AS p
-                      FROM daily a, lags, daily b
-                      WHERE a.day + lag = b.day),
-            ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
-                          CAST(sum(v) AS BIGINT) AS sx,
-                          CAST(sum(p) AS BIGINT) AS sy,
-                          CAST(sum(v * p) AS BIGINT) AS sxy,
-                          CAST(sum(v * v) AS BIGINT) AS sxx,
-                          CAST(sum(p * p) AS BIGINT) AS syy
-                   FROM pairs GROUP BY 1)
-         SELECT lag, n_days,
-                (round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
-                       nullif(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) *
-                              sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)),
-                              0.0), 4) + 0.0) AS corr
-         FROM ag ORDER BY lag""",
-    "q_diff_in_diff" ->
-      // md5-parity arms (q_ab_test idiom), exact integer-second period
-      // midpoint (q_mix_shift rule), DiD from the four UNROUNDED means
-      """WITH p AS (SELECT user_id,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS sec,
-                           CAST(round(value * 100) AS BIGINT) AS cents
-                    FROM events WHERE event_type = 'purchase'),
-            b AS (SELECT min(sec) AS mn, max(sec) AS mx FROM p),
-            cells AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
-                                  THEN 'A' ELSE 'B' END AS arm,
-                             CASE WHEN 2 * sec < mn + mx THEN 1 ELSE 2 END
-                               AS period,
-                             cents
-                      FROM p, b),
-            g AS (SELECT arm, period, CAST(count(*) AS BIGINT) AS n,
-                         CAST(sum(cents) AS BIGINT) AS sc
-                  FROM cells GROUP BY 1, 2),
-            w AS (SELECT
-                    CAST(sum(CASE WHEN arm = 'A' AND period = 1 THEN n END) AS BIGINT) AS n_a1,
-                    CAST(sum(CASE WHEN arm = 'A' AND period = 2 THEN n END) AS BIGINT) AS n_a2,
-                    CAST(sum(CASE WHEN arm = 'B' AND period = 1 THEN n END) AS BIGINT) AS n_b1,
-                    CAST(sum(CASE WHEN arm = 'B' AND period = 2 THEN n END) AS BIGINT) AS n_b2,
-                    CAST(sum(CASE WHEN arm = 'A' AND period = 1 THEN sc END) AS BIGINT) AS s_a1,
-                    CAST(sum(CASE WHEN arm = 'A' AND period = 2 THEN sc END) AS BIGINT) AS s_a2,
-                    CAST(sum(CASE WHEN arm = 'B' AND period = 1 THEN sc END) AS BIGINT) AS s_b1,
-                    CAST(sum(CASE WHEN arm = 'B' AND period = 2 THEN sc END) AS BIGINT) AS s_b2
-                  FROM g)
-         SELECT n_a1, n_a2, n_b1, n_b2,
-                (round(CAST(s_a1 AS DOUBLE) / 100.0 / n_a1, 4) + 0.0) AS m_a1,
-                (round(CAST(s_a2 AS DOUBLE) / 100.0 / n_a2, 4) + 0.0) AS m_a2,
-                (round(CAST(s_b1 AS DOUBLE) / 100.0 / n_b1, 4) + 0.0) AS m_b1,
-                (round(CAST(s_b2 AS DOUBLE) / 100.0 / n_b2, 4) + 0.0) AS m_b2,
-                (round((CAST(s_b2 AS DOUBLE) / 100.0 / n_b2 -
-                        CAST(s_b1 AS DOUBLE) / 100.0 / n_b1) -
-                       (CAST(s_a2 AS DOUBLE) / 100.0 / n_a2 -
-                        CAST(s_a1 AS DOUBLE) / 100.0 / n_a1), 4) + 0.0) AS did
-         FROM w ORDER BY n_a1""",
-    "q_top_supplier" ->
-      // exact int64 revenue (cents x (100 - pct)) decides the max and
-      // its tie set; ONE terminal division for display
-      """WITH rev AS (SELECT l_suppkey,
-                             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-                                      (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                                  AS BIGINT) AS rev_e
-                      FROM lineitem
-                      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-                        AND l_shipdate < TIMESTAMP '1996-04-01'
-                      GROUP BY 1),
-            mx AS (SELECT max(rev_e) AS mx FROM rev)
-         SELECT s_suppkey, s_name,
-                (round(CAST(rev_e AS DOUBLE) / 10000.0, 4) + 0.0) AS revenue
-         FROM rev, mx, supplier
-         WHERE rev_e = mx AND l_suppkey = s_suppkey
-         ORDER BY s_suppkey""",
-    "q_promo_share" ->
-      // numerator and denominator exact int64 in the same cells; ONE
-      // division for the share
-      """WITH li AS (SELECT date_trunc('month', l_shipdate)::DATE AS month,
-                            CAST(CAST(round(l_extendedprice * 100) AS BIGINT) *
-                                 (100 - CAST(round(l_discount * 100) AS BIGINT))
-                                 AS BIGINT) AS rev_e,
-                            (p_type = 'PROMO') AS is_promo
-                     FROM lineitem JOIN part ON l_partkey = p_partkey),
-            g AS (SELECT month,
-                         CAST(sum(CASE WHEN is_promo THEN rev_e ELSE 0 END)
-                              AS BIGINT) AS promo_e,
-                         CAST(sum(rev_e) AS BIGINT) AS total_e
-                  FROM li GROUP BY 1)
-         SELECT month,
-                (round(CAST(promo_e AS DOUBLE) / 10000.0, 4) + 0.0) AS promo_rev,
-                (round(CAST(total_e AS DOUBLE) / 10000.0, 4) + 0.0) AS total_rev,
-                (round(100.0 * promo_e / total_e, 4) + 0.0) AS promo_share
-         FROM g ORDER BY month""",
-    "q_returns_report" ->
-      // exact int64 revenue decides the top-20 cut (rev DESC, custkey)
-      """WITH rev AS (SELECT o_custkey,
-                             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-                                      (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                                  AS BIGINT) AS rev_e
-                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-                      WHERE l_returnflag = 'R'
-                      GROUP BY 1),
-            top AS (SELECT c_custkey, c_name, c_mktsegment, rev_e
-                    FROM rev JOIN customer ON o_custkey = c_custkey
-                    ORDER BY rev_e DESC, c_custkey LIMIT 20)
-         SELECT c_custkey, c_name, c_mktsegment,
-                (round(CAST(rev_e AS DOUBLE) / 10000.0, 4) + 0.0)
-                  AS returned_rev
-         FROM top ORDER BY rev_e DESC, c_custkey""",
-    "q_priority_late" ->
-      // EXISTS books each order once; 90-day cutoff in exact dates
-      """WITH late AS (SELECT o_orderpriority,
-                              CAST(count(*) AS BIGINT) AS n_late
-                       FROM orders o
-                       WHERE EXISTS (SELECT 1 FROM lineitem
-                                     WHERE l_orderkey = o.o_orderkey
-                                       AND l_shipdate > o.o_orderdate
-                                           + INTERVAL 90 DAY)
-                       GROUP BY 1),
-            tot AS (SELECT o_orderpriority,
-                           CAST(count(*) AS BIGINT) AS n_orders
-                    FROM orders GROUP BY 1)
-         SELECT o_orderpriority, n_orders,
-                CAST(coalesce(n_late, 0) AS BIGINT) AS n_late,
-                (round(CAST(coalesce(n_late, 0) AS DOUBLE) / n_orders, 4)
-                 + 0.0) AS late_rate
-         FROM tot LEFT JOIN late USING (o_orderpriority)
-         ORDER BY o_orderpriority""",
-    "q_session_duration_hist" ->
-      // sessions re-derived from raw events (the q_sessionize oracle),
-      // bucketed by exact integer 5-minute bins
-      """WITH e AS (SELECT user_id, event_id,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS sid
-                     FROM g),
-            sess AS (SELECT user_id, sid,
-                            max(ts_sec) - min(ts_sec) AS dur_sec,
-                            CAST(count(*) AS BIGINT) AS n_events
-                     FROM sids GROUP BY 1, 2),
-            h AS (SELECT dur_sec // 300 AS bucket,
-                         CAST(count(*) AS BIGINT) AS n_sessions,
-                         CAST(sum(n_events) AS BIGINT) AS ev_sum
-                  FROM sess GROUP BY 1)
-         SELECT bucket, CAST(bucket * 300 AS BIGINT) AS from_sec, n_sessions,
-                (round(CAST(ev_sum AS DOUBLE) / n_sessions, 4) + 0.0)
-                  AS avg_events
-         FROM h ORDER BY bucket""",
-    "q_robust_scale" ->
-      // dyadic quantile positions interpolate exactly over sorted ints
-      // (the q_winsorize percentile chain); ONE nullif-guarded division
-      """WITH q AS (SELECT lang,
-                           quantile_cont(n_chars, 0.25) AS q25,
-                           quantile_cont(n_chars, 0.5) AS med,
-                           quantile_cont(n_chars, 0.75) AS q75
-                    FROM documents GROUP BY 1)
-         SELECT doc_id, d.lang AS lang, n_chars,
-                (round(med, 4) + 0.0) AS med,
-                (round(q75 - q25, 4) + 0.0) AS iqr,
-                (round((n_chars - med) / nullif(q75 - q25, 0.0), 4) + 0.0)
-                  AS rs
-         FROM documents d JOIN q ON d.lang = q.lang
-         ORDER BY doc_id""",
-    "q_token_length" ->
-      // (lang, length) cells with exact-int shares
-      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
-                       FROM documents),
-            cells AS (SELECT lang, CAST(length(tok) AS INT) AS tok_len,
-                             CAST(count(*) AS BIGINT) AS n_tokens
-                      FROM toks WHERE length(tok) > 0 GROUP BY 1, 2),
-            tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total
-                    FROM cells GROUP BY 1)
-         SELECT cells.lang AS lang, tok_len, n_tokens,
-                (round(CAST(n_tokens AS DOUBLE) / total, 4) + 0.0) AS share
-         FROM cells JOIN tot ON cells.lang = tot.lang
-         ORDER BY lang, tok_len""",
-    "q_first_repeat_aov" ->
-      // row 1 of the (date, orderkey)-ordered per-customer window is
-      // the first order; ratio combines UNROUNDED means (rule 8)
-      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
-                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-                           row_number() OVER (PARTITION BY o_custkey
-                             ORDER BY o_orderdate, o_orderkey) = 1 AS is_first
-                    FROM orders),
-            w AS (SELECT
-                    CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
-                      AS n_first,
-                    CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
-                      AS n_repeat,
-                    CAST(sum(CASE WHEN is_first THEN cents ELSE 0 END) AS BIGINT)
-                      AS s_first,
-                    CAST(sum(CASE WHEN is_first THEN 0 ELSE cents END) AS BIGINT)
-                      AS s_repeat
-                  FROM o)
-         SELECT n_first, n_repeat,
-                (round(CAST(s_first AS DOUBLE) / 100.0 / n_first, 4) + 0.0)
-                  AS aov_first,
-                (round(CAST(s_repeat AS DOUBLE) / 100.0 / n_repeat, 4) + 0.0)
-                  AS aov_repeat,
-                (round((CAST(s_first AS DOUBLE) / 100.0 / n_first) /
-                       (CAST(s_repeat AS DOUBLE) / 100.0 / n_repeat), 4) + 0.0)
-                  AS first_over_repeat
-         FROM w ORDER BY n_first""",
-    "q_regional_revenue" ->
-      // exact int64 revenue + share of the regional total
-      """WITH n AS (SELECT n_nationkey, n_name
-                    FROM nation JOIN region ON n_regionkey = r_regionkey
-                    WHERE r_name = 'ASIA'),
-            rev AS (SELECT n_name,
-                           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-                                    (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                                AS BIGINT) AS rev_e
-                    FROM customer
-                         JOIN n ON c_nationkey = n_nationkey
-                         JOIN orders ON c_custkey = o_custkey
-                         JOIN lineitem ON o_orderkey = l_orderkey
-                    GROUP BY 1),
-            tot AS (SELECT CAST(sum(rev_e) AS BIGINT) AS tot_e FROM rev)
-         SELECT n_name,
-                (round(CAST(rev_e AS DOUBLE) / 10000.0, 4) + 0.0) AS revenue,
-                (round(100.0 * rev_e / tot_e, 4) + 0.0) AS share
-         FROM rev, tot ORDER BY n_name""",
-    "q_quality_by_source" ->
-      // quality = u/max(t,50); band thresholds are exact int64
-      // cross-multiplications (4u vs k*max(t,50)) — no float until the
-      // one share division
-      """WITH d AS (SELECT source,
-                           CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
-                           CAST(len(list_distinct(string_split(text, ' ')))
-                                AS BIGINT) AS u
-                    FROM documents),
-            b AS (SELECT source,
-                         CASE WHEN 4 * u >= 3 * greatest(t, 50) THEN 'a_ge75'
-                              WHEN 4 * u >= 2 * greatest(t, 50) THEN 'b_50_75'
-                              WHEN 4 * u >= greatest(t, 50) THEN 'c_25_50'
-                              ELSE 'd_lt25' END AS band
-                  FROM d),
-            cells AS (SELECT source, band, CAST(count(*) AS BIGINT) AS n_docs
-                      FROM b GROUP BY 1, 2),
-            tot AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS total
-                    FROM cells GROUP BY 1)
-         SELECT cells.source AS source, band, n_docs,
-                (round(CAST(n_docs AS DOUBLE) / total, 4) + 0.0) AS share
-         FROM cells JOIN tot ON cells.source = tot.source
-         ORDER BY source, band""",
-    "q_price_elasticity" ->
-      // cell-level log-log OLS per brand; sums fold in PRICE order
-      // (the q_heaps_law list ORDER BY + list_reduce rule)
-      """WITH cells AS (SELECT p_brand AS brand,
-                               CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
-                               CAST(sum(CAST(round(l_quantity) AS BIGINT))
-                                    AS BIGINT) AS qty
-                        FROM lineitem JOIN part ON l_partkey = p_partkey
-                        GROUP BY 1, 2),
-            pts AS (SELECT brand, pc,
-                           ln(CAST(pc AS DOUBLE)) AS x,
-                           ln(CAST(qty AS DOUBLE)) AS y
-                    FROM cells),
-            ag AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_cells,
-                          list(x ORDER BY pc) AS xs,
-                          list(y ORDER BY pc) AS ys,
-                          list(x * y ORDER BY pc) AS xys
-                   FROM pts GROUP BY 1),
-            st AS (SELECT brand, n_cells,
-                          list_reduce(xs, (a, b) -> a + b) AS sx,
-                          list_reduce(ys, (a, b) -> a + b) AS sy,
-                          list_reduce(list_transform(xs, x -> x * x),
-                                      (a, b) -> a + b) AS sxx,
-                          list_reduce(xys, (a, b) -> a + b) AS sxy
-                   FROM ag)
-         SELECT brand, n_cells,
-                (round((CAST(n_cells AS DOUBLE) * sxy - sx * sy) /
-                       nullif(CAST(n_cells AS DOUBLE) * sxx - sx * sx,
-                              CAST(0.0 AS DOUBLE)), 4) + 0.0) AS elasticity
-         FROM st ORDER BY brand""",
-    "q_order_size_hist" ->
-      // lines-per-order histogram with exact shares
-      """WITH sz AS (SELECT l_orderkey, CAST(count(*) AS BIGINT)
-                              AS order_lines
-                     FROM lineitem GROUP BY 1),
-            h AS (SELECT order_lines, CAST(count(*) AS BIGINT) AS n_orders
-                  FROM sz GROUP BY 1),
-            tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM h)
-         SELECT order_lines, n_orders,
-                (round(CAST(n_orders AS DOUBLE) / total, 4) + 0.0) AS share
-         FROM h, tot ORDER BY order_lines""",
-    "q_retention_curve" ->
-      // pooled day-N retention: exact integer day keys, one semi-join
-      // hit per (user, N)
-      """WITH ud AS (SELECT DISTINCT user_id,
-                            CAST(epoch_us(ts::TIMESTAMP)//1000000//86400
-                                 AS INT) AS day_num
-                     FROM events),
-            f AS (SELECT user_id, min(day_num) AS d0 FROM ud GROUP BY 1),
-            ns AS (SELECT unnest([1, 3, 7, 14]) AS n),
-            hits AS (SELECT n, CAST(count(*) AS BIGINT) AS n_retained
-                     FROM f, ns
-                     WHERE EXISTS (SELECT 1 FROM ud
-                                   WHERE ud.user_id = f.user_id
-                                     AND ud.day_num = f.d0 + ns.n)
-                     GROUP BY 1),
-            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM f)
-         SELECT n, n_users,
-                CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
-                (round(CAST(coalesce(n_retained, 0) AS DOUBLE) / n_users, 4)
-                 + 0.0) AS retention
-         FROM ns LEFT JOIN hits USING (n), tot
-         ORDER BY n""",
-    "q_return_rate" ->
-      // per-day 7-day bounceback: semi-join books each (user, day) once
-      """WITH ud AS (SELECT DISTINCT user_id,
-                            CAST(epoch_us(ts::TIMESTAMP)//1000000//86400
-                                 AS INT) AS day_num
-                     FROM events),
-            ret AS (SELECT day_num, CAST(count(*) AS BIGINT) AS n_returned
-                    FROM ud a
-                    WHERE EXISTS (SELECT 1 FROM ud b
-                                  WHERE b.user_id = a.user_id
-                                    AND b.day_num > a.day_num
-                                    AND b.day_num <= a.day_num + 7)
-                    GROUP BY 1),
-            act AS (SELECT day_num, CAST(count(*) AS BIGINT) AS n_active
-                    FROM ud GROUP BY 1)
-         SELECT day_num, n_active,
-                CAST(coalesce(n_returned, 0) AS BIGINT) AS n_returned,
-                (round(CAST(coalesce(n_returned, 0) AS DOUBLE) / n_active, 4)
-                 + 0.0) AS return_rate
-         FROM act LEFT JOIN ret USING (day_num)
-         ORDER BY day_num""",
-    "q_vocab_coverage" ->
-      // top-k token-mass coverage; rank totally ordered by (f DESC, tok)
-      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
-                       FROM documents),
-            tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks
-                   WHERE length(tok) > 0 GROUP BY 1),
-            tot AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens FROM tf),
-            top AS (SELECT f, tok FROM tf ORDER BY f DESC, tok LIMIT 10000),
-            rk AS (SELECT row_number() OVER (ORDER BY f DESC, tok) AS rank, f
-                   FROM top),
-            ks AS (SELECT unnest([100, 1000, 10000]) AS k),
-            cov AS (SELECT k, CAST(sum(f) AS BIGINT) AS covered
-                    FROM ks JOIN rk ON rank <= k GROUP BY 1)
-         SELECT k, covered, total_tokens,
-                (round(CAST(covered AS DOUBLE) / total_tokens, 4) + 0.0)
-                  AS coverage
-         FROM cov, tot ORDER BY k""",
-    "q_session_cooc" ->
-      // sessions re-derived from raw events (the q_sessionize oracle);
-      // lift = n_both·n_sessions/(n_a·n_b), exact ints, ONE chain
-      """WITH e AS (SELECT user_id, event_id, event_type,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS sid
-                     FROM g),
-            st AS (SELECT DISTINCT user_id, sid, event_type AS t FROM sids),
-            ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
-                   FROM (SELECT DISTINCT user_id, sid FROM st)),
-            sizes AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM st
-                      GROUP BY 1),
-            pr AS (SELECT x.t AS type_a, y.t AS type_b,
-                          CAST(count(*) AS BIGINT) AS n_both
-                   FROM st x JOIN st y
-                     ON x.user_id = y.user_id AND x.sid = y.sid
-                        AND x.t < y.t
-                   GROUP BY 1, 2)
-         SELECT type_a, type_b, a.n AS n_a, b.n AS n_b, n_both,
-                (round(CAST(n_both AS DOUBLE) * n_sessions / (a.n * b.n), 4)
-                 + 0.0) AS lift
-         FROM pr JOIN sizes a ON type_a = a.t
-                 JOIN sizes b ON type_b = b.t, ns
-         ORDER BY type_a, type_b""",
-    "q_user_concentration" ->
-      // top-p% cutoff decided in exact int64 (100·rank <= p·n_users)
-      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ev
-                      FROM events GROUP BY 1),
-            ranked AS (SELECT *, CAST(row_number() OVER
-                         (ORDER BY ev DESC, user_id) AS BIGINT) AS rank
-                       FROM per),
-            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
-                           CAST(sum(ev) AS BIGINT) AS n_events FROM ranked),
-            tiers AS (SELECT CAST(unnest([1, 10, 50]) AS BIGINT) AS pct),
-            top AS (SELECT pct,
-                           CAST(count(*) AS BIGINT) AS n_top,
-                           CAST(sum(ev) AS BIGINT) AS top_events
-                    FROM tiers, tot, ranked
-                    WHERE 100 * rank <= pct * n_users
-                    GROUP BY 1)
-         SELECT pct, n_users,
-                CAST(coalesce(n_top, 0) AS BIGINT) AS n_top,
-                CAST(coalesce(top_events, 0) AS BIGINT) AS top_events,
-                (round(CAST(coalesce(top_events, 0) AS DOUBLE) / n_events, 4)
-                 + 0.0) AS share
-         FROM tiers LEFT JOIN top USING (pct), tot ORDER BY pct""",
-    "q_dead_stock" ->
-      // anti join against the traded-part distinct set, per-brand rates
-      """WITH traded AS (SELECT DISTINCT l_partkey FROM lineitem),
-            dead AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_dead
-                     FROM part
-                     WHERE NOT EXISTS (SELECT 1 FROM traded
-                                       WHERE l_partkey = p_partkey)
-                     GROUP BY 1),
-            tot AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
-                    FROM part GROUP BY 1)
-         SELECT p_brand, n_parts,
-                CAST(coalesce(n_dead, 0) AS BIGINT) AS n_dead,
-                (round(CAST(coalesce(n_dead, 0) AS DOUBLE) / n_parts, 4)
-                 + 0.0) AS dead_rate
-         FROM tot LEFT JOIN dead USING (p_brand)
-         ORDER BY p_brand""",
-    "q_weighted_median" ->
-      // first (price ASC) cell whose running weight reaches half the
-      // total: 2*cumw >= totw in pure int64
-      """WITH cells AS (SELECT l_returnflag AS flag,
-                               CAST(round(p_retailprice * 100) AS BIGINT)
-                                 AS pc,
-                               CAST(sum(CAST(round(l_quantity) AS BIGINT))
-                                    AS BIGINT) AS w
-                        FROM lineitem JOIN part ON l_partkey = p_partkey
-                        GROUP BY 1, 2),
-            cum AS (SELECT flag, pc, w,
-                           CAST(sum(w) OVER (PARTITION BY flag ORDER BY pc
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                             AS BIGINT) AS cumw,
-                           CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT)
-                             AS totw
-                    FROM cells),
-            med AS (SELECT flag, min(pc) AS med_pc,
-                           CAST(min(totw) AS BIGINT) AS total_qty
-                    FROM cum WHERE 2 * cumw >= totw GROUP BY 1)
-         SELECT flag, total_qty,
-                (round(CAST(med_pc AS DOUBLE) / 100.0, 4) + 0.0)
-                  AS weighted_median_price
-         FROM med ORDER BY flag""",
-    "q_cart_abandonment" ->
-      // sessions re-derived from raw events; clicked-but-not-purchased
-      // per session-start day
-      """WITH e AS (SELECT user_id, event_id, event_type,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS sid
-                     FROM g),
-            sess AS (SELECT user_id, sid, min(ts_sec) AS start_sec,
-                            max(CASE WHEN event_type = 'click' THEN 1
-                                     ELSE 0 END) AS clicked,
-                            max(CASE WHEN event_type = 'purchase' THEN 1
-                                     ELSE 0 END) AS purchased
-                     FROM sids GROUP BY 1, 2),
-            daily AS (SELECT CAST(start_sec // 86400 AS INT) AS day_num,
-                             CAST(count(*) AS BIGINT) AS n_intent,
-                             CAST(sum(1 - purchased) AS BIGINT) AS n_abandoned
-                      FROM sess WHERE clicked = 1 GROUP BY 1)
-         SELECT day_num, n_intent, n_abandoned,
-                (round(CAST(n_abandoned AS DOUBLE) / n_intent, 4) + 0.0)
-                  AS abandonment_rate
-         FROM daily ORDER BY day_num""",
-    "q_sql_report_dated" ->
-      // SQL-surface twin of q_session_report_dated: same oracle text
-      """WITH e AS (SELECT user_id, event_id, value,
-                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
-                           ts::TIMESTAMP AS tsu FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
-                                   OR ts_sec - lag(ts_sec) OVER w > 1800
-                                 THEN 1 ELSE 0 END AS new_sess
-                  FROM e
-                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-            sids AS (SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS BIGINT) AS sid
-                     FROM g)
-         SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
-                count(*) AS n_events, (round(sum(value), 4) + 0.0) AS window_value
-         FROM sids
-         WHERE CAST(tsu AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q_brand_share_trend" ->
-      // exact int64 revenue cells; month totals from the same cells via
-      // a month-partitioned window; ONE division
-      """WITH cells AS (SELECT date_trunc('month', l_shipdate)::DATE AS month,
-                               p_brand,
-                               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-                                        (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                                    AS BIGINT) AS rev_e
-                        FROM lineitem JOIN part ON l_partkey = p_partkey
-                        GROUP BY 1, 2),
-            w AS (SELECT month, p_brand, rev_e,
-                         CAST(sum(rev_e) OVER (PARTITION BY month) AS BIGINT)
-                           AS tot_e
-                  FROM cells)
-         SELECT month, p_brand,
-                (round(CAST(rev_e AS DOUBLE) / 10000.0, 4) + 0.0) AS revenue,
-                (round(100.0 * rev_e / tot_e, 4) + 0.0) AS share
-         FROM w ORDER BY month, p_brand""",
-    "q_repeat_purchase_rate" ->
-      // exact counts; repeat = customers with >= 2 orders, by segment
-      """WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
-                     FROM orders GROUP BY 1),
-            g AS (SELECT c_mktsegment,
-                         CAST(count(*) AS BIGINT) AS n_buyers,
-                         CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
-                              AS BIGINT) AS n_repeat
-                  FROM pc JOIN customer ON o_custkey = c_custkey
-                  GROUP BY 1)
-         SELECT c_mktsegment, n_buyers, n_repeat,
-                (round(CAST(n_repeat AS DOUBLE) / n_buyers, 4) + 0.0)
-                  AS repeat_rate
-         FROM g ORDER BY c_mktsegment""",
-    "q_jaccard_bands" ->
-      // the q_containment pair machinery, banded by (10*inter) //
-      // union -- pure int64 floor division, no float anywhere
-      """WITH base AS (SELECT doc_id, lang, source,
-                              string_split(text, ' ') AS toks FROM documents),
-            ng AS (SELECT doc_id, lang, source,
-                          list_distinct(list_transform(range(1, len(toks) - 1),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
-                   FROM base),
-            nz AS (SELECT doc_id, lang, source, ngs
-                   FROM ng WHERE len(ngs) > 0),
-            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
-            df AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
-            ex AS (SELECT ex0.* FROM ex0 JOIN df USING (g) WHERE df <= 100),
-            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
-            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-                             count(*) AS inter
-                      FROM ex a JOIN ex b
-                        ON a.lang = b.lang AND a.source = b.source
-                       AND a.g = b.g AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2),
-            bands AS (SELECT (10 * inter) // (s1.nsz + s2.nsz - inter)
-                               AS band
-                      FROM inter JOIN sz s1 ON s1.doc_id = d1
-                                 JOIN sz s2 ON s2.doc_id = d2)
-         SELECT CAST(band AS BIGINT) AS band,
-                CAST(count(*) AS BIGINT) AS n_pairs
-         FROM bands GROUP BY 1 ORDER BY band""",
-    "q_boilerplate_prefix" ->
-      // exact 32-char prefix families per source; rate of docs in
-      // families of size >= 2
-      """WITH fam AS (SELECT source, substring(text, 1, 32) AS pfx,
-                             CAST(count(*) AS BIGINT) AS sz
-                      FROM documents GROUP BY 1, 2),
-            g AS (SELECT source, CAST(sum(sz) AS BIGINT) AS n_docs,
-                         CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END)
-                              AS BIGINT) AS n_boiler
-                  FROM fam GROUP BY 1)
-         SELECT source, n_docs, n_boiler,
-                (round(CAST(n_boiler AS DOUBLE) / n_docs, 4) + 0.0)
-                  AS boiler_rate
-         FROM g ORDER BY source""",
-    "q_token_drift" ->
-      // PSI over the top-200 tokens between corpus halves (exact id
-      // midpoint); terms fold in (f DESC, tok) order on both engines;
-      // zero-in-either-half tokens excluded and counted
-      """WITH docs AS (SELECT doc_id, text FROM documents),
-            b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM docs),
-            toks AS (SELECT CASE WHEN 2 * doc_id < mn + mx THEN 1 ELSE 2 END
-                              AS half,
-                            unnest(string_split(text, ' ')) AS tok
-                     FROM docs, b),
-            tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f,
-                          CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
-                               AS BIGINT) AS f1,
-                          CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)
-                               AS BIGINT) AS f2
-                   FROM toks WHERE length(tok) > 0 GROUP BY 1),
-            tot AS (SELECT CAST(sum(f1) AS BIGINT) AS t1,
-                           CAST(sum(f2) AS BIGINT) AS t2 FROM tf),
-            top AS (SELECT f, tok, f1, f2 FROM tf
-                    ORDER BY f DESC, tok LIMIT 200),
-            terms AS (SELECT f, tok,
-                             CASE WHEN f1 > 0 AND f2 > 0 THEN
-                               (CAST(f1 AS DOUBLE) / t1 -
-                                CAST(f2 AS DOUBLE) / t2) *
-                               ln((CAST(f1 AS DOUBLE) / t1) /
-                                  (CAST(f2 AS DOUBLE) / t2)) END AS term
-                      FROM top, tot),
-            ag AS (SELECT CAST(count(*) AS BIGINT) AS n_ranks,
-                          CAST(sum(CASE WHEN term IS NULL THEN 1 ELSE 0 END)
-                               AS BIGINT) AS n_excluded,
-                          list(term ORDER BY f DESC, tok)
-                            FILTER (WHERE term IS NOT NULL) AS ts
-                   FROM terms)
-         SELECT n_ranks, n_excluded,
-                -- ts IS NULL guard (r12 ADVICE): list(...) FILTER over
-                -- zero rows yields NULL (not []), and len(NULL) = 0 is
-                -- never true — the fully-degenerate all-excluded case
-                -- must report psi = 0.0 like Spark's empty collect_list
-                (round(CASE WHEN ts IS NULL OR len(ts) = 0 THEN 0.0
-                            ELSE list_reduce(ts, (a, b) -> a + b) END, 4)
-                 + 0.0) AS psi
-         FROM ag ORDER BY n_ranks""",
-    "q_rsi" ->
-      // Cutler's SMA RSI over the daily rollup: exact int64 cents
-      // gains/losses, ONE division; <14 trailing deltas → NULL
-      """WITH daily AS (
-           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
-                    AS day_num,
-                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                       AS BIGINT) AS cents
-           FROM orders GROUP BY 1),
-            dl AS (SELECT day_num, cents,
-                          lag(cents, 1) OVER (ORDER BY day_num) AS prev
-                   FROM daily),
-            gl AS (SELECT day_num, cents, prev,
-                          greatest(cents - prev, 0) AS gain,
-                          greatest(prev - cents, 0) AS loss
-                   FROM dl WHERE prev IS NOT NULL),
-            w AS (SELECT day_num, cents, prev,
-                         sum(gain) OVER win AS sg,
-                         sum(loss) OVER win AS sl,
-                         count(*) OVER win AS nw
-                  FROM gl
-                  WINDOW win AS (ORDER BY day_num
-                                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
-         SELECT day_num,
-                CAST(cents - prev AS DOUBLE) / 100.0 AS delta_rev,
-                CASE WHEN nw = 14 THEN
-                  (round(100.0 * CAST(sg AS DOUBLE) /
-                         nullif(CAST(sg + sl AS DOUBLE), 0.0), 4) + 0.0)
-                END AS rsi14
-         FROM w ORDER BY day_num""",
-    "q_sax" ->
-      // 8-segment PAA + 4-symbol SAX of the daily event-count series:
-      // HUGEINT sufficient sums mirror the engine's decimal(38,0);
-      // z is the identically-spelled chain, strict < breakpoints
-      """WITH daily AS (
-           SELECT CAST((epoch_us(ts)//1000000) // 86400 AS INT) AS day_num,
-                  CAST(count(*) AS BIGINT) AS c
-           FROM events GROUP BY 1),
-            idx AS (SELECT day_num, c,
-                           row_number() OVER (ORDER BY day_num) - 1 AS i
-                    FROM daily),
-            tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                           CAST(sum(c) AS HUGEINT) AS sx,
-                           CAST(sum(c * c) AS HUGEINT) AS sxx
-                    FROM daily),
-            seg AS (SELECT CAST((8 * i) // n AS INT) AS seg,
-                           CAST(count(*) AS BIGINT) AS ln,
-                           CAST(sum(c) AS BIGINT) AS sc
-                    FROM idx, tot GROUP BY 1),
-            z AS (SELECT seg, ln,
-                         CAST(n * sc - ln * sx AS DOUBLE) /
-                         nullif(CAST(ln AS DOUBLE) *
-                                sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-                                     CAST(n AS DOUBLE)), 0.0) AS zv
-                  FROM seg, tot)
-         SELECT seg, ln AS n_days, (round(zv, 4) + 0.0) AS z,
-                CASE WHEN zv IS NULL THEN 'b'
-                     WHEN zv < -0.6745 THEN 'a'
-                     WHEN zv < 0.0 THEN 'b'
-                     WHEN zv < 0.6745 THEN 'c'
-                     ELSE 'd' END AS symbol
-         FROM z ORDER BY seg""",
-    "q_price_index" ->
-      // Drobisch unit-value index vs the base month over MATCHED
-      // parts: HUGEINT cross products mirror decimal(38,0); ONE division
-      """WITH mp AS (SELECT date_trunc('month', o_orderdate)::DATE AS month,
-                            l_partkey,
-                            CAST(sum(CAST(round(l_quantity) AS BIGINT))
-                                 AS BIGINT) AS qty,
-                            CAST(sum(CAST(round(l_extendedprice * 100)
-                                          AS BIGINT)) AS BIGINT) AS cents
-                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-                     GROUP BY 1, 2),
-            base AS (SELECT min(month) AS base_month FROM mp),
-            bm AS (SELECT l_partkey AS bk, qty AS qb, cents AS cb
-                   FROM mp, base WHERE month = base_month),
-            g AS (SELECT month, CAST(count(*) AS BIGINT) AS n_parts,
-                         CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS scm,
-                         CAST(sum(CAST(qty AS HUGEINT)) AS HUGEINT) AS sqm,
-                         CAST(sum(CAST(qb AS HUGEINT)) AS HUGEINT) AS sqb,
-                         CAST(sum(CAST(cb AS HUGEINT)) AS HUGEINT) AS scb
-                  FROM mp JOIN bm ON l_partkey = bk
-                  GROUP BY 1)
-         SELECT month, n_parts,
-                (round(100.0 * CAST(scm * sqb AS DOUBLE) /
-                       nullif(CAST(sqm * scb AS DOUBLE), 0.0), 4) + 0.0)
-                  AS price_index
-         FROM g ORDER BY month""",
-    "q_fk_audit" ->
-      // five FK edges, orphans via NOT EXISTS anti-joins, exact counts
-      """WITH e AS (
-           SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
-                  (SELECT count(*) FROM lineitem) AS n_child,
-                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
-                     (SELECT 1 FROM orders o
-                      WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan
-           UNION ALL
-           SELECT 'lineitem.l_partkey->part',
-                  (SELECT count(*) FROM lineitem),
-                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
-                     (SELECT 1 FROM part p
-                      WHERE p.p_partkey = l.l_partkey))
-           UNION ALL
-           SELECT 'lineitem.l_suppkey->supplier',
-                  (SELECT count(*) FROM lineitem),
-                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
-                     (SELECT 1 FROM supplier s
-                      WHERE s.s_suppkey = l.l_suppkey))
-           UNION ALL
-           SELECT 'orders.o_custkey->customer',
-                  (SELECT count(*) FROM orders),
-                  (SELECT count(*) FROM orders o WHERE NOT EXISTS
-                     (SELECT 1 FROM customer c
-                      WHERE c.c_custkey = o.o_custkey))
-           UNION ALL
-           SELECT 'embeddings.vec_id->documents',
-                  (SELECT count(*) FROM embeddings),
-                  (SELECT count(*) FROM embeddings e WHERE NOT EXISTS
-                     (SELECT 1 FROM documents d
-                      WHERE d.doc_id = e.vec_id)))
-         SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,
-                CAST(n_orphan AS BIGINT) AS n_orphan,
-                (round(CAST(n_orphan AS DOUBLE) /
-                       nullif(CAST(n_child AS DOUBLE), 0.0), 4) + 0.0)
-                  AS orphan_rate
-         FROM e ORDER BY fk_edge""",
-    "q_simhash_hamming_hist" ->
-      // q_dedup_simhash's signature arithmetic, then 2×16-bit band
-      // blocking within (lang, source), distinct pairs, exact
-      // bit_count(xor) histogram over a 0..32 spine
-      """WITH toks AS (SELECT doc_id, tok
-                       FROM (SELECT doc_id,
-                                    unnest(string_split(text, ' ')) AS tok
-                             FROM documents) t0
-                       WHERE length(tok) > 0),
-            h AS (SELECT doc_id,
-                         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
-                  FROM toks),
-            contrib AS (SELECT doc_id, i,
-                               ((hv >> CAST(i AS INT)) & 1) * 2 - 1 AS c
-                        FROM h, range(0, 32) t(i)),
-            bits AS (SELECT doc_id, i,
-                            CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS b
-                     FROM contrib GROUP BY 1, 2),
-            sig AS (SELECT doc_id,
-                           CAST(sum(b * (1::BIGINT << CAST(i AS INT)))
-                                AS BIGINT) AS sig
-                    FROM bits GROUP BY 1),
-            sg AS (SELECT s.doc_id, d.lang, d.source, s.sig
-                   FROM sig s JOIN documents d ON s.doc_id = d.doc_id),
-            banded AS (SELECT doc_id, lang, source, sig,
-                              0 AS band, sig >> 16 AS bv FROM sg
-                       UNION ALL
-                       SELECT doc_id, lang, source, sig,
-                              1, sig & 65535 FROM sg),
-            pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-                                      a.sig AS s1, b.sig AS s2
-                      FROM banded a JOIN banded b
-                        ON a.lang = b.lang AND a.source = b.source
-                       AND a.band = b.band AND a.bv = b.bv
-                       AND a.doc_id < b.doc_id),
-            hist AS (SELECT CAST(bit_count(xor(s1, s2)) AS INT) AS hamming,
-                            CAST(count(*) AS BIGINT) AS n_pairs
-                     FROM pairs GROUP BY 1)
-         SELECT CAST(t.i AS INT) AS hamming,
-                coalesce(h2.n_pairs, 0) AS n_pairs
-         FROM range(0, 33) t(i) LEFT JOIN hist h2 ON h2.hamming = t.i
-         ORDER BY hamming""",
-    "q_source_terms" ->
-      // weirdness = (tf_s·N_c)/(N_s·tf_c) in HUGEINT cross products
-      // (mirrors decimal(38,0)); tf_s ≥ 5 floor before the rank
-      """WITH t2 AS (SELECT source, tok
-                     FROM (SELECT source,
-                                  unnest(string_split(text, ' ')) AS tok
-                           FROM documents) t0
-                     WHERE length(tok) > 0),
-            tfs AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf_s
-                    FROM t2 GROUP BY 1, 2),
-            ns AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS n_s
-                   FROM tfs GROUP BY 1),
-            tfc AS (SELECT tok, CAST(sum(tf_s) AS BIGINT) AS tf_c
-                    FROM tfs GROUP BY 1),
-            nc AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_c FROM ns),
-            sc AS (SELECT f.source, f.tok, f.tf_s,
-                          CAST(CAST(f.tf_s AS HUGEINT) * n_c AS DOUBLE) /
-                          CAST(CAST(n.n_s AS HUGEINT) * c.tf_c AS DOUBLE)
-                            AS weird
-                   FROM tfs f JOIN tfc c ON f.tok = c.tok
-                              JOIN ns n ON f.source = n.source, nc
-                   WHERE f.tf_s >= 5),
-            rk AS (SELECT source, tok, tf_s, weird,
-                          row_number() OVER (PARTITION BY source
-                                             ORDER BY weird DESC, tok)
-                            AS rank
-                   FROM sc)
-         SELECT source, CAST(rank AS BIGINT) AS rank, tok, tf_s,
-                (round(weird, 4) + 0.0) AS weirdness
-         FROM rk WHERE rank <= 5 ORDER BY source, rank""",
-    "q_key_skew" ->
-      // per key column: per-key rollup, 1-row stats, totally-ordered
-      // top-10 cut (count DESC, key ASC); single divisions
-      """WITH c1 AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
-                     FROM orders GROUP BY 1),
-            c2 AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
-                   FROM lineitem GROUP BY 1),
-            c3 AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS c
-                   FROM lineitem GROUP BY 1),
-            c4 AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
-                   FROM events GROUP BY 1),
-            e AS (
-              SELECT 'orders.o_custkey' AS key_col,
-                     (SELECT CAST(sum(c) AS BIGINT) FROM c1) AS n_rows,
-                     (SELECT CAST(count(*) AS BIGINT) FROM c1) AS n_keys,
-                     (SELECT max(c) FROM c1) AS max_cnt,
-                     (SELECT CAST(sum(c) AS BIGINT) FROM
-                        (SELECT c FROM c1 ORDER BY c DESC, k LIMIT 10))
-                       AS top10_cnt
-              UNION ALL
-              SELECT 'lineitem.l_orderkey',
-                     (SELECT CAST(sum(c) AS BIGINT) FROM c2),
-                     (SELECT CAST(count(*) AS BIGINT) FROM c2),
-                     (SELECT max(c) FROM c2),
-                     (SELECT CAST(sum(c) AS BIGINT) FROM
-                        (SELECT c FROM c2 ORDER BY c DESC, k LIMIT 10))
-              UNION ALL
-              SELECT 'lineitem.l_suppkey',
-                     (SELECT CAST(sum(c) AS BIGINT) FROM c3),
-                     (SELECT CAST(count(*) AS BIGINT) FROM c3),
-                     (SELECT max(c) FROM c3),
-                     (SELECT CAST(sum(c) AS BIGINT) FROM
-                        (SELECT c FROM c3 ORDER BY c DESC, k LIMIT 10))
-              UNION ALL
-              SELECT 'events.user_id',
-                     (SELECT CAST(sum(c) AS BIGINT) FROM c4),
-                     (SELECT CAST(count(*) AS BIGINT) FROM c4),
-                     (SELECT max(c) FROM c4),
-                     (SELECT CAST(sum(c) AS BIGINT) FROM
-                        (SELECT c FROM c4 ORDER BY c DESC, k LIMIT 10)))
-         SELECT key_col, n_rows, n_keys, max_cnt,
-                (round(CAST(max_cnt AS DOUBLE) / n_rows, 4) + 0.0)
-                  AS max_share,
-                (round(CAST(top10_cnt AS DOUBLE) / n_rows, 4) + 0.0)
-                  AS top10_share,
-                (round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 4) + 0.0)
-                  AS skew_ratio
-         FROM e ORDER BY key_col""",
-    "q_dedup_eval" ->
-      // simhash band candidates (q_simhash_hamming_hist's stream)
-      // scored vs exact ngram-Jaccard ≥ 0.5 truth (q_dedup_ngram's
-      // stream); the threshold is integer cross-multiplication
-      """WITH toks AS (SELECT doc_id, tok
-                       FROM (SELECT doc_id,
-                                    unnest(string_split(text, ' ')) AS tok
-                             FROM documents) t0
-                       WHERE length(tok) > 0),
-            h AS (SELECT doc_id,
-                         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
-                  FROM toks),
-            contrib AS (SELECT doc_id, i,
-                               ((hv >> CAST(i AS INT)) & 1) * 2 - 1 AS c
-                        FROM h, range(0, 32) t(i)),
-            bits AS (SELECT doc_id, i,
-                            CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS b
-                     FROM contrib GROUP BY 1, 2),
-            sig AS (SELECT doc_id,
-                           CAST(sum(b * (1::BIGINT << CAST(i AS INT)))
-                                AS BIGINT) AS sig
-                    FROM bits GROUP BY 1),
-            sg AS (SELECT s.doc_id, d.lang, d.source, s.sig
-                   FROM sig s JOIN documents d ON s.doc_id = d.doc_id),
-            banded AS (SELECT doc_id, lang, source,
-                              0 AS band, sig >> 16 AS bv FROM sg
-                       UNION ALL
-                       SELECT doc_id, lang, source,
-                              1, sig & 65535 FROM sg),
-            cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-                     FROM banded a JOIN banded b
-                       ON a.lang = b.lang AND a.source = b.source
-                      AND a.band = b.band AND a.bv = b.bv
-                      AND a.doc_id < b.doc_id),
-            nbase AS (SELECT doc_id, lang, source,
-                             string_split(text, ' ') AS tks FROM documents),
-            nng AS (SELECT doc_id, lang, source,
-                           list_distinct(list_transform(range(1, len(tks) - 1),
-                             i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2]))
-                             AS ngs
-                    FROM nbase),
-            nnz AS (SELECT doc_id, lang, source, ngs
-                    FROM nng WHERE len(ngs) > 0),
-            nex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nnz),
-            ndf AS (SELECT g, count(*) AS df FROM nex0 GROUP BY 1),
-            nex AS (SELECT nex0.* FROM nex0 JOIN ndf USING (g)
-                    WHERE df <= 100),
-            nsz AS (SELECT doc_id, count(*) AS nsz FROM nex GROUP BY 1),
-            ninter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-                              count(*) AS inter
-                       FROM nex a JOIN nex b
-                         ON a.lang = b.lang AND a.source = b.source
-                        AND a.g = b.g AND a.doc_id < b.doc_id
-                       GROUP BY 1, 2),
-            truth AS (SELECT d1, d2
-                      FROM ninter JOIN nsz s1 ON s1.doc_id = d1
-                                  JOIN nsz s2 ON s2.doc_id = d2
-                      WHERE 2 * inter >= s1.nsz + s2.nsz - inter),
-            c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
-            t1 AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
-            tp AS (SELECT CAST(count(*) AS BIGINT) AS n_tp
-                   FROM cand JOIN truth USING (d1, d2))
-         SELECT n_candidates, n_truth, n_tp,
-                (round(CAST(n_tp AS DOUBLE) /
-                       nullif(CAST(n_candidates AS DOUBLE), 0.0), 4) + 0.0)
-                  AS precision,
-                (round(CAST(n_tp AS DOUBLE) /
-                       nullif(CAST(n_truth AS DOUBLE), 0.0), 4) + 0.0)
-                  AS recall
-         FROM c1, t1, tp ORDER BY n_candidates""",
-    "q_k_anonymity" ->
-      // QI = (nation, mktsegment); literal k spine; exact class sizes
-      """WITH classes AS (SELECT c_nationkey, c_mktsegment,
-                                 CAST(count(*) AS BIGINT) AS cs
-                          FROM customer GROUP BY 1, 2),
-            tot AS (SELECT CAST(sum(cs) AS BIGINT) AS n_rows FROM classes),
-            ks AS (SELECT unnest([2, 5, 10, 20]) AS k),
-            g AS (SELECT k,
-                         CAST(sum(CASE WHEN cs < k THEN 1 ELSE 0 END)
-                              AS BIGINT) AS n_classes_below,
-                         CAST(sum(CASE WHEN cs < k THEN cs ELSE 0 END)
-                              AS BIGINT) AS n_rows_below
-                  FROM classes, ks GROUP BY 1)
-         SELECT CAST(k AS INT) AS k, n_classes_below, n_rows_below,
-                (round(CAST(n_rows_below AS DOUBLE) /
-                       nullif(CAST(n_rows AS DOUBLE), 0.0), 4) + 0.0)
-                  AS share_below
-         FROM g, tot ORDER BY k""",
-    "q_ratio_metric" ->
-      // delta-method SE for purchases-per-event under the q_ab_test
-      // arm split; HUGEINT moments mirror decimal(38,0)
-      """WITH u AS (SELECT user_id,
-                           CAST(sum(CASE WHEN event_type = 'purchase'
-                                         THEN 1 ELSE 0 END) AS BIGINT) AS x,
-                           CAST(count(*) AS BIGINT) AS y
-                    FROM events GROUP BY 1),
-            v AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
-                              THEN 'A' ELSE 'B' END AS variant, x, y
-                  FROM u),
-            m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
-                         CAST(sum(x) AS BIGINT) AS sx,
-                         CAST(sum(y) AS BIGINT) AS sy,
-                         CAST(sum(CAST(x * x AS HUGEINT)) AS HUGEINT) AS sxx,
-                         CAST(sum(CAST(y * y AS HUGEINT)) AS HUGEINT) AS syy,
-                         CAST(sum(CAST(x * y AS HUGEINT)) AS HUGEINT) AS sxy
-                  FROM v GROUP BY 1),
-            sp AS (SELECT unnest(['A', 'B']) AS variant),
-            j AS (SELECT sp.variant, m.n, m.sx, m.sy, m.sxx, m.syy, m.sxy
-                  FROM sp LEFT JOIN m ON sp.variant = m.variant),
-            r AS (SELECT variant, n, sx, sy, sxx, syy, sxy,
-                         CAST(sx AS DOUBLE) /
-                         nullif(CAST(sy AS DOUBLE), 0.0) AS rr
-                  FROM j)
-         SELECT variant, coalesce(n, 0) AS n_users,
-                coalesce(sx, 0) AS sum_x, coalesce(sy, 0) AS sum_y,
-                (round(rr, 4) + 0.0) AS ratio,
-                CASE WHEN n > 1 THEN
-                  (round(sqrt((CAST(sxx AS DOUBLE) -
-                               2.0 * rr * CAST(sxy AS DOUBLE) +
-                               rr * rr * CAST(syy AS DOUBLE)) *
-                              CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)) /
-                         nullif(CAST(sy AS DOUBLE), 0.0), 4) + 0.0)
-                END AS se
-         FROM r ORDER BY variant"""
-  )
+  def oracleSql: Map[String, String] =
+    graft.oracle.OracleSql1.m ++
+    graft.oracle.OracleSql2.m ++
+    graft.oracle.OracleSql3.m ++
+    graft.oracle.OracleSql4.m ++
+    graft.oracle.OracleSql5.m
 }

@@ -1,0 +1,1209 @@
+package graft.oracle
+
+/** DuckDB oracle SQL, part 5/5 of the split registry (r12 verdict ask
+  * #7 — SparkEntry.scala had grown past 6,000 lines): entries q_ship_lag
+  * … q_ratio_metric, in the original registration order, concatenated back
+  * into `SparkEntry.oracleSql`. Contents are byte-identical to the
+  * pre-split map (the Verify/DuckDB hash gate is the proof). */
+private[graft] object OracleSql5 {
+  val m: Map[String, String] = Map(
+    "q_ship_lag" ->
+      // Exact integer day lags; mean and late rate divide once each.
+      """WITH j AS (SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                          datediff('day', o_orderdate::DATE,
+                                   l_shipdate::DATE) AS lag_days
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT month, count(*) AS n_lines,
+                (round(CAST(sum(lag_days) AS DOUBLE) / count(*), 4) + 0.0)
+                  AS avg_lag_days,
+                CAST(sum(CASE WHEN lag_days > 30 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_late,
+                (round(CAST(sum(CASE WHEN lag_days > 30 THEN 1 ELSE 0 END)
+                         AS DOUBLE) / count(*), 4) + 0.0) AS late_rate
+         FROM j GROUP BY 1 ORDER BY month""",
+    "q_purchase_interval" ->
+      // Exact integer µs gaps over the (ts, event_id)-ordered purchase
+      // timeline; median interpolates at the dyadic .5 position.
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us
+                    FROM events WHERE event_type = 'purchase'),
+            g AS (SELECT us - lag(us, 1) OVER
+                         (PARTITION BY user_id
+                          ORDER BY us, event_id) AS gap_us
+                  FROM p),
+            gg AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL)
+         SELECT count(*) AS n_gaps,
+                (round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 86400000000.0,
+                       4) + 0.0) AS avg_days,
+                (round(quantile_cont(gap_us, 0.5) / 86400000000.0, 4) + 0.0)
+                  AS median_days,
+                (round(quantile_cont(gap_us, 0.9) / 86400000000.0, 4) + 0.0)
+                  AS p90_days
+         FROM gg ORDER BY n_gaps""",
+    "q_seasonal_decompose" ->
+      // Exact-int decomposition: res7 = 7·y − Σ7 keeps the detrended
+      // value integral; weekday index = Σres7/(7·n); identical
+      // division chains on both engines, rounded once.
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                               CAST(sum(CAST(round(o_totalprice * 100)
+                                 AS BIGINT)) AS BIGINT) AS cents
+                        FROM orders GROUP BY 1),
+            t AS (SELECT day, cents,
+                         CAST(sum(cents) OVER w AS BIGINT) AS sum7,
+                         count(*) OVER w AS cnt7
+                  FROM daily
+                  WINDOW w AS (ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            f AS (SELECT day, cents, sum7,
+                         7 * cents - sum7 AS res7,
+                         (isodow(day) - 1) AS wd
+                  FROM t WHERE cnt7 = 7),
+            seas AS (SELECT wd, CAST(sum(res7) AS BIGINT) AS srs,
+                            count(*) AS nw
+                     FROM f GROUP BY 1)
+         SELECT day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+                (round(CAST(sum7 AS DOUBLE) / 7.0 / 100.0, 4) + 0.0)
+                  AS trend,
+                (round(CAST(srs AS DOUBLE) / (7.0 * nw) / 100.0, 4) + 0.0)
+                  AS seasonal,
+                (round((CAST(res7 AS DOUBLE) / 7.0 -
+                        CAST(srs AS DOUBLE) / (7.0 * nw)) / 100.0, 4) + 0.0)
+                  AS residual
+         FROM f JOIN seas USING (wd) ORDER BY day""",
+    "q_cohort_ltv" ->
+      // Monday-truncated cohort weeks; weeks_since = day-diff DIV 7;
+      // exact cent sums; one division per reported double.
+      """WITH f AS (SELECT user_id,
+                           date_trunc('week', min(ts::TIMESTAMP))::DATE AS cw
+                    FROM events GROUP BY 1),
+            w AS (SELECT user_id,
+                         date_trunc('week', ts::TIMESTAMP)::DATE AS wk,
+                         CAST(sum(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS cents
+                  FROM events GROUP BY 1, 2),
+            j AS (SELECT f.cw,
+                         CAST(datediff('day', f.cw, w.wk) // 7 AS BIGINT)
+                           AS ws,
+                         w.cents
+                  FROM w JOIN f USING (user_id)),
+            cs AS (SELECT cw, count(*) AS cohort_users FROM f GROUP BY 1),
+            g AS (SELECT cw, ws, CAST(sum(cents) AS BIGINT) AS rev_cents
+                  FROM j GROUP BY 1, 2),
+            c AS (SELECT cw, ws, rev_cents,
+                         CAST(sum(rev_cents) OVER (PARTITION BY cw
+                           ORDER BY ws ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum_cents
+                  FROM g)
+         SELECT c.cw AS cohort_week, ws AS weeks_since, cohort_users,
+                CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+                (round(CAST(cum_cents AS DOUBLE) / cohort_users / 100.0, 4)
+                 + 0.0) AS cum_rev_per_user
+         FROM c JOIN cs USING (cw)
+         ORDER BY cohort_week, weeks_since""",
+    "q_stickiness" ->
+      // DAU/MAU: exact distinct counts; mean and ratio are one
+      // identically-spelled division chain.
+      """WITH ev AS (SELECT date_trunc('month', ts::TIMESTAMP)::DATE AS month,
+                           CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
+                             AS day,
+                           user_id
+                    FROM events),
+            d AS (SELECT month, day, count(*) AS dau
+                  FROM (SELECT DISTINCT month, day, user_id FROM ev)
+                  GROUP BY 1, 2),
+            dd AS (SELECT month, count(*) AS n_days,
+                          CAST(sum(dau) AS BIGINT) AS dau_sum
+                   FROM d GROUP BY 1),
+            m AS (SELECT month, count(*) AS mau
+                  FROM (SELECT DISTINCT month, user_id FROM ev)
+                  GROUP BY 1)
+         SELECT month, n_days,
+                (round(CAST(dau_sum AS DOUBLE) / n_days, 4) + 0.0)
+                  AS avg_dau,
+                mau,
+                (round(CAST(dau_sum AS DOUBLE) / n_days / mau, 4) + 0.0)
+                  AS stickiness
+         FROM dd JOIN m USING (month) ORDER BY month""",
+    "q_zipf" ->
+      // rank-frequency OLS over the (f DESC, tok)-ordered top-100;
+      // sufficient sums fold in RANK order (the q_heaps_law rule)
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks
+                   WHERE length(tok) > 0 GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+                           CAST(sum(f) AS BIGINT) AS total_tokens FROM tf),
+            top AS (SELECT f, tok FROM tf ORDER BY f DESC, tok LIMIT 100),
+            rk AS (SELECT row_number() OVER (ORDER BY f DESC, tok) AS rank, f
+                   FROM top),
+            pts AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+                           ln(CAST(f AS DOUBLE)) AS y FROM rk),
+            ag AS (SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+                          list(x ORDER BY rank) AS xs,
+                          list(y ORDER BY rank) AS ys,
+                          list(x * y ORDER BY rank) AS xys
+                   FROM pts),
+            st AS (SELECT n_ranks,
+                          list_reduce(xs, (a, b) -> a + b) AS sx,
+                          list_reduce(ys, (a, b) -> a + b) AS sy,
+                          list_reduce(list_transform(xs, x -> x * x),
+                                      (a, b) -> a + b) AS sxx,
+                          list_reduce(xys, (a, b) -> a + b) AS sxy
+                   FROM ag),
+            -- nullif guard mirrors the engine (r12 ADVICE): zero
+            -- x-variance (single-distinct-token corpus) -> NULL slope
+            fit AS (SELECT n_ranks, sx, sy,
+                           (CAST(n_ranks AS DOUBLE) * sxy - sx * sy) /
+                           nullif(CAST(n_ranks AS DOUBLE) * sxx - sx * sx,
+                                  0.0)
+                             AS slope_raw
+                    FROM st)
+         SELECT n_ranks, vocab, total_tokens,
+                (round(-slope_raw, 4) + 0.0) AS zipf_s,
+                (round(exp((sy - slope_raw * sx) / CAST(n_ranks AS DOUBLE)), 4)
+                 + 0.0) AS c_coef
+         FROM fit, tot ORDER BY n_ranks""",
+    "q_vocab_overlap" ->
+      // the q_audience_overlap oracle shape on (source, token) sets
+      """WITH st AS (SELECT DISTINCT src, tok
+                     FROM (SELECT source AS src,
+                                  unnest(string_split(text, ' ')) AS tok
+                           FROM documents) t
+                     WHERE length(tok) > 0),
+            sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM st
+                      GROUP BY 1),
+            spine AS (SELECT a.src AS source_a, a.n AS n_a,
+                             b.src AS source_b, b.n AS n_b
+                      FROM sizes a, sizes b WHERE a.src < b.src),
+            i AS (SELECT x.src AS source_a, y.src AS source_b,
+                         CAST(count(*) AS BIGINT) AS inter
+                  FROM st x JOIN st y
+                    ON x.tok = y.tok AND x.src < y.src
+                  GROUP BY 1, 2)
+         SELECT source_a, source_b, n_a, n_b,
+                CAST(coalesce(inter, 0) AS BIGINT) AS inter,
+                (round(CAST(coalesce(inter, 0) AS DOUBLE) /
+                       (n_a + n_b - coalesce(inter, 0)), 4) + 0.0) AS jaccard
+         FROM spine LEFT JOIN i USING (source_a, source_b)
+         ORDER BY source_a, source_b""",
+    "q_embed_outliers" ->
+      // centroid lanes from exact 1e-6-quantized int sums; the distance
+      // folds (vq - c)^2 in LANE order on both engines (q_anova rule);
+      // both engines cut top-20 on the ROUNDED distance + vec_id
+      """WITH em AS (SELECT vec_id, label,
+                            list_transform(embedding,
+                                           v -> CAST(v AS DOUBLE)) AS v
+                     FROM embeddings),
+            lanes AS (SELECT label, CAST(i AS INT) AS pos,
+                             CAST(round(v[CAST(i AS INT) + 1] * 1000000)
+                                  AS BIGINT) AS q
+                      FROM em, range(0, 64) t(i)),
+            cent AS (SELECT label, pos,
+                            CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0 AS c
+                     FROM lanes GROUP BY 1, 2),
+            cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent
+                   GROUP BY 1),
+            dd AS (SELECT vec_id, em.label AS label,
+                          list_reduce(list_transform(range(1, 65), i ->
+                            (CAST(round(v[i] * 1000000) AS BIGINT) / 1000000.0
+                               - cv[i]) *
+                            (CAST(round(v[i] * 1000000) AS BIGINT) / 1000000.0
+                               - cv[i])),
+                            (a, b) -> a + b) AS d2r
+                   FROM em JOIN cv USING (label))
+         SELECT vec_id, label, (round(d2r, 4) + 0.0) AS d2
+         FROM dd ORDER BY (round(d2r, 4) + 0.0) DESC, vec_id LIMIT 20""",
+    "q_lead_lag_corr" ->
+      // Pearson from exact int64 sufficient sums per lag; a lag pair
+      // exists iff both endpoint days were observed
+      """WITH daily AS (SELECT CAST(ts::TIMESTAMP AS DATE) AS day,
+                               CAST(sum(CASE WHEN event_type = 'view'
+                                             THEN 1 ELSE 0 END) AS BIGINT) AS v,
+                               CAST(sum(CASE WHEN event_type = 'purchase'
+                                             THEN 1 ELSE 0 END) AS BIGINT) AS p
+                        FROM events
+                        WHERE event_type IN ('view', 'purchase')
+                        GROUP BY 1),
+            lags AS (SELECT CAST(i AS INT) AS lag FROM range(-3, 4) t(i)),
+            pairs AS (SELECT lag, a.v AS v, b.p AS p
+                      FROM daily a, lags, daily b
+                      WHERE a.day + lag = b.day),
+            ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+                          CAST(sum(v) AS BIGINT) AS sx,
+                          CAST(sum(p) AS BIGINT) AS sy,
+                          CAST(sum(v * p) AS BIGINT) AS sxy,
+                          CAST(sum(v * v) AS BIGINT) AS sxx,
+                          CAST(sum(p * p) AS BIGINT) AS syy
+                   FROM pairs GROUP BY 1)
+         SELECT lag, n_days,
+                (round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+                       nullif(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) *
+                              sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)),
+                              0.0), 4) + 0.0) AS corr
+         FROM ag ORDER BY lag""",
+    "q_diff_in_diff" ->
+      // md5-parity arms (q_ab_test idiom), exact integer-second period
+      // midpoint (q_mix_shift rule), DiD from the four UNROUNDED means
+      """WITH p AS (SELECT user_id,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS sec,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase'),
+            b AS (SELECT min(sec) AS mn, max(sec) AS mx FROM p),
+            cells AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                                  THEN 'A' ELSE 'B' END AS arm,
+                             CASE WHEN 2 * sec < mn + mx THEN 1 ELSE 2 END
+                               AS period,
+                             cents
+                      FROM p, b),
+            g AS (SELECT arm, period, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS sc
+                  FROM cells GROUP BY 1, 2),
+            w AS (SELECT
+                    CAST(sum(CASE WHEN arm = 'A' AND period = 1 THEN n END) AS BIGINT) AS n_a1,
+                    CAST(sum(CASE WHEN arm = 'A' AND period = 2 THEN n END) AS BIGINT) AS n_a2,
+                    CAST(sum(CASE WHEN arm = 'B' AND period = 1 THEN n END) AS BIGINT) AS n_b1,
+                    CAST(sum(CASE WHEN arm = 'B' AND period = 2 THEN n END) AS BIGINT) AS n_b2,
+                    CAST(sum(CASE WHEN arm = 'A' AND period = 1 THEN sc END) AS BIGINT) AS s_a1,
+                    CAST(sum(CASE WHEN arm = 'A' AND period = 2 THEN sc END) AS BIGINT) AS s_a2,
+                    CAST(sum(CASE WHEN arm = 'B' AND period = 1 THEN sc END) AS BIGINT) AS s_b1,
+                    CAST(sum(CASE WHEN arm = 'B' AND period = 2 THEN sc END) AS BIGINT) AS s_b2
+                  FROM g)
+         SELECT n_a1, n_a2, n_b1, n_b2,
+                (round(CAST(s_a1 AS DOUBLE) / 100.0 / n_a1, 4) + 0.0) AS m_a1,
+                (round(CAST(s_a2 AS DOUBLE) / 100.0 / n_a2, 4) + 0.0) AS m_a2,
+                (round(CAST(s_b1 AS DOUBLE) / 100.0 / n_b1, 4) + 0.0) AS m_b1,
+                (round(CAST(s_b2 AS DOUBLE) / 100.0 / n_b2, 4) + 0.0) AS m_b2,
+                (round((CAST(s_b2 AS DOUBLE) / 100.0 / n_b2 -
+                        CAST(s_b1 AS DOUBLE) / 100.0 / n_b1) -
+                       (CAST(s_a2 AS DOUBLE) / 100.0 / n_a2 -
+                        CAST(s_a1 AS DOUBLE) / 100.0 / n_a1), 4) + 0.0) AS did
+         FROM w ORDER BY n_a1""",
+    "q_top_supplier" ->
+      // exact int64 revenue (cents x (100 - pct)) decides the max and
+      // its tie set; ONE terminal division for display
+      """WITH rev AS (SELECT l_suppkey,
+                             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                      (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                                  AS BIGINT) AS rev_e
+                      FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1996-04-01'
+                      GROUP BY 1),
+            mx AS (SELECT max(rev_e) AS mx FROM rev)
+         SELECT s_suppkey, s_name,
+                (round(CAST(rev_e AS DOUBLE) / 10000.0, 4) + 0.0) AS revenue
+         FROM rev, mx, supplier
+         WHERE rev_e = mx AND l_suppkey = s_suppkey
+         ORDER BY s_suppkey""",
+    "q_promo_share" ->
+      // numerator and denominator exact int64 in the same cells; ONE
+      // division for the share
+      """WITH li AS (SELECT date_trunc('month', l_shipdate)::DATE AS month,
+                            CAST(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                 (100 - CAST(round(l_discount * 100) AS BIGINT))
+                                 AS BIGINT) AS rev_e,
+                            (p_type = 'PROMO') AS is_promo
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+            g AS (SELECT month,
+                         CAST(sum(CASE WHEN is_promo THEN rev_e ELSE 0 END)
+                              AS BIGINT) AS promo_e,
+                         CAST(sum(rev_e) AS BIGINT) AS total_e
+                  FROM li GROUP BY 1)
+         SELECT month,
+                (round(CAST(promo_e AS DOUBLE) / 10000.0, 4) + 0.0) AS promo_rev,
+                (round(CAST(total_e AS DOUBLE) / 10000.0, 4) + 0.0) AS total_rev,
+                (round(100.0 * promo_e / total_e, 4) + 0.0) AS promo_share
+         FROM g ORDER BY month""",
+    "q_returns_report" ->
+      // exact int64 revenue decides the top-20 cut (rev DESC, custkey)
+      """WITH rev AS (SELECT o_custkey,
+                             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                      (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                                  AS BIGINT) AS rev_e
+                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      WHERE l_returnflag = 'R'
+                      GROUP BY 1),
+            top AS (SELECT c_custkey, c_name, c_mktsegment, rev_e
+                    FROM rev JOIN customer ON o_custkey = c_custkey
+                    ORDER BY rev_e DESC, c_custkey LIMIT 20)
+         SELECT c_custkey, c_name, c_mktsegment,
+                (round(CAST(rev_e AS DOUBLE) / 10000.0, 4) + 0.0)
+                  AS returned_rev
+         FROM top ORDER BY rev_e DESC, c_custkey""",
+    "q_priority_late" ->
+      // EXISTS books each order once; 90-day cutoff in exact dates
+      """WITH late AS (SELECT o_orderpriority,
+                              CAST(count(*) AS BIGINT) AS n_late
+                       FROM orders o
+                       WHERE EXISTS (SELECT 1 FROM lineitem
+                                     WHERE l_orderkey = o.o_orderkey
+                                       AND l_shipdate > o.o_orderdate
+                                           + INTERVAL 90 DAY)
+                       GROUP BY 1),
+            tot AS (SELECT o_orderpriority,
+                           CAST(count(*) AS BIGINT) AS n_orders
+                    FROM orders GROUP BY 1)
+         SELECT o_orderpriority, n_orders,
+                CAST(coalesce(n_late, 0) AS BIGINT) AS n_late,
+                (round(CAST(coalesce(n_late, 0) AS DOUBLE) / n_orders, 4)
+                 + 0.0) AS late_rate
+         FROM tot LEFT JOIN late USING (o_orderpriority)
+         ORDER BY o_orderpriority""",
+    "q_session_duration_hist" ->
+      // sessions re-derived from raw events (the q_sessionize oracle),
+      // bucketed by exact integer 5-minute bins
+      """WITH e AS (SELECT user_id, event_id,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g),
+            sess AS (SELECT user_id, sid,
+                            max(ts_sec) - min(ts_sec) AS dur_sec,
+                            CAST(count(*) AS BIGINT) AS n_events
+                     FROM sids GROUP BY 1, 2),
+            h AS (SELECT dur_sec // 300 AS bucket,
+                         CAST(count(*) AS BIGINT) AS n_sessions,
+                         CAST(sum(n_events) AS BIGINT) AS ev_sum
+                  FROM sess GROUP BY 1)
+         SELECT bucket, CAST(bucket * 300 AS BIGINT) AS from_sec, n_sessions,
+                (round(CAST(ev_sum AS DOUBLE) / n_sessions, 4) + 0.0)
+                  AS avg_events
+         FROM h ORDER BY bucket""",
+    "q_robust_scale" ->
+      // dyadic quantile positions interpolate exactly over sorted ints
+      // (the q_winsorize percentile chain); ONE nullif-guarded division
+      """WITH q AS (SELECT lang,
+                           quantile_cont(n_chars, 0.25) AS q25,
+                           quantile_cont(n_chars, 0.5) AS med,
+                           quantile_cont(n_chars, 0.75) AS q75
+                    FROM documents GROUP BY 1)
+         SELECT doc_id, d.lang AS lang, n_chars,
+                (round(med, 4) + 0.0) AS med,
+                (round(q75 - q25, 4) + 0.0) AS iqr,
+                (round((n_chars - med) / nullif(q75 - q25, 0.0), 4) + 0.0)
+                  AS rs
+         FROM documents d JOIN q ON d.lang = q.lang
+         ORDER BY doc_id""",
+    "q_token_length" ->
+      // (lang, length) cells with exact-int shares
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            cells AS (SELECT lang, CAST(length(tok) AS INT) AS tok_len,
+                             CAST(count(*) AS BIGINT) AS n_tokens
+                      FROM toks WHERE length(tok) > 0 GROUP BY 1, 2),
+            tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total
+                    FROM cells GROUP BY 1)
+         SELECT cells.lang AS lang, tok_len, n_tokens,
+                (round(CAST(n_tokens AS DOUBLE) / total, 4) + 0.0) AS share
+         FROM cells JOIN tot ON cells.lang = tot.lang
+         ORDER BY lang, tok_len""",
+    "q_first_repeat_aov" ->
+      // row 1 of the (date, orderkey)-ordered per-customer window is
+      // the first order; ratio combines UNROUNDED means (rule 8)
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                           row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) = 1 AS is_first
+                    FROM orders),
+            w AS (SELECT
+                    CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_first,
+                    CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
+                      AS n_repeat,
+                    CAST(sum(CASE WHEN is_first THEN cents ELSE 0 END) AS BIGINT)
+                      AS s_first,
+                    CAST(sum(CASE WHEN is_first THEN 0 ELSE cents END) AS BIGINT)
+                      AS s_repeat
+                  FROM o)
+         SELECT n_first, n_repeat,
+                (round(CAST(s_first AS DOUBLE) / 100.0 / n_first, 4) + 0.0)
+                  AS aov_first,
+                (round(CAST(s_repeat AS DOUBLE) / 100.0 / n_repeat, 4) + 0.0)
+                  AS aov_repeat,
+                (round((CAST(s_first AS DOUBLE) / 100.0 / n_first) /
+                       (CAST(s_repeat AS DOUBLE) / 100.0 / n_repeat), 4) + 0.0)
+                  AS first_over_repeat
+         FROM w ORDER BY n_first""",
+    "q_regional_revenue" ->
+      // exact int64 revenue + share of the regional total
+      """WITH n AS (SELECT n_nationkey, n_name
+                    FROM nation JOIN region ON n_regionkey = r_regionkey
+                    WHERE r_name = 'ASIA'),
+            rev AS (SELECT n_name,
+                           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                    (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                                AS BIGINT) AS rev_e
+                    FROM customer
+                         JOIN n ON c_nationkey = n_nationkey
+                         JOIN orders ON c_custkey = o_custkey
+                         JOIN lineitem ON o_orderkey = l_orderkey
+                    GROUP BY 1),
+            tot AS (SELECT CAST(sum(rev_e) AS BIGINT) AS tot_e FROM rev)
+         SELECT n_name,
+                (round(CAST(rev_e AS DOUBLE) / 10000.0, 4) + 0.0) AS revenue,
+                (round(100.0 * rev_e / tot_e, 4) + 0.0) AS share
+         FROM rev, tot ORDER BY n_name""",
+    "q_quality_by_source" ->
+      // quality = u/max(t,50); band thresholds are exact int64
+      // cross-multiplications (4u vs k*max(t,50)) — no float until the
+      // one share division
+      """WITH d AS (SELECT source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+                           CAST(len(list_distinct(string_split(text, ' ')))
+                                AS BIGINT) AS u
+                    FROM documents),
+            b AS (SELECT source,
+                         CASE WHEN 4 * u >= 3 * greatest(t, 50) THEN 'a_ge75'
+                              WHEN 4 * u >= 2 * greatest(t, 50) THEN 'b_50_75'
+                              WHEN 4 * u >= greatest(t, 50) THEN 'c_25_50'
+                              ELSE 'd_lt25' END AS band
+                  FROM d),
+            cells AS (SELECT source, band, CAST(count(*) AS BIGINT) AS n_docs
+                      FROM b GROUP BY 1, 2),
+            tot AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS total
+                    FROM cells GROUP BY 1)
+         SELECT cells.source AS source, band, n_docs,
+                (round(CAST(n_docs AS DOUBLE) / total, 4) + 0.0) AS share
+         FROM cells JOIN tot ON cells.source = tot.source
+         ORDER BY source, band""",
+    "q_price_elasticity" ->
+      // cell-level log-log OLS per brand; sums fold in PRICE order
+      // (the q_heaps_law list ORDER BY + list_reduce rule)
+      """WITH cells AS (SELECT p_brand AS brand,
+                               CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
+                               CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                                    AS BIGINT) AS qty
+                        FROM lineitem JOIN part ON l_partkey = p_partkey
+                        GROUP BY 1, 2),
+            pts AS (SELECT brand, pc,
+                           ln(CAST(pc AS DOUBLE)) AS x,
+                           ln(CAST(qty AS DOUBLE)) AS y
+                    FROM cells),
+            ag AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_cells,
+                          list(x ORDER BY pc) AS xs,
+                          list(y ORDER BY pc) AS ys,
+                          list(x * y ORDER BY pc) AS xys
+                   FROM pts GROUP BY 1),
+            st AS (SELECT brand, n_cells,
+                          list_reduce(xs, (a, b) -> a + b) AS sx,
+                          list_reduce(ys, (a, b) -> a + b) AS sy,
+                          list_reduce(list_transform(xs, x -> x * x),
+                                      (a, b) -> a + b) AS sxx,
+                          list_reduce(xys, (a, b) -> a + b) AS sxy
+                   FROM ag)
+         SELECT brand, n_cells,
+                (round((CAST(n_cells AS DOUBLE) * sxy - sx * sy) /
+                       nullif(CAST(n_cells AS DOUBLE) * sxx - sx * sx,
+                              CAST(0.0 AS DOUBLE)), 4) + 0.0) AS elasticity
+         FROM st ORDER BY brand""",
+    "q_order_size_hist" ->
+      // lines-per-order histogram with exact shares
+      """WITH sz AS (SELECT l_orderkey, CAST(count(*) AS BIGINT)
+                              AS order_lines
+                     FROM lineitem GROUP BY 1),
+            h AS (SELECT order_lines, CAST(count(*) AS BIGINT) AS n_orders
+                  FROM sz GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM h)
+         SELECT order_lines, n_orders,
+                (round(CAST(n_orders AS DOUBLE) / total, 4) + 0.0) AS share
+         FROM h, tot ORDER BY order_lines""",
+    "q_retention_curve" ->
+      // pooled day-N retention: exact integer day keys, one semi-join
+      // hit per (user, N)
+      """WITH ud AS (SELECT DISTINCT user_id,
+                            CAST(epoch_us(ts::TIMESTAMP)//1000000//86400
+                                 AS INT) AS day_num
+                     FROM events),
+            f AS (SELECT user_id, min(day_num) AS d0 FROM ud GROUP BY 1),
+            ns AS (SELECT unnest([1, 3, 7, 14]) AS n),
+            hits AS (SELECT n, CAST(count(*) AS BIGINT) AS n_retained
+                     FROM f, ns
+                     WHERE EXISTS (SELECT 1 FROM ud
+                                   WHERE ud.user_id = f.user_id
+                                     AND ud.day_num = f.d0 + ns.n)
+                     GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM f)
+         SELECT n, n_users,
+                CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+                (round(CAST(coalesce(n_retained, 0) AS DOUBLE) / n_users, 4)
+                 + 0.0) AS retention
+         FROM ns LEFT JOIN hits USING (n), tot
+         ORDER BY n""",
+    "q_return_rate" ->
+      // per-day 7-day bounceback: semi-join books each (user, day) once
+      """WITH ud AS (SELECT DISTINCT user_id,
+                            CAST(epoch_us(ts::TIMESTAMP)//1000000//86400
+                                 AS INT) AS day_num
+                     FROM events),
+            ret AS (SELECT day_num, CAST(count(*) AS BIGINT) AS n_returned
+                    FROM ud a
+                    WHERE EXISTS (SELECT 1 FROM ud b
+                                  WHERE b.user_id = a.user_id
+                                    AND b.day_num > a.day_num
+                                    AND b.day_num <= a.day_num + 7)
+                    GROUP BY 1),
+            act AS (SELECT day_num, CAST(count(*) AS BIGINT) AS n_active
+                    FROM ud GROUP BY 1)
+         SELECT day_num, n_active,
+                CAST(coalesce(n_returned, 0) AS BIGINT) AS n_returned,
+                (round(CAST(coalesce(n_returned, 0) AS DOUBLE) / n_active, 4)
+                 + 0.0) AS return_rate
+         FROM act LEFT JOIN ret USING (day_num)
+         ORDER BY day_num""",
+    "q_vocab_coverage" ->
+      // top-k token-mass coverage; rank totally ordered by (f DESC, tok)
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks
+                   WHERE length(tok) > 0 GROUP BY 1),
+            tot AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens FROM tf),
+            top AS (SELECT f, tok FROM tf ORDER BY f DESC, tok LIMIT 10000),
+            rk AS (SELECT row_number() OVER (ORDER BY f DESC, tok) AS rank, f
+                   FROM top),
+            ks AS (SELECT unnest([100, 1000, 10000]) AS k),
+            cov AS (SELECT k, CAST(sum(f) AS BIGINT) AS covered
+                    FROM ks JOIN rk ON rank <= k GROUP BY 1)
+         SELECT k, covered, total_tokens,
+                (round(CAST(covered AS DOUBLE) / total_tokens, 4) + 0.0)
+                  AS coverage
+         FROM cov, tot ORDER BY k""",
+    "q_session_cooc" ->
+      // sessions re-derived from raw events (the q_sessionize oracle);
+      // lift = n_both·n_sessions/(n_a·n_b), exact ints, ONE chain
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g),
+            st AS (SELECT DISTINCT user_id, sid, event_type AS t FROM sids),
+            ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+                   FROM (SELECT DISTINCT user_id, sid FROM st)),
+            sizes AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM st
+                      GROUP BY 1),
+            pr AS (SELECT x.t AS type_a, y.t AS type_b,
+                          CAST(count(*) AS BIGINT) AS n_both
+                   FROM st x JOIN st y
+                     ON x.user_id = y.user_id AND x.sid = y.sid
+                        AND x.t < y.t
+                   GROUP BY 1, 2)
+         SELECT type_a, type_b, a.n AS n_a, b.n AS n_b, n_both,
+                (round(CAST(n_both AS DOUBLE) * n_sessions / (a.n * b.n), 4)
+                 + 0.0) AS lift
+         FROM pr JOIN sizes a ON type_a = a.t
+                 JOIN sizes b ON type_b = b.t, ns
+         ORDER BY type_a, type_b""",
+    "q_user_concentration" ->
+      // top-p% cutoff decided in exact int64 (100·rank <= p·n_users)
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ev
+                      FROM events GROUP BY 1),
+            ranked AS (SELECT *, CAST(row_number() OVER
+                         (ORDER BY ev DESC, user_id) AS BIGINT) AS rank
+                       FROM per),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                           CAST(sum(ev) AS BIGINT) AS n_events FROM ranked),
+            tiers AS (SELECT CAST(unnest([1, 10, 50]) AS BIGINT) AS pct),
+            top AS (SELECT pct,
+                           CAST(count(*) AS BIGINT) AS n_top,
+                           CAST(sum(ev) AS BIGINT) AS top_events
+                    FROM tiers, tot, ranked
+                    WHERE 100 * rank <= pct * n_users
+                    GROUP BY 1)
+         SELECT pct, n_users,
+                CAST(coalesce(n_top, 0) AS BIGINT) AS n_top,
+                CAST(coalesce(top_events, 0) AS BIGINT) AS top_events,
+                (round(CAST(coalesce(top_events, 0) AS DOUBLE) / n_events, 4)
+                 + 0.0) AS share
+         FROM tiers LEFT JOIN top USING (pct), tot ORDER BY pct""",
+    "q_dead_stock" ->
+      // anti join against the traded-part distinct set, per-brand rates
+      """WITH traded AS (SELECT DISTINCT l_partkey FROM lineitem),
+            dead AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_dead
+                     FROM part
+                     WHERE NOT EXISTS (SELECT 1 FROM traded
+                                       WHERE l_partkey = p_partkey)
+                     GROUP BY 1),
+            tot AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+                    FROM part GROUP BY 1)
+         SELECT p_brand, n_parts,
+                CAST(coalesce(n_dead, 0) AS BIGINT) AS n_dead,
+                (round(CAST(coalesce(n_dead, 0) AS DOUBLE) / n_parts, 4)
+                 + 0.0) AS dead_rate
+         FROM tot LEFT JOIN dead USING (p_brand)
+         ORDER BY p_brand""",
+    "q_weighted_median" ->
+      // first (price ASC) cell whose running weight reaches half the
+      // total: 2*cumw >= totw in pure int64
+      """WITH cells AS (SELECT l_returnflag AS flag,
+                               CAST(round(p_retailprice * 100) AS BIGINT)
+                                 AS pc,
+                               CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                                    AS BIGINT) AS w
+                        FROM lineitem JOIN part ON l_partkey = p_partkey
+                        GROUP BY 1, 2),
+            cum AS (SELECT flag, pc, w,
+                           CAST(sum(w) OVER (PARTITION BY flag ORDER BY pc
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS BIGINT) AS cumw,
+                           CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT)
+                             AS totw
+                    FROM cells),
+            med AS (SELECT flag, min(pc) AS med_pc,
+                           CAST(min(totw) AS BIGINT) AS total_qty
+                    FROM cum WHERE 2 * cumw >= totw GROUP BY 1)
+         SELECT flag, total_qty,
+                (round(CAST(med_pc AS DOUBLE) / 100.0, 4) + 0.0)
+                  AS weighted_median_price
+         FROM med ORDER BY flag""",
+    "q_cart_abandonment" ->
+      // sessions re-derived from raw events; clicked-but-not-purchased
+      // per session-start day
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g),
+            sess AS (SELECT user_id, sid, min(ts_sec) AS start_sec,
+                            max(CASE WHEN event_type = 'click' THEN 1
+                                     ELSE 0 END) AS clicked,
+                            max(CASE WHEN event_type = 'purchase' THEN 1
+                                     ELSE 0 END) AS purchased
+                     FROM sids GROUP BY 1, 2),
+            daily AS (SELECT CAST(start_sec // 86400 AS INT) AS day_num,
+                             CAST(count(*) AS BIGINT) AS n_intent,
+                             CAST(sum(1 - purchased) AS BIGINT) AS n_abandoned
+                      FROM sess WHERE clicked = 1 GROUP BY 1)
+         SELECT day_num, n_intent, n_abandoned,
+                (round(CAST(n_abandoned AS DOUBLE) / n_intent, 4) + 0.0)
+                  AS abandonment_rate
+         FROM daily ORDER BY day_num""",
+    "q_sql_report_dated" ->
+      // SQL-surface twin of q_session_report_dated: same oracle text
+      """WITH e AS (SELECT user_id, event_id, value,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+                     FROM g)
+         SELECT user_id, sid, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+                count(*) AS n_events, (round(sum(value), 4) + 0.0) AS window_value
+         FROM sids
+         WHERE CAST(tsu AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_brand_share_trend" ->
+      // exact int64 revenue cells; month totals from the same cells via
+      // a month-partitioned window; ONE division
+      """WITH cells AS (SELECT date_trunc('month', l_shipdate)::DATE AS month,
+                               p_brand,
+                               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                        (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                                    AS BIGINT) AS rev_e
+                        FROM lineitem JOIN part ON l_partkey = p_partkey
+                        GROUP BY 1, 2),
+            w AS (SELECT month, p_brand, rev_e,
+                         CAST(sum(rev_e) OVER (PARTITION BY month) AS BIGINT)
+                           AS tot_e
+                  FROM cells)
+         SELECT month, p_brand,
+                (round(CAST(rev_e AS DOUBLE) / 10000.0, 4) + 0.0) AS revenue,
+                (round(100.0 * rev_e / tot_e, 4) + 0.0) AS share
+         FROM w ORDER BY month, p_brand""",
+    "q_repeat_purchase_rate" ->
+      // exact counts; repeat = customers with >= 2 orders, by segment
+      """WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                     FROM orders GROUP BY 1),
+            g AS (SELECT c_mktsegment,
+                         CAST(count(*) AS BIGINT) AS n_buyers,
+                         CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_repeat
+                  FROM pc JOIN customer ON o_custkey = c_custkey
+                  GROUP BY 1)
+         SELECT c_mktsegment, n_buyers, n_repeat,
+                (round(CAST(n_repeat AS DOUBLE) / n_buyers, 4) + 0.0)
+                  AS repeat_rate
+         FROM g ORDER BY c_mktsegment""",
+    "q_jaccard_bands" ->
+      // the q_containment pair machinery, banded by (10*inter) //
+      // union -- pure int64 floor division, no float anywhere
+      """WITH base AS (SELECT doc_id, lang, source,
+                              string_split(text, ' ') AS toks FROM documents),
+            ng AS (SELECT doc_id, lang, source,
+                          list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngs
+                   FROM base),
+            nz AS (SELECT doc_id, lang, source, ngs
+                   FROM ng WHERE len(ngs) > 0),
+            ex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nz),
+            df AS (SELECT g, count(*) AS df FROM ex0 GROUP BY 1),
+            ex AS (SELECT ex0.* FROM ex0 JOIN df USING (g) WHERE df <= 100),
+            sz AS (SELECT doc_id, count(*) AS nsz FROM ex GROUP BY 1),
+            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                             count(*) AS inter
+                      FROM ex a JOIN ex b
+                        ON a.lang = b.lang AND a.source = b.source
+                       AND a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            bands AS (SELECT (10 * inter) // (s1.nsz + s2.nsz - inter)
+                               AS band
+                      FROM inter JOIN sz s1 ON s1.doc_id = d1
+                                 JOIN sz s2 ON s2.doc_id = d2)
+         SELECT CAST(band AS BIGINT) AS band,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM bands GROUP BY 1 ORDER BY band""",
+    "q_boilerplate_prefix" ->
+      // exact 32-char prefix families per source; rate of docs in
+      // families of size >= 2
+      """WITH fam AS (SELECT source, substring(text, 1, 32) AS pfx,
+                             CAST(count(*) AS BIGINT) AS sz
+                      FROM documents GROUP BY 1, 2),
+            g AS (SELECT source, CAST(sum(sz) AS BIGINT) AS n_docs,
+                         CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END)
+                              AS BIGINT) AS n_boiler
+                  FROM fam GROUP BY 1)
+         SELECT source, n_docs, n_boiler,
+                (round(CAST(n_boiler AS DOUBLE) / n_docs, 4) + 0.0)
+                  AS boiler_rate
+         FROM g ORDER BY source""",
+    "q_token_drift" ->
+      // PSI over the top-200 tokens between corpus halves (exact id
+      // midpoint); terms fold in (f DESC, tok) order on both engines;
+      // zero-in-either-half tokens excluded and counted
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+            b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM docs),
+            toks AS (SELECT CASE WHEN 2 * doc_id < mn + mx THEN 1 ELSE 2 END
+                              AS half,
+                            unnest(string_split(text, ' ')) AS tok
+                     FROM docs, b),
+            tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f,
+                          CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS f1,
+                          CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS f2
+                   FROM toks WHERE length(tok) > 0 GROUP BY 1),
+            tot AS (SELECT CAST(sum(f1) AS BIGINT) AS t1,
+                           CAST(sum(f2) AS BIGINT) AS t2 FROM tf),
+            top AS (SELECT f, tok, f1, f2 FROM tf
+                    ORDER BY f DESC, tok LIMIT 200),
+            terms AS (SELECT f, tok,
+                             CASE WHEN f1 > 0 AND f2 > 0 THEN
+                               (CAST(f1 AS DOUBLE) / t1 -
+                                CAST(f2 AS DOUBLE) / t2) *
+                               ln((CAST(f1 AS DOUBLE) / t1) /
+                                  (CAST(f2 AS DOUBLE) / t2)) END AS term
+                      FROM top, tot),
+            ag AS (SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+                          CAST(sum(CASE WHEN term IS NULL THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_excluded,
+                          list(term ORDER BY f DESC, tok)
+                            FILTER (WHERE term IS NOT NULL) AS ts
+                   FROM terms)
+         SELECT n_ranks, n_excluded,
+                -- ts IS NULL guard (r12 ADVICE): list(...) FILTER over
+                -- zero rows yields NULL (not []), and len(NULL) = 0 is
+                -- never true — the fully-degenerate all-excluded case
+                -- must report psi = 0.0 like Spark's empty collect_list
+                (round(CASE WHEN ts IS NULL OR len(ts) = 0 THEN 0.0
+                            ELSE list_reduce(ts, (a, b) -> a + b) END, 4)
+                 + 0.0) AS psi
+         FROM ag ORDER BY n_ranks""",
+    "q_rsi" ->
+      // Cutler's SMA RSI over the daily rollup: exact int64 cents
+      // gains/losses, ONE division; <14 trailing deltas → NULL
+      """WITH daily AS (
+           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+            dl AS (SELECT day_num, cents,
+                          lag(cents, 1) OVER (ORDER BY day_num) AS prev
+                   FROM daily),
+            gl AS (SELECT day_num, cents, prev,
+                          greatest(cents - prev, 0) AS gain,
+                          greatest(prev - cents, 0) AS loss
+                   FROM dl WHERE prev IS NOT NULL),
+            w AS (SELECT day_num, cents, prev,
+                         sum(gain) OVER win AS sg,
+                         sum(loss) OVER win AS sl,
+                         count(*) OVER win AS nw
+                  FROM gl
+                  WINDOW win AS (ORDER BY day_num
+                                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT day_num,
+                CAST(cents - prev AS DOUBLE) / 100.0 AS delta_rev,
+                CASE WHEN nw = 14 THEN
+                  (round(100.0 * CAST(sg AS DOUBLE) /
+                         nullif(CAST(sg + sl AS DOUBLE), 0.0), 4) + 0.0)
+                END AS rsi14
+         FROM w ORDER BY day_num""",
+    "q_sax" ->
+      // 8-segment PAA + 4-symbol SAX of the daily event-count series:
+      // HUGEINT sufficient sums mirror the engine's decimal(38,0);
+      // z is the identically-spelled chain, strict < breakpoints
+      """WITH daily AS (
+           SELECT CAST((epoch_us(ts)//1000000) // 86400 AS INT) AS day_num,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+            idx AS (SELECT day_num, c,
+                           row_number() OVER (ORDER BY day_num) - 1 AS i
+                    FROM daily),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(c) AS HUGEINT) AS sx,
+                           CAST(sum(c * c) AS HUGEINT) AS sxx
+                    FROM daily),
+            seg AS (SELECT CAST((8 * i) // n AS INT) AS seg,
+                           CAST(count(*) AS BIGINT) AS ln,
+                           CAST(sum(c) AS BIGINT) AS sc
+                    FROM idx, tot GROUP BY 1),
+            z AS (SELECT seg, ln,
+                         CAST(n * sc - ln * sx AS DOUBLE) /
+                         nullif(CAST(ln AS DOUBLE) *
+                                sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                                     CAST(n AS DOUBLE)), 0.0) AS zv
+                  FROM seg, tot)
+         SELECT seg, ln AS n_days, (round(zv, 4) + 0.0) AS z,
+                CASE WHEN zv IS NULL THEN 'b'
+                     WHEN zv < -0.6745 THEN 'a'
+                     WHEN zv < 0.0 THEN 'b'
+                     WHEN zv < 0.6745 THEN 'c'
+                     ELSE 'd' END AS symbol
+         FROM z ORDER BY seg""",
+    "q_price_index" ->
+      // Drobisch unit-value index vs the base month over MATCHED
+      // parts: HUGEINT cross products mirror decimal(38,0); ONE division
+      """WITH mp AS (SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                            l_partkey,
+                            CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                                 AS BIGINT) AS qty,
+                            CAST(sum(CAST(round(l_extendedprice * 100)
+                                          AS BIGINT)) AS BIGINT) AS cents
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     GROUP BY 1, 2),
+            base AS (SELECT min(month) AS base_month FROM mp),
+            bm AS (SELECT l_partkey AS bk, qty AS qb, cents AS cb
+                   FROM mp, base WHERE month = base_month),
+            g AS (SELECT month, CAST(count(*) AS BIGINT) AS n_parts,
+                         CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS scm,
+                         CAST(sum(CAST(qty AS HUGEINT)) AS HUGEINT) AS sqm,
+                         CAST(sum(CAST(qb AS HUGEINT)) AS HUGEINT) AS sqb,
+                         CAST(sum(CAST(cb AS HUGEINT)) AS HUGEINT) AS scb
+                  FROM mp JOIN bm ON l_partkey = bk
+                  GROUP BY 1)
+         SELECT month, n_parts,
+                (round(100.0 * CAST(scm * sqb AS DOUBLE) /
+                       nullif(CAST(sqm * scb AS DOUBLE), 0.0), 4) + 0.0)
+                  AS price_index
+         FROM g ORDER BY month""",
+    "q_fk_audit" ->
+      // five FK edges, orphans via NOT EXISTS anti-joins, exact counts
+      """WITH e AS (
+           SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+                  (SELECT count(*) FROM lineitem) AS n_child,
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan
+           UNION ALL
+           SELECT 'lineitem.l_partkey->part',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey))
+           UNION ALL
+           SELECT 'lineitem.l_suppkey->supplier',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey))
+           UNION ALL
+           SELECT 'orders.o_custkey->customer',
+                  (SELECT count(*) FROM orders),
+                  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                     (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey))
+           UNION ALL
+           SELECT 'embeddings.vec_id->documents',
+                  (SELECT count(*) FROM embeddings),
+                  (SELECT count(*) FROM embeddings e WHERE NOT EXISTS
+                     (SELECT 1 FROM documents d
+                      WHERE d.doc_id = e.vec_id)))
+         SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,
+                CAST(n_orphan AS BIGINT) AS n_orphan,
+                (round(CAST(n_orphan AS DOUBLE) /
+                       nullif(CAST(n_child AS DOUBLE), 0.0), 4) + 0.0)
+                  AS orphan_rate
+         FROM e ORDER BY fk_edge""",
+    "q_simhash_hamming_hist" ->
+      // q_dedup_simhash's signature arithmetic, then 2×16-bit band
+      // blocking within (lang, source), distinct pairs, exact
+      // bit_count(xor) histogram over a 0..32 spine
+      """WITH toks AS (SELECT doc_id, tok
+                       FROM (SELECT doc_id,
+                                    unnest(string_split(text, ' ')) AS tok
+                             FROM documents) t0
+                       WHERE length(tok) > 0),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+                  FROM toks),
+            contrib AS (SELECT doc_id, i,
+                               ((hv >> CAST(i AS INT)) & 1) * 2 - 1 AS c
+                        FROM h, range(0, 32) t(i)),
+            bits AS (SELECT doc_id, i,
+                            CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS b
+                     FROM contrib GROUP BY 1, 2),
+            sig AS (SELECT doc_id,
+                           CAST(sum(b * (1::BIGINT << CAST(i AS INT)))
+                                AS BIGINT) AS sig
+                    FROM bits GROUP BY 1),
+            sg AS (SELECT s.doc_id, d.lang, d.source, s.sig
+                   FROM sig s JOIN documents d ON s.doc_id = d.doc_id),
+            banded AS (SELECT doc_id, lang, source, sig,
+                              0 AS band, sig >> 16 AS bv FROM sg
+                       UNION ALL
+                       SELECT doc_id, lang, source, sig,
+                              1, sig & 65535 FROM sg),
+            pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                                      a.sig AS s1, b.sig AS s2
+                      FROM banded a JOIN banded b
+                        ON a.lang = b.lang AND a.source = b.source
+                       AND a.band = b.band AND a.bv = b.bv
+                       AND a.doc_id < b.doc_id),
+            hist AS (SELECT CAST(bit_count(xor(s1, s2)) AS INT) AS hamming,
+                            CAST(count(*) AS BIGINT) AS n_pairs
+                     FROM pairs GROUP BY 1)
+         SELECT CAST(t.i AS INT) AS hamming,
+                coalesce(h2.n_pairs, 0) AS n_pairs
+         FROM range(0, 33) t(i) LEFT JOIN hist h2 ON h2.hamming = t.i
+         ORDER BY hamming""",
+    "q_source_terms" ->
+      // weirdness = (tf_s·N_c)/(N_s·tf_c) in HUGEINT cross products
+      // (mirrors decimal(38,0)); tf_s ≥ 5 floor before the rank
+      """WITH t2 AS (SELECT source, tok
+                     FROM (SELECT source,
+                                  unnest(string_split(text, ' ')) AS tok
+                           FROM documents) t0
+                     WHERE length(tok) > 0),
+            tfs AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf_s
+                    FROM t2 GROUP BY 1, 2),
+            ns AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS n_s
+                   FROM tfs GROUP BY 1),
+            tfc AS (SELECT tok, CAST(sum(tf_s) AS BIGINT) AS tf_c
+                    FROM tfs GROUP BY 1),
+            nc AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_c FROM ns),
+            sc AS (SELECT f.source, f.tok, f.tf_s,
+                          CAST(CAST(f.tf_s AS HUGEINT) * n_c AS DOUBLE) /
+                          CAST(CAST(n.n_s AS HUGEINT) * c.tf_c AS DOUBLE)
+                            AS weird
+                   FROM tfs f JOIN tfc c ON f.tok = c.tok
+                              JOIN ns n ON f.source = n.source, nc
+                   WHERE f.tf_s >= 5),
+            rk AS (SELECT source, tok, tf_s, weird,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY weird DESC, tok)
+                            AS rank
+                   FROM sc)
+         SELECT source, CAST(rank AS BIGINT) AS rank, tok, tf_s,
+                (round(weird, 4) + 0.0) AS weirdness
+         FROM rk WHERE rank <= 5 ORDER BY source, rank""",
+    "q_key_skew" ->
+      // per key column: per-key rollup, 1-row stats, totally-ordered
+      // top-10 cut (count DESC, key ASC); single divisions
+      """WITH c1 AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+                     FROM orders GROUP BY 1),
+            c2 AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY 1),
+            c3 AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY 1),
+            c4 AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1),
+            e AS (
+              SELECT 'orders.o_custkey' AS key_col,
+                     (SELECT CAST(sum(c) AS BIGINT) FROM c1) AS n_rows,
+                     (SELECT CAST(count(*) AS BIGINT) FROM c1) AS n_keys,
+                     (SELECT max(c) FROM c1) AS max_cnt,
+                     (SELECT CAST(sum(c) AS BIGINT) FROM
+                        (SELECT c FROM c1 ORDER BY c DESC, k LIMIT 10))
+                       AS top10_cnt
+              UNION ALL
+              SELECT 'lineitem.l_orderkey',
+                     (SELECT CAST(sum(c) AS BIGINT) FROM c2),
+                     (SELECT CAST(count(*) AS BIGINT) FROM c2),
+                     (SELECT max(c) FROM c2),
+                     (SELECT CAST(sum(c) AS BIGINT) FROM
+                        (SELECT c FROM c2 ORDER BY c DESC, k LIMIT 10))
+              UNION ALL
+              SELECT 'lineitem.l_suppkey',
+                     (SELECT CAST(sum(c) AS BIGINT) FROM c3),
+                     (SELECT CAST(count(*) AS BIGINT) FROM c3),
+                     (SELECT max(c) FROM c3),
+                     (SELECT CAST(sum(c) AS BIGINT) FROM
+                        (SELECT c FROM c3 ORDER BY c DESC, k LIMIT 10))
+              UNION ALL
+              SELECT 'events.user_id',
+                     (SELECT CAST(sum(c) AS BIGINT) FROM c4),
+                     (SELECT CAST(count(*) AS BIGINT) FROM c4),
+                     (SELECT max(c) FROM c4),
+                     (SELECT CAST(sum(c) AS BIGINT) FROM
+                        (SELECT c FROM c4 ORDER BY c DESC, k LIMIT 10)))
+         SELECT key_col, n_rows, n_keys, max_cnt,
+                (round(CAST(max_cnt AS DOUBLE) / n_rows, 4) + 0.0)
+                  AS max_share,
+                (round(CAST(top10_cnt AS DOUBLE) / n_rows, 4) + 0.0)
+                  AS top10_share,
+                (round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 4) + 0.0)
+                  AS skew_ratio
+         FROM e ORDER BY key_col""",
+    "q_dedup_eval" ->
+      // simhash band candidates (q_simhash_hamming_hist's stream)
+      // scored vs exact ngram-Jaccard ≥ 0.5 truth (q_dedup_ngram's
+      // stream); the threshold is integer cross-multiplication
+      """WITH toks AS (SELECT doc_id, tok
+                       FROM (SELECT doc_id,
+                                    unnest(string_split(text, ' ')) AS tok
+                             FROM documents) t0
+                       WHERE length(tok) > 0),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+                  FROM toks),
+            contrib AS (SELECT doc_id, i,
+                               ((hv >> CAST(i AS INT)) & 1) * 2 - 1 AS c
+                        FROM h, range(0, 32) t(i)),
+            bits AS (SELECT doc_id, i,
+                            CASE WHEN sum(c) > 0 THEN 1 ELSE 0 END AS b
+                     FROM contrib GROUP BY 1, 2),
+            sig AS (SELECT doc_id,
+                           CAST(sum(b * (1::BIGINT << CAST(i AS INT)))
+                                AS BIGINT) AS sig
+                    FROM bits GROUP BY 1),
+            sg AS (SELECT s.doc_id, d.lang, d.source, s.sig
+                   FROM sig s JOIN documents d ON s.doc_id = d.doc_id),
+            banded AS (SELECT doc_id, lang, source,
+                              0 AS band, sig >> 16 AS bv FROM sg
+                       UNION ALL
+                       SELECT doc_id, lang, source,
+                              1, sig & 65535 FROM sg),
+            cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                     FROM banded a JOIN banded b
+                       ON a.lang = b.lang AND a.source = b.source
+                      AND a.band = b.band AND a.bv = b.bv
+                      AND a.doc_id < b.doc_id),
+            nbase AS (SELECT doc_id, lang, source,
+                             string_split(text, ' ') AS tks FROM documents),
+            nng AS (SELECT doc_id, lang, source,
+                           list_distinct(list_transform(range(1, len(tks) - 1),
+                             i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2]))
+                             AS ngs
+                    FROM nbase),
+            nnz AS (SELECT doc_id, lang, source, ngs
+                    FROM nng WHERE len(ngs) > 0),
+            nex0 AS (SELECT doc_id, lang, source, unnest(ngs) AS g FROM nnz),
+            ndf AS (SELECT g, count(*) AS df FROM nex0 GROUP BY 1),
+            nex AS (SELECT nex0.* FROM nex0 JOIN ndf USING (g)
+                    WHERE df <= 100),
+            nsz AS (SELECT doc_id, count(*) AS nsz FROM nex GROUP BY 1),
+            ninter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                              count(*) AS inter
+                       FROM nex a JOIN nex b
+                         ON a.lang = b.lang AND a.source = b.source
+                        AND a.g = b.g AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+            truth AS (SELECT d1, d2
+                      FROM ninter JOIN nsz s1 ON s1.doc_id = d1
+                                  JOIN nsz s2 ON s2.doc_id = d2
+                      WHERE 2 * inter >= s1.nsz + s2.nsz - inter),
+            c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+            t1 AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+            tp AS (SELECT CAST(count(*) AS BIGINT) AS n_tp
+                   FROM cand JOIN truth USING (d1, d2))
+         SELECT n_candidates, n_truth, n_tp,
+                (round(CAST(n_tp AS DOUBLE) /
+                       nullif(CAST(n_candidates AS DOUBLE), 0.0), 4) + 0.0)
+                  AS precision,
+                (round(CAST(n_tp AS DOUBLE) /
+                       nullif(CAST(n_truth AS DOUBLE), 0.0), 4) + 0.0)
+                  AS recall
+         FROM c1, t1, tp ORDER BY n_candidates""",
+    "q_k_anonymity" ->
+      // QI = (nation, mktsegment); literal k spine; exact class sizes
+      """WITH classes AS (SELECT c_nationkey, c_mktsegment,
+                                 CAST(count(*) AS BIGINT) AS cs
+                          FROM customer GROUP BY 1, 2),
+            tot AS (SELECT CAST(sum(cs) AS BIGINT) AS n_rows FROM classes),
+            ks AS (SELECT unnest([2, 5, 10, 20]) AS k),
+            g AS (SELECT k,
+                         CAST(sum(CASE WHEN cs < k THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_classes_below,
+                         CAST(sum(CASE WHEN cs < k THEN cs ELSE 0 END)
+                              AS BIGINT) AS n_rows_below
+                  FROM classes, ks GROUP BY 1)
+         SELECT CAST(k AS INT) AS k, n_classes_below, n_rows_below,
+                (round(CAST(n_rows_below AS DOUBLE) /
+                       nullif(CAST(n_rows AS DOUBLE), 0.0), 4) + 0.0)
+                  AS share_below
+         FROM g, tot ORDER BY k""",
+    "q_ratio_metric" ->
+      // delta-method SE for purchases-per-event under the q_ab_test
+      // arm split; HUGEINT moments mirror decimal(38,0)
+      """WITH u AS (SELECT user_id,
+                           CAST(sum(CASE WHEN event_type = 'purchase'
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                           CAST(count(*) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+            v AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                              THEN 'A' ELSE 'B' END AS variant, x, y
+                  FROM u),
+            m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(CAST(x * x AS HUGEINT)) AS HUGEINT) AS sxx,
+                         CAST(sum(CAST(y * y AS HUGEINT)) AS HUGEINT) AS syy,
+                         CAST(sum(CAST(x * y AS HUGEINT)) AS HUGEINT) AS sxy
+                  FROM v GROUP BY 1),
+            sp AS (SELECT unnest(['A', 'B']) AS variant),
+            j AS (SELECT sp.variant, m.n, m.sx, m.sy, m.sxx, m.syy, m.sxy
+                  FROM sp LEFT JOIN m ON sp.variant = m.variant),
+            r AS (SELECT variant, n, sx, sy, sxx, syy, sxy,
+                         CAST(sx AS DOUBLE) /
+                         nullif(CAST(sy AS DOUBLE), 0.0) AS rr
+                  FROM j)
+         SELECT variant, coalesce(n, 0) AS n_users,
+                coalesce(sx, 0) AS sum_x, coalesce(sy, 0) AS sum_y,
+                (round(rr, 4) + 0.0) AS ratio,
+                CASE WHEN n > 1 THEN
+                  (round(sqrt((CAST(sxx AS DOUBLE) -
+                               2.0 * rr * CAST(sxy AS DOUBLE) +
+                               rr * rr * CAST(syy AS DOUBLE)) *
+                              CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)) /
+                         nullif(CAST(sy AS DOUBLE), 0.0), 4) + 0.0)
+                END AS se
+         FROM r ORDER BY variant""",
+  )
+}
