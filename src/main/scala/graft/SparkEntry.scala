@@ -445,7 +445,10 @@ object SparkEntry {
     // delta-method ratio metric
     "q_dedup_eval" -> (L.dedupEval _),
     "q_k_anonymity" -> (C.kAnonymity _),
-    "q_ratio_metric" -> (TimeSeriesOps.ratioMetric _)
+    "q_ratio_metric" -> (TimeSeriesOps.ratioMetric _),
+    // r13 widening 5: triple exponential smoothing, embedding drift
+    "q_holt_winters" -> (TimeSeriesOps.holtWinters _),
+    "q_embed_drift" -> (L.embedDrift _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2147,4 +2147,63 @@ object LlmOps {
                 r4(col("weird")).as("weirdness")),
       col("source"), col("rank"))
   }
+
+  /** q_embed_drift — per-label centroid shift between the corpus's
+    * first and second half (vec_id midpoint = ingest-order proxy, the
+    * q_token_drift stance): ‖μ_label,h1 − μ_label,h2‖₂ with both
+    * half-populations — the embedding-space drift monitor that says
+    * "the vectors this label is getting have MOVED" before an index
+    * rebuilt on old centroids (q_similarity_ivf) quietly loses recall;
+    * the embedding face of the drift family (q_token_drift: tokens,
+    * q_psi: spend, this: vector space).
+    *
+    * Determinism: components quantized to 1e-6 and summed in exact
+    * int64 per (label, half, lane) — the q_embedding_centroid idiom —
+    * so each centroid lane is ONE division of exact integers; the
+    * 64-lane squared-difference sum folds SEQUENTIALLY in lane order
+    * (`aggregate` over lane-sorted arrays; DuckDB list_reduce over a
+    * lane-ORDERed list — the q_anova fold rule); labels present in
+    * only one half surface with NULL drift via the label spine.
+    *
+    * Scale shape: ONE (label, half, lane) partial-aggregable rollup
+    * bounded by |labels|×2×64, then label-key joins of 64-element
+    * arrays — no per-vector work after the rollup. */
+  def embedDrift(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val b = em.agg(min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx"))
+    val comp = em.crossJoin(broadcast(b))
+      .withColumn("half",
+        when(col("vec_id") * 2 < col("mn") + col("mx"), 1).otherwise(2))
+      .select(col("label"), col("half"), posexplode(col("v")).as(Seq("pos", "a")))
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg(sum(expr("CAST(round(a * 1000000) AS BIGINT)")).as("sq"),
+           count(lit(1)).as("n"))
+    val byHalf = comp.groupBy(col("label"), col("half"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, sq))), p -> p.sq)")
+             .as("cv"),
+           max(col("n")).as("n"))
+    val h1 = byHalf.filter(col("half") === 1)
+      .select(col("label").as("l1"), col("cv").as("c1"), col("n").as("n1"))
+    val h2 = byHalf.filter(col("half") === 2)
+      .select(col("label").as("l2"), col("cv").as("c2"), col("n").as("n2"))
+    val labels = em.select(col("label")).distinct()
+    ord(
+      labels
+        .join(broadcast(h1), col("label") === col("l1"), "left")
+        .join(broadcast(h2), col("label") === col("l2"), "left")
+        .select(col("label"),
+          coalesce(col("n1"), lit(0L)).as("n_first"),
+          coalesce(col("n2"), lit(0L)).as("n_second"),
+          when(col("n1").isNotNull && col("n2").isNotNull,
+            r4(sqrt(expr(
+              """aggregate(zip_with(c1, c2, (x, y) ->
+                   (CAST(x AS DOUBLE) / CAST(n1 AS DOUBLE) -
+                    CAST(y AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+                   (CAST(x AS DOUBLE) / CAST(n1 AS DOUBLE) -
+                    CAST(y AS DOUBLE) / CAST(n2 AS DOUBLE))),
+                 CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""")) / 1000000.0))
+            .as("drift")),
+      col("label"))
+  }
 }

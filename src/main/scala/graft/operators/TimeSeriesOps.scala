@@ -1793,4 +1793,73 @@ object TimeSeriesOps {
                nullif(col("sy").cast("double"), lit(0.0)))).as("se")),
       col("variant"))
   }
+
+  /** q_holt_winters — additive Holt–Winters (level + trend + weekly
+    * seasonality, m = 7, α = β = γ = ½) over the daily order-revenue
+    * series: the triple-smoothing tier that completes the exponential
+    * family (q_trend_ewma smooths the level, q_holt_linear adds trend,
+    * this adds the seasonal state a weekly-cycled business series
+    * actually needs before a forecast is honest). Emits the final
+    * (level, trend, s₀..s₆) state and the 1-step-ahead forecast
+    * l + b + s₍ₙ₊₁₎ mod 7.
+    *
+    * Determinism: the recurrence is a SEQUENTIAL ordered fold — Spark
+    * folds the sorted day array with `aggregate`; DuckDB replays the
+    * SAME spelled arithmetic as a recursive CTE carrying the seven
+    * seasonal slots as columns (the q_holt_linear precedent, widened)
+    * — α = β = γ = ½ are dyadic, so every smoothing step is an exact
+    * binary-float halving of identically-derived operands; flat-zero
+    * seasonal init and l₀ = first day's cents on both engines; r4
+    * only at output.
+    *
+    * Scale shape: the fold runs over the ≤|calendar days| daily
+    * rollup collected into ONE row — state is 9 doubles regardless of
+    * data volume; at 100 TB only the rollup shuffle grows (the
+    * q_holt_linear stance). */
+  def holtWinters(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+        .as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val seq0 = daily.select(col("cents"),
+      row_number().over(Window.orderBy(col("day_num"))).cast("int").as("rn"))
+    val sj = "CASE CAST(y.rn % 7 AS INT) WHEN 0 THEN acc.s0 WHEN 1 THEN acc.s1" +
+      " WHEN 2 THEN acc.s2 WHEN 3 THEN acc.s3 WHEN 4 THEN acc.s4" +
+      " WHEN 5 THEN acc.s5 ELSE acc.s6 END"
+    val lp = s"0.5D * (CAST(y.cents AS DOUBLE) - ($sj)) + 0.5D * (acc.l + acc.b)"
+    val slots = (0 to 6).map { k =>
+      s"'s$k', IF(y.rn % 7 = $k, 0.5D * (CAST(y.cents AS DOUBLE) - ($lp))" +
+        s" + 0.5D * ($sj), acc.s$k)"
+    }.mkString(", ")
+    val zeros = (0 to 6).map(k => s"'s$k', CAST(0.0 AS DOUBLE)").mkString(", ")
+    val folded = seq0
+      .agg(sort_array(collect_list(struct(col("rn"), col("cents")))).as("ys"))
+      .withColumn("n_days", size(col("ys")))
+      .withColumn("st", expr(
+        s"""aggregate(slice(ys, 2, size(ys) - 1),
+              named_struct('l', CAST(element_at(ys, 1).cents AS DOUBLE),
+                           'b', CAST(0.0 AS DOUBLE), $zeros),
+              (acc, y) -> named_struct(
+                'l', $lp,
+                'b', 0.5D * (($lp) - acc.l) + 0.5D * acc.b,
+                $slots))"""))
+    val nextSeason = expr(
+      "CASE CAST((n_days + 1) % 7 AS INT) WHEN 0 THEN st.s0 WHEN 1 THEN st.s1" +
+        " WHEN 2 THEN st.s2 WHEN 3 THEN st.s3 WHEN 4 THEN st.s4" +
+        " WHEN 5 THEN st.s5 ELSE st.s6 END")
+    ord(
+      folded.select(col("n_days").cast("long").as("n_days"),
+        r4(col("st.l") / 100.0).as("level_rev"),
+        r4(col("st.b") / 100.0).as("trend_rev"),
+        r4(col("st.s0") / 100.0).as("s0_rev"),
+        r4(col("st.s1") / 100.0).as("s1_rev"),
+        r4(col("st.s2") / 100.0).as("s2_rev"),
+        r4(col("st.s3") / 100.0).as("s3_rev"),
+        r4(col("st.s4") / 100.0).as("s4_rev"),
+        r4(col("st.s5") / 100.0).as("s5_rev"),
+        r4(col("st.s6") / 100.0).as("s6_rev"),
+        r4((col("st.l") + col("st.b") + nextSeason) / 100.0)
+          .as("forecast1_rev")),
+      col("n_days"))
+  }
 }

@@ -1205,5 +1205,96 @@ private[graft] object OracleSql5 {
                          nullif(CAST(sy AS DOUBLE), 0.0), 4) + 0.0)
                 END AS se
          FROM r ORDER BY variant""",
+    "q_holt_winters" ->
+      // additive Holt-Winters (m=7, alpha=beta=gamma=1/2) replayed as a
+      // recursive CTE carrying the 7 seasonal slots as columns -- the
+      // SAME spelled arithmetic as the Spark ordered fold (q_holt_linear
+      // precedent, widened); dyadic halvings keep every step exact
+      """WITH RECURSIVE daily AS (
+           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         seq AS (SELECT cents,
+                        CAST(row_number() OVER (ORDER BY day_num) AS INT) AS rn
+                 FROM daily),
+         mx AS (SELECT max(rn) AS n_days FROM seq),
+         rec AS (
+           SELECT rn, CAST(cents AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+                  CAST(0.0 AS DOUBLE) AS s0,
+                  CAST(0.0 AS DOUBLE) AS s1,
+                  CAST(0.0 AS DOUBLE) AS s2,
+                  CAST(0.0 AS DOUBLE) AS s3,
+                  CAST(0.0 AS DOUBLE) AS s4,
+                  CAST(0.0 AS DOUBLE) AS s5,
+                  CAST(0.0 AS DOUBLE) AS s6
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT s.rn,
+                  0.5 * (CAST(s.cents AS DOUBLE) - (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.5 * (r.l + r.b),
+                  0.5 * ((0.5 * (CAST(s.cents AS DOUBLE) - (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+                  CASE WHEN s.rn % 7 = 0 THEN 0.5 * (CAST(s.cents AS DOUBLE) - (0.5 * (CAST(s.cents AS DOUBLE) - (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.5 * (r.l + r.b))) + 0.5 * (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END) ELSE r.s0 END,
+                  CASE WHEN s.rn % 7 = 1 THEN 0.5 * (CAST(s.cents AS DOUBLE) - (0.5 * (CAST(s.cents AS DOUBLE) - (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.5 * (r.l + r.b))) + 0.5 * (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END) ELSE r.s1 END,
+                  CASE WHEN s.rn % 7 = 2 THEN 0.5 * (CAST(s.cents AS DOUBLE) - (0.5 * (CAST(s.cents AS DOUBLE) - (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.5 * (r.l + r.b))) + 0.5 * (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END) ELSE r.s2 END,
+                  CASE WHEN s.rn % 7 = 3 THEN 0.5 * (CAST(s.cents AS DOUBLE) - (0.5 * (CAST(s.cents AS DOUBLE) - (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.5 * (r.l + r.b))) + 0.5 * (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END) ELSE r.s3 END,
+                  CASE WHEN s.rn % 7 = 4 THEN 0.5 * (CAST(s.cents AS DOUBLE) - (0.5 * (CAST(s.cents AS DOUBLE) - (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.5 * (r.l + r.b))) + 0.5 * (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END) ELSE r.s4 END,
+                  CASE WHEN s.rn % 7 = 5 THEN 0.5 * (CAST(s.cents AS DOUBLE) - (0.5 * (CAST(s.cents AS DOUBLE) - (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.5 * (r.l + r.b))) + 0.5 * (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END) ELSE r.s5 END,
+                  CASE WHEN s.rn % 7 = 6 THEN 0.5 * (CAST(s.cents AS DOUBLE) - (0.5 * (CAST(s.cents AS DOUBLE) - (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)) + 0.5 * (r.l + r.b))) + 0.5 * (CASE CAST(s.rn % 7 AS INT) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END) ELSE r.s6 END
+           FROM rec r JOIN seq s ON s.rn = r.rn + 1),
+         fin AS (SELECT r.*, mx.n_days FROM rec r, mx WHERE r.rn = mx.n_days)
+         SELECT CAST(n_days AS BIGINT) AS n_days,
+                (round(l / 100.0, 4) + 0.0) AS level_rev,
+                (round(b / 100.0, 4) + 0.0) AS trend_rev,
+                (round(s0 / 100.0, 4) + 0.0) AS s0_rev,
+                (round(s1 / 100.0, 4) + 0.0) AS s1_rev,
+                (round(s2 / 100.0, 4) + 0.0) AS s2_rev,
+                (round(s3 / 100.0, 4) + 0.0) AS s3_rev,
+                (round(s4 / 100.0, 4) + 0.0) AS s4_rev,
+                (round(s5 / 100.0, 4) + 0.0) AS s5_rev,
+                (round(s6 / 100.0, 4) + 0.0) AS s6_rev,
+                (round((l + b + CASE CAST((n_days + 1) % 7 AS INT) WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END) / 100.0, 4) + 0.0)
+                  AS forecast1_rev
+         FROM fin ORDER BY n_days""",
+    "q_embed_drift" ->
+      // per-label centroid L2 shift between vec_id halves; exact 1e-6
+      // quantized lane sums; squared-diff terms fold in LANE order
+      """WITH em AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+            bnd AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM em),
+            hv AS (SELECT label,
+                          CASE WHEN vec_id * 2 < mn + mx THEN 1 ELSE 2 END
+                            AS half, v
+                   FROM em, bnd),
+            comp AS (SELECT label, half, CAST(i AS INT) AS pos,
+                            CAST(sum(CAST(round(v[CAST(i + 1 AS INT)] * 1000000)
+                                          AS BIGINT)) AS BIGINT) AS sq,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM hv, range(0, 64) t(i) GROUP BY 1, 2, 3),
+            byh AS (SELECT label, half, list(sq ORDER BY pos) AS cv,
+                           max(n) AS n
+                    FROM comp GROUP BY 1, 2),
+            h1 AS (SELECT label AS l1, cv AS c1, n AS n1 FROM byh
+                   WHERE half = 1),
+            h2 AS (SELECT label AS l2, cv AS c2, n AS n2 FROM byh
+                   WHERE half = 2),
+            lbl AS (SELECT DISTINCT label FROM em),
+            j AS (SELECT lbl.label, n1, n2, c1, c2
+                  FROM lbl LEFT JOIN h1 ON lbl.label = l1
+                           LEFT JOIN h2 ON lbl.label = l2),
+            terms AS (SELECT label, n1, n2,
+                             CASE WHEN n1 IS NOT NULL AND n2 IS NOT NULL THEN
+                               list_transform(range(1, 65), i ->
+                                 (CAST(c1[CAST(i AS INT)] AS DOUBLE) / CAST(n1 AS DOUBLE) -
+                       CAST(c2[CAST(i AS INT)] AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+                                 (CAST(c1[CAST(i AS INT)] AS DOUBLE) / CAST(n1 AS DOUBLE) -
+                       CAST(c2[CAST(i AS INT)] AS DOUBLE) / CAST(n2 AS DOUBLE))) END AS ts
+                      FROM j)
+         SELECT label, coalesce(n1, 0) AS n_first,
+                coalesce(n2, 0) AS n_second,
+                CASE WHEN ts IS NOT NULL THEN
+                  (round(sqrt(list_reduce(ts, (a, b2) -> a + b2))
+                         / 1000000.0, 4) + 0.0) END AS drift
+         FROM terms ORDER BY label""",
   )
 }

@@ -901,6 +901,43 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("B", 1L, 0L, 3L, Some(0.0), None)), s"got $out")
   }
 
+  test("holt_winters: three-step hand fold pins level, trend, seasonal slots") {
+    val dir = tmpDir("hw")
+    // cents 100, 200, 300 on consecutive days; dyadic halvings:
+    // rn2 (slot 2): L=150, b=25, s2=25; rn3 (slot 3): L=237.5,
+    // b=56.25, s3=31.25; forecast slot (3+1)%7=4 → 293.75
+    writeTable(dir, "orders", Schemas.orders, (1 to 3).map { i =>
+      Row(i.toLong, 1L, "O", i.toDouble,
+          java.sql.Timestamp.valueOf(f"1995-01-0$i 00:00:00"), "1")
+    })
+    val out = TimeSeriesOps.holtWinters(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2)) ==
+      ((3L, 2.375, 0.5625)), s"got $r")
+    assert((r.getDouble(5), r.getDouble(6)) == ((0.25, 0.3125)), s"got $r")
+    assert(Seq(3, 4, 7, 8, 9).map(r.getDouble) == Seq(0.0, 0.0, 0.0, 0.0, 0.0),
+      s"got $r")
+    assert(r.getDouble(10) == 2.9375, s"got $r")
+  }
+
+  test("embed_drift: planted centroid shift is exact; one-sided label is NULL") {
+    val dir = tmpDir("edrift")
+    def vec(mag: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == 0) mag else 0.0f)
+    // ids 1,2 land in half 1 (2·id < 1+5), 3,4,5 in half 2; label 0
+    // centroids 2.0 vs 6.0 on lane 0 → drift 4; label 1 has no
+    // first-half vectors → NULL drift
+    writeTable(dir, "embeddings", embeddingsSchema, Seq(
+      Row(1L, vec(1.0f), 0), Row(2L, vec(3.0f), 0),
+      Row(3L, vec(5.0f), 0), Row(4L, vec(7.0f), 0),
+      Row(5L, vec(9.0f), 1)))
+    val out = graft.operators.LlmOps.embedDrift(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+                 Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    assert(out == Seq((0, 2L, 2L, Some(4.0)), (1, 0L, 1L, None)), s"got $out")
+  }
+
   test("key_skew: hot key share and skew ratio are exact") {
     val dir = tmpDir("kskew")
     val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")

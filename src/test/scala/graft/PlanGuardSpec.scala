@@ -90,9 +90,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_user_concentration ranks the per-USER rollup (q_gini precedent:
     // range-partitioned sort + distributed prefix at 100 TB)
     "q_user_concentration",
-    // q_rsi's lag/trailing-14 windows and q_sax's row_number ride the
-    // calendar-bounded daily rollup (q_moving_avg precedent)
-    "q_rsi", "q_sax")
+    // q_rsi's lag/trailing-14 windows, q_sax's and q_holt_winters'
+    // row_number ride the calendar-bounded daily rollup (q_moving_avg
+    // precedent)
+    "q_rsi", "q_sax", "q_holt_winters")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {
