@@ -448,7 +448,9 @@ object SparkEntry {
     "q_ratio_metric" -> (TimeSeriesOps.ratioMetric _),
     // r13 widening 5: triple exponential smoothing, embedding drift
     "q_holt_winters" -> (TimeSeriesOps.holtWinters _),
-    "q_embed_drift" -> (L.embedDrift _)
+    "q_embed_drift" -> (L.embedDrift _),
+    // r13 widening 6: Markov removal-effect attribution
+    "q_attribution_markov" -> (W.attributionMarkov _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

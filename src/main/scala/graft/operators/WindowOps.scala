@@ -963,4 +963,144 @@ object WindowOps {
                   .as("entropy")),
       col("user_id"))
   }
+
+  /** q_attribution_markov — Markov removal-effect attribution (the
+    * Anderl et al. data-driven model): build the first-order journey
+    * chain START → channels → {CONV, NULL}, compute the 20-step
+    * absorption probability P(CONV), then for each channel recompute
+    * it with that channel REMOVED (transitions into it redirected to
+    * NULL) — removal effect 1 − P₋c/P, normalized into shares. This
+    * is the model-based tier above the 5 heuristic attribution rows
+    * (last/linear/decay/position/shapley): credit is what the JOURNEY
+    * GRAPH loses without the channel, not a hand-picked weight.
+    *
+    * Determinism: journeys truncate at the user's first purchase
+    * under the total (ts, event_id) order; transition probabilities
+    * are single divisions of exact counts; the K = 20 fixed-depth
+    * iteration (the q_pagerank stance) runs as ONE fold expression —
+    * per step, per state, the inner Σ over source states folds in
+    * state order (DuckDB mirrors with list_reduce over an index-range
+    * list, pairwise-left-assoc — identical op sequence since 0+t₁ is
+    * exact); the removal-effect sum folds in channel-id order; NULL
+    * guards for a conversion-free corpus (§2.10).
+    *
+    * Scale shape: the heavy work is ONE user-partitioned window pass
+    * over events (the q_sessionize shape) + a (from, to) rollup
+    * bounded by (|channels|+3)²; everything after — the matrices, the
+    * (m+1)-scenario iteration, the share rollup — lives on frames
+    * bounded by the channel vocabulary, never by data volume. */
+  def attributionMarkov(s: SparkSession, d: String): DataFrame = {
+    val K = 20
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("fpk"))
+    val j = ev.join(fp, Seq("user_id"), "left")
+      .withColumn("conv", col("fpk").isNotNull)
+      .filter(col("event_type") =!= "purchase" &&
+              (col("fpk").isNull ||
+               struct(col("ts"), col("event_id")) < col("fpk")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seqd = j.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+    val mid = seqd.filter(col("next_type").isNotNull)
+      .select(col("event_type").as("f"), col("next_type").as("t"))
+    val startT = seqd.filter(col("prev_type").isNull)
+      .select(lit("__START__").as("f"), col("event_type").as("t"))
+    val endT = seqd.filter(col("next_type").isNull)
+      .select(col("event_type").as("f"),
+              when(col("conv"), lit("__CONV__")).otherwise(lit("__NULL__"))
+                .as("t"))
+    // converters whose ONLY events are purchases: START → CONV direct
+    val directConv = fp
+      .join(j.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
+      .select(lit("__START__").as("f"), lit("__CONV__").as("t"))
+    val trans = mid.unionAll(startT).unionAll(endT).unionAll(directConv)
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+    // channel ids 1..m by name order; START=0, CONV=m+1, NULL=m+2
+    val channels = trans.select(col("f").as("stt"))
+      .unionAll(trans.select(col("t").as("stt")))
+      .filter(!col("stt").isin("__START__", "__CONV__", "__NULL__"))
+      .distinct()
+    val chId = channels.select(col("stt"),
+      row_number().over(Window.orderBy(col("stt"))).cast("int").as("sid"))
+    val mm = chId.agg(max(col("sid")).as("m"),
+                      (max(col("sid")) + 3).cast("int").as("S"))
+    val tr2 = trans
+      .join(broadcast(chId.select(col("stt").as("f"), col("sid").as("fid0"))),
+            Seq("f"), "left")
+      .join(broadcast(chId.select(col("stt").as("t"), col("sid").as("tid0"))),
+            Seq("t"), "left")
+      .crossJoin(broadcast(mm))
+      .select(
+        when(col("f") === "__START__", lit(0)).otherwise(col("fid0")).as("fid"),
+        when(col("t") === "__CONV__", col("m") + 1)
+          .when(col("t") === "__NULL__", col("m") + 2)
+          .otherwise(col("tid0")).as("tid"),
+        col("n"))
+    val outs = tr2.groupBy(col("fid")).agg(sum(col("n")).as("outn"))
+    val spine = mm
+      .select(col("S"), explode(sequence(lit(0), col("S") - 1)).as("fid"))
+      .select(col("S"), col("fid"),
+              explode(sequence(lit(0), col("S") - 1)).as("tid"))
+    val dense = spine
+      .join(tr2, Seq("fid", "tid"), "left")
+      .join(broadcast(outs), Seq("fid"), "left")
+      .withColumn("prob",
+        when(col("fid") === col("S") - 2,
+             when(col("tid") === col("S") - 2, lit(1.0)).otherwise(lit(0.0)))
+          .when(col("fid") === col("S") - 1,
+                when(col("tid") === col("S") - 1, lit(1.0)).otherwise(lit(0.0)))
+          .otherwise(coalesce(col("n").cast("double") /
+                                col("outn").cast("double"), lit(0.0))))
+      .select(col("fid"), col("tid"), col("S"), col("prob"))
+    val scen = mm.select(explode(sequence(lit(0), col("m"))).as("scenario"))
+    val intoC = dense.select(col("fid").as("fid2"), col("tid").as("c2"),
+                             col("prob").as("pc"))
+    val sd = dense.crossJoin(broadcast(scen))
+      .join(broadcast(intoC),
+            col("fid2") === col("fid") && col("c2") === col("scenario"), "left")
+      .withColumn("p2",
+        when(col("scenario") === 0, col("prob"))
+          .when(col("tid") === col("scenario"), lit(0.0))
+          .when(col("tid") === col("S") - 1,
+                col("prob") + coalesce(col("pc"), lit(0.0)))
+          .otherwise(col("prob")))
+    val mats = sd.groupBy(col("scenario"))
+      .agg(max(col("S")).as("S"),
+           expr("""transform(
+                     sort_array(collect_list(struct(fid * S + tid AS k,
+                                                    p2 AS v))),
+                     x -> x.v)""").as("tm"))
+    val it = mats.withColumn("pk", expr(s"""
+        aggregate(sequence(1, $K),
+          transform(sequence(0, S - 1),
+                    i -> IF(i = 0, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))),
+          (p, step) -> transform(sequence(0, S - 1), st ->
+            aggregate(sequence(0, S - 1), CAST(0.0 AS DOUBLE),
+              (a, f) -> a + element_at(p, f + 1) *
+                            element_at(tm, f * S + st + 1))))"""))
+      .withColumn("p_conv", expr("element_at(pk, S - 1)"))
+    val base = it.filter(col("scenario") === 0)
+      .select(col("p_conv").as("p_base"))
+    val scored = it.filter(col("scenario") > 0)
+      .select(col("scenario").as("sid"), col("p_conv").as("p_removed"))
+      .join(broadcast(chId), "sid")
+      .crossJoin(broadcast(base))
+      .withColumn("re",
+        lit(1.0) - col("p_removed") / nullif(col("p_base"), lit(0.0)))
+    val tot = scored.agg(expr(
+      """aggregate(transform(sort_array(collect_list(struct(sid, re))),
+                             x -> x.re),
+                   CAST(0.0 AS DOUBLE), (a, x) -> a + x)""").as("sre"))
+    ord(
+      scored.crossJoin(broadcast(tot))
+        .select(col("stt").as("channel"),
+          r4(col("p_base")).as("p_conv"),
+          r4(col("p_removed")).as("p_conv_removed"),
+          r4(col("re")).as("removal_effect"),
+          r4(col("re") / nullif(col("sre"), lit(0.0))).as("share")),
+      col("channel"))
+  }
 }

@@ -1296,5 +1296,127 @@ private[graft] object OracleSql5 {
                   (round(sqrt(list_reduce(ts, (a, b2) -> a + b2))
                          / 1000000.0, 4) + 0.0) END AS drift
          FROM terms ORDER BY label""",
+    "q_attribution_markov" ->
+      // Markov removal-effect attribution: journey chain with 20-step
+      // absorption replayed per scenario in a recursive CTE; inner
+      // state sums fold in index order (0 + t1 is exact, so the
+      // no-init list_reduce matches Spark's 0-seeded aggregate)
+      """WITH RECURSIVE ev AS (SELECT user_id, ts::TIMESTAMP AS ts,
+                                      event_id, event_type FROM events),
+            fpr AS (SELECT user_id, ts, event_id,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS rn
+                    FROM ev WHERE event_type = 'purchase'),
+            fp AS (SELECT user_id, ts AS fts, event_id AS fei
+                   FROM fpr WHERE rn = 1),
+            j AS (SELECT e.user_id, e.ts, e.event_id, e.event_type,
+                         (f.user_id IS NOT NULL) AS conv
+                  FROM ev e LEFT JOIN fp f ON e.user_id = f.user_id
+                  WHERE e.event_type <> 'purchase'
+                    AND (f.user_id IS NULL
+                         OR (e.ts, e.event_id) < (f.fts, f.fei))),
+            sq AS (SELECT user_id, event_type, conv,
+                          lag(event_type) OVER w AS prev_type,
+                          lead(event_type) OVER w AS next_type
+                   FROM j
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)),
+            mid AS (SELECT event_type AS f, next_type AS t FROM sq
+                    WHERE next_type IS NOT NULL),
+            stt0 AS (SELECT '__START__' AS f, event_type AS t FROM sq
+                     WHERE prev_type IS NULL),
+            en AS (SELECT event_type AS f,
+                          CASE WHEN conv THEN '__CONV__'
+                               ELSE '__NULL__' END AS t
+                   FROM sq WHERE next_type IS NULL),
+            dc AS (SELECT '__START__' AS f, '__CONV__' AS t FROM fp
+                   WHERE NOT EXISTS (SELECT 1 FROM j
+                                     WHERE j.user_id = fp.user_id)),
+            tr AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n
+                   FROM (SELECT * FROM mid UNION ALL SELECT * FROM stt0
+                         UNION ALL SELECT * FROM en
+                         UNION ALL SELECT * FROM dc)
+                   GROUP BY 1, 2),
+            ch AS (SELECT DISTINCT stt FROM
+                     (SELECT f AS stt FROM tr UNION ALL SELECT t FROM tr)
+                   WHERE stt NOT IN ('__START__', '__CONV__', '__NULL__')),
+            chid AS (SELECT stt, CAST(row_number() OVER (ORDER BY stt)
+                                      AS INT) AS sid
+                     FROM ch),
+            mm AS (SELECT max(sid) AS m, CAST(max(sid) + 3 AS INT) AS S
+                   FROM chid),
+            tr2 AS (SELECT CASE WHEN tr.f = '__START__' THEN 0
+                                ELSE cf.sid END AS fid,
+                           CASE WHEN tr.t = '__CONV__' THEN mm.m + 1
+                                WHEN tr.t = '__NULL__' THEN mm.m + 2
+                                ELSE ct.sid END AS tid, tr.n
+                    FROM tr LEFT JOIN chid cf ON tr.f = cf.stt
+                            LEFT JOIN chid ct ON tr.t = ct.stt, mm),
+            outs AS (SELECT fid, CAST(sum(n) AS BIGINT) AS outn
+                     FROM tr2 GROUP BY 1),
+            spine AS (SELECT CAST(f1.i AS INT) AS fid,
+                             CAST(t1.i AS INT) AS tid, mm.S
+                      FROM mm, range(0, 64) f1(i), range(0, 64) t1(i)
+                      WHERE f1.i < mm.S AND t1.i < mm.S),
+            dense AS (SELECT sp.fid, sp.tid, sp.S,
+                             CASE WHEN sp.fid = sp.S - 2 THEN
+                                    CASE WHEN sp.tid = sp.S - 2 THEN 1.0
+                                         ELSE 0.0 END
+                                  WHEN sp.fid = sp.S - 1 THEN
+                                    CASE WHEN sp.tid = sp.S - 1 THEN 1.0
+                                         ELSE 0.0 END
+                                  ELSE coalesce(CAST(t2.n AS DOUBLE) /
+                                                CAST(o.outn AS DOUBLE), 0.0)
+                             END AS prob
+                      FROM spine sp
+                      LEFT JOIN tr2 t2 ON sp.fid = t2.fid AND sp.tid = t2.tid
+                      LEFT JOIN outs o ON sp.fid = o.fid),
+            scen AS (SELECT CAST(i AS INT) AS scenario
+                     FROM mm, range(0, 64) t(i) WHERE i < mm.m + 1),
+            sd AS (SELECT d.fid, d.tid, d.S, sc.scenario,
+                          CASE WHEN sc.scenario = 0 THEN d.prob
+                               WHEN d.tid = sc.scenario THEN 0.0
+                               WHEN d.tid = d.S - 1 THEN
+                                 d.prob + coalesce(pc.prob, 0.0)
+                               ELSE d.prob END AS p2
+                   FROM dense d CROSS JOIN scen sc
+                   LEFT JOIN dense pc ON pc.fid = d.fid
+                                     AND pc.tid = sc.scenario),
+            mats AS (SELECT scenario, max(S) AS S,
+                            list(p2 ORDER BY fid * S + tid) AS tm
+                     FROM sd GROUP BY scenario),
+            rec AS (SELECT scenario, 0 AS step, S, tm,
+                           list_transform(range(0, S), i ->
+                             CASE WHEN i = 0 THEN CAST(1.0 AS DOUBLE)
+                                  ELSE CAST(0.0 AS DOUBLE) END) AS p
+                    FROM mats
+                    UNION ALL
+                    SELECT scenario, step + 1, S, tm,
+                           list_transform(range(0, S), st ->
+                             list_reduce(list_transform(range(0, S), f ->
+                               p[CAST(f + 1 AS INT)] *
+                               tm[CAST(f * S + st + 1 AS INT)]),
+                               (a, b) -> a + b))
+                    FROM rec WHERE step < 20),
+            fin AS (SELECT scenario, p[CAST(S - 1 AS INT)] AS p_conv
+                    FROM rec WHERE step = 20),
+            bse AS (SELECT p_conv AS p_base FROM fin WHERE scenario = 0),
+            scored AS (SELECT c.stt AS channel, c.sid, b.p_base,
+                              f.p_conv AS p_removed,
+                              1.0 - f.p_conv / nullif(b.p_base, 0.0) AS re
+                       FROM fin f JOIN chid c ON f.scenario = c.sid, bse b
+                       WHERE f.scenario > 0),
+            tot AS (SELECT list(re ORDER BY sid)
+                             FILTER (WHERE re IS NOT NULL) AS rs
+                    FROM scored),
+            tt AS (SELECT CASE WHEN rs IS NULL OR len(rs) = 0 THEN 0.0
+                               ELSE list_reduce(rs, (a, b) -> a + b)
+                          END AS sre
+                   FROM tot)
+         SELECT channel, (round(p_base, 4) + 0.0) AS p_conv,
+                (round(p_removed, 4) + 0.0) AS p_conv_removed,
+                (round(re, 4) + 0.0) AS removal_effect,
+                (round(re / nullif(sre, 0.0), 4) + 0.0) AS share
+         FROM scored, tt ORDER BY channel""",
   )
 }

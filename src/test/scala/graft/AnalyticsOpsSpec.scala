@@ -938,6 +938,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out == Seq((0, 2L, 2L, Some(4.0)), (1, 0L, 1L, None)), s"got $out")
   }
 
+  test("attribution_markov: hand-built chain pins P, removal effects and shares") {
+    val dir = tmpDir("markov")
+    // journeys: u1 a→CONV, u2 b→CONV, u3 a→NULL, u4 direct CONV.
+    // START: a ½, b ¼, CONV ¼; a: CONV ½, NULL ½; b: CONV 1.
+    // P = ¼ + ½·½ + ¼ = 0.75; remove a → 0.5; remove b → 0.5;
+    // RE = 1 − 0.5/0.75 = ⅓ each → shares 0.5/0.5.
+    writeEvents(dir, Seq(
+      eventRow(1L, 100L, 1L, "a", 0.0), eventRow(2L, 200L, 1L, "purchase", 0.0),
+      eventRow(3L, 100L, 2L, "b", 0.0), eventRow(4L, 200L, 2L, "purchase", 0.0),
+      eventRow(5L, 100L, 3L, "a", 0.0),
+      eventRow(6L, 100L, 4L, "purchase", 0.0)))
+    val out = WindowOps.attributionMarkov(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+                 r.getDouble(3), r.getDouble(4))).toSeq
+    assert(out == Seq(
+      ("a", 0.75, 0.5, 0.3333, 0.5),
+      ("b", 0.75, 0.5, 0.3333, 0.5)), s"got $out")
+  }
+
   test("key_skew: hot key share and skew ratio are exact") {
     val dir = tmpDir("kskew")
     val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")

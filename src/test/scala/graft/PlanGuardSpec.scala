@@ -93,7 +93,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_rsi's lag/trailing-14 windows, q_sax's and q_holt_winters'
     // row_number ride the calendar-bounded daily rollup (q_moving_avg
     // precedent)
-    "q_rsi", "q_sax", "q_holt_winters")
+    "q_rsi", "q_sax", "q_holt_winters",
+    // q_attribution_markov's channel-id row_number orders the
+    // |channel-vocabulary| frame (≤ a handful of event types)
+    "q_attribution_markov")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {
