@@ -678,4 +678,49 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(r.getDouble(4) == r4d(m.doubleValue / (n * s1).doubleValue),
       "fano wrapped")
   }
+
+  test("rsi: all-flat series reports NULL (0/0 window), not 0 or 100") {
+    val dir = tmpDir("rsi_flat")
+    // 20 identical days → every delta 0 → ΣG+ΣL = 0 in every window
+    writeTable(dir, "orders", Schemas.orders, (1 to 20).map { i =>
+      Row(i.toLong, 1L, "O", 5.0,
+          java.sql.Timestamp.valueOf(f"1995-01-$i%02d 00:00:00"), "1")
+    })
+    val out = graft.operators.TimeSeriesOps.rsi(spark, dir).collect()
+    assert(out.length == 19)
+    assert(out.forall(_.isNullAt(2)), "flat series must have NULL rsi")
+  }
+
+  test("sax: zero-variance series reads all 'b' with NULL z") {
+    val dir = tmpDir("sax_flat")
+    writeEvents(dir, (0 until 16).map(day =>
+      eventRow(day + 1L, day * 86400L + 10, 1L, "view", 0.0)))
+    val out = graft.operators.TimeSeriesOps.sax(spark, dir).collect()
+    assert(out.length == 8)
+    assert(out.forall(r => r.isNullAt(2) && r.getString(3) == "b"),
+      s"got ${out.toSeq}")
+  }
+
+  test("holt_winters: single-day series returns the init state verbatim") {
+    val dir = tmpDir("hw_one")
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      Row(1L, 1L, "O", 7.0,
+          java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "1")))
+    val r = graft.operators.TimeSeriesOps.holtWinters(spark, dir).collect().head
+    assert(r.getLong(0) == 1L && r.getDouble(1) == 7.0 && r.getDouble(2) == 0.0)
+    // forecast = level + 0 trend + 0 season
+    assert(r.getDouble(10) == 7.0, s"got $r")
+  }
+
+  test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
+    val dir = tmpDir("markov_null")
+    writeEvents(dir, Seq(
+      eventRow(1L, 100L, 1L, "a", 0.0), eventRow(2L, 200L, 1L, "b", 0.0)))
+    val out = graft.operators.WindowOps.attributionMarkov(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+                 r.isNullAt(3), r.isNullAt(4))).toSeq
+    // P(CONV) = 0 exactly; removal effects and shares NULL via nullif
+    assert(out == Seq(("a", 0.0, true, true), ("b", 0.0, true, true)),
+      s"got $out")
+  }
 }
