@@ -450,7 +450,13 @@ object SparkEntry {
     "q_holt_winters" -> (TimeSeriesOps.holtWinters _),
     "q_embed_drift" -> (L.embedDrift _),
     // r13 widening 6: Markov removal-effect attribution
-    "q_attribution_markov" -> (W.attributionMarkov _)
+    "q_attribution_markov" -> (W.attributionMarkov _),
+    // r13 widening 7: volatility bands, range-position oscillator,
+    // node-local closure, duplicate-payment audit
+    "q_bollinger" -> (TimeSeriesOps.bollinger _),
+    "q_stochastic" -> (TimeSeriesOps.stochastic _),
+    "q_local_clustering" -> (GraphOps.localClustering _),
+    "q_dup_payments" -> (P.dupPayments _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

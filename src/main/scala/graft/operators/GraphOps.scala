@@ -491,4 +491,53 @@ object GraphOps {
                            .cast("double")), lit(0.0))).as("assortativity")),
       col("n_ends"))
   }
+
+  /** q_local_clustering — per-node clustering coefficient of the
+    * UNDIRECTED strong trade graph: C(v) = 2·T(v)/(deg(v)·(deg(v)−1)),
+    * where T(v) counts CONNECTED pairs among v's neighbors — the
+    * node-level "are my partners each other's partners" readout
+    * (q_triangles counts closures globally; q_assortativity scores
+    * degree mixing in one number; this localizes closure to each
+    * nation, separating clique members from bridge nodes at the same
+    * degree).
+    *
+    * Determinism: degrees and triangle counts are exact int64; C is
+    * ONE division r4'd; deg < 2 → NULL via nullif; every nation
+    * surfaces via the node-spine left join (§2.10 spine rule).
+    *
+    * Scale shape: the strong set is |nodes|²-bounded and derived from
+    * the store (localCheckpoint — read three times: ends, pair
+    * generation, closure probe); neighbor pairs are a self-join on
+    * the shared endpoint and the closure test is one semi-join on the
+    * canonical (min, max) key — all |E|·avg-degree bounded, never
+    * fact-bounded. At 100 TB only tradeEdges grows. */
+  def localClustering(s: SparkSession, d: String): DataFrame = {
+    val und = strongEdges(s, d)
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint(false)
+    val ends = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = ends.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val nbrPairs = ends.as("e1")
+      .join(ends.as("e2"),
+            col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("n0"), col("e1.v").as("x"), col("e2.v").as("y"))
+    val tri = nbrPairs
+      .join(und, nbrPairs("x") === und("a") && nbrPairs("y") === und("b"),
+            "left_semi")
+      .groupBy(col("n0")).agg(count(lit(1)).as("t"))
+    ord(
+      Tables.nation(s, d)
+        .join(broadcast(deg), col("n_nationkey") === col("u"), "left")
+        .join(broadcast(tri), col("n_nationkey") === col("n0"), "left")
+        .select(col("n_nationkey").as("nationkey"), col("n_name").as("nation"),
+          coalesce(col("deg"), lit(0L)).as("degree"),
+          coalesce(col("t"), lit(0L)).as("n_closed_pairs"),
+          r4(lit(2.0) * coalesce(col("t"), lit(0L)).cast("double") /
+             nullif((coalesce(col("deg"), lit(0L)) *
+                     (coalesce(col("deg"), lit(0L)) - lit(1L))).cast("double"),
+                    lit(0.0))).as("lcc")),
+      col("nationkey"))
+  }
 }

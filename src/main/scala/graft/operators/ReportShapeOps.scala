@@ -513,4 +513,45 @@ object ReportShapeOps {
                   .as("orphan_rate")),
       col("fk_edge"))
   }
+
+  /** q_dup_payments — the duplicate-payment screen every AP audit
+    * runs: orders by the SAME customer in the SAME $100 amount band
+    * (cents DIV 10000), scanned in date order; a consecutive pair ≤ 7
+    * days apart is flagged as a suspected double charge. Emits the
+    * one-row audit summary (orders, same-band consecutive pairs,
+    * flagged pairs, flag rate) — a summary row rather than the pair
+    * list so the readout SURFACES at every SF even when the corpus is
+    * clean (§2.10 spine rule; zero flags IS the healthy reading). The
+    * band-then-adjacent shape is the audit-standard screen: exact
+    * amount equality misses keyed-twice-with-fees pairs, and a full
+    * pairwise compare is quadratic — banding makes it one sort.
+    *
+    * Determinism: bands/gaps are exact int64; the per-band scan
+    * orders by the unique (day, orderkey); the rate is ONE division
+    * r4'd with nullif on a pair-free corpus.
+    *
+    * Scale shape: ONE window partitioned by (custkey, band) — fully
+    * parallel, no global sort; the summary is a partial-aggregable
+    * 1-row rollup. At 100 TB the window keys are as fine as the data
+    * (customer × band), so no partition ever exceeds one customer's
+    * order history. */
+  def dupPayments(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 10000").as("band"),
+      expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS LONG)").as("day_num"))
+    val w = Window.partitionBy(col("o_custkey"), col("band"))
+      .orderBy(col("day_num"), col("o_orderkey"))
+    val gaps = o.withColumn("prev_day", lag(col("day_num"), 1).over(w))
+    ord(
+      gaps.agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("prev_day").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(col("day_num") - col("prev_day") <= 7L, 1L).otherwise(0L))
+          .as("n_flagged"))
+        .select(col("n_orders"), col("n_pairs"), col("n_flagged"),
+          r4(col("n_flagged").cast("double") /
+             nullif(col("n_pairs").cast("double"), lit(0.0))).as("flag_rate")),
+      col("n_orders"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Fin, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1861,5 +1861,111 @@ object TimeSeriesOps {
         r4((col("st.l") + col("st.b") + nextSeason) / 100.0)
           .as("forecast1_rev")),
       col("n_days"))
+  }
+
+  /** q_bollinger — 20-day Bollinger bands over daily order revenue:
+    * per day, the 20-day mean, sample stddev, upper/lower bands
+    * (mean ± 2σ) and %B = (x − lower)/(upper − lower) — the
+    * volatility-normalized position readout that turns "revenue is
+    * up" into "revenue is 2σ above its own recent regime" (q_anomaly
+    * z-scores against the GLOBAL series; this scores against the
+    * trailing window, so a regime change re-centers the bands).
+    *
+    * Determinism: daily cents are exact int64; Σx and Σx² accumulate
+    * in decimal(38,0) (cents² clears int64 at sf0.1 — the
+    * q_burstiness overflow-closed idiom; DuckDB HUGEINT mirrors, and
+    * its segment-tree window combine is safe because the sums are
+    * EXACT integers); mean/σ/bands/%B are one identically-spelled
+    * IEEE chain from those ints, each r4'd once at output (never
+    * derived from a rounded neighbor — §2.10 rule 8); days with
+    * fewer than 20 trailing observations report NULL (the q_rsi
+    * warm-up rule); a zero-variance window NULLs %B via nullif.
+    *
+    * Scale shape: the window runs on the DAILY ROLLUP (≤|calendar
+    * days| rows after one partial-aggregable shuffle) — the
+    * q_moving_avg stance; at 100 TB only the rollup shuffle grows. */
+  def bollinger(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+        .as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w20 = Window.orderBy(col("day_num")).rowsBetween(-19, 0)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val st = daily
+      .withColumn("sx", sum(dec(col("cents"))).over(w20))
+      .withColumn("sxx", sum(dec(col("cents")) * dec(col("cents"))).over(w20))
+      .withColumn("nw", count(lit(1)).over(w20))
+    val m = col("sx").cast("double") / col("nw").cast("double") / 100.0
+    val sd = sqrt((dec(col("nw")) * col("sxx") - col("sx") * col("sx"))
+                    .cast("double") /
+                  (col("nw") * (col("nw") - lit(1L))).cast("double")) / 100.0
+    val x = col("cents").cast("double") / 100.0
+    ord(
+      st.select(col("day_num"),
+        r4(x).as("rev"),
+        when(col("nw") === 20, r4(m)).as("mid"),
+        when(col("nw") === 20, r4(sd)).as("sd"),
+        when(col("nw") === 20, r4(m + lit(2.0) * sd)).as("band_up"),
+        when(col("nw") === 20, r4(m - lit(2.0) * sd)).as("band_dn"),
+        when(col("nw") === 20,
+          r4((x - (m - lit(2.0) * sd)) / nullif(lit(4.0) * sd, lit(0.0))))
+          .as("pct_b")),
+      col("day_num"))
+  }
+
+  /** q_stochastic — 14-day stochastic oscillator over daily order
+    * revenue: %K = 100·(x − min₁₄)/(max₁₄ − min₁₄) places today
+    * inside its trailing range, and %D smooths %K over 3 days — the
+    * range-position companion to q_rsi (RSI scores the MIX of recent
+    * moves; this scores WHERE the level sits between its recent
+    * extremes, the pair every momentum monitor runs together).
+    *
+    * Determinism: daily cents, window min/max and the %K
+    * numerator/denominator are all exact int64; %K is ONE division
+    * r4'd. %D is NOT a mean of three rounded (or even three double)
+    * %K values — three doubles summed by Spark's frame re-scan vs
+    * DuckDB's segment tree could round differently — it is the exact
+    * rational (n₁d₂d₃ + n₂d₁d₃ + n₃d₁d₂)·100 / (3·d₁d₂d₃) with the
+    * lagged numerators/denominators carried as ints and the products
+    * in decimal(38,0) (≤ ~7·10³⁵ at 10×sf0.1 — headroom verified;
+    * DuckDB HUGEINT mirrors), so both engines divide the same two
+    * exact integers ONCE. Warm-up rows (<14 trailing days, or <2
+    * trailing full windows for %D) and flat windows report NULL.
+    *
+    * Scale shape: windows ride the daily rollup (q_moving_avg
+    * stance); the %D lags reuse the same sorted frame — one sort. */
+  def stochastic(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+        .as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w14 = Window.orderBy(col("day_num")).rowsBetween(-13, 0)
+    val wL = Window.orderBy(col("day_num"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val st = daily
+      .withColumn("kn", col("cents") - min(col("cents")).over(w14))
+      .withColumn("kd", max(col("cents")).over(w14) - min(col("cents")).over(w14))
+      .withColumn("nw", count(lit(1)).over(w14))
+      .withColumn("kn1", lag(col("kn"), 1).over(wL))
+      .withColumn("kd1", lag(col("kd"), 1).over(wL))
+      .withColumn("nw1", lag(col("nw"), 1).over(wL))
+      .withColumn("kn2", lag(col("kn"), 2).over(wL))
+      .withColumn("kd2", lag(col("kd"), 2).over(wL))
+      .withColumn("nw2", lag(col("nw"), 2).over(wL))
+    val dNum = (dec(col("kn")) * dec(col("kd1")) * dec(col("kd2")) +
+                dec(col("kn1")) * dec(col("kd")) * dec(col("kd2")) +
+                dec(col("kn2")) * dec(col("kd")) * dec(col("kd1"))) *
+               dec(lit(100L))
+    val dDen = dec(lit(3L)) * dec(col("kd")) * dec(col("kd1")) * dec(col("kd2"))
+    ord(
+      st.select(col("day_num"),
+        r4(col("cents").cast("double") / 100.0).as("rev"),
+        when(col("nw") === 14,
+          r4(lit(100.0) * col("kn").cast("double") /
+             nullif(col("kd").cast("double"), lit(0.0)))).as("k14"),
+        when(col("nw") === 14 && col("nw1") === 14 && col("nw2") === 14,
+          r4(dNum.cast("double") /
+             nullif(dDen.cast("double"), lit(0.0)))).as("d14")),
+      col("day_num"))
   }
 }

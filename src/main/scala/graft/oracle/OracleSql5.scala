@@ -1418,5 +1418,150 @@ private[graft] object OracleSql5 {
                 (round(re, 4) + 0.0) AS removal_effect,
                 (round(re / nullif(sre, 0.0), 4) + 0.0) AS share
          FROM scored, tt ORDER BY channel""",
+    "q_bollinger" ->
+      // 20-day Bollinger bands on the daily revenue rollup: HUGEINT
+      // Σx/Σx² mirror decimal(38,0) (cents² clears int64); identically
+      // spelled mean/σ chain; <20-day warm-up rows NULL (q_rsi rule)
+      """WITH daily AS (
+           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+            w AS (SELECT day_num, cents,
+                         sum(CAST(cents AS HUGEINT)) OVER win AS sx,
+                         sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+                           OVER win AS sxx,
+                         count(*) OVER win AS nw
+                  FROM daily
+                  WINDOW win AS (ORDER BY day_num
+                                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+            m AS (SELECT day_num, cents, nw,
+                         CAST(sx AS DOUBLE) / CAST(nw AS DOUBLE) / 100.0 AS mu,
+                         sqrt(CAST(CAST(nw AS HUGEINT) * sxx - sx * sx
+                                   AS DOUBLE) /
+                              CAST(nw * (nw - 1) AS DOUBLE)) / 100.0 AS sg
+                  FROM w)
+         SELECT day_num,
+                (round(CAST(cents AS DOUBLE) / 100.0, 4) + 0.0) AS rev,
+                CASE WHEN nw = 20 THEN (round(mu, 4) + 0.0) END AS mid,
+                CASE WHEN nw = 20 THEN (round(sg, 4) + 0.0) END AS sd,
+                CASE WHEN nw = 20 THEN (round(mu + 2.0 * sg, 4) + 0.0) END
+                  AS band_up,
+                CASE WHEN nw = 20 THEN (round(mu - 2.0 * sg, 4) + 0.0) END
+                  AS band_dn,
+                CASE WHEN nw = 20 THEN
+                  (round((CAST(cents AS DOUBLE) / 100.0 - (mu - 2.0 * sg)) /
+                         nullif(4.0 * sg, 0.0), 4) + 0.0) END AS pct_b
+         FROM m ORDER BY day_num""",
+    "q_stochastic" ->
+      // 14-day stochastic %K/%D on the daily rollup: window min/max and
+      // the %K fraction are exact int64; %D is the exact rational over
+      // the lagged numerators/denominators in HUGEINT (mirrors
+      // decimal(38,0)) — never a sum of double %K values
+      """WITH daily AS (
+           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+            w AS (SELECT day_num, cents,
+                         cents - min(cents) OVER win AS kn,
+                         max(cents) OVER win - min(cents) OVER win AS kd,
+                         count(*) OVER win AS nw
+                  FROM daily
+                  WINDOW win AS (ORDER BY day_num
+                                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+            lg AS (SELECT day_num, cents, kn, kd, nw,
+                          lag(kn, 1) OVER wd AS kn1,
+                          lag(kd, 1) OVER wd AS kd1,
+                          lag(nw, 1) OVER wd AS nw1,
+                          lag(kn, 2) OVER wd AS kn2,
+                          lag(kd, 2) OVER wd AS kd2,
+                          lag(nw, 2) OVER wd AS nw2
+                   FROM w WINDOW wd AS (ORDER BY day_num))
+         SELECT day_num,
+                (round(CAST(cents AS DOUBLE) / 100.0, 4) + 0.0) AS rev,
+                CASE WHEN nw = 14 THEN
+                  (round(100.0 * CAST(kn AS DOUBLE) /
+                         nullif(CAST(kd AS DOUBLE), 0.0), 4) + 0.0) END AS k14,
+                CASE WHEN nw = 14 AND nw1 = 14 AND nw2 = 14 THEN
+                  (round(CAST((CAST(kn AS HUGEINT) * CAST(kd1 AS HUGEINT) *
+                                 CAST(kd2 AS HUGEINT) +
+                               CAST(kn1 AS HUGEINT) * CAST(kd AS HUGEINT) *
+                                 CAST(kd2 AS HUGEINT) +
+                               CAST(kn2 AS HUGEINT) * CAST(kd AS HUGEINT) *
+                                 CAST(kd1 AS HUGEINT)) *
+                              CAST(100 AS HUGEINT) AS DOUBLE) /
+                         nullif(CAST(CAST(3 AS HUGEINT) *
+                                     CAST(kd AS HUGEINT) *
+                                     CAST(kd1 AS HUGEINT) *
+                                     CAST(kd2 AS HUGEINT) AS DOUBLE), 0.0),
+                         4) + 0.0) END AS d14
+         FROM lg ORDER BY day_num""",
+    "q_local_clustering" ->
+      // per-node clustering coefficient of the undirected strong graph:
+      // connected neighbor pairs / deg·(deg−1)/2, exact ints, node spine
+      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                               count(*) AS w
+                        FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        JOIN customer c ON o.o_custkey = c.c_custkey
+                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        GROUP BY 1, 2),
+            cut AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                           count(*) AS ne FROM edges),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                                    greatest(src, dst) AS b
+                    FROM edges, cut
+                    WHERE src <> dst AND w * ne >= 2 * tw),
+            ends AS (SELECT a AS u, b AS v FROM und
+                     UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg
+                    FROM ends GROUP BY 1),
+            np AS (SELECT e1.u AS n0, e1.v AS x, e2.v AS y
+                   FROM ends e1 JOIN ends e2
+                     ON e1.u = e2.u AND e1.v < e2.v),
+            tri AS (SELECT n0, CAST(count(*) AS BIGINT) AS t
+                    FROM np
+                    WHERE EXISTS (SELECT 1 FROM und
+                                  WHERE a = np.x AND b = np.y)
+                    GROUP BY 1)
+         SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+                coalesce(deg.dg, 0) AS degree,
+                coalesce(tri.t, 0) AS n_closed_pairs,
+                (round(2.0 * CAST(coalesce(tri.t, 0) AS DOUBLE) /
+                       nullif(CAST(coalesce(deg.dg, 0) *
+                                   (coalesce(deg.dg, 0) - 1) AS DOUBLE), 0.0),
+                       4) + 0.0) AS lcc
+         FROM nation n LEFT JOIN deg ON n.n_nationkey = deg.u
+                       LEFT JOIN tri ON n.n_nationkey = tri.n0
+         ORDER BY nationkey""",
+    "q_dup_payments" ->
+      // duplicate-payment screen: same customer, same $100 band,
+      // consecutive orders ≤ 7 days apart; one-row audit summary so a
+      // clean corpus still surfaces (spine rule)
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                           CAST(round(o_totalprice * 100) AS BIGINT) // 10000
+                             AS band,
+                           CAST((epoch_us(o_orderdate)//1000000) // 86400
+                                AS BIGINT) AS day_num
+                    FROM orders),
+            g AS (SELECT day_num,
+                         lag(day_num, 1) OVER (PARTITION BY o_custkey, band
+                                               ORDER BY day_num, o_orderkey)
+                           AS prev_day
+                  FROM o)
+         SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CASE WHEN prev_day IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_pairs,
+                CAST(sum(CASE WHEN day_num - prev_day <= 7 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_flagged,
+                (round(CAST(sum(CASE WHEN day_num - prev_day <= 7
+                                     THEN 1 ELSE 0 END) AS DOUBLE) /
+                       nullif(CAST(sum(CASE WHEN prev_day IS NOT NULL
+                                            THEN 1 ELSE 0 END) AS DOUBLE),
+                              0.0), 4) + 0.0) AS flag_rate
+         FROM g ORDER BY n_orders""",
   )
 }

@@ -991,6 +991,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.head.getDouble(1) == -1.0, s"got ${out.head}")
   }
 
+  test("local_clustering: planted triangle + pendant gives exact coefficients") {
+    val dir = tmpDir("lcc")
+    // strong cutoff keeps the four w=9 edges (9·10 ≥ 2·42): an
+    // undirected triangle 0-1-2 plus pendant 2-3. Node 0/1: both
+    // neighbors connected → lcc 1; node 2: one of three pairs closed
+    // → 1/3; node 3: deg 1 → NULL.
+    writeTradeGraph(dir, 4, Seq(
+      (0L, 1L, 9), (1L, 2L, 9), (0L, 2L, 9), (2L, 3L, 9),
+      (1L, 0L, 1), (2L, 1L, 1), (2L, 0L, 1),
+      (3L, 2L, 1), (3L, 0L, 1), (3L, 1L, 1)))
+    val out = GraphOps.localClustering(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3),
+                 Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(0) == ((2L, 1L, Some(1.0))), s"got $out")
+    assert(out(1) == ((2L, 1L, Some(1.0))), s"got $out")
+    assert(out(2) == ((3L, 1L, Some(0.3333))), s"got $out")
+    assert(out(3) == ((1L, 0L, None)), s"pendant must be NULL: $out")
+  }
+
   test("zscore_scale: per-group z and min-max; degenerate group yields NULLs") {
     val dir = tmpDir("zscore")
     writeTable(dir, "documents", documentsSchema, Seq(

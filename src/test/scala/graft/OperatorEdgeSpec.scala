@@ -712,6 +712,55 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(r.getDouble(10) == 7.0, s"got $r")
   }
 
+  test("bollinger: flat series collapses bands onto the mean with NULL %B") {
+    val dir = tmpDir("boll_flat")
+    writeTable(dir, "orders", Schemas.orders, (1 to 25).map { i =>
+      Row(i.toLong, 1L, "O", 5.0,
+          java.sql.Timestamp.valueOf(f"1995-01-$i%02d 00:00:00"), "1")
+    })
+    val out = graft.operators.TimeSeriesOps.bollinger(spark, dir).collect()
+    assert(out.length == 25)
+    val (warm, full) = out.splitAt(19)
+    assert(warm.forall(r => r.isNullAt(2) && r.isNullAt(6)),
+      "warm-up rows must be NULL")
+    assert(full.forall(r => r.getDouble(2) == 5.0 && r.getDouble(3) == 0.0 &&
+      r.getDouble(4) == 5.0 && r.getDouble(5) == 5.0 && r.isNullAt(6)),
+      s"flat series: bands collapse, %B NULL — got ${full.toSeq}")
+  }
+
+  test("stochastic: monotone ramp pins %K and %D at exactly 100") {
+    val dir = tmpDir("stoch_ramp")
+    writeTable(dir, "orders", Schemas.orders, (1 to 20).map { i =>
+      Row(i.toLong, 1L, "O", i.toDouble,
+          java.sql.Timestamp.valueOf(f"1995-01-$i%02d 00:00:00"), "1")
+    })
+    val out = graft.operators.TimeSeriesOps.stochastic(spark, dir).collect()
+    assert(out.length == 20)
+    assert(out.take(13).forall(r => r.isNullAt(2) && r.isNullAt(3)),
+      "warm-up rows must be NULL")
+    assert(out.drop(13).forall(_.getDouble(2) == 100.0), s"got ${out.toSeq}")
+    assert(out.drop(15).forall(_.getDouble(3) == 100.0), s"got ${out.toSeq}")
+    assert(out(13).isNullAt(3) && out(14).isNullAt(3),
+      "%D needs two full trailing windows")
+  }
+
+  test("dup_payments: same band within 7 days flags; across bands does not") {
+    val dir = tmpDir("dup_pay")
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      Row(1L, 1L, "O", 150.0,
+          java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "1"),
+      Row(2L, 1L, "O", 150.5,   // same $100 band, 4 days later → flag
+          java.sql.Timestamp.valueOf("1995-01-05 00:00:00"), "1"),
+      Row(3L, 1L, "O", 150.0,   // same band, 95 days later → pair, no flag
+          java.sql.Timestamp.valueOf("1995-04-10 00:00:00"), "1"),
+      Row(4L, 2L, "O", 150.0,   // other customer → no pair
+          java.sql.Timestamp.valueOf("1995-01-02 00:00:00"), "1")))
+    val r = graft.operators.ReportShapeOps.dupPayments(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+           ((4L, 2L, 1L, 0.5)), s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(

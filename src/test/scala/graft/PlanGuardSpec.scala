@@ -94,6 +94,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // row_number ride the calendar-bounded daily rollup (q_moving_avg
     // precedent)
     "q_rsi", "q_sax", "q_holt_winters",
+    // q_bollinger's 20-day and q_stochastic's 14-day + lag windows ride
+    // the same calendar-bounded daily rollup (q_rsi precedent)
+    "q_bollinger", "q_stochastic",
     // q_attribution_markov's channel-id row_number orders the
     // |channel-vocabulary| frame (≤ a handful of event types)
     "q_attribution_markov")
