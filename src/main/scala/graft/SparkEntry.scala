@@ -456,7 +456,12 @@ object SparkEntry {
     "q_bollinger" -> (TimeSeriesOps.bollinger _),
     "q_stochastic" -> (TimeSeriesOps.stochastic _),
     "q_local_clustering" -> (GraphOps.localClustering _),
-    "q_dup_payments" -> (P.dupPayments _)
+    "q_dup_payments" -> (P.dupPayments _),
+    // r13 widening 8: exact distribution distance, symmetric mix
+    // divergence, variance-homogeneity test
+    "q_wasserstein" -> (TimeSeriesOps.wasserstein _),
+    "q_js_divergence" -> (TimeSeriesOps.jsDivergence _),
+    "q_brown_forsythe" -> (TimeSeriesOps.brownForsythe _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1968,4 +1968,162 @@ object TimeSeriesOps {
              nullif(dDen.cast("double"), lit(0.0)))).as("d14")),
       col("day_num"))
   }
+
+  /** q_wasserstein — exact 1-D Wasserstein-1 (earth mover's) distance
+    * between the A/B arms' order-value distributions: W₁ = ∫|F_A −
+    * F_B| over the value axis, computed on the discrete support as
+    * Σ|F_A(xᵢ) − F_B(xᵢ)|·(xᵢ₊₁ − xᵢ) — the distribution-shift
+    * readout in the METRIC's own units (dollars moved per unit mass),
+    * where q_ks_test reports only the worst single CDF gap and
+    * q_psi/q_mix_kl need binning. The A/B arm split makes it the
+    * experiment guardrail: W₁ ≈ 0 is the expected null reading.
+    *
+    * Determinism: the CDF difference is kept as the exact integer
+    * cross product |cumA·nB − cumB·nA| (never a double fraction); each
+    * term multiplies an exact support gap in decimal(38,0) (≤ ~2·10²⁹
+    * at 10×sf0.1; DuckDB HUGEINT mirrors); W₁ is ONE terminal division
+    * by nA·nB·100, r4'd, NULL via nullif if an arm is empty.
+    *
+    * Scale shape: one partial-aggregable rollup onto the DISTINCT
+    * value support; the cumulative window runs over that value-domain-
+    * bounded frame (the q_mann_whitney stance — range-partitioned
+    * prefix sums at 100 TB), never over fact rows. */
+  def wasserstein(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+      when(expr("conv(substring(md5(cast(o_custkey as string)), 1, 8), 16, 10) % 2") === 0,
+           "A").otherwise("B").as("arm"))
+    val pv = o.groupBy(col("cents"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ca"),
+           sum(when(col("arm") === "B", 1L).otherwise(0L)).as("cb"))
+    val tot = pv.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+                     count(lit(1)).as("n_support"))
+    val wc = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cum = pv
+      .withColumn("cuma", sum(col("ca")).over(wc))
+      .withColumn("cumb", sum(col("cb")).over(wc))
+      .withColumn("gap",
+        lead(col("cents"), 1).over(Window.orderBy(col("cents"))) - col("cents"))
+      .filter(col("gap").isNotNull)
+    // single-row total even when the gap frame is empty (one distinct
+    // value → W₁ = 0 must still SURFACE — §2.10 spine rule)
+    val ts = cum.crossJoin(broadcast(tot))
+      .select((dec(abs(col("cuma") * col("nb") - col("cumb") * col("na"))) *
+               dec(col("gap"))).cast("decimal(38,0)").as("t"))
+      .agg(sum(col("t")).cast("decimal(38,0)").as("ts"))
+    ord(
+      tot.crossJoin(broadcast(ts))
+        .select(col("na").as("n_a"), col("nb").as("n_b"), col("n_support"),
+          r4(coalesce(col("ts"), lit(0L).cast("decimal(38,0)")).cast("double") /
+             nullif((dec(col("na")) * dec(col("nb")) * dec(lit(100L)))
+                      .cast("double"), lit(0.0))).as("w1_dollars")),
+      col("n_a"))
+  }
+
+  /** q_js_divergence — Jensen–Shannon divergence of the order-priority
+    * mix between the first and second half of the order history:
+    * JS(P‖Q) = ½ΣP·ln(P/M) + ½ΣQ·ln(Q/M), M = (P+Q)/2 — the SYMMETRIC,
+    * always-finite companion to q_mix_kl (KL explodes on a vanished
+    * category; JS is bounded by ln 2, which is what a drift monitor
+    * can threshold). Emits the per-priority decomposition plus the
+    * total, so "which category moved" rides along with "how much".
+    *
+    * Determinism: the half split is the exact integer-second midpoint
+    * (q_mix_shift rule); category counts are exact int64; each
+    * contribution is one identically-spelled double chain (zero-count
+    * sides contribute exactly 0.0 by guard, not by 0·ln 0); the TOTAL
+    * folds contributions in priority order (the q_anova ordered-fold
+    * rule — never an unordered double sum), r4'd once.
+    *
+    * Scale shape: one partial-aggregable rollup onto |priorities|
+    * keys; everything after rides the ≤5-row mix frame. */
+  def jsDivergence(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.orders(s, d)
+      .agg(min(epochSec(col("o_orderdate"))).as("mn"),
+           max(epochSec(col("o_orderdate"))).as("mx"))
+    val g = Tables.orders(s, d).crossJoin(broadcast(b))
+      .withColumn("h",
+        when(epochSec(col("o_orderdate")) * 2 < col("mn") + col("mx"), 1)
+          .otherwise(2))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(sum(when(col("h") === 1, 1L).otherwise(0L)).as("c1"),
+           sum(when(col("h") === 2, 1L).otherwise(0L)).as("c2"))
+    val t = g.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val p = col("c1").cast("double") / col("n1").cast("double")
+    val q = col("c2").cast("double") / col("n2").cast("double")
+    val m = (p + q) / 2.0
+    val rows = g.crossJoin(broadcast(t))
+      .withColumn("contrib",
+        when(col("c1") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+        when(col("c2") > 0, lit(0.5) * q * log(q / m)).otherwise(lit(0.0)))
+    val tot = rows.agg(expr(
+      "aggregate(sort_array(collect_list(named_struct(" +
+        "'pr', priority, 'c', contrib))), " +
+        "cast(0.0 as double), (acc, x) -> acc + x.c)").as("js"))
+    ord(
+      rows.crossJoin(broadcast(tot))
+        .select(col("priority"), col("c1").as("n_first"),
+                col("c2").as("n_second"),
+                r4(p).as("p_first"), r4(q).as("p_second"),
+                // milli-nats: a near-null mix shift is ~1e-5 nats, which
+                // rounds to 0.0000 — the ×1000 keeps the readout nonzero
+                r4(col("contrib") * 1000.0).as("contrib_mnats"),
+                r4(col("js") * 1000.0).as("js_total_mnats")),
+      col("priority"))
+  }
+
+  /** q_brown_forsythe — Brown–Forsythe variance-homogeneity test of
+    * order value across customer segments: the q_anova F statistic
+    * recomputed on zᵢⱼ = |xᵢⱼ − med(group j)| — "do segments differ in
+    * SPREAD", the assumption check that decides whether q_anova's
+    * equal-variance F is even admissible (the median-centered form is
+    * the robust standard; mean-centered Levene chases outliers).
+    *
+    * Determinism: x is exact integer dollars; the group median of
+    * ints is dyadic, so 2·med rounds to an EXACT int64 and
+    * zᵢⱼ is carried as the exact integer 2·|x − med| half-units —
+    * F is scale-invariant, so the ×2 cancels; Σz² accumulates in
+    * decimal(38,0) (clears int64 at 10×; DuckDB HUGEINT mirrors);
+    * Σ_g S_g²/n_g folds in segment order (the q_anova ordered-fold
+    * rule); SSB/SSW are reported in dollar² (÷4 spelled once).
+    *
+    * Scale shape: two fact-scale rollups (median per group via one
+    * sort-based aggregate, then the moment rollup) on the same
+    * |segments| keys; everything else rides the ≤5-row frame. At
+    * 100 TB the exact median would bin first (q_percentile stance);
+    * the moment pass is partial-aggregable. */
+  def brownForsythe(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+              round(col("o_totalprice")).cast("long").as("x"))
+    val med = o.groupBy(col("segment"))
+      .agg(expr("cast(round(2 * percentile(x, 0.5D)) as bigint)").as("m2"))
+    val z = o.join(broadcast(med), "segment")
+      .select(col("segment"), abs(lit(2L) * col("x") - col("m2")).as("z2"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = z.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("z2")).as("sz"),
+           sum(dec(col("z2")) * dec(col("z2"))).cast("decimal(38,0)").as("szz"))
+    val t = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("nn"),
+      sum(col("sz")).as("ts"),
+      sum(col("szz")).cast("decimal(38,0)").as("tss"),
+      expr("aggregate(sort_array(collect_list(named_struct(" +
+           "'seg', segment, 'p', cast(sz as double) * sz / n))), " +
+           "cast(0.0 as double), (acc, x) -> acc + x.p)").as("sum_gb"))
+    val ssb = col("sum_gb") - col("ts").cast("double") * col("ts") / col("nn")
+    val ssw = col("tss").cast("double") - col("sum_gb")
+    ord(
+      t.select(col("k"), col("nn").as("n"),
+          r4(ssb / 4.0).as("ssb_dollar2"),
+          r4(ssw / 4.0).as("ssw_dollar2"),
+          r4((ssb / (col("k") - 1L)) /
+             nullif(ssw / (col("nn") - col("k")), lit(0.0))).as("f_bf")),
+      col("k"))
+  }
 }

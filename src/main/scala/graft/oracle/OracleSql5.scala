@@ -1563,5 +1563,116 @@ private[graft] object OracleSql5 {
                                             THEN 1 ELSE 0 END) AS DOUBLE),
                               0.0), 4) + 0.0) AS flag_rate
          FROM g ORDER BY n_orders""",
+    "q_wasserstein" ->
+      // exact 1-D W1 between md5-parity arms: |cumA·nB − cumB·nA|·gap
+      // summed in HUGEINT (mirrors decimal(38,0)), ONE terminal division
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS cents,
+                           CASE WHEN ('0x' || substr(md5(CAST(o_custkey
+                                        AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                                THEN 'A' ELSE 'B' END AS arm
+                    FROM orders),
+            pv AS (SELECT cents,
+                          CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+                               AS BIGINT) AS ca,
+                          CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                               AS BIGINT) AS cb
+                   FROM o GROUP BY 1),
+            tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                           CAST(sum(cb) AS BIGINT) AS nb,
+                           CAST(count(*) AS BIGINT) AS n_support FROM pv),
+            cum AS (SELECT cents,
+                           sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+                           lead(cents, 1) OVER (ORDER BY cents) - cents
+                             AS gap
+                    FROM pv
+                    WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW)),
+            ts AS (SELECT CAST(sum(CAST(abs(cuma * nb - cumb * na)
+                                        AS HUGEINT) *
+                                   CAST(gap AS HUGEINT)) AS HUGEINT) AS ts
+                   FROM cum, tot WHERE gap IS NOT NULL)
+         SELECT na AS n_a, nb AS n_b, n_support,
+                (round(CAST(coalesce(ts.ts, 0) AS DOUBLE) /
+                       nullif(CAST(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
+                                   * 100 AS DOUBLE), 0.0), 4) + 0.0)
+                  AS w1_dollars
+         FROM tot, ts ORDER BY n_a""",
+    "q_js_divergence" ->
+      // JS of the priority mix between calendar halves: exact counts,
+      // zero-count sides contribute a guarded 0.0, total folds in
+      // priority order (q_anova rule; 0+t1 exact so init-free
+      // list_reduce replays Spark's 0.0-seeded fold)
+      """WITH b AS (SELECT min(epoch_us(o_orderdate)//1000000) AS mn,
+                           max(epoch_us(o_orderdate)//1000000) AS mx
+                    FROM orders),
+            g AS (SELECT o_orderpriority AS priority,
+                         CAST(sum(CASE WHEN 2 * (epoch_us(o_orderdate)
+                                                 //1000000) < mn + mx
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                         CAST(sum(CASE WHEN 2 * (epoch_us(o_orderdate)
+                                                 //1000000) < mn + mx
+                                       THEN 0 ELSE 1 END) AS BIGINT) AS c2
+                  FROM orders, b GROUP BY 1),
+            t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                         CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+            pq AS (SELECT priority, c1, c2,
+                          CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p,
+                          CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS q
+                   FROM g, t),
+            cr AS (SELECT priority, c1, c2, p, q,
+                          (CASE WHEN c1 > 0
+                                THEN 0.5 * p * ln(p / ((p + q) / 2.0))
+                                ELSE 0.0 END +
+                           CASE WHEN c2 > 0
+                                THEN 0.5 * q * ln(q / ((p + q) / 2.0))
+                                ELSE 0.0 END) AS contrib
+                   FROM pq),
+            tt AS (SELECT list(contrib ORDER BY priority) AS cs FROM cr),
+            js AS (SELECT CASE WHEN cs IS NULL OR len(cs) = 0 THEN 0.0
+                               ELSE list_reduce(cs, (a, b2) -> a + b2)
+                          END AS js FROM tt)
+         SELECT priority, c1 AS n_first, c2 AS n_second,
+                (round(p, 4) + 0.0) AS p_first,
+                (round(q, 4) + 0.0) AS p_second,
+                (round(contrib * 1000.0, 4) + 0.0) AS contrib_mnats,
+                (round(js.js * 1000.0, 4) + 0.0) AS js_total_mnats
+         FROM cr, js ORDER BY priority""",
+    "q_brown_forsythe" ->
+      // Brown–Forsythe: the q_anova F over z = |x − group median|,
+      // carried as the exact int 2·|x − med| (median of ints is dyadic
+      // so 2·med is an exact int); HUGEINT moments, ordered group fold
+      """WITH o AS (SELECT c.c_mktsegment AS segment,
+                           CAST(round(o_totalprice) AS BIGINT) AS x
+                    FROM orders JOIN customer c ON o_custkey = c_custkey),
+            med AS (SELECT segment, CAST(round(2 * median(x)) AS BIGINT)
+                             AS m2
+                    FROM o GROUP BY 1),
+            z AS (SELECT o.segment, abs(2 * x - m2) AS z2
+                  FROM o JOIN med ON o.segment = med.segment),
+            g AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(z2) AS BIGINT) AS sz,
+                         CAST(sum(CAST(z2 AS HUGEINT) * CAST(z2 AS HUGEINT))
+                              AS HUGEINT) AS szz
+                  FROM z GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         CAST(sum(n) AS BIGINT) AS nn,
+                         CAST(sum(sz) AS BIGINT) AS ts,
+                         CAST(sum(szz) AS HUGEINT) AS tss,
+                         list(CAST(sz AS DOUBLE) * sz / n ORDER BY segment)
+                           AS gb
+                  FROM g),
+            f AS (SELECT k, nn, ts, tss,
+                         list_reduce(gb, (a, b2) -> a + b2) AS sum_gb
+                  FROM t)
+         SELECT k, nn AS n,
+                (round((sum_gb - CAST(ts AS DOUBLE) * ts / nn) / 4.0, 4)
+                 + 0.0) AS ssb_dollar2,
+                (round((CAST(tss AS DOUBLE) - sum_gb) / 4.0, 4) + 0.0)
+                  AS ssw_dollar2,
+                (round(((sum_gb - CAST(ts AS DOUBLE) * ts / nn) / (k - 1)) /
+                       nullif((CAST(tss AS DOUBLE) - sum_gb) / (nn - k),
+                              0.0), 4) + 0.0) AS f_bf
+         FROM f ORDER BY k""",
   )
 }

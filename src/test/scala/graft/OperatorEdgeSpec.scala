@@ -761,6 +761,53 @@ class OperatorEdgeSpec extends AnyFunSuite {
            ((4L, 2L, 1L, 0.5)), s"got $r")
   }
 
+  test("wasserstein: planted $1 mass shift between arms reads exactly 1.0") {
+    val dir = tmpDir("w1")
+    val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    // custkey 1 hashes to arm A, 2 to arm B (md5-parity precomputed);
+    // all A mass at $1, all B mass at $2 → W1 = |F gap|·support gap = $1
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      Row(1L, 1L, "O", 1.0, ts, "1"), Row(2L, 1L, "O", 1.0, ts, "1"),
+      Row(3L, 2L, "O", 2.0, ts, "1"), Row(4L, 2L, "O", 2.0, ts, "1")))
+    val r = graft.operators.TimeSeriesOps.wasserstein(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+           ((2L, 2L, 2L, 1.0)), s"got $r")
+  }
+
+  test("js_divergence: hand-computed symmetric two-category shift") {
+    val dir = tmpDir("js")
+    def o(id: Long, day: Int, pri: String) =
+      Row(id, 1L, "O", 1.0,
+          java.sql.Timestamp.valueOf(f"1995-01-$day%02d 00:00:00"), pri)
+    // half 1 (day 1): P1×3, P2×1; half 2 (day 3): P1×1, P2×3
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      o(1, 1, "P1"), o(2, 1, "P1"), o(3, 1, "P1"), o(4, 1, "P2"),
+      o(5, 3, "P1"), o(6, 3, "P2"), o(7, 3, "P2"), o(8, 3, "P2")))
+    val out = graft.operators.TimeSeriesOps.jsDivergence(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(5), r.getDouble(6)))
+    // contrib = 0.375·ln1.5 + 0.125·ln0.5 = 0.0654060 nats per category
+    assert(out.toSeq == Seq(("P1", 65.406, 130.812), ("P2", 65.406, 130.812)),
+      s"got ${out.toSeq}")
+  }
+
+  test("brown_forsythe: planted 10x spread difference, hand-computed F") {
+    val dir = tmpDir("bf")
+    val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    writeTable(dir, "customer", Schemas.customer, Seq(
+      Row(1L, "C1", 0, 0.0, "SA"), Row(2L, "C2", 0, 0.0, "SB")))
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      Row(1L, 1L, "O", 1.0, ts, "1"), Row(2L, 1L, "O", 2.0, ts, "1"),
+      Row(3L, 1L, "O", 3.0, ts, "1"),
+      Row(4L, 2L, "O", 10.0, ts, "1"), Row(5L, 2L, "O", 20.0, ts, "1"),
+      Row(6L, 2L, "O", 30.0, ts, "1")))
+    val r = graft.operators.TimeSeriesOps.brownForsythe(spark, dir)
+      .collect().head
+    // z2: A {2,0,2}, B {20,0,20} → ssb 216/4, ssw 269.33/4, F 3.2079
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4)) == ((2L, 6L, 54.0, 67.3333, 3.2079)), s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(

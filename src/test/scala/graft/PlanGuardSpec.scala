@@ -97,6 +97,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_bollinger's 20-day and q_stochastic's 14-day + lag windows ride
     // the same calendar-bounded daily rollup (q_rsi precedent)
     "q_bollinger", "q_stochastic",
+    // q_wasserstein's CDF cumsum runs over the DISTINCT-value rollup
+    // (value-domain-bounded — the q_mann_whitney stance)
+    "q_wasserstein",
     // q_attribution_markov's channel-id row_number orders the
     // |channel-vocabulary| frame (≤ a handful of event types)
     "q_attribution_markov")
