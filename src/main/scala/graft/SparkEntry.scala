@@ -461,7 +461,10 @@ object SparkEntry {
     // divergence, variance-homogeneity test
     "q_wasserstein" -> (TimeSeriesOps.wasserstein _),
     "q_js_divergence" -> (TimeSeriesOps.jsDivergence _),
-    "q_brown_forsythe" -> (TimeSeriesOps.brownForsythe _)
+    "q_brown_forsythe" -> (TimeSeriesOps.brownForsythe _),
+    // r13 widening 9: trend-turn detector, adaptive level tracker
+    "q_macd" -> (TimeSeriesOps.macd _),
+    "q_kalman_filter" -> (TimeSeriesOps.kalmanFilter _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2126,4 +2126,121 @@ object TimeSeriesOps {
              nullif(ssw / (col("nn") - col("k")), lit(0.0))).as("f_bf")),
       col("k"))
   }
+
+  /** The daily order-revenue rollup in exact int64 cents with a dense
+    * 1-based rank — the shared input of every single-series fold
+    * (holt_winters / macd / kalman). */
+  private def dailyRevSeq(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+        .as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .select(col("cents"),
+        row_number().over(Window.orderBy(col("day_num"))).cast("int").as("rn"))
+
+  /** q_macd — MACD over daily order revenue: EMA₁₂ − EMA₂₆, a 9-day
+    * signal EMA of the MACD line, the histogram, and the COUNT of
+    * signal-line crossovers over the whole series — the trend-change
+    * detector that completes the momentum family (q_rsi scores move
+    * mix, q_stochastic range position; MACD times the turns, and the
+    * crossover count is the one-number "how choppy was this series").
+    * Emits the final state + crossover total (the per-day trace is
+    * the fold's intermediate; the terminal reading is the monitor's).
+    *
+    * Determinism: the EMA recurrences are a SEQUENTIAL ordered fold
+    * over the day-ranked series (the q_holt_winters machinery);
+    * α constants are spelled as the same literal division (2/13,
+    * 2/27, 0.2) on both engines, so every step is the identical IEEE
+    * chain; crossover detection compares the SAME histogram double to
+    * 0.0 on both sides (sign = strict >0 / <0 / else 0), and the
+    * counter is exact int; init e12 = e26 = x₁, signal = 0.
+    *
+    * Scale shape: the fold runs over the ≤|calendar days| rollup in
+    * ONE row — state is 3 doubles + 2 ints regardless of volume; at
+    * 100 TB only the rollup shuffle grows (q_holt_winters stance). */
+  def macd(s: SparkSession, d: String): DataFrame = {
+    val e12p = "((2.0D / 13.0D) * CAST(y.cents AS DOUBLE) + " +
+      "(1.0D - 2.0D / 13.0D) * acc.e12)"
+    val e26p = "((2.0D / 27.0D) * CAST(y.cents AS DOUBLE) + " +
+      "(1.0D - 2.0D / 27.0D) * acc.e26)"
+    val macdp = s"($e12p - $e26p)"
+    val sigp = s"(0.2D * $macdp + 0.8D * acc.sig)"
+    val histp = s"($macdp - $sigp)"
+    val signp = s"(CASE WHEN $histp > 0.0D THEN 1 " +
+      s"WHEN $histp < 0.0D THEN -1 ELSE 0 END)"
+    val folded = dailyRevSeq(s, d)
+      .agg(sort_array(collect_list(struct(col("rn"), col("cents")))).as("ys"))
+      .withColumn("n_days", size(col("ys")))
+      .withColumn("st", expr(
+        s"""aggregate(slice(ys, 2, size(ys) - 1),
+              named_struct('e12', CAST(element_at(ys, 1).cents AS DOUBLE),
+                           'e26', CAST(element_at(ys, 1).cents AS DOUBLE),
+                           'sig', CAST(0.0 AS DOUBLE),
+                           'ls', 0, 'nc', 0),
+              (acc, y) -> named_struct(
+                'e12', $e12p,
+                'e26', $e26p,
+                'sig', $sigp,
+                'ls', IF($signp != 0, $signp, acc.ls),
+                'nc', acc.nc + IF($signp != 0 AND acc.ls != 0 AND
+                                  $signp != acc.ls, 1, 0)))"""))
+    ord(
+      folded.select(col("n_days").cast("long").as("n_days"),
+        r4(col("st.e12") / 100.0).as("ema12_rev"),
+        r4(col("st.e26") / 100.0).as("ema26_rev"),
+        r4((col("st.e12") - col("st.e26")) / 100.0).as("macd_rev"),
+        r4(col("st.sig") / 100.0).as("signal_rev"),
+        r4((col("st.e12") - col("st.e26") - col("st.sig")) / 100.0)
+          .as("hist_rev"),
+        col("st.nc").cast("long").as("n_crossovers")),
+      col("n_days"))
+  }
+
+  /** q_kalman_filter — steady-state local-level Kalman filter over
+    * daily order revenue (Q = 0.25, R = 1: the gain depends only on
+    * Q/R, so the filter is scale-free): per step, predict P⁺ = P + Q,
+    * gain K = P⁺/(P⁺ + R), update level += K·innovation — the
+    * optimal-under-noise level tracker that q_trend_ewma approximates
+    * with a FIXED α (the Kalman gain ADAPTS: high after gaps/starts,
+    * converging to the steady state). Emits the final state (level,
+    * variance, gain) and the mean absolute innovation — the model-fit
+    * readout a forecast monitor thresholds.
+    *
+    * Determinism: a SEQUENTIAL ordered fold (q_holt_winters
+    * machinery); Q, R and P₀ = 1 are dyadic literals, every step the
+    * identical spelled IEEE chain on both engines; the |innovation|
+    * accumulator is part of the same ordered fold (never an unordered
+    * double sum); single-day series reports NULL mean innovation via
+    * nullif(n−1).
+    *
+    * Scale shape: O(1) state over the calendar-bounded rollup —
+    * exactly the q_macd / q_holt_winters shape. */
+  def kalmanFilter(s: SparkSession, d: String): DataFrame = {
+    val ppp = "(acc.p + 0.25D)"
+    val kp = s"($ppp / ($ppp + 1.0D))"
+    val innovp = "(CAST(y.cents AS DOUBLE) - acc.lv)"
+    val folded = dailyRevSeq(s, d)
+      .agg(sort_array(collect_list(struct(col("rn"), col("cents")))).as("ys"))
+      .withColumn("n_days", size(col("ys")))
+      .withColumn("st", expr(
+        s"""aggregate(slice(ys, 2, size(ys) - 1),
+              named_struct('lv', CAST(element_at(ys, 1).cents AS DOUBLE),
+                           'p', CAST(1.0 AS DOUBLE),
+                           'kg', CAST(0.0 AS DOUBLE),
+                           'sa', CAST(0.0 AS DOUBLE)),
+              (acc, y) -> named_struct(
+                'lv', acc.lv + $kp * $innovp,
+                'p', (1.0D - $kp) * $ppp,
+                'kg', $kp,
+                'sa', acc.sa + ABS($innovp)))"""))
+    ord(
+      folded.select(col("n_days").cast("long").as("n_days"),
+        r4(col("st.lv") / 100.0).as("level_rev"),
+        r4(col("st.p")).as("p_var"),
+        r4(col("st.kg")).as("gain"),
+        r4(col("st.sa") / 100.0 /
+           nullif((col("n_days") - 1).cast("double"), lit(0.0)))
+          .as("mean_abs_innov_rev")),
+      col("n_days"))
+  }
 }

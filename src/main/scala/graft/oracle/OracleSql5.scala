@@ -6,6 +6,28 @@ package graft.oracle
   * into `SparkEntry.oracleSql`. Contents are byte-identical to the
   * pre-split map (the Verify/DuckDB hash gate is the proof). */
 private[graft] object OracleSql5 {
+  // q_macd / q_kalman_filter recursive-CTE step expansions: the SAME
+  // spelled IEEE chains as the Spark folds, substituted textually so
+  // every occurrence is identical (the q_holt_winters technique — a
+  // recursive CTE has no lets, so shared subterms must be repeated).
+  private val mE12 =
+    "((CAST(2.0 AS DOUBLE) / CAST(13.0 AS DOUBLE)) * CAST(s.cents AS DOUBLE)" +
+    " + (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / CAST(13.0 AS DOUBLE))" +
+    " * r.e12)"
+  private val mE26 =
+    "((CAST(2.0 AS DOUBLE) / CAST(27.0 AS DOUBLE)) * CAST(s.cents AS DOUBLE)" +
+    " + (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / CAST(27.0 AS DOUBLE))" +
+    " * r.e26)"
+  private val mMacd = s"($mE12 - $mE26)"
+  private val mSig =
+    s"(CAST(0.2 AS DOUBLE) * $mMacd + CAST(0.8 AS DOUBLE) * r.sig)"
+  private val mHist = s"($mMacd - $mSig)"
+  private val mSign = s"(CASE WHEN $mHist > CAST(0.0 AS DOUBLE) THEN 1 " +
+    s"WHEN $mHist < CAST(0.0 AS DOUBLE) THEN -1 ELSE 0 END)"
+  private val kPP = "(r.p + CAST(0.25 AS DOUBLE))"
+  private val kK = s"($kPP / ($kPP + CAST(1.0 AS DOUBLE)))"
+  private val kInnov = "(CAST(s.cents AS DOUBLE) - r.lv)"
+
   val m: Map[String, String] = Map(
     "q_ship_lag" ->
       // Exact integer day lags; mean and late rate divide once each.
@@ -1674,5 +1696,77 @@ private[graft] object OracleSql5 {
                        nullif((CAST(tss AS DOUBLE) - sum_gb) / (nn - k),
                               0.0), 4) + 0.0) AS f_bf
          FROM f ORDER BY k""",
+    "q_macd" ->
+      // MACD fold replayed as a recursive CTE: identical spelled EMA
+      // chains (2/13, 2/27, 0.2 literal divisions), strict-sign
+      // crossover counter in exact int
+      s"""WITH RECURSIVE daily AS (
+           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         seq AS (SELECT cents,
+                        CAST(row_number() OVER (ORDER BY day_num) AS INT)
+                          AS rn
+                 FROM daily),
+         mx AS (SELECT max(rn) AS n_days FROM seq),
+         rec AS (
+           SELECT rn, CAST(cents AS DOUBLE) AS e12,
+                  CAST(cents AS DOUBLE) AS e26,
+                  CAST(0.0 AS DOUBLE) AS sig, 0 AS ls, 0 AS nc
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT s.rn, $mE12, $mE26, $mSig,
+                  CASE WHEN $mSign != 0 THEN $mSign ELSE r.ls END,
+                  r.nc + CASE WHEN $mSign != 0 AND r.ls != 0 AND
+                                   $mSign != r.ls THEN 1 ELSE 0 END
+           FROM rec r JOIN seq s ON s.rn = r.rn + 1),
+         fin AS (SELECT r.*, mx.n_days FROM rec r, mx
+                 WHERE r.rn = mx.n_days)
+         SELECT CAST(n_days AS BIGINT) AS n_days,
+                (round(e12 / 100.0, 4) + 0.0) AS ema12_rev,
+                (round(e26 / 100.0, 4) + 0.0) AS ema26_rev,
+                (round((e12 - e26) / 100.0, 4) + 0.0) AS macd_rev,
+                (round(sig / 100.0, 4) + 0.0) AS signal_rev,
+                (round((e12 - e26 - sig) / 100.0, 4) + 0.0) AS hist_rev,
+                CAST(nc AS BIGINT) AS n_crossovers
+         FROM fin ORDER BY n_days""",
+    "q_kalman_filter" ->
+      // local-level Kalman fold replayed as a recursive CTE: dyadic
+      // Q=0.25/R=1/P0=1, identical spelled predict/gain/update chain,
+      // |innovation| accumulated inside the same ordered recursion
+      s"""WITH RECURSIVE daily AS (
+           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         seq AS (SELECT cents,
+                        CAST(row_number() OVER (ORDER BY day_num) AS INT)
+                          AS rn
+                 FROM daily),
+         mx AS (SELECT max(rn) AS n_days FROM seq),
+         rec AS (
+           SELECT rn, CAST(cents AS DOUBLE) AS lv, CAST(1.0 AS DOUBLE) AS p,
+                  CAST(0.0 AS DOUBLE) AS kg, CAST(0.0 AS DOUBLE) AS sa
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT s.rn,
+                  r.lv + $kK * $kInnov,
+                  (CAST(1.0 AS DOUBLE) - $kK) * $kPP,
+                  $kK,
+                  r.sa + abs($kInnov)
+           FROM rec r JOIN seq s ON s.rn = r.rn + 1),
+         fin AS (SELECT r.*, mx.n_days FROM rec r, mx
+                 WHERE r.rn = mx.n_days)
+         SELECT CAST(n_days AS BIGINT) AS n_days,
+                (round(lv / 100.0, 4) + 0.0) AS level_rev,
+                (round(p, 4) + 0.0) AS p_var,
+                (round(kg, 4) + 0.0) AS gain,
+                (round((sa / 100.0) /
+                       nullif(CAST(n_days - 1 AS DOUBLE), 0.0), 4) + 0.0)
+                  AS mean_abs_innov_rev
+         FROM fin ORDER BY n_days""",
   )
 }

@@ -808,6 +808,43 @@ class OperatorEdgeSpec extends AnyFunSuite {
             r.getDouble(4)) == ((2L, 6L, 54.0, 67.3333, 3.2079)), s"got $r")
   }
 
+  test("macd: flat series keeps EMAs pinned with zero crossovers") {
+    val dir = tmpDir("macd_flat")
+    writeTable(dir, "orders", Schemas.orders, (1 to 10).map { i =>
+      Row(i.toLong, 1L, "O", 5.0,
+          java.sql.Timestamp.valueOf(f"1995-01-$i%02d 00:00:00"), "1")
+    })
+    val r = graft.operators.TimeSeriesOps.macd(spark, dir).collect().head
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5), r.getLong(6)) ==
+           ((10L, 5.0, 5.0, 0.0, 0.0, 0.0, 0L)), s"got $r")
+  }
+
+  test("kalman_filter: single day returns the init state with NULL innovation") {
+    val dir = tmpDir("kf_one")
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      Row(1L, 1L, "O", 7.0,
+          java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "1")))
+    val r = graft.operators.TimeSeriesOps.kalmanFilter(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+            r.isNullAt(4)) == ((1L, 7.0, 1.0, 0.0, true)), s"got $r")
+  }
+
+  test("kalman_filter: flat series tracks the level exactly, gain near steady state") {
+    val dir = tmpDir("kf_flat")
+    writeTable(dir, "orders", Schemas.orders, (1 to 30).map { i =>
+      Row(i.toLong, 1L, "O", 5.0,
+          java.sql.Timestamp.valueOf(f"1995-01-$i%02d 00:00:00"), "1")
+    })
+    val r = graft.operators.TimeSeriesOps.kalmanFilter(spark, dir)
+      .collect().head
+    // zero innovations: level stays, |innov| sum 0; gain converges to
+    // the steady state (sqrt(q^2+4q)-q)/2 = 0.3904 for q = 0.25
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(3), r.getDouble(4)) ==
+           ((30L, 5.0, 0.3904, 0.0)), s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
