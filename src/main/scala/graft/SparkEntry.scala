@@ -464,7 +464,11 @@ object SparkEntry {
     "q_brown_forsythe" -> (TimeSeriesOps.brownForsythe _),
     // r13 widening 9: trend-turn detector, adaptive level tracker
     "q_macd" -> (TimeSeriesOps.macd _),
-    "q_kalman_filter" -> (TimeSeriesOps.kalmanFilter _)
+    "q_kalman_filter" -> (TimeSeriesOps.kalmanFilter _),
+    // r13 widening 10: link prediction, reachability depth, core peel
+    "q_adamic_adar" -> (GraphOps.adamicAdar _),
+    "q_graph_bfs" -> (GraphOps.graphBfs _),
+    "q_k_core" -> (GraphOps.kCore _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *    partial-aggregable shuffle on (src, dst) — edge count is bounded
   *    by |nodes|², never by fact rows. It runs ONCE per source state:
   *    [[tradeEdgeStoreDir]] publishes the aggregate as an ingest-time
-  *    edge store, and all 7 graph queries read the store — the fact
+  *    edge store, and all 11 graph queries read the store — the fact
   *    tables never appear in a graph query's plan;
   *  - each PageRank iteration is an edge×rank equi-join on src plus one
   *    aggregate on dst — the same edge-join-iterate shape as
@@ -57,7 +57,7 @@ object GraphOps {
     * |nodes|²-bounded (src, dst, w) aggregate materialized ONCE per
     * source state (CachedDir fingerprint + ATOMIC_MOVE publish, the
     * session/basket/cluster-store pattern) instead of re-deriving the
-    * lineitem⋈orders fact join in each of the 7 graph queries — at
+    * lineitem⋈orders fact join in each graph query — at
     * 100 TB the fact join IS the family's dominant cost, and it is
     * ingest-time work (edges change when data lands, not when a
     * ranking runs). Result-invisible by construction: the store holds
@@ -538,6 +538,142 @@ object GraphOps {
              nullif((coalesce(col("deg"), lit(0L)) *
                      (coalesce(col("deg"), lit(0L)) - lit(1L))).cast("double"),
                     lit(0.0))).as("lcc")),
+      col("nationkey"))
+  }
+
+  /** q_adamic_adar — Adamic–Adar link prediction over the undirected
+    * strong trade graph: for every NON-adjacent pair with at least one
+    * common neighbor, AA(a,b) = Σ_{z∈N(a)∩N(b)} 1/ln(deg z) — the
+    * "which tie forms next" ranking (q_graph_2hop counts reachable
+    * paths by weight; AA discounts common neighbors by how
+    * promiscuous they are, the standard link-prediction baseline).
+    *
+    * Determinism: common-neighbor and degree counts are exact int64;
+    * every common neighbor has deg ≥ 2 by construction (it touches
+    * both endpoints), so ln(deg) > 0 always; the 1/ln terms fold in
+    * NEIGHBOR-ID order (the q_anova ordered-fold rule — never an
+    * unordered double sum), r4'd once.
+    *
+    * Scale shape: the strong set is |nodes|²-bounded
+    * (localCheckpoint — read by ends, the pair join, and the
+    * adjacency anti-join); the common-neighbor join keys on the
+    * shared z; degree lookup broadcasts. */
+  def adamicAdar(s: SparkSession, d: String): DataFrame = {
+    val und = strongEdges(s, d)
+      .select(least(col("src"), col("dst")).as("ua"),
+              greatest(col("src"), col("dst")).as("ub"))
+      .distinct().localCheckpoint(false)
+    val ends = und.select(col("ua").as("u"), col("ub").as("v"))
+      .unionAll(und.select(col("ub").as("u"), col("ua").as("v")))
+    val deg = ends.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    val pairs = ends.as("e1")
+      .join(ends.as("e2"),
+            col("e1.v") === col("e2.v") && col("e1.u") < col("e2.u"))
+      .select(col("e1.u").as("a"), col("e2.u").as("b"), col("e1.v").as("z"))
+    val nonadj = pairs
+      .join(und, pairs("a") === und("ua") && pairs("b") === und("ub"),
+            "left_anti")
+    ord(
+      nonadj
+        .join(broadcast(deg.select(col("u").as("z"), col("dg"))), "z")
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_common"),
+             r4(expr("aggregate(sort_array(collect_list(named_struct(" +
+               "'z', z, 't', 1.0D / ln(cast(dg as double))))), " +
+               "0.0D, (acc, x) -> acc + x.t)")).as("aa_score")),
+      col("a"), col("b"))
+  }
+
+  /** q_graph_bfs — BFS hop distance over the DIRECTED strong trade
+    * graph from the strongest exporter (max total strong out-weight,
+    * smallest key on ties): how many strong-tie hops does influence
+    * need to travel — the reachability DEPTH readout
+    * (q_graph_components says who is connected; this says how FAR).
+    *
+    * Determinism: source selection is max_by on the exact
+    * (weight, −key) pair; distances are exact ints from a fixed
+    * |nodes|-round relaxation fold (Bellman-Ford over unit weights —
+    * any shortest path has < |nodes| hops, so the fold REACHES the
+    * fixpoint, and min-relaxation is order-free); an edge-free corpus
+    * yields a NULL source and all-NULL hops (the nation spine still
+    * surfaces every row). DuckDB mirrors with a capped recursive-CTE
+    * BFS + min(hops) — same fixpoint by construction.
+    *
+    * Scale shape: the |nodes|²-bounded strong set collapses to ONE
+    * array row; the fold is driver-free expression work; the node
+    * spine joins the 1-row frame broadcast. At 100 TB only tradeEdges
+    * grows (a fact-scale graph would swap in the dedupCluster
+    * iterate-with-checkpoint engine; the nation graph never needs
+    * it). */
+  def graphBfs(s: SparkSession, d: String): DataFrame = {
+    val strong = strongEdges(s, d).localCheckpoint(false)
+    val src = strong.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+      .agg(expr("max_by(src, named_struct('tw', tw, 'ns', -src))")
+        .as("source"))
+    val mk = Tables.nation(s, d).agg(max(col("n_nationkey")).as("mk"))
+    val ed = strong
+      .agg(sort_array(collect_list(struct(col("src"), col("dst")))).as("ed"))
+    val folded = ed.crossJoin(broadcast(src)).crossJoin(broadcast(mk))
+      .withColumn("dists", expr(
+        """aggregate(sequence(1, mk + 1),
+             transform(sequence(0, mk), i -> IF(i = source, 0, 9999)),
+             (acc, r) -> transform(sequence(0, mk), i ->
+               LEAST(element_at(acc, i + 1),
+                     coalesce(array_min(transform(
+                       filter(ed, e -> e.dst = i),
+                       e2 -> element_at(acc, e2.src + 1) + 1)), 9999))))"""))
+    ord(
+      Tables.nation(s, d).crossJoin(broadcast(folded))
+        .select(col("n_nationkey").as("nationkey"), col("n_name").as("nation"),
+          when(expr("element_at(dists, n_nationkey + 1)") < 9999,
+               expr("element_at(dists, n_nationkey + 1)")).as("hops"),
+          coalesce(col("n_nationkey") === col("source"), lit(false))
+            .as("is_source")),
+      col("nationkey"))
+  }
+
+  /** q_k_core — 2-core decomposition of the undirected strong trade
+    * graph by iterated peeling: nodes with fewer than 2 alive strong
+    * ties are removed, rounds repeat to the fixpoint, and each node
+    * reports its PEEL LAYER (the round it fell) or 2-core membership —
+    * the periphery-to-core onion that separates structural members
+    * from hangers-on (q_graph_components groups; this grades depth).
+    *
+    * Determinism: peeling is SIMULTANEOUS per round (all degree tests
+    * read the previous round's state), so the layer assignment is
+    * unique regardless of evaluation order; all state is exact int;
+    * the fixed |nodes|+1 rounds provably reach the fixpoint (each
+    * non-final round removes ≥ 1 node). An edge-free graph peels
+    * everything at layer 1 on both engines (empty edge array spelled
+    * identically).
+    *
+    * Scale shape: the q_graph_bfs 1-row fold shape — |nodes|²-bounded
+    * edge array, O(|nodes|) state, node-spine broadcast join. */
+  def kCore(s: SparkSession, d: String): DataFrame = {
+    val und = strongEdges(s, d)
+      .select(least(col("src"), col("dst")).as("ua"),
+              greatest(col("src"), col("dst")).as("ub"))
+      .distinct()
+    val ends = und.select(col("ua").as("u"), col("ub").as("v"))
+      .unionAll(und.select(col("ub").as("u"), col("ua").as("v")))
+    val mk = Tables.nation(s, d).agg(max(col("n_nationkey")).as("mk"))
+    val ea = ends
+      .agg(sort_array(collect_list(struct(col("u"), col("v")))).as("el"))
+    val folded = ea.crossJoin(broadcast(mk))
+      .withColumn("ra", expr(
+        """aggregate(sequence(1, mk + 2),
+             transform(sequence(0, mk), i -> 0),
+             (acc, t) -> transform(sequence(0, mk), i ->
+               IF(element_at(acc, i + 1) != 0, element_at(acc, i + 1),
+                  IF(size(filter(el, x -> x.u = i AND
+                                 element_at(acc, x.v + 1) = 0)) < 2,
+                     t, 0))))"""))
+    ord(
+      Tables.nation(s, d).crossJoin(broadcast(folded))
+        .select(col("n_nationkey").as("nationkey"), col("n_name").as("nation"),
+          (expr("element_at(ra, n_nationkey + 1)") === 0).as("in_2core"),
+          when(expr("element_at(ra, n_nationkey + 1)") > 0,
+               expr("element_at(ra, n_nationkey + 1)")).as("peel_layer")),
       col("nationkey"))
   }
 }

@@ -1768,5 +1768,114 @@ private[graft] object OracleSql5 {
                        nullif(CAST(n_days - 1 AS DOUBLE), 0.0), 4) + 0.0)
                   AS mean_abs_innov_rev
          FROM fin ORDER BY n_days""",
+    "q_adamic_adar" ->
+      // AA link prediction on the undirected strong graph: non-adjacent
+      // pairs, 1/ln(deg z) folded in neighbor-id order (q_anova rule)
+      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                               count(*) AS w
+                        FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        JOIN customer c ON o.o_custkey = c.c_custkey
+                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        GROUP BY 1, 2),
+            cut AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                           count(*) AS ne FROM edges),
+            und AS (SELECT DISTINCT least(src, dst) AS ua,
+                                    greatest(src, dst) AS ub
+                    FROM edges, cut
+                    WHERE src <> dst AND w * ne >= 2 * tw),
+            ends AS (SELECT ua AS u, ub AS v FROM und
+                     UNION ALL SELECT ub, ua FROM und),
+            deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg
+                    FROM ends GROUP BY 1),
+            pr AS (SELECT e1.u AS a, e2.u AS b, e1.v AS z
+                   FROM ends e1 JOIN ends e2
+                     ON e1.v = e2.v AND e1.u < e2.u),
+            na AS (SELECT a, b, z FROM pr p
+                   WHERE NOT EXISTS (SELECT 1 FROM und
+                                     WHERE ua = p.a AND ub = p.b)),
+            sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+                          list(CAST(1.0 AS DOUBLE) /
+                               ln(CAST(dg AS DOUBLE)) ORDER BY z) AS ts
+                   FROM na JOIN deg ON deg.u = na.z
+                   GROUP BY 1, 2)
+         SELECT a, b, n_common,
+                (round(list_reduce(ts, (x, y) -> x + y), 4) + 0.0)
+                  AS aa_score
+         FROM sc ORDER BY a, b""",
+    "q_graph_bfs" ->
+      // BFS from the strongest exporter over directed strong edges:
+      // capped recursive CTE + min(hops) = the Spark fold's fixpoint
+      """WITH RECURSIVE edges AS (SELECT c.c_nationkey AS src,
+                                         s.s_nationkey AS dst, count(*) AS w
+                        FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        JOIN customer c ON o.o_custkey = c.c_custkey
+                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        GROUP BY 1, 2),
+            cut AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                           count(*) AS ne FROM edges),
+            strong AS (SELECT src, dst, w FROM edges, cut
+                       WHERE src <> dst AND w * ne >= 2 * tw),
+            outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw2
+                     FROM strong GROUP BY 1),
+            srcn AS (SELECT src FROM outw ORDER BY tw2 DESC, src LIMIT 1),
+            bfs AS (SELECT src AS node, 0 AS hops FROM srcn
+                    UNION
+                    SELECT s.dst, b.hops + 1
+                    FROM bfs b JOIN strong s ON s.src = b.node
+                    WHERE b.hops < 25),
+            dist AS (SELECT node, CAST(min(hops) AS INT) AS hops
+                     FROM bfs GROUP BY 1)
+         SELECT n.n_nationkey AS nationkey, n.n_name AS nation, d.hops,
+                coalesce(n.n_nationkey = (SELECT src FROM srcn), false)
+                  AS is_source
+         FROM nation n LEFT JOIN dist d ON n.n_nationkey = d.node
+         ORDER BY nationkey""",
+    "q_k_core" ->
+      // 2-core peel layers: the Spark round fold replayed as a
+      // list_reduce whose init is prepended to per-round markers
+      // (list_reduce has no init arg; marker[1] carries the round);
+      // simultaneous peel reads the previous round's state only
+      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                               count(*) AS w
+                        FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        JOIN customer c ON o.o_custkey = c.c_custkey
+                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        GROUP BY 1, 2),
+            cut AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                           count(*) AS ne FROM edges),
+            und AS (SELECT DISTINCT least(src, dst) AS ua,
+                                    greatest(src, dst) AS ub
+                    FROM edges, cut
+                    WHERE src <> dst AND w * ne >= 2 * tw),
+            eds AS (SELECT ua AS u, ub AS v FROM und
+                    UNION ALL SELECT ub, ua FROM und),
+            mx AS (SELECT max(n_nationkey) AS mk FROM nation),
+            ea AS (SELECT coalesce(list(struct_pack(u := u, v := v)
+                                        ORDER BY u, v), []) AS el
+                   FROM eds),
+            st AS (SELECT list_reduce(
+                     list_prepend(
+                       list_transform(range(0, mk + 1),
+                                      i -> CAST(0 AS INT)),
+                       list_transform(range(1, mk + 3), t ->
+                         list_transform(range(0, mk + 1),
+                                        i2 -> CAST(t AS INT)))),
+                     (acc, tm) -> list_transform(range(0, mk + 1), i ->
+                        CASE WHEN acc[CAST(i + 1 AS INT)] != 0
+                             THEN acc[CAST(i + 1 AS INT)]
+                             WHEN len(list_filter(el, x -> x.u = i AND
+                                    acc[CAST(x.v + 1 AS INT)] = 0)) < 2
+                             THEN tm[CAST(1 AS INT)] ELSE 0 END)) AS ra
+                   FROM ea, mx)
+         SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+                (st.ra[CAST(n.n_nationkey + 1 AS INT)] = 0) AS in_2core,
+                CASE WHEN st.ra[CAST(n.n_nationkey + 1 AS INT)] > 0
+                     THEN st.ra[CAST(n.n_nationkey + 1 AS INT)] END
+                  AS peel_layer
+         FROM nation n, st
+         ORDER BY nationkey""",
   )
 }

@@ -1010,6 +1010,46 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(3) == ((1L, 0L, None)), s"pendant must be NULL: $out")
   }
 
+  test("adamic_adar: path graph scores the open pair 1/ln(2)") {
+    val dir = tmpDir("aa")
+    // strong = path 0-1-2 (w=9 clears 9·5 ≥ 2·21); the only
+    // non-adjacent pair (0,2) shares neighbor 1 with degree 2
+    writeTradeGraph(dir, 3, Seq(
+      (0L, 1L, 9), (1L, 2L, 9),
+      (1L, 0L, 1), (2L, 1L, 1), (2L, 0L, 1)))
+    val out = GraphOps.adamicAdar(spark, dir).collect()
+    assert(out.length == 1)
+    assert((out.head.getInt(0), out.head.getInt(1), out.head.getLong(2),
+            out.head.getDouble(3)) == ((0, 2, 1L, 1.4427)), s"got ${out.toSeq}")
+  }
+
+  test("graph_bfs: chain hops from the tie-broken strongest exporter") {
+    val dir = tmpDir("bfs")
+    // strong = 0→1→2; out-weight ties at 9 → smallest key 0 is source
+    writeTradeGraph(dir, 3, Seq(
+      (0L, 1L, 9), (1L, 2L, 9),
+      (1L, 0L, 1), (2L, 1L, 1), (2L, 0L, 1)))
+    val out = GraphOps.graphBfs(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((Option(r.get(2)).map(_.asInstanceOf[Int]),
+                                 r.getBoolean(3)))).toMap
+    assert(out == Map(0 -> ((Some(0), true)), 1 -> ((Some(1), false)),
+                      2 -> ((Some(2), false))), s"got $out")
+  }
+
+  test("k_core: triangle survives the 2-core peel, pendant falls at layer 1") {
+    val dir = tmpDir("kcore")
+    writeTradeGraph(dir, 4, Seq(
+      (0L, 1L, 9), (1L, 2L, 9), (0L, 2L, 9), (2L, 3L, 9),
+      (1L, 0L, 1), (2L, 1L, 1), (2L, 0L, 1),
+      (3L, 2L, 1), (3L, 0L, 1), (3L, 1L, 1)))
+    val out = GraphOps.kCore(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getBoolean(2),
+                 Option(r.get(3)).map(_.asInstanceOf[Int])))).toMap
+    assert(out == Map(0 -> ((true, None)), 1 -> ((true, None)),
+                      2 -> ((true, None)), 3 -> ((false, Some(1)))),
+      s"got $out")
+  }
+
   test("zscore_scale: per-group z and min-max; degenerate group yields NULLs") {
     val dir = tmpDir("zscore")
     writeTable(dir, "documents", documentsSchema, Seq(

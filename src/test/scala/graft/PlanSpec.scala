@@ -339,7 +339,11 @@ class PlanSpec extends AnyFunSuite {
       "q_graph_2hop" -> G.twoHop(spark, sf0001),
       "q_hits" -> G.hits(spark, sf0001),
       "q_graph_reciprocity" -> G.reciprocity(spark, sf0001),
-      "q_assortativity" -> G.assortativity(spark, sf0001))
+      "q_assortativity" -> G.assortativity(spark, sf0001),
+      "q_local_clustering" -> G.localClustering(spark, sf0001),
+      "q_adamic_adar" -> G.adamicAdar(spark, sf0001),
+      "q_graph_bfs" -> G.graphBfs(spark, sf0001),
+      "q_k_core" -> G.kCore(spark, sf0001))
     for ((name, df) <- qs) {
       val p = plan(df)
       for (fact <- Seq("lineitem", "orders.parquet", "customer.parquet",
@@ -351,9 +355,11 @@ class PlanSpec extends AnyFunSuite {
     // (pagerank/centrality/components checkpoint their iteration
     // inputs, so their FINAL plans show RDD leaves — the store read
     // happens when the checkpoint materializes)
+    // (q_local_clustering / q_adamic_adar / q_graph_bfs checkpoint the
+    // strong frame, so their final plans show RDD leaves like pagerank)
     for (name <- Seq("q_graph_degree", "q_triangles", "q_graph_jaccard",
                      "q_graph_2hop", "q_hits", "q_graph_reciprocity",
-                     "q_assortativity")) {
+                     "q_assortativity", "q_k_core")) {
       val p0 = plan(qs.toMap.apply(name))
       assert(p0.contains("trade_edges"),
         s"$name: edge-store path not in scan:\n" + p0)
