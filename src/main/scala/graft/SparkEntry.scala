@@ -468,7 +468,10 @@ object SparkEntry {
     // r13 widening 10: link prediction, reachability depth, core peel
     "q_adamic_adar" -> (GraphOps.adamicAdar _),
     "q_graph_bfs" -> (GraphOps.graphBfs _),
-    "q_k_core" -> (GraphOps.kCore _)
+    "q_k_core" -> (GraphOps.kCore _),
+    // r13 widening 11: normality gate, long-memory exponent
+    "q_jarque_bera" -> (TimeSeriesOps.jarqueBera _),
+    "q_hurst" -> (TimeSeriesOps.hurst _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2243,4 +2243,130 @@ object TimeSeriesOps {
           .as("mean_abs_innov_rev")),
       col("n_days"))
   }
+
+  /** q_jarque_bera — Jarque–Bera normality test of order value per
+    * customer segment: skewness, excess-prone kurtosis and
+    * JB = n/6·(S² + (K−3)²/4) from the first four moments — the
+    * "can I even use a z-test here" gate beside q_anova (means) and
+    * q_brown_forsythe (spreads); money columns are canonically
+    * right-skewed and this quantifies by how much.
+    *
+    * Determinism: integer dollars; raw moments Σx..Σx⁴ accumulate in
+    * decimal(38,0) (x⁴ ~10²³ · 10⁶ rows clears int64 by far; DuckDB
+    * HUGEINT mirrors); central moments m₂/m₃/m₄ are ONE identically-
+    * spelled expansion from those exact ints; a zero-variance segment
+    * NULLs via nullif(m₂); r4 at output only.
+    *
+    * Scale shape: ONE partial-aggregable moment rollup per segment —
+    * the cheapest possible test shape; everything after rides the
+    * ≤|segments| frame. */
+  def jarqueBera(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val o = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+              .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+              round(col("o_totalprice")).cast("long").as("x"))
+    val g = o.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("x"))).cast("decimal(38,0)").as("s1"),
+           sum(dec(col("x")) * dec(col("x"))).cast("decimal(38,0)").as("s2"),
+           sum(dec(col("x")) * dec(col("x")) * dec(col("x")))
+             .cast("decimal(38,0)").as("s3"),
+           sum(dec(col("x")) * dec(col("x")) * dec(col("x")) * dec(col("x")))
+             .cast("decimal(38,0)").as("s4"))
+    val nd = col("n").cast("double")
+    val mu = col("s1").cast("double") / nd
+    val m2 = col("s2").cast("double") / nd - mu * mu
+    val m3 = col("s3").cast("double") / nd -
+      lit(3.0) * mu * (col("s2").cast("double") / nd) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4").cast("double") / nd -
+      lit(4.0) * mu * (col("s3").cast("double") / nd) +
+      lit(6.0) * mu * mu * (col("s2").cast("double") / nd) -
+      lit(3.0) * mu * mu * mu * mu
+    val sk = m3 / nullif(m2 * sqrt(m2), lit(0.0))
+    val ku = m4 / nullif(m2 * m2, lit(0.0))
+    ord(
+      g.select(col("segment"), col("n"),
+        r4(sk).as("skewness"),
+        r4(ku).as("kurtosis"),
+        r4(nd / 6.0 * (m3 * m3 / nullif(m2 * m2 * m2, lit(0.0)) +
+                       (ku - 3.0) * (ku - 3.0) / 4.0)).as("jb")),
+      col("segment"))
+  }
+
+  /** q_hurst — Hurst exponent of the daily order-count series by
+    * rescaled-range (R/S) analysis at block sizes 8/16/32/64:
+    * H ≈ 0.5 = memoryless, H > 0.5 = trending/persistent, H < 0.5 =
+    * mean-reverting — the long-memory readout that q_autocorr's
+    * single-lag view can't give (H summarizes ALL horizons in one
+    * exponent), sizing how far ahead a forecast is even meaningful.
+    *
+    * Determinism: per block, m·Z_k = m·prefix_k − k·S and
+    * m²·s²·m = m·Σc² − S² are EXACT int64 (counts are tiny), so each
+    * block's R/S = (maxZ − minZ)/√(m·Σc² − S²) is one spelled chain
+    * with ONE sqrt; per-size means fold valid blocks in BLOCK order
+    * (q_anova rule); zero-variance blocks are excluded by guard on
+    * both engines; H uses the closed-form dyadic-spacing OLS
+    * (−1.5, −0.5, 0.5, 1.5)·ln(RS)/(5·ln 2) — no second regression
+    * pass; partial trailing blocks are dropped (cnt = m only).
+    *
+    * Scale shape: one daily rollup; every window partitions by
+    * (size, block) over the calendar-bounded frame; the per-size fold
+    * collects ≤ n/8 block scalars. */
+  def hurst(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+        .as("day_num"))
+      .agg(count(lit(1)).as("c"))
+    val idx = daily.select(col("c"),
+      (row_number().over(Window.orderBy(col("day_num"))) - 1).as("i"))
+    val nAll = idx.agg(count(lit(1)).as("n_days"))
+    val sizes = Seq(8, 16, 32, 64)
+    val sz = idx.sparkSession.range(0, 4)
+      .select(element_at(array(sizes.map(lit): _*),
+                         (col("id") + 1).cast("int")).as("m"))
+    val rows = idx.crossJoin(broadcast(sz))
+      .withColumn("blk", expr("i DIV m"))
+      .withColumn("k", expr("i % m + 1"))
+    val wPre = Window.partitionBy(col("m"), col("blk"))
+      .orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("m"), col("blk"))
+    val zr = rows
+      .withColumn("pre", sum(col("c")).over(wPre))
+      .withColumn("sb", sum(col("c")).over(wAll))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("mz", col("m") * col("pre") - col("k") * col("sb"))
+    val blocks = zr.filter(col("cnt") === col("m"))
+      .groupBy(col("m"), col("blk"))
+      .agg((max(col("mz")) - min(col("mz"))).as("rm"),
+           (first(col("m")) * sum(col("c") * col("c")) -
+            first(col("sb")) * first(col("sb"))).as("msxx"))
+      .withColumn("rs",
+        when(col("msxx") > 0,
+             col("rm").cast("double") / sqrt(col("msxx").cast("double"))))
+    val perSize = blocks.groupBy(col("m"))
+      .agg(count(col("rs")).as("nv"),
+           expr("aggregate(sort_array(collect_list(IF(rs IS NOT NULL, " +
+             "named_struct('b', blk, 'r', rs), NULL))), 0.0D, " +
+             "(acc, x) -> acc + x.r)").as("srs"))
+      .select(col("m"),
+        (col("srs") / nullif(col("nv").cast("double"), lit(0.0))).as("mrs"))
+    val piv = perSize.agg(
+      sum(when(col("m") === 8, col("mrs"))).as("r8"),
+      sum(when(col("m") === 16, col("mrs"))).as("r16"),
+      sum(when(col("m") === 32, col("mrs"))).as("r32"),
+      sum(when(col("m") === 64, col("mrs"))).as("r64"))
+    ord(
+      nAll.crossJoin(broadcast(piv))
+        .select(col("n_days"),
+          r4(col("r8")).as("rs8"), r4(col("r16")).as("rs16"),
+          r4(col("r32")).as("rs32"), r4(col("r64")).as("rs64"),
+          r4((lit(-1.5) * log(col("r8")) - lit(0.5) * log(col("r16")) +
+              lit(0.5) * log(col("r32")) + lit(1.5) * log(col("r64"))) /
+             (lit(5.0) * log(lit(2.0)))).as("hurst")),
+      col("n_days"))
+  }
 }

@@ -1877,5 +1877,102 @@ private[graft] object OracleSql5 {
                   AS peel_layer
          FROM nation n, st
          ORDER BY nationkey""",
+    "q_jarque_bera" ->
+      // JB normality per segment from exact HUGEINT raw moments
+      // (mirrors decimal(38,0)); identically-spelled central-moment
+      // expansion; zero-variance segment NULLs via nullif(m2)
+      """WITH o AS (SELECT c.c_mktsegment AS segment,
+                           CAST(round(o_totalprice) AS BIGINT) AS x
+                    FROM orders JOIN customer c ON o_custkey = c_custkey),
+            g AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+                         CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                              AS HUGEINT) AS s2,
+                         CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT) *
+                                  CAST(x AS HUGEINT)) AS HUGEINT) AS s3,
+                         CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT) *
+                                  CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                              AS HUGEINT) AS s4
+                  FROM o GROUP BY 1),
+            mm AS (SELECT segment, n,
+                          CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                          CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS d2,
+                          CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS d3,
+                          CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS d4
+                   FROM g),
+            cm AS (SELECT segment, n, mu,
+                          d2 - mu * mu AS m2,
+                          d3 - 3.0 * mu * d2 + 2.0 * mu * mu * mu AS m3,
+                          d4 - 4.0 * mu * d3 + 6.0 * mu * mu * d2 -
+                            3.0 * mu * mu * mu * mu AS m4
+                   FROM mm)
+         SELECT segment, n,
+                (round(m3 / nullif(m2 * sqrt(m2), 0.0), 4) + 0.0)
+                  AS skewness,
+                (round(m4 / nullif(m2 * m2, 0.0), 4) + 0.0) AS kurtosis,
+                (round(CAST(n AS DOUBLE) / 6.0 *
+                       (m3 * m3 / nullif(m2 * m2 * m2, 0.0) +
+                        (m4 / nullif(m2 * m2, 0.0) - 3.0) *
+                        (m4 / nullif(m2 * m2, 0.0) - 3.0) / 4.0), 4) + 0.0)
+                  AS jb
+         FROM cm ORDER BY segment""",
+    "q_hurst" ->
+      // R/S analysis: per block the exact-int m·Z_k range over the
+      // exact-int scaled variance, one sqrt; per-size means fold in
+      // block order; H = closed-form dyadic-spacing OLS over ln(RS)
+      """WITH daily AS (
+           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+            idx AS (SELECT c,
+                           row_number() OVER (ORDER BY day_num) - 1 AS i
+                    FROM daily),
+            na AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM idx),
+            sz AS (SELECT unnest([8, 16, 32, 64]) AS m),
+            rws AS (SELECT c, i, m, i // m AS blk, i % m + 1 AS k
+                    FROM idx, sz),
+            zr AS (SELECT m, blk, k, c,
+                          sum(c) OVER (PARTITION BY m, blk ORDER BY k
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS pre,
+                          sum(c) OVER (PARTITION BY m, blk) AS sb,
+                          count(*) OVER (PARTITION BY m, blk) AS cnt
+                   FROM rws),
+            bl AS (SELECT m, blk,
+                          CAST(max(m * pre - k * sb) -
+                               min(m * pre - k * sb) AS BIGINT) AS rm,
+                          CAST(m * sum(c * c) - max(sb) * max(sb)
+                               AS BIGINT) AS msxx
+                   FROM zr WHERE cnt = m GROUP BY 1, 2),
+            rs AS (SELECT m, blk,
+                          CASE WHEN msxx > 0 THEN
+                            CAST(rm AS DOUBLE) /
+                            sqrt(CAST(msxx AS DOUBLE)) END AS rs
+                   FROM bl),
+            ps AS (SELECT m, CAST(count(rs) AS BIGINT) AS nv,
+                          list(rs ORDER BY blk)
+                            FILTER (WHERE rs IS NOT NULL) AS ls
+                   FROM rs GROUP BY 1),
+            ms AS (SELECT m,
+                          CASE WHEN ls IS NULL OR len(ls) = 0 THEN NULL
+                               ELSE list_reduce(ls, (a, b2) -> a + b2) /
+                                    nullif(CAST(nv AS DOUBLE), 0.0)
+                          END AS mrs
+                   FROM ps),
+            piv AS (SELECT sum(CASE WHEN m = 8 THEN mrs END) AS r8,
+                           sum(CASE WHEN m = 16 THEN mrs END) AS r16,
+                           sum(CASE WHEN m = 32 THEN mrs END) AS r32,
+                           sum(CASE WHEN m = 64 THEN mrs END) AS r64
+                    FROM ms)
+         SELECT n_days,
+                (round(r8, 4) + 0.0) AS rs8,
+                (round(r16, 4) + 0.0) AS rs16,
+                (round(r32, 4) + 0.0) AS rs32,
+                (round(r64, 4) + 0.0) AS rs64,
+                (round((-1.5 * ln(r8) - 0.5 * ln(r16) + 0.5 * ln(r32) +
+                        1.5 * ln(r64)) / (5.0 * ln(2.0)), 4) + 0.0)
+                  AS hurst
+         FROM na, piv ORDER BY n_days""",
   )
 }

@@ -845,6 +845,59 @@ class OperatorEdgeSpec extends AnyFunSuite {
            ((30L, 5.0, 0.3904, 0.0)), s"got $r")
   }
 
+  test("jarque_bera: hand-computed three-point moments") {
+    val dir = tmpDir("jb")
+    val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    writeTable(dir, "customer", Schemas.customer, Seq(
+      Row(1L, "C1", 0, 0.0, "SA")))
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      Row(1L, 1L, "O", 1.0, ts, "1"), Row(2L, 1L, "O", 2.0, ts, "1"),
+      Row(3L, 1L, "O", 6.0, ts, "1")))
+    val r = graft.operators.TimeSeriesOps.jarqueBera(spark, dir)
+      .collect().head
+    // z = {-2,-1,3}: m2 = 14/3, m3 = 6, m4 = 98/3 → S = 0.5952,
+    // K = 1.5 exactly, JB = 0.5·(36/m2³ + 0.5625) = 0.4584
+    assert((r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4)) == (("SA", 3L, 0.5952, 1.5, 0.4584)), s"got $r")
+  }
+
+  test("jarque_bera: constant segment reports NULL moments") {
+    val dir = tmpDir("jb_flat")
+    val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    writeTable(dir, "customer", Schemas.customer, Seq(
+      Row(1L, "C1", 0, 0.0, "SA")))
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      Row(1L, 1L, "O", 5.0, ts, "1"), Row(2L, 1L, "O", 5.0, ts, "1")))
+    val r = graft.operators.TimeSeriesOps.jarqueBera(spark, dir)
+      .collect().head
+    assert(r.getLong(1) == 2L && r.isNullAt(2) && r.isNullAt(3) &&
+           r.isNullAt(4), s"zero variance must be NULL: $r")
+  }
+
+  test("hurst: series shorter than the smallest block reports NULL everywhere") {
+    val dir = tmpDir("hurst_short")
+    writeTable(dir, "orders", Schemas.orders, (1 to 5).map { i =>
+      Row(i.toLong, 1L, "O", 1.0,
+          java.sql.Timestamp.valueOf(f"1995-01-$i%02d 00:00:00"), "1")
+    })
+    val r = graft.operators.TimeSeriesOps.hurst(spark, dir).collect().head
+    assert(r.getLong(0) == 5L &&
+           (1 to 5).forall(r.isNullAt), s"got $r")
+  }
+
+  test("hurst: constant series has zero-variance blocks and NULL exponent") {
+    val dir = tmpDir("hurst_flat")
+    writeTable(dir, "orders", Schemas.orders, (0 until 64).map { i =>
+      Row(i.toLong + 1, 1L, "O", 1.0,
+          java.sql.Timestamp.valueOf(
+            java.time.LocalDateTime.of(1995, 1, 1, 0, 0)
+              .plusDays(i).format(java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss"))), "1")
+    })
+    val r = graft.operators.TimeSeriesOps.hurst(spark, dir).collect().head
+    assert(r.getLong(0) == 64L && (1 to 5).forall(r.isNullAt), s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(

@@ -100,9 +100,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_wasserstein's CDF cumsum runs over the DISTINCT-value rollup
     // (value-domain-bounded — the q_mann_whitney stance)
     "q_wasserstein",
-    // q_macd / q_kalman_filter rank the calendar-bounded daily rollup
-    // for their single-row folds (q_holt_winters precedent)
-    "q_macd", "q_kalman_filter",
+    // q_macd / q_kalman_filter / q_hurst rank the calendar-bounded
+    // daily rollup for their folds (q_holt_winters precedent; hurst's
+    // block windows all partition by (size, block))
+    "q_macd", "q_kalman_filter", "q_hurst",
     // q_attribution_markov's channel-id row_number orders the
     // |channel-vocabulary| frame (≤ a handful of event types)
     "q_attribution_markov")
