@@ -471,7 +471,9 @@ object SparkEntry {
     "q_k_core" -> (GraphOps.kCore _),
     // r13 widening 11: normality gate, long-memory exponent
     "q_jarque_bera" -> (TimeSeriesOps.jarqueBera _),
-    "q_hurst" -> (TimeSeriesOps.hurst _)
+    "q_hurst" -> (TimeSeriesOps.hurst _),
+    // r13 widening 12: elastic curve distance
+    "q_dtw_distance" -> (TimeSeriesOps.dtwDistance _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

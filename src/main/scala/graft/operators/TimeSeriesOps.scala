@@ -2369,4 +2369,68 @@ object TimeSeriesOps {
              (lit(5.0) * log(lit(2.0)))).as("hurst")),
       col("n_days"))
   }
+
+  /** q_dtw_distance — dynamic time warping between each nation's
+    * monthly order-count curve and the GLOBAL monthly curve: the
+    * elastic curve distance that survives phase shifts (a nation
+    * whose seasonality runs a month late scores near-zero where
+    * q_rolling_corr collapses), ranking which markets' demand SHAPE
+    * tracks the aggregate. Both curves are mass-normalized by their
+    * totals so level cancels and only shape is compared.
+    *
+    * Determinism: the ENTIRE DP runs in exact int64 — the normalized
+    * cost |aᵢ/S_A − gⱼ/S_G| is carried as the integer cross product
+    * |aᵢ·S_G − gⱼ·S_A| (common denominator S_A·S_G divides ONCE at
+    * the end), the ∞ border is a large integer literal, and min/+
+    * over ints is order-free; the row-by-row fold replays identically
+    * in DuckDB via nested list_reduce (list-typed state; the init is
+    * prepended, scalars ride single-element lists so the element type
+    * matches). A nation with no orders reports NULL via the border
+    * sentinel; every nation surfaces (spine rule).
+    *
+    * Scale shape: two partial-aggregable month rollups; the
+    * |months|²-per-nation DP is pure expression work on 25 one-array
+    * rows; the global curve broadcasts. At 100 TB only the rollups
+    * grow — months stay calendar-bounded. */
+  def dtwDistance(s: SparkSession, d: String): DataFrame = {
+    val inf = "CAST(1000000000000000 AS BIGINT)"
+    val o = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+              .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"),
+              date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+    val nat = o.groupBy(col("nk"), col("month"))
+      .agg(count(lit(1)).as("cn"))
+      .groupBy(col("nk"))
+      .agg(sort_array(collect_list(struct(col("month"), col("cn"))))
+             .as("narr"),
+           sum(col("cn")).as("sa"))
+    val glob = o.groupBy(col("month")).agg(count(lit(1)).as("cg"))
+      .agg(sort_array(collect_list(struct(col("month"), col("cg"))))
+             .as("garr"),
+           sum(col("cg")).as("sg"))
+    val folded = nat.crossJoin(broadcast(glob))
+      .withColumn("dp", expr(
+        s"""aggregate(narr,
+              concat(array(CAST(0 AS BIGINT)),
+                     transform(garr, x -> $inf)),
+              (prev, a) -> aggregate(garr, array($inf),
+                (row, g) -> concat(row, array(
+                  abs(a.cn * sg - g.cg * sa) +
+                  least(element_at(prev, size(row) + 1),
+                        element_at(prev, size(row)),
+                        element_at(row, size(row)))))))"""))
+      .withColumn("dtw_int", expr("element_at(dp, size(garr) + 1)"))
+    ord(
+      Tables.nation(s, d)
+        .join(broadcast(folded), col("n_nationkey") === col("nk"), "left")
+        .select(col("n_nationkey").as("nationkey"), col("n_name").as("nation"),
+          coalesce(size(col("narr")), lit(0)).cast("long").as("n_months"),
+          when(col("dtw_int") < expr(inf),
+            r4(col("dtw_int").cast("double") /
+               (col("sa").cast("double") * col("sg").cast("double"))))
+            .as("dtw")),
+      col("nationkey"))
+  }
 }

@@ -1974,5 +1974,50 @@ private[graft] object OracleSql5 {
                         1.5 * ln(r64)) / (5.0 * ln(2.0)), 4) + 0.0)
                   AS hurst
          FROM na, piv ORDER BY n_days""",
+    "q_dtw_distance" ->
+      // DTW vs the global monthly curve: whole DP in exact int64
+      // (costs are |a·S_G − g·S_A| cross products, ÷(S_A·S_G) once);
+      // nested list_reduce with the init PREPENDED and scalars riding
+      // single-element lists so the fold element type matches the
+      // list-typed state
+      """WITH o AS (SELECT c.c_nationkey AS nk,
+                           date_trunc('month', o_orderdate)::DATE AS month
+                    FROM orders JOIN customer c ON o_custkey = c_custkey),
+            nat AS (SELECT nk, list(cn ORDER BY month) AS ncs,
+                           CAST(sum(cn) AS BIGINT) AS sa
+                    FROM (SELECT nk, month, CAST(count(*) AS BIGINT) AS cn
+                          FROM o GROUP BY 1, 2)
+                    GROUP BY 1),
+            gl AS (SELECT list(cg ORDER BY month) AS gcs,
+                          CAST(sum(cg) AS BIGINT) AS sg
+                   FROM (SELECT month, CAST(count(*) AS BIGINT) AS cg
+                         FROM o GROUP BY 1)),
+            dp AS (SELECT nk, sa, sg, len(ncs) AS nm,
+                          list_reduce(
+                            list_prepend(
+                              list_prepend(CAST(0 AS BIGINT),
+                                list_transform(gcs, x ->
+                                  CAST(1000000000000000 AS BIGINT))),
+                              list_transform(ncs, a -> [a])),
+                            (prev, al) -> list_reduce(
+                               list_prepend(
+                                 [CAST(1000000000000000 AS BIGINT)],
+                                 list_transform(gcs, gc -> [gc])),
+                               (rw, g2) -> list_append(rw,
+                                  abs(al[1] * sg - g2[1] * sa) +
+                                  least(prev[CAST(len(rw) + 1 AS INT)],
+                                        prev[CAST(len(rw) AS INT)],
+                                        rw[CAST(len(rw) AS INT)])))) AS fin
+                   FROM nat, gl),
+            res AS (SELECT nk, sa, sg, nm,
+                           fin[CAST(len(fin) AS INT)] AS dtw_int FROM dp)
+         SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+                CAST(coalesce(res.nm, 0) AS BIGINT) AS n_months,
+                CASE WHEN res.dtw_int < 1000000000000000 THEN
+                  (round(CAST(res.dtw_int AS DOUBLE) /
+                         (CAST(sa AS DOUBLE) * CAST(sg AS DOUBLE)), 4)
+                   + 0.0) END AS dtw
+         FROM nation n LEFT JOIN res ON n.n_nationkey = res.nk
+         ORDER BY nationkey""",
   )
 }

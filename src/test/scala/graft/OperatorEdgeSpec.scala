@@ -898,6 +898,24 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(r.getLong(0) == 64L && (1 to 5).forall(r.isNullAt), s"got $r")
   }
 
+  test("dtw_distance: two mirrored nations score the hand-computed warp cost") {
+    val dir = tmpDir("dtw")
+    def o(id: Long, ck: Long, day: String) =
+      Row(id, ck, "O", 1.0, java.sql.Timestamp.valueOf(s"$day 00:00:00"), "1")
+    writeTable(dir, "nation", Schemas.nation, Seq(
+      Row(0, "N0", 0), Row(1, "N1", 0)))
+    writeTable(dir, "customer", Schemas.customer, Seq(
+      Row(1L, "C1", 0, 0.0, "SEG"), Row(2L, "C2", 1, 0.0, "SEG")))
+    // nation 0: Jan 2, Feb 1; nation 1: Jan 1, Feb 2; global 3/3.
+    // costs |6a - 3g| are all 3 → DP corner 6 → dtw = 6/(3·6) = 1/3
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      o(1, 1, "1995-01-05"), o(2, 1, "1995-01-20"), o(3, 1, "1995-02-10"),
+      o(4, 2, "1995-01-10"), o(5, 2, "1995-02-05"), o(6, 2, "1995-02-20")))
+    val out = graft.operators.TimeSeriesOps.dtwDistance(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((0, 2L, 0.3333), (1, 2L, 0.3333)), s"got $out")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
