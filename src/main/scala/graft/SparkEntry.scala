@@ -473,7 +473,10 @@ object SparkEntry {
     "q_jarque_bera" -> (TimeSeriesOps.jarqueBera _),
     "q_hurst" -> (TimeSeriesOps.hurst _),
     // r13 widening 12: elastic curve distance
-    "q_dtw_distance" -> (TimeSeriesOps.dtwDistance _)
+    "q_dtw_distance" -> (TimeSeriesOps.dtwDistance _),
+    // r13 widening 13: admissible rank test, tail-law estimator
+    "q_kruskal_wallis" -> (TimeSeriesOps.kruskalWallis _),
+    "q_tail_index" -> (TimeSeriesOps.tailIndex _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2433,4 +2433,111 @@ object TimeSeriesOps {
             .as("dtw")),
       col("nationkey"))
   }
+
+  /** q_kruskal_wallis — Kruskal–Wallis rank test of order value
+    * across customer segments, tie-corrected: H = [12/(N(N+1))·
+    * Σ R_j²/n_j − 3(N+1)] / (1 − ΣT/(N³−N)) — the nonparametric
+    * companion to q_anova (q_anova needs normal-ish residuals, which
+    * q_jarque_bera just showed money columns don't have; KW only
+    * needs ranks, so it is the test that is actually admissible).
+    *
+    * Determinism: ranks never materialize per row — the DISTINCT-
+    * value rollup carries each value's tie count t and the count
+    * before it, so the tied midrank ×2 = 2·cumBefore + t + 1 is an
+    * EXACT int64 and each segment's doubled rank sum R2_j is an
+    * exact int64 dot product; Σ R_j²/n_j folds per segment in
+    * segment order (the q_anova rule) as (R2·R2/4n) doubles from
+    * exact ints; the tie term Σ(t³−t) and N³−N ride decimal(38,0)
+    * (N³ clears int64 at 10×; DuckDB HUGEINT); H is one spelled
+    * chain, r4'd.
+    *
+    * Scale shape: one (segment, value) rollup, one value rollup, a
+    * cumulative window over the DISTINCT-value frame (value-domain
+    * bounded — the q_mann_whitney stance), one |segments| fold. */
+  def kruskalWallis(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val o = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+              .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+              round(col("o_totalprice")).cast("long").as("v"))
+    val sv = o.groupBy(col("segment"), col("v")).agg(count(lit(1)).as("cnt"))
+    val vt = sv.groupBy(col("v")).agg(sum(col("cnt")).as("t"))
+      .withColumn("cb",
+        coalesce(sum(col("t")).over(
+          Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val segR = sv.join(vt, "v")
+      .groupBy(col("segment"))
+      .agg(sum(col("cnt")).as("nj"),
+           sum(col("cnt") * (lit(2L) * col("cb") + col("t") + lit(1L)))
+             .as("r2j"))
+    val ties = vt.agg(
+      sum(col("t")).as("n"),
+      (sum(dec(col("t")) * dec(col("t")) * dec(col("t"))) - sum(dec(col("t"))))
+        .cast("decimal(38,0)").as("st"))
+    val t = segR.agg(
+      count(lit(1)).as("k"),
+      expr("aggregate(sort_array(collect_list(named_struct(" +
+           "'seg', segment, 'p', cast(r2j as double) * r2j / (4.0D * nj)))), " +
+           "cast(0.0 as double), (acc, x) -> acc + x.p)").as("srr"))
+    val nd = col("n").cast("double")
+    val hRaw = lit(12.0) * col("srr") / (nd * (nd + 1.0)) -
+      lit(3.0) * (nd + 1.0)
+    val corr = lit(1.0) - col("st").cast("double") /
+      (dec(col("n")) * dec(col("n")) * dec(col("n")) - dec(col("n")))
+        .cast("double")
+    ord(
+      t.crossJoin(broadcast(ties))
+        .select(col("k"), col("n"),
+          r4(hRaw).as("h"),
+          r4(hRaw / nullif(corr, lit(0.0))).as("h_tie_corrected")),
+      col("k"))
+  }
+
+  /** q_tail_index — Hill estimator of the spend tail over the top-100
+    * order values: mean ln(x_(i)/x_(101)) and the tail index
+    * α = 1/Hill — "how heavy is the big-ticket tail" as one number
+    * (α < 2: variance effectively infinite, q_gini/q_abc_pareto
+    * describe concentration but not tail law; this is the
+    * extreme-value readout capacity planning thresholds on).
+    *
+    * Determinism: the top-101 cut is totally ordered by
+    * (cents DESC, orderkey) — the q_zipf TakeOrdered stance; each
+    * ln(xᵢ/x₁₀₁) is one spelled chain over exact ints; the mean folds
+    * the 100 terms in RANK order; fewer than 101 orders → NULL (the
+    * 1-row summary still surfaces); a flat tail (Hill = 0) NULLs α
+    * via nullif.
+    *
+    * Scale shape: TakeOrderedAndProject keeps the cut
+    * constant-bounded at any corpus size; everything downstream rides
+    * 101 rows. */
+  def tailIndex(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.orders(s, d)
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+              col("o_orderkey"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+      .limit(101)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cents").desc, col("o_orderkey"))))
+    val xt = top.filter(col("rn") === 101)
+      .select(col("cents").as("xt"))
+    val agg = top.filter(col("rn") <= 100)
+      .crossJoin(broadcast(xt))
+      .agg(count(lit(1)).as("nk"),
+           first(col("xt")).as("xthr"),
+           expr("aggregate(sort_array(collect_list(named_struct(" +
+             "'r', rn, 't', ln(cast(cents as double) / cast(xt as double)" +
+             ")))), cast(0.0 as double), (acc, x) -> acc + x.t)").as("slog"))
+    val hill = col("slog") / 100.0
+    ord(
+      agg.select(
+        col("nk").as("k"),
+        r4(col("xthr").cast("double") / 100.0).as("threshold_rev"),
+        when(col("nk") === 100, r4(hill)).as("hill"),
+        when(col("nk") === 100, r4(lit(1.0) / nullif(hill, lit(0.0))))
+          .as("alpha")),
+      col("k"))
+  }
 }

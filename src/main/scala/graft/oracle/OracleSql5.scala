@@ -2019,5 +2019,75 @@ private[graft] object OracleSql5 {
                    + 0.0) END AS dtw
          FROM nation n LEFT JOIN res ON n.n_nationkey = res.nk
          ORDER BY nationkey""",
+    "q_kruskal_wallis" ->
+      // KW rank test without materializing per-row ranks: the distinct-
+      // value rollup carries tie count t and cumBefore, midrank ×2 =
+      // 2·cb + t + 1 exact; segment fold ordered (q_anova rule);
+      // HUGEINT tie terms mirror decimal(38,0)
+      """WITH o AS (SELECT c.c_mktsegment AS segment,
+                           CAST(round(o_totalprice) AS BIGINT) AS v
+                    FROM orders JOIN customer c ON o_custkey = c_custkey),
+            sv AS (SELECT segment, v, CAST(count(*) AS BIGINT) AS cnt
+                   FROM o GROUP BY 1, 2),
+            vt AS (SELECT v, t,
+                          coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN
+                            UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                   FROM (SELECT v, CAST(sum(cnt) AS BIGINT) AS t
+                         FROM sv GROUP BY 1)),
+            sr AS (SELECT segment, CAST(sum(cnt) AS BIGINT) AS nj,
+                          CAST(sum(cnt * (2 * cb + t + 1)) AS BIGINT) AS r2j
+                   FROM sv JOIN vt USING (v) GROUP BY 1),
+            ties AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                            CAST(sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                                     * CAST(t AS HUGEINT)) -
+                                 sum(CAST(t AS HUGEINT)) AS HUGEINT) AS st
+                     FROM vt),
+            tt AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                          list(CAST(r2j AS DOUBLE) * r2j / (4.0 * nj)
+                               ORDER BY segment) AS gb
+                   FROM sr),
+            ft AS (SELECT k, list_reduce(gb, (a, b2) -> a + b2) AS srr
+                   FROM tt)
+         SELECT k, n,
+                (round(12.0 * srr / (CAST(n AS DOUBLE) *
+                         (CAST(n AS DOUBLE) + 1.0)) -
+                       3.0 * (CAST(n AS DOUBLE) + 1.0), 4) + 0.0) AS h,
+                (round((12.0 * srr / (CAST(n AS DOUBLE) *
+                          (CAST(n AS DOUBLE) + 1.0)) -
+                        3.0 * (CAST(n AS DOUBLE) + 1.0)) /
+                       nullif(1.0 - CAST(st AS DOUBLE) /
+                              CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) *
+                                   CAST(n AS HUGEINT) - CAST(n AS HUGEINT)
+                                   AS DOUBLE), 0.0), 4) + 0.0)
+                  AS h_tie_corrected
+         FROM ft, ties ORDER BY k""",
+    "q_tail_index" ->
+      // Hill estimator over the top-100 cut (q_zipf TakeOrdered
+      // stance): ln terms fold in rank order; <101 orders → NULL
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS cents, o_orderkey
+                    FROM orders),
+            r AS (SELECT cents,
+                         row_number() OVER (ORDER BY cents DESC,
+                                            o_orderkey) AS rn
+                  FROM c),
+            xt AS (SELECT cents AS xt FROM r WHERE rn = 101),
+            tr AS (SELECT rn, cents, xt FROM r, xt WHERE rn <= 100),
+            ag AS (SELECT CAST(count(*) AS BIGINT) AS nk, max(xt) AS xthr,
+                          list(ln(CAST(cents AS DOUBLE) /
+                                  CAST(xt AS DOUBLE)) ORDER BY rn) AS ls
+                   FROM tr),
+            fin AS (SELECT nk, xthr,
+                           CASE WHEN ls IS NULL OR len(ls) = 0 THEN 0.0
+                                ELSE list_reduce(ls, (a, b2) -> a + b2)
+                           END / 100.0 AS hill
+                    FROM ag)
+         SELECT nk AS k,
+                (round(CAST(xthr AS DOUBLE) / 100.0, 4) + 0.0)
+                  AS threshold_rev,
+                CASE WHEN nk = 100 THEN (round(hill, 4) + 0.0) END AS hill,
+                CASE WHEN nk = 100 THEN
+                  (round(1.0 / nullif(hill, 0.0), 4) + 0.0) END AS alpha
+         FROM fin ORDER BY k""",
   )
 }

@@ -916,6 +916,41 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out == Seq((0, 2L, 0.3333), (1, 2L, 0.3333)), s"got $out")
   }
 
+  test("kruskal_wallis: hand-computed tied midranks and correction") {
+    val dir = tmpDir("kw")
+    val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    writeTable(dir, "customer", Schemas.customer, Seq(
+      Row(1L, "C1", 0, 0.0, "SA"), Row(2L, "C2", 0, 0.0, "SB")))
+    // A = {1,1}, B = {1,2}: midranks {2,2,2,4} → H = 0.6, C = 0.6 → 1.0
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      Row(1L, 1L, "O", 1.0, ts, "1"), Row(2L, 1L, "O", 1.0, ts, "1"),
+      Row(3L, 2L, "O", 1.0, ts, "1"), Row(4L, 2L, "O", 2.0, ts, "1")))
+    val r = graft.operators.TimeSeriesOps.kruskalWallis(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+           ((2L, 4L, 0.6, 1.0)), s"got $r")
+  }
+
+  test("tail_index: two-level top yields hill = ln 2; tiny corpus reads NULL") {
+    val dir = tmpDir("hill")
+    val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    writeTable(dir, "orders", Schemas.orders,
+      (1 to 100).map(i => Row(i.toLong, 1L, "O", 200.0, ts, "1")) :+
+      Row(101L, 1L, "O", 100.0, ts, "1"))
+    val r = graft.operators.TimeSeriesOps.tailIndex(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+           ((100L, 100.0, 0.6931, 1.4427)), s"got $r")
+
+    val dir2 = tmpDir("hill_small")
+    writeTable(dir2, "orders", Schemas.orders, Seq(
+      Row(1L, 1L, "O", 5.0, ts, "1")))
+    val r2 = graft.operators.TimeSeriesOps.tailIndex(spark, dir2)
+      .collect().head
+    assert(r2.getLong(0) == 0L && r2.isNullAt(1) && r2.isNullAt(2) &&
+           r2.isNullAt(3), s"got $r2")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(

@@ -104,6 +104,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // daily rollup for their folds (q_holt_winters precedent; hurst's
     // block windows all partition by (size, block))
     "q_macd", "q_kalman_filter", "q_hurst",
+    // q_kruskal_wallis' cumulative ranks ride the DISTINCT-value
+    // rollup (q_mann_whitney stance); q_tail_index's row_number orders
+    // the post-TakeOrdered(101) frame (q_zipf precedent)
+    "q_kruskal_wallis", "q_tail_index",
     // q_attribution_markov's channel-id row_number orders the
     // |channel-vocabulary| frame (≤ a handful of event types)
     "q_attribution_markov")
