@@ -476,7 +476,9 @@ object SparkEntry {
     "q_dtw_distance" -> (TimeSeriesOps.dtwDistance _),
     // r13 widening 13: admissible rank test, tail-law estimator
     "q_kruskal_wallis" -> (TimeSeriesOps.kruskalWallis _),
-    "q_tail_index" -> (TimeSeriesOps.tailIndex _)
+    "q_tail_index" -> (TimeSeriesOps.tailIndex _),
+    // r13 widening 14: assumption-free randomization inference
+    "q_permutation_test" -> (TimeSeriesOps.permutationTest _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2540,4 +2540,70 @@ object TimeSeriesOps {
           .as("alpha")),
       col("k"))
   }
+
+  /** q_permutation_test — exact-style randomization test for the A/B
+    * mean per-user revenue difference: 200 DETERMINISTIC
+    * re-randomizations (each user's replicate arm is the md5 parity
+    * of user:replicate — the q_bootstrap_ci hash-gate idiom, so
+    * re-runs and the oracle reassign identically with no RNG state),
+    * p = (1 + #{|T_r| ≥ |T_obs|})/201 — the assumption-free p-value
+    * q_ab_test's normal approximation can't give on skewed revenue
+    * (q_jarque_bera shows exactly that skew), with the +1 smoothing
+    * that keeps p > 0 honest at finite B.
+    *
+    * Determinism: per-replicate arm sums/counts are exact int64; every
+    * T is the SAME spelled two-division chain, so the ≥ comparison
+    * resolves identically on both engines; replicates with an empty
+    * arm yield NULL T and count as not-extreme (guarded, both sides);
+    * p is one division of exact ints.
+    *
+    * Scale shape: ONE per-user rollup, then the q_bootstrap_ci
+    * map-side replicate expansion — a broadcast 200-row crossJoin
+    * feeding a partial-aggregable groupBy(replicate), so the shuffle
+    * is O(B × partitions), never O(users × B); 200 md5s per user is
+    * the honest randomization cost at any scale. */
+  def permutationTest(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .localCheckpoint(true)
+    val tOf = (sa: Column, na: Column, sb: Column, nb: Column) =>
+      when(na > 0 && nb > 0,
+        sa.cast("double") / na.cast("double") -
+        sb.cast("double") / nb.cast("double"))
+    val obs = users
+      .withColumn("pa",
+        expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) % 2"))
+      .agg(sum(when(col("pa") === 0, col("cents")).otherwise(0L)).as("sa"),
+           sum(when(col("pa") === 0, 1L).otherwise(0L)).as("na"),
+           sum(when(col("pa") =!= 0, col("cents")).otherwise(0L)).as("sb"),
+           sum(when(col("pa") =!= 0, 1L).otherwise(0L)).as("nb"))
+      .select((col("na") + col("nb")).as("n_users"),
+              tOf(col("sa"), col("na"), col("sb"), col("nb")).as("t_obs"))
+    val reps = s.range(1, 201).select(col("id").cast("int").as("b"))
+    val tr = users.crossJoin(broadcast(reps))
+      .withColumn("pa", expr(
+        "conv(substring(md5(concat(cast(user_id as string), ':', " +
+          "cast(b as string))), 1, 8), 16, 10) % 2"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("pa") === 0, col("cents")).otherwise(0L)).as("sa"),
+           sum(when(col("pa") === 0, 1L).otherwise(0L)).as("na"),
+           sum(when(col("pa") =!= 0, col("cents")).otherwise(0L)).as("sb"),
+           sum(when(col("pa") =!= 0, 1L).otherwise(0L)).as("nb"))
+      .select(col("b"), tOf(col("sa"), col("na"), col("sb"), col("nb")).as("t"))
+    val cmp = tr.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_replicates"),
+           sum(when(abs(col("t")) >= abs(col("t_obs")), 1L).otherwise(0L))
+             .as("n_extreme"))
+    ord(
+      obs.crossJoin(broadcast(cmp))
+        .select(col("n_users"),
+          r4(col("t_obs") / 100.0).as("t_obs_rev"),
+          col("n_replicates"), col("n_extreme"),
+          when(col("t_obs").isNotNull,
+            r4((lit(1L) + col("n_extreme")).cast("double") /
+               (lit(1L) + col("n_replicates")).cast("double")))
+            .as("p_value")),
+      col("n_users"))
+  }
 }

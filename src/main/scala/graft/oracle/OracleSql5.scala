@@ -2089,5 +2089,64 @@ private[graft] object OracleSql5 {
                 CASE WHEN nk = 100 THEN
                   (round(1.0 / nullif(hill, 0.0), 4) + 0.0) END AS alpha
          FROM fin ORDER BY k""",
+    "q_permutation_test" ->
+      // deterministic randomization test: replicate arms via md5
+      // parity of user:replicate (q_bootstrap_ci idiom); every T the
+      // same spelled two-division chain; +1-smoothed p
+      """WITH u AS (SELECT user_id,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                AS BIGINT) AS cents
+                    FROM events GROUP BY 1),
+            ob AS (SELECT CAST(sum(CASE WHEN pa = 0 THEN cents ELSE 0 END)
+                               AS BIGINT) AS sa,
+                          CAST(sum(CASE WHEN pa = 0 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS na,
+                          CAST(sum(CASE WHEN pa <> 0 THEN cents ELSE 0 END)
+                               AS BIGINT) AS sb,
+                          CAST(sum(CASE WHEN pa <> 0 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS nb
+                   FROM (SELECT cents,
+                                ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 8))::BIGINT % 2 AS pa
+                         FROM u)),
+            obs AS (SELECT na + nb AS n_users,
+                           CASE WHEN na > 0 AND nb > 0 THEN
+                             CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) -
+                             CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) END
+                             AS t_obs
+                    FROM ob),
+            tr AS (SELECT b,
+                          CASE WHEN na > 0 AND nb > 0 THEN
+                            CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) -
+                            CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) END AS t
+                   FROM (SELECT b,
+                                CAST(sum(CASE WHEN pa = 0 THEN cents
+                                              ELSE 0 END) AS BIGINT) AS sa,
+                                CAST(sum(CASE WHEN pa = 0 THEN 1 ELSE 0 END)
+                                     AS BIGINT) AS na,
+                                CAST(sum(CASE WHEN pa <> 0 THEN cents
+                                              ELSE 0 END) AS BIGINT) AS sb,
+                                CAST(sum(CASE WHEN pa <> 0 THEN 1 ELSE 0 END)
+                                     AS BIGINT) AS nb
+                         FROM (SELECT cents, CAST(t.b AS INT) AS b,
+                                      ('0x' || substr(md5(
+                                         CAST(user_id AS VARCHAR) || ':' ||
+                                         CAST(CAST(t.b AS INT) AS VARCHAR)),
+                                         1, 8))::BIGINT % 2 AS pa
+                               FROM u, range(1, 201) t(b))
+                         GROUP BY 1)),
+            cmp AS (SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+                           CAST(sum(CASE WHEN abs(t) >= abs(t_obs)
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_extreme
+                    FROM tr, obs)
+         SELECT n_users,
+                (round(t_obs / 100.0, 4) + 0.0) AS t_obs_rev,
+                n_replicates, n_extreme,
+                CASE WHEN t_obs IS NOT NULL THEN
+                  (round(CAST(1 + n_extreme AS DOUBLE) /
+                         CAST(1 + n_replicates AS DOUBLE), 4) + 0.0) END
+                  AS p_value
+         FROM obs, cmp ORDER BY n_users""",
   )
 }

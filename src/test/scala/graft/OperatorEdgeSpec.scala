@@ -951,6 +951,16 @@ class OperatorEdgeSpec extends AnyFunSuite {
            r2.isNullAt(3), s"got $r2")
   }
 
+  test("permutation_test: single-user corpus reports NULL observed diff and p") {
+    val dir = tmpDir("perm_one")
+    writeEvents(dir, Seq(eventRow(1L, 100L, 1L, "view", 5.0)))
+    val r = graft.operators.TimeSeriesOps.permutationTest(spark, dir)
+      .collect().head
+    // one arm is always empty → T_obs NULL → p NULL; replicates still 200
+    assert(r.getLong(0) == 1L && r.isNullAt(1) && r.getLong(2) == 200L &&
+           r.getLong(3) == 0L && r.isNullAt(4), s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
