@@ -996,27 +996,40 @@ object WindowOps {
     val fp = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(min(struct(col("ts"), col("event_id"))).as("fpk"))
+    // checkpoint the filtered journey frame ONCE: the window pass and
+    // the direct-conversion anti-join both read it, and without the
+    // checkpoint each downstream consumer re-derives the fact-scale
+    // events⋈first-purchase join (4 plan forks cost ~8 s at sf0.1 —
+    // the q_heaps_law lesson at join scale)
     val j = ev.join(fp, Seq("user_id"), "left")
       .withColumn("conv", col("fpk").isNotNull)
       .filter(col("event_type") =!= "purchase" &&
               (col("fpk").isNull ||
                struct(col("ts"), col("event_id")) < col("fpk")))
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // ONE window pass emits every transition a row owns — the START
+    // edge (when it opens a journey) and its outgoing edge (to the
+    // next event, or to the CONV/NULL absorber when it closes one) —
+    // instead of three filtered re-reads of the windowed frame
     val seqd = j.withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
-    val mid = seqd.filter(col("next_type").isNotNull)
-      .select(col("event_type").as("f"), col("next_type").as("t"))
-    val startT = seqd.filter(col("prev_type").isNull)
-      .select(lit("__START__").as("f"), col("event_type").as("t"))
-    val endT = seqd.filter(col("next_type").isNull)
-      .select(col("event_type").as("f"),
-              when(col("conv"), lit("__CONV__")).otherwise(lit("__NULL__"))
-                .as("t"))
+    val pairRows = seqd.select(explode(expr(
+      """concat(
+           IF(prev_type IS NULL,
+              array(named_struct('f', '__START__', 't', event_type)),
+              slice(array(named_struct('f', '__START__', 't', event_type)),
+                    1, 0)),
+           array(named_struct('f', event_type,
+                              't', coalesce(next_type,
+                                            IF(conv, '__CONV__',
+                                               '__NULL__')))))""")).as("tr"))
+      .select(col("tr.f").as("f"), col("tr.t").as("t"))
     // converters whose ONLY events are purchases: START → CONV direct
     val directConv = fp
       .join(j.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
       .select(lit("__START__").as("f"), lit("__CONV__").as("t"))
-    val trans = mid.unionAll(startT).unionAll(endT).unionAll(directConv)
+    val trans = pairRows.unionAll(directConv)
       .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
     // channel ids 1..m by name order; START=0, CONV=m+1, NULL=m+2
     val channels = trans.select(col("f").as("stt"))
