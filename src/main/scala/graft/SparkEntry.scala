@@ -478,7 +478,10 @@ object SparkEntry {
     "q_kruskal_wallis" -> (TimeSeriesOps.kruskalWallis _),
     "q_tail_index" -> (TimeSeriesOps.tailIndex _),
     // r13 widening 14: assumption-free randomization inference
-    "q_permutation_test" -> (TimeSeriesOps.permutationTest _)
+    "q_permutation_test" -> (TimeSeriesOps.permutationTest _),
+    // r13 widening 15: control-chart rules, online drift detector
+    "q_control_chart" -> (TimeSeriesOps.controlChart _),
+    "q_page_hinkley" -> (TimeSeriesOps.pageHinkley _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2606,4 +2606,120 @@ object TimeSeriesOps {
             .as("p_value")),
       col("n_users"))
   }
+
+  /** q_control_chart — Western Electric control-chart rules over
+    * daily order revenue: per day the global z-score plus the four
+    * textbook signals — R1 one point beyond 3σ, R2 two of three
+    * beyond 2σ same side, R3 four of five beyond 1σ same side, R4
+    * eight consecutive on one side of center — the ops-monitoring
+    * sequel to q_anomaly (a single 3σ spike and a slow 8-day drift
+    * are DIFFERENT alarms; the rules name which fired).
+    *
+    * Determinism: center/σ come from exact decimal(38,0) global
+    * moments (cents² clears int64 — the q_bollinger idiom; DuckDB
+    * HUGEINT), z = (n·x − Σx)/√(n·Σx² − (Σx)²) is the q_zscore_scale
+    * spelled chain; every rule is an integer COUNT over a ROWS frame
+    * of indicators derived from the SAME z double, so the boolean
+    * outputs agree bit-for-bit; a zero-variance series NULLs z and
+    * reads all rules false on both engines.
+    *
+    * Scale shape: one daily rollup, one 1-row broadcast moment
+    * frame; the rule windows ride the calendar-bounded daily frame
+    * (q_moving_avg stance). */
+  def controlChart(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+        .as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val mom = daily.agg(count(lit(1)).as("n"),
+      sum(dec(col("cents"))).cast("decimal(38,0)").as("s1"),
+      sum(dec(col("cents")) * dec(col("cents"))).cast("decimal(38,0)").as("s2"))
+    val z = (dec(col("n")) * dec(col("cents")) - col("s1")).cast("double") /
+      nullif(sqrt((dec(col("n")) * col("s2") - col("s1") * col("s1"))
+                    .cast("double")), lit(0.0))
+    val zd = daily.crossJoin(broadcast(mom)).withColumn("z", z)
+    def w(k: Int) = Window.orderBy(col("day_num")).rowsBetween(-(k - 1), 0)
+    val flags = zd
+      .withColumn("r1", col("z") > 3.0 || col("z") < -3.0)
+      .withColumn("r2",
+        sum(when(col("z") > 2.0, 1).otherwise(0)).over(w(3)) >= 2 ||
+        sum(when(col("z") < -2.0, 1).otherwise(0)).over(w(3)) >= 2)
+      .withColumn("r3",
+        sum(when(col("z") > 1.0, 1).otherwise(0)).over(w(5)) >= 4 ||
+        sum(when(col("z") < -1.0, 1).otherwise(0)).over(w(5)) >= 4)
+      .withColumn("r4",
+        sum(when(col("z") > 0.0, 1).otherwise(0)).over(w(8)) === 8 ||
+        sum(when(col("z") < 0.0, 1).otherwise(0)).over(w(8)) === 8)
+    ord(
+      flags.select(col("day_num"),
+        r4(col("cents").cast("double") / 100.0).as("rev"),
+        r4(col("z")).as("z"),
+        coalesce(col("r1"), lit(false)).as("rule1"),
+        coalesce(col("r2"), lit(false)).as("rule2"),
+        coalesce(col("r3"), lit(false)).as("rule3"),
+        coalesce(col("r4"), lit(false)).as("rule4"),
+        coalesce(col("r1") || col("r2") || col("r3") || col("r4"),
+                 lit(false)).as("any_signal")),
+      col("day_num"))
+  }
+
+  /** q_page_hinkley — Page–Hinkley sequential drift detector over the
+    * GLOBALLY z-scored daily revenue series (δ = 0.05, λ = 10):
+    * mₜ = Σ(zᵢ − δ), PH = mₜ − min mₜ, alarm when PH first clears λ —
+    * the ONLINE upward-drift monitor beside q_cusum (which scores the
+    * whole series offline) and q_changepoint (which locates the best
+    * single split): PH answers "on which DAY would a live monitor
+    * have fired".
+    *
+    * Determinism: z feeds from exact decimal moments through the
+    * q_zscore_scale chain; the fold is SEQUENTIAL in day order
+    * (q_holt_winters machinery) with dyadic-free but identically-
+    * spelled accumulation; first-crossing day and the running min are
+    * part of the same ordered fold, so both engines agree exactly; a
+    * zero-variance series (NULL z) folds zero deviations and never
+    * fires.
+    *
+    * Scale shape: O(1) fold state over the calendar-bounded rollup —
+    * the q_kalman_filter shape plus one broadcast moment frame. */
+  def pageHinkley(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+        .as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val seq0 = daily.select(col("cents"),
+      row_number().over(Window.orderBy(col("day_num"))).cast("int").as("rn"))
+    val mom = daily.agg(count(lit(1)).as("n"),
+      sum(dec(col("cents"))).cast("decimal(38,0)").as("s1"),
+      sum(dec(col("cents")) * dec(col("cents"))).cast("decimal(38,0)").as("s2"))
+    val zExpr = "(CAST(n AS DOUBLE) * CAST(y.cents AS DOUBLE) - " +
+      "CAST(s1 AS DOUBLE)) / sq"
+    val folded = seq0
+      .agg(sort_array(collect_list(struct(col("rn"), col("cents")))).as("ys"))
+      .crossJoin(broadcast(mom))
+      .withColumn("sq", nullif(sqrt(
+        (dec(col("n")) * col("s2") - col("s1") * col("s1")).cast("double")),
+        lit(0.0)))
+      .withColumn("st", expr(
+        s"""aggregate(ys,
+              named_struct('mt', CAST(0.0 AS DOUBLE),
+                           'mn', CAST(0.0 AS DOUBLE),
+                           'det', 0),
+              (acc, y) -> named_struct(
+                'mt', acc.mt + ($zExpr - 0.05D),
+                'mn', LEAST(acc.mn, acc.mt + ($zExpr - 0.05D)),
+                'det', IF(acc.det = 0 AND
+                          acc.mt + ($zExpr - 0.05D) -
+                          LEAST(acc.mn, acc.mt + ($zExpr - 0.05D)) > 10.0D,
+                          y.rn, acc.det)))"""))
+    ord(
+      folded.select(
+        size(col("ys")).cast("long").as("n_days"),
+        when(col("sq") > 0.0, r4(col("st.mt") - col("st.mn"))).as("ph_stat"),
+        (col("sq") > 0.0 && col("st.det") > 0).as("detected"),
+        when(col("st.det") > 0 && col("sq") > 0.0, col("st.det"))
+          .as("detect_day_rank")),
+      col("n_days"))
+  }
 }

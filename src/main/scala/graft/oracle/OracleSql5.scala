@@ -2148,5 +2148,114 @@ private[graft] object OracleSql5 {
                          CAST(1 + n_replicates AS DOUBLE), 4) + 0.0) END
                   AS p_value
          FROM obs, cmp ORDER BY n_users""",
+    "q_control_chart" ->
+      // Western Electric rules on the globally z-scored daily series:
+      // HUGEINT moments, q_zscore_scale z chain, integer indicator
+      // counts over ROWS frames; zero variance → NULL z, all false
+      """WITH daily AS (
+           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+            mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s1,
+                           CAST(sum(CAST(cents AS HUGEINT) *
+                                    CAST(cents AS HUGEINT)) AS HUGEINT) AS s2
+                    FROM daily),
+            zd AS (SELECT day_num, cents,
+                          CAST(CAST(n AS HUGEINT) * CAST(cents AS HUGEINT)
+                               - s1 AS DOUBLE) /
+                          nullif(sqrt(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1
+                                           AS DOUBLE)), 0.0) AS z
+                   FROM daily, mom),
+            fl AS (SELECT day_num, cents, z,
+                          (z > 3.0 OR z < -3.0) AS r1,
+                          (sum(CASE WHEN z > 2.0 THEN 1 ELSE 0 END)
+                             OVER w3 >= 2 OR
+                           sum(CASE WHEN z < -2.0 THEN 1 ELSE 0 END)
+                             OVER w3 >= 2) AS r2,
+                          (sum(CASE WHEN z > 1.0 THEN 1 ELSE 0 END)
+                             OVER w5 >= 4 OR
+                           sum(CASE WHEN z < -1.0 THEN 1 ELSE 0 END)
+                             OVER w5 >= 4) AS r3,
+                          (sum(CASE WHEN z > 0.0 THEN 1 ELSE 0 END)
+                             OVER w8 = 8 OR
+                           sum(CASE WHEN z < 0.0 THEN 1 ELSE 0 END)
+                             OVER w8 = 8) AS r4
+                   FROM zd
+                   WINDOW w3 AS (ORDER BY day_num ROWS BETWEEN 2 PRECEDING
+                                 AND CURRENT ROW),
+                          w5 AS (ORDER BY day_num ROWS BETWEEN 4 PRECEDING
+                                 AND CURRENT ROW),
+                          w8 AS (ORDER BY day_num ROWS BETWEEN 7 PRECEDING
+                                 AND CURRENT ROW))
+         SELECT day_num,
+                (round(CAST(cents AS DOUBLE) / 100.0, 4) + 0.0) AS rev,
+                (round(z, 4) + 0.0) AS z,
+                coalesce(r1, false) AS rule1,
+                coalesce(r2, false) AS rule2,
+                coalesce(r3, false) AS rule3,
+                coalesce(r4, false) AS rule4,
+                coalesce(r1 OR r2 OR r3 OR r4, false) AS any_signal
+         FROM fl ORDER BY day_num""",
+    "q_page_hinkley" ->
+      // PH drift fold replayed as a recursive CTE over the z-scored
+      // series; first-crossing day and running min ride the same
+      // ordered recursion
+      """WITH RECURSIVE daily AS (
+           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         seq AS (SELECT cents,
+                        CAST(row_number() OVER (ORDER BY day_num) AS INT)
+                          AS rn
+                 FROM daily),
+         mx AS (SELECT max(rn) AS n_days FROM seq),
+         mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s1,
+                        CAST(sum(CAST(cents AS HUGEINT) *
+                                 CAST(cents AS HUGEINT)) AS HUGEINT) AS s2
+                 FROM daily),
+         sqv AS (SELECT nullif(sqrt(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1
+                                         AS DOUBLE)), 0.0) AS sq
+                 FROM mom),
+         rec AS (
+           SELECT 0 AS rn, CAST(0.0 AS DOUBLE) AS mt,
+                  CAST(0.0 AS DOUBLE) AS mn, 0 AS det
+           UNION ALL
+           SELECT s.rn,
+                  r.mt + (((CAST(m.n AS DOUBLE) * CAST(s.cents AS DOUBLE) -
+                            CAST(m.s1 AS DOUBLE)) / v.sq) -
+                          CAST(0.05 AS DOUBLE)),
+                  least(r.mn,
+                        r.mt + (((CAST(m.n AS DOUBLE) *
+                                  CAST(s.cents AS DOUBLE) -
+                                  CAST(m.s1 AS DOUBLE)) / v.sq) -
+                                CAST(0.05 AS DOUBLE))),
+                  CASE WHEN r.det = 0 AND
+                            r.mt + (((CAST(m.n AS DOUBLE) *
+                                      CAST(s.cents AS DOUBLE) -
+                                      CAST(m.s1 AS DOUBLE)) / v.sq) -
+                                    CAST(0.05 AS DOUBLE)) -
+                            least(r.mn,
+                                  r.mt + (((CAST(m.n AS DOUBLE) *
+                                            CAST(s.cents AS DOUBLE) -
+                                            CAST(m.s1 AS DOUBLE)) / v.sq) -
+                                          CAST(0.05 AS DOUBLE))) >
+                            CAST(10.0 AS DOUBLE)
+                       THEN s.rn ELSE r.det END
+           FROM rec r JOIN seq s ON s.rn = r.rn + 1, mom m, sqv v),
+         fin AS (SELECT r.*, mx.n_days, v.sq FROM rec r, mx, sqv v
+                 WHERE r.rn = mx.n_days)
+         SELECT CAST(n_days AS BIGINT) AS n_days,
+                CASE WHEN sq > 0.0 THEN (round(mt - mn, 4) + 0.0) END
+                  AS ph_stat,
+                (sq > 0.0 AND det > 0) AS detected,
+                CASE WHEN det > 0 AND sq > 0.0 THEN det END
+                  AS detect_day_rank
+         FROM fin ORDER BY n_days""",
   )
 }

@@ -961,6 +961,61 @@ class OperatorEdgeSpec extends AnyFunSuite {
            r.getLong(3) == 0L && r.isNullAt(4), s"got $r")
   }
 
+  test("control_chart: planted spike fires rule 1; steady run below center fires rule 4") {
+    val dir = tmpDir("cc_spike")
+    writeTable(dir, "orders", Schemas.orders,
+      (1 to 30).map(i => Row(i.toLong, 1L, "O", 5.0,
+        java.sql.Timestamp.valueOf(f"1995-01-$i%02d 00:00:00"), "1")) :+
+      Row(31L, 1L, "O", 50.0,
+        java.sql.Timestamp.valueOf("1995-01-31 00:00:00"), "1"))
+    val out = graft.operators.TimeSeriesOps.controlChart(spark, dir).collect()
+    assert(out.length == 31)
+    val spike = out.last
+    // z_spike = 135000/√6.075e8 ≈ 5.48 → rule1; it breaks the
+    // below-center run so rule4 is false on that day
+    assert(spike.getBoolean(3) && !spike.getBoolean(6), s"got $spike")
+    assert(!out(0).getBoolean(7), "day 1 must be quiet")
+    assert(out(9).getBoolean(6), "day 10 ends 8 consecutive below center")
+  }
+
+  test("control_chart: flat series reads NULL z and no signals") {
+    val dir = tmpDir("cc_flat")
+    writeTable(dir, "orders", Schemas.orders, (1 to 10).map { i =>
+      Row(i.toLong, 1L, "O", 5.0,
+          java.sql.Timestamp.valueOf(f"1995-01-$i%02d 00:00:00"), "1")
+    })
+    val out = graft.operators.TimeSeriesOps.controlChart(spark, dir).collect()
+    assert(out.forall(r => r.isNullAt(2) && !r.getBoolean(7)), s"got ${out.toSeq}")
+  }
+
+  test("page_hinkley: level step is detected after the shift, flat series never fires") {
+    val dir = tmpDir("ph_step")
+    writeTable(dir, "orders", Schemas.orders,
+      (0 until 40).map { i =>
+        Row(i.toLong + 1, 1L, "O", if (i < 20) 1.0 else 100.0,
+            java.sql.Timestamp.valueOf(
+              java.time.LocalDateTime.of(1995, 1, 1, 0, 0)
+                .plusDays(i).format(java.time.format.DateTimeFormatter
+                  .ofPattern("yyyy-MM-dd HH:mm:ss"))), "1")
+      })
+    val r = graft.operators.TimeSeriesOps.pageHinkley(spark, dir)
+      .collect().head
+    assert(r.getLong(0) == 40L && r.getBoolean(2), s"got $r")
+    val rank = r.getInt(3)
+    assert(rank > 20 && rank <= 40, s"must fire after the shift: $r")
+    assert(r.getDouble(1) > 10.0, s"got $r")
+
+    val dir2 = tmpDir("ph_flat")
+    writeTable(dir2, "orders", Schemas.orders, (1 to 10).map { i =>
+      Row(i.toLong, 1L, "O", 5.0,
+          java.sql.Timestamp.valueOf(f"1995-01-$i%02d 00:00:00"), "1")
+    })
+    val r2 = graft.operators.TimeSeriesOps.pageHinkley(spark, dir2)
+      .collect().head
+    assert(r2.getLong(0) == 10L && r2.isNullAt(1) && !r2.getBoolean(2) &&
+           r2.isNullAt(3), s"got $r2")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(

@@ -108,6 +108,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // rollup (q_mann_whitney stance); q_tail_index's row_number orders
     // the post-TakeOrdered(101) frame (q_zipf precedent)
     "q_kruskal_wallis", "q_tail_index",
+    // q_control_chart's rule windows and q_page_hinkley's rank ride
+    // the calendar-bounded daily rollup (q_rsi / q_holt_winters)
+    "q_control_chart", "q_page_hinkley",
     // q_attribution_markov's channel-id row_number orders the
     // |channel-vocabulary| frame (≤ a handful of event types)
     "q_attribution_markov")
