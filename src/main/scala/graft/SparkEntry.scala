@@ -481,7 +481,10 @@ object SparkEntry {
     "q_permutation_test" -> (TimeSeriesOps.permutationTest _),
     // r13 widening 15: control-chart rules, online drift detector
     "q_control_chart" -> (TimeSeriesOps.controlChart _),
-    "q_page_hinkley" -> (TimeSeriesOps.pageHinkley _)
+    "q_page_hinkley" -> (TimeSeriesOps.pageHinkley _),
+    // r13 widening 16: effect-measure CI, population estimation
+    "q_odds_ratio" -> (TimeSeriesOps.oddsRatio _),
+    "q_capture_recapture" -> (TimeSeriesOps.captureRecapture _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2722,4 +2722,92 @@ object TimeSeriesOps {
           .as("detect_day_rank")),
       col("n_days"))
   }
+
+  /** q_odds_ratio — odds ratio of 24 h conversion between the
+    * md5-parity arms with the Woolf 95% CI: OR = (a·d)/(b·c),
+    * CI = exp(ln OR ± 1.96·√(1/a + 1/b + 1/c + 1/d)) — the effect
+    * measure q_ab_test's rate difference can't give when base rates
+    * differ (OR is what meta-analyses and logistic models speak), CI
+    * included so "significant" is read off one row.
+    *
+    * Determinism: the 2×2 cells are exact int64 under the q_ab_test
+    * conversion rule; OR / ln OR / SE / bounds are ONE identically-
+    * spelled chain, each r4'd once; any empty cell NULLs the whole
+    * readout via nullif (the standard OR failure mode, surfaced not
+    * patched — no 0.5 continuity fudge that would bake a convention
+    * into the engine).
+    *
+    * Scale shape: one per-user rollup (partial-aggregable), one
+    * 4-cell fold — the q_ab_test shape. */
+  def oddsRatio(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(epochSec(col("ts"))).as("first_sec"),
+           min(when(col("event_type") === "purchase", epochSec(col("ts"))))
+             .as("first_purch"))
+      .withColumn("conv",
+        when(col("first_purch").isNotNull &&
+             col("first_purch") - col("first_sec") <= 86400, 1L).otherwise(0L))
+      .withColumn("pa",
+        expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) % 2"))
+    val cells = users.agg(
+      sum(when(col("pa") === 0 && col("conv") === 1L, 1L).otherwise(0L)).as("a"),
+      sum(when(col("pa") === 0 && col("conv") === 0L, 1L).otherwise(0L)).as("b"),
+      sum(when(col("pa") =!= 0 && col("conv") === 1L, 1L).otherwise(0L)).as("c"),
+      sum(when(col("pa") =!= 0 && col("conv") === 0L, 1L).otherwise(0L)).as("d"))
+    val orr = (col("a").cast("double") * col("d").cast("double")) /
+      nullif(col("b").cast("double") * col("c").cast("double"), lit(0.0))
+    val se = sqrt(lit(1.0) / nullif(col("a").cast("double"), lit(0.0)) +
+                  lit(1.0) / nullif(col("b").cast("double"), lit(0.0)) +
+                  lit(1.0) / nullif(col("c").cast("double"), lit(0.0)) +
+                  lit(1.0) / nullif(col("d").cast("double"), lit(0.0)))
+    ord(
+      cells.select(col("a"), col("b"), col("c"), col("d"),
+        r4(orr).as("odds_ratio"),
+        r4(exp(log(orr) - lit(1.96) * se)).as("ci_lo"),
+        r4(exp(log(orr) + lit(1.96) * se)).as("ci_hi")),
+      col("a"))
+  }
+
+  /** q_capture_recapture — Lincoln–Petersen / Chapman estimate of the
+    * TRUE user population from two SINGLE-DAY censuses (the stream's
+    * first and second observed day): N̂ = n₁·n₂/m (and Chapman's
+    * bias-corrected (n₁+1)(n₂+1)/(m+1) − 1) — "how many users exist
+    * that neither snapshot saw", the ecology estimator that recovers
+    * the monthly population from two daily looks; n_observed (the
+    * full stream's distinct users) rides along as the ground the
+    * estimate is judged against. Day-level occasions are the point:
+    * calendar-half sets are saturated (every user appears in both),
+    * which reads "census complete" and estimates nothing.
+    *
+    * Determinism: the occasions are exact integer days (min day and
+    * min day + 1); n₁/n₂/overlap are exact int64; both estimators
+    * are ONE division of exact products (≤ n² ≈ 10¹⁴ at 10×), r4'd;
+    * zero overlap NULLs Lincoln–Petersen via nullif while Chapman
+    * stays finite (its whole point — spelled on both engines).
+    *
+    * Scale shape: one per-user rollup with two indicator maxes — a
+    * single partial-aggregable shuffle on user_id; the 1-row
+    * estimate frame ends it. */
+  def captureRecapture(s: SparkSession, d: String): DataFrame = {
+    val d0 = Tables.events(s, d)
+      .select(col("user_id"),
+              expr("unix_timestamp(ts) DIV 86400").as("day"))
+    val b = d0.agg(min(col("day")).as("mn"))
+    val per = d0.crossJoin(broadcast(b)).groupBy(col("user_id"))
+      .agg(max(when(col("day") === col("mn"), 1L).otherwise(0L)).as("in1"),
+           max(when(col("day") === col("mn") + 1L, 1L).otherwise(0L))
+             .as("in2"))
+    val t = per.agg(sum(col("in1")).as("n1"), sum(col("in2")).as("n2"),
+                    sum(col("in1") * col("in2")).as("m"),
+                    count(lit(1)).as("n_observed"))
+    ord(
+      t.select(col("n1"), col("n2"), col("m").as("overlap"),
+        col("n_observed"),
+        r4((col("n1") * col("n2")).cast("double") /
+           nullif(col("m").cast("double"), lit(0.0))).as("n_lincoln"),
+        r4(((col("n1") + 1L) * (col("n2") + 1L)).cast("double") /
+           (col("m") + 1L).cast("double") - lit(1.0)).as("n_chapman")),
+      col("n1"))
+  }
 }

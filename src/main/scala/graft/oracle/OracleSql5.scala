@@ -2257,5 +2257,69 @@ private[graft] object OracleSql5 {
                 CASE WHEN det > 0 AND sq > 0.0 THEN det END
                   AS detect_day_rank
          FROM fin ORDER BY n_days""",
+    "q_odds_ratio" ->
+      // 2x2 odds ratio with Woolf CI under the q_ab_test conversion
+      // rule; empty cells NULL the readout via nullif (no continuity
+      // fudge)
+      """WITH u AS (SELECT user_id,
+                           min(epoch_us(ts::TIMESTAMP)//1000000) AS fs,
+                           min(CASE WHEN event_type = 'purchase'
+                                    THEN epoch_us(ts::TIMESTAMP)//1000000
+                               END) AS fp
+                    FROM events GROUP BY 1),
+            uc AS (SELECT CASE WHEN fp IS NOT NULL AND fp - fs <= 86400
+                               THEN 1 ELSE 0 END AS conv,
+                          ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                          1, 8))::BIGINT % 2 AS pa
+                   FROM u),
+            cells AS (SELECT
+                CAST(sum(CASE WHEN pa = 0 AND conv = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS a,
+                CAST(sum(CASE WHEN pa = 0 AND conv = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS b,
+                CAST(sum(CASE WHEN pa <> 0 AND conv = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c,
+                CAST(sum(CASE WHEN pa <> 0 AND conv = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS d
+                      FROM uc),
+            fr AS (SELECT a, b, c, d,
+                          CAST(a AS DOUBLE) * CAST(d AS DOUBLE) /
+                          nullif(CAST(b AS DOUBLE) * CAST(c AS DOUBLE), 0.0)
+                            AS orr,
+                          sqrt(1.0 / nullif(CAST(a AS DOUBLE), 0.0) +
+                               1.0 / nullif(CAST(b AS DOUBLE), 0.0) +
+                               1.0 / nullif(CAST(c AS DOUBLE), 0.0) +
+                               1.0 / nullif(CAST(d AS DOUBLE), 0.0)) AS se
+                   FROM cells)
+         SELECT a, b, c, d,
+                (round(orr, 4) + 0.0) AS odds_ratio,
+                (round(exp(ln(orr) - 1.96 * se), 4) + 0.0) AS ci_lo,
+                (round(exp(ln(orr) + 1.96 * se), 4) + 0.0) AS ci_hi
+         FROM fr ORDER BY a""",
+    "q_capture_recapture" ->
+      // Lincoln-Petersen / Chapman population estimate from the
+      // stream's first two observed DAYS as capture occasions
+      // (calendar halves saturate); exact counts, one division each
+      """WITH d0 AS (SELECT user_id,
+                            epoch_us(ts::TIMESTAMP)//1000000//86400 AS day
+                     FROM events),
+            b AS (SELECT min(day) AS mn FROM d0),
+            per AS (SELECT user_id,
+                           max(CASE WHEN day = mn THEN 1 ELSE 0 END) AS in1,
+                           max(CASE WHEN day = mn + 1 THEN 1 ELSE 0 END)
+                             AS in2
+                    FROM d0, b GROUP BY 1),
+            t AS (SELECT CAST(sum(in1) AS BIGINT) AS n1,
+                         CAST(sum(in2) AS BIGINT) AS n2,
+                         CAST(sum(in1 * in2) AS BIGINT) AS m,
+                         CAST(count(*) AS BIGINT) AS n_observed
+                  FROM per)
+         SELECT n1, n2, m AS overlap, n_observed,
+                (round(CAST(n1 * n2 AS DOUBLE) /
+                       nullif(CAST(m AS DOUBLE), 0.0), 4) + 0.0)
+                  AS n_lincoln,
+                (round(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) /
+                       CAST(m + 1 AS DOUBLE) - 1.0, 4) + 0.0) AS n_chapman
+         FROM t ORDER BY n1""",
   )
 }

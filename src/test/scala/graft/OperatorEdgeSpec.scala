@@ -1016,6 +1016,40 @@ class OperatorEdgeSpec extends AnyFunSuite {
            r2.isNullAt(3), s"got $r2")
   }
 
+  test("odds_ratio: balanced 2x2 reads OR 1 with the Woolf CI") {
+    val dir = tmpDir("or")
+    // md5 parity: users 1,3 → arm A; 2,4 → arm B. One converter per
+    // arm (purchase at first event), one non-converter per arm.
+    writeEvents(dir, Seq(
+      eventRow(1L, 100L, 1L, "purchase", 1.0),
+      eventRow(2L, 100L, 3L, "view", 0.0),
+      eventRow(3L, 100L, 2L, "purchase", 1.0),
+      eventRow(4L, 100L, 4L, "view", 0.0)))
+    val r = graft.operators.TimeSeriesOps.oddsRatio(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5), r.getDouble(6)) ==
+           ((1L, 1L, 1L, 1L, 1.0, 0.0198, 50.4004)), s"got $r")
+  }
+
+  test("capture_recapture: hand-computed Lincoln and Chapman estimates") {
+    val dir = tmpDir("capre")
+    val day = 86400L
+    // day 0 census {1,2,3}; day 1 census {2,3,4}; user 5 seen day 5 only
+    writeEvents(dir, Seq(
+      eventRow(1L, 10L, 1L, "view", 0.0), eventRow(2L, 20L, 2L, "view", 0.0),
+      eventRow(3L, 30L, 3L, "view", 0.0),
+      eventRow(4L, day + 10L, 2L, "view", 0.0),
+      eventRow(5L, day + 20L, 3L, "view", 0.0),
+      eventRow(6L, day + 30L, 4L, "view", 0.0),
+      eventRow(7L, 5 * day, 5L, "view", 0.0)))
+    val r = graft.operators.TimeSeriesOps.captureRecapture(spark, dir)
+      .collect().head
+    // n1=3, n2=3, m=2 → Lincoln 9/2 = 4.5, Chapman 16/3 − 1 = 4.3333
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5)) ==
+           ((3L, 3L, 2L, 5L, 4.5, 4.3333)), s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
