@@ -484,7 +484,10 @@ object SparkEntry {
     "q_page_hinkley" -> (TimeSeriesOps.pageHinkley _),
     // r13 widening 16: effect-measure CI, population estimation
     "q_odds_ratio" -> (TimeSeriesOps.oddsRatio _),
-    "q_capture_recapture" -> (TimeSeriesOps.captureRecapture _)
+    "q_capture_recapture" -> (TimeSeriesOps.captureRecapture _),
+    // r13 widening 17: randomness gates (runs, turning points)
+    "q_runs_test" -> (TimeSeriesOps.runsTest _),
+    "q_turning_points" -> (TimeSeriesOps.turningPoints _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

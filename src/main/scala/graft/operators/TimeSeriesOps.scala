@@ -2810,4 +2810,92 @@ object TimeSeriesOps {
            (col("m") + 1L).cast("double") - lit(1.0)).as("n_chapman")),
       col("n1"))
   }
+
+  /** q_runs_test — Wald–Wolfowitz runs test of the daily revenue
+    * series against its own median: count the runs of
+    * above/below-median days, compare to the exact null moments
+    * μ = 2n₁n₂/n + 1, σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)) — the
+    * assumption-free "is this series even random" gate the rest of
+    * the ts family implicitly needs (q_hurst grades memory strength;
+    * the runs test says whether zero-memory is already rejected).
+    *
+    * Determinism: the series median of int64 cents is dyadic, so the
+    * above/below classification compares 2·cents to the EXACT int
+    * 2·med (q_brown_forsythe idiom) and equal-to-median days are
+    * excluded (the textbook rule, spelled identically); runs/n₁/n₂
+    * are exact int64 (2n₁n₂ ≤ n² ≈ 10⁷ — far inside range); μ/σ/z
+    * are one spelled chain, z NULL via nullif on a one-sided series.
+    *
+    * Scale shape: one daily rollup, one 1-row median frame
+    * broadcast, one lag over the calendar-bounded filtered frame. */
+  def runsTest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+        .as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val med = daily.agg(
+      expr("cast(round(2 * percentile(cents, 0.5D)) as bigint)").as("m2"))
+    val cls = daily.crossJoin(broadcast(med))
+      .filter(lit(2L) * col("cents") =!= col("m2"))
+      .select(col("day_num"),
+        when(lit(2L) * col("cents") > col("m2"), 1).otherwise(0).as("s"))
+    val runs = cls
+      .withColumn("prev", lag(col("s"), 1).over(Window.orderBy(col("day_num"))))
+      .agg(count(lit(1)).as("n"),
+           sum(col("s").cast("long")).as("n1"),
+           sum(when(col("prev").isNull || col("s") =!= col("prev"), 1L)
+                 .otherwise(0L)).as("r"))
+    val n1 = col("n1").cast("double")
+    val n2 = (col("n") - col("n1")).cast("double")
+    val nd = col("n").cast("double")
+    val mu = lit(2.0) * n1 * n2 / nd + 1.0
+    val sg = sqrt(lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nd) /
+                  (nd * nd * (nd - 1.0)))
+    ord(
+      runs.select(col("n").as("n_days_used"),
+        col("n1").as("n_above"), (col("n") - col("n1")).as("n_below"),
+        col("r").as("n_runs"),
+        r4(mu).as("expected_runs"),
+        r4((col("r").cast("double") - mu) / nullif(sg, lit(0.0))).as("z")),
+      col("n_days_used"))
+  }
+
+  /** q_turning_points — turning-point test of the daily revenue
+    * series: count strict local maxima/minima, compare to the exact
+    * null moments E = 2(n−2)/3, Var = (16n − 29)/90 — the
+    * second randomness gate (the runs test sees level persistence;
+    * this sees local oscillation — too FEW turns = trend, too MANY =
+    * negative autocorrelation).
+    *
+    * Determinism: turning points are strict integer comparisons on
+    * exact cents via lag/lead — ties produce no turn on either
+    * engine; T and n are exact int64; E/Var/z one spelled chain,
+    * NULL z below n = 3 via nullif.
+    *
+    * Scale shape: one daily rollup, one lag/lead window over the
+    * calendar-bounded frame, one 1-row fold. */
+  def turningPoints(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+        .as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("day_num"))
+    val t = daily
+      .withColumn("p", lag(col("cents"), 1).over(w))
+      .withColumn("x", lead(col("cents"), 1).over(w))
+      .agg(count(lit(1)).as("n"),
+           sum(when((col("p") < col("cents") && col("cents") > col("x")) ||
+                    (col("p") > col("cents") && col("cents") < col("x")),
+                    1L).otherwise(0L)).as("t"))
+    val nd = col("n").cast("double")
+    val e = lit(2.0) * (nd - 2.0) / 3.0
+    val v = (lit(16.0) * nd - 29.0) / 90.0
+    ord(
+      t.select(col("n").as("n_days"), col("t").as("n_turning"),
+        when(col("n") >= 3, r4(e)).as("expected_turning"),
+        when(col("n") >= 3,
+          r4((col("t").cast("double") - e) / nullif(sqrt(v), lit(0.0))))
+          .as("z")),
+      col("n_days"))
+  }
 }

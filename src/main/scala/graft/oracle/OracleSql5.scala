@@ -2321,5 +2321,71 @@ private[graft] object OracleSql5 {
                 (round(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) /
                        CAST(m + 1 AS DOUBLE) - 1.0, 4) + 0.0) AS n_chapman
          FROM t ORDER BY n1""",
+    "q_runs_test" ->
+      // Wald-Wolfowitz runs vs the series median: dyadic median → 2·med
+      // exact int, equal days excluded, exact run/side counts, one chain
+      """WITH daily AS (
+           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+            med AS (SELECT CAST(round(2 * median(cents)) AS BIGINT) AS m2
+                    FROM daily),
+            cls AS (SELECT day_num,
+                           CASE WHEN 2 * cents > m2 THEN 1 ELSE 0 END AS s
+                    FROM daily, med WHERE 2 * cents <> m2),
+            lg AS (SELECT s, lag(s, 1) OVER (ORDER BY day_num) AS prev
+                   FROM cls),
+            rt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(s) AS BIGINT) AS n1,
+                          CAST(sum(CASE WHEN prev IS NULL OR s <> prev
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS r
+                   FROM lg)
+         SELECT n AS n_days_used, n1 AS n_above, n - n1 AS n_below,
+                r AS n_runs,
+                (round(2.0 * CAST(n1 AS DOUBLE) *
+                         CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE) + 1.0,
+                       4) + 0.0) AS expected_runs,
+                (round((CAST(r AS DOUBLE) -
+                        (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) /
+                         CAST(n AS DOUBLE) + 1.0)) /
+                       nullif(sqrt(2.0 * CAST(n1 AS DOUBLE) *
+                                   CAST(n - n1 AS DOUBLE) *
+                                   (2.0 * CAST(n1 AS DOUBLE) *
+                                    CAST(n - n1 AS DOUBLE) -
+                                    CAST(n AS DOUBLE)) /
+                                   (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+                                    (CAST(n AS DOUBLE) - 1.0))), 0.0),
+                       4) + 0.0) AS z
+         FROM rt ORDER BY n_days_used""",
+    "q_turning_points" ->
+      // turning-point randomness test: strict integer lag/lead
+      // comparisons, exact T, closed-form null moments
+      """WITH daily AS (
+           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         lg AS (SELECT cents,
+                       lag(cents, 1) OVER (ORDER BY day_num) AS p,
+                       lead(cents, 1) OVER (ORDER BY day_num) AS x
+                FROM daily),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN (p < cents AND cents > x) OR
+                                         (p > cents AND cents < x)
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS t
+               FROM lg)
+         SELECT n AS n_days, t AS n_turning,
+                CASE WHEN n >= 3 THEN
+                  (round(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0, 4) + 0.0)
+                END AS expected_turning,
+                CASE WHEN n >= 3 THEN
+                  (round((CAST(t AS DOUBLE) -
+                          2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0) /
+                         nullif(sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) /
+                                     90.0), 0.0), 4) + 0.0) END AS z
+         FROM t ORDER BY n_days""",
   )
 }

@@ -1050,6 +1050,32 @@ class OperatorEdgeSpec extends AnyFunSuite {
            ((3L, 3L, 2L, 5L, 4.5, 4.3333)), s"got $r")
   }
 
+  test("runs_test: alternating series maximizes runs, hand-computed z") {
+    val dir = tmpDir("runs")
+    writeTable(dir, "orders", Schemas.orders, (0 until 6).map { i =>
+      Row(i.toLong + 1, 1L, "O", if (i % 2 == 0) 1.0 else 3.0,
+          java.sql.Timestamp.valueOf(f"1995-01-${i + 1}%02d 00:00:00"), "1")
+    })
+    val r = graft.operators.TimeSeriesOps.runsTest(spark, dir).collect().head
+    // median 2 → sides 3/3, runs 6; mu = 4, sigma = √1.2 → z = 1.8257
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5)) ==
+           ((6L, 3L, 3L, 6L, 4.0, 1.8257)), s"got $r")
+  }
+
+  test("turning_points: sawtooth turns at every interior day") {
+    val dir = tmpDir("tp")
+    writeTable(dir, "orders", Schemas.orders, (0 until 5).map { i =>
+      Row(i.toLong + 1, 1L, "O", if (i % 2 == 0) 1.0 else 3.0,
+          java.sql.Timestamp.valueOf(f"1995-01-${i + 1}%02d 00:00:00"), "1")
+    })
+    val r = graft.operators.TimeSeriesOps.turningPoints(spark, dir)
+      .collect().head
+    // T = 3 of E = 2, Var = 51/90 → z = 1.3284
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+           ((5L, 3L, 2.0, 1.3284)), s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(

@@ -111,6 +111,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_control_chart's rule windows and q_page_hinkley's rank ride
     // the calendar-bounded daily rollup (q_rsi / q_holt_winters)
     "q_control_chart", "q_page_hinkley",
+    // q_runs_test's lag and q_turning_points' lag/lead ride the same
+    // calendar-bounded daily rollup
+    "q_runs_test", "q_turning_points",
     // q_attribution_markov's channel-id row_number orders the
     // |channel-vocabulary| frame (≤ a handful of event types)
     "q_attribution_markov")
