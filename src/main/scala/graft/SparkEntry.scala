@@ -487,7 +487,9 @@ object SparkEntry {
     "q_capture_recapture" -> (TimeSeriesOps.captureRecapture _),
     // r13 widening 17: randomness gates (runs, turning points)
     "q_runs_test" -> (TimeSeriesOps.runsTest _),
-    "q_turning_points" -> (TimeSeriesOps.turningPoints _)
+    "q_turning_points" -> (TimeSeriesOps.turningPoints _),
+    // r13 widening 18: fifth SQL-surface twin (ranking windows)
+    "q_sql_window_rank" -> (R.sqlWindowRank _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -471,6 +471,29 @@ object RelationalOps {
               ORDER BY user_id, sid""")
   }
 
+  /** q_sql_window_rank — q_window_rank's exact semantics (per-customer
+    * top order by the three ranking functions) submitted as LITERAL
+    * SQL TEXT through `spark.sql`: the fifth gated SQL-surface row,
+    * covering the WINDOW-function path (q_sql_pricing proves
+    * aggregates, q_sql_join_multiway joins, q_sql_sessionize the
+    * bucketed store, q_sql_report_dated partition pruning — ranking
+    * windows were the remaining front-end class a SQL-writing user
+    * exercises daily). PlanSpec asserts the canonicalized optimized
+    * plan EQUALS the DataFrame twin's, so the surfaces cannot
+    * silently diverge in shape. */
+  def sqlWindowRank(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_sql_orders")
+    s.sql("""SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk
+             FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                          row_number() OVER w AS rn, rank() OVER w AS rk,
+                          dense_rank() OVER w AS drk
+                   FROM graft_sql_orders
+                   WINDOW w AS (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)) t
+             WHERE rn = 1
+             ORDER BY o_custkey""")
+  }
+
   def skyline(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = Tables.part(s, d)

@@ -2387,5 +2387,18 @@ private[graft] object OracleSql5 {
                          nullif(sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) /
                                      90.0), 0.0), 4) + 0.0) END AS z
          FROM t ORDER BY n_days""",
+    "q_sql_window_rank" ->
+      // identical semantics to q_window_rank (the SQL-surface twin is
+      // checked for PLAN equality in PlanSpec; the oracle is the same)
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(rn AS INT) AS rn, CAST(rk AS INT) AS rk,
+                CAST(drk AS INT) AS drk
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER w AS rn, rank() OVER w AS rk,
+                      dense_rank() OVER w AS drk
+               FROM orders
+               WINDOW w AS (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey)) t
+         WHERE rn = 1 ORDER BY o_custkey""",
   )
 }

@@ -293,7 +293,10 @@ class PlanSpec extends AnyFunSuite {
          graft.operators.WindowOps.sessionize(spark, sf0001)),
       "report_dated" ->
         (R.sqlReportDated(spark, sf0001),
-         graft.operators.WindowOps.sessionReportDated(spark, sf0001)))
+         graft.operators.WindowOps.sessionReportDated(spark, sf0001)),
+      "window_rank" ->
+        (R.sqlWindowRank(spark, sf0001),
+         graft.operators.WindowOps.windowRank(spark, sf0001)))
     for ((name, (sqlDf, dfDf)) <- pairs) {
       val a = sqlDf.queryExecution.optimizedPlan.canonicalized.toString
       val b = dfDf.queryExecution.optimizedPlan.canonicalized.toString
