@@ -489,7 +489,10 @@ object SparkEntry {
     "q_runs_test" -> (TimeSeriesOps.runsTest _),
     "q_turning_points" -> (TimeSeriesOps.turningPoints _),
     // r13 widening 18: fifth SQL-surface twin (ranking windows)
-    "q_sql_window_rank" -> (R.sqlWindowRank _)
+    "q_sql_window_rank" -> (R.sqlWindowRank _),
+    // r13 widening 19: risk pair, continuous effect size
+    "q_value_at_risk" -> (TimeSeriesOps.valueAtRisk _),
+    "q_cohens_d" -> (TimeSeriesOps.cohensD _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

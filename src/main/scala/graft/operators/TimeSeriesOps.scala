@@ -2898,4 +2898,102 @@ object TimeSeriesOps {
           .as("z")),
       col("n_days"))
   }
+
+  /** q_value_at_risk — historical VaR₉₅ and expected shortfall of the
+    * DAILY REVENUE CHANGE (the business P&L series): VaR is the
+    * 5th-percentile worst day-over-day drop, ES the mean of the tail
+    * at or beyond it — the risk pair every capacity/cash planner
+    * quotes (VaR = the threshold, ES = how bad the bad days actually
+    * are; q_percentile quantiles a static column, this quantiles the
+    * CHANGE series with the tail mean attached).
+    *
+    * Determinism: deltas are exact int64 cents; the tail cut is a
+    * MANUAL order-statistic bracket on the uniquely-ordered
+    * (delta, day) rank at index ⌈0.05·n⌉ (the q_bootstrap_ci rule —
+    * never engine quantile interpolation); ES is one division of an
+    * exact tail sum by an exact count; fewer than 20 deltas → NULL
+    * (the bracket would sit at index 0).
+    *
+    * Scale shape: the rank runs over the calendar-bounded delta
+    * frame (q_moving_avg stance); two exact rollups end it. */
+  def valueAtRisk(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+        .as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val deltas = daily
+      .withColumn("prev", lag(col("cents"), 1).over(
+        Window.orderBy(col("day_num"))))
+      .filter(col("prev").isNotNull)
+      .select(col("day_num"), (col("cents") - col("prev")).as("dl"))
+    val ranked = deltas.withColumn("rn", row_number().over(
+      Window.orderBy(col("dl"), col("day_num"))))
+    val t = ranked
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)))
+      .withColumn("k", expr("CAST((n * 5 + 99) DIV 100 AS INT)"))
+      .agg(max(col("n")).as("n_deltas"),
+           max(when(col("rn") === col("k"), col("dl"))).as("var_cents"),
+           sum(when(col("rn") <= col("k"), col("dl"))).as("tail_sum"),
+           sum(when(col("rn") <= col("k"), 1L).otherwise(0L)).as("tail_n"))
+    ord(
+      t.select(col("n_deltas"),
+        when(col("n_deltas") >= 20,
+          r4(-col("var_cents").cast("double") / 100.0)).as("var95_rev"),
+        when(col("n_deltas") >= 20,
+          r4(-col("tail_sum").cast("double") /
+             nullif(col("tail_n").cast("double"), lit(0.0)) / 100.0))
+          .as("es95_rev")),
+      col("n_deltas"))
+  }
+
+  /** q_cohens_d — standardized effect size of the md5-parity arm
+    * split on order value: Cohen's d = (μ_A − μ_B)/s_pooled with the
+    * Hedges' g small-sample correction — the CONTINUOUS-metric effect
+    * tier beside q_odds_ratio's binary one (q_ttest_welch says
+    * "significant?"; d says "HOW BIG in noise units", the number
+    * power planning and meta-analysis actually consume).
+    *
+    * Determinism: per-arm moments in decimal(38,0) dollars (the
+    * q_jarque_bera idiom); pooled variance and d are one spelled
+    * chain over those exact ints; Hedges J = 1 − 3/(4·df − 1) spelled
+    * identically; an empty or variance-free arm NULLs via nullif.
+    *
+    * Scale shape: ONE partial-aggregable two-group moment rollup —
+    * the cheapest possible shape. */
+  def cohensD(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val o = Tables.orders(s, d).select(
+      round(col("o_totalprice")).cast("long").as("x"),
+      when(expr("conv(substring(md5(cast(o_custkey as string)), 1, 8), 16, 10) % 2") === 0,
+           "A").otherwise("B").as("arm"))
+    val g = o.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === "A", dec(col("x"))).otherwise(dec(lit(0L))))
+        .cast("decimal(38,0)").as("sa"),
+      sum(when(col("arm") === "A", dec(col("x")) * dec(col("x")))
+            .otherwise(dec(lit(0L)))).cast("decimal(38,0)").as("ssa"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === "B", dec(col("x"))).otherwise(dec(lit(0L))))
+        .cast("decimal(38,0)").as("sb"),
+      sum(when(col("arm") === "B", dec(col("x")) * dec(col("x")))
+            .otherwise(dec(lit(0L)))).cast("decimal(38,0)").as("ssb"))
+    val nad = col("na").cast("double")
+    val nbd = col("nb").cast("double")
+    val ma = col("sa").cast("double") / nullif(nad, lit(0.0))
+    val mb = col("sb").cast("double") / nullif(nbd, lit(0.0))
+    val va = (col("ssa").cast("double") - ma * ma * nad) / (nad - 1.0)
+    val vb = (col("ssb").cast("double") - mb * mb * nbd) / (nbd - 1.0)
+    val sp = sqrt(((nad - 1.0) * va + (nbd - 1.0) * vb) /
+                  (nad + nbd - 2.0))
+    val dd = (ma - mb) / nullif(sp, lit(0.0))
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * (nad + nbd - 2.0) - 1.0)
+    ord(
+      g.select(col("na").as("n_a"), col("nb").as("n_b"),
+        r4(ma).as("mean_a"), r4(mb).as("mean_b"),
+        r4(dd).as("cohens_d"),
+        r4(j * dd).as("hedges_g")),
+      col("n_a"))
+  }
 }

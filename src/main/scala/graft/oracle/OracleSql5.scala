@@ -2400,5 +2400,100 @@ private[graft] object OracleSql5 {
                WINDOW w AS (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey)) t
          WHERE rn = 1 ORDER BY o_custkey""",
+    "q_value_at_risk" ->
+      // historical VaR95/ES95 of the day-over-day revenue change:
+      // manual order-statistic bracket at ceil(0.05 n) (q_bootstrap_ci
+      // rule), exact tail sum/count, <20 deltas NULL
+      """WITH daily AS (
+           SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400 AS INT)
+                    AS day_num,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+            dl AS (SELECT day_num, cents - prev AS dl
+                   FROM (SELECT day_num, cents,
+                                lag(cents, 1) OVER (ORDER BY day_num) AS prev
+                         FROM daily)
+                   WHERE prev IS NOT NULL),
+            rk AS (SELECT dl, day_num,
+                          row_number() OVER (ORDER BY dl, day_num) AS rn,
+                          count(*) OVER () AS n
+                   FROM dl),
+            ag AS (SELECT CAST(max(n) AS BIGINT) AS n_deltas,
+                          max(CASE WHEN rn = k THEN dl END) AS var_cents,
+                          CAST(sum(CASE WHEN rn <= k THEN dl END)
+                               AS BIGINT) AS tail_sum,
+                          CAST(sum(CASE WHEN rn <= k THEN 1 ELSE 0 END)
+                               AS BIGINT) AS tail_n
+                   FROM (SELECT dl, rn, n,
+                                CAST((n * 5 + 99) // 100 AS INT) AS k
+                         FROM rk))
+         SELECT n_deltas,
+                CASE WHEN n_deltas >= 20 THEN
+                  (round(-CAST(var_cents AS DOUBLE) / 100.0, 4) + 0.0) END
+                  AS var95_rev,
+                CASE WHEN n_deltas >= 20 THEN
+                  (round(-CAST(tail_sum AS DOUBLE) /
+                         nullif(CAST(tail_n AS DOUBLE), 0.0) / 100.0, 4)
+                   + 0.0) END AS es95_rev
+         FROM ag ORDER BY n_deltas""",
+    "q_cohens_d" ->
+      // pooled-SD effect size with Hedges correction: HUGEINT moments
+      // mirror decimal(38,0); layered CTEs preserve the spelled chain
+      """WITH o AS (SELECT CAST(round(o_totalprice) AS BIGINT) AS x,
+                           CASE WHEN ('0x' || substr(md5(CAST(o_custkey
+                                        AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                                THEN 'A' ELSE 'B' END AS arm
+                    FROM orders),
+            g AS (SELECT
+                CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS na,
+                CAST(sum(CASE WHEN arm = 'A' THEN CAST(x AS HUGEINT)
+                              ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS sa,
+                CAST(sum(CASE WHEN arm = 'A' THEN CAST(x AS HUGEINT) *
+                                   CAST(x AS HUGEINT)
+                              ELSE CAST(0 AS HUGEINT) END) AS HUGEINT)
+                  AS ssa,
+                CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS nb,
+                CAST(sum(CASE WHEN arm = 'B' THEN CAST(x AS HUGEINT)
+                              ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS sb,
+                CAST(sum(CASE WHEN arm = 'B' THEN CAST(x AS HUGEINT) *
+                                   CAST(x AS HUGEINT)
+                              ELSE CAST(0 AS HUGEINT) END) AS HUGEINT)
+                  AS ssb
+                  FROM o),
+            m1 AS (SELECT na, nb, ssa, ssb,
+                          CAST(sa AS DOUBLE) /
+                            nullif(CAST(na AS DOUBLE), 0.0) AS ma,
+                          CAST(sb AS DOUBLE) /
+                            nullif(CAST(nb AS DOUBLE), 0.0) AS mb
+                   FROM g),
+            m2 AS (SELECT na, nb, ma, mb,
+                          (CAST(ssa AS DOUBLE) - ma * ma *
+                             CAST(na AS DOUBLE)) /
+                            (CAST(na AS DOUBLE) - 1.0) AS va,
+                          (CAST(ssb AS DOUBLE) - mb * mb *
+                             CAST(nb AS DOUBLE)) /
+                            (CAST(nb AS DOUBLE) - 1.0) AS vb
+                   FROM m1),
+            m3 AS (SELECT na, nb, ma, mb,
+                          sqrt(((CAST(na AS DOUBLE) - 1.0) * va +
+                                (CAST(nb AS DOUBLE) - 1.0) * vb) /
+                               (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                                - 2.0)) AS sp
+                   FROM m2),
+            m4 AS (SELECT na, nb, ma, mb,
+                          (ma - mb) / nullif(sp, 0.0) AS dd,
+                          1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE) +
+                                              CAST(nb AS DOUBLE) - 2.0)
+                                       - 1.0) AS j
+                   FROM m3)
+         SELECT na AS n_a, nb AS n_b,
+                (round(ma, 4) + 0.0) AS mean_a,
+                (round(mb, 4) + 0.0) AS mean_b,
+                (round(dd, 4) + 0.0) AS cohens_d,
+                (round(j * dd, 4) + 0.0) AS hedges_g
+         FROM m4 ORDER BY n_a""",
   )
 }

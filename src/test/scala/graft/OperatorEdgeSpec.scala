@@ -1076,6 +1076,45 @@ class OperatorEdgeSpec extends AnyFunSuite {
            ((5L, 3L, 2.0, 1.3284)), s"got $r")
   }
 
+  test("value_at_risk: monotone ramp reads a negative loss; tiny series NULLs") {
+    val dir = tmpDir("var")
+    writeTable(dir, "orders", Schemas.orders, (0 until 21).map { i =>
+      Row(i.toLong + 1, 1L, "O", (i + 1).toDouble,
+          java.sql.Timestamp.valueOf(f"1995-01-${i + 1}%02d 00:00:00"), "1")
+    })
+    val r = graft.operators.TimeSeriesOps.valueAtRisk(spark, dir)
+      .collect().head
+    // 20 deltas of exactly +$1 → the "worst" day is a $1 gain
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2)) ==
+           ((20L, -1.0, -1.0)), s"got $r")
+
+    val dir2 = tmpDir("var_small")
+    writeTable(dir2, "orders", Schemas.orders, (0 until 5).map { i =>
+      Row(i.toLong + 1, 1L, "O", 5.0,
+          java.sql.Timestamp.valueOf(f"1995-01-${i + 1}%02d 00:00:00"), "1")
+    })
+    val r2 = graft.operators.TimeSeriesOps.valueAtRisk(spark, dir2)
+      .collect().head
+    assert(r2.getLong(0) == 4L && r2.isNullAt(1) && r2.isNullAt(2),
+      s"got $r2")
+  }
+
+  test("cohens_d: planted 10-sigma separation with hand-computed Hedges g") {
+    val dir = tmpDir("cd")
+    val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    // custkey 1 → arm A {1,2,3}; custkey 2 → arm B {11,12,13}:
+    // variances 1, pooled sd 1, d = −10; J = 1 − 3/15 = 0.8 → g = −8
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      Row(1L, 1L, "O", 1.0, ts, "1"), Row(2L, 1L, "O", 2.0, ts, "1"),
+      Row(3L, 1L, "O", 3.0, ts, "1"),
+      Row(4L, 2L, "O", 11.0, ts, "1"), Row(5L, 2L, "O", 12.0, ts, "1"),
+      Row(6L, 2L, "O", 13.0, ts, "1")))
+    val r = graft.operators.TimeSeriesOps.cohensD(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5)) ==
+           ((3L, 3L, 2.0, 12.0, -10.0, -8.0)), s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(

@@ -114,6 +114,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_runs_test's lag and q_turning_points' lag/lead ride the same
     // calendar-bounded daily rollup
     "q_runs_test", "q_turning_points",
+    // q_value_at_risk ranks the calendar-bounded delta frame and its
+    // count window rides the same frame
+    "q_value_at_risk",
     // q_attribution_markov's channel-id row_number orders the
     // |channel-vocabulary| frame (≤ a handful of event types)
     "q_attribution_markov")
