@@ -492,7 +492,9 @@ object SparkEntry {
     "q_sql_window_rank" -> (R.sqlWindowRank _),
     // r13 widening 19: risk pair, continuous effect size
     "q_value_at_risk" -> (TimeSeriesOps.valueAtRisk _),
-    "q_cohens_d" -> (TimeSeriesOps.cohensD _)
+    "q_cohens_d" -> (TimeSeriesOps.cohensD _),
+    // r13 widening 20: confound-adjusted correlation
+    "q_partial_corr" -> (TimeSeriesOps.partialCorr _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

