@@ -494,7 +494,10 @@ object SparkEntry {
     "q_value_at_risk" -> (TimeSeriesOps.valueAtRisk _),
     "q_cohens_d" -> (TimeSeriesOps.cohensD _),
     // r13 widening 20: confound-adjusted correlation
-    "q_partial_corr" -> (TimeSeriesOps.partialCorr _)
+    "q_partial_corr" -> (TimeSeriesOps.partialCorr _),
+    // r13 widening 21: risk-adjusted trend + drawdown depth
+    "q_sharpe" -> (TimeSeriesOps.sharpe _),
+    "q_max_drawdown" -> (TimeSeriesOps.maxDrawdown _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3049,4 +3049,98 @@ object TimeSeriesOps {
                   lit(0.0))).as("partial_r_xy_z")),
       col("n"))
   }
+
+  /** q_sharpe — risk-adjusted trend of the daily revenue CHANGE
+    * series: per-day Sharpe (mean/σ of day-over-day deltas) and
+    * Sortino (mean over DOWNSIDE deviation, target 0) with the raw
+    * ingredients alongside — the companion number to q_value_at_risk
+    * (VaR/ES say how bad the tail is; Sharpe/Sortino say whether the
+    * drift is worth the noise, and Sortino > Sharpe says the
+    * volatility is mostly upside).
+    *
+    * Determinism: deltas are exact int64 cents (the q_value_at_risk
+    * frame); all three moments (Σd, Σd², Σ min(d,0)²) ride
+    * decimal(38,0) (DuckDB HUGEINT); mean, sample σ, downside
+    * deviation and both ratios are identically-spelled single chains
+    * with nullif on zero spread; fewer than 20 deltas → NULL ratios.
+    *
+    * Scale shape: one partial-aggregable daily rollup, one lag over
+    * the calendar-bounded day frame (q_value_at_risk stance), ONE
+    * three-moment rollup — everything after is 1-row math. */
+  def sharpe(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+        .as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val deltas = daily
+      .withColumn("prev", lag(col("cents"), 1).over(
+        Window.orderBy(col("day_num"))))
+      .filter(col("prev").isNotNull)
+      .select((col("cents") - col("prev")).as("dl"))
+    val m = deltas.agg(count(lit(1)).as("n"),
+      sum(dec(col("dl"))).cast("decimal(38,0)").as("s1"),
+      sum(dec(col("dl")) * dec(col("dl"))).cast("decimal(38,0)").as("s2"),
+      sum(when(col("dl") < 0, dec(col("dl")) * dec(col("dl")))
+        .otherwise(dec(lit(0)))).cast("decimal(38,0)").as("sneg2"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val std = sqrt((dec(col("n")) * col("s2") - col("s1") * col("s1"))
+      .cast("double") / (nD * (nD - lit(1.0))))
+    val ddev = sqrt(col("sneg2").cast("double") / nD)
+    val ok = col("n") >= 20
+    ord(
+      m.select(col("n").as("n_deltas"),
+        when(ok, r4(mean / 100.0)).as("mean_change_rev"),
+        when(ok, r4(std / 100.0)).as("volatility_rev"),
+        when(ok, r4(mean / nullif(std, lit(0.0)))).as("sharpe"),
+        when(ok, r4(ddev / 100.0)).as("downside_dev_rev"),
+        when(ok, r4(mean / nullif(ddev, lit(0.0)))).as("sortino")),
+      col("n_deltas"))
+  }
+
+  /** q_max_drawdown — worst peak-to-trough decline of the DAILY
+    * revenue series: running peak via cumulative max, drawdown =
+    * peak − today, reported at its maximum with the trough date, the
+    * peak it fell from, and the relative depth — the "how far and how
+    * long did we sink" readout that VaR's single-day tail quantile
+    * (q_value_at_risk) structurally cannot see, because a drawdown is
+    * a RUN of bad days, not one.
+    *
+    * Determinism: daily cents and the running peak are exact int64;
+    * the trough row is picked by the totally-ordered (drawdown DESC,
+    * day ASC) rank — first day the maximum depth is reached; the one
+    * share is a single r4'd division (peak > 0 always — revenue days
+    * are positive); an empty orders table yields zero rows.
+    *
+    * Scale shape: one partial-aggregable daily rollup, then running
+    * max + rank over the calendar-bounded day frame (q_cusum /
+    * q_value_at_risk stance) — window rows = days, never order
+    * volume. */
+  def maxDrawdown(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
+        .as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("day_num"))
+    val dd = daily
+      .withColumn("n_days", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)))
+      .withColumn("peak", max(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dd", col("peak") - col("cents"))
+    val top = dd.withColumn("rn", row_number().over(
+      Window.orderBy(col("dd").desc, col("day_num"))))
+      .filter(col("rn") === 1)
+    ord(
+      top.select(col("n_days"),
+        expr("date_add(DATE '1970-01-01', day_num)").as("trough_date"),
+        r4(col("peak").cast("double") / 100.0).as("peak_rev"),
+        r4(col("cents").cast("double") / 100.0).as("trough_rev"),
+        r4(col("dd").cast("double") / 100.0).as("max_drawdown_rev"),
+        r4(col("dd").cast("double") /
+           nullif(col("peak").cast("double"), lit(0.0))).as("dd_share")),
+      col("n_days"))
+  }
 }

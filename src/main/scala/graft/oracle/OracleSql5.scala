@@ -2547,5 +2547,76 @@ private[graft] object OracleSql5 {
                        nullif(sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)),
                               0.0), 4) + 0.0) AS partial_r_xy_z
          FROM rr ORDER BY n""",
+    "q_sharpe" ->
+      // Sharpe/Sortino of daily revenue deltas: three HUGEINT moments
+      // (mirror decimal(38,0)), identically-spelled ratio chains
+      """WITH daily AS (SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400
+                             AS INT) AS day_num,
+                        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS cents
+                        FROM orders GROUP BY 1),
+            dl AS (SELECT cents - lag(cents) OVER (ORDER BY day_num) AS dl
+                   FROM daily),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CAST(dl AS HUGEINT)) AS HUGEINT) AS s1,
+                         CAST(sum(CAST(dl AS HUGEINT) * CAST(dl AS HUGEINT))
+                              AS HUGEINT) AS s2,
+                         CAST(sum(CASE WHEN dl < 0 THEN
+                                    CAST(dl AS HUGEINT) * CAST(dl AS HUGEINT)
+                                  ELSE CAST(0 AS HUGEINT) END)
+                              AS HUGEINT) AS sneg2
+                  FROM dl WHERE dl IS NOT NULL),
+            r AS (SELECT n,
+                         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                         sqrt(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1
+                                   AS DOUBLE) /
+                              (CAST(n AS DOUBLE) *
+                               (CAST(n AS DOUBLE) - 1.0))) AS std,
+                         sqrt(CAST(sneg2 AS DOUBLE) / CAST(n AS DOUBLE))
+                           AS ddev
+                  FROM m)
+         SELECT n AS n_deltas,
+                CASE WHEN n >= 20 THEN (round(mean / 100.0, 4) + 0.0)
+                     END AS mean_change_rev,
+                CASE WHEN n >= 20 THEN (round(std / 100.0, 4) + 0.0)
+                     END AS volatility_rev,
+                CASE WHEN n >= 20 THEN
+                  (round(mean / nullif(std, 0.0), 4) + 0.0) END AS sharpe,
+                CASE WHEN n >= 20 THEN (round(ddev / 100.0, 4) + 0.0)
+                     END AS downside_dev_rev,
+                CASE WHEN n >= 20 THEN
+                  (round(mean / nullif(ddev, 0.0), 4) + 0.0) END AS sortino
+         FROM r ORDER BY n_deltas""",
+    "q_max_drawdown" ->
+      // worst peak-to-trough decline of the daily revenue series:
+      // exact int running peak, trough = first day of max depth
+      """WITH daily AS (SELECT CAST((epoch_us(o_orderdate)//1000000) // 86400
+                             AS INT) AS day_num,
+                        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS cents
+                        FROM orders GROUP BY 1),
+            dd AS (SELECT day_num, cents,
+                          count(*) OVER () AS n_days,
+                          max(cents) OVER (ORDER BY day_num
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak,
+                          max(cents) OVER (ORDER BY day_num
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - cents AS ddep
+                   FROM daily),
+            top AS (SELECT *, row_number() OVER (ORDER BY ddep DESC,
+                                                 day_num ASC) AS rn
+                    FROM dd)
+         SELECT n_days,
+                DATE '1970-01-01' + day_num AS trough_date,
+                (round(CAST(peak AS DOUBLE) / 100.0, 4) + 0.0) AS peak_rev,
+                (round(CAST(cents AS DOUBLE) / 100.0, 4) + 0.0)
+                  AS trough_rev,
+                (round(CAST(ddep AS DOUBLE) / 100.0, 4) + 0.0)
+                  AS max_drawdown_rev,
+                (round(CAST(ddep AS DOUBLE) /
+                       nullif(CAST(peak AS DOUBLE), 0.0), 4) + 0.0)
+                  AS dd_share
+         FROM top WHERE rn = 1 ORDER BY n_days""",
   )
 }

@@ -1132,6 +1132,38 @@ class OperatorEdgeSpec extends AnyFunSuite {
             r.getDouble(4)) == ((3L, 0.5, -0.5, 0.5, 1.0)), s"got $r")
   }
 
+  test("sharpe: ten +$3 / ten -$1 deltas give the hand-computed ratio pair") {
+    val dir = tmpDir("sharpe")
+    // daily $: 10, then +3/day for 10 days (→40), then -1/day for 10 (→30)
+    val dollars = (0 to 20).map { i =>
+      if (i <= 10) 10.0 + 3.0 * i else 40.0 - (i - 10) }
+    writeTable(dir, "orders", Schemas.orders, dollars.zipWithIndex.map {
+      case (v, i) =>
+        Row(i.toLong + 1, 1L, "O", v,
+            java.sql.Timestamp.valueOf(f"1995-01-${i + 1}%02d 00:00:00"), "1")
+    })
+    val r = graft.operators.TimeSeriesOps.sharpe(spark, dir).collect().head
+    // n=20, mean=100c, s=205.1957c, ddev=70.7107c
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5)) ==
+           ((20L, 1.0, 2.052, 0.4873, 0.7071, 1.4142)), s"got $r")
+  }
+
+  test("max_drawdown: 100/500/300/200/600 troughs at day 4 with share 0.6") {
+    val dir = tmpDir("mdd")
+    val dollars = Seq(100.0, 500.0, 300.0, 200.0, 600.0)
+    writeTable(dir, "orders", Schemas.orders, dollars.zipWithIndex.map {
+      case (v, i) =>
+        Row(i.toLong + 1, 1L, "O", v,
+            java.sql.Timestamp.valueOf(f"1995-01-${i + 1}%02d 00:00:00"), "1")
+    })
+    val r = graft.operators.TimeSeriesOps.maxDrawdown(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getDate(1).toString, r.getDouble(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5)) ==
+           ((5L, "1995-01-04", 500.0, 200.0, 300.0, 0.6)), s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(

@@ -119,7 +119,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_value_at_risk",
     // q_attribution_markov's channel-id row_number orders the
     // |channel-vocabulary| frame (≤ a handful of event types)
-    "q_attribution_markov")
+    "q_attribution_markov",
+    // q_sharpe's lag and q_max_drawdown's running-max/rank ride the
+    // calendar-bounded daily rollup (q_value_at_risk / q_cusum)
+    "q_sharpe", "q_max_drawdown")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {
