@@ -497,7 +497,13 @@ object SparkEntry {
     "q_partial_corr" -> (TimeSeriesOps.partialCorr _),
     // r13 widening 21: risk-adjusted trend + drawdown depth
     "q_sharpe" -> (TimeSeriesOps.sharpe _),
-    "q_max_drawdown" -> (TimeSeriesOps.maxDrawdown _)
+    "q_max_drawdown" -> (TimeSeriesOps.maxDrawdown _),
+    // r13 widening 22: partition-quality score, chain predictability,
+    // paired-detector test, multi-rater agreement
+    "q_modularity" -> (GraphOps.modularity _),
+    "q_entropy_rate" -> (W.entropyRate _),
+    "q_mcnemar" -> (graft.operators.EvalOps.mcnemar _),
+    "q_fleiss_kappa" -> (graft.operators.EvalOps.fleissKappa _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

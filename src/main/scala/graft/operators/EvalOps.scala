@@ -409,4 +409,99 @@ object EvalOps {
              nullif(col("q75") - col("q25"), lit(0.0))).as("rs")),
       col("doc_id"))
   }
+
+  /** q_mcnemar — McNemar's paired test for "is detector A better than
+    * detector B on the SAME documents": two deterministic is-English
+    * detectors (A: vowel ratio > 0.32 — the q_lang_id heuristic's en
+    * band floor; B: contains " the "), ground truth lang = 'en'. The
+    * discordant counts b (A right, B wrong) and c (B right, A wrong)
+    * carry ALL the evidence — the concordant majority cancels — so the
+    * statistic (b−c)²/(b+c) (plus the continuity-corrected form) is
+    * what a paired accuracy comparison actually needs, where two
+    * independent accuracy CIs would overlap uselessly. Completes the
+    * rater-agreement family (q_cohens_kappa measures agreement; this
+    * tests DIFFERENCE).
+    *
+    * Determinism: both detectors are exact integer comparisons
+    * (vowels·100 > nchars·32 cross-multiplied — no double ratio;
+    * substring containment); all four cell counts exact int64; the
+    * two statistics and two accuracies are identically-spelled single
+    * chains r4'd, nullif on b+c = 0.
+    *
+    * Scale shape: ONE partial-aggregable full-corpus rollup (four
+    * conditional counts in one pass) — no shuffle beyond the 1-row
+    * aggregate, no window, scan stays pruned to (text, lang, n_chars). */
+  def mcnemar(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nchars = length(col("text")).cast("long")
+    val vowels = nchars -
+      length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+    val predA = vowels * lit(100L) > nchars * lit(32L)
+    val predB = instr(col("text"), " the ") > 0
+    val truth = col("lang") === "en"
+    val okA = predA === truth
+    val okB = predB === truth
+    val m = docs.agg(count(lit(1)).as("n"),
+      sum(when(okA, 1L).otherwise(0L)).as("n_a_ok"),
+      sum(when(okB, 1L).otherwise(0L)).as("n_b_ok"),
+      sum(when(okA && !okB, 1L).otherwise(0L)).as("b"),
+      sum(when(!okA && okB, 1L).otherwise(0L)).as("c"))
+    val bd = col("b").cast("double")
+    val cd = col("c").cast("double")
+    ord(
+      m.select(col("n").as("n_docs"),
+        r4(col("n_a_ok").cast("double") / col("n")).as("acc_a"),
+        r4(col("n_b_ok").cast("double") / col("n")).as("acc_b"),
+        col("b").as("a_only_right"), col("c").as("b_only_right"),
+        r4((bd - cd) * (bd - cd) /
+           nullif(bd + cd, lit(0.0))).as("chi2"),
+        r4(greatest(abs(bd - cd) - lit(1.0), lit(0.0)) *
+           greatest(abs(bd - cd) - lit(1.0), lit(0.0)) /
+           nullif(bd + cd, lit(0.0))).as("chi2_cc")),
+      col("n_docs"))
+  }
+
+  /** q_fleiss_kappa — Fleiss' κ over THREE deterministic quality
+    * raters on every document (R1: n_chars ≥ 200; R2: ≥ 40
+    * whitespace tokens; R3: digit count·20 < n_chars), binary
+    * good/bad: chance-corrected agreement for MORE than two raters —
+    * the generalization q_cohens_kappa (2 raters) can't express. κ
+    * near 0 says the gates fire on unrelated document populations
+    * (each adds signal); κ near 1 says they're redundant — the
+    * curation-pipeline readout for "do I need all three filters".
+    *
+    * Determinism: each rater is an exact integer comparison; with
+    * k = 3 raters the per-doc agreement P_i = (g(g−1) + (3−g)(2−g))/6
+    * has an EXACT int numerator, so ΣP_i rides a single int64 sum —
+    * no per-doc double sum to order. P̄, p_good, P̄e and κ are one
+    * identically-spelled double chain off three exact sums, r4'd,
+    * nullif on 1−P̄e = 0.
+    *
+    * Scale shape: ONE partial-aggregable full-corpus rollup (three
+    * sums in one pass); no window, no second shuffle. */
+  def fleissKappa(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nchars = length(col("text")).cast("long")
+    val digits = nchars -
+      length(regexp_replace(col("text"), "[0-9]", "")).cast("long")
+    val r1 = when(col("n_chars") >= 200L, 1L).otherwise(0L)
+    val r2 = when(size(split(col("text"), " ")) >= 40, 1L).otherwise(0L)
+    val r3 = when(digits * lit(20L) < nchars, 1L).otherwise(0L)
+    val g = r1 + r2 + r3
+    val m = docs
+      .select(g.as("g"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("g")).as("sg"),
+           sum(col("g") * (col("g") - 1L) +
+               (lit(3L) - col("g")) * (lit(2L) - col("g"))).as("sp"))
+    val nD = col("n").cast("double")
+    val pBar = col("sp").cast("double") / (lit(6.0) * nD)
+    val pGood = col("sg").cast("double") / (lit(3.0) * nD)
+    val pE = pGood * pGood + (lit(1.0) - pGood) * (lit(1.0) - pGood)
+    ord(
+      m.select(col("n").as("n_docs"), col("sg").as("n_good_votes"),
+        r4(pBar).as("p_bar"), r4(pGood).as("p_good"), r4(pE).as("p_e"),
+        r4((pBar - pE) / nullif(lit(1.0) - pE, lit(0.0))).as("kappa")),
+      col("n_docs"))
+  }
 }

@@ -676,4 +676,61 @@ object GraphOps {
                expr("element_at(ra, n_nationkey + 1)")).as("peel_layer")),
       col("nationkey"))
   }
+
+  /** q_modularity — Newman modularity of the REGION partition over the
+    * undirected strong trade graph: per region c, internal-edge count
+    * e_c, degree mass d_c, and the contribution e_c/m − (d_c/2m)²;
+    * Σ contributions = Q, the "are regions real trade communities"
+    * score (Q > 0 = denser inside regions than a degree-preserving
+    * random graph; Q ≤ 0 = the region lines don't match the trade
+    * blocs). Complements q_graph_components (which FINDS communities)
+    * by SCORING a given partition — the eval half of community
+    * structure.
+    *
+    * Determinism: e_c, d_c, m are exact int64 counts; each
+    * contribution is ONE identically-spelled double chain
+    * (e/m − (d/2m)²) r4'd, nullif on m = 0; every region appears
+    * (left join from the region dim), edge-less regions report 0/0.
+    *
+    * Scale shape: the undirected strong set is |nodes|²-bounded and
+    * derived from the published edge store; the nation → region map
+    * broadcasts onto its two endpoint joins; ONE ≤|regions|-row
+    * rollup; the 1-row m frame broadcasts. At 100 TB only the
+    * ingest-time edge derivation grows. */
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    val und = strongEdges(s, d)
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val n2r = Tables.nation(s, d)
+      .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rk"))
+    val tagged = und
+      .join(broadcast(n2r.select(col("nk").as("a"), col("rk").as("ra"))), "a")
+      .join(broadcast(n2r.select(col("nk").as("b"), col("rk").as("rb"))), "b")
+    val internal = tagged.filter(col("ra") === col("rb"))
+      .groupBy(col("ra").as("rk0")).agg(count(lit(1)).as("e_c"))
+    val degrees = tagged.select(col("ra").as("rk1"))
+      .unionAll(tagged.select(col("rb").as("rk1")))
+      .groupBy(col("rk1")).agg(count(lit(1)).as("d_c"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val nations = n2r.groupBy(col("rk")).agg(count(lit(1)).as("n_nations"))
+    ord(
+      Tables.region(s, d)
+        .join(broadcast(nations), col("r_regionkey") === col("rk"), "left")
+        .join(broadcast(internal), col("r_regionkey") === col("rk0"), "left")
+        .join(broadcast(degrees), col("r_regionkey") === col("rk1"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("r_regionkey").as("regionkey"), col("r_name").as("region"),
+          coalesce(col("n_nations"), lit(0L)).as("n_nations"),
+          coalesce(col("e_c"), lit(0L)).as("internal_edges"),
+          coalesce(col("d_c"), lit(0L)).as("degree_sum"),
+          r4(coalesce(col("e_c"), lit(0L)).cast("double") /
+               nullif(col("m").cast("double"), lit(0.0)) -
+             (coalesce(col("d_c"), lit(0L)).cast("double") /
+                nullif(lit(2.0) * col("m").cast("double"), lit(0.0))) *
+             (coalesce(col("d_c"), lit(0L)).cast("double") /
+                nullif(lit(2.0) * col("m").cast("double"), lit(0.0))))
+            .as("contribution")),
+      col("regionkey"))
+  }
 }

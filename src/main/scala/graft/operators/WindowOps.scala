@@ -740,6 +740,53 @@ object WindowOps {
       col("cur_type"), col("next_type"))
   }
 
+  /** q_entropy_rate — entropy rate of the session Markov chain: per
+    * current state i, the conditional next-step entropy
+    * H_i = ln n_i − (Σ_j n_ij·ln n_ij)/n_i (nats), its stationary
+    * weight π_i = n_i/N estimated from the transition-count marginals,
+    * and the contribution π_i·H_i whose column sum is the chain's
+    * entropy rate — "how predictable is the next click given where the
+    * user is". The information-theoretic summary of the q_markov
+    * transition matrix: a state with H_i ≈ 0 is a funnel step, a high-
+    * contribution state is where journeys genuinely branch.
+    *
+    * Determinism: transition counts are exact int64 on the totally-
+    * ordered (ts, event_id) session chain; the only cross-row double
+    * sum (Σ n·ln n) folds in SORTED order via sort_array + aggregate
+    * (≙ DuckDB list_sort + list_reduce — the q_user_entropy rule);
+    * H, π and the contribution are identically-spelled single chains
+    * r4'd once; a 1-state chain reports H = 0 exactly (ln n − n·ln n/n).
+    *
+    * Scale shape: the lead() window rides the bucketed session store
+    * (exchange-free, the q_markov plan); everything after lives on the
+    * |event_types|²-bounded count frame; the 1-row N frame broadcasts. */
+  def entropyRate(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = sessionized(s, d, col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rows = trans.groupBy(col("cur_type"))
+      .agg(sum(col("n")).as("n_i"), count(lit(1)).as("k"),
+           sort_array(collect_list(col("n").cast("double"))).as("cs"))
+    val total = trans.agg(sum(col("n")).as("big_n"))
+    val h = expr(
+      """ln(CAST(n_i AS DOUBLE)) -
+         aggregate(cs, CAST(0.0 AS DOUBLE),
+                   (a, x) -> a + x * ln(x)) / n_i""")
+    ord(
+      rows.crossJoin(broadcast(total))
+        .select(col("cur_type"), col("n_i").as("n_trans"),
+                col("k").as("n_next_states"),
+                r4(h).as("h_row"),
+                r4(col("n_i").cast("double") / col("big_n")).as("weight"),
+                r4(h * (col("n_i").cast("double") / col("big_n")))
+                  .as("contribution")),
+      col("cur_type"))
+  }
+
   /** q_bot_filter — GA's data-hygiene screen: users whose peak
     * event rate within any single minute reaches the bot threshold,
     * with their peak rate, active-minute count and total volume. The

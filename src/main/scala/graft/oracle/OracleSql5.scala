@@ -2618,5 +2618,157 @@ private[graft] object OracleSql5 {
                        nullif(CAST(peak AS DOUBLE), 0.0), 4) + 0.0)
                   AS dd_share
          FROM top WHERE rn = 1 ORDER BY n_days""",
+    "q_modularity" ->
+      // Newman modularity of the region partition over the undirected
+      // strong trade graph: exact int e_c/d_c/m, one r4'd chain
+      """WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                               count(*) AS w
+                        FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        JOIN customer c ON o.o_custkey = c.c_custkey
+                        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        GROUP BY 1, 2),
+            cut AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                           count(*) AS ne FROM edges),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM edges, cut
+                    WHERE src <> dst AND w * ne >= 2 * tw),
+            tagged AS (SELECT na.n_regionkey AS ra, nb.n_regionkey AS rb
+                       FROM und
+                       JOIN nation na ON und.a = na.n_nationkey
+                       JOIN nation nb ON und.b = nb.n_nationkey),
+            m AS (SELECT count(*) AS m FROM und),
+            internal AS (SELECT ra AS rk0, CAST(count(*) AS BIGINT) AS e_c
+                         FROM tagged WHERE ra = rb GROUP BY 1),
+            degrees AS (SELECT rk1, CAST(count(*) AS BIGINT) AS d_c
+                        FROM (SELECT ra AS rk1 FROM tagged
+                              UNION ALL SELECT rb FROM tagged)
+                        GROUP BY 1),
+            nn AS (SELECT n_regionkey AS rk, CAST(count(*) AS BIGINT)
+                     AS n_nations FROM nation GROUP BY 1)
+         SELECT r.r_regionkey AS regionkey, r.r_name AS region,
+                coalesce(nn.n_nations, 0) AS n_nations,
+                coalesce(internal.e_c, 0) AS internal_edges,
+                coalesce(degrees.d_c, 0) AS degree_sum,
+                (round(CAST(coalesce(internal.e_c, 0) AS DOUBLE) /
+                         nullif(CAST(m.m AS DOUBLE), 0.0) -
+                       (CAST(coalesce(degrees.d_c, 0) AS DOUBLE) /
+                          nullif(2.0 * CAST(m.m AS DOUBLE), 0.0)) *
+                       (CAST(coalesce(degrees.d_c, 0) AS DOUBLE) /
+                          nullif(2.0 * CAST(m.m AS DOUBLE), 0.0)), 4) + 0.0)
+                  AS contribution
+         FROM region r
+         LEFT JOIN nn ON r.r_regionkey = nn.rk
+         LEFT JOIN internal ON r.r_regionkey = internal.rk0
+         LEFT JOIN degrees ON r.r_regionkey = degrees.rk1, m
+         ORDER BY regionkey""",
+    "q_entropy_rate" ->
+      // per-state conditional entropy of the session Markov chain with
+      // the n·ln n sum folded in sorted order (the q_user_entropy rule)
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS ts_sec,
+                           ts::TIMESTAMP AS tsu FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                   OR ts_sec - lag(ts_sec) OVER w > 1800
+                                 THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            sids AS (SELECT *, sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     FROM g),
+            tr AS (SELECT event_type AS cur_type,
+                          lead(event_type) OVER
+                            (PARTITION BY user_id, sid
+                             ORDER BY tsu, event_id) AS next_type
+                   FROM sids),
+            cnt AS (SELECT cur_type, next_type, count(*) AS n FROM tr
+                    WHERE next_type IS NOT NULL GROUP BY 1, 2),
+            rows_ AS (SELECT cur_type, CAST(sum(n) AS BIGINT) AS n_i,
+                             count(*) AS k,
+                             list_sort(list(CAST(n AS DOUBLE))) AS cs
+                      FROM cnt GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM cnt),
+            h AS (SELECT *, ln(CAST(n_i AS DOUBLE)) -
+                            list_reduce(list_transform(cs, x -> x * ln(x)),
+                                        (a, b) -> a + b) / n_i AS hrow
+                  FROM rows_)
+         SELECT cur_type, n_i AS n_trans, k AS n_next_states,
+                (round(hrow, 4) + 0.0) AS h_row,
+                (round(CAST(n_i AS DOUBLE) / big_n, 4) + 0.0) AS weight,
+                (round(hrow * (CAST(n_i AS DOUBLE) / big_n), 4) + 0.0)
+                  AS contribution
+         FROM h, tot ORDER BY cur_type""",
+    "q_mcnemar" ->
+      // paired is-English detectors: exact int cells, identically-
+      // spelled chi2 / continuity-corrected chi2 chains
+      """WITH f AS (SELECT
+                      (length(text) -
+                       length(regexp_replace(text, '[aeiou]', '', 'g'))) * 100
+                        > length(text) * 32 AS pred_a,
+                      position(' the ' IN text) > 0 AS pred_b,
+                      lang = 'en' AS truth
+                    FROM documents),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CASE WHEN pred_a = truth THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_a_ok,
+                         CAST(sum(CASE WHEN pred_b = truth THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_b_ok,
+                         CAST(sum(CASE WHEN pred_a = truth AND pred_b <> truth
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                         CAST(sum(CASE WHEN pred_a <> truth AND pred_b = truth
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS c
+                  FROM f)
+         SELECT n AS n_docs,
+                (round(CAST(n_a_ok AS DOUBLE) / n, 4) + 0.0) AS acc_a,
+                (round(CAST(n_b_ok AS DOUBLE) / n, 4) + 0.0) AS acc_b,
+                b AS a_only_right, c AS b_only_right,
+                (round((CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) *
+                       (CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) /
+                       nullif(CAST(b AS DOUBLE) + CAST(c AS DOUBLE), 0.0), 4)
+                 + 0.0) AS chi2,
+                (round(greatest(abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+                                - 1.0, 0.0) *
+                       greatest(abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+                                - 1.0, 0.0) /
+                       nullif(CAST(b AS DOUBLE) + CAST(c AS DOUBLE), 0.0), 4)
+                 + 0.0) AS chi2_cc
+         FROM m ORDER BY n_docs""",
+    "q_fleiss_kappa" ->
+      // three deterministic binary raters; exact int ΣP_i numerator
+      // (k=3 → P_i = (g(g-1)+(3-g)(2-g))/6), one r4'd kappa chain
+      """WITH r AS (SELECT
+                      (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) +
+                      (CASE WHEN len(string_split(text, ' ')) >= 40
+                            THEN 1 ELSE 0 END) +
+                      (CASE WHEN (length(text) -
+                                  length(regexp_replace(text, '[0-9]', '',
+                                                        'g'))) * 20
+                                 < length(text)
+                            THEN 1 ELSE 0 END) AS g
+                    FROM documents),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(g) AS BIGINT) AS sg,
+                         CAST(sum(g * (g - 1) + (3 - g) * (2 - g)) AS BIGINT)
+                           AS sp
+                  FROM r),
+            ch AS (SELECT n, sg,
+                          CAST(sp AS DOUBLE) / (6.0 * CAST(n AS DOUBLE))
+                            AS p_bar,
+                          CAST(sg AS DOUBLE) / (3.0 * CAST(n AS DOUBLE))
+                            AS p_good
+                   FROM m)
+         SELECT n AS n_docs, sg AS n_good_votes,
+                (round(p_bar, 4) + 0.0) AS p_bar,
+                (round(p_good, 4) + 0.0) AS p_good,
+                (round(p_good * p_good + (1.0 - p_good) * (1.0 - p_good), 4)
+                 + 0.0) AS p_e,
+                (round((p_bar - (p_good * p_good +
+                                 (1.0 - p_good) * (1.0 - p_good))) /
+                       nullif(1.0 - (p_good * p_good +
+                                     (1.0 - p_good) * (1.0 - p_good)), 0.0),
+                       4) + 0.0) AS kappa
+         FROM ch ORDER BY n_docs""",
   )
 }

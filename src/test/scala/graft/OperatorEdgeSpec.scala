@@ -1164,6 +1164,99 @@ class OperatorEdgeSpec extends AnyFunSuite {
            ((5L, "1995-01-04", 500.0, 200.0, 300.0, 0.6)), s"got $r")
   }
 
+  test("modularity: strong cross-region edge reads the hand-computed negative Q") {
+    val dir = tmpDir("modul")
+    // regions: R0 = {nation 0}, R1 = {1, 2, 3}, R2 = {4, isolated}
+    writeTable(dir, "region", Schemas.region,
+      (0 to 2).map(i => Row(i, s"R$i")))
+    writeTable(dir, "nation", Schemas.nation, Seq(
+      Row(0, "N0", 0), Row(1, "N1", 1), Row(2, "N2", 1),
+      Row(3, "N3", 1), Row(4, "N4", 2)))
+    writeTable(dir, "customer", Schemas.customer,
+      (0 to 4).map(i => Row(i.toLong, s"C$i", i, 0.0, "SEG")))
+    writeTable(dir, "supplier", Schemas.supplier,
+      (0 to 4).map(i => Row(i.toLong, s"S$i", i, 0.0)))
+    val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    // heavy 0↔1 (cross-region) and 2↔3 (inside R1) over six weight-1
+    // bridges: Σw = 46, |E| = 10 → cutoff w ≥ 9.2 keeps the 10s only.
+    // Undirected strong = {0-1}, {2-3} → m = 2; internal: R1 = 1;
+    // degrees: R0 = 1, R1 = 3 → Q contributions 0/2−(1/4)² = −0.0625,
+    // 1/2−(3/4)² = −0.0625, and the edge-less R2 reads exactly 0.
+    val flows = Seq((0L, 1L, 10), (1L, 0L, 10), (2L, 3L, 10), (3L, 2L, 10),
+                    (1L, 2L, 1), (2L, 1L, 1), (0L, 3L, 1), (3L, 0L, 1),
+                    (0L, 2L, 1), (2L, 0L, 1))
+    var oid = 0L
+    val (orows, lrows) = flows.flatMap { case (cn, sn, w) =>
+      (1 to w).map { _ =>
+        oid += 1
+        (Row(oid, cn, "O", 1.0, ts, "1"),
+         Row(oid, 1L, sn, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts))
+      }
+    }.unzip
+    writeTable(dir, "orders", Schemas.orders, orows)
+    writeTable(dir, "lineitem", Schemas.lineitem, lrows)
+    val out = graft.operators.GraphOps.modularity(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out == Map(0 -> ((1L, 0L, 1L, -0.0625)),
+                      1 -> ((3L, 1L, 3L, -0.0625)),
+                      2 -> ((1L, 0L, 0L, 0.0))), s"got $out")
+  }
+
+  test("entropy_rate: planted branching state reads ln 2, funnel state reads 0") {
+    val dir = tmpDir("entrate")
+    val t0 = 1700000000L
+    // one session, chain v v c v v c v → view: {view: 2, click: 2}
+    // (H = ln 2), click: {view: 2} (H = 0); weights 4/6 and 2/6
+    val chain = Seq("view", "view", "click", "view", "view", "click", "view")
+    writeEvents(dir, chain.zipWithIndex.map { case (typ, i) =>
+      eventRow(i.toLong + 1, t0 + i * 10, 1, typ, 1.0)
+    })
+    val out = graft.operators.WindowOps.entropyRate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("click", 2L, 1L, 0.0, 0.3333, 0.0),
+      ("view", 4L, 2L, 0.6931, 0.6667, 0.4621)), s"got ${out.toSeq}")
+  }
+
+  test("mcnemar: hand-built 2/1 discordant cells give chi2 1/3, cc 0") {
+    val dir = tmpDir("mcnemar")
+    // A = vowel ratio > 0.32, B = contains " the ", truth = lang 'en'
+    def doc(id: Long, text: String, lang: String): Row =
+      Row(id, text, lang, "s0", text.length.toLong)
+    writeTable(dir, "documents", documentsSchema, Seq(
+      doc(1L, "aeiou aeiou", "en"),      // A right, B wrong (b)
+      doc(2L, "xxxx the xxxx", "en"),    // A wrong, B right (c)
+      doc(3L, "aeiou the aeiou", "en"),  // both right
+      doc(4L, "xxxx zzzz", "fr"),        // both right (true negative)
+      doc(5L, "eeee oooo", "en")))       // A right, B wrong (b)
+    val r = graft.operators.EvalOps.mcnemar(spark, dir).collect().head
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+            r.getLong(4), r.getDouble(5), r.getDouble(6)) ==
+           ((5L, 0.8, 0.6, 2L, 1L, 0.3333, 0.0)), s"got $r")
+  }
+
+  test("fleiss_kappa: unanimous raters read kappa 1; single-class corpus NULLs") {
+    val dir = tmpDir("fleiss")
+    val good = Seq.fill(50)("lorem").mkString(" ") // 299 chars, 50 tokens
+    def doc(id: Long, text: String): Row =
+      Row(id, text, "en", "s0", text.length.toLong)
+    // good: g = 3 (P_i = 1); "123": g = 0 (P_i = 1) → P̄ = 1,
+    // p_good = 0.5, P̄e = 0.5, κ = 1 exactly
+    writeTable(dir, "documents", documentsSchema,
+      Seq(doc(1L, good), doc(2L, "123")))
+    val r = graft.operators.EvalOps.fleissKappa(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5)) ==
+           ((2L, 3L, 1.0, 0.5, 0.5, 1.0)), s"got $r")
+    // all-good corpus: p_good = 1 → P̄e = 1 → κ NULL via nullif, no crash
+    val dir2 = tmpDir("fleiss1")
+    writeTable(dir2, "documents", documentsSchema, Seq(doc(1L, good)))
+    val r2 = graft.operators.EvalOps.fleissKappa(spark, dir2).collect().head
+    assert(r2.getLong(1) == 3L && r2.isNullAt(5), s"got $r2")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
