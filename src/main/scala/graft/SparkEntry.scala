@@ -503,7 +503,13 @@ object SparkEntry {
     "q_modularity" -> (GraphOps.modularity _),
     "q_entropy_rate" -> (W.entropyRate _),
     "q_mcnemar" -> (graft.operators.EvalOps.mcnemar _),
-    "q_fleiss_kappa" -> (graft.operators.EvalOps.fleissKappa _)
+    "q_fleiss_kappa" -> (graft.operators.EvalOps.fleissKappa _),
+    // r13 widening 23: k-detector rate test, exact lexical diversity,
+    // length-invariant TTR, catalog cold-start curve
+    "q_cochran_q" -> (graft.operators.EvalOps.cochranQ _),
+    "q_simpson_diversity" -> (L.simpsonDiversity _),
+    "q_msttr" -> (L.msttr _),
+    "q_part_adoption" -> (ReportOps.partAdoption _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

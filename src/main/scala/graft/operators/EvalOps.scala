@@ -504,4 +504,60 @@ object EvalOps {
         r4((pBar - pE) / nullif(lit(1.0) - pE, lit(0.0))).as("kappa")),
       col("n_docs"))
   }
+
+  /** q_cochran_q — Cochran's Q over the SAME three deterministic
+    * quality raters as [[fleissKappa]]: do the three gates fire at the
+    * same rate on the same documents? Q = (k−1)(k·ΣC_j² − T²) /
+    * (kT − ΣR_i²) with k = 3 — the k-detector generalization of
+    * [[mcnemar]] (which compares exactly two). κ (fleiss) answers "do
+    * they AGREE"; Q answers "do they differ in MARGINAL rate" — a
+    * curation pipeline wants both before dropping a filter. Only
+    * mixed-vote documents (0 < g < 3) carry evidence, so that count
+    * rides along.
+    *
+    * Determinism: each rater is an exact integer comparison; C_j, T,
+    * and ΣR_i² are exact int64 in ONE partial-aggregable rollup; the
+    * squares C_j² and T² accumulate in decimal(38,0) (the
+    * q_jarque_bera idiom — C_j ≤ n overflows int64 squared past ~3e9
+    * docs, DuckDB mirrors with HUGEINT); Q is one spelled chain,
+    * nullif on the all-agree corpus (kT = ΣR_i²).
+    *
+    * Scale shape: ONE full-corpus rollup (five conditional sums in one
+    * pass), no window, no second shuffle; scan pruned to
+    * (text, n_chars). */
+  def cochranQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val docs = Tables.documents(s, d)
+    val nchars = length(col("text")).cast("long")
+    val digits = nchars -
+      length(regexp_replace(col("text"), "[0-9]", "")).cast("long")
+    val r1 = when(col("n_chars") >= 200L, 1L).otherwise(0L)
+    val r2 = when(size(split(col("text"), " ")) >= 40, 1L).otherwise(0L)
+    val r3 = when(digits * lit(20L) < nchars, 1L).otherwise(0L)
+    val g = r1 + r2 + r3
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = docs
+      .select(r1.as("x1"), r2.as("x2"), r3.as("x3"), g.as("g"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x1")).as("c1"), sum(col("x2")).as("c2"),
+           sum(col("x3")).as("c3"),
+           sum(col("g") * col("g")).as("sg2"),
+           sum(when(col("g") > 0L && col("g") < 3L, 1L).otherwise(0L))
+             .as("n_mixed"))
+    val t = col("c1") + col("c2") + col("c3")
+    val num = (lit(3L).cast("decimal(38,0)") *
+                 (dec(col("c1")) * dec(col("c1")) +
+                  dec(col("c2")) * dec(col("c2")) +
+                  dec(col("c3")) * dec(col("c3"))) -
+               dec(t) * dec(t)).cast("decimal(38,0)")
+    ord(
+      m.select(col("n").as("n_docs"), col("n_mixed"),
+        r4(col("c1").cast("double") / col("n")).as("rate_len"),
+        r4(col("c2").cast("double") / col("n")).as("rate_tokens"),
+        r4(col("c3").cast("double") / col("n")).as("rate_digit"),
+        r4(lit(2.0) * num.cast("double") /
+           nullif((lit(3L) * t - col("sg2")).cast("double"), lit(0.0)))
+          .as("q_stat")),
+      col("n_docs"))
+  }
 }

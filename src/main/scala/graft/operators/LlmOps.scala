@@ -2206,4 +2206,92 @@ object LlmOps {
             .as("drift")),
       col("label"))
   }
+
+  /** q_simpson_diversity — Simpson's index per source: λ = the
+    * probability two tokens drawn without replacement are the SAME
+    * type, Σn_i(n_i−1)/(N(N−1)), with the Gini–Simpson complement
+    * 1−λ and the effective vocabulary 1/λ. The EXACT-arithmetic
+    * diversity measure beside q_token_entropy's Shannon reading:
+    * entropy weights rare types, Simpson weights dominant ones — a
+    * boilerplate-flooded source drops 1/λ long before it dents
+    * distinct counts.
+    *
+    * Determinism: term frequencies exact int64; Σn(n−1) accumulates in
+    * decimal(38,0) (a 1e12-count dominant token squares past int64 —
+    * DuckDB mirrors with HUGEINT) so the cross-row sum is EXACT, no
+    * double-fold ordering at all; λ/gini/inv are one spelled chain off
+    * two exact sums, nullif on N ≤ 1 and λ = 0.
+    *
+    * Scale shape: two partial-aggregable shuffles ((source, tok)
+    * counts, then the source rollup) — the q_token_entropy plan; no
+    * window, no collect. */
+  def simpsonDiversity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+    val lam = col("s2").cast("double") /
+      nullif(col("n_tokens").cast("double") *
+             (col("n_tokens") - lit(1L)).cast("double"), lit(0.0))
+    ord(
+      tf.groupBy(col("source"))
+        .agg(sum(col("tf")).as("n_tokens"),
+             count(lit(1)).as("n_types"),
+             sum(dec(col("tf")) * dec(col("tf") - lit(1L)))
+               .cast("decimal(38,0)").as("s2"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+                r4(lam).as("simpson"),
+                r4(lit(1.0) - lam).as("gini_simpson"),
+                r4(lit(1.0) / nullif(lam, lit(0.0))).as("inv_simpson")),
+      col("source"))
+  }
+
+  /** q_msttr — mean segmental type-token ratio per source: distinct
+    * types per consecutive 50-token segment WITHIN each document
+    * (full segments only), averaged — the length-invariant lexical-
+    * diversity reading (MSTTR-50, the standard window; the driver
+    * corpus tops out near 100 tokens/doc, so 50 is also the largest
+    * window with usable coverage). Raw TTR falls with corpus size by
+    * Heaps' law (q_heaps_law measures exactly that), so cross-source
+    * TTR comparisons are size-confounded; fixing the window removes
+    * the confound — the standard corpus-linguistics fix.
+    *
+    * Determinism: positions come from posexplode on the raw
+    * single-space split (the q_dup_spans tokenization); segment =
+    * p DIV 50 exact integer; per-segment type counts exact int64, so
+    * MSTTR = Σtypes/(50·n_segments) is ONE division of exact ints —
+    * no per-segment double sum to order. Docs under 50 tokens
+    * contribute nothing (their partial segment fails the
+    * total = 50 gate on both engines).
+    *
+    * Scale shape: scan-side posexplode (narrow) + two partial-
+    * aggregable shuffles ((source, doc, segment, tok) then the segment
+    * rollup) + the source rollup; no window, no collect; distinct-doc
+    * count rides the same final aggregate. */
+  def msttr(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+              posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+    val cells = toks
+      .groupBy(col("source"), col("doc_id"),
+               expr("p DIV 50").as("segment"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val segs = cells
+      .groupBy(col("source"), col("doc_id"), col("segment"))
+      .agg(count(lit(1)).as("types"), sum(col("c")).as("total"))
+      .filter(col("total") === 50L)
+    ord(
+      segs.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_segments"),
+             sum(col("types")).as("sum_types"))
+        .select(col("source"), col("n_docs"), col("n_segments"),
+                col("sum_types"),
+                r4(col("sum_types").cast("double") /
+                   nullif(lit(50.0) * col("n_segments").cast("double"),
+                          lit(0.0))).as("msttr")),
+      col("source"))
+  }
 }

@@ -1315,4 +1315,43 @@ object ReportOps {
             .as("price_index")),
       col("month"))
   }
+
+  /** q_part_adoption — catalog cold-start curve: per month, how many
+    * parts shipped their FIRST lineitem that month, the cumulative
+    * count, and the cumulative share of the whole part catalog — "how
+    * fast does new inventory start moving", the assortment-side
+    * adoption readout (q_dead_stock finds what stopped selling; this
+    * tracks what STARTED). The final share < 1 gap IS the
+    * never-sold tail.
+    *
+    * Determinism: first-ship month = month-trunc of the exact min
+    * l_shipdate per part (trunc is monotone, so trunc∘min = min∘trunc
+    * — spelled trunc-after-min on both engines); counts exact int64;
+    * ONE r4'd division against the 1-row broadcast catalog count.
+    *
+    * Scale shape: one partial-aggregable min rollup keyed on partkey
+    * (no fact⋈fact join — l_shipdate lives on the lineitem), one
+    * ≤|months| rollup; the cumulative window runs over the
+    * calendar-bounded month frame (q_moving_avg stance), and the
+    * 1-row catalog frame broadcasts. */
+  def partAdoption(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    import org.apache.spark.sql.expressions.Window
+    val monthly = graft.Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_shipdate")).as("first_ship"))
+      .groupBy(date_trunc("month", col("first_ship")).cast("date")
+                 .as("month"))
+      .agg(count(lit(1)).as("new_parts"))
+    val catalog = graft.Tables.part(s, d).agg(count(lit(1)).as("n_parts"))
+    val w = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord(
+      monthly.crossJoin(broadcast(catalog))
+        .withColumn("cum_parts", sum(col("new_parts")).over(w))
+        .select(col("month"), col("new_parts"), col("cum_parts"),
+                r4(col("cum_parts").cast("double") /
+                   col("n_parts").cast("double")).as("cum_share")),
+      col("month"))
+  }
 }

@@ -2770,5 +2770,114 @@ private[graft] object OracleSql5 {
                                      (1.0 - p_good) * (1.0 - p_good)), 0.0),
                        4) + 0.0) AS kappa
          FROM ch ORDER BY n_docs""",
+    "q_cochran_q" ->
+      // Cochran's Q over the three fleiss raters: exact int cells,
+      // HUGEINT squares (mirrors decimal(38,0)), nullif on all-agree
+      """WITH r AS (SELECT
+                      CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS x1,
+                      CASE WHEN len(string_split(text, ' ')) >= 40
+                           THEN 1 ELSE 0 END AS x2,
+                      CASE WHEN (length(text) -
+                                 length(regexp_replace(text, '[0-9]', '',
+                                                       'g'))) * 20
+                                < length(text)
+                           THEN 1 ELSE 0 END AS x3
+                    FROM documents),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x1) AS BIGINT) AS c1,
+                         CAST(sum(x2) AS BIGINT) AS c2,
+                         CAST(sum(x3) AS BIGINT) AS c3,
+                         CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3))
+                              AS BIGINT) AS sg2,
+                         CAST(sum(CASE WHEN x1 + x2 + x3 > 0
+                                        AND x1 + x2 + x3 < 3
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed
+                  FROM r),
+            q AS (SELECT *,
+                         CAST(3 AS HUGEINT) *
+                           (CAST(c1 AS HUGEINT) * CAST(c1 AS HUGEINT) +
+                            CAST(c2 AS HUGEINT) * CAST(c2 AS HUGEINT) +
+                            CAST(c3 AS HUGEINT) * CAST(c3 AS HUGEINT)) -
+                           CAST(c1 + c2 + c3 AS HUGEINT) *
+                           CAST(c1 + c2 + c3 AS HUGEINT) AS num
+                  FROM m)
+         SELECT n AS n_docs, n_mixed,
+                (round(CAST(c1 AS DOUBLE) / n, 4) + 0.0) AS rate_len,
+                (round(CAST(c2 AS DOUBLE) / n, 4) + 0.0) AS rate_tokens,
+                (round(CAST(c3 AS DOUBLE) / n, 4) + 0.0) AS rate_digit,
+                (round(2.0 * CAST(num AS DOUBLE) /
+                       nullif(CAST(3 * (c1 + c2 + c3) - sg2 AS DOUBLE),
+                              0.0), 4) + 0.0) AS q_stat
+         FROM q ORDER BY n_docs""",
+    "q_simpson_diversity" ->
+      // Simpson's index per source: exact HUGEINT sum n(n-1) (mirrors
+      // decimal(38,0)), one spelled lambda chain reused three times
+      """WITH tf AS (SELECT source, tok, count(*) AS n
+                     FROM (SELECT source,
+                                  unnest(string_split(text, ' ')) AS tok
+                           FROM documents)
+                     WHERE length(tok) > 0 GROUP BY 1, 2),
+            g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+                         count(*) AS n_types,
+                         CAST(sum(CAST(n AS HUGEINT) *
+                                  CAST(n - 1 AS HUGEINT)) AS HUGEINT) AS s2
+                  FROM tf GROUP BY 1),
+            l AS (SELECT *,
+                         CAST(s2 AS DOUBLE) /
+                           nullif(CAST(n_tokens AS DOUBLE) *
+                                  CAST(n_tokens - 1 AS DOUBLE), 0.0) AS lam
+                  FROM g)
+         SELECT source, n_tokens, n_types,
+                (round(lam, 4) + 0.0) AS simpson,
+                (round(1.0 - lam, 4) + 0.0) AS gini_simpson,
+                (round(1.0 / nullif(lam, 0.0), 4) + 0.0) AS inv_simpson
+         FROM l ORDER BY source""",
+    "q_msttr" ->
+      // mean segmental TTR: 50-token segments within each doc (raw
+      // split positions, the q_dup_spans tokenization), full segments
+      // only; MSTTR = one division of exact int sums
+      """WITH d AS (SELECT source, doc_id, string_split(text, ' ') AS w,
+                           len(string_split(text, ' ')) AS m
+                    FROM documents),
+            pos AS (SELECT source, doc_id, w,
+                           unnest(generate_series(0, m - 1)) AS p
+                    FROM d),
+            cells AS (SELECT source, doc_id, p // 50 AS segment,
+                             w[p + 1] AS tok, count(*) AS c
+                      FROM pos GROUP BY 1, 2, 3, 4),
+            segs AS (SELECT source, doc_id, segment,
+                            count(*) AS types,
+                            CAST(sum(c) AS BIGINT) AS total
+                     FROM cells GROUP BY 1, 2, 3)
+         SELECT source,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                count(*) AS n_segments,
+                CAST(sum(types) AS BIGINT) AS sum_types,
+                (round(CAST(sum(types) AS DOUBLE) /
+                       nullif(50.0 * CAST(count(*) AS DOUBLE), 0.0), 4)
+                 + 0.0) AS msttr
+         FROM segs WHERE total = 50
+         GROUP BY source ORDER BY source""",
+    "q_part_adoption" ->
+      // catalog cold-start: first-ship month per part (trunc after
+      // min), monthly new-part counts, cumulative share of catalog
+      """WITH first_ship AS (SELECT l_partkey,
+                                    date_trunc('month', min(l_shipdate))::DATE
+                                      AS month
+                             FROM lineitem GROUP BY 1),
+            monthly AS (SELECT month, count(*) AS new_parts
+                        FROM first_ship GROUP BY 1),
+            cat AS (SELECT count(*) AS n_parts FROM part)
+         SELECT month, new_parts,
+                CAST(sum(new_parts) OVER
+                       (ORDER BY month
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_parts,
+                (round(CAST(sum(new_parts) OVER
+                              (ORDER BY month
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DOUBLE) /
+                       CAST(n_parts AS DOUBLE), 4) + 0.0) AS cum_share
+         FROM monthly, cat ORDER BY month""",
   )
 }

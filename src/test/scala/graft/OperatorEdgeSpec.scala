@@ -1257,6 +1257,78 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(r2.getLong(1) == 3L && r2.isNullAt(5), s"got $r2")
   }
 
+  test("cochran_q: hand-built mixed vote reads Q 2; all-agree corpus NULLs") {
+    val dir = tmpDir("cochran")
+    val good = Seq.fill(50)("lorem").mkString(" ") // g = 3
+    val long1tok = "x" * 250                       // r1+r3 fire, r2 not: g = 2
+    def doc(id: Long, text: String): Row =
+      Row(id, text, "en", "s0", text.length.toLong)
+    // c = (2, 1, 2), T = 5, Σg² = 9 + 0 + 4 = 13 →
+    // Q = 2·(3·(4+1+4) − 25)/(15 − 13) = 2
+    writeTable(dir, "documents", documentsSchema,
+      Seq(doc(1L, good), doc(2L, "123"), doc(3L, long1tok)))
+    val r = graft.operators.EvalOps.cochranQ(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5)) ==
+           ((3L, 1L, 0.6667, 0.3333, 0.6667, 2.0)), s"got $r")
+    // unanimous corpus: kT = ΣR² → Q NULL via nullif, no crash
+    val dir2 = tmpDir("cochran1")
+    writeTable(dir2, "documents", documentsSchema,
+      Seq(doc(1L, good), doc(2L, "123")))
+    val r2 = graft.operators.EvalOps.cochranQ(spark, dir2).collect().head
+    assert(r2.getLong(1) == 0L && r2.isNullAt(5), s"got $r2")
+  }
+
+  test("simpson_diversity: 'a a b' reads lambda 1/3; single token NULLs") {
+    val dir = tmpDir("simpson")
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, "a a b", "en", "s0", 5L),
+      Row(2L, "solo", "en", "s1", 4L)))
+    val out = graft.operators.LlmOps.simpsonDiversity(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s0 = out("s0")
+    // s2 = 2·1 + 1·0 = 2, N(N−1) = 6 → λ = 0.3333, 1−λ = 0.6667, 1/λ = 3
+    assert((s0.getLong(1), s0.getLong(2), s0.getDouble(3), s0.getDouble(4),
+            s0.getDouble(5)) == ((3L, 2L, 0.3333, 0.6667, 3.0)), s"got $s0")
+    val s1 = out("s1") // N = 1 → N(N−1) = 0 → all three NULL via nullif
+    assert(s1.getLong(1) == 1L && s1.isNullAt(3) && s1.isNullAt(5),
+           s"got $s1")
+  }
+
+  test("msttr: distinct-then-repetitive doc reads 0.51; short doc excluded") {
+    val dir = tmpDir("msttr")
+    // segments 0+1: 50 distinct types each; segments 2+3: 50 × "x"
+    // each → Σtypes = 102 over 4 segments → 102/200 = 0.51
+    val text = ((1 to 100).map(i => s"t$i") ++ Seq.fill(100)("x"))
+      .mkString(" ")
+    val short = (1 to 30).map(i => s"s$i").mkString(" ") // no full segment
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, text, "en", "s0", text.length.toLong),
+      Row(2L, short, "en", "s0", short.length.toLong)))
+    val r = graft.operators.LlmOps.msttr(spark, dir).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4)) == (("s0", 1L, 4L, 102L, 0.51)), s"got $r")
+  }
+
+  test("part_adoption: staggered first ships give the hand-computed curve") {
+    val dir = tmpDir("adopt")
+    writeTable(dir, "part", Schemas.part,
+      (1 to 4).map(i => Row(i.toLong, s"P$i", "B", "T", 1, 1.0)))
+    def li(ok: Long, pk: Long, day: String): Row =
+      Row(ok, pk, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          java.sql.Timestamp.valueOf(s"1995-$day 00:00:00"))
+    // part 1+2 first ship in Jan (part 1 ships again in Feb — min
+    // wins), part 3 first ships in Feb, part 4 never ships
+    writeTable(dir, "lineitem", Schemas.lineitem, Seq(
+      li(1L, 1L, "01-05"), li(2L, 2L, "01-20"),
+      li(3L, 1L, "02-01"), li(4L, 3L, "02-10")))
+    val out = graft.operators.ReportOps.partAdoption(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+                 r.getDouble(3)))
+    assert(out.toSeq == Seq(("1995-01-01", 2L, 2L, 0.5),
+                            ("1995-02-01", 1L, 3L, 0.75)), s"got ${out.toSeq}")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(

@@ -122,7 +122,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_attribution_markov",
     // q_sharpe's lag and q_max_drawdown's running-max/rank ride the
     // calendar-bounded daily rollup (q_value_at_risk / q_cusum)
-    "q_sharpe", "q_max_drawdown")
+    "q_sharpe", "q_max_drawdown",
+    // q_part_adoption's cumulative sum rides the calendar-bounded
+    // first-ship MONTH rollup (q_moving_avg precedent)
+    "q_part_adoption")
 
   SparkEntry.queries.keys.foreach { name =>
     test(s"$name: no cartesian product; every window partitions") {
