@@ -509,7 +509,11 @@ object SparkEntry {
     "q_cochran_q" -> (graft.operators.EvalOps.cochranQ _),
     "q_simpson_diversity" -> (L.simpsonDiversity _),
     "q_msttr" -> (L.msttr _),
-    "q_part_adoption" -> (ReportOps.partAdoption _)
+    "q_part_adoption" -> (ReportOps.partAdoption _),
+    // r13 widening 24: blocked rank test, value-tier flow, churn risk
+    "q_friedman" -> (TimeSeriesOps.friedman _),
+    "q_band_migration" -> (ReportOps.bandMigration _),
+    "q_dormant_customers" -> (TimeSeriesOps.dormantCustomers _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1354,4 +1354,49 @@ object ReportOps {
                    col("n_parts").cast("double")).as("cum_share")),
       col("month"))
   }
+
+  /** q_band_migration — customer spend-band transition matrix between
+    * the two calendar halves: each ordering customer's half-spend is
+    * banded (none / <$1M / $1M–1.6M / ≥$1.6M — literal cent cutoffs
+    * bracketing the corpus quartiles) and the H1-band × H2-band counts
+    * say who moved up, who lapsed, and who appeared — the
+    * customer-value flow report behind "retention" one-liners
+    * (q_growth_accounting counts heads; this tracks VALUE tiers).
+    *
+    * Determinism: the half split is the exact integer-epoch midpoint
+    * compare (2·t < mn+mx — the q_rank_corr idiom); half-spends exact
+    * int64 cents; bands are literal integer compares; the share is
+    * ONE r4'd division against the 1-row customer total.
+    *
+    * Scale shape: one partial-aggregable per-customer rollup (two
+    * conditional sums in one pass), one ≤16-cell rollup; the 1-row
+    * bounds and total frames broadcast; no window, no dim join. */
+  def bandMigration(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val o = graft.Tables.orders(s, d)
+    val b = o.agg(min(epochSec(col("o_orderdate"))).as("mn"),
+                  max(epochSec(col("o_orderdate"))).as("mx"))
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val halves = o.crossJoin(broadcast(b))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(epochSec(col("o_orderdate")) * 2 < col("mn") + col("mx"),
+                    cents).otherwise(0L)).as("c1"),
+           sum(when(epochSec(col("o_orderdate")) * 2 >= col("mn") + col("mx"),
+                    cents).otherwise(0L)).as("c2"))
+    def band(c: Column): Column =
+      when(c === 0L, "0_none")
+        .when(c < 100000000L, "1_low")
+        .when(c < 160000000L, "2_mid")
+        .otherwise("3_high")
+    val tot = halves.agg(count(lit(1)).as("n_total"))
+    ord(
+      halves
+        .groupBy(band(col("c1")).as("band_h1"), band(col("c2")).as("band_h2"))
+        .agg(count(lit(1)).as("n_customers"))
+        .crossJoin(broadcast(tot))
+        .select(col("band_h1"), col("band_h2"), col("n_customers"),
+                r4(col("n_customers").cast("double") /
+                   col("n_total").cast("double")).as("share")),
+      col("band_h1"), col("band_h2"))
+  }
 }

@@ -3143,4 +3143,130 @@ object TimeSeriesOps {
            nullif(col("peak").cast("double"), lit(0.0))).as("dd_share")),
       col("n_days"))
   }
+
+  /** q_friedman — Friedman's rank test of daily revenue ACROSS market
+    * segments with days as blocks: within each complete day (all
+    * segments present) the segments are midranked by revenue, rank
+    * sums R_j accumulate per segment, and χ²_F = 12·ΣR_j²/(nk(k+1)) −
+    * 3n(k+1) with Kendall's W = χ²_F/(n(k−1)) as the effect size. The
+    * repeated-measures companion to q_kruskal_wallis: KW treats orders
+    * as independent samples, Friedman blocks BY DAY, so day-level
+    * shocks (every segment up on a holiday) cancel instead of
+    * inflating the between-segment signal.
+    *
+    * Determinism: daily cells are exact int64 cents; midrank =
+    * rank() + (t−1)/2 over the (day) partition — ties hit identical
+    * rank() semantics in both engines; every midrank is an exact
+    * half-integer and every R_j (≤ nk halves) and R_j² (quarters,
+    * far below 2⁵³) is exactly representable, so the double sums are
+    * EXACT and order-free — no sorted fold needed anywhere; χ²/W are
+    * identically-spelled chains off the same operands.
+    *
+    * Scale shape: one partial-aggregable (day, segment) rollup off the
+    * broadcast customer dim; every window partitions by day (or
+    * (day, cents)) over the ≤|days|·k cell frame; the k frame and the
+    * final k-row rank-sum frame are trivially small. */
+  def friedman(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+              .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"),
+               col("c_mktsegment").as("segment"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val kf = Tables.customer(s, d)
+      .agg(countDistinct(col("c_mktsegment")).as("k"))
+    val complete = daily
+      .withColumn("n_seg", count(lit(1)).over(Window.partitionBy(col("day"))))
+      .crossJoin(broadcast(kf))
+      .filter(col("n_seg") === col("k"))
+    val mr = rank().over(Window.partitionBy(col("day")).orderBy(col("cents")))
+      .cast("double") +
+      (count(lit(1)).over(Window.partitionBy(col("day"), col("cents")))
+         .cast("double") - lit(1.0)) / lit(2.0)
+    val rj = complete
+      .withColumn("mr", mr)
+      .groupBy(col("segment"))
+      .agg(sum(col("mr")).as("r"), count(lit(1)).as("n_j"),
+           max(col("k")).as("kk"))
+    val a = rj.agg(max(col("n_j")).as("n"), max(col("kk")).as("k"),
+                   sum(col("r") * col("r")).as("sum_r2"))
+    val nd = col("n").cast("double")
+    val kd = col("k").cast("double")
+    val chi2 = lit(12.0) * col("sum_r2") /
+      nullif(nd * kd * (kd + lit(1.0)), lit(0.0)) -
+      lit(3.0) * nd * (kd + lit(1.0))
+    ord(
+      a.select(col("n").as("n_days"), col("k").as("n_segments"),
+               r4(chi2).as("chi2_f"),
+               r4(chi2 / nullif(nd * (kd - lit(1.0)), lit(0.0)))
+                 .as("kendalls_w")),
+      col("n_days"))
+  }
+
+  /** q_dormant_customers — churn-risk flag per market segment: among
+    * customers with ≥ 3 orders (so a personal inter-order cadence
+    * exists), how many have been silent for more than 2× their OWN
+    * median inter-order gap, judged at the corpus's last order date.
+    * The per-customer version of q_purchase_interval's population
+    * histogram: a 40-day silence is churn for a weekly buyer and
+    * nothing for a quarterly one — the readout a winback campaign
+    * actually targets.
+    *
+    * Determinism: order days and gaps are exact int64 days on the
+    * (day, orderkey)-ordered per-customer chain; the median gap is an
+    * exact order statistic of the sorted gap list (odd → middle, even
+    * → mean of the two middles — an exact half-integer), never an
+    * interpolated engine quantile; the dormancy compare
+    * (mx − last) > 2·median resolves on exact halves; the share is
+    * ONE r4'd division of exact counts.
+    *
+    * Scale shape: the lag window partitions by customer; the gap list
+    * is bounded by orders-per-customer (≤ dozens), so sort_array is
+    * per-key-bounded — never corpus-scale; one segment rollup; the
+    * 1-row corpus-max frame broadcasts. */
+  def dormantCustomers(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"),
+              expr("unix_timestamp(o_orderdate) DIV 86400").as("day"),
+              col("o_orderkey"))
+    val mx = o.agg(max(col("day")).as("mx"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = o
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), (col("day") - col("prev")).as("gap"))
+    val per = gaps.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_gaps"),
+           sort_array(collect_list(col("gap"))).as("gs"))
+      .filter(col("n_gaps") >= 2L) // >= 3 orders
+      .withColumn("med", expr(
+        """CASE WHEN n_gaps % 2 = 1
+                THEN CAST(element_at(gs, CAST((n_gaps + 1) DIV 2 AS INT))
+                          AS DOUBLE)
+                ELSE (CAST(element_at(gs, CAST(n_gaps DIV 2 AS INT)) AS DOUBLE)
+                      + CAST(element_at(gs, CAST(n_gaps DIV 2 + 1 AS INT))
+                             AS DOUBLE)) / 2.0 END"""))
+    val last = o.groupBy(col("o_custkey")).agg(max(col("day")).as("last_day"))
+    val seg = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    ord(
+      per.join(last, "o_custkey")
+        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(mx))
+        .select(col("segment"), col("med"),
+                when((col("mx") - col("last_day")).cast("double") >
+                       lit(2.0) * col("med"), 1L).otherwise(0L).as("dormant"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_eligible"),
+             sum(col("dormant")).as("n_dormant"),
+             sum(col("med")).as("med_sum"))
+        .select(col("segment"), col("n_eligible"), col("n_dormant"),
+                r4(col("n_dormant").cast("double") /
+                   col("n_eligible").cast("double")).as("dormant_share"),
+                r4(col("med_sum") / col("n_eligible").cast("double"))
+                  .as("avg_median_gap")),
+      col("segment"))
+  }
 }

@@ -2879,5 +2879,130 @@ private[graft] object OracleSql5 {
                                AND CURRENT ROW) AS DOUBLE) /
                        CAST(n_parts AS DOUBLE), 4) + 0.0) AS cum_share
          FROM monthly, cat ORDER BY month""",
+    "q_friedman" ->
+      // Friedman blocked rank test: midranks over complete days only;
+      // midranks/rank sums are exact halves/quarters so the double
+      // sums are order-free exact; chi2/W identically-spelled chains
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate)::DATE AS day,
+                               c_mktsegment AS segment,
+                               CAST(sum(CAST(round(o_totalprice * 100)
+                                             AS BIGINT)) AS BIGINT) AS cents
+                        FROM orders JOIN customer ON o_custkey = c_custkey
+                        GROUP BY 1, 2),
+            kf AS (SELECT count(DISTINCT c_mktsegment) AS k FROM customer),
+            comp AS (SELECT day, segment, cents, k
+                     FROM (SELECT *, count(*) OVER (PARTITION BY day)
+                                       AS n_seg
+                           FROM daily) dd, kf
+                     WHERE n_seg = k),
+            mr AS (SELECT segment, k,
+                          CAST(rank() OVER (PARTITION BY day ORDER BY cents)
+                               AS DOUBLE) +
+                          (CAST(count(*) OVER (PARTITION BY day, cents)
+                                AS DOUBLE) - 1.0) / 2.0 AS mr
+                   FROM comp),
+            rj AS (SELECT segment, max(k) AS kk,
+                          CAST(count(*) AS BIGINT) AS n_j,
+                          sum(mr) AS r
+                   FROM mr GROUP BY 1),
+            a AS (SELECT CAST(max(n_j) AS BIGINT) AS n,
+                         CAST(max(kk) AS BIGINT) AS k,
+                         sum(r * r) AS sum_r2
+                  FROM rj)
+         SELECT n AS n_days, k AS n_segments,
+                (round(12.0 * sum_r2 /
+                         nullif(CAST(n AS DOUBLE) * CAST(k AS DOUBLE) *
+                                (CAST(k AS DOUBLE) + 1.0), 0.0) -
+                       3.0 * CAST(n AS DOUBLE) *
+                         (CAST(k AS DOUBLE) + 1.0), 4) + 0.0) AS chi2_f,
+                (round((12.0 * sum_r2 /
+                          nullif(CAST(n AS DOUBLE) * CAST(k AS DOUBLE) *
+                                 (CAST(k AS DOUBLE) + 1.0), 0.0) -
+                        3.0 * CAST(n AS DOUBLE) *
+                          (CAST(k AS DOUBLE) + 1.0)) /
+                       nullif(CAST(n AS DOUBLE) *
+                              (CAST(k AS DOUBLE) - 1.0), 0.0), 4) + 0.0)
+                  AS kendalls_w
+         FROM a ORDER BY n_days""",
+    "q_band_migration" ->
+      // spend-band transition matrix between exact-midpoint calendar
+      // halves; literal cent cutoffs; one r4'd share division
+      """WITH b AS (SELECT min(epoch_us(o_orderdate)//1000000) AS mn,
+                           max(epoch_us(o_orderdate)//1000000) AS mx
+                    FROM orders),
+            halves AS (SELECT o_custkey,
+                              CAST(sum(CASE WHEN
+                                     2 * (epoch_us(o_orderdate)//1000000)
+                                       < mn + mx
+                                   THEN CAST(round(o_totalprice * 100)
+                                             AS BIGINT) ELSE 0 END)
+                                   AS BIGINT) AS c1,
+                              CAST(sum(CASE WHEN
+                                     2 * (epoch_us(o_orderdate)//1000000)
+                                       >= mn + mx
+                                   THEN CAST(round(o_totalprice * 100)
+                                             AS BIGINT) ELSE 0 END)
+                                   AS BIGINT) AS c2
+                       FROM orders, b GROUP BY 1),
+            banded AS (SELECT
+                         CASE WHEN c1 = 0 THEN '0_none'
+                              WHEN c1 < 100000000 THEN '1_low'
+                              WHEN c1 < 160000000 THEN '2_mid'
+                              ELSE '3_high' END AS band_h1,
+                         CASE WHEN c2 = 0 THEN '0_none'
+                              WHEN c2 < 100000000 THEN '1_low'
+                              WHEN c2 < 160000000 THEN '2_mid'
+                              ELSE '3_high' END AS band_h2
+                       FROM halves),
+            tot AS (SELECT count(*) AS n_total FROM halves)
+         SELECT band_h1, band_h2, count(*) AS n_customers,
+                (round(CAST(count(*) AS DOUBLE) /
+                       CAST(n_total AS DOUBLE), 4) + 0.0) AS share
+         FROM banded, tot GROUP BY band_h1, band_h2, n_total
+         ORDER BY band_h1, band_h2""",
+    "q_dormant_customers" ->
+      // per-segment churn risk: exact order-statistic median of the
+      // per-customer gap list (list_sort, never engine quantile);
+      // dormancy compare on exact halves; one r4'd share
+      """WITH o AS (SELECT o_custkey,
+                           epoch_us(o_orderdate)//1000000//86400 AS day,
+                           o_orderkey
+                    FROM orders),
+            mx AS (SELECT max(day) AS mx FROM o),
+            gaps AS (SELECT o_custkey, day - prev AS gap
+                     FROM (SELECT o_custkey, day,
+                                  lag(day) OVER (PARTITION BY o_custkey
+                                                 ORDER BY day, o_orderkey)
+                                    AS prev
+                           FROM o)
+                     WHERE prev IS NOT NULL),
+            per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+                           list_sort(list(gap)) AS gs
+                    FROM gaps GROUP BY 1 HAVING count(*) >= 2),
+            med AS (SELECT o_custkey,
+                           CASE WHEN n_gaps % 2 = 1
+                                THEN CAST(gs[CAST((n_gaps + 1) // 2 AS INT)]
+                                          AS DOUBLE)
+                                ELSE (CAST(gs[CAST(n_gaps // 2 AS INT)]
+                                           AS DOUBLE) +
+                                      CAST(gs[CAST(n_gaps // 2 + 1 AS INT)]
+                                           AS DOUBLE)) / 2.0 END AS med
+                    FROM per),
+            last_ AS (SELECT o_custkey, max(day) AS last_day
+                      FROM o GROUP BY 1),
+            flags AS (SELECT c.c_mktsegment AS segment, med.med,
+                             CASE WHEN CAST(mx.mx - last_.last_day AS DOUBLE)
+                                       > 2.0 * med.med
+                                  THEN 1 ELSE 0 END AS dormant
+                      FROM med
+                      JOIN last_ ON med.o_custkey = last_.o_custkey
+                      JOIN customer c ON med.o_custkey = c.c_custkey, mx)
+         SELECT segment, CAST(count(*) AS BIGINT) AS n_eligible,
+                CAST(sum(dormant) AS BIGINT) AS n_dormant,
+                (round(CAST(sum(dormant) AS DOUBLE) /
+                       CAST(count(*) AS DOUBLE), 4) + 0.0) AS dormant_share,
+                (round(sum(med) / CAST(count(*) AS DOUBLE), 4) + 0.0)
+                  AS avg_median_gap
+         FROM flags GROUP BY segment ORDER BY segment""",
   )
 }

@@ -1329,6 +1329,69 @@ class OperatorEdgeSpec extends AnyFunSuite {
                             ("1995-02-01", 1L, 3L, 0.75)), s"got ${out.toSeq}")
   }
 
+  test("friedman: consistent two-day ranking reads W 1; incomplete day excluded") {
+    val dir = tmpDir("friedman")
+    writeTable(dir, "customer", Schemas.customer, Seq(
+      Row(1L, "C1", 0, 0.0, "S_A"), Row(2L, "C2", 0, 0.0, "S_B"),
+      Row(3L, "C3", 0, 0.0, "S_C")))
+    def o(ok: Long, ck: Long, price: Double, day: String): Row =
+      Row(ok, ck, "O", price, java.sql.Timestamp.valueOf(s"$day 00:00:00"), "1")
+    // day 1 and day 2 both rank A < B < C → R = (2, 4, 6), ΣR² = 56,
+    // χ² = 12·56/(2·3·4) − 3·2·4 = 4 (the n(k−1) max), W = 1;
+    // day 3 lacks segment C → dropped from the blocks
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      o(1L, 1L, 10.0, "1995-01-01"), o(2L, 2L, 20.0, "1995-01-01"),
+      o(3L, 3L, 30.0, "1995-01-01"),
+      o(4L, 1L, 1.0, "1995-01-02"), o(5L, 2L, 2.0, "1995-01-02"),
+      o(6L, 3L, 3.0, "1995-01-02"),
+      o(7L, 1L, 5.0, "1995-01-03"), o(8L, 2L, 5.0, "1995-01-03")))
+    val r = graft.operators.TimeSeriesOps.friedman(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+           ((2L, 3L, 4.0, 1.0)), s"got $r")
+  }
+
+  test("band_migration: three planted movers land in their hand-banded cells") {
+    val dir = tmpDir("bandmig")
+    def o(ok: Long, ck: Long, price: Double, day: String): Row =
+      Row(ok, ck, "O", price, java.sql.Timestamp.valueOf(s"$day 00:00:00"), "1")
+    // half split: midpoint of Jan 1 and Jan 10 epochs → Jan 1-5 = H1.
+    // cA: $600k in H1 only → (1_low, 0_none); cB: $2M H1, $1.2M H2 →
+    // (3_high, 2_mid); cC: $500k H2 only → (0_none, 1_low)
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      o(1L, 1L, 600000.0, "1995-01-01"),
+      o(2L, 2L, 2000000.0, "1995-01-02"), o(3L, 2L, 1200000.0, "1995-01-09"),
+      o(4L, 3L, 500000.0, "1995-01-10")))
+    val out = graft.operators.ReportOps.bandMigration(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("0_none", "1_low", 1L, 0.3333), ("1_low", "0_none", 1L, 0.3333),
+      ("3_high", "2_mid", 1L, 0.3333)), s"got ${out.toSeq}")
+  }
+
+  test("dormant_customers: 8x-median silence flags; fresh buyer and 2-order customer don't") {
+    val dir = tmpDir("dormant")
+    writeTable(dir, "customer", Schemas.customer, Seq(
+      Row(1L, "C1", 0, 0.0, "SEG"), Row(2L, "C2", 0, 0.0, "SEG"),
+      Row(3L, "C3", 0, 0.0, "SEG")))
+    def o(ok: Long, ck: Long, day: Int): Row =
+      Row(ok, ck, "O", 1.0,
+          java.sql.Timestamp.valueOf(
+            java.time.LocalDate.of(1995, 1, 1).plusDays(day).atStartOfDay()),
+          "1")
+    // c1: days 0/10/20 → med gap 10, silent 80 days at mx → dormant;
+    // c2: days 0/50/100 → med 50, silent 0 → active (and defines mx);
+    // c3: 2 orders → 1 gap → ineligible
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      o(1L, 1L, 0), o(2L, 1L, 10), o(3L, 1L, 20),
+      o(4L, 2L, 0), o(5L, 2L, 50), o(6L, 2L, 100),
+      o(7L, 3L, 0), o(8L, 3L, 5)))
+    val r = graft.operators.TimeSeriesOps.dormantCustomers(spark, dir)
+      .collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+            r.getDouble(4)) == (("SEG", 2L, 1L, 0.5, 30.0)), s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
