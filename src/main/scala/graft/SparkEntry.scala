@@ -513,7 +513,12 @@ object SparkEntry {
     // r13 widening 24: blocked rank test, value-tier flow, churn risk
     "q_friedman" -> (TimeSeriesOps.friedman _),
     "q_band_migration" -> (ReportOps.bandMigration _),
-    "q_dormant_customers" -> (TimeSeriesOps.dormantCustomers _)
+    "q_dormant_customers" -> (TimeSeriesOps.dormantCustomers _),
+    // r13 widening 25: post-hoc contrasts, joint whiteness test,
+    // decomposable inequality
+    "q_tukey_hsd" -> (TimeSeriesOps.tukeyHsd _),
+    "q_ljung_box" -> (TimeSeriesOps.ljungBox _),
+    "q_theil_index" -> (ReportOps.theilIndex _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

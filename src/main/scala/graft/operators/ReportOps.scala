@@ -1399,4 +1399,58 @@ object ReportOps {
                    col("n_total").cast("double")).as("share")),
       col("band_h1"), col("band_h2"))
   }
+
+  /** q_theil_index — Theil's T inequality of customer spend, DECOMPOSED
+    * by market segment: per segment the spend share s_g, the
+    * within-segment index T_g = (Σx·ln x)/X_g − ln(X_g/n_g), its
+    * contribution s_g·T_g, and the between term s_g·ln(s_g·N/n_g) —
+    * the decomposability q_gini structurally lacks (Gini's crossing
+    * terms don't split): Σcontribution + Σbetween IS total inequality,
+    * so the report says how much concentration lives inside segments
+    * vs between them.
+    *
+    * Determinism: per-customer spend x exact int64 cents; the ONLY
+    * per-customer double sum Σx·ln x rides the micro-integer rail
+    * (round(x·ln x·10⁶) per row → exact int64 per row, decimal(38,0)
+    * sum — the q_token_entropy idiom scaled for cent magnitudes;
+    * DuckDB sums BIGINT into HUGEINT); every other operand is an
+    * exact count/sum; T_g / share / between are identically-spelled
+    * chains, nullif on empty or zero-spend segments.
+    *
+    * Scale shape: one partial-aggregable per-customer rollup, one
+    * per-segment rollup off the broadcast customer dim, a 1-row
+    * corpus frame broadcast onto the ≤|segments| result. */
+  def theilIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val cust = graft.Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      .join(broadcast(graft.Tables.customer(s, d)
+              .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+            col("o_custkey") === col("c_custkey"))
+    val g = cust.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_g"),
+           sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)")
+             .as("xg"),
+           sum(round(col("x").cast("double") * log(col("x").cast("double")) *
+                     lit(1000000.0)).cast("long").cast("decimal(38,0)"))
+             .cast("decimal(38,0)").as("sl_micro"))
+    val tot = g.agg(sum(col("n_g")).as("nn"),
+                    sum(col("xg")).cast("decimal(38,0)").as("xx"))
+    val xgD = col("xg").cast("double")
+    val share = xgD / nullif(col("xx").cast("double"), lit(0.0))
+    val tWithin = col("sl_micro").cast("double") / lit(1000000.0) /
+      nullif(xgD, lit(0.0)) -
+      log(xgD / col("n_g").cast("double"))
+    ord(
+      g.crossJoin(broadcast(tot))
+        .select(col("segment"), col("n_g").as("n_customers"),
+                r4(share).as("spend_share"),
+                r4(tWithin).as("t_within"),
+                r4(share * tWithin).as("contribution"),
+                r4(share *
+                   log(share * col("nn").cast("double") /
+                       col("n_g").cast("double"))).as("between_term")),
+      col("segment"))
+  }
 }

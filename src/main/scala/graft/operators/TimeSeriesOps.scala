@@ -3269,4 +3269,119 @@ object TimeSeriesOps {
                   .as("avg_median_gap")),
       col("segment"))
   }
+
+  /** q_tukey_hsd — Tukey-style post-hoc pairwise contrasts after
+    * [[anova]]: for every segment pair, the mean difference and the
+    * studentized statistic q = (x̄_a − x̄_b)/√((MSW/2)(1/n_a + 1/n_b))
+    * off the SAME pooled within-group variance ANOVA uses. ANOVA's F
+    * says "the segments differ SOMEWHERE"; this says WHERE — the
+    * pairwise follow-up every omnibus test needs before anyone acts
+    * on it.
+    *
+    * Determinism: per-segment sufficient stats exact int64 dollars
+    * (the q_anova frame); the ONE cross-group double sum (Σ sx²/n)
+    * folds in segment order (the q_anova rule); each pair's mean/
+    * diff/q is an identically-spelled chain off exact operands,
+    * nullif on zero within-variance.
+    *
+    * Scale shape: one partial-aggregable fact rollup to k rows; the
+    * pair join is k×k over the k-row aggregate (broadcast, ≤|segments|²
+    * rows); the 1-row MSW frame broadcasts. */
+  def tukeyHsd(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+              round(col("o_totalprice")).cast("long").as("x"))
+    val g = o.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+           sum(col("x") * col("x")).as("sxx"))
+    val t = g.agg(
+      count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("sxx")).as("tss"),
+      expr("aggregate(sort_array(collect_list(named_struct(" +
+           "'seg', segment, 'p', cast(sx as double) * sx / n))), " +
+           "cast(0.0 as double), (acc, x) -> acc + x.p)").as("sum_gb"))
+    val msw = (col("tss").cast("double") - col("sum_gb")) /
+      (col("nn") - col("k")).cast("double")
+    val a = g.select(col("segment").as("seg_a"), col("n").as("na"),
+                     col("sx").as("sxa"))
+    val b = g.select(col("segment").as("seg_b"), col("n").as("nb"),
+                     col("sx").as("sxb"))
+    val meanA = col("sxa").cast("double") / col("na")
+    val meanB = col("sxb").cast("double") / col("nb")
+    ord(
+      a.join(broadcast(b), col("seg_a") < col("seg_b"))
+        .crossJoin(broadcast(t))
+        .select(col("seg_a"), col("seg_b"), col("na").as("n_a"),
+          col("nb").as("n_b"),
+          r4(meanA).as("mean_a"), r4(meanB).as("mean_b"),
+          r4(meanA - meanB).as("diff"),
+          r4((meanA - meanB) /
+             nullif(sqrt(msw * lit(0.5) *
+                         (lit(1.0) / col("na") + lit(1.0) / col("nb"))),
+                    lit(0.0))).as("q_stat")),
+      col("seg_a"), col("seg_b"))
+  }
+
+  /** q_ljung_box — Ljung–Box portmanteau whiteness test over the first
+    * 7 autocorrelations of the daily revenue series:
+    * Q = n(n+2)·Σ_{k≤7} ρ_k²/(n−k). One number answering "is there ANY
+    * serial structure" — the admission gate for the whole indicator
+    * family (q_autocorr reads single lags; a forecast residual check
+    * needs the joint test).
+    *
+    * Determinism: daily cents exact int64; each ρ_k comes from the
+    * exact decimal(38,0) identity n²·num = n²·Σx_t·x_{t−k} −
+    * n·S·(Σhead + Σtail) + (n−k)·S² over n²·den = n²·Σx² − n·S²
+    * (cents² ≈ 8·10¹⁹ overflows int64 — DuckDB mirrors with HUGEINT),
+    * so each ρ is ONE double division of exact operands; the 7-term
+    * Σρ²/(n−k) folds in LAG order (q_anova rule); n ≤ 14 days NULLs.
+    *
+    * Scale shape: everything after the daily rollup lives on the
+    * calendar-bounded frame: the lag join is |days|×7 against a
+    * 7-row broadcast spine, then ONE ≤7-row aggregate and a 1-row
+    * join with the series moments. */
+  def ljungBox(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("unix_timestamp(o_orderdate) DIV 86400").as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+    val m = daily.agg(count(lit(1)).as("n"),
+                      sum(dec(col("c"))).cast("decimal(38,0)").as("s"),
+                      sum(dec(col("c")) * dec(col("c")))
+                        .cast("decimal(38,0)").as("sxx"))
+    val lags = s.range(1, 8).select(col("id").as("lag_k"))
+    val cross = daily.as("a")
+      .crossJoin(broadcast(lags))
+      .join(daily.as("b"), col("a.day_num") === col("b.day_num") + col("lag_k"))
+      .groupBy(col("lag_k"))
+      .agg(sum(dec(col("a.c")) * dec(col("b.c")))
+             .cast("decimal(38,0)").as("sxy"),
+           sum(dec(col("a.c")) + dec(col("b.c")))
+             .cast("decimal(38,0)").as("sht"))
+    val nD = col("n").cast("decimal(38,0)")
+    val num = (nD * nD * col("sxy") - nD * col("s") * col("sht") +
+               (nD - col("lag_k").cast("decimal(38,0)")) * col("s") * col("s"))
+      .cast("decimal(38,0)")
+    val den = (nD * nD * col("sxx") - nD * col("s") * col("s"))
+      .cast("decimal(38,0)")
+    val rho = cross.crossJoin(broadcast(m))
+      .select(col("lag_k"), col("n"),
+              (num.cast("double") / nullif(den.cast("double"), lit(0.0)))
+                .as("rho"))
+    ord(
+      rho.groupBy(col("n"))
+        .agg(expr("aggregate(sort_array(collect_list(named_struct(" +
+               "'k', lag_k, 'p', rho * rho / (n - lag_k)))), " +
+               "cast(0.0 as double), (acc, x) -> acc + x.p)").as("sum_t"),
+             max(when(col("lag_k") === 1L, col("rho"))).as("rho_1"))
+        .select(col("n").as("n_days"), lit(7L).as("m_lags"),
+                r4(col("rho_1")).as("rho_1"),
+                r4(when(col("n") > 14L,
+                        col("n").cast("double") *
+                        (col("n").cast("double") + lit(2.0)) * col("sum_t"))
+                     .otherwise(lit(null).cast("double"))).as("q_stat")),
+      col("n_days"))
+  }
 }

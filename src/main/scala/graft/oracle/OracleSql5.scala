@@ -3004,5 +3004,124 @@ private[graft] object OracleSql5 {
                 (round(sum(med) / CAST(count(*) AS DOUBLE), 4) + 0.0)
                   AS avg_median_gap
          FROM flags GROUP BY segment ORDER BY segment""",
+    "q_tukey_hsd" ->
+      // post-hoc pairwise contrasts off the q_anova pooled variance;
+      // the one cross-group double sum folds in segment order
+      """WITH o AS (SELECT c_mktsegment AS segment,
+                           CAST(round(o_totalprice) AS BIGINT) AS x
+                    FROM orders JOIN customer ON o_custkey = c_custkey),
+            g AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * x) AS BIGINT) AS sxx
+                  FROM o GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         CAST(sum(n) AS BIGINT) AS nn,
+                         CAST(sum(sxx) AS BIGINT) AS tss,
+                         list_reduce(list(sx::DOUBLE * sx / n
+                                          ORDER BY segment),
+                                     (acc, x) -> acc + x) AS sum_gb
+                  FROM g),
+            msw AS (SELECT k, nn,
+                           (tss::DOUBLE - sum_gb) / CAST(nn - k AS DOUBLE)
+                             AS msw
+                    FROM t)
+         SELECT a.segment AS seg_a, b.segment AS seg_b,
+                a.n AS n_a, b.n AS n_b,
+                (round(a.sx::DOUBLE / a.n, 4) + 0.0) AS mean_a,
+                (round(b.sx::DOUBLE / b.n, 4) + 0.0) AS mean_b,
+                (round(a.sx::DOUBLE / a.n - b.sx::DOUBLE / b.n, 4) + 0.0)
+                  AS diff,
+                (round((a.sx::DOUBLE / a.n - b.sx::DOUBLE / b.n) /
+                       nullif(sqrt(msw.msw * 0.5 *
+                                   (1.0 / a.n + 1.0 / b.n)), 0.0), 4)
+                 + 0.0) AS q_stat
+         FROM g a JOIN g b ON a.segment < b.segment, msw
+         ORDER BY seg_a, seg_b""",
+    "q_ljung_box" ->
+      // Ljung-Box over the first 7 daily-revenue autocorrelations:
+      // exact HUGEINT moment identities per lag (mirrors
+      // decimal(38,0)), the 7-term sum folds in lag order
+      """WITH daily AS (SELECT epoch_us(o_orderdate)//1000000//86400
+                               AS day_num,
+                              CAST(sum(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS c
+                        FROM orders GROUP BY 1),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s,
+                         CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                              AS HUGEINT) AS sxx
+                  FROM daily),
+            lags AS (SELECT unnest(generate_series(1, 7)) AS lag_k),
+            cr AS (SELECT lag_k,
+                          CAST(sum(CAST(a.c AS HUGEINT) *
+                                   CAST(b.c AS HUGEINT)) AS HUGEINT) AS sxy,
+                          CAST(sum(CAST(a.c AS HUGEINT) +
+                                   CAST(b.c AS HUGEINT)) AS HUGEINT) AS sht
+                   FROM daily a, lags, daily b
+                   WHERE a.day_num = b.day_num + lag_k
+                   GROUP BY 1),
+            rho AS (SELECT lag_k, n,
+                           CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * sxy
+                                - CAST(n AS HUGEINT) * s * sht
+                                + CAST(n - lag_k AS HUGEINT) * s * s
+                                AS DOUBLE) /
+                           nullif(CAST(CAST(n AS HUGEINT) *
+                                         CAST(n AS HUGEINT) * sxx
+                                       - CAST(n AS HUGEINT) * s * s
+                                       AS DOUBLE), 0.0) AS rho
+                    FROM cr, m),
+            a AS (SELECT n,
+                         list_reduce(list(rho * rho / (n - lag_k)
+                                          ORDER BY lag_k),
+                                     (acc, x) -> acc + x) AS sum_t,
+                         max(CASE WHEN lag_k = 1 THEN rho END) AS rho_1
+                  FROM rho GROUP BY n)
+         SELECT n AS n_days, CAST(7 AS BIGINT) AS m_lags,
+                (round(rho_1, 4) + 0.0) AS rho_1,
+                (round(CASE WHEN n > 14
+                            THEN CAST(n AS DOUBLE) *
+                                 (CAST(n AS DOUBLE) + 2.0) * sum_t
+                            ELSE NULL END, 4) + 0.0) AS q_stat
+         FROM a ORDER BY n_days""",
+    "q_theil_index" ->
+      // Theil T decomposed by segment: micro-integer rail for the one
+      // per-customer double sum (q_token_entropy idiom), HUGEINT sums
+      """WITH cust AS (SELECT o_custkey,
+                              CAST(sum(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS x
+                       FROM orders GROUP BY 1),
+            j AS (SELECT c.c_mktsegment AS segment, cust.x
+                  FROM cust JOIN customer c ON cust.o_custkey = c.c_custkey),
+            g AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_g,
+                         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS xg,
+                         CAST(sum(CAST(round(CAST(x AS DOUBLE) *
+                                             ln(CAST(x AS DOUBLE)) *
+                                             1000000.0) AS BIGINT))
+                              AS HUGEINT) AS sl_micro
+                  FROM j GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+                           CAST(sum(xg) AS HUGEINT) AS xx
+                    FROM g)
+         SELECT segment, n_g AS n_customers,
+                (round(CAST(xg AS DOUBLE) /
+                       nullif(CAST(xx AS DOUBLE), 0.0), 4) + 0.0)
+                  AS spend_share,
+                (round(CAST(sl_micro AS DOUBLE) / 1000000.0 /
+                         nullif(CAST(xg AS DOUBLE), 0.0) -
+                       ln(CAST(xg AS DOUBLE) / CAST(n_g AS DOUBLE)), 4)
+                 + 0.0) AS t_within,
+                (round((CAST(xg AS DOUBLE) /
+                          nullif(CAST(xx AS DOUBLE), 0.0)) *
+                       (CAST(sl_micro AS DOUBLE) / 1000000.0 /
+                          nullif(CAST(xg AS DOUBLE), 0.0) -
+                        ln(CAST(xg AS DOUBLE) / CAST(n_g AS DOUBLE))), 4)
+                 + 0.0) AS contribution,
+                (round((CAST(xg AS DOUBLE) /
+                          nullif(CAST(xx AS DOUBLE), 0.0)) *
+                       ln((CAST(xg AS DOUBLE) /
+                             nullif(CAST(xx AS DOUBLE), 0.0)) *
+                          CAST(nn AS DOUBLE) / CAST(n_g AS DOUBLE)), 4)
+                 + 0.0) AS between_term
+         FROM g, tot ORDER BY segment""",
   )
 }

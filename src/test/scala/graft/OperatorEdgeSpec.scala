@@ -1392,6 +1392,67 @@ class OperatorEdgeSpec extends AnyFunSuite {
             r.getDouble(4)) == (("SEG", 2L, 1L, 0.5, 30.0)), s"got $r")
   }
 
+  test("tukey_hsd: two planted segments read the hand-computed q -4") {
+    val dir = tmpDir("tukey")
+    writeTable(dir, "customer", Schemas.customer, Seq(
+      Row(1L, "C1", 0, 0.0, "S_A"), Row(2L, "C2", 0, 0.0, "S_B")))
+    def o(ok: Long, ck: Long, price: Double): Row =
+      Row(ok, ck, "O", price,
+          java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "1")
+    // A = {1, 3} (mean 2), B = {5, 7} (mean 6): SSW = 84 − 80 = 4,
+    // MSW = 2, SE = √(2·0.5·(0.5+0.5)) = 1 → q = diff = −4
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      o(1L, 1L, 1.0), o(2L, 1L, 3.0), o(3L, 2L, 5.0), o(4L, 2L, 7.0)))
+    val r = graft.operators.TimeSeriesOps.tukeyHsd(spark, dir).collect().head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)) ==
+           (("S_A", "S_B", 2L, 2L, 2.0, 6.0, -4.0, -4.0)), s"got $r")
+  }
+
+  test("ljung_box: 16-day alternating series reads rho1 -0.9375, Q 94.5") {
+    val dir = tmpDir("ljung")
+    def o(ok: Long, day: Int, price: Double): Row =
+      Row(ok, 1L, "O", price,
+          java.sql.Timestamp.valueOf(
+            java.time.LocalDate.of(1995, 1, 1).plusDays(day).atStartOfDay()),
+          "1")
+    // $1/$2 alternating over 16 days: every lag-k autocovariance is
+    // ±(n−k)·2500 over 16·2500 → Q = 16·18·Σρ²/(n−k) = 94.5 exactly
+    writeTable(dir, "orders", Schemas.orders,
+      (0 until 16).map(i => o(i.toLong + 1, i, if (i % 2 == 0) 1.0 else 2.0)))
+    val r = graft.operators.TimeSeriesOps.ljungBox(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+           ((16L, 7L, -0.9375, 94.5)), s"got $r")
+    // 10-day series: rho defined, Q gated NULL (n <= 14)
+    val dir2 = tmpDir("ljung10")
+    writeTable(dir2, "orders", Schemas.orders,
+      (0 until 10).map(i => o(i.toLong + 1, i, if (i % 2 == 0) 1.0 else 2.0)))
+    val r2 = graft.operators.TimeSeriesOps.ljungBox(spark, dir2)
+      .collect().head
+    assert(r2.getLong(0) == 10L && r2.isNullAt(3), s"got $r2")
+  }
+
+  test("theil_index: equal-spend segments read zero within, hand-computed between") {
+    val dir = tmpDir("theil")
+    writeTable(dir, "customer", Schemas.customer, Seq(
+      Row(1L, "C1", 0, 0.0, "SEG"), Row(2L, "C2", 0, 0.0, "SEG"),
+      Row(3L, "C3", 0, 0.0, "SEG2")))
+    def o(ok: Long, ck: Long, price: Double): Row =
+      Row(ok, ck, "O", price,
+          java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "1")
+    // SEG: two $1 customers (equal → T_within 0); SEG2: one $2 customer
+    // (singleton → 0). Shares 0.5/0.5; between = 0.5·ln(0.75) = −0.1438
+    // and 0.5·ln(1.5) = 0.2027
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      o(1L, 1L, 1.0), o(2L, 2L, 1.0), o(3L, 3L, 2.0)))
+    val out = graft.operators.ReportOps.theilIndex(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+                 r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("SEG", 2L, 0.5, 0.0, 0.0, -0.1438),
+      ("SEG2", 1L, 0.5, 0.0, 0.0, 0.2027)), s"got ${out.toSeq}")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
