@@ -518,7 +518,10 @@ object SparkEntry {
     // decomposable inequality
     "q_tukey_hsd" -> (TimeSeriesOps.tukeyHsd _),
     "q_ljung_box" -> (TimeSeriesOps.ljungBox _),
-    "q_theil_index" -> (ReportOps.theilIndex _)
+    "q_theil_index" -> (ReportOps.theilIndex _),
+    // r13 widening 26: structural readability, distributional lift
+    "q_readability" -> (L.readability _),
+    "q_quantile_te" -> (TimeSeriesOps.quantileTe _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2294,4 +2294,46 @@ object LlmOps {
                           lit(0.0))).as("msttr")),
       col("source"))
   }
+
+  /** q_readability — Flesch reading ease + Flesch–Kincaid grade per
+    * source from corpus-summed counts: words (whitespace tokens),
+    * sentences (./!/? enders, floored at 1 per doc), syllables
+    * (maximal vowel runs — the standard hyphenation-free proxy).
+    * The structural readability axis q_text_quality's flat ratios
+    * (punct/stopword density) don't measure: sentence LENGTH and word
+    * WEIGHT are what distinguish legal boilerplate from prose, and a
+    * training-mix curator bands on exactly this score.
+    *
+    * Determinism: all three counts are exact int64 per doc (length
+    * differences and regexp_extract_all match counts — identical
+    * regex semantics both engines); the per-source sums are integer;
+    * the two scores are identically-spelled chains off three exact
+    * sums, nullif on a word-free source.
+    *
+    * Scale shape: ONE partial-aggregable rollup (three sums in one
+    * scan pass); no explode — the counts come from length arithmetic
+    * and match counting, never from materializing tokens. */
+  def readability(s: SparkSession, d: String): DataFrame = {
+    val words = size(split(col("text"), " ")).cast("long")
+    val enders = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.!?]", ""))).cast("long")
+    val sentences = greatest(enders, lit(1L))
+    val syllables =
+      size(expr("regexp_extract_all(text, '[aeiou]+', 0)")).cast("long")
+    val g = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(words).as("w"),
+           sum(sentences).as("st"), sum(syllables).as("sy"))
+    val wd = col("w").cast("double")
+    val wps = wd / nullif(col("st").cast("double"), lit(0.0))
+    val spw = col("sy").cast("double") / nullif(wd, lit(0.0))
+    ord(
+      g.select(col("source"), col("n_docs"), col("w").as("n_words"),
+               col("st").as("n_sentences"), col("sy").as("n_syllables"),
+               r4(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+                 .as("flesch"),
+               r4(lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+                 .as("fk_grade")),
+      col("source"))
+  }
 }

@@ -3384,4 +3384,62 @@ object TimeSeriesOps {
                      .otherwise(lit(null).cast("double"))).as("q_stat")),
       col("n_days"))
   }
+
+  /** q_quantile_te — quantile treatment effects of the md5-parity
+    * customer arm split on order value: the 25/50/75th order-value
+    * percentiles per arm and their differences. q_ab_test and
+    * q_cohens_d compare MEANS; a treatment that moves the tail but
+    * not the middle (or vice versa) only shows up here — the
+    * distributional readout experimentation reports ship beside the
+    * mean lift.
+    *
+    * Determinism: arms from the md5-parity rule (q_ab_test idiom);
+    * each percentile is a MANUAL order-statistic bracket
+    * rn = ⌈q·n/100⌉ on the uniquely-ordered (cents, orderkey) rank
+    * within the arm (the q_value_at_risk rule — never engine quantile
+    * interpolation); diffs are exact-cent differences divided once,
+    * r4'd.
+    *
+    * Scale shape: ONE ranking window per arm (partitioned — at 100 TB
+    * the scaladoc'd path is approx-quantile binning, the
+    * q_decile_lift stance) and ONE aggregate; no spine join — the
+    * three brackets are conditional aggregates over the same ranked
+    * frame. */
+  def quantileTe(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      when(expr("conv(substring(md5(cast(o_custkey as string)), 1, 8), " +
+                "16, 10) % 2") === 0, "A").otherwise("B").as("variant"))
+    val ranked = o
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("variant"))
+          .orderBy(col("cents"), col("o_orderkey"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("variant"))))
+    def bracket(q: Int): Column =
+      max(when(col("rn") === expr(s"CAST((n * $q + 99) DIV 100 AS INT)"),
+               col("cents")))
+    val arms = ranked.groupBy(col("variant"))
+      .agg(max(col("n")).as("n"), bracket(25).as("q25"),
+           bracket(50).as("q50"), bracket(75).as("q75"))
+    val f = arms.agg(
+      max(when(col("variant") === "A", col("n"))).as("n_a"),
+      max(when(col("variant") === "B", col("n"))).as("n_b"),
+      max(when(col("variant") === "A", col("q25"))).as("a25"),
+      max(when(col("variant") === "B", col("q25"))).as("b25"),
+      max(when(col("variant") === "A", col("q50"))).as("a50"),
+      max(when(col("variant") === "B", col("q50"))).as("b50"),
+      max(when(col("variant") === "A", col("q75"))).as("a75"),
+      max(when(col("variant") === "B", col("q75"))).as("b75"))
+    def d2(c: Column): Column = r4(c.cast("double") / 100.0)
+    ord(
+      f.select(col("n_a"), col("n_b"),
+        d2(col("a25")).as("q25_a"), d2(col("b25")).as("q25_b"),
+        d2(col("a25") - col("b25")).as("q25_diff"),
+        d2(col("a50")).as("q50_a"), d2(col("b50")).as("q50_b"),
+        d2(col("a50") - col("b50")).as("q50_diff"),
+        d2(col("a75")).as("q75_a"), d2(col("b75")).as("q75_b"),
+        d2(col("a75") - col("b75")).as("q75_diff")),
+      col("n_a"))
+  }
 }

@@ -3123,5 +3123,88 @@ private[graft] object OracleSql5 {
                           CAST(nn AS DOUBLE) / CAST(n_g AS DOUBLE)), 4)
                  + 0.0) AS between_term
          FROM g, tot ORDER BY segment""",
+    "q_readability" ->
+      // Flesch + FK grade per source from exact int counts (words,
+      // floored sentence enders, maximal vowel runs); two spelled
+      // chains off three exact sums
+      """WITH c AS (SELECT source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS words,
+                           greatest(CAST(length(text) -
+                                         length(regexp_replace(text,
+                                                '[.!?]', '', 'g'))
+                                         AS BIGINT), 1) AS sentences,
+                           CAST(len(regexp_extract_all(text, '[aeiou]+'))
+                                AS BIGINT) AS syllables
+                    FROM documents),
+            g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(words) AS BIGINT) AS w,
+                         CAST(sum(sentences) AS BIGINT) AS st,
+                         CAST(sum(syllables) AS BIGINT) AS sy
+                  FROM c GROUP BY 1)
+         SELECT source, n_docs, w AS n_words, st AS n_sentences,
+                sy AS n_syllables,
+                (round(206.835 -
+                       1.015 * (CAST(w AS DOUBLE) /
+                                nullif(CAST(st AS DOUBLE), 0.0)) -
+                       84.6 * (CAST(sy AS DOUBLE) /
+                               nullif(CAST(w AS DOUBLE), 0.0)), 4) + 0.0)
+                  AS flesch,
+                (round(0.39 * (CAST(w AS DOUBLE) /
+                               nullif(CAST(st AS DOUBLE), 0.0)) +
+                       11.8 * (CAST(sy AS DOUBLE) /
+                               nullif(CAST(w AS DOUBLE), 0.0)) - 15.59, 4)
+                 + 0.0) AS fk_grade
+         FROM g ORDER BY source""",
+    "q_quantile_te" ->
+      // quantile treatment effects: manual order-statistic brackets
+      // rn = ceil(q*n/100) on the uniquely-ordered per-arm rank
+      """WITH o AS (SELECT o_orderkey,
+                           CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS cents,
+                           CASE WHEN ('0x' || substr(md5(CAST(o_custkey
+                                        AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                                THEN 'A' ELSE 'B' END AS variant
+                    FROM orders),
+            ranked AS (SELECT *,
+                              row_number() OVER
+                                (PARTITION BY variant
+                                 ORDER BY cents, o_orderkey) AS rn,
+                              count(*) OVER (PARTITION BY variant) AS n
+                       FROM o),
+            arms AS (SELECT variant, CAST(max(n) AS BIGINT) AS n,
+                            max(CASE WHEN rn = (n * 25 + 99) // 100
+                                THEN cents END) AS q25,
+                            max(CASE WHEN rn = (n * 50 + 99) // 100
+                                THEN cents END) AS q50,
+                            max(CASE WHEN rn = (n * 75 + 99) // 100
+                                THEN cents END) AS q75
+                     FROM ranked GROUP BY 1),
+            f AS (SELECT
+                    CAST(max(CASE WHEN variant = 'A' THEN n END) AS BIGINT)
+                      AS n_a,
+                    CAST(max(CASE WHEN variant = 'B' THEN n END) AS BIGINT)
+                      AS n_b,
+                    max(CASE WHEN variant = 'A' THEN q25 END) AS a25,
+                    max(CASE WHEN variant = 'B' THEN q25 END) AS b25,
+                    max(CASE WHEN variant = 'A' THEN q50 END) AS a50,
+                    max(CASE WHEN variant = 'B' THEN q50 END) AS b50,
+                    max(CASE WHEN variant = 'A' THEN q75 END) AS a75,
+                    max(CASE WHEN variant = 'B' THEN q75 END) AS b75
+                  FROM arms)
+         SELECT n_a, n_b,
+                (round(CAST(a25 AS DOUBLE) / 100.0, 4) + 0.0) AS q25_a,
+                (round(CAST(b25 AS DOUBLE) / 100.0, 4) + 0.0) AS q25_b,
+                (round(CAST(a25 - b25 AS DOUBLE) / 100.0, 4) + 0.0)
+                  AS q25_diff,
+                (round(CAST(a50 AS DOUBLE) / 100.0, 4) + 0.0) AS q50_a,
+                (round(CAST(b50 AS DOUBLE) / 100.0, 4) + 0.0) AS q50_b,
+                (round(CAST(a50 - b50 AS DOUBLE) / 100.0, 4) + 0.0)
+                  AS q50_diff,
+                (round(CAST(a75 AS DOUBLE) / 100.0, 4) + 0.0) AS q75_a,
+                (round(CAST(b75 AS DOUBLE) / 100.0, 4) + 0.0) AS q75_b,
+                (round(CAST(a75 - b75 AS DOUBLE) / 100.0, 4) + 0.0)
+                  AS q75_diff
+         FROM f ORDER BY n_a""",
   )
 }

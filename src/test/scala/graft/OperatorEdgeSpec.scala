@@ -1453,6 +1453,42 @@ class OperatorEdgeSpec extends AnyFunSuite {
       ("SEG2", 1L, 0.5, 0.0, 0.0, 0.2027)), s"got ${out.toSeq}")
   }
 
+  test("readability: hand-counted words/enders/vowel-runs give the Flesch pair") {
+    val dir = tmpDir("readability")
+    def doc(id: Long, text: String, src: String): Row =
+      Row(id, text, "en", src, text.length.toLong)
+    // s0: 5 words, 2 enders, 5 vowel runs → flesch 119.6975, fk −2.815
+    // s1: 3 words, 0 enders (floored to 1), 5 runs → 62.79 / 5.2467
+    writeTable(dir, "documents", documentsSchema, Seq(
+      doc(1L, "the cat sat. it ran!", "s0"),
+      doc(2L, "no enders here", "s1")))
+    val out = graft.operators.LlmOps.readability(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(out("s0") == ((5L, 2L, 5L, 119.6975, -2.815)), s"got ${out("s0")}")
+    assert(out("s1") == ((3L, 1L, 5L, 62.79, 5.2467)), s"got ${out("s1")}")
+  }
+
+  test("quantile_te: planted arm values land on the exact bracket stats") {
+    val dir = tmpDir("qte")
+    def o(ok: Long, ck: Long, price: Double): Row =
+      Row(ok, ck, "O", price,
+          java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "1")
+    // md5 parity: custkey 1 → arm A, custkey 2 → arm B.
+    // A = {1,2,3,4}$ → brackets (1, 2, 3); B = {10,20,30,40}$
+    writeTable(dir, "orders", Schemas.orders,
+      (1 to 4).map(i => o(i.toLong, 1L, i.toDouble)) ++
+      (1 to 4).map(i => o(i.toLong + 4, 2L, i * 10.0)))
+    val r = graft.operators.TimeSeriesOps.quantileTe(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+            r.getDouble(8), r.getDouble(9), r.getDouble(10)) ==
+           ((4L, 4L, 1.0, 10.0, -9.0, 2.0, 20.0, -18.0, 3.0, 30.0, -27.0)),
+           s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
