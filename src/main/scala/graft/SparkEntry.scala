@@ -521,7 +521,9 @@ object SparkEntry {
     "q_theil_index" -> (ReportOps.theilIndex _),
     // r13 widening 26: structural readability, distributional lift
     "q_readability" -> (L.readability _),
-    "q_quantile_te" -> (TimeSeriesOps.quantileTe _)
+    "q_quantile_te" -> (TimeSeriesOps.quantileTe _),
+    // r13 widening 27: the month-over-month revenue waterfall
+    "q_revenue_bridge" -> (ReportOps.revenueBridge _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

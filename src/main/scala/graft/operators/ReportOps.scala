@@ -1453,4 +1453,81 @@ object ReportOps {
                        col("n_g").cast("double"))).as("between_term")),
       col("segment"))
   }
+
+  /** q_revenue_bridge — the month-over-month revenue WATERFALL: each
+    * month's revenue delta decomposed into volume effect
+    * (Δqty at last month's unit price), price effect (this month's qty
+    * at the unit-price change), new-part revenue and lapsed-part
+    * revenue — the Laspeyres-style bridge every revenue review opens
+    * with ("we're down 4%: is it units, pricing, or assortment?"),
+    * which no single-axis report (q_top_movers, q_period_over_period)
+    * can answer.
+    *
+    * Determinism: part-month qty/cents exact int64; the per-part
+    * volume/price effects are the ONLY doubles and ride the
+    * micro-integer rail (round(effect·10⁶) per row → exact int64,
+    * decimal(38,0)/HUGEINT month sums — the q_theil_index idiom);
+    * new/lapsed revenue and the total delta are EXACT cents; months
+    * are calendar-truncated dates, next-month = add_months (both
+    * engines first-of-month exact). Identity: vol + price + new −
+    * lapsed = total delta up to the micro quantum.
+    *
+    * Scale shape: one partial-aggregable (month, part) rollup; the
+    * bridge is a self FULL join keyed on (month, part) — shuffle
+    * bounded by |parts|·|months| DIMENSION cells, never lineitems;
+    * the monthly revenue frames are |months| rows; no window, no
+    * collect. */
+  def revenueBridge(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    val pm = graft.Tables.lineitem(s, d)
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+                 .as("month"),
+               col("l_partkey").as("pk"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"),
+           sum(round(col("l_extendedprice") * 100).cast("long")).as("c"))
+    val cur = pm.select(col("month"), col("pk"),
+                        col("q").as("q1"), col("c").as("c1"))
+    val prev = pm.select(add_months(col("month"), 1).as("month"), col("pk"),
+                         col("q").as("q0"), col("c").as("c0"))
+    val j = cur.join(prev, Seq("month", "pk"), "full_outer")
+    val unit0 = col("c0").cast("double") / col("q0")
+    val ve = (col("q1") - col("q0")).cast("double") * unit0
+    val pe = col("q1").cast("double") *
+      (col("c1").cast("double") / col("q1") - unit0)
+    val matched = col("q1").isNotNull && col("q0").isNotNull
+    val eff = j.select(col("month"),
+        when(matched, round(ve * lit(1000000.0)).cast("long"))
+          .otherwise(0L).as("ve_micro"),
+        when(matched, round(pe * lit(1000000.0)).cast("long"))
+          .otherwise(0L).as("pe_micro"),
+        when(col("q0").isNull, col("c1")).otherwise(0L).as("new_c"),
+        when(col("q1").isNull, col("c0")).otherwise(0L).as("lapsed_c"),
+        when(matched, 1L).otherwise(0L).as("is_m"),
+        when(col("q0").isNull, 1L).otherwise(0L).as("is_n"),
+        when(col("q1").isNull, 1L).otherwise(0L).as("is_l"))
+      .groupBy(col("month"))
+      .agg(sum(col("ve_micro").cast("decimal(38,0)"))
+             .cast("decimal(38,0)").as("ve_s"),
+           sum(col("pe_micro").cast("decimal(38,0)"))
+             .cast("decimal(38,0)").as("pe_s"),
+           sum(col("new_c")).as("new_s"), sum(col("lapsed_c")).as("lap_s"),
+           sum(col("is_m")).as("n_matched"), sum(col("is_n")).as("n_new"),
+           sum(col("is_l")).as("n_lapsed"))
+    val mrev = pm.groupBy(col("month")).agg(sum(col("c")).as("rev"))
+    val mprev = mrev.select(add_months(col("month"), 1).as("month"),
+                            col("rev").as("rev_prev"))
+    ord(
+      eff.join(mrev, Seq("month")).join(mprev, Seq("month"))
+        .select(col("month"), col("n_matched"), col("n_new"),
+          col("n_lapsed"),
+          r4(col("ve_s").cast("double") / 1000000.0 / 100.0)
+            .as("volume_effect"),
+          r4(col("pe_s").cast("double") / 1000000.0 / 100.0)
+            .as("price_effect"),
+          r4(col("new_s").cast("double") / 100.0).as("new_revenue"),
+          r4(-col("lap_s").cast("double") / 100.0).as("lapsed_revenue"),
+          r4((col("rev") - col("rev_prev")).cast("double") / 100.0)
+            .as("total_delta")),
+      col("month"))
+  }
 }

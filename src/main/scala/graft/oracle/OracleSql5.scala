@@ -3206,5 +3206,74 @@ private[graft] object OracleSql5 {
                 (round(CAST(a75 - b75 AS DOUBLE) / 100.0, 4) + 0.0)
                   AS q75_diff
          FROM f ORDER BY n_a""",
+    "q_revenue_bridge" ->
+      // month-over-month Laspeyres waterfall: per-part volume/price
+      // effects on the micro-integer rail (HUGEINT sums mirror
+      // decimal(38,0)); new/lapsed revenue and total delta exact cents
+      """WITH pm AS (SELECT date_trunc('month', l_shipdate)::DATE AS month,
+                            l_partkey AS pk,
+                            CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                                 AS BIGINT) AS q,
+                            CAST(sum(CAST(round(l_extendedprice * 100)
+                                          AS BIGINT)) AS BIGINT) AS c
+                     FROM lineitem GROUP BY 1, 2),
+            cur AS (SELECT month, pk, q AS q1, c AS c1 FROM pm),
+            prv AS (SELECT (month + INTERVAL 1 MONTH)::DATE AS month, pk,
+                           q AS q0, c AS c0 FROM pm),
+            j AS (SELECT coalesce(cur.month, prv.month) AS month,
+                         q1, c1, q0, c0
+                  FROM cur FULL JOIN prv
+                    ON cur.month = prv.month AND cur.pk = prv.pk),
+            eff AS (SELECT month,
+                           CASE WHEN q1 IS NOT NULL AND q0 IS NOT NULL
+                                THEN CAST(round(CAST(q1 - q0 AS DOUBLE) *
+                                           (CAST(c0 AS DOUBLE) / q0) *
+                                           1000000.0) AS BIGINT)
+                                ELSE 0 END AS ve_micro,
+                           CASE WHEN q1 IS NOT NULL AND q0 IS NOT NULL
+                                THEN CAST(round(CAST(q1 AS DOUBLE) *
+                                           (CAST(c1 AS DOUBLE) / q1 -
+                                            CAST(c0 AS DOUBLE) / q0) *
+                                           1000000.0) AS BIGINT)
+                                ELSE 0 END AS pe_micro,
+                           CASE WHEN q0 IS NULL THEN c1 ELSE 0 END AS new_c,
+                           CASE WHEN q1 IS NULL THEN c0 ELSE 0 END
+                             AS lapsed_c,
+                           CASE WHEN q1 IS NOT NULL AND q0 IS NOT NULL
+                                THEN 1 ELSE 0 END AS is_m,
+                           CASE WHEN q0 IS NULL THEN 1 ELSE 0 END AS is_n,
+                           CASE WHEN q1 IS NULL THEN 1 ELSE 0 END AS is_l
+                    FROM j),
+            agg AS (SELECT month,
+                           CAST(sum(CAST(ve_micro AS HUGEINT)) AS HUGEINT)
+                             AS ve_s,
+                           CAST(sum(CAST(pe_micro AS HUGEINT)) AS HUGEINT)
+                             AS pe_s,
+                           CAST(sum(new_c) AS BIGINT) AS new_s,
+                           CAST(sum(lapsed_c) AS BIGINT) AS lap_s,
+                           CAST(sum(is_m) AS BIGINT) AS n_matched,
+                           CAST(sum(is_n) AS BIGINT) AS n_new,
+                           CAST(sum(is_l) AS BIGINT) AS n_lapsed
+                    FROM eff GROUP BY 1),
+            mrev AS (SELECT month, CAST(sum(c) AS BIGINT) AS rev
+                     FROM pm GROUP BY 1),
+            mprv AS (SELECT (month + INTERVAL 1 MONTH)::DATE AS month,
+                            rev AS rev_prev
+                     FROM mrev)
+         SELECT agg.month, n_matched, n_new, n_lapsed,
+                (round(CAST(ve_s AS DOUBLE) / 1000000.0 / 100.0, 4) + 0.0)
+                  AS volume_effect,
+                (round(CAST(pe_s AS DOUBLE) / 1000000.0 / 100.0, 4) + 0.0)
+                  AS price_effect,
+                (round(CAST(new_s AS DOUBLE) / 100.0, 4) + 0.0)
+                  AS new_revenue,
+                (round(-CAST(lap_s AS DOUBLE) / 100.0, 4) + 0.0)
+                  AS lapsed_revenue,
+                (round(CAST(rev - rev_prev AS DOUBLE) / 100.0, 4) + 0.0)
+                  AS total_delta
+         FROM agg
+         JOIN mrev ON agg.month = mrev.month
+         JOIN mprv ON agg.month = mprv.month
+         ORDER BY agg.month""",
   )
 }

@@ -1489,6 +1489,26 @@ class OperatorEdgeSpec extends AnyFunSuite {
            s"got $r")
   }
 
+  test("revenue_bridge: matched/new/lapsed parts reconcile to the exact delta") {
+    val dir = tmpDir("bridge")
+    def li(ok: Long, pk: Long, qty: Double, ext: Double, day: String): Row =
+      Row(ok, pk, 1L, 1, qty, ext, 0.0, 0.0, "N", "O",
+          java.sql.Timestamp.valueOf(s"1995-$day 00:00:00"))
+    // Jan: p1 10 units @$1 ($10), p3 5 @$1 ($5). Feb: p1 12 @$1.20
+    // ($14.40), p2 4 @$2 ($8). Feb bridge: VE = 2·$1 = $2,
+    // PE = 12·$0.20 = $2.40, new $8, lapsed −$5; delta $22.40−$15 = $7.40
+    writeTable(dir, "lineitem", Schemas.lineitem, Seq(
+      li(1L, 1L, 10.0, 10.0, "01-05"), li(2L, 3L, 5.0, 5.0, "01-20"),
+      li(3L, 1L, 12.0, 14.4, "02-10"), li(4L, 2L, 4.0, 8.0, "02-15")))
+    val out = graft.operators.ReportOps.revenueBridge(spark, dir).collect()
+    assert(out.length == 1, s"got ${out.toSeq}")
+    val r = out.head
+    assert((r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+            r.getDouble(8)) ==
+           (("1995-02-01", 1L, 1L, 1L, 2.0, 2.4, 8.0, -5.0, 7.4)), s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
