@@ -523,7 +523,9 @@ object SparkEntry {
     "q_readability" -> (L.readability _),
     "q_quantile_te" -> (TimeSeriesOps.quantileTe _),
     // r13 widening 27: the month-over-month revenue waterfall
-    "q_revenue_bridge" -> (ReportOps.revenueBridge _)
+    "q_revenue_bridge" -> (ReportOps.revenueBridge _),
+    // r13 widening 28: per-segment treatment-effect heterogeneity
+    "q_ab_subgroups" -> (TimeSeriesOps.abSubgroups _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

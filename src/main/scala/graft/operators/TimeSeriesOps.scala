@@ -3442,4 +3442,67 @@ object TimeSeriesOps {
         d2(col("a75") - col("b75")).as("q75_diff")),
       col("n_a"))
   }
+
+  /** q_ab_subgroups — treatment-effect HETEROGENEITY: the md5-parity
+    * arm split's order-value lift computed PER market segment, each
+    * with its own Welch t — the subgroup analysis every experiment
+    * review runs after the pooled readout (a null overall effect can
+    * hide a positive segment and a negative one; acting on the pool
+    * alone is the classic Simpson trap). q_ttest_welch is the pooled
+    * row; this is its per-segment expansion.
+    *
+    * Determinism: per-(segment, arm) sufficient stats exact int64
+    * dollars (the q_anova magnitude rule); every mean/variance/t/df
+    * chain is spelled EXACTLY like q_ttest_welch's (sx::double·sx/n),
+    * try_divide (≙ DuckDB ÷0 → NULL) on degenerate arms.
+    *
+    * Scale shape: ONE partial-aggregable rollup (six conditional sums
+    * per segment in one pass) off the broadcast customer dim; no
+    * window, no second shuffle; k result rows. */
+  def abSubgroups(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+              .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+              round(col("o_totalprice")).cast("long").as("x"),
+              when(expr("conv(substring(md5(cast(o_custkey as string)), " +
+                        "1, 8), 16, 10) % 2") === 0, 1).otherwise(0)
+                .as("arm"))
+    val g = o.groupBy(col("segment")).agg(
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sxa"),
+      sum(when(col("arm") === 1, col("x") * col("x")).otherwise(0L))
+        .as("sxxa"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sxb"),
+      sum(when(col("arm") === 0, col("x") * col("x")).otherwise(0L))
+        .as("sxxb"))
+    // every division is try_divide: unlike the pooled q_ttest_welch, a
+    // SUBGROUP can genuinely have an empty arm, and ANSI mode must
+    // yield NULL (like the oracle's ÷0), not an exception
+    val st = g
+      .withColumn("ma", try_divide(col("sxa").cast("double"), col("na")))
+      .withColumn("mb", try_divide(col("sxb").cast("double"), col("nb")))
+      .withColumn("va",
+        try_divide(
+          col("sxxa") -
+            try_divide(col("sxa").cast("double") * col("sxa"), col("na")),
+          col("na") - 1L))
+      .withColumn("vb",
+        try_divide(
+          col("sxxb") -
+            try_divide(col("sxb").cast("double") * col("sxb"), col("nb")),
+          col("nb") - 1L))
+      .withColumn("se2", try_divide(col("va"), col("na")) +
+                         try_divide(col("vb"), col("nb")))
+    ord(
+      st.select(col("segment"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        r4(col("ma")).as("mean_a"), r4(col("mb")).as("mean_b"),
+        r4(col("ma") - col("mb")).as("lift"),
+        r4(try_divide(col("ma") - col("mb"), sqrt(col("se2"))))
+          .as("t_stat")),
+      col("segment"))
+  }
 }

@@ -3275,5 +3275,41 @@ private[graft] object OracleSql5 {
          JOIN mrev ON agg.month = mrev.month
          JOIN mprv ON agg.month = mprv.month
          ORDER BY agg.month""",
+    "q_ab_subgroups" ->
+      // per-segment Welch lift of the md5-parity arm split; every
+      // chain spelled exactly like q_ttest_welch's
+      """WITH o AS (SELECT c.c_mktsegment AS segment,
+                           CAST(round(o_totalprice) AS BIGINT) AS x,
+                           CASE WHEN ('0x' || substr(md5(CAST(o_custkey
+                                        AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                                THEN 1 ELSE 0 END AS arm
+                    FROM orders JOIN customer c ON o_custkey = c_custkey),
+            g AS (SELECT segment,
+                         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS na,
+                         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END)
+                              AS BIGINT) AS sxa,
+                         CAST(sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END)
+                              AS BIGINT) AS sxxa,
+                         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS nb,
+                         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END)
+                              AS BIGINT) AS sxb,
+                         CAST(sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END)
+                              AS BIGINT) AS sxxb
+                  FROM o GROUP BY 1),
+            st AS (SELECT segment, na, nb,
+                          sxa::DOUBLE / na AS ma, sxb::DOUBLE / nb AS mb,
+                          (sxxa - sxa::DOUBLE * sxa / na) / (na - 1) AS va,
+                          (sxxb - sxb::DOUBLE * sxb / nb) / (nb - 1) AS vb
+                   FROM g),
+            w AS (SELECT segment, na, nb, ma, mb,
+                         va / na + vb / nb AS se2 FROM st)
+         SELECT segment, na AS n_a, nb AS n_b,
+                (round(ma, 4) + 0.0) AS mean_a,
+                (round(mb, 4) + 0.0) AS mean_b,
+                (round(ma - mb, 4) + 0.0) AS lift,
+                (round((ma - mb) / sqrt(se2), 4) + 0.0) AS t_stat
+         FROM w ORDER BY segment""",
   )
 }

@@ -1509,6 +1509,31 @@ class OperatorEdgeSpec extends AnyFunSuite {
            (("1995-02-01", 1L, 1L, 1L, 2.0, 2.4, 8.0, -5.0, 7.4)), s"got $r")
   }
 
+  test("ab_subgroups: hand-computed per-segment Welch lift; empty arm NULLs") {
+    val dir = tmpDir("absub")
+    // md5 parity: custkeys 1, 3 → arm 1; custkey 2 → arm 0
+    writeTable(dir, "customer", Schemas.customer, Seq(
+      Row(1L, "C1", 0, 0.0, "SEG"), Row(2L, "C2", 0, 0.0, "SEG"),
+      Row(3L, "C3", 0, 0.0, "SEG2")))
+    def o(ok: Long, ck: Long, price: Double): Row =
+      Row(ok, ck, "O", price,
+          java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "1")
+    // SEG: arm1 = {1,3} (mean 2, var 2), arm0 = {5,7} (mean 6, var 2)
+    // → se² = 2, t = −4/√2 = −2.8284
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      o(1L, 1L, 1.0), o(2L, 1L, 3.0), o(3L, 2L, 5.0), o(4L, 2L, 7.0),
+      o(5L, 3L, 9.0)))
+    val out = graft.operators.TimeSeriesOps.abSubgroups(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val r = out("SEG")
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5), r.getDouble(6)) ==
+           ((2L, 2L, 2.0, 6.0, -4.0, -2.8284)), s"got $r")
+    val r2 = out("SEG2") // control arm empty → NULL lift, no crash
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 0L && r2.isNullAt(5),
+           s"got $r2")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
