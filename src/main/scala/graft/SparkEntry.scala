@@ -525,7 +525,10 @@ object SparkEntry {
     // r13 widening 27: the month-over-month revenue waterfall
     "q_revenue_bridge" -> (ReportOps.revenueBridge _),
     // r13 widening 28: per-segment treatment-effect heterogeneity
-    "q_ab_subgroups" -> (TimeSeriesOps.abSubgroups _)
+    "q_ab_subgroups" -> (TimeSeriesOps.abSubgroups _),
+    // r13 widening 29: daily tail trend, market concentration
+    "q_daily_p95" -> (TimeSeriesOps.dailyP95 _),
+    "q_hhi" -> (ReportOps.hhi _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1530,4 +1530,52 @@ object ReportOps {
             .as("total_delta")),
       col("month"))
   }
+
+  /** q_hhi — Herfindahl–Hirschman brand-concentration index per
+    * region: HHI = Σ_brands share² with the effective-brand count
+    * 1/HHI — the market-concentration standard (an HHI over 0.25 is
+    * what a competition review calls "highly concentrated"), the
+    * MARKET-share complement to q_gini/q_theil_index's customer-side
+    * inequality.
+    *
+    * Determinism: region-brand revenue exact int64 cents; Σc² rides
+    * decimal(38,0)/HUGEINT (a 10¹²-cent brand squares past int64), so
+    * HHI = Σc²/C² is ONE double division of exact operands — no
+    * per-brand double share sum to order; 1/HHI nullif-guarded.
+    *
+    * Scale shape: fact rollup onto ≤|regions|·|brands| cells with the
+    * three dims broadcast; one region rollup; no window. */
+  def hhi(s: SparkSession, d: String): DataFrame = {
+    import graft.Fin._
+    import org.apache.spark.sql.Column
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = graft.Tables.lineitem(s, d)
+      .join(graft.Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(graft.Tables.customer(s, d)
+              .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(graft.Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(graft.Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(graft.Tables.part(s, d)
+              .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("r_name").as("region"), col("p_brand"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+             .as("c"))
+    val g = cells.groupBy(col("region"))
+      .agg(count(lit(1)).as("n_brands"),
+           sum(col("c")).as("total_c"),
+           sum(dec(col("c")) * dec(col("c"))).cast("decimal(38,0)")
+             .as("c2"))
+    val hhiCol = col("c2").cast("double") /
+      nullif(col("total_c").cast("double") *
+             col("total_c").cast("double"), lit(0.0))
+    ord(
+      g.select(col("region"), col("n_brands"),
+               r4(col("total_c").cast("double") / 100.0).as("revenue"),
+               r4(hhiCol).as("hhi"),
+               r4(lit(1.0) / nullif(hhiCol, lit(0.0)))
+                 .as("effective_brands")),
+      col("region"))
+  }
 }

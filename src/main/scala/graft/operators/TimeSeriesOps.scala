@@ -3505,4 +3505,41 @@ object TimeSeriesOps {
           .as("t_stat")),
       col("segment"))
   }
+
+  /** q_daily_p95 — the daily TAIL trend: per day the median and 95th-
+    * percentile order value alongside the count — the ops-review
+    * series ("is the big-ticket tail growing?") that q_moving_avg's
+    * mean and q_percentile's static per-segment quantiles both miss;
+    * a mean can be flat while the p95 doubles.
+    *
+    * Determinism: both quantiles are MANUAL order-statistic brackets
+    * rn = ⌈qn/100⌉ on the uniquely-ordered per-day (cents, orderkey)
+    * rank (the q_value_at_risk rule — never engine interpolation);
+    * exact cents divided once, r4'd.
+    *
+    * Scale shape: the ranking window partitions BY DAY (the natural
+    * parallel unit — no global sort); one per-day aggregate;
+    * |days| result rows. */
+  def dailyP95(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      date_trunc("day", col("o_orderdate")).cast("date").as("day"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderkey"))
+    val ranked = o
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("day"))
+          .orderBy(col("cents"), col("o_orderkey"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("day"))))
+    def bracket(q: Int): Column =
+      max(when(col("rn") === expr(s"CAST((n * $q + 99) DIV 100 AS INT)"),
+               col("cents")))
+    ord(
+      ranked.groupBy(col("day"))
+        .agg(max(col("n")).as("n_orders"), bracket(50).as("p50_c"),
+             bracket(95).as("p95_c"))
+        .select(col("day"), col("n_orders"),
+                r4(col("p50_c").cast("double") / 100.0).as("p50"),
+                r4(col("p95_c").cast("double") / 100.0).as("p95")),
+      col("day"))
+  }
 }

@@ -3311,5 +3311,57 @@ private[graft] object OracleSql5 {
                 (round(ma - mb, 4) + 0.0) AS lift,
                 (round((ma - mb) / sqrt(se2), 4) + 0.0) AS t_stat
          FROM w ORDER BY segment""",
+    "q_daily_p95" ->
+      // daily median + p95 via manual order-statistic brackets on the
+      // uniquely-ordered per-day rank (never engine interpolation)
+      """WITH o AS (SELECT date_trunc('day', o_orderdate)::DATE AS day,
+                           CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS cents,
+                           o_orderkey
+                    FROM orders),
+            ranked AS (SELECT *,
+                              row_number() OVER
+                                (PARTITION BY day
+                                 ORDER BY cents, o_orderkey) AS rn,
+                              count(*) OVER (PARTITION BY day) AS n
+                       FROM o)
+         SELECT day, CAST(max(n) AS BIGINT) AS n_orders,
+                (round(CAST(max(CASE WHEN rn = (n * 50 + 99) // 100
+                                THEN cents END) AS DOUBLE) / 100.0, 4)
+                 + 0.0) AS p50,
+                (round(CAST(max(CASE WHEN rn = (n * 95 + 99) // 100
+                                THEN cents END) AS DOUBLE) / 100.0, 4)
+                 + 0.0) AS p95
+         FROM ranked GROUP BY day ORDER BY day""",
+    "q_hhi" ->
+      // Herfindahl by region: exact HUGEINT sum of squared brand
+      // revenues (mirrors decimal(38,0)); HHI one double division
+      """WITH cells AS (SELECT r.r_name AS region, p.p_brand,
+                               CAST(sum(CAST(round(l_extendedprice * 100)
+                                             AS BIGINT)) AS BIGINT) AS c
+                        FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        JOIN customer cu ON o.o_custkey = cu.c_custkey
+                        JOIN nation n ON cu.c_nationkey = n.n_nationkey
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+                        JOIN part p ON l.l_partkey = p.p_partkey
+                        GROUP BY 1, 2),
+            g AS (SELECT region, count(*) AS n_brands,
+                         CAST(sum(c) AS BIGINT) AS total_c,
+                         CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                              AS HUGEINT) AS c2
+                  FROM cells GROUP BY 1)
+         SELECT region, n_brands,
+                (round(CAST(total_c AS DOUBLE) / 100.0, 4) + 0.0)
+                  AS revenue,
+                (round(CAST(c2 AS DOUBLE) /
+                       nullif(CAST(total_c AS DOUBLE) *
+                              CAST(total_c AS DOUBLE), 0.0), 4) + 0.0)
+                  AS hhi,
+                (round(1.0 / nullif(CAST(c2 AS DOUBLE) /
+                                    nullif(CAST(total_c AS DOUBLE) *
+                                           CAST(total_c AS DOUBLE), 0.0),
+                                    0.0), 4) + 0.0) AS effective_brands
+         FROM g ORDER BY region""",
   )
 }

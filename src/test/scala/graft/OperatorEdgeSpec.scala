@@ -1534,6 +1534,40 @@ class OperatorEdgeSpec extends AnyFunSuite {
            s"got $r2")
   }
 
+  test("daily_p95: 20-order day brackets at 10/19; singleton day collapses") {
+    val dir = tmpDir("dailyp95")
+    def o(ok: Long, price: Double, day: String): Row =
+      Row(ok, 1L, "O", price,
+          java.sql.Timestamp.valueOf(s"1995-$day 00:00:00"), "1")
+    writeTable(dir, "orders", Schemas.orders,
+      (1 to 20).map(i => o(i.toLong, i.toDouble, "01-01")) :+
+      o(21L, 5.0, "01-02"))
+    val out = graft.operators.TimeSeriesOps.dailyP95(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+                 r.getDouble(3)))
+    assert(out.toSeq == Seq(("1995-01-01", 20L, 10.0, 19.0),
+                            ("1995-01-02", 1L, 5.0, 5.0)), s"got ${out.toSeq}")
+  }
+
+  test("hhi: 75/25 brand split reads 0.625 with 1.6 effective brands") {
+    val dir = tmpDir("hhi")
+    writeTable(dir, "region", Schemas.region, Seq(Row(0, "R0")))
+    writeTable(dir, "nation", Schemas.nation, Seq(Row(0, "N0", 0)))
+    writeTable(dir, "customer", Schemas.customer,
+      Seq(Row(1L, "C1", 0, 0.0, "SEG")))
+    writeTable(dir, "part", Schemas.part, Seq(
+      Row(1L, "P1", "B1", "T", 1, 1.0), Row(2L, "P2", "B2", "T", 1, 1.0)))
+    val ts = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    writeTable(dir, "orders", Schemas.orders,
+      Seq(Row(1L, 1L, "O", 4.0, ts, "1")))
+    writeTable(dir, "lineitem", Schemas.lineitem, Seq(
+      Row(1L, 1L, 1L, 1, 1.0, 3.0, 0.0, 0.0, "N", "O", ts),
+      Row(1L, 2L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ts)))
+    val r = graft.operators.ReportOps.hhi(spark, dir).collect().head
+    assert((r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4)) == (("R0", 2L, 4.0, 0.625, 1.6)), s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
