@@ -528,7 +528,10 @@ object SparkEntry {
     "q_ab_subgroups" -> (TimeSeriesOps.abSubgroups _),
     // r13 widening 29: daily tail trend, market concentration
     "q_daily_p95" -> (TimeSeriesOps.dailyP95 _),
-    "q_hhi" -> (ReportOps.hhi _)
+    "q_hhi" -> (ReportOps.hhi _),
+    // r13 widening 30: the 14th gated stream — token-bucket flow control
+    "q_ratelimit_stream" ->
+      (graft.streaming.StreamingOps.ratelimitStreamGated _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3363,5 +3363,59 @@ private[graft] object OracleSql5 {
                                            CAST(total_c AS DOUBLE), 0.0),
                                     0.0), 4) + 0.0) AS effective_brands
          FROM g ORDER BY region""",
+    "q_ratelimit_stream" ->
+      // replay the integer token-bucket fold per user over the
+      // event-time-ordered second list. The refill is STATE-FREE:
+      // credit ≡ s₁ + 60·⌊(sᵢ−s₁)/60⌋, so refillᵢ = Tᵢ − Tᵢ₋₁ with
+      // Tᵢ = (sᵢ−s₁)//60 — precomputed per ELEMENT, which sidesteps a
+      // DuckDB lambda CSE quirk where mixing a-state and x-element in
+      // one arithmetic subtree resolves a. fields to the element on
+      // later reduce steps (verified against a hand fold). Init
+      // prepended; cap 5; the element's tokens field carries the
+      // refill (the q_k_core same-struct-type fold idiom).
+      """WITH e AS (SELECT user_id,
+                           epoch_us(ts::TIMESTAMP)//1000000 AS sec,
+                           event_id
+                    FROM events),
+            per AS (SELECT user_id, list(sec ORDER BY sec, event_id) AS ss
+                    FROM e GROUP BY 1),
+            f AS (SELECT user_id,
+                         list_reduce(
+                           list_prepend(
+                             struct_pack(tokens := CAST(-1 AS BIGINT),
+                                         adm := CAST(0 AS BIGINT),
+                                         drp := CAST(0 AS BIGINT)),
+                             list_transform(range(1, len(ss) + 1), i ->
+                               struct_pack(
+                                 tokens := CASE WHEN i = 1
+                                     THEN CAST(0 AS BIGINT)
+                                     ELSE (ss[CAST(i AS INT)] - ss[1]) // 60
+                                        - (ss[CAST(i - 1 AS INT)] - ss[1])
+                                          // 60 END,
+                                 adm := CAST(0 AS BIGINT),
+                                 drp := CAST(0 AS BIGINT)))),
+                           (a, x) -> CASE
+                             WHEN a.tokens = -1 THEN
+                               struct_pack(tokens := CAST(4 AS BIGINT),
+                                           adm := CAST(1 AS BIGINT),
+                                           drp := CAST(0 AS BIGINT))
+                             WHEN least(CAST(5 AS BIGINT),
+                                        a.tokens + x.tokens) >= 1 THEN
+                               struct_pack(
+                                 tokens := least(CAST(5 AS BIGINT),
+                                                 a.tokens + x.tokens) - 1,
+                                 adm := a.adm + 1, drp := a.drp)
+                             ELSE
+                               struct_pack(
+                                 tokens := least(CAST(5 AS BIGINT),
+                                                 a.tokens + x.tokens),
+                                 adm := a.adm, drp := a.drp + 1) END)
+                           AS st
+                  FROM per)
+         SELECT user_id,
+                CAST(st.adm AS BIGINT) AS n_admitted,
+                CAST(st.drp AS BIGINT) AS n_dropped,
+                CAST(st.adm + st.drp AS BIGINT) AS n_events
+         FROM f ORDER BY user_id""",
   )
 }

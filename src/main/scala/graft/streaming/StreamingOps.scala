@@ -165,7 +165,7 @@ object StreamingOps {
     s.read.parquet(pub)
   }
 
-  /** Materialize all seven gated streaming drains (fixture pre-publish
+  /** Materialize all fourteen gated streaming drains (fixture pre-publish
     * — see [[graft.SparkEntry.prepareFixtures]]). */
   def prepareGatedStreams(s: SparkSession, d: String): Unit = {
     sessionizeStreamGated(s, d)
@@ -180,6 +180,7 @@ object StreamingOps {
     outerJoinStreamGated(s, d)
     enrichStreamGated(s, d)
     botStreamGated(s, d)
+    ratelimitStreamGated(s, d)
   }
 
   /** q_session_state_stream — the CUSTOM-STATE sessionizer
@@ -541,6 +542,95 @@ object StreamingOps {
   case class OpenSession(startSec: Long, lastSec: Long, n: Long, total: Double)
   case class SealedSession(user_id: Long, start_sec: Long, end_sec: Long,
                            n_events: Long, session_value: Double)
+
+  /** Token-bucket state / per-user admission tally for the
+    * [[rateLimited]] flow-control operator. creditSec is the last
+    * whole-60s refill boundary; tokens/admitted/dropped exact int64. */
+  case class BucketState(creditSec: Long, tokens: Long,
+                         admitted: Long, dropped: Long)
+  case class RateTally(user_id: Long, n_admitted: Long, n_dropped: Long)
+
+  /** Per-user token-bucket RATE LIMITER via flatMapGroupsWithState —
+    * the flow-control state-machine class (admit/drop), distinct from
+    * every aggregation-shaped stateful operator in the suite: capacity
+    * [[RateCap]] tokens, one token refilled per full 60 s elapsed,
+    * each event admitted iff a token is available. Emits ONE final
+    * (user, admitted, dropped) tally when the state times out — with
+    * the gated drain's sentinel-advanced watermark, exactly once per
+    * user at stream end.
+    *
+    * Determinism: the catch-up batch holds every real event
+    * (availableNow + fresh checkpoint), so the per-user event-time
+    * sort covers the whole stream; the bucket math is pure integer
+    * ((Δsec DIV 60) refill with the remainder carried in creditSec);
+    * same-second event order cannot change the COUNTS (each same-
+    * second event consumes or misses a token independent of order).
+    * State is one small record per user; the timeout bounds state
+    * lifetime exactly like [[sealedSessions]]. */
+  val RateCap = 5L
+  def rateLimited(spark: SparkSession, events: DataFrame)
+      : org.apache.spark.sql.Dataset[RateTally] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .withWatermark("ts", "1 hour")
+      .select($"user_id", $"ts", $"value")
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[UserEvent], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(RateTally(user, st.admitted, st.dropped))
+          } else {
+            val sorted = evs.toArray.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            var lastSec = 0L
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000L
+              lastSec = sec
+              cur = cur match {
+                case None =>
+                  Some(BucketState(sec, RateCap - 1L, 1L, 0L))
+                case Some(st) =>
+                  val refill = (sec - st.creditSec) / 60L
+                  val credit = st.creditSec + refill * 60L
+                  val avail = math.min(RateCap, st.tokens + refill)
+                  if (avail >= 1L)
+                    Some(BucketState(credit, avail - 1L,
+                                     st.admitted + 1L, st.dropped))
+                  else
+                    Some(BucketState(credit, avail,
+                                     st.admitted, st.dropped + 1L))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp((lastSec + 3600L) * 1000L)
+            }
+            Iterator.empty
+          }
+      }
+  }
+
+  /** q_ratelimit_stream — the token-bucket limiter run to COMPLETION
+    * under the DuckDB gate: the 14th gated streaming query and the
+    * only FLOW-CONTROL one (admit/drop decisions, not aggregation).
+    * The oracle replays the identical integer bucket fold per user
+    * with list_reduce over the event-time-ordered second list. */
+  def ratelimitStreamGated(s: SparkSession, d: String): DataFrame = {
+    val src = streamSourceDir(s, d)
+    val res = drainAvailableNow(s, d, "stream_gate_ratelimit")(
+      rateLimited(s, readEventStream(s, src)).toDF()
+        .select(col("user_id"), col("n_admitted"), col("n_dropped")))
+    graft.Fin.ord(
+      res.filter(col("user_id") >= 0)
+        .select(col("user_id"), col("n_admitted"), col("n_dropped"),
+                (col("n_admitted") + col("n_dropped")).as("n_events")),
+      col("user_id"))
+  }
 
   /** Sealed-session emitter via flatMapGroupsWithState — the multi-row
     * arbitrary-state surface (mapGroupsWithState emits exactly one row

@@ -278,4 +278,30 @@ class StreamingSpec extends AnyFunSuite {
     val lateRows = spark.table("t_late").filter(col("val") === 9.0).count()
     assert(lateRows == 0, "late event beyond watermark must be dropped")
   }
+
+  test("gated token-bucket limiter: planted burst drains, 10-min gap refills") {
+    val dir = tmpDir("ratelimit_fx")
+    val t0 = 1700000000L
+    // user 1: 8-event 1 Hz burst (cap 5 admits e1-e5, drops e6-e8),
+    // then one event 600 s later (10-token refill capped at 5 → admit)
+    // → 6 admitted / 3 dropped; user 2: singleton → 1/0
+    writeEvents(dir,
+      (0 to 7).map(i => eventRow(i.toLong + 1, t0 + i, 1, "view", 1.0)) ++
+      Seq(eventRow(9L, t0 + 600, 1, "view", 1.0),
+          eventRow(10L, t0, 2, "view", 1.0)))
+    val out = StreamingOps.ratelimitStreamGated(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(1L -> ((6L, 3L, 9L)), 2L -> ((1L, 0L, 1L))),
+           s"got $out")
+  }
+
+  test("gated token-bucket limiter conserves events on real data") {
+    val got = StreamingOps.ratelimitStreamGated(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val want = Tables.events(spark, sf0001).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "admitted + dropped must partition every event")
+  }
 }
