@@ -531,7 +531,9 @@ object SparkEntry {
     "q_hhi" -> (ReportOps.hhi _),
     // r13 widening 30: the 14th gated stream — token-bucket flow control
     "q_ratelimit_stream" ->
-      (graft.streaming.StreamingOps.ratelimitStreamGated _)
+      (graft.streaming.StreamingOps.ratelimitStreamGated _),
+    // r13 widening 31: window-5 skip-gram association
+    "q_pmi_skipgram" -> (L.pmiSkipgram _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2336,4 +2336,58 @@ object LlmOps {
                  .as("fk_grade")),
       col("source"))
   }
+
+  /** Skip-gram window width for [[pmiSkipgram]]. */
+  val SkipgramWindow = 5
+
+  /** q_pmi_skipgram — pointwise mutual information over UNORDERED
+    * token co-occurrence within a ±5-position window: the
+    * distributional-semantics association measure (the word2vec/GloVe
+    * objective's raw signal) that [[pmiBigrams]]' adjacent pairs
+    * can't see — "deep learning" and "learning ... deep" both count
+    * here, and collocations separated by stopwords surface.
+    *
+    * Determinism: pair instances are generated SCAN-SIDE (flatten of
+    * k = 1..5 slice-zips — no self-join, no positions materialized);
+    * unordered normalization via string least/greatest (identical
+    * collation both engines on ASCII tokens); all counts exact int64;
+    * PMI is ONE log of an exact integer ratio product, spelled
+    * exactly like q_pmi_bigrams', df-floored at the same
+    * [[PmiMinCount]].
+    *
+    * Scale shape: the pair explode is 5× the token volume (linear,
+    * narrow); one partial-aggregable (a, b) shuffle; the two unigram
+    * joins are shuffle joins keyed on the token (the bigram plan);
+    * 1-row totals broadcast. */
+  def pmiSkipgram(s: SparkSession, d: String): DataFrame = {
+    val ws = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("ws"))
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val totals = uni.agg(sum(col("n")).as("nn"))
+    val pairs = ws.select(explode(expr(
+        s"""flatten(transform(sequence(1, $SkipgramWindow), k ->
+              zip_with(slice(ws, 1, size(ws) - k),
+                       slice(ws, 1 + k, size(ws) - k),
+                       (x, y) -> struct(least(x, y) AS a,
+                                        greatest(x, y) AS b))))"""))
+        .as("p"))
+      .filter(length(col("p.a")) > 0 && length(col("p.b")) > 0)
+    val npairs = pairs.agg(count(lit(1)).as("np"))
+    val cnt = pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= PmiMinCount)
+    ord(
+      cnt
+        .join(uni.select(col("w").as("a"), col("n").as("n_a")), "a")
+        .join(uni.select(col("w").as("b"), col("n").as("n_b")), "b")
+        .crossJoin(broadcast(totals))
+        .crossJoin(broadcast(npairs))
+        .select(col("a"), col("b"), col("n_ab"),
+                r4(log((col("n_ab") * lit(1.0) * col("nn") * col("nn")) /
+                       (col("np") * lit(1.0) * col("n_a") * col("n_b"))))
+                  .as("pmi")),
+      col("a"), col("b"))
+  }
 }

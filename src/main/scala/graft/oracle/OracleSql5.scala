@@ -3417,5 +3417,33 @@ private[graft] object OracleSql5 {
                 CAST(st.drp AS BIGINT) AS n_dropped,
                 CAST(st.adm + st.drp AS BIGINT) AS n_events
          FROM f ORDER BY user_id""",
+    "q_pmi_skipgram" ->
+      // unordered window-5 co-occurrence PMI: scan-side pair
+      // generation (k x position flatten), least/greatest
+      // normalization, the q_pmi_bigrams spelling and df floor
+      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            u AS (SELECT unnest(ws) AS w FROM t),
+            uni AS (SELECT w, count(*) AS n FROM u
+                    WHERE length(w) > 0 GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM uni),
+            sg0 AS (SELECT unnest(flatten(list_transform(range(1, 6), k ->
+                             list_transform(range(1, len(ws) - k + 1),
+                               i -> {'a': least(ws[i], ws[i+k]),
+                                     'b': greatest(ws[i], ws[i+k])}))))
+                      AS p
+                    FROM t),
+            sg AS (SELECT p.a AS a, p.b AS b FROM sg0
+                   WHERE length(p.a) > 0 AND length(p.b) > 0),
+            np AS (SELECT count(*) AS np FROM sg),
+            cnt AS (SELECT a, b, count(*) AS n_ab FROM sg GROUP BY 1, 2
+                    HAVING count(*) >= 5)
+         SELECT c.a, c.b, c.n_ab,
+                (round(ln((c.n_ab * 1.0 * tot.nn * tot.nn) /
+                         (np.np * 1.0 * ua.n * ub.n)), 4) + 0.0) AS pmi
+         FROM cnt c
+         JOIN uni ua ON c.a = ua.w
+         JOIN uni ub ON c.b = ub.w
+         CROSS JOIN tot CROSS JOIN np
+         ORDER BY c.a, c.b""",
   )
 }

@@ -1568,6 +1568,22 @@ class OperatorEdgeSpec extends AnyFunSuite {
             r.getDouble(4)) == (("R0", 2L, 4.0, 0.625, 1.6)), s"got $r")
   }
 
+  test("pmi_skipgram: alternating 8-token doc gives the hand-counted window pairs") {
+    val dir = tmpDir("skipgram")
+    // "a b a b a b a b": np = 7+6+5+4+3 = 25; (a,b) = 15, (a,a) = 5,
+    // (b,b) = 5; unigrams 4/4, NN = 8 → PMI(a,b) = ln 2.4 = 0.8755,
+    // PMI(a,a) = PMI(b,b) = ln 0.8 = −0.2231
+    val text = Seq.fill(4)("a b").mkString(" ")
+    writeTable(dir, "documents", documentsSchema,
+      Seq(Row(1L, text, "en", "s0", text.length.toLong)))
+    val out = graft.operators.LlmOps.pmiSkipgram(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", "a", 5L, -0.2231),
+                            ("a", "b", 15L, 0.8755),
+                            ("b", "b", 5L, -0.2231)), s"got ${out.toSeq}")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
