@@ -533,7 +533,10 @@ object SparkEntry {
     "q_ratelimit_stream" ->
       (graft.streaming.StreamingOps.ratelimitStreamGated _),
     // r13 widening 31: window-5 skip-gram association
-    "q_pmi_skipgram" -> (L.pmiSkipgram _)
+    "q_pmi_skipgram" -> (L.pmiSkipgram _),
+    // r13 widening 32: block-maxima law, weekly-rhythm strength
+    "q_gumbel_maxima" -> (TimeSeriesOps.gumbelMaxima _),
+    "q_seasonality_strength" -> (TimeSeriesOps.seasonalityStrength _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3506,6 +3506,101 @@ object TimeSeriesOps {
       col("segment"))
   }
 
+  /** q_gumbel_maxima — extreme-value fit of MONTHLY MAXIMA of daily
+    * revenue: Gumbel location/scale by method of moments
+    * (β = s·√6/π, μ = x̄ − γβ) and the 12-month return level
+    * μ − β·ln(−ln(1 − 1/12)) — "what daily peak should one year
+    * bring", the block-maxima law q_tail_index's value-tail exponent
+    * and q_value_at_risk's change-quantile both structurally miss
+    * (extremes of MAXIMA follow their own distribution).
+    *
+    * Determinism: daily cents and monthly maxima exact int64; the two
+    * moments accumulate in decimal(38,0)/HUGEINT; mean/sd/β/μ/return
+    * level are identically-spelled chains with √6, π and γ as the
+    * same decimal literals on both engines; < 12 blocks NULLs the
+    * fit.
+    *
+    * Scale shape: everything after the daily rollup is
+    * calendar-bounded (≤|months| maxima, one 1-row moment frame). */
+  def gumbelMaxima(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables.orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+    val maxima = daily
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(max(col("c")).as("m"))
+    val mo = maxima.agg(count(lit(1)).as("n"),
+                        sum(dec(col("m"))).cast("decimal(38,0)").as("s1"),
+                        sum(dec(col("m")) * dec(col("m")))
+                          .cast("decimal(38,0)").as("s2"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val sd = sqrt((col("s2").cast("double") - mean * mean * nD) /
+                  nullif(nD - lit(1.0), lit(0.0)))
+    val beta = sd * lit(2.449489742783178) / lit(3.141592653589793)
+    val mu = mean - lit(0.5772156649015329) * beta
+    val rl = mu - beta * log(-log(lit(1.0) - lit(1.0) / lit(12.0)))
+    val gate = (c: Column) => when(col("n") >= 12L, c)
+    ord(
+      mo.select(col("n").as("n_blocks"),
+        r4(mean / 100.0).as("mean_max"),
+        gate(r4(sd / 100.0)).as("sd_max"),
+        gate(r4(beta / 100.0)).as("gumbel_beta"),
+        gate(r4(mu / 100.0)).as("gumbel_mu"),
+        gate(r4(rl / 100.0)).as("return_level_12mo")),
+      col("n_blocks"))
+  }
+
+  /** q_seasonality_strength — how much of the DAILY revenue variance
+    * the weekly rhythm explains: one-way η² of day-of-week on daily
+    * revenue (the q_anova machinery on the calendar frame). The
+    * seasonality HEATMAP (q_seasonality) shows the shape; this is the
+    * single number that says whether deseasonalizing matters (η² near
+    * 0 → weekday adjustment is noise; near 1 → every weekday model
+    * must be separate).
+    *
+    * Determinism: dow from pure integer epoch arithmetic (the
+    * q_seasonality +3 rule — no engine dow convention); daily cents
+    * exact int64, group moments decimal(38,0)/HUGEINT; the one
+    * cross-group double sum (Σ S_g²/n_g) folds in DOW order (q_anova
+    * rule); η²/F identically-spelled chains, nullif on zero variance.
+    *
+    * Scale shape: one partial-aggregable daily rollup, a ≤7-row group
+    * rollup, a 1-row total. */
+  def seasonalityStrength(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("unix_timestamp(o_orderdate) DIV 86400").as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .select(((col("day_num") + 3L) % 7L + 1L).as("dow"), col("c"))
+    val g = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("c"))).cast("decimal(38,0)").as("sg"))
+    val tot = daily.agg(count(lit(1)).as("nn"),
+                        sum(dec(col("c"))).cast("decimal(38,0)").as("ts"),
+                        sum(dec(col("c")) * dec(col("c")))
+                          .cast("decimal(38,0)").as("tss"))
+    val t = g.agg(count(lit(1)).as("k"),
+      expr("aggregate(sort_array(collect_list(named_struct(" +
+           "'d', dow, 'p', cast(sg as double) * cast(sg as double) / n))), " +
+           "cast(0.0 as double), (acc, x) -> acc + x.p)").as("sum_gb"))
+      .crossJoin(broadcast(tot))
+    val cf = col("ts").cast("double") * col("ts").cast("double") /
+      col("nn").cast("double")
+    val ssb = col("sum_gb") - cf
+    val sst = col("tss").cast("double") - cf
+    ord(
+      t.select(col("nn").as("n_days"), col("k").as("n_dows"),
+        r4(ssb / nullif(sst, lit(0.0))).as("eta2"),
+        r4((ssb / (col("k") - lit(1L)).cast("double")) /
+           nullif((sst - ssb) / (col("nn") - col("k")).cast("double"),
+                  lit(0.0))).as("f_stat")),
+      col("n_days"))
+  }
+
   /** q_daily_p95 — the daily TAIL trend: per day the median and 95th-
     * percentile order value alongside the count — the ops-review
     * series ("is the big-ticket tail growing?") that q_moving_avg's

@@ -3445,5 +3445,84 @@ private[graft] object OracleSql5 {
          JOIN uni ub ON c.b = ub.w
          CROSS JOIN tot CROSS JOIN np
          ORDER BY c.a, c.b""",
+    "q_gumbel_maxima" ->
+      // Gumbel method-of-moments fit of monthly daily-revenue maxima
+      // with the same sqrt(6)/pi/gamma decimal literals; HUGEINT
+      // moments mirror decimal(38,0); < 12 blocks NULL the fit
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate)::DATE AS day,
+                               CAST(sum(CAST(round(o_totalprice * 100)
+                                             AS BIGINT)) AS BIGINT) AS c
+                        FROM orders GROUP BY 1),
+            maxima AS (SELECT date_trunc('month', day)::DATE AS month,
+                              CAST(max(c) AS BIGINT) AS m
+                       FROM daily GROUP BY 1),
+            mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(CAST(m AS HUGEINT)) AS HUGEINT) AS s1,
+                          CAST(sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT))
+                               AS HUGEINT) AS s2
+                   FROM maxima),
+            f AS (SELECT n,
+                         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                         sqrt((CAST(s2 AS DOUBLE) -
+                               (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+                               (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+                               CAST(n AS DOUBLE)) /
+                              nullif(CAST(n AS DOUBLE) - 1.0, 0.0)) AS sd
+                  FROM mo),
+            p AS (SELECT n, mean, sd,
+                         sd * 2.449489742783178 / 3.141592653589793 AS beta
+                  FROM f),
+            q AS (SELECT n, mean, sd, beta,
+                         mean - 0.5772156649015329 * beta AS mu
+                  FROM p)
+         SELECT n AS n_blocks,
+                (round(mean / 100.0, 4) + 0.0) AS mean_max,
+                (round(CASE WHEN n >= 12 THEN sd / 100.0 END, 4) + 0.0)
+                  AS sd_max,
+                (round(CASE WHEN n >= 12 THEN beta / 100.0 END, 4) + 0.0)
+                  AS gumbel_beta,
+                (round(CASE WHEN n >= 12 THEN mu / 100.0 END, 4) + 0.0)
+                  AS gumbel_mu,
+                (round(CASE WHEN n >= 12 THEN
+                         (mu - beta * ln(-ln(1.0 - 1.0 / 12.0))) / 100.0
+                       END, 4) + 0.0) AS return_level_12mo
+         FROM q ORDER BY n_blocks""",
+    "q_seasonality_strength" ->
+      // one-way eta^2 of day-of-week on daily revenue: integer-epoch
+      // dow (the q_seasonality +3 rule), HUGEINT moments, the one
+      // cross-group double sum folds in dow order (q_anova rule)
+      """WITH daily AS (SELECT epoch_us(o_orderdate)//1000000//86400
+                               AS day_num,
+                              CAST(sum(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS c
+                        FROM orders GROUP BY 1),
+            dd AS (SELECT (day_num + 3) % 7 + 1 AS dow, c FROM daily),
+            g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS sg
+                  FROM dd GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                           CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS ts,
+                           CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                                AS HUGEINT) AS tss
+                    FROM dd),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         list_reduce(list(CAST(sg AS DOUBLE) *
+                                          CAST(sg AS DOUBLE) / n
+                                          ORDER BY dow),
+                                     (acc, x) -> acc + x) AS sum_gb
+                  FROM g),
+            w AS (SELECT k, nn, sum_gb,
+                         CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) /
+                           CAST(nn AS DOUBLE) AS cf,
+                         CAST(tss AS DOUBLE) AS tssd
+                  FROM t, tot)
+         SELECT nn AS n_days, k AS n_dows,
+                (round((sum_gb - cf) / nullif(tssd - cf, 0.0), 4) + 0.0)
+                  AS eta2,
+                (round(((sum_gb - cf) / CAST(k - 1 AS DOUBLE)) /
+                       nullif(((tssd - cf) - (sum_gb - cf)) /
+                              CAST(nn - k AS DOUBLE), 0.0), 4) + 0.0)
+                  AS f_stat
+         FROM w ORDER BY n_days""",
   )
 }

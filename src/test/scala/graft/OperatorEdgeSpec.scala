@@ -1584,6 +1584,47 @@ class OperatorEdgeSpec extends AnyFunSuite {
                             ("b", "b", 5L, -0.2231)), s"got ${out.toSeq}")
   }
 
+  test("gumbel_maxima: 12 arithmetic monthly maxima give the closed-form fit") {
+    val dir = tmpDir("gumbel")
+    // one order per month, $1..$12 → maxima 100..1200c, mean $6.5,
+    // sd √130000c = 3.6056, β 2.8112, μ 4.8773, 12-mo level 11.7416
+    writeTable(dir, "orders", Schemas.orders, (1 to 12).map { i =>
+      Row(i.toLong, 1L, "O", i.toDouble,
+          java.sql.Timestamp.valueOf(f"1995-$i%02d-05 00:00:00"), "1")
+    })
+    val r = graft.operators.TimeSeriesOps.gumbelMaxima(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5)) ==
+           ((12L, 6.5, 3.6056, 2.8112, 4.8773, 11.7416)), s"got $r")
+    // 2 blocks: mean still reads, the fit is NULL-gated
+    val dir2 = tmpDir("gumbel2")
+    writeTable(dir2, "orders", Schemas.orders, (1 to 2).map { i =>
+      Row(i.toLong, 1L, "O", i.toDouble,
+          java.sql.Timestamp.valueOf(f"1995-$i%02d-05 00:00:00"), "1")
+    })
+    val r2 = graft.operators.TimeSeriesOps.gumbelMaxima(spark, dir2)
+      .collect().head
+    assert(r2.getLong(0) == 2L && !r2.isNullAt(1) && r2.isNullAt(5),
+           s"got $r2")
+  }
+
+  test("seasonality_strength: exact two-week weekly pattern reads eta2 1") {
+    val dir = tmpDir("seastr")
+    // 14 days, each weekday identical across the two weeks → all
+    // variance is between-dow: eta² = 1, F divides by zero → NULL
+    writeTable(dir, "orders", Schemas.orders, (0 until 14).map { i =>
+      Row(i.toLong + 1, 1L, "O", (i % 7 + 1).toDouble,
+          java.sql.Timestamp.valueOf(
+            java.time.LocalDate.of(1995, 1, 1).plusDays(i).atStartOfDay()),
+          "1")
+    })
+    val r = graft.operators.TimeSeriesOps.seasonalityStrength(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((14L, 7L, 1.0))
+           && r.isNullAt(3), s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
