@@ -536,7 +536,9 @@ object SparkEntry {
     "q_pmi_skipgram" -> (L.pmiSkipgram _),
     // r13 widening 32: block-maxima law, weekly-rhythm strength
     "q_gumbel_maxima" -> (TimeSeriesOps.gumbelMaxima _),
-    "q_seasonality_strength" -> (TimeSeriesOps.seasonalityStrength _)
+    "q_seasonality_strength" -> (TimeSeriesOps.seasonalityStrength _),
+    // r13 widening 33: language-ID eval metrics
+    "q_langid_prf" -> (L.langidPrf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1393,6 +1393,60 @@ object LlmOps {
       col("lang"), col("pred_lang"))
   }
 
+  /** q_langid_prf — per-language precision / recall / F1 of the
+    * [[langId]] heuristic against the labeled corpus: the metrics
+    * layer over the raw confusion matrix q_lang_id emits (a matrix
+    * needs eyes; a curation gate thresholds on per-class F1). tp is
+    * the diagonal cell, the marginals are the true/predicted row
+    * sums — the standard multi-class one-vs-rest reduction.
+    *
+    * Determinism: the predictor is the exact [[langId]] chain (its
+    * vowel/rare ratios divide identical integer operands); all cells
+    * and marginals exact int64; P/R/F1 identically-spelled chains,
+    * nullif on empty marginals (a never-predicted class reads NULL
+    * precision, not a crash).
+    *
+    * Scale shape: ONE partial-aggregable (lang, pred) rollup — the
+    * |langs|² confusion frame — then broadcast-joined marginals over
+    * ≤|langs| rows. */
+  def langidPrf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nchars = length(col("text"))
+    val vowels = (nchars -
+      length(regexp_replace(col("text"), "[aeiou]", ""))).cast("double")
+    val rares = (nchars -
+      length(regexp_replace(col("text"), "[zxq]", ""))).cast("double")
+    val vr = vowels / nchars
+    val rr = rares / nchars
+    val pred = when(rr > 0.02, "zh")
+      .when(vr > 0.40, "es")
+      .when(vr > 0.36, "fr")
+      .when(vr > 0.32, "en")
+      .otherwise("de")
+    val cells = docs.select(col("lang"), pred.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    val truth = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+    val predicted = cells.groupBy(col("pred_lang"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tp = cells.filter(col("lang") === col("pred_lang"))
+      .select(col("lang").as("l2"), col("n").as("tp"))
+    val joined = truth
+      .join(broadcast(predicted), col("lang") === col("pred_lang"), "left")
+      .join(broadcast(tp), col("lang") === col("l2"), "left")
+      .select(col("lang"), col("n_true"),
+              coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+              coalesce(col("tp"), lit(0L)).as("tp"))
+    val p = col("tp").cast("double") /
+      nullif(col("n_pred").cast("double"), lit(0.0))
+    val r = col("tp").cast("double") /
+      nullif(col("n_true").cast("double"), lit(0.0))
+    ord(
+      joined.select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+                    r4(p).as("precision"), r4(r).as("recall"),
+                    r4(lit(2.0) * p * r / nullif(p + r, lit(0.0))).as("f1")),
+      col("lang"))
+  }
+
   /** q_quantize_embed — int8 symmetric-quantization audit per vector:
     * scale = 127/max|vᵢ|, qᵢ = round(vᵢ·scale), reporting the scale,
     * the saturated-lane count, and the dequantization MSE — the

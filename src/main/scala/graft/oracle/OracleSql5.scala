@@ -3524,5 +3524,60 @@ private[graft] object OracleSql5 {
                               CAST(nn - k AS DOUBLE), 0.0), 4) + 0.0)
                   AS f_stat
          FROM w ORDER BY n_days""",
+    "q_langid_prf" ->
+      // per-language P/R/F1 of the q_lang_id heuristic: diagonal tp +
+      // marginals from the exact confusion cells; nullif on empty
+      // marginals (never-predicted class reads NULL precision)
+      """WITH d AS (SELECT lang,
+                           CASE WHEN (length(text) -
+                                      length(regexp_replace(text, '[zxq]',
+                                                            '', 'g')))
+                                     * 1.0 / length(text) > 0.02 THEN 'zh'
+                                WHEN (length(text) -
+                                      length(regexp_replace(text, '[aeiou]',
+                                                            '', 'g')))
+                                     * 1.0 / length(text) > 0.40 THEN 'es'
+                                WHEN (length(text) -
+                                      length(regexp_replace(text, '[aeiou]',
+                                                            '', 'g')))
+                                     * 1.0 / length(text) > 0.36 THEN 'fr'
+                                WHEN (length(text) -
+                                      length(regexp_replace(text, '[aeiou]',
+                                                            '', 'g')))
+                                     * 1.0 / length(text) > 0.32 THEN 'en'
+                                ELSE 'de' END AS pred_lang
+                    FROM documents),
+            cells AS (SELECT lang, pred_lang, count(*) AS n
+                      FROM d GROUP BY 1, 2),
+            truth AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true
+                      FROM cells GROUP BY 1),
+            predicted AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS n_pred
+                          FROM cells GROUP BY 1),
+            tp AS (SELECT lang AS l2, CAST(n AS BIGINT) AS tp FROM cells
+                   WHERE lang = pred_lang),
+            j AS (SELECT t.lang, t.n_true,
+                         coalesce(p.n_pred, 0) AS n_pred,
+                         coalesce(tp.tp, 0) AS tp
+                  FROM truth t
+                  LEFT JOIN predicted p ON t.lang = p.pred_lang
+                  LEFT JOIN tp ON t.lang = tp.l2)
+         SELECT lang, n_true, CAST(n_pred AS BIGINT) AS n_pred,
+                CAST(tp AS BIGINT) AS tp,
+                (round(CAST(tp AS DOUBLE) /
+                       nullif(CAST(n_pred AS DOUBLE), 0.0), 4) + 0.0)
+                  AS precision,
+                (round(CAST(tp AS DOUBLE) /
+                       nullif(CAST(n_true AS DOUBLE), 0.0), 4) + 0.0)
+                  AS recall,
+                (round(2.0 * (CAST(tp AS DOUBLE) /
+                              nullif(CAST(n_pred AS DOUBLE), 0.0)) *
+                       (CAST(tp AS DOUBLE) /
+                        nullif(CAST(n_true AS DOUBLE), 0.0)) /
+                       nullif(CAST(tp AS DOUBLE) /
+                                nullif(CAST(n_pred AS DOUBLE), 0.0) +
+                              CAST(tp AS DOUBLE) /
+                                nullif(CAST(n_true AS DOUBLE), 0.0), 0.0),
+                       4) + 0.0) AS f1
+         FROM j ORDER BY lang""",
   )
 }

@@ -1625,6 +1625,26 @@ class OperatorEdgeSpec extends AnyFunSuite {
            && r.isNullAt(3), s"got $r")
   }
 
+  test("langid_prf: planted confusion cells give exact P/R/F1 per class") {
+    val dir = tmpDir("langprf")
+    def doc(id: Long, text: String, lang: String): Row =
+      Row(id, text, lang, "s0", text.length.toLong)
+    // "aeiou aeiou" → vr 10/11 > 0.40 → pred es; "xxxx zzzz" → rr 4/9
+    // > 0.02 → pred zh. Truth: one es right, one es wrong (pred zh),
+    // one zh right → es: tp 1, n_true 2, n_pred 1 → P 1, R 0.5,
+    // F1 2/3; zh: tp 1, n_true 1, n_pred 2 → P 0.5, R 1, F1 2/3
+    writeTable(dir, "documents", documentsSchema, Seq(
+      doc(1L, "aeiou aeiou", "es"),
+      doc(2L, "xxxx zzzz", "es"),
+      doc(3L, "zzzz xxxx", "zh")))
+    val out = graft.operators.LlmOps.langidPrf(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out("es") == ((2L, 1L, 1L, 1.0, 0.5, 0.6667)), s"got ${out("es")}")
+    assert(out("zh") == ((1L, 2L, 1L, 0.5, 1.0, 0.6667)), s"got ${out("zh")}")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
