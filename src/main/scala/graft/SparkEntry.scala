@@ -538,7 +538,10 @@ object SparkEntry {
     "q_gumbel_maxima" -> (TimeSeriesOps.gumbelMaxima _),
     "q_seasonality_strength" -> (TimeSeriesOps.seasonalityStrength _),
     // r13 widening 33: language-ID eval metrics
-    "q_langid_prf" -> (L.langidPrf _)
+    "q_langid_prf" -> (L.langidPrf _),
+    // r13 widening 34: capacity headroom, cadence regularity
+    "q_peak_load_factor" -> (TimeSeriesOps.peakLoadFactor _),
+    "q_interarrival_cv" -> (TimeSeriesOps.interarrivalCv _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

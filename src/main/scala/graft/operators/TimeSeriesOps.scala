@@ -3601,6 +3601,90 @@ object TimeSeriesOps {
       col("n_days"))
   }
 
+  /** q_peak_load_factor — monthly capacity headroom: per month the
+    * peak revenue day, the mean day, and the load factor mean/peak —
+    * the utility-engineering metric (a load factor near 1 = flat
+    * demand, sizing to the mean suffices; near 0 = spiky, capacity
+    * must chase the peak). q_daily_p95 trends the tail across days;
+    * this prices the peak-vs-mean gap month by month.
+    *
+    * Determinism: daily cents exact int64; the peak day is the
+    * totally-ordered (cents DESC, day) rank-1 row per month; the load
+    * factor is ONE r4'd division of exact cents (S vs n·peak — the
+    * mean never materializes as a rounded intermediate).
+    *
+    * Scale shape: everything after the daily rollup is
+    * calendar-bounded; the rank window partitions BY MONTH. */
+  def peakLoadFactor(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .withColumn("month", date_trunc("month", col("day")).cast("date"))
+    val ranked = daily.withColumn("rk", row_number().over(
+      Window.partitionBy(col("month"))
+        .orderBy(col("c").desc, col("day"))))
+    ord(
+      ranked.groupBy(col("month"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s"),
+             max(when(col("rk") === 1, col("c"))).as("peak_c"),
+             max(when(col("rk") === 1, col("day"))).as("peak_day"))
+        .select(col("month"), col("n_days"), col("peak_day"),
+                r4(col("peak_c").cast("double") / 100.0).as("peak_revenue"),
+                r4(col("s").cast("double") /
+                   col("n_days").cast("double") / 100.0).as("mean_revenue"),
+                r4(col("s").cast("double") /
+                   nullif(col("n_days").cast("double") *
+                          col("peak_c").cast("double"), lit(0.0)))
+                  .as("load_factor")),
+      col("month"))
+  }
+
+  /** q_interarrival_cv — order-cadence regularity per market segment:
+    * the coefficient of variation of pooled inter-order day gaps
+    * (per-customer chains, ≥ 2 orders). CV ≈ 1 is the memoryless
+    * Poisson baseline; CV < 1 = regular replenishment cadence;
+    * CV > 1 = bursty, campaign-driven ordering — the
+    * segment-level regularity verdict q_dormant_customers'
+    * per-customer flags and q_burstiness's event-side Fano factor
+    * both sit beside.
+    *
+    * Determinism: gaps exact int64 days on the (day, orderkey)-ordered
+    * per-customer chain; the three pooled moments are exact int64
+    * (gap² ≤ ~6·10⁶ per row — documented headroom); mean/sd/cv
+    * identically-spelled chains, nullif on degenerate pools.
+    *
+    * Scale shape: the lag window partitions by customer; ONE
+    * partial-aggregable segment rollup off the broadcast customer
+    * dim; k result rows. */
+  def interarrivalCv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"),
+              expr("unix_timestamp(o_orderdate) DIV 86400").as("day"),
+              col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = o
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), (col("day") - col("prev")).as("g"))
+      .join(broadcast(Tables.customer(s, d)
+              .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+            col("o_custkey") === col("c_custkey"))
+    val m = gaps.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+           sum(col("g") * col("g")).as("sgg"))
+    val nD = col("n").cast("double")
+    val mean = col("sg").cast("double") / nD
+    val sd = sqrt((col("sgg").cast("double") - mean * mean * nD) /
+                  nullif(nD - lit(1.0), lit(0.0)))
+    ord(
+      m.select(col("segment"), col("n").as("n_gaps"),
+               r4(mean).as("mean_gap_days"),
+               r4(sd).as("sd_gap_days"),
+               r4(sd / nullif(mean, lit(0.0))).as("cv")),
+      col("segment"))
+  }
+
   /** q_daily_p95 — the daily TAIL trend: per day the median and 95th-
     * percentile order value alongside the count — the ops-review
     * series ("is the big-ticket tail growing?") that q_moving_avg's

@@ -3579,5 +3579,62 @@ private[graft] object OracleSql5 {
                                 nullif(CAST(n_true AS DOUBLE), 0.0), 0.0),
                        4) + 0.0) AS f1
          FROM j ORDER BY lang""",
+    "q_peak_load_factor" ->
+      // monthly load factor: peak day by (cents DESC, day) rank-1, one
+      // r4'd S/(n*peak) division of exact cents
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate)::DATE AS day,
+                               CAST(sum(CAST(round(o_totalprice * 100)
+                                             AS BIGINT)) AS BIGINT) AS c
+                        FROM orders GROUP BY 1),
+            r AS (SELECT *, date_trunc('month', day)::DATE AS month,
+                         row_number() OVER
+                           (PARTITION BY date_trunc('month', day)
+                            ORDER BY c DESC, day) AS rk
+                  FROM daily)
+         SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+                max(CASE WHEN rk = 1 THEN day END) AS peak_day,
+                (round(CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)
+                       / 100.0, 4) + 0.0) AS peak_revenue,
+                (round(CAST(sum(c) AS DOUBLE) /
+                       CAST(count(*) AS DOUBLE) / 100.0, 4) + 0.0)
+                  AS mean_revenue,
+                (round(CAST(sum(c) AS DOUBLE) /
+                       nullif(CAST(count(*) AS DOUBLE) *
+                              CAST(max(CASE WHEN rk = 1 THEN c END)
+                                   AS DOUBLE), 0.0), 4) + 0.0)
+                  AS load_factor
+         FROM r GROUP BY month ORDER BY month""",
+    "q_interarrival_cv" ->
+      // pooled inter-order gap CV per segment off exact int64 moments
+      """WITH o AS (SELECT o_custkey,
+                           epoch_us(o_orderdate)//1000000//86400 AS day,
+                           o_orderkey
+                    FROM orders),
+            gaps AS (SELECT o_custkey, day - prev AS g
+                     FROM (SELECT o_custkey, day,
+                                  lag(day) OVER (PARTITION BY o_custkey
+                                                 ORDER BY day, o_orderkey)
+                                    AS prev
+                           FROM o)
+                     WHERE prev IS NOT NULL),
+            j AS (SELECT c.c_mktsegment AS segment, g
+                  FROM gaps JOIN customer c ON gaps.o_custkey = c.c_custkey),
+            m AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(g) AS BIGINT) AS sg,
+                         CAST(sum(g * g) AS BIGINT) AS sgg
+                  FROM j GROUP BY 1),
+            st AS (SELECT segment, n,
+                          CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                          sqrt((CAST(sgg AS DOUBLE) -
+                                (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) *
+                                (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) *
+                                CAST(n AS DOUBLE)) /
+                               nullif(CAST(n AS DOUBLE) - 1.0, 0.0)) AS sd
+                   FROM m)
+         SELECT segment, n AS n_gaps,
+                (round(mean, 4) + 0.0) AS mean_gap_days,
+                (round(sd, 4) + 0.0) AS sd_gap_days,
+                (round(sd / nullif(mean, 0.0), 4) + 0.0) AS cv
+         FROM st ORDER BY segment""",
   )
 }

@@ -1645,6 +1645,43 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out("zh") == ((1L, 2L, 1L, 0.5, 1.0, 0.6667)), s"got ${out("zh")}")
   }
 
+  test("peak_load_factor: hand-computed months; peak-day tie breaks to the earlier day") {
+    val dir = tmpDir("loadfactor")
+    def o(ok: Long, price: Double, day: String): Row =
+      Row(ok, 1L, "O", price,
+          java.sql.Timestamp.valueOf(s"1995-$day 00:00:00"), "1")
+    // Jan: $1/$2/$5 → peak $5 on the 3rd, lf = 8/(3·5) = 0.5333;
+    // Feb: $4/$4 → tie → peak day = Feb 1 (earlier), lf = 1
+    writeTable(dir, "orders", Schemas.orders, Seq(
+      o(1L, 1.0, "01-01"), o(2L, 2.0, "01-02"), o(3L, 5.0, "01-03"),
+      o(4L, 4.0, "02-01"), o(5L, 4.0, "02-02")))
+    val out = graft.operators.TimeSeriesOps.peakLoadFactor(spark, dir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDate(2).toString,
+                 r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("1995-01-01", 3L, "1995-01-03", 5.0, 2.6667, 0.5333),
+      ("1995-02-01", 2L, "1995-02-01", 4.0, 4.0, 1.0)), s"got ${out.toSeq}")
+  }
+
+  test("interarrival_cv: gaps 10/30 read mean 20, sd 14.1421, cv 0.7071") {
+    val dir = tmpDir("iacv")
+    writeTable(dir, "customer", Schemas.customer,
+      Seq(Row(1L, "C1", 0, 0.0, "SEG")))
+    def o(ok: Long, day: Int): Row =
+      Row(ok, 1L, "O", 1.0,
+          java.sql.Timestamp.valueOf(
+            java.time.LocalDate.of(1995, 1, 1).plusDays(day).atStartOfDay()),
+          "1")
+    writeTable(dir, "orders", Schemas.orders,
+      Seq(o(1L, 0), o(2L, 10), o(3L, 40)))
+    val r = graft.operators.TimeSeriesOps.interarrivalCv(spark, dir)
+      .collect().head
+    assert((r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4)) == (("SEG", 2L, 20.0, 14.1421, 0.7071)),
+           s"got $r")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
