@@ -1682,6 +1682,38 @@ class OperatorEdgeSpec extends AnyFunSuite {
            s"got $r")
   }
 
+  test("revenue_bridge reconciles on real data: vol+price+new-lapsed = delta") {
+    // the Laspeyres identity is exact in real arithmetic; the engine
+    // rounds each effect to the micro quantum per part and r4 per
+    // month, so the residual must stay under ~1e-3 dollars per month
+    val rows = graft.operators.ReportOps.revenueBridge(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val recon = r.getDouble(4) + r.getDouble(5) + r.getDouble(6) +
+        r.getDouble(7)
+      assert(math.abs(recon - r.getDouble(8)) < 1e-3,
+        s"month ${r.get(0)}: $recon vs ${r.getDouble(8)}")
+    }
+  }
+
+  test("theil_index decomposition on real data sums to the true Theil T") {
+    // independent scalar recomputation: T = Σ (x/X)·ln(x·N/X) over all
+    // customers, vs Σ contribution + Σ between from the operator
+    val rows = graft.operators.ReportOps.theilIndex(spark, sf0001).collect()
+    val opTotal = rows.map(r => r.getDouble(4) + r.getDouble(5)).sum
+    import org.apache.spark.sql.functions.{col, expr, sum}
+    val spends = Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("x"))
+      .collect().map(_.getLong(1).toDouble)
+    val total = spends.sum
+    val n = spends.length.toDouble
+    val trueT = spends.map(x => x / total * math.log(x * n / total)).sum
+    assert(math.abs(opTotal - trueT) < 2e-3,
+      s"operator total $opTotal vs true $trueT")
+  }
+
   test("attribution_markov: conversion-free corpus reports NULL effects, not a crash") {
     val dir = tmpDir("markov_null")
     writeEvents(dir, Seq(
