@@ -54,8 +54,8 @@ def main() -> int:
     print(f"bench total {rec.get('value', 0.0):.1f} s over {len(got)} queries "
           f"({compared} with a reference, {len(new)} new) "
           f"vs reference band {ref['total_band_sec']} / gate "
-          f"{scaled_gate:.1f} s (= 2x the 0.631 s/query r1 baseline rate "
-          f"x {len(got)} queries; raw 64-query gate "
+          f"{scaled_gate:.1f} s (= 2x the {gate_per_q / 2:.3f} s/query r1 "
+          f"baseline rate x {len(got)} queries; raw 64-query gate "
           f"{ref['gate_total_sec']} s)")
     for name, sec in new:
         print(f"  NEW   {name}: {sec:.2f} s (no reference yet -- append one "

@@ -2422,8 +2422,8 @@ object LlmOps {
     val totals = uni.agg(sum(col("n")).as("nn"))
     val pairs = ws.select(explode(expr(
         s"""flatten(transform(sequence(1, $SkipgramWindow), k ->
-              zip_with(slice(ws, 1, size(ws) - k),
-                       slice(ws, 1 + k, size(ws) - k),
+              zip_with(slice(ws, 1, greatest(size(ws) - k, 0)),
+                       slice(ws, 1 + k, greatest(size(ws) - k, 0)),
                        (x, y) -> struct(least(x, y) AS a,
                                         greatest(x, y) AS b))))"""))
         .as("p"))

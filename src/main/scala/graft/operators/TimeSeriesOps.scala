@@ -3373,7 +3373,7 @@ object TimeSeriesOps {
     ord(
       rho.groupBy(col("n"))
         .agg(expr("aggregate(sort_array(collect_list(named_struct(" +
-               "'k', lag_k, 'p', rho * rho / (n - lag_k)))), " +
+               "'k', lag_k, 'p', rho * rho / nullif(n - lag_k, 0)))), " +
                "cast(0.0 as double), (acc, x) -> acc + x.p)").as("sum_t"),
              max(when(col("lag_k") === 1L, col("rho"))).as("rho_1"))
         .select(col("n").as("n_days"), lit(7L).as("m_lags"),

@@ -3071,7 +3071,7 @@ private[graft] object OracleSql5 {
                                        AS DOUBLE), 0.0) AS rho
                     FROM cr, m),
             a AS (SELECT n,
-                         list_reduce(list(rho * rho / (n - lag_k)
+                         list_reduce(list(rho * rho / nullif(n - lag_k, 0)
                                           ORDER BY lag_k),
                                      (acc, x) -> acc + x) AS sum_t,
                          max(CASE WHEN lag_k = 1 THEN rho END) AS rho_1

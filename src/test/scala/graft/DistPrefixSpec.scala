@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Dist
+
+/** [[graft.functions.Dist.prefix]] must be BIT-EQUAL to the
+  * single-partition global window it replaces — these tests pin every
+  * primitive (running sum, row_number, rank/peer-count, lead stitch,
+  * ntile/cume_dist/percent_rank derivations) against the reference
+  * window on fixtures with ties, skewed groups, and row counts both
+  * below and above the range partition count (so partition boundaries,
+  * empty partitions, and the prior-offset join all exercise). */
+class DistPrefixSpec extends AnyFunSuite {
+  import TestBase.spark
+  import spark.implicits._
+
+  // 211 rows, heavy ties (v has ~30 distinct values), 3 groups with
+  // skewed sizes; k unique → (v, k) is a total order
+  private lazy val base: DataFrame = {
+    val rows = (1 to 211).map { i =>
+      val g = if (i % 7 == 0) "g2" else if (i % 3 == 0) "g1" else "g0"
+      (g, ((i * 37) % 30).toLong, i.toLong, ((i * 13) % 11).toLong)
+    }
+    rows.toDF("g", "v", "k", "x").repartition(5).cache()
+  }
+
+  private def sortedRows(df: DataFrame, cols: String*): Seq[Seq[Any]] =
+    df.orderBy(cols.head).select(cols.map(col): _*)
+      .collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  test("global running sum + row_number match the single-partition window") {
+    val w = Window.orderBy(col("v"), col("k"))
+    val ref = base
+      .withColumn("cs", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val got = Dist.prefix(base, Nil, Seq(col("v"), col("k")),
+      cums = Seq("cs" -> col("x")), rowNum = Some("rn"), parts = 7)
+    assert(sortedRows(got, "k", "cs", "rn") == sortedRows(ref, "k", "cs", "rn"))
+  }
+
+  test("descending order matches (the q_abc_pareto / q_pr_curve shape)") {
+    val w = Window.orderBy(col("v").desc, col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = base.withColumn("cs", sum(col("x")).over(w))
+    val got = Dist.prefix(base, Nil, Seq(col("v").desc, col("k")),
+      cums = Seq("cs" -> col("x")), parts = 7)
+    assert(sortedRows(got, "k", "cs") == sortedRows(ref, "k", "cs"))
+  }
+
+  test("rank + peer count + derived cume_dist/percent_rank match, with ties") {
+    // order by v ALONE — every tie block crosses hash partitions in the
+    // input and must land whole in one range partition
+    val w = Window.orderBy(col("v"))
+    val ref = base
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("pr", percent_rank().over(w))
+    val got0 = Dist.prefix(base, Nil, Seq(col("v")),
+      rankLe = Some(("rk", "le")), groupN = Some("n"), parts = 7)
+    val got = got0
+      .withColumn("cd", Dist.cumeDistOf(col("le"), col("n")))
+      .withColumn("pr", Dist.percentRankOf(col("rk"), col("n")))
+    assert(sortedRows(got, "k", "cd", "pr") == sortedRows(ref, "k", "cd", "pr"))
+  }
+
+  test("grouped: per-group sums/ranks match a partitioned window split across ranges") {
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("k"))
+    val ref = base
+      .withColumn("cs", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cd", cume_dist().over(
+        Window.partitionBy(col("g")).orderBy(col("v"))))
+    val got0 = Dist.prefix(base, Seq("g"), Seq(col("v"), col("k")),
+      cums = Seq("cs" -> col("x")), rowNum = Some("rn"), parts = 7)
+    // cume_dist orders by v alone (peer semantics) — second call
+    val got1 = Dist.prefix(base, Seq("g"), Seq(col("v")),
+      rankLe = Some(("rk", "le")), groupN = Some("n"), parts = 7)
+      .withColumn("cd", Dist.cumeDistOf(col("le"), col("n")))
+    assert(sortedRows(got0, "k", "cs", "rn") == sortedRows(ref, "k", "cs", "rn"))
+    assert(sortedRows(got1, "k", "cd") == sortedRows(ref, "k", "cd"))
+  }
+
+  test("lead(x,1) stitches across range-partition boundaries") {
+    val w = Window.orderBy(col("v"), col("k"))
+    val ref = base.withColumn("nx", lead(col("k"), 1).over(w))
+    val got = Dist.prefix(base, Nil, Seq(col("v"), col("k")),
+      lead1 = Some(("k", "nx")), parts = 7)
+    assert(sortedRows(got, "k", "nx") == sortedRows(ref, "k", "nx"))
+  }
+
+  test("ntileOf reproduces Spark ntile at the bucket-boundary n values") {
+    // n spans every formula branch: n<k (q=0), n=k, n%k=0, n%k=k-1,
+    // n%k=1 — plus one comfortably larger than k
+    for (k <- Seq(4, 10); n <- Seq(1, 3, 9, 10, 11, 19, 20, 25)) {
+      val df = (1 to n).map(_.toLong).toDF("v")
+      val ref = df.withColumn("b", ntile(k).over(Window.orderBy(col("v"))))
+      val got = Dist.prefix(df, Nil, Seq(col("v")),
+        rowNum = Some("rn"), groupN = Some("n"), parts = 3)
+        .withColumn("b", Dist.ntileOf(k, col("rn"), col("n")))
+      assert(sortedRows(got.orderBy("v"), "v", "b") ==
+             sortedRows(ref.orderBy("v"), "v", "b"), s"n=$n k=$k")
+    }
+  }
+
+  test("more partitions than rows: empty ranges are harmless") {
+    val df = Seq((5L, 1L), (3L, 2L), (5L, 3L)).toDF("v", "k")
+    val ref = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("k"))).cast("long"))
+    val got = Dist.prefix(df, Nil, Seq(col("v"), col("k")),
+      rowNum = Some("rn"), parts = 16)
+    assert(sortedRows(got, "k", "rn") == sortedRows(ref, "k", "rn"))
+  }
+
+  test("empty input stays empty") {
+    val df = base.filter(col("v") < 0)
+    val got = Dist.prefix(df, Nil, Seq(col("v"), col("k")),
+      cums = Seq("cs" -> col("x")), rowNum = Some("rn"),
+      groupN = Some("n"), parts = 4)
+    assert(got.count() == 0)
+  }
+
+  test("plans carry no unpartitioned window and no cartesian product") {
+    val got = Dist.prefix(base, Nil, Seq(col("v"), col("k")),
+      cums = Seq("cs" -> col("x")), rowNum = Some("rn"),
+      rankLe = Some(("rk", "le")), groupN = Some("n"),
+      lead1 = Some(("k", "nx")), parts = 7)
+    val qe = got.queryExecution
+    qe.optimizedPlan.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned window in Dist.prefix plan: ${w.windowExpressions}")
+      case _ =>
+    }
+    val p = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

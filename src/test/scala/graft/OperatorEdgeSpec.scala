@@ -1584,6 +1584,20 @@ class OperatorEdgeSpec extends AnyFunSuite {
                             ("b", "b", 5L, -0.2231)), s"got ${out.toSeq}")
   }
 
+  test("pmi_skipgram: docs shorter than the window don't crash the slice") {
+    val dir = tmpDir("skipgram_short")
+    // 2- and 3-token docs: size(ws) - k goes NEGATIVE for k ≥ size —
+    // the unclamped slice length threw SparkRuntimeException (r13
+    // ADVICE); clamped, short docs contribute only their real pairs.
+    // Pairs: "a b" → (a,b); "a a a" → (a,a)×3; all below PmiMinCount=5
+    // → empty result, same as the DuckDB oracle's empty range().
+    writeTable(dir, "documents", documentsSchema, Seq(
+      Row(1L, "a b", "en", "s0", 3L),
+      Row(2L, "a a a", "en", "s0", 5L)))
+    val out = graft.operators.LlmOps.pmiSkipgram(spark, dir).collect()
+    assert(out.isEmpty, s"got ${out.toSeq}")
+  }
+
   test("gumbel_maxima: 12 arithmetic monthly maxima give the closed-form fit") {
     val dir = tmpDir("gumbel")
     // one order per month, $1..$12 → maxima 100..1200c, mean $6.5,
