@@ -88,10 +88,18 @@ object Dist {
 
     // Phase 1: parallel range shuffle; pid materialized as a column so
     // the per-partition window and the offsets frame key on the same
-    // attribute (shuffle reuse keeps this one exchange).
+    // attribute. The lazy localCheckpoint is LOAD-BEARING for
+    // correctness, not a cache hint: the range bounds are SAMPLED from
+    // shuffle output whose intra-partition order is nondeterministic,
+    // so two independent evaluations of this subtree can assign
+    // different pids — offsets computed on one assignment applied to
+    // windows on another corrupt every global value. Checkpointing
+    // pins ONE evaluation that every downstream branch (window,
+    // offsets, totals, lead stitch) reads.
     val ordered = df
       .repartitionByRange(n, (part.map(col) ++ order): _*)
       .withColumn(pid, spark_partition_id())
+      .localCheckpoint(false)
 
     // Phase 2: the same window, per range partition.
     val wBase = Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)

@@ -59,24 +59,30 @@ object EvalOps {
   def calibration(s: SparkSession, d: String): DataFrame = {
     val base = scoredUsers(s, d)
     val n1 = base.agg(count(lit(1)).as("n"))
-    val ranked = base
-      .withColumn("r", row_number()
-        .over(Window.orderBy(col("cents"), col("user_id"))).cast("long"))
+    // rank from the distributed prefix tier — the per-user score frame
+    // never funnels through one partition (q_gini form)
+    val ranked = graft.functions.Dist.prefix(base, Nil,
+        Seq(col("cents"), col("user_id")), rowNum = Some("r"))
       .crossJoin(broadcast(n1))
       .withColumn("bin", expr("((r - 1) * 10) DIV n").cast("int"))
+    // bins feeds the rows AND the 1-row ECE total; both branches re-use
+    // Dist.prefix's internal checkpoint, so the double plan costs one
+    // extra ≤10-group rollup, not a second scan
     val bins = ranked.groupBy(col("bin"))
       .agg(count(lit(1)).as("n_users"), sum(col("r")).as("sr"),
            sum(col("pos")).as("p"), first(col("n")).as("n"))
-    val full = Window.rowsBetween(Window.unboundedPreceding,
-                                  Window.unboundedFollowing)
+    // ECE total over the ≤10-row bin frame: window-free 1-row broadcast
+    val eceTot = bins.agg(
+      sum(abs(col("p") * col("n") - col("sr"))).as("__gap_tot"))
     ord(
-      bins.select(col("bin"), col("n_users"),
+      bins.crossJoin(broadcast(eceTot))
+        .select(col("bin"), col("n_users"),
           r4(col("sr").cast("double") / (col("n_users") * col("n"))).as("conf"),
           r4(col("p").cast("double") / col("n_users")).as("acc"),
           r4(abs(col("p") * col("n") - col("sr")).cast("double") /
              (col("n_users") * col("n"))).as("gap"),
-          r4(sum(abs(col("p") * col("n") - col("sr"))).over(full)
-               .cast("double") / (col("n") * col("n"))).as("ece")),
+          r4(col("__gap_tot").cast("double") / (col("n") * col("n")))
+            .as("ece")),
       col("bin"))
   }
 
@@ -85,9 +91,9 @@ object EvalOps {
     * cents ≥ t), TP/FP, precision, recall and F1 — the
     * threshold-choosing artifact beside q_auc's single number.
     *
-    * Scale shape: one per-user rollup, then cumulative windows over the
-    * DISTINCT-score frame (domain-bounded) exactly like q_auc; at 100 TB
-    * the distinct-value frame is the score codomain, not the user count.
+    * Scale shape: one per-user rollup, then the TP/FP cumulations over
+    * the DISTINCT-score frame on [[graft.functions.Dist.prefix]]
+    * (range-partitioned — no single-partition sort) exactly like q_auc.
     * F1 = 2TP/(TP+FP+n₁) keeps everything a single exact division. */
   def prCurve(s: SparkSession, d: String): DataFrame = {
     val base = scoredUsers(s, d)
@@ -95,12 +101,9 @@ object EvalOps {
       .agg(sum(col("pos")).as("np"),
            sum(lit(1L) - col("pos")).as("nn"))
     val tot = base.agg(sum(col("pos")).as("n1"))
-    val w = Window.orderBy(col("cents").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
     ord(
-      byVal
-        .withColumn("tp", sum(col("np")).over(w))
-        .withColumn("fp", sum(col("nn")).over(w))
+      graft.functions.Dist.prefix(byVal, Nil, Seq(col("cents").desc),
+          cums = Seq("tp" -> col("np"), "fp" -> col("nn")))
         .crossJoin(broadcast(tot))
         .select(col("cents").as("thr_cents"), col("tp"), col("fp"),
                 r4(col("tp").cast("double") / (col("tp") + col("fp")))

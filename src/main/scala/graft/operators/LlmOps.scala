@@ -1530,7 +1530,8 @@ object LlmOps {
     * min-shuffle on the gram key as q_ngram_novelty (epoch is monotone
     * in doc_id, so a gram's first epoch is the epoch of its min
     * doc_id); the epoch rollup is 10 rows with a cumulative window.
-    * The ntile over doc_id sorts the doc-ID FRAME only. */
+    * The epoch ntile rides [[graft.functions.Dist.prefix]] over the
+    * doc-ID frame (range-partitioned, no single-partition sort). */
   def noveltyDecay(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byEpoch = epochGramCurve(s, d)
@@ -1551,11 +1552,15 @@ object LlmOps {
     * single-pass NgramHashes scan + one min-shuffle on the gram key,
     * rolled up to 10 rows. */
   private def epochGramCurve(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.TextHashExprs.register(s)
     val docs = Tables.documents(s, d)
-    val epochs = docs.select(col("doc_id"))
-      .withColumn("epoch", ntile(10).over(Window.orderBy(col("doc_id"))))
+    // epoch deciles from the distributed rank tier — the doc-ID frame
+    // is |docs|-proportional, so no single-partition ntile sort
+    val epochs = graft.functions.Dist.prefix(docs.select(col("doc_id")),
+        Nil, Seq(col("doc_id")), rowNum = Some("__rn"), groupN = Some("__n"))
+      .select(col("doc_id"),
+              graft.functions.Dist.ntileOf(10, col("__rn"), col("__n"))
+                .as("epoch"))
       .localCheckpoint(false)
     val ex = docs
       .select(col("doc_id"), call_function("ngram_hashes", col("text")).as("ng"))

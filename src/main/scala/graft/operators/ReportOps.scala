@@ -370,17 +370,16 @@ object ReportOps {
     * ordered), so the statistic is deterministic without relying on
     * the tiebreak. Every term is an exact integer; ONE division, r4'd.
     *
-    * Scale note: the rank is a global ordered window over the
-    * per-customer rollup — fine at |customers| rows here, range-
-    * partitioned sort + prefix-sum at 100 TB (documented, like
-    * q_ks_test's CDF). */
+    * Scale note: the rank runs on [[graft.functions.Dist.prefix]] —
+    * range-partitioned sort + carried per-partition offsets — so the
+    * per-customer rollup never funnels through one partition; bit-equal
+    * to the global window by DistPrefixSpec + the oracle gate. */
   def gini(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spend = graft.Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-    val w = Window.orderBy(col("cents"), col("o_custkey"))
-    val ranked = spend.withColumn("i", row_number().over(w).cast("long"))
+    val ranked = graft.functions.Dist.prefix(spend, Nil,
+      Seq(col("cents"), col("o_custkey")), rowNum = Some("i"))
     ranked.agg(count(lit(1)).as("n"),
                sum(col("cents")).as("t"),
                sum(col("i") * col("cents")).as("s"))
@@ -563,21 +562,19 @@ object ReportOps {
     * final revenue/share projections, each divided once and r4'd.
     *
     * Scale shape: one partial-aggregable rollup to |customers| rows,
-    * then a global ordered window over that dimension-sized frame —
-    * range-partitioned sort + distributed prefix-sum at 100 TB (the
-    * documented q_gini / q_ks_test CDF pattern); the 1-row total
-    * broadcasts to both consumers. */
+    * then the running total on [[graft.functions.Dist.prefix]]'s
+    * range-partitioned prefix-sum tier (the q_gini form — never a
+    * single-partition sort); the 1-row total broadcasts to both
+    * consumers. */
   def abcPareto(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spend = graft.Tables.orders(s, d)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      .localCheckpoint(false) // feeds the window AND the 1-row total
+      .localCheckpoint(false) // feeds the prefix tier AND the 1-row total
     val total = spend.agg(sum(col("cents")).as("total_cents"))
-    val w = Window.orderBy(col("cents").desc, col("custkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val classed = spend
-      .withColumn("cum", sum(col("cents")).over(w))
+    val classed = graft.functions.Dist.prefix(spend, Nil,
+        Seq(col("cents").desc, col("custkey")),
+        cums = Seq("cum" -> col("cents")))
       .crossJoin(broadcast(total))
       .withColumn("abc_class",
         when(col("cum") * 5 <= col("total_cents") * 4, lit("A"))
@@ -1015,19 +1012,22 @@ object ReportOps {
     * exact integer ceilings (100·rank ≤ p·n_users decided in int64);
     * ONE r4'd division per tier.
     *
-    * Scale shape: one partial-aggregable rollup to |users| rows, a
-    * rank window over that per-user frame (the q_gini precedent —
-    * range-partitioned sort + distributed prefix at 100 TB), a 3-row
-    * tier spine, and ≤3-row output; totals ride a 1-row broadcast. */
+    * Scale shape: one partial-aggregable rollup to |users| rows, the
+    * rank on [[graft.functions.Dist.prefix]]'s range-partitioned tier
+    * (the q_gini form — no single-partition sort), a 3-row tier spine,
+    * and ≤3-row output; totals ride a 1-row broadcast. */
   def userConcentration(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // checkpoint the per-user ROLLUP (shared by the rank tier and the
+    // totals — one fact scan), not the ranked frame: totals don't need
+    // ranks, and checkpointing above Dist would hide its windows from
+    // the plan guards
     val per = graft.Tables.events(s, d)
       .groupBy(col("user_id")).agg(count(lit(1)).as("ev"))
-    val w = Window.orderBy(col("ev").desc, col("user_id"))
-    val ranked = per.withColumn("rank", row_number().over(w).cast("long"))
       .localCheckpoint(false)
-    val tot = ranked.agg(count(lit(1)).as("n_users"),
-                         sum(col("ev")).as("n_events"))
+    val ranked = graft.functions.Dist.prefix(per, Nil,
+        Seq(col("ev").desc, col("user_id")), rowNum = Some("rank"))
+    val tot = per.agg(count(lit(1)).as("n_users"),
+                      sum(col("ev")).as("n_events"))
     val tiers = s.range(0, 3).select(
       element_at(array(lit(1L), lit(10L), lit(50L)),
                  (col("id") + 1).cast("int")).as("pct"))

@@ -94,20 +94,25 @@ object ReportShapeOps {
     * is needed for determinism.
     *
     * Scale shape: one partial-aggregable shuffle to per-customer spend,
-    * then a window per segment key — segment cardinality bounds the
-    * partition count, each partition a bounded customer list; never a
-    * global unpartitioned window. */
+    * then [[graft.functions.Dist.prefix]] grouped by segment — ranges
+    * are cut on (segment, cents), so ONE segment's data-proportional
+    * member list still parallelizes across range partitions (the plain
+    * segment-partitioned window would bound parallelism at 5 and put
+    * |customers|/5 rows through each sort). */
   def cumeDist(s: SparkSession, d: String): DataFrame = {
     val spend = Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_mktsegment"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("cents"))
+    val g = graft.functions.Dist.prefix(spend, Seq("c_mktsegment"),
+      Seq(col("cents")), rankLe = Some(("__rk", "__le")),
+      groupN = Some("__n"))
     ord(
-      spend.select(col("c_custkey"), col("c_mktsegment"),
+      g.select(col("c_custkey"), col("c_mktsegment"),
         r4(col("cents").cast("double") / 100.0).as("spend"),
-        r4(cume_dist().over(w)).as("cd"),
-        r4(percent_rank().over(w)).as("pr")),
+        r4(graft.functions.Dist.cumeDistOf(col("__le"), col("__n"))).as("cd"),
+        r4(graft.functions.Dist.percentRankOf(col("__rk"), col("__n")))
+          .as("pr")),
       col("c_custkey"))
   }
 
@@ -350,8 +355,9 @@ object ReportShapeOps {
     * cents; AUC and Gini divide once and round).
     *
     * Scale shape: one fact-scale per-user rollup (score and outcome
-    * in the SAME pass — no second scan, no join), one ordered window
-    * over DISTINCT score values (domain-bounded), a 1-row total. */
+    * in the SAME pass — no second scan, no join); the rank cumulation
+    * over DISTINCT score values rides [[graft.functions.Dist.prefix]]
+    * (range-partitioned, no single-partition sort); a 1-row total. */
   def auc(s: SparkSession, d: String): DataFrame = {
     val scored = Tables.events(s, d)
       .groupBy(col("user_id"))
@@ -369,10 +375,8 @@ object ReportShapeOps {
     val tot = scored.agg(
       sum(when(col("pos") === 1, 1L).otherwise(0L)).as("n1"),
       sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n0"))
-    val w = Window.orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val r2 = byVal
-      .withColumn("cum", sum(col("t")).over(w))
+    val r2 = graft.functions.Dist.prefix(byVal, Nil, Seq(col("cents")),
+        cums = Seq("cum" -> col("t")))
       .agg(sum(col("np") * (lit(2L) * (col("cum") - col("t")) + col("t") + 1L))
              .as("r2p"))
     ord(
@@ -398,11 +402,12 @@ object ReportShapeOps {
     * (c_acctbal DESC, c_custkey); outcomes are exact cents; every
     * ratio divides integers once and r4's.
     *
-    * Scale shape: ntile needs a global sort of the SCORE FRAME only
-    * (customers, not orders); the outcome rollup is one
-    * partial-aggregable shuffle on custkey; the decile rollup is 10
-    * rows. At 100 TB the ntile would switch to approx-quantile
-    * bucketing (q_percentile_approx path) to avoid the global sort. */
+    * Scale shape: the ntile rides [[graft.functions.Dist.prefix]]'s
+    * range-partitioned rank of the SCORE FRAME only (customers, not
+    * orders) — a parallel sort, not a global one; the outcome rollup is
+    * one partial-aggregable shuffle on custkey; the decile rollup is 10
+    * rows and its cumulative capture is a window-free 10×10 broadcast
+    * theta join. */
   /** q_stats_histogram — the equi-depth (equi-height) column histogram
     * an optimizer's ANALYZE collects: 10 equal-count buckets over order
     * value with per-bucket row count, value bounds, and customer NDV —
@@ -414,17 +419,20 @@ object ReportShapeOps {
     * tiebreak, so bucket membership is identical on both engines;
     * bounds are exact cents divided once for display.
     *
-    * Scale shape: the global ntile sort is of the ORDERS frame (the
-    * q_decile_lift precedent — range-partitioned sort at 100 TB, or
-    * approx-quantile boundaries with the same downstream contract);
-    * the rollup is 10 rows. */
+    * Scale shape: the ntile rides [[graft.functions.Dist.prefix]]'s
+    * range-partitioned rank over the ORDERS frame (global row_number +
+    * exact bucket arithmetic — no single-partition sort); the rollup is
+    * 10 rows. */
   def statsHistogram(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"),
               round(col("o_totalprice") * 100).cast("long").as("cents"))
-    val w = Window.orderBy(col("cents"), col("o_orderkey"))
     ord(
-      o.withColumn("bucket", ntile(10).over(w))
+      graft.functions.Dist.prefix(o, Nil,
+          Seq(col("cents"), col("o_orderkey")),
+          rowNum = Some("__rn"), groupN = Some("__n"))
+        .withColumn("bucket",
+          graft.functions.Dist.ntileOf(10, col("__rn"), col("__n")))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_rows"),
              count_distinct(col("o_custkey")).as("ndv_cust"),
@@ -436,9 +444,16 @@ object ReportShapeOps {
   }
 
   def decileLift(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    val scored = Tables.customer(s, d)
-      .select(col("c_custkey"), ntile(10).over(w).as("decile"))
+    // deciles from the distributed rank tier: global row_number over
+    // (balance DESC, custkey) + exact ntile arithmetic — the customer
+    // SCORE frame never funnels through one partition
+    val scored = graft.functions.Dist.prefix(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+        Nil, Seq(col("c_acctbal").desc, col("c_custkey")),
+        rowNum = Some("__rn"), groupN = Some("__n"))
+      .select(col("c_custkey"),
+              graft.functions.Dist.ntileOf(10, col("__rn"), col("__n"))
+                .as("decile"))
     val spend = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
@@ -448,17 +463,23 @@ object ReportShapeOps {
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"))
     val tot = byDecile.agg(sum(col("n_cust")).as("tn"), sum(col("cents")).as("tc"))
-    val cum = Window.orderBy(col("decile"))
-      .rowsBetween(Window.unboundedPreceding, 0)
+    // cumulative capture over the 10-row decile frame: window-free
+    // broadcast theta self-join (d' ≤ d), bounded 10×10 by construction
+    val cum = byDecile.as("a")
+      .join(broadcast(byDecile.select(col("decile").as("d2"),
+                                      col("cents").as("c2"))),
+            col("d2") <= col("decile"))
+      .groupBy(col("decile"), col("n_cust"), col("cents"))
+      .agg(sum(col("c2")).as("cum_cents"))
     ord(
-      byDecile.crossJoin(broadcast(tot))
+      cum.crossJoin(broadcast(tot))
         .select(col("decile"),
                 col("n_cust"),
                 r4(col("cents").cast("double") / 100.0).as("spend"),
                 r4(col("cents").cast("double") / col("n_cust") / 100.0)
                   .as("avg_spend"),
                 r4(col("cents").cast("double") / col("tc")).as("capture"),
-                r4(sum(col("cents")).over(cum).cast("double") / col("tc"))
+                r4(col("cum_cents").cast("double") / col("tc"))
                   .as("cum_capture"),
                 r4((col("cents").cast("double") / col("n_cust")) /
                    (col("tc").cast("double") / col("tn"))).as("lift")),

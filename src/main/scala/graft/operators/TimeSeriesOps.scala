@@ -344,11 +344,8 @@ object TimeSeriesOps {
     val tot = users.agg(
       sum(when(col("arm") === 1, 1L).otherwise(0L)).as("na"),
       sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nb"))
-    val w = Window.orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val d0 = byVal
-      .withColumn("cuma", sum(col("ca")).over(w))
-      .withColumn("cumb", sum(col("cb")).over(w))
+    val d0 = graft.functions.Dist.prefix(byVal, Nil, Seq(col("cents")),
+        cums = Seq("cuma" -> col("ca"), "cumb" -> col("cb")))
       .crossJoin(broadcast(tot))
       .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
         .as("num"))
@@ -581,11 +578,9 @@ object TimeSeriesOps {
     val tot = users.agg(
       sum(when(col("arm") === 1, 1L).otherwise(0L)).as("na"),
       sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nb"))
-    val w = Window.orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, 0)
     // 2×(average rank of value v) = 2·(#rows before v) + t_v + 1 — integral
-    val r2 = byVal
-      .withColumn("cum", sum(col("t")).over(w))
+    val r2 = graft.functions.Dist.prefix(byVal, Nil, Seq(col("cents")),
+        cums = Seq("cum" -> col("t")))
       .agg(sum(col("ca") * (lit(2L) * (col("cum") - col("t")) + col("t") + 1L))
              .as("r2a"),
            sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
@@ -1998,14 +1993,11 @@ object TimeSeriesOps {
            sum(when(col("arm") === "B", 1L).otherwise(0L)).as("cb"))
     val tot = pv.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
                      count(lit(1)).as("n_support"))
-    val wc = Window.orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, 0)
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val cum = pv
-      .withColumn("cuma", sum(col("ca")).over(wc))
-      .withColumn("cumb", sum(col("cb")).over(wc))
-      .withColumn("gap",
-        lead(col("cents"), 1).over(Window.orderBy(col("cents"))) - col("cents"))
+    val cum = graft.functions.Dist.prefix(pv, Nil, Seq(col("cents")),
+        cums = Seq("cuma" -> col("ca"), "cumb" -> col("cb")),
+        lead1 = Some(("cents", "__next")))
+      .withColumn("gap", col("__next") - col("cents"))
       .filter(col("gap").isNotNull)
     // single-row total even when the gap frame is empty (one distinct
     // value → W₁ = 0 must still SURFACE — §2.10 spine rule)
@@ -2463,11 +2455,10 @@ object TimeSeriesOps {
       .select(col("c_mktsegment").as("segment"),
               round(col("o_totalprice")).cast("long").as("v"))
     val sv = o.groupBy(col("segment"), col("v")).agg(count(lit(1)).as("cnt"))
-    val vt = sv.groupBy(col("v")).agg(sum(col("cnt")).as("t"))
-      .withColumn("cb",
-        coalesce(sum(col("t")).over(
-          Window.orderBy(col("v"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val vt = graft.functions.Dist.prefix(
+        sv.groupBy(col("v")).agg(sum(col("cnt")).as("t")),
+        Nil, Seq(col("v")), cums = Seq("__ct" -> col("t")))
+      .withColumn("cb", col("__ct") - col("t")).drop("__ct")
     val segR = sv.join(vt, "v")
       .groupBy(col("segment"))
       .agg(sum(col("cnt")).as("nj"),
@@ -3704,11 +3695,12 @@ object TimeSeriesOps {
       date_trunc("day", col("o_orderdate")).cast("date").as("day"),
       round(col("o_totalprice") * 100).cast("long").as("cents"),
       col("o_orderkey"))
-    val ranked = o
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("day"))
-          .orderBy(col("cents"), col("o_orderkey"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("day"))))
+    // day-grouped prefix tier: ranges cut on (day, cents, key), so one
+    // HEAVY day still spreads across range partitions instead of
+    // putting its whole member list through a single day-partition sort
+    val ranked = graft.functions.Dist.prefix(o, Seq("day"),
+      Seq(col("cents"), col("o_orderkey")),
+      rowNum = Some("rn"), groupN = Some("n"))
     def bracket(q: Int): Column =
       max(when(col("rn") === expr(s"CAST((n * $q + 99) DIV 100 AS INT)"),
                col("cents")))

@@ -29,20 +29,21 @@ class PlanGuardSpec extends AnyFunSuite {
     * leak of the corpus through a single sort. */
   private val unpartitionedWindowOk = Set(
     "q_moving_avg", "q_period_over_period", "q_changepoint",
-    // q_ks_test's CDF and q_gini's rank run over per-user/per-customer
-    // ROLLUPS (scaladocs document the 100 TB path: quantile binning /
-    // range-partitioned prefix sums); the window never sees fact rows
-    "q_ks_test", "q_gini",
-    // q_mann_whitney ranks the DISTINCT-VALUE rollup (value-domain-
-    // bounded); q_psi's total rides a 10-row bin spine; q_rolling_median
-    // windows the calendar-bounded daily rollup; q_decile_lift's ntile
-    // sorts the customer SCORE frame (scaladoc documents the
-    // approx-quantile 100 TB path) and its cumulative window is 10 rows
-    "q_mann_whitney", "q_psi", "q_rolling_median", "q_decile_lift",
-    // q_auc ranks the distinct-score rollup; q_survival's risk/product
-    // windows run over distinct DURATIONS (calendar-bounded);
-    // q_chisq's total runs over the <=7x|types| contingency cells
-    "q_auc", "q_survival", "q_chisq",
+    // NOTE (r14): every DATA-PROPORTIONAL global window — q_gini,
+    // q_abc_pareto, q_user_concentration, q_decile_lift, q_calibration,
+    // q_stats_histogram, q_ks_test, q_mann_whitney, q_kruskal_wallis,
+    // q_auc, q_pr_curve, q_wasserstein (and the grouped q_cume_dist /
+    // q_daily_p95) — now rides graft.functions.Dist.prefix and passes
+    // this guard WITHOUT exemption. The remaining entries below are all
+    // constant- or calendar-bounded frames where one partition is the
+    // design, not a leak.
+    // q_psi's total rides a 10-row bin spine; q_rolling_median
+    // windows the calendar-bounded daily rollup
+    "q_psi", "q_rolling_median",
+    // q_survival's risk/product windows run over distinct DURATIONS
+    // (calendar-bounded); q_chisq's total runs over the <=7x|types|
+    // contingency cells
+    "q_survival", "q_chisq",
     // q_mix_kl's totals run over the |languages| row mix frame
     "q_mix_kl",
     // q_cramers_v aggregates the <=7x|types| contingency cells (the
@@ -54,42 +55,32 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_bootstrap_ci's percentile bracket sorts the 200-row replicate
     // means
     "q_theil_sen", "q_bootstrap_ci",
-    // q_calibration ranks the per-user SCORE frame (q_decile_lift
-    // precedent; approx-quantile binning at 100 TB) and its ECE window
-    // is 10 bin rows; q_pr_curve's cumulative windows run over the
-    // DISTINCT-score rollup (the q_auc frame); q_skyline's running max
-    // is over the |distinct prices| frame after the groupBy collapse;
-    // q_mix_shift's totals ride the |segments| frame;
-    // q_stats_histogram's ntile sorts the orders frame (q_decile_lift
-    // precedent, documented); q_concurrency's sweep is 2 rows/session
-    // with the documented chunk-per-day 100 TB path; q_cusum windows
-    // the calendar-bounded daily rollup; q_mutual_info totals the
+    // q_skyline's running max is over the |distinct prices| frame after
+    // the groupBy collapse; q_mix_shift's totals ride the |segments|
+    // frame; q_concurrency's sweep is 2 rows/session with the
+    // documented chunk-per-day 100 TB path; q_cusum windows the
+    // calendar-bounded daily rollup; q_mutual_info totals the
     // <=7x|types| contingency cells; q_rolling_corr windows the daily
     // rollup (q_moving_avg precedent)
-    "q_calibration", "q_pr_curve", "q_skyline", "q_mix_shift",
-    "q_stats_histogram", "q_concurrency", "q_cusum",
+    "q_skyline", "q_mix_shift",
+    "q_concurrency", "q_cusum",
     "q_mutual_info", "q_rolling_corr",
-    // q_novelty_decay's ntile orders the doc-ID frame only (epoch
-    // assignment) and its cumulative window is the 10-row epoch rollup
+    // q_novelty_decay's epoch ntile rides Dist.prefix (r14); only its
+    // cumulative window over the 10-row epoch rollup remains
     "q_novelty_decay",
     // q_coverage_cells' totals ride the |langs|x|sources| spine frame
     "q_coverage_cells",
-    // q_abc_pareto's cumulative share orders the |customers| rollup
-    // (q_gini prefix-sum precedent); q_compaction_plan's prefix sum
-    // orders the |sources| shard manifest; q_heaps_law's cumulatives
-    // ride the 10-row epoch rollup (q_novelty_decay precedent);
-    // q_seasonal_decompose's 7-day rolling mean rides the
-    // calendar-bounded daily rollup (q_cusum precedent)
-    "q_abc_pareto", "q_compaction_plan", "q_heaps_law",
+    // q_compaction_plan's prefix sum orders the |sources| shard
+    // manifest; q_heaps_law's cumulatives ride the 10-row epoch rollup
+    // (q_novelty_decay precedent); q_seasonal_decompose's 7-day rolling
+    // mean rides the calendar-bounded daily rollup (q_cusum precedent)
+    "q_compaction_plan", "q_heaps_law",
     "q_seasonal_decompose",
     // q_zipf's rank window orders the post-TakeOrdered(100) frame —
     // bounded by the ZipfRanks constant, never by the corpus;
     // q_vocab_coverage's rank window orders its post-TakeOrdered(10000)
     // frame — same precedent, constant-bounded
     "q_zipf", "q_vocab_coverage",
-    // q_user_concentration ranks the per-USER rollup (q_gini precedent:
-    // range-partitioned sort + distributed prefix at 100 TB)
-    "q_user_concentration",
     // q_rsi's lag/trailing-14 windows, q_sax's and q_holt_winters'
     // row_number ride the calendar-bounded daily rollup (q_moving_avg
     // precedent)
@@ -97,17 +88,13 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_bollinger's 20-day and q_stochastic's 14-day + lag windows ride
     // the same calendar-bounded daily rollup (q_rsi precedent)
     "q_bollinger", "q_stochastic",
-    // q_wasserstein's CDF cumsum runs over the DISTINCT-value rollup
-    // (value-domain-bounded — the q_mann_whitney stance)
-    "q_wasserstein",
     // q_macd / q_kalman_filter / q_hurst rank the calendar-bounded
     // daily rollup for their folds (q_holt_winters precedent; hurst's
     // block windows all partition by (size, block))
     "q_macd", "q_kalman_filter", "q_hurst",
-    // q_kruskal_wallis' cumulative ranks ride the DISTINCT-value
-    // rollup (q_mann_whitney stance); q_tail_index's row_number orders
-    // the post-TakeOrdered(101) frame (q_zipf precedent)
-    "q_kruskal_wallis", "q_tail_index",
+    // q_tail_index's row_number orders the post-TakeOrdered(101) frame
+    // (q_zipf precedent)
+    "q_tail_index",
     // q_control_chart's rule windows and q_page_hinkley's rank ride
     // the calendar-bounded daily rollup (q_rsi / q_holt_winters)
     "q_control_chart", "q_page_hinkley",

@@ -376,4 +376,33 @@ class PlanSpec extends AnyFunSuite {
     // the source rollup must partial-aggregate (map-side combine)
     assert(p.contains("HashAggregate"), p)
   }
+
+  /** The r13-verdict ask: the data-proportional rank/prefix-sum queries
+    * must run on the distributed tier — every window partitioned by the
+    * tier's range-partition id (`__dp_pid`; the range exchange itself
+    * sits below Dist.prefix's determinism checkpoint, so the pid column
+    * in the window spec is the visible fingerprint) and ZERO windows
+    * without a partition spec. PlanGuardSpec enforces the window half
+    * for the whole inventory; this pins the positive half (the tier is
+    * actually in the plan, not just the whitelist entry gone). */
+  test("Dist-tier queries: pid-partitioned windows present, no unpartitioned window") {
+    val distTier = Seq(
+      "q_gini", "q_abc_pareto", "q_user_concentration", "q_decile_lift",
+      "q_calibration", "q_stats_histogram", "q_ks_test", "q_mann_whitney",
+      "q_kruskal_wallis", "q_auc", "q_pr_curve", "q_wasserstein",
+      "q_cume_dist", "q_daily_p95")
+    distTier.foreach { name =>
+      val qe = SparkEntry.queries(name)(spark, sf0001).queryExecution
+      val windows = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.exists(_.partitionSpec.exists(
+               _.references.exists(_.name == "__dp_pid"))),
+        s"$name: no __dp_pid-partitioned window — Dist tier not in plan")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$name still has an unpartitioned window:\n${w.windowExpressions}")
+      }
+    }
+  }
 }
