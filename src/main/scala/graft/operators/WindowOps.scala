@@ -1043,6 +1043,10 @@ object WindowOps {
     val fp = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(min(struct(col("ts"), col("event_id"))).as("fpk"))
+      // |purchasing users| rows, read by the journey join AND the
+      // direct-conversion anti-join — without this the events scan +
+      // purchase rollup runs twice
+      .localCheckpoint(false)
     // checkpoint the filtered journey frame ONCE: the window pass and
     // the direct-conversion anti-join both read it, and without the
     // checkpoint each downstream consumer re-derives the fact-scale
@@ -1076,8 +1080,17 @@ object WindowOps {
     val directConv = fp
       .join(j.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
       .select(lit("__START__").as("f"), lit("__CONV__").as("t"))
+    // The frames below are all CHANNEL-VOCABULARY-bounded (≤ m+3 states,
+    // ≤ (m+3)² cells) but referenced 2-5× each; without the lazy
+    // checkpoints every reference replans the full upstream subtree and
+    // the final plan multiplies to 525 exchanges / 81 broadcast joins of
+    // pure planning overhead (~3.8 s of the r13 bench on a query whose
+    // data-scale work is ONE user-partitioned window pass). Each
+    // checkpoint cuts the plan at a ≤|S|²-row frame; values are
+    // unchanged (oracle-gated at three SFs).
     val trans = pairRows.unionAll(directConv)
       .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     // channel ids 1..m by name order; START=0, CONV=m+1, NULL=m+2
     val channels = trans.select(col("f").as("stt"))
       .unionAll(trans.select(col("t").as("stt")))
@@ -1085,6 +1098,7 @@ object WindowOps {
       .distinct()
     val chId = channels.select(col("stt"),
       row_number().over(Window.orderBy(col("stt"))).cast("int").as("sid"))
+      .localCheckpoint(false)
     val mm = chId.agg(max(col("sid")).as("m"),
                       (max(col("sid")) + 3).cast("int").as("S"))
     val tr2 = trans
@@ -1115,6 +1129,7 @@ object WindowOps {
           .otherwise(coalesce(col("n").cast("double") /
                                 col("outn").cast("double"), lit(0.0))))
       .select(col("fid"), col("tid"), col("S"), col("prob"))
+      .localCheckpoint(false) // S²-row matrix, read by sd AND intoC
     val scen = mm.select(explode(sequence(lit(0), col("m"))).as("scenario"))
     val intoC = dense.select(col("fid").as("fid2"), col("tid").as("c2"),
                              col("prob").as("pc"))
@@ -1142,6 +1157,8 @@ object WindowOps {
               (a, f) -> a + element_at(p, f + 1) *
                             element_at(tm, f * S + st + 1))))"""))
       .withColumn("p_conv", expr("element_at(pk, S - 1)"))
+      // m+1 rows; base and scored both read it — one power iteration
+      .localCheckpoint(false)
     val base = it.filter(col("scenario") === 0)
       .select(col("p_conv").as("p_base"))
     val scored = it.filter(col("scenario") > 0)
