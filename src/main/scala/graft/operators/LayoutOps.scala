@@ -161,21 +161,18 @@ object LayoutOps {
     * only double, divided once and r4'd.
     *
     * Scale shape: one partial-aggregable rollup to |sources| rows,
-    * then an ordered window over that dimension-sized frame (the
-    * q_gini prefix-sum pattern — range-partitioned at 100 TB, where
-    * the shard list is file-manifest-sized, not data-sized). */
+    * then the prefix sum on [[graft.functions.Dist.prefix]] (r14 — a
+    * 100 TB table's shard manifest is |files|-sized, which grows with
+    * the data; no single-partition sort). */
   def compactionPlan(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val shards = graft.Tables.documents(s, d)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
-      .localCheckpoint(false) // feeds the window AND the 1-row total
+      .localCheckpoint(false) // feeds the prefix tier AND the 1-row total
     val total = shards.agg(sum(col("bytes")).as("total_bytes"))
-    val w = Window.orderBy(col("source"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Fin.ord(
-      shards
-        .withColumn("cum", sum(col("bytes")).over(w))
+      graft.functions.Dist.prefix(shards, Nil, Seq(col("source")),
+          cums = Seq("cum" -> col("bytes")))
         .crossJoin(broadcast(total))
         .withColumn("target", expr("(total_bytes + 7) DIV 8"))
         .select(col("source"), col("n_docs"), col("bytes"),

@@ -870,10 +870,13 @@ object WindowOps {
     *
     * Scale shape: session bounds come from the published session store
     * (one rollup, no exchange past the store's bucketing); the sweep
-    * frame is 2 rows per session. The running sum is one global
-    * time-ordered window over that session-bounded frame — at 100 TB
-    * it would chunk per day with carried-in offsets (prefix sums are
-    * associative); the daily rollup is partial-aggregable. */
+    * frame is 2 rows per session — data-proportional, so the running
+    * sum rides [[graft.functions.Dist.prefix]] (range-partitioned
+    * chunks with carried-in offsets — prefix sums are associative;
+    * r14, the documented chunked form built); the daily rollup is
+    * partial-aggregable. Within a same-(t,delta) tie block the running
+    * sum is order-dependent per ROW but the per-day max is reached at
+    * the block end either way — tie-invariant like the global window. */
   def concurrency(s: SparkSession, d: String): DataFrame = {
     val sess = sessionized(s, d)
       .groupBy(col("user_id"), col("sid"))
@@ -881,10 +884,10 @@ object WindowOps {
       .localCheckpoint(false)
     val sweep = sess.select(col("st").as("t"), lit(1L).as("delta"))
       .unionAll(sess.select((col("en") + 1L).as("t"), lit(-1L).as("delta")))
-    val w = Window.orderBy(col("t"), col("delta").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
     ord(
-      sweep.withColumn("live", sum(col("delta")).over(w))
+      graft.functions.Dist.prefix(sweep, Nil,
+          Seq(col("t"), col("delta").desc),
+          cums = Seq("live" -> col("delta")))
         .groupBy(expr("t DIV 86400").cast("int").as("day_num"))
         .agg(max(col("live")).as("peak_concurrent"),
              sum(when(col("delta") === 1L, 1L).otherwise(0L))

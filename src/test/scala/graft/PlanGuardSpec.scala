@@ -57,24 +57,20 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_theil_sen", "q_bootstrap_ci",
     // q_skyline's running max is over the |distinct prices| frame after
     // the groupBy collapse; q_mix_shift's totals ride the |segments|
-    // frame; q_concurrency's sweep is 2 rows/session with the
-    // documented chunk-per-day 100 TB path; q_cusum windows the
-    // calendar-bounded daily rollup; q_mutual_info totals the
-    // <=7x|types| contingency cells; q_rolling_corr windows the daily
-    // rollup (q_moving_avg precedent)
-    "q_skyline", "q_mix_shift",
-    "q_concurrency", "q_cusum",
+    // frame; q_cusum windows the calendar-bounded daily rollup;
+    // q_mutual_info totals the <=7x|types| contingency cells;
+    // q_rolling_corr windows the daily rollup (q_moving_avg precedent)
+    "q_skyline", "q_mix_shift", "q_cusum",
     "q_mutual_info", "q_rolling_corr",
     // q_novelty_decay's epoch ntile rides Dist.prefix (r14); only its
     // cumulative window over the 10-row epoch rollup remains
     "q_novelty_decay",
     // q_coverage_cells' totals ride the |langs|x|sources| spine frame
     "q_coverage_cells",
-    // q_compaction_plan's prefix sum orders the |sources| shard
-    // manifest; q_heaps_law's cumulatives ride the 10-row epoch rollup
+    // q_heaps_law's cumulatives ride the 10-row epoch rollup
     // (q_novelty_decay precedent); q_seasonal_decompose's 7-day rolling
     // mean rides the calendar-bounded daily rollup (q_cusum precedent)
-    "q_compaction_plan", "q_heaps_law",
+    "q_heaps_law",
     "q_seasonal_decompose",
     // q_zipf's rank window orders the post-TakeOrdered(100) frame —
     // bounded by the ZipfRanks constant, never by the corpus;
