@@ -63,6 +63,11 @@ object Dist {
     * @param rankLe (rankOut, cntLeOut): global `rank()` (long) and the
     *               RANGE-frame peer-inclusive row count (long) — the
     *               cume_dist numerator
+    * @param maxPrev (outName, expr): running max of `expr` over ROWS
+    *               UNBOUNDED PRECEDING..-1 (strictly prior; NULL on the
+    *               global first row) — max is associative, so the
+    *               offset is the prior partitions' max under
+    *               null-skipping `greatest`
     * @param groupN outName for the group (or global) row count (long)
     * @param lead1  (srcColName, outName): `lead(src, 1)` over the global
     *               order; `src` must be non-null (boundary stitch uses
@@ -78,6 +83,7 @@ object Dist {
              rankLe: Option[(String, String)] = None,
              groupN: Option[String] = None,
              lead1: Option[(String, String)] = None,
+             maxPrev: Seq[(String, Column)] = Nil,
              parts: Int = 0): DataFrame = {
     val s = df.sparkSession
     val n = if (parts > 0) parts
@@ -117,12 +123,17 @@ object Dist {
     lead1.foreach { case (src, out) =>
       local = local.withColumn(s"__dp_l_$out", lead(col(src), 1).over(wBase))
     }
+    maxPrev.foreach { case (name, e) =>
+      local = local.withColumn(s"__dp_l_$name",
+        max(e).over(wBase.rowsBetween(Window.unboundedPreceding, -1)))
+    }
 
     // Phase 3: per-(pid, group) totals — a ≤`n`·|adjacent groups| row
     // frame (ranges are contiguous, so Σ_pid groups ≤ |groups| + n).
     val totAggs =
       count(lit(1)).as("__dp_cnt") +:
-        cums.map { case (name, e) => sum(e).as(s"__dp_t_$name") }
+        (cums.map { case (name, e) => sum(e).as(s"__dp_t_$name") } ++
+         maxPrev.map { case (name, e) => max(e).as(s"__dp_m_$name") })
     val offs = ordered.groupBy(partCols.map(col): _*)
       .agg(totAggs.head, totAggs.tail: _*)
 
@@ -135,12 +146,15 @@ object Dist {
             sameGroup("l", "r") && col(s"r.$pid") < col(s"l.$pid"), "left")
       .groupBy(partCols.map(k => col(s"l.$k")): _*)
       .agg(coalesce(sum(col("r.__dp_cnt")), lit(0L)).as("__dp_off_cnt"),
-        cums.map { case (name, _) =>
+        (cums.map { case (name, _) =>
           coalesce(sum(col(s"r.__dp_t_$name")), lit(0L))
             .as(s"__dp_off_$name")
-        }: _*)
+        } ++ maxPrev.map { case (name, _) =>
+          max(col(s"r.__dp_m_$name")).as(s"__dp_offm_$name")
+        }): _*)
       .select(partCols.map(k => col(s"l.$k").as(k)) ++
-              ("__dp_off_cnt" +: cums.map(c => s"__dp_off_${c._1}"))
+              ("__dp_off_cnt" +: (cums.map(c => s"__dp_off_${c._1}") ++
+                                  maxPrev.map(c => s"__dp_offm_${c._1}")))
                 .map(col): _*)
 
     var out = local.join(broadcast(prior), partCols)
@@ -180,6 +194,14 @@ object Dist {
     cums.foreach { case (name, _) =>
       out = out.withColumn(name, col(s"__dp_l_$name") + col(s"__dp_off_$name"))
         .drop(s"__dp_l_$name", s"__dp_off_$name")
+    }
+    maxPrev.foreach { case (name, _) =>
+      // greatest SKIPS nulls: local-null (partition first row) reads the
+      // offset, offset-null (first partition) reads local, both-null
+      // (global first row) stays NULL — the single-partition semantics
+      out = out.withColumn(name,
+          greatest(col(s"__dp_l_$name"), col(s"__dp_offm_$name")))
+        .drop(s"__dp_l_$name", s"__dp_offm_$name")
     }
     rowNum.foreach { rn =>
       out = out.withColumn(rn, col(lrn) + col("__dp_off_cnt"))

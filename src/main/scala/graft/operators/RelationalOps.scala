@@ -495,20 +495,23 @@ object RelationalOps {
   }
 
   def skyline(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val parts = Tables.part(s, d)
       .withColumn("pc", round(col("p_retailprice") * 100).cast("long"))
     val best = parts.groupBy(col("pc")).agg(max(col("p_size")).as("ms"))
-    val prev = Window.orderBy(col("pc"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = best
-      .withColumn("pm", max(col("ms")).over(prev))
+    // running max over strictly-prior distinct prices on the
+    // distributed prefix tier (r14) — the distinct-price frame grows
+    // with the value domain, so no single-partition sort
+    val frontier = graft.functions.Dist.prefix(best, Nil, Seq(col("pc")),
+        maxPrev = Seq("pm" -> col("ms")))
       .filter(col("pm").isNull || col("ms") > col("pm"))
-      .select(col("pc"), col("ms"))
+      // renamed: the tier's internal branches carry the original
+      // attributes, so df("col") resolution on the semi-join would be
+      // ambiguous against the parts subtree
+      .select(col("pc").as("sk_pc"), col("ms").as("sk_ms"))
     ord(
       parts.join(broadcast(frontier),
-                 parts("pc") === frontier("pc") &&
-                 parts("p_size") === frontier("ms"), "left_semi")
+                 parts("pc") === col("sk_pc") &&
+                 parts("p_size") === col("sk_ms"), "left_semi")
         .select(col("p_partkey"), col("p_brand"), col("p_size"),
                 r4(col("pc").cast("double") / 100.0).as("price")),
       col("p_partkey"))

@@ -85,6 +85,15 @@ class DistPrefixSpec extends AnyFunSuite {
     assert(sortedRows(got1, "k", "cd") == sortedRows(ref, "k", "cd"))
   }
 
+  test("maxPrev (running max over strictly-prior rows) matches, incl. the NULL first row") {
+    val w = Window.orderBy(col("v"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = base.withColumn("pm", max(col("x")).over(w))
+    val got = Dist.prefix(base, Nil, Seq(col("v"), col("k")),
+      maxPrev = Seq("pm" -> col("x")), parts = 7)
+    assert(sortedRows(got, "k", "pm") == sortedRows(ref, "k", "pm"))
+  }
+
   test("lead(x,1) stitches across range-partition boundaries") {
     val w = Window.orderBy(col("v"), col("k"))
     val ref = base.withColumn("nx", lead(col("k"), 1).over(w))

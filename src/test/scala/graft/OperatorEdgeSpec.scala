@@ -1430,6 +1430,18 @@ class OperatorEdgeSpec extends AnyFunSuite {
     val r2 = graft.operators.TimeSeriesOps.ljungBox(spark, dir2)
       .collect().head
     assert(r2.getLong(0) == 10L && r2.isNullAt(3), s"got $r2")
+    // sparse calendar where a lag pair exists AT lag_k == n (days
+    // 0..5 and 7: n = 7 distinct days, pair 7 = 0+7 at lag 7): the
+    // per-lag term divides by n - lag_k = 0 — the r13 ADVICE edge;
+    // the nullif guard must surface the row (NULL q_stat), not throw
+    val dir3 = tmpDir("ljung_sparse")
+    writeTable(dir3, "orders", Schemas.orders,
+      (Seq(0, 1, 2, 3, 4, 5, 7).zipWithIndex.map { case (day, i) =>
+        o(i.toLong + 1, day, if (i % 2 == 0) 1.0 else 2.0)
+      }))
+    val r3 = graft.operators.TimeSeriesOps.ljungBox(spark, dir3)
+      .collect().head
+    assert(r3.getLong(0) == 7L && r3.isNullAt(3), s"got $r3")
   }
 
   test("theil_index: equal-spend segments read zero within, hand-computed between") {

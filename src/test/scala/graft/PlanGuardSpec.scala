@@ -55,12 +55,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_bootstrap_ci's percentile bracket sorts the 200-row replicate
     // means
     "q_theil_sen", "q_bootstrap_ci",
-    // q_skyline's running max is over the |distinct prices| frame after
-    // the groupBy collapse; q_mix_shift's totals ride the |segments|
-    // frame; q_cusum windows the calendar-bounded daily rollup;
-    // q_mutual_info totals the <=7x|types| contingency cells;
-    // q_rolling_corr windows the daily rollup (q_moving_avg precedent)
-    "q_skyline", "q_mix_shift", "q_cusum",
+    // q_mix_shift's totals ride the |segments| frame; q_cusum windows
+    // the calendar-bounded daily rollup; q_mutual_info totals the
+    // <=7x|types| contingency cells; q_rolling_corr windows the daily
+    // rollup (q_moving_avg precedent)
+    "q_mix_shift", "q_cusum",
     "q_mutual_info", "q_rolling_corr",
     // q_novelty_decay's epoch ntile rides Dist.prefix (r14); only its
     // cumulative window over the 10-row epoch rollup remains

@@ -390,7 +390,8 @@ class PlanSpec extends AnyFunSuite {
       "q_gini", "q_abc_pareto", "q_user_concentration", "q_decile_lift",
       "q_calibration", "q_stats_histogram", "q_ks_test", "q_mann_whitney",
       "q_kruskal_wallis", "q_auc", "q_pr_curve", "q_wasserstein",
-      "q_cume_dist", "q_daily_p95", "q_concurrency", "q_compaction_plan")
+      "q_cume_dist", "q_daily_p95", "q_concurrency", "q_compaction_plan",
+      "q_skyline")
     distTier.foreach { name =>
       val qe = SparkEntry.queries(name)(spark, sf0001).queryExecution
       val windows = qe.optimizedPlan.collect {
