@@ -72,8 +72,13 @@ object Dist {
     * @param lead1  (srcColName, outName): `lead(src, 1)` over the global
     *               order; `src` must be non-null (boundary stitch uses
     *               coalesce)
-    * @param parts  range partition count; defaults to the session's
-    *               shuffle parallelism
+    * @param parts  explicit range partition count (tests use it to
+    *               force many partitions on tiny frames); 0 = let AQE
+    *               size the exchange — tiny frames coalesce to few
+    *               tasks by advisory size, data-scale frames keep full
+    *               parallelism (the session's parallelismFirst=false
+    *               stance), and correctness is partition-count-
+    *               invariant by construction
     */
   def prefix(df: DataFrame,
              part: Seq[String],
@@ -85,9 +90,6 @@ object Dist {
              lead1: Option[(String, String)] = None,
              maxPrev: Seq[(String, Column)] = Nil,
              parts: Int = 0): DataFrame = {
-    val s = df.sparkSession
-    val n = if (parts > 0) parts
-            else s.sessionState.conf.numShufflePartitions
     val pid = "__dp_pid"
     val lrn = "__dp_lrn"
     val partCols = pid +: part
@@ -102,8 +104,11 @@ object Dist {
     // windows on another corrupt every global value. Checkpointing
     // pins ONE evaluation that every downstream branch (window,
     // offsets, totals, lead stitch) reads.
-    val ordered = df
-      .repartitionByRange(n, (part.map(col) ++ order): _*)
+    val ranged =
+      if (parts > 0)
+        df.repartitionByRange(parts, (part.map(col) ++ order): _*)
+      else df.repartitionByRange((part.map(col) ++ order): _*)
+    val ordered = ranged
       .withColumn(pid, spark_partition_id())
       .localCheckpoint(false)
 
