@@ -39,7 +39,10 @@ import pyarrow.parquet as pq
 
 SRC = Path("/root/testdata/sf0.1")
 OUT = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_scale10x")
-SHARDS = 10
+# Optional 2nd arg: shard count (default 10 — the committed 10x corpus
+# is byte-identical to the pre-parameterized script). 100 builds the
+# second-decade probe corpus (r14).
+SHARDS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 
 def copy_small_tables():
@@ -88,8 +91,15 @@ def scale_embeddings():
         if k == 0:
             emb = t["embedding"]
         else:
+            # lane selector: i % min(SHARDS, 64) == k % 64 — identical
+            # to the original i % SHARDS == k for SHARDS=10 (the
+            # committed 10x corpus is unchanged), and still jitters a
+            # real lane with a k-distinct magnitude when SHARDS > 64
+            # (i % 100 == k would select NO lane for k >= 64, silently
+            # producing exact duplicate shards)
+            lane_mod = min(SHARDS, 64)
             emb = pa.array(
-                [[v + (k * 1e-5 if i % SHARDS == k else 0.0)
+                [[v + (k * 1e-5 if i % lane_mod == k % 64 else 0.0)
                   for i, v in enumerate(vec)]
                  if vec is not None else None for vec in vecs],
                 type=pa.list_(pa.float32()))
