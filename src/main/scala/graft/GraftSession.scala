@@ -27,6 +27,17 @@ import org.apache.spark.sql.SparkSession
   *    headroom for 100 GB+ executors; big sides still shuffle. Tests
   *    that must see the shuffle machinery on KB fixtures pin
   *    `autoBroadcastJoinThreshold=-1` locally (and say why).
+  *  - 16 MB scan split (`files.maxPartitionBytes`, default 128 MB) —
+  *    a SINGLE-FILE table smaller than the default scans as ONE task
+  *    no matter how many cores exist, serializing every scan-heavy
+  *    first stage (measured on the 100x probe corpus: a 116 MB
+  *    single-file events table put fact scans, explodes and
+  *    sessionization on one core of 32 — linear queries read as
+  *    super-linear purely from lost scan parallelism). 16 MB keeps
+  *    single-file sources parallel at probe scale; a multi-thousand-
+  *    file 100 TB deployment gets its scan parallelism from file
+  *    count and should raise this back toward the default at the
+  *    cluster level.
   *  - UTC session time zone — oracle parity: DuckDB computes date
   *    arithmetic in UTC.
   */
@@ -41,5 +52,6 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
 }
