@@ -349,10 +349,15 @@ object LlmOps {
     * ~linearly. Table t's plane j reads component ((t·pl + j) mod
     * 64) + 1 — at pl = 4 exactly the historical 4t+1..4t+4 mapping,
     * so every gated SF (n ≤ 4096) hashes identically to r12 and the
-    * oracle results are unchanged. Past pl = 8 (n > 32768·…) the
-    * planes cap and residual growth routes to the IVF index path
-    * (q_similarity_ivf) — the documented 100 TB recall/occupancy
-    * trade.
+    * oracle results are unchanged. The cap is 10 (r14): past
+    * 8 tables × 8 planes the (t·pl + j) mod 64 mapping WRAPS the
+    * 64-lane space, so high tables reuse lanes already drawn by low
+    * tables in different combinations — a mild independence trade
+    * that buys 4x more buckets (the r14 100x probe measured the
+    * pl = 8 ceiling at exponent 1.9; pl = 10 restores ~256/table
+    * occupancy at 200k vectors). Past pl = 10 residual growth routes
+    * to the IVF index path (q_similarity_ivf) — the documented
+    * 100 TB recall/occupancy trade.
     *
     * `em0` must carry (label, vec_id, v) plus whatever extra broadcast
     * columns the sign predicate references (the centered variant rides
@@ -364,9 +369,11 @@ object LlmOps {
       .when(col("n_corpus") <= 8192, 5)
       .when(col("n_corpus") <= 16384, 6)
       .when(col("n_corpus") <= 32768, 7)
-      .otherwise(8)
+      .when(col("n_corpus") <= 65536, 8)
+      .when(col("n_corpus") <= 131072, 9)
+      .otherwise(10)
     val nv = em0.agg(count(lit(1)).as("n_corpus")).select(planes.as("pl"))
-    val bucket = (0 until 8).map { j =>
+    val bucket = (0 until 10).map { j =>
       val comp = pmod(col("t") * col("pl") + lit(j), lit(64)) + lit(1)
       when(lit(j) < col("pl") && signAt(comp), lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)

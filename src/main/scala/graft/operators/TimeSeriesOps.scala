@@ -911,7 +911,16 @@ object TimeSeriesOps {
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
       .localCheckpoint(true)
     val reps = s.range(1, 201).select(col("id").cast("int").as("b"))
-    val pw = users.crossJoin(broadcast(reps))
+    // Pin the expansion's parallelism: AQE sizes the rollup exchange
+    // by the rollup's OWN bytes, blind to the 200x row explosion and
+    // the 200-md5s-per-user projection right after it — at the 100x
+    // probe the 1M-user frame coalesced to ~5 partitions and 200M
+    // md5s ran on 5 cores (measured exponent 1.52). A numbered
+    // by-column repartition is exempt from AQE coalescing, so the
+    // explosion always spreads over the configured shuffle width.
+    val nShuf = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val pw = users.repartition(nShuf, col("user_id"))
+      .crossJoin(broadcast(reps))
       .withColumn("uu", expr(
         "cast(conv(substring(md5(concat(cast(user_id as string), ':', " +
           "cast(b as string))), 1, 8), 16, 10) as bigint) / 4294967296.0"))

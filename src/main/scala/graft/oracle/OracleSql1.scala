@@ -397,11 +397,13 @@ private[graft] object OracleSql1 {
                                 WHEN count(*) <= 8192 THEN 5
                                 WHEN count(*) <= 16384 THEN 6
                                 WHEN count(*) <= 32768 THEN 7
-                                ELSE 8 END) AS pl FROM em),
+                                WHEN count(*) <= 65536 THEN 8
+                                WHEN count(*) <= 131072 THEN 9
+                                ELSE 10 END) AS pl FROM em),
             tb AS (SELECT label, vec_id, t,
                           CAST(sum(CASE WHEN v[CAST(((t*pl + j) % 64) + 1 AS INT)] > 0
                                         THEN (1 << j) ELSE 0 END) AS INT) AS bucket
-                   FROM em, nv, range(0, 8) r(t), range(0, 8) p(j)
+                   FROM em, nv, range(0, 8) r(t), range(0, 10) p(j)
                    WHERE j < pl
                    GROUP BY label, vec_id, t),
             cand AS (SELECT DISTINCT a.label, a.vec_id AS v1, b.vec_id AS v2
