@@ -493,59 +493,66 @@ object LlmOps {
     * clustering per report is the difference between a dashboard and a
     * batch job; the store is the q_join_bucketed trade applied to the
     * embedding space. */
+  /** Within-label θ-edge enumeration for the cluster store, SALTED
+    * into G(G+1)/2 cells per label (the triangle self-join): a raw
+    * label===label join keys the shuffle on |labels| values, so at
+    * any corpus size at most |labels| tasks ever run — the 100x probe
+    * measured the build pinned on 2 of 32 cores. Each vector lands in
+    * bucket g = vec_id mod G; cell (i,j), i<=j, joins bucket i
+    * against bucket j, so the SAME n²/2-per-label edge work spreads
+    * over |labels|·G(G+1)/2 shuffle keys. Off-diagonal cells see each
+    * pair exactly once as (bucket-i row, bucket-j row) — the id order
+    * filter applies only on the diagonal, and output ids normalize
+    * with least/greatest. Edge set (and therefore the component
+    * fixpoint and every consumer's hash) is IDENTICAL to the unsalted
+    * join — ClusterEdgeSpec pins salted ≡ brute-force on a fixture
+    * that exercises every cell class. `em0` carries
+    * (vec_id, label, v: array<double>). */
+  def clusterEdges(s: SparkSession, em0: DataFrame): DataFrame = {
+    val G = 8
+    val cells = s.createDataFrame((for {
+      i <- 0 until G; j <- i until G
+    } yield (i, j))).toDF("ci", "cj")
+    val em = em0.select(col("vec_id"), col("label"), col("v"),
+                        pmod(col("vec_id"), lit(G)).cast("int").as("g"))
+    val a = em.join(broadcast(cells), col("g") === col("ci"))
+      .select(col("label"), col("ci"), col("cj"),
+              col("vec_id").as("v1"), col("v").as("va"))
+    val b = em.join(broadcast(cells), col("g") === col("cj"))
+      .select(col("label").as("label2"), col("ci").as("ci2"),
+              col("cj").as("cj2"), col("vec_id").as("v2"),
+              col("v").as("vb"))
+    // merge hint: the planner's size estimate for the replicated
+    // side can read under the broadcast threshold, and a broadcast
+    // join would ride the SCAN's partitioning — a single-file corpus
+    // then evaluates every cosine on a handful of cores (measured on
+    // the 100x probe: 4 tasks). SMJ shuffles both sides on the cell
+    // key, so the quadratic work always spreads over the shuffle
+    // partitioning regardless of stats.
+    a.hint("merge").join(b,
+        a("label") === b("label2") && col("ci") === col("ci2") &&
+          col("cj") === col("cj2") &&
+          (col("ci") < col("cj") || col("v1") < col("v2")))
+      .select(least(col("v1"), col("v2")).as("d1"),
+              greatest(col("v1"), col("v2")).as("d2"),
+              cosineFast(s, col("va"), col("vb")).as("raw"))
+      // cheap raw-cosine prefilter ahead of r4's per-value BigDecimal
+      // (the measured hot loop at 100x): r4(x) >= θ implies
+      // x >= θ − 5e-5, so θ − 1e-4 is conservatively inclusive and
+      // the exact r4 gate below decides borderline pairs — edge set
+      // IDENTICAL to filtering r4(raw) alone.
+      .filter(col("raw") >= EmbedClusterTheta - 1e-4)
+      .filter(r4(col("raw")) >= EmbedClusterTheta)
+      .select(col("d1"), col("d2"))
+  }
+
   def clusterStoreDir(s: SparkSession, d: String): String =
     graft.sources.CachedDir.materialize(
         s, d, "embeddings.parquet", "cluster_store") { tmp =>
-      // Within-label pair enumeration, SALTED into G(G+1)/2 cells per
-      // label (the triangle self-join): a raw label===label join keys
-      // the shuffle on |labels| values, so at any corpus size at most
-      // |labels| tasks ever run — the 100x probe measured the build
-      // pinned on 2 of 32 cores. Each vector lands in bucket
-      // g = vec_id mod G; cell (i,j), i<=j, joins bucket i against
-      // bucket j, so the SAME n²/2-per-label edge work spreads over
-      // |labels|·G(G+1)/2 shuffle keys. Off-diagonal cells see each
-      // pair exactly once as (bucket-i row, bucket-j row) — the id
-      // order filter applies only on the diagonal, and output ids
-      // normalize with least/greatest. Edge set (and therefore the
-      // component fixpoint and every consumer's hash) is IDENTICAL to
-      // the unsalted join.
-      val G = 8
-      val cells = s.createDataFrame((for {
-        i <- 0 until G; j <- i until G
-      } yield (i, j))).toDF("ci", "cj")
       val em = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
-                col("embedding").cast("array<double>").as("v"),
-                pmod(col("vec_id"), lit(G)).cast("int").as("g"))
-      val a = em.join(broadcast(cells), col("g") === col("ci"))
-        .select(col("label"), col("ci"), col("cj"),
-                col("vec_id").as("v1"), col("v").as("va"))
-      val b = em.join(broadcast(cells), col("g") === col("cj"))
-        .select(col("label").as("label2"), col("ci").as("ci2"),
-                col("cj").as("cj2"), col("vec_id").as("v2"),
-                col("v").as("vb"))
-      // merge hint: the planner's size estimate for the replicated
-      // side can read under the broadcast threshold, and a broadcast
-      // join would ride the SCAN's partitioning — a single-file corpus
-      // then evaluates every cosine on a handful of cores (measured on
-      // the 100x probe: 4 tasks). SMJ shuffles both sides on the cell
-      // key, so the quadratic work always spreads over the shuffle
-      // partitioning regardless of stats.
-      val pairs = a.hint("merge").join(b,
-          a("label") === b("label2") && col("ci") === col("ci2") &&
-            col("cj") === col("cj2") &&
-            (col("ci") < col("cj") || col("v1") < col("v2")))
-        .select(least(col("v1"), col("v2")).as("d1"),
-                greatest(col("v1"), col("v2")).as("d2"),
-                cosineFast(s, col("va"), col("vb")).as("raw"))
-        // cheap raw-cosine prefilter ahead of r4's per-value BigDecimal
-        // (the measured hot loop at 100x): r4(x) >= θ implies
-        // x >= θ − 5e-5, so θ − 1e-4 is conservatively inclusive and
-        // the exact r4 gate below decides borderline pairs — edge set
-        // IDENTICAL to filtering r4(raw) alone.
-        .filter(col("raw") >= EmbedClusterTheta - 1e-4)
-        .filter(r4(col("raw")) >= EmbedClusterTheta)
-        .select(col("d1"), col("d2"))
+                col("embedding").cast("array<double>").as("v"))
+      val pairs = clusterEdges(s, em)
       val labels = CurationOps.cc(pairs).withColumnRenamed("doc_id", "vid_c")
       Tables.embeddings(s, d).select(col("vec_id"), col("label"))
         .join(labels, col("vec_id") === col("vid_c"), "left")
