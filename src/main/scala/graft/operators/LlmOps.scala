@@ -122,24 +122,34 @@ object LlmOps {
   /** q_dedup_simhash — 32-bit SimHash per document from md5-derived token
     * hashes (md5 is identical across engines, so this IS oracle-checkable:
     * the DuckDB SQL mirrors the bit arithmetic exactly). */
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** 32-bit SimHash signatures per document — md5-derived token
+    * hashes, bit b set iff Σ±1 over tokens' bit b is positive. One
+    * column per bit instead of a ×32 bit-row explode: the explode
+    * form pushed 1.4B rows through the per-(doc, bit) aggregate at
+    * the 100× probe (the map-side explode is pure CPU the 32-sum
+    * spelling never materializes); the 32 conditional sums compute
+    * the IDENTICAL signature in a single partial-aggregable
+    * groupBy(doc_id). Shared by [[dedupSimhash]] and
+    * [[simhashBandPairs]] (hist + eval consumers). */
+  private def simhashSigs(docs: DataFrame, out: String): DataFrame = {
     val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       // 32-bit hash from the first 8 hex chars of md5(token)
       .withColumn("hv", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    val contrib = toks
-      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(31))).as("i"))
-      .withColumn("c", expr("(shiftright(hv, CAST(i AS INT)) & 1) * 2 - 1"))
-    val bits = contrib.groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("c")).as("s"))
-      .withColumn("b", when(col("s") > 0, 1L).otherwise(0L))
-    ord(
-      bits.groupBy(col("doc_id"))
-        .agg(sum(expr("b * shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).as("simhash")),
-      col("doc_id"))
+    val bitSums = (0 until 32).map(i =>
+      sum(expr(s"(shiftright(hv, $i) & 1) * 2 - 1")).as(s"s$i"))
+    toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(i =>
+          when(col(s"s$i") > 0,
+               expr(s"shiftleft(CAST(1 AS BIGINT), $i)")).otherwise(lit(0L)))
+          .reduce(_ + _).as(out))
   }
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    ord(simhashSigs(Tables.documents(s, d), "simhash"), col("doc_id"))
 
   /** Document-frequency cap for q_dedup_ngram: a gram present in more
     * than this many documents is dropped before the inverted-index
@@ -2141,18 +2151,7 @@ object LlmOps {
     * the same (lang, source) block. */
   private def simhashBandPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .withColumn("hv", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    val contrib = toks
-      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(31))).as("i"))
-      .withColumn("c", expr("(shiftright(hv, CAST(i AS INT)) & 1) * 2 - 1"))
-    val bits = contrib.groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("c")).as("s"))
-      .withColumn("b", when(col("s") > 0, 1L).otherwise(0L))
-    val sig = bits.groupBy(col("doc_id"))
-      .agg(sum(expr("b * shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).as("sig"))
+    val sig = simhashSigs(docs, "sig")
       .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
     val banded = sig.select(col("doc_id"), col("lang"), col("source"), col("sig"),
         explode(array(
