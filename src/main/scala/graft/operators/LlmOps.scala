@@ -2231,8 +2231,15 @@ object LlmOps {
     * in both engines, ties broken by token (total order).
     *
     * Scale shape: ONE (source, tok) partial-aggregable rollup; the
-    * tf_s ≥ 5 floor cuts the long tail BEFORE the per-source window
-    * sort (partitioned by source); corpus totals broadcast. */
+    * tf_s ≥ 5 floor cuts the long tail, then top-5 in TWO windows —
+    * first per (source, 32-way token-hash salt), then per source over
+    * the ≤ 160-row-per-source survivors. |source| is CONSTANT (50), so
+    * a single per-source sort of the vocabulary-scale scored frame
+    * would cap parallelism at 50 tasks at any corpus size (the r14
+    * verdict's partitioned-but-data-proportional class); the salt cut
+    * is LOSSLESS because the within-salt order is the restriction of
+    * the total (weird DESC, tok) order — any global top-5 row is a
+    * within-salt top-5 row. Corpus totals broadcast. */
   def sourceTerms(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
@@ -2248,10 +2255,15 @@ object LlmOps {
       .withColumn("weird",
         (dec(col("tf_s")) * dec(col("n_c"))).cast("double") /
         (dec(col("n_s")) * dec(col("tf_c"))).cast("double"))
+    val wSalt = Window
+      .partitionBy(col("source"), pmod(xxhash64(col("tok")), lit(32L)))
+      .orderBy(col("weird").desc, col("tok"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("weird").desc, col("tok"))
     ord(
-      scored.withColumn("rank", row_number().over(w))
+      scored.withColumn("srk", row_number().over(wSalt))
+        .filter(col("srk") <= 5)
+        .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("source"), col("rank"), col("tok"), col("tf_s"),
                 r4(col("weird")).as("weirdness")),

@@ -327,23 +327,25 @@ object RelationalOps {
     * the boundary can't flip on float noise; the reported average is
     * derived once, after, for display.
     *
-    * Scale shape: one partial-aggregable shuffle to per-customer cents,
-    * a window keyed on the nation (25 partitions of bounded customer
-    * lists), then a broadcast dim join for the name — no second scan of
-    * orders, no correlated re-execution per row (the naive subquery
-    * shape would rescan per outer row; the decorrelated window is the
-    * 100 TB form). */
+    * Scale shape: one partial-aggregable shuffle to per-customer cents
+    * (lazy-checkpointed — it feeds the nation rollup AND the compare),
+    * a 25-row nation rollup broadcast back per customer, then a
+    * broadcast dim join for the name — no correlated re-execution per
+    * row, and no nation-keyed window (25 constant partitions would cap
+    * parallelism at 25 tasks at ANY scale; the agg + broadcast
+    * join-back is the unbounded-parallelism form of the same
+    * decorrelation — every customer row is compared map-side). */
   def subqueryCorrelated(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spend = Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_nationkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-    val w = Window.partitionBy(col("c_nationkey"))
+      .localCheckpoint(false)
+    val nat = spend.groupBy(col("c_nationkey"))
+      .agg(sum(col("cents")).as("total_c"), count(lit(1)).as("n_cust"))
     ord(
       spend
-        .withColumn("total_c", sum(col("cents")).over(w))
-        .withColumn("n_cust", count(lit(1)).over(w))
+        .join(broadcast(nat), Seq("c_nationkey"))
         .filter(col("cents") * col("n_cust") > col("total_c"))
         .join(broadcast(Tables.nation(s, d)),
               col("c_nationkey") === col("n_nationkey"))

@@ -3400,24 +3400,24 @@ object TimeSeriesOps {
     * interpolation); diffs are exact-cent differences divided once,
     * r4'd.
     *
-    * Scale shape: ONE ranking window per arm (partitioned — at 100 TB
-    * the scaladoc'd path is approx-quantile binning, the
-    * q_decile_lift stance) and ONE aggregate; no spine join — the
-    * three brackets are conditional aggregates over the same ranked
-    * frame. */
+    * Scale shape: the per-arm rank rides [[graft.functions.Dist.prefix]]
+    * (part = variant) — |variant| = 2 would otherwise funnel EVERY
+    * order through two tasks (a per-arm global sort disguised as a
+    * partitioned window; the r14 verdict's "partitioned-but-still-
+    * data-proportional" class) — then ONE aggregate; no spine join —
+    * the three brackets are conditional aggregates over the same
+    * ranked frame. Bracket indices compare in int64 (rn·n fit long at
+    * any SF; an INT cast would wrap past ~8.6B orders per arm). */
   def quantileTe(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_orderkey"),
       round(col("o_totalprice") * 100).cast("long").as("cents"),
       when(expr("conv(substring(md5(cast(o_custkey as string)), 1, 8), " +
                 "16, 10) % 2") === 0, "A").otherwise("B").as("variant"))
-    val ranked = o
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("variant"))
-          .orderBy(col("cents"), col("o_orderkey"))))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy(col("variant"))))
+    val ranked = graft.functions.Dist.prefix(o, Seq("variant"),
+      Seq(col("cents"), col("o_orderkey")),
+      rowNum = Some("rn"), groupN = Some("n"))
     def bracket(q: Int): Column =
-      max(when(col("rn") === expr(s"CAST((n * $q + 99) DIV 100 AS INT)"),
+      max(when(col("rn") === expr(s"(n * $q + 99) DIV 100"),
                col("cents")))
     val arms = ranked.groupBy(col("variant"))
       .agg(max(col("n")).as("n"), bracket(25).as("q25"),
