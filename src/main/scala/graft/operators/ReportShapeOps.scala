@@ -420,9 +420,13 @@ object ReportShapeOps {
     * bounds are exact cents divided once for display.
     *
     * Scale shape: the ntile rides [[graft.functions.Dist.prefix]]'s
-    * range-partitioned rank over the ORDERS frame (global row_number +
+    * range-bucketed rank over the ORDERS frame (global row_number +
     * exact bucket arithmetic — no single-partition sort); the rollup is
-    * 10 rows. */
+    * 10 rows. The tier `persist()`s the fact frame as a compute-once
+    * optimization — evictable and recompute-safe (r15: the bucket id is
+    * a deterministic literal expression, nothing pins on materialized
+    * blocks); a deployment that cannot afford even transient fact-frame
+    * caching can still fall back to approx-quantile binning. */
   def statsHistogram(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"),
