@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Fin, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -160,15 +160,40 @@ object AffinityOps {
       .localCheckpoint(false)
     val overlapNeeded = ceil(lit(Tau / (1 + Tau)) *
       (col("x.m") + col("y.m")))
-    val cand = pos.as("x")
-      .join(pos.as("y"),
-            col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
-            least(col("x.m"), col("y.m")) >=
-              lit(Tau) * greatest(col("x.m"), col("y.m")) &&
-            least(col("x.m") - col("x.pos"), col("y.m") - col("y.pos")) + 1 >=
-              overlapNeeded)
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+    // Candidate-pair exchange width pin (the q_bootstrap_ci idiom, r14
+    // scale defect #3's cousin): candidates grow ~linearly with corpus
+    // bytes (measured 5.5 pairs/byte at sf0.1 AND at the 100x probe),
+    // but the distinct + verification exchanges downstream of the pair
+    // explosion default to spark.sql.shuffle.partitions — at the 100x
+    // probe's pinned width of 4 that put ~80M pairs (multi-GB sorts)
+    // per task and spilled (exp 1.24-1.59, 320-727 s). Width is derived
+    // from the PLAN-TIME source size (one candidate-pair row ≈ 330
+    // shuffle bytes per source byte → ~190 MB of pair shuffle per
+    // 512 KB of documents), and the pin only activates when it exceeds
+    // the configured width, so test-SF plans are byte-identical to the
+    // unpinned form. A numbered by-column repartition is exempt from
+    // AQE coalescing — AQE sizes these exchanges by PRE-explosion bytes
+    // and would otherwise serialize them.
+    val nShuf = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val docBytes = Tables.documents(s, d)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val width = (docBytes / (256L << 10)).min(1 << 18).toInt.max(nShuf)
+    def pin(f: DataFrame, c: Column): DataFrame =
+      if (width > nShuf) f.repartition(width, c) else f
+    val cand = pin(
+      pos.as("x")
+        .join(pos.as("y"),
+              col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
+              least(col("x.m"), col("y.m")) >=
+                lit(Tau) * greatest(col("x.m"), col("y.m")) &&
+              least(col("x.m") - col("x.pos"), col("y.m") - col("y.pos")) + 1 >=
+                overlapNeeded)
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")),
+      col("d1"))
+      // clustering (d1, d2) is satisfied by the d1 pin (subset), so the
+      // dedup aggregate runs AT the pinned width with no extra exchange
+      // and its output stays co-partitioned for the d1 verification join
+      .dropDuplicates("d1", "d2")
     val docArr = t.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(xxhash64(col("tok")))).as("toks"),
            count(lit(1)).as("m"))
@@ -177,7 +202,7 @@ object AffinityOps {
     val b = docArr.select(col("doc_id").as("d2"), col("toks").as("t2"),
                           col("m").as("m2"))
     ord(
-      cand.join(a, "d1").join(b, "d2")
+      pin(cand.join(a, "d1"), col("d2")).join(b, "d2")
         .withColumn("inter",
           call_function("intersect_size_sorted", col("t1"), col("t2")))
         .withColumn("j", col("inter").cast("double") /
