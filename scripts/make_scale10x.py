@@ -43,6 +43,16 @@ OUT = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_scale10x")
 # is byte-identical to the pre-parameterized script). 100 builds the
 # second-decade probe corpus (r14).
 SHARDS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+# Optional 3rd arg "neutral" (r15 verdict ask #4): shard embeddings by
+# an ORTHOGONAL transform (lane rotation + deterministic sign flips)
+# instead of the 1-lane 1e-5 jitter. The jitter corpus is deliberately
+# adversarial to sign-LSH — all N copies of a base vector co-bucket in
+# EVERY hash table, so within-bucket candidate pairs grow quadratically
+# no matter the plane count. Real crawl embeddings spread; the neutral
+# corpus models that: rotation+flips preserve every WITHIN-shard cosine
+# exactly (orthogonal), so duplicate density stays constant, while
+# cross-shard sign patterns decorrelate and shards bucket independently.
+NEUTRAL = len(sys.argv) > 3 and sys.argv[3] == "neutral"
 
 
 def copy_small_tables():
@@ -90,6 +100,20 @@ def scale_embeddings():
         ids = pc.add(t["vec_id"], k * stride)
         if k == 0:
             emb = t["embedding"]
+        elif NEUTRAL:
+            # rotate lanes by k (mod dim) and flip a k-dependent sign
+            # mask — one orthogonal transform per shard, so every
+            # within-shard cosine (the near-dup structure) is preserved
+            # bit-for-bit in STRUCTURE while cross-shard sign-LSH
+            # patterns decorrelate. The flip mask varies with the FULL
+            # shard index, so shards k and k+dim do not alias when
+            # SHARDS > dim.
+            emb = pa.array(
+                [[(-v if (i * 31 + k) % 7 < 2 else v)
+                  for i, v in ((j, vec[(j + k) % len(vec)])
+                               for j in range(len(vec)))]
+                 if vec is not None else None for vec in vecs],
+                type=pa.list_(pa.float32()))
         else:
             # lane selector: i % min(SHARDS, 64) == k % 64 — identical
             # to the original i % SHARDS == k for SHARDS=10 (the
