@@ -169,17 +169,24 @@ object AffinityOps {
     // per task and spilled (exp 1.24-1.59, 320-727 s). Width is derived
     // from the PLAN-TIME source size (one candidate-pair row ≈ 330
     // shuffle bytes per source byte → ~190 MB of pair shuffle per
-    // 512 KB of documents), and the pin only activates when it exceeds
-    // the configured width, so test-SF plans are byte-identical to the
-    // unpinned form. A numbered by-column repartition is exempt from
-    // AQE coalescing — AQE sizes these exchanges by PRE-explosion bytes
-    // and would otherwise serialize them.
+    // 512 KB of documents). Activation threshold is 4× the configured
+    // width, NOT 1×: the pin trades the dedup's map-side partial agg
+    // (candidates duplicate across shared prefix tokens) plus one extra
+    // d2 exchange for wider in-memory sorts, and the measured crossover
+    // sits between the probe decades (10×: pinned 26-29 s vs unpinned
+    // 17.8 s; 100×: pinned 244-289 s vs unpinned 320-727 s with 2.3×
+    // spill-scheduling swings). Below the threshold the plan is
+    // byte-identical to the unpinned form, so every gated SF and the
+    // 10× anchor are untouched. A numbered by-column repartition is
+    // exempt from AQE coalescing — AQE sizes these exchanges by
+    // PRE-explosion bytes and would otherwise serialize them.
     val nShuf = s.conf.get("spark.sql.shuffle.partitions").toInt
     val docBytes = Tables.documents(s, d)
       .queryExecution.optimizedPlan.stats.sizeInBytes
-    val width = (docBytes / (256L << 10)).min(1 << 18).toInt.max(nShuf)
+    val width = (docBytes / (512L << 10)).min(1 << 18).toInt
+    val active = width > 4 * nShuf
     def pin(f: DataFrame, c: Column): DataFrame =
-      if (width > nShuf) f.repartition(width, c) else f
+      if (active) f.repartition(width, c) else f
     val cand = pin(
       pos.as("x")
         .join(pos.as("y"),

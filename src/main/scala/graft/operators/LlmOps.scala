@@ -209,48 +209,27 @@ object LlmOps {
     // back as a broadcast anti-join.
     val hot = ex0.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("g"))
-    // Exchange width pin for the pair machinery (the q_simjoin_prefix
-    // idiom): the gram self-join's sorts and the (d1, d2) pair
-    // aggregation are output-sized (~100× sf0.1 at the 100× probe) but
-    // default to spark.sql.shuffle.partitions — at the probe's pinned
-    // width of 4 that sorts tens of millions of rows per task and
-    // spills (q_jaccard_bands exp 1.20, r14). Width derives from the
-    // PLAN-TIME source size (pairs grow ~linearly with corpus bytes in
-    // the disjoint-domain regime) and the pins only activate when it
-    // exceeds the configured width, so test-SF plans are byte-identical.
-    val nShuf = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val docBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    val width = (docBytes / (256L << 10)).min(1 << 18).toInt.max(nShuf)
-    val active = width > nShuf
-    // When active, the reuse barrier moves from doc_id to the JOIN keys
-    // at the pinned width: both self-join branches then read it
-    // co-partitioned (the alias projections preserve the partitioning),
-    // so the join runs exchange-free at `width` and only per-partition
-    // sorts remain; the sizes rollup pays one extra (map-side combined,
-    // |docs|-row) exchange instead.
-    val ex0b = ex0.join(broadcast(hot), Seq("g"), "left_anti")
-    val ex =
-      if (active)
-        ex0b.repartition(width, col("lang"), col("source"), col("g"))
-      else ex0b.repartition(col("doc_id"))
+    // NOTE (r15): a width-pin variant of this frame (the q_simjoin_prefix
+    // idiom — join-key barrier + d1/d2 pair-exchange pins) was built and
+    // MEASURED SLOWER at both probe decades (10×: q_dedup_ngram 5.2 →
+    // 10.8 s; 100×: q_dedup_eval ~57 → 67 s): the map-side partial aggs
+    // here already collapse the gram-pair stream before each exchange,
+    // so trading them for width lost more than the wider sorts gained.
+    // The family's measured exponents are ~1.0 — linear in its OUTPUT,
+    // which grows exactly with the corpus in the disjoint-domain regime.
+    val ex = ex0.join(broadcast(hot), Seq("g"), "left_anti")
+      .repartition(col("doc_id"))
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsz"))
     val l = ex.select(col("lang"), col("source"), col("g"), col("doc_id").as("d1"))
     val r = ex.select(col("lang").as("lang2"), col("source").as("source2"),
       col("g").as("g2"), col("doc_id").as("d2"))
-    val joined = l.join(r,
+    val inter = l.join(r,
         l("lang") === r("lang2") && l("source") === r("source2") &&
         l("g") === r("g2") && col("d1") < col("d2"))
-    // d1-only pin: clustering (d1, d2) is satisfied by the d1 subset, so
-    // the pair aggregate runs AT the pinned width and its output stays
-    // co-partitioned for the n1 size join. The raw gram-pair stream
-    // crosses un-combined (the map-side partial agg is traded for the
-    // width), which the join stages stream anyway.
-    val inter = (if (active) joined.repartition(width, col("d1")) else joined)
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
     val s1 = sizes.select(col("doc_id").as("d1"), col("nsz").as("n1"))
     val s2 = sizes.select(col("doc_id").as("d2"), col("nsz").as("n2"))
-    val j1 = inter.join(s1, "d1")
-    (if (active) j1.repartition(width, col("d2")) else j1).join(s2, "d2")
+    inter.join(s1, "d1").join(s2, "d2")
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
   }
 
