@@ -277,8 +277,13 @@ object Dist {
       count(lit(1)).as("__dp_cnt") +:
         (cums.map { case (name, e) => sum(e).as(s"__dp_t_$name") } ++
          maxPrev.map { case (name, e) => max(e).as(s"__dp_m_$name") })
+    // persisted: the tiny totals frame is read 2-4× (both sides of the
+    // prior join, the group totals, the lead stitch) — caching it makes
+    // the input-cache re-aggregation run once; recompute-safe like the
+    // input persist
     val offs = ordered.groupBy(partCols.map(col): _*)
       .agg(totAggs.head, totAggs.tail: _*)
+      .persist()
 
     // Strictly-prior offsets: window-free broadcast theta self-join over
     // the constant-bounded offsets frame.
