@@ -405,9 +405,13 @@ object ReportShapeOps {
     * Scale shape: the ntile rides [[graft.functions.Dist.prefix]]'s
     * range-partitioned rank of the SCORE FRAME only (customers, not
     * orders) — a parallel sort, not a global one; the outcome rollup is
-    * one partial-aggregable shuffle on custkey; the decile rollup is 10
-    * rows and its cumulative capture is a window-free 10×10 broadcast
-    * theta join. */
+    * one partial-aggregable shuffle on custkey; the cumulative capture
+    * and corpus totals are two frames of ONE window over the CONSTANT
+    * 10-row decile rollup (ntile(10)'s output — a 10-row single
+    * partition is the design, q_novelty_decay precedent). r15: this
+    * replaced the 10×10 broadcast theta join + 1-row total frames,
+    * which re-evaluated the decile rollup's upstream pipeline three
+    * times (62-exchange plan → the rollup now evaluates once). */
   /** q_stats_histogram — the equi-depth (equi-height) column histogram
     * an optimizer's ANALYZE collects: 10 equal-count buckets over order
     * value with per-bucket row count, value bounds, and customer NDV —
@@ -466,18 +470,24 @@ object ReportShapeOps {
       .na.fill(0L, Seq("cents"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"))
-    val tot = byDecile.agg(sum(col("n_cust")).as("tn"), sum(col("cents")).as("tc"))
-    // cumulative capture over the 10-row decile frame: window-free
-    // broadcast theta self-join (d' ≤ d), bounded 10×10 by construction
-    val cum = byDecile.as("a")
-      .join(broadcast(byDecile.select(col("decile").as("d2"),
-                                      col("cents").as("c2"))),
-            col("d2") <= col("decile"))
-      .groupBy(col("decile"), col("n_cust"), col("cents"))
-      .agg(sum(col("c2")).as("cum_cents"))
+    // cumulative capture + corpus totals: two frames of one window over
+    // the CONSTANT 10-row decile rollup — ntile(10) bounds the frame at
+    // any SF, so the single partition holds 10 rows by construction
+    val dw = Window.orderBy(col("decile"))
+    val cum = byDecile
+      .withColumn("cum_cents",
+        sum(col("cents")).over(
+          dw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tc",
+        sum(col("cents")).over(
+          dw.rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)))
+      .withColumn("tn",
+        sum(col("n_cust")).over(
+          dw.rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)))
     ord(
-      cum.crossJoin(broadcast(tot))
-        .select(col("decile"),
+      cum.select(col("decile"),
                 col("n_cust"),
                 r4(col("cents").cast("double") / 100.0).as("spend"),
                 r4(col("cents").cast("double") / col("n_cust") / 100.0)

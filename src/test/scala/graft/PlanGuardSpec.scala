@@ -107,7 +107,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_sharpe", "q_max_drawdown",
     // q_part_adoption's cumulative sum rides the calendar-bounded
     // first-ship MONTH rollup (q_moving_avg precedent)
-    "q_part_adoption")
+    "q_part_adoption",
+    // q_decile_lift's cumulative capture/totals ride the CONSTANT
+    // 10-row decile rollup — ntile(10)'s output bounds the frame at
+    // any SF (q_novelty_decay / q_heaps_law precedent; r15, replacing
+    // the 10×10 theta join that re-evaluated the rollup three times)
+    "q_decile_lift")
 
   /** Constant-cardinality partition columns: a window partitioned ONLY
     * by one of these (experiment arm, language, nation, segment, source)
