@@ -145,4 +145,43 @@ object PropertySpec extends Properties("graft") {
       val da = a.toDF("k"); val db = b.toDF("k")
       da.unionByName(db).count() == a.size + b.size
     }
+
+  // (group, order value with heavy ties, unique key, summand): the
+  // unique key makes (v, k) a total order, so the ROWS-frame running
+  // sum is well-defined on both engines; group sizes and the
+  // rows-vs-buckets ratio randomize so bucket boundaries, empty
+  // buckets, and the carried-offset join all exercise (the
+  // DistPrefixSpec fixtures pin the tie cases; this pins the SHAPES).
+  private val distRowsGen: Gen[List[(String, Long, Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 60)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(0L, 7L)
+      x <- Gen.chooseNum(0L, 100L)
+    } yield (g, v, x))
+  } yield rows.zipWithIndex.map { case ((g, v, x), i) => (g, v, i.toLong, x) }
+
+  property("Dist.prefix == single-partition window on random fixtures, global and grouped") =
+    forAll(distRowsGen, Gen.chooseNum(2, 9)) { (rows, parts) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val df = rows.toDF("g", "v", "k", "x").repartition(4)
+      def dump(d: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        d.select(col("k"), col("cs"), col("rn"), col("n"))
+          .collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+      def ref(w0: org.apache.spark.sql.expressions.WindowSpec) = df
+        .withColumn("cs", sum(col("x")).over(w0.orderBy(col("v"), col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(
+          w0.orderBy(col("v"), col("k"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          w0.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      def got(part: Seq[String]) = graft.functions.Dist.prefix(
+        df, part, Seq(col("v"), col("k")),
+        cums = Seq("cs" -> col("x")), rowNum = Some("rn"),
+        groupN = Some("n"), parts = parts)
+      dump(got(Nil)) == dump(ref(Window.partitionBy())) &&
+        dump(got(Seq("g"))) == dump(ref(Window.partitionBy(col("g"))))
+    }
 }
