@@ -377,6 +377,18 @@ object LlmOps {
     * to the IVF index path (q_similarity_ivf) — the documented
     * 100 TB recall/occupancy trade.
     *
+    * OCCUPANCY CAP (r16, r15 verdict ask #1): the knob bounds EXPECTED
+    * occupancy, not worst-case — a mass-duplicated corpus co-buckets
+    * all copies in every table no matter the plane count (the r15
+    * adversarial probe measured exponent 1.16-1.17 from exactly this).
+    * Any (label, table, bucket) cell past [[EmbcosOccSplit]] (4× the
+    * [[EmbcosOccTarget]] design occupancy) is split over a second
+    * sign-independent hash lane before the pair join; see the inline
+    * comment at the `heavy` frame for the recall/cost arithmetic.
+    * Inactive at every gated SF, so the oracle candidate rule is
+    * untouched; EmbcosSkewSpec plants an oversized cell and pins both
+    * the sub-lane join key and the planted-twin top-20.
+    *
     * `em0` must carry (label, vec_id, v) plus whatever extra broadcast
     * columns the sign predicate references (the centered variant rides
     * its 1-row sums frame); `signAt(i)` must yield the plane-sign
@@ -399,12 +411,45 @@ object LlmOps {
       .withColumn("t", explode(sequence(lit(0), lit(LshTables - 1))))
       .withColumn("bucket", bucket)
       .select(col("label"), col("vec_id"), col("t"), col("bucket"))
-    val l = bk.select(col("label"), col("t"), col("bucket"), col("vec_id").as("v1"))
-    val r = bk.select(col("label").as("lb2"), col("t").as("t2"),
-                      col("bucket").as("bk2"), col("vec_id").as("v2"))
+    // In-bucket occupancy cap (r16, r15 verdict ask #1): the capacity
+    // knob bounds EXPECTED occupancy at ~[[EmbcosOccTarget]]/cell, but
+    // a mass-duplicated corpus (N jitter copies of one base vector —
+    // every copy co-buckets in EVERY sign table, the r15 adversarial
+    // probe) piles N rows into one cell regardless of plane count and
+    // the pair join's within-cell quadratic term returns. Cells past
+    // [[EmbcosOccSplit]] are split over a second, sign-independent
+    // lane — sub = xxhash64(t, vec_id) mod ceil(occ/target) — which
+    // restores ~target occupancy: join cost falls from occ² to
+    // ~target·occ (linear in the cell). The lane keys on t, so the
+    // split DECORRELATES across the tables: a true pair separated in
+    // one table still collides in another with p = 1-(1-1/k)^L, and
+    // the surviving candidate mass (~target·occ pairs per cell) floods
+    // a top-20 by orders of magnitude. Below the threshold the heavy
+    // frame is empty, sub = 0 everywhere, and the candidate rule is
+    // bit-identical to the oracle's — gated SFs never activate it.
+    // The heavy frame is bounded by 8n/EmbcosOccSplit cells (only
+    // oversized ones survive the filter), so the broadcast stays tiny.
+    val heavy = bk.groupBy(col("label"), col("t"), col("bucket"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > lit(EmbcosOccSplit))
+      .select(col("label"), col("t"), col("bucket"),
+              expr(s"CAST((__occ + ${EmbcosOccTarget - 1}) DIV " +
+                   s"$EmbcosOccTarget AS INT)").as("__occ_k"))
+    val bkSub = bk.join(broadcast(heavy), Seq("label", "t", "bucket"), "left")
+      .withColumn("sub",
+        when(col("__occ_k").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("t"), col("vec_id")),
+                          col("__occ_k").cast("long"))))
+      .select(col("label"), col("vec_id"), col("t"), col("bucket"), col("sub"))
+    val l = bkSub.select(col("label"), col("t"), col("bucket"), col("sub"),
+                         col("vec_id").as("v1"))
+    val r = bkSub.select(col("label").as("lb2"), col("t").as("t2"),
+                         col("bucket").as("bk2"), col("sub").as("sub2"),
+                         col("vec_id").as("v2"))
     val cand = l.join(r,
         l("label") === col("lb2") && l("t") === col("t2") &&
-        l("bucket") === col("bk2") && col("v1") < col("v2"))
+        l("bucket") === col("bk2") && l("sub") === col("sub2") &&
+        col("v1") < col("v2"))
       .select(col("label"), col("v1"), col("v2")).distinct()
     val e1 = em0.select(col("vec_id").as("v1"), col("v").as("va"))
     val e2 = em0.select(col("vec_id").as("v2"), col("v").as("vb"))
@@ -683,6 +728,20 @@ object LlmOps {
     * neighbor is missed only if it hashes apart in ALL of them, so
     * recall ≈ 1-(1-p⁴)^L climbs fast while candidates stay bucketed. */
   val LshTables = 8
+
+  /** Design in-bucket occupancy for the embcos blocked-pair generator:
+    * the capacity knob (plane count from corpus size) holds EXPECTED
+    * rows per (label, table, bucket) cell near this. */
+  val EmbcosOccTarget = 256L
+
+  /** Occupancy-cap activation threshold (r16, the r15 verdict ask #1):
+    * a cell past 4× the design occupancy is split over a second hash
+    * lane before the candidate pair join. 4× hysteresis keeps the cap
+    * provably INACTIVE at every gated SF (largest sf0.1 label block:
+    * 218 vectors, under the threshold even fully degenerate), so the
+    * oracle-checked candidate rule never changes — the same contract
+    * as the q_simjoin_prefix width pin (AffinityOps). */
+  val EmbcosOccSplit = 4L * EmbcosOccTarget
 
   /** q_similarity_lsh — multi-table sign LSH, the ANN scale path:
     * L=8 deterministic 4-bit tables (table t takes the sign pattern of

@@ -97,6 +97,38 @@ class EmbcosSkewSpec extends AnyFunSuite {
         s"missing=${planted -- top12} extra=${top12 -- planted}")
   }
 
+  /** r16 (r15 verdict ask #1): a cell past [[LlmOps.EmbcosOccSplit]]
+    * must split over the second hash lane — and still surface the
+    * planted twins. 1300 all-positive vectors degenerate to ONE
+    * (label, table, bucket) cell per table (occ = 1300 > 1024), so the
+    * cap activates: k = ceil(1300/256) = 6 sub-lanes per table. A twin
+    * pair survives candidate generation iff xxhash64(t, v1) ≡
+    * xxhash64(t, v2) mod 6 in at least one of the 8 tables
+    * (p ≈ 1-(5/6)^8 ≈ 0.77 per pair, deterministic per pair) — with
+    * 650 planted twins the survivors flood the top-20 while every
+    * non-twin pair ranks far below. */
+  test("oversized cell splits over the sub lane and twins still fill the top-20") {
+    val res = LlmOps.dedupEmbcosOn(spark, biasedCorpus(1300)).collect()
+    assert(res.length == 20)
+    res.foreach { r =>
+      val (v1, v2) = (r.getAs[Long]("v1"), r.getAs[Long]("v2"))
+      assert(v1 % 2 == 0 && v2 == v1 + 1,
+        s"top-20 entry ($v1, $v2) is not a planted twin")
+      assert(r.getAs[Double]("sim") > 0.999)
+    }
+    // the split is physically in the plan: the candidate self-join
+    // keys on the sub lane beside (label, t, bucket)
+    val p = LlmOps.dedupEmbcosOn(spark, biasedCorpus(1300))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val joinDetail = p.split("\n\n")
+      .find(b => b.contains("Join") && b.contains("v1") && b.contains("v2")
+        && (b.contains("<") || b.contains("LessThan")))
+    assert(joinDetail.isDefined, "candidate self-join not found:\n" + p)
+    assert(joinDetail.get.contains("sub"),
+      "candidate join does not key on the occupancy sub lane:\n" +
+        joinDetail.get)
+  }
+
   test("candidate join keys include the LSH bucket columns (no per-label all-pairs)") {
     val p = LlmOps.dedupEmbcosOn(spark, skewedCorpus(40))
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
