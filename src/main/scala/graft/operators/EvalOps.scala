@@ -66,8 +66,9 @@ object EvalOps {
       .crossJoin(broadcast(n1))
       .withColumn("bin", expr("((r - 1) * 10) DIV n").cast("int"))
     // bins feeds the rows AND the 1-row ECE total; both branches re-use
-    // Dist.prefix's internal checkpoint, so the double plan costs one
-    // extra ≤10-group rollup, not a second scan
+    // Dist.prefix's internal persist (r16: an evictable compute-once
+    // cache, not a checkpoint), so the double plan costs one extra
+    // ≤10-group rollup, not a second scan
     val bins = ranked.groupBy(col("bin"))
       .agg(count(lit(1)).as("n_users"), sum(col("r")).as("sr"),
            sum(col("pos")).as("p"), first(col("n")).as("n"))

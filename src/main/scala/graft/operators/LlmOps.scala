@@ -379,15 +379,16 @@ object LlmOps {
     *
     * OCCUPANCY CAP (r16, r15 verdict ask #1): the knob bounds EXPECTED
     * occupancy, not worst-case — a mass-duplicated corpus co-buckets
-    * all copies in every table no matter the plane count (the r15
-    * adversarial probe measured exponent 1.16-1.17 from exactly this).
-    * Any (label, table, bucket) cell past [[EmbcosOccSplit]] (4× the
-    * [[EmbcosOccTarget]] design occupancy) is split over a second
+    * all copies of a base vector in every table no matter the plane
+    * count (the r15 adversarial probe's residual super-linearity came
+    * from exactly this). Any (label, table, bucket) cell past
+    * [[EmbcosOccHysteresis]]× its target occupancy
+    * (max(n_label/2^pl, [[EmbcosOccFloor]])) is split over a second
     * sign-independent hash lane before the pair join; see the inline
     * comment at the `heavy` frame for the recall/cost arithmetic.
-    * Inactive at every gated SF, so the oracle candidate rule is
-    * untouched; EmbcosSkewSpec plants an oversized cell and pins both
-    * the sub-lane join key and the planted-twin top-20.
+    * Measured inactive at every gated SF, so the oracle candidate rule
+    * is untouched; EmbcosSkewSpec plants an oversized cell and pins
+    * both the sub-lane join key and the planted-twin top-20.
     *
     * `em0` must carry (label, vec_id, v) plus whatever extra broadcast
     * columns the sign predicate references (the centered variant rides
@@ -412,29 +413,41 @@ object LlmOps {
       .withColumn("bucket", bucket)
       .select(col("label"), col("vec_id"), col("t"), col("bucket"))
     // In-bucket occupancy cap (r16, r15 verdict ask #1): the capacity
-    // knob bounds EXPECTED occupancy at ~[[EmbcosOccTarget]]/cell, but
-    // a mass-duplicated corpus (N jitter copies of one base vector —
+    // knob bounds EXPECTED occupancy — target = n_label/2^pl rows per
+    // (label, table, bucket) cell, floored at [[EmbcosOccFloor]] — but
+    // a mass-duplicated corpus (N jitter copies of one base vector:
     // every copy co-buckets in EVERY sign table, the r15 adversarial
-    // probe) piles N rows into one cell regardless of plane count and
-    // the pair join's within-cell quadratic term returns. Cells past
-    // [[EmbcosOccSplit]] are split over a second, sign-independent
-    // lane — sub = xxhash64(t, vec_id) mod ceil(occ/target) — which
-    // restores ~target occupancy: join cost falls from occ² to
-    // ~target·occ (linear in the cell). The lane keys on t, so the
-    // split DECORRELATES across the tables: a true pair separated in
-    // one table still collides in another with p = 1-(1-1/k)^L, and
-    // the surviving candidate mass (~target·occ pairs per cell) floods
-    // a top-20 by orders of magnitude. Below the threshold the heavy
+    // probe) piles all copies of a base into one cell regardless of
+    // plane count, and the pair join's within-cell quadratic term
+    // returns (the probe's 100× corpus holds 400-row cells against a
+    // ~19-row target). Cells past [[EmbcosOccHysteresis]]× their
+    // target split over a second, sign-independent lane —
+    // sub = xxhash64(t, vec_id) mod ceil(occ/target) — restoring
+    // ~target occupancy: join cost falls from occ² to ~target·occ
+    // (linear in the cell). The lane keys on t, so the split
+    // DECORRELATES across the tables: a true pair separated in one
+    // table still collides in another with p = 1-(1-1/k)^L, and the
+    // surviving candidate mass (~target·occ pairs per cell) floods a
+    // top-20 by orders of magnitude. Below the threshold the heavy
     // frame is empty, sub = 0 everywhere, and the candidate rule is
-    // bit-identical to the oracle's — gated SFs never activate it.
-    // The heavy frame is bounded by 8n/EmbcosOccSplit cells (only
-    // oversized ones survive the filter), so the broadcast stays tiny.
+    // bit-identical to the oracle's — measured inactive at every
+    // gated SF (see [[EmbcosOccFloor]]). Only oversized cells survive
+    // the filter — the skew tail by construction — so the broadcast
+    // stays tiny (≤ 8n/(4·floor) cells even in the pathological
+    // everything-just-over limit; a corpus that big and that skewed
+    // routes to the IVF path long before this broadcast matters).
+    val labN = em0.groupBy(col("label")).agg(count(lit(1)).as("__n_label"))
     val heavy = bk.groupBy(col("label"), col("t"), col("bucket"))
       .agg(count(lit(1)).as("__occ"))
-      .filter(col("__occ") > lit(EmbcosOccSplit))
+      .join(broadcast(labN), "label")
+      .crossJoin(broadcast(nv))
+      .withColumn("__target",
+        greatest(lit(EmbcosOccFloor),
+          expr("__n_label DIV CAST(shiftleft(1, pl) AS BIGINT)")))
+      .filter(col("__occ") > lit(EmbcosOccHysteresis) * col("__target"))
       .select(col("label"), col("t"), col("bucket"),
-              expr(s"CAST((__occ + ${EmbcosOccTarget - 1}) DIV " +
-                   s"$EmbcosOccTarget AS INT)").as("__occ_k"))
+              expr("CAST((__occ + __target - 1) DIV __target AS INT)")
+                .as("__occ_k"))
     val bkSub = bk.join(broadcast(heavy), Seq("label", "t", "bucket"), "left")
       .withColumn("sub",
         when(col("__occ_k").isNull, lit(0L))
@@ -729,19 +742,23 @@ object LlmOps {
     * recall ≈ 1-(1-p⁴)^L climbs fast while candidates stay bucketed. */
   val LshTables = 8
 
-  /** Design in-bucket occupancy for the embcos blocked-pair generator:
-    * the capacity knob (plane count from corpus size) holds EXPECTED
-    * rows per (label, table, bucket) cell near this. */
-  val EmbcosOccTarget = 256L
+  /** Occupancy-cap floor (r16, the r15 verdict ask #1): the per-cell
+    * TARGET occupancy of the embcos blocked-pair generator is what the
+    * capacity knob maintains in expectation — n_label/2^planes rows
+    * per (label, table, bucket) cell — floored at this constant so
+    * tiny and deliberately-degenerate corpora (the documented biased
+    * all-positive case, whose single cell IS the whole label and whose
+    * all-pairs candidate set is the correctness contract) never split:
+    * with the 4× hysteresis nothing under 64 rows/cell can activate.
+    * Measured inactivity margins on the gated corpora (max cell / 4×
+    * target): sf0.001 10/64, sf0.01 9/64, sf0.1 26/64 — the oracle
+    * candidate rule is untouched at every gated SF. */
+  val EmbcosOccFloor = 16L
 
-  /** Occupancy-cap activation threshold (r16, the r15 verdict ask #1):
-    * a cell past 4× the design occupancy is split over a second hash
-    * lane before the candidate pair join. 4× hysteresis keeps the cap
-    * provably INACTIVE at every gated SF (largest sf0.1 label block:
-    * 218 vectors, under the threshold even fully degenerate), so the
-    * oracle-checked candidate rule never changes — the same contract
-    * as the q_simjoin_prefix width pin (AffinityOps). */
-  val EmbcosOccSplit = 4L * EmbcosOccTarget
+  /** Occupancy-cap hysteresis: a cell splits only past this multiple
+    * of its target occupancy, and splits back DOWN to ~target —
+    * the q_simjoin_prefix width-pin contract (AffinityOps). */
+  val EmbcosOccHysteresis = 4L
 
   /** q_similarity_lsh — multi-table sign LSH, the ANN scale path:
     * L=8 deterministic 4-bit tables (table t takes the sign pattern of

@@ -470,9 +470,14 @@ object ReportShapeOps {
       .na.fill(0L, Seq("cents"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"))
-    // cumulative capture + corpus totals: two frames of one window over
-    // the CONSTANT 10-row decile rollup — ntile(10) bounds the frame at
-    // any SF, so the single partition holds 10 rows by construction
+    // cumulative capture + corpus totals: ONE ordering/partitioning,
+    // two frame specs (running vs unbounded) — Spark plans them as two
+    // Window operators over the same sort with ZERO added exchanges —
+    // on the CONSTANT 10-row decile rollup: ntile(10) bounds the frame
+    // at any SF, so the single partition holds 10 rows by construction.
+    // (The unpartitioned Window.orderBy emits Spark's expected
+    // "No Partition Defined" WARN on every run — by design here, not a
+    // leak; log triage should not flag it.)
     val dw = Window.orderBy(col("decile"))
     val cum = byDecile
       .withColumn("cum_cents",

