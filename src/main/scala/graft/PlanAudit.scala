@@ -37,11 +37,21 @@ object PlanAudit {
       val df = graft.SparkEntry.queries(n)(s, d)
       df.collect() // materialize: AQE finalizes stages, codegen ids exist
       val planStr = df.queryExecution.executedPlan.toString
-      val lines = planStr.split("\n")
-      def c(tag: String) = lines.count(_.contains(tag))
-      println(f"$n%-28s exchanges=${c("Exchange")}%-3d bhj=${c("BroadcastHashJoin")}%-3d " +
-        f"smj=${c("SortMergeJoin")}%-3d cart=${c("Cartesian")}%-2d " +
-        f"bnlj=${c("BroadcastNestedLoop")}%-2d wsc=${wscStages(planStr)}%d")
+      // Operator counts come from the FORMATTED explain (r16): each
+      // physical operator prints once as "(N) <Name>" there, while the
+      // tree-string repeats every scalar-subquery subtree at each
+      // reference — with the r16 lazy tier that inflated a 17-exchange
+      // plan to 367 printed "Exchange" lines. wsc still reads the tree
+      // string (distinct codegen ids, duplication-immune).
+      val fmt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val ops = "(?m)^\\(\\d+\\) ([A-Za-z]+)".r
+        .findAllMatchIn(fmt).map(_.group(1)).toSeq
+      def c(tag: String) = ops.count(_ == tag)
+      val exchanges = c("Exchange") + c("BroadcastExchange")
+      println(f"$n%-28s exchanges=$exchanges%-3d bhj=${c("BroadcastHashJoin")}%-3d " +
+        f"smj=${c("SortMergeJoin")}%-3d cart=${c("CartesianProduct")}%-2d " +
+        f"bnlj=${c("BroadcastNestedLoopJoin")}%-2d wsc=${wscStages(planStr)}%d")
     }
     s.stop()
   }

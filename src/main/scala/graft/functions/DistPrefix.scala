@@ -207,13 +207,16 @@ object Dist {
     val keyCols = keys.map(_.c)
     val cached = if (noPersist) df else df.persist()
     val idiv = (a: Column, b: Column) => call_function("div", a, b)
-    // SCALAR SUBQUERIES, not broadcast cross-joins: the cuts frame is
-    // referenced by every tier branch (window, totals, both prior-join
-    // sides, the lead stitch) — as a cross-joined subtree it would be
-    // RE-EXECUTED per branch (measured: ~30 broadcast jobs per action
-    // on q_cume_dist), while identical scalar subqueries are deduped
-    // by ReuseSubquery and the cut pipeline runs ONCE per action.
-    val nCol = cached.agg(count(lit(1)).as("__dp_n")).scalar()
+    // ONE SCALAR SUBQUERY per tier call, not broadcast cross-joins
+    // into the fact frame: the cuts frame is referenced by every tier
+    // branch (window, totals, both prior-join sides, the lead stitch)
+    // — as a fact-side cross-joined subtree it would be RE-EXECUTED
+    // per branch (measured: ~30 broadcast jobs per action on
+    // q_cume_dist), while identical scalar subqueries are deduped by
+    // ReuseSubquery and the cut pipeline runs ONCE per action. The
+    // row count the gate needs is an INTERNAL 1-row cross join of the
+    // subquery itself (not a second top-level subquery — fewer
+    // per-action jobs, nothing else reads it).
     // Floor at 2 buckets: a 1-bucket pid would make every window
     // partition constant — semantically the unpartitioned window this
     // tier exists to avoid. Two buckets keep real parallelism
@@ -223,17 +226,34 @@ object Dist {
     val bCol: Column =
       if (parts > 0) lit(math.max(parts, 2))
       else least(lit(MaxBuckets.toLong),
-        greatest(lit(2L), idiv(nCol + lit(65535L), lit(65536L))))
+        greatest(lit(2L), idiv(col("__dp_n") + lit(65535L), lit(65536L))))
         .cast("int")
     val kcols = keys.indices.map(i => col(s"k$i"))
-    val cutsF = cached
+    val kproj = cached
       .select(keys.zipWithIndex.map { case (k, i) => k.c.as(s"k$i") }: _*)
-      // hash gate sized for ~128 sample tuples per bucket — order-
-      // insensitive, layout-insensitive, identical to the r15 gate
-      .filter(pmod(xxhash64(kcols: _*),
-        greatest(lit(1L), idiv(nCol,
-          bCol.cast("long") * lit(128L)))) === 0)
-      .agg(collect_list(struct(kcols: _*)).as("__dp_smp"))
+    // hash gate sized for ~128 sample tuples per bucket — order-
+    // insensitive, layout-insensitive, identical to the r15 gate.
+    // parts > 0 (the explicit/test path) samples UNGATED: its frames
+    // are small by contract, and on every such frame the gate is
+    // provably 1 anyway (n < parts·128) — skipping the count saves
+    // the n-aggregate stage on every test action.
+    val cutsBase =
+      if (parts > 0)
+        // bCol is a literal here, so nothing reads __dp_n; carry a
+        // placeholder for the shared select shape below
+        kproj.agg(collect_list(struct(kcols: _*)).as("__dp_smp"))
+          .select(col("__dp_smp"), lit(0L).as("__dp_n"))
+      else kproj
+        .crossJoin(broadcast(cached.agg(count(lit(1)).as("__dp_n"))))
+        .filter(pmod(xxhash64(kcols: _*),
+          greatest(lit(1L), idiv(col("__dp_n"),
+            bCol.cast("long") * lit(128L)))) === 0)
+        // max(__dp_n) is the constant INPUT row count carried through
+        // the sample agg (coalesce: an empty sample yields NULL → 0 →
+        // b = 2, one cutless bucket — degenerate but correct)
+        .agg(collect_list(struct(kcols: _*)).as("__dp_smp"),
+             coalesce(max(col("__dp_n")), lit(0L)).as("__dp_n"))
+    val cutsF = cutsBase
       .select(array_sort(col("__dp_smp"),
                 (l, r) => cmpCol(keys)(l, r)).as("__dp_srt"),
               bCol.as("__dp_b"))
