@@ -33,6 +33,17 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // Artifact header (r16 ADVICE): the counting method changed in r16
+    // — operator counts now come from the FORMATTED explain and so no
+    // longer include ReusedExchange/ReusedSubquery or AQE-inserted
+    // nodes, while pre-r16 artifacts counted tree-string lines that
+    // additionally reprinted every scalar-subquery subtree at each
+    // reference. Cross-round diffs against PLAN_AUDIT_r15 and earlier
+    // are therefore NOT comparable; the drop is partly a counting fix.
+    println("# counting=formatted-explain (r16+): one count per physical " +
+      "operator; excludes Reused*/AQE-inserted nodes. NOT comparable to " +
+      "pre-r16 tree-string artifacts (those reprinted subquery subtrees " +
+      "per reference).")
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(s, d)
       df.collect() // materialize: AQE finalizes stages, codegen ids exist

@@ -7,9 +7,14 @@ import graft.functions.{ScalarOps => F}
 /** Driver contract — see /root/repo/SURVEY.md §2 (binding declaration).
   *
   * Every key in `queries` has a matching DuckDB oracle in `oracleSql`
-  * except the two declared non-oracle ops (`q_agg_approx_distinct`,
-  * `q_dedup_minhash` — approximate / order-of-ops-sensitive; both are
-  * property-tested in the scalatest suite instead).
+  * except the seven declared non-oracle ops — `q_agg_approx_distinct`,
+  * `q_percentile_approx` (approximate sketches with no DuckDB-equal
+  * definition), `q_dedup_minhash` (order-of-ops-sensitive banding),
+  * `q_hll_rollup`, `q_hll_overlap` (mergeable-sketch algebra), and
+  * `q_bpe_vocab`, `q_bpe_encode` (learned merge tables) — all seven
+  * suite-asserted instead (sketch-merge algebra, accuracy-vs-exact
+  * bounds, hand-computed BPE merges: HllRollupSpec, HllOverlapSpec,
+  * BpeSpec, and the property suites).
   *
   * Determinism contract (SURVEY.md §2.10): every query ends in a total
   * order on a unique key list; aggregated doubles are round(x,4) on BOTH

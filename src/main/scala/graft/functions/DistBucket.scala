@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, EmptyBlock, ExprCode, FalseLiteral, JavaCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, SQLOrderingUtil}
 import org.apache.spark.sql.types._
 
 /** Native range-bucket assignment for [[Dist.prefix]] (r16, the r15
@@ -38,10 +38,13 @@ import org.apache.spark.sql.types._
   *
   * Comparison semantics match the driver-side comparator the r15 tier
   * sampled cuts with: natural `Comparable` order per key (Long, Int,
-  * Double — NaN greatest, java.lang.Double.compareTo —, String,
-  * Decimal, Date, Timestamp), direction-flipped, nulls placed by the
-  * resolved null order; codegen compares via the same primitive
-  * comparators Spark's own SortOrder generates.
+  * String, Decimal, Date, Timestamp), Double/Float via Spark's
+  * `SQLOrderingUtil` (NaN greatest, -0.0 == 0.0 — NOT
+  * java.lang.Double.compareTo, which orders -0.0 < 0.0 and would
+  * split sort-equal keys across buckets), direction-flipped, nulls
+  * placed by the resolved null order; codegen compares via the same
+  * primitive comparators Spark's own SortOrder generates
+  * (`ctx.genComp` → SQLOrderingUtil for floating types).
   */
 case class DistBucket(children: Seq[Expression]) extends Expression {
 
@@ -87,7 +90,12 @@ case class DistBucket(children: Seq[Expression]) extends Expression {
 
   override def prettyName: String = "dist_bucket"
 
-  /** cut <sort-order-strictly-before> row? Lexicographic over the keys. */
+  /** cut <sort-order-strictly-before> row? Lexicographic over the keys.
+    * Floats/doubles compare via [[SQLOrderingUtil]] (NaN greatest,
+    * -0.0 == 0.0) — the SAME semantics `doGenCode`'s `ctx.genComp`
+    * emits and the in-plan `array_sort` cut comparator uses, so the
+    * interpreted path (codegen fallback, constant folding) can never
+    * split keys the sort treats as equal across buckets. */
   private def cutBeforeRow(cut: InternalRow, row: Array[Any]): Boolean = {
     var i = 0
     while (i < keyTypes.length) {
@@ -99,7 +107,13 @@ case class DistBucket(children: Seq[Expression]) extends Expression {
         else if (cv == null) { if (nullsFirst) -1 else 1 }
         else if (rv == null) { if (nullsFirst) 1 else -1 }
         else {
-          val nat = cv.asInstanceOf[Comparable[Any]].compareTo(rv)
+          val nat = keyTypes(i) match {
+            case DoubleType => SQLOrderingUtil.compareDoubles(
+              cv.asInstanceOf[Double], rv.asInstanceOf[Double])
+            case FloatType => SQLOrderingUtil.compareFloats(
+              cv.asInstanceOf[Float], rv.asInstanceOf[Float])
+            case _ => cv.asInstanceOf[Comparable[Any]].compareTo(rv)
+          }
           if (asc) nat else -nat
         }
       if (c != 0) return c < 0

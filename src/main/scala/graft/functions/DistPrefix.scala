@@ -233,26 +233,23 @@ object Dist {
       .select(keys.zipWithIndex.map { case (k, i) => k.c.as(s"k$i") }: _*)
     // hash gate sized for ~128 sample tuples per bucket — order-
     // insensitive, layout-insensitive, identical to the r15 gate.
-    // parts > 0 (the explicit/test path) samples UNGATED: its frames
-    // are small by contract, and on every such frame the gate is
-    // provably 1 anyway (n < parts·128) — skipping the count saves
-    // the n-aggregate stage on every test action.
-    val cutsBase =
-      if (parts > 0)
-        // bCol is a literal here, so nothing reads __dp_n; carry a
-        // placeholder for the shared select shape below
-        kproj.agg(collect_list(struct(kcols: _*)).as("__dp_smp"))
-          .select(col("__dp_smp"), lit(0L).as("__dp_n"))
-      else kproj
-        .crossJoin(broadcast(cached.agg(count(lit(1)).as("__dp_n"))))
-        .filter(pmod(xxhash64(kcols: _*),
-          greatest(lit(1L), idiv(col("__dp_n"),
-            bCol.cast("long") * lit(128L)))) === 0)
-        // max(__dp_n) is the constant INPUT row count carried through
-        // the sample agg (coalesce: an empty sample yields NULL → 0 →
-        // b = 2, one cutless bucket — degenerate but correct)
-        .agg(collect_list(struct(kcols: _*)).as("__dp_smp"),
-             coalesce(max(col("__dp_n")), lit(0L)).as("__dp_n"))
+    // The gate applies on BOTH paths (r16 ADVICE): parts > 0 is the
+    // tier's public API too, and an ungated collect_list would funnel
+    // a fact-scale frame into one task if a future caller passed
+    // parts on one. On the intended tiny explicit-parts frames the
+    // modulus is provably 1 (n < parts·128), so every committed
+    // result is unchanged; the price is the count aggregate the r16
+    // trim had skipped, folded into the same once-per-action subquery.
+    val cutsBase = kproj
+      .crossJoin(broadcast(cached.agg(count(lit(1)).as("__dp_n"))))
+      .filter(pmod(xxhash64(kcols: _*),
+        greatest(lit(1L), idiv(col("__dp_n"),
+          bCol.cast("long") * lit(128L)))) === 0)
+      // max(__dp_n) is the constant INPUT row count carried through
+      // the sample agg (coalesce: an empty sample yields NULL → 0 →
+      // b = 2, one cutless bucket — degenerate but correct)
+      .agg(collect_list(struct(kcols: _*)).as("__dp_smp"),
+           coalesce(max(col("__dp_n")), lit(0L)).as("__dp_n"))
     val cutsF = cutsBase
       .select(array_sort(col("__dp_smp"),
                 (l, r) => cmpCol(keys)(l, r)).as("__dp_srt"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Fin, Tables}
+import graft.{Fin, Signals, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -448,6 +448,18 @@ object LlmOps {
       .select(col("label"), col("t"), col("bucket"),
               expr("CAST((__occ + __target - 1) DIV __target AS INT)")
                 .as("__occ_k"))
+      // Cap activation must be OBSERVABLE (r16 ADVICE): splitting a
+      // cell trades recall (a true pair in it survives only with
+      // p = 1-(1-1/k)^L), and with the heavy frame folded into a
+      // broadcast the trade would otherwise be invisible. observe()
+      // is a zero-job CollectMetrics node riding the action's own
+      // accumulators; graft.Signals' listener logs a warning whenever
+      // the cell count is non-zero (name suffixed — two embcos
+      // variants can share one plan tree).
+      .observe(Signals.uniqueName(Signals.EmbcosOccCap),
+        count(lit(1)).as("capped_cells"),
+        coalesce(max(col("__occ_k")), lit(0)).as("max_sub_lanes"))
+    Signals.ensureListener(s)
     val bkSub = bk.join(broadcast(heavy), Seq("label", "t", "bucket"), "left")
       .withColumn("sub",
         when(col("__occ_k").isNull, lit(0L))

@@ -186,7 +186,14 @@ class DistPrefixSpec extends AnyFunSuite {
       df.queryExecution.optimizedPlan // force analysis + optimization
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      Thread.sleep(500) // listener bus drain window
+      // Drain the listener bus DETERMINISTICALLY before asserting
+      // (r16 ADVICE): a fixed sleep can false-pass on a slow bus —
+      // an onJobStart still in flight would arrive after the assert.
+      // LiveListenerBus.waitUntilEmpty is private[spark] (public at
+      // the bytecode level), so reach it via reflection.
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
       assert(jobs.get() == 0,
         s"plan construction submitted ${jobs.get()} Spark job(s)")
     } finally spark.sparkContext.removeSparkListener(l)

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
@@ -145,6 +147,53 @@ class EmbcosSkewSpec extends AnyFunSuite {
     assert(joinDetail.isDefined, "candidate self-join not found in plan:\n" + p)
     assert(joinDetail.get.contains("bucket"),
       "candidate join does not key on the LSH bucket:\n" + joinDetail.get)
+  }
+
+  /** r17 (r16 ADVICE): cap activation must be OBSERVABLE — the split's
+    * recall trade is invisible in results, so the operator attaches a
+    * CollectMetrics node to the heavy frame and graft.Signals' session
+    * listener logs on non-zero. This pins BOTH directions: the metric
+    * fires (capped_cells > 0) on the planted oversized-cell corpus and
+    * stays zero on a corpus the cap must not touch. */
+  test("occupancy-cap activation is observable through the attached metric") {
+    val captured = new java.util.concurrent.ConcurrentHashMap[String, Row]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit =
+        qe.observedMetrics.foreach { case (n, r) =>
+          if (n.startsWith(Signals.EmbcosOccCap)) captured.put(n, r) }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      def drain(): Unit = { // ExecutionListenerBus rides the shared bus
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      }
+      LlmOps.dedupEmbcosOn(spark, biasedCorpus(1300)).collect()
+      drain()
+      val active = captured.values.asScala.toSeq
+      assert(active.nonEmpty, "no occupancy-cap metric observed")
+      assert(active.exists(r => r.getLong(0) > 0L),
+        s"planted oversized cells did not report through the metric: $active")
+      assert(active.exists(r => r.getInt(1) == 17),
+        s"expected 17 sub-lanes (ceil(1300/81)) in $active")
+      captured.clear()
+      LlmOps.dedupEmbcosOn(spark, skewedCorpus(40)).collect()
+      drain()
+      // On a benign corpus the heavy frame is EMPTY, and AQE's
+      // empty-relation propagation may prune the whole broadcast
+      // branch — CollectMetrics included — so the metric either
+      // reports zero cells or (pruned) never arrives. Both are
+      // silence; what must never happen is a non-zero report.
+      val idle = captured.values.asScala.toSeq
+      assert(idle.forall(r => r.getLong(0) == 0L),
+        s"cap metric reported capped cells on the benign corpus: $idle")
+    } finally spark.listenerManager.unregister(l)
   }
 
   test("raw and centered variants share the blocked-pair generator (r12 unification)") {
