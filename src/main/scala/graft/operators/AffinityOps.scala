@@ -68,9 +68,11 @@ object AffinityOps {
     * once and rounded once (the hash-safe rule). */
   def marketBasket(s: SparkSession, d: String): DataFrame = {
     // the published basket store feeds FOUR subtrees (total, per-brand
-    // counts, both sides of the pair join) — lazy localCheckpoint
-    // materializes the (already tiny) store read once for all four
-    val ob = baskets(s, d).localCheckpoint(false)
+    // counts, both sides of the pair join) — persist() computes the
+    // store read once for all four; recompute-safe under executor loss
+    // (deterministic parquet lineage), unlike the r16 localCheckpoint,
+    // whose truncated lineage made a lost block fatal on a real cluster
+    val ob = baskets(s, d).persist()
     val n = ob.agg(count_distinct(col("ok")).as("n_orders"))
     val bc = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
     val pairs = ob.as("x")
@@ -136,28 +138,31 @@ object AffinityOps {
   def simJoinPrefix(s: SparkSession, d: String): DataFrame = {
     graft.functions.TextHashExprs.register(s)
     // the distinct token frame feeds FOUR subtrees (sizes, dfs, prefix
-    // rows, verification arrays) — lazy localCheckpoint materializes the
-    // explode+distinct once instead of four times (the ivf2 pattern)
+    // rows, verification arrays) — persist() computes the
+    // explode+distinct once instead of four times (the ivf2 pattern);
+    // recompute-safe (deterministic lineage), so an executor loss
+    // re-derives lost partitions instead of killing the query
     val t = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct()
-      .localCheckpoint(false)
+      .persist()
     val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
     val df = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // Per-doc rarity position under the global (df, tok) order; the
     // window partitions by doc_id — never an unpartitioned sort.
-    // lazy-checkpointed: BOTH sides of the candidate self-join read this
-    // frame — without it the df-join + per-doc window + sz-join run twice
-    // (x and y each rebuilt the subtree; measured ~1.5 s of the sf0.1
-    // bench). Also severs the self-join attribute sharing.
+    // persisted: BOTH sides of the candidate self-join read this
+    // frame — without it the df-join + per-doc window + sz-join run
+    // twice (x and y each rebuilt the subtree; measured ~1.5 s of the
+    // sf0.1 bench). The aliased self-join below resolves through the
+    // analyzer's relation dedup, so no lineage cut is needed for it.
     val pos = t.join(df, "tok")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .join(sz, "doc_id")
       .filter(col("pos") <= col("m") - ceil(lit(Tau) * col("m")) + 1)
       .select(col("doc_id"), col("tok"), col("pos"), col("m"))
-      .localCheckpoint(false)
+      .persist()
     val overlapNeeded = ceil(lit(Tau / (1 + Tau)) *
       (col("x.m") + col("y.m")))
     // Candidate-pair exchange width pin (the q_bootstrap_ci idiom, r14

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Fin, Tables}
+import graft.Iter.IterOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -121,19 +122,19 @@ object CurationOps {
     * hash-gate as per-language keep/repeat rates. */
   def mixTemperature(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // lazy checkpoint: byLang feeds FOUR downstream references (shares,
+    // persisted: byLang feeds FOUR downstream references (shares,
     // both scalar totals, and the final projection) — without the
     // barrier each one re-derives the aggregate from its lineage, i.e.
     // four full corpus scans for a language-cardinality frame
     val byLang = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
            sum(size(split(col("text"), " "))).as("tokens"))
-      .localCheckpoint(false)
+      .persist()
     val total = byLang.agg(sum(col("tokens")).as("total_tokens"))
     val shared = byLang.crossJoin(broadcast(total))
       .withColumn("q", col("tokens").cast("double") / col("total_tokens"))
       .withColumn("wt", sqrt(col("q")))
-      .localCheckpoint(false)
+      .persist()
     val wsum = shared.agg(sum(col("wt")).as("wt_sum"))
     ord(
       shared.crossJoin(broadcast(wsum))
@@ -164,12 +165,12 @@ object CurationOps {
     val byLang = Tables.documents(s, d).groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
            sum(size(split(col("text"), " "))).as("tokens"))
-      .localCheckpoint(false)
+      .persist()
     val total = byLang.agg(sum(col("tokens")).as("total_tokens"))
     val shared = byLang.crossJoin(broadcast(total))
       .withColumn("q", col("tokens").cast("double") / col("total_tokens"))
       .withColumn("wt", sqrt(col("q")))
-      .localCheckpoint(false)
+      .persist()
     val wsum = shared.agg(sum(col("wt")).as("wt_sum"))
     import org.apache.spark.sql.expressions.Window
     val full = Window.rowsBetween(Window.unboundedPreceding,
@@ -412,13 +413,17 @@ object CurationOps {
     * adversarial deep graphs use [[ccStars]], which is O(log²n) rounds
     * regardless of diameter.
     *
-    * localCheckpoint each round: truncates the otherwise exponentially
-    * nesting lineage (mandatory for iterative algorithms) and severs
-    * the attribute sharing that would trip Spark's ambiguous-self-join
-    * detection once labels starts deriving from edges. The checkpoint
-    * is LAZY and the convergence aggregate is what materializes it —
-    * one fused job per round (the eager-checkpoint + separate-labelSum
-    * formulation ran two, the r3 bench's top cost).
+    * [[graft.Iter.cut]] each round: truncates the otherwise
+    * exponentially nesting lineage (mandatory for iterative
+    * algorithms) and severs the attribute sharing that would trip
+    * Spark's ambiguous-self-join detection once labels starts deriving
+    * from edges. The cut is LAZY and the convergence aggregate is what
+    * materializes it — one fused job per round (the eager-cut +
+    * separate-labelSum formulation ran two, the r3 bench's top cost).
+    * Cluster deployments set graft.iter.checkpoint.dir and each round
+    * becomes a reliable checkpoint that survives executor loss; the
+    * local form fails loudly on block loss and the deterministic
+    * lineage makes a re-run bit-identical (Iter's scaladoc).
     *
     * labels only ever DECREASE under min-propagation, so
     * sum(component) is a strictly decreasing convergence metric:
@@ -434,7 +439,7 @@ object CurationOps {
       .repartition(iterParts, col("d1"))
       .persist()
     def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
-      val cp = df.localCheckpoint(false)
+      val cp = df.iterCut(false)
       (cp, cp.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0))
     }
     // edges must stay persisted for every propagation round; unpersist in
@@ -452,9 +457,9 @@ object CurationOps {
       while (curSum != prevSum && iter < maxIter) {
         val prop = cur.join(edges, cur("doc_id") === edges("d1"))
           .select(edges("d2").as("doc_id"), col("component"))
-        // previous round's checkpoint blocks are freed by the
+        // previous round's cut blocks are freed by the
         // ContextCleaner once `cur` is reassigned (Dataset.unpersist is
-        // a no-op for localCheckpoint RDDs — they bypass the CacheManager)
+        // a no-op for checkpoint RDDs — they bypass the CacheManager)
         val (next, nextSum) = checkpointWithSum(
           cur.select(col("doc_id"), col("component")).union(prop)
             .groupBy(col("doc_id")).agg(min(col("component")).as("component")))
@@ -540,7 +545,7 @@ object CurationOps {
         least(col("d1"), col("d2")).as("a"),
         greatest(col("d1"), col("d2")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .iterCut(true)
     var iter = 0
     var done = cur.isEmpty
     while (!done && iter < maxIter) {
@@ -562,7 +567,7 @@ object CurationOps {
         .filter(col("v") =!= col("m"))
         .select(col("m").as("a"), col("v").as("b"))
       val smallSelf = smins.select(col("m").as("a"), col("u").as("b"))
-      val next = smallNbr.union(smallSelf).distinct().localCheckpoint(false)
+      val next = smallNbr.union(smallSelf).distinct().iterCut(false)
       // one job materializes next's checkpoint AND decides convergence
       done = next.exceptAll(cur).union(cur.exceptAll(next)).isEmpty
       cur = next
@@ -1269,7 +1274,7 @@ object CurationOps {
       .cast("long")
     val docs = Tables.documents(s, d)
       .select(col("lang"), col("doc_id"), h.as("hkey"))
-      .localCheckpoint(false) // feeds the cap rollup AND the rank tier
+      .persist() // feeds the cap rollup AND the rank tier
     val cap = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("n_per_class"))
     Fin.ord(

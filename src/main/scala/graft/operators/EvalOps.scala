@@ -199,12 +199,12 @@ object EvalOps {
     * Scale shape: one distinct (order, brand) shuffle; the pair join is
     * co-partitioned on the order key with fan-out bounded by distinct
     * brands per basket; ranking is a per-brand window over the ≤|brands|²
-    * pair frame. The basket frame is localCheckpointed once for the
+    * pair frame. The basket frame is persisted once for the
     * three consumers (counts + both join sides). */
   def itemCf(s: SparkSession, d: String): DataFrame = {
     // reads the published ingest-time basket store (AffinityOps) — the
     // fact join + distinct never re-runs per report
-    val ob = AffinityOps.basketStore(s, d).localCheckpoint(false)
+    val ob = AffinityOps.basketStore(s, d).persist()
     val bc = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
     // both directions so every brand ranks its own neighbor list
     val pairs = ob.as("x")
@@ -264,7 +264,7 @@ object EvalOps {
       .select(col("brand"), col("r").as("r1"))
     val r2 = ranked.filter(col("h") === 2)
       .select(col("brand"), col("r").as("r2"))
-    val both = r1.join(r2, "brand").localCheckpoint(false)
+    val both = r1.join(r2, "brand").persist()
     val pairs = both.as("x")
       .join(broadcast(both.as("y")), col("x.brand") < col("y.brand"))
       .agg(sum(when((col("x.r1") < col("y.r1")) === (col("x.r2") < col("y.r2")),

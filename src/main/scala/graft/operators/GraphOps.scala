@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Fin, Tables}
+import graft.Iter.IterOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -110,8 +111,8 @@ object GraphOps {
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
       .distinct()
-      .localCheckpoint(true)
-    var dist = adj.withColumn("dist", lit(1L)).localCheckpoint(true)
+      .iterCut(true)
+    var dist = adj.withColumn("dist", lit(1L)).iterCut(true)
     var frontier = dist
     var hop = 1L
     var advanced = true
@@ -123,9 +124,9 @@ object GraphOps {
         .distinct()
         .join(dist.select(col("u"), col("v")), Seq("u", "v"), "left_anti")
         .withColumn("dist", lit(hop + 1L))
-        .localCheckpoint(true)
+        .iterCut(true)
       if (next.isEmpty) advanced = false
-      else { dist = dist.unionAll(next).localCheckpoint(true); frontier = next; hop += 1 }
+      else { dist = dist.unionAll(next).iterCut(true); frontier = next; hop += 1 }
     }
     require(hop <= 10, s"graph diameter exceeds 10 — the exact-integer " +
       "harmonic scaling (lcm 2520) no longer applies")
@@ -149,14 +150,14 @@ object GraphOps {
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // w/ow is an exact-integer ratio divided once — identical on both
     // engines; it is NOT rounded because it feeds further arithmetic.
-    // Eager localCheckpoint: the transition matrix is ≤|nodes|² rows, so
+    // Eager Iter.cut: the transition matrix is ≤|nodes|² rows, so
     // materializing it runs the expensive fact-table joins ONCE and
     // gives the planner real (tiny) size stats — every iteration then
     // broadcast-joins against it instead of re-deriving the edges from
     // lineitem⋈orders per round (measured: 47 exchanges → 12).
     val trans = edges.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
-      .localCheckpoint(true)
+      .iterCut(true)
     val nodes = nation.select(col("n_nationkey").as("v"))
     val nCnt = nodes.agg(count(lit(1)).as("nc"))
     var pr = nodes.crossJoin(broadcast(nCnt))
@@ -354,7 +355,7 @@ object GraphOps {
     * counts); output ordered by the (src, dst) key.
     *
     * Scale shape: strong edges are a filtered |nodes|²-bounded frame
-    * derived once (localCheckpoint — the self-join reads it twice); the
+    * derived once (persisted — the self-join reads it twice); the
     * path self-join keys on the shared node b, the anti join removes
     * direct edges on (src, dst) — all |E_strong|·avg-degree bounded,
     * never fact-row bounded. At 100 TB only tradeEdges grows. */
@@ -506,7 +507,7 @@ object GraphOps {
     * surfaces via the node-spine left join (§2.10 spine rule).
     *
     * Scale shape: the strong set is |nodes|²-bounded and derived from
-    * the store (localCheckpoint — read three times: ends, pair
+    * the store (persisted — read three times: ends, pair
     * generation, closure probe); neighbor pairs are a self-join on
     * the shared endpoint and the closure test is one semi-join on the
     * canonical (min, max) key — all |E|·avg-degree bounded, never
@@ -515,7 +516,7 @@ object GraphOps {
     val und = strongEdges(s, d)
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
-      .distinct().localCheckpoint(false)
+      .distinct().persist()
     val ends = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
     val deg = ends.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -555,14 +556,14 @@ object GraphOps {
     * unordered double sum), r4'd once.
     *
     * Scale shape: the strong set is |nodes|²-bounded
-    * (localCheckpoint — read by ends, the pair join, and the
+    * (persisted — read by ends, the pair join, and the
     * adjacency anti-join); the common-neighbor join keys on the
     * shared z; degree lookup broadcasts. */
   def adamicAdar(s: SparkSession, d: String): DataFrame = {
     val und = strongEdges(s, d)
       .select(least(col("src"), col("dst")).as("ua"),
               greatest(col("src"), col("dst")).as("ub"))
-      .distinct().localCheckpoint(false)
+      .distinct().persist()
     val ends = und.select(col("ua").as("u"), col("ub").as("v"))
       .unionAll(und.select(col("ub").as("u"), col("ua").as("v")))
     val deg = ends.groupBy(col("u")).agg(count(lit(1)).as("dg"))
@@ -606,7 +607,7 @@ object GraphOps {
     * iterate-with-checkpoint engine; the nation graph never needs
     * it). */
   def graphBfs(s: SparkSession, d: String): DataFrame = {
-    val strong = strongEdges(s, d).localCheckpoint(false)
+    val strong = strongEdges(s, d).persist()
     val src = strong.groupBy(col("src")).agg(sum(col("w")).as("tw"))
       .agg(expr("max_by(src, named_struct('tw', tw, 'ns', -src))")
         .as("source"))

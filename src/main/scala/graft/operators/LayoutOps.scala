@@ -168,7 +168,7 @@ object LayoutOps {
     val shards = graft.Tables.documents(s, d)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
-      .localCheckpoint(false) // feeds the prefix tier AND the 1-row total
+      .persist() // feeds the prefix tier AND the 1-row total
     val total = shards.agg(sum(col("bytes")).as("total_bytes"))
     Fin.ord(
       graft.functions.Dist.prefix(shards, Nil, Seq(col("source")),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Fin, Signals, Tables}
+import graft.Iter.IterOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -67,12 +68,12 @@ object LlmOps {
           .cast("long") % 10)
     val corpus = docs.filter(col("bucket") < 8).select(col("h")).distinct()
       .withColumn("in_corpus", lit(1))
-    // lazy checkpoint: the batch frame feeds both the membership probe
+    // persisted: the batch frame feeds both the membership probe
     // and the in-batch winner — without the barrier each side re-scans
     // the batch subset and re-computes its sha2
     val batch = docs.filter(col("bucket") >= 8)
       .select(col("doc_id"), col("lang"), col("h"))
-      .localCheckpoint(false)
+      .persist()
     val firstInBatch = batch.groupBy(col("h"))
       .agg(min(col("doc_id")).as("first_id"))
     ord(
@@ -826,7 +827,7 @@ object LlmOps {
   def annRecall(s: SparkSession, d: String): DataFrame = {
     val exact = similarityTopk(s, d).where(col("rn") <= 3)
       .select(col("q_id"), col("n_id"))
-      .localCheckpoint(false) // feeds the base rollup AND the semi join
+      .persist() // feeds the base rollup AND the semi join
     val lsh = similarityLsh(s, d).select(col("q_id"), col("n_id"))
     val hits = exact.join(lsh, Seq("q_id", "n_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
@@ -968,22 +969,22 @@ object LlmOps {
     * bit-deterministic (rounded-argmax + c_id tie-break), so racing
     * builders publish byte-identical indexes.
     *
-    * During the build the embeddings scan is localCheckpoint'd: the
-    * 2·IvfLloydIters+1 passes read the checkpoint blocks, not parquet
+    * During the build the embeddings scan is Iter.cut (eager): the
+    * 2·IvfLloydIters+1 passes read the materialized blocks, not parquet
     * (the constant-factor fix the r4 plan audit called out). */
   def ivfIndexDir(s: SparkSession, d: String): String =
     graft.sources.CachedDir.materialize(s, d, "embeddings.parquet", IvfIndexTag) {
       tmp =>
         val em = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .localCheckpoint(true)
+          .iterCut(true)
         val cent0 = em.filter(col("vec_id") < 8)
           .select(col("vec_id").as("c_id"), col("v").as("cv"))
-        // localCheckpoint each refined codebook (k rows — trivial to
+        // cut each refined codebook (k rows — trivial to
         // hold): without it every downstream consumer would re-run the
         // whole assign+mean lineage, tripling the passes over em.
         val cent = (1 to IvfLloydIters).foldLeft(cent0) { (c, _) =>
-          lloydStep(assignCells(s, em, c)).localCheckpoint(true)
+          lloydStep(assignCells(s, em, c)).iterCut(true)
         }
         assignCells(s, em, cent).write.parquet(s"$tmp/assigned")
         cent.write.parquet(s"$tmp/cent")
@@ -1094,7 +1095,7 @@ object LlmOps {
       tmp =>
         val em = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .localCheckpoint(true)
+          .iterCut(true)
         val sub = pqSub(em)
         val cb = pqCodebook(sub)
         pqEncode(s, sub, cb).write.parquet(s"$tmp/codes")
@@ -1719,7 +1720,7 @@ object LlmOps {
       .select(col("doc_id"),
               graft.functions.Dist.ntileOf(10, col("__rn"), col("__n"))
                 .as("epoch"))
-      .localCheckpoint(false)
+      .persist()
     val ex = docs
       .select(col("doc_id"), call_function("ngram_hashes", col("text")).as("ng"))
       .filter(col("ng").isNotNull)
@@ -1870,7 +1871,7 @@ object LlmOps {
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
-      .localCheckpoint(false)
+      .persist()
     val tot = tf.agg(count(lit(1)).as("vocab"), sum(col("f")).as("total_tokens"))
     // TakeOrderedAndProject cut; the rank window then sorts 100 rows
     val top = tf.orderBy(col("f").desc, col("tok")).limit(ZipfRanks)
@@ -1930,7 +1931,7 @@ object LlmOps {
       .filter(length(col("tok")) > 0)
       .groupBy(col("lang"), length(col("tok")).as("tok_len"))
       .agg(count(lit(1)).as("n_tokens"))
-      .localCheckpoint(false)
+      .persist()
     val tot = cells.groupBy(col("lang")).agg(sum(col("n_tokens")).as("total"))
     ord(
       cells.join(broadcast(tot), "lang")
@@ -1960,7 +1961,7 @@ object LlmOps {
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
-      .localCheckpoint(false)
+      .persist()
     val tot = tf.agg(sum(col("f")).as("total_tokens"))
     val ranked = tf.orderBy(col("f").desc, col("tok")).limit(10000)
       .withColumn("rank",
@@ -2066,7 +2067,7 @@ object LlmOps {
       .agg(count(lit(1)).as("f"),
            sum(when(col("half") === 1, 1L).otherwise(0L)).as("f1"),
            sum(when(col("half") === 2, 1L).otherwise(0L)).as("f2"))
-      .localCheckpoint(false)
+      .persist()
     val tot = tf.agg(sum(col("f1")).as("t1"), sum(col("f2")).as("t2"))
     val top = tf.orderBy(col("f").desc, col("tok")).limit(200)
     ord(
@@ -2123,7 +2124,7 @@ object LlmOps {
           .otherwise("d_lt25"))
       .groupBy(col("source"), col("band"))
       .agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint(false)
+      .persist()
     val tot = cells.groupBy(col("source")).agg(sum(col("n_docs")).as("total"))
     ord(
       cells.join(broadcast(tot), "source")
@@ -2150,7 +2151,7 @@ object LlmOps {
       .select(col("source").as("src"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct()
-      .localCheckpoint(false)
+      .persist()
     val sizes = st.groupBy(col("src")).agg(count(lit(1)).as("n"))
     val spine = sizes.select(col("src").as("source_a"), col("n").as("n_a"))
       .crossJoin(sizes.select(col("src").as("source_b"), col("n").as("n_b")))

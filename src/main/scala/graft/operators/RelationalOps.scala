@@ -198,7 +198,7 @@ object RelationalOps {
     * audience-overlap dashboard answers "how many users did BOTH X
     * and Y" without rescanning events: any pair costs three KB-sized
     * sketch operations. One partial-aggregable pass builds the
-    * per-type sketches (lazy-checkpointed — both pair sides read it);
+    * per-type sketches (persisted — both pair sides read it);
     * the pair frame is |types|², vocabulary-bounded. Estimate error
     * can push tiny overlaps negative, clamped at 0. Non-oracle
     * (sketch estimate); HllOverlapSpec asserts every pair within 10%
@@ -208,7 +208,7 @@ object RelationalOps {
     val sk = e.groupBy(col("event_type"))
       .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
            expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
-      .localCheckpoint(false)
+      .persist()
     val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
                       col("est").as("est_a"))
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
@@ -328,7 +328,7 @@ object RelationalOps {
     * derived once, after, for display.
     *
     * Scale shape: one partial-aggregable shuffle to per-customer cents
-    * (lazy-checkpointed — it feeds the nation rollup AND the compare),
+    * (persisted — it feeds the nation rollup AND the compare),
     * a 25-row nation rollup broadcast back per customer, then a
     * broadcast dim join for the name — no correlated re-execution per
     * row, and no nation-keyed window (25 constant partitions would cap
@@ -340,7 +340,7 @@ object RelationalOps {
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_nationkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      .localCheckpoint(false)
+      .persist()
     val nat = spend.groupBy(col("c_nationkey"))
       .agg(sum(col("cents")).as("total_c"), count(lit(1)).as("n_cust"))
     ord(

@@ -161,13 +161,13 @@ object ReportOps {
     import graft.Fin._
     val e = graft.Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
     // each step frame (one timestamp per surviving user) is
-    // localCheckpoint'd so step n+1, the per-step count AND the entry
+    // persisted so step n+1, the per-step count AND the entry
     // count all reuse it — without this, step 3's lineage would nest
     // steps 1-2 and the source would be re-scanned ~7× per funnel.
-    // LAZY: an eager checkpoint here ran one blocking job per step
-    // (serializing an N-step funnel into N driver round-trips); the
-    // lazy form materializes each step inside the first job that reads
-    // it — the dedupCluster fusion pattern.
+    // persist is LAZY: each step materializes inside the first job
+    // that reads it (an eager barrier here ran one blocking job per
+    // step, serializing an N-step funnel into N driver round-trips —
+    // the dedupCluster fusion pattern).
     def firstAfter(step: String, prev: Option[DataFrame]): DataFrame = {
       val base = e.filter(col("event_type") === step)
       val gated = prev match {
@@ -181,7 +181,7 @@ object ReportOps {
         case None => base
       }
       gated.groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
-        .localCheckpoint(false)
+        .persist()
     }
     val steps = FunnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (name, _)) => Some(firstAfter(name, prev))
@@ -309,14 +309,14 @@ object ReportOps {
     * co-partitioned semi-join that reuses the groupBy exchange. */
   def activeUsers(s: SparkSession, d: String): DataFrame = {
     import graft.Fin._
-    // lazy-checkpointed: the distinct pair frame feeds both the
+    // persisted: the distinct pair frame feeds both the
     // replicated fan-out AND the real-day gate — without it the events
     // scan + distinct run twice
     val du = graft.Tables.events(s, d)
       .select(expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)").as("day_num"),
               col("user_id"))
       .distinct()
-      .localCheckpoint(false)
+      .persist()
     val offs = s.range(0, 7).select(col("id").cast("int").as("off"))
     val real = du.select(col("day_num")).distinct()
     ord(
@@ -458,7 +458,7 @@ object ReportOps {
     val ut = graft.Tables.events(s, d)
       .select(col("event_type").as("t"), col("user_id"))
       .distinct()
-      .localCheckpoint(false)
+      .persist()
     val sizes = ut.groupBy(col("t")).agg(count(lit(1)).as("n"))
     val spine = sizes.select(col("t").as("type_a"), col("n").as("n_a"))
       .crossJoin(sizes.select(col("t").as("type_b"), col("n").as("n_b")))
@@ -570,7 +570,7 @@ object ReportOps {
     val spend = graft.Tables.orders(s, d)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      .localCheckpoint(false) // feeds the prefix tier AND the 1-row total
+      .persist() // feeds the prefix tier AND the 1-row total
     val total = spend.agg(sum(col("cents")).as("total_cents"))
     val classed = graft.functions.Dist.prefix(spend, Nil,
         Seq(col("cents").desc, col("custkey")),
@@ -1017,13 +1017,13 @@ object ReportOps {
     * (the q_gini form — no single-partition sort), a 3-row tier spine,
     * and ≤3-row output; totals ride a 1-row broadcast. */
   def userConcentration(s: SparkSession, d: String): DataFrame = {
-    // checkpoint the per-user ROLLUP (shared by the rank tier and the
+    // persist the per-user ROLLUP (shared by the rank tier and the
     // totals — one fact scan), not the ranked frame: totals don't need
-    // ranks, and checkpointing above Dist would hide its windows from
+    // ranks, and a barrier above Dist would hide its windows from
     // the plan guards
     val per = graft.Tables.events(s, d)
       .groupBy(col("user_id")).agg(count(lit(1)).as("ev"))
-      .localCheckpoint(false)
+      .persist()
     val ranked = graft.functions.Dist.prefix(per, Nil,
         Seq(col("ev").desc, col("user_id")), rowNum = Some("rank"))
     val tot = per.agg(count(lit(1)).as("n_users"),
@@ -1087,7 +1087,7 @@ object ReportOps {
     * Determinism: exact integer day arithmetic; the hit test is a
     * LEFT SEMI join on exact (user, day) keys; ONE r4'd rate per N.
     *
-    * Scale shape: one distinct (user, day) shuffle (lazy-checkpointed,
+    * Scale shape: one distinct (user, day) shuffle (persisted,
     * three consumers), a |users| first-day rollup, a 4-row N spine
     * crossed onto it, then ONE user-co-partitioned semi join books
     * each (user, N) hit at most once; final rollup is 4 rows. */
@@ -1097,7 +1097,7 @@ object ReportOps {
       .select(col("user_id"),
               expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)").as("day_num"))
       .distinct()
-      .localCheckpoint(false)
+      .persist()
     val first = ud.groupBy(col("user_id")).agg(min(col("day_num")).as("d0"))
     val ns = s.range(0, 4).select(
       element_at(array(lit(1), lit(3), lit(7), lit(14)),
@@ -1132,7 +1132,7 @@ object ReportOps {
     * q_moving_avg stance, documented rather than trimmed).
     *
     * Scale shape: one distinct (user, day) shuffle shared by both
-    * sides (lazy-checkpointed); the window join fans out each (user,
+    * sides (persisted); the window join fans out each (user,
     * day) to ≤7 candidate return days co-partitioned on user; two
     * calendar-bounded rollups. */
   def returnRate(s: SparkSession, d: String): DataFrame = {
@@ -1141,7 +1141,7 @@ object ReportOps {
       .select(col("user_id"),
               expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)").as("day_num"))
       .distinct()
-      .localCheckpoint(false)
+      .persist()
     val ret = ud.as("a").join(ud.as("b"),
         col("a.user_id") === col("b.user_id") &&
         col("b.day_num") > col("a.day_num") &&

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Fin, Tables}
+import graft.Iter.IterOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -406,14 +407,14 @@ object TimeSeriesOps {
     * ties. Weight-sum overflow bound: 2⁸ · window cents · 9 days stays
     * far under 2⁶³ even at 1000× the sf0.1 daily volume. */
   def trendEwma(s: SparkSession, d: String): DataFrame = {
-    // lazy-checkpointed: the rollup feeds BOTH sides of the offset join
+    // persisted: the rollup feeds BOTH sides of the offset join
     // — without it the fact scan + daily aggregate run twice
     val daily = Tables.orders(s, d)
       .groupBy(col("o_orderpriority").as("priority"),
                expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
                  .as("day_num"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      .localCheckpoint(false)
+      .persist()
     val offs = s.range(0, 9).select(col("id").cast("int").as("off"))
     val w = expr("shiftleft(1L, 8 - off)")
     ord(
@@ -702,7 +703,7 @@ object TimeSeriesOps {
     * (var18/18) and one sqrt feed the r4'd outputs.
     *
     * Scale shape: ONE partial-aggregable day rollup over the fact
-    * scan (localCheckpointed eagerly — the ≤|days| frame feeds four
+    * scan (cut eagerly — the ≤|days| frame feeds four
     * consumers, the scan must not re-run per leg); the O(days²) pair
     * join is over the CALENDAR-bounded frame (a decade ≈ 3.7k days ≈
     * 6.6M pairs), broadcast on the build side, independent of event
@@ -711,7 +712,7 @@ object TimeSeriesOps {
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
-      .localCheckpoint(true)
+      .iterCut(true)
     val pairs = daily.select(col("day").as("da"), col("cents").as("ca"))
       .join(broadcast(daily.select(col("day").as("db"), col("cents").as("cb"))),
             col("db") > col("da"))
@@ -814,7 +815,7 @@ object TimeSeriesOps {
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
-      .localCheckpoint(true)
+      .iterCut(true)
     val slopes = daily.select(col("day").as("da"), col("cents").as("ca"))
       .join(broadcast(daily.select(col("day").as("db"), col("cents").as("cb"))),
             col("db") > col("da"))
@@ -909,7 +910,7 @@ object TimeSeriesOps {
     val users = Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
-      .localCheckpoint(true)
+      .iterCut(true)
     val reps = s.range(1, 201).select(col("id").cast("int").as("b"))
     // Pin the expansion's parallelism: AQE sizes the rollup exchange
     // by the rollup's OWN bytes, blind to the 200x row explosion and
@@ -1153,7 +1154,7 @@ object TimeSeriesOps {
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
-      .localCheckpoint(false)
+      .persist()
     val tot = daily.agg(count(lit(1)).as("nd"), sum(col("cents")).as("total"))
     val wc = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1187,14 +1188,14 @@ object TimeSeriesOps {
     * oracle's nullif).
     *
     * Scale shape: one day rollup (the only fact-scale shuffle,
-    * localCheckpointed — both the train rollup and the holdout read
+    * persisted — both the train rollup and the holdout read
     * it), train collapses to ≤7 weekday rows broadcast onto the 7-row
     * holdout. */
   def backtestMape(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
-      .localCheckpoint(false)
+      .persist()
     val d0 = daily.agg(max(col("day")).as("d0"))
     val dd = daily.crossJoin(broadcast(d0))
     val train = dd.filter(col("day") <= date_sub(col("d0"), 7))
@@ -1524,7 +1525,7 @@ object TimeSeriesOps {
       .where(col("cnt7") === 7)
       .withColumn("res7", lit(7L) * col("cents") - col("sum7"))
       .withColumn("wd", expr("weekday(day)"))
-      .localCheckpoint(false) // feeds the weekday index AND the join
+      .persist() // feeds the weekday index AND the join
     val seas = t.groupBy(col("wd"))
       .agg(sum(col("res7")).as("srs"), count(lit(1)).as("nw"))
     Fin.ord(
@@ -1564,7 +1565,7 @@ object TimeSeriesOps {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
-      .localCheckpoint(false)
+      .persist()
     val lags = s.range(-3, 4).select(col("id").cast("int").as("lag"))
     val pairs = daily.select(col("day"), col("v"))
       .crossJoin(broadcast(lags))
@@ -2566,7 +2567,7 @@ object TimeSeriesOps {
     val users = Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
-      .localCheckpoint(true)
+      .iterCut(true)
     val tOf = (sa: Column, na: Column, sb: Column, nb: Column) =>
       when(na > 0 && nb > 0,
         sa.cast("double") / na.cast("double") -

@@ -263,7 +263,7 @@ object WindowOps {
     val st = sessionized(s, d, col("event_type"))
       .select(col("user_id"), col("sid"), col("event_type").as("t"))
       .distinct()
-      .localCheckpoint(false)
+      .persist()
     val nSess = st.select(col("user_id"), col("sid")).distinct()
       .agg(count(lit(1)).as("n_sessions"))
     val sizes = st.groupBy(col("t")).agg(count(lit(1)).as("n"))
@@ -881,7 +881,7 @@ object WindowOps {
     val sess = sessionized(s, d)
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("ts_sec")).as("st"), max(col("ts_sec")).as("en"))
-      .localCheckpoint(false)
+      .persist()
     val sweep = sess.select(col("st").as("t"), lit(1L).as("delta"))
       .unionAll(sess.select((col("en") + 1L).as("t"), lit(-1L).as("delta")))
     ord(
@@ -1049,10 +1049,10 @@ object WindowOps {
       // |purchasing users| rows, read by the journey join AND the
       // direct-conversion anti-join — without this the events scan +
       // purchase rollup runs twice
-      .localCheckpoint(false)
-    // checkpoint the filtered journey frame ONCE: the window pass and
+      .persist()
+    // persist the filtered journey frame ONCE: the window pass and
     // the direct-conversion anti-join both read it, and without the
-    // checkpoint each downstream consumer re-derives the fact-scale
+    // barrier each downstream consumer re-derives the fact-scale
     // events⋈first-purchase join (4 plan forks cost ~8 s at sf0.1 —
     // the q_heaps_law lesson at join scale)
     val j = ev.join(fp, Seq("user_id"), "left")
@@ -1060,7 +1060,7 @@ object WindowOps {
       .filter(col("event_type") =!= "purchase" &&
               (col("fpk").isNull ||
                struct(col("ts"), col("event_id")) < col("fpk")))
-      .localCheckpoint(false)
+      .persist()
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     // ONE window pass emits every transition a row owns — the START
     // edge (when it opens a journey) and its outgoing edge (to the
@@ -1084,16 +1084,16 @@ object WindowOps {
       .join(j.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
       .select(lit("__START__").as("f"), lit("__CONV__").as("t"))
     // The frames below are all CHANNEL-VOCABULARY-bounded (≤ m+3 states,
-    // ≤ (m+3)² cells) but referenced 2-5× each; without the lazy
-    // checkpoints every reference replans the full upstream subtree and
+    // ≤ (m+3)² cells) but referenced 2-5× each; without the compute-once
+    // persists every reference replans the full upstream subtree and
     // the final plan multiplies to 525 exchanges / 81 broadcast joins of
     // pure planning overhead (~3.8 s of the r13 bench on a query whose
     // data-scale work is ONE user-partitioned window pass). Each
-    // checkpoint cuts the plan at a ≤|S|²-row frame; values are
+    // persist reuses a ≤|S|²-row cached frame; values are
     // unchanged (oracle-gated at three SFs).
     val trans = pairRows.unionAll(directConv)
       .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
+      .persist()
     // channel ids 1..m by name order; START=0, CONV=m+1, NULL=m+2
     val channels = trans.select(col("f").as("stt"))
       .unionAll(trans.select(col("t").as("stt")))
@@ -1101,7 +1101,7 @@ object WindowOps {
       .distinct()
     val chId = channels.select(col("stt"),
       row_number().over(Window.orderBy(col("stt"))).cast("int").as("sid"))
-      .localCheckpoint(false)
+      .persist()
     val mm = chId.agg(max(col("sid")).as("m"),
                       (max(col("sid")) + 3).cast("int").as("S"))
     val tr2 = trans
@@ -1132,7 +1132,7 @@ object WindowOps {
           .otherwise(coalesce(col("n").cast("double") /
                                 col("outn").cast("double"), lit(0.0))))
       .select(col("fid"), col("tid"), col("S"), col("prob"))
-      .localCheckpoint(false) // S²-row matrix, read by sd AND intoC
+      .persist() // S²-row matrix, read by sd AND intoC
     val scen = mm.select(explode(sequence(lit(0), col("m"))).as("scenario"))
     val intoC = dense.select(col("fid").as("fid2"), col("tid").as("c2"),
                              col("prob").as("pc"))
@@ -1161,7 +1161,7 @@ object WindowOps {
                             element_at(tm, f * S + st + 1))))"""))
       .withColumn("p_conv", expr("element_at(pk, S - 1)"))
       // m+1 rows; base and scored both read it — one power iteration
-      .localCheckpoint(false)
+      .persist()
     val base = it.filter(col("scenario") === 0)
       .select(col("p_conv").as("p_base"))
     val scored = it.filter(col("scenario") > 0)
