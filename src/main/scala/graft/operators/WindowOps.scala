@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Fin, Tables}
+import graft.Iter.IterOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1084,16 +1085,21 @@ object WindowOps {
       .join(j.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
       .select(lit("__START__").as("f"), lit("__CONV__").as("t"))
     // The frames below are all CHANNEL-VOCABULARY-bounded (≤ m+3 states,
-    // ≤ (m+3)² cells) but referenced 2-5× each; without the compute-once
-    // persists every reference replans the full upstream subtree and
-    // the final plan multiplies to 525 exchanges / 81 broadcast joins of
-    // pure planning overhead (~3.8 s of the r13 bench on a query whose
-    // data-scale work is ONE user-partitioned window pass). Each
-    // persist reuses a ≤|S|²-row cached frame; values are
-    // unchanged (oracle-gated at three SFs).
+    // ≤ (m+3)² cells) but referenced 2-5× each AND chained four deep —
+    // exactly the shape where persist() is the WRONG tool: caching
+    // stores data but keeps the logical plan, so a chain of cached
+    // diamonds composes a k^depth analysis tree (measured r17: the
+    // persisted form's formatted plan carried 702 parquet-scan
+    // reprints and the query went 2.2 → 12 s at sf0.1 from pure
+    // driver-side planning). Iter.cut truncates the plan per layer —
+    // one flat tree per matrix frame (13 exchanges, the r14 number) —
+    // and stays cluster-honest: reliable checkpoint when
+    // graft.iter.checkpoint.dir is set, loud-failure local otherwise
+    // (values unchanged, oracle-gated at three SFs; the upstream
+    // fact-scale frames fp/j stay recompute-safe persist()).
     val trans = pairRows.unionAll(directConv)
       .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
-      .persist()
+      .iterCut(false)
     // channel ids 1..m by name order; START=0, CONV=m+1, NULL=m+2
     val channels = trans.select(col("f").as("stt"))
       .unionAll(trans.select(col("t").as("stt")))
@@ -1101,7 +1107,7 @@ object WindowOps {
       .distinct()
     val chId = channels.select(col("stt"),
       row_number().over(Window.orderBy(col("stt"))).cast("int").as("sid"))
-      .persist()
+      .iterCut(false)
     val mm = chId.agg(max(col("sid")).as("m"),
                       (max(col("sid")) + 3).cast("int").as("S"))
     val tr2 = trans
@@ -1132,7 +1138,7 @@ object WindowOps {
           .otherwise(coalesce(col("n").cast("double") /
                                 col("outn").cast("double"), lit(0.0))))
       .select(col("fid"), col("tid"), col("S"), col("prob"))
-      .persist() // S²-row matrix, read by sd AND intoC
+      .iterCut(false) // S²-row matrix, read by sd AND intoC
     val scen = mm.select(explode(sequence(lit(0), col("m"))).as("scenario"))
     val intoC = dense.select(col("fid").as("fid2"), col("tid").as("c2"),
                              col("prob").as("pc"))
@@ -1161,7 +1167,7 @@ object WindowOps {
                             element_at(tm, f * S + st + 1))))"""))
       .withColumn("p_conv", expr("element_at(pk, S - 1)"))
       // m+1 rows; base and scored both read it — one power iteration
-      .persist()
+      .iterCut(false)
     val base = it.filter(col("scenario") === 0)
       .select(col("p_conv").as("p_base"))
     val scored = it.filter(col("scenario") > 0)
