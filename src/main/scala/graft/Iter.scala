@@ -57,9 +57,26 @@ object Iter {
     }
   }
 
-  /** `df.iterCut(eager)` sugar so call sites read like the
-    * checkpoint they replace. */
+  /** persist() unless an equivalent plan is already cached. Two
+    * queries (or two constructions of the same query — the smoke
+    * suite's determinism re-run, the bench after verify) often build
+    * byte-identical frames; CacheManager already dedups the ENTRY by
+    * canonicalized plan, but a second persist() call on it logs
+    * "Asked to cache already cached data" — benign, yet it spams every
+    * long-lived session's log. Checking `storageLevel` first (the same
+    * cache lookup persist performs) keeps the logs clean and the
+    * behavior identical. NOT for frames whose caller manages an
+    * unpersist lifecycle (the CC loop's edge frames keep plain
+    * persist()). */
+  def share(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+
+  /** `df.iterCut(eager)` / `df.shared` sugar so call sites read like
+    * the checkpoint they replace. */
   implicit class IterOps(private val df: DataFrame) extends AnyVal {
     def iterCut(eager: Boolean): DataFrame = cut(df, eager)
+    def shared: DataFrame = share(df)
   }
 }

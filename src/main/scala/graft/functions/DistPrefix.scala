@@ -205,7 +205,7 @@ object Dist {
       part.map(p => Key(col(p), asc = true, nullsFirst = true)) ++
         orderKeys(df, order)
     val keyCols = keys.map(_.c)
-    val cached = if (noPersist) df else df.persist()
+    val cached = if (noPersist) df else graft.Iter.share(df)
     val idiv = (a: Column, b: Column) => call_function("div", a, b)
     // ONE SCALAR SUBQUERY per tier call, not broadcast cross-joins
     // into the fact frame: the cuts frame is referenced by every tier
@@ -316,7 +316,7 @@ object Dist {
     // input persist
     val offs0 = ordered.groupBy(partCols.map(col): _*)
       .agg(totAggs.head, totAggs.tail: _*)
-    val offs = if (noPersist) offs0 else offs0.persist()
+    val offs = if (noPersist) offs0 else graft.Iter.share(offs0)
 
     // Strictly-prior offsets: window-free broadcast theta self-join over
     // the constant-bounded offsets frame.

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Iter.IterOps
 import graft.{Fin, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -72,7 +73,7 @@ object AffinityOps {
     // store read once for all four; recompute-safe under executor loss
     // (deterministic parquet lineage), unlike the r16 localCheckpoint,
     // whose truncated lineage made a lost block fatal on a real cluster
-    val ob = baskets(s, d).persist()
+    val ob = baskets(s, d).shared
     val n = ob.agg(count_distinct(col("ok")).as("n_orders"))
     val bc = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
     val pairs = ob.as("x")
@@ -156,7 +157,7 @@ object AffinityOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct()
-      .persist()
+      .shared
     val sz = t.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
     val df = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // Per-doc rarity position under the global (df, tok) order; the
@@ -172,7 +173,7 @@ object AffinityOps {
       .join(sz, "doc_id")
       .filter(col("pos") <= col("m") - ceil(lit(Tau) * col("m")) + 1)
       .select(col("doc_id"), col("tok"), col("pos"), col("m"))
-      .persist()
+      .shared
     val overlapNeeded = ceil(lit(Tau / (1 + Tau)) *
       (col("x.m") + col("y.m")))
     // Candidate-pair exchange width pin (the q_bootstrap_ci idiom, r14

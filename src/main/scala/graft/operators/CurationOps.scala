@@ -129,12 +129,12 @@ object CurationOps {
     val byLang = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
            sum(size(split(col("text"), " "))).as("tokens"))
-      .persist()
+      .shared
     val total = byLang.agg(sum(col("tokens")).as("total_tokens"))
     val shared = byLang.crossJoin(broadcast(total))
       .withColumn("q", col("tokens").cast("double") / col("total_tokens"))
       .withColumn("wt", sqrt(col("q")))
-      .persist()
+      .shared
     val wsum = shared.agg(sum(col("wt")).as("wt_sum"))
     ord(
       shared.crossJoin(broadcast(wsum))
@@ -165,12 +165,12 @@ object CurationOps {
     val byLang = Tables.documents(s, d).groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
            sum(size(split(col("text"), " "))).as("tokens"))
-      .persist()
+      .shared
     val total = byLang.agg(sum(col("tokens")).as("total_tokens"))
     val shared = byLang.crossJoin(broadcast(total))
       .withColumn("q", col("tokens").cast("double") / col("total_tokens"))
       .withColumn("wt", sqrt(col("q")))
-      .persist()
+      .shared
     val wsum = shared.agg(sum(col("wt")).as("wt_sum"))
     import org.apache.spark.sql.expressions.Window
     val full = Window.rowsBetween(Window.unboundedPreceding,
@@ -1274,7 +1274,7 @@ object CurationOps {
       .cast("long")
     val docs = Tables.documents(s, d)
       .select(col("lang"), col("doc_id"), h.as("hkey"))
-      .persist() // feeds the cap rollup AND the rank tier
+      .shared // feeds the cap rollup AND the rank tier
     val cap = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("n_per_class"))
     Fin.ord(

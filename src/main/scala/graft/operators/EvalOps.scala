@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Iter.IterOps
 import graft.{Fin, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -204,7 +205,7 @@ object EvalOps {
   def itemCf(s: SparkSession, d: String): DataFrame = {
     // reads the published ingest-time basket store (AffinityOps) — the
     // fact join + distinct never re-runs per report
-    val ob = AffinityOps.basketStore(s, d).persist()
+    val ob = AffinityOps.basketStore(s, d).shared
     val bc = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
     // both directions so every brand ranks its own neighbor list
     val pairs = ob.as("x")
@@ -264,7 +265,7 @@ object EvalOps {
       .select(col("brand"), col("r").as("r1"))
     val r2 = ranked.filter(col("h") === 2)
       .select(col("brand"), col("r").as("r2"))
-    val both = r1.join(r2, "brand").persist()
+    val both = r1.join(r2, "brand").shared
     val pairs = both.as("x")
       .join(broadcast(both.as("y")), col("x.brand") < col("y.brand"))
       .agg(sum(when((col("x.r1") < col("y.r1")) === (col("x.r2") < col("y.r2")),

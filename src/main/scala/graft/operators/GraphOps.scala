@@ -516,7 +516,7 @@ object GraphOps {
     val und = strongEdges(s, d)
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
-      .distinct().persist()
+      .distinct().shared
     val ends = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
     val deg = ends.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -563,7 +563,7 @@ object GraphOps {
     val und = strongEdges(s, d)
       .select(least(col("src"), col("dst")).as("ua"),
               greatest(col("src"), col("dst")).as("ub"))
-      .distinct().persist()
+      .distinct().shared
     val ends = und.select(col("ua").as("u"), col("ub").as("v"))
       .unionAll(und.select(col("ub").as("u"), col("ua").as("v")))
     val deg = ends.groupBy(col("u")).agg(count(lit(1)).as("dg"))
@@ -607,7 +607,7 @@ object GraphOps {
     * iterate-with-checkpoint engine; the nation graph never needs
     * it). */
   def graphBfs(s: SparkSession, d: String): DataFrame = {
-    val strong = strongEdges(s, d).persist()
+    val strong = strongEdges(s, d).shared
     val src = strong.groupBy(col("src")).agg(sum(col("w")).as("tw"))
       .agg(expr("max_by(src, named_struct('tw', tw, 'ns', -src))")
         .as("source"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Iter.IterOps
 import graft.{Fin, Schemas}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -168,7 +169,7 @@ object LayoutOps {
     val shards = graft.Tables.documents(s, d)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
-      .persist() // feeds the prefix tier AND the 1-row total
+      .shared // feeds the prefix tier AND the 1-row total
     val total = shards.agg(sum(col("bytes")).as("total_bytes"))
     Fin.ord(
       graft.functions.Dist.prefix(shards, Nil, Seq(col("source")),

@@ -73,7 +73,7 @@ object LlmOps {
     // the batch subset and re-computes its sha2
     val batch = docs.filter(col("bucket") >= 8)
       .select(col("doc_id"), col("lang"), col("h"))
-      .persist()
+      .shared
     val firstInBatch = batch.groupBy(col("h"))
       .agg(min(col("doc_id")).as("first_id"))
     ord(
@@ -827,7 +827,7 @@ object LlmOps {
   def annRecall(s: SparkSession, d: String): DataFrame = {
     val exact = similarityTopk(s, d).where(col("rn") <= 3)
       .select(col("q_id"), col("n_id"))
-      .persist() // feeds the base rollup AND the semi join
+      .shared // feeds the base rollup AND the semi join
     val lsh = similarityLsh(s, d).select(col("q_id"), col("n_id"))
     val hits = exact.join(lsh, Seq("q_id", "n_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
@@ -1720,7 +1720,7 @@ object LlmOps {
       .select(col("doc_id"),
               graft.functions.Dist.ntileOf(10, col("__rn"), col("__n"))
                 .as("epoch"))
-      .persist()
+      .shared
     val ex = docs
       .select(col("doc_id"), call_function("ngram_hashes", col("text")).as("ng"))
       .filter(col("ng").isNotNull)
@@ -1871,7 +1871,7 @@ object LlmOps {
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
-      .persist()
+      .shared
     val tot = tf.agg(count(lit(1)).as("vocab"), sum(col("f")).as("total_tokens"))
     // TakeOrderedAndProject cut; the rank window then sorts 100 rows
     val top = tf.orderBy(col("f").desc, col("tok")).limit(ZipfRanks)
@@ -1931,7 +1931,7 @@ object LlmOps {
       .filter(length(col("tok")) > 0)
       .groupBy(col("lang"), length(col("tok")).as("tok_len"))
       .agg(count(lit(1)).as("n_tokens"))
-      .persist()
+      .shared
     val tot = cells.groupBy(col("lang")).agg(sum(col("n_tokens")).as("total"))
     ord(
       cells.join(broadcast(tot), "lang")
@@ -1961,7 +1961,7 @@ object LlmOps {
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
-      .persist()
+      .shared
     val tot = tf.agg(sum(col("f")).as("total_tokens"))
     val ranked = tf.orderBy(col("f").desc, col("tok")).limit(10000)
       .withColumn("rank",
@@ -2067,7 +2067,7 @@ object LlmOps {
       .agg(count(lit(1)).as("f"),
            sum(when(col("half") === 1, 1L).otherwise(0L)).as("f1"),
            sum(when(col("half") === 2, 1L).otherwise(0L)).as("f2"))
-      .persist()
+      .shared
     val tot = tf.agg(sum(col("f1")).as("t1"), sum(col("f2")).as("t2"))
     val top = tf.orderBy(col("f").desc, col("tok")).limit(200)
     ord(
@@ -2124,7 +2124,7 @@ object LlmOps {
           .otherwise("d_lt25"))
       .groupBy(col("source"), col("band"))
       .agg(count(lit(1)).as("n_docs"))
-      .persist()
+      .shared
     val tot = cells.groupBy(col("source")).agg(sum(col("n_docs")).as("total"))
     ord(
       cells.join(broadcast(tot), "source")
@@ -2151,7 +2151,7 @@ object LlmOps {
       .select(col("source").as("src"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct()
-      .persist()
+      .shared
     val sizes = st.groupBy(col("src")).agg(count(lit(1)).as("n"))
     val spine = sizes.select(col("src").as("source_a"), col("n").as("n_a"))
       .crossJoin(sizes.select(col("src").as("source_b"), col("n").as("n_b")))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Iter.IterOps
 import graft.{Fin, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -208,7 +209,7 @@ object RelationalOps {
     val sk = e.groupBy(col("event_type"))
       .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
            expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
-      .persist()
+      .shared
     val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
                       col("est").as("est_a"))
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
@@ -340,7 +341,7 @@ object RelationalOps {
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_nationkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      .persist()
+      .shared
     val nat = spend.groupBy(col("c_nationkey"))
       .agg(sum(col("cents")).as("total_c"), count(lit(1)).as("n_cust"))
     ord(

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.SparkSession
 
+import graft.Iter.IterOps
 import graft.Fin
 
 /** Declarative report API — the reference's user surface: declare
@@ -181,7 +182,7 @@ object ReportOps {
         case None => base
       }
       gated.groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
-        .persist()
+        .shared
     }
     val steps = FunnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (name, _)) => Some(firstAfter(name, prev))
@@ -316,7 +317,7 @@ object ReportOps {
       .select(expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)").as("day_num"),
               col("user_id"))
       .distinct()
-      .persist()
+      .shared
     val offs = s.range(0, 7).select(col("id").cast("int").as("off"))
     val real = du.select(col("day_num")).distinct()
     ord(
@@ -458,7 +459,7 @@ object ReportOps {
     val ut = graft.Tables.events(s, d)
       .select(col("event_type").as("t"), col("user_id"))
       .distinct()
-      .persist()
+      .shared
     val sizes = ut.groupBy(col("t")).agg(count(lit(1)).as("n"))
     val spine = sizes.select(col("t").as("type_a"), col("n").as("n_a"))
       .crossJoin(sizes.select(col("t").as("type_b"), col("n").as("n_b")))
@@ -570,7 +571,7 @@ object ReportOps {
     val spend = graft.Tables.orders(s, d)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      .persist() // feeds the prefix tier AND the 1-row total
+      .shared // feeds the prefix tier AND the 1-row total
     val total = spend.agg(sum(col("cents")).as("total_cents"))
     val classed = graft.functions.Dist.prefix(spend, Nil,
         Seq(col("cents").desc, col("custkey")),
@@ -1023,7 +1024,7 @@ object ReportOps {
     // the plan guards
     val per = graft.Tables.events(s, d)
       .groupBy(col("user_id")).agg(count(lit(1)).as("ev"))
-      .persist()
+      .shared
     val ranked = graft.functions.Dist.prefix(per, Nil,
         Seq(col("ev").desc, col("user_id")), rowNum = Some("rank"))
     val tot = per.agg(count(lit(1)).as("n_users"),
@@ -1097,7 +1098,7 @@ object ReportOps {
       .select(col("user_id"),
               expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)").as("day_num"))
       .distinct()
-      .persist()
+      .shared
     val first = ud.groupBy(col("user_id")).agg(min(col("day_num")).as("d0"))
     val ns = s.range(0, 4).select(
       element_at(array(lit(1), lit(3), lit(7), lit(14)),
@@ -1141,7 +1142,7 @@ object ReportOps {
       .select(col("user_id"),
               expr("CAST(unix_timestamp(ts) DIV 86400 AS INT)").as("day_num"))
       .distinct()
-      .persist()
+      .shared
     val ret = ud.as("a").join(ud.as("b"),
         col("a.user_id") === col("b.user_id") &&
         col("b.day_num") > col("a.day_num") &&

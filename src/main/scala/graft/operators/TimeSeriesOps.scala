@@ -414,7 +414,7 @@ object TimeSeriesOps {
                expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS INT)")
                  .as("day_num"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      .persist()
+      .shared
     val offs = s.range(0, 9).select(col("id").cast("int").as("off"))
     val w = expr("shiftleft(1L, 8 - off)")
     ord(
@@ -1154,7 +1154,7 @@ object TimeSeriesOps {
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
-      .persist()
+      .shared
     val tot = daily.agg(count(lit(1)).as("nd"), sum(col("cents")).as("total"))
     val wc = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1195,7 +1195,7 @@ object TimeSeriesOps {
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
-      .persist()
+      .shared
     val d0 = daily.agg(max(col("day")).as("d0"))
     val dd = daily.crossJoin(broadcast(d0))
     val train = dd.filter(col("day") <= date_sub(col("d0"), 7))
@@ -1525,7 +1525,7 @@ object TimeSeriesOps {
       .where(col("cnt7") === 7)
       .withColumn("res7", lit(7L) * col("cents") - col("sum7"))
       .withColumn("wd", expr("weekday(day)"))
-      .persist() // feeds the weekday index AND the join
+      .shared // feeds the weekday index AND the join
     val seas = t.groupBy(col("wd"))
       .agg(sum(col("res7")).as("srs"), count(lit(1)).as("nw"))
     Fin.ord(
@@ -1565,7 +1565,7 @@ object TimeSeriesOps {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
-      .persist()
+      .shared
     val lags = s.range(-3, 4).select(col("id").cast("int").as("lag"))
     val pairs = daily.select(col("day"), col("v"))
       .crossJoin(broadcast(lags))

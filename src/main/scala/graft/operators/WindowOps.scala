@@ -264,7 +264,7 @@ object WindowOps {
     val st = sessionized(s, d, col("event_type"))
       .select(col("user_id"), col("sid"), col("event_type").as("t"))
       .distinct()
-      .persist()
+      .shared
     val nSess = st.select(col("user_id"), col("sid")).distinct()
       .agg(count(lit(1)).as("n_sessions"))
     val sizes = st.groupBy(col("t")).agg(count(lit(1)).as("n"))
@@ -882,7 +882,7 @@ object WindowOps {
     val sess = sessionized(s, d)
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("ts_sec")).as("st"), max(col("ts_sec")).as("en"))
-      .persist()
+      .shared
     val sweep = sess.select(col("st").as("t"), lit(1L).as("delta"))
       .unionAll(sess.select((col("en") + 1L).as("t"), lit(-1L).as("delta")))
     ord(
@@ -1050,7 +1050,7 @@ object WindowOps {
       // |purchasing users| rows, read by the journey join AND the
       // direct-conversion anti-join — without this the events scan +
       // purchase rollup runs twice
-      .persist()
+      .shared
     // persist the filtered journey frame ONCE: the window pass and
     // the direct-conversion anti-join both read it, and without the
     // barrier each downstream consumer re-derives the fact-scale
@@ -1061,7 +1061,7 @@ object WindowOps {
       .filter(col("event_type") =!= "purchase" &&
               (col("fpk").isNull ||
                struct(col("ts"), col("event_id")) < col("fpk")))
-      .persist()
+      .shared
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     // ONE window pass emits every transition a row owns — the START
     // edge (when it opens a journey) and its outgoing edge (to the
