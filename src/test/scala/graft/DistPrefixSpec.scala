@@ -217,6 +217,47 @@ class DistPrefixSpec extends AnyFunSuite {
     assert(sortedRows(got, "k", "rn", "cs") == sortedRows(ref, "k", "rn", "cs"))
   }
 
+  /** r17 (r16 ADVICE): DistBucket's INTERPRETED eval must use Spark's
+    * sort semantics for floats — SQLOrderingUtil treats -0.0 == 0.0
+    * and NaN greatest, while java.lang.Double.compareTo orders
+    * -0.0 < 0.0. A -0.0 cut against a 0.0 row key is sort-EQUAL, so
+    * the row must land in the LOWER bucket (ties never cross a cut)
+    * on BOTH evaluation paths; the old boxed compareTo put the
+    * interpreted path in bucket 1 and codegen in bucket 0. */
+  test("interpreted and codegen dist_bucket agree on signed zeros and NaN") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, Literal}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    import graft.functions.DistBucket
+    val cutType = ArrayType(StructType(Seq(StructField("k0", DoubleType))))
+    def mkCuts(vs: Double*) =
+      new GenericArrayData(vs.map(v =>
+        new GenericInternalRow(Array[Any](v)): Any).toArray)
+    def bucketOf(cuts: Seq[Double], key: Double): (Int, Int) = {
+      val e = DistBucket(Seq(
+        Literal("af"),
+        Literal.create(mkCuts(cuts: _*), cutType),
+        BoundReference(0, DoubleType, nullable = false)))
+      val row = InternalRow(key)
+      val interpreted = e.eval(row).asInstanceOf[Int]
+      // codegen path: same expression through the generated predicate
+      val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(Seq(e))
+      val codegen = proj(row).getInt(0)
+      (interpreted, codegen)
+    }
+    // -0.0 cut, 0.0 key: sort-equal ⇒ NOT strictly before ⇒ bucket 0
+    assert(bucketOf(Seq(-0.0), 0.0) == ((0, 0)))
+    assert(bucketOf(Seq(0.0), -0.0) == ((0, 0)))
+    // NaN is GREATEST: a NaN cut is never strictly before a finite key
+    assert(bucketOf(Seq(Double.NaN), 1e300) == ((0, 0)))
+    // and every finite cut is strictly before a NaN key
+    assert(bucketOf(Seq(-1.0, 0.0, 1.0), Double.NaN) == ((3, 3)))
+    // plain order still works on both paths
+    assert(bucketOf(Seq(1.0, 2.0, 3.0), 2.5) == ((2, 2)))
+  }
+
   test("plans carry no unpartitioned window and no cartesian product") {
     val got = Dist.prefix(base, Nil, Seq(col("v"), col("k")),
       cums = Seq("cs" -> col("x")), rowNum = Some("rn"),
