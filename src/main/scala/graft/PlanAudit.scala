@@ -44,6 +44,12 @@ object PlanAudit {
       "operator; excludes Reused*/AQE-inserted nodes. NOT comparable to " +
       "pre-r16 tree-string artifacts (those reprinted subquery subtrees " +
       "per reference).")
+    println("# r17 visibility change: persisted (InMemoryRelation) " +
+      "subtrees print their internal exchanges, which the r16-era " +
+      "localCheckpoint leaves HID — small increases on converted " +
+      "queries are counting visibility, not new shuffles (A/B timings " +
+      "are the ground truth); decreases are genuine cache-sharing " +
+      "collapses.")
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(s, d)
       df.collect() // materialize: AQE finalizes stages, codegen ids exist
