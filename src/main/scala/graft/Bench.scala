@@ -21,6 +21,49 @@ object Bench {
     // copies) publish once per source state, OUTSIDE the timed loop —
     // the bench measures steady-state query throughput, not ingest;
     // the setup cost is printed so it is never invisible
+    // SPARK_GRAFT_STORAGE_REPORT=<path> — measure the `.shared` persist
+    // regime's storage footprint across the session (r17 verdict ask
+    // #3: 42 persist sites with no unpersist is the steady state; this
+    // makes its cost a number instead of an argument). Tracks the
+    // cached-RDD memory/disk occupancy after every query (peak + final)
+    // and counts blocks the BlockManager DROPPED (LRU eviction or
+    // explicit removal — under the bench neither graft nor the queries
+    // unpersist shared frames, so RDD-block drops ≈ eviction churn) and
+    // blocks DEMOTED memory→disk. Zero cost when unset; the driver
+    // never sets it.
+    val storageReport = sys.env.get("SPARK_GRAFT_STORAGE_REPORT")
+      .filter(_.nonEmpty)
+    val dropped = new java.util.concurrent.atomic.AtomicLong
+    val demoted = new java.util.concurrent.atomic.AtomicLong
+    storageReport.foreach { _ =>
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onBlockUpdated(
+              e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+            val info = e.blockUpdatedInfo
+            if (info.blockId.isRDD) {
+              val lvl = info.storageLevel
+              if (!lvl.isValid) dropped.incrementAndGet()
+              else if (lvl.useDisk && !lvl.useMemory && info.memSize == 0)
+                demoted.incrementAndGet()
+            }
+          }
+        })
+    }
+    var peakMem, peakDisk, peakEntries = 0L
+    def pollStorage(): (Long, Long, Long) = {
+      // deprecated in favor of a listener, but it IS the one public API
+      // that reads current per-RDD cache occupancy in one call
+      val infos: Seq[(Long, Long)] =
+        spark.sparkContext.getRDDStorageInfo.toSeq
+          .map(i => (i.memSize, i.diskSize)): @annotation.nowarn("cat=deprecation")
+      val mem = infos.map(_._1).sum
+      val disk = infos.map(_._2).sum
+      peakMem = math.max(peakMem, mem)
+      peakDisk = math.max(peakDisk, disk)
+      peakEntries = math.max(peakEntries, infos.size.toLong)
+      (mem, disk, infos.size.toLong)
+    }
     val s0 = System.nanoTime()
     SparkEntry.prepareFixtures(spark, sfDir)
     System.err.println(
@@ -28,7 +71,9 @@ object Bench {
     val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (storageReport.isDefined) pollStorage()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -72,6 +117,28 @@ object Bench {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       } catch { case e: java.io.IOException =>
         System.err.println(s"[bench] could not write $out: $e") }
+    storageReport.foreach { path =>
+      // drain the listener bus so late BlockUpdated events are counted
+      // (LiveListenerBus.waitUntilEmpty is private[spark] at the source
+      // level but public bytecode — same reflection as DistPrefixSpec)
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Exception => () }
+      val (fm, fd, fe) = pollStorage()
+      val rep =
+        s"""{"peak_mem_bytes":$peakMem,"peak_disk_bytes":$peakDisk,""" +
+        s""""peak_entries":$peakEntries,"final_mem_bytes":$fm,""" +
+        s""""final_disk_bytes":$fd,"final_entries":$fe,""" +
+        s""""dropped_rdd_blocks":${dropped.get},""" +
+        s""""demoted_rdd_blocks":${demoted.get},""" +
+        s""""driver_xmx":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}"}"""
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), rep + "\n")
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $path: $e") }
+      System.err.println(s"[bench] storage report: $rep")
+    }
     spark.stop()
   }
 }

@@ -53,5 +53,16 @@ object GraftSession {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.sql.autoBroadcastJoinThreshold", "32m")
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // Reliable-checkpoint GC (r17 ADVICE): when graft.iter.checkpoint
+      // .dir routes Iter.cut to reliable checkpoints, an N-round loop
+      // writes N rounds of files and the default (false) never reclaims
+      // them — ContextCleaner only deletes a checkpoint's files on RDD
+      // garbage-collection when this key is true. Iter cuts are
+      // intra-session lineage truncations, never recovery artifacts, so
+      // eager cleanup is strictly correct here; Iter.cut additionally
+      // deletes the whole minted subdir at application end. Must be set
+      // at context build (SparkConf is fixed after), hence here and not
+      // in Iter.cut itself.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 }

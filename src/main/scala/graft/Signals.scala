@@ -1,7 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -28,16 +26,27 @@ object Signals {
     * The metric row is (capped_cells: long, max_sub_lanes: int). */
   val EmbcosOccCap = "graft_embcos_occ_cap"
 
-  private val seq = new AtomicLong
-  /** Observed-metric names must be unique within one plan tree (two
-    * embcos variants can meet in one action, e.g. q_dedup_eval), so
-    * every attach gets a fresh suffix. */
-  def uniqueName(prefix: String): String =
-    s"${prefix}_${seq.incrementAndGet()}"
+  /** Deterministic per-call-site metric name (r17 ADVICE): a global
+    * counter suffix would make two constructions of the SAME query
+    * carry differently-named CollectMetrics nodes — no longer
+    * plan-canonically equal, defeating the CacheManager dedup the
+    * `.shared` regime relies on downstream of the observe. Names must
+    * still be unique per DISTINCT frame within one plan tree (Spark
+    * rejects one name on two non-equal plans), so each attach site
+    * passes its stable variant tag ("raw"/"centered"); exact-duplicate
+    * subtrees under one name (self-joins of the observed frame) are
+    * explicitly allowed by the analyzer. */
+  def metricName(prefix: String, variant: String): String =
+    s"${prefix}_$variant"
 
+  // WeakHashMap-keyed (r17 ADVICE): a strong set would pin every
+  // session that ever ran an embcos query for the JVM's life. The
+  // listener itself is owned by the session's listenerManager, so a
+  // collected session takes its listener with it.
   private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
 
   /** Register the warn-on-activation listener once per session.
     * Idempotent and cheap — operators call it at plan-build time. */

@@ -15,6 +15,13 @@ object Verify {
     // verifies the plans that actually run in the benchmark
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ITER_CKPT_DIR=<path> — run the sweep in Iter.cut's
+    // RELIABLE-checkpoint (cluster) form, so the oracle gate can prove
+    // the form the 100-TB deployment flips on is result-identical
+    // across every query (r17 verdict ask #1). The driver never sets
+    // it; official runs keep the default local form.
+    sys.env.get("SPARK_GRAFT_ITER_CKPT_DIR").filter(_.nonEmpty)
+      .foreach(spark.conf.set(Iter.CheckpointDirKey, _))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

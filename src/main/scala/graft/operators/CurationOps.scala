@@ -457,9 +457,15 @@ object CurationOps {
       while (curSum != prevSum && iter < maxIter) {
         val prop = cur.join(edges, cur("doc_id") === edges("d1"))
           .select(edges("d2").as("doc_id"), col("component"))
-        // previous round's cut blocks are freed by the
-        // ContextCleaner once `cur` is reassigned (Dataset.unpersist is
-        // a no-op for checkpoint RDDs — they bypass the CacheManager)
+        // previous round's cut storage is reclaimed by the
+        // ContextCleaner once `cur` is reassigned — local-checkpoint
+        // BLOCKS unconditionally, reliable-checkpoint FILES only under
+        // spark.cleaner.referenceTracking.cleanCheckpoints=true (the
+        // Spark default is false and would accumulate every round's
+        // files in the shared store; GraftSession sets it true, and
+        // Iter.cut deletes the minted dir at application end as the
+        // backstop for foreign sessions). Dataset.unpersist is a no-op
+        // for checkpoint RDDs — they bypass the CacheManager.
         val (next, nextSum) = checkpointWithSum(
           cur.select(col("doc_id"), col("component")).union(prop)
             .groupBy(col("doc_id")).agg(min(col("component")).as("component")))

@@ -339,7 +339,8 @@ object LlmOps {
               array((1 to 64).map(i => col(s"s$i")): _*).as("qs"))
     embcosBlockedTop20(s, em.crossJoin(broadcast(sums)),
       i => round(element_at(col("v"), i) * lit(1000000)).cast("bigint") *
-             col("n") > element_at(col("qs"), i))
+             col("n") > element_at(col("qs"), i),
+      variant = "centered")
   }
 
   /** THE embcos candidate generator + verifier (r12, the r11 verdict
@@ -396,7 +397,8 @@ object LlmOps {
     * its 1-row sums frame); `signAt(i)` must yield the plane-sign
     * boolean for 1-based component index column `i`. */
   private def embcosBlockedTop20(s: SparkSession, em0: DataFrame,
-                                 signAt: Column => Column): DataFrame = {
+                                 signAt: Column => Column,
+                                 variant: String): DataFrame = {
     val planes = when(col("n_corpus") <= 4096, 4)
       .when(col("n_corpus") <= 8192, 5)
       .when(col("n_corpus") <= 16384, 6)
@@ -455,9 +457,13 @@ object LlmOps {
       // broadcast the trade would otherwise be invisible. observe()
       // is a zero-job CollectMetrics node riding the action's own
       // accumulators; graft.Signals' listener logs a warning whenever
-      // the cell count is non-zero (name suffixed — two embcos
-      // variants can share one plan tree).
-      .observe(Signals.uniqueName(Signals.EmbcosOccCap),
+      // the cell count is non-zero. The name is DETERMINISTIC per
+      // variant (raw/centered — distinct tags because the two can
+      // meet in one plan tree with non-equal subtrees), so two
+      // constructions of the same query stay plan-canonically equal
+      // and the `.shared` CacheManager dedup keeps working downstream
+      // of the observe (r17 ADVICE).
+      .observe(Signals.metricName(Signals.EmbcosOccCap, variant),
         count(lit(1)).as("capped_cells"),
         coalesce(max(col("__occ_k")), lit(0)).as("max_sub_lanes"))
     Signals.ensureListener(s)
@@ -491,7 +497,8 @@ object LlmOps {
     * hash planes (`v_i > 0`); the centered variant passes mean-anchored
     * planes to the same [[embcosBlockedTop20]] generator. */
   def dedupEmbcosOn(s: SparkSession, em: DataFrame): DataFrame =
-    embcosBlockedTop20(s, em, i => element_at(col("v"), i) > 0)
+    embcosBlockedTop20(s, em, i => element_at(col("v"), i) > 0,
+      variant = "raw")
 
   /** q_lm_score — unigram language-model scoring, the
     * perplexity-proxy quality filter (the CCNet/Gopher recipe with the

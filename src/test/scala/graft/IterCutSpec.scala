@@ -55,6 +55,52 @@ class IterCutSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable form is identical on the markov matrix-CHAIN shape") {
+    // q_attribution_markov chains four iterCut frames (trans → chId →
+    // dense → it) — the shape that actually broke in r17's persist
+    // conversion (k^depth analysis tree) and the one the r17 verdict
+    // asked to pin beyond the CC loop: cuts feeding cuts, lazy, with
+    // broadcast diamonds between layers. Results are fully
+    // deterministic (SURVEY §2.10: r4-rounded shares over an exact
+    // sorted-fold), so the two forms must match EXACTLY.
+    def rows() = graft.operators.WindowOps
+      .attributionMarkov(spark, TestBase.sf0001)
+      .collect().map(_.toSeq).toSeq
+    val localForm = rows()
+    // reuse the context's minted dir when the CC test already set one
+    // (setCheckpointDir is once-per-context); mint a fresh root when
+    // this test runs alone
+    val dir = spark.sparkContext.getCheckpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_iter_ckpt").toString)
+    spark.conf.set(Iter.CheckpointDirKey, dir)
+    try {
+      val before = ckptFiles(dir)
+      val reliableForm = rows()
+      assert(reliableForm == localForm,
+        "reliable-checkpoint markov chain diverged from the local form")
+      assert(localForm.nonEmpty, "markov fixture returned no channels")
+      // the chain actually wrote reliable checkpoints (all four layers
+      // run under the key, so file count strictly increases)
+      assert(ckptFiles(dir) > before,
+        "no reliable checkpoint files were written by the markov chain")
+    } finally spark.conf.unset(Iter.CheckpointDirKey)
+  }
+
+  private def ckptFiles(dir: String): Long = {
+    // sc.getCheckpointDir returns a qualified URI (file:/...), the
+    // conf value a bare path — accept both
+    val p =
+      if (dir.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(dir))
+      else java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(q => java.nio.file.Files.isRegularFile(q)).count()
+      finally s.close()
+    }
+  }
+
   test("expected components on both engines (sanity of the fixture)") {
     val (minLabel, stars) = run()
     val want = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
