@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
   * print the formatted plan. Usage:
   *   sbt "runMain graft.Profile q_dedup_minhash q_dedup_exact"
   * Env: SPARK_GRAFT_SF_DIR (default sf0.01), SPARK_GRAFT_EXPLAIN=1,
-  *      SPARK_GRAFT_REPS (default 3).
+  *      SPARK_GRAFT_REPS (default 3), SPARK_GRAFT_TASK_METRICS=1
+  *      (per-rep task-metric totals: GC, spill, shuffle — the
+  *      stage-attribution tool the r17 scale follow-up asked for when
+  *      a time exponent disagrees with counted work).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -21,6 +24,36 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val taskMetrics = sys.env.get("SPARK_GRAFT_TASK_METRICS").contains("1")
+    // per-rep task-metric accumulation: separates executor WORK
+    // (run time), memory pressure (GC, spill) and data motion
+    // (shuffle bytes) so a wall-time drift can be attributed to a
+    // stage class instead of argued about. Counters reset per rep;
+    // the bus is drained before reading so late task ends count.
+    val gc, spillMem, spillDisk, shufRead, shufWrite, runMs =
+      new java.util.concurrent.atomic.AtomicLong
+    if (taskMetrics)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = e.taskMetrics
+            if (m != null) {
+              gc.addAndGet(m.jvmGCTime)
+              spillMem.addAndGet(m.memoryBytesSpilled)
+              spillDisk.addAndGet(m.diskBytesSpilled)
+              shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+              shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+              runMs.addAndGet(m.executorRunTime)
+            }
+          }
+        })
+    def drainBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Exception => () }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -28,10 +61,22 @@ object Profile {
         println(s"===== $name plan =====")
         fn(spark, sfDir).explain("formatted")
       }
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).map { rep =>
+        Seq(gc, spillMem, spillDisk, shufRead, shufWrite, runMs)
+          .foreach(_.set(0L))
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (taskMetrics) {
+          drainBus()
+          println(f"  $name rep $rep%d: wall=$dt%.2f s " +
+            f"taskRun=${runMs.get / 1000.0}%.1f s gc=${gc.get / 1000.0}%.1f s " +
+            f"spillMem=${spillMem.get / 1048576}%d MB " +
+            f"spillDisk=${spillDisk.get / 1048576}%d MB " +
+            f"shufRead=${shufRead.get / 1048576}%d MB " +
+            f"shufWrite=${shufWrite.get / 1048576}%d MB")
+        }
+        dt
       }
       println(f"$name%-28s ${times.map(t => f"$t%.2f").mkString(" ")}  (min ${times.min}%.2f s)")
     }
