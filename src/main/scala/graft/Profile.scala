@@ -10,6 +10,18 @@ import org.apache.spark.sql.SparkSession
   *      (per-rep task-metric totals: GC, spill, shuffle — the
   *      stage-attribution tool the r17 scale follow-up asked for when
   *      a time exponent disagrees with counted work).
+  *
+  * Deliberately a PLAIN SparkSession, not [[GraftSession]]: every
+  * committed probe number since the width-pin crossover measurements
+  * (isolated decade exponents, the embcos warm min-of-N series, the
+  * r18 stage attributions) was taken in this env, and decade-to-decade
+  * comparisons only mean something when both decades run the same
+  * config. Bench-env questions belong to Bench (SPARK_GRAFT_ONLY).
+  *
+  * Results are also written to /tmp/graft_profile.json (atomic
+  * tmp+rename, the Bench pattern): `sbt --error` suppresses the
+  * application's stdout, which silently discarded a full probe run in
+  * r18 — the file record makes probe output unlosable.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -55,6 +67,7 @@ object Profile {
         bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
       } catch { case _: Exception => () }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val records = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) {
@@ -79,7 +92,22 @@ object Profile {
         dt
       }
       println(f"$name%-28s ${times.map(t => f"$t%.2f").mkString(" ")}  (min ${times.min}%.2f s)")
+      def num(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      records += s"""{"query":"$name","reps":[${times.map(num).mkString(",")}],"min":${num(times.min)}}"""
     }
+    // unlosable record (see scaladoc); same atomic write Bench uses
+    val rec = s"""{"sf":"$sfDir","reps":$reps,"results":[${records.mkString(",")}]}"""
+    try {
+      val tmp = java.nio.file.Paths.get("/tmp/graft_profile.json.tmp")
+      java.nio.file.Files.write(tmp,
+        (rec + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get("/tmp/graft_profile.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[profile] could not write /tmp/graft_profile.json: $e") }
     spark.stop()
   }
 }
