@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
 """Compare a Bench JSON record against the committed per-query reference
-band (BASELINE_QUERIES.json) and print ATTRIBUTABLE regressions.
+band (BASELINE_QUERIES.json) and print per-query FLAGS plus the
+median-ratio loaded-host detector; flags become attributable only via
+the re-run adjudication protocol (BASELINE.md).
 
 Usage:
     python3 scripts/check_bench.py [bench.json]   # default /tmp/graft_bench.json
@@ -46,6 +48,12 @@ def main() -> int:
 
     compared = sum(1 for n in got if n in refs)
     uniform = compared > 0 and ratio_trips > 0.8 * compared
+    # the loaded-host detector the adjudication protocol actually uses
+    # (BASELINE.md r17-r18): a calm run reads ~1.0, and flags on a run
+    # reading >=1.25 rotate between runs instead of reproducing
+    ratios = sorted(sec / refs[n] for n, sec in got.items()
+                    if n in refs and refs[n] > 0 and sec >= 0)
+    median_ratio = ratios[len(ratios) // 2] if ratios else 0.0
     # gate_total_sec is 2x the r1-final 64-query baseline (gate_note);
     # print it SCALED to the measured inventory so the line reads
     # correctly against today's total (r12 verdict cosmetic finding)
@@ -56,7 +64,8 @@ def main() -> int:
           f"vs reference band {ref['total_band_sec']} / gate "
           f"{scaled_gate:.1f} s (= 2x the {gate_per_q / 2:.3f} s/query r1 "
           f"baseline rate x {len(got)} queries; raw 64-query gate "
-          f"{ref['gate_total_sec']} s)")
+          f"{ref['gate_total_sec']} s); median per-query ratio vs refs "
+          f"{median_ratio:.3f}")
     for name, sec in new:
         print(f"  NEW   {name}: {sec:.2f} s (no reference yet -- append one "
               "after two clean runs)")
@@ -65,8 +74,17 @@ def main() -> int:
               "uniformly -- re-run on an idle host before chasing regressions")
         return 0
     for name, sec, r, why in flagged:
-        print(f"  REGRESSION {name}: {sec:.2f} s vs reference {r} s ({why})")
-    print(f"{len(flagged)} attributable regression(s)")
+        print(f"  FLAG {name}: {sec:.2f} s vs reference {r} s ({why})")
+    if flagged:
+        print(f"{len(flagged)} flag(s) -- adjudicate per protocol "
+              "(BASELINE.md): a flag is ATTRIBUTABLE only when it "
+              "reproduces on a calm re-run (median ratio ~1.0); flags "
+              "that rotate between runs are host state"
+              + (f" (this run's median ratio {median_ratio:.2f} says "
+                 "loaded -- re-run before chasing)"
+                 if median_ratio >= 1.25 else ""))
+    else:
+        print("0 flags")
     return 1 if flagged else 0
 
 
