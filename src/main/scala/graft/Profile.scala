@@ -37,6 +37,27 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val taskMetrics = sys.env.get("SPARK_GRAFT_TASK_METRICS").contains("1")
+    // SPARK_GRAFT_JOB_TRACE=1 — print every Spark job with its wall
+    // duration and stage/task count. The fixed-overhead attribution
+    // tool: a query whose wall is dominated by many short jobs is
+    // paying scheduling/subquery rounds, not data work (guide §1.1 —
+    // decide scheduler delay vs compute before optimizing either).
+    val jobTrace = sys.env.get("SPARK_GRAFT_JOB_TRACE").contains("1")
+    if (jobTrace) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(e.jobId, System.nanoTime())
+          override def onJobEnd(
+              e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val t0 = starts.remove(e.jobId)
+            val ms = if (t0 == 0L) -1.0 else (System.nanoTime() - t0) / 1e6
+            println(f"    [job ${e.jobId}%3d] ${ms}%8.1f ms")
+          }
+        })
+    }
     // per-rep task-metric accumulation: separates executor WORK
     // (run time), memory pressure (GC, spill) and data motion
     // (shuffle bytes) so a wall-time drift can be attributed to a

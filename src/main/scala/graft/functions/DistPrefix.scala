@@ -318,40 +318,94 @@ object Dist {
       .agg(totAggs.head, totAggs.tail: _*)
     val offs = if (noPersist) offs0 else graft.Iter.share(offs0)
 
-    // Strictly-prior offsets: window-free broadcast theta self-join over
-    // the constant-bounded offsets frame.
     val sameGroup = (l: String, r: String) =>
       part.foldLeft(lit(true))((c, k) => c && col(s"$l.$k") <=> col(s"$r.$k"))
-    val prior = offs.as("l")
-      .join(broadcast(offs.as("r")),
-            sameGroup("l", "r") && col(s"r.$pid") < col(s"l.$pid"), "left")
-      .groupBy(partCols.map(k => col(s"l.$k")): _*)
-      .agg(coalesce(sum(col("r.__dp_cnt")), lit(0L)).as("__dp_off_cnt"),
-        (cums.map { case (name, _) =>
-          coalesce(sum(col(s"r.__dp_t_$name")), lit(0L))
-            .as(s"__dp_off_$name")
-        } ++ maxPrev.map { case (name, _) =>
-          max(col(s"r.__dp_m_$name")).as(s"__dp_offm_$name")
-        }): _*)
-      .select(partCols.map(k => col(s"l.$k").as(k)) ++
-              ("__dp_off_cnt" +: (cums.map(c => s"__dp_off_${c._1}") ++
-                                  maxPrev.map(c => s"__dp_offm_${c._1}")))
-                .map(col): _*)
-
-    var out = local.join(broadcast(prior), partCols)
-
-    // Group totals (ntile / cume_dist denominators) — another rollup of
-    // the tiny offsets frame, broadcast back per group.
-    groupN.foreach { gn =>
-      val tot =
-        if (part.isEmpty)
-          offs.agg(coalesce(sum(col("__dp_cnt")), lit(0L)).as(gn))
-        else
-          offs.groupBy(part.map(col): _*)
-            .agg(sum(col("__dp_cnt")).as(gn))
-      out =
-        if (part.isEmpty) out.crossJoin(broadcast(tot))
-        else out.join(broadcast(tot), part)
+    var out: DataFrame = null
+    if (part.isEmpty) {
+      // GLOBAL order (r18): the whole offsets table rides ONE scalar
+      // subquery instead of the broadcast theta self-join + group-total
+      // rollup + their stitch joins. Buckets are contiguous by
+      // construction — every cut is a sampled data value, so for cut
+      // c_j the rows equal to c_j land exactly in bucket j and every
+      // pid 0..#cuts is populated — which makes the per-row lookup a
+      // plain element_at(arr, pid + 1). The strictly-prior offsets are
+      // prefix-folds over the pid-sorted array (exact int64 adds in
+      // ascending pid order ≡ the old per-join sums; `greatest` skips
+      // nulls exactly like the old max), computed once in the subquery
+      // — O(buckets²) struct reads, ≤16M at the 4096-bucket cap, per
+      // ACTION not per row. Fewer per-action job rounds (the r16 move
+      // to in-plan cuts made round count the tier's dominant cost at
+      // test SFs) and zero join machinery in the stitch at any scale.
+      val payload = struct(
+        (pid +: "__dp_cnt" +:
+          (cums.map(c => s"__dp_t_${c._1}") ++
+           maxPrev.map(c => s"__dp_m_${c._1}"))).map(col): _*)
+      val mTypes: Map[String, org.apache.spark.sql.types.DataType] =
+        maxPrev.map { case (name, _) =>
+          name -> offs0.schema(s"__dp_m_$name").dataType
+        }.toMap
+      val prefixed = offs
+        .agg(array_sort(collect_list(payload)).as("__dp_a"))
+        .select(struct(
+          transform(col("__dp_a"), (_, i) => {
+            val prior = slice(col("__dp_a"), lit(1), i)
+            struct(
+              (aggregate(prior, lit(0L),
+                 (a, y) => a + y.getField("__dp_cnt")).as("__dp_off_cnt") +:
+               (cums.map { case (name, _) =>
+                 aggregate(prior, lit(0L),
+                   (a, y) => a + y.getField(s"__dp_t_$name"))
+                   .as(s"__dp_off_$name")
+               } ++ maxPrev.map { case (name, _) =>
+                 aggregate(prior, lit(null).cast(mTypes(name)),
+                   (a, y) => greatest(a, y.getField(s"__dp_m_$name")))
+                   .as(s"__dp_offm_$name")
+               })): _*)
+          }).as("__dp_offarr"),
+          aggregate(col("__dp_a"), lit(0L),
+            (a, y) => a + y.getField("__dp_cnt")).as("__dp_gn")).as("__dp_o"))
+        .scalar()
+      val me = element_at(prefixed.getField("__dp_offarr"), col(pid) + 1)
+      out = local.withColumn("__dp_off_cnt", me.getField("__dp_off_cnt"))
+      cums.foreach { case (name, _) =>
+        out = out.withColumn(s"__dp_off_$name", me.getField(s"__dp_off_$name"))
+      }
+      maxPrev.foreach { case (name, _) =>
+        out = out.withColumn(s"__dp_offm_$name",
+          me.getField(s"__dp_offm_$name"))
+      }
+      groupN.foreach { gn =>
+        out = out.withColumn(gn, prefixed.getField("__dp_gn"))
+      }
+    } else {
+      // GROUPED: strictly-prior offsets via the window-free broadcast
+      // theta self-join over the constant-bounded offsets frame. The
+      // join matches the whole GROUP (not only strictly-prior buckets)
+      // and the prior filter lives in conditional aggregates, so the
+      // same pass also yields the group total `groupN` needs — one
+      // rollup + one broadcast join where r16-r18.0 ran two of each
+      // per action (the sums are the same exact int64 either way,
+      // every l row matches at least itself)
+      val isPrior = col(s"r.$pid") < col(s"l.$pid")
+      val prior = offs.as("l")
+        .join(broadcast(offs.as("r")), sameGroup("l", "r"), "left")
+        .groupBy(partCols.map(k => col(s"l.$k")): _*)
+        .agg(coalesce(sum(when(isPrior, col("r.__dp_cnt"))), lit(0L))
+               .as("__dp_off_cnt"),
+          (cums.map { case (name, _) =>
+            coalesce(sum(when(isPrior, col(s"r.__dp_t_$name"))), lit(0L))
+              .as(s"__dp_off_$name")
+          } ++ maxPrev.map { case (name, _) =>
+            max(when(isPrior, col(s"r.__dp_m_$name"))).as(s"__dp_offm_$name")
+          } ++ groupN.map { gn =>
+            sum(col("r.__dp_cnt")).as(gn)
+          }): _*)
+        .select(partCols.map(k => col(s"l.$k").as(k)) ++
+                ("__dp_off_cnt" +: (cums.map(c => s"__dp_off_${c._1}") ++
+                                    maxPrev.map(c => s"__dp_offm_${c._1}") ++
+                                    groupN.toSeq))
+                  .map(col): _*)
+      out = local.join(broadcast(prior), partCols)
     }
 
     // lead(x, 1) boundary stitch: the next bucket's first src value

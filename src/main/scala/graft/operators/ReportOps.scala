@@ -1505,7 +1505,15 @@ object ReportOps {
         when(col("q1").isNull, col("c0")).otherwise(0L).as("lapsed_c"),
         when(matched, 1L).otherwise(0L).as("is_m"),
         when(col("q0").isNull, 1L).otherwise(0L).as("is_n"),
-        when(col("q1").isNull, 1L).otherwise(0L).as("is_l"))
+        when(col("q1").isNull, 1L).otherwise(0L).as("is_l"),
+        // monthly revenue totals derived IN the bridge rollup (r18):
+        // each (month, pk) cell of pm appears exactly once on the cur
+        // side of the full outer (and its shifted copy once on the
+        // prev side), so Σ c1 per month ≡ mrev and Σ c0 ≡ mrev at the
+        // prior month — the two extra lineitem rollups and their month
+        // joins the old plan ran are redundant recomputation
+        coalesce(col("c1"), lit(0L)).as("c1n"),
+        coalesce(col("c0"), lit(0L)).as("c0n"))
       .groupBy(col("month"))
       .agg(sum(col("ve_micro").cast("decimal(38,0)"))
              .cast("decimal(38,0)").as("ve_s"),
@@ -1513,12 +1521,14 @@ object ReportOps {
              .cast("decimal(38,0)").as("pe_s"),
            sum(col("new_c")).as("new_s"), sum(col("lapsed_c")).as("lap_s"),
            sum(col("is_m")).as("n_matched"), sum(col("is_n")).as("n_new"),
-           sum(col("is_l")).as("n_lapsed"))
-    val mrev = pm.groupBy(col("month")).agg(sum(col("c")).as("rev"))
-    val mprev = mrev.select(add_months(col("month"), 1).as("month"),
-                            col("rev").as("rev_prev"))
+           sum(col("is_l")).as("n_lapsed"),
+           sum(col("c1n")).as("rev"), sum(col("c0n")).as("rev_prev"))
     ord(
-      eff.join(mrev, Seq("month")).join(mprev, Seq("month"))
+      // the old inner joins against mrev/mprev kept exactly the months
+      // with ≥1 current-month part AND ≥1 prior-month part; the flag
+      // sums reproduce that membership bit-for-bit
+      eff.filter(col("n_matched") + col("n_new") > 0 &&
+                 col("n_matched") + col("n_lapsed") > 0)
         .select(col("month"), col("n_matched"), col("n_new"),
           col("n_lapsed"),
           r4(col("ve_s").cast("double") / 1000000.0 / 100.0)

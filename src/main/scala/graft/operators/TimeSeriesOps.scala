@@ -2004,15 +2004,23 @@ object TimeSeriesOps {
     val tot = pv.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
                      count(lit(1)).as("n_support"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // segment sum indexed from the segment's UPPER point (r18): the
+    // W₁ segment between consecutive support values y < x contributes
+    // (x − y)·|F_A(y)·n_b − F_B(y)·n_a|; reading it on row x with the
+    // strictly-prior cumulations (cum − own count) is term-for-term
+    // identical to the old lead1 form read on row y, but maxPrev rides
+    // the tier's offsets array for free while lead1 pays its own
+    // boundary-stitch joins (the plan sheds the firsts/nexts subtrees)
     val cum = graft.functions.Dist.prefix(pv, Nil, Seq(col("cents")),
         cums = Seq("cuma" -> col("ca"), "cumb" -> col("cb")),
-        lead1 = Some(("cents", "__next")))
-      .withColumn("gap", col("__next") - col("cents"))
+        maxPrev = Seq("__prev" -> col("cents")))
+      .withColumn("gap", col("cents") - col("__prev"))
       .filter(col("gap").isNotNull)
     // single-row total even when the gap frame is empty (one distinct
     // value → W₁ = 0 must still SURFACE — §2.10 spine rule)
     val ts = cum.crossJoin(broadcast(tot))
-      .select((dec(abs(col("cuma") * col("nb") - col("cumb") * col("na"))) *
+      .select((dec(abs((col("cuma") - col("ca")) * col("nb") -
+                       (col("cumb") - col("cb")) * col("na"))) *
                dec(col("gap"))).cast("decimal(38,0)").as("t"))
       .agg(sum(col("t")).cast("decimal(38,0)").as("ts"))
     ord(

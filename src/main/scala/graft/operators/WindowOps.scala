@@ -674,6 +674,10 @@ object WindowOps {
         greatest(-floor((col("end_sec") - col("ts_sec")) /
                         lit(DecayHalflifeSec.toDouble)),
                  lit(-DecayExpFloor.toDouble))))
+      // two consumers (the per-session weight-sum rollup and the final
+      // credit join): persist the weighted touch frame once instead of
+      // re-running the store scan + session join per subtree (r18)
+      .shared
     val wsum = evw.groupBy(col("user_id"), col("sid"))
       .agg(sum(col("w")).as("wsum"))
     ord(
