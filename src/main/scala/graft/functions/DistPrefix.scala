@@ -365,18 +365,29 @@ object Dist {
           aggregate(col("__dp_a"), lit(0L),
             (a, y) => a + y.getField("__dp_cnt")).as("__dp_gn")).as("__dp_o"))
         .scalar()
-      val me = element_at(prefixed.getField("__dp_offarr"), col(pid) + 1)
-      out = local.withColumn("__dp_off_cnt", me.getField("__dp_off_cnt"))
+      // Bind the subquery value to ONE column and read fields from the
+      // column: a fresh reference per withColumn would re-analyze into
+      // a distinct subquery instance (lambda variables get new ids, so
+      // canonical forms differ and ReuseSubquery cannot dedup them) —
+      // measured as one FULL extra offsets execution per referenced
+      // field (q_wasserstein ran the subquery 4×). CollapseProject
+      // keeps multi-referenced non-cheap aliases, so the binding
+      // survives optimization.
+      out = local.withColumn("__dp_sub", prefixed)
+        .withColumn("__dp_me",
+          element_at(col("__dp_sub.__dp_offarr"), col(pid) + 1))
+      out = out.withColumn("__dp_off_cnt", col("__dp_me.__dp_off_cnt"))
       cums.foreach { case (name, _) =>
-        out = out.withColumn(s"__dp_off_$name", me.getField(s"__dp_off_$name"))
+        out = out.withColumn(s"__dp_off_$name", col(s"__dp_me.__dp_off_$name"))
       }
       maxPrev.foreach { case (name, _) =>
         out = out.withColumn(s"__dp_offm_$name",
-          me.getField(s"__dp_offm_$name"))
+          col(s"__dp_me.__dp_offm_$name"))
       }
       groupN.foreach { gn =>
-        out = out.withColumn(gn, prefixed.getField("__dp_gn"))
+        out = out.withColumn(gn, col("__dp_sub.__dp_gn"))
       }
+      out = out.drop("__dp_sub", "__dp_me")
     } else {
       // GROUPED: strictly-prior offsets via the window-free broadcast
       // theta self-join over the constant-bounded offsets frame. The

@@ -439,6 +439,12 @@ object LlmOps {
     // stays tiny (≤ 8n/(4·floor) cells even in the pathological
     // everything-just-over limit; a corpus that big and that skewed
     // routes to the IVF path long before this broadcast matters).
+    // (r18 negative result: deriving __n_label from the t = 0 cells via
+    // a label-partitioned window — instead of this separate em0 rollup
+    // — saves the extra corpus pass but puts a sequential exchange on
+    // the heavy branch's critical path where the labN rollup runs as a
+    // parallel branch; measured +0.2-0.3 s cold on both embcos
+    // variants, reverted)
     val labN = em0.groupBy(col("label")).agg(count(lit(1)).as("__n_label"))
     val heavy = bk.groupBy(col("label"), col("t"), col("bucket"))
       .agg(count(lit(1)).as("__occ"))
