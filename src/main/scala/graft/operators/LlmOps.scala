@@ -479,6 +479,12 @@ object LlmOps {
           .otherwise(pmod(xxhash64(col("t"), col("vec_id")),
                           col("__occ_k").cast("long"))))
       .select(col("label"), col("vec_id"), col("t"), col("bucket"), col("sub"))
+      // both sides of the candidate self-join consume this frame; it is
+      // NARROW (five small columns, no vector arrays — the em0 persist
+      // that r17 measured slower carried the 64-double embeddings), so
+      // one materialization beats re-running the explode + cap join
+      // per side (r18)
+      .shared
     val l = bkSub.select(col("label"), col("t"), col("bucket"), col("sub"),
                          col("vec_id").as("v1"))
     val r = bkSub.select(col("label").as("lb2"), col("t").as("t2"),

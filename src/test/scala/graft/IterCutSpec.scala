@@ -74,16 +74,42 @@ class IterCutSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft_iter_ckpt").toString)
     spark.conf.set(Iter.CheckpointDirKey, dir)
     try {
-      val before = ckptFiles(dir)
+      val before = rddDirs(dir)
       val reliableForm = rows()
       assert(reliableForm == localForm,
         "reliable-checkpoint markov chain diverged from the local form")
       assert(localForm.nonEmpty, "markov fixture returned no channels")
-      // the chain actually wrote reliable checkpoints (all four layers
-      // run under the key, so file count strictly increases)
-      assert(ckptFiles(dir) > before,
+      // the chain actually wrote reliable checkpoints: at least one NEW
+      // rdd-* checkpoint dir appeared. Compared as a SET of names, not
+      // a file count — GraftSession sets cleanCheckpoints=true, so the
+      // ContextCleaner may delete EARLIER tests' checkpoint files
+      // concurrently and a raw count can fail to increase even though
+      // this chain wrote its checkpoints (observed flaky under full-
+      // suite load, r18)
+      assert((rddDirs(dir) -- before).nonEmpty,
         "no reliable checkpoint files were written by the markov chain")
     } finally spark.conf.unset(Iter.CheckpointDirKey)
+  }
+
+  /** Names of rdd-* checkpoint subdirs under `dir` (one per
+    * checkpointed RDD — creation proves a reliable write even when the
+    * cleaner concurrently removes other entries). */
+  private def rddDirs(dir: String): Set[String] = {
+    val p =
+      if (dir.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(dir))
+      else java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) Set.empty
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(q => java.nio.file.Files.isDirectory(q) &&
+            q.getFileName.toString.startsWith("rdd-"))
+          .map(_.toString).toSet
+      } finally s.close()
+    }
   }
 
   private def ckptFiles(dir: String): Long = {
