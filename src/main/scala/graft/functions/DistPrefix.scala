@@ -172,6 +172,22 @@ object Dist {
     *               [2, [[MaxBuckets]]], so tiny frames pay one cut of
     *               fixed overhead and data-scale frames keep full
     *               parallelism
+    * @param wideGroups grouped-path offsets strategy (r19). The default
+    *               (false) rides the offsets on ONE scalar subquery —
+    *               a (part…, pid)-sorted array prefix-folded by
+    *               [[DistFold]] in O(|offsets|), looked up per row by
+    *               [[DistBucket]] binary search — which is correct at
+    *               any size but COLLECTS the whole |groups|-bounded
+    *               offsets frame onto one task. Every current caller's
+    *               group domain is constant-bounded (segments, langs,
+    *               variants, calendar days), where that array is tiny.
+    *               A caller whose group domain is DATA-PROPORTIONAL
+    *               (per-customer, per-document) must pass true to keep
+    *               the broadcast theta-join stitch instead, which
+    *               degrades via broadcast pressure rather than a
+    *               single-task array build. The caller owns this
+    *               choice because group-domain cardinality is a
+    *               semantic fact the plan cannot know.
     */
   def prefix(df: DataFrame,
              part: Seq[String],
@@ -182,7 +198,8 @@ object Dist {
              groupN: Option[String] = None,
              lead1: Option[(String, String)] = None,
              maxPrev: Seq[(String, Column)] = Nil,
-             parts: Int = 0): DataFrame = {
+             parts: Int = 0,
+             wideGroups: Boolean = false): DataFrame = {
     val pid = "__dp_pid"
     val lrn = "__dp_lrn"
     val partCols = pid +: part
@@ -320,74 +337,104 @@ object Dist {
 
     val sameGroup = (l: String, r: String) =>
       part.foldLeft(lit(true))((c, k) => c && col(s"$l.$k") <=> col(s"$r.$k"))
+    DistFold.register(df.sparkSession)
+    // Read the fold's generically-named entry fields back into the
+    // tier's offset columns. Bind the subquery value to ONE column and
+    // read fields from it: a fresh reference per withColumn would
+    // re-analyze into a distinct subquery instance (lambda variables
+    // get new ids, so canonical forms differ and ReuseSubquery cannot
+    // dedup them) — measured r18 as one FULL extra offsets execution
+    // per referenced field (q_wasserstein ran the subquery 4×).
+    // CollapseProject keeps multi-referenced non-cheap aliases, so the
+    // binding survives optimization.
+    def readEntry(base: DataFrame): DataFrame = {
+      var o = base.withColumn("__dp_off_cnt", col("__dp_me.cnt"))
+      cums.zipWithIndex.foreach { case ((name, _), i) =>
+        o = o.withColumn(s"__dp_off_$name", col(s"__dp_me.c${i + 1}"))
+      }
+      maxPrev.zipWithIndex.foreach { case ((name, _), j) =>
+        o = o.withColumn(s"__dp_offm_$name", col(s"__dp_me.m${j + 1}"))
+      }
+      o
+    }
     var out: DataFrame = null
     if (part.isEmpty) {
-      // GLOBAL order (r18): the whole offsets table rides ONE scalar
-      // subquery instead of the broadcast theta self-join + group-total
-      // rollup + their stitch joins. Buckets are contiguous by
-      // construction — every cut is a sampled data value, so for cut
-      // c_j the rows equal to c_j land exactly in bucket j and every
-      // pid 0..#cuts is populated — which makes the per-row lookup a
-      // plain element_at(arr, pid + 1). The strictly-prior offsets are
-      // prefix-folds over the pid-sorted array (exact int64 adds in
-      // ascending pid order ≡ the old per-join sums; `greatest` skips
-      // nulls exactly like the old max), computed once in the subquery
-      // — O(buckets²) struct reads, ≤16M at the 4096-bucket cap, per
-      // ACTION not per row. Fewer per-action job rounds (the r16 move
-      // to in-plan cuts made round count the tier's dominant cost at
-      // test SFs) and zero join machinery in the stitch at any scale.
+      // GLOBAL order (r18; fold rewritten r19): the whole offsets table
+      // rides ONE scalar subquery instead of the broadcast theta
+      // self-join + group-total rollup + their stitch joins. Buckets
+      // are contiguous by construction — every cut is a sampled data
+      // value, so for cut c_j the rows equal to c_j land exactly in
+      // bucket j and every pid 0..#cuts is populated — which makes the
+      // per-row lookup a plain element_at(arr, pid + 1). The
+      // strictly-prior offsets are ONE [[DistFold]] pass over the
+      // pid-sorted array (exact int64 adds in ascending pid order ≡
+      // the old per-join sums; maxes skip nulls exactly like the old
+      // `greatest` chain), O(buckets) per ACTION — replacing the r18
+      // transform×slice×aggregate fold whose interpreted lambdas cost
+      // O(buckets²·fields) struct reads at the 4096-bucket cap.
       val payload = struct(
         (pid +: "__dp_cnt" +:
           (cums.map(c => s"__dp_t_${c._1}") ++
            maxPrev.map(c => s"__dp_m_${c._1}"))).map(col): _*)
-      val mTypes: Map[String, org.apache.spark.sql.types.DataType] =
-        maxPrev.map { case (name, _) =>
-          name -> offs0.schema(s"__dp_m_$name").dataType
-        }.toMap
       val prefixed = offs
         .agg(array_sort(collect_list(payload)).as("__dp_a"))
-        .select(struct(
-          transform(col("__dp_a"), (_, i) => {
-            val prior = slice(col("__dp_a"), lit(1), i)
-            struct(
-              (aggregate(prior, lit(0L),
-                 (a, y) => a + y.getField("__dp_cnt")).as("__dp_off_cnt") +:
-               (cums.map { case (name, _) =>
-                 aggregate(prior, lit(0L),
-                   (a, y) => a + y.getField(s"__dp_t_$name"))
-                   .as(s"__dp_off_$name")
-               } ++ maxPrev.map { case (name, _) =>
-                 aggregate(prior, lit(null).cast(mTypes(name)),
-                   (a, y) => greatest(a, y.getField(s"__dp_m_$name")))
-                   .as(s"__dp_offm_$name")
-               })): _*)
-          }).as("__dp_offarr"),
-          aggregate(col("__dp_a"), lit(0L),
-            (a, y) => a + y.getField("__dp_cnt")).as("__dp_gn")).as("__dp_o"))
+        .select(call_function("dist_fold", col("__dp_a"),
+          lit(0), lit(cums.size)).as("__dp_o"))
         .scalar()
-      // Bind the subquery value to ONE column and read fields from the
-      // column: a fresh reference per withColumn would re-analyze into
-      // a distinct subquery instance (lambda variables get new ids, so
-      // canonical forms differ and ReuseSubquery cannot dedup them) —
-      // measured as one FULL extra offsets execution per referenced
-      // field (q_wasserstein ran the subquery 4×). CollapseProject
-      // keeps multi-referenced non-cheap aliases, so the binding
-      // survives optimization.
-      out = local.withColumn("__dp_sub", prefixed)
-        .withColumn("__dp_me",
-          element_at(col("__dp_sub.__dp_offarr"), col(pid) + 1))
-      out = out.withColumn("__dp_off_cnt", col("__dp_me.__dp_off_cnt"))
-      cums.foreach { case (name, _) =>
-        out = out.withColumn(s"__dp_off_$name", col(s"__dp_me.__dp_off_$name"))
-      }
-      maxPrev.foreach { case (name, _) =>
-        out = out.withColumn(s"__dp_offm_$name",
-          col(s"__dp_me.__dp_offm_$name"))
-      }
+      out = readEntry(
+        local.withColumn("__dp_sub", prefixed)
+          .withColumn("__dp_me",
+            element_at(col("__dp_sub.arr"), col(pid) + 1)))
       groupN.foreach { gn =>
-        out = out.withColumn(gn, col("__dp_sub.__dp_gn"))
+        out = out.withColumn(gn, col("__dp_sub.gn"))
       }
       out = out.drop("__dp_sub", "__dp_me")
+    } else if (!wideGroups) {
+      // GROUPED, bounded group domain (r19, the r18 verdict ask #1):
+      // the same single-subquery design as the global path, extended
+      // with group keys. The (part…, pid)-sorted offsets array is
+      // prefix-folded by [[DistFold]] (group-key changes reset the
+      // running sums, and each entry carries its group total), and
+      // every row finds its entry by [[DistBucket]] binary search over
+      // the parallel keys array — dist_bucket returns the count of
+      // tuples strictly before (part…, pid), which IS the entry's
+      // 0-based index because every row's (part…, pid) exists in the
+      // offsets frame by construction. This removes the broadcast
+      // theta self-join + conditional-aggregate rollup + broadcast
+      // stitch join (two broadcast builds per action) from the grouped
+      // plan. The collected array is |groups| + buckets entries —
+      // constant-bounded for every current caller (see @param
+      // wideGroups for the contract and the escape hatch).
+      val payloadG = struct(
+        (part.zipWithIndex.map { case (p, i) => col(p).as(s"k$i") } ++
+          (Seq(pid, "__dp_cnt").map(col)) ++
+          cums.map(c => col(s"__dp_t_${c._1}")) ++
+          maxPrev.map(c => col(s"__dp_m_${c._1}"))): _*)
+      val keysOf = (x: Column) => struct(
+        ((0 until part.size).map(i => x.getField(s"k$i")) :+
+          x.getField(pid)): _*)
+      val subVal = offs
+        .agg(array_sort(collect_list(payloadG)).as("__dp_a"))
+        .select(struct(
+          transform(col("__dp_a"), x => keysOf(x)).as("ks"),
+          call_function("dist_fold", col("__dp_a"),
+            lit(part.size), lit(cums.size)).as("fo")).as("__dp_o"))
+        .scalar()
+      // part keys sort ascending-nulls-first in both the array_sort
+      // struct ordering and this spec, so the binary search walks the
+      // exact order the array holds
+      val specG = (part.map(_ => "af") :+ "af").mkString(",")
+      out = readEntry(
+        local.withColumn("__dp_sub", subVal)
+          .withColumn("__dp_idx", call_function("dist_bucket",
+            lit(specG) +: col("__dp_sub.ks") +:
+              (part.map(col) :+ col(pid)): _*))
+          .withColumn("__dp_me",
+            element_at(col("__dp_sub.fo.arr"), col("__dp_idx") + 1)))
+      groupN.foreach { gn =>
+        out = out.withColumn(gn, col("__dp_me.gn"))
+      }
+      out = out.drop("__dp_sub", "__dp_idx", "__dp_me")
     } else {
       // GROUPED: strictly-prior offsets via the window-free broadcast
       // theta self-join over the constant-bounded offsets frame. The
@@ -416,7 +463,19 @@ object Dist {
                                     maxPrev.map(c => s"__dp_offm_${c._1}") ++
                                     groupN.toSeq))
                   .map(col): _*)
-      out = local.join(broadcast(prior), partCols)
+      // NULL-SAFE stitch (r19): `join(.., partCols)` equi-join semantics
+      // drop rows whose group key is NULL — latent in r16-r18 (no tier
+      // caller groups by a nullable key) but a divergence from both the
+      // window semantics and the subquery path, so the escape hatch
+      // joins on <=> like the prior self-join above it
+      val priorR = prior.select(
+        partCols.map(k => col(k).as(s"__dp_r_$k")) ++
+          ("__dp_off_cnt" +: (cums.map(c => s"__dp_off_${c._1}") ++
+                              maxPrev.map(c => s"__dp_offm_${c._1}") ++
+                              groupN.toSeq)).map(col): _*)
+      out = local.join(broadcast(priorR),
+          partCols.map(k => col(k) <=> col(s"__dp_r_$k")).reduce(_ && _))
+        .drop(partCols.map(k => s"__dp_r_$k"): _*)
     }
 
     // lead(x, 1) boundary stitch: the next bucket's first src value
@@ -429,11 +488,15 @@ object Dist {
               sameGroup("l", "r") && col(s"r.$pid") > col(s"l.$pid"), "left")
         .groupBy(partCols.map(k => col(s"l.$k")): _*)
         .agg(min_by(col("r.__dp_first"), col(s"r.$pid")).as("__dp_next"))
-        .select(partCols.map(k => col(s"l.$k").as(k)) :+ col("__dp_next"): _*)
-      out = out.join(broadcast(nexts), partCols)
+        .select(partCols.map(k => col(s"l.$k").as(s"__dp_r_$k")) :+
+                col("__dp_next"): _*)
+      // null-safe like the offsets stitch (r19) — groups can be NULL
+      out = out.join(broadcast(nexts),
+          partCols.map(k => col(k) <=> col(s"__dp_r_$k")).reduce(_ && _))
         .withColumn(outName,
           coalesce(col(s"__dp_l_$outName"), col("__dp_next")))
-        .drop("__dp_next", s"__dp_l_$outName")
+        .drop(partCols.map(k => s"__dp_r_$k") :+ "__dp_next" :+
+              s"__dp_l_$outName": _*)
     }
 
     // Lift local → global and drop the scaffolding.

@@ -258,6 +258,102 @@ class DistPrefixSpec extends AnyFunSuite {
     assert(bucketOf(Seq(1.0, 2.0, 3.0), 2.5) == ((2, 2)))
   }
 
+  /** r19: the grouped path's offsets now ride one scalar subquery
+    * ([[graft.functions.DistFold]] prefix fold + dist_bucket lookup)
+    * by default; `wideGroups = true` keeps the broadcast theta-join
+    * stitch for data-proportional group domains. Both forms must be
+    * bit-equal — to each other and to the reference window — including
+    * on NULL group keys (the fold's group-change comparator and the
+    * lookup's nulls-first spec both place nulls like the sort). */
+  test("grouped subquery path == join path == reference, incl. null groups") {
+    val withNulls = base.withColumn("g",
+      when(col("k") % 5 === 0, lit(null: String)).otherwise(col("g")))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("k"))
+    val ref = withNulls
+      .withColumn("cs", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("pm", max(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+    def mk(wide: Boolean) = Dist.prefix(withNulls, Seq("g"),
+      Seq(col("v"), col("k")), cums = Seq("cs" -> col("x")),
+      rowNum = Some("rn"), groupN = Some("n"),
+      maxPrev = Seq("pm" -> col("x")), parts = 7, wideGroups = wide)
+    val cols = Seq("k", "cs", "rn", "pm", "n")
+    val sub = sortedRows(mk(false), cols: _*)
+    val join = sortedRows(mk(true), cols: _*)
+    val refRows = sortedRows(ref, cols: _*)
+    assert(sub == refRows, "subquery grouped path diverged from window")
+    assert(join == refRows, "join grouped path diverged from window")
+  }
+
+  /** r19: the grouped default path must carry NO join for the offsets
+    * stitch — the whole point of the subquery redesign is zero join
+    * machinery (and two fewer broadcast builds) per action. The only
+    * joins the wide (escape-hatch) form keeps are the offsets stitch
+    * ones. */
+  test("grouped subquery path plans no offsets join; wideGroups keeps it") {
+    def joins(wide: Boolean) = Dist.prefix(base, Seq("g"),
+        Seq(col("v"), col("k")), cums = Seq("cs" -> col("x")),
+        groupN = Some("n"), parts = 7, wideGroups = wide)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    assert(joins(wide = false) == 0,
+      "grouped subquery path still plans a join")
+    assert(joins(wide = true) >= 1,
+      "wideGroups escape hatch lost its join stitch")
+  }
+
+  /** r19: [[graft.functions.DistFold]] pinned directly against a brute
+    * force over the same array — strictly-prior sums/maxes reset per
+    * group, per-entry group totals, null maxes skipped, empty input. */
+  test("dist_fold matches a brute-force prefix walk") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    import graft.functions.DistFold
+    // layout: g=1 key (long), pid int, cnt long, c=1 cum long, m=1 max
+    // (nullable long)
+    val elem = StructType(Seq(
+      StructField("k0", LongType), StructField("pid", IntegerType),
+      StructField("cnt", LongType), StructField("c1", LongType),
+      StructField("m1", LongType)))
+    val rows: Seq[(Long, Int, Long, Long, Option[Long])] = Seq(
+      (1L, 0, 3L, 10L, Some(5L)), (1L, 1, 2L, 7L, None),
+      (1L, 2, 4L, 1L, Some(9L)), (2L, 3, 1L, 2L, None),
+      (3L, 4, 6L, 6L, Some(2L)), (3L, 5, 2L, 3L, Some(1L)))
+    val arr = new GenericArrayData(rows.map { case (k, p, n, c1, m1) =>
+      new GenericInternalRow(
+        Array[Any](k, p, n, c1, m1.map(Long.box).orNull)): Any
+    }.toArray)
+    val e = DistFold(Seq(
+      Literal.create(arr, ArrayType(elem)), Literal(1), Literal(1)))
+    val got = e.eval(InternalRow.empty).asInstanceOf[InternalRow]
+    val entries = got.getArray(0)
+    assert(got.getLong(1) == rows.map(_._3).sum) // grand total
+    // brute force per entry
+    rows.zipWithIndex.foreach { case ((k, _, _, _, _), i) =>
+      val prior = rows.take(i).filter(_._1 == k)
+      val grp = rows.filter(_._1 == k)
+      val ent = entries.getStruct(i, 4)
+      assert(ent.getLong(0) == prior.map(_._3).sum, s"cnt@$i")
+      assert(ent.getLong(1) == prior.map(_._4).sum, s"c1@$i")
+      val pm = prior.flatMap(_._5)
+      if (pm.isEmpty) assert(ent.isNullAt(2), s"m1@$i should be null")
+      else assert(ent.getLong(2) == pm.max, s"m1@$i")
+      assert(ent.getLong(3) == grp.map(_._3).sum, s"gn@$i")
+    }
+    // empty array: empty entries, zero grand total
+    val empty = DistFold(Seq(
+      Literal.create(new GenericArrayData(Array.empty[Any]),
+        ArrayType(elem)), Literal(1), Literal(1)))
+      .eval(InternalRow.empty).asInstanceOf[InternalRow]
+    assert(empty.getArray(0).numElements() == 0 && empty.getLong(1) == 0L)
+  }
+
   test("plans carry no unpartitioned window and no cartesian product") {
     val got = Dist.prefix(base, Nil, Seq(col("v"), col("k")),
       cums = Seq("cs" -> col("x")), rowNum = Some("rn"),
