@@ -395,7 +395,15 @@ object LlmOps {
     * `em0` must carry (label, vec_id, v) plus whatever extra broadcast
     * columns the sign predicate references (the centered variant rides
     * its 1-row sums frame); `signAt(i)` must yield the plane-sign
-    * boolean for 1-based component index column `i`. */
+    * boolean for 1-based component index column `i`.
+    *
+    * (r19 negative results, both measured and reverted: deriving the
+    * plane-count knob from the centered variant's sums frame instead
+    * of this count re-executed the 64-column aggregate for the second
+    * broadcast — the count pass it replaced is column-pruned and
+    * near-free; persisting the 1-row sums frame to dedup that added
+    * cache-accounting jobs (36→47 per 4 actions) and measured slower,
+    * the r18 small-frame-persist lesson again.) */
   private def embcosBlockedTop20(s: SparkSession, em0: DataFrame,
                                  signAt: Column => Column,
                                  variant: String): DataFrame = {
@@ -407,6 +415,19 @@ object LlmOps {
       .when(col("n_corpus") <= 131072, 9)
       .otherwise(10)
     val nv = em0.agg(count(lit(1)).as("n_corpus")).select(planes.as("pl"))
+    // (r19 negative result, measured and reverted — the r18 verdict's
+    // ranked ask #3: precompute a per-vector 64-bit sign mask before
+    // the table explode — when(signAt(j+1), 1L<<j) summed over j —
+    // and read buckets as shiftrightunsigned bit tests after it. The
+    // arithmetic is bit-identical and evaluates 64 sign predicates per
+    // vector instead of 8×10 through the explode, but it measured
+    // consistently SLOWER at sf0.1/8c over five-rep A/B pairs: centered
+    // warm min 0.83-0.92 → 1.01-1.15 s, raw 0.42-0.49 → 0.52-0.53 s,
+    // cold first-action +3 s. The 64-term chained conditional mask is
+    // a heavier expression tree than the 80 direct predicate
+    // evaluations it replaces at these corpus sizes, and the explode
+    // frame's width was never the exchange cost (the bucket projection
+    // prunes `v` before any shuffle either way).)
     val bucket = (0 until 10).map { j =>
       val comp = pmod(col("t") * col("pl") + lit(j), lit(64)) + lit(1)
       when(lit(j) < col("pl") && signAt(comp), lit(1 << j)).otherwise(lit(0))
