@@ -664,24 +664,28 @@ object WindowOps {
     * binary orders, so sum(w) is exact whatever the add order. A
     * 2⁻⁴⁰ credit share is ~10⁻¹² of the final touch — zero at r4. */
   def attributionDecay(s: SparkSession, d: String): DataFrame = {
-    val ev = sessionized(s, d, col("event_type"), col("value"))
-    val sess = ev.groupBy(col("user_id"), col("sid"))
-      .agg(sum(when(col("event_type") === "purchase", col("value"))
-                 .otherwise(lit(0.0))).as("rev"),
-           max(col("ts_sec")).as("end_sec"))
-    val evw = ev.join(sess, Seq("user_id", "sid"))
-      .withColumn("w", pow(lit(2.0),
-        greatest(-floor((col("end_sec") - col("ts_sec")) /
-                        lit(DecayHalflifeSec.toDouble)),
-                 lit(-DecayExpFloor.toDouble))))
-      // two consumers (the per-session weight-sum rollup and the final
-      // credit join): persist the weighted touch frame once instead of
-      // re-running the store scan + session join per subtree (r18)
-      .shared
-    val wsum = evw.groupBy(col("user_id"), col("sid"))
-      .agg(sum(col("w")).as("wsum"))
+    // One pass over the bucketed session store (r19, replacing the r18
+    // rollup ⋈ store ⋈ weight-sum chain + its persist): the per-session
+    // revenue/anchor and the weight sum are WINDOW aggregates over the
+    // same (user_id, sid) partitioning the store's bucket layout
+    // already provides — two stacked WindowExecs on one sort, zero
+    // joins, zero persists, the store scanned once. The weight-sum
+    // window must be a second node (w derives from the first window's
+    // end_sec) but shares its sort. Values are identical: every window
+    // aggregate here is the session-constant the old join attached
+    // (the weight sum stays the exact dyadic-multiset sum whatever the
+    // add order — the clamp note above).
+    val wSess = Window.partitionBy(col("user_id"), col("sid"))
     ord(
-      evw.join(wsum, Seq("user_id", "sid"))
+      sessionized(s, d, col("event_type"), col("value"))
+        .withColumn("rev",
+          sum(when(col("event_type") === "purchase", col("value"))
+                .otherwise(lit(0.0))).over(wSess))
+        .withColumn("w", pow(lit(2.0),
+          greatest(-floor((max(col("ts_sec")).over(wSess) - col("ts_sec")) /
+                          lit(DecayHalflifeSec.toDouble)),
+                   lit(-DecayExpFloor.toDouble))))
+        .withColumn("wsum", sum(col("w")).over(wSess))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_touches"),
              r4(sum(col("rev") * col("w") / col("wsum"))).as("revenue")),
