@@ -971,9 +971,15 @@ object CurationOps {
               posexplode(expr(s"transform(sequence(0, m - $SpanGram), " +
                 "p -> xxhash64(concat_ws(' ', slice(w, p + 1, " +
                 SpanGram + "))))")).as(Seq("p", "g")))
+    // df ≥ 2 ⟺ two distinct doc_ids exist ⟺ min(doc_id) ≠ max(doc_id):
+    // plain min/max partial-aggregates map-side and shuffles one
+    // distinct-gram row per task, where count_distinct planned a
+    // two-level distinct expansion (partial keyed on (g, doc_id), a
+    // second aggregate level, and a wider exchange) — r19, guide §2.3
+    // "aggregate before you shuffle"
     val common = grams.groupBy(col("g"))
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2)
+      .agg(min(col("doc_id")).as("__d0"), max(col("doc_id")).as("__d1"))
+      .filter(col("__d0") =!= col("__d1"))
       .select(col("g"))
     val dup = grams.join(common, "g")
       .select(col("doc_id"), col("m"), col("p"))

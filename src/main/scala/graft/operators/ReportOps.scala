@@ -1297,6 +1297,15 @@ object ReportOps {
       .agg(sum(round(col("l_quantity")).cast("long")).as("qty"),
            sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
     val base = mp.agg(min(col("month")).as("base_month"))
+    // (r19 negative result, measured and reverted: attaching qb/cb via
+    // a per-part window — max(when(month = base, ·)) over
+    // partitionBy(l_partkey), filter qb IS NOT NULL — removes one mp
+    // execution and 20 of 60 jobs per 5 actions, but measured SLOWER
+    // at sf0.1/8c (warm min 1.43 → 1.87 s, cold 8.2 → 9.2 s): AQE
+    // converts this stitch join to broadcast at runtime (the bm side
+    // is base-month-only small), so the join never sorts mp, while
+    // the window forces a full sort of mp by partkey. The r18 persist
+    // A/B on `mp` lost the same way; the 3-execution shape stands.)
     val bm = mp.crossJoin(broadcast(base))
       .filter(col("month") === col("base_month"))
       .select(col("l_partkey").as("bk"), col("qty").as("qb"),
