@@ -100,6 +100,13 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","total_s":${num("%.2f", total)},"n":${results.size},"slowest":$slowest,"sf":"$sfDir"}"""
     println(summary)
+    // … and to stderr (r19, the r18 verdict ask #9): the r17 driver
+    // capture truncated the stdout per-query line at 2000 chars and the
+    // round lost its automated PERF comparison; the stderr tail is a
+    // separate capture, so a compact summary there survives whatever
+    // happens to the long stdout line. Additions-only — the stdout
+    // contract above is unchanged.
+    System.err.println(s"[bench] $summary")
     // r9's total was unrecoverable because the driver truncated stdout
     // (BENCH_r09.json "parsed": null) — persist the record too. Written
     // atomically (tmp + rename) to BOTH the canonical path and a per-sf

@@ -169,6 +169,33 @@ class PlanGuardSpec extends AnyFunSuite {
               s"of the whole input):\n${w.windowExpressions}")
         case _ =>
       }
+      // r19 (r18 verdict ask #7): the whitelist is no longer name-only.
+      // EVERY exempted unpartitioned window must sit over a frame the
+      // plan itself shows to be bounded — an Aggregate rollup (the
+      // calendar/contingency/replicate/bin-spine class) or a Limit
+      // (the post-TakeOrdered class) somewhere below it — so adding a
+      // fact-scale unpartitioned window to a whitelisted query fails
+      // here instead of passing by name. The scaladoc of each listed
+      // query documents WHICH rollup bounds it; this guard pins that
+      // the rollup is actually in the plan.
+      // q_theil_sen's bounding day rollup sits behind an eager
+      // iterCut (LogicalRDD truncates the logical plan — the
+      // documented checkpoint blind spot above), so its window
+      // self-certifies via the scaladoc'd calendar bound instead of
+      // this structural scan.
+      val checkpointBounded = Set("q_theil_sen")
+      if (unpartitionedWindowOk(name) && !checkpointBounded(name))
+        qe.optimizedPlan.foreach {
+          case w: Window if w.partitionSpec.isEmpty =>
+            val bounded = w.child.collectFirst {
+              case a: Aggregate => a
+              case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+            }.isDefined
+            assert(bounded,
+              s"$name: exempted unpartitioned window does not sit over an " +
+                s"aggregate- or limit-bounded frame:\n${w.windowExpressions}")
+          case _ =>
+        }
       // r16 (r15 ADVICE): q_decile_lift's whitelist entry is SCOPED —
       // only an unpartitioned window sitting over the constant
       // decile-grouped rollup is admitted, so a future fact-scale
