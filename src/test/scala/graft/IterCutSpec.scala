@@ -135,4 +135,29 @@ class IterCutSpec extends AnyFunSuite {
     assert(minLabel == want)
     assert(stars == want)
   }
+
+  /** r19 (r18 verdict ask #4): the `.shared` regime's batch-boundary
+    * eviction policy is [[Iter.clearShared]] — pin that it (a) actually
+    * empties the session cache and (b) is recompute-SAFE: a shared
+    * frame re-collected after eviction is bit-identical, because every
+    * shared frame keeps deterministic lineage (the r17 localCheckpoint
+    * conversion's invariant). Bench/Verify sessions are one batch by
+    * construction and never call it; long-lived multi-batch sessions
+    * call it between batches (BASELINE.md §r18.4 records the measured
+    * 20.9 MB single-batch footprint this policy bounds). */
+  test("clearShared empties the cache and shared frames recompute identically") {
+    import spark.implicits._
+    val base = (1 to 500).map(i => (i.toLong % 37, i.toLong)).toDF("k", "v")
+    val sh = graft.Iter.share(
+      base.groupBy(col("k")).agg(sum(col("v")).as("s")))
+    val r1 = sh.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(sh.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE, "share() did not persist")
+    assert(!spark.sharedState.cacheManager.isEmpty, "cache empty after share")
+    graft.Iter.clearShared(spark)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "clearShared left cached entries")
+    val r2 = sh.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(r1 == r2, "shared frame diverged after batch-boundary eviction")
+  }
 }
