@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Fin, Tables}
 import graft.Iter.IterOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1108,56 +1108,79 @@ object WindowOps {
     val trans = pairRows.unionAll(directConv)
       .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
       .iterCut(false)
-    // channel ids 1..m by name order; START=0, CONV=m+1, NULL=m+2
+    // channel ids 1..m by name order; START=0, CONV=m+1, NULL=m+2.
+    // r19 (r18 verdict ask #8): the r18 job trace read ~28 Spark jobs
+    // per cold action, almost all broadcast builds over these
+    // channel-vocabulary-bounded frames. Every lookup below now rides
+    // a SCALAR SUBQUERY bound once (the Dist-tier idiom): one 1-row
+    // struct carries chId's name→id and id→name maps plus m and S; the
+    // dense matrix probability reads a (fid·10⁶ + tid)→n map and a
+    // fid→outn map, so the S² spine needs NO join at all and the
+    // removed-channel probability pc is the SAME cell formula evaluated
+    // at (fid, scenario) — (fid, scenario) is always a spine cell, so
+    // the old left-join-never-misses becomes a direct computation.
+    // Map-lookup semantics ≡ the replaced left joins (missing key →
+    // NULL); every value formula is unchanged, and the chId/dense cuts
+    // are gone because their multi-consumer diamonds became
+    // single-execution subqueries.
     val channels = trans.select(col("f").as("stt"))
       .unionAll(trans.select(col("t").as("stt")))
       .filter(!col("stt").isin("__START__", "__CONV__", "__NULL__"))
       .distinct()
     val chId = channels.select(col("stt"),
       row_number().over(Window.orderBy(col("stt"))).cast("int").as("sid"))
-      .iterCut(false)
-    val mm = chId.agg(max(col("sid")).as("m"),
-                      (max(col("sid")) + 3).cast("int").as("S"))
+    val chS = chId.agg(
+        map_from_entries(collect_list(struct(col("stt"), col("sid"))))
+          .as("c2i"),
+        map_from_entries(collect_list(struct(col("sid"), col("stt"))))
+          .as("i2c"),
+        max(col("sid")).as("m"))
+      .select(struct(col("c2i"), col("i2c"), col("m"),
+                     (col("m") + 3).cast("int").as("S")).as("o"))
+      .scalar()
     val tr2 = trans
-      .join(broadcast(chId.select(col("stt").as("f"), col("sid").as("fid0"))),
-            Seq("f"), "left")
-      .join(broadcast(chId.select(col("stt").as("t"), col("sid").as("tid0"))),
-            Seq("t"), "left")
-      .crossJoin(broadcast(mm))
+      .withColumn("__ch", chS)
       .select(
-        when(col("f") === "__START__", lit(0)).otherwise(col("fid0")).as("fid"),
-        when(col("t") === "__CONV__", col("m") + 1)
-          .when(col("t") === "__NULL__", col("m") + 2)
-          .otherwise(col("tid0")).as("tid"),
+        when(col("f") === "__START__", lit(0))
+          .otherwise(element_at(col("__ch.c2i"), col("f"))).as("fid"),
+        when(col("t") === "__CONV__", col("__ch.m") + 1)
+          .when(col("t") === "__NULL__", col("__ch.m") + 2)
+          .otherwise(element_at(col("__ch.c2i"), col("t"))).as("tid"),
         col("n"))
-    val outs = tr2.groupBy(col("fid")).agg(sum(col("n")).as("outn"))
-    val spine = mm
-      .select(col("S"), explode(sequence(lit(0), col("S") - 1)).as("fid"))
-      .select(col("S"), col("fid"),
-              explode(sequence(lit(0), col("S") - 1)).as("tid"))
-    val dense = spine
-      .join(tr2, Seq("fid", "tid"), "left")
-      .join(broadcast(outs), Seq("fid"), "left")
-      .withColumn("prob",
-        when(col("fid") === col("S") - 2,
-             when(col("tid") === col("S") - 2, lit(1.0)).otherwise(lit(0.0)))
-          .when(col("fid") === col("S") - 1,
-                when(col("tid") === col("S") - 1, lit(1.0)).otherwise(lit(0.0)))
-          .otherwise(coalesce(col("n").cast("double") /
-                                col("outn").cast("double"), lit(0.0))))
-      .select(col("fid"), col("tid"), col("S"), col("prob"))
-      .iterCut(false) // S²-row matrix, read by sd AND intoC
-    val scen = mm.select(explode(sequence(lit(0), col("m"))).as("scenario"))
-    val intoC = dense.select(col("fid").as("fid2"), col("tid").as("c2"),
-                             col("prob").as("pc"))
-    val sd = dense.crossJoin(broadcast(scen))
-      .join(broadcast(intoC),
-            col("fid2") === col("fid") && col("c2") === col("scenario"), "left")
+    // cell stride 10⁶ sits safely above any S (S = |channels| + 3)
+    val cellKey = (f: Column, t: Column) =>
+      f.cast("long") * 1000000L + t
+    val nMap = tr2.agg(map_from_entries(collect_list(struct(
+        cellKey(col("fid"), col("tid")).as("k"), col("n").as("v"))))
+      .as("m")).scalar()
+    val oMap = tr2.groupBy(col("fid")).agg(sum(col("n")).as("outn"))
+      .agg(map_from_entries(collect_list(struct(col("fid"), col("outn"))))
+        .as("m")).scalar()
+    val probAt = (f: Column, t: Column) =>
+      when(f === col("S") - 2,
+           when(t === col("S") - 2, lit(1.0)).otherwise(lit(0.0)))
+        .when(f === col("S") - 1,
+              when(t === col("S") - 1, lit(1.0)).otherwise(lit(0.0)))
+        .otherwise(coalesce(
+          element_at(col("__nm"), cellKey(f, t)).cast("double") /
+            element_at(col("__om"), f).cast("double"), lit(0.0)))
+    val sd = s.range(1).select(chS.as("__ch"))
+      .select(col("__ch"),
+              explode(sequence(lit(0), col("__ch.S") - 1)).as("fid"))
+      .select(col("__ch"), col("fid"),
+              explode(sequence(lit(0), col("__ch.S") - 1)).as("tid"))
+      .withColumn("S", col("__ch.S"))
+      .withColumn("__nm", nMap)
+      .withColumn("__om", oMap)
+      .withColumn("prob", probAt(col("fid"), col("tid")))
+      .withColumn("scenario",
+        explode(sequence(lit(0), col("__ch.m"))))
       .withColumn("p2",
         when(col("scenario") === 0, col("prob"))
           .when(col("tid") === col("scenario"), lit(0.0))
           .when(col("tid") === col("S") - 1,
-                col("prob") + coalesce(col("pc"), lit(0.0)))
+                col("prob") +
+                  coalesce(probAt(col("fid"), col("scenario")), lit(0.0)))
           .otherwise(col("prob")))
     val mats = sd.groupBy(col("scenario"))
       .agg(max(col("S")).as("S"),
@@ -1176,20 +1199,28 @@ object WindowOps {
       .withColumn("p_conv", expr("element_at(pk, S - 1)"))
       // m+1 rows; base and scored both read it — one power iteration
       .iterCut(false)
-    val base = it.filter(col("scenario") === 0)
-      .select(col("p_conv").as("p_base"))
+    // base P(CONV) and the removal-effect total ride scalar subqueries
+    // over the cut `it` frame (r19): max() over the single scenario-0
+    // row is that row's value, and an empty `it` (event-free corpus)
+    // leaves `scored` empty either way, so both forms emit the same
+    // rows. The id→name attachment is the i2c map lookup — scenario
+    // 1..m is always a channel id, matching the old inner join.
+    val pBase = it.filter(col("scenario") === 0)
+      .agg(max(col("p_conv")).as("p_base")).scalar()
     val scored = it.filter(col("scenario") > 0)
-      .select(col("scenario").as("sid"), col("p_conv").as("p_removed"))
-      .join(broadcast(chId), "sid")
-      .crossJoin(broadcast(base))
+      .withColumn("__ch", chS)
+      .select(col("scenario").as("sid"), col("p_conv").as("p_removed"),
+              element_at(col("__ch.i2c"), col("scenario")).as("stt"))
+      .withColumn("p_base", pBase)
       .withColumn("re",
         lit(1.0) - col("p_removed") / nullif(col("p_base"), lit(0.0)))
-    val tot = scored.agg(expr(
+    val sre = scored.agg(expr(
       """aggregate(transform(sort_array(collect_list(struct(sid, re))),
                              x -> x.re),
                    CAST(0.0 AS DOUBLE), (a, x) -> a + x)""").as("sre"))
+      .scalar()
     ord(
-      scored.crossJoin(broadcast(tot))
+      scored.withColumn("sre", sre)
         .select(col("stt").as("channel"),
           r4(col("p_base")).as("p_conv"),
           r4(col("p_removed")).as("p_conv_removed"),
