@@ -1425,10 +1425,13 @@ object LlmOps {
   def pmiBigrams(s: SparkSession, d: String): DataFrame = {
     val ws = Tables.documents(s, d)
       .select(split(col("text"), " ").as("ws"))
-    val uni = ws.select(explode(col("ws")).as("w"))
+    val tokens = ws.select(explode(col("ws")).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-    val totals = uni.agg(sum(col("n")).as("nn"))
+    val uni = tokens.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // nn = Σ_w n_w is just the token count — aggregate the token stream
+    // directly (map-side partial count, zero shuffle) instead of
+    // re-running the unigram rollup's exchange to sum it (r19)
+    val totals = tokens.agg(count(lit(1)).as("nn"))
     val bg = ws.select(explode(zip_with(
         slice(col("ws"), lit(1), size(col("ws")) - 1),
         slice(col("ws"), lit(2), size(col("ws")) - 1),
@@ -2383,8 +2386,13 @@ object LlmOps {
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     val tfs = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf_s"))
-    val ns = tfs.groupBy(col("source")).agg(sum(col("tf_s")).as("n_s"))
-    val tfc = tfs.groupBy(col("tok")).agg(sum(col("tf_s")).as("tf_c"))
+    // n_s and tf_c are plain token counts per source / per token —
+    // aggregate the token stream directly (map-side partial counts into
+    // 50- and |vocab|-row shuffles) instead of re-executing the
+    // (source, tok) rollup and re-shuffling it per marginal; tfs is
+    // then computed once, for `scored`, not three times (r19)
+    val ns = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val tfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf_c"))
     val nc = ns.agg(sum(col("n_s")).as("n_c"))
     val dec = (c: Column) => c.cast("decimal(19,0)")
     val scored = tfs.filter(col("tf_s") >= 5)
@@ -2621,10 +2629,13 @@ object LlmOps {
   def pmiSkipgram(s: SparkSession, d: String): DataFrame = {
     val ws = Tables.documents(s, d)
       .select(split(col("text"), " ").as("ws"))
-    val uni = ws.select(explode(col("ws")).as("w"))
+    val tokens = ws.select(explode(col("ws")).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-    val totals = uni.agg(sum(col("n")).as("nn"))
+    val uni = tokens.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // nn = Σ_w n_w is just the token count — aggregate the token stream
+    // directly (map-side partial count, zero shuffle) instead of
+    // re-running the unigram rollup's exchange to sum it (r19)
+    val totals = tokens.agg(count(lit(1)).as("nn"))
     val pairs = ws.select(explode(expr(
         s"""flatten(transform(sequence(1, $SkipgramWindow), k ->
               zip_with(slice(ws, 1, greatest(size(ws) - k, 0)),
