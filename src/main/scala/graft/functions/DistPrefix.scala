@@ -29,12 +29,17 @@ import org.apache.spark.sql.functions._
   *     so every window in the plan carries a partition spec and stays
   *     a parallel sort — the window's own hash exchange distributes
   *     the buckets; no extra range shuffle is needed);
-  *  3. per-bucket totals — a ≤`buckets`-row frame — self-joined
-  *     (broadcast, strictly-prior buckets) into carried offsets
-  *     that lift each local result to the global value. The offset
-  *     frame is bounded by the BUCKET COUNT, a constant, never by
-  *     the data; no window runs over it (window-free theta join), so
-  *     plans built here contain zero unpartitioned windows.
+  *  3. per-bucket totals — a ≤`buckets`-row frame (global) or a
+  *     ≤|groups|+`buckets`-row frame (grouped) — collected pid-sorted
+  *     into ONE scalar subquery, prefix-folded in a single O(rows)
+  *     [[DistFold]] pass, and read per row by `element_at(arr, pid+1)`
+  *     (global — buckets are contiguous, every pid is populated) or a
+  *     [[DistBucket]] binary-search index (grouped): the strictly-prior
+  *     offsets that lift each local result to the global value, with
+  *     zero join machinery and no window over the offsets frame, so
+  *     plans built here contain zero unpartitioned windows. (The
+  *     pre-r19 broadcast theta-join stitch survives behind
+  *     `wideGroups` for data-proportional group domains.)
   *
   * Equivalences (bit-exact, not approximate — the DuckDB oracle gate
   * re-verifies every consumer at three SFs):
