@@ -2339,6 +2339,17 @@ object LlmOps {
     * pair streams (each one equi-join, no all-pairs); TP is a
     * pair-key semi-join; three 1-row aggregates cross-joined. */
   def dedupEval(s: SparkSession, d: String): DataFrame = {
+    // (r19 negative result, measured and reverted: `.shared` on both
+    // pair-key frames — each feeds its 1-row count AND the TP
+    // semi-join, and an ISOLATED task-metric trace reads compute-bound
+    // (warm taskRun ≈ wall ≈ 1.4 s) — looked like the one persist
+    // shape that should win. In the BENCH session it loses: the
+    // upstream band/ngram frames are already shared with
+    // q_dedup_ngram/containment/jaccard_bands, so the marginal
+    // recompute is small and the two materializations cost more —
+    // family-subset A/B ×2: q_dedup_eval 3.22/3.24 → 3.90/3.91 s.
+    // Isolated-profile wins don't transfer when the session already
+    // holds the upstream caches.)
     val cand = simhashBandPairs(s, d).select(col("d1"), col("d2"))
     val truth = ngramPairStats(s, d, NgramMaxDf)
       .filter(lit(2) * col("inter") >= col("n1") + col("n2") - col("inter"))
