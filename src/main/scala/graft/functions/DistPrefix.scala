@@ -332,19 +332,13 @@ object Dist {
       count(lit(1)).as("__dp_cnt") +:
         (cums.map { case (name, e) => sum(e).as(s"__dp_t_$name") } ++
          maxPrev.map { case (name, e) => max(e).as(s"__dp_m_$name") })
-    // persisted ONLY when something reads it twice (r19): the r18/r19
-    // subquery redesigns left the default global and grouped paths with
-    // exactly ONE offs consumer — the offsets scalar subquery — so the
-    // persist there was pure per-action overhead (materialization +
-    // cache accounting for a frame never read again). The wideGroups
-    // join stitch (both sides) and the lead1 boundary stitch still
-    // reuse it and keep the share; recompute-safe either way like the
-    // input persist.
+    // persisted: the tiny totals frame is read 2-4× (both sides of the
+    // prior join, the group totals, the lead stitch) — caching it makes
+    // the input-cache re-aggregation run once; recompute-safe like the
+    // input persist
     val offs0 = ordered.groupBy(partCols.map(col): _*)
       .agg(totAggs.head, totAggs.tail: _*)
-    val offsReused = lead1.nonEmpty || (part.nonEmpty && wideGroups)
-    val offs =
-      if (noPersist || !offsReused) offs0 else graft.Iter.share(offs0)
+    val offs = if (noPersist) offs0 else graft.Iter.share(offs0)
 
     val sameGroup = (l: String, r: String) =>
       part.foldLeft(lit(true))((c, k) => c && col(s"$l.$k") <=> col(s"$r.$k"))
